@@ -1,13 +1,164 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.diff._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 that is implemented gets an entry in
+  * [[queries]]; where the semantics are ANSI-SQL-expressible an equivalent
+  * DuckDB oracle query lives in [[oracleSql]] (same column names — the
+  * driver's compare sorts columns by name before hashing).
+  *
+  * Numeric policy for oracle parity: aggregates over doubles are computed on
+  * DECIMAL(18,2) casts (exact, order-independent) and cast back to DOUBLE, so
+  * Spark's and DuckDB's summation order cannot produce differing floats.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    queries("diff_orders")(spark, "/root/testdata/sf0.001")
+
+  // --- diff fixtures: two deterministic variants of `orders` -----------------
+  // left:  orders except keys divisible by 3, projected to 4 columns
+  // right: orders except keys divisible by 5, totalprice bumped for keys % 7 == 0
+  private def diffLeft(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      .filter(col("o_orderkey") % 3 =!= 0)
+
+  private def diffRight(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      .filter(col("o_orderkey") % 5 =!= 0)
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O-agg baseline: TPC-H Q1-flavor pricing summary over lineitem
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2)))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // O1 diff: default ColumnByColumn mode
+    "diff_orders" -> ((s, dir) =>
+      diffLeft(s, dir).diff(diffRight(s, dir), "o_orderkey")),
+
+    // O6 diff modes: LeftSide projection
+    "diff_orders_leftside" -> ((s, dir) =>
+      diffLeft(s, dir).diff(diffRight(s, dir),
+        DiffOptions.default.withDiffMode(DiffMode.LeftSide), "o_orderkey")),
+
+    // O7 sparse mode
+    "diff_orders_sparse" -> ((s, dir) =>
+      diffLeft(s, dir).diff(diffRight(s, dir),
+        DiffOptions.default.withSparseMode(true), "o_orderkey")),
+
+    // O4 change column
+    "diff_orders_changes" -> ((s, dir) =>
+      diffLeft(s, dir).diff(diffRight(s, dir),
+        DiffOptions.default.withChangeColumn("changed"), "o_orderkey")
+        .withColumn("changed",
+          when(col("changed").isNull, lit(null)).otherwise(concat_ws(",", col("changed"))))),
+
+    // O13 epsilon comparator: totalprice bump of +10 within relative epsilon
+    "diff_orders_epsilon" -> ((s, dir) =>
+      diffLeft(s, dir).diff(diffRight(s, dir),
+        DiffOptions.default.withComparator(
+          DiffComparators.epsilon(0.001).asRelative().asInclusive(), "o_totalprice"),
+        "o_orderkey"))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = {
+    val diffLeftSql =
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0"
+    val diffRightSql =
+      "SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice " +
+        "FROM orders WHERE o_orderkey % 5 <> 0"
+    def diffCte = s"WITH l AS ($diffLeftSql), r AS ($diffRightSql)"
+    val changed =
+      "l.o_custkey IS DISTINCT FROM r.o_custkey OR " +
+        "l.o_orderstatus IS DISTINCT FROM r.o_orderstatus OR " +
+        "l.o_totalprice IS DISTINCT FROM r.o_totalprice"
+    val action =
+      "CASE WHEN l.o_orderkey IS NULL THEN 'I' WHEN r.o_orderkey IS NULL THEN 'D' " +
+        s"WHEN $changed THEN 'C' ELSE 'N' END AS diff"
+
+    Map(
+      "q1_pricing_summary" ->
+        ("SELECT l_returnflag, l_linestatus, " +
+          "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+          "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, " +
+          "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price, " +
+          "COUNT(*) AS count_order " +
+          "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+
+      "diff_orders" ->
+        (s"$diffCte SELECT $action, " +
+          "COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey, " +
+          "l.o_custkey AS left_o_custkey, r.o_custkey AS right_o_custkey, " +
+          "l.o_orderstatus AS left_o_orderstatus, r.o_orderstatus AS right_o_orderstatus, " +
+          "l.o_totalprice AS left_o_totalprice, r.o_totalprice AS right_o_totalprice " +
+          "FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey"),
+
+      "diff_orders_leftside" ->
+        (s"$diffCte SELECT $action, " +
+          "COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey, " +
+          "l.o_custkey AS o_custkey, l.o_orderstatus AS o_orderstatus, l.o_totalprice AS o_totalprice " +
+          "FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey"),
+
+      "diff_orders_sparse" ->
+        (s"$diffCte SELECT $action, " +
+          "COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey, " +
+          "CASE WHEN l.o_custkey IS DISTINCT FROM r.o_custkey THEN l.o_custkey END AS left_o_custkey, " +
+          "CASE WHEN l.o_custkey IS DISTINCT FROM r.o_custkey THEN r.o_custkey END AS right_o_custkey, " +
+          "CASE WHEN l.o_orderstatus IS DISTINCT FROM r.o_orderstatus THEN l.o_orderstatus END AS left_o_orderstatus, " +
+          "CASE WHEN l.o_orderstatus IS DISTINCT FROM r.o_orderstatus THEN r.o_orderstatus END AS right_o_orderstatus, " +
+          "CASE WHEN l.o_totalprice IS DISTINCT FROM r.o_totalprice THEN l.o_totalprice END AS left_o_totalprice, " +
+          "CASE WHEN l.o_totalprice IS DISTINCT FROM r.o_totalprice THEN r.o_totalprice END AS right_o_totalprice " +
+          "FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey"),
+
+      "diff_orders_changes" ->
+        (s"$diffCte SELECT $action, " +
+          "CASE WHEN l.o_orderkey IS NULL OR r.o_orderkey IS NULL THEN NULL ELSE " +
+          "rtrim(concat(" +
+          "CASE WHEN l.o_custkey IS DISTINCT FROM r.o_custkey THEN 'o_custkey,' ELSE '' END, " +
+          "CASE WHEN l.o_orderstatus IS DISTINCT FROM r.o_orderstatus THEN 'o_orderstatus,' ELSE '' END, " +
+          "CASE WHEN l.o_totalprice IS DISTINCT FROM r.o_totalprice THEN 'o_totalprice,' ELSE '' END), ',') END AS changed, " +
+          "COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey, " +
+          "l.o_custkey AS left_o_custkey, r.o_custkey AS right_o_custkey, " +
+          "l.o_orderstatus AS left_o_orderstatus, r.o_orderstatus AS right_o_orderstatus, " +
+          "l.o_totalprice AS left_o_totalprice, r.o_totalprice AS right_o_totalprice " +
+          "FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey"),
+
+      "diff_orders_epsilon" ->
+        (s"$diffCte SELECT CASE WHEN l.o_orderkey IS NULL THEN 'I' WHEN r.o_orderkey IS NULL THEN 'D' " +
+          "WHEN l.o_custkey IS DISTINCT FROM r.o_custkey OR l.o_orderstatus IS DISTINCT FROM r.o_orderstatus " +
+          "OR NOT (ABS(l.o_totalprice - r.o_totalprice) <= 0.001 * GREATEST(ABS(l.o_totalprice), ABS(r.o_totalprice))) " +
+          "THEN 'C' ELSE 'N' END AS diff, " +
+          "COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey, " +
+          "l.o_custkey AS left_o_custkey, r.o_custkey AS right_o_custkey, " +
+          "l.o_orderstatus AS left_o_orderstatus, r.o_orderstatus AS right_o_orderstatus, " +
+          "l.o_totalprice AS left_o_totalprice, r.o_totalprice AS right_o_totalprice " +
+          "FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey")
+    )
+  }
 }

@@ -1,0 +1,116 @@
+package graft.diff.comparator
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/**
+ * Pluggable per-column equality for the diff operator.
+ *
+ * A comparator turns a pair of columns into a boolean "equivalent" Column
+ * expression. Resolution order (column name -> data type -> default) lives in
+ * [[graft.diff.DiffOptions.comparatorFor]].
+ *
+ * Re-derived from the reference comparator framework
+ * (/root/reference/src/main/scala/uk/co/gresearch/spark/diff/comparator/DiffComparator.scala:21-23).
+ */
+trait DiffComparator {
+  def equiv(left: Column, right: Column): Column
+}
+
+/** Comparator tied to a specific Spark input type (used by typed equiv comparators). */
+trait TypedDiffComparator extends DiffComparator {
+  def inputType: DataType
+}
+
+/**
+ * Default comparator: Spark's null-safe equality `left <=> right`
+ * (null == null is true, null == value is false).
+ * (reference: NullSafeEqualDiffComparator.scala:21-23)
+ */
+case object NullSafeEqualDiffComparator extends DiffComparator {
+  override def equiv(left: Column, right: Column): Column = left <=> right
+}
+
+case object DefaultDiffComparator extends DiffComparator {
+  override def equiv(left: Column, right: Column): Column =
+    NullSafeEqualDiffComparator.equiv(left, right)
+}
+
+/**
+ * Numeric equality within an epsilon: absolute (`|l-r| <= eps`) or relative
+ * (`|l-r| <= eps * greatest(|l|,|r|)`), inclusive or exclusive bound.
+ * Nulls: both null == equal, one null == not equal.
+ * (reference: EpsilonDiffComparator.scala:22-44)
+ */
+case class EpsilonDiffComparator(epsilon: Double, relative: Boolean = true, inclusive: Boolean = true)
+    extends DiffComparator {
+  def asAbsolute(): EpsilonDiffComparator = copy(relative = false)
+  def asRelative(): EpsilonDiffComparator = copy(relative = true)
+  def asInclusive(): EpsilonDiffComparator = copy(inclusive = true)
+  def asExclusive(): EpsilonDiffComparator = copy(inclusive = false)
+
+  override def equiv(left: Column, right: Column): Column = {
+    val threshold =
+      if (relative) lit(epsilon) * greatest(abs(left), abs(right))
+      else lit(epsilon)
+    val delta = abs(left - right)
+    val inRange = if (inclusive) delta <= threshold else delta < threshold
+    left.isNull && right.isNull || left.isNotNull && right.isNotNull && inRange
+  }
+}
+
+/**
+ * String equality, optionally whitespace-agnostic: both sides are trimmed and
+ * internal whitespace runs collapsed to a single space before comparing.
+ * Built from codegen'd built-ins (`regexp_replace` + `trim`) rather than a
+ * custom UTF8String expression.
+ * (reference semantics: WhitespaceDiffComparator.scala:20-29)
+ */
+case class StringDiffComparator(whitespaceAgnostic: Boolean = false) extends DiffComparator {
+  private def normalize(c: Column): Column = regexp_replace(trim(c), "\\s+", " ")
+  override def equiv(left: Column, right: Column): Column =
+    if (whitespaceAgnostic) normalize(left) <=> normalize(right)
+    else left <=> right
+}
+
+/**
+ * Date/Timestamp equality within a duration: `|l - r| <= duration`
+ * (timestamp subtraction yields a day-time interval, compared against an
+ * interval literal). Nulls: both null == equal.
+ * (reference: DurationDiffComparator.scala:38-60)
+ */
+case class DurationDiffComparator(duration: java.time.Duration, inclusive: Boolean = true)
+    extends DiffComparator {
+  def asInclusive(): DurationDiffComparator = copy(inclusive = true)
+  def asExclusive(): DurationDiffComparator = copy(inclusive = false)
+
+  override def equiv(left: Column, right: Column): Column = {
+    val l = left.cast("timestamp")
+    val r = right.cast("timestamp")
+    val delta = abs(l - r)
+    val inRange = if (inclusive) delta <= lit(duration) else delta < lit(duration)
+    left.isNull && right.isNull || left.isNotNull && right.isNotNull && inRange
+  }
+}
+
+/**
+ * Map equality (maps are not comparable with `<=>` in Spark). Two maps are
+ * equivalent when they have the same keys (as a sequence when
+ * `keyOrderSensitive`, as a set otherwise) and null-safe-equal values per key.
+ * Built entirely from higher-order built-ins so it stays in codegen.
+ * (reference semantics: MapDiffComparator.scala:26-83)
+ */
+case class MapDiffComparator(keyOrderSensitive: Boolean = false) extends DiffComparator {
+  override def equiv(left: Column, right: Column): Column = {
+    val keysOk =
+      if (keyOrderSensitive) map_keys(left) <=> map_keys(right)
+      else size(left) === size(right) &&
+        forall(map_keys(left), k => map_contains_key(right, k))
+    val valuesOk = forall(
+      map_entries(left),
+      e => element_at(right, e.getField("key")) <=> e.getField("value"))
+    left.isNull && right.isNull ||
+      left.isNotNull && right.isNotNull && keysOk && valuesOk
+  }
+}
