@@ -16,6 +16,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * DECIMAL(18,2) casts (exact, order-independent) and cast back to DOUBLE, so
   * Spark's and DuckDB's summation order cannot produce differing floats.
   */
+/** Typed row for the sorted-group query (top-level for TypeTag derivation). */
+case class CustOrder(o_custkey: Long, o_orderkey: Long,
+                     o_orderdate: java.sql.Timestamp, o_totalprice: Double)
+
 object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -81,7 +85,38 @@ object SparkEntry {
       diffLeft(s, dir).diff(diffRight(s, dir),
         DiffOptions.default.withComparator(
           DiffComparators.epsilon(0.001).asRelative().asInclusive(), "o_totalprice"),
-        "o_orderkey"))
+        "o_orderkey")),
+
+    // O23 global row numbers: 3-phase plan, no single-partition window
+    "row_numbers" -> ((s, dir) =>
+      RowNumbers.withRowNumbers(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        order = Seq(col("o_orderkey")))
+        .withColumn("row_number", col("row_number").cast("long"))),
+
+    // O22 histogram: single-pass bucket counts per group
+    "histogram_totalprice" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .histogram(Seq(100000, 200000, 300000, 400000), col("o_totalprice"), col("o_orderstatus"))),
+
+    // O19/O21 sorted-group iteration: per-customer running order totals
+    "group_sorted_running" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .as[CustOrder]
+        .groupBySorted[Long]($"o_custkey")($"o_orderdate", $"o_orderkey")
+        .flatMapSortedGroups { (cust, orders) =>
+          var rn = 0L
+          var running = java.math.BigDecimal.ZERO
+          orders.map { o =>
+            rn += 1
+            running = running.add(
+              new java.math.BigDecimal(o.o_totalprice).setScale(2, java.math.RoundingMode.HALF_UP))
+            (cust, o.o_orderkey, rn, running.doubleValue)
+          }
+        }.toDF("o_custkey", "o_orderkey", "rn", "running_total")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -158,7 +193,26 @@ object SparkEntry {
           "l.o_custkey AS left_o_custkey, r.o_custkey AS right_o_custkey, " +
           "l.o_orderstatus AS left_o_orderstatus, r.o_orderstatus AS right_o_orderstatus, " +
           "l.o_totalprice AS left_o_totalprice, r.o_totalprice AS right_o_totalprice " +
-          "FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey")
+          "FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey"),
+
+      "row_numbers" ->
+        ("SELECT o_orderkey, o_totalprice, " +
+          "CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT) AS row_number FROM orders"),
+
+      "histogram_totalprice" ->
+        ("SELECT o_orderstatus, " +
+          "COUNT(*) FILTER (WHERE o_totalprice <= 100000) AS \"≤100000\", " +
+          "COUNT(*) FILTER (WHERE o_totalprice > 100000 AND o_totalprice <= 200000) AS \"≤200000\", " +
+          "COUNT(*) FILTER (WHERE o_totalprice > 200000 AND o_totalprice <= 300000) AS \"≤300000\", " +
+          "COUNT(*) FILTER (WHERE o_totalprice > 300000 AND o_totalprice <= 400000) AS \"≤400000\", " +
+          "COUNT(*) FILTER (WHERE o_totalprice > 400000) AS \">400000\" " +
+          "FROM orders GROUP BY o_orderstatus"),
+
+      "group_sorted_running" ->
+        ("SELECT o_custkey, o_orderkey, CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn, " +
+          "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_total " +
+          "FROM orders " +
+          "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING)")
     )
   }
 }

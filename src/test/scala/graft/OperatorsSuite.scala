@@ -1,0 +1,215 @@
+package graft
+
+import graft.group.GroupedIterator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.storage.StorageLevel
+import org.scalatest.funsuite.AnyFunSuite
+
+case class Val(id: Int, seq: Int, value: Double)
+
+class OperatorsSuite extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  // --------------------------------------------------------------------------
+  // GroupedIterator (pure Scala, no Spark)
+  // --------------------------------------------------------------------------
+
+  test("GroupedIterator slices sorted pairs into groups") {
+    val it = new GroupedIterator[Int, String](
+      Iterator((1, "a"), (1, "b"), (2, "c"), (3, "d"), (3, "e")).buffered)
+    val got = it.map { case (k, vs) => k -> vs.toList }.toList
+    assert(got === List(1 -> List("a", "b"), 2 -> List("c"), 3 -> List("d", "e")))
+  }
+
+  test("GroupedIterator auto-drains unconsumed groups") {
+    val it = new GroupedIterator[Int, String](
+      Iterator((1, "a"), (1, "b"), (2, "c")).buffered)
+    val keys = it.map(_._1).toList // never consumes the value iterators
+    assert(keys === List(1, 2))
+  }
+
+  test("GroupedIterator handles partially consumed groups and repeated hasNext") {
+    val it = new GroupedIterator[Int, String](
+      Iterator((1, "a"), (1, "b"), (1, "c"), (2, "d")).buffered)
+    val (k1, vs1) = it.next()
+    assert(k1 === 1 && vs1.next() === "a")
+    assert(it.hasNext && it.hasNext) // idempotent, drains rest of group 1
+    val (k2, vs2) = it.next()
+    assert(k2 === 2 && vs2.toList === List("d"))
+    assert(!it.hasNext)
+  }
+
+  test("GroupedIterator null-key group") {
+    val it = new GroupedIterator[java.lang.Integer, String](
+      Iterator((null.asInstanceOf[java.lang.Integer], "a"),
+               (null.asInstanceOf[java.lang.Integer], "b")).buffered)(
+      Ordering.by((i: java.lang.Integer) => i.intValue()))
+    val got = it.map { case (k, vs) => (k, vs.size) }.toList
+    assert(got === List((null, 2)))
+  }
+
+  // --------------------------------------------------------------------------
+  // sorted groups on Spark
+  // --------------------------------------------------------------------------
+
+  lazy val vals = Seq(
+    Val(1, 3, 1.3), Val(1, 1, 1.1), Val(1, 2, 1.2),
+    Val(2, 1, 2.1), Val(2, 2, 2.2),
+    Val(3, 1, 3.1)
+  ).toDS().repartition(3)
+
+  test("groupBySorted iterates groups in seq order") {
+    val got = vals.groupBySorted[Int]($"id")($"seq")
+      .flatMapSortedGroups { (id, it) => it.map(v => (id, v.seq, v.value)) }
+      .collect().toList.sorted
+    assert(got === List(
+      (1, 1, 1.1), (1, 2, 1.2), (1, 3, 1.3),
+      (2, 1, 2.1), (2, 2, 2.2),
+      (3, 1, 3.1)))
+    // order within each group must be by seq: verify first element per group
+    val firsts = vals.groupBySorted[Int]($"id")($"seq")
+      .flatMapSortedGroups { (id, it) => Iterator.single(id -> it.next().seq) }
+      .collect().toMap
+    assert(firsts === Map(1 -> 1, 2 -> 1, 3 -> 1))
+  }
+
+  test("groupBySorted with explicit partitions and desc order") {
+    val got = vals.groupBySorted[Int](2)($"id")($"seq".desc)
+      .flatMapSortedGroups { (id, it) => Iterator.single(id -> it.next().seq) }
+      .collect().toMap
+    assert(got === Map(1 -> 3, 2 -> 2, 3 -> 1))
+  }
+
+  test("groupByKeySorted lambda variant with reverse") {
+    val got = vals.groupByKeySorted[Int, Int](v => v.id)(v => v.seq, reverse = true)
+      .flatMapSortedGroups { (id, it) => Iterator.single(id -> it.next().seq) }
+      .collect().toMap
+    assert(got === Map(1 -> 3, 2 -> 2, 3 -> 1))
+  }
+
+  test("flatMapSortedGroups stateful variant") {
+    val got = vals.groupBySorted[Int]($"id")($"seq")
+      .flatMapSortedGroups[StringBuilder, (Int, String)](k => new StringBuilder(k.toString)) {
+        (sb, v) => Iterator.single(v.id -> sb.append("-").append(v.seq).toString)
+      }
+      .collect().toList
+    assert(got.filter(_._1 == 1).map(_._2).sorted === List("1-1", "1-1-2", "1-1-2-3"))
+  }
+
+  test("groupByKey by column") {
+    // Dataset's own lambda groupByKey shadows the extension in overload
+    // resolution; apply the extension explicitly (same as the reference's
+    // documented caveat for column-based groupByKey).
+    val counts = ExtendedDataset(vals).groupByKey[Int]($"id").count().collect().toMap
+    assert(counts === Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
+  }
+
+  // --------------------------------------------------------------------------
+  // row numbers
+  // --------------------------------------------------------------------------
+
+  test("withRowNumbers assigns contiguous global row numbers in order") {
+    val df = spark.range(0, 1000).toDF("id").repartition(7)
+      .withColumn("neg", -$"id")
+    val result = df.withRowNumbers($"neg")
+    assert(result.columns.toSeq === Seq("id", "neg", "row_number"))
+    // ordered by neg => id descending => row_number == 1000 - id
+    val violations = result.filter($"row_number" =!= lit(1000) - $"id").count()
+    assert(violations === 0)
+    assert(result.count() === 1000)
+  }
+
+  test("withRowNumbers without order keeps current order and numbers 1..N") {
+    val df = spark.range(0, 100).toDF("id")
+    val result = df.withRowNumbers()
+    val rns = result.select($"row_number").as[Long].collect().sorted
+    assert(rns.toSeq === (1L to 100L))
+  }
+
+  test("withRowNumbers custom column name and unpersist handle") {
+    val handle = UnpersistHandle()
+    val df = spark.range(0, 10).toDF("id")
+    val result = df.withRowNumbers("rn", StorageLevel.MEMORY_AND_DISK, handle, $"id")
+    assert(result.select($"rn").as[Long].collect().sorted.toSeq === (1L to 10L))
+    handle.unpersist(blocking = true)
+  }
+
+  test("withRowNumbers rejects StorageLevel.NONE") {
+    val df = spark.range(0, 10).toDF("id")
+    intercept[IllegalArgumentException] {
+      RowNumbers.withRowNumbers(df, storageLevel = StorageLevel.NONE)
+    }
+  }
+
+  // --------------------------------------------------------------------------
+  // histogram
+  // --------------------------------------------------------------------------
+
+  test("histogram buckets values per group") {
+    val df = Seq(
+      ("a", 1), ("a", 5), ("a", 15), ("a", 150),
+      ("b", 20), ("b", 30)
+    ).toDF("g", "v")
+    val result = df.histogram(Seq(10, 100), $"v", $"g")
+    assert(result.columns.toSeq === Seq("g", "≤10", "≤100", ">100"))
+    val rows = result.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows === Map("a" -> ((2L, 1L, 1L)), "b" -> ((0L, 2L, 0L))))
+  }
+
+  test("histogram without aggregate columns is a global aggregation") {
+    val df = Seq(1, 2, 3, 11, 12, 101).toDF("v")
+    val row = df.histogram(Seq(10, 100), $"v").collect().head
+    assert(row === Row(3L, 2L, 1L))
+  }
+
+  test("histogram validates thresholds") {
+    val df = Seq(1).toDF("v")
+    intercept[IllegalArgumentException] { df.histogram(Seq.empty[Int], $"v") }
+    intercept[IllegalArgumentException] { df.histogram(Seq(1, 1), $"v") }
+    intercept[IllegalArgumentException] { df.histogram(Seq(2, 1), $"v") }
+  }
+
+  // --------------------------------------------------------------------------
+  // partitioned write
+  // --------------------------------------------------------------------------
+
+  test("writePartitionedBy produces one dir per partition value with sorted files") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-write").toString
+    val df = Seq(
+      (1, "a", 3), (1, "b", 1), (2, "c", 2), (2, "d", 4), (1, "e", 2)
+    ).toDF("part", "name", "ord")
+    df.writePartitionedBy(Seq($"part"), moreFileOrder = Seq($"ord"))
+      .mode("overwrite").csv(dir)
+    val dirs = Files.list(Paths.get(dir)).iterator()
+    val partDirs = Iterator.continually(dirs).takeWhile(_.hasNext).map(_.next().getFileName.toString)
+      .filter(_.startsWith("part=")).toList.sorted
+    assert(partDirs === List("part=1", "part=2"))
+    // rows within part=1 must be ordered by ord
+    val back = spark.read.csv(s"$dir/part=1")
+    val names = back.collect().map(_.getString(0)).toList
+    assert(names === List("b", "e", "a"))
+  }
+
+  // --------------------------------------------------------------------------
+  // session utilities
+  // --------------------------------------------------------------------------
+
+  test("withJobDescription sets and restores") {
+    implicit val s = spark
+    val sc = spark.sparkContext
+    sc.setJobDescription("outer")
+    withJobDescription("inner") {
+      assert(sc.getLocalProperty("spark.job.description") === "inner")
+    }
+    assert(sc.getLocalProperty("spark.job.description") === "outer")
+    withJobDescription("ignored", ifNotSet = true) {
+      assert(sc.getLocalProperty("spark.job.description") === "outer")
+    }
+    appendJobDescription("extra") {
+      assert(sc.getLocalProperty("spark.job.description") === "outer - extra")
+    }
+    sc.setJobDescription(null)
+  }
+}
