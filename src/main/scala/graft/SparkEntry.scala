@@ -116,7 +116,26 @@ object SparkEntry {
             (cust, o.o_orderkey, rn, running.doubleValue)
           }
         }.toDF("o_custkey", "o_orderkey", "rn", "running_total")
-    })
+    }),
+
+    // O27 parquet row-group scan (oracle: DuckDB parquet_metadata())
+    "parquet_blocks" -> ((s, dir) =>
+      graft.parquet.ParquetMeta.parquetBlocks(s, None, Seq(s"$dir/lineitem.parquet"))
+        .select(col("block"), col("rows"), col("columns").cast("long").as("columns"),
+          col("compressedBytes"), col("uncompressedBytes"), col("values"), col("nulls"))),
+
+    // O25 parquet footer facts (no SQL oracle: rows-only check)
+    "parquet_metadata_scan" -> ((s, dir) =>
+      graft.parquet.ParquetMeta.parquetMetadata(s, None, Seq(s"$dir/lineitem.parquet"))
+        .drop("keyValues")),
+
+    // O26 parquet schema scan (rows-only)
+    "parquet_schema_scan" -> ((s, dir) =>
+      graft.parquet.ParquetMeta.parquetSchema(s, None, Seq(s"$dir/lineitem.parquet"))),
+
+    // O29 Spark split planning scan (rows-only; depends on maxPartitionBytes)
+    "parquet_partitions_scan" -> ((s, dir) =>
+      graft.parquet.ParquetMeta.parquetPartitions(s, None, Seq(s"$dir/lineitem.parquet")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -212,7 +231,19 @@ object SparkEntry {
         ("SELECT o_custkey, o_orderkey, CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn, " +
           "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_total " +
           "FROM orders " +
-          "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING)")
+          "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING)"),
+
+      // t2 correctness runs at sf0.01 (TESTDATA.md), so the oracle reads the
+      // sf0.01 file directly — DuckDB has no table-level footer introspection.
+      "parquet_blocks" ->
+        ("SELECT CAST(row_group_id + 1 AS BIGINT) AS block, row_group_num_rows AS rows, " +
+          "row_group_num_columns AS columns, " +
+          "CAST(SUM(total_compressed_size) AS BIGINT) AS \"compressedBytes\", " +
+          "CAST(SUM(total_uncompressed_size) AS BIGINT) AS \"uncompressedBytes\", " +
+          "CAST(SUM(num_values) AS BIGINT) AS \"values\", " +
+          "CAST(SUM(stats_null_count) AS BIGINT) AS nulls " +
+          "FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet') " +
+          "GROUP BY row_group_id, row_group_num_rows, row_group_num_columns")
     )
   }
 }
