@@ -183,7 +183,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernels.simhash($a)")
 
-  override protected def withNewChildrenInternal(newChild: Expression): Expression =
+  override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
@@ -198,15 +198,15 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
   }
 
   override def nullSafeEval(tokens: Any): Any =
-    org.apache.spark.sql.catalyst.util.GenericArrayData
-      .allocate(VectorKernels.minhash(tokens.asInstanceOf[ArrayData], k))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.minhash(tokens.asInstanceOf[ArrayData], k))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      a => s"org.apache.spark.sql.catalyst.util.GenericArrayData.allocate(" +
+      a => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
         s"graft.functions.VectorKernels.minhash($a, $k))")
 
-  override protected def withNewChildrenInternal(newChild: Expression): Expression =
+  override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
