@@ -2,8 +2,9 @@ package graft
 
 import graft.diff._
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, StringType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,6 +20,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Typed row for the sorted-group query (top-level for TypeTag derivation). */
 case class CustOrder(o_custkey: Long, o_orderkey: Long,
                      o_orderdate: java.sql.Timestamp, o_totalprice: Double)
+
+/** Typed row for diffWith/diffAs queries. */
+case class Ord(o_orderkey: Long, o_custkey: Long, o_orderstatus: String, o_totalprice: Double)
+
+/** Subset encoder target for the diffAs query. */
+case class OrdDiff(diff: String, o_orderkey: Long,
+                   left_o_totalprice: Option[Double], right_o_totalprice: Option[Double])
+
+/** Case-insensitive string equivalence for the custom-equiv diff query.
+  * Operates on Catalyst-internal UTF8String values (codegen'd, no boxing of
+  * row data beyond the value itself). */
+object CaseInsensitiveEquiv extends math.Equiv[UTF8String] with Serializable {
+  override def equiv(a: UTF8String, b: UTF8String): Boolean =
+    a.toLowerCase.equals(b.toLowerCase)
+}
 
 object SparkEntry {
 
@@ -42,6 +58,20 @@ object SparkEntry {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
           .otherwise(col("o_totalprice")).as("o_totalprice"))
+      .filter(col("o_orderkey") % 5 =!= 0)
+
+  // timestamp variants for the duration-comparator query
+  private def dateLeft(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .filter(col("o_orderkey") % 3 =!= 0)
+
+  private def dateRight(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 13 === 0, col("o_orderdate") + expr("INTERVAL 3 HOURS"))
+          .when(col("o_orderkey") % 7 === 0, col("o_orderdate") + expr("INTERVAL 30 MINUTES"))
+          .otherwise(col("o_orderdate")).as("o_orderdate"))
       .filter(col("o_orderkey") % 5 =!= 0)
 
   /** One per implemented operator from SURVEY.md §2. */
@@ -68,6 +98,12 @@ object SparkEntry {
       diffLeft(s, dir).diff(diffRight(s, dir),
         DiffOptions.default.withDiffMode(DiffMode.LeftSide), "o_orderkey")),
 
+    // O6 diff modes: SideBySide (same column names as ColumnByColumn; layout
+    // differs, and the driver's compare is order-insensitive by design)
+    "diff_orders_sidebyside" -> ((s, dir) =>
+      diffLeft(s, dir).diff(diffRight(s, dir),
+        DiffOptions.default.withDiffMode(DiffMode.SideBySide), "o_orderkey")),
+
     // O7 sparse mode
     "diff_orders_sparse" -> ((s, dir) =>
       diffLeft(s, dir).diff(diffRight(s, dir),
@@ -80,12 +116,61 @@ object SparkEntry {
         .withColumn("changed",
           when(col("changed").isNull, lit(null)).otherwise(concat_ws(",", col("changed"))))),
 
+    // O10 ignore columns: right side's o_orderstatus is lowercased — a default
+    // diff would flag C; ignoring the column keeps N while carrying both sides
+    "diff_orders_ignore" -> ((s, dir) =>
+      Diff.of(diffLeft(s, dir),
+        diffRight(s, dir).withColumn("o_orderstatus", lower(col("o_orderstatus"))),
+        Seq("o_orderkey"), Seq("o_orderstatus"))),
+
     // O13 epsilon comparator: totalprice bump of +10 within relative epsilon
     "diff_orders_epsilon" -> ((s, dir) =>
       diffLeft(s, dir).diff(diffRight(s, dir),
         DiffOptions.default.withComparator(
           DiffComparators.epsilon(0.001).asRelative().asInclusive(), "o_totalprice"),
         "o_orderkey")),
+
+    // O14 whitespace-agnostic string comparator: right status padded with
+    // tabs/spaces compares equal
+    "diff_orders_whitespace" -> ((s, dir) =>
+      diffLeft(s, dir).diff(
+        diffRight(s, dir).withColumn("o_orderstatus",
+          concat(lit("\t"), col("o_orderstatus"), lit("  "))),
+        DiffOptions.default.withComparator(DiffComparators.string(), "o_orderstatus"),
+        "o_orderkey")),
+
+    // O15 duration comparator: 30min skew within 1h tolerance, 3h skew beyond
+    "diff_orders_duration" -> ((s, dir) =>
+      dateLeft(s, dir).diff(dateRight(s, dir),
+        DiffOptions.default.withComparator(
+          DiffComparators.duration(java.time.Duration.ofHours(1)), "o_orderdate"),
+        "o_orderkey")),
+
+    // O17 custom Equiv Catalyst expression: case-insensitive status compare
+    "diff_orders_equiv" -> ((s, dir) =>
+      diffLeft(s, dir).diff(
+        diffRight(s, dir).withColumn("o_orderstatus", lower(col("o_orderstatus"))),
+        DiffOptions.default.withComparator(
+          DiffComparators.equiv(CaseInsensitiveEquiv, StringType), "o_orderstatus"),
+        "o_orderkey")),
+
+    // O9 diffWith: typed (action, left, right) tuples, flattened for the gate
+    "diff_with_orders" -> ((s, dir) => {
+      import s.implicits._
+      Diff.ofWith(diffLeft(s, dir).as[Ord], diffRight(s, dir).as[Ord], Seq("o_orderkey"))
+        .select(col("_1").as("diff"),
+          col("_2.o_orderkey").as("l_o_orderkey"), col("_2.o_custkey").as("l_o_custkey"),
+          col("_2.o_orderstatus").as("l_o_orderstatus"), col("_2.o_totalprice").as("l_o_totalprice"),
+          col("_3.o_orderkey").as("r_o_orderkey"), col("_3.o_custkey").as("r_o_custkey"),
+          col("_3.o_orderstatus").as("r_o_orderstatus"), col("_3.o_totalprice").as("r_o_totalprice"))
+    }),
+
+    // O8 diffAs: typed subset encoder (deserialization forced via map(identity))
+    "diff_as_orders" -> ((s, dir) => {
+      import s.implicits._
+      Diff.ofAs[Ord, Ord, OrdDiff](diffLeft(s, dir).as[Ord], diffRight(s, dir).as[Ord],
+        Seq("o_orderkey")).map(identity).toDF()
+    }),
 
     // O23 global row numbers: 3-phase plan, no single-partition window
     "row_numbers" -> ((s, dir) =>
@@ -98,6 +183,13 @@ object SparkEntry {
     "histogram_totalprice" -> ((s, dir) =>
       t(s, dir, "orders")
         .histogram(Seq(100000, 200000, 300000, 400000), col("o_totalprice"), col("o_orderstatus"))),
+
+    // O18 groupByKey by column expression (partitioning stays visible to Catalyst)
+    "group_by_key_count" -> ((s, dir) => {
+      import s.implicits._
+      new ExtendedDataset(t(s, dir, "orders")).groupByKey[Long](col("o_custkey")).count()
+        .toDF("o_custkey", "cnt")
+    }),
 
     // O19/O21 sorted-group iteration: per-customer running order totals
     "group_sorted_running" -> ((s, dir) => {
@@ -118,11 +210,80 @@ object SparkEntry {
         }.toDF("o_custkey", "o_orderkey", "rn", "running_total")
     }),
 
+    // O20 lambda-keyed sorted grouping, reverse order: latest order per customer
+    "group_key_sorted_latest" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .as[CustOrder]
+        .groupByKeySorted[Long, (java.sql.Timestamp, Long)](_.o_custkey)(
+          o => (o.o_orderdate, o.o_orderkey), reverse = true)
+        .flatMapSortedGroups { (_, orders) => Iterator.single(orders.next()) }
+        .map(o => (o.o_custkey, o.o_orderkey, o.o_totalprice))
+        .toDF("o_custkey", "o_orderkey", "o_totalprice")
+    }),
+
+    // F2 count_null aggregate (nulls synthesized: no raw nulls in testdata).
+    // events.ts is TIMESTAMP(NANOS); read it as long (legacy conf) — the
+    // column is not referenced here.
+    "count_null_events" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      t(s, dir, "events").agg(
+        graft.functions.count_null(
+          when(col("event_type") === "error", lit(null)).otherwise(col("value"))).as("value_nulls"),
+        count(lit(1)).as("n"))
+    }),
+
+    // F3-F8 .Net ticks codecs: full round-trip over order timestamps
+    "ticks_roundtrip" -> ((s, dir) => {
+      // o_orderdate is TIMESTAMP_NTZ; ticks codecs operate on instants
+      // (session TZ is UTC in Verify/Bench, so the cast is lossless)
+      val ticks = graft.functions.timestampToDotNetTicks(col("o_orderdate").cast("timestamp"))
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        ticks.as("ticks"),
+        graft.functions.dotNetTicksToTimestamp(ticks).cast("timestamp_ntz").as("ts_rt"),
+        graft.functions.dotNetTicksToUnixEpochNanos(ticks).as("epoch_nanos"),
+        graft.functions.unixEpochNanosToDotNetTicks(
+          graft.functions.dotNetTicksToUnixEpochNanos(ticks)).as("ticks_rt"),
+        graft.functions.dotNetTicksToUnixEpoch(ticks)
+          .cast(DecimalType(20, 6)).cast("double").as("epoch_sec"))
+    }),
+
+    // O24 writePartitionedBy: range-partitioned, sorted-file write + read-back
+    "write_partitioned_readback" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_wpb").toString + "/out"
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        .writePartitionedBy(Seq(col("o_orderstatus")), Seq(col("o_orderkey")))
+        .format("parquet").mode("overwrite").save(tmp)
+      s.read.parquet(tmp).groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+    }),
+
+    // O30 Diff App CLI end-to-end: write inputs, run app with --statistics, read back
+    "diff_app_stats" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_app").toString
+      diffLeft(s, dir).write.mode("overwrite").parquet(s"$tmp/left")
+      diffRight(s, dir).write.mode("overwrite").parquet(s"$tmp/right")
+      graft.app.DiffApp.run(s, graft.app.DiffApp.parse(Seq(
+        "--id", "o_orderkey", "--statistics", s"$tmp/left", s"$tmp/right", s"$tmp/out")))
+      s.read.parquet(s"$tmp/out")
+    }),
+
     // O27 parquet row-group scan (oracle: DuckDB parquet_metadata())
     "parquet_blocks" -> ((s, dir) =>
       graft.parquet.ParquetMeta.parquetBlocks(s, None, Seq(s"$dir/lineitem.parquet"))
         .select(col("block"), col("rows"), col("columns").cast("long").as("columns"),
           col("compressedBytes"), col("uncompressedBytes"), col("values"), col("nulls"))),
+
+    // O28 per-(block, column) facts vs DuckDB parquet_metadata()
+    "parquet_block_columns" -> ((s, dir) =>
+      graft.parquet.ParquetMeta.parquetBlockColumns(s, None, Seq(s"$dir/lineitem.parquet"))
+        .select(col("block"), col("column"), col("values"),
+          col("compressedBytes"), col("uncompressedBytes"), col("nulls"))),
 
     // O25 parquet footer facts (no SQL oracle: rows-only check)
     "parquet_metadata_scan" -> ((s, dir) =>
@@ -155,6 +316,13 @@ object SparkEntry {
     val action =
       "CASE WHEN l.o_orderkey IS NULL THEN 'I' WHEN r.o_orderkey IS NULL THEN 'D' " +
         s"WHEN $changed THEN 'C' ELSE 'N' END AS diff"
+    val plainDiffSelect =
+      (s"$diffCte SELECT $action, " +
+        "COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey, " +
+        "l.o_custkey AS left_o_custkey, r.o_custkey AS right_o_custkey, " +
+        "l.o_orderstatus AS left_o_orderstatus, r.o_orderstatus AS right_o_orderstatus, " +
+        "l.o_totalprice AS left_o_totalprice, r.o_totalprice AS right_o_totalprice " +
+        "FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey")
 
     Map(
       "q1_pricing_summary" ->
@@ -165,13 +333,9 @@ object SparkEntry {
           "COUNT(*) AS count_order " +
           "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
 
-      "diff_orders" ->
-        (s"$diffCte SELECT $action, " +
-          "COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey, " +
-          "l.o_custkey AS left_o_custkey, r.o_custkey AS right_o_custkey, " +
-          "l.o_orderstatus AS left_o_orderstatus, r.o_orderstatus AS right_o_orderstatus, " +
-          "l.o_totalprice AS left_o_totalprice, r.o_totalprice AS right_o_totalprice " +
-          "FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey"),
+      "diff_orders" -> plainDiffSelect,
+
+      "diff_orders_sidebyside" -> plainDiffSelect,
 
       "diff_orders_leftside" ->
         (s"$diffCte SELECT $action, " +
@@ -203,6 +367,18 @@ object SparkEntry {
           "l.o_totalprice AS left_o_totalprice, r.o_totalprice AS right_o_totalprice " +
           "FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey"),
 
+      "diff_orders_ignore" ->
+        (s"WITH l AS ($diffLeftSql), r0 AS ($diffRightSql), " +
+          "r AS (SELECT o_orderkey, o_custkey, lower(o_orderstatus) AS o_orderstatus, o_totalprice FROM r0) " +
+          "SELECT CASE WHEN l.o_orderkey IS NULL THEN 'I' WHEN r.o_orderkey IS NULL THEN 'D' " +
+          "WHEN l.o_custkey IS DISTINCT FROM r.o_custkey OR l.o_totalprice IS DISTINCT FROM r.o_totalprice " +
+          "THEN 'C' ELSE 'N' END AS diff, " +
+          "COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey, " +
+          "l.o_custkey AS left_o_custkey, r.o_custkey AS right_o_custkey, " +
+          "l.o_totalprice AS left_o_totalprice, r.o_totalprice AS right_o_totalprice, " +
+          "l.o_orderstatus AS left_o_orderstatus, r.o_orderstatus AS right_o_orderstatus " +
+          "FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey"),
+
       "diff_orders_epsilon" ->
         (s"$diffCte SELECT CASE WHEN l.o_orderkey IS NULL THEN 'I' WHEN r.o_orderkey IS NULL THEN 'D' " +
           "WHEN l.o_custkey IS DISTINCT FROM r.o_custkey OR l.o_orderstatus IS DISTINCT FROM r.o_orderstatus " +
@@ -211,6 +387,64 @@ object SparkEntry {
           "COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey, " +
           "l.o_custkey AS left_o_custkey, r.o_custkey AS right_o_custkey, " +
           "l.o_orderstatus AS left_o_orderstatus, r.o_orderstatus AS right_o_orderstatus, " +
+          "l.o_totalprice AS left_o_totalprice, r.o_totalprice AS right_o_totalprice " +
+          "FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey"),
+
+      "diff_orders_whitespace" ->
+        (s"WITH l AS ($diffLeftSql), r0 AS ($diffRightSql), " +
+          "r AS (SELECT o_orderkey, o_custkey, concat(chr(9), o_orderstatus, '  ') AS o_orderstatus, o_totalprice FROM r0) " +
+          "SELECT CASE WHEN l.o_orderkey IS NULL THEN 'I' WHEN r.o_orderkey IS NULL THEN 'D' " +
+          "WHEN l.o_custkey IS DISTINCT FROM r.o_custkey OR l.o_totalprice IS DISTINCT FROM r.o_totalprice " +
+          "OR trim(regexp_replace(l.o_orderstatus, '\\s+', ' ', 'g')) IS DISTINCT FROM trim(regexp_replace(r.o_orderstatus, '\\s+', ' ', 'g')) " +
+          "THEN 'C' ELSE 'N' END AS diff, " +
+          "COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey, " +
+          "l.o_custkey AS left_o_custkey, r.o_custkey AS right_o_custkey, " +
+          "l.o_orderstatus AS left_o_orderstatus, r.o_orderstatus AS right_o_orderstatus, " +
+          "l.o_totalprice AS left_o_totalprice, r.o_totalprice AS right_o_totalprice " +
+          "FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey"),
+
+      "diff_orders_duration" ->
+        ("WITH l AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey % 3 <> 0), " +
+          "r AS (SELECT o_orderkey, " +
+          "CASE WHEN o_orderkey % 13 = 0 THEN o_orderdate + INTERVAL 3 HOUR " +
+          "WHEN o_orderkey % 7 = 0 THEN o_orderdate + INTERVAL 30 MINUTE " +
+          "ELSE o_orderdate END AS o_orderdate " +
+          "FROM orders WHERE o_orderkey % 5 <> 0) " +
+          "SELECT CASE WHEN l.o_orderkey IS NULL THEN 'I' WHEN r.o_orderkey IS NULL THEN 'D' " +
+          "WHEN NOT (ABS(epoch_us(l.o_orderdate) - epoch_us(r.o_orderdate)) <= 3600000000) " +
+          "THEN 'C' ELSE 'N' END AS diff, " +
+          "COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey, " +
+          "l.o_orderdate AS left_o_orderdate, r.o_orderdate AS right_o_orderdate " +
+          "FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey"),
+
+      "diff_orders_equiv" ->
+        (s"WITH l AS ($diffLeftSql), r0 AS ($diffRightSql), " +
+          "r AS (SELECT o_orderkey, o_custkey, lower(o_orderstatus) AS o_orderstatus, o_totalprice FROM r0) " +
+          "SELECT CASE WHEN l.o_orderkey IS NULL THEN 'I' WHEN r.o_orderkey IS NULL THEN 'D' " +
+          "WHEN l.o_custkey IS DISTINCT FROM r.o_custkey OR l.o_totalprice IS DISTINCT FROM r.o_totalprice " +
+          "OR lower(l.o_orderstatus) IS DISTINCT FROM lower(r.o_orderstatus) " +
+          "THEN 'C' ELSE 'N' END AS diff, " +
+          "COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey, " +
+          "l.o_custkey AS left_o_custkey, r.o_custkey AS right_o_custkey, " +
+          "l.o_orderstatus AS left_o_orderstatus, r.o_orderstatus AS right_o_orderstatus, " +
+          "l.o_totalprice AS left_o_totalprice, r.o_totalprice AS right_o_totalprice " +
+          "FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey"),
+
+      "diff_with_orders" ->
+        (s"$diffCte SELECT " +
+          "CASE WHEN l.o_orderkey IS NULL THEN 'I' WHEN r.o_orderkey IS NULL THEN 'D' " +
+          s"WHEN $changed THEN 'C' ELSE 'N' END AS diff, " +
+          "l.o_orderkey AS l_o_orderkey, l.o_custkey AS l_o_custkey, " +
+          "l.o_orderstatus AS l_o_orderstatus, l.o_totalprice AS l_o_totalprice, " +
+          "r.o_orderkey AS r_o_orderkey, r.o_custkey AS r_o_custkey, " +
+          "r.o_orderstatus AS r_o_orderstatus, r.o_totalprice AS r_o_totalprice " +
+          "FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey"),
+
+      "diff_as_orders" ->
+        (s"$diffCte SELECT " +
+          "CASE WHEN l.o_orderkey IS NULL THEN 'I' WHEN r.o_orderkey IS NULL THEN 'D' " +
+          s"WHEN $changed THEN 'C' ELSE 'N' END AS diff, " +
+          "COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey, " +
           "l.o_totalprice AS left_o_totalprice, r.o_totalprice AS right_o_totalprice " +
           "FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey"),
 
@@ -227,11 +461,44 @@ object SparkEntry {
           "COUNT(*) FILTER (WHERE o_totalprice > 400000) AS \">400000\" " +
           "FROM orders GROUP BY o_orderstatus"),
 
+      "group_by_key_count" ->
+        "SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey",
+
       "group_sorted_running" ->
         ("SELECT o_custkey, o_orderkey, CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn, " +
           "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_total " +
           "FROM orders " +
           "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING)"),
+
+      "group_key_sorted_latest" ->
+        ("SELECT o_custkey, o_orderkey, o_totalprice FROM (" +
+          "SELECT o_custkey, o_orderkey, o_totalprice, " +
+          "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn " +
+          "FROM orders) WHERE rn = 1"),
+
+      "count_null_events" ->
+        ("SELECT COUNT(*) FILTER (WHERE event_type = 'error' OR value IS NULL) AS value_nulls, " +
+          "COUNT(*) AS n FROM events"),
+
+      "ticks_roundtrip" ->
+        ("SELECT o_orderkey, " +
+          "epoch_us(o_orderdate) * 10 + 621355968000000000 AS ticks, " +
+          "o_orderdate AS ts_rt, " +
+          "epoch_us(o_orderdate) * 1000 AS epoch_nanos, " +
+          "epoch_us(o_orderdate) * 10 + 621355968000000000 AS ticks_rt, " +
+          "CAST(CAST(CAST(epoch_us(o_orderdate) AS DECIMAL(26,6)) / 1000000 AS DECIMAL(20,6)) AS DOUBLE) AS epoch_sec " +
+          "FROM orders"),
+
+      "write_partitioned_readback" ->
+        ("SELECT o_orderstatus, COUNT(*) AS cnt, " +
+          "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key, " +
+          "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+          "FROM orders GROUP BY o_orderstatus"),
+
+      "diff_app_stats" ->
+        (s"$diffCte SELECT diff, CAST(COUNT(*) AS BIGINT) AS \"count\" FROM (" +
+          s"SELECT $action FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey" +
+          ") GROUP BY diff"),
 
       // t2 correctness runs at sf0.01 (TESTDATA.md), so the oracle reads the
       // sf0.01 file directly — DuckDB has no table-level footer introspection.
@@ -243,7 +510,15 @@ object SparkEntry {
           "CAST(SUM(num_values) AS BIGINT) AS \"values\", " +
           "CAST(SUM(stats_null_count) AS BIGINT) AS nulls " +
           "FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet') " +
-          "GROUP BY row_group_id, row_group_num_rows, row_group_num_columns")
+          "GROUP BY row_group_id, row_group_num_rows, row_group_num_columns"),
+
+      "parquet_block_columns" ->
+        ("SELECT CAST(row_group_id + 1 AS BIGINT) AS block, path_in_schema AS \"column\", " +
+          "CAST(num_values AS BIGINT) AS \"values\", " +
+          "CAST(total_compressed_size AS BIGINT) AS \"compressedBytes\", " +
+          "CAST(total_uncompressed_size AS BIGINT) AS \"uncompressedBytes\", " +
+          "CAST(stats_null_count AS BIGINT) AS nulls " +
+          "FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')")
     )
   }
 }

@@ -68,7 +68,10 @@ case class EpsilonDiffComparator(epsilon: Double, relative: Boolean = true, incl
  * (reference semantics: WhitespaceDiffComparator.scala:20-29)
  */
 case class StringDiffComparator(whitespaceAgnostic: Boolean = false) extends DiffComparator {
-  private def normalize(c: Column): Column = regexp_replace(trim(c), "\\s+", " ")
+  // Collapse runs first, then trim: Spark's trim strips ASCII spaces only, so
+  // leading/trailing tabs/newlines must be collapsed to spaces before trimming
+  // (matches the reference's UTF8String.trimAll semantics).
+  private def normalize(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
   override def equiv(left: Column, right: Column): Column =
     if (whitespaceAgnostic) normalize(left) <=> normalize(right)
     else left <=> right
