@@ -1,0 +1,101 @@
+package graft.ann
+
+import graft.functions.vectors
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Similarity search over embedding columns (`array<float>`).
+ *
+ * Two paths, as a production pipeline needs both:
+ *  - [[bruteForceTopK]]: exact, O(|queries| * |corpus|). The query side is
+ *    broadcast; the corpus is streamed through the codegen'd cosine kernel.
+ *    Right when queries are few (the common "lookup" shape) — at 1000
+ *    executors this is an embarrassingly parallel scan of the corpus.
+ *  - [[lshTopK]]: approximate. Hyperplane-LSH buckets (sign bits of dot
+ *    products with seeded deterministic Gaussians) generate candidates via a
+ *    hash-partitioned join — candidate count << |queries| * |corpus| — then
+ *    the exact kernel re-ranks. The scale path when queries are many.
+ */
+object Ann {
+
+  /** Exact top-k by cosine: (query id, rank, corpus id, cosine). Ties broken
+    * by corpus id ascending for determinism. */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      queryId: Column, queryVec: Column, corpusId: Column, corpusVec: Column,
+      k: Int): DataFrame = {
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qvec"))
+    val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cvec"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", vectors.cosine_similarity(col("qvec"), col("cvec")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Deterministic seeded Gaussian hyperplanes: bands x bits x dim. */
+  private[ann] def hyperplanes(bands: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Float]]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(bands, bits)(Array.fill(dim)(rng.nextGaussian().toFloat))
+  }
+
+  /** One bucket hash per band: packed sign bits of the hyperplane dots. */
+  private[ann] def bandBuckets(vec: Column, planes: Array[Array[Array[Float]]]): Seq[Column] =
+    planes.toSeq.map { bandPlanes =>
+      bandPlanes.zipWithIndex.map { case (plane, i) =>
+        when(vectors.dot_product(vec, typedlit(plane.toSeq)) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce[Column](_ + _)
+    }
+
+  /** Explode a dataset to one (id, band, bucket) row per band. */
+  private def explodeBuckets(df: DataFrame, id: Column, vec: Column,
+                             planes: Array[Array[Array[Float]]], idName: String): DataFrame =
+    df.select(id.as(idName), vec.as(s"_vec_$idName"),
+        posexplode(array(bandBuckets(vec, planes): _*)).as(Seq("band", "bucket")))
+
+  /**
+   * Approximate top-k: hyperplane-LSH candidates (same (band, bucket) in any
+   * band), exact cosine re-rank, top-k per query. Queries with fewer than k
+   * collisions return fewer rows — raise `bands`/lower `bits` for recall.
+   */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame,
+      queryId: Column, queryVec: Column, corpusId: Column, corpusVec: Column,
+      dim: Int, k: Int, bands: Int = 16, bits: Int = 12, seed: Long = 42): DataFrame = {
+    val planes = hyperplanes(bands, bits, dim, seed)
+    val q = explodeBuckets(queries, queryId, queryVec, planes, "query_id")
+    val c = explodeBuckets(corpus, corpusId, corpusVec, planes, "neighbor_id")
+    val candidates = q.join(c, Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("_vec_query_id").as("qvec"),
+        col("neighbor_id"), col("_vec_neighbor_id").as("cvec"))
+      .dropDuplicates("query_id", "neighbor_id")
+    candidates
+      .withColumn("cosine", vectors.cosine_similarity(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Candidate-pair count for an LSH configuration (diagnostics: candidates
+    * should be orders of magnitude below |queries| * |corpus|). */
+  def lshCandidateCount(
+      queries: DataFrame, corpus: DataFrame,
+      queryId: Column, queryVec: Column, corpusId: Column, corpusVec: Column,
+      dim: Int, bands: Int = 16, bits: Int = 12, seed: Long = 42): Long = {
+    val planes = hyperplanes(bands, bits, dim, seed)
+    val q = explodeBuckets(queries, queryId, queryVec, planes, "query_id")
+    val c = explodeBuckets(corpus, corpusId, corpusVec, planes, "neighbor_id")
+    q.join(c, Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+      .count()
+  }
+}

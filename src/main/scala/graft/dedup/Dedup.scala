@@ -1,0 +1,227 @@
+package graft.dedup
+
+import graft.functions.vectors
+import graft.text.TextFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Deduplication operators for large-scale training-data pipelines.
+ *
+ * Scale design (the whole point): near-duplicate detection is NEVER all-pairs.
+ * Candidates come from LSH bucketing — MinHash band buckets for Jaccard
+ * similarity, SimHash bit-bands for Hamming distance, hyperplane sign buckets
+ * for cosine — so the only shuffles are hash-partitioned groupBys/joins on
+ * bucket keys, and the quadratic blow-up is confined to single buckets
+ * (bounded by `maxBucketSize`). Verification of candidate pairs is exact and
+ * happens only on the candidate set.
+ *
+ * Keep-one semantics: a row is dropped iff it has a verified near-duplicate
+ * with a smaller id ("keep first"). One round, deterministic, no iterative
+ * connected components — the standard single-pass LSH dedup used on web-scale
+ * corpora.
+ */
+object Dedup {
+
+  /** Default cap on LSH bucket size: buckets larger than this are skipped
+    * (a degenerate bucket means the feature, not the pair set, is degenerate). */
+  val DefaultMaxBucketSize = 1000
+
+  // --------------------------------------------------------------------------
+  // Exact dedup
+  // --------------------------------------------------------------------------
+
+  /**
+   * Keep exactly one row per `key` — the one with the smallest `tieBreak`.
+   * Plan: hash-partition on key + in-partition sort (window with partitionBy;
+   * no global sort, no single-partition stage).
+   */
+  def dropExactDuplicates(df: DataFrame, key: Column, tieBreak: Column): DataFrame = {
+    val prefix = graft.functions.distinctPrefixFor(df.columns.toSeq)
+    val rn = prefix + "rn"
+    df.withColumn(rn, row_number().over(Window.partitionBy(key).orderBy(tieBreak)))
+      .filter(col(rn) === 1)
+      .drop(rn)
+  }
+
+  /** Exact text dedup on the normalized-text MD5 fingerprint. */
+  def dropExactTextDuplicates(df: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    dropExactDuplicates(df, TextFunctions.fingerprintMd5(textCol), idCol)
+
+  // --------------------------------------------------------------------------
+  // MinHash + LSH near-dup
+  // --------------------------------------------------------------------------
+
+  /**
+   * Candidate pairs (idA < idB) that share at least one MinHash band bucket.
+   * `features` must be an `array<string>` column (tokens or shingles).
+   * k = bands * rowsPerBand signature components.
+   */
+  def minHashCandidates(
+      df: DataFrame, id: Column, features: Column,
+      bands: Int, rowsPerBand: Int,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = vectors.minhash_signature(features, k)
+    // one (band, bandHash) row per band per doc
+    val exploded = df
+      .select(id.as("id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))).as(Seq("band", "bucket")))
+    bucketPairs(exploded, maxBucketSize)
+  }
+
+  /**
+   * Verified near-duplicate pairs by word-shingle Jaccard: MinHash-LSH
+   * candidates, then exact Jaccard over the shingle sets, kept when
+   * `jaccard >= threshold`. Output: (idA, idB, jaccard), idA < idB.
+   */
+  def nearDupPairsMinHash(
+      df: DataFrame, id: Column, text: Column,
+      shingleSize: Int = 3, bands: Int = 16, rowsPerBand: Int = 8,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val shingled = df.select(id.as("id"),
+      TextFunctions.textShingles(text, shingleSize).as("shingles"))
+    val candidates = minHashCandidates(
+      shingled, col("id"), col("shingles"), bands, rowsPerBand, maxBucketSize)
+    verifyJaccard(candidates, shingled, threshold)
+  }
+
+  /**
+   * SimHash near-dup candidates: the 64-bit SimHash is cut into `bands`
+   * equal bit-bands; docs sharing any band are candidates (guaranteed to
+   * include every pair with Hamming distance < bands). Pairs are prefiltered
+   * by `hamming64 <= maxHamming` before exact verification.
+   */
+  def simHashCandidates(
+      df: DataFrame, id: Column, features: Column,
+      bands: Int = 8, maxHamming: Int = 12,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64: $bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val withSim = df.select(id.as("id"), vectors.simhash64(features).as("sim"))
+    val bandCols = (0 until bands).map(b =>
+      shiftrightunsigned(col("sim"), b * width).bitwiseAND(lit(mask)))
+    val exploded = withSim
+      .select(col("id"), col("sim"), posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    val pairs = bucketPairsWith(exploded, Seq("sim"), maxBucketSize)
+    pairs.filter(vectors.hamming64(col("simA"), col("simB")) <= maxHamming)
+      .select(col("idA"), col("idB"))
+  }
+
+  /** SimHash-candidate near-dup pairs verified by exact shingle Jaccard. */
+  def nearDupPairsSimHash(
+      df: DataFrame, id: Column, text: Column,
+      shingleSize: Int = 3, bands: Int = 8, maxHamming: Int = 12,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val shingled = df.select(id.as("id"),
+      TextFunctions.textShingles(text, shingleSize).as("shingles"))
+    val candidates = simHashCandidates(
+      shingled, col("id"), col("shingles"), bands, maxHamming, maxBucketSize)
+    verifyJaccard(candidates, shingled, threshold)
+  }
+
+  // --------------------------------------------------------------------------
+  // Embedding near-dup
+  // --------------------------------------------------------------------------
+
+  /**
+   * All pairs with cosine similarity >= threshold, exact O(n²) — the
+   * correctness baseline. For production scale use
+   * [[embeddingCandidatesLsh]] + verification instead.
+   */
+  def embeddingPairsBruteForce(
+      df: DataFrame, id: Column, vec: Column, threshold: Double): DataFrame = {
+    val a = df.select(id.as("idA"), vec.as("vecA"))
+    val b = df.select(id.as("idB"), vec.as("vecB"))
+    a.crossJoin(b)
+      .filter(col("idA") < col("idB"))
+      .filter(vectors.cosine_similarity(col("vecA"), col("vecB")) >= threshold)
+      .select(col("idA"), col("idB"))
+  }
+
+  /**
+   * Hyperplane-LSH candidate pairs for cosine similarity: `bands` buckets of
+   * `bits` sign-bits each, hyperplanes drawn from a seeded deterministic
+   * Gaussian. Docs sharing any band bucket are candidates. Recall rises with
+   * similarity (collision prob per bit = 1 - angle/pi); meant for
+   * high-similarity near-dup thresholds.
+   */
+  def embeddingCandidatesLsh(
+      df: DataFrame, id: Column, vec: Column, dim: Int,
+      bands: Int = 16, bits: Int = 12, seed: Long = 42,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    // hyperplanes[band][bit] = deterministic Gaussian vector
+    val planes = Array.fill(bands, bits)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    val bandHashes = planes.toSeq.map { bandPlanes =>
+      bandPlanes.zipWithIndex.map { case (plane, i) =>
+        when(vectors.dot_product(vec, typedlit(plane.toSeq)) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce[Column](_ + _)
+    }
+    val exploded = df.select(id.as("id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
+    bucketPairs(exploded, maxBucketSize)
+  }
+
+  // --------------------------------------------------------------------------
+  // Keep-one application
+  // --------------------------------------------------------------------------
+
+  /** Drop every row whose id appears as the larger member of a verified pair. */
+  def keepFirst(df: DataFrame, id: Column, verifiedPairs: DataFrame): DataFrame = {
+    val drops = verifiedPairs.select(col("idB").as("__drop_id")).distinct()
+    df.join(drops, id === col("__drop_id"), "left_anti")
+  }
+
+  /** End-to-end MinHash near-dup dedup: keep first of every duplicate set. */
+  def deduplicateMinHash(
+      df: DataFrame, id: Column, text: Column,
+      shingleSize: Int = 3, bands: Int = 16, rowsPerBand: Int = 8,
+      threshold: Double = 0.8): DataFrame =
+    keepFirst(df, id, nearDupPairsMinHash(df, id, text, shingleSize, bands, rowsPerBand, threshold))
+
+  // --------------------------------------------------------------------------
+  // internals
+  // --------------------------------------------------------------------------
+
+  /** Distinct (idA < idB) pairs sharing a (band, bucket); oversized buckets
+    * dropped. One shuffle on the bucket key; quadratic work confined to
+    * within-bucket pair generation. */
+  private def bucketPairs(exploded: DataFrame, maxBucketSize: Int): DataFrame =
+    bucketPairsWith(exploded, Seq.empty, maxBucketSize).select(col("idA"), col("idB"))
+
+  /** Same, carrying `extra` per-doc columns to both sides (suffixed A/B). */
+  private def bucketPairsWith(exploded: DataFrame, extra: Seq[String], maxBucketSize: Int): DataFrame = {
+    // collect per-bucket member lists once (single shuffle), prune oversized
+    // buckets, then emit intra-bucket pairs — avoids a second shuffle of a
+    // self-join and keeps the blow-up strictly within a bucket
+    val member = struct((col("id") +: extra.map(col)): _*).as("m")
+    val buckets = exploded
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(member).as("members"))
+      .filter(size(col("members")).between(2, maxBucketSize))
+    val sorted = array_sort(col("members"))
+    val pairs = buckets.select(explode(
+      flatten(transform(sorted, (a, i) =>
+        transform(slice(sorted, i + 2, size(sorted)), b => struct(a.as("a"), b.as("b")))))).as("p"))
+    val aCols = col("p.a.id").as("idA") +: extra.map(e => col(s"p.a.$e").as(s"${e}A"))
+    val bCols = col("p.b.id").as("idB") +: extra.map(e => col(s"p.b.$e").as(s"${e}B"))
+    pairs.select((aCols ++ bCols): _*).distinct()
+  }
+
+  /** Join candidate pairs back to their shingle sets and keep those with
+    * exact Jaccard >= threshold. Output (idA, idB, jaccard). */
+  private def verifyJaccard(candidates: DataFrame, shingled: DataFrame, threshold: Double): DataFrame = {
+    val a = shingled.select(col("id").as("idA"), col("shingles").as("shinglesA"))
+    val b = shingled.select(col("id").as("idB"), col("shingles").as("shinglesB"))
+    candidates
+      .join(a, "idA").join(b, "idB")
+      .withColumn("jaccard", TextFunctions.jaccard(col("shinglesA"), col("shinglesB")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), col("jaccard"))
+  }
+}

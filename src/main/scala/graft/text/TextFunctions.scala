@@ -1,0 +1,147 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/**
+ * Text-analysis kernels for large-scale training-data pipelines: tokenization,
+ * word shingles, quality signals, language identification and document
+ * fingerprinting.
+ *
+ * Everything here is pure Column algebra over Spark built-ins (codegen'd, no
+ * UDFs): at 100 TB these run inside whole-stage codegen next to the parquet
+ * scan, with column pruning and predicate pushdown intact.
+ */
+object TextFunctions {
+
+  /** Unicode-aware default token pattern. */
+  val UnicodeTokenPattern = "[^\\p{L}\\p{N}]+"
+
+  /** ASCII token pattern (use when an external oracle must re-derive tokens). */
+  val AsciiTokenPattern = "[^a-z0-9]+"
+
+  /** Lowercase tokens of `c`, split on `pattern`, empties removed. */
+  def tokenize(c: Column, pattern: String = UnicodeTokenPattern): Column =
+    filter(split(lower(c), pattern), t => length(t) > 0)
+
+  /** Distinct word `n`-grams (shingles) joined by single spaces.
+    * Empty array when there are fewer than `n` tokens (guarded: Spark's
+    * `sequence(1, x)` would count *down* for x < 1). */
+  def wordShingles(tokens: Column, n: Int): Column =
+    when(size(tokens) < n, array().cast(ArrayType(StringType)))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), size(tokens) - (n - 1)),
+          i => concat_ws(" ", slice(tokens, i, lit(n))))))
+
+  /** Shingles straight from raw text (ASCII tokens, for oracle parity). */
+  def textShingles(c: Column, n: Int): Column =
+    wordShingles(tokenize(c, AsciiTokenPattern), n)
+
+  /** Number of tokens. */
+  def tokenCount(c: Column, pattern: String = UnicodeTokenPattern): Column =
+    size(tokenize(c, pattern))
+
+  /** Jaccard similarity of two string arrays (0.0 when both empty). */
+  def jaccard(a: Column, b: Column): Column = {
+    val union = size(array_union(a, b))
+    when(union === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") / union.cast("double"))
+  }
+
+  // --------------------------------------------------------------------------
+  // Quality signals
+  // --------------------------------------------------------------------------
+
+  /** Mean token length (0.0 for empty docs). */
+  def avgTokenLength(tokens: Column): Column =
+    when(size(tokens) === 0, lit(0.0))
+      .otherwise(
+        aggregate(tokens, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          size(tokens).cast("double"))
+
+  /** Fraction of tokens found in `words` (distinct-insensitive: counts every
+    * occurrence). 0.0 for empty docs. */
+  def wordSetRatio(tokens: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    when(size(tokens) === 0, lit(0.0))
+      .otherwise(
+        size(filter(tokens, t => array_contains(set, t))).cast("double") /
+          size(tokens).cast("double"))
+  }
+
+  /** English stopwords used by [[stopwordRatio]] and [[qualityScore]]. */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
+
+  def stopwordRatio(tokens: Column): Column = wordSetRatio(tokens, EnglishStopwords)
+
+  /** Ratio of non-alphanumeric, non-whitespace chars to all chars (0 for empty). */
+  def punctuationRatio(c: Column): Column = {
+    val total = length(c)
+    when(total === 0, lit(0.0))
+      .otherwise(length(regexp_replace(c, "[\\p{L}\\p{N}\\s]", "")).cast("double") / total.cast("double"))
+  }
+
+  /** Ratio of digit chars to all chars (0 for empty). */
+  def digitRatio(c: Column): Column = {
+    val total = length(c)
+    when(total === 0, lit(0.0))
+      .otherwise(length(regexp_replace(c, "[^0-9]", "")).cast("double") / total.cast("double"))
+  }
+
+  /**
+   * Heuristic quality score in [0, 1]; higher = more natural-language-like.
+   * Deterministic linear blend (documented so external oracles can mirror it):
+   * 0.4 * min(tokenCount, 100)/100 + 0.3 * min(stopwordRatio * 5, 1)
+   * + 0.3 * (1 - min(punctuationRatio * 4, 1)).
+   */
+  def qualityScore(c: Column, pattern: String = UnicodeTokenPattern): Column = {
+    val toks = tokenize(c, pattern)
+    val lengthTerm = least(size(toks).cast("double") / 100.0, lit(1.0))
+    val stopTerm = least(stopwordRatio(toks) * 5.0, lit(1.0))
+    val punctTerm = lit(1.0) - least(punctuationRatio(c) * 4.0, lit(1.0))
+    lengthTerm * 0.4 + stopTerm * 0.3 + punctTerm * 0.3
+  }
+
+  // --------------------------------------------------------------------------
+  // Language identification (marker-word heuristic)
+  // --------------------------------------------------------------------------
+
+  /** Marker words per language, ordered by tie-break priority. */
+  val LanguageMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "une", "est", "que", "pour", "dans"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "auf"),
+    "es" -> Seq("el", "los", "las", "una", "es", "que", "por", "para", "como", "pero"))
+
+  /** Distinct-token overlap with each language's marker set; prediction is the
+    * argmax with ties resolved in [[LanguageMarkers]] order; "und" (undefined)
+    * when no marker matches at all. */
+  def langId(c: Column, pattern: String = UnicodeTokenPattern): Column = {
+    val toks = array_distinct(tokenize(c, pattern))
+    val scores = LanguageMarkers.map { case (lang, words) =>
+      lang -> size(array_intersect(toks, array(words.map(lit): _*)))
+    }
+    val first = struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))
+    val best = scores.tail.foldLeft(first) { case (acc, (lang, s)) =>
+      when(s > acc.getField("s"), struct(s.as("s"), lit(lang).as("l"))).otherwise(acc)
+    }
+    when(best.getField("s") === 0, lit("und")).otherwise(best.getField("l"))
+  }
+
+  // --------------------------------------------------------------------------
+  // Fingerprinting
+  // --------------------------------------------------------------------------
+
+  /** Whitespace-normalized, lowercased text (for fingerprinting / exact dedup). */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** MD5 hex fingerprint of the normalized text — stable across engines, so an
+    * external oracle (DuckDB md5()) reproduces it exactly. */
+  def fingerprintMd5(c: Column): Column = md5(normalizeText(c))
+
+  /** 64-bit fingerprint of the normalized text (xxhash64; cheap, Spark-only). */
+  def fingerprint64(c: Column): Column = xxhash64(normalizeText(c))
+}

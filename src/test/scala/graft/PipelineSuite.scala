@@ -1,0 +1,243 @@
+package graft
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.text.TextFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LLM-data-pipeline operators: text analysis, dedup, ANN, multimodal. */
+class PipelineSuite extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  // --------------------------------------------------------------------------
+  // text analysis
+  // --------------------------------------------------------------------------
+
+  test("tokenize lowers, splits and drops empties") {
+    val r = Seq("Hello,  World! 42").toDF("t")
+      .select(TextFunctions.tokenize(col("t")).as("toks"))
+      .as[Seq[String]].head()
+    assert(r == Seq("hello", "world", "42"))
+  }
+
+  test("wordShingles produces distinct n-grams; short docs give empty") {
+    val df = Seq("a b c d", "a b").toDF("t")
+      .select(TextFunctions.textShingles(col("t"), 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(df(0) == Seq("a b c", "b c d"))
+    assert(df(1) == Seq.empty)
+  }
+
+  test("jaccard on arrays") {
+    val r = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(TextFunctions.jaccard(col("x"), col("y")).as("j")).as[Double].head()
+    assert(math.abs(r - 0.5) < 1e-12)
+  }
+
+  test("langId identifies real multilingual samples") {
+    val samples = Seq(
+      ("the cat sat on the mat and it is happy", "en"),
+      ("le chat est sur la table et il est content pour dans", "fr"),
+      ("der hund ist nicht mit der katze und das ist gut", "de"),
+      ("el perro es una mascota que vive en las casas como pero", "es"),
+      ("xyzzy qwerty plugh", "und"))
+    val out = samples.map(_._1).toDF("t")
+      .select(TextFunctions.langId(col("t")).as("lang")).as[String].collect()
+    assert(out.toSeq == samples.map(_._2))
+  }
+
+  test("qualityScore favors natural text over noise") {
+    val natural = "the quick brown fox jumps over the lazy dog and it is a fine day in the park " * 3
+    val noise = "@@#$%^&*!! ~~ ## $$ %% ^^ && ** (( ))"
+    val r = Seq(natural, noise).toDF("t")
+      .select(TextFunctions.qualityScore(col("t")).as("q")).as[Double].collect()
+    assert(r(0) > 0.7 && r(1) < 0.4 && r(0) > r(1))
+  }
+
+  test("fingerprintMd5 is whitespace/case-normalized") {
+    val r = Seq("Hello  World", "hello world", "hello  world\t", "other").toDF("t")
+      .select(TextFunctions.fingerprintMd5(col("t")).as("f")).as[String].collect()
+    assert(r(0) == r(1) && r(1) == r(2) && r(0) != r(3))
+  }
+
+  // --------------------------------------------------------------------------
+  // dedup
+  // --------------------------------------------------------------------------
+
+  test("dropExactTextDuplicates keeps smallest id per normalized text") {
+    val df = Seq(
+      (1L, "some document text"), (2L, "Some  Document   Text"),
+      (3L, "unique one"), (4L, "some document text ")).toDF("id", "text")
+    val out = Dedup.dropExactTextDuplicates(df, col("text"), col("id"))
+      .select("id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 3L))
+  }
+
+  private val nearDupCorpus = {
+    val base = (0 until 40).map(i =>
+      (i.toLong, s"doc number $i with words alpha beta gamma delta epsilon zeta eta theta " +
+        s"iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon token$i marker$i"))
+    // plant near-dups of docs 3 and 7 (one word changed), and an exact dup of 11
+    val dups = Seq(
+      (103L, base(3)._2.replace("gamma", "gamma2")),
+      (107L, base(7)._2.replace("sigma", "sigma2")),
+      (111L, base(11)._2))
+    base ++ dups
+  }
+
+  test("minhash near-dup pairs find planted duplicates only") {
+    val df = nearDupCorpus.toDF("id", "text")
+    val pairs = Dedup.nearDupPairsMinHash(df, col("id"), col("text"), threshold = 0.7)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 103L), (7L, 107L), (11L, 111L)))
+  }
+
+  test("deduplicateMinHash keeps first of each duplicate set") {
+    val df = nearDupCorpus.toDF("id", "text")
+    val out = Dedup.deduplicateMinHash(df, col("id"), col("text"), threshold = 0.7)
+      .select("id").as[Long].collect().toSet
+    assert(out == (0 until 40).map(_.toLong).toSet)
+  }
+
+  test("simhash near-dup pairs find planted duplicates only") {
+    val df = nearDupCorpus.toDF("id", "text")
+    val pairs = Dedup.nearDupPairsSimHash(df, col("id"), col("text"), threshold = 0.7)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 103L), (7L, 107L), (11L, 111L)))
+  }
+
+  // deterministic pseudo-random unit vectors around cluster centers
+  private def clusteredVectors(nClusters: Int, perCluster: Int, dim: Int, spread: Float)
+  : Seq[(Long, Seq[Float])] = {
+    val rng = new scala.util.Random(7)
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    (0 until nClusters * perCluster).map { i =>
+      val c = centers(i % nClusters)
+      val v = c.map(x => x + spread * rng.nextGaussian().toFloat)
+      val norm = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      (i.toLong, v.map(_ / norm).toSeq)
+    }
+  }
+
+  test("embedding brute-force pairs match a local computation") {
+    val data = clusteredVectors(4, 10, 16, 0.05f)
+    val df = data.toDF("id", "vec")
+    val got = Dedup.embeddingPairsBruteForce(df, col("id"), col("vec"), 0.9)
+      .as[(Long, Long)].collect().toSet
+    val expected = (for {
+      (ia, va) <- data; (ib, vb) <- data if ia < ib
+      dot = va.zip(vb).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      na = math.sqrt(va.map(x => x.toDouble * x).sum)
+      nb = math.sqrt(vb.map(x => x.toDouble * x).sum)
+      if dot / (na * nb) >= 0.9
+    } yield (ia, ib)).toSet
+    assert(got == expected && expected.nonEmpty)
+  }
+
+  test("embedding LSH candidates: high recall on near-dups, far fewer than n^2 pairs") {
+    val data = clusteredVectors(8, 8, 32, 0.02f) // tight clusters: cos ~ 0.999
+    val df = data.toDF("id", "vec")
+    val truePairs = Dedup.embeddingPairsBruteForce(df, col("id"), col("vec"), 0.98)
+      .as[(Long, Long)].collect().toSet
+    val candidates = Dedup.embeddingCandidatesLsh(df, col("id"), col("vec"), dim = 32)
+      .as[(Long, Long)].collect().toSet
+    val n = data.size.toLong
+    assert(truePairs.nonEmpty)
+    val recall = truePairs.count(candidates.contains).toDouble / truePairs.size
+    assert(recall >= 0.95, s"recall $recall")
+    assert(candidates.size < n * (n - 1) / 4, s"candidates ${candidates.size} vs all-pairs ${n * (n - 1) / 2}")
+  }
+
+  // --------------------------------------------------------------------------
+  // ANN
+  // --------------------------------------------------------------------------
+
+  test("bruteForceTopK returns exact neighbors in rank order") {
+    val data = clusteredVectors(3, 6, 8, 0.05f)
+    val df = data.toDF("id", "vec")
+    val queries = df.filter(col("id") < 3)
+    val got = Ann.bruteForceTopK(queries, df, col("id"), col("vec"), col("id"), col("vec"), k = 2)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // local expectation
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val byId = data.toMap
+    for (q <- 0L until 3L) {
+      val expected = data.filter(_._1 != q)
+        .map { case (i, v) => (i, cos(byId(q), v)) }
+        .sortBy { case (i, c) => (-c, i) }.take(2).map(_._1)
+      assert(got(q) == expected, s"query $q")
+    }
+  }
+
+  test("lshTopK approximates brute force on tight clusters") {
+    val data = clusteredVectors(5, 8, 32, 0.02f)
+    val df = data.toDF("id", "vec")
+    val queries = df.filter(col("id") < 5)
+    val brute = Ann.bruteForceTopK(queries, df, col("id"), col("vec"), col("id"), col("vec"), k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.lshTopK(queries, df, col("id"), col("vec"), col("id"), col("vec"),
+      dim = 32, k = 3, bands = 24, bits = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(approx.contains).toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  // --------------------------------------------------------------------------
+  // multimodal
+  // --------------------------------------------------------------------------
+
+  test("byte_entropy: constant bytes 0, uniform bytes 8") {
+    val constant = Array.fill[Byte](1024)(42)
+    val uniform = Array.tabulate[Byte](4096)(i => (i % 256).toByte)
+    val r = Seq(("c", constant), ("u", uniform)).toDF("k", "b")
+      .select(col("k"), Multimodal.byte_entropy(col("b")).as("e"))
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(r("c")) < 1e-12)
+    assert(math.abs(r("u") - 8.0) < 1e-12)
+  }
+
+  test("byte_nibble_histogram counts high nibbles") {
+    val bytes = Array[Byte](0x00, 0x0f, 0x10, 0x1f, 0x20, 0xf0.toByte)
+    val r = Seq(Tuple1(bytes)).toDF("b")
+      .select(Multimodal.byte_nibble_histogram(col("b")).as("h")).as[Seq[Long]].head()
+    assert(r(0) == 2 && r(1) == 2 && r(2) == 1 && r(15) == 1 && r.sum == 6)
+  }
+
+  test("binaryFrames slices fixed windows with stride") {
+    val r = Seq("abcdefghij").toDF("t")
+      .select(transform(Multimodal.binaryFrames(encode(col("t"), "utf-8"), 4, 3),
+        f => f.cast("string")).as("frames"))
+      .as[Seq[String]].head()
+    assert(r == Seq("abcd", "defg", "ghij"))
+    val short = Seq("ab").toDF("t")
+      .select(Multimodal.binaryFrames(encode(col("t"), "utf-8"), 4, 3).as("frames"))
+      .select(size(col("frames"))).as[Int].head()
+    assert(short == 0)
+  }
+
+  test("extractMediaFeatures is deterministic and partition-parallel") {
+    val df = Seq((1L, "payload one"), (2L, "payload two"), (3L, "x"))
+      .toDF("id", "t").withColumn("bin", encode(col("t"), "utf-8")).repartition(3)
+    val out = Multimodal.extractMediaFeatures(df, col("id"), col("bin"))
+      .collect().sortBy(_.id)
+    assert(out.map(_.id).toSeq == Seq(1L, 2L, 3L))
+    assert(out.forall(f => f.n_bytes > 0 && f.fake_width >= 64 && f.fake_height >= 64))
+    val again = Multimodal.extractMediaFeatures(df, col("id"), col("bin")).collect().sortBy(_.id)
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("media metadata struct travels with the payload") {
+    val df = Seq((1L, "abc")).toDF("id", "t").withColumn("bin", encode(col("t"), "utf-8"))
+    val out = Multimodal.withMediaMetadata(df, col("bin"), "utf8-text", lit("unit-test"))
+    val row = out.select(col("media_meta.format"), col("media_meta.n_bytes"), col("media_meta.source"))
+      .as[(String, Long, String)].head()
+    assert(row == ("utf8-text", 3L, "unit-test"))
+  }
+}
