@@ -285,6 +285,92 @@ object SparkEntry {
         .select(col("block"), col("column"), col("values"),
           col("compressedBytes"), col("uncompressedBytes"), col("nulls"))),
 
+    // --- LLM-pipeline operators over documents/embeddings ------------------
+
+    // text analysis: token/quality stats (ASCII pattern for oracle parity)
+    "text_stats" -> ((s, dir) => {
+      import graft.text.TextFunctions._
+      val toks = tokenize(col("text"), AsciiTokenPattern)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("distinct_tokens"),
+        avgTokenLength(toks).as("avg_token_len"),
+        stopwordRatio(toks).as("stopword_ratio"))
+    }),
+
+    // language identification (marker-word heuristic, deterministic tie-break)
+    "text_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextFunctions.langId(col("text"),
+          graft.text.TextFunctions.AsciiTokenPattern).as("pred_lang"))),
+
+    // document fingerprinting (md5 over normalized text; engine-portable)
+    "text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextFunctions.fingerprintMd5(col("text")).as("fp"))),
+
+    // exact dedup: corpus with planted normalized-duplicate copies
+    "dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(
+        docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), concat(col("text"), lit("  ")).as("text")))
+      graft.dedup.Dedup.dropExactTextDuplicates(corpus, col("text"), col("doc_id"))
+        .select("doc_id")
+    }),
+
+    // MinHash-LSH near-dup pairs verified by exact shingle Jaccard
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      graft.dedup.Dedup.nearDupPairsMinHash(
+        t(s, dir, "documents"), col("doc_id"), col("text"), threshold = 0.8)),
+
+    // keep-first near-dup dedup (drop larger id of each verified pair)
+    "dedup_minhash" -> ((s, dir) =>
+      graft.dedup.Dedup.deduplicateMinHash(
+        t(s, dir, "documents"), col("doc_id"), col("text"), threshold = 0.8)
+        .select("doc_id")),
+
+    // SimHash bit-band candidates verified by exact shingle Jaccard
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      graft.dedup.Dedup.nearDupPairsSimHash(
+        t(s, dir, "documents"), col("doc_id"), col("text"), threshold = 0.8)),
+
+    // embedding near-dup pairs (exact baseline; LSH path tested in sbt)
+    "dedup_embedding_pairs" -> ((s, dir) =>
+      graft.dedup.Dedup.embeddingPairsBruteForce(
+        t(s, dir, "embeddings"), col("vec_id"), col("embedding"), 0.35)),
+
+    // exact cosine top-k: 20 query vectors vs full corpus (broadcast + codegen kernel)
+    "ann_brute_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ann.Ann.bruteForceTopK(
+        emb.filter(col("vec_id") < 20), emb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
+    // LSH-bucketed approximate top-k (rows-only: recall asserted in sbt tests)
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ann.Ann.lshTopK(
+        emb.filter(col("vec_id") < 20), emb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        dim = 64, k = 3, bands = 24, bits = 8)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
+    // multimodal plumbing: binary payload + frame sampling (decode stubbed)
+    "multimodal_features" -> ((s, dir) => {
+      val bin = encode(col("text"), "utf-8")
+      val frames = graft.multimodal.Multimodal.binaryFrames(bin, 64, 48)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(bin).cast("long").as("n_bytes"),
+        size(frames).cast("long").as("n_frames"),
+        get(frames, lit(0)).cast("string").as("first_frame"))
+    }),
+
     // O25 parquet footer facts (no SQL oracle: rows-only check)
     "parquet_metadata_scan" -> ((s, dir) =>
       graft.parquet.ParquetMeta.parquetMetadata(s, None, Seq(s"$dir/lineitem.parquet"))
@@ -323,6 +409,20 @@ object SparkEntry {
         "l.o_orderstatus AS left_o_orderstatus, r.o_orderstatus AS right_o_orderstatus, " +
         "l.o_totalprice AS left_o_totalprice, r.o_totalprice AS right_o_totalprice " +
         "FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey")
+
+    // document tokenization / shingling / near-dup-pair CTEs (ASCII tokens,
+    // word 3-grams — must mirror TextFunctions.textShingles exactly)
+    val docTokCte =
+      "tok AS (SELECT doc_id, [x for x in string_split_regex(lower(text), '[^a-z0-9]+') if x <> ''] AS toks FROM documents)"
+    val docShCte =
+      "sh AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS s FROM tok WHERE len(toks) >= 3)"
+    val docPairCte =
+      "p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, " +
+        "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS j " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"
+    val docPairsSql =
+      s"WITH $docTokCte, $docShCte, $docPairCte " +
+        "SELECT ia AS \"idA\", ib AS \"idB\", j AS jaccard FROM p WHERE j >= 0.8"
 
     Map(
       "q1_pricing_summary" ->
@@ -499,6 +599,60 @@ object SparkEntry {
         (s"$diffCte SELECT diff, CAST(COUNT(*) AS BIGINT) AS \"count\" FROM (" +
           s"SELECT $action FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey" +
           ") GROUP BY diff"),
+
+      "text_stats" ->
+        (s"WITH $docTokCte SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+          "CAST(len(list_distinct(toks)) AS BIGINT) AS distinct_tokens, " +
+          "CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS avg_token_len, " +
+          "CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len([t for t in toks if list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], t)]) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS stopword_ratio " +
+          "FROM tok"),
+
+      "text_langid" ->
+        (s"WITH $docTokCte, sc AS (SELECT doc_id, " +
+          "len(list_intersect(list_distinct(toks), ['the','and','of','to','in','is','that','it','for','with'])) AS s_en, " +
+          "len(list_intersect(list_distinct(toks), ['le','la','les','des','et','une','est','que','pour','dans'])) AS s_fr, " +
+          "len(list_intersect(list_distinct(toks), ['der','die','das','und','ist','nicht','ein','mit','von','auf'])) AS s_de, " +
+          "len(list_intersect(list_distinct(toks), ['el','los','las','una','es','que','por','para','como','pero'])) AS s_es " +
+          "FROM tok) " +
+          "SELECT doc_id, CASE WHEN s_en = 0 AND s_fr = 0 AND s_de = 0 AND s_es = 0 THEN 'und' " +
+          "WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en' " +
+          "WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr' " +
+          "WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS pred_lang FROM sc"),
+
+      "text_fingerprint" ->
+        ("SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents"),
+
+      "dedup_exact" ->
+        ("WITH corpus AS (SELECT doc_id, text FROM documents " +
+          "UNION ALL SELECT doc_id + 100000 AS doc_id, text || '  ' AS text FROM documents WHERE doc_id % 7 = 0), " +
+          "fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f FROM corpus) " +
+          "SELECT doc_id FROM fp QUALIFY ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) = 1"),
+
+      "dedup_minhash_pairs" -> docPairsSql,
+
+      "dedup_simhash_pairs" -> docPairsSql,
+
+      "dedup_minhash" ->
+        (s"WITH $docTokCte, $docShCte, $docPairCte " +
+          "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT ib FROM p WHERE j >= 0.8)"),
+
+      "dedup_embedding_pairs" ->
+        ("SELECT a.vec_id AS \"idA\", b.vec_id AS \"idB\" FROM embeddings a JOIN embeddings b " +
+          "ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35"),
+
+      "ann_brute_topk" ->
+        ("WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20) " +
+          "SELECT q.vec_id AS query_id, " +
+          "CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS INTEGER) AS rank, " +
+          "c.vec_id AS neighbor_id " +
+          "FROM q JOIN embeddings c ON q.vec_id <> c.vec_id " +
+          "QUALIFY rank <= 3"),
+
+      "multimodal_features" ->
+        ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+          "CAST(CASE WHEN octet_length(encode(text)) < 64 THEN 0 ELSE floor((octet_length(encode(text)) - 64) / 48) + 1 END AS BIGINT) AS n_frames, " +
+          "CASE WHEN octet_length(encode(text)) >= 64 THEN substring(text, 1, 64) END AS first_frame " +
+          "FROM documents"),
 
       // t2 correctness runs at sf0.01 (TESTDATA.md), so the oracle reads the
       // sf0.01 file directly — DuckDB has no table-level footer introspection.
