@@ -62,13 +62,12 @@ object Dedup {
       df: DataFrame, id: Column, features: Column,
       bands: Int, rowsPerBand: Int,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val k = bands * rowsPerBand
-    val sig = vectors.minhash_signature(features, k)
-    // one (band, bandHash) row per band per doc
+    // fused kernel: signature + band bucket hashes in one pass (keeping the
+    // signature out of a HOF lambda, where it would be re-evaluated per band)
     val exploded = df
-      .select(id.as("id"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))).as(Seq("band", "bucket")))
+      .select(id.as("id"),
+        posexplode(vectors.minhash_band_hashes(features, bands, rowsPerBand))
+          .as(Seq("band", "bucket")))
     bucketPairs(exploded, maxBucketSize)
   }
 
@@ -83,7 +82,7 @@ object Dedup {
       threshold: Double = 0.8,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val shingled = df.select(id.as("id"),
-      TextFunctions.textShingles(text, shingleSize).as("shingles"))
+      TextFunctions.hashedTextShingles(text, shingleSize).as("shingles"))
     val candidates = minHashCandidates(
       shingled, col("id"), col("shingles"), bands, rowsPerBand, maxBucketSize)
     verifyJaccard(candidates, shingled, threshold)
@@ -119,7 +118,7 @@ object Dedup {
       threshold: Double = 0.8,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val shingled = df.select(id.as("id"),
-      TextFunctions.textShingles(text, shingleSize).as("shingles"))
+      TextFunctions.hashedTextShingles(text, shingleSize).as("shingles"))
     val candidates = simHashCandidates(
       shingled, col("id"), col("shingles"), bands, maxHamming, maxBucketSize)
     verifyJaccard(candidates, shingled, threshold)

@@ -104,24 +104,181 @@ object VectorKernels extends Serializable {
     h
   }
 
-  /** MinHash signature: for each of k seeded hash functions, the min over tokens. */
+  /** Remix a 64-bit base hash under seed j then fold it into the signature. */
+  @inline private def foldSeeds(base: Long, sig: Array[Long], k: Int): Unit = {
+    var j = 0
+    while (j < k) {
+      var h = base ^ (j.toLong * 0x9e3779b97f4a7c15L)
+      h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL
+      h ^= (h >>> 33)
+      if (h < sig(j)) sig(j) = h
+      j += 1
+    }
+  }
+
+  /** MinHash signature: for each of k seeded hash functions, the min over
+    * tokens. The base string hash is computed once per token and remixed per
+    * seed (equivalent to `hash64(s, seed)` but O(bytes + k) per token instead
+    * of O(bytes * k) — this loop runs billions of times per corpus scan). */
   def minhash(tokens: ArrayData, k: Int): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val s = tokens.getUTF8String(i)
-        var j = 0
-        while (j < k) {
-          val h = hash64(s, j.toLong)
-          if (h < sig(j)) sig(j) = h
-          j += 1
-        }
+        foldSeeds(hash64(tokens.getUTF8String(i)), sig, k)
       }
       i += 1
     }
     sig
+  }
+
+  /** MinHash over pre-hashed features (array<long>, e.g. hashed shingles) —
+    * skips all string work; the preferred 100 TB path. */
+  def minhashLongs(hashes: ArrayData, k: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      if (!hashes.isNullAt(i)) foldSeeds(hashes.getLong(i), sig, k)
+      i += 1
+    }
+    sig
+  }
+
+  /** Hash each band (contiguous rowsPerBand slice) of a MinHash signature. */
+  def bandHashes(sig: Array[Long], bands: Int, rowsPerBand: Int): Array[Long] = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xcbf29ce484222325L ^ b.toLong
+      var j = 0
+      while (j < rowsPerBand) {
+        h ^= sig(b * rowsPerBand + j)
+        h *= 0x100000001b3L
+        j += 1
+      }
+      h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
+      out(b) = h
+      b += 1
+    }
+    out
+  }
+
+  /** Fused tokens -> signature -> per-band bucket hashes (single pass; avoids
+    * recomputing the signature once per band in a HOF lambda). */
+  def minhashBands(tokens: ArrayData, bands: Int, rowsPerBand: Int): Array[Long] =
+    bandHashes(minhash(tokens, bands * rowsPerBand), bands, rowsPerBand)
+
+  def minhashBandsLongs(hashes: ArrayData, bands: Int, rowsPerBand: Int): Array[Long] =
+    bandHashes(minhashLongs(hashes, bands * rowsPerBand), bands, rowsPerBand)
+
+  /**
+   * Tokenize + shingle + hash + dedup in ONE pass over the raw UTF8 bytes.
+   *
+   * Tokens are maximal runs of [a-z0-9] after ASCII lowercasing (any other
+   * byte, including multi-byte UTF8, separates) — identical token/shingle
+   * identity to `split(lower(text), '[^a-z0-9]+')` + word n-grams joined by
+   * single spaces, so set arithmetic (Jaccard) over the output matches the
+   * string-shingle definition modulo 2^-64 hash collisions.
+   *
+   * Exists because Spark higher-order functions (transform/filter lambdas)
+   * are interpreted, not codegen'd — a Column-algebra shingle pipeline costs
+   * microseconds per element; this kernel streams the document bytes once.
+   */
+  def hashedWordShingles(text: UTF8String, n: Int): Array[Long] = {
+    val bytes = text.getBytes
+    // 1. token boundaries (start inclusive, end exclusive)
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nTokens = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val isAl = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z')
+      if (isAl) {
+        if (nTokens == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTokens * 2)
+          ends = java.util.Arrays.copyOf(ends, nTokens * 2)
+        }
+        starts(nTokens) = i
+        while (i < bytes.length && {
+          val c = bytes(i)
+          (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z')
+        }) i += 1
+        ends(nTokens) = i
+        nTokens += 1
+      } else i += 1
+    }
+    if (nTokens < n) return Array.emptyLongArray
+    // 2. hash each n-token window (FNV over lowercased bytes, 0x20 between
+    //    tokens, then avalanche), collecting distinct values in order
+    val out = new Array[Long](nTokens - n + 1)
+    var outLen = 0
+    // open-addressing set for distinctness
+    var cap = Integer.highestOneBit(math.max(4, (nTokens - n + 1) * 2) - 1) << 1
+    val table = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    var w = 0
+    while (w <= nTokens - n) {
+      var h = 0xcbf29ce484222325L
+      var t = w
+      while (t < w + n) {
+        if (t > w) { h ^= 0x20L; h *= 0x100000001b3L }
+        var p = starts(t)
+        val e = ends(t)
+        while (p < e) {
+          var c = bytes(p)
+          if (c >= 'A' && c <= 'Z') c = (c + 32).toByte
+          h ^= (c & 0xffL)
+          h *= 0x100000001b3L
+          p += 1
+        }
+        t += 1
+      }
+      h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL
+      h ^= (h >>> 33); h *= 0xc4ceb9fe1a85ec53L
+      h ^= (h >>> 33)
+      // insert if new
+      var slot = (h.toInt & (cap - 1)).abs
+      var seen = false
+      while (used(slot) && !seen) {
+        if (table(slot) == h) seen = true else slot = (slot + 1) & (cap - 1)
+      }
+      if (!seen) {
+        used(slot) = true
+        table(slot) = h
+        out(outLen) = h
+        outLen += 1
+      }
+      w += 1
+    }
+    if (outLen == out.length) out else java.util.Arrays.copyOf(out, outLen)
+  }
+
+  /** SimHash over pre-hashed features (already well-mixed 64-bit values). */
+  def simhashLongs(hashes: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      if (!hashes.isNullAt(i)) {
+        val h = hashes.getLong(i)
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+          bit += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (counts(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
   }
 }
 
@@ -167,44 +324,123 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
-/** simhash64(tokens) over array<string> -> long. */
+/** simhash64(features) over array<string> (hashed per token) or array<long>
+  * (pre-hashed features, used directly) -> long. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"simhash64 expects array<string>, got ${t.sql}")
+    case ArrayType(StringType, _) | ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash64 expects array<string> or array<long>, got ${t.sql}")
   }
 
-  override def nullSafeEval(tokens: Any): Any =
-    VectorKernels.simhash(tokens.asInstanceOf[ArrayData])
+  private def kernel: String = child.dataType match {
+    case ArrayType(LongType, _) => "simhashLongs"
+    case _ => "simhash"
+  }
+
+  override def nullSafeEval(tokens: Any): Any = child.dataType match {
+    case ArrayType(LongType, _) => VectorKernels.simhashLongs(tokens.asInstanceOf[ArrayData])
+    case _ => VectorKernels.simhash(tokens.asInstanceOf[ArrayData])
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernels.simhash($a)")
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernels.$kernel($a)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
-/** minhash_signature(tokens, k) over array<string> -> array<long> of length k. */
+/** minhash_signature(features, k) over array<string> or array<long>
+  * -> array<long> of length k. */
 case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) if k > 0 => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"minhash_signature expects array<string> and k>0, got ${t.sql}")
+    case ArrayType(StringType, _) | ArrayType(LongType, _) if k > 0 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature expects array<string> or array<long> and k>0, got ${t.sql}")
+  }
+
+  private def kernel: String = child.dataType match {
+    case ArrayType(LongType, _) => "minhashLongs"
+    case _ => "minhash"
   }
 
   override def nullSafeEval(tokens: Any): Any =
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      VectorKernels.minhash(tokens.asInstanceOf[ArrayData], k))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(child.dataType match {
+      case ArrayType(LongType, _) => VectorKernels.minhashLongs(tokens.asInstanceOf[ArrayData], k)
+      case _ => VectorKernels.minhash(tokens.asInstanceOf[ArrayData], k)
+    })
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       a => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.functions.VectorKernels.minhash($a, $k))")
+        s"graft.functions.VectorKernels.$kernel($a, $k))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** hashed_word_shingles(text, n): single-pass tokenize + shingle + hash +
+  * dedup over a string column -> array<long>. See
+  * [[VectorKernels.hashedWordShingles]]. */
+case class HashedWordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n > 0 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"hashed_word_shingles expects string and n>0, got ${t.sql}")
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.hashedWordShingles(text.asInstanceOf[UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorKernels.hashedWordShingles($a, $n))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** minhash_band_hashes(features, bands, rowsPerBand): fused signature + LSH
+  * band bucket hashes -> array<long> of length `bands`. Single kernel pass —
+  * keeps the signature out of HOF lambdas where it would be re-evaluated per
+  * band. */
+case class MinHashBandHashes(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) | ArrayType(LongType, _) if bands > 0 && rowsPerBand > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_band_hashes expects array<string> or array<long> and bands,rowsPerBand>0, got ${t.sql}")
+  }
+
+  private def kernel: String = child.dataType match {
+    case ArrayType(LongType, _) => "minhashBandsLongs"
+    case _ => "minhashBands"
+  }
+
+  override def nullSafeEval(tokens: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(child.dataType match {
+      case ArrayType(LongType, _) =>
+        VectorKernels.minhashBandsLongs(tokens.asInstanceOf[ArrayData], bands, rowsPerBand)
+      case _ => VectorKernels.minhashBands(tokens.asInstanceOf[ArrayData], bands, rowsPerBand)
+    })
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorKernels.$kernel($a, $bands, $rowsPerBand))")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -222,6 +458,12 @@ object vectors {
 
   def minhash_signature(tokens: Column, k: Int): Column =
     MinHashSignature(tokens.asExpression, k).asColumn
+
+  def minhash_band_hashes(tokens: Column, bands: Int, rowsPerBand: Int): Column =
+    MinHashBandHashes(tokens.asExpression, bands, rowsPerBand).asColumn
+
+  def hashed_word_shingles(text: Column, n: Int): Column =
+    HashedWordShingles(text.asExpression, n).asColumn
 
   /** Hamming distance between two 64-bit hashes as a Column. */
   def hamming64(a: Column, b: Column): Column =

@@ -2,7 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
 
 /**
  * Text-analysis kernels for large-scale training-data pipelines: tokenization,
@@ -37,6 +37,25 @@ object TextFunctions {
   /** Shingles straight from raw text (ASCII tokens, for oracle parity). */
   def textShingles(c: Column, n: Int): Column =
     wordShingles(tokenize(c, AsciiTokenPattern), n)
+
+  /**
+   * Distinct *hashed* word n-grams: each shingle becomes its xxhash64
+   * fingerprint without materializing the joined string. Set operations on
+   * longs are far cheaper than on strings — the preferred representation for
+   * dedup at scale (hash collisions at 2^-64 are negligible for set-size
+   * arithmetic like Jaccard).
+   */
+  def hashedShingles(tokens: Column, n: Int): Column =
+    when(size(tokens) < n, array().cast(ArrayType(LongType)))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), size(tokens) - (n - 1)),
+          i => xxhash64(slice(tokens, i, lit(n))))))
+
+  /** Hashed shingles straight from raw text: delegates to the single-pass
+    * codegen'd kernel (HOF lambdas are interpreted; the kernel streams the
+    * document bytes once). Token/shingle identity matches [[textShingles]]. */
+  def hashedTextShingles(c: Column, n: Int): Column =
+    graft.functions.vectors.hashed_word_shingles(c, n)
 
   /** Number of tokens. */
   def tokenCount(c: Column, pattern: String = UnicodeTokenPattern): Column =
