@@ -14,7 +14,8 @@ class ParquetMetaSuite extends AnyFunSuite with SparkTest {
   test("parquetMetadata reports file facts matching the data") {
     val meta = spark.read.parquetMetadata(lineitem)
     assert(meta.columns.toSeq === Seq("filename", "blocks", "compressedBytes",
-      "uncompressedBytes", "rows", "columns", "values", "nulls", "createdBy", "schema", "keyValues"))
+      "uncompressedBytes", "rows", "columns", "values", "nulls", "createdBy", "schema",
+      "encryption", "keyValues"))
     val rows = meta.select(sum($"rows")).as[Long].head()
     val actual = spark.read.parquet(lineitem).count()
     assert(rows === actual)
@@ -44,8 +45,9 @@ class ParquetMetaSuite extends AnyFunSuite with SparkTest {
     val bc = spark.read.parquetBlockColumns(lineitem)
     val cols = bc.select($"column").as[String].collect().toSet
     assert(cols.contains("l_orderkey"))
-    val nulls = bc.filter($"nulls" < 0).count()
+    val nulls = bc.filter($"nulls".isNull || $"nulls" < 0).count()
     assert(nulls === 0) // all stats readable on plain files
+    assert(bc.filter($"encrypted" === true).count() === 0)
   }
 
   test("parquetPartitions covers all rows exactly once") {
