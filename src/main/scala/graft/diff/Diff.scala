@@ -202,6 +202,13 @@ class Differ(val options: DiffOptions) extends Serializable {
               idColumns: Seq[String], ignoreColumns: Seq[String]): DataFrame =
     doDiff(left, right, idColumns, ignoreColumns)
 
+  // Java API (reference: Diff.scala:485-497)
+  def diff[T](left: Dataset[T], right: Dataset[T], idColumns: java.util.List[String],
+              ignoreColumns: java.util.List[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    doDiff(left, right, idColumns.asScala.toSeq, ignoreColumns.asScala.toSeq)
+  }
+
   /** Typed diff: the diff result cast to `V` (whose columns must be a subset of the diff schema). */
   def diffAs[T, U, V](left: Dataset[T], right: Dataset[U],
                       idColumns: Seq[String], ignoreColumns: Seq[String] = Seq.empty)
@@ -287,4 +294,23 @@ object Diff {
   def ofWith[T, U](left: Dataset[T], right: Dataset[U],
                    idColumns: Seq[String], ignoreColumns: Seq[String] = Seq.empty): Dataset[(String, T, U)] =
     default.diffWith(left, right, idColumns, ignoreColumns)
+
+  // Java API (reference: Diff.scala:485-497)
+  def of[T](left: Dataset[T], right: Dataset[T], idColumns: java.util.List[String],
+            ignoreColumns: java.util.List[String]): DataFrame =
+    default.diff(left, right, idColumns, ignoreColumns)
+
+  def ofAs[T, U, V](left: Dataset[T], right: Dataset[U], diffEncoder: Encoder[V],
+                    idColumns: java.util.List[String],
+                    ignoreColumns: java.util.List[String]): Dataset[V] = {
+    import scala.jdk.CollectionConverters._
+    default.diffAs[T, U, V](left, right, idColumns.asScala.toSeq,
+      ignoreColumns.asScala.toSeq)(diffEncoder)
+  }
+
+  def ofWith[T, U](left: Dataset[T], right: Dataset[U], idColumns: java.util.List[String],
+                   ignoreColumns: java.util.List[String]): Dataset[(String, T, U)] = {
+    import scala.jdk.CollectionConverters._
+    default.diffWith(left, right, idColumns.asScala.toSeq, ignoreColumns.asScala.toSeq)
+  }
 }

@@ -44,6 +44,11 @@ object PartitionedWrite {
       .sortWithinPartitions(sortColumns: _*)
       .when(writtenProjection.isDefined).call(_.select(writtenProjection.get: _*))
 
+    // a non-Noop handle opts into caching the arranged data (e.g. to write it
+    // twice); the handle then owns releasing that cache
+    if (unpersistHandle ne UnpersistHandle.Noop) {
+      arranged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     unpersistHandle.setDataFrame(arranged)
     arranged.write.partitionBy(partitionColumnNames: _*)
   }

@@ -1,0 +1,62 @@
+package graft
+
+import graft.diff.Diff
+import org.apache.spark.sql.Encoders
+import org.apache.spark.storage.StorageLevel
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Small-surface APIs: BuildVersion, Java overloads, unpersist-handle caching. */
+class SurfaceSuite extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  test("BuildVersion exposes build-time versions from the jar resource") {
+    assert(BuildVersion.VersionString.nonEmpty)
+    assert(BuildVersion.BuildSparkCompatVersion === (4, 1))
+    assert(BuildVersion.BuildScalaCompatVersionString === "2.13")
+    // build-time and runtime Spark versions agree in this environment
+    assert(BuildVersion.BuildSparkMajorVersion === SparkVersion.sparkMajorVersion)
+  }
+
+  test("Java-style java.util.List diff overloads") {
+    val left = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val right = Seq((1, "a"), (3, "c")).toDF("id", "v")
+    val ids = java.util.Arrays.asList("id")
+    val none = java.util.Collections.emptyList[String]()
+
+    val df = Diff.of(left, right, ids, none)
+    assert(df.select("diff").as[String].collect().sorted.toSeq == Seq("D", "I", "N"))
+
+    val typed = Diff.ofWith(left.as[(Int, String)], right.as[(Int, String)], ids, none)
+    assert(typed.count() == 3)
+
+    val as = Diff.ofAs(left.as[(Int, String)], right.as[(Int, String)],
+      Encoders.product[ActionOnly], java.util.Arrays.asList("id"), none)
+    assert(as.collect().map(_.diff).sorted.toSeq == Seq("D", "I", "N"))
+  }
+
+  test("writePartitionedBy caches via a non-Noop unpersist handle") {
+    val handle = UnpersistHandle()
+    val df = Seq((1, "x", 1.0), (2, "y", 2.0)).toDF("id", "part", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_wpb_cache").toString + "/out"
+    df.writePartitionedBy(Seq($"part"), unpersistHandle = handle)
+      .format("parquet").mode("overwrite").save(dir)
+    // the arranged DataFrame was actually persisted: unpersist must not throw
+    // and the cache manager must have held it
+    assert(!spark.sharedState.cacheManager.isEmpty)
+    handle.unpersist(blocking = true)
+    assert(spark.sharedState.cacheManager.isEmpty)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("diffAs encoder for a single-column subset") {
+    val left = Seq((1, "a")).toDF("id", "v")
+    val right = Seq((1, "b")).toDF("id", "v")
+    val ds = Diff.ofAs[org.apache.spark.sql.Row, org.apache.spark.sql.Row, ActionOnly](
+      left, right, Seq("id"))(Encoders.product[ActionOnly])
+    assert(ds.collect().map(_.diff).toSeq == Seq("C"))
+  }
+}
+
+/** Single-column subset encoder target for diffAs tests. */
+case class ActionOnly(diff: String)
