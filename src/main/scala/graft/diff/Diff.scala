@@ -287,6 +287,13 @@ object Diff {
             idColumns: Seq[String], ignoreColumns: Seq[String]): DataFrame =
     default.diff(left, right, idColumns, ignoreColumns)
 
+  def of[T](left: Dataset[T], right: Dataset[T], options: DiffOptions, idColumns: String*): DataFrame =
+    new Differ(options).diff(left, right, idColumns: _*)
+
+  def of[T](left: Dataset[T], right: Dataset[T], options: DiffOptions,
+            idColumns: Seq[String], ignoreColumns: Seq[String]): DataFrame =
+    new Differ(options).diff(left, right, idColumns, ignoreColumns)
+
   def ofAs[T, U, V: Encoder](left: Dataset[T], right: Dataset[U],
                              idColumns: Seq[String], ignoreColumns: Seq[String] = Seq.empty): Dataset[V] =
     default.diffAs[T, U, V](left, right, idColumns, ignoreColumns)

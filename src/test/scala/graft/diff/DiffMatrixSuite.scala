@@ -1,0 +1,434 @@
+package graft.diff
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.scalatest.funsuite.AnyFunSuite
+
+case class KV(k: Option[String], v: Option[String])
+case class Wide(id: Int, a: Option[String], b: Option[Int], ign: Option[String])
+case class DiffIdOnly(diff: String, id: Int)
+
+/**
+ * Diff edge-case matrix: name collisions, case sensitivity, ignore columns ×
+ * mode × sparse, null ids, empty sides, typed variants, option invariants,
+ * comparator resolution. Mirrors the reference's DiffSuite matrix coverage
+ * (ref src/test/scala/.../diff/DiffSuite.scala:708-2018), clean-room.
+ */
+class DiffMatrixSuite extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def rows(df: DataFrame): Set[Row] = df.collect().toSet
+
+  private lazy val wideLeft: Dataset[Wide] = Seq(
+    Wide(1, Some("a1"), Some(10), Some("x")),
+    Wide(2, Some("a2"), Some(20), Some("x")),
+    Wide(3, Some("a3"), Some(30), Some("x"))).toDS()
+
+  private lazy val wideRight: Dataset[Wide] = Seq(
+    Wide(1, Some("a1"), Some(10), Some("y")),
+    Wide(2, Some("a2!"), Some(20), Some("y")),
+    Wide(4, Some("a4"), Some(40), Some("y"))).toDS()
+
+  private def withCaseSensitive[T](on: Boolean)(f: => T): T = {
+    val prev = spark.conf.get("spark.sql.caseSensitive")
+    spark.conf.set("spark.sql.caseSensitive", on.toString)
+    try f finally spark.conf.set("spark.sql.caseSensitive", prev)
+  }
+
+  // --------------------------------------------------------------------------
+  // empty / degenerate inputs
+  // --------------------------------------------------------------------------
+
+  test("empty left: everything is an insert") {
+    val l = spark.emptyDataset[KV]
+    val r = Seq(KV(Some("1"), Some("x"))).toDS()
+    assert(rows(l.diff(r, "k")) === Set(Row("I", "1", null, "x")))
+  }
+
+  test("empty right: everything is a delete") {
+    val l = Seq(KV(Some("1"), Some("x"))).toDS()
+    val r = spark.emptyDataset[KV]
+    assert(rows(l.diff(r, "k")) === Set(Row("D", "1", "x", null)))
+  }
+
+  test("both empty: empty result with full diff schema") {
+    val l = spark.emptyDataset[KV]
+    val result = l.diff(l, "k")
+    assert(result.count() === 0)
+    assert(result.columns.toSeq === Seq("diff", "k", "left_v", "right_v"))
+  }
+
+  test("null id values match null-safely") {
+    val l = Seq(KV(None, Some("x")), KV(Some("1"), Some("y"))).toDS()
+    val r = Seq(KV(None, Some("x2")), KV(Some("1"), Some("y"))).toDS()
+    assert(rows(l.diff(r, "k")) === Set(
+      Row("C", null, "x", "x2"),
+      Row("N", "1", "y", "y")))
+  }
+
+  test("identical datasets diff to all N") {
+    val result = wideLeft.diff(wideLeft, "id")
+    assert(result.select("diff").as[String].collect().forall(_ == "N"))
+  }
+
+  test("multiple id columns") {
+    val l = Seq((1, "a", "v1"), (1, "b", "v2"), (2, "a", "v3")).toDF("k1", "k2", "v")
+    val r = Seq((1, "a", "v1"), (1, "b", "vX"), (3, "a", "v4")).toDF("k1", "k2", "v")
+    assert(rows(l.diff(r, "k1", "k2")) === Set(
+      Row("N", 1, "a", "v1", "v1"),
+      Row("C", 1, "b", "v2", "vX"),
+      Row("D", 2, "a", "v3", null),
+      Row("I", 3, "a", null, "v4")))
+  }
+
+  // --------------------------------------------------------------------------
+  // output column order per mode
+  // --------------------------------------------------------------------------
+
+  test("ColumnByColumn column order interleaves left/right per value column") {
+    val result = wideLeft.drop("ign").diff(wideRight.drop("ign"), "id")
+    assert(result.columns.toSeq ===
+      Seq("diff", "id", "left_a", "right_a", "left_b", "right_b"))
+  }
+
+  test("SideBySide column order groups all left then all right") {
+    val result = wideLeft.drop("ign").diff(wideRight.drop("ign"),
+      DiffOptions.default.withDiffMode(DiffMode.SideBySide), "id")
+    assert(result.columns.toSeq ===
+      Seq("diff", "id", "left_a", "left_b", "right_a", "right_b"))
+  }
+
+  test("LeftSide/RightSide keep unprefixed one-sided projection") {
+    val lresult = wideLeft.drop("ign").diff(wideRight.drop("ign"),
+      DiffOptions.default.withDiffMode(DiffMode.LeftSide), "id")
+    assert(lresult.columns.toSeq === Seq("diff", "id", "a", "b"))
+    val rresult = wideLeft.drop("ign").diff(wideRight.drop("ign"),
+      DiffOptions.default.withDiffMode(DiffMode.RightSide), "id")
+    assert(rresult.columns.toSeq === Seq("diff", "id", "a", "b"))
+    // RightSide carries right values: inserted row has its values, deleted null
+    assert(rows(rresult).contains(Row("I", 4, "a4", 40)))
+    assert(rows(rresult).contains(Row("D", 3, null, null)))
+  }
+
+  test("change column position is right after the diff column") {
+    val result = wideLeft.drop("ign").diff(wideRight.drop("ign"),
+      DiffOptions.default.withChangeColumn("changes"), "id")
+    assert(result.columns.toSeq ===
+      Seq("diff", "changes", "id", "left_a", "right_a", "left_b", "right_b"))
+  }
+
+  // --------------------------------------------------------------------------
+  // ignore columns × mode × sparse
+  // --------------------------------------------------------------------------
+
+  private def ignoreDiff(options: DiffOptions): DataFrame =
+    new Differ(options).diff(wideLeft, wideRight, Seq("id"), Seq("ign"))
+
+  test("ignore columns: ColumnByColumn carries both prefixed ignored sides") {
+    val result = ignoreDiff(DiffOptions.default)
+    assert(result.columns.toSeq ===
+      Seq("diff", "id", "left_a", "right_a", "left_b", "right_b", "left_ign", "right_ign"))
+    // ign differs everywhere but must not trigger C
+    assert(rows(result.select(col("diff"), col("id"))) ===
+      Set(Row("N", 1), Row("C", 2), Row("D", 3), Row("I", 4)))
+  }
+
+  test("ignore columns: SideBySide groups ignored with its side") {
+    val result = ignoreDiff(DiffOptions.default.withDiffMode(DiffMode.SideBySide))
+    assert(result.columns.toSeq ===
+      Seq("diff", "id", "left_a", "left_b", "left_ign", "right_a", "right_b", "right_ign"))
+  }
+
+  test("ignore columns: LeftSide carries only the left ignored column, unprefixed") {
+    val result = ignoreDiff(DiffOptions.default.withDiffMode(DiffMode.LeftSide))
+    assert(result.columns.toSeq === Seq("diff", "id", "a", "b", "ign"))
+    assert(rows(result).contains(Row("N", 1, "a1", 10, "x")))
+  }
+
+  test("ignore columns: RightSide carries only the right ignored column") {
+    val result = ignoreDiff(DiffOptions.default.withDiffMode(DiffMode.RightSide))
+    assert(result.columns.toSeq === Seq("diff", "id", "a", "b", "ign"))
+    assert(rows(result).contains(Row("N", 1, "a1", 10, "y")))
+  }
+
+  test("sparse mode nulls equal values but keeps differing ignored values") {
+    val result = ignoreDiff(DiffOptions.default.withSparseMode(true))
+    // row 1: a,b equal -> nulled; ign differs (x vs y) -> kept on both sides
+    assert(rows(result).contains(Row("N", 1, null, null, null, null, "x", "y")))
+    // row 2: a differs -> kept; b equal -> nulled
+    assert(rows(result).contains(Row("C", 2, "a2", "a2!", null, null, "x", "y")))
+  }
+
+  test("sparse mode with equal ignored values nulls them too") {
+    val r2 = wideRight.withColumn("ign", lit("x")).as[Wide]
+    val result = new Differ(DiffOptions.default.withSparseMode(true))
+      .diff(wideLeft, r2, Seq("id"), Seq("ign"))
+    assert(rows(result).contains(Row("N", 1, null, null, null, null, null, null)))
+  }
+
+  test("sparse × change column") {
+    val result = new Differ(DiffOptions.default.withSparseMode(true).withChangeColumn("ch"))
+      .diff(wideLeft.drop("ign"), wideRight.drop("ign"), Seq("id"), Seq.empty)
+    val byId = result.collect().map(r => r.getInt(2) -> r).toMap
+    assert(byId(2).getSeq[String](1) === Seq("a"))
+    assert(byId(1).getSeq[String](1) === Seq.empty)
+    assert(byId(4).isNullAt(1))
+  }
+
+  test("ignore columns may exist on one side only") {
+    val l = Seq((1, "v", "extraL")).toDF("id", "v", "only_left")
+    val r = Seq((1, "v")).toDF("id", "v")
+    val result = Diff.of(l, r, Seq("id"), Seq("only_left"))
+    assert(result.columns.toSeq === Seq("diff", "id", "left_v", "right_v", "left_only_left"))
+    assert(rows(result) === Set(Row("N", 1, "v", "v", "extraL")))
+  }
+
+  test("all columns as id plus ignore still works") {
+    val l = Seq((1, "x", "m1")).toDF("id", "v", "meta")
+    val r = Seq((1, "x", "m2")).toDF("id", "v", "meta")
+    val result = Diff.of(l, r, Seq.empty, Seq("meta"))
+    assert(result.select("diff").as[String].collect().toSeq === Seq("N"))
+  }
+
+  // --------------------------------------------------------------------------
+  // name collisions
+  // --------------------------------------------------------------------------
+
+  test("diff column colliding with an id column fails") {
+    val e = intercept[IllegalArgumentException] {
+      wideLeft.diff(wideRight, DiffOptions.default.withDiffColumn("id"), "id")
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
+  test("diff column colliding with a prefixed value column fails") {
+    val e = intercept[IllegalArgumentException] {
+      wideLeft.diff(wideRight, DiffOptions.default.withDiffColumn("left_a"), "id")
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
+  test("change column colliding with an id column fails") {
+    val e = intercept[IllegalArgumentException] {
+      wideLeft.diff(wideRight, DiffOptions.default.withChangeColumn("id"), "id")
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
+  test("id column colliding with a prefixed value column fails in ColumnByColumn") {
+    // id "left_a" stays unprefixed; value column "a" becomes "left_a" -> clash
+    val l = Seq((1, "x")).toDF("left_a", "a")
+    val e = intercept[IllegalArgumentException] {
+      Diff.of(l, l, Seq("left_a"), Seq.empty)
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
+  test("LeftSide mode tolerates names that would collide only when prefixed") {
+    val l = Seq((1, "x")).toDF("left_a", "a")
+    val result = Diff.of(l, l, DiffOptions.default.withDiffMode(DiffMode.LeftSide), "left_a")
+    assert(result.columns.toSeq === Seq("diff", "left_a", "a"))
+  }
+
+  test("custom prefixes avoid a collision") {
+    val l = Seq((1, "x")).toDF("left_a", "a")
+    val opts = DiffOptions.default.withLeftColumnPrefix("lhs").withRightColumnPrefix("rhs")
+    val result = Diff.of(l, l, opts, "left_a")
+    assert(result.columns.toSeq === Seq("diff", "left_a", "lhs_a", "rhs_a"))
+  }
+
+  // --------------------------------------------------------------------------
+  // case sensitivity
+  // --------------------------------------------------------------------------
+
+  test("case-insensitive: id columns match regardless of case") {
+    withCaseSensitive(false) {
+      val result = wideLeft.diff(wideRight, "ID")
+      assert(result.count() === 4)
+    }
+  }
+
+  test("case-sensitive: id columns must match exactly") {
+    withCaseSensitive(true) {
+      val e = intercept[IllegalArgumentException] {
+        wideLeft.diff(wideRight, "ID")
+      }
+      assert(e.getMessage.contains("do not exist"))
+    }
+  }
+
+  test("case-insensitive: schemas differing only by case are equal") {
+    withCaseSensitive(false) {
+      val l = Seq((1, "x")).toDF("id", "V")
+      val r = Seq((1, "x")).toDF("id", "v")
+      assert(l.diff(r, "id").count() === 1)
+    }
+  }
+
+  test("case-sensitive: schemas differing only by case are NOT equal") {
+    withCaseSensitive(true) {
+      val l = Seq((1, "x")).toDF("id", "V")
+      val r = Seq((1, "x")).toDF("id", "v")
+      val e = intercept[IllegalArgumentException] { l.diff(r, "id") }
+      assert(e.getMessage.contains("same schema"))
+    }
+  }
+
+  test("case-insensitive: diff-column collision detected across case") {
+    withCaseSensitive(false) {
+      val e = intercept[IllegalArgumentException] {
+        wideLeft.diff(wideRight, DiffOptions.default.withDiffColumn("ID"), "id")
+      }
+      assert(e.getMessage.contains("collide"))
+    }
+  }
+
+  // --------------------------------------------------------------------------
+  // schema errors
+  // --------------------------------------------------------------------------
+
+  test("schema mismatch lists the extra columns of both sides") {
+    val l = Seq((1, "x", 1.0)).toDF("id", "v", "only_l")
+    val r = Seq((1, "x", true)).toDF("id", "v", "only_r")
+    val e = intercept[IllegalArgumentException] { l.diff(r, "id") }
+    assert(e.getMessage.contains("only_l") && e.getMessage.contains("only_r"))
+  }
+
+  test("type mismatch on shared column fails") {
+    val l = Seq((1, 1)).toDF("id", "v")
+    val r = Seq((1, "1")).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] { l.diff(r, "id") }
+    assert(e.getMessage.contains("same schema"))
+  }
+
+  test("nullability difference does not fail the schema check") {
+    val l = Seq((1, "x")).toDF("id", "v") // non-null v
+    val r = Seq(KV(Some("x"), None)).toDS().toDF("id", "v")
+      .withColumn("id", lit(1)).select(col("id"), col("v")) // nullable v
+    assert(l.diff(r, "id").count() >= 1)
+  }
+
+  test("duplicate columns on one side fail") {
+    val l = Seq((1, "x")).toDF("id", "v").select(col("id"), col("v"), col("v"))
+    val e = intercept[IllegalArgumentException] { Diff.of(l, l, Seq("id"), Seq.empty) }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("empty schema after ignoring everything fails") {
+    val l = Seq(Tuple1("x")).toDF("v")
+    val e = intercept[IllegalArgumentException] { Diff.of(l, l, Seq.empty, Seq("v")) }
+    assert(e.getMessage.contains("empty"))
+  }
+
+  // --------------------------------------------------------------------------
+  // typed variants
+  // --------------------------------------------------------------------------
+
+  test("diffWith: id columns named like tuple fields still work") {
+    val l = Seq((1, "x")).toDF("_1", "_2").as[(Int, String)]
+    val r = Seq((1, "y")).toDF("_1", "_2").as[(Int, String)]
+    val result = Diff.ofWith(l, r, Seq("_1"))
+    val row = result.collect().head
+    assert(row._1 === "C" && row._2 === ((1, "x")) && row._3 === ((1, "y")))
+  }
+
+  test("diffWith ignores ignored columns in comparison but keeps them in structs") {
+    val result = Diff.ofWith(wideLeft, wideRight, Seq("id"), Seq("ign"))
+      .collect().sortBy(_._1.toString)
+    val n = result.filter(_._1 == "N").head
+    assert(n._2.ign.contains("x") && n._3.ign.contains("y"))
+  }
+
+  test("diffAs with a subset encoder over untyped inputs") {
+    val result = Diff.ofAs[Row, Row, DiffIdOnly](
+      wideLeft.drop("ign").toDF(), wideRight.drop("ign").toDF(),
+      Seq("id"))(Encoders.product[DiffIdOnly])
+    assert(result.collect().map(r => r.id -> r.diff).toMap ===
+      Map(1 -> "N", 2 -> "C", 3 -> "D", 4 -> "I"))
+  }
+
+  // --------------------------------------------------------------------------
+  // options & diff values
+  // --------------------------------------------------------------------------
+
+  test("custom diff action values flow through") {
+    val opts = DiffOptions.default
+      .withInsertDiffValue("ins").withChangeDiffValue("chg")
+      .withDeleteDiffValue("del").withNochangeDiffValue("same")
+    val result = wideLeft.drop("ign").diff(wideRight.drop("ign"), opts, "id")
+    assert(result.select("diff").as[String].collect().toSet === Set("ins", "chg", "del", "same"))
+  }
+
+  test("duplicate diff values rejected") {
+    val e = intercept[IllegalArgumentException] {
+      DiffOptions.default.withInsertDiffValue("X").withDeleteDiffValue("X")
+    }
+    assert(e.getMessage.contains("distinct"))
+  }
+
+  test("equal left/right prefixes rejected") {
+    val e = intercept[IllegalArgumentException] {
+      DiffOptions.default.withLeftColumnPrefix("p").withRightColumnPrefix("p")
+    }
+    assert(e.getMessage.contains("distinct"))
+  }
+
+  test("change column equal to diff column rejected") {
+    val e = intercept[IllegalArgumentException] {
+      DiffOptions.default.withChangeColumn("diff")
+    }
+    assert(e.getMessage.contains("different"))
+  }
+
+  test("comparator re-registration for the same data type rejected") {
+    val e = intercept[IllegalArgumentException] {
+      DiffOptions.default
+        .withComparator(DiffComparators.epsilon(0.1), IntegerType)
+        .withComparator(DiffComparators.epsilon(0.2), IntegerType)
+    }
+    assert(e.getMessage.contains("exists already"))
+  }
+
+  test("comparator resolution: column name beats data type beats default") {
+    val l = Seq((1, "a ", "b ")).toDF("id", "x", "y")
+    val r = Seq((1, "a", "b")).toDF("id", "x", "y")
+    // type-level comparator: strict -> both x and y differ
+    val strictTypes = DiffOptions.default
+      .withComparator(DiffComparators.string(whitespaceAgnostic = false), StringType)
+    assert(Diff.of(l.toDF(), r.toDF(), strictTypes, "id")
+      .select("diff").as[String].head() === "C")
+    // column-name comparator on x only: ws-agnostic beats the strict type comparator
+    val mixed = strictTypes.withComparator(DiffComparators.string(), "x")
+    val withChange = mixed.withChangeColumn("ch")
+    val row = Diff.of(l.toDF(), r.toDF(), withChange, "id").collect().head
+    assert(row.getString(0) === "C")
+    assert(row.getSeq[String](1) === Seq("y"), "only y should differ")
+  }
+
+  test("epsilon comparator absolute + exclusive") {
+    val l = Seq((1, 10.0), (2, 10.0)).toDF("id", "v")
+    val r = Seq((1, 10.5), (2, 11.0)).toDF("id", "v")
+    val opts = DiffOptions.default.withComparator(
+      DiffComparators.epsilon(1.0).asAbsolute().asExclusive(), "v")
+    val byId = Diff.of(l, r, opts, "id").collect().map(x => x.getInt(1) -> x.getString(0)).toMap
+    assert(byId(1) === "N") // |10-10.5| = 0.5 < 1.0
+    assert(byId(2) === "C") // |10-11| = 1.0 not < 1.0
+  }
+
+  test("map comparator key-order sensitivity") {
+    val l = Seq((1, Map("a" -> 1, "b" -> 2))).toDF("id", "m")
+    val r = Seq((1, Map("b" -> 2, "a" -> 1))).toDF("id", "m")
+    val insensitive = DiffOptions.default.withComparator(DiffComparators.map[String, Int](), "m")
+    assert(Diff.of(l, r, insensitive, "id").select("diff").as[String].head() === "N")
+  }
+
+  test("diff action filterable and aggregatable downstream") {
+    // ign differs on every matched row (x vs y), so row 1 counts as C too
+    val result = wideLeft.diff(wideRight, "id")
+    val counts = result.groupBy("diff").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("C" -> 2L, "D" -> 1L, "I" -> 1L))
+  }
+}
