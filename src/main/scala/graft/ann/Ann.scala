@@ -44,19 +44,12 @@ object Ann {
     Array.fill(bands, bits)(Array.fill(dim)(rng.nextGaussian().toFloat))
   }
 
-  /** One bucket hash per band: packed sign bits of the hyperplane dots. */
-  private[ann] def bandBuckets(vec: Column, planes: Array[Array[Array[Float]]]): Seq[Column] =
-    planes.toSeq.map { bandPlanes =>
-      bandPlanes.zipWithIndex.map { case (plane, i) =>
-        when(vectors.dot_product(vec, typedlit(plane.toSeq)) > 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce[Column](_ + _)
-    }
-
-  /** Explode a dataset to one (id, band, bucket) row per band. */
+  /** Explode a dataset to one (id, band, bucket) row per band. All band
+    * buckets come from one fused kernel pass over the vector. */
   private def explodeBuckets(df: DataFrame, id: Column, vec: Column,
                              planes: Array[Array[Array[Float]]], idName: String): DataFrame =
     df.select(id.as(idName), vec.as(s"_vec_$idName"),
-        posexplode(array(bandBuckets(vec, planes): _*)).as(Seq("band", "bucket")))
+        posexplode(vectors.lsh_band_buckets(vec, planes)).as(Seq("band", "bucket")))
 
   /**
    * Approximate top-k: hyperplane-LSH candidates (same (band, bucket) in any

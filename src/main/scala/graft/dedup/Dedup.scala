@@ -155,14 +155,11 @@ object Dedup {
       bands: Int = 16, bits: Int = 12, seed: Long = 42,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val rng = new scala.util.Random(seed)
-    // hyperplanes[band][bit] = deterministic Gaussian vector
+    // hyperplanes[band][bit] = deterministic Gaussian vector; buckets computed
+    // by one fused kernel pass over the vector
     val planes = Array.fill(bands, bits)(Array.fill(dim)(rng.nextGaussian().toFloat))
-    val bandHashes = planes.toSeq.map { bandPlanes =>
-      bandPlanes.zipWithIndex.map { case (plane, i) =>
-        when(vectors.dot_product(vec, typedlit(plane.toSeq)) > 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce[Column](_ + _)
-    }
-    val exploded = df.select(id.as("id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
+    val exploded = df.select(id.as("id"),
+      posexplode(vectors.lsh_band_buckets(vec, planes)).as(Seq("band", "bucket")))
     bucketPairs(exploded, maxBucketSize)
   }
 

@@ -256,6 +256,81 @@ object VectorKernels extends Serializable {
     if (outLen == out.length) out else java.util.Arrays.copyOf(out, outLen)
   }
 
+  /**
+   * Single-pass ASCII tokenizer: lowercased maximal [a-z0-9] runs (any other
+   * byte separates — multi-byte UTF8 too, matching
+   * `split(lower(text), '[^a-z0-9]+')` token identity for all inputs).
+   */
+  def tokenizeAscii(text: UTF8String): Array[UTF8String] = {
+    val bytes = text.getBytes
+    var out = new Array[UTF8String](8)
+    var n = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z')) {
+        val start = i
+        var changed = false
+        while (i < bytes.length && {
+          val c = bytes(i)
+          (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+            ((c >= 'A' && c <= 'Z') && { changed = true; true })
+        }) i += 1
+        val tok = java.util.Arrays.copyOfRange(bytes, start, i)
+        if (changed) {
+          var p = 0
+          while (p < tok.length) {
+            if (tok(p) >= 'A' && tok(p) <= 'Z') tok(p) = (tok(p) + 32).toByte
+            p += 1
+          }
+        }
+        if (n == out.length) out = java.util.Arrays.copyOf(out, n * 2)
+        out(n) = UTF8String.fromBytes(tok)
+        n += 1
+      } else i += 1
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  /** Fused token statistics: (tokenCount, distinctTokenCount, totalTokenChars)
+    * in one pass (chars == bytes for the ASCII tokens produced here). */
+  def tokenStats(text: UTF8String): Array[Long] = {
+    val tokens = tokenizeAscii(text)
+    val seen = new java.util.HashSet[UTF8String](tokens.length * 2)
+    var sumLen = 0L
+    var i = 0
+    while (i < tokens.length) {
+      seen.add(tokens(i))
+      sumLen += tokens(i).numBytes()
+      i += 1
+    }
+    Array(tokens.length.toLong, seen.size.toLong, sumLen)
+  }
+
+  /** Hyperplane-LSH band buckets: packed sign bits of dot products with
+    * planes[band][bit][dim], all bands in one pass over the vector's floats. */
+  def lshBandBuckets(vec: ArrayData, planes: Array[Array[Array[Float]]]): Array[Long] = {
+    val out = new Array[Long](planes.length)
+    var b = 0
+    while (b < planes.length) {
+      val band = planes(b)
+      var bucket = 0L
+      var j = 0
+      while (j < band.length) {
+        val plane = band(j)
+        val n = math.min(vec.numElements(), plane.length)
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += vec.getFloat(i).toDouble * plane(i); i += 1 }
+        if (dot > 0) bucket |= (1L << j)
+        j += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    out
+  }
+
   /** SimHash over pre-hashed features (already well-mixed 64-bit values). */
   def simhashLongs(hashes: ArrayData): Long = {
     val counts = new Array[Int](64)
@@ -409,6 +484,80 @@ case class HashedWordShingles(child: Expression, n: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** tokenize_ascii(text): single-pass lowercased [a-z0-9] tokens -> array<string>. */
+case class TokenizeAscii(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"tokenize_ascii expects string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.tokenizeAscii(text.asInstanceOf[UTF8String]).asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorKernels.tokenizeAscii($a))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** token_stats(text) -> array<long> [tokenCount, distinctTokens, totalTokenChars]. */
+case class TokenStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"token_stats expects string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.tokenStats(text.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorKernels.tokenStats($a))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** lsh_band_buckets(vec, planes): hyperplane sign buckets for every band in
+  * one pass over an array<float> vector -> array<long>. The planes live in a
+  * codegen reference object, not 100+ separate literal expressions. */
+case class LshBandBuckets(child: Expression, planes: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"lsh_band_buckets expects array<float>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(vec: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.lshBandBuckets(vec.asInstanceOf[ArrayData], planes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "float[][][]")
+    defineCodeGen(ctx, ev,
+      a => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorKernels.lshBandBuckets($a, $planesRef))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** minhash_band_hashes(features, bands, rowsPerBand): fused signature + LSH
   * band bucket hashes -> array<long> of length `bands`. Single kernel pass —
   * keeps the signature out of HOF lambdas where it would be re-evaluated per
@@ -464,6 +613,13 @@ object vectors {
 
   def hashed_word_shingles(text: Column, n: Int): Column =
     HashedWordShingles(text.asExpression, n).asColumn
+
+  def tokenize_ascii(text: Column): Column = TokenizeAscii(text.asExpression).asColumn
+
+  def token_stats(text: Column): Column = TokenStats(text.asExpression).asColumn
+
+  def lsh_band_buckets(vec: Column, planes: Array[Array[Array[Float]]]): Column =
+    LshBandBuckets(vec.asExpression, planes).asColumn
 
   /** Hamming distance between two 64-bit hashes as a Column. */
   def hamming64(a: Column, b: Column): Column =

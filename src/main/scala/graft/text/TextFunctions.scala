@@ -21,9 +21,12 @@ object TextFunctions {
   /** ASCII token pattern (use when an external oracle must re-derive tokens). */
   val AsciiTokenPattern = "[^a-z0-9]+"
 
-  /** Lowercase tokens of `c`, split on `pattern`, empties removed. */
+  /** Lowercase tokens of `c`, split on `pattern`, empties removed. The ASCII
+    * pattern routes to a single-pass codegen'd kernel (identical tokens, no
+    * regex, no interpreted HOF) — the hot path for corpus-scale scans. */
   def tokenize(c: Column, pattern: String = UnicodeTokenPattern): Column =
-    filter(split(lower(c), pattern), t => length(t) > 0)
+    if (pattern == AsciiTokenPattern) graft.functions.vectors.tokenize_ascii(c)
+    else filter(split(lower(c), pattern), t => length(t) > 0)
 
   /** Distinct word `n`-grams (shingles) joined by single spaces.
     * Empty array when there are fewer than `n` tokens (guarded: Spark's
