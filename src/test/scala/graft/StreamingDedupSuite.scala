@@ -1,0 +1,50 @@
+package graft
+
+import graft.streaming.StreamingDedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+class StreamingDedupSuite extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  test("streaming dropDuplicateTexts keeps first normalized text across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val deduped = StreamingDedup.dropDuplicateTexts(
+      input.toDF().toDF("id", "text"), col("text"))
+
+    val query = deduped.writeStream.format("memory")
+      .queryName("sd_out").outputMode("append").start()
+    try {
+      input.addData((1L, "alpha beta"), (2L, "Alpha  Beta"), (3L, "gamma"))
+      query.processAllAvailable()
+      input.addData((4L, "alpha beta\t"), (5L, "delta"))
+      query.processAllAvailable()
+      val ids = spark.table("sd_out").select("id").as[Long].collect().toSet
+      // 2 (same normalized text as 1, same batch) and 4 (later batch) dropped
+      assert(ids === Set(1L, 3L, 5L))
+    } finally query.stop()
+  }
+
+  test("streaming dedup within watermark drops near-time duplicates and emits rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val deduped = StreamingDedup.dropDuplicateTextsWithinWatermark(
+      input.toDF().toDF("id", "ts", "text"), col("text"), "ts", "10 minutes")
+
+    val query = deduped.writeStream.format("memory")
+      .queryName("sd_wm_out").outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+      val t1 = Timestamp.valueOf("2026-01-01 10:01:00")
+      input.addData((1L, t0, "doc one"), (2L, t1, "Doc  One"), (3L, t1, "doc two"))
+      query.processAllAvailable()
+      val ids = spark.table("sd_wm_out").select("id").as[Long].collect().toSet
+      assert(ids === Set(1L, 3L))
+    } finally query.stop()
+  }
+}
