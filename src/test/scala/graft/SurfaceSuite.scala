@@ -49,6 +49,14 @@ class SurfaceSuite extends AnyFunSuite with SparkTest {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  test("Java source compiles against and uses the Java API") {
+    val left = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val right = Seq((1, "a"), (3, "c")).toDF("id", "v")
+    val df = JavaDiffUsage.diffById(left, right)
+    assert(df.columns.toSeq === Seq("diff", "id", "left_v", "right_v"))
+    assert(JavaDiffUsage.countActions(left, right) === 3) // N, D, I
+  }
+
   test("diffAs encoder for a single-column subset") {
     val left = Seq((1, "a")).toDF("id", "v")
     val right = Seq((1, "b")).toDF("id", "v")
