@@ -360,6 +360,18 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
+    // IVF-bucketed approximate top-k (rows-only: recall asserted in sbt tests)
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val index = graft.ann.Ann.trainIvf(emb, col("vec_id"), col("embedding"),
+        k = 16, iterations = 3)
+      graft.ann.Ann.ivfTopK(
+        emb.filter(col("vec_id") < 20), emb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        index, k = 3, nprobe = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
     // multimodal plumbing: binary payload + frame sampling (decode stubbed)
     "multimodal_features" -> ((s, dir) => {
       val bin = encode(col("text"), "utf-8")

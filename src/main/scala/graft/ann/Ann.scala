@@ -76,6 +76,65 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** IVF coarse quantizer: k centroids over the embedding space. Tiny
+    * (k × dim floats) — ships to executors inside the plan. */
+  case class IvfIndex(centroids: Array[Array[Float]])
+
+  /**
+   * Train an IVF coarse quantizer with deterministic Lloyd's iterations.
+   * Init = the k vectors with the smallest ids (deterministic, no RNG).
+   * Each iteration: one distributed assign pass (codegen'd nearest-centroid
+   * kernel) + one per-(cluster, dimension) mean aggregation; only k × dim
+   * means cross to the driver. At 100 TB, train on a sample — the index
+   * quality needs representative vectors, not all of them.
+   */
+  def trainIvf(corpus: DataFrame, id: Column, vec: Column, k: Int, iterations: Int = 5): IvfIndex = {
+    val base = corpus.select(id.as("id"), vec.as("v"))
+    var centroids: Array[Array[Float]] = base.orderBy(col("id")).limit(k)
+      .select("v").collect().map(_.getSeq[Float](0).toArray)
+    for (_ <- 0 until iterations) {
+      val assigned = base.select(
+        get(vectors.nearest_centroids(col("v"), centroids, 1), lit(0)).as("cid"),
+        col("v"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+      }
+      centroids = next // clusters with no members keep their previous centroid
+    }
+    IvfIndex(centroids)
+  }
+
+  /**
+   * IVF search: corpus vectors live in their nearest centroid's bucket;
+   * queries probe their `nprobe` closest buckets; candidates are re-ranked
+   * with the exact cosine kernel. Candidate count ≈ |queries| * nprobe *
+   * (|corpus| / k) — tune k ~ sqrt(|corpus|) and nprobe for recall.
+   */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      queryId: Column, queryVec: Column, corpusId: Column, corpusVec: Column,
+      index: IvfIndex, k: Int, nprobe: Int = 2): DataFrame = {
+    val c = corpus.select(
+      get(vectors.nearest_centroids(corpusVec, index.centroids, 1), lit(0)).as("cid"),
+      corpusId.as("neighbor_id"), corpusVec.as("cvec"))
+    val q = queries.select(
+      queryId.as("query_id"), queryVec.as("qvec"),
+      explode(vectors.nearest_centroids(queryVec, index.centroids, nprobe)).as("cid"))
+    q.join(c, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", vectors.cosine_similarity(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Candidate-pair count for an LSH configuration (diagnostics: candidates
     * should be orders of magnitude below |queries| * |corpus|). */
   def lshCandidateCount(

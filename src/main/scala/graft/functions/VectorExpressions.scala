@@ -331,6 +331,46 @@ object VectorKernels extends Serializable {
     out
   }
 
+  /** Cosine similarity of an ArrayData vector against a float[] centroid. */
+  @inline private def cosineTo(vec: ArrayData, c: Array[Float]): Double = {
+    val n = math.min(vec.numElements(), c.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = vec.getFloat(i).toDouble
+      val y = c(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Indices of the `nprobe` centroids most cosine-similar to `vec`, in
+    * decreasing similarity (ties by lower index). One pass per centroid. */
+  def nearestCentroids(vec: ArrayData, centroids: Array[Array[Float]], nprobe: Int): Array[Int] = {
+    val k = centroids.length
+    val sims = new Array[Double](k)
+    var c = 0
+    while (c < k) { sims(c) = cosineTo(vec, centroids(c)); c += 1 }
+    val m = math.min(nprobe, k)
+    val out = new Array[Int](m)
+    val used = new Array[Boolean](k)
+    var slot = 0
+    while (slot < m) {
+      var best = -1
+      var bestSim = Double.NegativeInfinity
+      var i = 0
+      while (i < k) {
+        if (!used(i) && sims(i) > bestSim) { best = i; bestSim = sims(i) }
+        i += 1
+      }
+      used(best) = true
+      out(slot) = best
+      slot += 1
+    }
+    out
+  }
+
   /** SimHash over pre-hashed features (already well-mixed 64-bit values). */
   def simhashLongs(hashes: ArrayData): Long = {
     val counts = new Array[Int](64)
@@ -558,6 +598,36 @@ case class LshBandBuckets(child: Expression, planes: Array[Array[Array[Float]]])
     copy(child = newChild)
 }
 
+/** nearest_centroids(vec, centroids, nprobe): indices of the nprobe most
+  * cosine-similar centroids -> array<int>. Centroids live in a codegen
+  * reference object (the IVF coarse quantizer is broadcast to executors as
+  * part of the plan). */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Float]], nprobe: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if nprobe > 0 && centroids.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroids expects array<float>, nprobe>0 and centroids, got ${t.sql}")
+  }
+
+  override def nullSafeEval(vec: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.nearestCentroids(vec.asInstanceOf[ArrayData], centroids, nprobe))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev,
+      a => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorKernels.nearestCentroids($a, $ref, $nprobe))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** minhash_band_hashes(features, bands, rowsPerBand): fused signature + LSH
   * band bucket hashes -> array<long> of length `bands`. Single kernel pass —
   * keeps the signature out of HOF lambdas where it would be re-evaluated per
@@ -620,6 +690,9 @@ object vectors {
 
   def lsh_band_buckets(vec: Column, planes: Array[Array[Array[Float]]]): Column =
     LshBandBuckets(vec.asExpression, planes).asColumn
+
+  def nearest_centroids(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
+    NearestCentroids(vec.asExpression, centroids, nprobe).asColumn
 
   /** Hamming distance between two 64-bit hashes as a Column. */
   def hamming64(a: Column, b: Column): Column =

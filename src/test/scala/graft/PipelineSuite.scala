@@ -189,6 +189,21 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("IVF: train + search approximates brute force on clustered vectors") {
+    val data = clusteredVectors(6, 10, 16, 0.05f)
+    val df = data.toDF("id", "vec")
+    val index = Ann.trainIvf(df, col("id"), col("vec"), k = 6, iterations = 4)
+    assert(index.centroids.length == 6 && index.centroids.head.length == 16)
+    val queries = df.filter(col("id") < 6)
+    val brute = Ann.bruteForceTopK(queries, df, col("id"), col("vec"), col("id"), col("vec"), k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(queries, df, col("id"), col("vec"), col("id"), col("vec"),
+      index, k = 3, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   // --------------------------------------------------------------------------
   // multimodal
   // --------------------------------------------------------------------------
