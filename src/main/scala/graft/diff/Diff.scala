@@ -134,7 +134,7 @@ class Differ(val options: DiffOptions) extends Serializable {
     def field(name: String) = left.schema.fields
       .find(f => canon(f.name, cs) == canon(name, cs)).get
     def equivOf(c: String): Column =
-      options.comparatorFor(field(c)).equiv(ln(c), rn(c))
+      options.comparatorFor(field(c), cs).equiv(ln(c), rn(c))
 
     val joinCondition = pkColumns.map(c => ln(c) <=> rn(c)).reduce(_ && _)
 

@@ -75,11 +75,14 @@ case class DiffOptions(
   }
 
   /**
-   * Resolve the comparator for a column: name match first, then data type,
-   * then the default. (reference: DiffOptions.scala:473-477)
+   * Resolve the comparator for a column: name match first (honoring the
+   * session's case sensitivity), then data type, then the default.
+   * (reference: DiffOptions.scala:473-477)
    */
-  def comparatorFor(column: StructField): DiffComparator =
-    columnNameComparators.get(column.name)
+  def comparatorFor(column: StructField, caseSensitive: Boolean = true): DiffComparator =
+    columnNameComparators.find { case (n, _) =>
+      if (caseSensitive) n == column.name else n.equalsIgnoreCase(column.name)
+    }.map(_._2)
       .orElse(dataTypeComparators.get(column.dataType))
       .getOrElse(defaultComparator)
 }

@@ -407,6 +407,19 @@ class DiffMatrixSuite extends AnyFunSuite with SparkTest {
     assert(row.getSeq[String](1) === Seq("y"), "only y should differ")
   }
 
+  test("column-name comparator matches across case when session is case-insensitive") {
+    val l = Seq((1, "a ")).toDF("id", "V")
+    val r = Seq((1, "a")).toDF("id", "V")
+    val opts = DiffOptions.default.withComparator(DiffComparators.string(), "v")
+    withCaseSensitive(false) {
+      assert(Diff.of(l, r, opts, "id").select("diff").as[String].head() === "N")
+    }
+    withCaseSensitive(true) {
+      // registered name "v" does not match column "V": default strict compare
+      assert(Diff.of(l, r, opts, "id").select("diff").as[String].head() === "C")
+    }
+  }
+
   test("epsilon comparator absolute + exclusive") {
     val l = Seq((1, 10.0), (2, 10.0)).toDF("id", "v")
     val r = Seq((1, 10.5), (2, 11.0)).toDF("id", "v")
