@@ -383,14 +383,16 @@ object SparkEntry {
         get(frames, lit(0)).cast("string").as("first_frame"))
     }),
 
-    // O25 parquet footer facts (no SQL oracle: rows-only check)
+    // O25 parquet footer facts (oracle: DuckDB parquet_file_metadata())
     "parquet_metadata_scan" -> ((s, dir) =>
       graft.parquet.ParquetMeta.parquetMetadata(s, None, Seq(s"$dir/lineitem.parquet"))
-        .drop("keyValues")),
+        .select(col("blocks").cast("long").as("blocks"), col("rows"),
+          col("createdBy"), col("encryption"))),
 
-    // O26 parquet schema scan (rows-only)
+    // O26 parquet schema scan (oracle: DuckDB parquet_schema() leaf rows)
     "parquet_schema_scan" -> ((s, dir) =>
-      graft.parquet.ParquetMeta.parquetSchema(s, None, Seq(s"$dir/lineitem.parquet"))),
+      graft.parquet.ParquetMeta.parquetSchema(s, None, Seq(s"$dir/lineitem.parquet"))
+        .select(col("columnName"), col("type"), col("repetition"))),
 
     // O29 Spark split planning scan (rows-only; depends on maxPartitionBytes)
     "parquet_partitions_scan" -> ((s, dir) =>
@@ -677,6 +679,19 @@ object SparkEntry {
           "CAST(SUM(stats_null_count) AS BIGINT) AS nulls " +
           "FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet') " +
           "GROUP BY row_group_id, row_group_num_rows, row_group_num_columns"),
+
+      "parquet_metadata_scan" ->
+        ("SELECT CAST(num_row_groups AS BIGINT) AS blocks, num_rows AS rows, " +
+          "created_by AS \"createdBy\", 'UNENCRYPTED' AS encryption " +
+          "FROM parquet_file_metadata('/root/testdata/sf0.01/lineitem.parquet')"),
+
+      // DuckDB labels the physical type BYTE_ARRAY where parquet-java says BINARY
+      "parquet_schema_scan" ->
+        ("SELECT name AS \"columnName\", " +
+          "CASE WHEN type = 'BYTE_ARRAY' THEN 'BINARY' ELSE type END AS type, " +
+          "repetition_type AS repetition " +
+          "FROM parquet_schema('/root/testdata/sf0.01/lineitem.parquet') " +
+          "WHERE num_children IS NULL"),
 
       "parquet_block_columns" ->
         ("SELECT CAST(row_group_id + 1 AS BIGINT) AS block, path_in_schema AS \"column\", " +
