@@ -154,6 +154,25 @@ object SparkEntry {
           DiffComparators.equiv(CaseInsensitiveEquiv, StringType), "o_orderstatus"),
         "o_orderkey")),
 
+    // O16 map comparator: same entries, opposite key order on the right —
+    // order-insensitive equality keeps N; only the %7 price bump flags C.
+    // Output is action+id only, so the oracle derives the action from the
+    // underlying scalars without needing map values.
+    "diff_orders_map" -> ((s, dir) => {
+      val l = t(s, dir, "orders").filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"),
+          map(lit("price"), col("o_totalprice"),
+            lit("cust"), col("o_custkey").cast("double")).as("m"))
+      val r = t(s, dir, "orders").filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"),
+          map(lit("cust"), col("o_custkey").cast("double"),
+            lit("price"), when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
+              .otherwise(col("o_totalprice"))).as("m"))
+      l.diff(r, DiffOptions.default.withComparator(DiffComparators.map[String, Double](), "m"),
+        "o_orderkey")
+        .select(col("diff"), col("o_orderkey"))
+    }),
+
     // O9 diffWith: typed (action, left, right) tuples, flattened for the gate
     "diff_with_orders" -> ((s, dir) => {
       import s.implicits._
@@ -542,6 +561,14 @@ object SparkEntry {
           "l.o_custkey AS left_o_custkey, r.o_custkey AS right_o_custkey, " +
           "l.o_orderstatus AS left_o_orderstatus, r.o_orderstatus AS right_o_orderstatus, " +
           "l.o_totalprice AS left_o_totalprice, r.o_totalprice AS right_o_totalprice " +
+          "FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey"),
+
+      "diff_orders_map" ->
+        ("WITH l AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 <> 0), " +
+          "r AS (SELECT o_orderkey, (o_orderkey % 7 = 0) AS bumped FROM orders WHERE o_orderkey % 5 <> 0) " +
+          "SELECT CASE WHEN l.o_orderkey IS NULL THEN 'I' WHEN r.o_orderkey IS NULL THEN 'D' " +
+          "WHEN r.bumped THEN 'C' ELSE 'N' END AS diff, " +
+          "COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey " +
           "FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey"),
 
       "diff_with_orders" ->
