@@ -159,13 +159,14 @@ class Differ(val options: DiffOptions) extends Serializable {
 
     val idColumnsOut = pkColumns.map(c => coalesce(ln(c), rn(c)).as(c))
 
-    // sparse mode nulls out values that are equivalent on both sides
-    // (reference: Diff.scala:198-222)
-    def sideValue(sideCol: Column, equivalent: => Column): Column =
-      if (options.sparseMode) when(not(equivalent), sideCol) else sideCol
-    def leftValue(c: String): Column = sideValue(ln(c), equivOf(c))
-    def rightValue(c: String): Column = sideValue(rn(c), equivOf(c))
-    // ignored columns are not compared; sparse falls back to null-safe equality
+    // sparse mode nulls out values that are null-safe-EQUAL on both sides —
+    // raw `<=>`, not the configured comparator, matching the reference
+    // (reference: Diff.scala:199-216: `when(not(left <=> right), side)`)
+    def sideValue(sideCol: Column, c: String): Column =
+      if (options.sparseMode) when(not(ln(c) <=> rn(c)), sideCol) else sideCol
+    def leftValue(c: String): Column = sideValue(ln(c), c)
+    def rightValue(c: String): Column = sideValue(rn(c), c)
+    // ignored columns: sparse applies only when the column exists on both sides
     def ignoredValue(sideCol: Column, c: String): Column = {
       val onBoth = containsIn(leftIgnored, cs)(c) && containsIn(rightIgnored, cs)(c)
       if (options.sparseMode && onBoth) when(not(ln(c) <=> rn(c)), sideCol)
@@ -185,10 +186,14 @@ class Differ(val options: DiffOptions) extends Serializable {
           leftIgnored.map(c => ignoredValue(ln(c), c).as(s"${lp}_$c")) ++
           valueColumns.map(c => rightValue(c).as(s"${rp}_$c")) ++
           rightIgnored.map(c => ignoredValue(rn(c), c).as(s"${rp}_$c"))
+      // sparse applies to one-sided modes too (reference: the sparse value
+      // maps feed every mode, Diff.scala:199-264)
       case DiffMode.LeftSide =>
-        valueColumns.map(c => ln(c).as(c)) ++ leftIgnored.map(c => ln(c).as(c))
+        valueColumns.map(c => leftValue(c).as(c)) ++
+          leftIgnored.map(c => ignoredValue(ln(c), c).as(c))
       case DiffMode.RightSide =>
-        valueColumns.map(c => rn(c).as(c)) ++ rightIgnored.map(c => rn(c).as(c))
+        valueColumns.map(c => rightValue(c).as(c)) ++
+          rightIgnored.map(c => ignoredValue(rn(c), c).as(c))
     }
 
     l.join(r, joinCondition, "fullouter")

@@ -193,6 +193,84 @@ class DiffMatrixSuite extends AnyFunSuite with SparkTest {
   }
 
   // --------------------------------------------------------------------------
+  // golden rows: every mode × sparse on the canonical N/C/D/I fixture
+  // (reference DiffSuite:1245-1464 equivalent)
+  // --------------------------------------------------------------------------
+
+  private lazy val goldLeft =
+    Seq((1, "one", 10), (2, "two", 20), (3, "three", 30)).toDF("id", "s", "n")
+  private lazy val goldRight =
+    Seq((1, "one", 10), (2, "two!", 20), (4, "four", 40)).toDF("id", "s", "n")
+
+  private def gold(mode: DiffMode.DiffMode, sparse: Boolean): Set[Row] =
+    rows(goldLeft.diff(goldRight,
+      DiffOptions.default.withDiffMode(mode).withSparseMode(sparse), "id"))
+
+  test("golden ColumnByColumn dense") {
+    assert(gold(DiffMode.ColumnByColumn, sparse = false) === Set(
+      Row("N", 1, "one", "one", 10, 10),
+      Row("C", 2, "two", "two!", 20, 20),
+      Row("D", 3, "three", null, 30, null),
+      Row("I", 4, null, "four", null, 40)))
+  }
+
+  test("golden ColumnByColumn sparse") {
+    assert(gold(DiffMode.ColumnByColumn, sparse = true) === Set(
+      Row("N", 1, null, null, null, null),
+      Row("C", 2, "two", "two!", null, null),
+      Row("D", 3, "three", null, 30, null),
+      Row("I", 4, null, "four", null, 40)))
+  }
+
+  test("golden SideBySide dense") {
+    assert(gold(DiffMode.SideBySide, sparse = false) === Set(
+      Row("N", 1, "one", 10, "one", 10),
+      Row("C", 2, "two", 20, "two!", 20),
+      Row("D", 3, "three", 30, null, null),
+      Row("I", 4, null, null, "four", 40)))
+  }
+
+  test("golden SideBySide sparse") {
+    assert(gold(DiffMode.SideBySide, sparse = true) === Set(
+      Row("N", 1, null, null, null, null),
+      Row("C", 2, "two", null, "two!", null),
+      Row("D", 3, "three", 30, null, null),
+      Row("I", 4, null, null, "four", 40)))
+  }
+
+  test("golden LeftSide dense") {
+    assert(gold(DiffMode.LeftSide, sparse = false) === Set(
+      Row("N", 1, "one", 10),
+      Row("C", 2, "two", 20),
+      Row("D", 3, "three", 30),
+      Row("I", 4, null, null)))
+  }
+
+  test("golden LeftSide sparse nulls values equal on both sides") {
+    assert(gold(DiffMode.LeftSide, sparse = true) === Set(
+      Row("N", 1, null, null),
+      Row("C", 2, "two", null),
+      Row("D", 3, "three", 30),
+      Row("I", 4, null, null)))
+  }
+
+  test("golden RightSide dense") {
+    assert(gold(DiffMode.RightSide, sparse = false) === Set(
+      Row("N", 1, "one", 10),
+      Row("C", 2, "two!", 20),
+      Row("D", 3, null, null),
+      Row("I", 4, "four", 40)))
+  }
+
+  test("golden RightSide sparse nulls values equal on both sides") {
+    assert(gold(DiffMode.RightSide, sparse = true) === Set(
+      Row("N", 1, null, null),
+      Row("C", 2, "two!", null),
+      Row("D", 3, null, null),
+      Row("I", 4, "four", 40)))
+  }
+
+  // --------------------------------------------------------------------------
   // name collisions
   // --------------------------------------------------------------------------
 
