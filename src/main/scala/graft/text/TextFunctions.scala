@@ -64,6 +64,18 @@ object TextFunctions {
   def tokenCount(c: Column, pattern: String = UnicodeTokenPattern): Column =
     size(tokenize(c, pattern))
 
+  /** GPT-2-flavored subword-ish segmentation pattern (public BPE pre-tokenizer
+    * shape, without the lookahead so it stays portable): contractions, then
+    * space-prefixed letter/digit/symbol runs, then whitespace runs. */
+  val BpeLikePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Approximate BPE token count: number of pre-tokenizer segments. A cheap,
+    * deterministic stand-in for an actual BPE vocabulary (none available
+    * here) — correlates with real token counts for budgeting/filtering. */
+  def approxBpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeLikePattern), lit(0)))
+
   /** Jaccard similarity of two string arrays (0.0 when both empty). */
   def jaccard(a: Column, b: Column): Column = {
     val union = size(array_union(a, b))

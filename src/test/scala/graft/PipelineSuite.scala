@@ -37,6 +37,15 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(math.abs(r - 0.5) < 1e-12)
   }
 
+  test("approxBpeTokenCount segments like a BPE pre-tokenizer") {
+    val r = Seq("Hello world, it's a test!", "", "one").toDF("t")
+      .select(TextFunctions.approxBpeTokenCount(col("t")).as("n")).as[Int].collect()
+    // Hello | _world | , | _it | 's | _a | _test | !  -> 8 segments
+    assert(r(0) == 8)
+    assert(r(1) == 0)
+    assert(r(2) == 1)
+  }
+
   test("langId identifies real multilingual samples") {
     val samples = Seq(
       ("the cat sat on the mat and it is happy", "en"),
