@@ -118,6 +118,47 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(pairs == Set((3L, 103L), (7L, 107L), (11L, 111L)))
   }
 
+  test("tokenize_ascii kernel matches the regex definition on unicode input") {
+    val samples = Seq("Héllo W0rld", "ABC def-GHI", "  ", "", "über42 straße", "a,b;;c")
+    val df = samples.toDF("t")
+    val kernel = df.select(TextFunctions.tokenize(col("t"), TextFunctions.AsciiTokenPattern).as("k"))
+      .as[Seq[String]].collect()
+    val regex = df.select(
+      filter(split(lower(col("t")), "[^a-z0-9]+"), x => length(x) > 0).as("r"))
+      .as[Seq[String]].collect()
+    samples.indices.foreach(i => assert(kernel(i) == regex(i), s"input '${samples(i)}'"))
+  }
+
+  test("hashed shingles count matches string shingles count (incl. unicode)") {
+    val docs = Seq("a b c d e a b c d e", "Héllo wörld this is mixed über text ja",
+      "one two", "x y z x y z x y z")
+    val df = docs.toDF("t")
+    val hashed = df.select(size(TextFunctions.hashedTextShingles(col("t"), 3)).as("n")).as[Int].collect()
+    val strings = df.select(size(TextFunctions.textShingles(col("t"), 3)).as("n")).as[Int].collect()
+    assert(hashed.toSeq == strings.toSeq)
+  }
+
+  test("near-dup dedup handles short and empty documents without pairs or crashes") {
+    val df = (Seq((1L, ""), (2L, "a"), (3L, "a b"), (4L, "x y")) ++
+      (10L to 20L).map(i => (i, s"long document number $i alpha beta gamma delta epsilon zeta")))
+      .toDF("id", "text")
+    val pairs = Dedup.nearDupPairsMinHash(df, col("id"), col("text"), threshold = 0.7)
+      .collect()
+    // short docs have empty shingle sets -> jaccard 0 -> never pairs
+    assert(pairs.forall(r => r.getLong(0) >= 10L))
+  }
+
+  test("maxBucketSize caps degenerate buckets instead of exploding") {
+    // 10 identical docs all share every band bucket; cap of 5 drops the bucket
+    val dups = (1L to 10L).map(i => (i, "identical text alpha beta gamma delta epsilon"))
+    val df = dups.toDF("id", "text")
+    val capped = Dedup.nearDupPairsMinHash(df, col("id"), col("text"),
+      threshold = 0.7, maxBucketSize = 5).count()
+    assert(capped === 0L)
+    val uncapped = Dedup.nearDupPairsMinHash(df, col("id"), col("text"), threshold = 0.7).count()
+    assert(uncapped === 45L) // all C(10,2) pairs found without the cap
+  }
+
   // deterministic pseudo-random unit vectors around cluster centers
   private def clusteredVectors(nClusters: Int, perCluster: Int, dim: Int, spread: Float)
   : Seq[(Long, Seq[Float])] = {
