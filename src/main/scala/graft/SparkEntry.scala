@@ -243,10 +243,13 @@ object SparkEntry {
     }),
 
     // F2 count_null aggregate (nulls synthesized: no raw nulls in testdata).
-    // events.ts is TIMESTAMP(NANOS); read it as long (legacy conf) — the
-    // column is not referenced here.
+    // events.ts is TIMESTAMP(NANOS); reading the table needs
+    // spark.sql.legacy.parquet.nanosAsLong=true, set once at session setup by
+    // Verify/Bench (mutating it here would leak into later queries and make
+    // behavior query-order dependent).
     "count_null_events" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+        "session must set spark.sql.legacy.parquet.nanosAsLong=true (events.ts is TIMESTAMP(NANOS))")
       t(s, dir, "events").agg(
         graft.functions.count_null(
           when(col("event_type") === "error", lit(null)).otherwise(col("value"))).as("value_nulls"),
@@ -306,16 +309,23 @@ object SparkEntry {
 
     // --- LLM-pipeline operators over documents/embeddings ------------------
 
-    // text analysis: token/quality stats (ASCII pattern for oracle parity)
+    // text analysis: token/quality stats (ASCII tokens for oracle parity).
+    // One fused codegen'd kernel pass per document — no interpreted HOFs;
+    // token chars == bytes for ASCII tokens, so avg length matches the oracle.
     "text_stats" -> ((s, dir) => {
       import graft.text.TextFunctions._
-      val toks = tokenize(col("text"), AsciiTokenPattern)
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        size(array_distinct(toks)).cast("long").as("distinct_tokens"),
-        avgTokenLength(toks).as("avg_token_len"),
-        stopwordRatio(toks).as("stopword_ratio"))
+      t(s, dir, "documents")
+        .withColumn("st", tokenStatsAscii(col("text"), EnglishStopwords))
+        .select(
+          col("doc_id"),
+          col("st")(0).as("n_tokens"),
+          col("st")(1).as("distinct_tokens"),
+          when(col("st")(0) === 0, lit(0.0))
+            .otherwise(col("st")(2).cast("double") / col("st")(0).cast("double"))
+            .as("avg_token_len"),
+          when(col("st")(0) === 0, lit(0.0))
+            .otherwise(col("st")(3).cast("double") / col("st")(0).cast("double"))
+            .as("stopword_ratio"))
     }),
 
     // language identification (marker-word heuristic, deterministic tie-break)
@@ -399,7 +409,9 @@ object SparkEntry {
         col("doc_id"),
         length(bin).cast("long").as("n_bytes"),
         size(frames).cast("long").as("n_frames"),
-        get(frames, lit(0)).cast("string").as("first_frame"))
+        // hex, not cast-to-string: the 64-byte slice may split a UTF-8
+        // codepoint, and the oracle must compare bytes, not characters
+        hex(get(frames, lit(0))).as("first_frame_hex"))
     }),
 
     // O25 parquet footer facts (oracle: DuckDB parquet_file_metadata())
@@ -692,7 +704,9 @@ object SparkEntry {
       "multimodal_features" ->
         ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
           "CAST(CASE WHEN octet_length(encode(text)) < 64 THEN 0 ELSE floor((octet_length(encode(text)) - 64) / 48) + 1 END AS BIGINT) AS n_frames, " +
-          "CASE WHEN octet_length(encode(text)) >= 64 THEN substring(text, 1, 64) END AS first_frame " +
+          // byte-exact frame compare: hex the whole blob, slice 128 hex chars
+          // = 64 bytes (DuckDB cannot substring a BLOB directly)
+          "CASE WHEN octet_length(encode(text)) >= 64 THEN substring(hex(encode(text)), 1, 128) END AS first_frame_hex " +
           "FROM documents"),
 
       // t2 correctness runs at sf0.01 (TESTDATA.md), so the oracle reads the

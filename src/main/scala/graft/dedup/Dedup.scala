@@ -2,9 +2,11 @@ package graft.dedup
 
 import graft.functions.vectors
 import graft.text.TextFunctions
+import graft.UnpersistHandle
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Deduplication operators for large-scale training-data pipelines.
@@ -55,8 +57,9 @@ object Dedup {
 
   /**
    * Candidate pairs (idA < idB) that share at least one MinHash band bucket.
-   * `features` must be an `array<string>` column (tokens or shingles).
-   * k = bands * rowsPerBand signature components.
+   * `features` is an `array<string>` (tokens/shingles) or `array<long>`
+   * (pre-hashed shingles, e.g. [[TextFunctions.hashedTextShingles]] — the hot
+   * path). k = bands * rowsPerBand signature components.
    */
   def minHashCandidates(
       df: DataFrame, id: Column, features: Column,
@@ -75,14 +78,24 @@ object Dedup {
    * Verified near-duplicate pairs by word-shingle Jaccard: MinHash-LSH
    * candidates, then exact Jaccard over the shingle sets, kept when
    * `jaccard >= threshold`. Output: (idA, idB, jaccard), idA < idB.
+   *
+   * The shingle set feeds candidate generation AND both sides of the verify
+   * join, so it is persisted at `storageLevel` (one tokenize+shingle+hash pass
+   * over the corpus instead of three; pass `StorageLevel.NONE` to recompute
+   * instead). Pass an [[UnpersistHandle]] to release the cache after the
+   * result has been materialized.
    */
   def nearDupPairsMinHash(
       df: DataFrame, id: Column, text: Column,
       shingleSize: Int = 3, bands: Int = 16, rowsPerBand: Int = 8,
       threshold: Double = 0.8,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val shingled = df.select(id.as("id"),
-      TextFunctions.hashedTextShingles(text, shingleSize).as("shingles"))
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      unpersistHandle: UnpersistHandle = UnpersistHandle.Noop): DataFrame = {
+    val shingled = persistShingles(
+      df.select(id.as("id"),
+        TextFunctions.hashedTextShingles(text, shingleSize).as("shingles")),
+      storageLevel, unpersistHandle)
     val candidates = minHashCandidates(
       shingled, col("id"), col("shingles"), bands, rowsPerBand, maxBucketSize)
     verifyJaccard(candidates, shingled, threshold)
@@ -111,14 +124,19 @@ object Dedup {
       .select(col("idA"), col("idB"))
   }
 
-  /** SimHash-candidate near-dup pairs verified by exact shingle Jaccard. */
+  /** SimHash-candidate near-dup pairs verified by exact shingle Jaccard.
+    * Shingles are persisted as in [[nearDupPairsMinHash]]. */
   def nearDupPairsSimHash(
       df: DataFrame, id: Column, text: Column,
       shingleSize: Int = 3, bands: Int = 8, maxHamming: Int = 12,
       threshold: Double = 0.8,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val shingled = df.select(id.as("id"),
-      TextFunctions.hashedTextShingles(text, shingleSize).as("shingles"))
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      unpersistHandle: UnpersistHandle = UnpersistHandle.Noop): DataFrame = {
+    val shingled = persistShingles(
+      df.select(id.as("id"),
+        TextFunctions.hashedTextShingles(text, shingleSize).as("shingles")),
+      storageLevel, unpersistHandle)
     val candidates = simHashCandidates(
       shingled, col("id"), col("shingles"), bands, maxHamming, maxBucketSize)
     verifyJaccard(candidates, shingled, threshold)
@@ -177,12 +195,24 @@ object Dedup {
   def deduplicateMinHash(
       df: DataFrame, id: Column, text: Column,
       shingleSize: Int = 3, bands: Int = 16, rowsPerBand: Int = 8,
-      threshold: Double = 0.8): DataFrame =
-    keepFirst(df, id, nearDupPairsMinHash(df, id, text, shingleSize, bands, rowsPerBand, threshold))
+      threshold: Double = 0.8,
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      unpersistHandle: UnpersistHandle = UnpersistHandle.Noop): DataFrame =
+    keepFirst(df, id, nearDupPairsMinHash(df, id, text, shingleSize, bands, rowsPerBand,
+      threshold, maxBucketSize, storageLevel, unpersistHandle))
 
   // --------------------------------------------------------------------------
   // internals
   // --------------------------------------------------------------------------
+
+  /** Persist the shingle set unless disabled with `StorageLevel.NONE`;
+    * register with the caller's handle so the cache can be released. */
+  private def persistShingles(
+      shingled: DataFrame, storageLevel: StorageLevel,
+      unpersistHandle: UnpersistHandle): DataFrame =
+    if (storageLevel == StorageLevel.NONE) shingled
+    else unpersistHandle.setDataFrame(shingled.persist(storageLevel))
 
   /** Distinct (idA < idB) pairs sharing a (band, bucket); oversized buckets
     * dropped. One shuffle on the bucket key; quadratic work confined to
@@ -192,14 +222,28 @@ object Dedup {
 
   /** Same, carrying `extra` per-doc columns to both sides (suffixed A/B). */
   private def bucketPairsWith(exploded: DataFrame, extra: Seq[String], maxBucketSize: Int): DataFrame = {
-    // collect per-bucket member lists once (single shuffle), prune oversized
-    // buckets, then emit intra-bucket pairs — avoids a second shuffle of a
-    // self-join and keeps the blow-up strictly within a bucket
+    // Skew safety: prune degenerate buckets BEFORE collecting member lists.
+    // A hot bucket (empty docs, boilerplate) can hold millions of members at
+    // 100 TB; `collect_list` would materialize that entire array in a single
+    // aggregation buffer before a post-hoc size filter could drop it. Instead:
+    //   1. count members per bucket — partial aggregation means the map side
+    //      combines, so the shuffle carries one (band, bucket, count) row per
+    //      map task, never the hot bucket's rows;
+    //   2. left-semi join exploded against the in-range buckets — this is the
+    //      one full shuffle of the candidate rows;
+    //   3. collect_list on the survivors, whose size is provably
+    //      <= maxBucketSize — reuses the join's hash partitioning, no extra
+    //      exchange.
+    val inRange = exploded
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__bucket_count"))
+      .filter(col("__bucket_count").between(2, maxBucketSize))
+      .select(col("band"), col("bucket"))
+    val pruned = exploded.join(inRange, Seq("band", "bucket"), "left_semi")
     val member = struct((col("id") +: extra.map(col)): _*).as("m")
-    val buckets = exploded
+    val buckets = pruned
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(member).as("members"))
-      .filter(size(col("members")).between(2, maxBucketSize))
     val sorted = array_sort(col("members"))
     val pairs = buckets.select(explode(
       flatten(transform(sorted, (a, i) =>

@@ -26,9 +26,16 @@ object DiffComparators {
   /** Date/timestamp comparator within a duration (inclusive by default). */
   def duration(duration: Duration): DurationDiffComparator = DurationDiffComparator(duration)
 
-  /** Map comparator; key order insensitive by default. */
+  /** Map comparator; key order insensitive by default. The diff operator
+    * specializes it with the column's key/value types (codegen path); see
+    * [[comparator.MapDiffComparator]]. */
   def map[K, V](keyOrderSensitive: Boolean = false): MapDiffComparator =
     MapDiffComparator(keyOrderSensitive)
+
+  /** Map comparator pre-typed to a concrete key/value type — uses the
+    * codegen'd [[comparator.MapEquiv]] path even outside the diff operator. */
+  def map(keyType: DataType, valueType: DataType, keyOrderSensitive: Boolean): MapDiffComparator =
+    MapDiffComparator(keyOrderSensitive).typed(keyType, valueType)
 
   /** Lift a `math.Equiv[T]` into a codegen'd Catalyst comparator. */
   def equiv[T](equiv: math.Equiv[T]): EquivDiffComparator[T] = EquivDiffComparator(equiv)

@@ -1,8 +1,8 @@
 package graft.diff
 
 import graft.diff.DiffMode.DiffMode
-import graft.diff.comparator.DiffComparator
-import org.apache.spark.sql.types.{DataType, StructField}
+import graft.diff.comparator.{DiffComparator, MapDiffComparator}
+import org.apache.spark.sql.types.{DataType, MapType, StructField}
 
 /**
  * Configuration of the diff operator: output column names, diff action
@@ -78,13 +78,37 @@ case class DiffOptions(
    * Resolve the comparator for a column: name match first (honoring the
    * session's case sensitivity), then data type, then the default.
    * (reference: DiffOptions.scala:473-477)
+   *
+   * Case-insensitive name resolution is deterministic: when two configured
+   * names match the same column ignoring case, resolution fails loudly
+   * instead of depending on hash-map iteration order.
+   *
+   * An untyped [[MapDiffComparator]] is specialized here with the column's
+   * actual key/value types, switching it onto its codegen'd equiv path.
    */
-  def comparatorFor(column: StructField, caseSensitive: Boolean = true): DiffComparator =
-    columnNameComparators.find { case (n, _) =>
-      if (caseSensitive) n == column.name else n.equalsIgnoreCase(column.name)
-    }.map(_._2)
+  def comparatorFor(column: StructField, caseSensitive: Boolean = true): DiffComparator = {
+    val byName =
+      if (caseSensitive) columnNameComparators.get(column.name)
+      else {
+        val matches = columnNameComparators.filter(_._1.equalsIgnoreCase(column.name))
+        require(matches.size <= 1,
+          s"Column name comparators ${matches.keys.toSeq.sorted.mkString(", ")} " +
+            s"all match column '${column.name}' case-insensitively; " +
+            "rename the comparators or enable spark.sql.caseSensitive.")
+        matches.headOption.map(_._2)
+      }
+    val resolved = byName
       .orElse(dataTypeComparators.get(column.dataType))
       .getOrElse(defaultComparator)
+    resolved match {
+      case m: MapDiffComparator if m.keyType.isEmpty =>
+        column.dataType match {
+          case MapType(kt, vt, _) => m.typed(kt, vt)
+          case _ => resolved
+        }
+      case _ => resolved
+    }
+  }
 }
 
 object DiffOptions {

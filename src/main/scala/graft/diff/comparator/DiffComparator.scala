@@ -1,8 +1,9 @@
 package graft.diff.comparator
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types.{BinaryType, DataType, MapType}
 
 /**
  * Pluggable per-column equality for the diff operator.
@@ -101,11 +102,35 @@ case class DurationDiffComparator(duration: java.time.Duration, inclusive: Boole
  * Map equality (maps are not comparable with `<=>` in Spark). Two maps are
  * equivalent when they have the same keys (as a sequence when
  * `keyOrderSensitive`, as a set otherwise) and null-safe-equal values per key.
- * Built entirely from higher-order built-ins so it stays in codegen.
  * (reference semantics: MapDiffComparator.scala:26-83)
+ *
+ * Hot path: when `keyType`/`valueType` are known (the diff operator fills
+ * them in from the column's schema via [[graft.diff.DiffOptions.comparatorFor]]),
+ * the comparison runs as a single [[MapEquiv]] call inside whole-stage codegen
+ * — one hash-indexed pass over both maps per row. Without the types (direct
+ * Column use on an unresolved column) it falls back to higher-order built-ins,
+ * which Spark evaluates interpreted per entry — correct but ~3-4x slower.
  */
-case class MapDiffComparator(keyOrderSensitive: Boolean = false) extends DiffComparator {
-  override def equiv(left: Column, right: Column): Column = {
+case class MapDiffComparator(
+    keyOrderSensitive: Boolean = false,
+    keyType: Option[DataType] = None,
+    valueType: Option[DataType] = None) extends DiffComparator {
+
+  /** Specialize to a concrete map type, enabling the codegen'd equiv path. */
+  def typed(kt: DataType, vt: DataType): MapDiffComparator =
+    copy(keyType = Some(kt), valueType = Some(vt))
+
+  override def equiv(left: Column, right: Column): Column = (keyType, valueType) match {
+    case (Some(kt), Some(vt)) =>
+      EquivDiffComparator[MapData](MapEquiv(kt, vt, keyOrderSensitive), Some(MapType(kt, vt)))
+        .equiv(left, right)
+    case _ => hofEquiv(left, right)
+  }
+
+  // Interpreted fallback from higher-order built-ins. Relies on And
+  // short-circuiting to keep ANSI element_at from throwing on a missing key
+  // (keysOk is checked first); the typed path has no such fragility.
+  private def hofEquiv(left: Column, right: Column): Column = {
     val keysOk =
       if (keyOrderSensitive) map_keys(left) <=> map_keys(right)
       else size(left) === size(right) &&
@@ -115,5 +140,62 @@ case class MapDiffComparator(keyOrderSensitive: Boolean = false) extends DiffCom
       e => element_at(right, e.getField("key")) <=> e.getField("value"))
     left.isNull && right.isNull ||
       left.isNotNull && right.isNotNull && keysOk && valuesOk
+  }
+}
+
+/**
+ * `math.Equiv` over Catalyst [[MapData]]: same size, same keys (positional
+ * when `keyOrderSensitive`, hash-indexed set match otherwise), null-safe-equal
+ * values per key. Runs inside codegen via [[EquivDiffComparator]].
+ *
+ * Value equality uses the JVM `equals` of the Catalyst value representation
+ * (UTF8String, boxed primitives, Decimal, UnsafeArrayData...), with
+ * `BinaryType` special-cased to content equality — same contract as the
+ * reference's map equiv (MapDiffComparator.scala:30-61).
+ */
+private[graft] case class MapEquiv(
+    keyType: DataType, valueType: DataType, keyOrderSensitive: Boolean)
+  extends math.Equiv[MapData] {
+
+  private def valuesEqual(lVals: ArrayData, i: Int, rVals: ArrayData, j: Int): Boolean = {
+    val lNull = lVals.isNullAt(i)
+    val rNull = rVals.isNullAt(j)
+    if (lNull || rNull) lNull && rNull
+    else valueType match {
+      case BinaryType => java.util.Arrays.equals(
+        lVals.get(i, valueType).asInstanceOf[Array[Byte]],
+        rVals.get(j, valueType).asInstanceOf[Array[Byte]])
+      case _ => lVals.get(i, valueType) == rVals.get(j, valueType)
+    }
+  }
+
+  override def equiv(left: MapData, right: MapData): Boolean = {
+    val n = left.numElements()
+    if (n != right.numElements()) return false
+    val lKeys = left.keyArray()
+    val rKeys = right.keyArray()
+    val lVals = left.valueArray()
+    val rVals = right.valueArray()
+    if (keyOrderSensitive) {
+      var i = 0
+      while (i < n) {
+        if (lKeys.get(i, keyType) != rKeys.get(i, keyType) ||
+            !valuesEqual(lVals, i, rVals, i)) return false
+        i += 1
+      }
+      true
+    } else {
+      // index the right map once; map keys are unique and non-null in Spark
+      val rIndex = new java.util.HashMap[Any, Integer](n * 2)
+      var j = 0
+      while (j < n) { rIndex.put(rKeys.get(j, keyType), j); j += 1 }
+      var i = 0
+      while (i < n) {
+        val at = rIndex.get(lKeys.get(i, keyType))
+        if (at == null || !valuesEqual(lVals, i, rVals, at)) return false
+        i += 1
+      }
+      true
+    }
   }
 }

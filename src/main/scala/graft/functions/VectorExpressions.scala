@@ -174,20 +174,81 @@ object VectorKernels extends Serializable {
     bandHashes(minhashLongs(hashes, bands * rowsPerBand), bands, rowsPerBand)
 
   /**
+   * The only two Unicode codepoints whose `lower()` maps into ASCII:
+   * U+212A KELVIN SIGN (E2 84 AA) -> 'k', and U+0130 LATIN CAPITAL I WITH DOT
+   * (C4 B0) -> 'i' + U+0307 (the combining dot then acts as a separator under
+   * `[^a-z0-9]+`). Without handling these, a byte-level tokenizer would treat
+   * the multi-byte original as a separator while `split(lower(text), ...)`
+   * merges/splits differently. Docs containing them (detected here) take a
+   * renormalizing slow path; everything else stays on the zero-copy fast path.
+   */
+  private def hasSpecialLowerToAscii(bytes: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b == 0xC4.toByte) {
+        if (i + 1 < bytes.length && bytes(i + 1) == 0xB0.toByte) return true
+      } else if (b == 0xE2.toByte) {
+        if (i + 2 < bytes.length && bytes(i + 1) == 0x84.toByte && bytes(i + 2) == 0xAA.toByte)
+          return true
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** Rare path: re-render the document as its lowercase ASCII tokens joined by
+    * single spaces, applying the two Unicode->ASCII lowercase mappings
+    * (U+212A continues the current token as 'k'; U+0130 contributes 'i' and
+    * then terminates the token, mirroring the combining-dot separator). The
+    * result contains only [a-z0-9 ] bytes, so the fast kernels run on it
+    * unchanged with token identity equal to `split(lower(text), '[^a-z0-9]+')`. */
+  private def renormalizeSpecial(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    var wroteAny = false
+    var inTok = false
+    def startTok(): Unit =
+      if (!inTok) {
+        if (wroteAny) out.write(' ')
+        wroteAny = true
+        inTok = true
+      }
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+        startTok(); out.write(b); i += 1
+      } else if (b >= 'A' && b <= 'Z') {
+        startTok(); out.write(b + 32); i += 1
+      } else if (b == 0xE2.toByte && i + 2 < bytes.length &&
+          bytes(i + 1) == 0x84.toByte && bytes(i + 2) == 0xAA.toByte) {
+        startTok(); out.write('k'); i += 3
+      } else if (b == 0xC4.toByte && i + 1 < bytes.length && bytes(i + 1) == 0xB0.toByte) {
+        startTok(); out.write('i'); inTok = false; i += 2
+      } else {
+        inTok = false; i += 1
+      }
+    }
+    out.toByteArray
+  }
+
+  /**
    * Tokenize + shingle + hash + dedup in ONE pass over the raw UTF8 bytes.
    *
-   * Tokens are maximal runs of [a-z0-9] after ASCII lowercasing (any other
-   * byte, including multi-byte UTF8, separates) — identical token/shingle
-   * identity to `split(lower(text), '[^a-z0-9]+')` + word n-grams joined by
-   * single spaces, so set arithmetic (Jaccard) over the output matches the
-   * string-shingle definition modulo 2^-64 hash collisions.
+   * Tokens are maximal runs of [a-z0-9] after lowercasing — identical token/
+   * shingle identity to `split(lower(text), '[^a-z0-9]+')` + word n-grams
+   * joined by single spaces, so set arithmetic (Jaccard) over the output
+   * matches the string-shingle definition modulo 2^-64 hash collisions.
+   * Multi-byte UTF8 separates, except the two codepoints whose lowercase maps
+   * into ASCII (see [[hasSpecialLowerToAscii]]), which are renormalized first.
    *
    * Exists because Spark higher-order functions (transform/filter lambdas)
    * are interpreted, not codegen'd — a Column-algebra shingle pipeline costs
    * microseconds per element; this kernel streams the document bytes once.
    */
   def hashedWordShingles(text: UTF8String, n: Int): Array[Long] = {
-    val bytes = text.getBytes
+    val raw = text.getBytes
+    val bytes = if (hasSpecialLowerToAscii(raw)) renormalizeSpecial(raw) else raw
     // 1. token boundaries (start inclusive, end exclusive)
     var starts = new Array[Int](16)
     var ends = new Array[Int](16)
@@ -257,12 +318,14 @@ object VectorKernels extends Serializable {
   }
 
   /**
-   * Single-pass ASCII tokenizer: lowercased maximal [a-z0-9] runs (any other
-   * byte separates — multi-byte UTF8 too, matching
-   * `split(lower(text), '[^a-z0-9]+')` token identity for all inputs).
+   * Single-pass ASCII tokenizer: lowercased maximal [a-z0-9] runs, matching
+   * `split(lower(text), '[^a-z0-9]+')` token identity for all inputs —
+   * multi-byte UTF8 separates, except the two lowercase-to-ASCII codepoints
+   * (see [[hasSpecialLowerToAscii]]), which take the renormalizing path.
    */
   def tokenizeAscii(text: UTF8String): Array[UTF8String] = {
-    val bytes = text.getBytes
+    val raw = text.getBytes
+    val bytes = if (hasSpecialLowerToAscii(raw)) renormalizeSpecial(raw) else raw
     var out = new Array[UTF8String](8)
     var n = 0
     var i = 0
@@ -292,19 +355,22 @@ object VectorKernels extends Serializable {
     if (n == out.length) out else java.util.Arrays.copyOf(out, n)
   }
 
-  /** Fused token statistics: (tokenCount, distinctTokenCount, totalTokenChars)
-    * in one pass (chars == bytes for the ASCII tokens produced here). */
-  def tokenStats(text: UTF8String): Array[Long] = {
+  /** Fused token statistics: (tokenCount, distinctTokenCount, totalTokenChars,
+    * stopwordCount) in one pass (chars == bytes for the ASCII tokens produced
+    * here). `stopwords` may be empty (stopwordCount is then 0). */
+  def tokenStats(text: UTF8String, stopwords: java.util.HashSet[UTF8String]): Array[Long] = {
     val tokens = tokenizeAscii(text)
     val seen = new java.util.HashSet[UTF8String](tokens.length * 2)
     var sumLen = 0L
+    var stop = 0L
     var i = 0
     while (i < tokens.length) {
       seen.add(tokens(i))
       sumLen += tokens(i).numBytes()
+      if (stopwords.contains(tokens(i))) stop += 1
       i += 1
     }
-    Array(tokens.length.toLong, seen.size.toLong, sumLen)
+    Array(tokens.length.toLong, seen.size.toLong, sumLen, stop)
   }
 
   /** Hyperplane-LSH band buckets: packed sign bits of dot products with
@@ -547,10 +613,20 @@ case class TokenizeAscii(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** token_stats(text) -> array<long> [tokenCount, distinctTokens, totalTokenChars]. */
-case class TokenStats(child: Expression) extends UnaryExpression {
+/** token_stats(text) -> array<long>
+  * [tokenCount, distinctTokens, totalTokenChars, stopwordCount].
+  * The stopword set is shipped as a plain Array[String] in the expression tree
+  * (serialization-safe) and materialized once per executor as a UTF8String set. */
+case class TokenStats(child: Expression, stopwords: Seq[String] = Seq.empty)
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
+
+  @transient private lazy val stopwordSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](math.max(stopwords.length * 2, 4))
+    stopwords.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -559,12 +635,14 @@ case class TokenStats(child: Expression) extends UnaryExpression {
 
   override def nullSafeEval(text: Any): Any =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      VectorKernels.tokenStats(text.asInstanceOf[UTF8String]))
+      VectorKernels.tokenStats(text.asInstanceOf[UTF8String], stopwordSet))
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopwords", stopwordSet, "java.util.HashSet")
     defineCodeGen(ctx, ev,
       a => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.functions.VectorKernels.tokenStats($a))")
+        s"graft.functions.VectorKernels.tokenStats($a, $setRef))")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -686,7 +764,8 @@ object vectors {
 
   def tokenize_ascii(text: Column): Column = TokenizeAscii(text.asExpression).asColumn
 
-  def token_stats(text: Column): Column = TokenStats(text.asExpression).asColumn
+  def token_stats(text: Column, stopwords: Seq[String] = Seq.empty): Column =
+    TokenStats(text.asExpression, stopwords).asColumn
 
   def lsh_band_buckets(vec: Column, planes: Array[Array[Array[Float]]]): Column =
     LshBandBuckets(vec.asExpression, planes).asColumn

@@ -110,6 +110,14 @@ object TextFunctions {
 
   def stopwordRatio(tokens: Column): Column = wordSetRatio(tokens, EnglishStopwords)
 
+  /** Fused single-pass token statistics over ASCII tokens:
+    * `array<long> [n_tokens, distinct_tokens, total_token_chars, stopword_count]`.
+    * Codegen'd kernel — the corpus-scan path for quality stats; the
+    * HOF-based [[avgTokenLength]]/[[stopwordRatio]] are per-element
+    * interpreted and only appropriate on pre-tokenized columns. */
+  def tokenStatsAscii(c: Column, stopwords: Seq[String] = EnglishStopwords): Column =
+    graft.functions.vectors.token_stats(c, stopwords)
+
   /** Ratio of non-alphanumeric, non-whitespace chars to all chars (0 for empty). */
   def punctuationRatio(c: Column): Column = {
     val total = length(c)

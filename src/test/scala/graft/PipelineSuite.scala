@@ -119,7 +119,12 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
   }
 
   test("tokenize_ascii kernel matches the regex definition on unicode input") {
-    val samples = Seq("Héllo W0rld", "ABC def-GHI", "  ", "", "über42 straße", "a,b;;c")
+    // includes the two codepoints whose lowercase maps into ASCII:
+    // U+212A KELVIN SIGN (-> 'k', merges with neighbors) and U+0130 LATIN
+    // CAPITAL I WITH DOT (-> 'i' + combining dot, which then separates)
+    val samples = Seq("Héllo W0rld", "ABC def-GHI", "  ", "", "über42 straße", "a,b;;c",
+      "300K warm", "aKb", "KK", "İstanbul", "xİy", "İ",
+      "mix K and İ both")
     val df = samples.toDF("t")
     val kernel = df.select(TextFunctions.tokenize(col("t"), TextFunctions.AsciiTokenPattern).as("k"))
       .as[Seq[String]].collect()
@@ -131,7 +136,8 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
 
   test("hashed shingles count matches string shingles count (incl. unicode)") {
     val docs = Seq("a b c d e a b c d e", "Héllo wörld this is mixed über text ja",
-      "one two", "x y z x y z x y z")
+      "one two", "x y z x y z x y z",
+      "temp 300K rose bİr iki üç dört beş altı")
     val df = docs.toDF("t")
     val hashed = df.select(size(TextFunctions.hashedTextShingles(col("t"), 3)).as("n")).as[Int].collect()
     val strings = df.select(size(TextFunctions.textShingles(col("t"), 3)).as("n")).as[Int].collect()
@@ -146,6 +152,29 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
       .collect()
     // short docs have empty shingle sets -> jaccard 0 -> never pairs
     assert(pairs.forall(r => r.getLong(0) >= 10L))
+  }
+
+  test("degenerate hot bucket is pruned before member-list aggregation") {
+    // 100k identical docs land in ONE bucket per band. The cap must be
+    // enforced by the pre-count semi-join BEFORE collect_list materializes
+    // the member list — with the old post-filter, this built 100k-element
+    // aggregation buffers; now the oversized bucket never reaches the
+    // aggregate. Completes fast and returns no pairs.
+    val big = spark.range(100000)
+      .select(col("id"), lit("boilerplate header text repeated across the corpus").as("text"))
+      .union(Seq(
+        (200001L, "a genuinely unique document about salt marshes coastal tides sediment " +
+          "transport estuarine ecology and migratory shorebird habitats"),
+        (200002L, "a genuinely unique document about salt marshes coastal tides sediment " +
+          "transport estuarine ecology and migratory shorebird habitats today"))
+        .toDF("id", "text"))
+    val pairs = Dedup.nearDupPairsMinHash(big, col("id"), col("text"),
+      threshold = 0.7, maxBucketSize = 1000)
+    // plan shape: the semi-join prune must sit below the collect_list agg
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a LeftSemi bucket prune in:\n$plan")
+    val found = pairs.select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(found == Set((200001L, 200002L)))
   }
 
   test("maxBucketSize caps degenerate buckets instead of exploding") {

@@ -513,6 +513,38 @@ class DiffMatrixSuite extends AnyFunSuite with SparkTest {
     val r = Seq((1, Map("b" -> 2, "a" -> 1))).toDF("id", "m")
     val insensitive = DiffOptions.default.withComparator(DiffComparators.map[String, Int](), "m")
     assert(Diff.of(l, r, insensitive, "id").select("diff").as[String].head() === "N")
+    // same entries, different key order: a change under the sensitive comparator
+    val sensitive = DiffOptions.default
+      .withComparator(DiffComparators.map[String, Int](keyOrderSensitive = true), "m")
+    assert(Diff.of(l, r, sensitive, "id").select("diff").as[String].head() === "C")
+    // and same order stays N
+    val same = Seq((1, Map("a" -> 1, "b" -> 2))).toDF("id", "m")
+    assert(Diff.of(l, same, sensitive, "id").select("diff").as[String].head() === "N")
+  }
+
+  test("map comparator codegen path: value diffs, missing keys, null values, null maps") {
+    val l = Seq(
+      (1, Map("a" -> Some(1), "b" -> Some(2))), // equal (modulo order)
+      (2, Map("a" -> Some(1))),                 // value differs
+      (3, Map("a" -> Some(1))),                 // key set differs
+      (4, Map("a" -> None)),                    // null value both sides
+      (5, Map("a" -> None))                     // null vs non-null value
+    ).toDF("id", "m")
+    val r = Seq(
+      (1, Map("b" -> Some(2), "a" -> Some(1))),
+      (2, Map("a" -> Some(2))),
+      (3, Map("b" -> Some(1))),
+      (4, Map("a" -> None)),
+      (5, Map("a" -> Some(7)))
+    ).toDF("id", "m")
+    val opts = DiffOptions.default.withComparator(DiffComparators.map[String, Int](), "m")
+    val byId = Diff.of(l, r, opts, "id").collect()
+      .map(x => x.getInt(1) -> x.getString(0)).toMap
+    assert(byId === Map(1 -> "N", 2 -> "C", 3 -> "C", 4 -> "N", 5 -> "C"))
+    // the diff must resolve the comparator onto the codegen'd equiv path
+    val field = l.schema.fields.find(_.name == "m").get
+    val resolved = opts.comparatorFor(field)
+    assert(resolved.asInstanceOf[graft.diff.comparator.MapDiffComparator].keyType.isDefined)
   }
 
   test("diff action filterable and aggregatable downstream") {
