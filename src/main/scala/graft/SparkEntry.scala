@@ -401,6 +401,51 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
+    // approximate-ANN quality gates: recall@3 of the approximate path against
+    // the in-plan brute-force truth, thresholded to a boolean the DuckDB
+    // oracle can assert (it can reproduce the truth set and its size, not the
+    // Spark-side LSH/IVF result). Thresholds sit well under the measured
+    // deterministic recall (LSH 0.40-0.42, IVF 0.85-0.88 across sf0.001-0.1 on
+    // seeded hyperplanes / Lloyd's init): a broken kernel or bucketing change
+    // drives recall toward 0 and flips the boolean.
+    "ann_lsh_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+      val brute = graft.ann.Ann.bruteForceTopK(q, emb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val lsh = graft.ann.Ann.lshTopK(q, emb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        dim = 64, k = 3, bands = 24, bits = 8)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = brute.join(lsh, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      brute.agg(count(lit(1)).as("total_expected"))
+        .crossJoin(hits)
+        .select(col("total_expected"),
+          (col("hits") >= col("total_expected") * 0.3).as("recall_ok"))
+    }),
+
+    "ann_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+      val index = graft.ann.Ann.trainIvf(emb, col("vec_id"), col("embedding"),
+        k = 16, iterations = 3)
+      val brute = graft.ann.Ann.bruteForceTopK(q, emb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = graft.ann.Ann.ivfTopK(q, emb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        index, k = 3, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      brute.agg(count(lit(1)).as("total_expected"))
+        .crossJoin(hits)
+        .select(col("total_expected"),
+          (col("hits") >= col("total_expected") * 0.75).as("recall_ok"))
+    }),
+
     // multimodal plumbing: binary payload + frame sampling (decode stubbed)
     "multimodal_features" -> ((s, dir) => {
       val bin = encode(col("text"), "utf-8")
@@ -425,9 +470,34 @@ object SparkEntry {
       graft.parquet.ParquetMeta.parquetSchema(s, None, Seq(s"$dir/lineitem.parquet"))
         .select(col("columnName"), col("type"), col("repetition"))),
 
-    // O29 Spark split planning scan (rows-only; depends on maxPartitionBytes)
-    "parquet_partitions_scan" -> ((s, dir) =>
-      graft.parquet.ParquetMeta.parquetPartitions(s, None, Seq(s"$dir/lineitem.parquet")))
+    // O29 Spark split planning, pinned into oracle reach: with
+    // maxPartitionBytes = openCostInBytes = 1 MiB, maxSplitBytes is exactly
+    // 1 MiB (openCost dominates bytesPerCore) and bin-packing closes every
+    // partition after one split, so partition index == floor(splitStart/1MiB)
+    // and a row group lands in partition floor((startingPos + compressed/2)
+    // / 1MiB) — arithmetic DuckDB reproduces from parquet_metadata().
+    // plannedSplits materializes eagerly inside parquetPartitions, so the
+    // conf save/restore cannot leak into later queries. Partitions without
+    // any row-group midpoint are filtered: the oracle cannot know the file
+    // tail length.
+    "parquet_partitions_scan" -> ((s, dir) => {
+      val mib = (1L << 20).toString
+      val prevMax = s.conf.get("spark.sql.files.maxPartitionBytes")
+      val prevOpen = s.conf.get("spark.sql.files.openCostInBytes")
+      s.conf.set("spark.sql.files.maxPartitionBytes", mib)
+      s.conf.set("spark.sql.files.openCostInBytes", mib)
+      try {
+        graft.parquet.ParquetMeta.parquetPartitions(s, None, Seq(s"$dir/lineitem.parquet"))
+          .filter(col("blocks") >= 1)
+          .select(
+            col("partition").cast("long").as("partition"),
+            col("blocks").cast("long").as("blocks"),
+            col("compressedBytes"), col("uncompressedBytes"), col("rows"))
+      } finally {
+        s.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+        s.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+      }
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -701,6 +771,25 @@ object SparkEntry {
           "FROM q JOIN embeddings c ON q.vec_id <> c.vec_id " +
           "QUALIFY rank <= 3"),
 
+      // recall gates: DuckDB reproduces the brute-force truth-set size and
+      // asserts the thresholded recall boolean is true; the Spark side flips
+      // it to false if the approximate path regresses.
+      "ann_lsh_recall" ->
+        ("WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20), " +
+          "topk AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+          "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank " +
+          "FROM q JOIN embeddings c ON q.vec_id <> c.vec_id) " +
+          "SELECT CAST(COUNT(*) AS BIGINT) AS total_expected, TRUE AS recall_ok " +
+          "FROM topk WHERE rank <= 3"),
+
+      "ann_ivf_recall" ->
+        ("WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20), " +
+          "topk AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+          "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank " +
+          "FROM q JOIN embeddings c ON q.vec_id <> c.vec_id) " +
+          "SELECT CAST(COUNT(*) AS BIGINT) AS total_expected, TRUE AS recall_ok " +
+          "FROM topk WHERE rank <= 3"),
+
       "multimodal_features" ->
         ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
           "CAST(CASE WHEN octet_length(encode(text)) < 64 THEN 0 ELSE floor((octet_length(encode(text)) - 64) / 48) + 1 END AS BIGINT) AS n_frames, " +
@@ -725,6 +814,26 @@ object SparkEntry {
         ("SELECT CAST(num_row_groups AS BIGINT) AS blocks, num_rows AS rows, " +
           "created_by AS \"createdBy\", 'UNENCRYPTED' AS encryption " +
           "FROM parquet_file_metadata('/root/testdata/sf0.01/lineitem.parquet')"),
+
+      // Split planning pinned to 1 MiB splits (see the query): a row group
+      // belongs to partition floor((startingPos + compressedSize/2) / 1MiB);
+      // startingPos = first column chunk's dictionary-or-data page offset.
+      "parquet_partitions_scan" ->
+        ("WITH rg AS (SELECT row_group_id, " +
+          "MIN(CASE WHEN column_id = 0 THEN " +
+          "CASE WHEN dictionary_page_offset IS NOT NULL AND dictionary_page_offset > 0 " +
+          "THEN dictionary_page_offset ELSE data_page_offset END END) AS start_pos, " +
+          "SUM(total_compressed_size) AS comp, " +
+          "SUM(total_uncompressed_size) AS uncomp, " +
+          "MIN(row_group_num_rows) AS nrows " +
+          "FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet') " +
+          "GROUP BY row_group_id) " +
+          "SELECT CAST((start_pos + comp // 2) // 1048576 AS BIGINT) AS partition, " +
+          "CAST(COUNT(*) AS BIGINT) AS blocks, " +
+          "CAST(SUM(comp) AS BIGINT) AS \"compressedBytes\", " +
+          "CAST(SUM(uncomp) AS BIGINT) AS \"uncompressedBytes\", " +
+          "CAST(SUM(nrows) AS BIGINT) AS rows " +
+          "FROM rg GROUP BY 1"),
 
       // DuckDB labels the physical type BYTE_ARRAY where parquet-java says BINARY
       "parquet_schema_scan" ->

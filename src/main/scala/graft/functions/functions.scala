@@ -70,10 +70,12 @@ package object functions {
 
   /**
    * .Net ticks -> Unix epoch seconds as Decimal(29,9) keeping full 100ns
-   * precision. (reference: package.scala:189-212)
+   * precision (the quotient's natural scale is already 9; the cast pins the
+   * exact reference output type). (reference: package.scala:189-212)
    */
   def dotNetTicksToUnixEpoch(ticks: Column): Column =
-    (ticks.cast(DecimalType(19, 0)) - DotNetTicksOfUnixEpoch) / DotNetTicksPerSecond
+    ((ticks.cast(DecimalType(19, 0)) - DotNetTicksOfUnixEpoch) / DotNetTicksPerSecond)
+      .cast(DecimalType(29, 9))
 
   def dotNetTicksToUnixEpoch(ticksColumnName: String): Column =
     dotNetTicksToUnixEpoch(col(ticksColumnName))

@@ -3,6 +3,7 @@ package graft
 import graft.fluent.Fluent._
 import graft.functions._
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType, TimestampType}
 import org.scalatest.funsuite.AnyFunSuite
 
 class FunctionsSuite extends AnyFunSuite with SparkTest {
@@ -52,6 +53,88 @@ class FunctionsSuite extends AnyFunSuite with SparkTest {
     // overflow guard
     val big = Seq(Long.MaxValue).toDF("ticks")
     assert(big.select(dotNetTicksToUnixEpochNanos($"ticks")).as[Option[Long]].head().isEmpty)
+  }
+
+  // Golden literal fixtures matching the reference suite exactly, including
+  // the 100ns truncation direction (truncate toward the past, never round)
+  // and the nanos overflow boundary
+  // (/root/reference/src/test/scala/uk/co/gresearch/spark/SparkSuite.scala:548-761).
+  test("ticks golden fixtures: ticks -> timestamp/epoch/nanos") {
+    import java.sql.Timestamp
+    import java.time.Instant
+    val df = Seq(
+      (1, 599266080000000000L),          // 1900-01-01
+      (2, 621355968000000000L),          // unix epoch
+      (3, 638155413748959308L),          // .8 of a tick below...
+      (4, 638155413748959309L),          // ...and .9: both truncate to 895930us
+      (5, 638155413748959310L),          // exact: 895931us
+      (6, 713589688368547758L),          // largest ticks whose nanos fit a Long
+      (7, 3155378975999999999L)          // 9999-12-31, overflows nanos -> null
+    ).toDF("id", "ticks")
+    val got = df.select($"id",
+      dotNetTicksToTimestamp($"ticks").as("ts"),
+      dotNetTicksToUnixEpoch($"ticks").as("sec"),
+      dotNetTicksToUnixEpochNanos($"ticks").as("ns"))
+      .orderBy($"id")
+    assert(got.schema.fields.map(_.dataType) === Seq(
+      IntegerType, TimestampType, DecimalType(29, 9), LongType))
+    val rows = got.collect()
+    assert(rows.map(_.getTimestamp(1)) === Array(
+      Timestamp.from(Instant.parse("1900-01-01T00:00:00Z")),
+      Timestamp.from(Instant.parse("1970-01-01T00:00:00Z")),
+      Timestamp.from(Instant.parse("2023-03-27T19:16:14.89593Z")),
+      Timestamp.from(Instant.parse("2023-03-27T19:16:14.89593Z")),
+      Timestamp.from(Instant.parse("2023-03-27T19:16:14.895931Z")),
+      Timestamp.from(Instant.parse("2262-04-11T23:47:16.854775Z")),
+      Timestamp.from(Instant.parse("9999-12-31T23:59:59.999999Z"))))
+    assert(rows.map(r => BigDecimal(r.getDecimal(2))) === Array(
+      BigDecimal(-2208988800000000000L, 9),
+      BigDecimal(0, 9),
+      BigDecimal(1679944574895930800L, 9),
+      BigDecimal(1679944574895930900L, 9),
+      BigDecimal(1679944574895931000L, 9),
+      BigDecimal(9223372036854775800L, 9),
+      BigDecimal(2534023007999999999L, 7).setScale(9)))
+    assert(rows.map(r => if (r.isNullAt(3)) None else Some(r.getLong(3))) === Array(
+      Some(-2208988800000000000L),
+      Some(0L),
+      Some(1679944574895930800L),
+      Some(1679944574895930900L),
+      Some(1679944574895931000L),
+      Some(9223372036854775800L),  // == Long.MaxValue - 7: the boundary
+      None))
+  }
+
+  test("ticks golden fixtures: timestamp/epoch/nanos -> ticks") {
+    import java.sql.Timestamp
+    import java.time.Instant
+    val ts = Seq(
+      (1, Timestamp.from(Instant.parse("1900-01-01T00:00:00Z"))),
+      (2, Timestamp.from(Instant.parse("1970-01-01T00:00:00Z"))),
+      (3, Timestamp.from(Instant.parse("2023-03-27T19:16:14.895931Z"))),
+      (4, Timestamp.from(Instant.parse("9999-12-31T23:59:59.999999Z")))
+    ).toDF("id", "ts")
+    assert(ts.select(timestampToDotNetTicks($"ts")).orderBy($"id").as[Long].collect() ===
+      Array(599266080000000000L, 621355968000000000L, 638155413748959310L, 3155378975999999990L))
+
+    // sub-second epoch input keeps 100ns resolution (lowest 2 nanos digits lost);
+    // integer epoch input has no sub-second part
+    assert(Seq(BigDecimal("1679944574.895931234")).toDF("s")
+      .select(unixEpochToDotNetTicks($"s")).as[Long].head() === 638155413748959312L)
+    assert(Seq("1679944574.895931234").toDF("s")
+      .select(unixEpochToDotNetTicks($"s")).as[Long].head() === 638155413748959312L)
+    assert(Seq(1679944574.895931234).toDF("s")
+      .select(unixEpochToDotNetTicks($"s")).as[Long].head() === 638155413748959312L)
+    assert(Seq(1679944574L).toDF("s")
+      .select(unixEpochToDotNetTicks($"s")).as[Long].head() === 638155413740000000L)
+
+    assert(Seq(1679944574895931234L).toDF("ns")
+      .select(unixEpochNanosToDotNetTicks($"ns")).as[Long].head() === 638155413748959312L)
+    assert(Seq("1679944574895931234").toDF("ns")
+      .select(unixEpochNanosToDotNetTicks($"ns")).as[Long].head() === 638155413748959312L)
+    // double can only represent the nanos as 1.67994457489593114E18
+    assert(Seq(1679944574895931234.0).toDF("ns")
+      .select(unixEpochNanosToDotNetTicks($"ns")).as[Long].head() === 638155413748959311L)
   }
 
   test("unix epoch to ticks") {
