@@ -1,0 +1,274 @@
+"""Smoke tests for the graftspark PySpark mirror (py4j bridge half).
+
+Run from the repo root after `sbt package`:
+
+    python3 python/test/test_graftspark.py
+
+Requires pyspark (same minor version as the Spark jars the graft jar was
+built against) and a classic local session.
+"""
+
+import glob
+import os
+import shutil
+import sys
+import tempfile
+import unittest
+import zipfile
+from decimal import Decimal
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+REPO_ROOT = Path(__file__).resolve().parent.parent.parent
+
+from pyspark.sql import Row, SparkSession
+from pyspark.sql.functions import col, date_format, expr
+
+
+def _graft_jar() -> str:
+    jars = sorted(glob.glob(str(REPO_ROOT / "target" / "scala-*" / "*.jar")))
+    jars = [j for j in jars if "sources" not in j and "javadoc" not in j]
+    if not jars:
+        raise RuntimeError("graft jar not found — run `sbt package` first")
+    return jars[-1]
+
+
+class GraftsparkTest(unittest.TestCase):
+    spark: SparkSession = None
+
+    @classmethod
+    def setUpClass(cls):
+        jar = _graft_jar()
+        cls.spark = (
+            SparkSession.builder
+            .master("local[2]")
+            .appName("graftspark-smoke")
+            .config("spark.jars", jar)
+            .config("spark.driver.extraClassPath", jar)
+            .config("spark.sql.shuffle.partitions", "2")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate())
+
+    @classmethod
+    def tearDownClass(cls):
+        cls.spark.stop()
+
+    # -- fixtures ------------------------------------------------------------
+
+    def _left_right(self):
+        left = self.spark.createDataFrame(
+            [(1, "one"), (2, "two"), (3, "three")], ["id", "value"])
+        right = self.spark.createDataFrame(
+            [(1, "one"), (2, "Two"), (4, "four")], ["id", "value"])
+        return left, right
+
+    # -- diff ----------------------------------------------------------------
+
+    def test_diff_basic(self):
+        import graftspark.diff  # noqa: F401  (monkeypatches DataFrame.diff)
+        left, right = self._left_right()
+        actual = sorted(left.diff(right, "id").collect(), key=lambda r: r.id)
+        expected = [
+            Row(diff="N", id=1, left_value="one", right_value="one"),
+            Row(diff="C", id=2, left_value="two", right_value="Two"),
+            Row(diff="D", id=3, left_value="three", right_value=None),
+            Row(diff="I", id=4, left_value=None, right_value="four"),
+        ]
+        self.assertEqual(actual, expected)
+
+    def test_diff_options_change_column_sparse_sidebyside(self):
+        from graftspark.diff import DiffMode, DiffOptions
+        left, right = self._left_right()
+        options = (DiffOptions()
+                   .with_change_column("changes")
+                   .with_sparse_mode(True)
+                   .with_diff_mode(DiffMode.SideBySide))
+        rows = {r.id: r for r in left.diff(right, "id", options=options).collect()}
+        self.assertEqual(rows[2].changes, ["value"])
+        self.assertEqual(rows[1].changes, [])
+        self.assertIsNone(rows[3].changes)
+        # sparse: unchanged values nulled on both sides
+        self.assertIsNone(rows[1].left_value)
+        self.assertIsNone(rows[1].right_value)
+        self.assertEqual(rows[2].left_value, "two")
+        # side-by-side: left block then right block
+        cols = left.diff(right, "id", options=options).columns
+        self.assertEqual(cols, ["diff", "changes", "id", "left_value", "right_value"])
+
+    def test_diff_epsilon_comparator(self):
+        from graftspark.diff import DiffComparators, DiffOptions
+        left = self.spark.createDataFrame([(1, 100.0), (2, 1.0)], ["id", "value"])
+        right = self.spark.createDataFrame([(1, 100.009), (2, 2.0)], ["id", "value"])
+        options = DiffOptions().with_data_type_comparator(
+            DiffComparators.epsilon(0.0001, relative=True), "double")
+        actions = {r.id: r.diff for r in left.diff(right, "id", options=options).collect()}
+        self.assertEqual(actions, {1: "N", 2: "C"})
+
+    def test_diff_ignore_columns(self):
+        left = self.spark.createDataFrame([(1, "one", "x")], ["id", "value", "meta"])
+        right = self.spark.createDataFrame([(1, "one", "y")], ["id", "value", "meta"])
+        row = left.diff(right, "id", ignore_columns=["meta"]).collect()[0]
+        self.assertEqual(row.diff, "N")
+
+    def test_diff_with(self):
+        left, right = self._left_right()
+        rows = {r._1: r for r in left.diff_with(right, "id").collect()
+                if r._1 in ("I", "D")}
+        self.assertIsNone(rows["I"]._2)
+        self.assertEqual(rows["I"]._3.id, 4)
+        self.assertIsNone(rows["D"]._3)
+        self.assertEqual(rows["D"]._2.id, 3)
+
+    # -- histogram -------------------------------------------------------------
+
+    def test_histogram(self):
+        import graftspark  # noqa: F401
+        df = self.spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b") for i in range(1, 11)], ["v", "g"])
+        hist = {r.g: r for r in df.histogram([3, 7], col("v"), "g").collect()}
+        self.assertEqual((hist["a"]["≤3"], hist["a"]["≤7"], hist["a"][">7"]), (1, 2, 2))
+        self.assertEqual((hist["b"]["≤3"], hist["b"]["≤7"], hist["b"][">7"]), (2, 2, 1))
+
+    def test_histogram_float_thresholds_no_group(self):
+        import graftspark  # noqa: F401
+        df = self.spark.createDataFrame([(0.1,), (0.4,), (0.9,)], ["v"])
+        row = df.histogram([0.5], col("v")).collect()[0]
+        self.assertEqual((row["≤0.5"], row[">0.5"]), (2, 1))
+
+    # -- row numbers -----------------------------------------------------------
+
+    def test_with_row_numbers(self):
+        import graftspark
+        df = self.spark.range(1, 101).withColumn("neg", -col("id"))
+        got = {r.id: r.row_number
+               for r in df.with_row_numbers(order="id", ascending=False).collect()}
+        self.assertEqual(got[100], 1)
+        self.assertEqual(got[1], 100)
+
+        handle = self.spark.unpersist_handle()
+        df2 = df.with_row_numbers(unpersist_handle=handle, order=[col("id")])
+        self.assertEqual(df2.where(col("id") == col("row_number")).count(), 100)
+        handle.unpersist(True)
+
+    # -- parquet ----------------------------------------------------------------
+
+    def test_parquet_scans(self):
+        import graftspark.parquet  # noqa: F401
+        path = tempfile.mkdtemp(prefix="graftspark-parquet-")
+        try:
+            self.spark.range(0, 1000).repartition(2).write.mode("overwrite").parquet(path)
+            files = glob.glob(os.path.join(path, "*.parquet"))
+
+            meta = self.spark.read.parquet_metadata(path)
+            self.assertEqual(meta.count(), len(files))
+            self.assertEqual(meta.agg(expr("sum(rows)")).collect()[0][0], 1000)
+
+            schema = self.spark.read.parquet_schema(path)
+            self.assertEqual(
+                {r.columnName for r in schema.select("columnName").distinct().collect()},
+                {"id"})
+
+            blocks = self.spark.read.parquet_blocks(path, parallelism=1)
+            self.assertGreaterEqual(blocks.count(), len(files))
+
+            block_cols = self.spark.read.parquet_block_columns(path)
+            self.assertGreaterEqual(block_cols.count(), len(files))
+
+            parts = self.spark.read.parquet_partitions(path)
+            self.assertEqual(
+                parts.agg(expr("sum(rows)")).collect()[0][0], 1000)
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+
+    # -- ticks -------------------------------------------------------------------
+
+    def test_ticks_codecs(self):
+        from graftspark import (
+            dotnet_ticks_to_timestamp, dotnet_ticks_to_unix_epoch,
+            dotnet_ticks_to_unix_epoch_nanos, timestamp_to_dotnet_ticks,
+            unix_epoch_to_dotnet_ticks, unix_epoch_nanos_to_dotnet_ticks)
+        df = self.spark.createDataFrame([(638155413748959318,)], ["ticks"])
+        row = df.select(
+            date_format(dotnet_ticks_to_timestamp("ticks"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            dotnet_ticks_to_unix_epoch(col("ticks")).alias("epoch"),
+            dotnet_ticks_to_unix_epoch_nanos("ticks").alias("nanos"),
+        ).collect()[0]
+        self.assertEqual(row.ts, "2023-03-27 19:16:14.895931")
+        self.assertEqual(row.epoch, Decimal("1679944574.895931800"))
+        self.assertEqual(row.nanos, 1679944574895931800)
+
+        back = self.spark.sql(
+            "SELECT timestamp'2023-03-27 19:16:14.895931' AS ts, "
+            "CAST(1679944574.8959312 AS DECIMAL(19,7)) AS epoch, "
+            "1679944574895931234 AS nanos")
+        row2 = back.select(
+            timestamp_to_dotnet_ticks("ts").alias("t1"),
+            unix_epoch_to_dotnet_ticks("epoch").alias("t2"),
+            unix_epoch_nanos_to_dotnet_ticks("nanos").alias("t3"),
+        ).collect()[0]
+        self.assertEqual(row2.t1, 638155413748959310)
+        self.assertEqual(row2.t2, 638155413748959312)
+        self.assertEqual(row2.t3, 638155413748959312)
+
+    # -- utilities ----------------------------------------------------------------
+
+    def test_count_null_and_name_helpers(self):
+        from graftspark import backticks, count_null, distinct_prefix_for
+        df = self.spark.createDataFrame([(1, None), (2, "x")], ["id", "v"])
+        self.assertEqual(df.select(count_null("v").alias("n")).collect()[0].n, 1)
+        self.assertEqual(backticks("a.b", "c"), "`a.b`.c")
+        self.assertEqual(backticks("simple"), "simple")
+        self.assertEqual(distinct_prefix_for(["a", "__b"]), "___")
+
+    def test_job_description(self):
+        from graftspark import append_job_description, job_description
+        sc = self.spark.sparkContext
+        prop = "spark.job.description"
+        with job_description("outer"):
+            self.assertEqual(sc.getLocalProperty(prop), "outer")
+            with append_job_description("inner"):
+                self.assertEqual(sc.getLocalProperty(prop), "outer - inner")
+            self.assertEqual(sc.getLocalProperty(prop), "outer")
+        self.assertIsNone(sc.getLocalProperty(prop))
+
+    def test_create_temporary_dir(self):
+        import graftspark  # noqa: F401
+        d = self.spark.create_temporary_dir("graft-test-")
+        self.assertTrue(os.path.isdir(d))
+
+    def test_install_pip_package(self):
+        import graftspark  # noqa: F401
+        whl_dir = tempfile.mkdtemp(prefix="graftspark-whl-")
+        try:
+            whl = self._make_wheel(whl_dir)
+            self.spark.install_pip_package("--no-index", whl)
+            import graftdemo
+            self.assertEqual(graftdemo.MAGIC, 42)
+            # the shipped archive is importable on executors too
+            ok = self.spark.sparkContext.parallelize([1], 1).map(
+                lambda _: __import__("graftdemo").MAGIC).collect()
+            self.assertEqual(ok, [42])
+        finally:
+            shutil.rmtree(whl_dir, ignore_errors=True)
+
+    @staticmethod
+    def _make_wheel(directory: str) -> str:
+        """A minimal offline-installable wheel (zero-egress test env)."""
+        name, version = "graftdemo", "0.0.1"
+        whl = os.path.join(directory, f"{name}-{version}-py3-none-any.whl")
+        dist = f"{name}-{version}.dist-info"
+        with zipfile.ZipFile(whl, "w") as z:
+            z.writestr(f"{name}/__init__.py", "MAGIC = 42\n")
+            z.writestr(f"{dist}/METADATA",
+                       f"Metadata-Version: 2.1\nName: {name}\nVersion: {version}\n")
+            z.writestr(f"{dist}/WHEEL",
+                       "Wheel-Version: 1.0\nGenerator: graft\nRoot-Is-Purelib: true\nTag: py3-none-any\n")
+            z.writestr(f"{dist}/RECORD",
+                       f"{name}/__init__.py,,\n{dist}/METADATA,,\n{dist}/WHEEL,,\n{dist}/RECORD,,\n")
+        return whl
+
+
+if __name__ == "__main__":
+    unittest.main(verbosity=2)

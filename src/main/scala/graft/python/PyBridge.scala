@@ -1,0 +1,193 @@
+package graft.python
+
+import java.util.{List => JList}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.SparkContext
+import org.apache.spark.sql.{Column, DataFrame, DataFrameReader, SparkSession}
+import org.apache.spark.sql.types.DataType
+import org.apache.spark.storage.StorageLevel
+
+import graft.{BuildVersion, Histogram, RowNumbers, UnpersistHandle}
+import graft.diff.{DiffComparators, Differ, DiffMode, DiffOptions}
+import graft.diff.comparator.DiffComparator
+import graft.parquet.ParquetMeta
+
+/**
+ * Monomorphic, py4j-friendly entry points for the PySpark mirror
+ * (`python/graftspark`).
+ *
+ * py4j cannot supply Scala implicits, default arguments, or varargs, and
+ * boxes Python numbers unpredictably (Integer vs Long), so every method here
+ * takes `java.util.List` / boxed types / explicit arguments only. The Python
+ * package keeps zero logic of its own beyond argument marshalling — all
+ * semantics live in the Scala operators, mirroring the reference's py4j
+ * bridge half (/root/reference/python/gresearch/spark/__init__.py:431-490)
+ * while diff also bridges to the JVM instead of being reimplemented in
+ * Python (classic Spark sessions only; documented in python/README.md).
+ */
+object PyBridge {
+
+  /** Probe used by the Python package to verify the jar is on the classpath. */
+  def version(): String = BuildVersion.VersionString
+
+  // --------------------------------------------------------------------------
+  // diff
+  // --------------------------------------------------------------------------
+
+  def diffOptions(): DiffOptions = DiffOptions.default
+
+  /** Resolve a [[DiffMode]] by name: Default, ColumnByColumn, SideBySide, LeftSide, RightSide. */
+  def withDiffMode(options: DiffOptions, mode: String): DiffOptions =
+    options.withDiffMode(if (mode == "Default") DiffMode.Default else DiffMode.withName(mode))
+
+  def withColumnComparator(options: DiffOptions, comparator: DiffComparator,
+                           columnNames: JList[String]): DiffOptions = {
+    val names = columnNames.asScala.toSeq
+    options.withComparator(comparator, names.head, names.tail: _*)
+  }
+
+  /** Data types given as DDL strings (e.g. "int", "map<string,int>"). */
+  def withTypeComparator(options: DiffOptions, comparator: DiffComparator,
+                         dataTypes: JList[String]): DiffOptions = {
+    val types = dataTypes.asScala.toSeq.map(DataType.fromDDL)
+    options.withComparator(comparator, types.head, types.tail: _*)
+  }
+
+  def comparatorDefault(): DiffComparator = DiffComparators.default()
+  def comparatorNullSafeEqual(): DiffComparator = DiffComparators.nullSafeEqual()
+  def comparatorEpsilon(epsilon: Double, relative: Boolean, inclusive: Boolean): DiffComparator = {
+    val c = DiffComparators.epsilon(epsilon)
+    val rel = if (relative) c.asRelative() else c.asAbsolute()
+    if (inclusive) rel.asInclusive() else rel.asExclusive()
+  }
+  def comparatorString(whitespaceAgnostic: Boolean): DiffComparator =
+    DiffComparators.string(whitespaceAgnostic)
+  /** Duration given in ISO-8601 (e.g. "PT24H"). */
+  def comparatorDuration(duration: String, inclusive: Boolean): DiffComparator = {
+    val c = DiffComparators.duration(java.time.Duration.parse(duration))
+    if (inclusive) c.asInclusive() else c.asExclusive()
+  }
+  def comparatorMap(keyOrderSensitive: Boolean): DiffComparator =
+    DiffComparators.map(keyOrderSensitive)
+
+  def diff(options: DiffOptions, left: DataFrame, right: DataFrame,
+           idColumns: JList[String], ignoreColumns: JList[String]): DataFrame =
+    new Differ(options).diff(left, right, idColumns, ignoreColumns)
+
+  /** Untyped diffWith: the (diff, left, right) triple as struct columns _1/_2/_3. */
+  def diffWith(options: DiffOptions, left: DataFrame, right: DataFrame,
+               idColumns: JList[String], ignoreColumns: JList[String]): DataFrame =
+    new Differ(options)
+      .diffWith(left, right, idColumns.asScala.toSeq, ignoreColumns.asScala.toSeq)
+      .toDF()
+
+  // --------------------------------------------------------------------------
+  // histogram
+  // --------------------------------------------------------------------------
+
+  /**
+   * Thresholds arrive as whatever py4j boxed them to (Integer or Long for
+   * Python ints, Double for floats); normalize to one numeric domain so the
+   * Ordering is total. Integral thresholds keep integral column names.
+   */
+  def histogram(df: DataFrame, thresholds: JList[Object], valueColumn: Column,
+                aggregateColumns: JList[Column]): DataFrame = {
+    val ts = thresholds.asScala.toSeq.map {
+      case n: java.lang.Number => n
+      case other => throw new IllegalArgumentException(
+        s"Thresholds must be numbers, got: ${other.getClass.getName}")
+    }
+    val aggs = aggregateColumns.asScala.toSeq
+    val integral = ts.forall {
+      case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Short => true
+      case _ => false
+    }
+    if (integral) Histogram.of(df, ts.map(_.longValue()), valueColumn, aggs: _*)
+    else Histogram.of(df, ts.map(_.doubleValue()), valueColumn, aggs: _*)
+  }
+
+  // --------------------------------------------------------------------------
+  // row numbers
+  // --------------------------------------------------------------------------
+
+  def unpersistHandle(): UnpersistHandle = UnpersistHandle()
+
+  /** `unpersistHandle` may be null (no handle -> Noop). */
+  def withRowNumbers(df: DataFrame, rowNumberColumnName: String,
+                     storageLevel: StorageLevel, unpersistHandle: UnpersistHandle,
+                     order: JList[Column]): DataFrame =
+    RowNumbers.withRowNumbers(
+      df, rowNumberColumnName, storageLevel,
+      Option(unpersistHandle).getOrElse(UnpersistHandle.Noop),
+      order.asScala.toSeq)
+
+  // --------------------------------------------------------------------------
+  // parquet metadata scans (parallelism may be null)
+  // --------------------------------------------------------------------------
+
+  private def par(parallelism: java.lang.Integer): Option[Int] =
+    Option(parallelism).map(_.intValue())
+
+  def parquetMetadata(reader: DataFrameReader, spark: SparkSession,
+                      parallelism: java.lang.Integer, paths: JList[String]): DataFrame =
+    ParquetMeta.parquetMetadata(spark, par(parallelism), paths.asScala.toSeq, Option(reader))
+
+  def parquetSchema(reader: DataFrameReader, spark: SparkSession,
+                    parallelism: java.lang.Integer, paths: JList[String]): DataFrame =
+    ParquetMeta.parquetSchema(spark, par(parallelism), paths.asScala.toSeq, Option(reader))
+
+  def parquetBlocks(reader: DataFrameReader, spark: SparkSession,
+                    parallelism: java.lang.Integer, paths: JList[String]): DataFrame =
+    ParquetMeta.parquetBlocks(spark, par(parallelism), paths.asScala.toSeq, Option(reader))
+
+  def parquetBlockColumns(reader: DataFrameReader, spark: SparkSession,
+                          parallelism: java.lang.Integer, paths: JList[String]): DataFrame =
+    ParquetMeta.parquetBlockColumns(spark, par(parallelism), paths.asScala.toSeq, Option(reader))
+
+  def parquetPartitions(reader: DataFrameReader, spark: SparkSession,
+                        parallelism: java.lang.Integer, paths: JList[String]): DataFrame =
+    ParquetMeta.parquetPartitions(spark, par(parallelism), paths.asScala.toSeq, Option(reader))
+
+  // --------------------------------------------------------------------------
+  // .Net ticks codecs (stable monomorphic names for the Python functions)
+  // --------------------------------------------------------------------------
+
+  def dotNetTicksToTimestamp(ticks: Column): Column =
+    graft.functions.dotNetTicksToTimestamp(ticks)
+  def dotNetTicksToUnixEpoch(ticks: Column): Column =
+    graft.functions.dotNetTicksToUnixEpoch(ticks)
+  def dotNetTicksToUnixEpochNanos(ticks: Column): Column =
+    graft.functions.dotNetTicksToUnixEpochNanos(ticks)
+  def timestampToDotNetTicks(timestamp: Column): Column =
+    graft.functions.timestampToDotNetTicks(timestamp)
+  def unixEpochToDotNetTicks(unixSeconds: Column): Column =
+    graft.functions.unixEpochToDotNetTicks(unixSeconds)
+  def unixEpochNanosToDotNetTicks(unixNanos: Column): Column =
+    graft.functions.unixEpochNanosToDotNetTicks(unixNanos)
+
+  // --------------------------------------------------------------------------
+  // job description (set/restore primitives for Python context managers)
+  // --------------------------------------------------------------------------
+
+  private val JobDescriptionProperty = "spark.job.description"
+
+  /**
+   * Set the job description (null clears it) and return the previous one
+   * (null if none); with `ifNotSet` the description is only applied when none
+   * is set. The Python context manager restores the returned value on exit.
+   */
+  def setJobDescription(sc: SparkContext, description: String, ifNotSet: Boolean): String = {
+    val previous = sc.getLocalProperty(JobDescriptionProperty)
+    if (previous == null || !ifNotSet) sc.setJobDescription(description)
+    previous
+  }
+
+  /** Append to the current job description; returns the previous description. */
+  def appendJobDescription(sc: SparkContext, extra: String, separator: String): String = {
+    val previous = sc.getLocalProperty(JobDescriptionProperty)
+    sc.setJobDescription(Option(previous).map(_ + separator + extra).getOrElse(extra))
+    previous
+  }
+}
