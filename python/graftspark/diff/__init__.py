@@ -1,18 +1,57 @@
-"""Dataset diff for PySpark, bridging to the graft Scala implementation.
+"""Dataset diff for PySpark.
 
-Unlike the reference's pure-Python diff reimplementation, this keeps a single
-implementation in the JVM (one set of semantics, one test matrix) at the cost
-of requiring a classic session — documented in python/README.md.
+Two engines, one semantics matrix:
+
+- ``jvm`` — bridges to the graft Scala implementation via py4j (classic
+  sessions); comparators run codegen'd (e.g. the map comparator's MapEquiv).
+- ``pure`` — the same algorithm expressed with the PySpark Column API only
+  (graftspark.diff._pure), used automatically on Spark Connect sessions where
+  no JVM bridge exists.
+
+``engine='auto'`` (default) picks jvm when the DataFrame has a ``_jdf``
+(classic), pure otherwise. The two are parity-tested against each other in
+python/test/test_graftspark.py.
 """
 
+import re as _re
+from datetime import timedelta
 from enum import Enum
 from typing import List, Optional, Union
 
+from pyspark.sql import functions as F
 from pyspark.sql import DataFrame
 
 from graftspark import _bridge
+from graftspark.diff import _pure
 
 __all__ = ["DiffMode", "DiffComparators", "DiffOptions", "Differ", "diff", "diff_with"]
+
+
+_ISO_DURATION = _re.compile(
+    r"([+-]?)P(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?",
+    _re.IGNORECASE)
+
+
+def _parse_iso_duration(value: str) -> timedelta:
+    m = _ISO_DURATION.fullmatch(value.strip())
+    if not m or not any(m.group(i) for i in (2, 3, 4, 5)):
+        raise ValueError(f"Cannot parse ISO-8601 duration: {value!r}")
+    sign = -1 if m.group(1) == "-" else 1
+    days = int(m.group(2) or 0)
+    hours = int(m.group(3) or 0)
+    minutes = int(m.group(4) or 0)
+    seconds = float(m.group(5) or 0)
+    return sign * timedelta(days=days, hours=hours, minutes=minutes, seconds=seconds)
+
+
+def _to_iso_duration(value: timedelta) -> str:
+    total = value.total_seconds()
+    sign = "-" if total < 0 else ""
+    total = abs(total)
+    micros = round(total * 1_000_000)
+    secs, rem = divmod(micros, 1_000_000)
+    frac = f".{rem:06d}".rstrip("0") if rem else ""
+    return f"{sign}PT{secs}{frac}S"
 
 
 class DiffMode(Enum):
@@ -24,7 +63,8 @@ class DiffMode(Enum):
 
 
 class _Comparator:
-    """Deferred comparator: materialized to a JVM object per session."""
+    """Deferred comparator: materialized to a JVM object (jvm engine) or a
+    Column-algebra equivalence (pure engine) per use."""
 
     def __init__(self, factory, *args):
         self._factory = factory
@@ -32,6 +72,54 @@ class _Comparator:
 
     def _to_java(self, bridge):
         return getattr(bridge, self._factory)(*self._args)
+
+    # Pure-engine equivalence, mirroring graft.diff.comparator semantics.
+    # `field` is the left column's StructField (for type-aware comparators).
+    def _equiv(self, left, right, field):
+        if self._factory in ("comparatorDefault", "comparatorNullSafeEqual"):
+            return left.eqNullSafe(right)
+        if self._factory == "comparatorEpsilon":
+            epsilon, relative, inclusive = self._args
+            threshold = (F.lit(epsilon) * F.greatest(F.abs(left), F.abs(right))
+                         if relative else F.lit(epsilon))
+            delta = F.abs(left - right)
+            in_range = delta <= threshold if inclusive else delta < threshold
+            return (left.isNull() & right.isNull()) | \
+                   (left.isNotNull() & right.isNotNull() & in_range)
+        if self._factory == "comparatorString":
+            (whitespace_agnostic,) = self._args
+            if not whitespace_agnostic:
+                return left.eqNullSafe(right)
+
+            def norm(c):
+                # collapse runs first, then trim — trim strips ASCII spaces only
+                return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+            return norm(left).eqNullSafe(norm(right))
+        if self._factory == "comparatorDuration":
+            iso, inclusive = self._args
+            bound = F.lit(_parse_iso_duration(iso))
+            l, r = left.cast("timestamp"), right.cast("timestamp")
+            delta = F.abs(l - r)
+            in_range = delta <= bound if inclusive else delta < bound
+            return (left.isNull() & right.isNull()) | \
+                   (left.isNotNull() & right.isNotNull() & in_range)
+        if self._factory == "comparatorMap":
+            (key_order_sensitive,) = self._args
+            if key_order_sensitive:
+                keys_ok = F.map_keys(left).eqNullSafe(F.map_keys(right))
+            else:
+                keys_ok = (F.size(left) == F.size(right)) & \
+                    F.forall(F.map_keys(left), lambda k: F.map_contains_key(right, k))
+            # try_element_at: null (not an ANSI error) on a key missing from
+            # `right`; keys_ok has already required equal key sets by then.
+            values_ok = F.forall(
+                F.map_entries(left),
+                lambda e: F.try_element_at(right, e.getField("key"))
+                           .eqNullSafe(e.getField("value")))
+            return (left.isNull() & right.isNull()) | \
+                   (left.isNotNull() & right.isNotNull() & keys_ok & values_ok)
+        raise ValueError(f"Comparator {self._factory} has no pure-Python equivalent")
 
 
 class DiffComparators:
@@ -52,9 +140,11 @@ class DiffComparators:
         return _Comparator("comparatorString", whitespace_agnostic)
 
     @staticmethod
-    def duration(duration: str, inclusive: bool = True) -> _Comparator:
-        """`duration` in ISO-8601, e.g. "PT24H"."""
-        return _Comparator("comparatorDuration", duration, inclusive)
+    def duration(duration: Union[str, timedelta], inclusive: bool = True) -> _Comparator:
+        """`duration` as ISO-8601 (e.g. "PT24H") or a datetime.timedelta."""
+        iso = _to_iso_duration(duration) if isinstance(duration, timedelta) else duration
+        _parse_iso_duration(iso)  # validate eagerly, before any Spark work
+        return _Comparator("comparatorDuration", iso, inclusive)
 
     @staticmethod
     def map(key_order_sensitive: bool = False) -> _Comparator:
@@ -157,13 +247,15 @@ class DiffOptions:
             merged[name] = comparator
         return self._copy(column_name_comparators=merged)
 
-    def with_data_type_comparator(self, comparator: _Comparator, *ddl_types: str) -> "DiffOptions":
-        """Data types given as DDL strings, e.g. "int", "map<string,int>"."""
+    def with_data_type_comparator(self, comparator: _Comparator, *ddl_types) -> "DiffOptions":
+        """Data types given as DDL strings (e.g. "int", "map<string,int>") or
+        pyspark DataType instances."""
         merged = dict(self.data_type_comparators)
         for t in ddl_types:
-            if t in merged:
-                raise ValueError(f"A comparator for data type {t} exists already.")
-            merged[t] = comparator
+            key = t if isinstance(t, str) else t.simpleString()
+            if key in merged:
+                raise ValueError(f"A comparator for data type {key} exists already.")
+            merged[key] = comparator
         return self._copy(data_type_comparators=merged)
 
     def _to_java(self, bridge):
@@ -188,12 +280,24 @@ class DiffOptions:
         return joptions
 
 
+def _resolve_engine(df: DataFrame, engine: str) -> str:
+    if engine not in ("auto", "jvm", "pure"):
+        raise ValueError(f"Unknown diff engine {engine!r}; use 'auto', 'jvm' or 'pure'")
+    if engine == "auto":
+        return "jvm" if hasattr(df, "_jdf") else "pure"
+    return engine
+
+
 class Differ:
-    def __init__(self, options: Optional[DiffOptions] = None):
+    def __init__(self, options: Optional[DiffOptions] = None, engine: str = "auto"):
         self._options = options or DiffOptions()
+        self._engine = engine
 
     def diff(self, left: DataFrame, right: DataFrame, *id_columns: str,
              ignore_columns: Optional[List[str]] = None) -> DataFrame:
+        if _resolve_engine(left, self._engine) == "pure":
+            return _pure.pure_diff(self._options, left, right,
+                                   list(id_columns), list(ignore_columns or []))
         bridge = _bridge(left)
         jdf = bridge.diff(self._options._to_java(bridge), left._jdf, right._jdf,
                           list(id_columns), list(ignore_columns or []))
@@ -203,6 +307,9 @@ class Differ:
                   ignore_columns: Optional[List[str]] = None) -> DataFrame:
         """Diff as an (action, left-struct, right-struct) triple: columns
         _1/_2/_3, with _2 null for inserts and _3 null for deletes."""
+        if _resolve_engine(left, self._engine) == "pure":
+            return _pure.pure_diff_with(self._options, left, right,
+                                        list(id_columns), list(ignore_columns or []))
         bridge = _bridge(left)
         jdf = bridge.diffWith(self._options._to_java(bridge), left._jdf, right._jdf,
                               list(id_columns), list(ignore_columns or []))
@@ -211,28 +318,34 @@ class Differ:
 
 def diff(left: DataFrame, right: DataFrame, *id_columns: str,
          options: Optional[DiffOptions] = None,
-         ignore_columns: Optional[List[str]] = None) -> DataFrame:
+         ignore_columns: Optional[List[str]] = None,
+         engine: str = "auto") -> DataFrame:
     """Full-outer compare of two DataFrames on id columns; emits the diff
     action column N/C/D/I, id columns, and per-side value columns."""
-    return Differ(options).diff(left, right, *id_columns, ignore_columns=ignore_columns)
+    return Differ(options, engine).diff(left, right, *id_columns, ignore_columns=ignore_columns)
 
 
 def diff_with(left: DataFrame, right: DataFrame, *id_columns: str,
               options: Optional[DiffOptions] = None,
-              ignore_columns: Optional[List[str]] = None) -> DataFrame:
-    return Differ(options).diff_with(left, right, *id_columns, ignore_columns=ignore_columns)
+              ignore_columns: Optional[List[str]] = None,
+              engine: str = "auto") -> DataFrame:
+    return Differ(options, engine).diff_with(left, right, *id_columns, ignore_columns=ignore_columns)
 
 
 def _df_diff(self: DataFrame, other: DataFrame, *id_columns: str,
              options: Optional[DiffOptions] = None,
-             ignore_columns: Optional[List[str]] = None) -> DataFrame:
-    return diff(self, other, *id_columns, options=options, ignore_columns=ignore_columns)
+             ignore_columns: Optional[List[str]] = None,
+             engine: str = "auto") -> DataFrame:
+    return diff(self, other, *id_columns, options=options,
+                ignore_columns=ignore_columns, engine=engine)
 
 
 def _df_diff_with(self: DataFrame, other: DataFrame, *id_columns: str,
                   options: Optional[DiffOptions] = None,
-                  ignore_columns: Optional[List[str]] = None) -> DataFrame:
-    return diff_with(self, other, *id_columns, options=options, ignore_columns=ignore_columns)
+                  ignore_columns: Optional[List[str]] = None,
+                  engine: str = "auto") -> DataFrame:
+    return diff_with(self, other, *id_columns, options=options,
+                     ignore_columns=ignore_columns, engine=engine)
 
 
 DataFrame.diff = _df_diff

@@ -270,5 +270,200 @@ class GraftsparkTest(unittest.TestCase):
         return whl
 
 
+class PureDiffParityTest(unittest.TestCase):
+    """The pure-Python diff engine (Spark Connect path) must agree with the
+    JVM engine row-for-row and column-for-column on the same inputs."""
+
+    spark: SparkSession = None
+
+    @classmethod
+    def setUpClass(cls):
+        jar = _graft_jar()
+        cls.spark = (
+            SparkSession.builder
+            .master("local[2]")
+            .appName("graftspark-pure-parity")
+            .config("spark.jars", jar)
+            .config("spark.driver.extraClassPath", jar)
+            .config("spark.sql.shuffle.partitions", "2")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate())
+
+    @classmethod
+    def tearDownClass(cls):
+        cls.spark.stop()
+
+    def _fixture(self):
+        from pyspark.sql.types import (StringType, IntegerType, DoubleType,
+                                       StructField, StructType, TimestampType)
+        from datetime import datetime
+        schema = StructType([
+            StructField("id", IntegerType()),
+            StructField("num", DoubleType()),
+            StructField("txt", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("meta", StringType()),
+        ])
+        t = datetime(2024, 5, 1, 12, 0, 0)
+        t2 = datetime(2024, 5, 1, 12, 0, 30)
+        t3 = datetime(2024, 5, 3, 0, 0, 0)
+        left = self.spark.createDataFrame([
+            (1, 100.0, "same  text", t, "L1"),
+            (2, 1.0, "left only txt", t, "L2"),
+            (3, 5.0, "gone", t, "L3"),
+            (5, None, None, None, None),
+            (6, 2.5, "ws  variant", t, "L6"),
+        ], schema)
+        right = self.spark.createDataFrame([
+            (1, 100.0000004, "same text ", t2, "R1"),
+            (2, 9.0, "right txt", t3, "R2"),
+            (4, 7.0, "new", t, "R4"),
+            (5, None, None, None, "R5"),
+            (6, 2.5, "ws variant", t, None),
+        ], schema)
+        return left, right
+
+    def _map_fixture(self):
+        from pyspark.sql.types import (IntegerType, MapType, StringType,
+                                       StructField, StructType)
+        schema = StructType([
+            StructField("id", IntegerType()),
+            StructField("tags", MapType(StringType(), IntegerType())),
+        ])
+        left = self.spark.createDataFrame([
+            (1, {"a": 1, "b": 2}),
+            (2, {"a": 1}),
+            (3, None),
+            (4, {"x": None}),
+        ], schema)
+        right = self.spark.createDataFrame([
+            (1, {"b": 2, "a": 1}),
+            (2, {"a": 2}),
+            (3, None),
+            (4, {"x": None}),
+        ], schema)
+        return left, right
+
+    def _assert_parity(self, options=None, id_columns=("id",), ignore_columns=None,
+                       with_=False, fixture=None):
+        from graftspark.diff import diff, diff_with
+        fn = diff_with if with_ else diff
+        left, right = fixture or self._fixture()
+        kwargs = dict(options=options, ignore_columns=list(ignore_columns or []))
+        jvm = fn(left, right, *id_columns, engine="jvm", **kwargs)
+        pure = fn(left, right, *id_columns, engine="pure", **kwargs)
+        self.assertEqual(jvm.columns, pure.columns)
+        key = lambda r: repr(r)
+        self.assertEqual(sorted(jvm.collect(), key=key), sorted(pure.collect(), key=key))
+
+    def test_parity_default(self):
+        self._assert_parity()
+
+    def test_parity_modes_sparse_change(self):
+        from graftspark.diff import DiffMode, DiffOptions
+        for mode in DiffMode:
+            for sparse in (False, True):
+                options = (DiffOptions()
+                           .with_diff_mode(mode)
+                           .with_sparse_mode(sparse)
+                           .with_change_column("changes"))
+                with self.subTest(mode=mode, sparse=sparse):
+                    self._assert_parity(options=options)
+
+    def test_parity_ignore_columns(self):
+        from graftspark.diff import DiffMode, DiffOptions
+        for mode in DiffMode:
+            with self.subTest(mode=mode):
+                self._assert_parity(options=DiffOptions().with_diff_mode(mode),
+                                    ignore_columns=["meta"])
+
+    def test_parity_comparators(self):
+        from datetime import timedelta
+        from graftspark.diff import DiffComparators, DiffOptions, diff
+        options = (DiffOptions()
+                   .with_data_type_comparator(DiffComparators.epsilon(1e-6), "double")
+                   .with_column_name_comparator(DiffComparators.string(True), "txt")
+                   .with_column_name_comparator(
+                       DiffComparators.duration(timedelta(minutes=1)), "ts"))
+        self._assert_parity(options=options)
+        left, right = self._fixture()
+        for engine in ("jvm", "pure"):
+            actions = {r.id: r.diff
+                       for r in diff(left, right, "id", options=options,
+                                     ignore_columns=["meta"], engine=engine).collect()}
+            # row 1 differs only within tolerances (epsilon/whitespace/duration) -> N
+            self.assertEqual(actions[1], "N", engine)
+            self.assertEqual(actions[2], "C", engine)
+            # row 6: whitespace-agnostic txt + equal num/ts, meta ignored -> N
+            self.assertEqual(actions[6], "N", engine)
+
+    def test_parity_map_comparator(self):
+        from graftspark.diff import DiffComparators, DiffOptions, diff
+        for sensitive in (False, True):
+            options = DiffOptions().with_data_type_comparator(
+                DiffComparators.map(key_order_sensitive=sensitive), "map<string,int>")
+            with self.subTest(key_order_sensitive=sensitive):
+                self._assert_parity(options=options, fixture=self._map_fixture())
+        # Orderless semantics: permuted keys equal, changed value differs.
+        # (Key-order sensitivity itself is asserted in the Scala suite; Python
+        # dict -> Spark map ingestion does not preserve a testable key order.)
+        left, right = self._map_fixture()
+        for engine in ("jvm", "pure"):
+            orderless = DiffOptions().with_data_type_comparator(
+                DiffComparators.map(False), "map<string,int>")
+            a1 = {r.id: r.diff for r in diff(left, right, "id", options=orderless,
+                                             engine=engine).collect()}
+            self.assertEqual((a1[1], a1[2], a1[3], a1[4]), ("N", "C", "N", "N"), engine)
+
+    def test_parity_diff_with(self):
+        self._assert_parity(with_=True)
+
+    def test_parity_custom_values_and_prefixes(self):
+        from graftspark.diff import DiffOptions
+        options = (DiffOptions()
+                   .with_diff_column("verdict")
+                   .with_left_column_prefix("before")
+                   .with_right_column_prefix("after")
+                   .with_insert_diff_value("ADD")
+                   .with_change_diff_value("CHG")
+                   .with_delete_diff_value("DEL")
+                   .with_nochange_diff_value("OK"))
+        self._assert_parity(options=options)
+
+    def test_pure_schema_errors(self):
+        from graftspark.diff import diff
+        left, right = self._fixture()
+        with self.assertRaisesRegex(ValueError, "id columns do not exist"):
+            diff(left, right, "nope", engine="pure")
+        with self.assertRaisesRegex(ValueError, "same schema"):
+            diff(left.drop("num"), right, "id", engine="pure")
+        with self.assertRaisesRegex(ValueError, "duplicate columns"):
+            diff(left.select("id", col("num"), col("num")), right, "id", engine="pure")
+
+    def test_pure_no_value_columns_with_change_column(self):
+        from graftspark.diff import DiffOptions, diff
+        left = self.spark.createDataFrame([(1,), (2,)], ["id"])
+        right = self.spark.createDataFrame([(2,), (3,)], ["id"])
+        options = DiffOptions().with_change_column("changes")
+        for engine in ("jvm", "pure"):
+            rows = {r.id: r for r in diff(left, right, "id", options=options,
+                                          engine=engine).collect()}
+            self.assertEqual(rows[2].changes, [], engine)
+            self.assertIsNone(rows[1].changes, engine)
+            self.assertIsNone(rows[3].changes, engine)
+
+    def test_iso_duration_roundtrip(self):
+        from datetime import timedelta
+        from graftspark.diff import _parse_iso_duration, _to_iso_duration
+        self.assertEqual(_parse_iso_duration("PT24H"), timedelta(hours=24))
+        self.assertEqual(_parse_iso_duration("P1DT2H3M4.5S"),
+                         timedelta(days=1, hours=2, minutes=3, seconds=4.5))
+        self.assertEqual(_parse_iso_duration(_to_iso_duration(timedelta(seconds=90.25))),
+                         timedelta(seconds=90.25))
+        with self.assertRaises(ValueError):
+            _parse_iso_duration("P")
+
+
 if __name__ == "__main__":
     unittest.main(verbosity=2)
