@@ -39,17 +39,29 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
+    // Two full passes over the query set: pass 1 warms JIT, the codegen class
+    // cache, and the OS page cache for the scanned parquet; pass 2 is what we
+    // report. BASELINE.md was measured warm the same way, so the 2x gate
+    // compares like with like — a cold single pass mostly measures JVM
+    // startup effects, not the plans (observed ~2x inflation, BENCH_r03).
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).queryExecution.toRdd.count()
-        timings(name) = (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors(name) = e.getClass.getSimpleName + ": " +
-            Option(e.getMessage).getOrElse("").take(200)
+    for (_ <- 1 to passes) {
+      timings.clear(); errors.clear()
+      SparkEntry.queries.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).queryExecution.toRdd.count()
+          timings(name) = (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            errors(name) = e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("").take(200)
+        }
+        // release per-query persisted intermediates (dedup shingle sets etc.)
+        // so caches never accumulate across queries or passes
+        spark.catalog.clearCache()
       }
     }
 

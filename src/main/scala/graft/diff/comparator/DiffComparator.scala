@@ -3,7 +3,7 @@ package graft.diff.comparator
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, DataType, MapType}
+import org.apache.spark.sql.types.{DataType, MapType}
 
 /**
  * Pluggable per-column equality for the diff operator.
@@ -148,25 +148,38 @@ case class MapDiffComparator(
  * when `keyOrderSensitive`, hash-indexed set match otherwise), null-safe-equal
  * values per key. Runs inside codegen via [[EquivDiffComparator]].
  *
- * Value equality uses the JVM `equals` of the Catalyst value representation
- * (UTF8String, boxed primitives, Decimal, UnsafeArrayData...), with
- * `BinaryType` special-cased to content equality — same contract as the
- * reference's map equiv (MapDiffComparator.scala:30-61).
+ * Key and value equality use the JVM `equals` of the Catalyst representation
+ * (UTF8String, boxed primitives, Decimal, UnsafeArrayData...), normalized
+ * where that diverges from SQL equality: `Array[Byte]` wrapped for content
+ * equality, signed zeros collapsed — same contract as the reference's map
+ * equiv (MapDiffComparator.scala:30-61).
  */
 private[graft] case class MapEquiv(
     keyType: DataType, valueType: DataType, keyOrderSensitive: Boolean)
   extends math.Equiv[MapData] {
 
+  // Equality of raw Catalyst values must match Spark's comparison semantics:
+  // NaN equals NaN and -0.0 equals 0.0 (nan-safe compare), binary compares by
+  // content. No single JVM equality gives all three — Scala `==` on boxed
+  // numerics unboxes to primitive `==` (NaN != NaN), Java `.equals` keeps NaN
+  // but splits signed zeros, and Array[Byte] is identity under both. So:
+  // normalize (wrap bytes, collapse -0.0 to 0.0) and compare with Java
+  // `.equals` — this also gives HashMap indexing the right hashCode.
+  private def normalize(v: Any): Any = v match {
+    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+    case f: java.lang.Float if f.floatValue() == 0.0f => java.lang.Float.valueOf(0.0f)
+    case d: java.lang.Double if d.doubleValue() == 0.0d => java.lang.Double.valueOf(0.0d)
+    case other => other
+  }
+
+  private def keysEqual(l: Any, r: Any): Boolean =
+    normalize(l).equals(normalize(r))
+
   private def valuesEqual(lVals: ArrayData, i: Int, rVals: ArrayData, j: Int): Boolean = {
     val lNull = lVals.isNullAt(i)
     val rNull = rVals.isNullAt(j)
     if (lNull || rNull) lNull && rNull
-    else valueType match {
-      case BinaryType => java.util.Arrays.equals(
-        lVals.get(i, valueType).asInstanceOf[Array[Byte]],
-        rVals.get(j, valueType).asInstanceOf[Array[Byte]])
-      case _ => lVals.get(i, valueType) == rVals.get(j, valueType)
-    }
+    else normalize(lVals.get(i, valueType)).equals(normalize(rVals.get(j, valueType)))
   }
 
   override def equiv(left: MapData, right: MapData): Boolean = {
@@ -179,7 +192,7 @@ private[graft] case class MapEquiv(
     if (keyOrderSensitive) {
       var i = 0
       while (i < n) {
-        if (lKeys.get(i, keyType) != rKeys.get(i, keyType) ||
+        if (!keysEqual(lKeys.get(i, keyType), rKeys.get(i, keyType)) ||
             !valuesEqual(lVals, i, rVals, i)) return false
         i += 1
       }
@@ -188,10 +201,10 @@ private[graft] case class MapEquiv(
       // index the right map once; map keys are unique and non-null in Spark
       val rIndex = new java.util.HashMap[Any, Integer](n * 2)
       var j = 0
-      while (j < n) { rIndex.put(rKeys.get(j, keyType), j); j += 1 }
+      while (j < n) { rIndex.put(normalize(rKeys.get(j, keyType)), j); j += 1 }
       var i = 0
       while (i < n) {
-        val at = rIndex.get(lKeys.get(i, keyType))
+        val at = rIndex.get(normalize(lKeys.get(i, keyType)))
         if (at == null || !valuesEqual(lVals, i, rVals, at)) return false
         i += 1
       }

@@ -547,6 +547,60 @@ class DiffMatrixSuite extends AnyFunSuite with SparkTest {
     assert(resolved.asInstanceOf[graft.diff.comparator.MapDiffComparator].keyType.isDefined)
   }
 
+  test("map comparator binary keys/values compare by content, not identity") {
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // binary KEYS: fresh Array[Byte] instances on each side — JVM equals would
+    // never match; content equality must
+    val l = Seq(
+      (1, Map(bytes(1, 2) -> 10, bytes(3) -> 20)), // equal content
+      (2, Map(bytes(1, 2) -> 10)),                 // key bytes differ
+      (3, Map(bytes(1, 2) -> 10))                  // value differs
+    ).toDF("id", "m")
+    val r = Seq(
+      (1, Map(bytes(3) -> 20, bytes(1, 2) -> 10)),
+      (2, Map(bytes(1, 3) -> 10)),
+      (3, Map(bytes(1, 2) -> 11))
+    ).toDF("id", "m")
+    val opts = DiffOptions.default.withComparator(DiffComparators.map[Array[Byte], Int](), "m")
+    val byId = Diff.of(l, r, opts, "id").collect()
+      .map(x => x.getInt(1) -> x.getString(0)).toMap
+    assert(byId === Map(1 -> "N", 2 -> "C", 3 -> "C"))
+    // order-sensitive loop takes the Arrays.equals path, not reference equality
+    val sensOpts = DiffOptions.default
+      .withComparator(DiffComparators.map[Array[Byte], Int](keyOrderSensitive = true), "m")
+    val lOrd = Seq((1, Map(bytes(1) -> 1, bytes(2) -> 2))).toDF("id", "m")
+    val rOrd = Seq((1, Map(bytes(1) -> 1, bytes(2) -> 2))).toDF("id", "m")
+    assert(Diff.of(lOrd, rOrd, sensOpts, "id").select("diff").as[String].head() === "N")
+    // binary VALUES: content equality as before the key fix
+    val lv = Seq((1, Map("a" -> bytes(9, 9)))).toDF("id", "m")
+    val rv = Seq((1, Map("a" -> bytes(9, 9)))).toDF("id", "m")
+    val vOpts = DiffOptions.default.withComparator(DiffComparators.map[String, Array[Byte]](), "m")
+    assert(Diff.of(lv, rv, vOpts, "id").select("diff").as[String].head() === "N")
+  }
+
+  test("map comparator signed zeros and NaN follow SQL comparison semantics") {
+    // -0.0 == 0.0 and NaN == NaN under Spark's nan-safe comparison; the boxed
+    // JVM equals disagrees on both zeros (false) — normalize must reconcile
+    val l = Seq(
+      (1, Map(-0.0 -> 1.0)),          // -0.0 key vs 0.0 key
+      (2, Map(1.0 -> -0.0)),          // -0.0 value vs 0.0 value
+      (3, Map(1.0 -> Double.NaN)),    // NaN value both sides
+      (4, Map(Double.NaN -> 1.0)),    // NaN key both sides
+      (5, Map(1.0 -> Double.NaN))     // NaN value vs real value
+    ).toDF("id", "m")
+    val r = Seq(
+      (1, Map(0.0 -> 1.0)),
+      (2, Map(1.0 -> 0.0)),
+      (3, Map(1.0 -> Double.NaN)),
+      (4, Map(Double.NaN -> 1.0)),
+      (5, Map(1.0 -> 2.0))
+    ).toDF("id", "m")
+    val opts = DiffOptions.default.withComparator(DiffComparators.map[Double, Double](), "m")
+    val byId = Diff.of(l, r, opts, "id").collect()
+      .map(x => x.getInt(1) -> x.getString(0)).toMap
+    assert(byId === Map(1 -> "N", 2 -> "N", 3 -> "N", 4 -> "N", 5 -> "C"))
+  }
+
   test("diff action filterable and aggregatable downstream") {
     // ign differs on every matched row (x vs y), so row 1 counts as C too
     val result = wideLeft.diff(wideRight, "id")
