@@ -339,6 +339,33 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         graft.text.TextFunctions.fingerprintMd5(col("text")).as("fp"))),
 
+    // n-gram repetition signals (Gopher-style quality filters): total/top
+    // occurrence counts for 1/2/3-grams plus the top-bigram fraction. One
+    // fused codegen'd kernel pass per n — no interpreted HOFs; the fraction
+    // is int/int division in double (bitwise-identical across engines).
+    "text_repetition" -> ((s, dir) => {
+      import graft.text.TextFunctions._
+      t(s, dir, "documents")
+        .withColumn("s1", topNgramStats(col("text"), 1))
+        .withColumn("s2", topNgramStats(col("text"), 2))
+        .withColumn("s3", topNgramStats(col("text"), 3))
+        .select(
+          col("doc_id"),
+          col("s1")(0).as("n1_total"), col("s1")(1).as("n1_top"),
+          col("s2")(0).as("n2_total"), col("s2")(1).as("n2_top"),
+          col("s3")(0).as("n3_total"), col("s3")(1).as("n3_top"),
+          when(col("s2")(0) === 0, lit(0.0))
+            .otherwise(col("s2")(1).cast("double") / col("s2")(0).cast("double"))
+            .as("top_bigram_fraction"))
+    }),
+
+    // token-window chunking for training-data prep: one row per overlapping
+    // 32-token chunk (stride 24). Narrow plan: kernel + partition-local
+    // posexplode next to the scan, no shuffle.
+    "text_chunks" -> ((s, dir) =>
+      graft.text.TextFunctions.chunkByTokens(
+        t(s, dir, "documents"), col("text"), 32, 8, col("doc_id"))),
+
     // exact dedup: corpus with planted normalized-duplicate copies
     "dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -744,6 +771,28 @@ object SparkEntry {
 
       "text_fingerprint" ->
         ("SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents"),
+
+      "text_repetition" ->
+        (s"WITH $docTokCte, g AS (SELECT doc_id, toks, " +
+          "CASE WHEN len(toks) < 2 THEN [] ELSE [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))] END AS g2, " +
+          "CASE WHEN len(toks) < 3 THEN [] ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)] END AS g3 " +
+          "FROM tok), m AS (SELECT doc_id, " +
+          "len(toks) AS t1, CASE WHEN len(toks) = 0 THEN 0 ELSE COALESCE(list_max([len([y for y in toks if y = x]) for x in list_distinct(toks)]), 0) END AS p1, " +
+          "len(g2) AS t2, CASE WHEN len(g2) = 0 THEN 0 ELSE COALESCE(list_max([len([y for y in g2 if y = x]) for x in list_distinct(g2)]), 0) END AS p2, " +
+          "len(g3) AS t3, CASE WHEN len(g3) = 0 THEN 0 ELSE COALESCE(list_max([len([y for y in g3 if y = x]) for x in list_distinct(g3)]), 0) END AS p3 " +
+          "FROM g) " +
+          "SELECT doc_id, CAST(t1 AS BIGINT) AS n1_total, CAST(p1 AS BIGINT) AS n1_top, " +
+          "CAST(t2 AS BIGINT) AS n2_total, CAST(p2 AS BIGINT) AS n2_top, " +
+          "CAST(t3 AS BIGINT) AS n3_total, CAST(p3 AS BIGINT) AS n3_top, " +
+          "CASE WHEN t2 = 0 THEN 0.0 ELSE CAST(p2 AS DOUBLE) / CAST(t2 AS DOUBLE) END AS top_bigram_fraction " +
+          "FROM m"),
+
+      "text_chunks" ->
+        (s"WITH $docTokCte, c AS (SELECT doc_id, toks, CAST(ceil(len(toks) / 24.0) AS BIGINT) AS nc " +
+          "FROM tok WHERE len(toks) > 0) " +
+          "SELECT doc_id, CAST(u.i AS INT) AS chunk_index, " +
+          "array_to_string(toks[u.i * 24 + 1 : u.i * 24 + 32], ' ') AS chunk_text " +
+          "FROM c, unnest(range(0, nc)) AS u(i)"),
 
       "dedup_exact" ->
         ("WITH corpus AS (SELECT doc_id, text FROM documents " +

@@ -437,6 +437,65 @@ object VectorKernels extends Serializable {
     out
   }
 
+  /**
+   * Fused n-gram repetition statistics over ASCII tokens:
+   * `[totalNgrams, topNgramCount]` — total n-gram occurrences (with repeats)
+   * and the occurrence count of the single most frequent n-gram. One pass:
+   * tokenize, hash each order-sensitive n-gram to 64 bits, count via open
+   * addressing (collisions at 2^-64 are negligible for mode counting).
+   * `[0, 0]` when the document has fewer than `n` tokens.
+   */
+  def topNgramStats(text: UTF8String, n: Int): Array[Long] = {
+    val tokens = tokenizeAscii(text)
+    val m = tokens.length - n + 1
+    if (m <= 0) return Array(0L, 0L)
+    var cap = 4
+    while (cap < m * 2) cap <<= 1
+    val used = new Array[Boolean](cap)
+    val keys = new Array[Long](cap)
+    val counts = new Array[Int](cap)
+    var top = 0
+    var i = 0
+    while (i < m) {
+      var h = 0x9E3779B97F4A7C15L
+      var j = 0
+      while (j < n) { h = h * 0x100000001B3L + hash64(tokens(i + j)); j += 1 }
+      var slot = (h.toInt & (cap - 1)).abs
+      var found = false
+      while (used(slot) && !found) {
+        if (keys(slot) == h) found = true else slot = (slot + 1) & (cap - 1)
+      }
+      if (!found) { used(slot) = true; keys(slot) = h; counts(slot) = 0 }
+      counts(slot) += 1
+      if (counts(slot) > top) top = counts(slot)
+      i += 1
+    }
+    Array(m.toLong, top.toLong)
+  }
+
+  /**
+   * Token-window document chunking: chunk `c` covers tokens
+   * `[c*stride, min(c*stride + chunkSize, nTokens))` joined by single spaces;
+   * chunks are emitted while `c*stride < nTokens` (so `ceil(nTokens/stride)`
+   * chunks; overlap = chunkSize - stride tokens between neighbors). Empty
+   * documents produce no chunks. One tokenizer pass, then windowed joins.
+   */
+  def chunkTokens(text: UTF8String, chunkSize: Int, stride: Int): Array[UTF8String] = {
+    val tokens = tokenizeAscii(text)
+    if (tokens.length == 0) return new Array[UTF8String](0)
+    val nChunks = (tokens.length + stride - 1) / stride
+    val sep = UTF8String.fromString(" ")
+    val out = new Array[UTF8String](nChunks)
+    var c = 0
+    while (c < nChunks) {
+      val start = c * stride
+      val end = math.min(start + chunkSize, tokens.length)
+      out(c) = UTF8String.concatWs(sep, java.util.Arrays.copyOfRange(tokens, start, end): _*)
+      c += 1
+    }
+    out
+  }
+
   /** SimHash over pre-hashed features (already well-mixed 64-bit values). */
   def simhashLongs(hashes: ArrayData): Long = {
     val counts = new Array[Int](64)
@@ -648,6 +707,57 @@ case class TokenStats(child: Expression, stopwords: Seq[String] = Seq.empty)
     copy(child = newChild)
 }
 
+/** top_ngram_stats(text, n) -> array<long> [totalNgrams, topNgramCount]:
+  * single-pass tokenize + n-gram hash + mode count. See
+  * [[VectorKernels.topNgramStats]]. */
+case class TopNgramStats(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n > 0 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"top_ngram_stats expects string and n>0, got ${t.sql}")
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.topNgramStats(text.asInstanceOf[UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorKernels.topNgramStats($a, $n))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** chunk_tokens(text, chunkSize, stride): overlapping token-window chunks
+  * re-joined as strings -> array<string>. See [[VectorKernels.chunkTokens]]. */
+case class ChunkTokens(child: Expression, chunkSize: Int, stride: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if chunkSize > 0 && stride > 0 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"chunk_tokens expects string and chunkSize,stride>0, got ${t.sql}")
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.chunkTokens(text.asInstanceOf[UTF8String], chunkSize, stride)
+        .asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorKernels.chunkTokens($a, $chunkSize, $stride))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** lsh_band_buckets(vec, planes): hyperplane sign buckets for every band in
   * one pass over an array<float> vector -> array<long>. The planes live in a
   * codegen reference object, not 100+ separate literal expressions. */
@@ -766,6 +876,12 @@ object vectors {
 
   def token_stats(text: Column, stopwords: Seq[String] = Seq.empty): Column =
     TokenStats(text.asExpression, stopwords).asColumn
+
+  def top_ngram_stats(text: Column, n: Int): Column =
+    TopNgramStats(text.asExpression, n).asColumn
+
+  def chunk_tokens(text: Column, chunkSize: Int, stride: Int): Column =
+    ChunkTokens(text.asExpression, chunkSize, stride).asColumn
 
   def lsh_band_buckets(vec: Column, planes: Array[Array[Array[Float]]]): Column =
     LshBandBuckets(vec.asExpression, planes).asColumn

@@ -147,6 +147,49 @@ object TextFunctions {
   }
 
   // --------------------------------------------------------------------------
+  // Repetition signals & chunking
+  // --------------------------------------------------------------------------
+
+  /** Fused n-gram repetition statistics over ASCII tokens:
+    * `array<long> [totalNgrams, topNgramCount]` (total occurrences with
+    * repeats; occurrences of the single most frequent n-gram). Codegen'd
+    * single-pass kernel — the corpus-scan path for repetition filtering. */
+  def topNgramStats(c: Column, n: Int): Column =
+    graft.functions.vectors.top_ngram_stats(c, n)
+
+  /** Fraction of n-gram occurrences taken by the most frequent n-gram — a
+    * repetition quality signal (boilerplate and degenerate docs score high;
+    * see the Gopher paper's repetition filters). 0.0 for docs with fewer than
+    * `n` tokens. */
+  def topNgramFraction(c: Column, n: Int): Column = {
+    val s = topNgramStats(c, n)
+    val total = get(s, lit(0))
+    when(total === 0, lit(0.0))
+      .otherwise(get(s, lit(1)).cast("double") / total.cast("double"))
+  }
+
+  /** Overlapping token-window chunks of the document, re-joined by single
+    * spaces: chunk `i` covers tokens `[i*stride, i*stride+chunkSize)`,
+    * `stride = chunkSize - overlap`. Single codegen'd pass per document. */
+  def chunkTokens(c: Column, chunkSize: Int, overlap: Int = 0): Column = {
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got overlap=$overlap chunkSize=$chunkSize")
+    graft.functions.vectors.chunk_tokens(c, chunkSize, chunkSize - overlap)
+  }
+
+  /** Explode documents into overlapping token-window chunks for training-data
+    * preparation: one output row per chunk, `(idCols..., chunk_index,
+    * chunk_text)`. Narrow (no shuffle): chunking runs inside whole-stage
+    * codegen next to the scan, and the explode multiplies rows
+    * partition-locally — at 100 TB the output partitioning simply inherits
+    * the input's. */
+  def chunkByTokens(
+      df: org.apache.spark.sql.DataFrame, text: Column,
+      chunkSize: Int, overlap: Int, idCols: Column*): org.apache.spark.sql.DataFrame =
+    df.select(idCols :+
+      posexplode(chunkTokens(text, chunkSize, overlap)).as(Seq("chunk_index", "chunk_text")): _*)
+
+  // --------------------------------------------------------------------------
   // Language identification (marker-word heuristic)
   // --------------------------------------------------------------------------
 

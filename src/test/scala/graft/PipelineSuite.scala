@@ -76,6 +76,64 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
   // dedup
   // --------------------------------------------------------------------------
 
+  test("topNgramStats matches a naive mode count; short docs give zeros") {
+    // naive reference over the same ASCII tokens
+    def naive(s: String, n: Int): (Long, Long) = {
+      val toks = s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val grams = toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+      if (grams.isEmpty) (0L, 0L)
+      else (grams.size.toLong, grams.groupBy(identity).values.map(_.size).max.toLong)
+    }
+    val docs = Seq(
+      "the cat sat on the mat the cat sat again",
+      "a a a a a",
+      "one two",           // no trigrams
+      "solo",              // no bigrams
+      "",                  // no tokens at all
+      "x y x y x y z x y" // repeated bigram
+    )
+    for (n <- 1 to 3) {
+      val got = docs.toDF("t")
+        .select(TextFunctions.topNgramStats(col("t"), n).as("s"))
+        .as[Seq[Long]].collect()
+      docs.zip(got).foreach { case (d, s) =>
+        val (total, top) = naive(d, n)
+        assert(s == Seq(total, top), s"n=$n doc='$d'")
+      }
+    }
+    // fraction column: repeated-bigram doc scores high, natural doc lower
+    val fr = docs.toDF("t")
+      .select(TextFunctions.topNgramFraction(col("t"), 2).as("f"))
+      .as[Double].collect()
+    assert(fr(1) == 1.0)  // "a a a a a": every bigram is "a a"
+    assert(fr(4) == 0.0)  // empty doc
+    assert(fr(5) > fr(0))
+  }
+
+  test("chunkTokens windows with overlap; empty docs chunkless; chunkSize >= len gives one chunk") {
+    val chunks = Seq("a b c d e f g h i j").toDF("t")
+      .select(TextFunctions.chunkTokens(col("t"), 4, 1).as("c"))
+      .as[Seq[String]].head()
+    // stride 3: starts at 0,3,6,9 while start < 10
+    assert(chunks == Seq("a b c d", "d e f g", "g h i j", "j"))
+    val whole = Seq("a b c").toDF("t")
+      .select(TextFunctions.chunkTokens(col("t"), 16, 4).as("c"))
+      .as[Seq[String]].head()
+    assert(whole == Seq("a b c"))
+    val empty = Seq("  ,,  ").toDF("t")
+      .select(TextFunctions.chunkTokens(col("t"), 4, 1).as("c"))
+      .as[Seq[String]].head()
+    assert(empty.isEmpty)
+    // exploded operator carries ids and 0-based chunk indexes
+    val rows = TextFunctions.chunkByTokens(
+      Seq((7, "a b c d e")).toDF("id", "t"), col("t"), 2, 0, col("id"))
+      .as[(Int, Int, String)].collect().sortBy(_._2)
+    assert(rows.toSeq == Seq((7, 0, "a b"), (7, 1, "c d"), (7, 2, "e")))
+    intercept[IllegalArgumentException] {
+      TextFunctions.chunkTokens(col("t"), 4, 4)
+    }
+  }
+
   test("dropExactTextDuplicates keeps smallest id per normalized text") {
     val df = Seq(
       (1L, "some document text"), (2L, "Some  Document   Text"),
