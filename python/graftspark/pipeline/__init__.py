@@ -1,0 +1,155 @@
+"""LLM-data-pipeline operators for PySpark, bridging to the graft JVM kernels.
+
+Column functions (tokenize_ascii, token_stats, top_ngram_stats, chunk_tokens,
+lang_id, quality_score, fingerprint_md5, hashed_word_shingles,
+cosine_similarity, dot_product) return codegen'd Catalyst expressions — the
+same single-pass kernels the Scala API uses; no Python UDFs, no serialization.
+
+DataFrame operators (chunk_by_tokens, drop_exact_text_duplicates,
+near_dup_pairs_minhash, deduplicate_minhash, brute_force_top_k) delegate to
+graft.text.TextFunctions / graft.dedup.Dedup / graft.ann.Ann.
+"""
+
+from typing import List
+
+from pyspark import SparkContext
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.functions import col
+
+# graftspark resolves _to_java_column across pyspark versions (classic vs sql)
+from graftspark import ColumnOrName, _bridge, _to_java_column, _to_java_columns
+
+__all__ = [
+    "tokenize_ascii", "token_stats", "top_ngram_stats", "top_ngram_fraction",
+    "chunk_tokens", "chunk_by_tokens", "lang_id", "quality_score",
+    "approx_bpe_token_count", "fingerprint_md5", "hashed_word_shingles",
+    "cosine_similarity", "dot_product", "drop_exact_text_duplicates",
+    "near_dup_pairs_minhash", "deduplicate_minhash", "brute_force_top_k",
+]
+
+# English stopwords used by the Scala token_stats default (kept in sync with
+# graft.text.TextFunctions.EnglishStopwords).
+ENGLISH_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as",
+]
+
+
+def _jcol(c: ColumnOrName):
+    return _to_java_column(c if isinstance(c, Column) else col(c))
+
+
+def _col_fn(name: str, *args) -> Column:
+    sc = SparkContext._active_spark_context
+    return Column(getattr(_bridge(sc), name)(*args))
+
+
+def tokenize_ascii(text: ColumnOrName) -> Column:
+    """Lowercased [a-z0-9] tokens, single codegen'd pass -> array<string>."""
+    return _col_fn("tokenizeAscii", _jcol(text))
+
+
+def token_stats(text: ColumnOrName, stopwords: List[str] = ENGLISH_STOPWORDS) -> Column:
+    """array<long> [n_tokens, distinct_tokens, total_token_chars, stopword_count]."""
+    return _col_fn("tokenStats", _jcol(text), list(stopwords))
+
+
+def top_ngram_stats(text: ColumnOrName, n: int) -> Column:
+    """array<long> [total n-gram occurrences, count of the most frequent n-gram]."""
+    return _col_fn("topNgramStats", _jcol(text), int(n))
+
+
+def top_ngram_fraction(text: ColumnOrName, n: int) -> Column:
+    """Fraction of n-gram occurrences taken by the most frequent n-gram
+    (repetition quality signal; 0.0 for docs with fewer than n tokens)."""
+    return _col_fn("topNgramFraction", _jcol(text), int(n))
+
+
+def chunk_tokens(text: ColumnOrName, chunk_size: int, overlap: int = 0) -> Column:
+    """Overlapping token-window chunks re-joined by spaces -> array<string>."""
+    return _col_fn("chunkTokens", _jcol(text), int(chunk_size), int(overlap))
+
+
+def lang_id(text: ColumnOrName) -> Column:
+    """Marker-word language id ('en'/'fr'/'de'/'es'/'und'), deterministic ties."""
+    return _col_fn("langId", _jcol(text))
+
+
+def quality_score(text: ColumnOrName) -> Column:
+    """Heuristic quality score in [0, 1]; higher = more natural-language-like."""
+    return _col_fn("qualityScore", _jcol(text))
+
+
+def approx_bpe_token_count(text: ColumnOrName) -> Column:
+    """Approximate BPE token count (pre-tokenizer segment count)."""
+    return _col_fn("approxBpeTokenCount", _jcol(text))
+
+
+def fingerprint_md5(text: ColumnOrName) -> Column:
+    """MD5 hex fingerprint of the whitespace/case-normalized text."""
+    return _col_fn("fingerprintMd5", _jcol(text))
+
+
+def hashed_word_shingles(text: ColumnOrName, n: int) -> Column:
+    """Distinct hashed word n-grams (single-pass kernel) -> array<long>."""
+    return _col_fn("hashedWordShingles", _jcol(text), int(n))
+
+
+def cosine_similarity(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Cosine similarity of two array<float> columns -> double."""
+    return _col_fn("cosineSimilarity", _jcol(a), _jcol(b))
+
+
+def dot_product(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Dot product of two array<float> columns -> double."""
+    return _col_fn("dotProduct", _jcol(a), _jcol(b))
+
+
+def chunk_by_tokens(df: DataFrame, text: ColumnOrName,
+                    chunk_size: int, overlap: int,
+                    *id_cols: ColumnOrName) -> DataFrame:
+    """One row per overlapping token-window chunk:
+    (id_cols..., chunk_index, chunk_text). Narrow plan — no shuffle."""
+    jdf = _bridge(df).chunkByTokens(
+        df._jdf, _jcol(text), int(chunk_size), int(overlap),
+        _to_java_columns(id_cols))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def drop_exact_text_duplicates(df: DataFrame, id_col: ColumnOrName,
+                               text: ColumnOrName) -> DataFrame:
+    """Keep the smallest-id row per normalized-text fingerprint."""
+    jdf = _bridge(df).dropExactTextDuplicates(df._jdf, _jcol(id_col), _jcol(text))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def near_dup_pairs_minhash(df: DataFrame, id_col: ColumnOrName, text: ColumnOrName,
+                           shingle_size: int = 3, bands: int = 16,
+                           rows_per_band: int = 8, threshold: float = 0.8) -> DataFrame:
+    """MinHash+LSH candidate pairs verified by exact shingle Jaccard:
+    (idA, idB, jaccard) with idA < idB and jaccard >= threshold."""
+    jdf = _bridge(df).nearDupPairsMinHash(
+        df._jdf, _jcol(id_col), _jcol(text),
+        int(shingle_size), int(bands), int(rows_per_band), float(threshold))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def deduplicate_minhash(df: DataFrame, id_col: ColumnOrName, text: ColumnOrName,
+                        shingle_size: int = 3, bands: int = 16,
+                        rows_per_band: int = 8, threshold: float = 0.8) -> DataFrame:
+    """End-to-end MinHash near-dup dedup: keep first of every duplicate set."""
+    jdf = _bridge(df).deduplicateMinHash(
+        df._jdf, _jcol(id_col), _jcol(text),
+        int(shingle_size), int(bands), int(rows_per_band), float(threshold))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def brute_force_top_k(queries: DataFrame, corpus: DataFrame,
+                      query_id: ColumnOrName, query_vec: ColumnOrName,
+                      corpus_id: ColumnOrName, corpus_vec: ColumnOrName,
+                      k: int) -> DataFrame:
+    """Exact cosine top-k: (query_id, rank, neighbor_id, cosine)."""
+    jdf = _bridge(queries).bruteForceTopK(
+        queries._jdf, corpus._jdf, _jcol(query_id), _jcol(query_vec),
+        _jcol(corpus_id), _jcol(corpus_vec), int(k))
+    return DataFrame(jdf, queries.sparkSession)

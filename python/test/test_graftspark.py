@@ -253,6 +253,76 @@ class GraftsparkTest(unittest.TestCase):
         finally:
             shutil.rmtree(whl_dir, ignore_errors=True)
 
+    def test_pipeline_column_functions(self):
+        from graftspark import pipeline as P
+        df = self.spark.createDataFrame(
+            [(1, "The cat sat on the mat the cat sat"), (2, "a a a a"), (3, "")],
+            ["id", "text"])
+        row = (df
+               .select("id",
+                       P.tokenize_ascii("text").alias("toks"),
+                       P.token_stats("text").alias("st"),
+                       P.top_ngram_stats("text", 2).alias("g2"),
+                       P.top_ngram_fraction("text", 2).alias("fr"),
+                       P.chunk_tokens("text", 4, 1).alias("chunks"),
+                       P.lang_id("text").alias("lang"),
+                       P.fingerprint_md5("text").alias("fp"),
+                       P.hashed_word_shingles("text", 2).alias("sh"))
+               .orderBy("id").collect())
+        self.assertEqual(row[0]["toks"][:3], ["the", "cat", "sat"])
+        self.assertEqual(row[0]["st"][0], 9)       # 9 tokens
+        self.assertEqual(row[1]["g2"], [3, 3])     # all bigrams are "a a"
+        self.assertEqual(row[1]["fr"], 1.0)
+        self.assertEqual(row[2]["chunks"], [])
+        self.assertEqual(row[0]["lang"], "en")
+        self.assertEqual(len(row[0]["fp"]), 32)
+        self.assertTrue(len(row[0]["sh"]) > 0)
+
+    def test_pipeline_dataframe_operators(self):
+        from graftspark import pipeline as P
+        df = self.spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha  beta GAMMA delta"),
+             (3, "totally different text here")],
+            ["id", "text"])
+        # chunking explodes to one row per chunk
+        chunks = P.chunk_by_tokens(df, "text", 2, 0, col("id")).collect()
+        self.assertEqual(sorted((r["id"], r["chunk_index"]) for r in chunks),
+                         [(1, 0), (1, 1), (2, 0), (2, 1), (3, 0), (3, 1)])
+        # exact dedup folds case/whitespace variants
+        kept = sorted(r["id"] for r in
+                      P.drop_exact_text_duplicates(df, col("id"), col("text")).collect())
+        self.assertEqual(kept, [1, 3])
+        # minhash pairs and end-to-end dedup agree
+        pairs = P.near_dup_pairs_minhash(
+            df, col("id"), col("text"), shingle_size=2, threshold=0.99).collect()
+        self.assertEqual([(r["idA"], r["idB"]) for r in pairs], [(1, 2)])
+        kept2 = sorted(r["id"] for r in P.deduplicate_minhash(
+            df, col("id"), col("text"), shingle_size=2, threshold=0.99).collect())
+        self.assertEqual(kept2, [1, 3])
+
+    def test_pipeline_vector_functions(self):
+        from graftspark import pipeline as P
+        from pyspark.sql.types import (ArrayType, FloatType, IntegerType,
+                                       StructField, StructType)
+        schema = StructType([
+            StructField("id", IntegerType()),
+            StructField("vec", ArrayType(FloatType()))])
+        df = self.spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 0.001])], schema)
+        sims = (df.alias("a").crossJoin(df.alias("b"))
+                .select(col("a.id").alias("ia"), col("b.id").alias("ib"),
+                        P.cosine_similarity(col("a.vec"), col("b.vec")).alias("cos"))
+                .collect())
+        by_pair = {(r["ia"], r["ib"]): r["cos"] for r in sims}
+        self.assertAlmostEqual(by_pair[(1, 1)], 1.0, places=6)
+        self.assertAlmostEqual(by_pair[(1, 2)], 0.0, places=6)
+        self.assertGreater(by_pair[(1, 3)], 0.99)
+        topk = P.brute_force_top_k(
+            df, df, col("id"), col("vec"), col("id"), col("vec"), 1).collect()
+        best = {r["query_id"]: r["neighbor_id"] for r in topk}
+        self.assertEqual(best[1], 3)
+        self.assertEqual(best[3], 1)
+
     @staticmethod
     def _make_wheel(directory: str) -> str:
         """A minimal offline-installable wheel (zero-egress test env)."""

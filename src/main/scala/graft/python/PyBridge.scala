@@ -168,6 +168,64 @@ object PyBridge {
     graft.functions.unixEpochNanosToDotNetTicks(unixNanos)
 
   // --------------------------------------------------------------------------
+  // LLM-pipeline operators (text kernels, dedup, similarity, chunking)
+  // --------------------------------------------------------------------------
+
+  def tokenizeAscii(c: Column): Column = graft.functions.vectors.tokenize_ascii(c)
+
+  def tokenStats(c: Column, stopwords: JList[String]): Column =
+    graft.functions.vectors.token_stats(c, stopwords.asScala.toSeq)
+
+  def topNgramStats(c: Column, n: Int): Column =
+    graft.text.TextFunctions.topNgramStats(c, n)
+
+  def topNgramFraction(c: Column, n: Int): Column =
+    graft.text.TextFunctions.topNgramFraction(c, n)
+
+  def chunkTokens(c: Column, chunkSize: Int, overlap: Int): Column =
+    graft.text.TextFunctions.chunkTokens(c, chunkSize, overlap)
+
+  def chunkByTokens(df: DataFrame, text: Column, chunkSize: Int, overlap: Int,
+                    idCols: JList[Column]): DataFrame =
+    graft.text.TextFunctions.chunkByTokens(df, text, chunkSize, overlap, idCols.asScala.toSeq: _*)
+
+  def langId(c: Column): Column = graft.text.TextFunctions.langId(c)
+
+  def qualityScore(c: Column): Column = graft.text.TextFunctions.qualityScore(c)
+
+  def approxBpeTokenCount(c: Column): Column =
+    graft.text.TextFunctions.approxBpeTokenCount(c)
+
+  def fingerprintMd5(c: Column): Column = graft.text.TextFunctions.fingerprintMd5(c)
+
+  def hashedWordShingles(c: Column, n: Int): Column =
+    graft.functions.vectors.hashed_word_shingles(c, n)
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    graft.functions.vectors.cosine_similarity(a, b)
+
+  def dotProduct(a: Column, b: Column): Column =
+    graft.functions.vectors.dot_product(a, b)
+
+  def dropExactTextDuplicates(df: DataFrame, id: Column, text: Column): DataFrame =
+    graft.dedup.Dedup.dropExactTextDuplicates(df, text, id)
+
+  def nearDupPairsMinHash(df: DataFrame, id: Column, text: Column,
+                          shingleSize: Int, bands: Int, rowsPerBand: Int,
+                          threshold: Double): DataFrame =
+    graft.dedup.Dedup.nearDupPairsMinHash(df, id, text, shingleSize, bands, rowsPerBand, threshold)
+
+  def deduplicateMinHash(df: DataFrame, id: Column, text: Column,
+                         shingleSize: Int, bands: Int, rowsPerBand: Int,
+                         threshold: Double): DataFrame =
+    graft.dedup.Dedup.deduplicateMinHash(df, id, text, shingleSize, bands, rowsPerBand, threshold)
+
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     queryId: Column, queryVec: Column,
+                     corpusId: Column, corpusVec: Column, k: Int): DataFrame =
+    graft.ann.Ann.bruteForceTopK(queries, corpus, queryId, queryVec, corpusId, corpusVec, k)
+
+  // --------------------------------------------------------------------------
   // job description (set/restore primitives for Python context managers)
   // --------------------------------------------------------------------------
 
