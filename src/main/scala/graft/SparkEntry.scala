@@ -366,6 +366,39 @@ object SparkEntry {
       graft.text.TextFunctions.chunkByTokens(
         t(s, dir, "documents"), col("text"), 32, 8, col("doc_id"))),
 
+    // per-source corpus quality report: integer counts aggregated exactly,
+    // ratios as one double division of two exact sums (engine-portable).
+    // One groupBy shuffle over tiny per-doc stat rows — the kernel runs
+    // next to the scan, only (source, 4 longs) reaches the exchange.
+    "corpus_quality_report" -> ((s, dir) => {
+      import graft.text.TextFunctions._
+      t(s, dir, "documents")
+        .withColumn("st", tokenStatsAscii(col("text"), EnglishStopwords))
+        .withColumn("g2", topNgramStats(col("text"), 2))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("st")(0)).as("total_tokens"),
+          when(sum(col("st")(0)) === 0, lit(0.0))
+            .otherwise(sum(col("st")(3)).cast("double") / sum(col("st")(0)).cast("double"))
+            .as("stopword_ratio"),
+          when(sum(col("g2")(0)) === 0, lit(0.0))
+            .otherwise(sum(col("g2")(1)).cast("double") / sum(col("g2")(0)).cast("double"))
+            .as("rep_bigram_fraction"))
+    }),
+
+    // benchmark decontamination: drop documents sharing any 5-word shingle
+    // with the synthetic blocklist (doc_id % 97 == 0); the blocklist shingle
+    // set is broadcast, so the corpus side stays narrow.
+    "decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val blocklist = docs.filter(col("doc_id") % 97 === 0)
+      graft.dedup.Dedup.decontaminate(
+        docs, col("doc_id"), col("text"), blocklist, col("text"),
+        shingleSize = 5, minOverlap = 1)
+        .select(col("doc_id"))
+    }),
+
     // exact dedup: corpus with planted normalized-duplicate copies
     "dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -793,6 +826,28 @@ object SparkEntry {
           "SELECT doc_id, CAST(u.i AS INT) AS chunk_index, " +
           "array_to_string(toks[u.i * 24 + 1 : u.i * 24 + 32], ' ') AS chunk_text " +
           "FROM c, unnest(range(0, nc)) AS u(i)"),
+
+      "corpus_quality_report" ->
+        (s"WITH $docTokCte, st AS (SELECT doc_id, toks, " +
+          "len(toks) AS n_tok, " +
+          "len([t for t in toks if list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], t)]) AS n_stop, " +
+          "CASE WHEN len(toks) < 2 THEN 0 ELSE len(toks) - 1 END AS n_g2, " +
+          "CASE WHEN len(toks) < 2 THEN 0 ELSE COALESCE(list_max([len([y for y in g2 if y = x]) for x in list_distinct(g2)]), 0) END AS p_g2 " +
+          "FROM (SELECT doc_id, toks, CASE WHEN len(toks) < 2 THEN [] ELSE [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))] END AS g2 FROM tok)) " +
+          "SELECT d.source, COUNT(*) AS n_docs, " +
+          "CAST(SUM(st.n_tok) AS BIGINT) AS total_tokens, " +
+          "CASE WHEN SUM(st.n_tok) = 0 THEN 0.0 ELSE CAST(SUM(st.n_stop) AS DOUBLE) / CAST(SUM(st.n_tok) AS DOUBLE) END AS stopword_ratio, " +
+          "CASE WHEN SUM(st.n_g2) = 0 THEN 0.0 ELSE CAST(SUM(st.p_g2) AS DOUBLE) / CAST(SUM(st.n_g2) AS DOUBLE) END AS rep_bigram_fraction " +
+          "FROM documents d JOIN st ON d.doc_id = st.doc_id GROUP BY d.source"),
+
+      "decontaminate" ->
+        (s"WITH $docTokCte, sh5 AS (SELECT doc_id, " +
+          "CASE WHEN len(toks) < 5 THEN [] ELSE list_distinct([array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks) - 3)]) END AS s " +
+          "FROM tok), " +
+          "ex AS (SELECT doc_id, u.g FROM sh5, unnest(sh5.s) AS u(g)), " +
+          "bl AS (SELECT DISTINCT g FROM ex WHERE doc_id % 97 = 0), " +
+          "cont AS (SELECT DISTINCT ex.doc_id FROM ex JOIN bl USING (g)) " +
+          "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM cont)"),
 
       "dedup_exact" ->
         ("WITH corpus AS (SELECT doc_id, text FROM documents " +

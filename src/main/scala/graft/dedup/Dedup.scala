@@ -52,6 +52,46 @@ object Dedup {
     dropExactDuplicates(df, TextFunctions.fingerprintMd5(textCol), idCol)
 
   // --------------------------------------------------------------------------
+  // Decontamination (benchmark / test-set overlap removal)
+  // --------------------------------------------------------------------------
+
+  /**
+   * Drop corpus documents that share at least `minOverlap` distinct
+   * `shingleSize`-word shingles with ANY blocklist document — the standard
+   * n-gram decontamination step that removes evaluation/benchmark text from a
+   * training corpus.
+   *
+   * Scale shape: the blocklist (benchmark suites) is tiny next to a 100 TB
+   * corpus, so its distinct shingle set is broadcast (`broadcastBlocklist`,
+   * default on) — the corpus-side explode+join is then narrow (no shuffle of
+   * corpus data); only the matched (doc, shingle) rows — a small set — are
+   * shuffled for the per-doc overlap count, and the final anti-join is
+   * against that small contaminated-id set. Shingles are hashed 64-bit
+   * (collision odds 2^-64 — the same representation the dedup pipeline uses),
+   * so the broadcast set is 8 bytes per shingle.
+   */
+  def decontaminate(
+      corpus: DataFrame, id: Column, text: Column,
+      blocklist: DataFrame, blocklistText: Column,
+      shingleSize: Int = 8, minOverlap: Int = 1,
+      broadcastBlocklist: Boolean = true): DataFrame = {
+    require(minOverlap >= 1, s"minOverlap must be >= 1: $minOverlap")
+    val blockShingles = blocklist
+      .select(explode(TextFunctions.hashedTextShingles(blocklistText, shingleSize)).as("__h"))
+      .distinct()
+    val bl = if (broadcastBlocklist) broadcast(blockShingles) else blockShingles
+    // per-doc shingles are distinct (hashedTextShingles dedups), so the join
+    // match count IS the distinct-overlap count
+    val docShingles = corpus.select(
+      id.as("__did"), explode(TextFunctions.hashedTextShingles(text, shingleSize)).as("__h"))
+    val contaminated = docShingles.join(bl, Seq("__h"))
+      .groupBy(col("__did")).agg(count(lit(1)).as("__k"))
+      .filter(col("__k") >= minOverlap)
+      .select(col("__did"))
+    corpus.join(contaminated, id === col("__did"), "left_anti")
+  }
+
+  // --------------------------------------------------------------------------
   // MinHash + LSH near-dup
   // --------------------------------------------------------------------------
 

@@ -155,6 +155,27 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     base ++ dups
   }
 
+  test("decontaminate drops blocklist-overlapping docs; overlap threshold honored") {
+    val corpus = Seq(
+      (1, "the quick brown fox jumps over the lazy dog today"),     // benchmark text
+      (2, "the quick brown fox jumps over the lazy dog yesterday"), // near-dup: 5 shared 5-shingles
+      (3, "completely unrelated sentence about spark and parquet files written here")
+    ).toDF("id", "text")
+    val block = Seq("the quick brown fox jumps over the lazy dog today").toDF("text")
+    def kept(minOverlap: Int): Seq[Int] =
+      Dedup.decontaminate(corpus, col("id"), col("text"), block, col("text"),
+        shingleSize = 5, minOverlap = minOverlap)
+        .select("id").as[Int].collect().sorted.toSeq
+    // any shared 5-shingle contaminates: both the exact copy and the near-dup go
+    assert(kept(1) == Seq(3))
+    // doc 1 has 6 shingles (all shared); doc 2 shares only the 5 fully inside
+    // the common 9-token prefix — a 6-overlap requirement keeps it
+    assert(kept(6) == Seq(2, 3))
+    intercept[IllegalArgumentException] {
+      Dedup.decontaminate(corpus, col("id"), col("text"), block, col("text"), 5, 0)
+    }
+  }
+
   test("minhash near-dup pairs find planted duplicates only") {
     val df = nearDupCorpus.toDF("id", "text")
     val pairs = Dedup.nearDupPairsMinHash(df, col("id"), col("text"), threshold = 0.7)
