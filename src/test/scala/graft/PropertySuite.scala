@@ -1,0 +1,178 @@
+package graft
+
+import graft.diff.comparator.MapEquiv
+import graft.functions.VectorKernels
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData, MapData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Property-based tests (scalacheck, fixed seed for determinism) for the
+ * kernels whose JVM-vs-SQL equality semantics are easy to get subtly wrong.
+ * All properties evaluate kernels directly (no Spark jobs), so hundreds of
+ * cases run in milliseconds; the Spark-integration behavior of the same code
+ * is pinned by DiffMatrixSuite / PipelineSuite.
+ */
+class PropertySuite extends AnyFunSuite {
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(300)
+    .withInitialSeed(Seed(20260812L))
+
+  private def check(name: String, prop: Prop): Unit = {
+    val result = SCTest.check(params, prop)
+    assert(result.passed, s"$name failed: ${result.status}")
+  }
+
+  // --------------------------------------------------------------------------
+  // MapEquiv vs a canonical model
+  // --------------------------------------------------------------------------
+
+  /** Canonical form under SQL comparison semantics: -0.0 folded into 0.0,
+    * all NaNs collapsed (doubleToLongBits canonicalizes), bytes by content. */
+  private def canon(v: Any): Any = v match {
+    case d: java.lang.Double =>
+      java.lang.Double.doubleToLongBits(if (d.doubleValue() == 0.0d) 0.0d else d.doubleValue())
+    case b: Array[Byte] => b.toSeq
+    case other => other
+  }
+
+  private def toMapData(entries: Seq[(Any, Any)]): MapData =
+    new ArrayBasedMapData(
+      new GenericArrayData(entries.map(_._1).toArray),
+      new GenericArrayData(entries.map(_._2).toArray))
+
+  /** Reference semantics: equal size; keys as a sequence (order-sensitive) or
+    * as a set (insensitive); values SQL-equal per key. */
+  private def modelEquiv(l: Seq[(Any, Any)], r: Seq[(Any, Any)], ordered: Boolean): Boolean = {
+    val lc = l.map { case (k, v) => (canon(k), Option(v).map(canon)) }
+    val rc = r.map { case (k, v) => (canon(k), Option(v).map(canon)) }
+    if (ordered) lc == rc
+    else lc.size == rc.size && lc.toMap == rc.toMap
+  }
+
+  // special doubles appear often so equal-but-differently-represented maps
+  // (0.0 vs -0.0, NaN bit patterns) are generated frequently
+  private val genDouble: Gen[java.lang.Double] = Gen.oneOf(
+    Gen.oneOf[Double](0.0, -0.0, Double.NaN, 1.5, -2.25, Double.MaxValue),
+    Gen.choose(-5.0, 5.0)).map(java.lang.Double.valueOf)
+
+  private val genBytes: Gen[Array[Byte]] =
+    Gen.chooseNum(0, 3).flatMap(n => Gen.listOfN(n, Gen.chooseNum(-2, 2).map(_.toByte)).map(_.toArray))
+
+  private def genEntries[K, V](genK: Gen[K], genV: Gen[V]): Gen[Seq[(K, V)]] =
+    for {
+      n <- Gen.chooseNum(0, 4)
+      ks <- Gen.listOfN(n, genK)
+      vs <- Gen.listOfN(n, genV)
+    } yield {
+      // Spark map keys are unique: dedup by canonical form, keep first
+      val seen = scala.collection.mutable.HashSet.empty[Any]
+      ks.zip(vs).filter { case (k, _) => seen.add(canon(k)) }
+    }
+
+  /** Pairs biased toward near-equality: identical, shuffled, one-value
+    * mutation, or independent. */
+  private def genPair[K, V](genE: Gen[Seq[(K, V)]], mutate: Gen[V]): Gen[(Seq[(K, V)], Seq[(K, V)])] =
+    for {
+      l <- genE
+      mode <- Gen.chooseNum(0, 3)
+      r <- mode match {
+        case 0 => Gen.const(l)
+        case 1 => Gen.const(l.reverse)
+        case 2 if l.nonEmpty => mutate.map(v => l.updated(l.size - 1, (l.last._1, v)))
+        case _ => genE
+      }
+    } yield (l, r)
+
+  test("MapEquiv double keys/values match canonical SQL semantics (signed zeros, NaN)") {
+    val gen = genPair(genEntries(genDouble, genDouble), genDouble)
+    for (ordered <- Seq(false, true)) {
+      val eqv = MapEquiv(DoubleType, DoubleType, ordered)
+      check(s"double ordered=$ordered", Prop.forAll(gen) { case (l, r) =>
+        eqv.equiv(toMapData(l), toMapData(r)) == modelEquiv(l, r, ordered)
+      })
+    }
+  }
+
+  test("MapEquiv binary keys/values match content equality") {
+    val gen = genPair(genEntries(genBytes, genBytes), genBytes)
+    for (ordered <- Seq(false, true)) {
+      val eqv = MapEquiv(BinaryType, BinaryType, ordered)
+      check(s"binary ordered=$ordered", Prop.forAll(gen) { case (l, r) =>
+        // fresh array instances: content equality must not depend on identity
+        def copy(e: Seq[(Array[Byte], Array[Byte])]) = e.map { case (k, v) => (k.clone(), v.clone()) }
+        eqv.equiv(toMapData(copy(l)), toMapData(copy(r))) == modelEquiv(l, r, ordered)
+      })
+    }
+  }
+
+  test("MapEquiv string keys with nullable int values match the model") {
+    val genK = Gen.oneOf("a", "b", "c", "d").map(UTF8String.fromString)
+    val genV = Gen.oneOf(Gen.const(null: Integer), Gen.chooseNum(0, 2).map(Integer.valueOf))
+    val gen = genPair(genEntries[UTF8String, Integer](genK, genV),
+      genV.map(_.asInstanceOf[Integer]))
+    for (ordered <- Seq(false, true)) {
+      val eqv = MapEquiv(StringType, IntegerType, ordered)
+      check(s"string ordered=$ordered", Prop.forAll(gen) { case (l, r) =>
+        eqv.equiv(toMapData(l), toMapData(r)) == modelEquiv(l, r, ordered)
+      })
+    }
+  }
+
+  // --------------------------------------------------------------------------
+  // text kernels vs naive models
+  // --------------------------------------------------------------------------
+
+  private val genWord: Gen[String] = Gen.oneOf("a", "bb", "key", "row", "x1", "scan")
+  private val genDoc: Gen[String] = for {
+    n <- Gen.chooseNum(0, 30)
+    ws <- Gen.listOfN(n, genWord)
+    sep <- Gen.oneOf(" ", "  ", ", ", "\t")
+  } yield ws.mkString(sep)
+
+  test("topNgramStats equals the naive mode count on random docs") {
+    def naive(s: String, n: Int): Seq[Long] = {
+      val toks = s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val grams = toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+      if (grams.isEmpty) Seq(0L, 0L)
+      else Seq(grams.size.toLong, grams.groupBy(identity).values.map(_.size).max.toLong)
+    }
+    check("topNgramStats", Prop.forAll(genDoc, Gen.chooseNum(1, 4)) { (doc, n) =>
+      VectorKernels.topNgramStats(UTF8String.fromString(doc), n).toSeq == naive(doc, n)
+    })
+  }
+
+  test("chunkTokens partitions the token stream (no overlap) and respects window size") {
+    check("chunkTokens", Prop.forAll(genDoc, Gen.chooseNum(1, 8), Gen.chooseNum(0, 7)) {
+      (doc, chunkSize, rawOverlap) =>
+        val overlap = math.min(rawOverlap, chunkSize - 1)
+        val stride = chunkSize - overlap
+        val toks = VectorKernels.tokenizeAscii(UTF8String.fromString(doc)).map(_.toString)
+        val chunks = VectorKernels.chunkTokens(UTF8String.fromString(doc), chunkSize, stride)
+          .map(_.toString)
+        val chunkToks = chunks.map(_.split(" ").filter(_.nonEmpty).toSeq)
+        val starts = chunks.indices.map(_ * stride)
+        // every chunk is exactly its token window
+        val windowsOk = chunkToks.zip(starts).forall { case (c, s) =>
+          c == toks.slice(s, math.min(s + chunkSize, toks.length)).toSeq
+        }
+        // chunk count: ceil(len / stride), zero for empty docs
+        val countOk = chunks.length == (toks.length + stride - 1) / stride
+        // overlap=0 partitions the stream exactly
+        val partitionOk = overlap != 0 || chunkToks.flatten.toSeq == toks.toSeq
+        windowsOk && countOk && partitionOk
+    })
+  }
+
+  test("hashedWordShingles cardinality equals distinct string shingles") {
+    check("shingles", Prop.forAll(genDoc, Gen.chooseNum(1, 4)) { (doc, n) =>
+      val toks = VectorKernels.tokenizeAscii(UTF8String.fromString(doc)).map(_.toString)
+      val strShingles = toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+      VectorKernels.hashedWordShingles(UTF8String.fromString(doc), n).length == strShingles.size
+    })
+  }
+}
