@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{ChunkTokens, CosineSimilarity, DotProduct, HashedWordShingles,
+  MinHashBandHashes, MinHashSignature, SimHash64, TokenStats, TokenizeAscii, TopNgramStats}
+import graft.multimodal.{ByteEntropy, ByteNibbleHistogram}
+
+/**
+ * SQL registration for the graft Catalyst kernels, so `spark.sql("...")`
+ * users get the same codegen'd expressions as the Scala/Python APIs:
+ *
+ *   - config-based, before session build:
+ *       `--conf spark.sql.extensions=graft.GraftExtensions`
+ *   - programmatic, on a live session:
+ *       `graft.GraftExtensions.registerAll(spark)`
+ *
+ * Non-column arguments (n, bands, chunk sizes) must be integer literals —
+ * they parameterize the generated code and cannot vary per row.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = {
+    require(e.foldable, s"$fn: $arg must be a literal integer, got $e")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a literal integer, got $other")
+    }
+  }
+
+  private def stringLits(es: Seq[Expression], fn: String): Seq[String] =
+    es.map { e =>
+      require(e.foldable, s"$fn: stopwords must be string literals")
+      String.valueOf(e.eval())
+    }
+
+  private def arity(fn: String, es: Seq[Expression], expected: Int*): Unit =
+    require(expected.contains(es.length),
+      s"$fn expects ${expected.mkString(" or ")} arguments, got ${es.length}")
+
+  private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft.GraftExtensions", null, name, usage, ""),
+      builder)
+
+  /** All SQL-registrable kernels: name, doc, builder. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    fn("tokenize_ascii", "tokenize_ascii(text) - lowercased [a-z0-9] tokens") { es =>
+      arity("tokenize_ascii", es, 1); TokenizeAscii(es.head)
+    },
+    fn("token_stats",
+      "token_stats(text[, stopword, ...]) - [n_tokens, distinct, chars, stopword_count]") { es =>
+      arity("token_stats", es, (1 to 32): _*)
+      TokenStats(es.head, stringLits(es.tail, "token_stats"))
+    },
+    fn("top_ngram_stats", "top_ngram_stats(text, n) - [total n-grams, top n-gram count]") { es =>
+      arity("top_ngram_stats", es, 2)
+      TopNgramStats(es.head, intLit(es(1), "top_ngram_stats", "n"))
+    },
+    fn("chunk_tokens", "chunk_tokens(text, chunkSize, stride) - token-window chunks") { es =>
+      arity("chunk_tokens", es, 3)
+      ChunkTokens(es.head, intLit(es(1), "chunk_tokens", "chunkSize"),
+        intLit(es(2), "chunk_tokens", "stride"))
+    },
+    fn("hashed_word_shingles", "hashed_word_shingles(text, n) - distinct hashed word n-grams") { es =>
+      arity("hashed_word_shingles", es, 2)
+      HashedWordShingles(es.head, intLit(es(1), "hashed_word_shingles", "n"))
+    },
+    fn("minhash_signature", "minhash_signature(features, k) - k MinHash values") { es =>
+      arity("minhash_signature", es, 2)
+      MinHashSignature(es.head, intLit(es(1), "minhash_signature", "k"))
+    },
+    fn("minhash_band_hashes",
+      "minhash_band_hashes(features, bands, rowsPerBand) - LSH band bucket hashes") { es =>
+      arity("minhash_band_hashes", es, 3)
+      MinHashBandHashes(es.head, intLit(es(1), "minhash_band_hashes", "bands"),
+        intLit(es(2), "minhash_band_hashes", "rowsPerBand"))
+    },
+    fn("simhash64", "simhash64(features) - 64-bit SimHash") { es =>
+      arity("simhash64", es, 1); SimHash64(es.head)
+    },
+    fn("cosine_similarity", "cosine_similarity(a, b) - cosine over array<float>") { es =>
+      arity("cosine_similarity", es, 2); CosineSimilarity(es.head, es(1))
+    },
+    fn("dot_product", "dot_product(a, b) - dot product over array<float>") { es =>
+      arity("dot_product", es, 2); DotProduct(es.head, es(1))
+    },
+    fn("byte_entropy", "byte_entropy(binary) - Shannon entropy in bits/byte") { es =>
+      arity("byte_entropy", es, 1); ByteEntropy(es.head)
+    },
+    fn("byte_nibble_histogram", "byte_nibble_histogram(binary) - 16 high-nibble counts") { es =>
+      arity("byte_nibble_histogram", es, 1); ByteNibbleHistogram(es.head)
+    })
+
+  /** Register every kernel into a live session's function registry. */
+  def registerAll(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    functions.foreach { case (ident, info, builder) =>
+      registry.registerFunction(ident, info, builder)
+    }
+  }
+}

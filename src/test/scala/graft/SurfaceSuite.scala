@@ -64,6 +64,44 @@ class SurfaceSuite extends AnyFunSuite with SparkTest {
       left, right, Seq("id"))(Encoders.product[ActionOnly])
     assert(ds.collect().map(_.diff).toSeq == Seq("C"))
   }
+
+  test("GraftExtensions registers the kernels for SQL use") {
+    GraftExtensions.registerAll(spark)
+    Seq((1L, "The cat sat the cat sat")).toDF("id", "text")
+      .createOrReplaceTempView("ext_docs")
+    val row = spark.sql(
+      """SELECT tokenize_ascii(text) AS toks,
+        |       token_stats(text, 'the') AS st,
+        |       top_ngram_stats(text, 2) AS g2,
+        |       chunk_tokens(text, 3, 3) AS chunks,
+        |       size(hashed_word_shingles(text, 2)) AS n_sh,
+        |       simhash64(tokenize_ascii(text)) AS sh64
+        |FROM ext_docs""".stripMargin).collect().head
+    assert(row.getSeq[String](0) == Seq("the", "cat", "sat", "the", "cat", "sat"))
+    assert(row.getSeq[Long](1) == Seq(6L, 3L, 18L, 2L)) // 6 toks, 3 distinct, 18 chars, 2 'the'
+    assert(row.getSeq[Long](2) == Seq(5L, 2L))          // 5 bigrams, "cat sat" and "the cat" twice
+    assert(row.getSeq[String](3) == Seq("the cat sat", "the cat sat"))
+    assert(row.getInt(4) == 3)                          // distinct bigrams
+    // vector functions over array<float>
+    val vrow = spark.sql(
+      """SELECT cosine_similarity(a, b) AS cos, dot_product(a, b) AS dot FROM VALUES
+        |  (array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |   array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS t(a, b)""".stripMargin)
+      .collect().head
+    assert(math.abs(vrow.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(vrow.getDouble(1) - 1.0) < 1e-9)
+    // binary kernels
+    val brow = spark.sql(
+      "SELECT byte_entropy(CAST('aaaa' AS BINARY)) AS e, " +
+        "byte_nibble_histogram(CAST('aaaa' AS BINARY))[6] AS h6").collect().head
+    assert(brow.getDouble(0) == 0.0) // constant bytes -> zero entropy
+    assert(brow.getLong(1) == 4L)    // 'a' = 0x61 -> high nibble 6
+    // non-literal size parameters are rejected with a clear message
+    val err = intercept[Exception] {
+      spark.sql("SELECT top_ngram_stats(text, id + 1) FROM ext_docs").collect()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
 }
 
 /** Single-column subset encoder target for diffAs tests. */
