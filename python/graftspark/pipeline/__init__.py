@@ -25,6 +25,7 @@ __all__ = [
     "approx_bpe_token_count", "fingerprint_md5", "hashed_word_shingles",
     "cosine_similarity", "dot_product", "drop_exact_text_duplicates",
     "near_dup_pairs_minhash", "deduplicate_minhash", "brute_force_top_k",
+    "register_sql_functions",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -142,6 +143,12 @@ def deduplicate_minhash(df: DataFrame, id_col: ColumnOrName, text: ColumnOrName,
         df._jdf, _jcol(id_col), _jcol(text),
         int(shingle_size), int(bands), int(rows_per_band), float(threshold))
     return DataFrame(jdf, df.sparkSession)
+
+
+def register_sql_functions(spark) -> None:
+    """Register every graft kernel into the session's SQL function registry,
+    so `spark.sql("SELECT tokenize_ascii(text) ...")` works from Python too."""
+    _bridge(spark).registerSqlFunctions(spark._jsparkSession)
 
 
 def brute_force_top_k(queries: DataFrame, corpus: DataFrame,

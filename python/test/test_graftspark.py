@@ -300,6 +300,15 @@ class GraftsparkTest(unittest.TestCase):
             df, col("id"), col("text"), shingle_size=2, threshold=0.99).collect())
         self.assertEqual(kept2, [1, 3])
 
+    def test_pipeline_sql_registration(self):
+        from graftspark import pipeline as P
+        P.register_sql_functions(self.spark)
+        row = self.spark.sql(
+            "SELECT tokenize_ascii('A b C') AS toks, top_ngram_stats('x y x y', 2) AS g2"
+        ).collect()[0]
+        self.assertEqual(row["toks"], ["a", "b", "c"])
+        self.assertEqual(row["g2"], [3, 2])
+
     def test_pipeline_vector_functions(self):
         from graftspark import pipeline as P
         from pyspark.sql.types import (ArrayType, FloatType, IntegerType,

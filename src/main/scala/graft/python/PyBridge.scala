@@ -220,6 +220,9 @@ object PyBridge {
                          threshold: Double): DataFrame =
     graft.dedup.Dedup.deduplicateMinHash(df, id, text, shingleSize, bands, rowsPerBand, threshold)
 
+  def registerSqlFunctions(spark: SparkSession): Unit =
+    graft.GraftExtensions.registerAll(spark)
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      queryId: Column, queryVec: Column,
                      corpusId: Column, corpusVec: Column, k: Int): DataFrame =
