@@ -89,25 +89,31 @@ object Ann {
    * quality needs representative vectors, not all of them.
    */
   def trainIvf(corpus: DataFrame, id: Column, vec: Column, k: Int, iterations: Int = 5): IvfIndex = {
+    // the training set is read once per iteration plus init: cache it for the
+    // duration of training (at 100 TB this is the representative SAMPLE, so
+    // the cache is small by construction) and release it before returning
     val base = corpus.select(id.as("id"), vec.as("v"))
-    var centroids: Array[Array[Float]] = base.orderBy(col("id")).limit(k)
-      .select("v").collect().map(_.getSeq[Float](0).toArray)
-    for (_ <- 0 until iterations) {
-      val assigned = base.select(
-        get(vectors.nearest_centroids(col("v"), centroids, 1), lit(0)).as("cid"),
-        col("v"))
-      val means = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cid"), col("dim"))
-        .agg(avg(col("x")).as("m"))
-        .collect()
-      val next = centroids.map(_.clone())
-      means.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids: Array[Array[Float]] = base.orderBy(col("id")).limit(k)
+        .select("v").collect().map(_.getSeq[Float](0).toArray)
+      for (_ <- 0 until iterations) {
+        val assigned = base.select(
+          get(vectors.nearest_centroids(col("v"), centroids, 1), lit(0)).as("cid"),
+          col("v"))
+        val means = assigned
+          .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("cid"), col("dim"))
+          .agg(avg(col("x")).as("m"))
+          .collect()
+        val next = centroids.map(_.clone())
+        means.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+        }
+        centroids = next // clusters with no members keep their previous centroid
       }
-      centroids = next // clusters with no members keep their previous centroid
-    }
-    IvfIndex(centroids)
+      IvfIndex(centroids)
+    } finally base.unpersist(blocking = false)
   }
 
   /**
