@@ -24,8 +24,8 @@ __all__ = [
     "chunk_tokens", "chunk_by_tokens", "lang_id", "quality_score",
     "approx_bpe_token_count", "fingerprint_md5", "hashed_word_shingles",
     "cosine_similarity", "dot_product", "drop_exact_text_duplicates",
-    "near_dup_pairs_minhash", "deduplicate_minhash", "brute_force_top_k",
-    "register_sql_functions",
+    "near_dup_pairs_minhash", "near_dup_pairs_simhash", "deduplicate_minhash",
+    "decontaminate", "brute_force_top_k", "register_sql_functions",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -133,6 +133,27 @@ def near_dup_pairs_minhash(df: DataFrame, id_col: ColumnOrName, text: ColumnOrNa
         df._jdf, _jcol(id_col), _jcol(text),
         int(shingle_size), int(bands), int(rows_per_band), float(threshold))
     return DataFrame(jdf, df.sparkSession)
+
+
+def near_dup_pairs_simhash(df: DataFrame, id_col: ColumnOrName, text: ColumnOrName,
+                           shingle_size: int = 3, bands: int = 8,
+                           max_hamming: int = 12, threshold: float = 0.8) -> DataFrame:
+    """SimHash bit-band candidate pairs verified by exact shingle Jaccard."""
+    jdf = _bridge(df).nearDupPairsSimHash(
+        df._jdf, _jcol(id_col), _jcol(text),
+        int(shingle_size), int(bands), int(max_hamming), float(threshold))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def decontaminate(corpus: DataFrame, id_col: ColumnOrName, text: ColumnOrName,
+                  blocklist: DataFrame, blocklist_text: ColumnOrName,
+                  shingle_size: int = 8, min_overlap: int = 1) -> DataFrame:
+    """Drop corpus docs sharing >= min_overlap hashed word shingles with any
+    blocklist document (benchmark/test-set decontamination)."""
+    jdf = _bridge(corpus).decontaminate(
+        corpus._jdf, _jcol(id_col), _jcol(text),
+        blocklist._jdf, _jcol(blocklist_text), int(shingle_size), int(min_overlap))
+    return DataFrame(jdf, corpus.sparkSession)
 
 
 def deduplicate_minhash(df: DataFrame, id_col: ColumnOrName, text: ColumnOrName,

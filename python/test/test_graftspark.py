@@ -299,6 +299,16 @@ class GraftsparkTest(unittest.TestCase):
         kept2 = sorted(r["id"] for r in P.deduplicate_minhash(
             df, col("id"), col("text"), shingle_size=2, threshold=0.99).collect())
         self.assertEqual(kept2, [1, 3])
+        # simhash path finds the same pair
+        spairs = P.near_dup_pairs_simhash(
+            df, col("id"), col("text"), shingle_size=2, threshold=0.99).collect()
+        self.assertEqual([(r["idA"], r["idB"]) for r in spairs], [(1, 2)])
+        # decontamination: doc 3 as the blocklist knocks out only doc 3
+        block = df.filter(col("id") == 3).select("text")
+        kept3 = sorted(r["id"] for r in P.decontaminate(
+            df, col("id"), col("text"), block, col("text"),
+            shingle_size=2, min_overlap=1).collect())
+        self.assertEqual(kept3, [1, 2])
 
     def test_pipeline_sql_registration(self):
         from graftspark import pipeline as P

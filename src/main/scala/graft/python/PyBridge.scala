@@ -223,6 +223,17 @@ object PyBridge {
   def registerSqlFunctions(spark: SparkSession): Unit =
     graft.GraftExtensions.registerAll(spark)
 
+  def nearDupPairsSimHash(df: DataFrame, id: Column, text: Column,
+                          shingleSize: Int, bands: Int, maxHamming: Int,
+                          threshold: Double): DataFrame =
+    graft.dedup.Dedup.nearDupPairsSimHash(df, id, text, shingleSize, bands, maxHamming, threshold)
+
+  def decontaminate(corpus: DataFrame, id: Column, text: Column,
+                    blocklist: DataFrame, blocklistText: Column,
+                    shingleSize: Int, minOverlap: Int): DataFrame =
+    graft.dedup.Dedup.decontaminate(corpus, id, text, blocklist, blocklistText,
+      shingleSize, minOverlap)
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      queryId: Column, queryVec: Column,
                      corpusId: Column, corpusVec: Column, k: Int): DataFrame =

@@ -30,6 +30,36 @@ class StreamingDedupSuite extends AnyFunSuite with SparkTest {
     } finally query.stop()
   }
 
+  test("streaming windowed quality report aggregates exactly across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, String)]
+    val report = graft.streaming.StreamingQuality.qualityByWindow(
+      input.toDF().toDF("id", "ts", "source", "text"), col("text"), "ts",
+      "10 minutes", "5 minutes", col("source"))
+
+    val query = report.writeStream.format("memory")
+      .queryName("sq_out").outputMode("complete").start()
+    try {
+      val t0 = Timestamp.valueOf("2026-01-01 10:01:00")
+      val t1 = Timestamp.valueOf("2026-01-01 10:02:00")
+      // split one window's docs across two batches: totals must match a
+      // single-batch computation exactly (ratio-of-sums semantics)
+      input.addData((1L, t0, "web", "the cat sat"), (2L, t0, "web", "a a a a"))
+      query.processAllAvailable()
+      input.addData((3L, t1, "web", "dog runs fast"), (4L, t1, "books", "the end"))
+      query.processAllAvailable()
+      val rows = spark.table("sq_out")
+        .select("source", "n_docs", "total_tokens", "stopword_ratio", "rep_bigram_fraction")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+      // web: 10 tokens, 5 stopwords ('the' + the four 'a's); bigram totals
+      // 2 + 3 + 2 = 7, per-doc top counts 1 + 3 + 1 = 5 (ratio of sums)
+      assert(rows("web") === ((3L, 10L, 5.0 / 10.0, 5.0 / 7.0)))
+      // books: 2 tokens, 1 stopword; 1 bigram
+      assert(rows("books") === ((1L, 2L, 0.5, 1.0)))
+    } finally query.stop()
+  }
+
   test("streaming dedup within watermark drops near-time duplicates and emits rows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
