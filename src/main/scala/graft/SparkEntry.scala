@@ -399,6 +399,30 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // deterministic hash sampling: per-row keep decision from md5(salt||key),
+    // reproducible across partitionings and engines; narrow filter, no shuffle
+    "sample_documents" -> ((s, dir) =>
+      graft.sample.Sampling.hashSample(
+        t(s, dir, "documents"), col("doc_id"), 0.25).select(col("doc_id"))),
+
+    // stratified rates per source (up/down-sample by corpus quality), CASE
+    // threshold per row — still a narrow filter
+    "sample_stratified" -> ((s, dir) =>
+      graft.sample.Sampling.stratifiedHashSample(
+        t(s, dir, "documents"), col("source"), col("doc_id"),
+        Map("src0" -> 0.9, "src1" -> 0.05), defaultRate = 0.3)
+        .select(col("doc_id"), col("source"))),
+
+    // PII redaction: email/IPv4/digit-run scrub with RE2-safe patterns; the
+    // PII is synthesized from doc_id (corpus text carries none by itself)
+    "redact_pii" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.text.Redact.redactPii(concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.org or 10.2."), (col("doc_id") % 256).cast("string"),
+          lit(".77 acct 900123456789"))).as("redacted"))),
+
     // exact dedup: corpus with planted normalized-duplicate copies
     "dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -419,6 +443,22 @@ object SparkEntry {
       graft.dedup.Dedup.deduplicateMinHash(
         t(s, dir, "documents"), col("doc_id"), col("text"), threshold = 0.8)
         .select("doc_id")),
+
+    // transitive near-dup clustering: alternating large-star/small-star
+    // connected components over the verified MinHash pair list; every
+    // document gets its component-minimum cluster id (own id if unique).
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val handle = UnpersistHandle()
+      val pairs = graft.dedup.Dedup.nearDupPairsMinHash(
+        docs, col("doc_id"), col("text"), threshold = 0.8, unpersistHandle = handle)
+      // assignClusters materializes the component map eagerly (localCheckpoint),
+      // so the shingle cache can be released before the final corpus join runs
+      val out = graft.dedup.Clustering.assignClusters(
+        docs.select(col("doc_id")), col("doc_id"), pairs)
+      handle.unpersist()
+      out.select(col("doc_id"), col("cluster_id"))
+    }),
 
     // SimHash bit-band candidates verified by exact shingle Jaccard
     "dedup_simhash_pairs" -> ((s, dir) =>
@@ -849,6 +889,26 @@ object SparkEntry {
           "cont AS (SELECT DISTINCT ex.doc_id FROM ex JOIN bl USING (g)) " +
           "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM cont)"),
 
+      // thresholds = round(rate * 2^32) as 8 lowercase hex chars; fixed-width
+      // lowercase hex compares lexicographically in numeric order
+      "sample_documents" ->
+        ("SELECT doc_id FROM documents " +
+          "WHERE substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'"),
+
+      "sample_stratified" ->
+        ("SELECT doc_id, source FROM documents " +
+          "WHERE substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) < " +
+          "CASE WHEN source = 'src0' THEN 'e6666666' " +
+          "WHEN source = 'src1' THEN '0ccccccd' ELSE '4ccccccd' END"),
+
+      "redact_pii" ->
+        ("SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +
+          "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.org or 10.2.' || " +
+          "CAST(doc_id % 256 AS VARCHAR) || '.77 acct 900123456789', " +
+          "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[REDACTED]', 'g'), " +
+          "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[REDACTED]', 'g'), " +
+          "'\\b\\d{9,}\\b', '[REDACTED]', 'g') AS redacted FROM documents"),
+
       "dedup_exact" ->
         ("WITH corpus AS (SELECT doc_id, text FROM documents " +
           "UNION ALL SELECT doc_id + 100000 AS doc_id, text || '  ' AS text FROM documents WHERE doc_id % 7 = 0), " +
@@ -856,6 +916,17 @@ object SparkEntry {
           "SELECT doc_id FROM fp QUALIFY ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) = 1"),
 
       "dedup_minhash_pairs" -> docPairsSql,
+
+      // connected components via recursive reachability over the (symmetric)
+      // verified pair edges; cluster id = min reachable doc id (incl. self)
+      "dedup_clusters" ->
+        (s"WITH RECURSIVE $docTokCte, $docShCte, $docPairCte, " +
+          "e AS (SELECT ia AS a, ib AS b FROM p WHERE j >= 0.8 " +
+          "UNION SELECT ib AS a, ia AS b FROM p WHERE j >= 0.8), " +
+          "r(a, b) AS (SELECT a, b FROM e " +
+          "UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a WHERE e.b <> r.a) " +
+          "SELECT d.doc_id, CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT) AS cluster_id " +
+          "FROM documents d LEFT JOIN r ON d.doc_id = r.a GROUP BY d.doc_id"),
 
       "dedup_simhash_pairs" -> docPairsSql,
 

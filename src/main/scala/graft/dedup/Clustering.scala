@@ -1,0 +1,193 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Distributed connected components over near-duplicate pair lists.
+ *
+ * A verified pair list ((idA, idB) with idA < idB) is not yet a dedup
+ * decision: near-duplication is transitive in practice (A~B, B~C usually
+ * means the whole set is one boilerplate family), and single-pass
+ * keep-first-of-pair can keep both A and C when only B links them. Grouping
+ * pairs into components and keeping one canonical document per component is
+ * the standard second stage of web-scale dedup.
+ *
+ * Algorithm: alternating large-star / small-star (Kiveris et al.,
+ * "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+ * shuffle-friendly formulation that converges in O(log n) rounds on
+ * real graphs and never materializes a whole component on one node:
+ *
+ *  - large-star: every node points its larger neighbors at the minimum of
+ *    its neighborhood (including itself);
+ *  - small-star: every node points its smaller-or-equal neighbors (and
+ *    itself) at that minimum.
+ *
+ * Each operation is one hash shuffle of the edge set (a groupBy computing
+ * the per-node neighborhood minimum, re-joined on the same key, so the
+ * exchange is reused) — no collect, no per-component state. At
+ * convergence the edge set is a forest of depth-1 stars rooted at each
+ * component's minimum id.
+ *
+ * Scale notes (100 TB lens):
+ *  - The edge set is the *verified near-dup pair list* — orders of
+ *    magnitude smaller than the corpus (it only contains documents that
+ *    have a duplicate).
+ *  - Per-iteration lineage is truncated with `localCheckpoint` (eager), so
+ *    plan size and scheduler overhead stay constant across iterations;
+ *    superseded checkpoint blocks are released by Spark's ContextCleaner
+ *    once unreferenced.
+ *  - High-degree nodes (a million-member boilerplate family) are exactly
+ *    what large-star is designed for: it splits a big star's fan-in across
+ *    the minimum's neighbors instead of funnelling every edge through one
+ *    reducer key in every round.
+ *
+ * (reference surface: the reference library stops at pairwise diff/dedup —
+ * this operator is part of the green-field LLM-pipeline surface,
+ * SURVEY.md §2.4.)
+ */
+object Clustering {
+
+  /**
+   * Connected components of the undirected graph given by `pairs`
+   * (two id columns, long-castable). Returns one row per distinct node:
+   * (id: long, component: long) where `component` is the smallest id in the
+   * node's component (roots map to themselves).
+   *
+   * Throws if the edge set has not stabilized after `maxIterations`
+   * alternating rounds (default 50 ≫ the O(log n) bound for any realistic
+   * graph).
+   */
+  def connectedComponents(
+      pairs: DataFrame,
+      idA: Column,
+      idB: Column,
+      maxIterations: Int = 50): DataFrame = {
+    require(maxIterations >= 1, s"maxIterations must be >= 1: $maxIterations")
+    val init = pairs
+      .select(idA.cast("long").as("u"), idB.cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+
+    var edges = init.localCheckpoint(true)
+    var sig = signature(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIterations iterations")
+
+    // Converged edges are depth-1 stars (node -> component minimum): the
+    // larger endpoint is the member, the smaller its root; roots map to
+    // themselves.
+    val members = edges.select(
+      greatest(col("u"), col("v")).as("id"), least(col("u"), col("v")).as("component"))
+    val roots = edges.select(least(col("u"), col("v")).as("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+    members.union(roots).distinct()
+  }
+
+  /**
+   * Attach a `clusterColumn` to `df`: the component minimum for documents in
+   * a near-dup component, the document's own id otherwise. `pairs` must
+   * carry `idA`/`idB` columns (the [[Dedup]] pair outputs).
+   *
+   * One equi-join of the corpus against the (small) component map — AQE
+   * broadcasts it when it fits.
+   */
+  def assignClusters(
+      df: DataFrame, id: Column, pairs: DataFrame,
+      clusterColumn: String = "cluster_id",
+      maxIterations: Int = 50): DataFrame = {
+    val comp = connectedComponents(pairs, col("idA"), col("idB"), maxIterations)
+      .withColumnRenamed("id", "__cc_id")
+    df.join(comp, id.cast("long") === col("__cc_id"), "left")
+      .withColumn(clusterColumn, coalesce(col("component"), id.cast("long")))
+      .drop("__cc_id", "component")
+  }
+
+  /**
+   * Keep exactly one document per near-dup component: the one with the
+   * smallest id (plus every document with no duplicate). Unlike
+   * [[Dedup.keepFirst]], this honors transitivity — of a chain A~B~C it
+   * keeps only A even though (A, C) was never a verified pair.
+   */
+  def deduplicateByClusters(
+      df: DataFrame, id: Column, pairs: DataFrame,
+      maxIterations: Int = 50): DataFrame = {
+    val prefix = graft.functions.distinctPrefixFor(df.columns.toSeq)
+    val cl = prefix + "cluster"
+    assignClusters(df, id, pairs, cl, maxIterations)
+      .filter(col(cl) === id.cast("long"))
+      .drop(cl)
+  }
+
+  /** End-to-end: MinHash near-dup pairs -> components -> keep-min-per-component. */
+  def deduplicateMinHashClusters(
+      df: DataFrame, id: Column, text: Column,
+      shingleSize: Int = 3, bands: Int = 16, rowsPerBand: Int = 8,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
+    val handle = graft.UnpersistHandle()
+    val pairs = Dedup.nearDupPairsMinHash(df, id, text, shingleSize, bands, rowsPerBand,
+      threshold, maxBucketSize, unpersistHandle = handle)
+    // the component map is computed eagerly (localCheckpoint), so the shingle
+    // cache can be dropped before the final corpus join runs
+    val out = deduplicateByClusters(df, id, pairs)
+    handle.unpersist()
+    out
+  }
+
+  // --------------------------------------------------------------------------
+  // internals
+  // --------------------------------------------------------------------------
+
+  /** (count, xxhash64 xor-checksum) of the edge set — one cheap action per
+    * iteration to detect the fixpoint. XOR (not sum): order-independent over
+    * the distinct edge set and cannot overflow under ANSI arithmetic. */
+  private def signature(edges: DataFrame): (Long, Long) = {
+    val row = edges
+      .agg(count(lit(1)).as("n"), bit_xor(xxhash64(col("u"), col("v"))).as("h"))
+      .head()
+    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+  }
+
+  /** Large-star: for each node, point every strictly-larger neighbor at the
+    * minimum of the neighborhood (incl. the node itself). */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star: orient edges large->small; point every smaller neighbor and
+    * the node itself at the minimum neighbor. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val oriented = edges
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+    val mins = oriented.groupBy("u").agg(min(col("v")).as("m"))
+    oriented.join(mins, "u")
+      .select(explode(array(
+        struct(col("v").as("u"), col("m").as("v")),
+        struct(col("u").as("u"), col("m").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+}

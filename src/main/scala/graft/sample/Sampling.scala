@@ -1,0 +1,59 @@
+package graft.sample
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Deterministic, engine-portable sampling for corpus curation.
+ *
+ * `df.sample()` is seeded per-partition: the kept set changes whenever the
+ * partitioning changes (file split, repartition, scale-up), which makes
+ * pipeline runs unreproducible. Hash sampling decides per ROW from a stable
+ * key — the same document is kept at sf0.01 on a laptop and at 100 TB on a
+ * thousand executors, across engines.
+ *
+ * Mechanism: a row is kept iff the first 8 hex chars of
+ * `md5(salt || key)` sort below the rate's threshold. Lowercase fixed-width
+ * hex compares lexicographically in numeric order (digits sort before
+ * 'a'-'f' in ASCII), so the comparison is an exact uniform [0, 1) test with
+ * 2^32 granularity — and it is plain string SQL, bit-identical in any engine
+ * with md5 (the DuckDB oracle runs the same predicate verbatim).
+ *
+ * Scale shape: a narrow per-row filter — no shuffle, no state, pushed next
+ * to the scan; changing `salt` draws an independent sample.
+ */
+object Sampling {
+
+  /** Hex threshold such that P[substr(md5,1,8) < threshold] == rate
+    * (2^-32 granularity). "g" sorts above every hex string: keep-all. */
+  private[sample] def thresholdHex(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0, 1]: $rate")
+    val t = math.round(rate * 4294967296.0) // 2^32
+    if (t >= 4294967296L) "g" else f"$t%08x"
+  }
+
+  /** The keep predicate for one rate (usable inside any expression). */
+  def hashSamplePredicate(key: Column, rate: Double, salt: String = "graft"): Column =
+    substring(md5(concat(lit(salt), key.cast("string"))), 1, 8) < lit(thresholdHex(rate))
+
+  /** Keep a deterministic `rate` fraction of rows, decided by `key` alone. */
+  def hashSample(df: DataFrame, key: Column, rate: Double, salt: String = "graft"): DataFrame =
+    df.filter(hashSamplePredicate(key, rate, salt))
+
+  /**
+   * Per-stratum sampling rates (e.g. up-sample a high-quality source,
+   * down-sample a boilerplate-heavy one) with `defaultRate` for strata not
+   * listed. The per-row threshold is a chained CASE on the stratum value —
+   * still a narrow filter, no shuffle, no join.
+   */
+  def stratifiedHashSample(
+      df: DataFrame, strata: Column, key: Column,
+      rates: Map[String, Double], defaultRate: Double,
+      salt: String = "graft"): DataFrame = {
+    rates.values.foreach(r => require(r >= 0.0 && r <= 1.0, s"rate must be in [0, 1]: $r"))
+    val threshold = rates.foldLeft(lit(thresholdHex(defaultRate))) {
+      case (acc, (value, rate)) => when(strata === value, lit(thresholdHex(rate))).otherwise(acc)
+    }
+    df.filter(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8) < threshold)
+  }
+}

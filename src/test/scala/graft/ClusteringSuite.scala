@@ -1,0 +1,94 @@
+package graft
+
+import graft.dedup.{Clustering, Dedup}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connected-components clustering over near-dup pair lists. */
+class ClusteringSuite extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  private def components(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Clustering.connectedComponents(pairs.toDF("idA", "idB"), col("idA"), col("idB"))
+      .as[(Long, Long)].collect().toMap
+
+  test("path graph collapses to one component rooted at the minimum") {
+    // worst case for naive propagation: a chain; the alternating algorithm
+    // must still converge and label every node with the chain minimum
+    val chain = (1L until 17L).map(i => (i, i + 1))
+    val comp = components(chain)
+    assert(comp.keySet == (1L to 17L).toSet)
+    assert(comp.values.toSet == Set(1L))
+  }
+
+  test("multiple components, arbitrary pair orientation and duplicates") {
+    val pairs = Seq((5L, 2L), (2L, 9L), (9L, 5L), (5L, 2L), (20L, 30L), (7L, 7L))
+    val comp = components(pairs)
+    // self-loop (7,7) contributes no node; {2,5,9} -> 2; {20,30} -> 20
+    assert(comp == Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 20L -> 20L, 30L -> 20L))
+  }
+
+  test("matches a driver-side union-find on a random graph") {
+    val rng = new scala.util.Random(7)
+    val n = 120
+    val edges = Seq.fill(90)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // reference union-find
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(id => id -> {
+        // component label = min node id in the component among touched nodes
+        val root = find(id.toInt)
+        edges.flatMap(e => Seq(e._1, e._2)).filter(x => find(x.toInt) == root).min
+      }).toMap
+    assert(components(edges) == expected)
+  }
+
+  test("assignClusters labels singletons with their own id") {
+    val docs = Seq(1L, 2L, 3L, 4L, 10L).toDF("doc_id")
+    val pairs = Seq((2L, 4L)).toDF("idA", "idB")
+    val out = Clustering.assignClusters(docs, col("doc_id"), pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 10L -> 10L))
+  }
+
+  test("deduplicateByClusters honors transitivity where keepFirst does not") {
+    // edges (1,3) and (2,3): pairwise keep-first keeps {1, 2}; clustering
+    // knows 1~3~2 is one family and keeps only 1
+    val docs = Seq(1L, 2L, 3L).toDF("doc_id")
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("idA", "idB")
+    val kept = Clustering.deduplicateByClusters(docs, col("doc_id"), pairs)
+      .as[Long].collect().toSet
+    assert(kept == Set(1L))
+    val keptPairwise = Dedup.keepFirst(docs, col("doc_id"), pairs.toDF("idA", "idB"))
+      .as[Long].collect().toSet
+    assert(keptPairwise == Set(1L, 2L))
+  }
+
+  test("empty pair list leaves the corpus untouched") {
+    val docs = Seq(1L, 2L).toDF("doc_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("idA", "idB")
+    assert(Clustering.deduplicateByClusters(docs, col("doc_id"), pairs)
+      .as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("deduplicateMinHashClusters keeps one doc per near-dup family end-to-end") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home " * 3
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " tail one"),   // near-dup of 1
+      (3L, base + " tail two"),   // near-dup of 1 and 2
+      (4L, "completely different text about spark clusters and parquet files and shuffles today")
+    ).toDF("doc_id", "text")
+    val kept = Clustering.deduplicateMinHashClusters(
+      docs, col("doc_id"), col("text"), threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+  }
+}

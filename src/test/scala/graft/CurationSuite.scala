@@ -1,0 +1,80 @@
+package graft
+
+import graft.sample.Sampling
+import graft.text.Redact
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic sampling + PII redaction (corpus-curation operators). */
+class CurationSuite extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  test("hashSample keeps a stable fraction, independent of partitioning") {
+    val keys = (0L until 8000L).toDF("k")
+    val kept = Sampling.hashSample(keys, col("k"), 0.25).as[Long].collect().toSet
+    // uniform to 2^-32: binomial(8000, 0.25) is within ±3σ ≈ ±116 of 2000
+    assert(math.abs(kept.size - 2000) < 150, s"kept ${kept.size} of 8000 at rate 0.25")
+    // the kept SET is a function of the key alone — any repartitioning agrees
+    val repartitioned = Sampling.hashSample(keys.repartition(13), col("k"), 0.25)
+      .as[Long].collect().toSet
+    assert(repartitioned == kept)
+    // rate monotonicity: a bigger rate keeps a superset
+    val more = Sampling.hashSample(keys, col("k"), 0.5).as[Long].collect().toSet
+    assert(kept.subsetOf(more))
+  }
+
+  test("hashSample honors rate edge cases and a different salt resamples") {
+    val keys = (0L until 500L).toDF("k")
+    assert(Sampling.hashSample(keys, col("k"), 0.0).count() == 0)
+    assert(Sampling.hashSample(keys, col("k"), 1.0).count() == 500)
+    val a = Sampling.hashSample(keys, col("k"), 0.5, salt = "a").as[Long].collect().toSet
+    val b = Sampling.hashSample(keys, col("k"), 0.5, salt = "b").as[Long].collect().toSet
+    assert(a != b)
+  }
+
+  test("stratifiedHashSample applies per-stratum rates with a default") {
+    val df = (0L until 3000L).map(i => (i, s"s${i % 3}")).toDF("k", "g")
+    val out = Sampling.stratifiedHashSample(
+      df, col("g"), col("k"), Map("s0" -> 1.0, "s1" -> 0.0), defaultRate = 0.5)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(out("s0") == 1000)
+    assert(!out.contains("s1"))
+    assert(math.abs(out("s2") - 500) < 100)
+    // per-stratum decisions reuse the same hash: the s2 kept set equals the
+    // unstratified 0.5 sample restricted to s2
+    val flat = Sampling.hashSample(df, col("k"), 0.5).filter(col("g") === "s2")
+      .select("k").as[Long].collect().toSet
+    val strat = Sampling.stratifiedHashSample(
+      df, col("g"), col("k"), Map("s0" -> 1.0, "s1" -> 0.0), defaultRate = 0.5)
+      .filter(col("g") === "s2").select("k").as[Long].collect().toSet
+    assert(strat == flat)
+  }
+
+  test("redactPii scrubs emails, IPv4 and long digit runs, leaves prose alone") {
+    val cases = Seq(
+      "write to jane.doe+spam@sub.example.co.uk today" ->
+        "write to [REDACTED] today",
+      "server at 192.168.0.1 and 10.0.255.254 down" ->
+        "server at [REDACTED] and [REDACTED] down",
+      "acct 123456789 and card 4111111111111111" ->
+        "acct [REDACTED] and card [REDACTED]",
+      "version 1.2.3 of lib, 12345678 is short" ->
+        "version 1.2.3 of lib, 12345678 is short",
+      "plain text stays untouched" ->
+        "plain text stays untouched")
+    val out = cases.map(_._1).toDF("t")
+      .select(Redact.redactPii(col("t")).as("r")).as[String].collect()
+    assert(out.toSeq == cases.map(_._2))
+  }
+
+  test("individual redactors compose in the documented order") {
+    val s = Seq("mail a9@b.io from 8.8.8.8 ref 987654321").toDF("t")
+    assert(s.select(Redact.redactEmails(col("t")).as("r")).as[String].head()
+      == "mail [REDACTED] from 8.8.8.8 ref 987654321")
+    assert(s.select(Redact.redactIpv4(col("t")).as("r")).as[String].head()
+      == "mail a9@b.io from [REDACTED] ref 987654321")
+    assert(s.select(Redact.redactLongDigits(col("t")).as("r")).as[String].head()
+      == "mail a9@b.io from 8.8.8.8 ref [REDACTED]")
+  }
+}
