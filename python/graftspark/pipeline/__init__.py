@@ -26,6 +26,9 @@ __all__ = [
     "cosine_similarity", "dot_product", "drop_exact_text_duplicates",
     "near_dup_pairs_minhash", "near_dup_pairs_simhash", "deduplicate_minhash",
     "decontaminate", "brute_force_top_k", "register_sql_functions",
+    "connected_components", "assign_clusters", "deduplicate_by_clusters",
+    "deduplicate_minhash_clusters", "hash_sample", "stratified_hash_sample",
+    "redact_pii", "redact_emails", "redact_ipv4", "redact_long_digits",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -170,6 +173,84 @@ def register_sql_functions(spark) -> None:
     """Register every graft kernel into the session's SQL function registry,
     so `spark.sql("SELECT tokenize_ascii(text) ...")` works from Python too."""
     _bridge(spark).registerSqlFunctions(spark._jsparkSession)
+
+
+def connected_components(pairs: DataFrame, id_a: ColumnOrName = "idA",
+                         id_b: ColumnOrName = "idB",
+                         max_iterations: int = 50) -> DataFrame:
+    """Connected components of the undirected pair graph (alternating
+    large-star/small-star): one row (id, component) per distinct node,
+    component = smallest id in the node's component."""
+    jdf = _bridge(pairs).connectedComponents(
+        pairs._jdf, _jcol(id_a), _jcol(id_b), int(max_iterations))
+    return DataFrame(jdf, pairs.sparkSession)
+
+
+def assign_clusters(df: DataFrame, id_col: ColumnOrName, pairs: DataFrame,
+                    cluster_column: str = "cluster_id",
+                    max_iterations: int = 50) -> DataFrame:
+    """Attach the near-dup component minimum as `cluster_column` (the row's
+    own id when it has no duplicate). `pairs` must carry idA/idB columns."""
+    jdf = _bridge(df).assignClusters(
+        df._jdf, _jcol(id_col), pairs._jdf, cluster_column, int(max_iterations))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def deduplicate_by_clusters(df: DataFrame, id_col: ColumnOrName, pairs: DataFrame,
+                            max_iterations: int = 50) -> DataFrame:
+    """Keep one document per near-dup component (the smallest id) — honors
+    transitivity that pairwise keep-first misses."""
+    jdf = _bridge(df).deduplicateByClusters(
+        df._jdf, _jcol(id_col), pairs._jdf, int(max_iterations))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def deduplicate_minhash_clusters(df: DataFrame, id_col: ColumnOrName,
+                                 text: ColumnOrName, shingle_size: int = 3,
+                                 bands: int = 16, rows_per_band: int = 8,
+                                 threshold: float = 0.8) -> DataFrame:
+    """End-to-end: MinHash near-dup pairs -> connected components ->
+    keep-min-per-component."""
+    jdf = _bridge(df).deduplicateMinHashClusters(
+        df._jdf, _jcol(id_col), _jcol(text),
+        int(shingle_size), int(bands), int(rows_per_band), float(threshold))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def hash_sample(df: DataFrame, key: ColumnOrName, rate: float,
+                salt: str = "graft") -> DataFrame:
+    """Deterministic hash sampling: keep a `rate` fraction decided per row by
+    md5(salt||key) — reproducible across partitionings and engines."""
+    jdf = _bridge(df).hashSample(df._jdf, _jcol(key), float(rate), salt)
+    return DataFrame(jdf, df.sparkSession)
+
+
+def stratified_hash_sample(df: DataFrame, strata: ColumnOrName,
+                           key: ColumnOrName, rates: dict,
+                           default_rate: float, salt: str = "graft") -> DataFrame:
+    """Per-stratum sampling rates ({stratum value: rate}) with a default for
+    unlisted strata; same per-row hash decision as hash_sample."""
+    jdf = _bridge(df).stratifiedHashSample(
+        df._jdf, _jcol(strata), _jcol(key),
+        {str(k): float(v) for k, v in rates.items()}, float(default_rate), salt)
+    return DataFrame(jdf, df.sparkSession)
+
+
+def redact_pii(text: ColumnOrName, token: str = "[REDACTED]") -> Column:
+    """Replace emails, IPv4 addresses and 9+ digit runs with `token`."""
+    return _col_fn("redactPii", _jcol(text), token)
+
+
+def redact_emails(text: ColumnOrName, token: str = "[REDACTED]") -> Column:
+    return _col_fn("redactEmails", _jcol(text), token)
+
+
+def redact_ipv4(text: ColumnOrName, token: str = "[REDACTED]") -> Column:
+    return _col_fn("redactIpv4", _jcol(text), token)
+
+
+def redact_long_digits(text: ColumnOrName, token: str = "[REDACTED]") -> Column:
+    return _col_fn("redactLongDigits", _jcol(text), token)
 
 
 def brute_force_top_k(queries: DataFrame, corpus: DataFrame,

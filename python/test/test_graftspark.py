@@ -310,6 +310,38 @@ class GraftsparkTest(unittest.TestCase):
             shingle_size=2, min_overlap=1).collect())
         self.assertEqual(kept3, [1, 2])
 
+    def test_pipeline_curation_operators(self):
+        from graftspark import pipeline as P
+        docs = self.spark.createDataFrame(
+            [(i, "s%d" % (i % 2)) for i in range(200)], ["id", "g"])
+        # hash sampling is a function of the key alone: any partitioning agrees
+        a = sorted(r["id"] for r in P.hash_sample(docs, "id", 0.5).collect())
+        b = sorted(r["id"] for r in
+                   P.hash_sample(docs.repartition(7), "id", 0.5).collect())
+        self.assertEqual(a, b)
+        self.assertTrue(50 < len(a) < 150)
+        # stratified: rate 0 empties s0, default 1.0 keeps all of s1
+        strat = P.stratified_hash_sample(docs, "g", "id", {"s0": 0.0}, 1.0)
+        self.assertEqual({r["g"] for r in strat.collect()}, {"s1"})
+        self.assertEqual(strat.count(), 100)
+        # clustering: 1~3 and 2~3 form one family; 4 is a singleton
+        pairs = self.spark.createDataFrame([(1, 3), (2, 3)], ["idA", "idB"])
+        base = self.spark.createDataFrame([(1,), (2,), (3,), (4,)], ["id"])
+        comp = {r["id"]: r["component"] for r in
+                P.connected_components(pairs).collect()}
+        self.assertEqual(comp, {1: 1, 2: 1, 3: 1})
+        labels = {r["id"]: r["cluster_id"] for r in
+                  P.assign_clusters(base, "id", pairs).collect()}
+        self.assertEqual(labels, {1: 1, 2: 1, 3: 1, 4: 4})
+        kept = sorted(r["id"] for r in
+                      P.deduplicate_by_clusters(base, "id", pairs).collect())
+        self.assertEqual(kept, [1, 4])
+        # redaction scrubs emails, IPv4 and long digit runs
+        red = self.spark.createDataFrame(
+            [("mail a@b.co from 8.8.8.8 ref 987654321",)], ["t"]) \
+            .select(P.redact_pii("t").alias("r")).collect()[0]["r"]
+        self.assertEqual(red, "mail [REDACTED] from [REDACTED] ref [REDACTED]")
+
     def test_pipeline_sql_registration(self):
         from graftspark import pipeline as P
         P.register_sql_functions(self.spark)

@@ -240,6 +240,48 @@ object PyBridge {
     graft.ann.Ann.bruteForceTopK(queries, corpus, queryId, queryVec, corpusId, corpusVec, k)
 
   // --------------------------------------------------------------------------
+  // clustering / sampling / redaction (curation surface)
+  // --------------------------------------------------------------------------
+
+  def connectedComponents(pairs: DataFrame, idA: Column, idB: Column,
+                          maxIterations: Int): DataFrame =
+    graft.dedup.Clustering.connectedComponents(pairs, idA, idB, maxIterations)
+
+  def assignClusters(df: DataFrame, id: Column, pairs: DataFrame,
+                     clusterColumn: String, maxIterations: Int): DataFrame =
+    graft.dedup.Clustering.assignClusters(df, id, pairs, clusterColumn, maxIterations)
+
+  def deduplicateByClusters(df: DataFrame, id: Column, pairs: DataFrame,
+                            maxIterations: Int): DataFrame =
+    graft.dedup.Clustering.deduplicateByClusters(df, id, pairs, maxIterations)
+
+  def deduplicateMinHashClusters(df: DataFrame, id: Column, text: Column,
+                                 shingleSize: Int, bands: Int, rowsPerBand: Int,
+                                 threshold: Double): DataFrame =
+    graft.dedup.Clustering.deduplicateMinHashClusters(
+      df, id, text, shingleSize, bands, rowsPerBand, threshold)
+
+  def hashSample(df: DataFrame, key: Column, rate: Double, salt: String): DataFrame =
+    graft.sample.Sampling.hashSample(df, key, rate, salt)
+
+  def stratifiedHashSample(df: DataFrame, strata: Column, key: Column,
+                           rates: java.util.Map[String, java.lang.Double],
+                           defaultRate: Double, salt: String): DataFrame =
+    graft.sample.Sampling.stratifiedHashSample(
+      df, strata, key,
+      rates.asScala.map { case (k, v) => k -> v.doubleValue() }.toMap,
+      defaultRate, salt)
+
+  def redactPii(c: Column, token: String): Column = graft.text.Redact.redactPii(c, token)
+
+  def redactEmails(c: Column, token: String): Column = graft.text.Redact.redactEmails(c, token)
+
+  def redactIpv4(c: Column, token: String): Column = graft.text.Redact.redactIpv4(c, token)
+
+  def redactLongDigits(c: Column, token: String): Column =
+    graft.text.Redact.redactLongDigits(c, token)
+
+  // --------------------------------------------------------------------------
   // job description (set/restore primitives for Python context managers)
   // --------------------------------------------------------------------------
 
