@@ -2,11 +2,15 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, Expression, ExpressionInfo,
+  LessThan, Literal, Md5, RegExpReplace, Substring}
+import org.apache.spark.sql.types.{BinaryType, StringType}
 
 import graft.functions.{ChunkTokens, CosineSimilarity, DotProduct, HashedWordShingles,
   MinHashBandHashes, MinHashSignature, SimHash64, TokenStats, TokenizeAscii, TopNgramStats}
 import graft.multimodal.{ByteEntropy, ByteNibbleHistogram}
+import graft.sample.Sampling
+import graft.text.Redact
 
 /**
  * SQL registration for the graft Catalyst kernels, so `spark.sql("...")`
@@ -44,6 +48,24 @@ object GraftExtensions {
       require(e.foldable, s"$fn: stopwords must be string literals")
       String.valueOf(e.eval())
     }
+
+  private def stringLit(e: Expression, fn: String, arg: String): String = {
+    require(e.foldable, s"$fn: $arg must be a string literal, got $e")
+    String.valueOf(e.eval())
+  }
+
+  private def doubleLit(e: Expression, fn: String, arg: String): Double = {
+    require(e.foldable, s"$fn: $arg must be a numeric literal, got $e")
+    e.eval() match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a numeric literal, got $other")
+    }
+  }
 
   private def arity(fn: String, es: Seq[Expression], expected: Int*): Unit =
     require(expected.contains(es.length),
@@ -102,6 +124,27 @@ object GraftExtensions {
     },
     fn("byte_nibble_histogram", "byte_nibble_histogram(binary) - 16 high-nibble counts") { es =>
       arity("byte_nibble_histogram", es, 1); ByteNibbleHistogram(es.head)
+    },
+    // curation surface: built from codegen'd built-ins (RegExpReplace /
+    // Md5+Substring), same constants as the Scala Redact/Sampling APIs
+    fn("redact_pii", "redact_pii(text[, token]) - scrub emails, IPv4, 9+-digit runs") { es =>
+      arity("redact_pii", es, 1, 2)
+      val token = if (es.length == 2) stringLit(es(1), "redact_pii", "token")
+                  else Redact.DefaultToken
+      Seq(Redact.EmailPattern, Redact.Ipv4Pattern, Redact.LongDigitPattern)
+        .foldLeft(es.head)((acc, p) =>
+          RegExpReplace(acc, Literal(p), Literal(token), Literal(1)))
+    },
+    fn("hash_sample_keep",
+      "hash_sample_keep(key, rate[, salt]) - deterministic sampling keep-predicate") { es =>
+      arity("hash_sample_keep", es, 2, 3)
+      val rate = doubleLit(es(1), "hash_sample_keep", "rate")
+      val salt = if (es.length == 3) stringLit(es(2), "hash_sample_keep", "salt") else "graft"
+      LessThan(
+        Substring(
+          Md5(Cast(Concat(Seq(Literal(salt), Cast(es.head, StringType))), BinaryType)),
+          Literal(1), Literal(8)),
+        Literal(Sampling.thresholdHex(rate)))
     })
 
   /** Register every kernel into a live session's function registry. */

@@ -26,7 +26,7 @@ object Sampling {
 
   /** Hex threshold such that P[substr(md5,1,8) < threshold] == rate
     * (2^-32 granularity). "g" sorts above every hex string: keep-all. */
-  private[sample] def thresholdHex(rate: Double): String = {
+  private[graft] def thresholdHex(rate: Double): String = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0, 1]: $rate")
     val t = math.round(rate * 4294967296.0) // 2^32
     if (t >= 4294967296L) "g" else f"$t%08x"

@@ -60,6 +60,29 @@ class StreamingDedupSuite extends AnyFunSuite with SparkTest {
     } finally query.stop()
   }
 
+  test("hash sampling and PII redaction run unchanged in streaming pipelines") {
+    // both are stateless narrow ops, so the batch operators apply verbatim to
+    // a stream — and the kept set matches the batch decision for the same keys
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val curated = graft.sample.Sampling.hashSample(
+      input.toDF().toDF("id", "text"), col("id"), 0.5)
+      .withColumn("clean", graft.text.Redact.redactPii(col("text")))
+    val query = curated.writeStream.format("memory")
+      .queryName("cur_out").outputMode("append").start()
+    try {
+      input.addData((0L until 100L).map(i => (i, s"doc $i mail u$i@x.io")): _*)
+      query.processAllAvailable()
+      val rows = spark.table("cur_out").select("id", "clean")
+        .as[(Long, String)].collect()
+      val batchKept = graft.sample.Sampling.hashSample(
+        spark.range(0, 100).toDF("id"), col("id"), 0.5).as[Long].collect().toSet
+      assert(rows.map(_._1).toSet == batchKept)
+      assert(rows.nonEmpty && rows.forall(_._2.contains("[REDACTED]")))
+      assert(rows.forall(r => !r._2.contains("@")))
+    } finally query.stop()
+  }
+
   test("streaming dedup within watermark drops near-time duplicates and emits rows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]

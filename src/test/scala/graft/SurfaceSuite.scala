@@ -102,6 +102,30 @@ class SurfaceSuite extends AnyFunSuite with SparkTest {
     }
     assert(err.getMessage.contains("literal"))
   }
+
+  test("GraftExtensions registers the curation functions for SQL use") {
+    GraftExtensions.registerAll(spark)
+    // redact_pii matches the Scala column API byte for byte
+    val red = spark.sql(
+      "SELECT redact_pii('mail a@b.co from 8.8.8.8 ref 987654321') AS r, " +
+        "redact_pii('call 123456789', '<PII>') AS r2").collect().head
+    assert(red.getString(0) == "mail [REDACTED] from [REDACTED] ref [REDACTED]")
+    assert(red.getString(1) == "call <PII>")
+    // hash_sample_keep agrees with Sampling.hashSample on the same keys
+    spark.range(0, 400).toDF("k").createOrReplaceTempView("ext_keys")
+    val sqlKept = spark.sql(
+      "SELECT k FROM ext_keys WHERE hash_sample_keep(k, 0.5)")
+      .as[Long].collect().toSet
+    val apiKept = graft.sample.Sampling.hashSample(
+      spark.range(0, 400).toDF("k"), $"k", 0.5).as[Long].collect().toSet
+    assert(sqlKept == apiKept)
+    assert(sqlKept.nonEmpty && sqlKept.size < 400)
+    // a custom salt draws a different sample
+    val salted = spark.sql(
+      "SELECT k FROM ext_keys WHERE hash_sample_keep(k, 0.5, 'other')")
+      .as[Long].collect().toSet
+    assert(salted != sqlKept)
+  }
 }
 
 /** Single-column subset encoder target for diffAs tests. */
