@@ -29,6 +29,7 @@ __all__ = [
     "connected_components", "assign_clusters", "deduplicate_by_clusters",
     "deduplicate_minhash_clusters", "hash_sample", "stratified_hash_sample",
     "redact_pii", "redact_emails", "redact_ipv4", "redact_long_digits",
+    "asof_join", "range_join", "with_session_index", "session_bounds",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -251,6 +252,43 @@ def redact_ipv4(text: ColumnOrName, token: str = "[REDACTED]") -> Column:
 
 def redact_long_digits(text: ColumnOrName, token: str = "[REDACTED]") -> Column:
     return _col_fn("redactLongDigits", _jcol(text), token)
+
+
+def asof_join(left: DataFrame, right: DataFrame, keys: List[str],
+              left_ts_col: str, right_ts_col: str, right_payload: List[str],
+              prefix: str = "asof_", tolerance: Column = None) -> DataFrame:
+    """Backward point-in-time join: for each left row, the payload of the
+    latest right row (same keys) with right ts <= left ts. One keyed sort +
+    running window — no inequality nested-loop join."""
+    jdf = _bridge(left).asofJoin(
+        left._jdf, right._jdf, list(keys), left_ts_col, right_ts_col,
+        list(right_payload), prefix,
+        _to_java_column(tolerance) if tolerance is not None else None)
+    return DataFrame(jdf, left.sparkSession)
+
+
+def range_join(points: DataFrame, point_col: str, intervals: DataFrame,
+               lo_col: str, hi_col: str, bin_width: float) -> DataFrame:
+    """All (point, interval) pairs with lo <= point <= hi, via fixed-width
+    bin equi-join + exact BETWEEN post-filter."""
+    jdf = _bridge(points).rangeJoin(
+        points._jdf, point_col, intervals._jdf, lo_col, hi_col, float(bin_width))
+    return DataFrame(jdf, points.sparkSession)
+
+
+def with_session_index(df: DataFrame, key: ColumnOrName, ts: ColumnOrName,
+                       gap: Column, session_column: str = "session_idx") -> DataFrame:
+    """Number each row's inactivity-gap session within its key (1-based)."""
+    jdf = _bridge(df).withSessionIndex(
+        df._jdf, _jcol(key), _jcol(ts), _to_java_column(gap), session_column)
+    return DataFrame(jdf, df.sparkSession)
+
+
+def session_bounds(df: DataFrame, key: ColumnOrName, ts: ColumnOrName,
+                   gap: Column) -> DataFrame:
+    """Per-session aggregate: (key, session_idx, n_events, start, end)."""
+    jdf = _bridge(df).sessionBounds(df._jdf, _jcol(key), _jcol(ts), _to_java_column(gap))
+    return DataFrame(jdf, df.sparkSession)
 
 
 def brute_force_top_k(queries: DataFrame, corpus: DataFrame,

@@ -342,6 +342,27 @@ class GraftsparkTest(unittest.TestCase):
             .select(P.redact_pii("t").alias("r")).collect()[0]["r"]
         self.assertEqual(red, "mail [REDACTED] from [REDACTED] ref [REDACTED]")
 
+    def test_pipeline_temporal_operators(self):
+        from graftspark import pipeline as P
+        from pyspark.sql.functions import lit
+        left = self.spark.createDataFrame(
+            [(1, 10), (1, 20), (2, 10)], ["k", "t"])
+        right = self.spark.createDataFrame(
+            [(1, 10, "a"), (1, 15, "b")], ["k", "t", "v"])
+        rows = {(r["k"], r["t"]): r["asof_v"] for r in
+                P.asof_join(left, right, ["k"], "t", "t", ["v"]).collect()}
+        self.assertEqual(rows, {(1, 10): "a", (1, 20): "b", (2, 10): None})
+        points = self.spark.createDataFrame([(1, 5.0), (2, 50.0)], ["pid", "v"])
+        ivals = self.spark.createDataFrame([(9, 0.0, 10.0)], ["iid", "lo", "hi"])
+        pairs = [(r["pid"], r["iid"]) for r in
+                 P.range_join(points, "v", ivals, "lo", "hi", 10.0).collect()]
+        self.assertEqual(pairs, [(1, 9)])
+        sess = P.with_session_index(
+            self.spark.createDataFrame([(1, 0), (1, 50), (1, 500)], ["k", "t"]),
+            "k", "t", lit(100))
+        idx = sorted(r["session_idx"] for r in sess.collect())
+        self.assertEqual(idx, [1, 1, 2])
+
     def test_pipeline_sql_registration(self):
         from graftspark import pipeline as P
         P.register_sql_functions(self.spark)

@@ -242,6 +242,51 @@ object SparkEntry {
         .toDF("o_custkey", "o_orderkey", "o_totalprice")
     }),
 
+    // as-of join: for each click, the latest prior error state of the same
+    // user — one hash shuffle on user_id (union + per-key sort + running
+    // last), no inequality-join nested loop. events.ts is TIMESTAMP(NANOS)
+    // read as long nanos; compared in microseconds so both engines use the
+    // same truncated values (DuckDB reads the column at micro precision).
+    "asof_join" -> ((s, dir) => {
+      require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+        "session must set spark.sql.legacy.parquet.nanosAsLong=true (events.ts is TIMESTAMP(NANOS))")
+      val ev = t(s, dir, "events")
+      val us = expr("ts DIV 1000")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), us.as("ts_us"))
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), us.as("ts_us"), col("value"))
+        .groupBy(col("user_id"), col("ts_us")).agg(max(col("value")).as("err_value"))
+      graft.join.Joins.asofJoin(
+        clicks, errs, Seq("user_id"), "ts_us", "ts_us", Seq("err_value"), prefix = "m_")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("m_ts"), col("m_err_value").as("m_value"))
+    }),
+
+    // range join: attach each order to the price bands it falls in —
+    // fixed-width binning turns the interval predicate into an equi-join
+    // on the bin id (no broadcast-nested-loop), exact BETWEEN as post-filter
+    "range_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val points = o.select(col("o_orderkey"), col("o_totalprice"))
+      val bands = o.filter(col("o_orderkey") % 997 === 0)
+        .select(col("o_orderkey").as("band_id"),
+          (col("o_totalprice") - 1000.0).as("lo"), (col("o_totalprice") + 1000.0).as("hi"))
+      graft.join.Joins.rangeJoin(points, "o_totalprice", bands, "lo", "hi", 2000.0)
+        .select(col("band_id"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // sessionization: per-user view sessions split at 30-minute gaps —
+    // one shuffle on user_id, both window passes share a single sort
+    "sessionize" -> ((s, dir) => {
+      require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+        "session must set spark.sql.legacy.parquet.nanosAsLong=true (events.ts is TIMESTAMP(NANOS))")
+      val views = t(s, dir, "events").filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
+      graft.events.Sessionize.withSessionIndex(
+        views, col("user_id"), col("ts_us"), lit(1800000000L)) // 30 min in us
+    }),
+
     // F2 count_null aggregate (nulls synthesized: no raw nulls in testdata).
     // events.ts is TIMESTAMP(NANOS); reading the table needs
     // spark.sql.legacy.parquet.nanosAsLong=true, set once at session setup by
@@ -798,6 +843,28 @@ object SparkEntry {
           "SELECT o_custkey, o_orderkey, o_totalprice, " +
           "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn " +
           "FROM orders) WHERE rn = 1"),
+
+      // DuckDB has native ASOF JOIN — the semantics the operator reproduces
+      "asof_join" ->
+        ("WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'), " +
+          "r AS (SELECT user_id, epoch_us(ts) AS ts_us, MAX(value) AS err_value FROM events WHERE event_type = 'error' GROUP BY 1, 2) " +
+          "SELECT l.event_id, l.user_id, l.ts_us, r.ts_us AS m_ts, r.err_value AS m_value " +
+          "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us"),
+
+      "range_join" ->
+        ("WITH i AS (SELECT o_orderkey AS band_id, o_totalprice - 1000.0 AS lo, o_totalprice + 1000.0 AS hi " +
+          "FROM orders WHERE o_orderkey % 997 = 0) " +
+          "SELECT i.band_id, o.o_orderkey, o.o_totalprice FROM orders o " +
+          "JOIN i ON o.o_totalprice BETWEEN i.lo AND i.hi"),
+
+      "sessionize" ->
+        ("WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'view'), " +
+          "m AS (SELECT event_id, user_id, ts_us, " +
+          "CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new " +
+          "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)) " +
+          "SELECT event_id, user_id, ts_us, " +
+          "CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx " +
+          "FROM m"),
 
       "count_null_events" ->
         ("SELECT COUNT(*) FILTER (WHERE event_type = 'error' OR value IS NULL) AS value_nulls, " +

@@ -1,0 +1,128 @@
+package graft.join
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Join operators Spark's built-ins don't express directly: as-of
+ * (point-in-time) joins and interval/range joins — both staples of
+ * event-log and feature-engineering pipelines.
+ *
+ * Both are composed from Spark relational primitives so Catalyst/AQE keep
+ * full visibility (predicate pushdown, broadcast decisions, skew handling) —
+ * no custom physical operator is needed to get the right plan shape.
+ */
+object Joins {
+
+  /**
+   * Backward as-of join: for every left row, attach the payload of the
+   * single right row with the same `keys` and the largest `rightTsCol`
+   * that is `<= leftTsCol` (inclusive). Left rows with no such match keep
+   * null payloads — the classic point-in-time lookup ("state as of then")
+   * used for feature joins without time-travel leakage.
+   *
+   * Plan shape (the reason this is not `left JOIN right ON ts <= ts` +
+   * window): a naive inequality join is O(|L| × matches) and Spark plans it
+   * as broadcast-nested-loop. Instead both sides are unioned and sorted ONCE
+   * per key partition — one hash shuffle on `keys`, one partition-local
+   * sort, then a running `last(payload, ignoreNulls)` window carries the
+   * most recent right payload forward into each left row. Cost is
+   * sort-merge-join-like: O((|L|+|R|) log) per partition, no quadratic
+   * blow-up, no broadcast requirement. At equal timestamps the right row
+   * sorts first (tag 0 < 1), so equality matches, mirroring SQL ASOF
+   * semantics. Hot keys shuffle to single partitions — salt the key
+   * upstream if one entity dominates the event log.
+   *
+   * The right payload travels as ONE struct through the window, so all
+   * payload columns are guaranteed to come from the same right row.
+   *
+   * `tolerance`: optional maximum lookback — a match further than this
+   * before the left timestamp is nulled out. Express it in the timestamp
+   * type's difference algebra (a long delta for numeric timestamps, an
+   * INTERVAL literal for timestamp columns).
+   *
+   * Output: every left column, then `<prefix>ts` (the matched right
+   * timestamp) and `<prefix><payload>` for each requested payload column.
+   */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String],
+      leftTsCol: String, rightTsCol: String,
+      rightPayload: Seq[String],
+      prefix: String = "asof_",
+      tolerance: Option[Column] = None): DataFrame = {
+    require(keys.nonEmpty, "asofJoin needs at least one equi-key")
+    require(rightPayload.nonEmpty, "asofJoin needs at least one right payload column")
+    val p = graft.functions.distinctPrefixFor((left.columns ++ right.columns).toSeq)
+    val ts = p + "ts"
+    val tag = p + "tag"
+    val pay = p + "pay"
+
+    val leftDataCols = left.columns
+      .filterNot(c => keys.contains(c) || c == leftTsCol).toSeq
+    val payStructR = struct(
+      (col(rightTsCol).as("ts") +: rightPayload.map(c => col(c).as(c))): _*)
+    // right rows: keys, ts, tag 0, payload struct, nulled left columns
+    val rightSchema = right.select(payStructR).schema.head.dataType
+    val r = right.select(
+      keys.map(col) ++ Seq(col(rightTsCol).as(ts), lit(0).as(tag), payStructR.as(pay)) ++
+        leftDataCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    // left rows: keys, ts, tag 1, null payload, left columns
+    val l = left.select(
+      keys.map(col) ++ Seq(col(leftTsCol).as(ts), lit(1).as(tag),
+        lit(null).cast(rightSchema).as(pay)) ++ leftDataCols.map(col): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ts), col(tag))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = r.unionByName(l)
+      .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
+      .filter(col(tag) === 1)
+
+    val bounded = tolerance match {
+      case Some(maxLookback) =>
+        carried.withColumn(pay,
+          when(col(pay).isNotNull && (col(ts) - col(pay)("ts")) <= maxLookback, col(pay)))
+      case None => carried
+    }
+    bounded.select(
+      keys.map(col) ++ Seq(col(ts).as(leftTsCol)) ++ leftDataCols.map(col) ++
+        (col(pay)("ts").as(prefix + "ts") +:
+          rightPayload.map(c => col(pay)(c).as(prefix + c))): _*)
+  }
+
+  /**
+   * Range (interval) join: every (point, interval) pair with
+   * `lo <= point <= hi` (both bounds inclusive).
+   *
+   * Plan shape: a naive `JOIN ON point BETWEEN lo AND hi` has no equi-key,
+   * so Spark plans broadcast-nested-loop — O(|P| × |I|). Binning turns it
+   * into an equi-join: intervals explode into the fixed-width bins they
+   * overlap, points map to exactly one bin, and the join runs hash/sort-merge
+   * on the bin id with the exact BETWEEN as a post-filter. Each qualifying
+   * pair appears exactly once (a point lives in one bin). Work scales as
+   * |P| + |I| × (avg interval width / binWidth) + output — pick `binWidth`
+   * near the typical interval width so intervals explode into O(1) bins.
+   *
+   * Column names of `points` and `intervals` must be disjoint (the result
+   * carries both sides' columns).
+   */
+  def rangeJoin(
+      points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty, s"points/intervals column names must be disjoint, both have: $overlap")
+    val p = graft.functions.distinctPrefixFor((points.columns ++ intervals.columns).toSeq)
+    val bin = p + "bin"
+    // floor (toward -inf, not trunc) keeps negative values in the right bin
+    val binnedPoints = points.withColumn(bin, floor(col(pointCol) / binWidth).cast("long"))
+    val binnedIntervals = intervals
+      .withColumn(bin, explode(sequence(
+        floor(col(loCol) / binWidth).cast("long"), floor(col(hiCol) / binWidth).cast("long"))))
+    binnedPoints.join(binnedIntervals, Seq(bin))
+      .filter(col(pointCol).between(col(loCol), col(hiCol)))
+      .drop(bin)
+  }
+}

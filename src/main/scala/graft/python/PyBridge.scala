@@ -282,6 +282,27 @@ object PyBridge {
     graft.text.Redact.redactLongDigits(c, token)
 
   // --------------------------------------------------------------------------
+  // temporal operators
+  // --------------------------------------------------------------------------
+
+  def asofJoin(left: DataFrame, right: DataFrame, keys: JList[String],
+               leftTsCol: String, rightTsCol: String, rightPayload: JList[String],
+               prefix: String, tolerance: Column): DataFrame =
+    graft.join.Joins.asofJoin(left, right, keys.asScala.toSeq, leftTsCol, rightTsCol,
+      rightPayload.asScala.toSeq, prefix, Option(tolerance))
+
+  def rangeJoin(points: DataFrame, pointCol: String, intervals: DataFrame,
+                loCol: String, hiCol: String, binWidth: Double): DataFrame =
+    graft.join.Joins.rangeJoin(points, pointCol, intervals, loCol, hiCol, binWidth)
+
+  def withSessionIndex(df: DataFrame, key: Column, ts: Column, gap: Column,
+                       sessionColumn: String): DataFrame =
+    graft.events.Sessionize.withSessionIndex(df, key, ts, gap, sessionColumn)
+
+  def sessionBounds(df: DataFrame, key: Column, ts: Column, gap: Column): DataFrame =
+    graft.events.Sessionize.sessionBounds(df, key, ts, gap)
+
+  // --------------------------------------------------------------------------
   // job description (set/restore primitives for Python context managers)
   // --------------------------------------------------------------------------
 

@@ -1,0 +1,99 @@
+package graft
+
+import graft.join.Joins
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** As-of and range join operators. */
+class JoinsSuite extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  test("asofJoin picks the latest right row at or before each left timestamp") {
+    val left = Seq((1L, 10L), (1L, 20L), (1L, 5L), (2L, 10L))
+      .toDF("k", "t")
+    val right = Seq((1L, 10L, "a"), (1L, 15L, "b"), (2L, 30L, "z"))
+      .toDF("k", "t", "v")
+    val out = Joins.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select("k", "t", "asof_ts", "asof_v")
+      .as[(Long, Long, Option[Long], Option[String])].collect().toSet
+    assert(out == Set(
+      (1L, 10L, Some(10L), Some("a")), // equality matches
+      (1L, 20L, Some(15L), Some("b")), // latest of {10, 15}
+      (1L, 5L, None, None),            // before any right row
+      (2L, 10L, None, None)))          // right row is later
+  }
+
+  test("asofJoin tolerance nulls out stale matches") {
+    val left = Seq((1L, 100L), (1L, 200L)).toDF("k", "t")
+    val right = Seq((1L, 95L, 1.0)).toDF("k", "t", "v")
+    val out = Joins.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"),
+      tolerance = Some(lit(50L)))
+      .select("t", "asof_v").as[(Long, Option[Double])].collect().toSet
+    assert(out == Set((100L, Some(1.0)), (200L, None))) // 200-95=105 > 50
+  }
+
+  test("asofJoin carries multi-column payloads from one right row") {
+    // right rows alternate which column is "interesting": if payload columns
+    // were carried independently, values could mix rows
+    val left = Seq((1L, 50L)).toDF("k", "t")
+    val right = Seq((1L, 10L, "early", 111L), (1L, 40L, "late", 222L))
+      .toDF("k", "t", "name", "num")
+    val out = Joins.asofJoin(left, right, Seq("k"), "t", "t", Seq("name", "num"))
+      .select("asof_name", "asof_num").as[(String, Long)].head()
+    assert(out == (("late", 222L)))
+  }
+
+  test("asofJoin matches a per-key driver-side scan on random data") {
+    val rng = new scala.util.Random(11)
+    val lefts = Seq.fill(300)((rng.nextInt(5).toLong, rng.nextInt(1000).toLong))
+    val rights = Seq.fill(100)((rng.nextInt(5).toLong, rng.nextInt(1000).toLong, rng.nextInt(1000)))
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq // unique (k, t)
+    val expected = lefts.map { case (k, t) =>
+      val m = rights.filter(r => r._1 == k && r._2 <= t).sortBy(_._2).lastOption
+      (k, t, m.map(_._2), m.map(_._3.toLong))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    val got = Joins.asofJoin(
+      lefts.toDF("k", "t"), rights.toDF("k", "t", "v"), Seq("k"), "t", "t", Seq("v"))
+      .select("k", "t", "asof_ts", "asof_v")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == expected)
+  }
+
+  test("rangeJoin equals the brute-force interval join, bins notwithstanding") {
+    val rng = new scala.util.Random(3)
+    val points = Seq.tabulate(400)(i => (i.toLong, rng.nextDouble() * 200 - 100))
+    val intervals = Seq.tabulate(40) { i =>
+      val lo = rng.nextDouble() * 180 - 100
+      (1000L + i, lo, lo + rng.nextDouble() * 30) // widths 0..30 vs binWidth 10
+    }
+    val pdf = points.toDF("pid", "v")
+    val idf = intervals.toDF("iid", "lo", "hi")
+    val got = Joins.rangeJoin(pdf, "v", idf, "lo", "hi", binWidth = 10.0)
+      .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+    val expected = pdf.crossJoin(idf)
+      .filter(col("v").between(col("lo"), col("hi")))
+      .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+    assert(got.size == got.distinct.size) // each pair exactly once
+  }
+
+  test("rangeJoin bounds are inclusive on both ends") {
+    val pdf = Seq((1L, 5.0), (2L, 10.0), (3L, 10.5)).toDF("pid", "v")
+    val idf = Seq((9L, 5.0, 10.0)).toDF("iid", "lo", "hi")
+    val got = Joins.rangeJoin(pdf, "v", idf, "lo", "hi", 2.0)
+      .select("pid").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L))
+  }
+
+  test("rangeJoin rejects colliding column names") {
+    val pdf = Seq((1L, 5.0)).toDF("id", "v")
+    val idf = Seq((9L, 5.0, 10.0)).toDF("id", "lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      Joins.rangeJoin(pdf, "v", idf, "lo", "hi", 2.0)
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+}
