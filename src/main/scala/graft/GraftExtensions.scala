@@ -131,9 +131,7 @@ object GraftExtensions {
       arity("redact_pii", es, 1, 2)
       val token = if (es.length == 2) stringLit(es(1), "redact_pii", "token")
                   else Redact.DefaultToken
-      Seq(Redact.EmailPattern, Redact.Ipv4Pattern, Redact.LongDigitPattern)
-        .foldLeft(es.head)((acc, p) =>
-          RegExpReplace(acc, Literal(p), Literal(token), Literal(1)))
+      RegExpReplace(es.head, Literal(Redact.PiiPattern), Literal(token), Literal(1))
     },
     fn("hash_sample_keep",
       "hash_sample_keep(key, rate[, salt]) - deterministic sampling keep-predicate") { es =>

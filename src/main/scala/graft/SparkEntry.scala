@@ -968,13 +968,14 @@ object SparkEntry {
           "CASE WHEN source = 'src0' THEN 'e6666666' " +
           "WHEN source = 'src1' THEN '0ccccccd' ELSE '4ccccccd' END"),
 
+      // single alternation pass, identical pattern text in both engines
       "redact_pii" ->
-        ("SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +
+        ("SELECT doc_id, regexp_replace(" +
           "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.org or 10.2.' || " +
           "CAST(doc_id % 256 AS VARCHAR) || '.77 acct 900123456789', " +
-          "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[REDACTED]', 'g'), " +
-          "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[REDACTED]', 'g'), " +
-          "'\\b\\d{9,}\\b', '[REDACTED]', 'g') AS redacted FROM documents"),
+          "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" +
+          "|\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" +
+          "|\\b\\d{9,}\\b', '[REDACTED]', 'g') AS redacted FROM documents"),
 
       "dedup_exact" ->
         ("WITH corpus AS (SELECT doc_id, text FROM documents " +

@@ -36,8 +36,13 @@ object Redact {
   def redactLongDigits(text: Column, token: String = DefaultToken): Column =
     regexp_replace(text, LongDigitPattern, token)
 
-  /** All redactions, applied email -> IPv4 -> digit-run (emails and IPs are
-    * consumed before the bare digit-run pass can split them). */
+  /** All three patterns as one alternation, tried in email -> IPv4 ->
+    * digit-run order at each position (leftmost-first in both Java regex and
+    * RE2, so emails and IPs win over the bare digit-run alternative). */
+  val PiiPattern: String = s"$EmailPattern|$Ipv4Pattern|$LongDigitPattern"
+
+  /** All redactions in a single regex pass (one scan of the text instead of
+    * three; the alternation keeps email/IP matches ahead of digit runs). */
   def redactPii(text: Column, token: String = DefaultToken): Column =
-    redactLongDigits(redactIpv4(redactEmails(text, token), token), token)
+    regexp_replace(text, PiiPattern, token)
 }
