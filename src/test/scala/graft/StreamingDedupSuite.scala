@@ -60,6 +60,39 @@ class StreamingDedupSuite extends AnyFunSuite with SparkTest {
     } finally query.stop()
   }
 
+  test("streaming sessionBounds merges events into gap-separated sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val sessions = graft.streaming.StreamingSessionize.sessionBounds(
+      input.toDF().toDF("user", "ts"), "ts", "10 minutes", "0 seconds", col("user"))
+
+    val query = sessions.writeStream.format("memory")
+      .queryName("ss_out").outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then a 30-min gap
+      // (second session); user 2: one event
+      input.addData(
+        (1L, Timestamp.valueOf("2026-01-01 10:00:00")),
+        (1L, Timestamp.valueOf("2026-01-01 10:05:00")),
+        (2L, Timestamp.valueOf("2026-01-01 10:00:00")))
+      query.processAllAvailable()
+      input.addData((1L, Timestamp.valueOf("2026-01-01 10:40:00")))
+      query.processAllAvailable()
+      // advance the watermark far enough to close and emit every session
+      input.addData((9L, Timestamp.valueOf("2026-01-01 12:00:00")))
+      query.processAllAvailable()
+      val rows = spark.table("ss_out")
+        .select("user", "n_events", "first_event", "last_event")
+        .as[(Long, Long, Timestamp, Timestamp)].collect().toSet
+      assert(rows.contains((1L, 2L,
+        Timestamp.valueOf("2026-01-01 10:00:00"), Timestamp.valueOf("2026-01-01 10:05:00"))))
+      assert(rows.contains((1L, 1L,
+        Timestamp.valueOf("2026-01-01 10:40:00"), Timestamp.valueOf("2026-01-01 10:40:00"))))
+      assert(rows.contains((2L, 1L,
+        Timestamp.valueOf("2026-01-01 10:00:00"), Timestamp.valueOf("2026-01-01 10:00:00"))))
+    } finally query.stop()
+  }
+
   test("hash sampling and PII redaction run unchanged in streaming pipelines") {
     // both are stateless narrow ops, so the batch operators apply verbatim to
     // a stream — and the kept set matches the batch decision for the same keys
