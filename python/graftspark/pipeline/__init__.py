@@ -256,23 +256,28 @@ def redact_long_digits(text: ColumnOrName, token: str = "[REDACTED]") -> Column:
 
 def asof_join(left: DataFrame, right: DataFrame, keys: List[str],
               left_ts_col: str, right_ts_col: str, right_payload: List[str],
-              prefix: str = "asof_", tolerance: Column = None) -> DataFrame:
-    """Backward point-in-time join: for each left row, the payload of the
-    latest right row (same keys) with right ts <= left ts. One keyed sort +
-    running window — no inequality nested-loop join."""
+              prefix: str = "asof_", tolerance: Column = None,
+              direction: str = "backward") -> DataFrame:
+    """Point-in-time join: for each left row, the payload of the latest
+    right row at-or-before ("backward") or earliest at-or-after ("forward"),
+    per key. One keyed sort + running window — no inequality nested loop."""
     jdf = _bridge(left).asofJoin(
         left._jdf, right._jdf, list(keys), left_ts_col, right_ts_col,
         list(right_payload), prefix,
-        _to_java_column(tolerance) if tolerance is not None else None)
+        _to_java_column(tolerance) if tolerance is not None else None,
+        direction)
     return DataFrame(jdf, left.sparkSession)
 
 
 def range_join(points: DataFrame, point_col: str, intervals: DataFrame,
-               lo_col: str, hi_col: str, bin_width: float) -> DataFrame:
-    """All (point, interval) pairs with lo <= point <= hi, via fixed-width
-    bin equi-join + exact BETWEEN post-filter."""
+               lo_col: str, hi_col: str, bin_width: float,
+               keys: List[str] = ()) -> DataFrame:
+    """All (point, interval) pairs with lo <= point <= hi (optionally also
+    matching equi-keys), via fixed-width bin equi-join + exact BETWEEN
+    post-filter."""
     jdf = _bridge(points).rangeJoin(
-        points._jdf, point_col, intervals._jdf, lo_col, hi_col, float(bin_width))
+        points._jdf, point_col, intervals._jdf, lo_col, hi_col,
+        float(bin_width), list(keys))
     return DataFrame(jdf, points.sparkSession)
 
 

@@ -37,10 +37,14 @@ object Joins {
    * The right payload travels as ONE struct through the window, so all
    * payload columns are guaranteed to come from the same right row.
    *
-   * `tolerance`: optional maximum lookback — a match further than this
-   * before the left timestamp is nulled out. Express it in the timestamp
+   * `tolerance`: optional maximum time distance — a match further than this
+   * from the left timestamp is nulled out. Express it in the timestamp
    * type's difference algebra (a long delta for numeric timestamps, an
    * INTERVAL literal for timestamp columns).
+   *
+   * `direction`: "backward" (default — latest right row at-or-before, the
+   * point-in-time lookup) or "forward" (earliest right row at-or-after,
+   * e.g. "next maintenance event after each reading").
    *
    * Output: every left column, then `<prefix>ts` (the matched right
    * timestamp) and `<prefix><payload>` for each requested payload column.
@@ -51,9 +55,13 @@ object Joins {
       leftTsCol: String, rightTsCol: String,
       rightPayload: Seq[String],
       prefix: String = "asof_",
-      tolerance: Option[Column] = None): DataFrame = {
+      tolerance: Option[Column] = None,
+      direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one equi-key")
     require(rightPayload.nonEmpty, "asofJoin needs at least one right payload column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward': $direction")
+    val backward = direction == "backward"
     val p = graft.functions.distinctPrefixFor((left.columns ++ right.columns).toSeq)
     val ts = p + "ts"
     val tag = p + "tag"
@@ -63,26 +71,36 @@ object Joins {
       .filterNot(c => keys.contains(c) || c == leftTsCol).toSeq
     val payStructR = struct(
       (col(rightTsCol).as("ts") +: rightPayload.map(c => col(c).as(c))): _*)
+    // Null timestamps have no position in the as-of order: a null-ts right
+    // row must never become anyone's "latest state" (it would sort NULLS
+    // FIRST and leak into every left row), and a null-ts left row has no
+    // point in time to look up — both are dropped, matching SQL ASOF.
     // right rows: keys, ts, tag 0, payload struct, nulled left columns
     val rightSchema = right.select(payStructR).schema.head.dataType
-    val r = right.select(
+    val r = right.filter(col(rightTsCol).isNotNull).select(
       keys.map(col) ++ Seq(col(rightTsCol).as(ts), lit(0).as(tag), payStructR.as(pay)) ++
         leftDataCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     // left rows: keys, ts, tag 1, null payload, left columns
-    val l = left.select(
+    val l = left.filter(col(leftTsCol).isNotNull).select(
       keys.map(col) ++ Seq(col(leftTsCol).as(ts), lit(1).as(tag),
         lit(null).cast(rightSchema).as(pay)) ++ leftDataCols.map(col): _*)
 
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ts), col(tag))
+    // backward: ascending scan carries the latest right row at-or-before;
+    // forward: descending scan carries the earliest right row at-or-after
+    // (the right-first tag break keeps equality matching in both directions)
+    val tsOrder = if (backward) col(ts).asc else col(ts).desc
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(tsOrder, col(tag).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = r.unionByName(l)
       .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
       .filter(col(tag) === 1)
 
     val bounded = tolerance match {
-      case Some(maxLookback) =>
+      case Some(maxDistance) =>
+        val distance =
+          if (backward) col(ts) - col(pay)("ts") else col(pay)("ts") - col(ts)
         carried.withColumn(pay,
-          when(col(pay).isNotNull && (col(ts) - col(pay)("ts")) <= maxLookback, col(pay)))
+          when(col(pay).isNotNull && distance <= maxDistance, col(pay)))
       case None => carried
     }
     bounded.select(
@@ -104,15 +122,19 @@ object Joins {
    * |P| + |I| × (avg interval width / binWidth) + output — pick `binWidth`
    * near the typical interval width so intervals explode into O(1) bins.
    *
-   * Column names of `points` and `intervals` must be disjoint (the result
-   * carries both sides' columns).
+   * `keys`: optional equi-keys present on BOTH sides (same names) — e.g.
+   * per-user maintenance windows. They join alongside the bin id, so a hot
+   * value range on one entity doesn't collide with every other entity's.
+   *
+   * Apart from `keys`, column names of `points` and `intervals` must be
+   * disjoint (the result carries both sides' columns).
    */
   def rangeJoin(
       points: DataFrame, pointCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
-      binWidth: Double): DataFrame = {
+      binWidth: Double, keys: Seq[String] = Seq.empty): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive: $binWidth")
-    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet) -- keys
     require(overlap.isEmpty, s"points/intervals column names must be disjoint, both have: $overlap")
     val p = graft.functions.distinctPrefixFor((points.columns ++ intervals.columns).toSeq)
     val bin = p + "bin"
@@ -121,7 +143,7 @@ object Joins {
     val binnedIntervals = intervals
       .withColumn(bin, explode(sequence(
         floor(col(loCol) / binWidth).cast("long"), floor(col(hiCol) / binWidth).cast("long"))))
-    binnedPoints.join(binnedIntervals, Seq(bin))
+    binnedPoints.join(binnedIntervals, keys :+ bin)
       .filter(col(pointCol).between(col(loCol), col(hiCol)))
       .drop(bin)
   }

@@ -287,13 +287,15 @@ object PyBridge {
 
   def asofJoin(left: DataFrame, right: DataFrame, keys: JList[String],
                leftTsCol: String, rightTsCol: String, rightPayload: JList[String],
-               prefix: String, tolerance: Column): DataFrame =
+               prefix: String, tolerance: Column, direction: String): DataFrame =
     graft.join.Joins.asofJoin(left, right, keys.asScala.toSeq, leftTsCol, rightTsCol,
-      rightPayload.asScala.toSeq, prefix, Option(tolerance))
+      rightPayload.asScala.toSeq, prefix, Option(tolerance), direction)
 
   def rangeJoin(points: DataFrame, pointCol: String, intervals: DataFrame,
-                loCol: String, hiCol: String, binWidth: Double): DataFrame =
-    graft.join.Joins.rangeJoin(points, pointCol, intervals, loCol, hiCol, binWidth)
+                loCol: String, hiCol: String, binWidth: Double,
+                keys: JList[String]): DataFrame =
+    graft.join.Joins.rangeJoin(points, pointCol, intervals, loCol, hiCol, binWidth,
+      keys.asScala.toSeq)
 
   def withSessionIndex(df: DataFrame, key: Column, ts: Column, gap: Column,
                        sessionColumn: String): DataFrame =

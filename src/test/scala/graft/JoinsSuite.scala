@@ -61,6 +61,18 @@ class JoinsSuite extends AnyFunSuite with SparkTest {
     assert(got == expected)
   }
 
+  test("asofJoin drops null timestamps instead of letting them leak state") {
+    val left = Seq((Some(1L), Some(10L)), (Some(1L), None))
+      .map { case (k, t) => (k, t) }.toDF("k", "t")
+    // the null-ts right row would sort NULLS FIRST and pollute every match
+    val right = Seq((Some(1L), None, Some("poison")), (Some(1L), Some(5L), Some("ok")))
+      .toDF("k", "t", "v")
+    val out = Joins.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select("t", "asof_v").as[(Option[Long], Option[String])].collect().toSet
+    // the null-ts left row is dropped; the survivor matches the real row
+    assert(out == Set((Some(10L), Some("ok"))))
+  }
+
   test("rangeJoin equals the brute-force interval join, bins notwithstanding") {
     val rng = new scala.util.Random(3)
     val points = Seq.tabulate(400)(i => (i.toLong, rng.nextDouble() * 200 - 100))
@@ -78,6 +90,32 @@ class JoinsSuite extends AnyFunSuite with SparkTest {
     assert(got == expected)
     assert(got.nonEmpty)
     assert(got.size == got.distinct.size) // each pair exactly once
+  }
+
+  test("asofJoin forward direction finds the next right row at or after") {
+    val left = Seq((1L, 10L), (1L, 16L), (1L, 100L)).toDF("k", "t")
+    val right = Seq((1L, 15L, "a"), (1L, 16L, "b")).toDF("k", "t", "v")
+    val out = Joins.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"),
+      direction = "forward")
+      .select("t", "asof_ts", "asof_v")
+      .as[(Long, Option[Long], Option[String])].collect().toSet
+    assert(out == Set(
+      (10L, Some(15L), Some("a")),  // nearest LATER row, not latest
+      (16L, Some(16L), Some("b")),  // equality matches forward too
+      (100L, None, None)))          // nothing after
+    // forward tolerance bounds the look-ahead distance
+    val bounded = Joins.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"),
+      direction = "forward", tolerance = Some(lit(3L)))
+      .select("t", "asof_v").as[(Long, Option[String])].collect().toSet
+    assert(bounded == Set((10L, None), (16L, Some("b")), (100L, None)))
+  }
+
+  test("rangeJoin with equi-keys only matches intervals of the same entity") {
+    val pdf = Seq((1L, 101L, 5.0), (2L, 102L, 5.0)).toDF("u", "pid", "v")
+    val idf = Seq((1L, 201L, 0.0, 10.0)).toDF("u", "iid", "lo", "hi")
+    val got = Joins.rangeJoin(pdf, "v", idf, "lo", "hi", 10.0, keys = Seq("u"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((101L, 201L))) // user 2's point does not match user 1's interval
   }
 
   test("rangeJoin bounds are inclusive on both ends") {
