@@ -162,7 +162,11 @@ object Clustering {
   }
 
   /** Large-star: for each node, point every strictly-larger neighbor at the
-    * minimum of the neighborhood (incl. the node itself). */
+    * minimum of the neighborhood (incl. the node itself).
+    *
+    * No trailing distinct: duplicate edges don't change any neighborhood
+    * minimum, and the iteration's single canonicalizing distinct lives at
+    * the end of [[smallStar]] — one exchange instead of three per star op. */
   private def largeStar(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
@@ -172,15 +176,15 @@ object Clustering {
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
   }
 
   /** Small-star: orient edges large->small; point every smaller neighbor and
-    * the node itself at the minimum neighbor. */
+    * the node itself at the minimum neighbor. The trailing distinct is the
+    * iteration's one canonicalization pass (signature stability + minimal
+    * edge set for the next round). */
   private def smallStar(edges: DataFrame): DataFrame = {
     val oriented = edges
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct()
     val mins = oriented.groupBy("u").agg(min(col("v")).as("m"))
     oriented.join(mins, "u")
       .select(explode(array(
