@@ -37,6 +37,11 @@ object Joins {
    * The right payload travels as ONE struct through the window, so all
    * payload columns are guaranteed to come from the same right row.
    *
+   * Determinism: if the right side has several rows with the same
+   * (keys, timestamp), which of them matches is arbitrary — pre-aggregate
+   * the right side to one row per (keys, timestamp) when that matters (as
+   * the gated `asof_join` query does).
+   *
    * `tolerance`: optional maximum time distance — a match further than this
    * from the left timestamp is nulled out. Express it in the timestamp
    * type's difference algebra (a long delta for numeric timestamps, an
