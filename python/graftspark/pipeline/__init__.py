@@ -25,7 +25,8 @@ __all__ = [
     "approx_bpe_token_count", "fingerprint_md5", "hashed_word_shingles",
     "cosine_similarity", "dot_product", "drop_exact_text_duplicates",
     "near_dup_pairs_minhash", "near_dup_pairs_simhash", "deduplicate_minhash",
-    "decontaminate", "brute_force_top_k", "register_sql_functions",
+    "deduplicate_lines", "decontaminate", "brute_force_top_k",
+    "register_sql_functions",
     "connected_components", "assign_clusters", "deduplicate_by_clusters",
     "deduplicate_minhash_clusters", "hash_sample", "stratified_hash_sample",
     "redact_pii", "redact_emails", "redact_ipv4", "redact_long_digits",
@@ -146,6 +147,17 @@ def near_dup_pairs_simhash(df: DataFrame, id_col: ColumnOrName, text: ColumnOrNa
     jdf = _bridge(df).nearDupPairsSimHash(
         df._jdf, _jcol(id_col), _jcol(text),
         int(shingle_size), int(bands), int(max_hamming), float(threshold))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def deduplicate_lines(df: DataFrame, id_col: ColumnOrName, text: ColumnOrName,
+                      separator: str = "\n",
+                      output_text_column: str = "text") -> DataFrame:
+    """C4-style line dedup: remove every repeated line across the corpus,
+    keeping only its first occurrence (smallest (id, position)); documents
+    reduced to nothing keep an empty text."""
+    jdf = _bridge(df).deduplicateLines(
+        df._jdf, _jcol(id_col), _jcol(text), separator, output_text_column)
     return DataFrame(jdf, df.sparkSession)
 
 

@@ -468,6 +468,18 @@ object SparkEntry {
           lit("@mail.example.org or 10.2."), (col("doc_id") % 256).cast("string"),
           lit(".77 acct 900123456789"))).as("redacted"))),
 
+    // C4-style line dedup: synthesized 3-line docs — a mostly-unique prefix
+    // line, a corpus-wide boilerplate line (survives only in the first doc),
+    // and a per-doc unique line. Winner selection is a combine-friendly
+    // min-aggregate on the line hash; survivors semi-join on (doc, pos).
+    "dedup_lines" -> ((s, dir) => {
+      val synth = t(s, dir, "documents").select(col("doc_id"),
+        concat(substring(col("text"), 1, 50), lit("\n"),
+          lit("shared footer all rights reserved"), lit("\n"),
+          lit("doc "), col("doc_id").cast("string")).as("text"))
+      graft.dedup.Dedup.deduplicateLines(synth, col("doc_id"), col("text"))
+    }),
+
     // exact dedup: corpus with planted normalized-duplicate copies
     "dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -976,6 +988,17 @@ object SparkEntry {
           "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" +
           "|\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" +
           "|\\b\\d{9,}\\b', '[REDACTED]', 'g') AS redacted FROM documents"),
+
+      "dedup_lines" ->
+        ("WITH src AS (SELECT doc_id, substring(text, 1, 50) || chr(10) || " +
+          "'shared footer all rights reserved' || chr(10) || 'doc ' || CAST(doc_id AS VARCHAR) AS text " +
+          "FROM documents), " +
+          "pp AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM src), " +
+          "parts AS (SELECT doc_id, unnest(parts) AS line, unnest(range(1, len(parts) + 1)) AS pos FROM pp), " +
+          "kept AS (SELECT doc_id, pos, line FROM parts " +
+          "QUALIFY ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1), " +
+          "agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text FROM kept GROUP BY doc_id) " +
+          "SELECT s.doc_id, COALESCE(a.text, '') AS text FROM src s LEFT JOIN agg a ON s.doc_id = a.doc_id"),
 
       "dedup_exact" ->
         ("WITH corpus AS (SELECT doc_id, text FROM documents " +

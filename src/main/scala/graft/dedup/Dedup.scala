@@ -52,6 +52,54 @@ object Dedup {
     dropExactDuplicates(df, TextFunctions.fingerprintMd5(textCol), idCol)
 
   // --------------------------------------------------------------------------
+  // Line-level corpus dedup (C4-style)
+  // --------------------------------------------------------------------------
+
+  /**
+   * Remove every repeated line across the whole corpus, keeping only its
+   * first occurrence (smallest (id, position)) — the C4-style line/sentence
+   * dedup that strips boilerplate (navigation, footers, disclaimers)
+   * repeated across documents while keeping each document's unique content.
+   * Documents whose every line is removed stay in the output with empty
+   * text.
+   *
+   * Scale shape — the naive plan (window `row_number` partitioned by line)
+   * funnels every copy of a hot line (empty lines, "all rights reserved")
+   * into ONE task. Instead:
+   *   1. winner per line = `min(struct(id, pos))` grouped by the line's
+   *      xxhash64 — partial aggregation combines map-side, so a
+   *      billion-copy boilerplate line sends one row per map task to the
+   *      shuffle, and only 8-byte hashes travel, not line text;
+   *   2. survivors = left-semi join of the exploded lines against the
+   *      winner set on (id, pos) — a uniformly distributed key, so the
+   *      skew of the line distribution never reaches a join;
+   *   3. reassembly = groupBy(id) with an in-group sort by position.
+   */
+  def deduplicateLines(
+      df: DataFrame, id: Column, text: Column,
+      separator: String = "\n", outputTextColumn: String = "text"): DataFrame = {
+    val p = graft.functions.distinctPrefixFor(df.columns.toSeq)
+    val idc = p + "id"
+    val pos = p + "pos"
+    val line = p + "line"
+    val w = p + "w"
+    val parts = df.select(id.as(idc),
+      posexplode(split(text, java.util.regex.Pattern.quote(separator))).as(Seq(pos, line)))
+    val winners = parts
+      .groupBy(xxhash64(col(line)))
+      .agg(min(struct(col(idc), col(pos))).as(w))
+      .select(col(w)(idc).as(idc), col(w)(pos).as(pos))
+    val kept = parts.join(winners, Seq(idc, pos), "left_semi")
+    val reassembled = kept
+      .groupBy(col(idc))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col(pos), col(line)))), x => x(line)),
+        separator).as(outputTextColumn))
+    df.select(id).join(reassembled, id === col(idc), "left")
+      .select(id, coalesce(col(outputTextColumn), lit("")).as(outputTextColumn))
+  }
+
+  // --------------------------------------------------------------------------
   // Decontamination (benchmark / test-set overlap removal)
   // --------------------------------------------------------------------------
 

@@ -228,6 +228,10 @@ object PyBridge {
                           threshold: Double): DataFrame =
     graft.dedup.Dedup.nearDupPairsSimHash(df, id, text, shingleSize, bands, maxHamming, threshold)
 
+  def deduplicateLines(df: DataFrame, id: Column, text: Column,
+                       separator: String, outputTextColumn: String): DataFrame =
+    graft.dedup.Dedup.deduplicateLines(df, id, text, separator, outputTextColumn)
+
   def decontaminate(corpus: DataFrame, id: Column, text: Column,
                     blocklist: DataFrame, blocklistText: Column,
                     shingleSize: Int, minOverlap: Int): DataFrame =

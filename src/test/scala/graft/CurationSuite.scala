@@ -1,5 +1,6 @@
 package graft
 
+import graft.dedup.Dedup
 import graft.sample.Sampling
 import graft.text.Redact
 import org.apache.spark.sql.functions._
@@ -49,6 +50,25 @@ class CurationSuite extends AnyFunSuite with SparkTest {
       df, col("g"), col("k"), Map("s0" -> 1.0, "s1" -> 0.0), defaultRate = 0.5)
       .filter(col("g") === "s2").select("k").as[Long].collect().toSet
     assert(strat == flat)
+  }
+
+  test("deduplicateLines keeps only the first corpus-wide occurrence of a line") {
+    val docs = Seq(
+      (1L, "unique one\nshared footer\nalpha"),
+      (2L, "unique two\nshared footer\nalpha\nbeta"),
+      (3L, "shared footer")).toDF("doc_id", "text")
+    val out = Dedup.deduplicateLines(docs, col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "unique one\nshared footer\nalpha") // first owner keeps all
+    assert(out(2L) == "unique two\nbeta")                 // shared lines stripped
+    assert(out(3L) == "")                                 // fully boilerplate doc
+  }
+
+  test("deduplicateLines removes within-document repeats too") {
+    val docs = Seq((7L, "a\nb\na\nc")).toDF("doc_id", "text")
+    val out = Dedup.deduplicateLines(docs, col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    assert(out(7L) == "a\nb\nc")
   }
 
   test("redactPii scrubs emails, IPv4 and long digit runs, leaves prose alone") {
