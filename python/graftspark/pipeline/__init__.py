@@ -31,6 +31,7 @@ __all__ = [
     "deduplicate_minhash_clusters", "hash_sample", "stratified_hash_sample",
     "redact_pii", "redact_emails", "redact_ipv4", "redact_long_digits",
     "asof_join", "range_join", "with_session_index", "session_bounds",
+    "split_by_hash", "gopher_filter",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -246,6 +247,32 @@ def stratified_hash_sample(df: DataFrame, strata: ColumnOrName,
     jdf = _bridge(df).stratifiedHashSample(
         df._jdf, _jcol(strata), _jcol(key),
         {str(k): float(v) for k, v in rates.items()}, float(default_rate), salt)
+    return DataFrame(jdf, df.sparkSession)
+
+
+def split_by_hash(df: DataFrame, key: ColumnOrName, weights: dict,
+                  salt: str = "graft", output_column: str = "split") -> DataFrame:
+    """Deterministic train/val/test splitting: {name: weight} buckets chosen
+    by the same md5-threshold hash as hash_sample (weights must sum to 1);
+    a row's split never changes across runs, partitionings, or engines."""
+    names = list(weights.keys())
+    jdf = _bridge(df).splitByHash(
+        df._jdf, _jcol(key), names, [float(weights[n]) for n in names],
+        salt, output_column)
+    return DataFrame(jdf, df.sparkSession)
+
+
+def gopher_filter(df: DataFrame, text: ColumnOrName,
+                  min_tokens: int = 50, max_tokens: int = 100000,
+                  min_avg_token_len: float = 3.0, max_avg_token_len: float = 10.0,
+                  min_stopword_ratio: float = 0.02,
+                  max_top_bigram_fraction: float = 0.18) -> DataFrame:
+    """Gopher-style composite quality filter (token count, mean token
+    length, stopword mass, top-bigram repetition) over the fused kernels."""
+    jdf = _bridge(df).gopherFilter(
+        df._jdf, _jcol(text), int(min_tokens), int(max_tokens),
+        float(min_avg_token_len), float(max_avg_token_len),
+        float(min_stopword_ratio), float(max_top_bigram_fraction))
     return DataFrame(jdf, df.sparkSession)
 
 

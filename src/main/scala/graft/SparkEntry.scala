@@ -468,6 +468,23 @@ object SparkEntry {
           lit("@mail.example.org or 10.2."), (col("doc_id") % 256).cast("string"),
           lit(".77 acct 900123456789"))).as("redacted"))),
 
+    // deterministic train/val/test split assignment (same hash family as
+    // sampling; a doc's split never changes across runs/engines/partitions)
+    "split_assign" -> ((s, dir) =>
+      graft.sample.Sampling.splitByHash(
+        t(s, dir, "documents").select(col("doc_id")), col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
+
+    // Gopher-style composite quality filter over the fused kernels —
+    // thresholds tuned so the synthetic corpus splits nontrivially
+    "quality_filter" -> ((s, dir) =>
+      graft.text.QualityFilters.gopherFilter(
+        t(s, dir, "documents"), col("text"),
+        minTokens = 30, maxTokens = 90,
+        minAvgTokenLen = 3.0, maxAvgTokenLen = 6.0,
+        minStopwordRatio = 0.02, maxTopBigramFraction = 0.2)
+        .select(col("doc_id"))),
+
     // C4-style line dedup: synthesized 3-line docs — a mostly-unique prefix
     // line, a corpus-wide boilerplate line (survives only in the first doc),
     // and a per-doc unique line. Winner selection is a combine-friendly
@@ -988,6 +1005,26 @@ object SparkEntry {
           "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" +
           "|\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" +
           "|\\b\\d{9,}\\b', '[REDACTED]', 'g') AS redacted FROM documents"),
+
+      // cumulative thresholds: 0.8 -> cccccccd, 0.9 -> e6666666, rest = test
+      "split_assign" ->
+        ("SELECT doc_id, CASE " +
+          "WHEN substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccd' THEN 'train' " +
+          "WHEN substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val' " +
+          "ELSE 'test' END AS split FROM documents"),
+
+      "quality_filter" ->
+        (s"WITH $docTokCte, g AS (SELECT doc_id, toks, " +
+          "CASE WHEN len(toks) < 2 THEN [] ELSE [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))] END AS g2 " +
+          "FROM tok), " +
+          "m AS (SELECT doc_id, len(toks) AS n, " +
+          "CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS avg_len, " +
+          "CAST(len([t for t in toks if list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], t)]) AS DOUBLE) / len(toks) AS stop_ratio, " +
+          "len(g2) AS t2, CASE WHEN len(g2) = 0 THEN 0 ELSE COALESCE(list_max([len([y for y in g2 if y = x]) for x in list_distinct(g2)]), 0) END AS p2 " +
+          "FROM g) " +
+          "SELECT doc_id FROM m WHERE n >= 30 AND n <= 90 " +
+          "AND avg_len >= 3.0 AND avg_len <= 6.0 AND stop_ratio >= 0.02 " +
+          "AND (CASE WHEN t2 = 0 THEN 0.0 ELSE CAST(p2 AS DOUBLE) / CAST(t2 AS DOUBLE) END) <= 0.2"),
 
       "dedup_lines" ->
         ("WITH src AS (SELECT doc_id, substring(text, 1, 50) || chr(10) || " +

@@ -276,6 +276,19 @@ object PyBridge {
       rates.asScala.map { case (k, v) => k -> v.doubleValue() }.toMap,
       defaultRate, salt)
 
+  def splitByHash(df: DataFrame, key: Column, names: JList[String],
+                  weights: JList[java.lang.Double], salt: String,
+                  outputColumn: String): DataFrame =
+    graft.sample.Sampling.splitByHash(df, key,
+      names.asScala.toSeq.zip(weights.asScala.toSeq.map(_.doubleValue())),
+      salt, outputColumn)
+
+  def gopherFilter(df: DataFrame, text: Column, minTokens: Int, maxTokens: Int,
+                   minAvgTokenLen: Double, maxAvgTokenLen: Double,
+                   minStopwordRatio: Double, maxTopBigramFraction: Double): DataFrame =
+    graft.text.QualityFilters.gopherFilter(df, text, minTokens, maxTokens,
+      minAvgTokenLen, maxAvgTokenLen, minStopwordRatio, maxTopBigramFraction)
+
   def redactPii(c: Column, token: String): Column = graft.text.Redact.redactPii(c, token)
 
   def redactEmails(c: Column, token: String): Column = graft.text.Redact.redactEmails(c, token)

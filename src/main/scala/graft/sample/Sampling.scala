@@ -41,6 +41,34 @@ object Sampling {
     df.filter(hashSamplePredicate(key, rate, salt))
 
   /**
+   * Deterministic dataset splitting: label every row with one of `weights`'
+   * split names, chosen by the same md5-threshold hash as [[hashSample]].
+   * The same document lands in the same split at any scale, under any
+   * partitioning, in any engine — which is what makes held-out sets
+   * trustworthy across pipeline re-runs. Weights must sum to 1 (±1e-9);
+   * the last split absorbs hash values past the final threshold so rounding
+   * can never leave a row unlabeled.
+   */
+  def splitByHash(
+      df: DataFrame, key: Column, weights: Seq[(String, Double)],
+      salt: String = "graft", outputColumn: String = "split"): DataFrame = {
+    require(weights.nonEmpty, "splitByHash needs at least one split")
+    weights.foreach { case (n, w) =>
+      require(w > 0.0 && w <= 1.0, s"split '$n' weight must be in (0, 1]: $w") }
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1: ${weights.map(_._2).sum}")
+    val h = substring(md5(concat(lit(salt), key.cast("string"))), 1, 8)
+    val cumulative = weights.init.scanLeft(0.0)(_ + _._2).tail // thresholds before the last
+    val labeled = weights.init.zip(cumulative).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), cum)) =>
+        val cond = h < lit(thresholdHex(cum))
+        Some(acc.fold(when(cond, lit(name)))(_.when(cond, lit(name))))
+    }
+    val expr = labeled.fold(lit(weights.last._1))(_.otherwise(lit(weights.last._1)))
+    df.withColumn(outputColumn, expr)
+  }
+
+  /**
    * Per-stratum sampling rates (e.g. up-sample a high-quality source,
    * down-sample a boilerplate-heavy one) with `defaultRate` for strata not
    * listed. The per-row threshold is a chained CASE on the stratum value —

@@ -52,6 +52,43 @@ class CurationSuite extends AnyFunSuite with SparkTest {
     assert(strat == flat)
   }
 
+  test("splitByHash labels every row, partitions agree with hashSample") {
+    val keys = (0L until 4000L).toDF("k")
+    val out = Sampling.splitByHash(keys, col("k"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(out.values.sum == 4000)
+    assert(math.abs(out("train") - 3200) < 120)
+    assert(math.abs(out("val") - 400) < 80)
+    assert(math.abs(out("test") - 400) < 80)
+    // the train split IS the 0.8 hash sample: one consistent hash family
+    val train = Sampling.splitByHash(keys, col("k"),
+      Seq("train" -> 0.8, "rest" -> 0.2))
+      .filter(col("split") === "train").select("k").as[Long].collect().toSet
+    val sampled = Sampling.hashSample(keys, col("k"), 0.8).as[Long].collect().toSet
+    assert(train == sampled)
+    // weights must sum to 1
+    intercept[IllegalArgumentException] {
+      Sampling.splitByHash(keys, col("k"), Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+
+  test("gopherFilter keeps natural-language docs and drops degenerate ones") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog and then it runs far away to the old barn door again"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (3L, "ok go"), // too short
+      (4L, "the internationalization parallelization incomprehensibilities of transcendentalism and the notwithstanding characteristically uncharacteristically extraordinarily incomprehensibilities responsibilities internationalization parallelization transcendentalism notwithstanding characteristically uncharacteristically extraordinarily responsibilities incomprehensibilities" +
+        " internationalization parallelization transcendentalism notwithstanding") // avg token length too long
+    ).toDF("doc_id", "text")
+    val kept = graft.text.QualityFilters.gopherFilter(
+      docs, col("text"), minTokens = 10, maxTokens = 50,
+      minAvgTokenLen = 3.0, maxAvgTokenLen = 8.0,
+      minStopwordRatio = 0.05, maxTopBigramFraction = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
   test("deduplicateLines keeps only the first corpus-wide occurrence of a line") {
     val docs = Seq(
       (1L, "unique one\nshared footer\nalpha"),
