@@ -276,6 +276,17 @@ object SparkEntry {
         .select(col("band_id"), col("o_orderkey"), col("o_totalprice"))
     }),
 
+    // skew-safe salted equi-join: bit-identical to the plain join (the salt
+    // is internal), fact side salted, dimension side replicated 8x
+    "salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      graft.join.Joins.saltedJoin(li, sup, Seq("l_suppkey"), saltFactor = 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("s_name"))
+    }),
+
     // sessionization: per-user view sessions split at 30-minute gaps —
     // one shuffle on user_id, both window passes share a single sort
     "sessionize" -> ((s, dir) => {
@@ -885,6 +896,11 @@ object SparkEntry {
           "FROM orders WHERE o_orderkey % 997 = 0) " +
           "SELECT i.band_id, o.o_orderkey, o.o_totalprice FROM orders o " +
           "JOIN i ON o.o_totalprice BETWEEN i.lo AND i.hi"),
+
+      // the salt never leaves the operator: plain-join SQL is the oracle
+      "salted_join" ->
+        ("SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, s.s_name " +
+          "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey"),
 
       "sessionize" ->
         ("WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'view'), " +

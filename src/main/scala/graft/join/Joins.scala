@@ -152,4 +152,47 @@ object Joins {
       .filter(col(pointCol).between(col(loCol), col(hiCol)))
       .drop(bin)
   }
+
+  /**
+   * Skew-safe equi-join: identical result to `left.join(right, keys,
+   * joinType)`, but a hot join key no longer funnels into one reducer.
+   *
+   * Mechanics: every left row gets a deterministic salt in
+   * `[0, saltFactor)` (hash of the whole row, so the assignment is stable
+   * across runs and partitionings — no `rand()`); the right side is
+   * replicated once per salt value (a narrow `explode`, no shuffle). The
+   * join key becomes `keys :+ salt`, so the rows of a hot key spread over
+   * `saltFactor` reducers instead of one. Replication multiplies only the
+   * RIGHT side — put the small/dimension side there (`saltFactor` × |right|
+   * extra shuffle rows buys `saltFactor`-way parallelism on the hot key).
+   *
+   * When to reach for this instead of AQE's skew-join: AQE only splits
+   * skewed partitions of a sort-merge join after the shuffle files exist;
+   * it does not help a shuffled hash join building a giant hash table on
+   * the hot key, a `groupBy` downstream of the join keyed on the same
+   * column, or engines/paths where AQE is off. Salting fixes the key
+   * distribution itself, ahead of time.
+   *
+   * Supported join types: inner and left/left_outer. (Right/full-outer
+   * would emit one unmatched copy of a right row PER salt — post-dedup
+   * would be needed, defeating the point; flip the sides instead.)
+   */
+  def saltedJoin(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], saltFactor: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(keys.nonEmpty, "saltedJoin needs at least one equi-key")
+    require(saltFactor >= 1, s"saltFactor must be >= 1: $saltFactor")
+    val supported = Set("inner", "left", "left_outer", "leftouter")
+    require(supported.contains(joinType.toLowerCase.replace("_", "")) ||
+      supported.contains(joinType.toLowerCase),
+      s"saltedJoin supports inner and left joins, not: $joinType")
+    val p = graft.functions.distinctPrefixFor((left.columns ++ right.columns).toSeq)
+    val salt = p + "salt"
+    val l = left.withColumn(salt,
+      pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor)).cast("int"))
+    val r = right.withColumn(salt,
+      explode(array((0 until saltFactor).map(lit): _*)))
+    l.join(r, keys :+ salt, joinType).drop(salt)
+  }
 }

@@ -126,6 +126,41 @@ class JoinsSuite extends AnyFunSuite with SparkTest {
     assert(got == Seq(1L, 2L))
   }
 
+  test("saltedJoin equals the plain join for inner and left joins") {
+    val left = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (1L, "a"))
+      .toDF("k", "lv") // dup row: identical rows must still all survive
+    val right = Seq((1L, 10.0), (2L, 20.0), (9L, 90.0)).toDF("k", "rv")
+    for (jt <- Seq("inner", "left")) {
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, String)] =
+        df.select("k", "lv", "rv").collect().toSeq
+          .map(r => (r.getLong(0), r.getString(1), String.valueOf(r.get(2)))).sorted
+      val salted = rows(Joins.saltedJoin(left, right, Seq("k"), 4, jt))
+      val plain = rows(left.join(right, Seq("k"), jt))
+      assert(salted === plain, s"join type $jt")
+    }
+  }
+
+  test("saltedJoin spreads a hot key across salt values") {
+    // 1000 rows of one key: with saltFactor 8 the salted key set must span
+    // several distinct salts (that is the whole point of the operator)
+    val hot = spark.range(1000).select(lit(42L).as("k"), $"id".as("lv"))
+    val dim = Seq((42L, "x")).toDF("k", "rv")
+    val salts = hot
+      .withColumn("s", pmod(xxhash64(hot.columns.map(col): _*), lit(8)))
+      .select(countDistinct($"s")).as[Long].head()
+    assert(salts >= 4, s"expected the hot key spread over >=4 of 8 salts, got $salts")
+    // and the join result is still exactly hot x dim
+    assert(Joins.saltedJoin(hot, dim, Seq("k"), 8).count() === 1000L)
+  }
+
+  test("saltedJoin rejects right joins and bad salt factors") {
+    val df = Seq((1L, "a")).toDF("k", "v")
+    val other = Seq((1L, 1.0)).toDF("k", "w")
+    intercept[IllegalArgumentException](Joins.saltedJoin(df, other, Seq("k"), 4, "full_outer"))
+    intercept[IllegalArgumentException](Joins.saltedJoin(df, other, Seq("k"), 0))
+    intercept[IllegalArgumentException](Joins.saltedJoin(df, other, Seq.empty, 4))
+  }
+
   test("rangeJoin rejects colliding column names") {
     val pdf = Seq((1L, 5.0)).toDF("id", "v")
     val idf = Seq((9L, 5.0, 10.0)).toDF("id", "lo", "hi")
