@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, Expression, Expr
 import org.apache.spark.sql.types.{BinaryType, StringType}
 
 import graft.functions.{ChunkTokens, CosineSimilarity, DotProduct, HashedWordShingles,
-  MinHashBandHashes, MinHashSignature, SimHash64, TokenStats, TokenizeAscii, TopNgramStats}
+  MinHashBandHashes, MinHashSignature, SimHash64, TokenStats, TokenizeAscii, TopNgramStats,
+  WordShingles}
 import graft.multimodal.{ByteEntropy, ByteNibbleHistogram}
 import graft.sample.Sampling
 import graft.text.Redact
@@ -99,6 +100,10 @@ object GraftExtensions {
     fn("hashed_word_shingles", "hashed_word_shingles(text, n) - distinct hashed word n-grams") { es =>
       arity("hashed_word_shingles", es, 2)
       HashedWordShingles(es.head, intLit(es(1), "hashed_word_shingles", "n"))
+    },
+    fn("word_shingles", "word_shingles(text, n) - distinct word n-grams as strings") { es =>
+      arity("word_shingles", es, 2)
+      WordShingles(es.head, intLit(es(1), "word_shingles", "n"))
     },
     fn("minhash_signature", "minhash_signature(features, k) - k MinHash values") { es =>
       arity("minhash_signature", es, 2)

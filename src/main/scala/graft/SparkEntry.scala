@@ -415,6 +415,12 @@ object SparkEntry {
             .as("top_bigram_fraction"))
     }),
 
+    // corpus-wide boilerplate report: the 20 bigrams present in the most
+    // documents. Kernel shingles + map-side-combined count + TakeOrdered
+    // top-k (no global sort).
+    "top_ngrams" -> ((s, dir) =>
+      graft.text.CorpusStats.topNgrams(t(s, dir, "documents"), col("text"), n = 2, k = 20)),
+
     // token-window chunking for training-data prep: one row per overlapping
     // 32-token chunk (stride 24). Narrow plan: kernel + partition-local
     // posexplode next to the scan, no shuffle.
@@ -971,6 +977,13 @@ object SparkEntry {
           "CAST(t3 AS BIGINT) AS n3_total, CAST(p3 AS BIGINT) AS n3_top, " +
           "CASE WHEN t2 = 0 THEN 0.0 ELSE CAST(p2 AS DOUBLE) / CAST(t2 AS DOUBLE) END AS top_bigram_fraction " +
           "FROM m"),
+
+      "top_ngrams" ->
+        (s"WITH $docTokCte, g AS (SELECT doc_id, " +
+          "CASE WHEN len(toks) < 2 THEN [] ELSE list_distinct([array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]) END AS g2 " +
+          "FROM tok), ex AS (SELECT u.g AS gram FROM g, unnest(g.g2) AS u(g)) " +
+          "SELECT gram, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM ex " +
+          "GROUP BY gram ORDER BY doc_freq DESC, gram LIMIT 20"),
 
       "text_chunks" ->
         (s"WITH $docTokCte, c AS (SELECT doc_id, toks, CAST(ceil(len(toks) / 24.0) AS BIGINT) AS nc " +

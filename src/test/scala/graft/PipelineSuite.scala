@@ -223,6 +223,31 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(hashed.toSeq == strings.toSeq)
   }
 
+  test("word_shingles kernel matches the HOF shingle definition (incl. unicode)") {
+    val docs = Seq("a b c d e a b c d e", "Héllo wörld this is mixed über text ja",
+      "one two", "x", "", "x y z x y z x y z", "300K warm aKb İstanbul",
+      "The quick brown fox the quick brown fox")
+    val df = docs.toDF("t")
+    for (n <- Seq(1, 2, 3)) {
+      val kernel = df.select(graft.functions.vectors.word_shingles(col("t"), n).as("s"))
+        .as[Seq[String]].collect()
+      val hof = df.select(TextFunctions.textShingles(col("t"), n).as("s"))
+        .as[Seq[String]].collect()
+      docs.indices.foreach(i =>
+        assert(kernel(i) == hof(i), s"n=$n input '${docs(i)}'"))
+    }
+  }
+
+  test("topNgrams reports document frequencies with deterministic tie-break") {
+    val df = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the cat sat again"),
+      (4L, "a dog sat"), (5L, "the cat the cat")) // dup gram counts once per doc
+      .toDF("id", "text")
+    val out = graft.text.CorpusStats.topNgrams(df, col("text"), n = 2, k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("the cat", 4L), ("cat sat", 2L), ("a dog", 1L)))
+  }
+
   test("near-dup dedup handles short and empty documents without pairs or crashes") {
     val df = (Seq((1L, ""), (2L, "a"), (3L, "a b"), (4L, "x y")) ++
       (10L to 20L).map(i => (i, s"long document number $i alpha beta gamma delta epsilon zeta")))

@@ -75,6 +75,7 @@ class SurfaceSuite extends AnyFunSuite with SparkTest {
         |       top_ngram_stats(text, 2) AS g2,
         |       chunk_tokens(text, 3, 3) AS chunks,
         |       size(hashed_word_shingles(text, 2)) AS n_sh,
+        |       word_shingles(text, 2) AS sh,
         |       simhash64(tokenize_ascii(text)) AS sh64
         |FROM ext_docs""".stripMargin).collect().head
     assert(row.getSeq[String](0) == Seq("the", "cat", "sat", "the", "cat", "sat"))
@@ -82,6 +83,7 @@ class SurfaceSuite extends AnyFunSuite with SparkTest {
     assert(row.getSeq[Long](2) == Seq(5L, 2L))          // 5 bigrams, "cat sat" and "the cat" twice
     assert(row.getSeq[String](3) == Seq("the cat sat", "the cat sat"))
     assert(row.getInt(4) == 3)                          // distinct bigrams
+    assert(row.getSeq[String](5) == Seq("the cat", "cat sat", "sat the"))
     // vector functions over array<float>
     val vrow = spark.sql(
       """SELECT cosine_similarity(a, b) AS cos, dot_product(a, b) AS dot FROM VALUES
