@@ -25,7 +25,7 @@ __all__ = [
     "approx_bpe_token_count", "fingerprint_md5", "hashed_word_shingles",
     "cosine_similarity", "dot_product", "drop_exact_text_duplicates",
     "near_dup_pairs_minhash", "near_dup_pairs_simhash", "deduplicate_minhash",
-    "deduplicate_lines", "decontaminate", "brute_force_top_k",
+    "deduplicate_lines", "decontaminate", "decontaminate_bloom", "brute_force_top_k",
     "register_sql_functions",
     "connected_components", "assign_clusters", "deduplicate_by_clusters",
     "deduplicate_minhash_clusters", "hash_sample", "stratified_hash_sample",
@@ -170,6 +170,20 @@ def decontaminate(corpus: DataFrame, id_col: ColumnOrName, text: ColumnOrName,
     jdf = _bridge(corpus).decontaminate(
         corpus._jdf, _jcol(id_col), _jcol(text),
         blocklist._jdf, _jcol(blocklist_text), int(shingle_size), int(min_overlap))
+    return DataFrame(jdf, corpus.sparkSession)
+
+
+def decontaminate_bloom(corpus: DataFrame, id_col: ColumnOrName, text: ColumnOrName,
+                        blocklist: DataFrame, blocklist_text: ColumnOrName,
+                        shingle_size: int = 8, min_overlap: int = 1,
+                        expected_shingles: int = 10 * 1000 * 1000,
+                        fpp: float = 0.01) -> DataFrame:
+    """decontaminate with a Bloom-filter prefilter: same exact result, corpus
+    shingles probe a broadcast bitset before the exact verification join."""
+    jdf = _bridge(corpus).decontaminateBloom(
+        corpus._jdf, _jcol(id_col), _jcol(text),
+        blocklist._jdf, _jcol(blocklist_text), int(shingle_size), int(min_overlap),
+        int(expected_shingles), float(fpp))
     return DataFrame(jdf, corpus.sparkSession)
 
 

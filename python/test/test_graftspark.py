@@ -309,6 +309,11 @@ class GraftsparkTest(unittest.TestCase):
             df, col("id"), col("text"), block, col("text"),
             shingle_size=2, min_overlap=1).collect())
         self.assertEqual(kept3, [1, 2])
+        # bloom-prefiltered variant gives the identical exact answer
+        kept4 = sorted(r["id"] for r in P.decontaminate_bloom(
+            df, col("id"), col("text"), block, col("text"),
+            shingle_size=2, min_overlap=1, expected_shingles=64, fpp=0.05).collect())
+        self.assertEqual(kept4, [1, 2])
 
     def test_pipeline_curation_operators(self):
         from graftspark import pipeline as P

@@ -461,6 +461,19 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // same decontamination, bloom-prefiltered: the filter eliminates ~all
+    // clean shingles before the exact join; exact join on survivors keeps
+    // the result identical (same oracle as decontaminate)
+    "decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val blocklist = docs.filter(col("doc_id") % 97 === 0)
+      graft.dedup.Dedup.decontaminateBloom(
+        docs, col("doc_id"), col("text"), blocklist, col("text"),
+        shingleSize = 5, minOverlap = 1,
+        expectedShingles = 200000L, fpp = 0.01)
+        .select(col("doc_id"))
+    }),
+
     // deterministic hash sampling: per-row keep decision from md5(salt||key),
     // reproducible across partitionings and engines; narrow filter, no shuffle
     "sample_documents" -> ((s, dir) =>
@@ -1006,6 +1019,16 @@ object SparkEntry {
           "FROM documents d JOIN st ON d.doc_id = st.doc_id GROUP BY d.source"),
 
       "decontaminate" ->
+        (s"WITH $docTokCte, sh5 AS (SELECT doc_id, " +
+          "CASE WHEN len(toks) < 5 THEN [] ELSE list_distinct([array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks) - 3)]) END AS s " +
+          "FROM tok), " +
+          "ex AS (SELECT doc_id, u.g FROM sh5, unnest(sh5.s) AS u(g)), " +
+          "bl AS (SELECT DISTINCT g FROM ex WHERE doc_id % 97 = 0), " +
+          "cont AS (SELECT DISTINCT ex.doc_id FROM ex JOIN bl USING (g)) " +
+          "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM cont)"),
+
+      // bloom prefilter + exact verify = exact: identical oracle to decontaminate
+      "decontaminate_bloom" ->
         (s"WITH $docTokCte, sh5 AS (SELECT doc_id, " +
           "CASE WHEN len(toks) < 5 THEN [] ELSE list_distinct([array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks) - 3)]) END AS s " +
           "FROM tok), " +

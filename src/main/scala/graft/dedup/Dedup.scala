@@ -139,6 +139,49 @@ object Dedup {
     corpus.join(contaminated, id === col("__did"), "left_anti")
   }
 
+  /**
+   * [[decontaminate]] with a Bloom-filter prefilter — same exact result,
+   * built for the corpus:blocklist size ratio of a real pipeline (100 TB of
+   * training text vs megabytes of benchmark suites).
+   *
+   * Where plain `decontaminate` hash-joins EVERY corpus shingle against the
+   * broadcast blocklist set, this variant first aggregates the blocklist
+   * shingle hashes into a Bloom filter (a distributed `stat.bloomFilter`
+   * build — executors fold their partitions, the driver only merges bitsets)
+   * and probes it with a codegen'd expression right next to the corpus scan.
+   * A corpus shingle that probes negative is DEFINITELY not in the blocklist
+   * (no false negatives), so only probe-positives — true overlaps plus an
+   * `fpp` fraction of noise — reach the exact verification join, and the
+   * per-shingle cost for the ~all-clean corpus drops to two hash probes
+   * against a broadcast bitset: no join-side hash table of the full shingle
+   * set, and the filter ships once per executor, not per task.
+   *
+   * The exact join on the survivors makes the composition exact — `fpp` only
+   * tunes how much noise pays for the second check, never the answer.
+   */
+  def decontaminateBloom(
+      corpus: DataFrame, id: Column, text: Column,
+      blocklist: DataFrame, blocklistText: Column,
+      shingleSize: Int = 8, minOverlap: Int = 1,
+      expectedShingles: Long = 10L * 1000 * 1000, fpp: Double = 0.01): DataFrame = {
+    require(minOverlap >= 1, s"minOverlap must be >= 1: $minOverlap")
+    val blockShingles = blocklist
+      .select(explode(TextFunctions.hashedTextShingles(blocklistText, shingleSize)).as("__h"))
+      .distinct()
+    val bf = blockShingles.stat.bloomFilter("__h", expectedShingles, fpp)
+    val bcast = corpus.sparkSession.sparkContext.broadcast(bf)
+    import org.apache.spark.sql.graftext._
+    val probe = graft.functions.BloomMightContainLong(col("__h").asExpression, bcast).asColumn
+    val docShingles = corpus
+      .select(id.as("__did"), explode(TextFunctions.hashedTextShingles(text, shingleSize)).as("__h"))
+      .filter(probe)
+    val contaminated = docShingles.join(broadcast(blockShingles), Seq("__h"))
+      .groupBy(col("__did")).agg(count(lit(1)).as("__k"))
+      .filter(col("__k") >= minOverlap)
+      .select(col("__did"))
+    corpus.join(contaminated, id === col("__did"), "left_anti")
+  }
+
   // --------------------------------------------------------------------------
   // MinHash + LSH near-dup
   // --------------------------------------------------------------------------

@@ -238,6 +238,13 @@ object PyBridge {
     graft.dedup.Dedup.decontaminate(corpus, id, text, blocklist, blocklistText,
       shingleSize, minOverlap)
 
+  def decontaminateBloom(corpus: DataFrame, id: Column, text: Column,
+                         blocklist: DataFrame, blocklistText: Column,
+                         shingleSize: Int, minOverlap: Int,
+                         expectedShingles: Long, fpp: Double): DataFrame =
+    graft.dedup.Dedup.decontaminateBloom(corpus, id, text, blocklist, blocklistText,
+      shingleSize, minOverlap, expectedShingles, fpp)
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      queryId: Column, queryVec: Column,
                      corpusId: Column, corpusVec: Column, k: Int): DataFrame =

@@ -176,6 +176,45 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("decontaminateBloom matches exact decontaminate on a sizeable corpus") {
+    // 500 docs, every 25th contaminated with a benchmark sentence; a tiny
+    // bloom filter (high fpp pressure) must still give the exact answer
+    // because the verify join runs on the probe survivors
+    val corpus = (1 to 500).map { i =>
+      val base = s"document number $i talks about topic ${i % 7} in depth with many words " +
+        s"alpha$i beta gamma delta epsilon zeta eta theta iota kappa"
+      val text = if (i % 25 == 0) base + " the quick brown fox jumps over the lazy dog" else base
+      (i.toLong, text)
+    }.toDF("id", "text")
+    val block = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("id").as[Long].collect().sorted.toSeq
+    val exact = ids(Dedup.decontaminate(corpus, col("id"), col("text"), block, col("text"),
+      shingleSize = 5, minOverlap = 1))
+    val bloom = ids(Dedup.decontaminateBloom(corpus, col("id"), col("text"), block, col("text"),
+      shingleSize = 5, minOverlap = 1, expectedShingles = 64, fpp = 0.05))
+    assert(bloom == exact)
+    assert(exact.size == 480) // 20 contaminated docs dropped
+    // undersized filter (fpp pressure way past spec): still exact
+    val tiny = ids(Dedup.decontaminateBloom(corpus, col("id"), col("text"), block, col("text"),
+      shingleSize = 5, minOverlap = 1, expectedShingles = 4, fpp = 0.5))
+    assert(tiny == exact)
+  }
+
+  test("bloom probe expression has no false negatives and codegen-compiles") {
+    import org.apache.spark.sql.graftext._
+    val values = spark.range(1000).select(xxhash64(col("id")).as("h"))
+    val bf = values.stat.bloomFilter("h", 1000, 0.03)
+    val bcast = spark.sparkContext.broadcast(bf)
+    val probe = graft.functions.BloomMightContainLong(col("h").asExpression, bcast).asColumn
+    // every inserted hash must probe true
+    assert(values.filter(!probe).count() === 0L)
+    // disjoint hashes mostly probe false (fpp 3%: allow generous 15%)
+    val fresh = spark.range(10000, 20000).select(xxhash64(col("id")).as("h"))
+    val fp = fresh.filter(probe).count()
+    assert(fp < 1500, s"false-positive count unexpectedly high: $fp")
+  }
+
   test("minhash near-dup pairs find planted duplicates only") {
     val df = nearDupCorpus.toDF("id", "text")
     val pairs = Dedup.nearDupPairsMinHash(df, col("id"), col("text"), threshold = 0.7)
