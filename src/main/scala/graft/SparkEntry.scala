@@ -341,6 +341,25 @@ object SparkEntry {
           sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
     }),
 
+    // bucketed-table co-location end-to-end: write both sides bucketed on the
+    // join key (shuffle paid once at write), then join them back with zero
+    // Exchange (sbt pins the plan shape; the gate checks the data round-trip)
+    "write_bucketed_readback" -> ((s, dir) => {
+      import graft.write.BucketedWrite
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      BucketedWrite.writeBucketedBy(orders, 8, Seq(col("o_orderkey")))
+        .mode("overwrite").format("parquet").saveAsTable("graft_bkt_orders")
+      BucketedWrite.writeBucketedBy(li, 8, Seq(col("l_orderkey")))
+        .mode("overwrite").format("parquet").saveAsTable("graft_bkt_lineitem")
+      s.table("graft_bkt_orders").hint("merge")
+        .join(s.table("graft_bkt_lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+    }),
+
     // O30 Diff App CLI end-to-end: write inputs, run app with --statistics, read back
     "diff_app_stats" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_app").toString
@@ -948,6 +967,12 @@ object SparkEntry {
           "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key, " +
           "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
           "FROM orders GROUP BY o_orderstatus"),
+
+      "write_bucketed_readback" ->
+        ("SELECT o.o_orderstatus, COUNT(*) AS n_items, " +
+          "CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+          "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
+          "GROUP BY o.o_orderstatus"),
 
       "diff_app_stats" ->
         (s"$diffCte SELECT diff, CAST(COUNT(*) AS BIGINT) AS \"count\" FROM (" +

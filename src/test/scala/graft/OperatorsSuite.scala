@@ -192,6 +192,45 @@ class OperatorsSuite extends AnyFunSuite with SparkTest {
     assert(names === List("b", "e", "a"))
   }
 
+  test("writeBucketedBy co-buckets tables so their join plans with no shuffle") {
+    import graft.write.BucketedWrite
+    val facts = spark.range(1000).select($"id".as("k"), ($"id" * 2).as("v"))
+    val dims = spark.range(100).select($"id".as("k"), ($"id" % 7).as("w"))
+    BucketedWrite.writeBucketedBy(facts, 4, Seq($"k"), Seq($"v"))
+      .mode("overwrite").format("parquet").saveAsTable("graft_bucket_facts")
+    BucketedWrite.writeBucketedBy(dims, 4, Seq($"k"))
+      .mode("overwrite").format("parquet").saveAsTable("graft_bucket_dims")
+    try {
+      // force a non-broadcast join so only bucketing can delete the exchange
+      val joined = spark.table("graft_bucket_facts")
+        .hint("merge")
+        .join(spark.table("graft_bucket_dims"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected a shuffle-free bucketed join:\n$plan")
+      assert(joined.count() === 100L)
+      assert(joined.agg(sum($"v")).as[Long].head() === (0L until 100L).map(_ * 2).sum)
+      // layout: one file per bucket (repartition aligned input with buckets)
+      val loc = spark.sql("DESCRIBE TABLE EXTENDED graft_bucket_facts")
+        .filter($"col_name" === "Location").select("data_type").as[String].head()
+      val files = new java.io.File(new java.net.URI(loc)).listFiles()
+        .filter(f => f.getName.startsWith("part-")).toList
+      assert(files.size === 4, s"expected 4 bucket files, got ${files.map(_.getName)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_facts")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_dims")
+    }
+  }
+
+  test("writeBucketedBy validates arguments") {
+    val df = Seq((1, "a")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      graft.write.BucketedWrite.writeBucketedBy(df, 0, Seq($"k"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.write.BucketedWrite.writeBucketedBy(df, 4, Seq.empty)
+    }
+  }
+
   // --------------------------------------------------------------------------
   // session utilities
   // --------------------------------------------------------------------------
