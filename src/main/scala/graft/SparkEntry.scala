@@ -346,6 +346,16 @@ object SparkEntry {
     // Exchange (sbt pins the plan shape; the gate checks the data round-trip)
     "write_bucketed_readback" -> ((s, dir) => {
       import graft.write.BucketedWrite
+      // a managed table's directory can outlive the (in-memory) catalog entry
+      // across JVM runs; clear both so saveAsTable always starts clean
+      def freshTable(name: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"), name)
+        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(wh)) fs.delete(wh, true)
+      }
+      freshTable("graft_bkt_orders")
+      freshTable("graft_bkt_lineitem")
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
