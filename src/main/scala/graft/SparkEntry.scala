@@ -478,6 +478,58 @@ object SparkEntry {
             .as("rep_bigram_fraction"))
     }),
 
+    // per-group top-k via the window-group-limit plan: map-side partial
+    // top-k before the shuffle (WindowGroupLimit Partial/Final), no full
+    // per-group sort — plan shape pinned in AggOpsSuite
+    "group_topk" -> ((s, dir) =>
+      graft.agg.TopK.topKPerGroup(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        k = 3, rankColumn = "rk")),
+
+    // exact heavy hitters with a bounded shuffle: Misra-Gries candidate
+    // sketch (<= capacity entries per partition shuffled) + broadcast
+    // semi-join exact recount — output counts are exact
+    "frequent_items" -> ((s, dir) =>
+      graft.agg.FrequentItems.frequentItems(
+        t(s, dir, "orders"), col("o_custkey"), minSupport = 0.001, capacity = 2048)),
+
+    // mergeable-sketch distinct counting kept honest: exact per-group
+    // distinct + DataSketches HLL estimate within 5% as a boolean gate
+    "hll_distinct" -> ((s, dir) =>
+      graft.agg.Profile.distinctCountGate(
+        t(s, dir, "lineitem"), col("l_returnflag"), col("l_partkey"), tolerance = 0.05)),
+
+    // one-pass column profile (rows/nulls/distinct/min/max per column);
+    // value columns pre-cast so the text rendering is engine-portable
+    "profile_orders" -> ((s, dir) =>
+      graft.agg.Profile.profileColumns(
+        t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("o_totalprice"),
+          col("o_orderdate").cast("date").as("o_orderdate")),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"))),
+
+    // quantized bigram-LM scoring (perplexity filter, integer bits): exact
+    // BIGINT sums + one division — engine-portable, fully oracle-checked
+    "lm_score_bits" -> ((s, dir) =>
+      graft.text.LanguageModel.scoreBits(
+        t(s, dir, "documents"), "doc_id", col("text"))),
+
+    // compression-ratio boilerplate signal: DEFLATE length kernel next to
+    // the scan; ratio is one division of two exact ints (no oracle — DuckDB
+    // has no deflate; determinism asserted in sbt)
+    "compression_signal" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), octet_length(col("text")).as("raw_bytes"),
+          graft.functions.compression.deflate_length(col("text")).as("deflate_bytes"))
+      d.select(col("doc_id"), col("raw_bytes"), col("deflate_bytes"),
+        when(col("deflate_bytes") === 0, lit(0.0))
+          .otherwise(col("raw_bytes").cast("double") / col("deflate_bytes").cast("double"))
+          .as("compression_ratio"))
+    }),
+
     // benchmark decontamination: drop documents sharing any 5-word shingle
     // with the synthetic blocklist (doc_id % 97 == 0); the blocklist shingle
     // set is broadcast, so the corpus side stays narrow.
@@ -1032,6 +1084,51 @@ object SparkEntry {
           "FROM tok), ex AS (SELECT u.g AS gram FROM g, unnest(g.g2) AS u(g)) " +
           "SELECT gram, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM ex " +
           "GROUP BY gram ORDER BY doc_freq DESC, gram LIMIT 20"),
+
+      "group_topk" ->
+        ("SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (" +
+          "SELECT o_custkey, o_orderkey, o_totalprice, " +
+          "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk " +
+          "FROM orders) WHERE rk <= 3"),
+
+      "frequent_items" ->
+        ("SELECT CAST(o_custkey AS VARCHAR) AS item, COUNT(*) AS cnt FROM orders " +
+          "GROUP BY o_custkey " +
+          "HAVING COUNT(*) >= CEIL((SELECT COUNT(*) FROM orders) * 0.001)"),
+
+      "hll_distinct" ->
+        ("SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_distinct, " +
+          "TRUE AS hll_ok FROM lineitem GROUP BY l_returnflag"),
+
+      "profile_orders" -> Seq(
+        ("o_orderkey", "o_orderkey"),
+        ("o_custkey", "o_custkey"),
+        ("o_orderstatus", "o_orderstatus"),
+        ("o_totalprice", "CAST(o_totalprice AS DECIMAL(18,2))"),
+        ("o_orderdate", "CAST(o_orderdate AS DATE)")).map { case (name, expr) =>
+          s"SELECT '$name' AS \"column\", COUNT(*) AS n_rows, " +
+            s"COUNT(CASE WHEN $expr IS NULL THEN 1 END) AS n_nulls, " +
+            s"COUNT(DISTINCT $expr) AS n_distinct, " +
+            s"CAST(MIN($expr) AS VARCHAR) AS min_value, " +
+            s"CAST(MAX($expr) AS VARCHAR) AS max_value FROM orders"
+        }.mkString(" UNION ALL "),
+
+      "lm_score_bits" ->
+        (s"WITH $docTokCte, " +
+          "big AS (SELECT doc_id, CASE WHEN len(toks) < 2 THEN [] ELSE [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))] END AS bgs FROM tok), " +
+          "occ AS (SELECT doc_id, u.g AS bigram FROM big, unnest(big.bgs) AS u(g)), " +
+          "c2 AS (SELECT bigram, COUNT(*) AS cnt FROM occ GROUP BY bigram), " +
+          "uocc AS (SELECT u.t AS tok FROM tok, unnest(tok.toks) AS u(t)), " +
+          "c1 AS (SELECT tok, COUNT(*) AS cnt FROM uocc GROUP BY tok), " +
+          "bits AS (SELECT c2.bigram, (length(format('{:b}', c1.cnt)) - length(format('{:b}', c2.cnt))) AS bits " +
+          "FROM c2 JOIN c1 ON split_part(c2.bigram, ' ', 1) = c1.tok), " +
+          "agg AS (SELECT occ.doc_id, COUNT(*) AS n_bigrams, CAST(SUM(bits.bits) AS BIGINT) AS sum_bits " +
+          "FROM occ JOIN bits ON occ.bigram = bits.bigram GROUP BY occ.doc_id) " +
+          "SELECT d.doc_id, COALESCE(agg.n_bigrams, 0) AS n_bigrams, " +
+          "COALESCE(agg.sum_bits, 0) AS sum_bits, " +
+          "CASE WHEN COALESCE(agg.n_bigrams, 0) = 0 THEN 0.0 " +
+          "ELSE CAST(agg.sum_bits AS DOUBLE) / CAST(agg.n_bigrams AS DOUBLE) END AS avg_bits " +
+          "FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id"),
 
       "text_chunks" ->
         (s"WITH $docTokCte, c AS (SELECT doc_id, toks, CAST(ceil(len(toks) / 24.0) AS BIGINT) AS nc " +

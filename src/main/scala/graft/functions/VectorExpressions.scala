@@ -377,6 +377,64 @@ object VectorKernels extends Serializable {
   }
 
   /**
+   * ALL word n-gram occurrences as strings (with multiplicity, in document
+   * order) — the counting twin of [[wordShingleStrings]] (which dedups for
+   * set arithmetic). Language-model training/scoring needs every occurrence:
+   * the corpus count of a gram is its total number of positions, not its
+   * document frequency.
+   */
+  def wordShingleStringsAll(text: UTF8String, n: Int): Array[UTF8String] = {
+    val raw = text.getBytes
+    val bytes = if (hasSpecialLowerToAscii(raw)) renormalizeSpecial(raw) else raw
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nTokens = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val isAl = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z')
+      if (isAl) {
+        if (nTokens == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTokens * 2)
+          ends = java.util.Arrays.copyOf(ends, nTokens * 2)
+        }
+        starts(nTokens) = i
+        while (i < bytes.length && {
+          val c = bytes(i)
+          (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z')
+        }) i += 1
+        ends(nTokens) = i
+        nTokens += 1
+      } else i += 1
+    }
+    if (nTokens < n) return new Array[UTF8String](0)
+    val out = new Array[UTF8String](nTokens - n + 1)
+    var w = 0
+    while (w <= nTokens - n) {
+      var len = n - 1 // single-space joints
+      var t = w
+      while (t < w + n) { len += ends(t) - starts(t); t += 1 }
+      val buf = new Array[Byte](len)
+      var o = 0
+      t = w
+      while (t < w + n) {
+        if (t > w) { buf(o) = ' '; o += 1 }
+        var p = starts(t)
+        val e = ends(t)
+        while (p < e) {
+          var c = bytes(p)
+          if (c >= 'A' && c <= 'Z') c = (c + 32).toByte
+          buf(o) = c; o += 1; p += 1
+        }
+        t += 1
+      }
+      out(w) = UTF8String.fromBytes(buf)
+      w += 1
+    }
+    out
+  }
+
+  /**
    * Single-pass ASCII tokenizer: lowercased maximal [a-z0-9] runs, matching
    * `split(lower(text), '[^a-z0-9]+')` token identity for all inputs —
    * multi-byte UTF8 separates, except the two lowercase-to-ASCII codepoints
@@ -732,6 +790,31 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** word_shingles_all(text, n): single-pass word n-grams as strings WITH
+  * multiplicity, in document order -> array<string>. Counting twin of
+  * [[WordShingles]]; see [[VectorKernels.wordShingleStringsAll]]. */
+case class WordShinglesAll(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n > 0 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"word_shingles_all expects string and n>0, got ${t.sql}")
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.wordShingleStringsAll(text.asInstanceOf[UTF8String], n).asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorKernels.wordShingleStringsAll($a, $n))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** tokenize_ascii(text): single-pass lowercased [a-z0-9] tokens -> array<string>. */
 case class TokenizeAscii(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -957,6 +1040,9 @@ object vectors {
 
   def word_shingles(text: Column, n: Int): Column =
     WordShingles(text.asExpression, n).asColumn
+
+  def word_shingles_all(text: Column, n: Int): Column =
+    WordShinglesAll(text.asExpression, n).asColumn
 
   def tokenize_ascii(text: Column): Column = TokenizeAscii(text.asExpression).asColumn
 

@@ -1,0 +1,192 @@
+package graft
+
+import graft.agg.{FrequentItems, Profile, TopK}
+import graft.functions.{compression, vectors, CompressionKernels, VectorKernels}
+import graft.text.LanguageModel
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+class AggOpsSuite extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  // --- topKPerGroup ---------------------------------------------------------
+
+  private def topKFixture = Seq(
+    ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0), ("a", 4L, 30.0), ("a", 5L, 5.0),
+    ("b", 6L, 1.0), ("b", 7L, 2.0),
+    ("c", 8L, 7.0)
+  ).toDF("k", "id", "v")
+
+  test("topKPerGroup keeps exactly the top k with deterministic tie-break") {
+    val got = TopK.topKPerGroup(
+      topKFixture, Seq($"k"), Seq($"v".desc, $"id".asc), k = 2, rankColumn = "rk")
+      .select("k", "id", "rk").as[(String, Long, Int)].collect().toSet
+    // ties on v=30.0 within group a break by id: 2 before 4
+    assert(got === Set(("a", 2L, 1), ("a", 4L, 2), ("b", 7L, 1), ("b", 6L, 2), ("c", 8L, 1)))
+  }
+
+  test("topKPerGroup plans a two-phase WindowGroupLimit, not a full-group sort") {
+    val plan = TopK.topKPerGroup(
+      topKFixture, Seq($"k"), Seq($"v".desc, $"id".asc), k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"missing WindowGroupLimit in:\n$plan")
+    assert(plan.contains("Partial"), s"missing map-side Partial phase in:\n$plan")
+    assert(plan.contains("Final"), s"missing Final phase in:\n$plan")
+  }
+
+  test("topKPerGroup rejects k above the optimizer threshold (silent full sort)") {
+    val e = intercept[IllegalArgumentException] {
+      TopK.topKPerGroup(topKFixture, Seq($"k"), Seq($"v".desc), k = 5000)
+    }
+    assert(e.getMessage.contains("windowGroupLimitThreshold"))
+  }
+
+  // --- frequentItems --------------------------------------------------------
+
+  test("MisraGries summary never loses an above-threshold item") {
+    val mg = new FrequentItems.MisraGriesAgg(3)
+    // stream of 100 values: "hot" 40x, "warm" 25x, 35 singletons
+    val stream = Seq.fill(40)("hot") ++ Seq.fill(25)("warm") ++ (1 to 35).map(i => s"x$i")
+    // feed through two buffers merged, in an unhelpful order
+    val (s1, s2) = new scala.util.Random(7).shuffle(stream).splitAt(50)
+    val b = mg.merge(
+      s1.foldLeft(mg.zero)(mg.reduce), s2.foldLeft(mg.zero)(mg.reduce))
+    val items = mg.finish(b).map(_._1)
+    // N/(m+1) = 25: anything with count > 25 must be present
+    assert(items.contains("hot"))
+    assert(b.size <= 3)
+  }
+
+  test("frequentItems returns exact counts for every item at or above support") {
+    val df = (Seq.fill(50)("hot") ++ Seq.fill(20)("warm") ++
+      (1 to 60).map(i => s"rare$i")).toDF("v")
+    val got = FrequentItems.frequentItems(df, $"v", minSupport = 0.1, capacity = 16)
+      .as[(String, Long)].collect().toSet
+    // N = 130, threshold = ceil(13) = 13: hot(50) and warm(20) qualify
+    assert(got === Set(("hot", 50L), ("warm", 20L)))
+  }
+
+  test("frequentItems ignores nulls and enforces the capacity guarantee") {
+    val df = Seq(Some("a"), None, Some("a"), Some("b")).toDF("v")
+    val got = FrequentItems.frequentItems(df, $"v", minSupport = 0.5, capacity = 8)
+      .as[(String, Long)].collect().toSet
+    assert(got === Set(("a", 2L))) // N=3 non-null, threshold=2
+    val e = intercept[IllegalArgumentException] {
+      FrequentItems.frequentItems(df, $"v", minSupport = 0.001, capacity = 10)
+    }
+    assert(e.getMessage.contains("capacity"))
+  }
+
+  // --- profileColumns / distinctCountGate -----------------------------------
+
+  test("profileColumns reports rows/nulls/distinct/min/max per column") {
+    val df = Seq(
+      (1L, Some("x"), 2.5), (2L, None, 1.0), (3L, Some("y"), 2.5), (4L, Some("x"), 9.0)
+    ).toDF("id", "s", "d")
+    val got = Profile.profileColumns(df, Seq("id", "s", "d"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("id") === (("id", 4L, 0L, 4L, "1", "4")))
+    assert(got("s") === (("s", 4L, 1L, 2L, "x", "y")))
+    assert(got("d") === (("d", 4L, 0L, 3L, "1.0", "9.0")))
+  }
+
+  test("profileColumns approx mode avoids the Expand and stays close") {
+    val df = (1 to 1000).map(i => (i.toLong, i % 100)).toDF("a", "b")
+    val exact = Profile.profileColumns(df, Seq("a", "b"), exactDistinct = true)
+    assert(exact.queryExecution.executedPlan.toString.contains("Expand"))
+    val approx = Profile.profileColumns(df, Seq("a", "b"), exactDistinct = false)
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"))
+    val est = approx.select("column", "n_distinct").as[(String, Long)].collect().toMap
+    assert(math.abs(est("a") - 1000L) <= 50)
+    assert(math.abs(est("b") - 100L) <= 5)
+  }
+
+  test("distinctCountGate: exact counts with an in-tolerance HLL verdict") {
+    val df = (1 to 2000).map(i => (if (i % 2 == 0) "even" else "odd", i % 500)).toDF("g", "v")
+    val got = Profile.distinctCountGate(df, $"g", $"v", tolerance = 0.05)
+      .as[(String, Long, Boolean)].collect().toSet
+    // evens: 250 distinct (0,2,...,498 mod 500 → 250); odds: 250 distinct
+    assert(got.map(r => (r._1, r._2)) === Set(("even", 250L), ("odd", 250L)))
+    assert(got.forall(_._3), s"HLL estimate out of 5% tolerance: $got")
+  }
+
+  // --- deflate_length -------------------------------------------------------
+
+  test("deflate_length is deterministic and orders repetitive below natural below random") {
+    val repetitive = "spam ham " * 200
+    val natural = "the quick brown fox jumps over the lazy dog and keeps going " * 30
+    val random = {
+      val r = new java.util.Random(42)
+      val sb = new StringBuilder
+      (1 to 1800).foreach(_ => sb.append((33 + r.nextInt(94)).toChar))
+      sb.toString
+    }
+    val df = Seq((1, repetitive), (2, natural), (3, random)).toDF("id", "t")
+    val got = df.select($"id", compression.deflate_length($"t").as("n"))
+      .as[(Int, Int)].collect().toMap
+    val again = df.select($"id", compression.deflate_length($"t").as("n"))
+      .as[(Int, Int)].collect().toMap
+    assert(got === again, "deflate_length must be deterministic")
+    // ratios: repetitive compresses hardest, random barely
+    val rawLens = Map(1 -> repetitive.length, 2 -> natural.length, 3 -> random.length)
+    def ratio(id: Int) = rawLens(id).toDouble / got(id)
+    assert(ratio(1) > ratio(2) && ratio(2) > ratio(3),
+      s"expected repetitive > natural > random, got ${ratio(1)}, ${ratio(2)}, ${ratio(3)}")
+    // matches the kernel called directly (codegen path == kernel path)
+    assert(got(2) === CompressionKernels.deflateLengthString(
+      UTF8String.fromString(natural), 6))
+  }
+
+  test("deflate_length handles nulls, empty strings, and binary input") {
+    val df = Seq((1, Some("abc")), (2, None), (3, Some(""))).toDF("id", "t")
+    val got = df.select($"id", compression.deflate_length($"t").as("n"))
+      .as[(Int, Option[Int])].collect().toMap
+    assert(got(2).isEmpty)
+    assert(got(3).exists(_ > 0)) // empty input still emits the DEFLATE terminator
+    val bin = Seq((1, Array[Byte](1, 2, 3, 1, 2, 3))).toDF("id", "b")
+      .select(compression.deflate_length($"b")).as[Int].head()
+    assert(bin > 0)
+  }
+
+  // --- language model -------------------------------------------------------
+
+  test("word_shingles_all keeps multiplicity in document order") {
+    val got = Seq("a b a b a").toDF("t")
+      .select(vectors.word_shingles_all($"t", 2)).as[Seq[String]].head()
+    assert(got === Seq("a b", "b a", "a b", "b a"))
+    // distinct twin drops repeats
+    val dist = Seq("a b a b a").toDF("t")
+      .select(vectors.word_shingles(($"t"), 2)).as[Seq[String]].head()
+    assert(dist === Seq("a b", "b a"))
+    // kernel edge cases
+    assert(VectorKernels.wordShingleStringsAll(UTF8String.fromString("one"), 2).isEmpty)
+    assert(VectorKernels.wordShingleStringsAll(UTF8String.fromString(""), 1).isEmpty)
+  }
+
+  test("scoreBits computes quantized bigram bits exactly") {
+    // corpus: doc 1 = "a b a b" (bigrams: ab, ba, ab), doc 2 = "a c" (ac), doc 3 = "z"
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "z")).toDF("doc_id", "text")
+    // unigram counts: a=3, b=2, c=1, z=1; bigram counts: "a b"=2, "b a"=1, "a c"=1
+    // bits(a b) = floor(log2 3) - floor(log2 2) = 1 - 1 = 0
+    // bits(b a) = floor(log2 2) - floor(log2 1) = 1 - 0 = 1
+    // bits(a c) = floor(log2 3) - floor(log2 1) = 1 - 0 = 1
+    val got = LanguageModel.scoreBits(docs, "doc_id", $"text")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 3L, 1L, 1.0 / 3.0))) // 0 + 1 + 0
+    assert(got(2L) === ((2L, 1L, 1L, 1.0)))
+    assert(got(3L) === ((3L, 0L, 0L, 0.0))) // no bigrams
+  }
+
+  test("scoreBits cross-corpus scoring charges unseenBits for unknown bigrams") {
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val eval = Seq((10L, "a b"), (11L, "q r")).toDF("doc_id", "text")
+    val got = LanguageModel.scoreBits(eval, "doc_id", $"text",
+      lmDocs = train, lmTextCol = $"text", unseenBits = 7L)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // train counts: a=2, b=2, "a b"=2 → bits(a b) = 1 - 1 = 0
+    assert(got(10L) === ((10L, 1L, 0L, 0.0)))
+    assert(got(11L) === ((11L, 1L, 7L, 7.0))) // "q r" unseen
+  }
+}

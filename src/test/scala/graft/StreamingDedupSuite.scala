@@ -133,4 +133,34 @@ class StreamingDedupSuite extends AnyFunSuite with SparkTest {
       assert(ids === Set(1L, 3L))
     } finally query.stop()
   }
+
+  test("streaming minhash near-dup flags collisions against the bucket's first doc") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val candidates = graft.streaming.StreamingNearDup.minHashCandidates(
+      input.toDF().toDF("id", "ts", "text"), col("id"), col("text"),
+      eventTimeColumn = "ts", delayThreshold = "10 minutes")
+
+    val query = candidates.writeStream.format("memory")
+      .queryName("snd_out").outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+      val t1 = Timestamp.valueOf("2026-01-01 10:01:00")
+      val prose = "the quick brown fox jumps over the lazy dog near the river bank"
+      val other = "completely different subject matter about spark physical planning"
+      // batch 1: doc 1 and its same-batch duplicate doc 5, plus unrelated doc 2
+      input.addData((1L, t0, prose), (5L, t1, prose), (2L, t0, other))
+      query.processAllAvailable()
+      // batch 2: another duplicate of doc 1, and a fresh unrelated doc
+      input.addData((7L, t1, prose), (8L, t1, "yet another unrelated piece of text entirely"))
+      query.processAllAvailable()
+      val pairs = spark.table("snd_out").select("docId", "firstDocId")
+        .as[(Long, Long)].collect().toSet
+      // within-batch order is (ts, docId): doc 1 is first, 5 and 7 collide with it
+      assert(pairs === Set((5L, 1L), (7L, 1L)))
+      // identical docs collide in EVERY band (16 bands x 2 docs)
+      val rows = spark.table("snd_out").as[graft.streaming.NearDupCandidate].collect()
+      assert(rows.count(_.docId == 5L) === 16)
+    } finally query.stop()
+  }
 }
