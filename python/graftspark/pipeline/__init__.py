@@ -32,6 +32,9 @@ __all__ = [
     "redact_pii", "redact_emails", "redact_ipv4", "redact_long_digits",
     "asof_join", "range_join", "with_session_index", "session_bounds",
     "split_by_hash", "gopher_filter",
+    "top_k_per_group", "frequent_items", "profile_columns",
+    "distinct_count_gate", "deflate_length", "lm_score_bits",
+    "with_running_total", "pack_sequences",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -358,3 +361,76 @@ def brute_force_top_k(queries: DataFrame, corpus: DataFrame,
         queries._jdf, corpus._jdf, _jcol(query_id), _jcol(query_vec),
         _jcol(corpus_id), _jcol(corpus_vec), int(k))
     return DataFrame(jdf, queries.sparkSession)
+
+
+def top_k_per_group(df: DataFrame, group_cols: List[ColumnOrName],
+                    order_cols: List[Column], k: int,
+                    rank_column: str = "rank") -> DataFrame:
+    """Top k rows per group, planned as a two-phase WindowGroupLimit
+    (map-side partial top-k — no full per-group sort)."""
+    jdf = _bridge(df).topKPerGroup(
+        df._jdf, [_jcol(c) for c in group_cols],
+        [_to_java_column(c) for c in order_cols], int(k), rank_column)
+    return DataFrame(jdf, df.sparkSession)
+
+
+def frequent_items(df: DataFrame, item: ColumnOrName, min_support: float,
+                   capacity: int = 4096) -> DataFrame:
+    """EXACT (item, cnt) for items with frequency >= min_support; shuffle
+    bounded by a mergeable Misra-Gries candidate sketch."""
+    jdf = _bridge(df).frequentItems(df._jdf, _jcol(item), float(min_support),
+                                    int(capacity))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def profile_columns(df: DataFrame, columns: List[str],
+                    exact_distinct: bool = True) -> DataFrame:
+    """One-pass per-column profile: rows/nulls/distinct/min/max."""
+    jdf = _bridge(df).profileColumns(df._jdf, list(columns), bool(exact_distinct))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def distinct_count_gate(df: DataFrame, group: ColumnOrName, item: ColumnOrName,
+                        tolerance: float = 0.05) -> DataFrame:
+    """Exact per-group distinct counts + boolean HLL-estimate-in-tolerance."""
+    jdf = _bridge(df).distinctCountGate(df._jdf, _jcol(group), _jcol(item),
+                                        float(tolerance))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def deflate_length(text: ColumnOrName, level: int = 6) -> Column:
+    """DEFLATE byte length of a string/binary column (compression-ratio
+    boilerplate signal) -> int."""
+    return _col_fn("deflateLength", _jcol(text), int(level))
+
+
+def with_running_total(df: DataFrame, value: ColumnOrName, order: List[Column],
+                       output_column: str = "running_total",
+                       exclusive: bool = True) -> DataFrame:
+    """Global prefix sum over a total order, three-phase plan (no
+    single-partition window)."""
+    jdf = _bridge(df).withRunningTotal(
+        df._jdf, _jcol(value), [_to_java_column(c) for c in order],
+        output_column, bool(exclusive))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def pack_sequences(df: DataFrame, tokens: ColumnOrName, order: List[Column],
+                   capacity: int) -> DataFrame:
+    """Assign seq_id/seq_offset in the fixed-capacity packed token stream."""
+    jdf = _bridge(df).packSequences(
+        df._jdf, _jcol(tokens), [_to_java_column(c) for c in order], int(capacity))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def lm_score_bits(docs: DataFrame, id_column: str, text: ColumnOrName,
+                  lm_docs: DataFrame = None, lm_text: ColumnOrName = None,
+                  unseen_bits: int = 20) -> DataFrame:
+    """Quantized bigram-LM scoring: (id, n_bigrams, sum_bits, avg_bits) with
+    integer-exact bits; pass lm_docs/lm_text to score against another corpus."""
+    jdf = _bridge(docs).lmScoreBits(
+        docs._jdf, id_column, _jcol(text),
+        None if lm_docs is None else lm_docs._jdf,
+        None if lm_text is None else _jcol(lm_text),
+        int(unseen_bits))
+    return DataFrame(jdf, docs.sparkSession)

@@ -347,6 +347,35 @@ class GraftsparkTest(unittest.TestCase):
             .select(P.redact_pii("t").alias("r")).collect()[0]["r"]
         self.assertEqual(red, "mail [REDACTED] from [REDACTED] ref [REDACTED]")
 
+    def test_pipeline_agg_and_quality_operators(self):
+        from graftspark import pipeline as P
+        from pyspark.sql.functions import col as c
+        df = self.spark.createDataFrame(
+            [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("b", 4, 5.0)],
+            ["k", "id", "v"])
+        top = {(r["k"], r["id"]): r["rank"] for r in
+               P.top_k_per_group(df, ["k"], [c("v").desc(), c("id").asc()], 2).collect()}
+        self.assertEqual(top, {("a", 2): 1, ("a", 3): 2, ("b", 4): 1})
+        freq = {r["item"]: r["cnt"] for r in P.frequent_items(
+            self.spark.createDataFrame(
+                [("hot",)] * 30 + [("x%d" % i,) for i in range(20)], ["w"]),
+            "w", 0.2, capacity=16).collect()}
+        self.assertEqual(freq, {"hot": 30})
+        prof = {r["column"]: (r["n_nulls"], r["n_distinct"]) for r in
+                P.profile_columns(df, ["k", "v"]).collect()}
+        self.assertEqual(prof, {"k": (0, 2), "v": (0, 4)})
+        gate = P.distinct_count_gate(df, "k", "id").collect()
+        self.assertTrue(all(r["hll_ok"] for r in gate))
+        dl = self.spark.createDataFrame([("spam ham " * 100,)], ["t"]) \
+            .select(P.deflate_length("t").alias("n")).collect()[0]["n"]
+        self.assertTrue(0 < dl < 200)
+        lm = {r["id"]: (r["n_bigrams"], r["sum_bits"]) for r in P.lm_score_bits(
+            self.spark.createDataFrame(
+                [(1, "a b a b"), (2, "a c"), (3, "z")], ["id", "t"]),
+            "id", "t").collect()}
+        # counts: a=3,b=2,c=1; "a b"=2,"b a"=1,"a c"=1 -> bits 0,1,1
+        self.assertEqual(lm, {1: (3, 1), 2: (1, 1), 3: (0, 0)})
+
     def test_pipeline_temporal_operators(self):
         from graftspark import pipeline as P
         from pyspark.sql.functions import lit

@@ -6,9 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, Expression, Expr
   LessThan, Literal, Md5, RegExpReplace, Substring}
 import org.apache.spark.sql.types.{BinaryType, StringType}
 
-import graft.functions.{ChunkTokens, CosineSimilarity, DotProduct, HashedWordShingles,
-  MinHashBandHashes, MinHashSignature, SimHash64, TokenStats, TokenizeAscii, TopNgramStats,
-  WordShingles}
+import graft.functions.{ChunkTokens, CosineSimilarity, DeflateLength, DotProduct,
+  HashedWordShingles, MinHashBandHashes, MinHashSignature, SimHash64, TokenStats,
+  TokenizeAscii, TopNgramStats, WordShingles, WordShinglesAll}
 import graft.multimodal.{ByteEntropy, ByteNibbleHistogram}
 import graft.sample.Sampling
 import graft.text.Redact
@@ -104,6 +104,15 @@ object GraftExtensions {
     fn("word_shingles", "word_shingles(text, n) - distinct word n-grams as strings") { es =>
       arity("word_shingles", es, 2)
       WordShingles(es.head, intLit(es(1), "word_shingles", "n"))
+    },
+    fn("word_shingles_all",
+      "word_shingles_all(text, n) - word n-grams with multiplicity, in order") { es =>
+      arity("word_shingles_all", es, 2)
+      WordShinglesAll(es.head, intLit(es(1), "word_shingles_all", "n"))
+    },
+    fn("deflate_length", "deflate_length(text[, level]) - DEFLATE byte length") { es =>
+      arity("deflate_length", es, 1, 2)
+      DeflateLength(es.head, if (es.length == 2) intLit(es(1), "deflate_length", "level") else 6)
     },
     fn("minhash_signature", "minhash_signature(features, k) - k MinHash values") { es =>
       arity("minhash_signature", es, 2)

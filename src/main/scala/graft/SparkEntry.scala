@@ -530,6 +530,17 @@ object SparkEntry {
           .as("compression_ratio"))
     }),
 
+    // sequence packing: where each doc lands in the fixed-capacity token
+    // stream — global prefix sum via the three-phase plan (no
+    // single-partition window), seq id/offset by integer division
+    "pack_sequences" -> ((s, dir) => {
+      import graft.text.TextFunctions._
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", tokenStatsAscii(col("text"), EnglishStopwords)(0))
+      graft.text.Packing.packSequences(docs, col("n_tokens"), Seq(col("doc_id")), 256)
+        .select(col("doc_id"), col("n_tokens"), col("seq_id"), col("seq_offset"))
+    }),
+
     // benchmark decontamination: drop documents sharing any 5-word shingle
     // with the synthetic blocklist (doc_id % 97 == 0); the blocklist shingle
     // set is broadcast, so the corpus side stays narrow.
@@ -1112,6 +1123,13 @@ object SparkEntry {
             s"CAST(MIN($expr) AS VARCHAR) AS min_value, " +
             s"CAST(MAX($expr) AS VARCHAR) AS max_value FROM orders"
         }.mkString(" UNION ALL "),
+
+      "pack_sequences" ->
+        (s"WITH $docTokCte, t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok), " +
+          "c AS (SELECT doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t) " +
+          "SELECT doc_id, n_tokens, CAST(floor(cb / 256) AS BIGINT) AS seq_id, " +
+          "CAST(cb % 256 AS BIGINT) AS seq_offset FROM c"),
 
       "lm_score_bits" ->
         (s"WITH $docTokCte, " +

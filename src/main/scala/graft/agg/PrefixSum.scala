@@ -1,0 +1,85 @@
+package graft.agg
+
+import graft.functions.distinctPrefixFor
+import graft.UnpersistHandle
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Global prefix sums (running totals) without a single-partition window.
+ *
+ * `sum(x).over(Window.orderBy(...))` moves ALL data to one partition — the
+ * same scaling cliff global `row_number` has, with the same cure
+ * (see [[graft.RowNumbers]], whose three-phase plan this generalizes from
+ * counting rows to summing an arbitrary numeric column):
+ *
+ *  1. global range order;
+ *  2. pin partition ids (`spark_partition_id` + load-bearing persist) and
+ *     compute partition-local running sums;
+ *  3. per-partition totals (one tiny row each) -> cumulative offsets over a
+ *     #partitions-row window -> broadcast-join the offset back and add.
+ *
+ * The only full-data exchange is the range sort; coordination traffic is
+ * ~16 bytes per partition.
+ */
+object PrefixSum {
+
+  /**
+   * Add `outputColumn` = running total of `valueCol` over the global order
+   * `order` (ties broken by the trailing order columns you pass — make the
+   * order total for deterministic output). `exclusive` (default) sums rows
+   * STRICTLY BEFORE the current row (first row gets 0), which is what
+   * offset/packing computations want; set it false for inclusive totals.
+   */
+  def withRunningTotal(
+      df: DataFrame,
+      valueCol: Column,
+      order: Seq[Column],
+      outputColumn: String = "running_total",
+      exclusive: Boolean = true,
+      storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      unpersistHandle: UnpersistHandle = UnpersistHandle.Noop): DataFrame = {
+    require(order.nonEmpty, "withRunningTotal needs at least one order column")
+    require(storageLevel != StorageLevel.NONE,
+      "storageLevel must not be NONE: the persist pins partition ids between phases")
+
+    val prefix = distinctPrefixFor(df.columns.toSeq :+ outputColumn)
+    val valCol = prefix + "value"
+    val pidCol = prefix + "partition_id"
+    val localCol = prefix + "local_sum"
+    val totalCol = prefix + "partition_total"
+    val offsetCol = prefix + "offset"
+
+    // phase 1+2: order, pin pids, persist; partition-local running sums
+    val withPid = df
+      .withColumn(valCol, valueCol.cast("long"))
+      .orderBy(order: _*)
+      .withColumn(pidCol, spark_partition_id())
+      .persist(storageLevel)
+    unpersistHandle.setDataFrame(withPid)
+
+    val bounds =
+      if (exclusive) (Window.unboundedPreceding, -1L) else (Window.unboundedPreceding, Window.currentRow)
+    val localWindow = Window.partitionBy(col(pidCol)).orderBy(order: _*)
+      .rowsBetween(bounds._1, bounds._2)
+    val withLocal = withPid.withColumn(localCol,
+      coalesce(sum(col(valCol)).over(localWindow), lit(0L)))
+
+    // phase 3: per-partition totals -> cumulative offsets (tiny window),
+    // shifted one partition forward, broadcast back
+    val cumWindow = Window.orderBy(col(pidCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = withPid
+      .groupBy(col(pidCol))
+      .agg(sum(col(valCol)).as(totalCol))
+      .withColumn(offsetCol, sum(col(totalCol)).over(cumWindow))
+      .select((col(pidCol) + 1).as(pidCol), col(offsetCol))
+
+    withLocal
+      .join(broadcast(offsets), Seq(pidCol), "left")
+      .withColumn(outputColumn, col(localCol) + coalesce(col(offsetCol), lit(0L)))
+      .drop(valCol, pidCol, localCol, offsetCol)
+  }
+}

@@ -7,14 +7,20 @@ import org.apache.spark.sql.{Column, DataFrame}
  * One-pass column profiling and sketch-based distinct counting — the "what
  * is in this 100 TB table" primitives that precede every curation decision.
  *
- * [[profileColumns]] computes per-column row/null/distinct/min/max in a
- * single aggregation over one scan. With `exactDistinct` the plan uses
- * Spark's multi-distinct rewrite (an Expand node replicates each row once
- * per profiled column before the aggregate — k× the shuffled rows for k
- * columns); with `exactDistinct = false` it switches to
- * `approx_count_distinct` (HyperLogLog++), which needs no Expand and keeps
- * the pass strictly one-read-one-tiny-shuffle — the right default at
- * 100 TB, where a ±2% distinct count answers the real question.
+ * [[profileColumns]] computes per-column row/null/distinct/min/max. With
+ * `exactDistinct = false` (the 100 TB default — a ±2% distinct count
+ * answers the real question) the plan is ONE aggregation over one scan:
+ * `approx_count_distinct` (HyperLogLog++) aggregates need no distinct
+ * rewrite, so the whole profile is one read + one tiny shuffle.
+ *
+ * Exact mode deliberately does NOT use one aggregation: k exact
+ * `count(distinct)`s in one agg make Catalyst plan an Expand that
+ * replicates every row k times and drags all the min/max/null aggregates
+ * through it (measured 2.7x slower at sf0.1 for 5 columns). Instead each
+ * column gets its own single-distinct branch — no Expand — and the
+ * branches union. On columnar sources the k branch scans each read ONLY
+ * their column, so total I/O stays ~one full-width scan, and each
+ * column's values are shuffled once either way.
  *
  * [[distinctCountGate]] pairs the exact distinct count with a DataSketches
  * HLL estimate (`hll_sketch_agg`, mergeable across partitions) and emits a
@@ -39,25 +45,39 @@ object Profile {
     val missing = columns.filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in schema: ${missing.mkString(", ")}")
 
-    val aggs: Seq[Column] = count(lit(1)).as("_n_rows") +: columns.flatMap { c =>
-      Seq(
-        count(when(col(c).isNull, lit(1))).as(s"_nulls_$c"),
-        (if (exactDistinct) countDistinct(col(c)) else approx_count_distinct(col(c)))
-          .as(s"_dist_$c"),
-        min(col(c)).cast("string").as(s"_min_$c"),
-        max(col(c)).cast("string").as(s"_max_$c"))
+    if (exactDistinct) {
+      // one single-distinct branch per column (no Expand); union of k tiny rows
+      columns.map { c =>
+        df.select(col(c).as("_v"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(when(col("_v").isNull, lit(1))).as("n_nulls"),
+            countDistinct(col("_v")).as("n_distinct"),
+            min(col("_v")).cast("string").as("min_value"),
+            max(col("_v")).cast("string").as("max_value"))
+          .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_value"), col("max_value"))
+      }.reduce(_ union _)
+    } else {
+      val aggs: Seq[Column] = count(lit(1)).as("_n_rows") +: columns.flatMap { c =>
+        Seq(
+          count(when(col(c).isNull, lit(1))).as(s"_nulls_$c"),
+          approx_count_distinct(col(c)).as(s"_dist_$c"),
+          min(col(c)).cast("string").as(s"_min_$c"),
+          max(col(c)).cast("string").as(s"_max_$c"))
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val perCol = columns.map { c =>
+        struct(
+          lit(c).as("column"),
+          col("_n_rows").as("n_rows"),
+          col(s"_nulls_$c").as("n_nulls"),
+          col(s"_dist_$c").as("n_distinct"),
+          col(s"_min_$c").as("min_value"),
+          col(s"_max_$c").as("max_value"))
+      }
+      one.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val perCol = columns.map { c =>
-      struct(
-        lit(c).as("column"),
-        col("_n_rows").as("n_rows"),
-        col(s"_nulls_$c").as("n_nulls"),
-        col(s"_dist_$c").as("n_distinct"),
-        col(s"_min_$c").as("min_value"),
-        col(s"_max_$c").as("max_value"))
-    }
-    one.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
   }
 
   /**

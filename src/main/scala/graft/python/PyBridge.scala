@@ -329,6 +329,42 @@ object PyBridge {
     graft.events.Sessionize.sessionBounds(df, key, ts, gap)
 
   // --------------------------------------------------------------------------
+  // aggregation / profiling / quality scoring
+  // --------------------------------------------------------------------------
+
+  def topKPerGroup(df: DataFrame, groupCols: JList[Column], orderCols: JList[Column],
+                   k: Int, rankColumn: String): DataFrame =
+    graft.agg.TopK.topKPerGroup(df, groupCols.asScala.toSeq, orderCols.asScala.toSeq,
+      k, rankColumn)
+
+  def frequentItems(df: DataFrame, itemCol: Column, minSupport: Double,
+                    capacity: Int): DataFrame =
+    graft.agg.FrequentItems.frequentItems(df, itemCol, minSupport, capacity)
+
+  def profileColumns(df: DataFrame, columns: JList[String], exactDistinct: Boolean): DataFrame =
+    graft.agg.Profile.profileColumns(df, columns.asScala.toSeq, exactDistinct)
+
+  def distinctCountGate(df: DataFrame, groupCol: Column, itemCol: Column,
+                        tolerance: Double): DataFrame =
+    graft.agg.Profile.distinctCountGate(df, groupCol, itemCol, tolerance)
+
+  def deflateLength(c: Column, level: Int): Column =
+    graft.functions.compression.deflate_length(c, level)
+
+  def lmScoreBits(docs: DataFrame, idColumn: String, text: Column,
+                  lmDocs: DataFrame, lmText: Column, unseenBits: Long): DataFrame =
+    graft.text.LanguageModel.scoreBits(docs, idColumn, text, lmDocs, lmText, unseenBits)
+
+  def withRunningTotal(df: DataFrame, value: Column, order: JList[Column],
+                       outputColumn: String, exclusive: Boolean): DataFrame =
+    graft.agg.PrefixSum.withRunningTotal(df, value, order.asScala.toSeq,
+      outputColumn, exclusive)
+
+  def packSequences(df: DataFrame, tokens: Column, order: JList[Column],
+                    capacity: Long): DataFrame =
+    graft.text.Packing.packSequences(df, tokens, order.asScala.toSeq, capacity)
+
+  // --------------------------------------------------------------------------
   // job description (set/restore primitives for Python context managers)
   // --------------------------------------------------------------------------
 

@@ -92,10 +92,12 @@ class AggOpsSuite extends AnyFunSuite with SparkTest {
     assert(got("d") === (("d", 4L, 0L, 3L, "1.0", "9.0")))
   }
 
-  test("profileColumns approx mode avoids the Expand and stays close") {
+  test("profileColumns never plans an Expand (exact = per-column branches)") {
     val df = (1 to 1000).map(i => (i.toLong, i % 100)).toDF("a", "b")
+    // exact multi-distinct in ONE agg would Expand k x; the union-of-branches
+    // plan must not (measured 2.7x at sf0.1 — see Profile scaladoc)
     val exact = Profile.profileColumns(df, Seq("a", "b"), exactDistinct = true)
-    assert(exact.queryExecution.executedPlan.toString.contains("Expand"))
+    assert(!exact.queryExecution.executedPlan.toString.contains("Expand"))
     val approx = Profile.profileColumns(df, Seq("a", "b"), exactDistinct = false)
     assert(!approx.queryExecution.executedPlan.toString.contains("Expand"))
     val est = approx.select("column", "n_distinct").as[(String, Long)].collect().toMap
@@ -110,6 +112,46 @@ class AggOpsSuite extends AnyFunSuite with SparkTest {
     // evens: 250 distinct (0,2,...,498 mod 500 → 250); odds: 250 distinct
     assert(got.map(r => (r._1, r._2)) === Set(("even", 250L), ("odd", 250L)))
     assert(got.forall(_._3), s"HLL estimate out of 5% tolerance: $got")
+  }
+
+  // --- prefix sums / packing ------------------------------------------------
+
+  test("withRunningTotal matches a single-window prefix sum at 10k rows") {
+    val df = spark.range(10000).toDF("id")
+      .withColumn("w", (col("id") % 7) + 1)
+      .repartition(8) // scatter, so the three-phase plan has real work
+    val got = graft.agg.PrefixSum.withRunningTotal(df, $"w", Seq($"id"), "rt")
+      .select("id", "rt").as[(Long, Long)].collect().toMap
+    // exclusive prefix sum of (id % 7) + 1 in id order, computed directly
+    var acc = 0L
+    (0L until 10000L).foreach { i =>
+      assert(got(i) === acc, s"row $i")
+      acc += (i % 7) + 1
+    }
+    val inclusive = graft.agg.PrefixSum.withRunningTotal(
+      df, $"w", Seq($"id"), "rt", exclusive = false)
+      .select("id", "rt").as[(Long, Long)].collect().toMap
+    assert(inclusive(0L) === 1L && inclusive(9999L) === acc)
+  }
+
+  test("withRunningTotal broadcasts the per-partition offsets") {
+    val df = spark.range(1000).toDF("id").withColumn("w", lit(1L)).repartition(4)
+    val plan = graft.agg.PrefixSum.withRunningTotal(df, $"w", Seq($"id"), "rt")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"offsets join should broadcast:\n$plan")
+  }
+
+  test("packSequences assigns sequence ids and offsets by contiguous fill") {
+    val docs = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 30L), (5L, 300L), (6L, 1L))
+      .toDF("doc_id", "n")
+    val got = graft.text.Packing.packSequences(docs, $"n", Seq($"doc_id"), capacity = 256)
+      .select("doc_id", "seq_id", "seq_offset").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // cumulative-before: 0, 100, 200, 300, 330, 630
+    assert(got === Map(
+      1L -> ((0L, 0L)), 2L -> ((0L, 100L)), 3L -> ((0L, 200L)),
+      4L -> ((1L, 44L)), 5L -> ((1L, 74L)), 6L -> ((2L, 118L))))
   }
 
   // --- deflate_length -------------------------------------------------------
