@@ -34,7 +34,7 @@ __all__ = [
     "split_by_hash", "gopher_filter",
     "top_k_per_group", "frequent_items", "profile_columns",
     "distinct_count_gate", "deflate_length", "lm_score_bits",
-    "with_running_total", "pack_sequences",
+    "with_running_total", "pack_sequences", "zorder_by",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -420,6 +420,15 @@ def pack_sequences(df: DataFrame, tokens: ColumnOrName, order: List[Column],
     """Assign seq_id/seq_offset in the fixed-capacity packed token stream."""
     jdf = _bridge(df).packSequences(
         df._jdf, _jcol(tokens), [_to_java_column(c) for c in order], int(capacity))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def zorder_by(df: DataFrame, columns: List[str], partitions: int = 0,
+              bits_per_column: int = 16) -> DataFrame:
+    """Re-layout along the Morton curve of 2-4 numeric columns: written files
+    then carry tight min/max stats on ALL z-columns (multi-column skipping)."""
+    jdf = _bridge(df).zorderBy(df._jdf, list(columns), int(partitions),
+                               int(bits_per_column))
     return DataFrame(jdf, df.sparkSession)
 
 

@@ -21,6 +21,36 @@ object Bench {
       case c => c.toString
     }
 
+  /** Fixed CPU-bound reference workload (FNV-mix loop, no allocation). */
+  private def burn(iters: Long): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0L
+    while (i < iters) { h ^= i; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /**
+   * Machine-state calibration: the same total work single-threaded and
+   * split over `n` threads. On a healthy `n`-core box the parallel time is
+   * ~calib_1t/n; host oversubscription shows up as a higher ratio. Emitted
+   * in the JSON so query times can be normalized across rounds measured on
+   * different machine states (observed: identical plans 3-4x slower when
+   * the host delivers ~11 of 32 advertised cores).
+   */
+  private def calibrate(n: Int): (Double, Double) = {
+    val iters = 400000000L
+    burn(iters / 4) // JIT warm
+    var t0 = System.nanoTime()
+    burn(iters)
+    val t1t = (System.nanoTime() - t0) / 1e9
+    val threads = (0 until n).map(_ => new Thread(() => { burn(iters / n); () }))
+    t0 = System.nanoTime()
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val tnt = (System.nanoTime() - t0) / 1e9
+    (t1t, tnt)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -70,7 +100,10 @@ object Bench {
     val errs = errors.map { case (k, v) => "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v) + "\"" }
       .mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"${jsonEscape(sfDir)}"}""")
+    val (c1, cn) = calibrate(cpus.toInt)
+    val calib = s""""calib":{"threads":${cpus.toInt},"t_1thread":$c1,"t_nthreads":$cn,""" +
+      s""""effective_cores":${if (cn > 0) c1 / cn else 0.0}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$calib,"sf":"${jsonEscape(sfDir)}"}""")
     spark.stop()
   }
 }

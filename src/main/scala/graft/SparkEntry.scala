@@ -341,6 +341,23 @@ object SparkEntry {
           sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
     }),
 
+    // z-order layout round-trip: re-layout lineitem along the Morton curve
+    // of (l_partkey, l_suppkey) — per-file min/max narrowing asserted in
+    // sbt; the gate checks the data survives the re-layout exactly
+    "zorder_write_readback" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zw").toString + "/out"
+      graft.write.ZOrder.zorderBy(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
+        Seq("l_partkey", "l_suppkey"), partitions = 8)
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp)
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_partkey")).as("sum_part"), sum(col("l_suppkey")).as("sum_supp"),
+          min(col("l_orderkey")).as("min_okey"), max(col("l_orderkey")).as("max_okey"),
+          sum(col("l_orderkey") * col("l_linenumber")).as("checksum"))
+    }),
+
     // bucketed-table co-location end-to-end: write both sides bucketed on the
     // join key (shuffle paid once at write), then join them back with zero
     // Exchange (sbt pins the plan shape; the gate checks the data round-trip)
@@ -1040,6 +1057,12 @@ object SparkEntry {
           "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key, " +
           "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
           "FROM orders GROUP BY o_orderstatus"),
+
+      "zorder_write_readback" ->
+        ("SELECT COUNT(*) AS cnt, CAST(SUM(l_partkey) AS BIGINT) AS sum_part, " +
+          "CAST(SUM(l_suppkey) AS BIGINT) AS sum_supp, " +
+          "MIN(l_orderkey) AS min_okey, MAX(l_orderkey) AS max_okey, " +
+          "CAST(SUM(l_orderkey * l_linenumber) AS BIGINT) AS checksum FROM lineitem"),
 
       "write_bucketed_readback" ->
         ("SELECT o.o_orderstatus, COUNT(*) AS n_items, " +

@@ -91,12 +91,21 @@ object Profile {
       itemCol: Column,
       tolerance: Double = 0.05): DataFrame = {
     require(tolerance > 0.0, s"tolerance must be positive: $tolerance")
-    df.groupBy(groupCol)
+    // Mixing count(DISTINCT item) with a non-distinct aggregate in one agg
+    // makes Catalyst plan an Expand (2x every row). HLL sketches are
+    // duplicate-insensitive, so both aggregates run over the deduplicated
+    // (group, item) pairs instead: one shuffle to distinct the pairs, then
+    // a plain count + sketch-agg — no Expand, identical results.
+    val grpName = "__graft_dcg_group"
+    val itemName = "__graft_dcg_item"
+    df.select(groupCol.as(grpName), itemCol.as(itemName))
+      .distinct()
+      .groupBy(col(grpName))
       .agg(
-        countDistinct(itemCol).as("exact_distinct"),
-        hll_sketch_estimate(hll_sketch_agg(itemCol)).as("_est"))
+        count(col(itemName)).as("exact_distinct"), // non-null distinct items
+        hll_sketch_estimate(hll_sketch_agg(col(itemName))).as("_est"))
       .select(
-        groupCol,
+        col(grpName).as(groupCol.toString),
         col("exact_distinct"),
         when(col("exact_distinct") === 0, col("_est") === 0)
           .otherwise(

@@ -364,6 +364,10 @@ object PyBridge {
                     capacity: Long): DataFrame =
     graft.text.Packing.packSequences(df, tokens, order.asScala.toSeq, capacity)
 
+  def zorderBy(df: DataFrame, columns: JList[String], partitions: Int,
+               bitsPerColumn: Int): DataFrame =
+    graft.write.ZOrder.zorderBy(df, columns.asScala.toSeq, partitions, bitsPerColumn)
+
   // --------------------------------------------------------------------------
   // job description (set/restore primitives for Python context managers)
   // --------------------------------------------------------------------------

@@ -112,6 +112,11 @@ class AggOpsSuite extends AnyFunSuite with SparkTest {
     // evens: 250 distinct (0,2,...,498 mod 500 → 250); odds: 250 distinct
     assert(got.map(r => (r._1, r._2)) === Set(("even", 250L), ("odd", 250L)))
     assert(got.forall(_._3), s"HLL estimate out of 5% tolerance: $got")
+    // mixing count(DISTINCT) with the sketch agg in one agg would Expand;
+    // the dedup-pairs-first plan must not
+    val plan = Profile.distinctCountGate(df, $"g", $"v", tolerance = 0.05)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"distinctCountGate planned an Expand:\n$plan")
   }
 
   // --- prefix sums / packing ------------------------------------------------
@@ -120,24 +125,32 @@ class AggOpsSuite extends AnyFunSuite with SparkTest {
     val df = spark.range(10000).toDF("id")
       .withColumn("w", (col("id") % 7) + 1)
       .repartition(8) // scatter, so the three-phase plan has real work
-    val got = graft.agg.PrefixSum.withRunningTotal(df, $"w", Seq($"id"), "rt")
+    val h1 = UnpersistHandle()
+    val got = graft.agg.PrefixSum.withRunningTotal(df, $"w", Seq($"id"), "rt",
+      unpersistHandle = h1)
       .select("id", "rt").as[(Long, Long)].collect().toMap
+    h1.unpersist(blocking = true)
     // exclusive prefix sum of (id % 7) + 1 in id order, computed directly
     var acc = 0L
     (0L until 10000L).foreach { i =>
       assert(got(i) === acc, s"row $i")
       acc += (i % 7) + 1
     }
+    val h2 = UnpersistHandle()
     val inclusive = graft.agg.PrefixSum.withRunningTotal(
-      df, $"w", Seq($"id"), "rt", exclusive = false)
+      df, $"w", Seq($"id"), "rt", exclusive = false, unpersistHandle = h2)
       .select("id", "rt").as[(Long, Long)].collect().toMap
+    h2.unpersist(blocking = true)
     assert(inclusive(0L) === 1L && inclusive(9999L) === acc)
   }
 
   test("withRunningTotal broadcasts the per-partition offsets") {
     val df = spark.range(1000).toDF("id").withColumn("w", lit(1L)).repartition(4)
-    val plan = graft.agg.PrefixSum.withRunningTotal(df, $"w", Seq($"id"), "rt")
+    val h = UnpersistHandle()
+    val plan = graft.agg.PrefixSum.withRunningTotal(df, $"w", Seq($"id"), "rt",
+      unpersistHandle = h)
       .queryExecution.executedPlan.toString
+    h.unpersist(blocking = true)
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"offsets join should broadcast:\n$plan")
   }
@@ -145,9 +158,12 @@ class AggOpsSuite extends AnyFunSuite with SparkTest {
   test("packSequences assigns sequence ids and offsets by contiguous fill") {
     val docs = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 30L), (5L, 300L), (6L, 1L))
       .toDF("doc_id", "n")
-    val got = graft.text.Packing.packSequences(docs, $"n", Seq($"doc_id"), capacity = 256)
+    val h = UnpersistHandle()
+    val got = graft.text.Packing.packSequences(docs, $"n", Seq($"doc_id"), capacity = 256,
+      unpersistHandle = h)
       .select("doc_id", "seq_id", "seq_offset").as[(Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
+    h.unpersist(blocking = true)
     // cumulative-before: 0, 100, 200, 300, 330, 630
     assert(got === Map(
       1L -> ((0L, 0L)), 2L -> ((0L, 100L)), 3L -> ((0L, 200L)),
@@ -190,6 +206,55 @@ class AggOpsSuite extends AnyFunSuite with SparkTest {
     val bin = Seq((1, Array[Byte](1, 2, 3, 1, 2, 3))).toDF("id", "b")
       .select(compression.deflate_length($"b")).as[Int].head()
     assert(bin > 0)
+  }
+
+  // --- z-order layout -------------------------------------------------------
+
+  test("zValue interleaves bits column-round-robin") {
+    // lanes over [0,15] with 4 bits are the identity map; a=3 (bits 0,1 ->
+    // positions 0,2), b=5 (bits 0,2 -> positions 1,5): z = 1+4+2+32 = 39
+    val z = Seq((3, 5)).toDF("a", "b")
+      .select(graft.write.ZOrder.zValue(
+        Seq(col("a"), col("b")), Seq(0.0, 0.0), Seq(15.0, 15.0), bitsPerColumn = 4))
+      .as[Long].head()
+    assert(z === 39L)
+    // nulls sort first
+    val zn = Seq((Option.empty[Int], Some(5))).toDF("a", "b")
+      .select(graft.write.ZOrder.zValue(
+        Seq(col("a"), col("b")), Seq(0.0, 0.0), Seq(15.0, 15.0), bitsPerColumn = 4))
+      .as[Long].head()
+    assert((zn & 0x5555555555555555L) === 0L) // every a-lane bit clear
+  }
+
+  test("zorderBy narrows per-file min/max ranges on BOTH columns") {
+    // two independent uniform columns: any single-column sort leaves the
+    // other column's per-file span at ~full range; the z-layout must not
+    val n = 20000
+    val df = spark.range(n).select(
+      (col("id") * 7919 % 101).as("a"), (col("id") * 104729 % 101).as("b"),
+      col("id"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_test").toString
+    graft.write.ZOrder.zorderBy(df, Seq("a", "b"), partitions = 16)
+      .write.mode("overwrite").parquet(dir)
+
+    // data survives the re-layout
+    val back = spark.read.parquet(dir)
+    assert(back.count() === n)
+    assert(back.agg(sum(col("id"))).as[Long].head() === (n.toLong - 1) * n / 2)
+
+    // per-file stats from our own metadata scan: average span well under
+    // the full range (101) on BOTH z-columns
+    val stats = graft.parquet.ParquetMeta
+      .parquetBlockColumns(spark, None, Seq(dir))
+      .filter(col("column").isin("a", "b"))
+      .select(col("filename"), col("column"),
+        col("minValue").cast("long"), col("maxValue").cast("long"))
+      .as[(String, String, Long, Long)].collect()
+    val spanByCol = stats.groupBy(_._2).map { case (c, rows) =>
+      c -> rows.map(r => r._4 - r._3).sum.toDouble / rows.length
+    }
+    assert(spanByCol("a") < 65, s"column a avg span too wide: $spanByCol")
+    assert(spanByCol("b") < 65, s"column b avg span too wide: $spanByCol")
   }
 
   // --- language model -------------------------------------------------------

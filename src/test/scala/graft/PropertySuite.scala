@@ -175,4 +175,59 @@ class PropertySuite extends AnyFunSuite {
       VectorKernels.hashedWordShingles(UTF8String.fromString(doc), n).length == strShingles.size
     })
   }
+
+  test("wordShingleStringsAll keeps every occurrence; distinct twin is its dedup") {
+    val genDoc = Gen.listOf(Gen.oneOf("a", "b", "ab", "x1", "yy", "zzz", "!", "  "))
+      .map(_.mkString(" "))
+    check("wordShingleStringsAll", Prop.forAll(genDoc, Gen.choose(1, 3)) { (doc, n) =>
+      val toks = doc.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      val expectAll = toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+      val all = VectorKernels.wordShingleStringsAll(UTF8String.fromString(doc), n)
+        .map(_.toString).toSeq
+      val dist = VectorKernels.wordShingleStrings(UTF8String.fromString(doc), n)
+        .map(_.toString).toSeq
+      all == expectAll && dist == all.distinct
+    })
+  }
+
+  test("MisraGries merged summaries keep every item above N/(m+1)") {
+    import graft.agg.FrequentItems.MisraGriesAgg
+    val genStream = Gen.listOfN(120,
+      Gen.frequency(5 -> Gen.const("hot"), 2 -> Gen.const("warm"),
+        4 -> Gen.choose(0, 50).map("x" + _)))
+    check("misraGries", Prop.forAll(genStream, Gen.choose(2, 8), Gen.choose(0, 119)) {
+      (stream, m, cut) =>
+        val mg = new MisraGriesAgg(m)
+        val (s1, s2) = stream.splitAt(cut)
+        val merged = mg.merge(
+          s1.foldLeft(mg.zero)(mg.reduce), s2.foldLeft(mg.zero)(mg.reduce))
+        val counts = stream.groupBy(identity).view.mapValues(_.size).toMap
+        val bound = stream.size.toDouble / (m + 1)
+        val kept = mg.finish(merged).map(_._1).toSet
+        merged.size <= m &&
+          counts.forall { case (k, c) => c <= bound || kept.contains(k) }
+    })
+  }
+
+  test("zValue is monotonic per coordinate and within lane bounds") {
+    import graft.write.ZOrder
+    import org.apache.spark.sql.functions.col
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // evaluate the column once over a grid, then check properties of the grid
+    val bits = 4
+    val grid = for { a <- 0 to 15; b <- 0 to 15 } yield (a, b)
+    val z = grid.toDF("a", "b")
+      .select(col("a"), col("b"),
+        ZOrder.zValue(Seq(col("a"), col("b")), Seq(0.0, 0.0), Seq(15.0, 15.0), bits).as("z"))
+      .as[(Int, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    grid.foreach { case (a, b) =>
+      assert(z((a, b)) >= 0 && z((a, b)) < (1L << (2 * bits)), s"z out of range at ($a,$b)")
+      if (a < 15) assert(z((a, b)) < z((a + 1, b)), s"not monotonic in a at ($a,$b)")
+      if (b < 15) assert(z((a, b)) < z((a, b + 1)), s"not monotonic in b at ($a,$b)")
+    }
+    // bijective on the grid (no two cells share a key)
+    assert(z.values.toSet.size === grid.size)
+  }
 }
