@@ -375,6 +375,22 @@ class GraftsparkTest(unittest.TestCase):
             "id", "t").collect()}
         # counts: a=3,b=2,c=1; "a b"=2,"b a"=1,"a c"=1 -> bits 0,1,1
         self.assertEqual(lm, {1: (3, 1), 2: (1, 1), 3: (0, 0)})
+        # prefix sums / packing: cumulative-before of (10,20,30) is (0,10,30)
+        seqs = self.spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], ["id", "n"])
+        rt = {r["id"]: r["running_total"] for r in
+              P.with_running_total(seqs, "n", [c("id")]).collect()}
+        self.assertEqual(rt, {1: 0, 2: 10, 3: 30})
+        packed = {r["id"]: (r["seq_id"], r["seq_offset"]) for r in
+                  P.pack_sequences(seqs, "n", [c("id")], 25).collect()}
+        self.assertEqual(packed, {1: (0, 0), 2: (0, 10), 3: (1, 5)})
+        self.spark.catalog.clearCache()  # prefix sums persist internally
+        # z-order re-layout preserves the data
+        zsrc = self.spark.createDataFrame(
+            [(i, (i * 7) % 50, (i * 13) % 50) for i in range(200)],
+            ["id", "x", "y"])
+        zdf = P.zorder_by(zsrc, ["x", "y"], partitions=4)
+        self.assertEqual(sorted(r["id"] for r in zdf.collect()), list(range(200)))
 
     def test_pipeline_temporal_operators(self):
         from graftspark import pipeline as P
