@@ -35,6 +35,7 @@ __all__ = [
     "top_k_per_group", "frequent_items", "profile_columns",
     "distinct_count_gate", "deflate_length", "lm_score_bits",
     "with_running_total", "pack_sequences", "zorder_by",
+    "edit_distance1_pairs",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -420,6 +421,15 @@ def pack_sequences(df: DataFrame, tokens: ColumnOrName, order: List[Column],
     """Assign seq_id/seq_offset in the fixed-capacity packed token stream."""
     jdf = _bridge(df).packSequences(
         df._jdf, _jcol(tokens), [_to_java_column(c) for c in order], int(capacity))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def edit_distance1_pairs(df: DataFrame, id: ColumnOrName,
+                         s: ColumnOrName) -> DataFrame:
+    """All (idA, idB, dist) pairs within edit distance 1 via FastSS
+    deletion-neighborhood blocking — hash join on signatures, never a
+    cross join; exact levenshtein verify."""
+    jdf = _bridge(df).editDistance1Pairs(df._jdf, _jcol(id), _jcol(s))
     return DataFrame(jdf, df.sparkSession)
 
 

@@ -391,6 +391,13 @@ class GraftsparkTest(unittest.TestCase):
             ["id", "x", "y"])
         zdf = P.zorder_by(zsrc, ["x", "y"], partitions=4)
         self.assertEqual(sorted(r["id"] for r in zdf.collect()), list(range(200)))
+        # fuzzy join: substitution/insertion pair up, unrelated doesn't
+        fz = self.spark.createDataFrame(
+            [(1, "smith"), (2, "smyth"), (3, "smiths"), (4, "jones")],
+            ["id", "name"])
+        pairs = {(r["idA"], r["idB"]) for r in
+                 P.edit_distance1_pairs(fz, "id", "name").collect()}
+        self.assertEqual(pairs, {(1, 2), (1, 3)})
 
     def test_pipeline_temporal_operators(self):
         from graftspark import pipeline as P

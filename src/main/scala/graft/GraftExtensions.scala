@@ -6,9 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, Expression, Expr
   LessThan, Literal, Md5, RegExpReplace, Substring}
 import org.apache.spark.sql.types.{BinaryType, StringType}
 
-import graft.functions.{ChunkTokens, CosineSimilarity, DeflateLength, DotProduct,
-  HashedWordShingles, MinHashBandHashes, MinHashSignature, SimHash64, TokenStats,
-  TokenizeAscii, TopNgramStats, WordShingles, WordShinglesAll}
+import graft.functions.{ChunkTokens, CosineSimilarity, DeflateLength, DeletionVariants,
+  DotProduct, HashedWordShingles, MinHashBandHashes, MinHashSignature, SimHash64,
+  TokenStats, TokenizeAscii, TopNgramStats, WordShingles, WordShinglesAll}
 import graft.multimodal.{ByteEntropy, ByteNibbleHistogram}
 import graft.sample.Sampling
 import graft.text.Redact
@@ -109,6 +109,10 @@ object GraftExtensions {
       "word_shingles_all(text, n) - word n-grams with multiplicity, in order") { es =>
       arity("word_shingles_all", es, 2)
       WordShinglesAll(es.head, intLit(es(1), "word_shingles_all", "n"))
+    },
+    fn("deletion_variants",
+      "deletion_variants(s) - s plus its distinct one-char-deletion variants") { es =>
+      arity("deletion_variants", es, 1); DeletionVariants(es.head)
     },
     fn("deflate_length", "deflate_length(text[, level]) - DEFLATE byte length") { es =>
       arity("deflate_length", es, 1, 2)

@@ -547,6 +547,13 @@ object SparkEntry {
           .as("compression_ratio"))
     }),
 
+    // fuzzy entity-resolution join: all customer-name pairs within edit
+    // distance 1 via deletion-neighborhood blocking (FastSS) — hash join on
+    // short signatures + exact levenshtein verify, never a cross join
+    "fuzzy_pairs" -> ((s, dir) =>
+      graft.join.FuzzyJoin.editDistance1Pairs(
+        t(s, dir, "customer"), col("c_custkey"), col("c_name"))),
+
     // sequence packing: where each doc lands in the fixed-capacity token
     // stream — global prefix sum via the three-phase plan (no
     // single-partition window), seq id/offset by integer division
@@ -1146,6 +1153,12 @@ object SparkEntry {
             s"CAST(MIN($expr) AS VARCHAR) AS min_value, " +
             s"CAST(MAX($expr) AS VARCHAR) AS max_value FROM orders"
         }.mkString(" UNION ALL "),
+
+      "fuzzy_pairs" ->
+        ("SELECT a.c_custkey AS \"idA\", b.c_custkey AS \"idB\", " +
+          "CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist " +
+          "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey " +
+          "AND a.c_name <> b.c_name AND levenshtein(a.c_name, b.c_name) <= 1"),
 
       "pack_sequences" ->
         (s"WITH $docTokCte, t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok), " +

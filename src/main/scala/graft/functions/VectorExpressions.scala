@@ -435,6 +435,25 @@ object VectorKernels extends Serializable {
   }
 
   /**
+   * Distinct single-character-deletion variants of a string, plus the
+   * string itself — the FastSS blocking signatures for edit-distance-1
+   * joins. Operates on Unicode codepoints (UTF8String substring), so a
+   * multi-byte character deletes as one unit. Distinctness matters: a char
+   * run of length r yields one variant, not r.
+   */
+  def deletionVariants(s: UTF8String): Array[UTF8String] = {
+    val n = s.numChars()
+    val set = new java.util.LinkedHashSet[UTF8String](n + 2)
+    set.add(s)
+    var i = 0
+    while (i < n) {
+      set.add(UTF8String.concat(s.substringSQL(1, i), s.substringSQL(i + 2, n - i - 1)))
+      i += 1
+    }
+    set.toArray(new Array[UTF8String](set.size))
+  }
+
+  /**
    * Single-pass ASCII tokenizer: lowercased maximal [a-z0-9] runs, matching
    * `split(lower(text), '[^a-z0-9]+')` token identity for all inputs —
    * multi-byte UTF8 separates, except the two lowercase-to-ASCII codepoints
@@ -815,6 +834,30 @@ case class WordShinglesAll(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** deletion_variants(s): the string plus its distinct one-char-deletion
+  * variants -> array<string> (FastSS edit-distance-1 blocking keys). */
+case class DeletionVariants(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"deletion_variants expects string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.deletionVariants(s.asInstanceOf[UTF8String]).asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorKernels.deletionVariants($a))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** tokenize_ascii(text): single-pass lowercased [a-z0-9] tokens -> array<string>. */
 case class TokenizeAscii(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -1043,6 +1086,8 @@ object vectors {
 
   def word_shingles_all(text: Column, n: Int): Column =
     WordShinglesAll(text.asExpression, n).asColumn
+
+  def deletion_variants(s: Column): Column = DeletionVariants(s.asExpression).asColumn
 
   def tokenize_ascii(text: Column): Column = TokenizeAscii(text.asExpression).asColumn
 

@@ -1,0 +1,51 @@
+package graft.join
+
+import graft.functions.vectors
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Fuzzy self-join at edit distance <= 1 — the entity-resolution primitive
+ * (near-identical names, IDs with one typo) that a naive implementation
+ * writes as a cross join with a `levenshtein` filter: O(n^2) comparisons,
+ * a broadcast-nested-loop plan, dead at a million rows.
+ *
+ * Deletion-neighborhood blocking (the FastSS scheme) instead: each string
+ * emits its single-character-deletion variants plus itself. Any two strings
+ * within edit distance 1 share at least one variant (substitution at i:
+ * both drop position i; insertion/deletion: the shorter string IS a variant
+ * of the longer), so an equi-join on the variant key finds every true pair
+ * — a hash shuffle join on short strings, O(n * len) join rows. Chance
+ * signature collisions (distinct strings reducing to the same variant) are
+ * removed by an exact `levenshtein` check on the candidates, so the result
+ * is exact.
+ *
+ * Scale: shuffle carries (len+1) short signatures per row; signature
+ * buckets are bounded by the alphabet (all strings one insertion away from
+ * the shared variant), so no quadratic bucket risk on real keys. The
+ * verify filter runs codegen'd `levenshtein` on candidates only.
+ */
+object FuzzyJoin {
+
+  /**
+   * All pairs (idA < idB) of rows whose `str` values are within edit
+   * distance 1 (and not equal — use exact dedup for identical keys).
+   * Output: `idA`, `idB`, `dist` (always 1).
+   */
+  def editDistance1Pairs(df: DataFrame, id: Column, str: Column): DataFrame = {
+    val base = df.select(id.as("__fj_id"), str.as("__fj_s"))
+      .filter(col("__fj_s").isNotNull)
+    val sigs = base.select(col("__fj_id"), col("__fj_s"),
+      explode(vectors.deletion_variants(col("__fj_s"))).as("__fj_sig"))
+    val a = sigs.select(col("__fj_id").as("idA"), col("__fj_s").as("__sA"), col("__fj_sig"))
+    val b = sigs.select(col("__fj_id").as("idB"), col("__fj_s").as("__sB"), col("__fj_sig"))
+    a.join(b, Seq("__fj_sig"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), col("__sA"), col("__sB"))
+      .distinct() // a true pair can share several signatures
+      .filter(levenshtein(col("__sA"), col("__sB")) <= 1 &&
+        col("__sA") =!= col("__sB"))
+      .select(col("idA"), col("idB"),
+        levenshtein(col("__sA"), col("__sB")).as("dist"))
+  }
+}

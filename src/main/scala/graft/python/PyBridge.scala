@@ -368,6 +368,9 @@ object PyBridge {
                bitsPerColumn: Int): DataFrame =
     graft.write.ZOrder.zorderBy(df, columns.asScala.toSeq, partitions, bitsPerColumn)
 
+  def editDistance1Pairs(df: DataFrame, id: Column, str: Column): DataFrame =
+    graft.join.FuzzyJoin.editDistance1Pairs(df, id, str)
+
   // --------------------------------------------------------------------------
   // job description (set/restore primitives for Python context managers)
   // --------------------------------------------------------------------------

@@ -169,4 +169,54 @@ class JoinsSuite extends AnyFunSuite with SparkTest {
     }
     assert(e.getMessage.contains("disjoint"))
   }
+
+  test("deletion_variants emits the string and its distinct one-char deletions") {
+    val got = Seq("aab").toDF("s")
+      .select(graft.functions.vectors.deletion_variants($"s")).as[Seq[String]].head()
+    // deleting either 'a' of the run gives the same "ab" — once, not twice
+    assert(got === Seq("aab", "ab", "aa"))
+    assert(Seq("").toDF("s")
+      .select(graft.functions.vectors.deletion_variants($"s")).as[Seq[String]].head() === Seq(""))
+    // multi-byte characters delete as one unit
+    val uni = Seq("aéb").toDF("s")
+      .select(graft.functions.vectors.deletion_variants($"s")).as[Seq[String]].head()
+    assert(uni === Seq("aéb", "éb", "ab", "aé"))
+  }
+
+  test("editDistance1Pairs finds exactly the levenshtein<=1 pairs, no cross join") {
+    val names = Seq(
+      (1L, "smith"), (2L, "smyth"),   // substitution
+      (3L, "smiths"),                 // insertion vs 1
+      (4L, "mith"),                   // deletion vs 1
+      (5L, "jones"),                  // unrelated
+      (6L, "smith")                   // identical to 1: excluded (distance 0)
+    ).toDF("id", "name")
+    val got = graft.join.FuzzyJoin.editDistance1Pairs(names, $"id", $"name")
+      .select("idA", "idB", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((1L, 2L, 1), (1L, 3L, 1), (1L, 4L, 1), (2L, 6L, 1),
+      (3L, 6L, 1), (4L, 6L, 1)))
+    // brute-force cross check on a bigger random fixture
+    val rnd = new scala.util.Random(11)
+    val pool = (0 until 300).map(i => (i.toLong, rnd.alphanumeric.take(6).mkString))
+    val df = pool.toDF("id", "name")
+    val fuzzy = graft.join.FuzzyJoin.editDistance1Pairs(df, $"id", $"name")
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      (ia, sa) <- pool; (ib, sb) <- pool
+      if ia < ib && sa != sb && lev(sa, sb) <= 1
+    } yield (ia, ib)).toSet
+    assert(fuzzy === brute)
+    // the plan is a hash join on signatures, not a nested-loop cross join
+    val plan = graft.join.FuzzyJoin.editDistance1Pairs(df, $"id", $"name")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"fuzzy join must not cross-join:\n$plan")
+  }
 }

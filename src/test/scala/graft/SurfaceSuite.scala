@@ -88,11 +88,13 @@ class SurfaceSuite extends AnyFunSuite with SparkTest {
     val qrow = spark.sql(
       """SELECT word_shingles_all(text, 2) AS all2,
         |       deflate_length(text) AS dl,
-        |       deflate_length(text, 1) AS dl1
+        |       deflate_length(text, 1) AS dl1,
+        |       deletion_variants('ab') AS dv
         |FROM ext_docs""".stripMargin).collect().head
     assert(qrow.getSeq[String](0) ==
       Seq("the cat", "cat sat", "sat the", "the cat", "cat sat"))
     assert(qrow.getInt(1) > 0 && qrow.getInt(2) > 0)
+    assert(qrow.getSeq[String](3) == Seq("ab", "b", "a"))
     // vector functions over array<float>
     val vrow = spark.sql(
       """SELECT cosine_similarity(a, b) AS cos, dot_product(a, b) AS dot FROM VALUES
