@@ -35,17 +35,26 @@ object FuzzyJoin {
   def editDistance1Pairs(df: DataFrame, id: Column, str: Column): DataFrame = {
     val base = df.select(id.as("__fj_id"), str.as("__fj_s"))
       .filter(col("__fj_s").isNotNull)
-    val sigs = base.select(col("__fj_id"), col("__fj_s"),
-      explode(vectors.deletion_variants(col("__fj_s"))).as("__fj_sig"))
+    // join on the 64-bit hash of the signature, not the signature string:
+    // the shuffle carries 8 bytes per key instead of the variant text, and
+    // a 2^-64 hash collision only adds a candidate the levenshtein verify
+    // removes — exactness is unaffected
+    val sigs = base
+      .select(col("__fj_id"), col("__fj_s"),
+        explode(vectors.deletion_variants(col("__fj_s"))).as("__fj_sigtext"))
+      .select(col("__fj_id"), col("__fj_s"), xxhash64(col("__fj_sigtext")).as("__fj_sig"))
     val a = sigs.select(col("__fj_id").as("idA"), col("__fj_s").as("__sA"), col("__fj_sig"))
     val b = sigs.select(col("__fj_id").as("idB"), col("__fj_s").as("__sB"), col("__fj_sig"))
+    // verify BEFORE dedup: candidates that fail levenshtein (chance
+    // signature collisions — the majority) die right after the join instead
+    // of paying the distinct shuffle; a true pair seen via several shared
+    // signatures re-evaluates the (codegen'd) levenshtein and dedups after,
+    // so the distinct shuffles only verified pairs.
     a.join(b, Seq("__fj_sig"))
-      .filter(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"), col("__sA"), col("__sB"))
-      .distinct() // a true pair can share several signatures
-      .filter(levenshtein(col("__sA"), col("__sB")) <= 1 &&
-        col("__sA") =!= col("__sB"))
+      .filter(col("idA") < col("idB") && col("__sA") =!= col("__sB") &&
+        levenshtein(col("__sA"), col("__sB")) <= 1)
       .select(col("idA"), col("idB"),
         levenshtein(col("__sA"), col("__sB")).as("dist"))
+      .distinct()
   }
 }
