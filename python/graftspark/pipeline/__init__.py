@@ -35,7 +35,7 @@ __all__ = [
     "top_k_per_group", "frequent_items", "profile_columns",
     "distinct_count_gate", "deflate_length", "lm_score_bits",
     "with_running_total", "pack_sequences", "zorder_by",
-    "edit_distance1_pairs",
+    "edit_distance1_pairs", "weighted_hash_sample",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -421,6 +421,16 @@ def pack_sequences(df: DataFrame, tokens: ColumnOrName, order: List[Column],
     """Assign seq_id/seq_offset in the fixed-capacity packed token stream."""
     jdf = _bridge(df).packSequences(
         df._jdf, _jcol(tokens), [_to_java_column(c) for c in order], int(capacity))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def weighted_hash_sample(df: DataFrame, key: ColumnOrName,
+                         weight: ColumnOrName, rate: float,
+                         salt: str = "graft") -> DataFrame:
+    """Deterministic importance sampling: keep probability min(1, rate*w),
+    decided by the key hash — reproducible across partitionings/engines."""
+    jdf = _bridge(df).weightedHashSample(df._jdf, _jcol(key), _jcol(weight),
+                                         float(rate), salt)
     return DataFrame(jdf, df.sparkSession)
 
 

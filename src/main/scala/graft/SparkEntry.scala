@@ -596,6 +596,14 @@ object SparkEntry {
       graft.sample.Sampling.hashSample(
         t(s, dir, "documents"), col("doc_id"), 0.25).select(col("doc_id"))),
 
+    // deterministic weighted (importance) sampling: keep probability
+    // min(1, n_chars/2000) per doc — every arithmetic step bit-identical
+    // across engines (IEEE multiply, floor, fixed-width hex render)
+    "sample_weighted" -> ((s, dir) =>
+      graft.sample.Sampling.weightedHashSample(
+        t(s, dir, "documents"), col("doc_id"), col("n_chars") / lit(2000.0), rate = 1.0)
+        .select(col("doc_id"))),
+
     // stratified rates per source (up/down-sample by corpus quality), CASE
     // threshold per row — still a narrow filter
     "sample_stratified" -> ((s, dir) =>
@@ -1228,6 +1236,13 @@ object SparkEntry {
       "sample_documents" ->
         ("SELECT doc_id FROM documents " +
           "WHERE substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'"),
+
+      "sample_weighted" ->
+        ("SELECT doc_id FROM documents " +
+          "WHERE substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) < " +
+          "printf('%08x', CAST(floor(LEAST(1.0, GREATEST(0.0, (n_chars / 2000.0) * 1.0)) " +
+          "* 4294967296.0) AS BIGINT)) " +
+          "OR LEAST(1.0, GREATEST(0.0, (n_chars / 2000.0) * 1.0)) >= 1.0"),
 
       "sample_stratified" ->
         ("SELECT doc_id, source FROM documents " +

@@ -275,6 +275,10 @@ object PyBridge {
   def hashSample(df: DataFrame, key: Column, rate: Double, salt: String): DataFrame =
     graft.sample.Sampling.hashSample(df, key, rate, salt)
 
+  def weightedHashSample(df: DataFrame, key: Column, weight: Column,
+                         rate: Double, salt: String): DataFrame =
+    graft.sample.Sampling.weightedHashSample(df, key, weight, rate, salt)
+
   def stratifiedHashSample(df: DataFrame, strata: Column, key: Column,
                            rates: java.util.Map[String, java.lang.Double],
                            defaultRate: Double, salt: String): DataFrame =

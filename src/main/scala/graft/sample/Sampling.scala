@@ -69,6 +69,29 @@ object Sampling {
   }
 
   /**
+   * Deterministic WEIGHTED sampling: keep probability `min(1, rate * w)`
+   * per row — importance sampling by a quality/length weight, reproducible
+   * like [[hashSample]] (the decision is a pure function of the key).
+   *
+   * The per-row threshold is `floor(min(1, rate*w) * 2^32)` rendered as
+   * 8-digit lowercase hex (`format_string("%08x", ...)` — same digits from
+   * DuckDB's `printf`), compared lexicographically against the md5 prefix:
+   * fixed-width hex compares in numeric order, and every step (IEEE double
+   * multiply, floor, hex render) is bit-identical across engines, so the
+   * kept set is too. Still a narrow filter — no shuffle, no state.
+   */
+  def weightedHashSample(
+      df: DataFrame, key: Column, weight: Column, rate: Double,
+      salt: String = "graft"): DataFrame = {
+    require(rate >= 0.0, s"rate must be non-negative: $rate")
+    val p = least(lit(1.0), greatest(lit(0.0), weight.cast("double") * lit(rate)))
+    val threshold = format_string("%08x", floor(p * lit(4294967296.0)).cast("long"))
+    df.filter(
+      substring(md5(concat(lit(salt), key.cast("string"))), 1, 8) < threshold ||
+        p >= lit(1.0)) // p == 1 keeps every row ("ffffffff" < "100000000" fails as strings)
+  }
+
+  /**
    * Per-stratum sampling rates (e.g. up-sample a high-quality source,
    * down-sample a boilerplate-heavy one) with `defaultRate` for strata not
    * listed. The per-row threshold is a chained CASE on the stratum value —

@@ -34,6 +34,31 @@ class CurationSuite extends AnyFunSuite with SparkTest {
     assert(a != b)
   }
 
+  test("weightedHashSample keeps by min(1, rate*w), deterministically") {
+    val df = spark.range(2000).toDF("k")
+      .withColumn("w", (col("k") % 20).cast("double") / lit(10.0)) // 0.0 .. 1.9
+    val kept = Sampling.weightedHashSample(df, col("k"), col("w"), rate = 1.0)
+      .select("k").as[Long].collect().toSet
+    // p = 1 rows (w >= 1.0, i.e. k % 20 >= 10) are always kept
+    assert((0L until 2000L).filter(k => k % 20 >= 10).forall(kept.contains))
+    // p = 0 rows (w == 0) are never kept
+    assert(!(0L until 2000L).filter(k => k % 20 == 0).exists(kept.contains))
+    // keep-rate grows with weight: w=0.2 band keeps fewer than w=0.8 band
+    def bandRate(r: Int) = kept.count(_ % 20 == r).toDouble / 100.0
+    assert(bandRate(2) < bandRate(8))
+    assert(math.abs(bandRate(2) - 0.2) < 0.15 && math.abs(bandRate(8) - 0.8) < 0.15)
+    // partitioning never changes the decision
+    val again = Sampling.weightedHashSample(
+      df.repartition(13), col("k"), col("w"), rate = 1.0)
+      .select("k").as[Long].collect().toSet
+    assert(again === kept)
+    // null weight drops the row
+    val n = Sampling.weightedHashSample(
+      Seq((1L, Option.empty[Double]), (2L, Some(5.0))).toDF("k", "w"),
+      col("k"), col("w"), rate = 1.0).count()
+    assert(n === 1L)
+  }
+
   test("stratifiedHashSample applies per-stratum rates with a default") {
     val df = (0L until 3000L).map(i => (i, s"s${i % 3}")).toDF("k", "g")
     val out = Sampling.stratifiedHashSample(
