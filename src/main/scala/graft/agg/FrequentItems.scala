@@ -92,9 +92,12 @@ object FrequentItems {
   /**
    * Exact counts of every value of `itemCol` with frequency at least
    * `minSupport` (fraction of non-null rows). `capacity` bounds the sketch;
-   * must satisfy `capacity + 1 >= 1 / minSupport` for the no-false-negative
-   * guarantee (checked). Output columns: `item` (string), `cnt` (bigint),
-   * sorted nowhere — order downstream if needed.
+   * must satisfy `capacity + 1 > 1 / minSupport` for the no-false-negative
+   * guarantee (checked): Misra-Gries only keeps items whose count is
+   * STRICTLY greater than N/(capacity+1), so at exact equality an item whose
+   * count equals the support threshold could be pruned. Output columns:
+   * `item` (string), `cnt` (bigint), sorted nowhere — order downstream if
+   * needed.
    */
   def frequentItems(
       df: DataFrame,
@@ -102,9 +105,9 @@ object FrequentItems {
       minSupport: Double,
       capacity: Int = 4096): DataFrame = {
     require(minSupport > 0.0 && minSupport <= 1.0, s"minSupport must be in (0, 1]: $minSupport")
-    require(capacity + 1 >= 1.0 / minSupport,
+    require(capacity + 1 > 1.0 / minSupport,
       s"capacity=$capacity too small for minSupport=$minSupport " +
-        s"(needs >= ${math.ceil(1.0 / minSupport - 1).toLong})")
+        s"(the Misra-Gries bound is strict: needs capacity + 1 > ${1.0 / minSupport})")
     val spark = df.sparkSession
     import spark.implicits._
 

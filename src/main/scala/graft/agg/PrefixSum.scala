@@ -32,6 +32,9 @@ object PrefixSum {
    * order total for deterministic output). `exclusive` (default) sums rows
    * STRICTLY BEFORE the current row (first row gets 0), which is what
    * offset/packing computations want; set it false for inclusive totals.
+   *
+   * Sums in the column's own numeric type (integral -> long, double -> double,
+   * decimal -> widened decimal), so fractional inputs keep their fractions.
    */
   def withRunningTotal(
       df: DataFrame,
@@ -54,7 +57,7 @@ object PrefixSum {
 
     // phase 1+2: order, pin pids, persist; partition-local running sums
     val withPid = df
-      .withColumn(valCol, valueCol.cast("long"))
+      .withColumn(valCol, valueCol)
       .orderBy(order: _*)
       .withColumn(pidCol, spark_partition_id())
       .persist(storageLevel)
@@ -65,7 +68,7 @@ object PrefixSum {
     val localWindow = Window.partitionBy(col(pidCol)).orderBy(order: _*)
       .rowsBetween(bounds._1, bounds._2)
     val withLocal = withPid.withColumn(localCol,
-      coalesce(sum(col(valCol)).over(localWindow), lit(0L)))
+      coalesce(sum(col(valCol)).over(localWindow), lit(0)))
 
     // phase 3: per-partition totals -> cumulative offsets (tiny window),
     // shifted one partition forward, broadcast back
@@ -79,7 +82,7 @@ object PrefixSum {
 
     withLocal
       .join(broadcast(offsets), Seq(pidCol), "left")
-      .withColumn(outputColumn, col(localCol) + coalesce(col(offsetCol), lit(0L)))
+      .withColumn(outputColumn, col(localCol) + coalesce(col(offsetCol), lit(0)))
       .drop(valCol, pidCol, localCol, offsetCol)
   }
 }

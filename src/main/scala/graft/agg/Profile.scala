@@ -107,7 +107,9 @@ object Profile {
       .select(
         col(grpName).as(groupCol.toString),
         col("exact_distinct"),
-        when(col("exact_distinct") === 0, col("_est") === 0)
+        // All-null groups have a null sketch estimate; treat (exact=0,
+        // est=null) as agreement so hll_ok is always a concrete boolean.
+        when(col("exact_distinct") === 0, coalesce(col("_est") === 0, lit(true)))
           .otherwise(
             abs(col("_est") - col("exact_distinct")).cast("double") /
               col("exact_distinct").cast("double") <= lit(tolerance))

@@ -51,7 +51,13 @@ object TopK {
     require(orderCols.nonEmpty, "topKPerGroup needs at least one order column")
     val threshold =
       df.sparkSession.conf.get("spark.sql.optimizer.windowGroupLimitThreshold", "1000").toInt
-    require(threshold < 0 || k <= threshold,
+    // A negative threshold disables InferWindowGroupLimit entirely — exactly
+    // the configuration where the silent full-sort fallback happens.
+    require(threshold >= 0,
+      s"spark.sql.optimizer.windowGroupLimitThreshold=$threshold disables " +
+        "InferWindowGroupLimit; every group would pay a full sort — set a " +
+        "non-negative threshold >= k")
+    require(k <= threshold,
       s"k=$k exceeds spark.sql.optimizer.windowGroupLimitThreshold=$threshold; " +
         "the plan would fall back to a full per-group sort — raise the threshold " +
         "or lower k")

@@ -32,26 +32,33 @@ import org.apache.spark.sql.{Column, DataFrame}
  */
 object ZOrder {
 
-  /** Max columns that fit 16-bit lanes in one 64-bit key. */
+  /** Max columns interleavable into one 63-bit key (>= 15-bit lanes each). */
   private val MaxCols = 4
+
+  /** Widest lane that still fits `k` columns in 63 bits, capped at 16. */
+  private def autoBits(k: Int): Int = math.min(16, 63 / k)
 
   /**
    * The Morton key for `cols` given their global `[min, max]` ranges:
    * values clamp into `bitsPerColumn`-bit lanes and interleave round-robin
    * (column j supplies bit positions j, j+k, j+2k, ...). Nulls map to lane
    * 0 (sort first). Exposed for tests and custom pipelines.
+   * `bitsPerColumn = 0` (the default) auto-sizes lanes to `min(16, 63/k)`,
+   * so any 2..4-column call fits the 64-bit key; an explicit width must
+   * satisfy `bitsPerColumn * k <= 63` (16-bit lanes fit at most 3 columns).
    */
   def zValue(
       cols: Seq[Column],
       mins: Seq[Double],
       maxs: Seq[Double],
-      bitsPerColumn: Int = 16): Column = {
+      bitsPerColumn: Int = 0): Column = {
     val k = cols.length
     require(k >= 2 && k <= MaxCols, s"z-order needs 2..$MaxCols columns, got $k")
     require(mins.length == k && maxs.length == k, "mins/maxs must match cols")
-    require(bitsPerColumn >= 1 && bitsPerColumn * k <= 63,
-      s"bitsPerColumn=$bitsPerColumn with $k columns exceeds the 64-bit key")
-    val maxLane = (1L << bitsPerColumn) - 1
+    val laneBits = if (bitsPerColumn == 0) autoBits(k) else bitsPerColumn
+    require(laneBits >= 1 && laneBits * k <= 63,
+      s"bitsPerColumn=$laneBits with $k columns exceeds the 64-bit key")
+    val maxLane = (1L << laneBits) - 1
     val lanes = cols.zipWithIndex.map { case (c, j) =>
       val span = maxs(j) - mins(j)
       val unit = // value scaled to [0, 1]; constant-range columns -> 0
@@ -62,7 +69,7 @@ object ZOrder {
     // interleave: bit i of lane j lands at position i * k + j
     val terms = for {
       j <- 0 until k
-      i <- 0 until bitsPerColumn
+      i <- 0 until laneBits
     } yield shiftleft(shiftrightunsigned(lanes(j), i).bitwiseAND(lit(1L)), i * k + j)
     terms.reduce((a, b) => a.bitwiseOR(b))
   }
@@ -78,7 +85,7 @@ object ZOrder {
       df: DataFrame,
       columns: Seq[String],
       partitions: Int = 0,
-      bitsPerColumn: Int = 16): DataFrame = {
+      bitsPerColumn: Int = 0): DataFrame = {
     val missing = columns.filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in schema: ${missing.mkString(", ")}")
     // one driver-visible row of 2k doubles — the only non-lazy step

@@ -42,6 +42,17 @@ class AggOpsSuite extends AnyFunSuite with SparkTest {
     assert(e.getMessage.contains("windowGroupLimitThreshold"))
   }
 
+  test("topKPerGroup rejects a negative threshold (InferWindowGroupLimit disabled)") {
+    // -1 turns the rewrite off entirely — exactly the silent-full-sort config
+    spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "-1")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        TopK.topKPerGroup(topKFixture, Seq($"k"), Seq($"v".desc), k = 2)
+      }
+      assert(e.getMessage.contains("disables"))
+    } finally spark.conf.unset("spark.sql.optimizer.windowGroupLimitThreshold")
+  }
+
   // --- frequentItems --------------------------------------------------------
 
   test("MisraGries summary never loses an above-threshold item") {
@@ -76,6 +87,12 @@ class AggOpsSuite extends AnyFunSuite with SparkTest {
       FrequentItems.frequentItems(df, $"v", minSupport = 0.001, capacity = 10)
     }
     assert(e.getMessage.contains("capacity"))
+    // Misra-Gries only guarantees items with count STRICTLY above N/(m+1):
+    // capacity + 1 == 1/minSupport is a false-negative window, rejected too
+    val boundary = intercept[IllegalArgumentException] {
+      FrequentItems.frequentItems(df, $"v", minSupport = 0.125, capacity = 7)
+    }
+    assert(boundary.getMessage.contains("strict"))
   }
 
   // --- profileColumns / distinctCountGate -----------------------------------
@@ -119,6 +136,19 @@ class AggOpsSuite extends AnyFunSuite with SparkTest {
     assert(!plan.contains("Expand"), s"distinctCountGate planned an Expand:\n$plan")
   }
 
+  test("distinctCountGate gives all-null groups a concrete boolean verdict") {
+    // group "nul" has only null items: exact_distinct = 0 and a null sketch
+    // estimate — hll_ok must still be a real true, not null, so
+    // filter(col("hll_ok")) keeps the group
+    val df = Seq(("nul", None), ("nul", None), ("ok", Some(1)), ("ok", Some(2)))
+      .toDF("g", "v")
+    val got = Profile.distinctCountGate(df, $"g", $"v")
+      .select($"g", $"exact_distinct", $"hll_ok")
+      .as[(String, Long, Option[Boolean])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("nul") === ((0L, Some(true))))
+    assert(got("ok")._2 === Some(true))
+  }
+
   // --- prefix sums / packing ------------------------------------------------
 
   test("withRunningTotal matches a single-window prefix sum at 10k rows") {
@@ -153,6 +183,21 @@ class AggOpsSuite extends AnyFunSuite with SparkTest {
     h.unpersist(blocking = true)
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"offsets join should broadcast:\n$plan")
+  }
+
+  test("withRunningTotal keeps fractions for double-typed values") {
+    // quality weights 0.5/0.25: a silent cast-to-long would zero them all
+    val df = spark.range(8).toDF("id")
+      .withColumn("w", when(col("id") % 2 === 0, lit(0.5)).otherwise(lit(0.25)))
+      .repartition(3)
+    val h = UnpersistHandle()
+    val got = graft.agg.PrefixSum.withRunningTotal(df, $"w", Seq($"id"), "rt",
+      exclusive = false, unpersistHandle = h)
+      .select("id", "rt").as[(Long, Double)].collect().toMap
+    h.unpersist(blocking = true)
+    assert(got(0L) === 0.5)
+    assert(got(1L) === 0.75)
+    assert(got(7L) === 3.0) // 4 * 0.5 + 4 * 0.25
   }
 
   test("packSequences assigns sequence ids and offsets by contiguous fill") {
@@ -224,6 +269,21 @@ class AggOpsSuite extends AnyFunSuite with SparkTest {
         Seq(col("a"), col("b")), Seq(0.0, 0.0), Seq(15.0, 15.0), bitsPerColumn = 4))
       .as[Long].head()
     assert((zn & 0x5555555555555555L) === 0L) // every a-lane bit clear
+  }
+
+  test("zValue auto-sizes lanes so the documented 4-column call works") {
+    // default (auto) lanes for k=4 are 15 bits: 60 key bits, fits; an
+    // explicit 16-bit request for 4 columns still fails loudly (64 > 63)
+    val cols = Seq(col("a"), col("b"), col("c"), col("d"))
+    val z = Seq((1, 2, 3, 4)).toDF("a", "b", "c", "d")
+      .select(graft.write.ZOrder.zValue(cols, Seq.fill(4)(0.0), Seq.fill(4)(10.0)))
+      .as[Long].head()
+    assert(z >= 0L)
+    val e = intercept[IllegalArgumentException] {
+      graft.write.ZOrder.zValue(cols, Seq.fill(4)(0.0), Seq.fill(4)(10.0),
+        bitsPerColumn = 16)
+    }
+    assert(e.getMessage.contains("64-bit"))
   }
 
   test("zorderBy narrows per-file min/max ranges on BOTH columns") {
