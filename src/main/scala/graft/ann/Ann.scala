@@ -55,6 +55,12 @@ object Ann {
    * Approximate top-k: hyperplane-LSH candidates (same (band, bucket) in any
    * band), exact cosine re-rank, top-k per query. Queries with fewer than k
    * collisions return fewer rows — raise `bands`/lower `bits` for recall.
+   *
+   * The exact cosine is computed BEFORE candidate deduplication: a pair that
+   * collides in several bands scores identically in each, so the per-pair
+   * dedup becomes a `max(cosine)` aggregate whose shuffle carries 8 bytes per
+   * candidate instead of two embedding vectors (~8 KB at dim=1024), and the
+   * map-side partial aggregate collapses same-partition duplicates for free.
    */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
@@ -65,11 +71,11 @@ object Ann {
     val c = explodeBuckets(corpus, corpusId, corpusVec, planes, "neighbor_id")
     val candidates = q.join(c, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("_vec_query_id").as("qvec"),
-        col("neighbor_id"), col("_vec_neighbor_id").as("cvec"))
-      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        vectors.cosine_similarity(col("_vec_query_id"), col("_vec_neighbor_id")).as("cosine"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cosine")).as("cosine"))
     candidates
-      .withColumn("cosine", vectors.cosine_similarity(col("qvec"), col("cvec")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)

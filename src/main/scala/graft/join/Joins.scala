@@ -31,8 +31,19 @@ object Joins {
    * sort-merge-join-like: O((|L|+|R|) log) per partition, no quadratic
    * blow-up, no broadcast requirement. At equal timestamps the right row
    * sorts first (tag 0 < 1), so equality matches, mirroring SQL ASOF
-   * semantics. Hot keys shuffle to single partitions — salt the key
-   * upstream if one entity dominates the event log.
+   * semantics.
+   *
+   * Hot keys: by default each key's whole history sorts in ONE partition —
+   * a single dominant entity bounds the join at one task. Pass `timeBucket`
+   * (a monotone map from the timestamp column to a coarse bucket id, e.g.
+   * `ts => floor(ts / 86400)`) to sub-key the shuffle by (keys, bucket):
+   * each bucket sorts independently, and the state crossing bucket
+   * boundaries is stitched back in with one tiny per-(key, bucket)
+   * aggregate (latest right row per bucket, prefix-carried across the
+   * bucket sequence — the same ~16-bytes-per-bucket coordination pattern as
+   * [[graft.RowNumbers]]). Results are identical to the unbucketed plan;
+   * pick a width that keeps single-key-single-bucket row counts
+   * executor-sized.
    *
    * The right payload travels as ONE struct through the window, so all
    * payload columns are guaranteed to come from the same right row.
@@ -61,7 +72,8 @@ object Joins {
       rightPayload: Seq[String],
       prefix: String = "asof_",
       tolerance: Option[Column] = None,
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      timeBucket: Option[Column => Column] = None): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one equi-key")
     require(rightPayload.nonEmpty, "asofJoin needs at least one right payload column")
     require(direction == "backward" || direction == "forward",
@@ -94,11 +106,66 @@ object Joins {
     // forward: descending scan carries the earliest right row at-or-after
     // (the right-first tag break keeps equality matching in both directions)
     val tsOrder = if (backward) col(ts).asc else col(ts).desc
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(tsOrder, col(tag).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = r.unionByName(l)
-      .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
-      .filter(col(tag) === 1)
+
+    val carried = timeBucket match {
+      case None =>
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(tsOrder, col(tag).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        r.unionByName(l)
+          .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
+          .filter(col(tag) === 1)
+
+      case Some(bucketFn) =>
+        // Hot-key mitigation: sub-key the scan by (keys, bucket). The state a
+        // bucket inherits from its predecessors is reconstructed from one
+        // tiny aggregate — the scan-terminal right row per (keys, bucket) —
+        // prefix-carried across the bucket sequence and re-injected as one
+        // synthetic right row per left-occupied bucket (keeping its ORIGINAL
+        // timestamp, so tolerance and the asof_ts output are unchanged).
+        val bkt = p + "bucket"
+        val qtag = p + "qtag"
+        val state = p + "state"
+        val carry = p + "carry"
+        val rb = r.withColumn(bkt, bucketFn(col(ts)))
+        val lb = l.withColumn(bkt, bucketFn(col(ts)))
+
+        // scan-terminal right row per (keys, bucket): latest for backward,
+        // earliest for forward — i.e. the state the NEXT bucket would see
+        // (ties on equal ts are arbitrary, as documented above)
+        val terminal =
+          if (backward) max_by(col(pay), col(ts))
+          else min_by(col(pay), col(ts))
+        val states = rb.groupBy((keys.map(col) :+ col(bkt)): _*)
+          .agg(terminal.as(state))
+          .withColumn(qtag, lit(1))
+        val queryBuckets = lb.select((keys.map(col) :+ col(bkt)): _*).distinct()
+          .withColumn(state, lit(null).cast(rightSchema))
+          .withColumn(qtag, lit(0))
+
+        // prefix-carry over the bucket sequence (tiny: one row per key ×
+        // bucket). Query rows sort BEFORE state rows of the same bucket, so
+        // a bucket inherits only STRICTLY earlier buckets' state — its own
+        // right rows are already in the main scan.
+        val bucketOrder = if (backward) col(bkt).asc else col(bkt).desc
+        val wState = Window.partitionBy(keys.map(col): _*)
+          .orderBy(bucketOrder, col(qtag).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val carryIns = states.unionByName(queryBuckets)
+          .withColumn(carry, last(col(state), ignoreNulls = true).over(wState))
+          .filter(col(qtag) === 0 && col(carry).isNotNull)
+        val carryRows = carryIns.select(
+          keys.map(col) ++ Seq(col(carry)("ts").as(ts), lit(0).as(tag),
+            col(carry).as(pay), col(bkt)) ++
+            leftDataCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+
+        val w = Window.partitionBy((keys.map(col) :+ col(bkt)): _*)
+          .orderBy(tsOrder, col(tag).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rb.unionByName(lb).unionByName(carryRows)
+          .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
+          .filter(col(tag) === 1)
+          .drop(bkt)
+    }
 
     val bounded = tolerance match {
       case Some(maxDistance) =>

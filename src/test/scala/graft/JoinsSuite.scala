@@ -61,6 +61,60 @@ class JoinsSuite extends AnyFunSuite with SparkTest {
     assert(got == expected)
   }
 
+  test("asofJoin timeBucket sub-key: identical results, hot key spread over buckets") {
+    // one dominant entity: 2000 left readings + 600 right states on ONE key —
+    // the exact shape that pins the unbucketed plan to a single task
+    val rng = new scala.util.Random(23)
+    val lefts = Seq.fill(2000)((7L, rng.nextInt(100000).toLong)).distinct
+    val rights = Seq.fill(600)((7L, rng.nextInt(100000).toLong, rng.nextInt(1000)))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (k, t): no ties
+    // repartition: LocalRelation inputs would let Catalyst evaluate the whole
+    // query driver-side, leaving no physical shuffle to observe
+    val bucketed = Joins.asofJoin(
+      lefts.toDF("k", "t").repartition(4), rights.toDF("k", "t", "v").repartition(4),
+      Seq("k"), "t", "t", Seq("v"),
+      timeBucket = Some(ts => floor(ts / lit(10000L))))
+    val plain = Joins.asofJoin(
+      lefts.toDF("k", "t"), rights.toDF("k", "t", "v"), Seq("k"), "t", "t", Seq("v"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "t", "asof_ts", "asof_v")
+        .as[(Long, Long, Option[Long], Option[Long])].collect().sorted.toSeq
+    assert(canon(bucketed) == canon(plain))
+    // the main scan really is sub-keyed: its window partitions on (k, bucket)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(plan.contains("bucket"), s"no bucket sub-key in plan:\n$plan")
+    // and the hot key's rows are processed by >1 task: per-partition row
+    // counts of the final physical stage (RDD-level — immune to column
+    // pruning and AQE coalescing of this test-sized shuffle)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      val counts = bucketed.queryExecution.toRdd
+        .mapPartitions(it => Iterator(it.size), preservesPartitioning = true).collect()
+      val busy = counts.count(_ > 0)
+      assert(busy > 1, s"hot key still bound to one partition: ${counts.mkString(",")}")
+    } finally spark.conf.set(coalesceKey, prev)
+  }
+
+  test("asofJoin timeBucket matches plain for forward direction and tolerance") {
+    val rng = new scala.util.Random(31)
+    val lefts = Seq.fill(500)((rng.nextInt(3).toLong, rng.nextInt(5000).toLong)).distinct
+    val rights = Seq.fill(200)((rng.nextInt(3).toLong, rng.nextInt(5000).toLong, rng.nextInt(100)))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    def run(direction: String, tol: Option[org.apache.spark.sql.Column],
+            bucket: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column]) =
+      Joins.asofJoin(lefts.toDF("k", "t"), rights.toDF("k", "t", "v"),
+        Seq("k"), "t", "t", Seq("v"), tolerance = tol, direction = direction,
+        timeBucket = bucket)
+        .select("k", "t", "asof_ts", "asof_v")
+        .as[(Long, Long, Option[Long], Option[Long])].collect().sorted.toSeq
+    val bucketFn = (ts: org.apache.spark.sql.Column) => floor(ts / lit(500L))
+    assert(run("forward", None, Some(bucketFn)) == run("forward", None, None))
+    assert(run("backward", Some(lit(750L)), Some(bucketFn)) ==
+      run("backward", Some(lit(750L)), None))
+  }
+
   test("asofJoin drops null timestamps instead of letting them leak state") {
     val left = Seq((Some(1L), Some(10L)), (Some(1L), None))
       .map { case (k, t) => (k, t) }.toDF("k", "t")

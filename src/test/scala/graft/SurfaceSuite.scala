@@ -36,6 +36,10 @@ class SurfaceSuite extends AnyFunSuite with SparkTest {
   }
 
   test("writePartitionedBy caches via a non-Noop unpersist handle") {
+    // other suites share this session and may leave caches behind (Noop
+    // handles by design): start from a clean slate so the emptiness
+    // assertions observe THIS test's persist only
+    spark.catalog.clearCache()
     val handle = UnpersistHandle()
     val df = Seq((1, "x", 1.0), (2, "y", 2.0)).toDF("id", "part", "value")
     val dir = java.nio.file.Files.createTempDirectory("graft_wpb_cache").toString + "/out"
@@ -47,6 +51,27 @@ class SurfaceSuite extends AnyFunSuite with SparkTest {
     handle.unpersist(blocking = true)
     assert(spark.sharedState.cacheManager.isEmpty)
     assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("UnpersistHandle semantics: set-once, unset throws, Silent tolerates") {
+    spark.catalog.clearCache() // see note in the writePartitionedBy test
+    val strict = UnpersistHandle()
+    intercept[IllegalStateException](strict.unpersist()) // no DataFrame yet
+    val silent = new SilentUnpersistHandle
+    silent.unpersist() // unset is fine
+    silent.unpersist(blocking = true)
+    val df = Seq((1, "x")).toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_silent").toString + "/out"
+    df.writePartitionedBy(Seq($"v"), unpersistHandle = silent)
+      .format("parquet").mode("overwrite").save(dir)
+    silent.unpersist(blocking = true)
+    assert(spark.sharedState.cacheManager.isEmpty)
+    // a handle's DataFrame can only be set once
+    val used = UnpersistHandle()
+    val d2 = Seq((1, "x")).toDF("id", "v")
+    used.setDataFrame(d2)
+    intercept[IllegalStateException](used.setDataFrame(d2))
+    used.unpersist()
   }
 
   test("Java source compiles against and uses the Java API") {
