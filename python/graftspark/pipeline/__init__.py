@@ -36,6 +36,7 @@ __all__ = [
     "distinct_count_gate", "deflate_length", "lm_score_bits",
     "with_running_total", "pack_sequences", "zorder_by",
     "edit_distance1_pairs", "weighted_hash_sample",
+    "extract_media_features", "extract_audio_features",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -314,15 +315,20 @@ def redact_long_digits(text: ColumnOrName, token: str = "[REDACTED]") -> Column:
 def asof_join(left: DataFrame, right: DataFrame, keys: List[str],
               left_ts_col: str, right_ts_col: str, right_payload: List[str],
               prefix: str = "asof_", tolerance: Column = None,
-              direction: str = "backward") -> DataFrame:
+              direction: str = "backward",
+              time_bucket_width: float = None) -> DataFrame:
     """Point-in-time join: for each left row, the payload of the latest
     right row at-or-before ("backward") or earliest at-or-after ("forward"),
-    per key. One keyed sort + running window — no inequality nested loop."""
+    per key. One keyed sort + running window — no inequality nested loop.
+    time_bucket_width (numeric timestamps) sub-keys the shuffle by
+    floor(ts / width) so one dominant key spreads over many tasks; results
+    are identical (boundary state is stitched back in)."""
     jdf = _bridge(left).asofJoin(
         left._jdf, right._jdf, list(keys), left_ts_col, right_ts_col,
         list(right_payload), prefix,
         _to_java_column(tolerance) if tolerance is not None else None,
-        direction)
+        direction,
+        float(time_bucket_width) if time_bucket_width is not None else None)
     return DataFrame(jdf, left.sparkSession)
 
 
@@ -409,7 +415,8 @@ def with_running_total(df: DataFrame, value: ColumnOrName, order: List[Column],
                        output_column: str = "running_total",
                        exclusive: bool = True) -> DataFrame:
     """Global prefix sum over a total order, three-phase plan (no
-    single-partition window)."""
+    single-partition window). Sums in the value column's own numeric type
+    (integral -> long, double -> double, decimal -> widened decimal)."""
     jdf = _bridge(df).withRunningTotal(
         df._jdf, _jcol(value), [_to_java_column(c) for c in order],
         output_column, bool(exclusive))
@@ -444,11 +451,32 @@ def edit_distance1_pairs(df: DataFrame, id: ColumnOrName,
 
 
 def zorder_by(df: DataFrame, columns: List[str], partitions: int = 0,
-              bits_per_column: int = 16) -> DataFrame:
+              bits_per_column: int = 0) -> DataFrame:
     """Re-layout along the Morton curve of 2-4 numeric columns: written files
-    then carry tight min/max stats on ALL z-columns (multi-column skipping)."""
+    then carry tight min/max stats on ALL z-columns (multi-column skipping).
+    bits_per_column=0 (default) auto-sizes lanes to min(16, 63 // n_columns);
+    an explicit width must satisfy bits_per_column * n_columns <= 63."""
     jdf = _bridge(df).zorderBy(df._jdf, list(columns), int(partitions),
                                int(bits_per_column))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def extract_media_features(df: DataFrame, id: ColumnOrName,
+                           bin: ColumnOrName) -> DataFrame:
+    """Batched image metadata extraction: (id, n_bytes, entropy, format,
+    width, height) per binary payload. Format/dimensions come from a real
+    pure-JVM container-header parse (PNG/JPEG/GIF/BMP) — null for
+    unrecognized payloads; no pixel decode, no media libraries."""
+    jdf = _bridge(df).extractMediaFeatures(df._jdf, _jcol(id), _jcol(bin))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def extract_audio_features(df: DataFrame, id: ColumnOrName,
+                           bin: ColumnOrName) -> DataFrame:
+    """Batched audio metadata extraction: (id, n_bytes, channels,
+    sample_rate, bits_per_sample, n_frames) from RIFF/WAVE headers — null
+    PCM facts for non-WAV payloads."""
+    jdf = _bridge(df).extractAudioFeatures(df._jdf, _jcol(id), _jcol(bin))
     return DataFrame(jdf, df.sparkSession)
 
 

@@ -409,6 +409,11 @@ class GraftsparkTest(unittest.TestCase):
         rows = {(r["k"], r["t"]): r["asof_v"] for r in
                 P.asof_join(left, right, ["k"], "t", "t", ["v"]).collect()}
         self.assertEqual(rows, {(1, 10): "a", (1, 20): "b", (2, 10): None})
+        # time-bucketed hot-key variant returns identical results
+        bucketed = {(r["k"], r["t"]): r["asof_v"] for r in
+                    P.asof_join(left, right, ["k"], "t", "t", ["v"],
+                                time_bucket_width=7.0).collect()}
+        self.assertEqual(bucketed, rows)
         points = self.spark.createDataFrame([(1, 5.0), (2, 50.0)], ["pid", "v"])
         ivals = self.spark.createDataFrame([(9, 0.0, 10.0)], ["iid", "lo", "hi"])
         pairs = [(r["pid"], r["iid"]) for r in
@@ -419,6 +424,34 @@ class GraftsparkTest(unittest.TestCase):
             "k", "t", lit(100))
         idx = sorted(r["session_idx"] for r in sess.collect())
         self.assertEqual(idx, [1, 1, 2])
+
+    def test_pipeline_multimodal_headers(self):
+        from graftspark import pipeline as P
+        # a minimal real PNG header (IHDR 7x9) and a non-image payload
+        import struct
+        png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+               + struct.pack(">IIBBBBB", 7, 9, 8, 2, 0, 0, 0) + b"\x00" * 4)
+        rows = [(1, bytearray(png)), (2, bytearray(b"plain text"))]
+        df = self.spark.createDataFrame(rows, ["i", "payload"])
+        got = {r["id"]: (r["format"], r["width"], r["height"]) for r in
+               P.extract_media_features(df, "i", "payload").collect()}
+        self.assertEqual(got[1], ("png", 7, 9))
+        self.assertEqual(got[2], (None, None, None))
+        # a minimal real WAV via the stdlib wave module
+        import io
+        import wave
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01" * 20)  # 10 stereo 16-bit frames
+        w.close()
+        adf = self.spark.createDataFrame([(5, bytearray(buf.getvalue()))],
+                                         ["i", "payload"])
+        a = P.extract_audio_features(adf, "i", "payload").collect()[0]
+        self.assertEqual((a["channels"], a["sample_rate"],
+                          a["bits_per_sample"], a["n_frames"]), (2, 8000, 16, 10))
 
     def test_pipeline_sql_registration(self):
         from graftspark import pipeline as P

@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.{BinaryType, StringType}
 import graft.functions.{ChunkTokens, CosineSimilarity, DeflateLength, DeletionVariants,
   DotProduct, HashedWordShingles, MinHashBandHashes, MinHashSignature, SimHash64,
   TokenStats, TokenizeAscii, TopNgramStats, WordShingles, WordShinglesAll}
-import graft.multimodal.{ByteEntropy, ByteNibbleHistogram}
+import graft.multimodal.{ByteEntropy, ByteNibbleHistogram, ImageDimsExpr, WavInfoExpr}
 import graft.sample.Sampling
 import graft.text.Redact
 
@@ -142,6 +142,14 @@ object GraftExtensions {
     },
     fn("byte_nibble_histogram", "byte_nibble_histogram(binary) - 16 high-nibble counts") { es =>
       arity("byte_nibble_histogram", es, 1); ByteNibbleHistogram(es.head)
+    },
+    fn("image_dims",
+      "image_dims(binary) - struct(format, width, height); null for non-images") { es =>
+      arity("image_dims", es, 1); ImageDimsExpr(es.head)
+    },
+    fn("wav_info",
+      "wav_info(binary) - struct(channels, sample_rate, bits_per_sample, n_frames)") { es =>
+      arity("wav_info", es, 1); WavInfoExpr(es.head)
     },
     // curation surface: built from codegen'd built-ins (RegExpReplace /
     // Md5+Substring), same constants as the Scala Redact/Sampling APIs

@@ -12,12 +12,35 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, Row}
  * Multimodal column handling: image/audio/video payloads are opaque `binary`
  * columns with a typed metadata struct travelling alongside. The Spark-side
  * plumbing — schema, partitioning, batch iteration, byte-level feature
- * kernels — is real and tested; the actual media decoding is STUBBED with a
- * deterministic fake (no image/audio libraries in this environment), marked
- * below. Swap [[decodeImageStub]] for a real decoder behind the same
- * signature.
+ * kernels — is real and tested; image metadata extraction is a real pure-JVM
+ * container-header parse ([[ImageHeaders]]: PNG/JPEG/GIF/BMP dimensions, no
+ * pixel decode — the right cost model for metadata over 100 TB of media).
+ * Full pixel decoding (resize, feature nets) would slot behind the same
+ * batched [[Multimodal.extractMediaFeatures]] shape.
  */
 object MultimodalKernels extends Serializable {
+
+  /** [[ImageHeaders.imageDimensions]] as an InternalRow (format, width,
+    * height) for the codegen'd [[ImageDimsExpr]]; null if not an image. */
+  def imageDimsRow(bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow =
+    ImageHeaders.imageDimensions(bytes) match {
+      case Some(d) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(d.format),
+            d.width, d.height))
+      case None => null
+    }
+
+  /** [[AudioHeaders.wavInfo]] as an InternalRow (channels, sample_rate,
+    * bits_per_sample, n_frames) for [[WavInfoExpr]]; null if not WAV. */
+  def wavInfoRow(bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow =
+    AudioHeaders.wavInfo(bytes) match {
+      case Some(w) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](w.channels, w.sampleRate, w.bitsPerSample,
+            if (w.nFrames >= 0) w.nFrames else null))
+      case None => null
+    }
 
   /** Shannon entropy (bits/byte) of a byte payload; 0.0 for empty. */
   def entropy(bytes: Array[Byte]): Double = {
@@ -87,8 +110,70 @@ case class ByteNibbleHistogram(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** Decoded-media feature row produced by the batched (stubbed) decoder. */
-case class MediaFeatures(id: Long, n_bytes: Long, entropy: Double, fake_width: Int, fake_height: Int)
+/** image_dims(binary) -> struct(format, width, height), null for non-images.
+  * The header parse runs inside codegen — usable straight in SQL/select. */
+case class ImageDimsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"image_dims expects binary, got ${t.sql}")
+  }
+
+  override def nullSafeEval(bytes: Any): Any =
+    MultimodalKernels.imageDimsRow(bytes.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = graft.multimodal.MultimodalKernels.imageDimsRow($b);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** wav_info(binary) -> struct(channels, sample_rate, bits_per_sample,
+  * n_frames), null for non-WAV payloads. */
+case class WavInfoExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits_per_sample", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = true)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"wav_info expects binary, got ${t.sql}")
+  }
+
+  override def nullSafeEval(bytes: Any): Any =
+    MultimodalKernels.wavInfoRow(bytes.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = graft.multimodal.MultimodalKernels.wavInfoRow($b);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Decoded-media feature row produced by the batched header decoder: format
+  * and dimensions are None when the payload is not a recognized image. */
+case class MediaFeatures(id: Long, n_bytes: Long, entropy: Double,
+                         format: Option[String], width: Option[Int], height: Option[Int])
+
+/** Decoded-audio feature row: PCM facts are None for non-WAV payloads. */
+case class AudioFeatures(id: Long, n_bytes: Long, channels: Option[Int],
+                         sample_rate: Option[Int], bits_per_sample: Option[Int],
+                         n_frames: Option[Long])
 
 object Multimodal {
 
@@ -101,6 +186,13 @@ object Multimodal {
   def byte_entropy(c: Column): Column = ByteEntropy(c.asExpression).asColumn
 
   def byte_nibble_histogram(c: Column): Column = ByteNibbleHistogram(c.asExpression).asColumn
+
+  /** struct(format, width, height) of an image payload; null for non-images. */
+  def image_dims(c: Column): Column = ImageDimsExpr(c.asExpression).asColumn
+
+  /** struct(channels, sample_rate, bits_per_sample, n_frames) of a WAV
+    * payload; null for non-WAV. */
+  def wav_info(c: Column): Column = WavInfoExpr(c.asExpression).asColumn
 
   /** Attach a metadata struct next to a binary payload column. */
   def withMediaMetadata(df: DataFrame, bin: Column, format: String, source: Column): DataFrame =
@@ -120,22 +212,13 @@ object Multimodal {
   }
 
   /**
-   * ======================== STUB — deterministic fake ========================
-   * Real implementation would decode image bytes (JPEG/PNG) and return true
-   * dimensions/channels. No media libraries exist in this environment, so the
-   * stub derives plausible, deterministic values from the payload itself.
-   * The signature and the batched execution shape are the real contract.
-   */
-  def decodeImageStub(bytes: Array[Byte]): (Int, Int) = {
-    val h = bytes.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
-    (64 + (h % 512).toInt.abs, 64 + ((h >> 16) % 512).toInt.abs)
-  }
-
-  /**
    * Batched media feature extraction: iterates binary payloads partition by
-   * partition (the `mapInPandas`-equivalent batch shape in Scala), calling the
-   * (stubbed) decoder per element. Partitioning is preserved; no driver
-   * round-trip; at scale each executor decodes its own split.
+   * partition (the `mapInPandas`-equivalent batch shape in Scala), parsing
+   * each payload's container header ([[ImageHeaders.imageDimensions]] —
+   * PNG/JPEG/GIF/BMP format + pixel dimensions, no pixel decode) alongside
+   * byte-level features. Partitioning is preserved; no driver round-trip; at
+   * scale each executor decodes its own split. Unrecognized payloads keep
+   * their byte features with null format/width/height.
    */
   def extractMediaFeatures(df: DataFrame, id: Column, bin: Column): Dataset[MediaFeatures] = {
     implicit val enc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
@@ -143,9 +226,26 @@ object Multimodal {
       .mapPartitions { rows: Iterator[Row] =>
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("payload")
-          val (w, h) = decodeImageStub(bytes)
+          val dims = ImageHeaders.imageDimensions(bytes)
           MediaFeatures(r.getLong(0), bytes.length.toLong,
-            MultimodalKernels.entropy(bytes), w, h)
+            MultimodalKernels.entropy(bytes),
+            dims.map(_.format), dims.map(_.width), dims.map(_.height))
+        }
+      }
+  }
+
+  /** Audio twin of [[extractMediaFeatures]]: RIFF/WAVE header facts
+    * ([[AudioHeaders.wavInfo]]) per payload, batched per partition. */
+  def extractAudioFeatures(df: DataFrame, id: Column, bin: Column): Dataset[AudioFeatures] = {
+    implicit val enc: Encoder[AudioFeatures] = Encoders.product[AudioFeatures]
+    df.select(id.cast("long").as("id"), bin.as("payload"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("payload")
+          val info = AudioHeaders.wavInfo(bytes)
+          AudioFeatures(r.getLong(0), bytes.length.toLong,
+            info.map(_.channels), info.map(_.sampleRate), info.map(_.bitsPerSample),
+            info.map(_.nFrames).filter(_ >= 0))
         }
       }
   }

@@ -315,9 +315,13 @@ object PyBridge {
 
   def asofJoin(left: DataFrame, right: DataFrame, keys: JList[String],
                leftTsCol: String, rightTsCol: String, rightPayload: JList[String],
-               prefix: String, tolerance: Column, direction: String): DataFrame =
+               prefix: String, tolerance: Column, direction: String,
+               timeBucketWidth: java.lang.Double): DataFrame =
     graft.join.Joins.asofJoin(left, right, keys.asScala.toSeq, leftTsCol, rightTsCol,
-      rightPayload.asScala.toSeq, prefix, Option(tolerance), direction)
+      rightPayload.asScala.toSeq, prefix, Option(tolerance), direction,
+      Option(timeBucketWidth).map(w =>
+        (ts: Column) => org.apache.spark.sql.functions.floor(
+          ts / org.apache.spark.sql.functions.lit(w.doubleValue()))))
 
   def rangeJoin(points: DataFrame, pointCol: String, intervals: DataFrame,
                 loCol: String, hiCol: String, binWidth: Double,
@@ -374,6 +378,12 @@ object PyBridge {
 
   def editDistance1Pairs(df: DataFrame, id: Column, str: Column): DataFrame =
     graft.join.FuzzyJoin.editDistance1Pairs(df, id, str)
+
+  def extractMediaFeatures(df: DataFrame, id: Column, bin: Column): DataFrame =
+    graft.multimodal.Multimodal.extractMediaFeatures(df, id, bin).toDF()
+
+  def extractAudioFeatures(df: DataFrame, id: Column, bin: Column): DataFrame =
+    graft.multimodal.Multimodal.extractAudioFeatures(df, id, bin).toDF()
 
   // --------------------------------------------------------------------------
   // job description (set/restore primitives for Python context managers)

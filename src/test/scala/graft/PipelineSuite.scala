@@ -411,6 +411,23 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("lshTopK pair-dedup shuffle carries scores, not embedding vectors") {
+    // the per-pair dedup is a max(cosine) aggregate: its exchange ships
+    // (query_id, neighbor_id, cosine) — 8 bytes of score, not ~8 KB of vectors
+    val data = clusteredVectors(5, 8, 32, 0.02f)
+    val df = data.toDF("id", "vec")
+    val formatted = Ann.lshTopK(df.filter(col("id") < 5), df,
+      col("id"), col("vec"), col("id"), col("vec"), dim = 32, k = 3, bands = 24, bits = 8)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val sections = formatted.split("\n\n")
+    val pairExchanges = sections.filter(s =>
+      s.contains("Exchange") && s.contains("hashpartitioning") &&
+        s.contains("query_id") && s.contains("neighbor_id"))
+    assert(pairExchanges.nonEmpty, s"no pair-dedup exchange found in:\n$formatted")
+    pairExchanges.foreach(s =>
+      assert(!s.contains("vec"), s"pair-dedup exchange still carries vectors:\n$s"))
+  }
+
   test("IVF: train + search approximates brute force on clustered vectors") {
     val data = clusteredVectors(6, 10, 16, 0.05f)
     val df = data.toDF("id", "vec")
@@ -465,9 +482,74 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     val out = Multimodal.extractMediaFeatures(df, col("id"), col("bin"))
       .collect().sortBy(_.id)
     assert(out.map(_.id).toSeq == Seq(1L, 2L, 3L))
-    assert(out.forall(f => f.n_bytes > 0 && f.fake_width >= 64 && f.fake_height >= 64))
+    // text payloads are not images: byte features present, dims absent
+    assert(out.forall(f => f.n_bytes > 0 && f.format.isEmpty && f.width.isEmpty))
     val again = Multimodal.extractMediaFeatures(df, col("id"), col("bin")).collect().sortBy(_.id)
     assert(out.toSeq == again.toSeq)
+  }
+
+  test("ImageHeaders parses real PNG/JPEG files and synthetic GIF/BMP headers") {
+    import graft.multimodal.ImageHeaders
+    def read(p: String): Array[Byte] = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val golden = "src/test/resources/golden"
+    // committed real files (dimensions verified independently by
+    // tools/make_golden.py's python header parse at fixture build time)
+    val png = ImageHeaders.imageDimensions(read(s"$golden/git-logo.png"))
+    assert(png.exists(d => d.format == "png" && d.width == 72 && d.height == 27), s"$png")
+    val jpg = ImageHeaders.imageDimensions(read(s"$golden/thin-white-stripe.jpg"))
+    assert(jpg.exists(d => d.format == "jpeg" && d.width > 0 && d.height > 0), s"$jpg")
+    // synthetic headers for the formats with trivial fixed layouts
+    val gif = "GIF89a".getBytes("US-ASCII") ++ Array[Byte](10, 0, 5, 0, 0, 0, 0)
+    assert(ImageHeaders.imageDimensions(gif).contains(ImageHeaders.ImageDims("gif", 10, 5)))
+    val bmp = new Array[Byte](30)
+    bmp(0) = 'B'; bmp(1) = 'M'; bmp(14) = 40 // BITMAPINFOHEADER
+    bmp(18) = 3; bmp(22) = 2 // width=3, height=2 (LE i32)
+    assert(ImageHeaders.imageDimensions(bmp).contains(ImageHeaders.ImageDims("bmp", 3, 2)))
+    // non-images and truncated payloads decode to None, never throw
+    assert(ImageHeaders.imageDimensions("not an image".getBytes).isEmpty)
+    assert(ImageHeaders.imageDimensions(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte)).isEmpty)
+    assert(ImageHeaders.imageDimensions(Array.empty[Byte]).isEmpty)
+    assert(ImageHeaders.imageDimensions(null).isEmpty)
+  }
+
+  test("AudioHeaders parses the committed WAV fixtures; non-RIFF decodes to None") {
+    import graft.multimodal.{AudioHeaders, Multimodal}
+    val fixture = spark.read.parquet("src/test/resources/golden/audio.parquet")
+    val got = Multimodal.extractAudioFeatures(fixture, col("audio_id"), col("payload"))
+      .collect().map(a => a.id -> a).toMap
+    // expected facts live IN the fixture, computed by the independent python
+    // chunk walk at build time — compare against them, not constants
+    val expected = fixture
+      .select("audio_id", "channels", "sample_rate", "bits_per_sample", "n_frames")
+      .as[(Long, Option[Int], Option[Int], Option[Int], Option[Long])].collect()
+    expected.foreach { case (id, ch, rate, bits, frames) =>
+      val a = got(id)
+      assert(a.channels == ch && a.sample_rate == rate &&
+        a.bits_per_sample == bits && a.n_frames == frames, s"audio_id=$id: $a")
+    }
+    assert(expected.exists(_._2.isEmpty), "fixture should include a non-WAV miss case")
+    assert(AudioHeaders.wavInfo("RIFFxxxxNOPE".getBytes).isEmpty)
+    assert(AudioHeaders.wavInfo(null).isEmpty)
+  }
+
+  test("image_dims / wav_info are codegen'd struct columns, SQL-registrable") {
+    def read(p: String): Array[Byte] = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val png = read("src/test/resources/golden/git-logo.png")
+    val df = Seq((1L, png), (2L, "not an image".getBytes)).toDF("id", "payload")
+    val byId = df.select(col("id"), Multimodal.image_dims(col("payload")).as("d"))
+      .select(col("id"), col("d.format"), col("d.width"), col("d.height"))
+      .as[(Long, Option[String], Option[Int], Option[Int])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(byId(1L) == ((Some("png"), Some(72), Some(27))))
+    assert(byId(2L) == ((None, None, None)))
+    // SQL registration round-trip
+    GraftExtensions.registerAll(spark)
+    df.createOrReplaceTempView("media_payloads")
+    val sqlRow = spark.sql(
+      "SELECT id, image_dims(payload).width AS w, wav_info(payload) AS wv " +
+        "FROM media_payloads ORDER BY id").collect()
+    assert(sqlRow(0).getInt(1) == 72 && sqlRow(0).isNullAt(2))
+    assert(sqlRow(1).isNullAt(1) && sqlRow(1).isNullAt(2))
   }
 
   test("media metadata struct travels with the payload") {

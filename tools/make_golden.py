@@ -1,0 +1,360 @@
+# Build the committed golden fixtures under src/test/resources/golden/.
+#
+# Every expected value here is computed by an INDEPENDENT reimplementation —
+# no Spark, no JVM: python zlib for DEFLATE lengths, struct-based container
+# header parsing for image dimensions, and a from-scratch replication of
+# java.util.Random + the LSH/IVF math (float64 numpy) for the ANN top-k.
+# The fixtures therefore act as true oracles for the gate queries that DuckDB
+# cannot express natively (deflate, seeded-hash candidate generation).
+#
+# Usage: python3 tools/make_golden.py [sfDir]   (default /root/testdata/sf0.01)
+import io
+import math
+import struct
+import sys
+import wave
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = "src/test/resources/golden"
+
+
+# ---------------------------------------------------------------------------
+# java.util.Random replication (LCG + Marsaglia polar nextGaussian), needed to
+# reproduce the seeded hyperplanes of Ann.hyperplanes / scala.util.Random(42)
+# ---------------------------------------------------------------------------
+class JavaRandom:
+    MASK = (1 << 48) - 1
+
+    def __init__(self, seed):
+        self.seed = (seed ^ 0x5DEECE66D) & self.MASK
+        self.next_gaussian_cache = None
+
+    def _next(self, bits):
+        self.seed = (self.seed * 0x5DEECE66D + 0xB) & self.MASK
+        return self.seed >> (48 - bits)
+
+    def next_double(self):
+        return ((self._next(26) << 27) + self._next(27)) * (2.0 ** -53)
+
+    def next_gaussian(self):
+        if self.next_gaussian_cache is not None:
+            g, self.next_gaussian_cache = self.next_gaussian_cache, None
+            return g
+        while True:
+            v1 = 2 * self.next_double() - 1
+            v2 = 2 * self.next_double() - 1
+            s = v1 * v1 + v2 * v2
+            if 0 < s < 1:
+                break
+        multiplier = math.sqrt(-2 * math.log(s) / s)
+        self.next_gaussian_cache = v2 * multiplier
+        return v1 * multiplier
+
+
+def hyperplanes(bands, bits, dim, seed):
+    """Array.fill(bands, bits)(Array.fill(dim)(rng.nextGaussian().toFloat))"""
+    rng = JavaRandom(seed)
+    out = np.empty((bands, bits, dim), dtype=np.float32)
+    for b in range(bands):
+        for j in range(bits):
+            for i in range(dim):
+                out[b, j, i] = np.float32(rng.next_gaussian())
+    return out
+
+
+# ---------------------------------------------------------------------------
+# image container header parsing (independent of graft.multimodal.ImageHeaders)
+# ---------------------------------------------------------------------------
+def png_dims(b):
+    if b[:8] != b"\x89PNG\r\n\x1a\n" or len(b) < 24 or b[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", b[16:24])
+    return ("png", w, h) if w > 0 and h > 0 else None
+
+
+def jpeg_dims(b):
+    if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+        return None
+    i = 2
+    while i + 3 < len(b):
+        if b[i] != 0xFF:
+            return None
+        j = i + 1
+        while j < len(b) and b[j] == 0xFF:
+            j += 1
+        if j + 2 >= len(b):
+            return None
+        m = b[j]
+        if m == 0x01 or 0xD0 <= m <= 0xD8:
+            i = j + 1
+            continue
+        if m == 0xD9:
+            return None
+        ln = struct.unpack(">H", b[j + 1:j + 3])[0]
+        if ln < 2:
+            return None
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            if j + 8 >= len(b):
+                return None
+            h, w = struct.unpack(">HH", b[j + 4:j + 8])
+            return ("jpeg", w, h) if w > 0 and h > 0 else None
+        i = j + 1 + ln
+    return None
+
+
+def gif_dims(b):
+    if len(b) < 10 or b[:4] != b"GIF8" or b[4:6] not in (b"7a", b"9a"):
+        return None
+    w, h = struct.unpack("<HH", b[6:10])
+    return ("gif", w, h) if w > 0 and h > 0 else None
+
+
+def bmp_dims(b):
+    if len(b) < 26 or b[:2] != b"BM":
+        return None
+    dib = struct.unpack("<I", b[14:18])[0]
+    if dib == 12:
+        w, h = struct.unpack("<HH", b[18:22])
+    elif dib >= 40 and len(b) >= 30:
+        w, h = struct.unpack("<ii", b[18:26])
+        h = abs(h)
+    else:
+        return None
+    return ("bmp", w, h) if w > 0 and h > 0 else None
+
+
+def image_dims(b):
+    for f in (png_dims, jpeg_dims, gif_dims, bmp_dims):
+        d = f(b)
+        if d:
+            return d
+    return None
+
+
+def entropy(b):
+    if not b:
+        return 0.0
+    counts = np.bincount(np.frombuffer(b, dtype=np.uint8), minlength=256)
+    p = counts[counts > 0] / len(b)
+    # match the kernel's p * (log(p) / log(2)) formulation
+    return float(-np.sum(p * (np.log(p) / np.log(2.0))))
+
+
+def make_images_fixture():
+    files = ["git-logo.png", "git-favicon.png", "thin-white-stripe.jpg", "DP153539.jpg"]
+    rows = []
+    for i, f in enumerate(files):
+        payload = open(f"{OUT}/{f}", "rb").read()
+        dims = image_dims(payload)
+        assert dims, f
+        fmt, w, h = dims
+        rows.append((i, f, payload, fmt, w, h, len(payload), entropy(payload)))
+    # synthetic GIF + BMP (fixed trivial layouts) and a non-image payload
+    gif = b"GIF89a" + struct.pack("<HH", 10, 5) + b"\x00\x00\x00;"
+    rows.append((len(rows), "synthetic.gif", gif, "gif", 10, 5, len(gif), entropy(gif)))
+    bmp = bytearray(30)
+    bmp[0:2] = b"BM"
+    bmp[14:18] = struct.pack("<I", 40)
+    bmp[18:26] = struct.pack("<ii", 3, 2)
+    bmp = bytes(bmp)
+    rows.append((len(rows), "synthetic.bmp", bmp, "bmp", 3, 2, len(bmp), entropy(bmp)))
+    txt = b"This is not an image payload."
+    rows.append((len(rows), "not-image.txt", txt, None, None, None, len(txt), entropy(txt)))
+
+    table = pa.table({
+        "img_id": pa.array([r[0] for r in rows], pa.int64()),
+        "filename": pa.array([r[1] for r in rows], pa.string()),
+        "payload": pa.array([r[2] for r in rows], pa.binary()),
+        "format": pa.array([r[3] for r in rows], pa.string()),
+        "width": pa.array([r[4] for r in rows], pa.int32()),
+        "height": pa.array([r[5] for r in rows], pa.int32()),
+        "n_bytes": pa.array([r[6] for r in rows], pa.int64()),
+        "entropy": pa.array([r[7] for r in rows], pa.float64()),
+    })
+    pq.write_table(table, f"{OUT}/images.parquet")
+    print(f"images.parquet: {len(rows)} rows")
+
+
+def wav_info(b):
+    """Independent RIFF/WAVE chunk walk (not the python wave module)."""
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    channels = rate = bits = block = None
+    data_bytes = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        size = struct.unpack("<I", b[i + 4:i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(b):
+            channels, rate = struct.unpack("<HI", b[i + 10:i + 16])
+            block, bits = struct.unpack("<HH", b[i + 20:i + 24])
+        elif cid == b"data":
+            data_bytes = size
+        i += 8 + size + (size & 1)
+    if not channels or not rate or not bits:
+        return None
+    frames = data_bytes // block if data_bytes is not None and block else None
+    return channels, rate, bits, frames
+
+
+def make_audio_fixture():
+    # real WAV payloads written by the python stdlib `wave` module, expected
+    # facts re-parsed by the independent chunk walk above
+    rows = []
+    specs = [(1, 8000, 1), (2, 44100, 2), (1, 16000, 2)]  # (channels, rate, width bytes)
+    for i, (ch, rate, width) in enumerate(specs):
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(ch)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        n = 100 + 37 * i
+        frames = bytes((7 * k + i) % 256 for k in range(n * ch * width))
+        w.writeframes(frames)
+        w.close()
+        payload = buf.getvalue()
+        info = wav_info(payload)
+        assert info, specs[i]
+        rows.append((i, payload, info[0], info[1], info[2], info[3], len(payload)))
+    rows.append((len(rows), b"just some text, not RIFF", None, None, None, None, 24))
+    table = pa.table({
+        "audio_id": pa.array([r[0] for r in rows], pa.int64()),
+        "payload": pa.array([r[1] for r in rows], pa.binary()),
+        "channels": pa.array([r[2] for r in rows], pa.int32()),
+        "sample_rate": pa.array([r[3] for r in rows], pa.int32()),
+        "bits_per_sample": pa.array([r[4] for r in rows], pa.int32()),
+        "n_frames": pa.array([r[5] for r in rows], pa.int64()),
+        "n_bytes": pa.array([r[6] for r in rows], pa.int64()),
+    })
+    pq.write_table(table, f"{OUT}/audio.parquet")
+    print(f"audio.parquet: {len(rows)} rows")
+
+
+# ---------------------------------------------------------------------------
+# DEFLATE lengths for compression_signal (python zlib == JVM Deflater: both
+# wrap the same zlib; raw stream, level 6 — verified byte-identical)
+# ---------------------------------------------------------------------------
+def make_deflate_fixture():
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    ids, lens = [], []
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        ids.append(int(doc_id))
+        if text is None:
+            lens.append(None)
+        else:
+            c = zlib.compressobj(6, zlib.DEFLATED, -15)
+            lens.append(len(c.compress(text.encode("utf-8")) + c.flush()))
+    table = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "deflate_bytes": pa.array(lens, pa.int32()),
+    })
+    pq.write_table(table, f"{OUT}/deflate_sf001.parquet")
+    print(f"deflate_sf001.parquet: {len(ids)} rows")
+
+
+# ---------------------------------------------------------------------------
+# ANN goldens: replicate Ann.lshTopK / Ann.trainIvf+ivfTopK in float64 numpy
+# ---------------------------------------------------------------------------
+def cosine_matrix(q, c):
+    """cos(q_i, c_j) with zero-norm rows scoring 0 (matches the kernel)."""
+    qn = np.linalg.norm(q, axis=1)
+    cn = np.linalg.norm(c, axis=1)
+    dots = q @ c.T
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = dots / np.outer(qn, cn)
+    cos[~np.isfinite(cos)] = 0.0
+    return cos
+
+
+def topk_from_candidates(ids, vecs, cand, query_ids, k):
+    """cand: dict query_id -> set(neighbor ids). Rank by (-cos, neighbor)."""
+    idx = {v: i for i, v in enumerate(ids)}
+    rows = []
+    for q in query_ids:
+        neighbors = sorted(cand.get(q, ()))
+        if not neighbors:
+            continue
+        qv = vecs[idx[q]][None, :]
+        nm = vecs[[idx[n] for n in neighbors]]
+        cos = cosine_matrix(qv, nm)[0]
+        order = sorted(range(len(neighbors)), key=lambda i: (-cos[i], neighbors[i]))
+        for rank, i in enumerate(order[:k], start=1):
+            rows.append((q, rank, neighbors[i]))
+    return rows
+
+
+def write_topk(rows, name):
+    table = pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "rank": pa.array([r[1] for r in rows], pa.int32()),
+        "neighbor_id": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    pq.write_table(table, f"{OUT}/{name}.parquet")
+    print(f"{name}.parquet: {len(rows)} rows")
+
+
+def make_ann_goldens():
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    ids = emb.vec_id.to_numpy()
+    vecs32 = np.stack(emb.embedding.to_numpy()).astype(np.float32)
+    vecs = vecs32.astype(np.float64)
+    query_ids = [int(v) for v in ids if v < 20]
+
+    # --- LSH (dim=64, k=3, bands=24, bits=8, seed=42) ---
+    planes = hyperplanes(24, 8, 64, 42).astype(np.float64)  # (24, 8, 64)
+    # buckets[v, band] = packed sign bits of dot(vec, plane[band][bit])
+    dots = np.einsum("nd,bjd->nbj", vecs, planes)  # (n, 24, 8)
+    bits_set = (dots > 0).astype(np.int64)
+    weights = (1 << np.arange(8)).astype(np.int64)
+    buckets = bits_set @ weights  # (n, 24)
+
+    cand = {}
+    for band in range(24):
+        by_bucket = {}
+        for i, v in enumerate(ids):
+            by_bucket.setdefault(buckets[i, band], []).append(int(v))
+        for members in by_bucket.values():
+            qs = [m for m in members if m < 20]
+            for q in qs:
+                s = cand.setdefault(q, set())
+                s.update(m for m in members if m != q)
+    write_topk(topk_from_candidates(ids, vecs, cand, query_ids, 3), "ann_lsh_topk_sf001")
+
+    # --- IVF (k=16, iterations=3, nprobe=3, topk=3) ---
+    order = np.argsort(ids)
+    centroids = vecs32[order[:16]].copy()  # init: 16 smallest ids
+    for _ in range(3):
+        cos = cosine_matrix(vecs, centroids.astype(np.float64))
+        assign = np.argmax(cos, axis=1)  # ties -> lower index, same as kernel
+        nxt = centroids.copy()
+        for c in range(16):
+            members = vecs[assign == c]
+            if len(members):
+                nxt[c] = members.mean(axis=0).astype(np.float32)
+        centroids = nxt
+    cen = centroids.astype(np.float64)
+    cos_c = cosine_matrix(vecs, cen)
+    corpus_cid = np.argmax(cos_c, axis=1)
+    cand = {}
+    for q in query_ids:
+        qi = int(np.where(ids == q)[0][0])
+        sims = cos_c[qi]
+        # nprobe=3 nearest centroids, decreasing sim, ties by lower index
+        probe = sorted(range(16), key=lambda c: (-sims[c], c))[:3]
+        s = set()
+        for c in probe:
+            s.update(int(v) for v in ids[corpus_cid == c] if v != q)
+        cand[q] = s
+    write_topk(topk_from_candidates(ids, vecs, cand, query_ids, 3), "ann_ivf_topk_sf001")
+
+
+if __name__ == "__main__":
+    make_images_fixture()
+    make_audio_fixture()
+    make_deflate_fixture()
+    make_ann_goldens()
