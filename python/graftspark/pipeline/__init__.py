@@ -405,6 +405,73 @@ def distinct_count_gate(df: DataFrame, group: ColumnOrName, item: ColumnOrName,
     return DataFrame(jdf, df.sparkSession)
 
 
+def quantile_gate(df: DataFrame, group: ColumnOrName, value: ColumnOrName,
+                  q: float, accuracy: int = 10000,
+                  tolerance: float = 0.01) -> DataFrame:
+    """Exact discrete per-group quantile (value at floor(q*(n-1))+1 in sort
+    order) + boolean approx_percentile-sketch-in-tolerance verdict."""
+    jdf = _bridge(df).quantileGate(df._jdf, _jcol(group), _jcol(value),
+                                   float(q), int(accuracy), float(tolerance))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def tfidf_terms(df: DataFrame, group: ColumnOrName, text: ColumnOrName,
+                k: int, rank_column: str = "rank") -> DataFrame:
+    """Top-k TF-IDF-distinctive terms per group with exact integer scoring
+    (tf * floor_log2(N/df)): group_key, term, tf_docs, df_docs, score, rank."""
+    jdf = _bridge(df).tfidfTerms(df._jdf, _jcol(group), _jcol(text),
+                                 int(k), rank_column)
+    return DataFrame(jdf, df.sparkSession)
+
+
+def sample_k_per_group(df: DataFrame, group_cols: List[ColumnOrName],
+                       key: ColumnOrName, k: int, salt: str = "graft",
+                       rank_column: str = "sample_rank") -> DataFrame:
+    """Deterministic exact-k per-group draw: the k rows whose md5(salt||key)
+    sorts lowest; planned as a map-side WindowGroupLimit top-k."""
+    jdf = _bridge(df).sampleKPerGroup(
+        df._jdf, [_jcol(c) for c in group_cols], _jcol(key), int(k),
+        salt, rank_column)
+    return DataFrame(jdf, df.sparkSession)
+
+
+def token_budget_sample(df: DataFrame, strata: ColumnOrName,
+                        key: ColumnOrName, weight: ColumnOrName,
+                        budget: int, salt: str = "graft") -> DataFrame:
+    """Token-budget domain mixing: down-sample each stratum to ~budget
+    expected weight (rate min(1, budget/total)); under-budget strata are
+    kept whole. Deterministic md5-threshold keep decisions."""
+    jdf = _bridge(df).tokenBudgetSample(df._jdf, _jcol(strata), _jcol(key),
+                                        _jcol(weight), int(budget), salt)
+    return DataFrame(jdf, df.sparkSession)
+
+
+def near_dup_pairs_minhash_against(corpus: DataFrame, reference: DataFrame,
+                                   id: ColumnOrName, text: ColumnOrName,
+                                   shingle_size: int = 3, bands: int = 16,
+                                   rows_per_band: int = 8,
+                                   threshold: float = 0.8) -> DataFrame:
+    """Cross-corpus near-dup pairs (idA from corpus, idB from reference,
+    jaccard): band-bucket equi-join candidates, exact-Jaccard verified."""
+    jdf = _bridge(corpus).nearDupPairsMinHashAgainst(
+        corpus._jdf, reference._jdf, _jcol(id), _jcol(text),
+        int(shingle_size), int(bands), int(rows_per_band), float(threshold))
+    return DataFrame(jdf, corpus.sparkSession)
+
+
+def deduplicate_against(corpus: DataFrame, reference: DataFrame,
+                        id: ColumnOrName, text: ColumnOrName,
+                        shingle_size: int = 3, bands: int = 16,
+                        rows_per_band: int = 8,
+                        threshold: float = 0.8) -> DataFrame:
+    """Drop corpus docs near-duplicating any reference doc (batch ingest
+    against an already-clean corpus); the reference side is untouched."""
+    jdf = _bridge(corpus).deduplicateAgainst(
+        corpus._jdf, reference._jdf, _jcol(id), _jcol(text),
+        int(shingle_size), int(bands), int(rows_per_band), float(threshold))
+    return DataFrame(jdf, corpus.sparkSession)
+
+
 def deflate_length(text: ColumnOrName, level: int = 6) -> Column:
     """DEFLATE byte length of a string/binary column (compression-ratio
     boilerplate signal) -> int."""

@@ -399,6 +399,54 @@ class GraftsparkTest(unittest.TestCase):
                  P.edit_distance1_pairs(fz, "id", "name").collect()}
         self.assertEqual(pairs, {(1, 2), (1, 3)})
 
+    def test_pipeline_budget_quantile_tfidf_crosscorpus(self):
+        from graftspark import pipeline as P
+        from pyspark.sql.functions import col as c
+        docs = self.spark.createDataFrame(
+            [(i, "s%d" % (i % 3)) for i in range(300)], ["id", "g"])
+        # exact-k per-group draw: 4 rows per group, stable under repartitioning
+        samp = P.sample_k_per_group(docs, ["g"], "id", 4)
+        rows = [(r["g"], r["id"]) for r in samp.collect()]
+        self.assertEqual(len(rows), 12)
+        again = [(r["g"], r["id"]) for r in
+                 P.sample_k_per_group(docs.repartition(5), ["g"], "id", 4).collect()]
+        self.assertEqual(sorted(rows), sorted(again))
+        # token-budget mixing: under-budget stratum kept whole
+        weighted = self.spark.createDataFrame(
+            [("big", i, 100) for i in range(100)] +
+            [("small", 1000 + i, 10) for i in range(5)], ["g", "id", "w"])
+        kept = P.token_budget_sample(weighted, "g", "id", "w", 2000).collect()
+        self.assertEqual(sum(1 for r in kept if r["g"] == "small"), 5)
+        self.assertTrue(sum(1 for r in kept if r["g"] == "big") < 60)
+        # quantile gate: median of 1..9 is 5, sketch verdict boolean-true
+        q = P.quantile_gate(self.spark.createDataFrame(
+            [("a", float(v)) for v in range(1, 10)], ["g", "v"]), "g", "v", 0.5)
+        row = q.collect()[0]
+        self.assertEqual((row["g"], row["exact_q"], row["q_ok"]), ("a", 5.0, True))
+        # tf-idf: the marker word of each group ranks first; shared word absent
+        tf = P.tfidf_terms(self.spark.createDataFrame(
+            [(1, "x", "shared alpha"), (2, "x", "shared alpha"),
+             (3, "y", "shared beta"), (4, "y", "shared beta")],
+            ["id", "g", "t"]), "g", "t", 1)
+        top = {(r["group_key"], r["term"]) for r in tf.collect()}
+        self.assertEqual(top, {("x", "alpha"), ("y", "beta")})
+        # cross-corpus dedup: the near-copy is dropped, the fresh doc survives
+        ref = self.spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog again today")],
+            ["id", "t"])
+        batch = self.spark.createDataFrame(
+            [(10, "the quick brown fox jumps over the lazy dog again tonight"),
+             (11, "completely unrelated text about sailing ships and harbors")],
+            ["id", "t"])
+        pairs = {(r["idA"], r["idB"]) for r in
+                 P.near_dup_pairs_minhash_against(batch, ref, "id", "t",
+                                                  threshold=0.5).collect()}
+        self.assertEqual(pairs, {(10, 1)})
+        kept_ids = sorted(r["id"] for r in
+                          P.deduplicate_against(batch, ref, "id", "t",
+                                                threshold=0.5).collect())
+        self.assertEqual(kept_ids, [11])
+
     def test_pipeline_temporal_operators(self):
         from graftspark import pipeline as P
         from pyspark.sql.functions import lit

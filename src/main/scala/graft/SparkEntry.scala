@@ -528,6 +528,23 @@ object SparkEntry {
       graft.agg.Profile.distinctCountGate(
         t(s, dir, "lineitem"), col("l_returnflag"), col("l_partkey"), tolerance = 0.05)),
 
+    // mergeable rank-sketch quantiles kept honest: approx_percentile vs the
+    // exact discrete quantile (value at floor(q*(n-1))+1 in sort order —
+    // explicit definition, bit-identical in both engines)
+    "quantile_gate" -> ((s, dir) =>
+      graft.agg.Profile.quantileGate(
+        t(s, dir, "lineitem"), col("l_returnflag"),
+        col("l_extendedprice").cast(DecimalType(18, 2)), q = 0.5,
+        accuracy = 10000, tolerance = 0.01)),
+
+    // TF-IDF distinctive terms per source: exact integer scoring
+    // (tf * floor_log2(N/df), no libm), map-side-combined counts, top-k as
+    // a WindowGroupLimit rank filter
+    "tfidf_terms" -> ((s, dir) =>
+      graft.text.CorpusStats.tfidfTerms(
+        t(s, dir, "documents"), col("source"), col("text"), k = 5)
+        .withColumnRenamed("group_key", "source")),
+
     // one-pass column profile (rows/nulls/distinct/min/max per column);
     // value columns pre-cast so the text rendering is engine-portable
     "profile_orders" -> ((s, dir) =>
@@ -640,6 +657,26 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id")), col("doc_id"),
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
 
+    // deterministic EXACT-k per-group sample (fixed eval budget per source):
+    // md5-order rank filter planned as WindowGroupLimit (map-side top-k)
+    "sample_group_k" -> ((s, dir) =>
+      graft.sample.Sampling.sampleKPerGroup(
+        t(s, dir, "documents").select(col("source"), col("doc_id")),
+        Seq(col("source")), col("doc_id"), k = 5)),
+
+    // token-budget domain mixing: down-sample each source to ~800 expected
+    // tokens; exact integer totals -> IEEE rate -> md5-threshold keep, every
+    // step bit-identical across engines. Tiny broadcast totals join + narrow
+    // filter — the corpus itself never shuffles wide.
+    "token_budget_sample" -> ((s, dir) => {
+      import graft.text.TextFunctions._
+      val docs = t(s, dir, "documents").select(col("source"), col("doc_id"),
+        tokenStatsAscii(col("text"), EnglishStopwords)(0).as("n_tokens"))
+      graft.sample.Sampling.tokenBudgetSample(
+        docs, col("source"), col("doc_id"), col("n_tokens"), budget = 800L)
+        .select(col("source"), col("doc_id"))
+    }),
+
     // Gopher-style composite quality filter over the fused kernels —
     // thresholds tuned so the synthetic corpus splits nontrivially
     "quality_filter" -> ((s, dir) =>
@@ -694,6 +731,24 @@ object SparkEntry {
         .select("doc_id")
         .localCheckpoint(true)
       handle.unpersist()
+      out
+    }),
+
+    // cross-corpus dedup (batch ingest vs an already-clean reference):
+    // src10+ is "today's crawl", src0-9 the reference; candidates from an
+    // equi-join of the two sides' band buckets, exact-Jaccard verified,
+    // survivors anti-joined. Both shingle caches released via handles.
+    "dedup_cross_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isNew = expr("CAST(substring(source, 4) AS INT) >= 10")
+      val ch = UnpersistHandle()
+      val rh = UnpersistHandle()
+      val out = graft.dedup.Dedup.deduplicateAgainst(
+        docs.filter(isNew), docs.filter(!isNew), col("doc_id"), col("text"),
+        threshold = 0.8, corpusHandle = ch, referenceHandle = rh)
+        .select("doc_id")
+        .localCheckpoint(true)
+      ch.unpersist(); rh.unpersist()
       out
     }),
 
@@ -1205,6 +1260,35 @@ object SparkEntry {
         ("SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_distinct, " +
           "TRUE AS hll_ok FROM lineitem GROUP BY l_returnflag"),
 
+      // exact discrete quantile by explicit definition: the value at
+      // ascending index floor(q*(n-1))+1 — no quantile_disc/percentile
+      // builtin whose interpolation rule could differ between engines
+      "quantile_gate" ->
+        ("WITH r AS (SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS v " +
+          "FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
+          "s AS (SELECT l_returnflag, v, " +
+          "row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn, " +
+          "COUNT(*) OVER (PARTITION BY l_returnflag) AS n FROM r) " +
+          "SELECT l_returnflag, v AS exact_q, TRUE AS q_ok FROM s " +
+          "WHERE rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1"),
+
+      // integer TF-IDF: df over per-doc DISTINCT tokens, idf_bits as a
+      // bit-length (no libm), BIGINT score, row_number top-k per source
+      "tfidf_terms" ->
+        (s"WITH $docTokCte, " +
+          "u AS (SELECT t.doc_id, d.source, x.term FROM tok t " +
+          "JOIN documents d USING (doc_id), unnest(list_distinct(t.toks)) AS x(term)), " +
+          "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents), " +
+          "dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_docs FROM u GROUP BY term), " +
+          "idf AS (SELECT term, df_docs, " +
+          "CAST(length(format('{:b}', n_docs // df_docs)) - 1 AS BIGINT) AS idf_bits FROM dfc, n), " +
+          "tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf_docs FROM u GROUP BY source, term), " +
+          "sc AS (SELECT tf.source, tf.term, tf.tf_docs, idf.df_docs, " +
+          "CAST(tf.tf_docs * idf.idf_bits AS BIGINT) AS score FROM tf JOIN idf USING (term)) " +
+          "SELECT source, term, tf_docs, df_docs, score, CAST(rank AS INT) AS rank FROM " +
+          "(SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, term) AS rank FROM sc) " +
+          "WHERE rank <= 5"),
+
       "profile_orders" -> Seq(
         ("o_orderkey", "o_orderkey"),
         ("o_custkey", "o_custkey"),
@@ -1322,6 +1406,26 @@ object SparkEntry {
           "WHEN substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val' " +
           "ELSE 'test' END AS split FROM documents"),
 
+      // exact-k per-source draw: the 5 lowest md5 hashes per source
+      "sample_group_k" ->
+        ("SELECT source, doc_id, CAST(rk AS INT) AS sample_rank FROM " +
+          "(SELECT source, doc_id, row_number() OVER (PARTITION BY source " +
+          "ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents) " +
+          "WHERE rk <= 5"),
+
+      // per-source token totals -> rate min(1, 800/total) -> the same
+      // md5-threshold predicate as sample_weighted, verbatim
+      "token_budget_sample" ->
+        (s"WITH $docTokCte, " +
+          "w AS (SELECT d.source, d.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens " +
+          "FROM documents d JOIN tok t USING (doc_id)), " +
+          "tot AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total FROM w GROUP BY source) " +
+          "SELECT w.source, w.doc_id FROM w JOIN tot USING (source) " +
+          "WHERE substring(md5('graft' || CAST(w.doc_id AS VARCHAR)), 1, 8) < " +
+          "printf('%08x', CAST(floor(LEAST(1.0, CAST(800 AS DOUBLE) / CAST(total AS DOUBLE)) " +
+          "* 4294967296.0) AS BIGINT)) " +
+          "OR LEAST(1.0, CAST(800 AS DOUBLE) / CAST(total AS DOUBLE)) >= 1.0"),
+
       "quality_filter" ->
         (s"WITH $docTokCte, g AS (SELECT doc_id, toks, " +
           "CASE WHEN len(toks) < 2 THEN [] ELSE [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))] END AS g2 " +
@@ -1370,6 +1474,18 @@ object SparkEntry {
       "dedup_minhash" ->
         (s"WITH $docTokCte, $docShCte, $docPairCte " +
           "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT ib FROM p WHERE j >= 0.8)"),
+
+      // exact cross-corpus near-dup reference: every new-batch doc (src10+)
+      // within Jaccard 0.8 of ANY reference doc (src0-9) is dropped
+      "dedup_cross_corpus" ->
+        (s"WITH $docTokCte, $docShCte, " +
+          "d AS (SELECT doc_id, CAST(substring(source, 4) AS INT) AS sn FROM documents), " +
+          "cp AS (SELECT sh.doc_id, sh.s FROM sh JOIN d USING (doc_id) WHERE d.sn >= 10), " +
+          "rf AS (SELECT sh.doc_id, sh.s FROM sh JOIN d USING (doc_id) WHERE d.sn < 10), " +
+          "m AS (SELECT DISTINCT cp.doc_id FROM cp JOIN rf ON " +
+          "CAST(len(list_intersect(cp.s, rf.s)) AS DOUBLE) / " +
+          "CAST(len(list_distinct(list_concat(cp.s, rf.s))) AS DOUBLE) >= 0.8) " +
+          "SELECT doc_id FROM d WHERE sn >= 10 AND doc_id NOT IN (SELECT doc_id FROM m)"),
 
       "dedup_embedding_pairs" ->
         ("SELECT a.vec_id AS \"idA\", b.vec_id AS \"idB\" FROM embeddings a JOIN embeddings b " +

@@ -115,4 +115,54 @@ object Profile {
               col("exact_distinct").cast("double") <= lit(tolerance))
           .as("hll_ok"))
   }
+
+  /**
+   * Per-group quantile with a sketch-honesty verdict — the distribution
+   * analogue of [[distinctCountGate]]. At 100 TB the usable quantile is
+   * `approx_percentile` (a mergeable rank sketch: map-side partials, one
+   * tiny merge, composable across days/sources); this gate keeps it honest
+   * against the EXACT discrete quantile, defined explicitly so both engines
+   * agree bit-for-bit: the value at ascending-sorted index
+   * `floor(q * (n - 1)) + 1` (1-based). The exact path pays a per-group
+   * sort — that cost asymmetry is exactly why the sketch is the production
+   * default and the exact answer is the test-scale referee.
+   *
+   * Output: group column, `exact_q` (the value column's own type — cast it
+   * upfront for engine-portable rendering), `q_ok` (sketch within
+   * `tolerance` relative error, always a concrete boolean).
+   */
+  def quantileGate(
+      df: DataFrame,
+      groupCol: Column,
+      valueCol: Column,
+      q: Double,
+      accuracy: Int = 10000,
+      tolerance: Double = 0.01): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"q must be in [0, 1]: $q")
+    require(accuracy >= 1, s"accuracy must be positive: $accuracy")
+    require(tolerance > 0.0, s"tolerance must be positive: $tolerance")
+    val grpName = "__graft_qg_group"
+    val valName = "__graft_qg_value"
+    val base = df.select(groupCol.as(grpName), valueCol.as(valName))
+      .filter(col(valName).isNotNull)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(grpName))
+    val exact = base
+      .withColumn("__rn",
+        row_number().over(w.orderBy(col(valName))))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__rn") === (floor(lit(q) * (col("__n") - 1)) + 1))
+      .select(col(grpName), col(valName).as("exact_q"))
+    val approx = base
+      .groupBy(col(grpName))
+      .agg(percentile_approx(col(valName).cast("double"), lit(q), lit(accuracy)).as("_approx"))
+    exact.join(approx, grpName)
+      .select(
+        col(grpName).as(groupCol.toString),
+        col("exact_q"),
+        when(col("exact_q").cast("double") === 0.0, coalesce(col("_approx") === 0.0, lit(true)))
+          .otherwise(
+            abs(col("_approx") - col("exact_q").cast("double")) /
+              abs(col("exact_q").cast("double")) <= lit(tolerance))
+          .as("q_ok"))
+  }
 }

@@ -273,6 +273,71 @@ object Dedup {
     verifyJaccard(candidates, shingled, threshold)
   }
 
+  /**
+   * CROSS-CORPUS near-dup pairs: each corpus document against a reference
+   * corpus (the batch-ingest question — "which of today's crawl is already
+   * in the deduped corpus?" — where self-join dedup is the wrong shape: the
+   * reference is already clean, so reference×reference pairs are wasted
+   * work). Output: `(idA, idB, jaccard)` with idA from `corpus`, idB from
+   * `reference`, word-shingle Jaccard >= `threshold`.
+   *
+   * Scale shape: both sides shingle once (persisted, handles releasable);
+   * candidates come from an EQUI-join of the two sides' (band, bucket)
+   * explosions — never a within-bucket pair blow-up across the union. Hot
+   * buckets are counted and capped per side BEFORE the join (same
+   * map-side-combined count + semi-join discipline as [[minHashCandidates]]),
+   * and the candidate dedup shuffles bare id pairs — no shingle arrays in
+   * the exchange.
+   */
+  def nearDupPairsMinHashAgainst(
+      corpus: DataFrame, reference: DataFrame, id: Column, text: Column,
+      shingleSize: Int = 3, bands: Int = 16, rowsPerBand: Int = 8,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      corpusHandle: UnpersistHandle = UnpersistHandle.Noop,
+      referenceHandle: UnpersistHandle = UnpersistHandle.Noop): DataFrame = {
+    def shingle(df: DataFrame, handle: UnpersistHandle): DataFrame = persistShingles(
+      df.select(id.as("id"), TextFunctions.hashedTextShingles(text, shingleSize).as("shingles")),
+      storageLevel, handle)
+    def explodeBands(shingled: DataFrame): DataFrame = shingled
+      .select(col("id"),
+        posexplode(vectors.minhash_band_hashes(col("shingles"), bands, rowsPerBand))
+          .as(Seq("band", "bucket")))
+    val corpusShingled = shingle(corpus, corpusHandle)
+    val refShingled = shingle(reference, referenceHandle)
+    val corpusX = pruneHotBuckets(explodeBands(corpusShingled), maxBucketSize)
+    val refX = pruneHotBuckets(explodeBands(refShingled), maxBucketSize)
+    val candidates = corpusX
+      .join(refX.withColumnRenamed("id", "__ref_id"), Seq("band", "bucket"))
+      .select(col("id").as("idA"), col("__ref_id").as("idB"))
+      .distinct() // bare 16-byte id pairs in the exchange
+    val a = corpusShingled.select(col("id").as("idA"), col("shingles").as("shinglesA"))
+    val b = refShingled.select(col("id").as("idB"), col("shingles").as("shinglesB"))
+    candidates.join(a, "idA").join(b, "idB")
+      .withColumn("jaccard", TextFunctions.jaccard(col("shinglesA"), col("shinglesB")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), col("jaccard"))
+  }
+
+  /** Drop every corpus document near-duplicating a reference document —
+    * [[nearDupPairsMinHashAgainst]] applied as an anti-join on the corpus
+    * side (the reference is untouched by construction). */
+  def deduplicateAgainst(
+      corpus: DataFrame, reference: DataFrame, id: Column, text: Column,
+      shingleSize: Int = 3, bands: Int = 16, rowsPerBand: Int = 8,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      corpusHandle: UnpersistHandle = UnpersistHandle.Noop,
+      referenceHandle: UnpersistHandle = UnpersistHandle.Noop): DataFrame = {
+    val matched = nearDupPairsMinHashAgainst(corpus, reference, id, text,
+      shingleSize, bands, rowsPerBand, threshold, maxBucketSize,
+      storageLevel, corpusHandle, referenceHandle)
+      .select(col("idA").as("__drop_id")).distinct()
+    corpus.join(matched, id === col("__drop_id"), "left_anti")
+  }
+
   // --------------------------------------------------------------------------
   // Embedding near-dup
   // --------------------------------------------------------------------------
@@ -344,6 +409,20 @@ object Dedup {
       unpersistHandle: UnpersistHandle): DataFrame =
     if (storageLevel == StorageLevel.NONE) shingled
     else unpersistHandle.setDataFrame(shingled.persist(storageLevel))
+
+  /** Drop rows in oversized (band, bucket) groups — the same map-side-
+    * combined count + left-semi join discipline as [[bucketPairsWith]], but
+    * WITHOUT the lower bound of 2: in a cross-corpus join a bucket holding
+    * one corpus doc and one reference doc is a singleton on each side yet
+    * still a candidate. The hot bucket's member list never materializes. */
+  private def pruneHotBuckets(exploded: DataFrame, maxBucketSize: Int): DataFrame = {
+    val inRange = exploded
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__bucket_count"))
+      .filter(col("__bucket_count") <= maxBucketSize)
+      .select(col("band"), col("bucket"))
+    exploded.join(inRange, Seq("band", "bucket"), "left_semi")
+  }
 
   /** Distinct (idA < idB) pairs sharing a (band, bucket); oversized buckets
     * dropped. One shuffle on the bucket key; quadratic work confined to

@@ -294,6 +294,14 @@ object PyBridge {
       names.asScala.toSeq.zip(weights.asScala.toSeq.map(_.doubleValue())),
       salt, outputColumn)
 
+  def sampleKPerGroup(df: DataFrame, groupCols: JList[Column], key: Column,
+                      k: Int, salt: String, rankColumn: String): DataFrame =
+    graft.sample.Sampling.sampleKPerGroup(df, groupCols.asScala.toSeq, key, k, salt, rankColumn)
+
+  def tokenBudgetSample(df: DataFrame, strata: Column, key: Column, weight: Column,
+                        budget: Long, salt: String): DataFrame =
+    graft.sample.Sampling.tokenBudgetSample(df, strata, key, weight, budget, salt)
+
   def gopherFilter(df: DataFrame, text: Column, minTokens: Int, maxTokens: Int,
                    minAvgTokenLen: Double, maxAvgTokenLen: Double,
                    minStopwordRatio: Double, maxTopBigramFraction: Double): DataFrame =
@@ -355,6 +363,27 @@ object PyBridge {
   def distinctCountGate(df: DataFrame, groupCol: Column, itemCol: Column,
                         tolerance: Double): DataFrame =
     graft.agg.Profile.distinctCountGate(df, groupCol, itemCol, tolerance)
+
+  def quantileGate(df: DataFrame, groupCol: Column, valueCol: Column, q: Double,
+                   accuracy: Int, tolerance: Double): DataFrame =
+    graft.agg.Profile.quantileGate(df, groupCol, valueCol, q, accuracy, tolerance)
+
+  def tfidfTerms(df: DataFrame, group: Column, text: Column, k: Int,
+                 rankColumn: String): DataFrame =
+    graft.text.CorpusStats.tfidfTerms(df, group, text, k, rankColumn)
+
+  def nearDupPairsMinHashAgainst(corpus: DataFrame, reference: DataFrame,
+                                 id: Column, text: Column, shingleSize: Int,
+                                 bands: Int, rowsPerBand: Int,
+                                 threshold: Double): DataFrame =
+    graft.dedup.Dedup.nearDupPairsMinHashAgainst(corpus, reference, id, text,
+      shingleSize, bands, rowsPerBand, threshold)
+
+  def deduplicateAgainst(corpus: DataFrame, reference: DataFrame,
+                         id: Column, text: Column, shingleSize: Int,
+                         bands: Int, rowsPerBand: Int, threshold: Double): DataFrame =
+    graft.dedup.Dedup.deduplicateAgainst(corpus, reference, id, text,
+      shingleSize, bands, rowsPerBand, threshold)
 
   def deflateLength(c: Column, level: Int): Column =
     graft.functions.compression.deflate_length(c, level)

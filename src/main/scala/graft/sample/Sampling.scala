@@ -92,6 +92,61 @@ object Sampling {
   }
 
   /**
+   * Deterministic EXACT-SIZE sample: the `k` rows of each group whose
+   * `md5(salt || key)` sorts lowest (ties broken by the key itself, so the
+   * order is total). Rate-based sampling cannot promise a fixed budget —
+   * a 1% draw of a skewed source is 10× another's — but eval/holdout sets
+   * want exactly k docs per source. Hashing gives a uniform draw that is
+   * reproducible across runs, partitionings, and engines.
+   *
+   * Scale shape: declared as a rank-filter so Catalyst plans
+   * `WindowGroupLimit` (map-side partial top-k before the shuffle — see
+   * [[graft.agg.TopK.topKPerGroup]], which this delegates to): a group with
+   * a billion rows sends ~k rows per map task into the exchange, never the
+   * group. Output adds `rankColumn` (1..k in hash order).
+   */
+  def sampleKPerGroup(
+      df: DataFrame, groupCols: Seq[Column], key: Column, k: Int,
+      salt: String = "graft", rankColumn: String = "sample_rank"): DataFrame = {
+    val h = md5(concat(lit(salt), key.cast("string")))
+    graft.agg.TopK.topKPerGroup(df, groupCols, Seq(h.asc, key.asc), k, rankColumn)
+  }
+
+  /**
+   * Token-budget resampling (domain mixing): down-sample each stratum so its
+   * expected token mass lands on `budget` tokens — the "mix sources to a
+   * target recipe" step every training-data pipeline runs before packing.
+   * A stratum already under budget is kept whole (rate capped at 1).
+   *
+   * The per-stratum rate is `min(1, budget / total_weight)` computed in IEEE
+   * double arithmetic from EXACT integer sums, and the keep decision is the
+   * same md5-threshold predicate as [[weightedHashSample]] (floor to 2^32
+   * lanes, fixed-width hex render, string compare) — every step is
+   * bit-identical across engines, so the kept set is reproducible anywhere.
+   *
+   * Scale shape: one map-side-combined aggregate over `(stratum, long)`
+   * rows builds the totals table (|strata| rows), which broadcast-joins
+   * back onto the corpus; the keep decision is then a narrow filter. No
+   * wide shuffle of the corpus itself.
+   */
+  def tokenBudgetSample(
+      df: DataFrame, strata: Column, key: Column, weight: Column, budget: Long,
+      salt: String = "graft"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val sCol = "__graft_tbs_stratum"
+    val tCol = "__graft_tbs_total"
+    val totals = df.groupBy(strata.as(sCol))
+      .agg(sum(weight.cast("long")).as(tCol))
+    val joined = df.join(broadcast(totals), strata <=> col(sCol), "left")
+    val rate = least(lit(1.0), lit(budget).cast("double") / col(tCol).cast("double"))
+    val threshold = format_string("%08x", floor(rate * lit(4294967296.0)).cast("long"))
+    joined.filter(
+      substring(md5(concat(lit(salt), key.cast("string"))), 1, 8) < threshold ||
+        rate >= lit(1.0)) // whole-stratum keep: "ffffffff" < "100000000" fails as strings
+      .drop(sCol, tCol)
+  }
+
+  /**
    * Per-stratum sampling rates (e.g. up-sample a high-quality source,
    * down-sample a boilerplate-heavy one) with `defaultRate` for strata not
    * listed. The per-row threshold is a chained CASE on the stratum value —

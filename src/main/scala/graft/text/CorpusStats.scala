@@ -37,4 +37,52 @@ object CorpusStats {
       .orderBy(col("doc_freq").desc, col("gram").asc)
       .limit(k)
   }
+
+  /**
+   * The `k` most DISTINCTIVE terms of each group (source/domain/language
+   * slice): TF-IDF with every number exact, so the ranking is engine-portable
+   * and hash-verifiable. Term frequency is the count of group documents
+   * containing the term (set semantics, from the same distinct-shingle kernel
+   * as [[topNgrams]]); the IDF weight is the integer `floor(log2(N / df))`
+   * computed as `length(bin(N / df)) - 1` — BIGINT division then a
+   * bit-length, no libm anywhere; `score = tf * idf_bits`. Terms present in
+   * most documents score 0 and fall out, which is the point.
+   *
+   * Scale shape: two hash aggregations over exploded `(group, term)` /
+   * `(term)` rows — both combine map-side, so boilerplate terms send one row
+   * per map task into each exchange, not one per document. The df table
+   * (vocabulary-sized) joins back on the term key as an ordinary shuffled
+   * hash join, and the final per-group top-k is a rank filter that Catalyst
+   * plans as `WindowGroupLimit` (map-side partial top-k — see
+   * [[graft.agg.TopK.topKPerGroup]]). Ordering ties break on term text:
+   * total order, deterministic output.
+   */
+  def tfidfTerms(
+      df: DataFrame, group: Column, text: Column, k: Int,
+      rankColumn: String = "rank"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val docTerms = df
+      .select(group.as("group_key"), explode(vectors.word_shingles(text, 1)).as("term"))
+    // corpus cardinality as a broadcast 1-row join: the plan stays lazy,
+    // no driver round-trip at construction time
+    val nDocs = df.agg(count(lit(1)).cast("long").as("n_docs"))
+    val dfCounts = docTerms
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df_docs"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_bits",
+        (length(bin(expr("n_docs div df_docs"))) - 1).cast("long"))
+      .drop("n_docs")
+    val tfCounts = docTerms
+      .groupBy(col("group_key"), col("term"))
+      .agg(count(lit(1)).as("tf_docs"))
+    val scored = tfCounts.join(dfCounts, "term")
+      .withColumn("score", col("tf_docs") * col("idf_bits"))
+    graft.agg.TopK.topKPerGroup(
+      scored.select(
+        col("group_key"), col("term"), col("tf_docs"), col("df_docs"), col("score")),
+      Seq(col("group_key")),
+      Seq(col("score").desc, col("term").asc),
+      k, rankColumn)
+  }
 }

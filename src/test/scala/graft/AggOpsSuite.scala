@@ -151,6 +151,30 @@ class AggOpsSuite extends AnyFunSuite with SparkTest {
 
   // --- prefix sums / packing ------------------------------------------------
 
+  test("quantileGate: exact discrete quantile by definition, sketch verdict true") {
+    // group a: values 1..101 -> median (q=0.5): index floor(0.5*100)+1 = 51 -> 51
+    // group b: 10,20,30,40 -> index floor(0.5*3)+1 = 2 -> 20 (the low median)
+    val df = ((1 to 101).map(v => ("a", v.toDouble)) ++
+      Seq(("b", 10.0), ("b", 20.0), ("b", 30.0), ("b", 40.0)))
+      .toDF("g", "v")
+    val rows = Profile.quantileGate(df, $"g", $"v", q = 0.5)
+      .select(col("g"), col("exact_q"), col("q_ok"))
+      .as[(String, Double, Boolean)].collect()
+    assert(rows.toSet == Set(("a", 51.0, true), ("b", 20.0, true)))
+    // q = 0 and q = 1 hit min and max exactly
+    val lo = Profile.quantileGate(df, $"g", $"v", q = 0.0)
+      .select("g", "exact_q").as[(String, Double)].collect().toSet
+    assert(lo == Set(("a", 1.0), ("b", 10.0)))
+    val hi = Profile.quantileGate(df, $"g", $"v", q = 1.0)
+      .select("g", "exact_q").as[(String, Double)].collect().toSet
+    assert(hi == Set(("a", 101.0), ("b", 40.0)))
+    // nulls are ignored, not counted into n
+    val withNulls = df.union(Seq(("b", Double.NaN)).toDF("g", "v").select($"g", lit(null).cast("double").as("v")))
+    val n = Profile.quantileGate(withNulls, $"g", $"v", q = 0.5)
+      .select("g", "exact_q").as[(String, Double)].collect().toSet
+    assert(n == Set(("a", 51.0), ("b", 20.0)))
+  }
+
   test("withRunningTotal matches a single-window prefix sum at 10k rows") {
     val df = spark.range(10000).toDF("id")
       .withColumn("w", (col("id") % 7) + 1)

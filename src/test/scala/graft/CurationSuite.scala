@@ -98,6 +98,44 @@ class CurationSuite extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("sampleKPerGroup draws exactly k per group, deterministically, ranked") {
+    val df = (0L until 3000L).map(i => (s"g${i % 7}", i)).toDF("g", "k")
+    val out = Sampling.sampleKPerGroup(df, Seq(col("g")), col("k"), k = 10)
+    val rows = out.select("g", "k", "sample_rank").as[(String, Long, Int)].collect()
+    val byGroup = rows.groupBy(_._1)
+    assert(byGroup.size == 7)
+    assert(byGroup.values.forall(_.length == 10))
+    assert(byGroup.values.forall(_.map(_._3).sorted.toSeq == (1 to 10)))
+    // repartitioning draws the identical set (hash order, not storage order)
+    val again = Sampling.sampleKPerGroup(df.repartition(17), Seq(col("g")), col("k"), k = 10)
+      .select("g", "k").as[(String, Long)].collect().toSet
+    assert(again == rows.map(r => (r._1, r._2)).toSet)
+    // a group smaller than k comes back whole
+    val tiny = Sampling.sampleKPerGroup(
+      Seq(("solo", 1L), ("solo", 2L)).toDF("g", "k"), Seq(col("g")), col("k"), k = 10)
+    assert(tiny.count() == 2)
+  }
+
+  test("tokenBudgetSample lands each stratum near its budget; under-budget strata kept whole") {
+    val df = ((0L until 4000L).map(i => ("big", i, 10L)) ++      // 40k tokens
+      (4000L until 4030L).map(i => ("small", i, 10L)))           // 300 tokens
+      .toDF("s", "k", "w")
+    val out = Sampling.tokenBudgetSample(df, col("s"), col("k"), col("w"), budget = 4000L)
+    val kept = out.select("s", "k").as[(String, Long)].collect()
+    val bigTokens = kept.count(_._1 == "big") * 10L
+    // expected 4000 tokens out of 40k (rate 0.1): binomial 3σ ≈ ±570
+    assert(math.abs(bigTokens - 4000L) < 1200L, s"big stratum kept $bigTokens tokens")
+    // under budget -> rate 1 -> every row kept
+    assert(kept.count(_._1 == "small") == 30)
+    // deterministic under repartitioning
+    val again = Sampling.tokenBudgetSample(
+      df.repartition(13), col("s"), col("k"), col("w"), budget = 4000L)
+      .select("s", "k").as[(String, Long)].collect().toSet
+    assert(again == kept.toSet)
+    // weight columns survive untouched; helper columns are dropped
+    assert(out.columns.toSeq == Seq("s", "k", "w"))
+  }
+
   test("gopherFilter keeps natural-language docs and drops degenerate ones") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over a lazy dog and then it runs far away to the old barn door again"),

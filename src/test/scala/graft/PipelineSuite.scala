@@ -229,6 +229,58 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(out == (0 until 40).map(_.toLong).toSet)
   }
 
+  test("cross-corpus near-dup matches exact pairs and leaves the reference alone") {
+    // reference = the 40 base docs; "new batch" = the planted dups of 3/7/11
+    // plus two genuinely new docs that must survive
+    val reference = nearDupCorpus.filter(_._1 < 100).toDF("id", "text")
+    val batch = (nearDupCorpus.filter(_._1 >= 100) ++ Seq(
+      (200L, "entirely fresh document about quasars and neutron stars colliding"),
+      (201L, "another fresh document mentioning tokamaks and stellarators")))
+      .toDF("id", "text")
+    val pairs = Dedup.nearDupPairsMinHashAgainst(
+      batch, reference, col("id"), col("text"), threshold = 0.7)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((103L, 3L), (107L, 7L), (111L, 11L)))
+    val kept = Dedup.deduplicateAgainst(
+      batch, reference, col("id"), col("text"), threshold = 0.7)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(200L, 201L))
+  }
+
+  test("cross-corpus candidate dedup shuffles bare id pairs, not shingle arrays") {
+    val reference = nearDupCorpus.filter(_._1 < 100).toDF("id", "text")
+    val batch = nearDupCorpus.filter(_._1 >= 100).toDF("id", "text")
+    val pairs = Dedup.nearDupPairsMinHashAgainst(
+      batch, reference, col("id"), col("text"), threshold = 0.7)
+    // the distinct on candidates must run BEFORE shingles re-attach: no
+    // HashAggregate (the distinct) may list a shingles attribute in its keys
+    val plan = pairs.queryExecution.executedPlan.toString
+    val aggLines = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.nonEmpty)
+    assert(!aggLines.exists(_.contains("shingles")),
+      s"candidate distinct carries shingle arrays:\n${aggLines.mkString("\n")}")
+  }
+
+  test("tfidfTerms ranks group-distinctive terms first, boilerplate scores zero") {
+    // 8 docs, two sources; 'common' appears in every doc (idf_bits 0),
+    // 'alpha*' only in a-docs, 'beta*' only in b-docs
+    val docs = (0 until 4).map(i => (s"a$i", "a", s"common alpha$i alphaterm filler$i")) ++
+      (0 until 4).map(i => (s"b$i", "b", s"common beta$i betaterm filler${i + 10}"))
+    val df = docs.toDF("id", "src", "text")
+    val out = graft.text.CorpusStats.tfidfTerms(df, col("src"), col("text"), k = 2)
+      .select("group_key", "term", "tf_docs", "df_docs", "score", "rank")
+      .as[(String, String, Long, Long, Long, Int)].collect()
+    val byGroup = out.groupBy(_._1)
+    // top term per source is its distinctive marker: tf=4, df=4, idf=floor(log2(8/4))=1
+    assert(byGroup("a").minBy(_._6)._2 == "alphaterm")
+    assert(byGroup("b").minBy(_._6)._2 == "betaterm")
+    assert(byGroup("a").minBy(_._6)._5 == 4L) // score = 4 * 1
+    // 'common' (df = 8, idf_bits = 0) can never outrank: score 0
+    assert(!out.exists(r => r._2 == "common"))
+    // rank column is dense 1..k per group
+    assert(byGroup.values.forall(g => g.map(_._6).sorted.toSeq == Seq(1, 2)))
+  }
+
   test("simhash near-dup pairs find planted duplicates only") {
     val df = nearDupCorpus.toDF("id", "text")
     val pairs = Dedup.nearDupPairsSimHash(df, col("id"), col("text"), threshold = 0.7)
