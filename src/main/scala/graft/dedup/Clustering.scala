@@ -54,6 +54,17 @@ object Clustering {
    * (id: long, component: long) where `component` is the smallest id in the
    * node's component (roots map to themselves).
    *
+   * Scale-adaptive execution: an edge set at or below `localEdgeThreshold`
+   * (after dedup — the count is known from the fixpoint signature that the
+   * iterative path needs anyway) is solved EXACTLY by driver-side
+   * union-find in one collect: a near-dup pair list under a million edges
+   * is ~16 MB of longs, and the alternating-star path would spend
+   * O(log n) scheduled rounds of shuffles on it — pure coordination
+   * latency. Larger edge sets take the distributed alternation, which
+   * never materializes a component (or the edge set) on one node. This is
+   * the same bounded-driver-work trade AQE makes when it broadcasts a
+   * small join side; set the threshold to 0 to force the distributed path.
+   *
    * Throws if the edge set has not stabilized after `maxIterations`
    * alternating rounds (default 50 ≫ the O(log n) bound for any realistic
    * graph).
@@ -62,8 +73,10 @@ object Clustering {
       pairs: DataFrame,
       idA: Column,
       idB: Column,
-      maxIterations: Int = 50): DataFrame = {
+      maxIterations: Int = 50,
+      localEdgeThreshold: Long = 1L << 20): DataFrame = {
     require(maxIterations >= 1, s"maxIterations must be >= 1: $maxIterations")
+    require(localEdgeThreshold >= 0, s"localEdgeThreshold must be >= 0: $localEdgeThreshold")
     val init = pairs
       .select(idA.cast("long").as("u"), idB.cast("long").as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
@@ -71,6 +84,7 @@ object Clustering {
 
     var edges = init.localCheckpoint(true)
     var sig = signature(edges)
+    if (sig._1 <= localEdgeThreshold) return localComponents(edges)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -107,8 +121,9 @@ object Clustering {
   def assignClusters(
       df: DataFrame, id: Column, pairs: DataFrame,
       clusterColumn: String = "cluster_id",
-      maxIterations: Int = 50): DataFrame = {
-    val comp = connectedComponents(pairs, col("idA"), col("idB"), maxIterations)
+      maxIterations: Int = 50,
+      localEdgeThreshold: Long = 1L << 20): DataFrame = {
+    val comp = connectedComponents(pairs, col("idA"), col("idB"), maxIterations, localEdgeThreshold)
       .withColumnRenamed("id", "__cc_id")
     df.join(comp, id.cast("long") === col("__cc_id"), "left")
       .withColumn(clusterColumn, coalesce(col("component"), id.cast("long")))
@@ -123,10 +138,11 @@ object Clustering {
    */
   def deduplicateByClusters(
       df: DataFrame, id: Column, pairs: DataFrame,
-      maxIterations: Int = 50): DataFrame = {
+      maxIterations: Int = 50,
+      localEdgeThreshold: Long = 1L << 20): DataFrame = {
     val prefix = graft.functions.distinctPrefixFor(df.columns.toSeq)
     val cl = prefix + "cluster"
-    assignClusters(df, id, pairs, cl, maxIterations)
+    assignClusters(df, id, pairs, cl, maxIterations, localEdgeThreshold)
       .filter(col(cl) === id.cast("long"))
       .drop(cl)
   }
@@ -150,6 +166,30 @@ object Clustering {
   // --------------------------------------------------------------------------
   // internals
   // --------------------------------------------------------------------------
+
+  /** Exact union-find over a collected small edge set. Union attaches the
+    * larger root under the smaller, so every tree's final root IS the
+    * component minimum — identical output to the converged star alternation.
+    * Path compression keeps this near-linear without union-by-rank. */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.select(col("u"), col("v")).as[(Long, Long)].collect().foreach { case (u, v) =>
+      parent.getOrElseUpdate(u, u)
+      parent.getOrElseUpdate(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru < rv) parent(rv) = ru else if (rv < ru) parent(ru) = rv
+    }
+    parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "component")
+  }
 
   /** (count, xxhash64 xor-checksum) of the edge set — one cheap action per
     * iteration to detect the fixpoint. XOR (not sum): order-independent over

@@ -9,24 +9,32 @@ class ClusteringSuite extends AnyFunSuite with SparkTest {
 
   import spark.implicits._
 
-  private def components(pairs: Seq[(Long, Long)]): Map[Long, Long] =
-    Clustering.connectedComponents(pairs.toDF("idA", "idB"), col("idA"), col("idB"))
+  private def components(pairs: Seq[(Long, Long)],
+                         localEdgeThreshold: Long = 1L << 20): Map[Long, Long] =
+    Clustering.connectedComponents(pairs.toDF("idA", "idB"), col("idA"), col("idB"),
+      maxIterations = 50, localEdgeThreshold = localEdgeThreshold)
       .as[(Long, Long)].collect().toMap
 
-  test("path graph collapses to one component rooted at the minimum") {
+  test("path graph collapses to one component rooted at the minimum (both paths)") {
     // worst case for naive propagation: a chain; the alternating algorithm
-    // must still converge and label every node with the chain minimum
+    // must still converge and label every node with the chain minimum.
+    // threshold 0 forces the distributed alternation; the default takes the
+    // driver union-find fast path — both must agree exactly
     val chain = (1L until 17L).map(i => (i, i + 1))
-    val comp = components(chain)
-    assert(comp.keySet == (1L to 17L).toSet)
-    assert(comp.values.toSet == Set(1L))
+    for (threshold <- Seq(0L, 1L << 20)) {
+      val comp = components(chain, threshold)
+      assert(comp.keySet == (1L to 17L).toSet, s"threshold=$threshold")
+      assert(comp.values.toSet == Set(1L), s"threshold=$threshold")
+    }
   }
 
   test("multiple components, arbitrary pair orientation and duplicates") {
     val pairs = Seq((5L, 2L), (2L, 9L), (9L, 5L), (5L, 2L), (20L, 30L), (7L, 7L))
-    val comp = components(pairs)
     // self-loop (7,7) contributes no node; {2,5,9} -> 2; {20,30} -> 20
-    assert(comp == Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 20L -> 20L, 30L -> 20L))
+    for (threshold <- Seq(0L, 1L << 20)) {
+      assert(components(pairs, threshold) ==
+        Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 20L -> 20L, 30L -> 20L), s"threshold=$threshold")
+    }
   }
 
   test("matches a driver-side union-find on a random graph") {
@@ -47,7 +55,8 @@ class ClusteringSuite extends AnyFunSuite with SparkTest {
         val root = find(id.toInt)
         edges.flatMap(e => Seq(e._1, e._2)).filter(x => find(x.toInt) == root).min
       }).toMap
-    assert(components(edges) == expected)
+    assert(components(edges) == expected)                 // driver fast path
+    assert(components(edges, localEdgeThreshold = 0L) == expected) // distributed path
   }
 
   test("assignClusters labels singletons with their own id") {
