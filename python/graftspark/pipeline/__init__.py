@@ -192,6 +192,33 @@ def decontaminate_bloom(corpus: DataFrame, id_col: ColumnOrName, text: ColumnOrN
     return DataFrame(jdf, corpus.sparkSession)
 
 
+def decontaminate_broadcast(corpus: DataFrame, id_col: ColumnOrName,
+                            text: ColumnOrName, blocklist: DataFrame,
+                            blocklist_text: ColumnOrName,
+                            shingle_size: int = 8, min_overlap: int = 1,
+                            max_blocklist_shingles: int = 32 * 1024 * 1024) -> DataFrame:
+    """Exact decontamination as a pure narrow filter: sorted broadcast
+    blocklist-shingle set + codegen'd binary-search overlap count — zero
+    shuffles/joins; the streaming-legal shape."""
+    jdf = _bridge(corpus).decontaminateBroadcast(
+        corpus._jdf, _jcol(id_col), _jcol(text), blocklist._jdf,
+        _jcol(blocklist_text), int(shingle_size), int(min_overlap),
+        int(max_blocklist_shingles))
+    return DataFrame(jdf, corpus.sparkSession)
+
+
+def decontaminate_stream(stream: DataFrame, text: ColumnOrName,
+                         blocklist: DataFrame, blocklist_text: ColumnOrName,
+                         shingle_size: int = 8, min_overlap: int = 1,
+                         max_blocklist_shingles: int = 32 * 1024 * 1024) -> DataFrame:
+    """decontaminate_broadcast for a STREAMING document frame (stateless
+    per-batch filter, any output mode; blocklist must be static)."""
+    jdf = _bridge(stream).decontaminateStream(
+        stream._jdf, _jcol(text), blocklist._jdf, _jcol(blocklist_text),
+        int(shingle_size), int(min_overlap), int(max_blocklist_shingles))
+    return DataFrame(jdf, stream.sparkSession)
+
+
 def deduplicate_minhash(df: DataFrame, id_col: ColumnOrName, text: ColumnOrName,
                         shingle_size: int = 3, bands: int = 16,
                         rows_per_band: int = 8, threshold: float = 0.8) -> DataFrame:

@@ -430,6 +430,16 @@ class GraftsparkTest(unittest.TestCase):
             ["id", "g", "t"]), "g", "t", 1)
         top = {(r["group_key"], r["term"]) for r in tf.collect()}
         self.assertEqual(top, {("x", "alpha"), ("y", "beta")})
+        # broadcast decontamination: contaminated doc dropped, clean kept
+        ref_block = self.spark.createDataFrame(
+            [("the quick brown fox jumps over the lazy dog",)], ["t"])
+        corpus = self.spark.createDataFrame(
+            [(1, "intro then the quick brown fox jumps over the lazy dog"),
+             (2, "a clean document about gardening and soil quality today")],
+            ["id", "t"])
+        clean = sorted(r["id"] for r in P.decontaminate_broadcast(
+            corpus, "id", "t", ref_block, "t", shingle_size=5).collect())
+        self.assertEqual(clean, [2])
         # cross-corpus dedup: the near-copy is dropped, the fresh doc survives
         ref = self.spark.createDataFrame(
             [(1, "the quick brown fox jumps over the lazy dog again today")],

@@ -605,6 +605,18 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // same decontamination as a pure narrow filter: sorted broadcast set +
+    // codegen'd binary-search overlap count — zero shuffles/joins, the
+    // streaming-legal shape (same oracle as decontaminate)
+    "decontaminate_broadcast" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val blocklist = docs.filter(col("doc_id") % 97 === 0)
+      graft.dedup.Dedup.decontaminateBroadcast(
+        docs, col("doc_id"), col("text"), blocklist, col("text"),
+        shingleSize = 5, minOverlap = 1)
+        .select(col("doc_id"))
+    }),
+
     // same decontamination, bloom-prefiltered: the filter eliminates ~all
     // clean shingles before the exact join; exact join on survivors keeps
     // the result identical (same oracle as decontaminate)
@@ -1353,6 +1365,16 @@ object SparkEntry {
           "FROM documents d JOIN st ON d.doc_id = st.doc_id GROUP BY d.source"),
 
       "decontaminate" ->
+        (s"WITH $docTokCte, sh5 AS (SELECT doc_id, " +
+          "CASE WHEN len(toks) < 5 THEN [] ELSE list_distinct([array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks) - 3)]) END AS s " +
+          "FROM tok), " +
+          "ex AS (SELECT doc_id, u.g FROM sh5, unnest(sh5.s) AS u(g)), " +
+          "bl AS (SELECT DISTINCT g FROM ex WHERE doc_id % 97 = 0), " +
+          "cont AS (SELECT DISTINCT ex.doc_id FROM ex JOIN bl USING (g)) " +
+          "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM cont)"),
+
+      // broadcast sorted-set filter is exact: identical oracle to decontaminate
+      "decontaminate_broadcast" ->
         (s"WITH $docTokCte, sh5 AS (SELECT doc_id, " +
           "CASE WHEN len(toks) < 5 THEN [] ELSE list_distinct([array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks) - 3)]) END AS s " +
           "FROM tok), " +

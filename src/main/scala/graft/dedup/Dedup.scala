@@ -182,6 +182,64 @@ object Dedup {
     corpus.join(contaminated, id === col("__did"), "left_anti")
   }
 
+  /**
+   * Decontamination as a pure narrow filter: the blocklist's distinct hashed
+   * shingles are collected to a SORTED long array, broadcast once per
+   * executor, and each document's shingle array is counted against it by
+   * binary search inside whole-stage codegen
+   * ([[graft.functions.SortedSetOverlapCount]]). Exact (no Bloom false
+   * positives to verify away), zero shuffles, zero joins — the per-document
+   * decision depends on nothing but the row.
+   *
+   * This is the STREAMING-LEGAL shape: the aggregate + anti-join of
+   * [[decontaminate]] cannot run in a Structured Streaming micro-batch, but
+   * a stateless filter can — pass a streaming `corpus` and the returned
+   * frame streams (see [[graft.streaming.StreamingDecontaminate]]).
+   *
+   * Cost model: 8 bytes per distinct blocklist shingle of executor memory
+   * (`maxBlocklistShingles` guards the driver collect — benchmark suites
+   * are typically millions of shingles, far under the default 32M = 256 MB
+   * bound) and log2(set) probes per corpus shingle. For a blocklist too
+   * large to hold exactly, use [[decontaminateBloom]] instead.
+   */
+  def decontaminateBroadcast(
+      corpus: DataFrame, id: Column, text: Column,
+      blocklist: DataFrame, blocklistText: Column,
+      shingleSize: Int = 8, minOverlap: Int = 1,
+      maxBlocklistShingles: Long = 32L * 1024 * 1024): DataFrame = {
+    require(minOverlap >= 1, s"minOverlap must be >= 1: $minOverlap")
+    val probe = broadcastShingleProbe(
+      corpus, text, blocklist, blocklistText, shingleSize, maxBlocklistShingles)
+    corpus.filter(probe < minOverlap || probe.isNull)
+  }
+
+  /** The overlap-count Column for [[decontaminateBroadcast]] — exposed so
+    * callers (and the streaming wrapper) can keep the count as a column
+    * instead of filtering. Runs one batch job over the STATIC blocklist to
+    * build the broadcast set; the returned expression is stateless. */
+  private[graft] def broadcastShingleProbe(
+      corpus: DataFrame, text: Column,
+      blocklist: DataFrame, blocklistText: Column,
+      shingleSize: Int, maxBlocklistShingles: Long): Column = {
+    import org.apache.spark.sql.graftext._
+    // limit caps the collect BEFORE it reaches the driver, so an over-size
+    // blocklist fails the require instead of exhausting driver memory
+    val cap = math.min(maxBlocklistShingles + 1, Int.MaxValue.toLong).toInt
+    val capped = blocklist
+      .select(explode(TextFunctions.hashedTextShingles(blocklistText, shingleSize)).as("__h"))
+      .distinct()
+      .limit(cap)
+      .collect()
+    require(capped.length <= maxBlocklistShingles,
+      s"blocklist has > $maxBlocklistShingles distinct shingles; " +
+        "use decontaminateBloom for blocklists this large")
+    val hashes = capped.map(_.getLong(0))
+    java.util.Arrays.sort(hashes)
+    val bcast = corpus.sparkSession.sparkContext.broadcast(hashes)
+    graft.functions.SortedSetOverlapCount(
+      TextFunctions.hashedTextShingles(text, shingleSize).asExpression, bcast).asColumn
+  }
+
   // --------------------------------------------------------------------------
   // MinHash + LSH near-dup
   // --------------------------------------------------------------------------

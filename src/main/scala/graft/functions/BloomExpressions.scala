@@ -4,7 +4,8 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /**
@@ -42,6 +43,62 @@ case class BloomMightContainLong(child: Expression, filter: Broadcast[BloomFilte
     val bf = ctx.addMutableState("org.apache.spark.util.sketch.BloomFilter", "bloomFilter",
       v => s"$v = (org.apache.spark.util.sketch.BloomFilter) $bcRef.value();")
     defineCodeGen(ctx, ev, c => s"$bf.mightContainLong($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * sorted_set_overlap_count(hashes): how many elements of an `array<bigint>`
+ * are members of a SORTED long array shipped to executors as a [[Broadcast]]
+ * (binary search per element — exact, no false positives). The per-row
+ * decision needs no shuffle, no join, and no state, which makes it legal in
+ * a Structured Streaming micro-batch where a per-doc aggregate + anti-join
+ * (the batch decontamination shape) is not. Null array -> null; null
+ * elements are skipped.
+ */
+case class SortedSetOverlapCount(child: Expression, set: Broadcast[Array[Long]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sorted_set_overlap_count expects array<bigint>, got ${t.sql}")
+  }
+
+  @transient private lazy val localSet: Array[Long] = set.value
+
+  override def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    var i = 0
+    var n = 0
+    while (i < a.numElements()) {
+      if (!a.isNullAt(i) && java.util.Arrays.binarySearch(localSet, a.getLong(i)) >= 0) n += 1
+      i += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("setBroadcast", set,
+      "org.apache.spark.broadcast.Broadcast")
+    val arr = ctx.addMutableState("long[]", "sortedSet",
+      v => s"$v = (long[]) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+        int $n = 0;
+        for (int $i = 0; $i < $c.numElements(); $i++) {
+          if (!$c.isNullAt($i) &&
+              java.util.Arrays.binarySearch($arr, $c.getLong($i)) >= 0) $n++;
+        }
+        ${ev.value} = $n;
+      """
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -245,6 +245,20 @@ object PyBridge {
     graft.dedup.Dedup.decontaminateBloom(corpus, id, text, blocklist, blocklistText,
       shingleSize, minOverlap, expectedShingles, fpp)
 
+  def decontaminateBroadcast(corpus: DataFrame, id: Column, text: Column,
+                             blocklist: DataFrame, blocklistText: Column,
+                             shingleSize: Int, minOverlap: Int,
+                             maxBlocklistShingles: Long): DataFrame =
+    graft.dedup.Dedup.decontaminateBroadcast(corpus, id, text, blocklist, blocklistText,
+      shingleSize, minOverlap, maxBlocklistShingles)
+
+  def decontaminateStream(stream: DataFrame, text: Column,
+                          blocklist: DataFrame, blocklistText: Column,
+                          shingleSize: Int, minOverlap: Int,
+                          maxBlocklistShingles: Long): DataFrame =
+    graft.streaming.StreamingDecontaminate.decontaminateStream(stream, text,
+      blocklist, blocklistText, shingleSize, minOverlap, maxBlocklistShingles)
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      queryId: Column, queryVec: Column,
                      corpusId: Column, corpusVec: Column, k: Int): DataFrame =

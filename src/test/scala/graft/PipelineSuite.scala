@@ -201,6 +201,38 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(tiny == exact)
   }
 
+  test("decontaminateBroadcast matches exact decontaminate; oversize blocklist refused") {
+    val corpus = (1 to 500).map { i =>
+      val base = s"document number $i talks about topic ${i % 7} in depth with many words " +
+        s"alpha$i beta gamma delta epsilon zeta eta theta iota kappa"
+      val text = if (i % 25 == 0) base + " the quick brown fox jumps over the lazy dog" else base
+      (i.toLong, text)
+    }.toDF("id", "text")
+    val block = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("id").as[Long].collect().sorted.toSeq
+    val exact = ids(Dedup.decontaminate(corpus, col("id"), col("text"), block, col("text"),
+      shingleSize = 5, minOverlap = 1))
+    val bcast = ids(Dedup.decontaminateBroadcast(corpus, col("id"), col("text"),
+      block, col("text"), shingleSize = 5, minOverlap = 1))
+    assert(bcast == exact)
+    // minOverlap above the shared-shingle count keeps everything
+    val lax = ids(Dedup.decontaminateBroadcast(corpus, col("id"), col("text"),
+      block, col("text"), shingleSize = 5, minOverlap = 100))
+    assert(lax.size == 500)
+    // null/short texts pass through unharmed (no shingles -> no overlap)
+    val withNull = corpus.union(Seq((9999L, null.asInstanceOf[String]), (9998L, "ab")).toDF("id", "text"))
+    val kept = ids(Dedup.decontaminateBroadcast(withNull, col("id"), col("text"),
+      block, col("text"), shingleSize = 5, minOverlap = 1))
+    assert(kept.contains(9999L) && kept.contains(9998L))
+    // a blocklist bigger than the bound is refused before it reaches the driver
+    val err = intercept[IllegalArgumentException] {
+      Dedup.decontaminateBroadcast(corpus, col("id"), col("text"),
+        corpus, col("text"), shingleSize = 5, minOverlap = 1, maxBlocklistShingles = 10L)
+    }
+    assert(err.getMessage.contains("decontaminateBloom"))
+  }
+
   test("bloom probe expression has no false negatives and codegen-compiles") {
     import org.apache.spark.sql.graftext._
     val values = spark.range(1000).select(xxhash64(col("id")).as("h"))

@@ -30,6 +30,44 @@ class StreamingDedupSuite extends AnyFunSuite with SparkTest {
     } finally query.stop()
   }
 
+  test("streaming decontamination filters per batch, identical to the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val block = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today again"), // contaminated
+      (2L, "a completely clean document about gardening and soil quality here"),
+      (3L, "another clean one regarding telescopes and the night sky above us"),
+      (4L, "prefix words then the quick brown fox jumps over the lazy dog"), // contaminated
+      (5L, null.asInstanceOf[String])) // no shingles -> kept
+
+    val input = MemoryStream[Long]
+    val lookup = docs.toDF("id", "text")
+    val stream = graft.streaming.StreamingDecontaminate.decontaminateStream(
+      input.toDF().toDF("id").join(lookup, "id"), col("text"), block, col("text"),
+      shingleSize = 5, minOverlap = 1)
+    val query = stream.writeStream.format("memory")
+      .queryName("sdc_out").outputMode("append").start()
+    try {
+      input.addData(1L, 2L, 3L)
+      query.processAllAvailable()
+      input.addData(4L, 5L)
+      query.processAllAvailable()
+      val ids = spark.table("sdc_out").select("id").as[Long].collect().toSet
+      assert(ids === Set(2L, 3L, 5L))
+      // identical to the batch operator over the same rows
+      val batch = graft.dedup.Dedup.decontaminateBroadcast(
+        lookup, col("id"), col("text"), block, col("text"),
+        shingleSize = 5, minOverlap = 1).select("id").as[Long].collect().toSet
+      assert(batch === ids)
+      // a batch frame is rejected (use the batch operator instead)
+      val err = intercept[IllegalArgumentException] {
+        graft.streaming.StreamingDecontaminate.decontaminateStream(
+          lookup, col("text"), block, col("text"))
+      }
+      assert(err.getMessage.contains("decontaminateBroadcast"))
+    } finally query.stop()
+  }
+
   test("streaming windowed quality report aggregates exactly across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String, String)]
