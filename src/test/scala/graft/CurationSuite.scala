@@ -134,6 +134,14 @@ class CurationSuite extends AnyFunSuite with SparkTest {
     assert(again == kept.toSet)
     // weight columns survive untouched; helper columns are dropped
     assert(out.columns.toSeq == Seq("s", "k", "w"))
+    // a null stratum is a stratum: its rows total separately (null-safe
+    // join) and, being under budget here, all survive
+    val withNull = df.union(Seq((null.asInstanceOf[String], 9001L, 10L),
+      (null.asInstanceOf[String], 9002L, 10L)).toDF("s", "k", "w"))
+    val keptNull = Sampling.tokenBudgetSample(
+      withNull, col("s"), col("k"), col("w"), budget = 4000L)
+      .filter(col("s").isNull).count()
+    assert(keptNull == 2)
   }
 
   test("gopherFilter keeps natural-language docs and drops degenerate ones") {

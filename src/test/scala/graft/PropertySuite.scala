@@ -209,6 +209,22 @@ class PropertySuite extends AnyFunSuite {
     })
   }
 
+  test("SortedSetOverlapCount counts exactly like a naive set intersection") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val genLongs = Gen.listOf(Gen.choose(-50L, 50L))
+    check("sortedSetOverlap", Prop.forAll(genLongs, genLongs) { (set, arr) =>
+      val sorted = set.distinct.sorted.toArray
+      val bc = spark.sparkContext.broadcast(sorted)
+      val expr = graft.functions.SortedSetOverlapCount(
+        Literal.create(arr, ArrayType(LongType, containsNull = false)), bc)
+      val got = expr.nullSafeEval(new GenericArrayData(arr.toArray)).asInstanceOf[Int]
+      val want = arr.count(set.contains)
+      bc.destroy()
+      got == want
+    })
+  }
+
   test("zValue is monotonic per coordinate and within lane bounds") {
     import graft.write.ZOrder
     import org.apache.spark.sql.functions.col
