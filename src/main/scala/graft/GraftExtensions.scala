@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.{BinaryType, StringType}
 import graft.functions.{ChunkTokens, CosineSimilarity, DeflateLength, DeletionVariants,
   DotProduct, HashedWordShingles, MinHashBandHashes, MinHashSignature, SimHash64,
   TokenStats, TokenizeAscii, TopNgramStats, WordShingles, WordShinglesAll}
-import graft.multimodal.{ByteEntropy, ByteNibbleHistogram, ImageDimsExpr, WavInfoExpr}
+import graft.multimodal.{ByteEntropy, ByteNibbleHistogram, ImageDimsExpr, VideoInfoExpr, WavInfoExpr}
 import graft.sample.Sampling
 import graft.text.Redact
 
@@ -150,6 +150,10 @@ object GraftExtensions {
     fn("wav_info",
       "wav_info(binary) - struct(channels, sample_rate, bits_per_sample, n_frames)") { es =>
       arity("wav_info", es, 1); WavInfoExpr(es.head)
+    },
+    fn("video_info",
+      "video_info(binary) - struct(format, width, height, duration_ms, n_frames)") { es =>
+      arity("video_info", es, 1); VideoInfoExpr(es.head)
     },
     // curation surface: built from codegen'd built-ins (RegExpReplace /
     // Md5+Substring), same constants as the Scala Redact/Sampling APIs

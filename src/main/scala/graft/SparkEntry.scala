@@ -636,6 +636,14 @@ object SparkEntry {
       graft.sample.Sampling.hashSample(
         t(s, dir, "documents"), col("doc_id"), 0.25).select(col("doc_id"))),
 
+    // deterministic global shuffle + round-robin sharding: position 1..N in
+    // md5 order via the 3-phase RowNumbers (range exchange + broadcast
+    // offsets — no single-partition window), shard = (pos-1) % 8
+    "shuffle_deterministic" -> ((s, dir) =>
+      graft.sample.Sampling.shuffleByHash(
+        t(s, dir, "documents").select(col("doc_id")), col("doc_id"), numShards = 8)
+        .select(col("doc_id"), col("shuffle_pos"), col("shard"))),
+
     // deterministic weighted (importance) sampling: keep probability
     // min(1, n_chars/2000) per doc — every arithmetic step bit-identical
     // across engines (IEEE multiply, floor, fixed-width hex render)
@@ -909,6 +917,16 @@ object SparkEntry {
         .toDF()
         .select(col("id").as("audio_id"), col("channels"), col("sample_rate"),
           col("bits_per_sample"), col("n_frames"), col("n_bytes"))),
+
+    // real MP4/AVI container-header decode over committed synthetic payloads
+    // built box-by-box in python (tools/make_golden.py) — the expected
+    // columns ARE the construction parameters
+    "multimodal_video" -> ((s, dir) =>
+      graft.multimodal.Multimodal.extractVideoFeatures(
+        s.read.parquet(s"$goldenDir/videos.parquet"), col("video_id"), col("payload"))
+        .toDF()
+        .select(col("id").as("video_id"), col("format"), col("width"), col("height"),
+          col("duration_ms"), col("n_frames"), col("n_bytes"))),
 
     // O25 parquet footer facts (oracle: DuckDB parquet_file_metadata())
     "parquet_metadata_scan" -> ((s, dir) =>
@@ -1399,6 +1417,14 @@ object SparkEntry {
         ("SELECT doc_id FROM documents " +
           "WHERE substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'"),
 
+      // global shuffle order = (md5(salt||key), key); position via
+      // row_number, shard = (pos-1) % 8 — BIGINT arithmetic in both engines
+      "shuffle_deterministic" ->
+        ("SELECT doc_id, " +
+          "row_number() OVER (ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)), doc_id) AS shuffle_pos, " +
+          "(row_number() OVER (ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)), doc_id) - 1) % 8 AS shard " +
+          "FROM documents"),
+
       "sample_weighted" ->
         ("SELECT doc_id FROM documents " +
           "WHERE substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) < " +
@@ -1579,6 +1605,10 @@ object SparkEntry {
       "multimodal_audio" ->
         ("SELECT audio_id, channels, sample_rate, bits_per_sample, n_frames, n_bytes " +
           s"FROM read_parquet('$goldenDir/audio.parquet')"),
+
+      "multimodal_video" ->
+        ("SELECT video_id, format, width, height, duration_ms, n_frames, n_bytes " +
+          s"FROM read_parquet('$goldenDir/videos.parquet')"),
 
       // t2 correctness runs at sf0.01 (TESTDATA.md), so the oracle reads the
       // sf0.01 file directly — DuckDB has no table-level footer introspection.

@@ -42,6 +42,18 @@ object MultimodalKernels extends Serializable {
       case None => null
     }
 
+  /** [[VideoHeaders.videoInfo]] as an InternalRow (format, width, height,
+    * duration_ms, n_frames) for [[VideoInfoExpr]]; null if not a video. */
+  def videoInfoRow(bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow =
+    VideoHeaders.videoInfo(bytes) match {
+      case Some(v) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(v.format),
+            v.width, v.height, v.durationMs,
+            if (v.nFrames >= 0) v.nFrames else null))
+      case None => null
+    }
+
   /** Shannon entropy (bits/byte) of a byte payload; 0.0 for empty. */
   def entropy(bytes: Array[Byte]): Double = {
     if (bytes.isEmpty) return 0.0
@@ -165,6 +177,36 @@ case class WavInfoExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** video_info(binary) -> struct(format, width, height, duration_ms,
+  * n_frames), null for non-video payloads (n_frames null when the container
+  * does not state it — ISO-BMFF). */
+case class VideoInfoExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = true)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"video_info expects binary, got ${t.sql}")
+  }
+
+  override def nullSafeEval(bytes: Any): Any =
+    MultimodalKernels.videoInfoRow(bytes.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+      ${ev.value} = graft.multimodal.MultimodalKernels.videoInfoRow($b);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Decoded-media feature row produced by the batched header decoder: format
   * and dimensions are None when the payload is not a recognized image. */
 case class MediaFeatures(id: Long, n_bytes: Long, entropy: Double,
@@ -174,6 +216,12 @@ case class MediaFeatures(id: Long, n_bytes: Long, entropy: Double,
 case class AudioFeatures(id: Long, n_bytes: Long, channels: Option[Int],
                          sample_rate: Option[Int], bits_per_sample: Option[Int],
                          n_frames: Option[Long])
+
+/** Decoded-video feature row: container facts are None for unrecognized
+  * payloads; n_frames also None when the container does not state it. */
+case class VideoFeatures(id: Long, n_bytes: Long, format: Option[String],
+                         width: Option[Int], height: Option[Int],
+                         duration_ms: Option[Long], n_frames: Option[Long])
 
 object Multimodal {
 
@@ -193,6 +241,10 @@ object Multimodal {
   /** struct(channels, sample_rate, bits_per_sample, n_frames) of a WAV
     * payload; null for non-WAV. */
   def wav_info(c: Column): Column = WavInfoExpr(c.asExpression).asColumn
+
+  /** struct(format, width, height, duration_ms, n_frames) of an MP4/AVI
+    * payload; null for non-video. */
+  def video_info(c: Column): Column = VideoInfoExpr(c.asExpression).asColumn
 
   /** Attach a metadata struct next to a binary payload column. */
   def withMediaMetadata(df: DataFrame, bin: Column, format: String, source: Column): DataFrame =
@@ -246,6 +298,22 @@ object Multimodal {
           AudioFeatures(r.getLong(0), bytes.length.toLong,
             info.map(_.channels), info.map(_.sampleRate), info.map(_.bitsPerSample),
             info.map(_.nFrames).filter(_ >= 0))
+        }
+      }
+  }
+
+  /** Video twin of [[extractMediaFeatures]]: MP4/AVI container facts
+    * ([[VideoHeaders.videoInfo]]) per payload, batched per partition. */
+  def extractVideoFeatures(df: DataFrame, id: Column, bin: Column): Dataset[VideoFeatures] = {
+    implicit val enc: Encoder[VideoFeatures] = Encoders.product[VideoFeatures]
+    df.select(id.cast("long").as("id"), bin.as("payload"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("payload")
+          val info = VideoHeaders.videoInfo(bytes)
+          VideoFeatures(r.getLong(0), bytes.length.toLong,
+            info.map(_.format), info.map(_.width), info.map(_.height),
+            info.map(_.durationMs), info.map(_.nFrames).filter(_ >= 0))
         }
       }
   }

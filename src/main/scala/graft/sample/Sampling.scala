@@ -147,6 +147,39 @@ object Sampling {
   }
 
   /**
+   * Deterministic GLOBAL shuffle: every row gets a contiguous position
+   * 1..N in `md5(salt || key)` order (ties broken by the key, so the order
+   * is total) — the "shuffle the corpus before sharding" step a training
+   * pipeline runs last, made reproducible: the same corpus yields the same
+   * order on any partitioning, at any scale, in any engine with md5.
+   *
+   * With `numShards > 0` a `shardColumn` is added: `(pos - 1) % numShards`,
+   * a round-robin assignment that is exactly balanced (shard sizes differ by
+   * at most one) and keeps each shard itself in hash order. To write shards,
+   * `repartition(numShards, col(shardColumn))` then sort within partitions
+   * by position — no further shuffle is needed.
+   *
+   * Scale shape: one range exchange (the sort) plus
+   * [[graft.RowNumbers.withRowNumbers]]'s 3-phase position assignment —
+   * the offsets side is #partitions rows, always broadcastable; no global
+   * single-partition window anywhere. The position join persists an
+   * intermediate: pass an [[graft.UnpersistHandle]] to release it.
+   */
+  def shuffleByHash(
+      df: DataFrame, key: Column, salt: String = "graft",
+      positionColumn: String = "shuffle_pos",
+      numShards: Int = 0, shardColumn: String = "shard",
+      unpersistHandle: graft.UnpersistHandle = graft.UnpersistHandle.Noop): DataFrame = {
+    require(numShards >= 0, s"numShards must be non-negative: $numShards")
+    val h = md5(concat(lit(salt), key.cast("string")))
+    val positioned = graft.RowNumbers.withRowNumbers(
+      df, positionColumn, order = Seq(h.asc, key.asc), unpersistHandle = unpersistHandle)
+    if (numShards > 0)
+      positioned.withColumn(shardColumn, (col(positionColumn) - 1) % numShards)
+    else positioned
+  }
+
+  /**
    * Per-stratum sampling rates (e.g. up-sample a high-quality source,
    * down-sample a boilerplate-heavy one) with `defaultRate` for strata not
    * listed. The per-row threshold is a chained CASE on the stratum value —

@@ -144,6 +144,36 @@ class CurationSuite extends AnyFunSuite with SparkTest {
     assert(keptNull == 2)
   }
 
+  test("shuffleByHash assigns a 1..N permutation in hash order, stable across partitionings") {
+    val keys = (0L until 3000L).toDF("k")
+    val handle = graft.UnpersistHandle()
+    val out = Sampling.shuffleByHash(keys, col("k"), numShards = 7, unpersistHandle = handle)
+      .select(col("k"), col("shuffle_pos"), col("shard"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    handle.unpersist()
+    // positions are a contiguous permutation 1..N
+    assert(out.map(_._2).sorted.toSeq == (1L to 3000L))
+    // order follows (md5(salt||key), key): spot-check against a local sort
+    val md5Order = out.map { case (k, pos, _) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft$k".getBytes("UTF-8"))
+      (d.map("%02x".format(_)).mkString, k) -> pos
+    }.sortBy(_._1)
+    assert(md5Order.map(_._2).toSeq == (1L to 3000L), "positions must follow md5 order")
+    // shard is round-robin by position: exactly balanced, 7 shards
+    val sizes = out.groupBy(_._3).map(_._2.length)
+    assert(sizes.max - sizes.min <= 1 && out.map(_._3).distinct.length == 7)
+    assert(out.forall { case (_, pos, shard) => shard == (pos - 1) % 7 })
+    // the permutation is a pure function of the keys — partitioning-independent
+    val h2 = graft.UnpersistHandle()
+    val again = Sampling.shuffleByHash(keys.repartition(13), col("k"),
+        numShards = 7, unpersistHandle = h2)
+      .select(col("k"), col("shuffle_pos"), col("shard"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    h2.unpersist()
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("gopherFilter keeps natural-language docs and drops degenerate ones") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over a lazy dog and then it runs far away to the old barn door again"),

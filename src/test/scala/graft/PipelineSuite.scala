@@ -616,6 +616,35 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(AudioHeaders.wavInfo(null).isEmpty)
   }
 
+  test("VideoHeaders parses the committed MP4/AVI fixtures; misses decode to None") {
+    import graft.multimodal.{Multimodal, VideoHeaders}
+    val fixture = spark.read.parquet("src/test/resources/golden/videos.parquet")
+    val got = Multimodal.extractVideoFeatures(fixture, col("video_id"), col("payload"))
+      .collect().map(v => v.id -> v).toMap
+    // expected facts live IN the fixture: they are the python box-builder's
+    // construction parameters, independent of the JVM parser by definition
+    val expected = fixture
+      .select("video_id", "format", "width", "height", "duration_ms", "n_frames")
+      .as[(Long, Option[String], Option[Int], Option[Int], Option[Long], Option[Long])]
+      .collect()
+    expected.foreach { case (id, fmt, w, h, dur, frames) =>
+      val v = got(id)
+      assert(v.format == fmt && v.width == w && v.height == h &&
+        v.duration_ms == dur && v.n_frames == frames, s"video_id=$id: $v")
+    }
+    assert(expected.exists(_._2.contains("mp4")) && expected.exists(_._2.contains("avi")))
+    assert(expected.exists(_._2.isEmpty), "fixture should include miss cases")
+    // structural edge cases: truncation mid-box, corrupt sizes, null
+    val mp4 = fixture.filter(col("format") === "mp4").select("payload")
+      .as[Array[Byte]].head()
+    assert(VideoHeaders.videoInfo(mp4.take(40)).isEmpty) // moov cut off
+    val corrupt = mp4.clone(); corrupt(0) = 0x7f.toByte  // first box size > file
+    assert(VideoHeaders.videoInfo(corrupt).isEmpty)
+    assert(VideoHeaders.videoInfo("RIFF....WAVE not avi".getBytes).isEmpty)
+    assert(VideoHeaders.videoInfo(Array.empty[Byte]).isEmpty)
+    assert(VideoHeaders.videoInfo(null).isEmpty)
+  }
+
   test("image_dims / wav_info are codegen'd struct columns, SQL-registrable") {
     def read(p: String): Array[Byte] = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
     val png = read("src/test/resources/golden/git-logo.png")
@@ -630,10 +659,17 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     GraftExtensions.registerAll(spark)
     df.createOrReplaceTempView("media_payloads")
     val sqlRow = spark.sql(
-      "SELECT id, image_dims(payload).width AS w, wav_info(payload) AS wv " +
-        "FROM media_payloads ORDER BY id").collect()
-    assert(sqlRow(0).getInt(1) == 72 && sqlRow(0).isNullAt(2))
-    assert(sqlRow(1).isNullAt(1) && sqlRow(1).isNullAt(2))
+      "SELECT id, image_dims(payload).width AS w, wav_info(payload) AS wv, " +
+        "video_info(payload) AS vi FROM media_payloads ORDER BY id").collect()
+    assert(sqlRow(0).getInt(1) == 72 && sqlRow(0).isNullAt(2) && sqlRow(0).isNullAt(3))
+    assert(sqlRow(1).isNullAt(1) && sqlRow(1).isNullAt(2) && sqlRow(1).isNullAt(3))
+    // video_info over a committed MP4 payload via SQL
+    spark.read.parquet("src/test/resources/golden/videos.parquet")
+      .createOrReplaceTempView("video_payloads")
+    val vRow = spark.sql(
+      "SELECT video_info(payload).width AS w, video_info(payload).duration_ms AS d " +
+        "FROM video_payloads WHERE video_id = 0").head()
+    assert(vRow.getInt(0) == 640 && vRow.getLong(1) == 5000L)
   }
 
   test("media metadata struct travels with the payload") {

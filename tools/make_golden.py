@@ -236,6 +236,89 @@ def make_audio_fixture():
 
 
 # ---------------------------------------------------------------------------
+# video container fixtures: synthetic ISO-BMFF (MP4) and RIFF/AVI payloads
+# built box-by-box with struct — the expected values ARE the construction
+# parameters, independent of the JVM parser by definition
+# ---------------------------------------------------------------------------
+def mp4_box(typ, payload, largesize=False):
+    if largesize:
+        return struct.pack(">I", 1) + typ + struct.pack(">Q", 16 + len(payload)) + payload
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def mp4_mvhd(timescale, duration, version=0):
+    if version == 1:
+        p = b"\x01\x00\x00\x00" + struct.pack(">QQIQ", 0, 0, timescale, duration)
+    else:
+        p = b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, timescale, duration)
+    # rate, volume, reserved, matrix, pre_defined, next_track_ID
+    return mp4_box(b"mvhd", p + struct.pack(">I", 0x00010000) + b"\x01\x00" +
+                   b"\x00" * 10 + b"\x00" * 36 + b"\x00" * 24 + struct.pack(">I", 2))
+
+
+def mp4_tkhd(width, height, version=0):
+    if version == 1:
+        head = b"\x01\x00\x00\x07" + struct.pack(">QQIIQ", 0, 0, 1, 0, 0)
+    else:
+        head = b"\x00\x00\x00\x07" + struct.pack(">IIIII", 0, 0, 1, 0, 0)
+    tail = (b"\x00" * 8 + b"\x00" * 2 + b"\x00" * 2 + b"\x00" * 2 + b"\x00" * 2 +
+            b"\x00" * 36 + struct.pack(">II", width << 16, height << 16))
+    return mp4_box(b"tkhd", head + tail)
+
+
+def make_mp4(width, height, timescale, duration, version=0,
+             audio_track_first=False, largesize_moov=False):
+    ftyp = mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    traks = [mp4_box(b"trak", mp4_tkhd(width, height, version))]
+    if audio_track_first:
+        traks.insert(0, mp4_box(b"trak", mp4_tkhd(0, 0, version)))
+    moov_payload = mp4_mvhd(timescale, duration, version) + b"".join(traks)
+    moov = mp4_box(b"moov", moov_payload, largesize=largesize_moov)
+    free = mp4_box(b"free", b"\x00" * 16)
+    return ftyp + moov + free + mp4_box(b"mdat", b"\xab" * 64)
+
+
+def make_avi(width, height, us_per_frame, total_frames):
+    avih = struct.pack("<IIIIIIIIII", us_per_frame, 0, 0, 0, total_frames,
+                       0, 1, 0, width, height) + b"\x00" * 16
+    avih_chunk = b"avih" + struct.pack("<I", len(avih)) + avih
+    hdrl = b"hdrl" + avih_chunk
+    lst = b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    movi = b"LIST" + struct.pack("<I", 4) + b"movi"
+    body = b"AVI " + lst + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def make_video_fixture():
+    rows = []  # (payload, format, width, height, duration_ms, n_frames)
+    # duration_ms = duration * 1000 // timescale (floor, both engines)
+    rows.append((make_mp4(640, 360, 1000, 5000), "mp4", 640, 360, 5000, None))
+    rows.append((make_mp4(1920, 1080, 90000, 630000, version=1,
+                          audio_track_first=True), "mp4", 1920, 1080, 7000, None))
+    rows.append((make_mp4(320, 240, 600, 901, largesize_moov=True),
+                 "mp4", 320, 240, 901 * 1000 // 600, None))
+    rows.append((make_avi(1280, 720, 33333, 300), "avi", 1280, 720,
+                 300 * 33333 // 1000, 300))
+    # miss cases: plain text, and RIFF-but-WAVE (audio, not AVI)
+    rows.append((b"definitely not a video payload....", None, None, None, None, None))
+    wav_hdr = b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt " + struct.pack("<I", 16) + b"\x00" * 16
+    rows.append((wav_hdr, None, None, None, None, None))
+
+    table = pa.table({
+        "video_id": pa.array(range(len(rows)), pa.int64()),
+        "payload": pa.array([r[0] for r in rows], pa.binary()),
+        "format": pa.array([r[1] for r in rows], pa.string()),
+        "width": pa.array([r[2] for r in rows], pa.int32()),
+        "height": pa.array([r[3] for r in rows], pa.int32()),
+        "duration_ms": pa.array([r[4] for r in rows], pa.int64()),
+        "n_frames": pa.array([r[5] for r in rows], pa.int64()),
+        "n_bytes": pa.array([len(r[0]) for r in rows], pa.int64()),
+    })
+    pq.write_table(table, f"{OUT}/videos.parquet")
+    print(f"videos.parquet: {len(rows)} rows")
+
+
+# ---------------------------------------------------------------------------
 # DEFLATE lengths for compression_signal (python zlib == JVM Deflater: both
 # wrap the same zlib; raw stream, level 6 — verified byte-identical)
 # ---------------------------------------------------------------------------
@@ -356,5 +439,6 @@ def make_ann_goldens():
 if __name__ == "__main__":
     make_images_fixture()
     make_audio_fixture()
+    make_video_fixture()
     make_deflate_fixture()
     make_ann_goldens()
