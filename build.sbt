@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must reach the caller VERBATIM: the driver json-parses
+// Bench's metric line from the tail of captured stdout, and sbt's default
+// LoggedOutput decorates every line with an "[info] " prefix.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and the trailing "[success] Total time: ..." line would eat ~74 chars
+// of that same tail window.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -104,18 +104,53 @@ object Bench {
       probes += calibrate(cpus.toInt)
     }
 
-    val qs = best.map { case (k, v) => "\"" + jsonEscape(k) + "\":" + v }
-      .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v) + "\"" }
-      .mkString("{", ",", "}")
+    // The driver captures only the LAST ~2000 characters of stdout and
+    // json-parses the metric line from that tail (rounds 1-5 all came back
+    // `parsed: null` because the full-precision line was ~3.5 KB and its
+    // head — `{"metric":...` — fell off the window). So stdout gets ONE
+    // compact line — 1-decimal seconds with trailing zeros trimmed, errors
+    // omitted when empty, calib collapsed to max/min effective cores, sf as
+    // basename — that fits the window with sbt's trailing "[success]" line
+    // included (~1.8 KB at the current 80-query set, re-check if it grows
+    // past ~90). Full-precision timings, probe detail, and untruncated
+    // errors go to target/bench_full.json for local analysis.
+    def num(v: Double, coarse: Boolean): String = {
+      val s = if (coarse && v >= 1.0) f"$v%.0f" else f"$v%.1f"
+      if (s.endsWith(".0")) s.dropRight(2) else s
+    }
     val total = best.values.sum
     val cores = probes.map { case (c1, cn) => if (cn > 0) c1 / cn else 0.0 }
+    def compactLine(coarse: Boolean): String = {
+      val qs = best.map { case (k, v) => "\"" + jsonEscape(k) + "\":" + num(v, coarse) }
+        .mkString("{", ",", "}")
+      val errs =
+        if (errors.isEmpty) ""
+        else errors.map { case (k, v) => "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v.take(60)) + "\"" }
+          .mkString("\"errors\":{", ",", "},")
+      val calib = s""""cores":${num(cores.max, coarse = false)},"min":${num(cores.min, coarse = false)}"""
+      val sfName = new java.io.File(sfDir).getName
+      s"""{"metric":"total","value":${num(total, coarse = false)},"unit":"sec","queries":$qs,$errs$calib,"sf":"${jsonEscape(sfName)}"}"""
+    }
+
+    val fullQs = best.map { case (k, v) => "\"" + jsonEscape(k) + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullErrs = errors.map { case (k, v) => "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v) + "\"" }
+      .mkString("{", ",", "}")
     val probesJson = probes.zip(cores).map { case ((c1, cn), e) =>
       s"""{"t_1thread":$c1,"t_nthreads":$cn,"effective_cores":$e}"""
     }.mkString("[", ",", "]")
-    val calib = s""""calib":{"threads":${cpus.toInt},"probes":$probesJson,""" +
+    val fullCalib = s""""calib":{"threads":${cpus.toInt},"probes":$probesJson,""" +
       s""""effective_cores":${cores.max},"effective_cores_min":${cores.min}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,$calib,"sf":"${jsonEscape(sfDir)}"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$fullErrs,$fullCalib,"sf":"${jsonEscape(sfDir)}"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench_full.json"), full)
+    catch { case _: Throwable => () }
+
+    // stop BEFORE printing so no shutdown logging can land after the metric
+    // line; then pick the finest precision whose line still leaves tail-window
+    // headroom (1-decimal everywhere, else whole seconds for values >= 1)
     spark.stop()
+    val line = Some(compactLine(coarse = false)).filter(_.length <= 1880)
+      .getOrElse(compactLine(coarse = true))
+    println(line)
   }
 }

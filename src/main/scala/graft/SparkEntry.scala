@@ -41,6 +41,25 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /**
+   * `events.ts` as epoch MICROseconds, robust to how the datagen typed the
+   * column across rounds: parquet TIMESTAMP(NANOS) read as long nanos
+   * (spark.sql.legacy.parquet.nanosAsLong=true), TIMESTAMP_NTZ (timestamp[us]
+   * with isAdjustedToUTC=false — the current datagen), or an instant
+   * TIMESTAMP. DuckDB's `epoch_us(ts)` treats the naive value as UTC, so the
+   * NTZ branch casts through the session timezone — Verify/Bench pin it to
+   * UTC, making both engines see identical integers.
+   */
+  private[graft] def eventTsUs(ev: DataFrame): org.apache.spark.sql.Column =
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("ts").cast("timestamp"))
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col("ts"))
+      case other =>
+        throw new IllegalStateException(s"unsupported events.ts type: $other")
+    }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("diff_orders")(spark, "/root/testdata/sf0.001")
@@ -254,14 +273,12 @@ object SparkEntry {
 
     // as-of join: for each click, the latest prior error state of the same
     // user — one hash shuffle on user_id (union + per-key sort + running
-    // last), no inequality-join nested loop. events.ts is TIMESTAMP(NANOS)
-    // read as long nanos; compared in microseconds so both engines use the
-    // same truncated values (DuckDB reads the column at micro precision).
+    // last), no inequality-join nested loop. Compared in epoch microseconds
+    // so both engines use the same integers regardless of the parquet
+    // timestamp physical type (see eventTsUs).
     "asof_join" -> ((s, dir) => {
-      require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-        "session must set spark.sql.legacy.parquet.nanosAsLong=true (events.ts is TIMESTAMP(NANOS))")
       val ev = t(s, dir, "events")
-      val us = expr("ts DIV 1000")
+      val us = eventTsUs(ev)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), us.as("ts_us"))
       val errs = ev.filter(col("event_type") === "error")
@@ -300,22 +317,15 @@ object SparkEntry {
     // sessionization: per-user view sessions split at 30-minute gaps —
     // one shuffle on user_id, both window passes share a single sort
     "sessionize" -> ((s, dir) => {
-      require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-        "session must set spark.sql.legacy.parquet.nanosAsLong=true (events.ts is TIMESTAMP(NANOS))")
-      val views = t(s, dir, "events").filter(col("event_type") === "view")
-        .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("ts_us"))
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), eventTsUs(ev).as("ts_us"))
       graft.events.Sessionize.withSessionIndex(
         views, col("user_id"), col("ts_us"), lit(1800000000L)) // 30 min in us
     }),
 
-    // F2 count_null aggregate (nulls synthesized: no raw nulls in testdata).
-    // events.ts is TIMESTAMP(NANOS); reading the table needs
-    // spark.sql.legacy.parquet.nanosAsLong=true, set once at session setup by
-    // Verify/Bench (mutating it here would leak into later queries and make
-    // behavior query-order dependent).
+    // F2 count_null aggregate (nulls synthesized: no raw nulls in testdata)
     "count_null_events" -> ((s, dir) => {
-      require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-        "session must set spark.sql.legacy.parquet.nanosAsLong=true (events.ts is TIMESTAMP(NANOS))")
       t(s, dir, "events").agg(
         graft.functions.count_null(
           when(col("event_type") === "error", lit(null)).otherwise(col("value"))).as("value_nulls"),
@@ -530,11 +540,14 @@ object SparkEntry {
 
     // mergeable rank-sketch quantiles kept honest: approx_percentile vs the
     // exact discrete quantile (value at floor(q*(n-1))+1 in sort order —
-    // explicit definition, bit-identical in both engines)
+    // explicit definition, bit-identical in both engines). The value stays
+    // the source column's own DOUBLE: a DECIMAL(18,2) cast renders
+    // "52833.80" from Spark parquet but 52833.8 from DuckDB — same number,
+    // different text, hash mismatch (the round-5 gate failure).
     "quantile_gate" -> ((s, dir) =>
       graft.agg.Profile.quantileGate(
         t(s, dir, "lineitem"), col("l_returnflag"),
-        col("l_extendedprice").cast(DecimalType(18, 2)), q = 0.5,
+        col("l_extendedprice"), q = 0.5,
         accuracy = 10000, tolerance = 0.01)),
 
     // TF-IDF distinctive terms per source: exact integer scoring
@@ -1294,7 +1307,7 @@ object SparkEntry {
       // ascending index floor(q*(n-1))+1 — no quantile_disc/percentile
       // builtin whose interpolation rule could differ between engines
       "quantile_gate" ->
-        ("WITH r AS (SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS v " +
+        ("WITH r AS (SELECT l_returnflag, l_extendedprice AS v " +
           "FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
           "s AS (SELECT l_returnflag, v, " +
           "row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn, " +
