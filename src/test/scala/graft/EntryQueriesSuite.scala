@@ -49,6 +49,22 @@ class EntryQueriesSuite extends AnyFunSuite with SparkTest {
     assert(e.getMessage.contains("unsupported events.ts type"))
   }
 
+  test("every gate query executes against the real sf0.001 datagen output") {
+    // The full-surface datagen-drift guard: any silent schema/type change in
+    // the driver-generated tables surfaces here at `sbt test` time instead
+    // of at the round gate. Execution only (forced via toRdd.count, like
+    // Bench) — value correctness is the DuckDB oracle's job.
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    val failures = SparkEntry.queries.flatMap { case (name, fn) =>
+      try { fn(spark, dir).queryExecution.toRdd.count(); None }
+      catch { case e: Throwable =>
+        Some(s"$name: ${e.getClass.getSimpleName} ${Option(e.getMessage).getOrElse("").take(120)}")
+      } finally spark.catalog.clearCache()
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("events gate queries run against the real sf0.001 datagen output") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/events.parquet").exists())
