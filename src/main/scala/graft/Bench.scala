@@ -146,10 +146,12 @@ object Bench {
     catch { case _: Throwable => () }
 
     // stop BEFORE printing so no shutdown logging can land after the metric
-    // line; then pick the finest precision whose line still leaves tail-window
-    // headroom (1-decimal everywhere, else whole seconds for values >= 1)
+    // line; then pick the finest precision whose line still fits the 2000-char
+    // tail window (the metric line is the LAST stdout line — showSuccess is
+    // off — so only its own newline shares the window): 1-decimal everywhere,
+    // else whole seconds for values >= 1
     spark.stop()
-    val line = Some(compactLine(coarse = false)).filter(_.length <= 1880)
+    val line = Some(compactLine(coarse = false)).filter(_.length <= 1960)
       .getOrElse(compactLine(coarse = true))
     println(line)
   }
