@@ -18,6 +18,9 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // ...and the trailing "[success] Total time: ..." line would eat ~74 chars
 // of that same tail window.
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not by another setting —
+// exclude it from the unused-key lint so compile output stays clean
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

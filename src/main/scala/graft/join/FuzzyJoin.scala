@@ -43,18 +43,24 @@ object FuzzyJoin {
       .select(col("__fj_id"), col("__fj_s"),
         explode(vectors.deletion_variants(col("__fj_s"))).as("__fj_sigtext"))
       .select(col("__fj_id"), col("__fj_s"), xxhash64(col("__fj_sigtext")).as("__fj_sig"))
-    val a = sigs.select(col("__fj_id").as("idA"), col("__fj_s").as("__sA"), col("__fj_sig"))
-    val b = sigs.select(col("__fj_id").as("idB"), col("__fj_s").as("__sB"), col("__fj_sig"))
+    // self-join via ALIASES of the one signature plan (not two re-projected
+    // copies): both join children then canonicalize to the same subtree, so
+    // ReuseExchange materializes the explode+shuffle ONCE and the second
+    // side reads the shuffle files — halving the dominant cost (verified by
+    // the ReusedExchange plan assertion in JoinsSuite).
+    //
     // verify BEFORE dedup: candidates that fail levenshtein (chance
     // signature collisions — the majority) die right after the join instead
     // of paying the distinct shuffle; a true pair seen via several shared
     // signatures re-evaluates the (codegen'd) levenshtein and dedups after,
     // so the distinct shuffles only verified pairs.
-    a.join(b, Seq("__fj_sig"))
-      .filter(col("idA") < col("idB") && col("__sA") =!= col("__sB") &&
-        levenshtein(col("__sA"), col("__sB")) <= 1)
-      .select(col("idA"), col("idB"),
-        levenshtein(col("__sA"), col("__sB")).as("dist"))
+    sigs.as("__fjA").join(sigs.as("__fjB"),
+        col("__fjA.__fj_sig") === col("__fjB.__fj_sig"))
+      .filter(col("__fjA.__fj_id") < col("__fjB.__fj_id") &&
+        col("__fjA.__fj_s") =!= col("__fjB.__fj_s") &&
+        levenshtein(col("__fjA.__fj_s"), col("__fjB.__fj_s")) <= 1)
+      .select(col("__fjA.__fj_id").as("idA"), col("__fjB.__fj_id").as("idB"),
+        levenshtein(col("__fjA.__fj_s"), col("__fjB.__fj_s")).as("dist"))
       .distinct()
   }
 }

@@ -273,4 +273,30 @@ class JoinsSuite extends AnyFunSuite with SparkTest {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"fuzzy join must not cross-join:\n$plan")
   }
+
+  test("editDistance1Pairs builds the signature shuffle once on the non-broadcast path") {
+    // At scale the signature set exceeds the broadcast threshold and the
+    // join becomes a shuffle join; because both sides are ALIASES of the
+    // one signature plan, the second side must read the first side's
+    // shuffle files (ReusedExchange / reused AQE stage) instead of
+    // re-running the explode+hash — the dominant cost, built once.
+    val names = Seq(
+      (1L, "smith"), (2L, "smyth"), (3L, "smiths"), (4L, "mith"),
+      (5L, "jones"), (6L, "smith")
+    ).toDF("id", "name")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fz = graft.join.FuzzyJoin.editDistance1Pairs(names, $"id", $"name")
+      // materialize THIS query's own plan (count() would plan a different
+      // query): AQE applies exchange reuse at stage materialization, so the
+      // final plan string only shows it after execution
+      assert(fz.queryExecution.toRdd.count() == 6)
+      val plan = fz.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||
+        plan.contains("ShuffleQueryStage") && plan.contains("isFinalPlan=true") &&
+          "Generate explode".r.findAllIn(plan).size <= 1,
+        s"signature shuffle must be built once and reused:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
