@@ -28,6 +28,7 @@ __all__ = [
     "deduplicate_lines", "decontaminate", "decontaminate_bloom", "brute_force_top_k",
     "register_sql_functions",
     "connected_components", "assign_clusters", "deduplicate_by_clusters",
+    "keep_best_by_clusters",
     "deduplicate_minhash_clusters", "hash_sample", "stratified_hash_sample",
     "redact_pii", "redact_emails", "redact_ipv4", "redact_long_digits",
     "asof_join", "range_join", "with_session_index", "session_bounds",
@@ -262,6 +263,17 @@ def deduplicate_by_clusters(df: DataFrame, id_col: ColumnOrName, pairs: DataFram
     transitivity that pairwise keep-first misses."""
     jdf = _bridge(df).deduplicateByClusters(
         df._jdf, _jcol(id_col), pairs._jdf, int(max_iterations))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def keep_best_by_clusters(df: DataFrame, id_col: ColumnOrName,
+                          score: ColumnOrName, pairs: DataFrame,
+                          max_iterations: int = 50) -> DataFrame:
+    """Keep one document per near-dup component: the HIGHEST `score`
+    (quality prior), ties broken by smallest id. The per-component argmax
+    plans as a map-side WindowGroupLimit rank-1 filter."""
+    jdf = _bridge(df).keepBestByClusters(
+        df._jdf, _jcol(id_col), _jcol(score), pairs._jdf, int(max_iterations))
     return DataFrame(jdf, df.sparkSession)
 
 

@@ -341,6 +341,11 @@ class GraftsparkTest(unittest.TestCase):
         kept = sorted(r["id"] for r in
                       P.deduplicate_by_clusters(base, "id", pairs).collect())
         self.assertEqual(kept, [1, 4])
+        scored = self.spark.createDataFrame(
+            [(1, 10), (2, 30), (3, 20), (4, 5)], ["id", "score"])
+        best = sorted(r["id"] for r in
+                      P.keep_best_by_clusters(scored, "id", "score", pairs).collect())
+        self.assertEqual(best, [2, 4])  # highest score in the 1~3~2 family wins
         # redaction scrubs emails, IPv4 and long digit runs
         red = self.spark.createDataFrame(
             [("mail a@b.co from 8.8.8.8 ref 987654321",)], ["t"]) \

@@ -801,6 +801,21 @@ object SparkEntry {
       out.select(col("doc_id"), col("cluster_id"))
     }),
 
+    // quality-prior canonical selection: one survivor per near-dup cluster,
+    // the LONGEST text (ties: smallest doc_id) — per-cluster argmax planned
+    // as a map-side WindowGroupLimit rank-1 filter, O(clusters) shuffle rows
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val handle = UnpersistHandle()
+      val pairs = graft.dedup.Dedup.nearDupPairsMinHash(
+        docs, col("doc_id"), col("text"), threshold = 0.8, unpersistHandle = handle)
+      val out = graft.dedup.Clustering.keepBestByClusters(
+        docs.select(col("doc_id"), length(col("text")).as("n_chars")),
+        col("doc_id"), col("n_chars"), pairs)
+      handle.unpersist()
+      out.select(col("doc_id"), col("n_chars"))
+    }),
+
     // SimHash bit-band candidates verified by exact shingle Jaccard
     "dedup_simhash_pairs" -> ((s, dir) => {
       val handle = UnpersistHandle()
@@ -1529,6 +1544,23 @@ object SparkEntry {
           "UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a WHERE e.b <> r.a) " +
           "SELECT d.doc_id, CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT) AS cluster_id " +
           "FROM documents d LEFT JOIN r ON d.doc_id = r.a GROUP BY d.doc_id"),
+
+      // same recursive-CTE components as dedup_clusters, then the
+      // per-cluster argmax on text length with smallest-doc_id tie-break
+      "dedup_keep_best" ->
+        (s"WITH RECURSIVE $docTokCte, $docShCte, $docPairCte, " +
+          "e AS (SELECT ia AS a, ib AS b FROM p WHERE j >= 0.8 " +
+          "UNION SELECT ib AS a, ia AS b FROM p WHERE j >= 0.8), " +
+          "r(a, b) AS (SELECT a, b FROM e " +
+          "UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a WHERE e.b <> r.a), " +
+          "c AS (SELECT d.doc_id, CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT) AS cluster_id " +
+          "FROM documents d LEFT JOIN r ON d.doc_id = r.a GROUP BY d.doc_id), " +
+          "s AS (SELECT c.doc_id, c.cluster_id, CAST(length(d.text) AS INT) AS n_chars " +
+          "FROM c JOIN documents d USING (doc_id)) " +
+          "SELECT doc_id, n_chars FROM " +
+          "(SELECT doc_id, n_chars, row_number() OVER " +
+          "(PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn FROM s) " +
+          "WHERE rn = 1"),
 
       "dedup_simhash_pairs" -> docPairsSql,
 

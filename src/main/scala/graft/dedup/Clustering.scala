@@ -147,6 +147,51 @@ object Clustering {
       .drop(cl)
   }
 
+  /**
+   * Keep exactly one document per near-dup component: the one with the
+   * HIGHEST `score` (quality prior — keep the longest / cleanest / highest-
+   * classifier-score duplicate, not the arbitrary smallest-id one), ties
+   * broken by smallest id so the result is deterministic. Singletons pass
+   * through untouched.
+   *
+   * Scale shape: the per-component argmax is declared as a rank-1 filter
+   * over a window, which Catalyst plans as a map-side Partial + Final
+   * `WindowGroupLimit` (same pattern pinned for [[graft.agg.TopK]]): each
+   * map task forwards at most one row per component it sees, so the shuffle
+   * carries O(components) rows, immune to duplicate-cluster skew.
+   */
+  def keepBestByClusters(
+      df: DataFrame, id: Column, score: Column, pairs: DataFrame,
+      maxIterations: Int = 50,
+      localEdgeThreshold: Long = 1L << 20): DataFrame = {
+    val prefix = graft.functions.distinctPrefixFor(df.columns.toSeq)
+    val cl = prefix + "cluster"
+    val sc = prefix + "score"
+    val rn = prefix + "rn"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(cl)).orderBy(col(sc).desc, id.asc)
+    assignClusters(df, id, pairs, cl, maxIterations, localEdgeThreshold)
+      .withColumn(sc, score)
+      .withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(cl, sc, rn)
+  }
+
+  /** End-to-end: MinHash near-dup pairs -> components -> keep-best-scoring
+    * row per component (see [[keepBestByClusters]]). */
+  def deduplicateMinHashKeepBest(
+      df: DataFrame, id: Column, text: Column, score: Column,
+      shingleSize: Int = 3, bands: Int = 16, rowsPerBand: Int = 8,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
+    val handle = graft.UnpersistHandle()
+    val pairs = Dedup.nearDupPairsMinHash(df, id, text, shingleSize, bands, rowsPerBand,
+      threshold, maxBucketSize, unpersistHandle = handle)
+    val out = keepBestByClusters(df, id, score, pairs)
+    handle.unpersist()
+    out
+  }
+
   /** End-to-end: MinHash near-dup pairs -> components -> keep-min-per-component. */
   def deduplicateMinHashClusters(
       df: DataFrame, id: Column, text: Column,

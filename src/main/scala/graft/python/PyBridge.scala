@@ -280,6 +280,10 @@ object PyBridge {
                             maxIterations: Int): DataFrame =
     graft.dedup.Clustering.deduplicateByClusters(df, id, pairs, maxIterations)
 
+  def keepBestByClusters(df: DataFrame, id: Column, score: Column,
+                         pairs: DataFrame, maxIterations: Int): DataFrame =
+    graft.dedup.Clustering.keepBestByClusters(df, id, score, pairs, maxIterations)
+
   def deduplicateMinHashClusters(df: DataFrame, id: Column, text: Column,
                                  shingleSize: Int, bands: Int, rowsPerBand: Int,
                                  threshold: Double): DataFrame =

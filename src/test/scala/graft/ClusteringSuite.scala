@@ -87,6 +87,39 @@ class ClusteringSuite extends AnyFunSuite with SparkTest {
       .as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("keepBestByClusters keeps the highest score per component, ties to smallest id") {
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 20L), // one family 1~3~2: best score is doc 2
+      (4L, 5L), (5L, 5L),              // family 4~5: tie on score -> doc 4
+      (9L, 1L)                         // singleton passes through
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 3L), (2L, 3L), (4L, 5L)).toDF("idA", "idB")
+    val kept = Clustering.keepBestByClusters(docs, col("doc_id"), col("score"), pairs)
+    assert(kept.columns.toSeq == Seq("doc_id", "score")) // internals dropped
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(2L, 4L, 9L))
+  }
+
+  test("keepBestByClusters with an empty pair list keeps everything") {
+    val docs = Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "score")
+    val pairs = Seq.empty[(Long, Long)].toDF("idA", "idB")
+    assert(Clustering.keepBestByClusters(docs, col("doc_id"), col("score"), pairs)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("deduplicateMinHashKeepBest keeps the longest member of each family") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home " * 3
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " tail one extra"),  // near-dup of 1, LONGER -> kept
+      (3L, base + " tail2"),           // near-dup of 1 and 2
+      (4L, "completely different text about spark clusters and parquet files and shuffles today")
+    ).toDF("doc_id", "text")
+    val kept = Clustering.deduplicateMinHashKeepBest(
+      docs, col("doc_id"), col("text"), length(col("text")), threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L))
+  }
+
   test("deduplicateMinHashClusters keeps one doc per near-dup family end-to-end") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away home " * 3
     val docs = Seq(
