@@ -106,6 +106,18 @@ class ClusteringSuite extends AnyFunSuite with SparkTest {
       .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("keepBestByClusters argmax plans as a map-side WindowGroupLimit") {
+    // the rank-1 filter must trigger InferWindowGroupLimit (Partial before
+    // the shuffle, Final after) — not a full per-cluster sort of all members
+    val docs = spark.range(500).select(col("id").as("doc_id"), (col("id") % 7).as("score"))
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("idA", "idB")
+    val plan = Clustering.keepBestByClusters(docs, col("doc_id"), col("score"), pairs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
+    assert(plan.contains("Partial") && plan.contains("Final"),
+      s"expected Partial+Final WindowGroupLimit:\n$plan")
+  }
+
   test("deduplicateMinHashKeepBest keeps the longest member of each family") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away home " * 3
     val docs = Seq(
