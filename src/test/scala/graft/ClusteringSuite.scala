@@ -106,6 +106,33 @@ class ClusteringSuite extends AnyFunSuite with SparkTest {
       .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("keepBestByClusters matches a driver-side brute force on a random graph") {
+    val rng = new scala.util.Random(13)
+    val n = 150
+    val edges = Seq.fill(100)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val scores = (0 until n).map(i => i.toLong -> rng.nextInt(20).toLong).toMap
+    // driver reference: union-find components, then per-component argmax
+    // with the smallest-id tie-break
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (0L until n.toLong).groupBy(id => find(id.toInt))
+      .values.map(members => members.minBy(id => (-scores(id), id))).toSet
+
+    val docs = scores.toSeq.toDF("doc_id", "score")
+    val pairs = edges.toDF("idA", "idB")
+    for (threshold <- Seq(0L, 1L << 20)) { // distributed and driver CC paths
+      val kept = Clustering.keepBestByClusters(
+        docs, col("doc_id"), col("score"), pairs, localEdgeThreshold = threshold)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == expected, s"threshold=$threshold")
+    }
+  }
+
   test("keepBestByClusters argmax plans as a map-side WindowGroupLimit") {
     // the rank-1 filter must trigger InferWindowGroupLimit (Partial before
     // the shuffle, Final after) — not a full per-cluster sort of all members
