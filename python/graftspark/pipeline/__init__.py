@@ -37,7 +37,7 @@ __all__ = [
     "distinct_count_gate", "deflate_length", "lm_score_bits",
     "with_running_total", "pack_sequences", "zorder_by",
     "edit_distance1_pairs", "weighted_hash_sample",
-    "extract_media_features", "extract_audio_features",
+    "extract_media_features", "extract_audio_features", "sample_frames",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -574,6 +574,17 @@ def extract_media_features(df: DataFrame, id: ColumnOrName,
     pure-JVM container-header parse (PNG/JPEG/GIF/BMP) — null for
     unrecognized payloads; no pixel decode, no media libraries."""
     jdf = _bridge(df).extractMediaFeatures(df._jdf, _jcol(id), _jcol(bin))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def sample_frames(df: DataFrame, id: ColumnOrName, bin: ColumnOrName,
+                  k: int = 4) -> DataFrame:
+    """Uniform frame-sampling plan per video: k frame indices spaced evenly
+    across the container-declared frame count, each with its timestamp —
+    (id, frame_idx, ts_ms) rows, one per frame a decoder stage would fetch.
+    Exact integer arithmetic from the real MP4/AVI header; narrow plan, no
+    shuffle. Videos without a stated frame count produce no rows."""
+    jdf = _bridge(df).sampleFrames(df._jdf, _jcol(id), _jcol(bin), int(k))
     return DataFrame(jdf, df.sparkSession)
 
 

@@ -515,6 +515,22 @@ class GraftsparkTest(unittest.TestCase):
         a = P.extract_audio_features(adf, "i", "payload").collect()[0]
         self.assertEqual((a["channels"], a["sample_rate"],
                           a["bits_per_sample"], a["n_frames"]), (2, 8000, 16, 10))
+        # frame-sampling plan over the committed golden video fixtures:
+        # expected integers recomputed from the fixture's own metadata columns
+        import os
+        golden = os.path.join(os.path.dirname(__file__), "..", "..",
+                              "src", "test", "resources", "golden", "videos.parquet")
+        vids = self.spark.read.parquet(golden)
+        got = {(r["id"], r["frame_idx"], r["ts_ms"]) for r in
+               P.sample_frames(vids, "video_id", "payload", k=4).collect()}
+        expected = set()
+        for r in vids.select("video_id", "n_frames", "duration_ms").collect():
+            if r["n_frames"] and r["n_frames"] > 0:
+                for idx in {i * r["n_frames"] // 4 for i in range(4)}:
+                    expected.add((r["video_id"], idx,
+                                  idx * r["duration_ms"] // r["n_frames"]))
+        self.assertEqual(got, expected)
+        self.assertTrue(expected)
 
     def test_pipeline_sql_registration(self):
         from graftspark import pipeline as P

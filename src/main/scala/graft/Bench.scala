@@ -151,7 +151,7 @@ object Bench {
     // off — so only its own newline shares the window): 1-decimal everywhere,
     // else whole seconds for values >= 1
     spark.stop()
-    val line = Some(compactLine(coarse = false)).filter(_.length <= 1960)
+    val line = Some(compactLine(coarse = false)).filter(_.length <= 1975)
       .getOrElse(compactLine(coarse = true))
     println(line)
   }

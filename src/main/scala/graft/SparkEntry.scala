@@ -956,6 +956,15 @@ object SparkEntry {
         .select(col("id").as("video_id"), col("format"), col("width"), col("height"),
           col("duration_ms"), col("n_frames"), col("n_bytes"))),
 
+    // frame-extraction plan: k=4 uniformly-spaced frame indices + timestamps
+    // per golden video from the real container header (integer arithmetic,
+    // narrow plan — the oracle recomputes the same integers from the
+    // fixture's construction-parameter columns)
+    "multimodal_frames" -> ((s, dir) =>
+      graft.multimodal.Multimodal.sampleFrames(
+        s.read.parquet(s"$goldenDir/videos.parquet"), col("video_id"), col("payload"), k = 4)
+        .select(col("id").as("video_id"), col("frame_idx"), col("ts_ms"))),
+
     // O25 parquet footer facts (oracle: DuckDB parquet_file_metadata())
     "parquet_metadata_scan" -> ((s, dir) =>
       graft.parquet.ParquetMeta.parquetMetadata(s, None, Seq(s"$dir/lineitem.parquet"))
@@ -1654,6 +1663,18 @@ object SparkEntry {
       "multimodal_video" ->
         ("SELECT video_id, format, width, height, duration_ms, n_frames, n_bytes " +
           s"FROM read_parquet('$goldenDir/videos.parquet')"),
+
+      // same integer frame-index arithmetic as Multimodal.sampleFrames,
+      // recomputed from the fixture's construction-parameter columns
+      "multimodal_frames" ->
+        ("WITH v AS (SELECT video_id, n_frames, duration_ms " +
+          s"FROM read_parquet('$goldenDir/videos.parquet') " +
+          "WHERE n_frames IS NOT NULL AND n_frames > 0), " +
+          "f AS (SELECT DISTINCT video_id, n_frames, duration_ms, " +
+          "CAST(i.i * n_frames // 4 AS BIGINT) AS frame_idx " +
+          "FROM v, (SELECT unnest(range(4)) AS i) i) " +
+          "SELECT video_id, frame_idx, " +
+          "CAST(frame_idx * duration_ms // n_frames AS BIGINT) AS ts_ms FROM f"),
 
       // t2 correctness runs at sf0.01 (TESTDATA.md), so the oracle reads the
       // sf0.01 file directly — DuckDB has no table-level footer introspection.

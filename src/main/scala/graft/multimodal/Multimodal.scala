@@ -246,6 +246,40 @@ object Multimodal {
     * payload; null for non-video. */
   def video_info(c: Column): Column = VideoInfoExpr(c.asExpression).asColumn
 
+  /**
+   * Uniform frame-sampling plan per video: `k` frame indices spaced evenly
+   * across the container-declared frame count — `idx_i = (i * n_frames) div
+   * k` for i in 0..k-1, deduplicated when a clip has fewer than `k` frames —
+   * each with its timestamp `ts_ms = (idx * duration_ms) div n_frames`.
+   * Output: (id, frame_idx, ts_ms), one row per frame to fetch.
+   *
+   * This is the Spark-side plumbing of a frame-extraction stage: the plan
+   * rows are exact, engine-portable integer arithmetic from the real
+   * container header; the pixel grab itself belongs to a decoder runtime
+   * this container does not ship and would map each emitted row to its
+   * decoded frame. Videos whose container does not state a frame count (or
+   * state zero) produce no rows.
+   *
+   * Narrow plan: one codegen'd header parse per payload, a k-element
+   * sequence explode, integer projection — no shuffle.
+   */
+  def sampleFrames(df: DataFrame, id: Column, bin: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    df.select(id.cast("long").as("id"), video_info(bin).as("__vi"))
+      .filter(col("__vi").isNotNull && col("__vi.n_frames").isNotNull &&
+        col("__vi.n_frames") > 0)
+      .select(col("id"), col("__vi.n_frames").as("__nf"),
+        col("__vi.duration_ms").as("__dur"))
+      // dedup INSIDE the per-video array (n_frames < k collapses repeated
+      // indices) so the plan never needs a distinct shuffle
+      .select(col("id"), col("__nf"), col("__dur"),
+        explode(expr(
+          s"array_distinct(transform(sequence(0L, ${k - 1}L), i -> i * __nf DIV $k))"))
+          .as("frame_idx"))
+      .select(col("id"), col("frame_idx"),
+        expr("frame_idx * __dur DIV __nf").as("ts_ms"))
+  }
+
   /** Attach a metadata struct next to a binary payload column. */
   def withMediaMetadata(df: DataFrame, bin: Column, format: String, source: Column): DataFrame =
     df.withColumn("media_meta",

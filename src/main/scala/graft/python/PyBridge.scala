@@ -429,6 +429,9 @@ object PyBridge {
   def extractMediaFeatures(df: DataFrame, id: Column, bin: Column): DataFrame =
     graft.multimodal.Multimodal.extractMediaFeatures(df, id, bin).toDF()
 
+  def sampleFrames(df: DataFrame, id: Column, bin: Column, k: Int): DataFrame =
+    graft.multimodal.Multimodal.sampleFrames(df, id, bin, k)
+
   def extractAudioFeatures(df: DataFrame, id: Column, bin: Column): DataFrame =
     graft.multimodal.Multimodal.extractAudioFeatures(df, id, bin).toDF()
 

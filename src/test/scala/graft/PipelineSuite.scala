@@ -645,6 +645,26 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(VideoHeaders.videoInfo(null).isEmpty)
   }
 
+  test("sampleFrames plans k spaced frames per video from real headers, no shuffle") {
+    import graft.multimodal.Multimodal
+    val fixture = spark.read.parquet("src/test/resources/golden/videos.parquet")
+    val out = Multimodal.sampleFrames(fixture, col("video_id"), col("payload"), k = 4)
+    val got = out.as[(Long, Long, Long)].collect().toSet
+    // driver reference from the fixture's construction parameters
+    val expected = fixture
+      .select("video_id", "n_frames", "duration_ms")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .collect { case (id, Some(nf), Some(dur)) if nf > 0 =>
+        (0L until 4L).map(i => i * nf / 4).distinct
+          .map(idx => (id, idx, idx * dur / nf))
+      }.flatten.toSet
+    assert(got == expected)
+    assert(expected.nonEmpty)
+    // plan is narrow end-to-end: no exchange anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampleFrames must not shuffle:\n$plan")
+  }
+
   test("image_dims / wav_info are codegen'd struct columns, SQL-registrable") {
     def read(p: String): Array[Byte] = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
     val png = read("src/test/resources/golden/git-logo.png")

@@ -299,6 +299,10 @@ def make_video_fixture():
                  "mp4", 320, 240, 901 * 1000 // 600, None))
     rows.append((make_avi(1280, 720, 33333, 300), "avi", 1280, 720,
                  300 * 33333 // 1000, 300))
+    # a clip SHORTER than typical frame-sample k: exercises the
+    # sampleFrames per-video index dedup (2 frames -> 2 rows, not k)
+    rows.append((make_avi(160, 120, 500000, 2), "avi", 160, 120,
+                 2 * 500000 // 1000, 2))
     # miss cases: plain text, and RIFF-but-WAVE (audio, not AVI)
     rows.append((b"definitely not a video payload....", None, None, None, None, None))
     wav_hdr = b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt " + struct.pack("<I", 16) + b"\x00" * 16
