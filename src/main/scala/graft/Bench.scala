@@ -120,12 +120,12 @@ object Bench {
     }
     val total = best.values.sum
     val cores = probes.map { case (c1, cn) => if (cn > 0) c1 / cn else 0.0 }
-    def compactLine(coarse: Boolean): String = {
+    def compactLine(coarse: Boolean, errChars: Int): String = {
       val qs = best.map { case (k, v) => "\"" + jsonEscape(k) + "\":" + num(v, coarse) }
         .mkString("{", ",", "}")
       val errs =
         if (errors.isEmpty) ""
-        else errors.map { case (k, v) => "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v.take(60)) + "\"" }
+        else errors.map { case (k, v) => "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v.take(errChars)) + "\"" }
           .mkString("\"errors\":{", ",", "},")
       val calib = s""""cores":${num(cores.max, coarse = false)},"min":${num(cores.min, coarse = false)}"""
       val sfName = new java.io.File(sfDir).getName
@@ -146,13 +146,20 @@ object Bench {
     catch { case _: Throwable => () }
 
     // stop BEFORE printing so no shutdown logging can land after the metric
-    // line; then pick the finest precision whose line still fits the 2000-char
-    // tail window (the metric line is the LAST stdout line — showSuccess is
-    // off — so only its own newline shares the window): 1-decimal everywhere,
-    // else whole seconds for values >= 1
+    // line; then pick the richest rendering whose line still fits the
+    // 2000-char tail window (the metric line is the LAST stdout line —
+    // showSuccess is off — so only its own newline shares the window).
+    // Degradation order matters most when queries ERRORED — that is when the
+    // line must stay parseable: 1-decimal everywhere, then whole seconds for
+    // values >= 1, then progressively shorter error messages (full text is
+    // in target/bench_full.json either way).
     spark.stop()
-    val line = Some(compactLine(coarse = false)).filter(_.length <= 1975)
-      .getOrElse(compactLine(coarse = true))
-    println(line)
+    val candidates = Iterator(
+      compactLine(coarse = false, errChars = 60),
+      compactLine(coarse = true, errChars = 60),
+      compactLine(coarse = true, errChars = 30),
+      compactLine(coarse = true, errChars = 0))
+    println(candidates.find(_.length <= 1975).getOrElse(
+      compactLine(coarse = true, errChars = 0)))
   }
 }
