@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale probe: amplifies the sf0.1 gate tables N-fold IN PLAN (a
+ * replica-id explode — no amplified dataset ever hits disk) and times the
+ * scale-sensitive operators on the result. The point is not absolute
+ * numbers but SHAPE evidence for SCALE.md: does each operator's cost grow
+ * ~linearly with corpus size, and do the skew guards hold when one key
+ * owns half the input?
+ *
+ * Amplification preserves each operator's hardness profile instead of
+ * inflating easy work:
+ *  - documents: a replica token is interleaved THROUGHOUT each text (every
+ *    few words), which breaks most cross-replica shingles (jaccard far
+ *    below threshold) while two near-dup docs of the SAME replica receive
+ *    the same interleaving and keep their high jaccard — so duplicate
+ *    structure scales linearly, not quadratically in replicas.
+ *  - customer names: the replica id appended TWICE — >= 2 edits between
+ *    any two replicas of a name, so edit-distance-1 families stay within a
+ *    replica and signature buckets stay bounded.
+ *  - events: replicas shift user_id, EXCEPT a configurable hot fraction
+ *    funneled onto ONE user to stress the as-of hot-key path.
+ *
+ * Run: SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_SCALE_N=10 sbt "runMain graft.ScaleProbe"
+ * Prints one JSON line per probe: {"probe":…,"n":…,"rows":…,"sec":…}.
+ */
+object ScaleProbe {
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Cross-join with a replica-id range: N logical copies, zero disk. */
+  private def amplify(df: DataFrame, n: Int): DataFrame =
+    df.crossJoin(spark0(df).range(n).select(col("id").as("__rep")))
+
+  private def spark0(df: DataFrame): SparkSession = df.sparkSession
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def report(probe: String, rows: Long, sec: Double): Unit =
+      println(f"""{"probe":"$probe","n":$n,"rows":$rows,"sec":$sec%.2f}""")
+
+    // --- documents: minhash pair-gen + verify, then components ------------
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bigDocs = amplify(docs, n)
+      .select((col("doc_id") + col("__rep") * 1000000L).as("doc_id"),
+        regexp_replace(col("text"), lit("(\\w+ \\w+ \\w+)"),
+          concat(lit("$1 r"), col("__rep").cast("string"))).as("text"))
+    val handle = UnpersistHandle()
+    val (pairs, tPairs) = time {
+      val p = graft.dedup.Dedup.nearDupPairsMinHash(
+        bigDocs, col("doc_id"), col("text"), threshold = 0.8, unpersistHandle = handle)
+        .localCheckpoint(true)
+      p.count() -> p
+    }
+    handle.unpersist()
+    report("minhash_pairs", pairs._1, tPairs)
+
+    val (nClusters, tClusters) = time {
+      graft.dedup.Clustering.assignClusters(
+        bigDocs.select(col("doc_id")), col("doc_id"), pairs._2)
+        .queryExecution.toRdd.count()
+    }
+    report("assign_clusters", nClusters, tClusters)
+
+    // --- customer names: fuzzy ED-1 self-join ----------------------------
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    val bigNames = amplify(cust.select(col("c_custkey"), col("c_name")), n)
+      .select((col("c_custkey") + col("__rep") * 10000000L).as("id"),
+        concat(col("c_name"), lit("#"), col("__rep").cast("string"),
+          lit("#"), col("__rep").cast("string")).as("name"))
+    val (nFuzzy, tFuzzy) = time {
+      graft.join.FuzzyJoin.editDistance1Pairs(bigNames, col("id"), col("name"))
+        .queryExecution.toRdd.count()
+    }
+    report("fuzzy_pairs", nFuzzy, tFuzzy)
+
+    // --- events: as-of join with a deliberately hot key ------------------
+    // half of all amplified clicks collapse onto user 0; the bucketed
+    // variant must not serialize that user onto one task
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val bigEv = amplify(ev, n)
+      .select(
+        when(col("event_id") % 2 === 0, lit(0L))
+          .otherwise(col("user_id") + col("__rep") * 1000000L).as("user_id"),
+        (col("event_id") + col("__rep") * 100000000L).as("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        col("event_type"), col("value"))
+    val clicks = bigEv.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val errs = bigEv.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts_us"), col("value"))
+      .groupBy(col("user_id"), col("ts_us")).agg(max(col("value")).as("err_value"))
+    val (nAsofPlain, tAsofPlain) = time {
+      graft.join.Joins.asofJoin(clicks, errs, Seq("user_id"), "ts_us", "ts_us",
+        Seq("err_value")).queryExecution.toRdd.count()
+    }
+    report("asof_hotkey_plain", nAsofPlain, tAsofPlain)
+    val (nAsofBkt, tAsofBkt) = time {
+      graft.join.Joins.asofJoin(clicks, errs, Seq("user_id"), "ts_us", "ts_us",
+        Seq("err_value"),
+        timeBucket = Some(c => floor(c / lit(3600000000L)))) // 1h buckets
+        .queryExecution.toRdd.count()
+    }
+    report("asof_hotkey_bucketed", nAsofBkt, tAsofBkt)
+    require(nAsofPlain == nAsofBkt,
+      s"bucketed as-of must be row-identical: $nAsofPlain vs $nAsofBkt")
+
+    spark.stop()
+  }
+}
