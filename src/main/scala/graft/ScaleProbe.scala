@@ -53,10 +53,19 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional comma-separated probe filter, e.g. SPARK_GRAFT_SCALE_PROBES=
+    // "minhash_pairs,assign_clusters" — lets the cheap probes run at large N
+    // without paying for the expensive ones
+    val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    def enabled(probe: String): Boolean =
+      onlyProbes.isEmpty || onlyProbes.contains(probe)
+
     def report(probe: String, rows: Long, sec: Double): Unit =
       println(f"""{"probe":"$probe","n":$n,"rows":$rows,"sec":$sec%.2f}""")
 
     // --- documents: minhash pair-gen + verify, then components ------------
+    if (enabled("minhash_pairs") || enabled("assign_clusters")) {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val bigDocs = amplify(docs, n)
       .select((col("doc_id") + col("__rep") * 1000000L).as("doc_id"),
@@ -78,8 +87,10 @@ object ScaleProbe {
         .queryExecution.toRdd.count()
     }
     report("assign_clusters", nClusters, tClusters)
+    }
 
     // --- customer names: fuzzy ED-1 self-join ----------------------------
+    if (enabled("fuzzy_pairs")) {
     val cust = spark.read.parquet(s"$sfDir/customer.parquet")
     val bigNames = amplify(cust.select(col("c_custkey"), col("c_name")), n)
       .select((col("c_custkey") + col("__rep") * 10000000L).as("id"),
@@ -90,10 +101,12 @@ object ScaleProbe {
         .queryExecution.toRdd.count()
     }
     report("fuzzy_pairs", nFuzzy, tFuzzy)
+    }
 
     // --- events: as-of join with a deliberately hot key ------------------
     // half of all amplified clicks collapse onto user 0; the bucketed
     // variant must not serialize that user onto one task
+    if (enabled("asof_hotkey_plain") || enabled("asof_hotkey_bucketed")) {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     val bigEv = amplify(ev, n)
       .select(
@@ -121,6 +134,7 @@ object ScaleProbe {
     report("asof_hotkey_bucketed", nAsofBkt, tAsofBkt)
     require(nAsofPlain == nAsofBkt,
       s"bucketed as-of must be row-identical: $nAsofPlain vs $nAsofBkt")
+    }
 
     spark.stop()
   }
