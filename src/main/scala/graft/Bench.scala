@@ -114,8 +114,12 @@ object Bench {
     // included (~1.8 KB at the current 80-query set, re-check if it grows
     // past ~90). Full-precision timings, probe detail, and untruncated
     // errors go to target/bench_full.json for local analysis.
+    // Locale.ROOT: f"$v%.1f" uses the JVM default locale, and a
+    // comma-decimal locale (de_DE etc.) would render "56,2" — invalid JSON,
+    // silently reintroducing the parsed:null failure this line exists to fix
     def num(v: Double, coarse: Boolean): String = {
-      val s = if (coarse && v >= 1.0) f"$v%.0f" else f"$v%.1f"
+      val s = String.format(java.util.Locale.ROOT,
+        if (coarse && v >= 1.0) "%.0f" else "%.1f", Double.box(v))
       if (s.endsWith(".0")) s.dropRight(2) else s
     }
     val total = best.values.sum

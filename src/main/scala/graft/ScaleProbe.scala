@@ -55,14 +55,26 @@ object ScaleProbe {
 
     // optional comma-separated probe filter, e.g. SPARK_GRAFT_SCALE_PROBES=
     // "minhash_pairs,assign_clusters" — lets the cheap probes run at large N
-    // without paying for the expensive ones
+    // without paying for the expensive ones. Probes that feed another probe
+    // still compute when only the dependent one is requested
+    // (assign_clusters needs the minhash pair list; the bucketed/plain as-of
+    // comparison needs both sides), but only requested lines are printed.
+    val allProbes = Set("minhash_pairs", "assign_clusters", "fuzzy_pairs",
+      "asof_hotkey_plain", "asof_hotkey_bucketed")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    require(onlyProbes.subsetOf(allProbes),
+      s"unknown probe name(s): ${onlyProbes.diff(allProbes).mkString(", ")} " +
+        s"(valid: ${allProbes.mkString(", ")})")
     def enabled(probe: String): Boolean =
       onlyProbes.isEmpty || onlyProbes.contains(probe)
 
+    // Locale.ROOT: a comma-decimal default locale would render invalid JSON
     def report(probe: String, rows: Long, sec: Double): Unit =
-      println(f"""{"probe":"$probe","n":$n,"rows":$rows,"sec":$sec%.2f}""")
+      if (enabled(probe))
+        println(String.format(java.util.Locale.ROOT,
+          """{"probe":"%s","n":%d,"rows":%d,"sec":%.2f}""",
+          probe, Int.box(n), Long.box(rows), Double.box(sec)))
 
     // --- documents: minhash pair-gen + verify, then components ------------
     if (enabled("minhash_pairs") || enabled("assign_clusters")) {
@@ -113,7 +125,8 @@ object ScaleProbe {
         when(col("event_id") % 2 === 0, lit(0L))
           .otherwise(col("user_id") + col("__rep") * 1000000L).as("user_id"),
         (col("event_id") + col("__rep") * 100000000L).as("event_id"),
-        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        // same type-drift-proof micros dispatch as the gate queries
+        SparkEntry.eventTsUs(ev).as("ts_us"),
         col("event_type"), col("value"))
     val clicks = bigEv.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts_us"))
