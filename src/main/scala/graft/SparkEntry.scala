@@ -827,10 +827,23 @@ object SparkEntry {
       out
     }),
 
-    // embedding near-dup pairs (exact baseline; LSH path tested in sbt)
+    // embedding near-dup pairs — exact O(n²) baseline, retained as the
+    // correctness referee for the LSH path below (DuckDB does the same O(n²))
     "dedup_embedding_pairs" -> ((s, dir) =>
       graft.dedup.Dedup.embeddingPairsBruteForce(
         t(s, dir, "embeddings"), col("vec_id"), col("embedding"), 0.35)),
+
+    // embedding near-dup via the scalable hyperplane-LSH path: bucketed
+    // candidates + in-plan exact-cosine verify, no cartesian product
+    // (plan-pinned in PipelineSuite). Same oracle as the brute baseline —
+    // hash-green means recall 1.0 on the fixture. bits=4/bands=96 are the
+    // exact-recall gate parameters for the fixture's low 0.35 threshold
+    // (per-pair miss prob (1-(1-θ/π)^4)^96 ≈ 4e-7 at cos=0.35); production
+    // near-dup thresholds use the higher-bits defaults.
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      graft.dedup.Dedup.nearDupPairsEmbeddingLsh(
+        t(s, dir, "embeddings"), col("vec_id"), col("embedding"), dim = 64,
+        threshold = 0.35, bands = 96, bits = 4)),
 
     // exact cosine top-k: 20 query vectors vs full corpus (broadcast + codegen kernel)
     "ann_brute_topk" -> ((s, dir) => {
@@ -1590,6 +1603,12 @@ object SparkEntry {
           "SELECT doc_id FROM d WHERE sn >= 10 AND doc_id NOT IN (SELECT doc_id FROM m)"),
 
       "dedup_embedding_pairs" ->
+        ("SELECT a.vec_id AS \"idA\", b.vec_id AS \"idB\" FROM embeddings a JOIN embeddings b " +
+          "ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35"),
+
+      // same truth set as the brute baseline: the LSH gate is hash-green iff
+      // the bucketed-candidate + exact-verify plan reaches recall 1.0
+      "dedup_embedding_lsh" ->
         ("SELECT a.vec_id AS \"idA\", b.vec_id AS \"idB\" FROM embeddings a JOIN embeddings b " +
           "ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35"),
 

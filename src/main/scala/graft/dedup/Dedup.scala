@@ -426,13 +426,50 @@ object Dedup {
       df: DataFrame, id: Column, vec: Column, dim: Int,
       bands: Int = 16, bits: Int = 12, seed: Long = 42,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val rng = new scala.util.Random(seed)
-    // hyperplanes[band][bit] = deterministic Gaussian vector; buckets computed
-    // by one fused kernel pass over the vector
-    val planes = Array.fill(bands, bits)(Array.fill(dim)(rng.nextGaussian().toFloat))
     val exploded = df.select(id.as("id"),
-      posexplode(vectors.lsh_band_buckets(vec, planes)).as(Seq("band", "bucket")))
+      posexplode(vectors.lsh_band_buckets(vec, hyperplanes(bands, bits, dim, seed)))
+        .as(Seq("band", "bucket")))
     bucketPairs(exploded, maxBucketSize)
+  }
+
+  /**
+   * Embedding near-dup pairs at scale: hyperplane-LSH candidate bucketing
+   * (same seeded buckets as [[embeddingCandidatesLsh]]) with the embedding
+   * carried through the bucket shuffle so exact-cosine verification happens
+   * in-plan with no join-back — the [[nearDupPairsSimHash]] pattern. Output:
+   * `(idA, idB)` with cosine similarity >= `threshold`.
+   *
+   * Scale shape: one bucket shuffle (carrying id + dim×4 bytes per member),
+   * quadratic work confined to single buckets bounded by `maxBucketSize`,
+   * and verification runs BEFORE the candidate `distinct` so the dedup
+   * exchange carries only verified bare id pairs. No cartesian product
+   * anywhere — this is the production path; [[embeddingPairsBruteForce]] is
+   * the O(n²) correctness referee.
+   *
+   * Recall: per-band collision probability is `(1 - θ/π)^bits` for angle θ;
+   * production near-dup thresholds use the high-bits defaults, while an
+   * exact-recall gate on a low-threshold fixture wants low `bits` and many
+   * `bands` (see the `dedup_embedding_lsh` gate query).
+   */
+  def nearDupPairsEmbeddingLsh(
+      df: DataFrame, id: Column, vec: Column, dim: Int, threshold: Double,
+      bands: Int = 16, bits: Int = 12, seed: Long = 42,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val exploded = df.select(id.as("id"), vec.as("vec"),
+      posexplode(vectors.lsh_band_buckets(vec, hyperplanes(bands, bits, dim, seed)))
+        .as(Seq("band", "bucket")))
+    bucketPairsWith(exploded, Seq("vec"), maxBucketSize,
+      verify = _.filter(
+        vectors.cosine_similarity(col("vecA"), col("vecB")) >= threshold)
+        .select(col("idA"), col("idB")))
+  }
+
+  /** hyperplanes[band][bit] = deterministic seeded Gaussian vector; buckets
+    * are computed by one fused kernel pass over the embedding. */
+  private def hyperplanes(
+      bands: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Float]]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(bands, bits)(Array.fill(dim)(rng.nextGaussian().toFloat))
   }
 
   // --------------------------------------------------------------------------
@@ -488,8 +525,13 @@ object Dedup {
   private def bucketPairs(exploded: DataFrame, maxBucketSize: Int): DataFrame =
     bucketPairsWith(exploded, Seq.empty, maxBucketSize).select(col("idA"), col("idB"))
 
-  /** Same, carrying `extra` per-doc columns to both sides (suffixed A/B). */
-  private def bucketPairsWith(exploded: DataFrame, extra: Seq[String], maxBucketSize: Int): DataFrame = {
+  /** Same, carrying `extra` per-doc columns to both sides (suffixed A/B).
+    * `verify` runs on the raw pair stream BEFORE the closing `distinct`, so
+    * a caller that verifies-and-projects there shrinks both the row count
+    * and the row width of the dedup exchange (the fuzzy-join discipline). */
+  private def bucketPairsWith(
+      exploded: DataFrame, extra: Seq[String], maxBucketSize: Int,
+      verify: DataFrame => DataFrame = identity): DataFrame = {
     // Skew safety: prune degenerate buckets BEFORE collecting member lists.
     // A hot bucket (empty docs, boilerplate) can hold millions of members at
     // 100 TB; `collect_list` would materialize that entire array in a single
@@ -518,7 +560,7 @@ object Dedup {
         transform(slice(sorted, i + 2, size(sorted)), b => struct(a.as("a"), b.as("b")))))).as("p"))
     val aCols = col("p.a.id").as("idA") +: extra.map(e => col(s"p.a.$e").as(s"${e}A"))
     val bCols = col("p.b.id").as("idB") +: extra.map(e => col(s"p.b.$e").as(s"${e}B"))
-    pairs.select((aCols ++ bCols): _*).distinct()
+    verify(pairs.select((aCols ++ bCols): _*)).distinct()
   }
 
   /** Join candidate pairs back to their shingle sets and keep those with

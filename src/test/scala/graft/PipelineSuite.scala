@@ -457,6 +457,30 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(candidates.size < n * (n - 1) / 4, s"candidates ${candidates.size} vs all-pairs ${n * (n - 1) / 2}")
   }
 
+  test("dedup_embedding_lsh gate: LSH+verify equals the brute truth set, no cartesian") {
+    // The gate query's exact-recall guarantee on the real fixtures: with the
+    // gate parameters (bits=4, bands=96) the bucketed-candidate + in-plan
+    // exact-cosine-verify path must reproduce the O(n²) truth set exactly at
+    // the fixture's 0.35 threshold, and its plan must contain no cartesian
+    // product — that is the whole point of gating the scalable path.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+         if new java.io.File(s"$dir/embeddings.parquet").exists()) {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val lsh = Dedup.nearDupPairsEmbeddingLsh(emb, col("vec_id"), col("embedding"),
+        dim = 64, threshold = 0.35, bands = 96, bits = 4)
+      val got = lsh.as[(Long, Long)].collect().toSet
+      val expected = Dedup.embeddingPairsBruteForce(emb, col("vec_id"), col("embedding"), 0.35)
+        .as[(Long, Long)].collect().toSet
+      assert(expected.nonEmpty, dir)
+      assert(got == expected,
+        s"$dir: recall ${expected.count(got.contains).toDouble / expected.size}, " +
+          s"spurious ${(got -- expected).size}")
+      val plan = lsh.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        s"scalable embedding dedup must not cross-join:\n$plan")
+    }
+  }
+
   // --------------------------------------------------------------------------
   // ANN
   // --------------------------------------------------------------------------
