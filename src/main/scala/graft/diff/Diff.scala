@@ -63,6 +63,14 @@ class Differ(val options: DiffOptions) extends Serializable {
       s"Some id columns do not exist: ${missingIds.mkString(", ")} missing among " +
         s"${leftNonIgnored.mkString(", ")}")
 
+    // ignore columns must exist on at least one side
+    // (reference: Diff.scala:87-90)
+    val allColumns = left.columns.toSeq ++ right.columns
+    val missingIgnores = ignoreColumns.filterNot(containsIn(allColumns, cs))
+    require(missingIgnores.isEmpty,
+      s"Some ignore columns do not exist: ${missingIgnores.mkString(", ")} missing among " +
+        s"${distinctBy(allColumns, cs).sorted.mkString(", ")}")
+
     // all output names must be distinct (covers diff/change/prefix collisions)
     val out = outputColumnNames(left, right, pkColumns, ignoreColumns, cs)
     val dups = out.groupBy(canon(_, cs)).filter(_._2.length > 1).keys
@@ -78,6 +86,15 @@ class Differ(val options: DiffOptions) extends Serializable {
       .filterNot(containsIn(ignoreColumns, cs))
       .filterNot(containsIn(pkColumns, cs))
 
+  /**
+   * The right dataset's own spelling of a (left-cased) column name, so output
+   * columns preserve each side's case in case-insensitive sessions
+   * (reference: right-prefixed columns carry the right schema's case,
+   * DiffSuite.scala:1766-1814 `right_VALUE`).
+   */
+  private def rightNameOf[U](right: Dataset[U], cs: Boolean)(c: String): String =
+    right.columns.find(n => canon(n, cs) == canon(c, cs)).getOrElse(c)
+
   /** Output value/ignore column names for the configured mode (collision check + diffWith). */
   private def outputColumnNames[T, U](
       left: Dataset[T], right: Dataset[U],
@@ -85,17 +102,18 @@ class Differ(val options: DiffOptions) extends Serializable {
     val valueColumns = valueColumnsOf(left, right, pkColumns, ignoreColumns, cs)
     val leftIgnored = left.columns.toSeq.filter(containsIn(ignoreColumns, cs))
     val rightIgnored = right.columns.toSeq.filter(containsIn(ignoreColumns, cs))
+    val rightName = rightNameOf(right, cs) _
     val lp = options.leftColumnPrefix
     val rp = options.rightColumnPrefix
     val values = options.diffMode match {
       case DiffMode.ColumnByColumn =>
-        valueColumns.flatMap(c => Seq(s"${lp}_$c", s"${rp}_$c")) ++
+        valueColumns.flatMap(c => Seq(s"${lp}_$c", s"${rp}_${rightName(c)}")) ++
           leftIgnored.map(c => s"${lp}_$c") ++ rightIgnored.map(c => s"${rp}_$c")
       case DiffMode.SideBySide =>
         valueColumns.map(c => s"${lp}_$c") ++ leftIgnored.map(c => s"${lp}_$c") ++
-          valueColumns.map(c => s"${rp}_$c") ++ rightIgnored.map(c => s"${rp}_$c")
+          valueColumns.map(c => s"${rp}_${rightName(c)}") ++ rightIgnored.map(c => s"${rp}_$c")
       case DiffMode.LeftSide => valueColumns ++ leftIgnored
-      case DiffMode.RightSide => valueColumns ++ rightIgnored
+      case DiffMode.RightSide => valueColumns.map(rightName) ++ rightIgnored
     }
     Seq(options.diffColumn) ++ options.changeColumn.toSeq ++ pkColumns ++ values
   }
@@ -175,16 +193,17 @@ class Differ(val options: DiffOptions) extends Serializable {
 
     val lp = options.leftColumnPrefix
     val rp = options.rightColumnPrefix
+    val rightName = rightNameOf(right, cs) _
     val valueColumnsOut: Seq[Column] = options.diffMode match {
       case DiffMode.ColumnByColumn =>
         valueColumns.flatMap(c =>
-          Seq(leftValue(c).as(s"${lp}_$c"), rightValue(c).as(s"${rp}_$c"))) ++
+          Seq(leftValue(c).as(s"${lp}_$c"), rightValue(c).as(s"${rp}_${rightName(c)}"))) ++
           leftIgnored.map(c => ignoredValue(ln(c), c).as(s"${lp}_$c")) ++
           rightIgnored.map(c => ignoredValue(rn(c), c).as(s"${rp}_$c"))
       case DiffMode.SideBySide =>
         valueColumns.map(c => leftValue(c).as(s"${lp}_$c")) ++
           leftIgnored.map(c => ignoredValue(ln(c), c).as(s"${lp}_$c")) ++
-          valueColumns.map(c => rightValue(c).as(s"${rp}_$c")) ++
+          valueColumns.map(c => rightValue(c).as(s"${rp}_${rightName(c)}")) ++
           rightIgnored.map(c => ignoredValue(rn(c), c).as(s"${rp}_$c"))
       // sparse applies to one-sided modes too (reference: the sparse value
       // maps feed every mode, Diff.scala:199-264)
@@ -192,7 +211,7 @@ class Differ(val options: DiffOptions) extends Serializable {
         valueColumns.map(c => leftValue(c).as(c)) ++
           leftIgnored.map(c => ignoredValue(ln(c), c).as(c))
       case DiffMode.RightSide =>
-        valueColumns.map(c => rightValue(c).as(c)) ++
+        valueColumns.map(c => rightValue(c).as(rightName(c))) ++
           rightIgnored.map(c => ignoredValue(rn(c), c).as(c))
     }
 

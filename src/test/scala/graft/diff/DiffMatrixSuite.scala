@@ -9,6 +9,10 @@ import org.scalatest.funsuite.AnyFunSuite
 case class KV(k: Option[String], v: Option[String])
 case class Wide(id: Int, a: Option[String], b: Option[Int], ign: Option[String])
 case class DiffIdOnly(diff: String, id: Int)
+// "similar" datasets: same compared columns, each side its own ignored column
+// (reference DiffSuite Value8/Value9 fixtures)
+case class MetaV(id: Int, seq: Option[Int], value: Option[String], meta: Option[String])
+case class InfoV(id: Int, seq: Option[Int], value: Option[String], info: Option[String])
 
 /**
  * Diff edge-case matrix: name collisions, case sensitivity, ignore columns ×
@@ -599,6 +603,323 @@ class DiffMatrixSuite extends AnyFunSuite with SparkTest {
     val byId = Diff.of(l, r, opts, "id").collect()
       .map(x => x.getInt(1) -> x.getString(0)).toMap
     assert(byId === Map(1 -> "N", 2 -> "N", 3 -> "N", 4 -> "N", 5 -> "C"))
+  }
+
+  // --------------------------------------------------------------------------
+  // prefix-produced name collisions × case sensitivity
+  // (reference DiffSuite:708-970 equivalents)
+  // --------------------------------------------------------------------------
+
+  private lazy val pcLeft = Seq((1, "x")).toDF("id", "value")
+  private lazy val pcRight = Seq((1, "y")).toDF("id", "value")
+
+  test("prefix + value column producing the diff column name fails") {
+    val opts = DiffOptions.default
+      .withDiffColumn("a_value").withLeftColumnPrefix("a").withRightColumnPrefix("b")
+    val e = intercept[IllegalArgumentException] { pcLeft.diff(pcRight, opts, "id") }
+    assert(e.getMessage.contains("collide"))
+    val e2 = intercept[IllegalArgumentException] {
+      pcLeft.diff(pcRight, opts.withDiffColumn("b_value"), "id")
+    }
+    assert(e2.getMessage.contains("collide"))
+  }
+
+  test("LeftSide/RightSide modes tolerate a diff column only prefixing would produce") {
+    val opts = DiffOptions.default
+      .withDiffColumn("a_value").withLeftColumnPrefix("a").withRightColumnPrefix("b")
+    assert(pcLeft.diff(pcRight, opts.withDiffMode(DiffMode.LeftSide), "id")
+      .columns.toSeq === Seq("a_value", "id", "value"))
+    assert(pcLeft.diff(pcRight,
+      opts.withDiffColumn("b_value").withDiffMode(DiffMode.RightSide), "id")
+      .columns.toSeq === Seq("b_value", "id", "value"))
+  }
+
+  test("case-insensitive: prefix-produced diff column collision detected across case") {
+    withCaseSensitive(false) {
+      val opts = DiffOptions.default
+        .withDiffColumn("a_value").withLeftColumnPrefix("A").withRightColumnPrefix("B")
+      val e = intercept[IllegalArgumentException] { pcLeft.diff(pcRight, opts, "id") }
+      assert(e.getMessage.contains("collide"))
+      // one-sided modes never produce the prefixed name: still fine
+      assert(pcLeft.diff(pcRight, opts.withDiffMode(DiffMode.LeftSide), "id")
+        .columns.toSeq === Seq("a_value", "id", "value"))
+      assert(pcLeft.diff(pcRight, opts.withDiffMode(DiffMode.RightSide), "id")
+        .columns.toSeq === Seq("a_value", "id", "value"))
+    }
+  }
+
+  test("case-sensitive: prefix-produced diff column name differing by case does not collide") {
+    withCaseSensitive(true) {
+      val opts = DiffOptions.default
+        .withDiffColumn("a_value").withLeftColumnPrefix("A").withRightColumnPrefix("B")
+      val result = pcLeft.diff(pcRight, opts, "id")
+      assert(result.columns.toSeq === Seq("a_value", "id", "A_value", "B_value"))
+      assert(rows(result) === Set(Row("C", 1, "x", "y")))
+    }
+  }
+
+  test("prefix + value column producing the change column name fails") {
+    val opts = DiffOptions.default
+      .withChangeColumn("a_value").withLeftColumnPrefix("a").withRightColumnPrefix("b")
+    val e = intercept[IllegalArgumentException] { pcLeft.diff(pcRight, opts, "id") }
+    assert(e.getMessage.contains("collide"))
+    withCaseSensitive(false) {
+      val optsCase = DiffOptions.default
+        .withChangeColumn("a_value").withLeftColumnPrefix("A").withRightColumnPrefix("B")
+      val e2 = intercept[IllegalArgumentException] { pcLeft.diff(pcRight, optsCase, "id") }
+      assert(e2.getMessage.contains("collide"))
+    }
+  }
+
+  test("case-sensitive: prefix-produced change column name differing by case does not collide") {
+    withCaseSensitive(true) {
+      val opts = DiffOptions.default
+        .withChangeColumn("a_value").withLeftColumnPrefix("A").withRightColumnPrefix("B")
+      val result = pcLeft.diff(pcRight, opts, "id")
+      assert(result.columns.toSeq === Seq("diff", "a_value", "id", "A_value", "B_value"))
+      assert(rows(result) === Set(Row("C", Seq("value"), 1, "x", "y")))
+    }
+  }
+
+  test("prefix + value column producing an id column name fails") {
+    val l = Seq((1, "v")).toDF("first_id", "id")
+    val r = Seq((1, "w")).toDF("first_id", "id")
+    val opts = DiffOptions.default
+      .withLeftColumnPrefix("first").withRightColumnPrefix("second")
+    val e = intercept[IllegalArgumentException] { l.diff(r, opts, "first_id") }
+    assert(e.getMessage.contains("collide"))
+    withCaseSensitive(false) {
+      val optsCase = DiffOptions.default
+        .withLeftColumnPrefix("FIRST").withRightColumnPrefix("SECOND")
+      val e2 = intercept[IllegalArgumentException] { l.diff(r, optsCase, "first_id") }
+      assert(e2.getMessage.contains("collide"))
+    }
+  }
+
+  test("case-sensitive: prefix-produced id column name differing by case does not collide") {
+    withCaseSensitive(true) {
+      val l = Seq((1, "v")).toDF("first_id", "id")
+      val r = Seq((1, "w")).toDF("first_id", "id")
+      val opts = DiffOptions.default
+        .withLeftColumnPrefix("FIRST").withRightColumnPrefix("SECOND")
+      val result = l.diff(r, opts, "first_id")
+      assert(result.columns.toSeq === Seq("diff", "first_id", "FIRST_id", "SECOND_id"))
+      assert(rows(result) === Set(Row("C", 1, "v", "w")))
+    }
+  }
+
+  test("change column named like an id column fails; different case passes when case-sensitive") {
+    val l = Seq((1, "a")).toDF("id", "change")
+    val r = Seq((1, "b")).toDF("id", "change")
+    val opts = DiffOptions.default.withChangeColumn("change")
+    // ids include the change-named column
+    val e = intercept[IllegalArgumentException] { l.diff(r, opts, "change", "id") }
+    assert(e.getMessage.contains("collide"))
+    // no ids: every column is an id, including "change"
+    val e2 = intercept[IllegalArgumentException] { l.diff(r, opts) }
+    assert(e2.getMessage.contains("collide"))
+    val lUp = l.withColumnRenamed("change", "Change")
+    val rUp = r.withColumnRenamed("change", "Change")
+    withCaseSensitive(false) {
+      val e3 = intercept[IllegalArgumentException] { lUp.diff(rUp, opts, "Change", "id") }
+      assert(e3.getMessage.contains("collide"))
+    }
+    withCaseSensitive(true) {
+      val result = lUp.diff(rUp, opts, "Change", "id")
+      assert(result.columns.toSeq === Seq("diff", "change", "Change", "id"))
+    }
+  }
+
+  test("non-id column named like the change column is prefixed, not a collision") {
+    val l = Seq((1, "a")).toDF("id", "change")
+    val r = Seq((1, "b")).toDF("id", "change")
+    val result = l.diff(r, DiffOptions.default.withChangeColumn("change"), "id")
+    assert(result.columns.toSeq === Seq("diff", "change", "id", "left_change", "right_change"))
+    assert(rows(result) === Set(Row("C", Seq("change"), 1, "a", "b")))
+  }
+
+  test("one-sided modes: diff or change column named like an unprefixed value column fails") {
+    for (mode <- Seq(DiffMode.LeftSide, DiffMode.RightSide)) {
+      val e = intercept[IllegalArgumentException] {
+        pcLeft.diff(pcRight, DiffOptions.default.withDiffColumn("value").withDiffMode(mode), "id")
+      }
+      assert(e.getMessage.contains("collide"))
+      val e2 = intercept[IllegalArgumentException] {
+        pcLeft.diff(pcRight, DiffOptions.default.withChangeColumn("value").withDiffMode(mode), "id")
+      }
+      assert(e2.getMessage.contains("collide"))
+    }
+  }
+
+  // --------------------------------------------------------------------------
+  // dots in column names and prefixes (backtick handling)
+  // (reference DiffSuite:1337-1416 equivalents)
+  // --------------------------------------------------------------------------
+
+  test("dots in the diff column name") {
+    val result = pcLeft.diff(pcRight, DiffOptions.default.withDiffColumn("the.diff"), "id")
+    assert(result.columns.toSeq === Seq("the.diff", "id", "left_value", "right_value"))
+    assert(rows(result) === Set(Row("C", 1, "x", "y")))
+  }
+
+  test("dots in the change column name") {
+    val result = pcLeft.diff(pcRight, DiffOptions.default.withChangeColumn("the.changes"), "id")
+    assert(result.columns.toSeq === Seq("diff", "the.changes", "id", "left_value", "right_value"))
+    assert(rows(result) === Set(Row("C", Seq("value"), 1, "x", "y")))
+  }
+
+  test("dots in the column prefixes") {
+    val opts = DiffOptions.default
+      .withLeftColumnPrefix("left.prefix").withRightColumnPrefix("right.prefix")
+    val result = pcLeft.diff(pcRight, opts, "id")
+    assert(result.columns.toSeq ===
+      Seq("diff", "id", "left.prefix_value", "right.prefix_value"))
+    assert(rows(result) === Set(Row("C", 1, "x", "y")))
+  }
+
+  test("dot in an id column name") {
+    val l = pcLeft.withColumnRenamed("id", "the.id")
+    val r = pcRight.withColumnRenamed("id", "the.id")
+    val result = l.diff(r, "the.id")
+    assert(result.columns.toSeq === Seq("diff", "the.id", "left_value", "right_value"))
+    assert(rows(result) === Set(Row("C", 1, "x", "y")))
+  }
+
+  test("dot in a value column name across modes") {
+    val l = pcLeft.withColumnRenamed("value", "the.value")
+    val r = pcRight.withColumnRenamed("value", "the.value")
+    val cbc = l.diff(r, "id")
+    assert(cbc.columns.toSeq === Seq("diff", "id", "left_the.value", "right_the.value"))
+    assert(rows(cbc) === Set(Row("C", 1, "x", "y")))
+    val ls = l.diff(r, DiffOptions.default.withDiffMode(DiffMode.LeftSide), "id")
+    assert(ls.columns.toSeq === Seq("diff", "id", "the.value"))
+    assert(rows(ls) === Set(Row("C", 1, "x")))
+    val rs = l.diff(r, DiffOptions.default.withDiffMode(DiffMode.RightSide), "id")
+    assert(rs.columns.toSeq === Seq("diff", "id", "the.value"))
+    assert(rows(rs) === Set(Row("C", 1, "y")))
+  }
+
+  // --------------------------------------------------------------------------
+  // ignored columns: change column, similar schemas, case sensitivity
+  // (reference DiffSuite:1532-1546, 1676-2018 equivalents)
+  // --------------------------------------------------------------------------
+
+  test("ignored columns never appear in the change column") {
+    val result = new Differ(DiffOptions.default.withChangeColumn("changed"))
+      .diff(wideLeft, wideRight, Seq("id"), Seq("ign"))
+    assert(result.columns.toSeq === Seq("diff", "changed", "id",
+      "left_a", "right_a", "left_b", "right_b", "left_ign", "right_ign"))
+    val byId = result.collect().map(r => r.getInt(2) -> r).toMap
+    // row 1: only ign differs -> N with empty change list, not listing "ign"
+    assert(byId(1).getString(0) === "N" && byId(1).getSeq[String](1) === Seq.empty)
+    assert(byId(2).getSeq[String](1) === Seq("a"))
+    assert(byId(3).isNullAt(1) && byId(4).isNullAt(1))
+  }
+
+  private lazy val metaLeft: Dataset[MetaV] = Seq(
+    MetaV(1, Some(1), Some("one"), Some("L1")),
+    MetaV(2, Some(2), Some("two"), Some("L2")),
+    MetaV(3, Some(3), Some("three"), Some("L3"))).toDS()
+  private lazy val infoRight: Dataset[InfoV] = Seq(
+    InfoV(1, Some(1), Some("one"), Some("R1")),
+    InfoV(2, Some(2), Some("Two"), Some("R2")),
+    InfoV(4, Some(4), Some("four"), Some("R4"))).toDS()
+
+  test("similar datasets: each side's own ignored column is carried") {
+    val result = Diff.of(metaLeft.toDF(), infoRight.toDF(), Seq("id", "seq"), Seq("meta", "info"))
+    assert(result.columns.toSeq ===
+      Seq("diff", "id", "seq", "left_value", "right_value", "left_meta", "right_info"))
+    assert(rows(result) === Set(
+      Row("N", 1, 1, "one", "one", "L1", "R1"),
+      Row("C", 2, 2, "two", "Two", "L2", "R2"),
+      Row("D", 3, 3, "three", null, "L3", null),
+      Row("I", 4, 4, null, "four", null, "R4")))
+  }
+
+  test("similar datasets: diffWith keeps each side's own schema in the structs") {
+    val result = Diff.default.diffWith(metaLeft, infoRight, Seq("id", "seq"), Seq("meta", "info"))
+    val byAction = result.collect().groupBy(_._1)
+    val n = byAction("N").head
+    assert(n._2 === MetaV(1, Some(1), Some("one"), Some("L1")))
+    assert(n._3 === InfoV(1, Some(1), Some("one"), Some("R1")))
+    assert(byAction("I").head._2 === null.asInstanceOf[MetaV])
+    assert(byAction("D").head._3 === null.asInstanceOf[InfoV])
+  }
+
+  test("ignored columns may have different types on each side") {
+    val l = Seq((1, "v", 10)).toDF("id", "v", "meta")
+    val r = Seq((1, "v", "ten")).toDF("id", "v", "meta")
+    val result = Diff.of(l, r, Seq("id"), Seq("meta"))
+    assert(rows(result) === Set(Row("N", 1, "v", "v", 10, "ten")))
+  }
+
+  test("case-insensitive: ignored diff preserves each side's column case") {
+    withCaseSensitive(false) {
+      val l = metaLeft.toDF().drop("info")
+      val r = infoRight.toDF("ID", "SEQ", "VALUE", "INFO")
+      val result = Diff.of(l, r, Seq("iD", "sEq"), Seq("MeTa", "InFo"))
+      // id columns take the case given in the id argument; value columns keep
+      // each side's own case
+      assert(result.columns.toSeq ===
+        Seq("diff", "iD", "sEq", "left_value", "right_VALUE", "left_meta", "right_INFO"))
+      assert(rows(result.select(col("diff"), col("iD"))) ===
+        Set(Row("N", 1), Row("C", 2), Row("D", 3), Row("I", 4)))
+    }
+  }
+
+  test("case-sensitive: mixed-case schemas, ids and ignores all fail with clear messages") {
+    withCaseSensitive(true) {
+      val l = metaLeft.toDF().drop("info")
+      val rUp = l.toDF("ID", "SEQ", "VALUE", "META")
+      val e = intercept[IllegalArgumentException] { Diff.of(l, rUp, Seq("Id", "SeQ"), Seq("MeTa")) }
+      assert(e.getMessage.contains("same schema"))
+      val e2 = intercept[IllegalArgumentException] { l.diff(l, "Id", "SeQ") }
+      assert(e2.getMessage.contains("id columns do not exist"))
+      val e3 = intercept[IllegalArgumentException] { Diff.of(l, l, Seq("id", "seq"), Seq("MeTa")) }
+      assert(e3.getMessage.contains("ignore columns do not exist"))
+    }
+  }
+
+  test("ignore column existing on neither side fails") {
+    val l = Seq((1, "v")).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] { Diff.of(l, l, Seq("id"), Seq("ghost")) }
+    assert(e.getMessage.contains("ignore columns do not exist"))
+  }
+
+  // golden values for the remaining ignore × mode × sparse combinations
+  // (CbC dense/sparse asserted above; reference DiffSuite:1548-1675)
+
+  test("golden ignore × SideBySide dense and sparse") {
+    val dense = ignoreDiff(DiffOptions.default.withDiffMode(DiffMode.SideBySide))
+    assert(rows(dense) === Set(
+      Row("N", 1, "a1", 10, "x", "a1", 10, "y"),
+      Row("C", 2, "a2", 20, "x", "a2!", 20, "y"),
+      Row("D", 3, "a3", 30, "x", null, null, null),
+      Row("I", 4, null, null, null, "a4", 40, "y")))
+    val sparse = ignoreDiff(
+      DiffOptions.default.withDiffMode(DiffMode.SideBySide).withSparseMode(true))
+    assert(rows(sparse) === Set(
+      Row("N", 1, null, null, "x", null, null, "y"),
+      Row("C", 2, "a2", null, "x", "a2!", null, "y"),
+      Row("D", 3, "a3", 30, "x", null, null, null),
+      Row("I", 4, null, null, null, "a4", 40, "y")))
+  }
+
+  test("golden ignore × LeftSide/RightSide sparse") {
+    val ls = ignoreDiff(
+      DiffOptions.default.withDiffMode(DiffMode.LeftSide).withSparseMode(true))
+    assert(rows(ls) === Set(
+      Row("N", 1, null, null, "x"),
+      Row("C", 2, "a2", null, "x"),
+      Row("D", 3, "a3", 30, "x"),
+      Row("I", 4, null, null, null)))
+    val rs = ignoreDiff(
+      DiffOptions.default.withDiffMode(DiffMode.RightSide).withSparseMode(true))
+    assert(rows(rs) === Set(
+      Row("N", 1, null, null, "y"),
+      Row("C", 2, "a2!", null, "y"),
+      Row("D", 3, null, null, null),
+      Row("I", 4, "a4", 40, "y")))
   }
 
   test("diff action filterable and aggregatable downstream") {
