@@ -146,16 +146,20 @@ object Profile {
     val base = df.select(groupCol.as(grpName), valueCol.as(valName))
       .filter(col(valName).isNotNull)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(grpName))
-    val exact = base
-      .withColumn("__rn",
-        row_number().over(w.orderBy(col(valName))))
-      .withColumn("__n", count(lit(1)).over(w))
-      .filter(col("__rn") === (floor(lit(q) * (col("__n") - 1)) + 1))
-      .select(col(grpName), col(valName).as("exact_q"))
+    // One window pass for the exact side: the group sizes ride along in the
+    // sketch aggregate (already a required pass) instead of a second
+    // count(*) window over every row; the groups-sized join output then
+    // selects the target index. Exactly one Window node in the plan.
+    val ranked = base
+      .withColumn("__rn", row_number().over(w.orderBy(col(valName))))
     val approx = base
       .groupBy(col(grpName))
-      .agg(percentile_approx(col(valName).cast("double"), lit(q), lit(accuracy)).as("_approx"))
-    exact.join(approx, grpName)
+      .agg(
+        percentile_approx(col(valName).cast("double"), lit(q), lit(accuracy)).as("_approx"),
+        count(lit(1)).as("__n"))
+    ranked.join(approx, grpName)
+      .filter(col("__rn") === (floor(lit(q) * (col("__n") - 1)) + 1))
+      .select(col(grpName), col(valName).as("exact_q"), col("_approx"))
       .select(
         col(grpName).as(groupCol.toString),
         col("exact_q"),

@@ -173,6 +173,13 @@ class AggOpsSuite extends AnyFunSuite with SparkTest {
     val n = Profile.quantileGate(withNulls, $"g", $"v", q = 0.5)
       .select("g", "exact_q").as[(String, Double)].collect().toSet
     assert(n == Set(("a", 51.0), ("b", 20.0)))
+    // plan pin: the exact referee costs exactly ONE window pass — the group
+    // sizes ride in the sketch aggregate, not a second count(*) window
+    val plan = Profile.quantileGate(df, $"g", $"v", q = 0.5)
+      .queryExecution.executedPlan.toString
+    val windowNodes = plan.linesIterator
+      .count(l => l.contains("Window [") && !l.contains("WindowGroupLimit"))
+    assert(windowNodes == 1, s"expected exactly one Window node:\n$plan")
   }
 
   test("withRunningTotal matches a single-window prefix sum at 10k rows") {
