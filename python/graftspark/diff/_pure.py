@@ -121,6 +121,14 @@ def _check_schema(options, left: DataFrame, right: DataFrame,
             f"Some id columns do not exist: {', '.join(missing)} missing among "
             f"{', '.join(left_non_ignored)}")
 
+    # ignore columns must exist on at least one side (same as the Scala path)
+    all_columns = left.columns + right.columns
+    in_either = _contains(all_columns, case_sensitive)
+    missing_ignores = [c for c in ignore_columns if not in_either(c)]
+    require(not missing_ignores,
+            f"Some ignore columns do not exist: {', '.join(missing_ignores)} missing among "
+            f"{', '.join(sorted({_canon(c, case_sensitive) for c in all_columns}))}")
+
     out = _output_column_names(options, left, right, pk_columns, ignore_columns, case_sensitive)
     seen: Dict[str, int] = {}
     for name in out:
@@ -139,6 +147,16 @@ def _value_columns_of(left: DataFrame, pk_columns: List[str],
     return [c for c in left.columns if not ignored(c) and not is_pk(c)]
 
 
+def _right_name_of(right: DataFrame, case_sensitive: bool) -> Callable[[str], str]:
+    """The right dataset's own spelling of a (left-cased) column name, so output
+    columns preserve each side's case in case-insensitive sessions (same as the
+    Scala path's rightNameOf)."""
+    by_canon = {}
+    for n in right.columns:
+        by_canon.setdefault(_canon(n, case_sensitive), n)
+    return lambda c: by_canon.get(_canon(c, case_sensitive), c)
+
+
 def _output_column_names(options, left: DataFrame, right: DataFrame,
                          pk_columns: List[str], ignore_columns: List[str],
                          case_sensitive: bool) -> List[str]:
@@ -146,18 +164,19 @@ def _output_column_names(options, left: DataFrame, right: DataFrame,
     ignored = _contains(ignore_columns, case_sensitive)
     left_ignored = [c for c in left.columns if ignored(c)]
     right_ignored = [c for c in right.columns if ignored(c)]
+    right_name = _right_name_of(right, case_sensitive)
     lp, rp = options.left_column_prefix, options.right_column_prefix
     mode = options.diff_mode.value
     if mode in ("Default", "ColumnByColumn"):
-        values = [n for c in value_columns for n in (f"{lp}_{c}", f"{rp}_{c}")] + \
+        values = [n for c in value_columns for n in (f"{lp}_{c}", f"{rp}_{right_name(c)}")] + \
                  [f"{lp}_{c}" for c in left_ignored] + [f"{rp}_{c}" for c in right_ignored]
     elif mode == "SideBySide":
         values = [f"{lp}_{c}" for c in value_columns] + [f"{lp}_{c}" for c in left_ignored] + \
-                 [f"{rp}_{c}" for c in value_columns] + [f"{rp}_{c}" for c in right_ignored]
+                 [f"{rp}_{right_name(c)}" for c in value_columns] + [f"{rp}_{c}" for c in right_ignored]
     elif mode == "LeftSide":
         values = value_columns + left_ignored
     else:  # RightSide
-        values = value_columns + right_ignored
+        values = [right_name(c) for c in value_columns] + right_ignored
     change = [options.change_column] if options.change_column is not None else []
     return [options.diff_column] + change + list(pk_columns) + values
 
@@ -244,23 +263,24 @@ def pure_diff(options, left: DataFrame, right: DataFrame,
         return side_col
 
     lp, rp = options.left_column_prefix, options.right_column_prefix
+    right_name = _right_name_of(right, cs)
     mode = options.diff_mode.value
     if mode in ("Default", "ColumnByColumn"):
         values_out = [col for c in value_columns
                       for col in (side_value(ln(c), c).alias(f"{lp}_{c}"),
-                                  side_value(rn(c), c).alias(f"{rp}_{c}"))] + \
+                                  side_value(rn(c), c).alias(f"{rp}_{right_name(c)}"))] + \
                      [ignored_value(ln(c), c).alias(f"{lp}_{c}") for c in left_ignored] + \
                      [ignored_value(rn(c), c).alias(f"{rp}_{c}") for c in right_ignored]
     elif mode == "SideBySide":
         values_out = [side_value(ln(c), c).alias(f"{lp}_{c}") for c in value_columns] + \
                      [ignored_value(ln(c), c).alias(f"{lp}_{c}") for c in left_ignored] + \
-                     [side_value(rn(c), c).alias(f"{rp}_{c}") for c in value_columns] + \
+                     [side_value(rn(c), c).alias(f"{rp}_{right_name(c)}") for c in value_columns] + \
                      [ignored_value(rn(c), c).alias(f"{rp}_{c}") for c in right_ignored]
     elif mode == "LeftSide":
         values_out = [side_value(ln(c), c).alias(c) for c in value_columns] + \
                      [ignored_value(ln(c), c).alias(c) for c in left_ignored]
     else:  # RightSide
-        values_out = [side_value(rn(c), c).alias(c) for c in value_columns] + \
+        values_out = [side_value(rn(c), c).alias(right_name(c)) for c in value_columns] + \
                      [ignored_value(rn(c), c).alias(c) for c in right_ignored]
 
     return (l.join(r, join_condition, "full_outer")

@@ -525,7 +525,10 @@ class GraftsparkTest(unittest.TestCase):
                P.sample_frames(vids, "video_id", "payload", k=4).collect()}
         expected = set()
         for r in vids.select("video_id", "n_frames", "duration_ms").collect():
-            if r["n_frames"] and r["n_frames"] > 0:
+            # guard duration_ms too: a fixture row with frames but no duration
+            # would emit a null ts_ms on the Spark side — fail as a set diff,
+            # not a TypeError in the expected-value computation
+            if r["n_frames"] and r["n_frames"] > 0 and r["duration_ms"] is not None:
                 for idx in {i * r["n_frames"] // 4 for i in range(4)}:
                     expected.add((r["video_id"], idx,
                                   idx * r["duration_ms"] // r["n_frames"]))
@@ -774,6 +777,265 @@ class PureDiffParityTest(unittest.TestCase):
                          timedelta(seconds=90.25))
         with self.assertRaises(ValueError):
             _parse_iso_duration("P")
+
+
+class DiffMatrixTest(unittest.TestCase):
+    """Mode x sparse x ignore golden-value matrix and collision error cases,
+    run against BOTH engines (mirrors the Scala DiffMatrixSuite; reference
+    python/test/test_diff.py scenario coverage)."""
+
+    spark: SparkSession = None
+    ENGINES = ("jvm", "pure")
+
+    @classmethod
+    def setUpClass(cls):
+        jar = _graft_jar()
+        cls.spark = (
+            SparkSession.builder
+            .master("local[2]")
+            .appName("graftspark-diff-matrix")
+            .config("spark.jars", jar)
+            .config("spark.driver.extraClassPath", jar)
+            .config("spark.sql.shuffle.partitions", "2")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate())
+
+    @classmethod
+    def tearDownClass(cls):
+        cls.spark.stop()
+
+    def _gold(self):
+        left = self.spark.createDataFrame(
+            [(1, "one", 10), (2, "two", 20), (3, "three", 30)], ["id", "s", "n"])
+        right = self.spark.createDataFrame(
+            [(1, "one", 10), (2, "two!", 20), (4, "four", 40)], ["id", "s", "n"])
+        return left, right
+
+    def _ign(self):
+        left = self.spark.createDataFrame(
+            [(1, "a1", "x"), (2, "a2", "x"), (3, "a3", "x")], ["id", "a", "ign"])
+        right = self.spark.createDataFrame(
+            [(1, "a1", "y"), (2, "a2!", "y"), (4, "a4", "y")], ["id", "a", "ign"])
+        return left, right
+
+    def _run(self, mode=None, sparse=False, ignore=None, fixture=None, **opt_kwargs):
+        from graftspark.diff import DiffMode, DiffOptions, diff
+        left, right = fixture or self._gold()
+        results = {}
+        for engine in self.ENGINES:
+            options = DiffOptions()
+            if mode is not None:
+                options = options.with_diff_mode(mode)
+            options = options.with_sparse_mode(sparse)
+            for k, v in opt_kwargs.items():
+                options = getattr(options, f"with_{k}")(v)
+            df = diff(left, right, "id", options=options,
+                      ignore_columns=list(ignore or []), engine=engine)
+            results[engine] = (df.columns, sorted(tuple(r) for r in df.collect()))
+        self.assertEqual(results["jvm"], results["pure"])
+        return results["jvm"]
+
+    # --- golden mode x sparse -------------------------------------------------
+
+    def test_matrix_cbc_dense(self):
+        cols, rows = self._run()
+        self.assertEqual(cols, ["diff", "id", "left_s", "right_s", "left_n", "right_n"])
+        self.assertEqual(rows, sorted([
+            ("N", 1, "one", "one", 10, 10),
+            ("C", 2, "two", "two!", 20, 20),
+            ("D", 3, "three", None, 30, None),
+            ("I", 4, None, "four", None, 40)]))
+
+    def test_matrix_cbc_sparse(self):
+        _, rows = self._run(sparse=True)
+        self.assertEqual(rows, sorted([
+            ("N", 1, None, None, None, None),
+            ("C", 2, "two", "two!", None, None),
+            ("D", 3, "three", None, 30, None),
+            ("I", 4, None, "four", None, 40)]))
+
+    def test_matrix_sidebyside_dense(self):
+        from graftspark.diff import DiffMode
+        cols, rows = self._run(mode=DiffMode.SideBySide)
+        self.assertEqual(cols, ["diff", "id", "left_s", "left_n", "right_s", "right_n"])
+        self.assertIn(("C", 2, "two", 20, "two!", 20), rows)
+
+    def test_matrix_sidebyside_sparse(self):
+        from graftspark.diff import DiffMode
+        _, rows = self._run(mode=DiffMode.SideBySide, sparse=True)
+        self.assertIn(("N", 1, None, None, None, None), rows)
+        self.assertIn(("C", 2, "two", None, "two!", None), rows)
+
+    def test_matrix_leftside_dense_sparse(self):
+        from graftspark.diff import DiffMode
+        cols, rows = self._run(mode=DiffMode.LeftSide)
+        self.assertEqual(cols, ["diff", "id", "s", "n"])
+        self.assertIn(("I", 4, None, None), rows)
+        _, sparse_rows = self._run(mode=DiffMode.LeftSide, sparse=True)
+        self.assertIn(("C", 2, "two", None), sparse_rows)
+
+    def test_matrix_rightside_dense_sparse(self):
+        from graftspark.diff import DiffMode
+        cols, rows = self._run(mode=DiffMode.RightSide)
+        self.assertEqual(cols, ["diff", "id", "s", "n"])
+        self.assertIn(("I", 4, "four", 40), rows)
+        _, sparse_rows = self._run(mode=DiffMode.RightSide, sparse=True)
+        self.assertIn(("C", 2, "two!", None), sparse_rows)
+
+    # --- ignore x mode x sparse ----------------------------------------------
+
+    def test_matrix_ignore_cbc(self):
+        cols, rows = self._run(ignore=["ign"], fixture=self._ign())
+        self.assertEqual(cols, ["diff", "id", "left_a", "right_a", "left_ign", "right_ign"])
+        # ign differs everywhere but must not trigger C
+        self.assertIn(("N", 1, "a1", "a1", "x", "y"), rows)
+        self.assertIn(("C", 2, "a2", "a2!", "x", "y"), rows)
+
+    def test_matrix_ignore_sidebyside(self):
+        from graftspark.diff import DiffMode
+        cols, _ = self._run(mode=DiffMode.SideBySide, ignore=["ign"], fixture=self._ign())
+        self.assertEqual(cols, ["diff", "id", "left_a", "left_ign", "right_a", "right_ign"])
+
+    def test_matrix_ignore_one_sided(self):
+        from graftspark.diff import DiffMode
+        cols, rows = self._run(mode=DiffMode.LeftSide, ignore=["ign"], fixture=self._ign())
+        self.assertEqual(cols, ["diff", "id", "a", "ign"])
+        self.assertIn(("N", 1, "a1", "x"), rows)
+        cols_r, rows_r = self._run(mode=DiffMode.RightSide, ignore=["ign"], fixture=self._ign())
+        self.assertEqual(cols_r, ["diff", "id", "a", "ign"])
+        self.assertIn(("N", 1, "a1", "y"), rows_r)
+
+    def test_matrix_ignore_sparse_keeps_differing_ignored(self):
+        _, rows = self._run(sparse=True, ignore=["ign"], fixture=self._ign())
+        self.assertIn(("N", 1, None, None, "x", "y"), rows)
+        self.assertIn(("C", 2, "a2", "a2!", "x", "y"), rows)
+
+    def test_matrix_change_column_excludes_ignored(self):
+        cols, rows = self._run(ignore=["ign"], fixture=self._ign(), change_column="changed")
+        self.assertEqual(cols[:3], ["diff", "changed", "id"])
+        by_id = {r[2]: r for r in rows}
+        self.assertEqual(by_id[1][1], [])      # only ign differs -> empty, not ["ign"]
+        self.assertEqual(by_id[2][1], ["a"])
+        self.assertIsNone(by_id[3][1])
+        self.assertIsNone(by_id[4][1])
+
+    def test_matrix_similar_per_side_ignored(self):
+        left = self.spark.createDataFrame([(1, "v", "L1")], ["id", "v", "meta"])
+        right = self.spark.createDataFrame([(1, "v", "R1")], ["id", "v", "info"])
+        cols, rows = self._run(ignore=["meta", "info"],
+                               fixture=(left, right))
+        self.assertEqual(cols, ["diff", "id", "left_v", "right_v", "left_meta", "right_info"])
+        self.assertEqual(rows, [("N", 1, "v", "v", "L1", "R1")])
+
+    def test_matrix_ignored_different_types(self):
+        left = self.spark.createDataFrame([(1, "v", 10)], ["id", "v", "meta"])
+        right = self.spark.createDataFrame([(1, "v", "ten")], ["id", "v", "meta"])
+        _, rows = self._run(ignore=["meta"], fixture=(left, right))
+        self.assertEqual(rows, [("N", 1, "v", "v", 10, "ten")])
+
+    # --- collisions and errors (pure engine raises ValueError; jvm raises
+    # through py4j — both must refuse) ----------------------------------------
+
+    def _fails_both(self, regex, mode=None, ignore=None, fixture=None,
+                    id_cols=("id",), **opt_kwargs):
+        from graftspark.diff import DiffOptions, diff
+        left, right = fixture or self._gold()
+        for engine in self.ENGINES:
+            options = DiffOptions()
+            if mode is not None:
+                options = options.with_diff_mode(mode)
+            for k, v in opt_kwargs.items():
+                options = getattr(options, f"with_{k}")(v)
+            with self.assertRaisesRegex(Exception, regex, msg=engine):
+                diff(left, right, *id_cols, options=options,
+                     ignore_columns=list(ignore or []), engine=engine)
+
+    def test_matrix_collision_diff_named_like_id(self):
+        self._fails_both("collide", diff_column="id")
+
+    def test_matrix_collision_prefix_produced_diff(self):
+        self._fails_both("collide", diff_column="left_s")
+
+    def test_matrix_collision_change_named_like_id(self):
+        self._fails_both("collide", change_column="id")
+
+    def test_matrix_one_sided_tolerates_prefixed_collision(self):
+        from graftspark.diff import DiffMode
+        cols, _ = self._run(mode=DiffMode.LeftSide, diff_column="left_s")
+        self.assertEqual(cols, ["left_s", "id", "s", "n"])
+
+    def test_matrix_one_sided_unprefixed_collision_fails(self):
+        from graftspark.diff import DiffMode
+        self._fails_both("collide", mode=DiffMode.LeftSide, diff_column="s")
+        self._fails_both("collide", mode=DiffMode.RightSide, change_column="s")
+
+    def test_matrix_custom_prefixes_avoid_collision(self):
+        left = self.spark.createDataFrame([(1, "x")], ["left_a", "a"])
+        self._fails_both("collide", fixture=(left, left), id_cols=("left_a",))
+        from graftspark.diff import DiffOptions, diff
+        for engine in self.ENGINES:
+            options = (DiffOptions().with_left_column_prefix("lhs")
+                       .with_right_column_prefix("rhs"))
+            df = diff(left, left, "left_a", options=options, engine=engine)
+            self.assertEqual(df.columns, ["diff", "left_a", "lhs_a", "rhs_a"], engine)
+
+    def test_matrix_missing_ignore_column(self):
+        self._fails_both("ignore columns do not exist", ignore=["ghost"])
+
+    def test_matrix_missing_id_column(self):
+        from graftspark.diff import diff
+        left, right = self._gold()
+        for engine in self.ENGINES:
+            with self.assertRaisesRegex(Exception, "id columns do not exist", msg=engine):
+                diff(left, right, "nope", engine=engine)
+
+    def test_matrix_dots_in_names(self):
+        left = self.spark.createDataFrame([(1, "x")], ["the.id", "the.value"])
+        right = self.spark.createDataFrame([(1, "y")], ["the.id", "the.value"])
+        from graftspark.diff import diff
+        for engine in self.ENGINES:
+            df = diff(left, right, "the.id", engine=engine)
+            self.assertEqual(df.columns,
+                             ["diff", "the.id", "left_the.value", "right_the.value"], engine)
+            self.assertEqual([tuple(r) for r in df.collect()], [("C", 1, "x", "y")], engine)
+
+    def test_matrix_dots_in_diff_column_and_prefixes(self):
+        from graftspark.diff import DiffOptions, diff
+        left, right = self._gold()
+        for engine in self.ENGINES:
+            options = (DiffOptions().with_diff_column("the.diff")
+                       .with_left_column_prefix("l.p").with_right_column_prefix("r.p"))
+            df = diff(left, right, "id", options=options, engine=engine)
+            self.assertEqual(df.columns,
+                             ["the.diff", "id", "l.p_s", "r.p_s", "l.p_n", "r.p_n"], engine)
+
+    def test_matrix_no_id_columns_all_id(self):
+        from graftspark.diff import diff
+        left, right = self._gold()
+        for engine in self.ENGINES:
+            actions = sorted(r[0] for r in diff(left, right, engine=engine).collect())
+            # full-row identity: N for row 1, D+I for every differing/missing row
+            self.assertEqual(actions, ["D", "D", "I", "I", "N"], engine)
+
+    def test_matrix_null_ids_match_null_safely(self):
+        schema = "k string, v string"
+        left = self.spark.createDataFrame([(None, "x"), ("1", "y")], schema)
+        right = self.spark.createDataFrame([(None, "x2"), ("1", "y")], schema)
+        from graftspark.diff import diff
+        for engine in self.ENGINES:
+            rows = sorted(tuple(r) for r in diff(left, right, "k", engine=engine).collect())
+            self.assertEqual(rows, sorted([("C", None, "x", "x2"), ("N", "1", "y", "y")]), engine)
+
+    def test_matrix_empty_sides(self):
+        from graftspark.diff import diff
+        left, right = self._gold()
+        empty = left.limit(0)
+        for engine in self.ENGINES:
+            ins = diff(empty, right, "id", engine=engine).collect()
+            self.assertEqual(sorted(r[0] for r in ins), ["I", "I", "I"], engine)
+            dels = diff(left, empty, "id", engine=engine).collect()
+            self.assertEqual(sorted(r[0] for r in dels), ["D", "D", "D"], engine)
 
 
 if __name__ == "__main__":
