@@ -49,6 +49,9 @@ object ScaleProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // same datagen-drift shield as Bench/Verify: TIMESTAMP(NANOS) parquet
+      // vintages read as LongType nanos, which eventTsUs dispatches on
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -60,7 +63,7 @@ object ScaleProbe {
     // (assign_clusters needs the minhash pair list; the bucketed/plain as-of
     // comparison needs both sides), but only requested lines are printed.
     val allProbes = Set("minhash_pairs", "assign_clusters", "fuzzy_pairs",
-      "asof_hotkey_plain", "asof_hotkey_bucketed")
+      "asof_hotkey_plain", "asof_hotkey_bucketed", "cluster_chain")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -113,6 +116,49 @@ object ScaleProbe {
         .queryExecution.toRdd.count()
     }
     report("fuzzy_pairs", nFuzzy, tFuzzy)
+    }
+
+    // --- clustering: chain-heavy components, forced distributed path -----
+    // Worst-case component SHAPE for naive propagation: every component is a
+    // long chain (diameter = length), so the alternating-star round count is
+    // stressed directly. Replicas add MORE chains of the SAME length — the
+    // O(log diameter) bound predicts a round count that stays flat as N
+    // grows, and that flatness (not the absolute number) is the 100 TB
+    // evidence. localEdgeThreshold=0 forces the distributed path even though
+    // the edge set would fit the driver union-find; the default-threshold
+    // run must agree on the component count (rounds=0, fast path).
+    if (enabled("cluster_chain")) {
+    val chainLen = 64
+    val nodesPerRep = 50000L
+    val nodes = spark.range(nodesPerRep)
+      .crossJoin(spark.range(n).select(col("id").as("__rep")))
+      .select((col("id") + col("__rep") * 10000000L).as("u"))
+    val chainEdges = nodes
+      .filter(col("u") % chainLen =!= (chainLen - 1)) // break between chains
+      .select(col("u").as("idA"), (col("u") + 1).as("idB"))
+    val expectedComponents = (nodesPerRep / chainLen + (if (nodesPerRep % chainLen == 0) 0 else 1)) * n
+    val (dist, tDist) = time {
+      val (comp, rounds) = graft.dedup.Clustering.connectedComponentsWithRounds(
+        chainEdges, col("idA"), col("idB"), localEdgeThreshold = 0L)
+      val nComp = comp.select(col("component")).distinct().count()
+      (nComp, rounds)
+    }
+    println(String.format(java.util.Locale.ROOT,
+      """{"probe":"cluster_chain","n":%d,"rows":%d,"sec":%.2f,"rounds":%d,"chain_len":%d}""",
+      Int.box(n), Long.box(dist._1), Double.box(tDist), Int.box(dist._2), Int.box(chainLen)))
+    require(dist._1 == expectedComponents,
+      s"distributed chain components: got ${dist._1}, expected $expectedComponents")
+    // adaptive fast path: same answer, zero scheduled rounds (only checked
+    // when the edge set fits the default threshold)
+    val edgeCount = chainEdges.count()
+    if (edgeCount <= (1L << 20)) {
+      val (comp2, rounds2) = graft.dedup.Clustering.connectedComponentsWithRounds(
+        chainEdges, col("idA"), col("idB"))
+      require(rounds2 == 0, s"expected the union-find fast path, got $rounds2 rounds")
+      val nComp2 = comp2.select(col("component")).distinct().count()
+      require(nComp2 == dist._1,
+        s"fast path disagrees with distributed path: $nComp2 vs ${dist._1}")
+    }
     }
 
     // --- events: as-of join with a deliberately hot key ------------------

@@ -74,7 +74,22 @@ object Clustering {
       idA: Column,
       idB: Column,
       maxIterations: Int = 50,
-      localEdgeThreshold: Long = 1L << 20): DataFrame = {
+      localEdgeThreshold: Long = 1L << 20): DataFrame =
+    connectedComponentsWithRounds(pairs, idA, idB, maxIterations, localEdgeThreshold)._1
+
+  /**
+   * Same as [[connectedComponents]], also returning the number of alternating
+   * large-star/small-star rounds executed — 0 when the bounded driver
+   * union-find fast path answered. The round count is the scale-probe
+   * evidence that iteration depth stays O(log component-diameter) as the
+   * corpus grows (ScaleProbe `cluster_chain` probe, SCALE.md).
+   */
+  def connectedComponentsWithRounds(
+      pairs: DataFrame,
+      idA: Column,
+      idB: Column,
+      maxIterations: Int = 50,
+      localEdgeThreshold: Long = 1L << 20): (DataFrame, Int) = {
     require(maxIterations >= 1, s"maxIterations must be >= 1: $maxIterations")
     require(localEdgeThreshold >= 0, s"localEdgeThreshold must be >= 0: $localEdgeThreshold")
     val init = pairs
@@ -84,7 +99,7 @@ object Clustering {
 
     var edges = init.localCheckpoint(true)
     var sig = signature(edges)
-    if (sig._1 <= localEdgeThreshold) return localComponents(edges)
+    if (sig._1 <= localEdgeThreshold) return (localComponents(edges), 0)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -107,7 +122,7 @@ object Clustering {
     val roots = edges.select(least(col("u"), col("v")).as("id"))
       .distinct()
       .withColumn("component", col("id"))
-    members.union(roots).distinct()
+    (members.union(roots).distinct(), iter)
   }
 
   /**
