@@ -271,6 +271,24 @@ object SparkEntry {
         .toDF("o_custkey", "o_orderkey", "o_totalprice")
     }),
 
+    // O20 default ascending order + explicit partitions variant: earliest
+    // order per customer. Together with group_key_sorted_latest this pins
+    // BOTH reverse settings and the partitions overload against the oracle
+    // (the explicit count only fixes the exchange width — results must be
+    // partitioning-invariant).
+    "group_key_sorted_earliest" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .as[CustOrder]
+        .groupByKeySorted[Long, (java.sql.Timestamp, Long)](
+          _.o_custkey, partitions = Some(8))(
+          o => (o.o_orderdate, o.o_orderkey))
+        .flatMapSortedGroups { (_, orders) => Iterator.single(orders.next()) }
+        .map(o => (o.o_custkey, o.o_orderkey, o.o_totalprice))
+        .toDF("o_custkey", "o_orderkey", "o_totalprice")
+    }),
+
     // as-of join: for each click, the latest prior error state of the same
     // user — one hash shuffle on user_id (union + per-key sort + running
     // last), no inequality-join nested loop. Compared in epoch microseconds
@@ -1216,6 +1234,12 @@ object SparkEntry {
         ("SELECT o_custkey, o_orderkey, o_totalprice FROM (" +
           "SELECT o_custkey, o_orderkey, o_totalprice, " +
           "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn " +
+          "FROM orders) WHERE rn = 1"),
+
+      "group_key_sorted_earliest" ->
+        ("SELECT o_custkey, o_orderkey, o_totalprice FROM (" +
+          "SELECT o_custkey, o_orderkey, o_totalprice, " +
+          "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn " +
           "FROM orders) WHERE rn = 1"),
 
       // DuckDB has native ASOF JOIN — the semantics the operator reproduces
