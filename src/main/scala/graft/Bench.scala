@@ -124,13 +124,19 @@ object Bench {
     }
     val total = best.values.sum
     val cores = probes.map { case (c1, cn) => if (cn > 0) c1 / cn else 0.0 }
+    // Rendering contract: "value" is always 1-decimal from full precision,
+    // while per-query times may be rounded to whole seconds under coarse
+    // rendering — so sum(queries) can drift from "value" by up to ~0.5 s per
+    // query. Consumers reconciling totals against parts should read
+    // target/bench_full.json, which carries full precision for both.
+    // "errors" is always present (possibly {}) so the line's shape is stable
+    // across clean and failing runs.
     def compactLine(coarse: Boolean, errChars: Int): String = {
       val qs = best.map { case (k, v) => "\"" + jsonEscape(k) + "\":" + num(v, coarse) }
         .mkString("{", ",", "}")
-      val errs =
-        if (errors.isEmpty) ""
-        else errors.map { case (k, v) => "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v.take(errChars)) + "\"" }
-          .mkString("\"errors\":{", ",", "},")
+      val errs = errors
+        .map { case (k, v) => "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v.take(errChars)) + "\"" }
+        .mkString("\"errors\":{", ",", "},")
       val calib = s""""cores":${num(cores.max, coarse = false)},"min":${num(cores.min, coarse = false)}"""
       val sfName = new java.io.File(sfDir).getName
       s"""{"metric":"total","value":${num(total, coarse = false)},"unit":"sec","queries":$qs,$errs$calib,"sf":"${jsonEscape(sfName)}"}"""
@@ -158,12 +164,19 @@ object Bench {
     // values >= 1, then progressively shorter error messages (full text is
     // in target/bench_full.json either way).
     spark.stop()
-    val candidates = Iterator(
+    val candidates = Seq(
       compactLine(coarse = false, errChars = 60),
       compactLine(coarse = true, errChars = 60),
       compactLine(coarse = true, errChars = 30),
       compactLine(coarse = true, errChars = 0))
-    println(candidates.find(_.length <= 1975).getOrElse(
-      compactLine(coarse = true, errChars = 0)))
+    val chosen = candidates.find(_.length <= 1975).getOrElse(candidates.last)
+    if (chosen.length > 1975)
+      // stderr, so the warning cannot enter the driver's stdout tail window;
+      // at this point even bare query names overflow it — shrink the query
+      // set or raise the window before trusting the parsed line
+      System.err.println(s"WARNING: bench metric line is ${chosen.length} chars, " +
+        "exceeding the ~1975-char stdout tail window even fully degraded; " +
+        "the driver may record parsed:null. Full data: target/bench_full.json")
+    println(chosen)
   }
 }
