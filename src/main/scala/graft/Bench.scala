@@ -130,16 +130,26 @@ object Bench {
     // query. Consumers reconciling totals against parts should read
     // target/bench_full.json, which carries full precision for both.
     // "errors" is always present (possibly {}) so the line's shape is stable
-    // across clean and failing runs.
-    def compactLine(coarse: Boolean, errChars: Int): String = {
-      val qs = best.map { case (k, v) => "\"" + jsonEscape(k) + "\":" + num(v, coarse) }
+    // across clean and failing runs. When even the coarse rendering overflows
+    // the tail window (the query set outgrew it — 82 queries rendered 1,969
+    // of the 1,975 budget in round 6), the "queries" map keeps only the MOST
+    // EXPENSIVE `keep` entries (the ones plan audits and baseline ratios
+    // need) and reports the rest as "q_omitted" — a partial map parses; an
+    // overflowing full map does not.
+    def compactLine(coarse: Boolean, errChars: Int, keep: Int = Int.MaxValue): String = {
+      val kept =
+        if (best.size <= keep) best.toSeq
+        else best.toSeq.sortBy(-_._2).take(keep)
+      val qs = kept.map { case (k, v) => "\"" + jsonEscape(k) + "\":" + num(v, coarse) }
         .mkString("{", ",", "}")
+      val omitted =
+        if (best.size <= keep) "" else s""""q_omitted":${best.size - keep},"""
       val errs = errors
         .map { case (k, v) => "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v.take(errChars)) + "\"" }
         .mkString("\"errors\":{", ",", "},")
       val calib = s""""cores":${num(cores.max, coarse = false)},"min":${num(cores.min, coarse = false)}"""
       val sfName = new java.io.File(sfDir).getName
-      s"""{"metric":"total","value":${num(total, coarse = false)},"unit":"sec","queries":$qs,$errs$calib,"sf":"${jsonEscape(sfName)}"}"""
+      s"""{"metric":"total","value":${num(total, coarse = false)},"unit":"sec","queries":$qs,$omitted$errs$calib,"sf":"${jsonEscape(sfName)}"}"""
     }
 
     val fullQs = best.map { case (k, v) => "\"" + jsonEscape(k) + "\":" + v }
@@ -168,11 +178,14 @@ object Bench {
       compactLine(coarse = false, errChars = 60),
       compactLine(coarse = true, errChars = 60),
       compactLine(coarse = true, errChars = 30),
-      compactLine(coarse = true, errChars = 0))
+      compactLine(coarse = true, errChars = 0)) ++
+      // progressive per-query truncation: most-expensive entries survive
+      Seq(70, 60, 50, 40, 30, 20, 10).map(k =>
+        compactLine(coarse = true, errChars = 0, keep = k))
     val chosen = candidates.find(_.length <= 1975).getOrElse(candidates.last)
     if (chosen.length > 1975)
       // stderr, so the warning cannot enter the driver's stdout tail window;
-      // at this point even bare query names overflow it — shrink the query
+      // at this point even 10 query names overflow it — shrink the query
       // set or raise the window before trusting the parsed line
       System.err.println(s"WARNING: bench metric line is ${chosen.length} chars, " +
         "exceeding the ~1975-char stdout tail window even fully degraded; " +
