@@ -180,7 +180,7 @@ object Bench {
       compactLine(coarse = true, errChars = 30),
       compactLine(coarse = true, errChars = 0)) ++
       // progressive per-query truncation: most-expensive entries survive
-      Seq(70, 60, 50, 40, 30, 20, 10).map(k =>
+      Seq(80, 75, 70, 65, 60, 50, 40, 30, 20, 10).map(k =>
         compactLine(coarse = true, errChars = 0, keep = k))
     val chosen = candidates.find(_.length <= 1975).getOrElse(candidates.last)
     if (chosen.length > 1975)

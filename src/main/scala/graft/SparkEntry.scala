@@ -858,10 +858,27 @@ object SparkEntry {
     // exact-recall gate parameters for the fixture's low 0.35 threshold
     // (per-pair miss prob (1-(1-θ/π)^4)^96 ≈ 4e-7 at cos=0.35); production
     // near-dup thresholds use the higher-bits defaults.
-    "dedup_embedding_lsh" -> ((s, dir) =>
+    // Scalable embedding near-dup at PRODUCTION parameters. The fixture has
+    // no high-similarity pairs (max random cosine ~0.6), so the gate plants
+    // them: an exactly-colinear copy (x2 — exact in float) of every vector.
+    // Cosine LSH is scale-invariant — sign(h.v) == sign(h.2v) — so every
+    // planted pair shares every band bucket and recall 1.0 is STRUCTURAL,
+    // not parameter luck; that frees the gate to run sparse production
+    // buckets (bits=12: a random pair collides in a band with p = 2^-12)
+    // where candidate volume is a sub-percent fraction of brute force. The
+    // truth set at threshold 0.9 is exactly the planted pairs (nearest
+    // non-planted pair sits at ~0.6 — no float boundary wobble), which the
+    // oracle recomputes from its own doubled copies.
+    "dedup_embedding_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val planted = emb.select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val corpus = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+        .unionByName(planted)
       graft.dedup.Dedup.nearDupPairsEmbeddingLsh(
-        t(s, dir, "embeddings"), col("vec_id"), col("embedding"), dim = 64,
-        threshold = 0.35, bands = 96, bits = 4)),
+        corpus, col("vec_id"), col("embedding"), dim = 64,
+        threshold = 0.9, bands = 16, bits = 12)
+    }),
 
     // exact cosine top-k: 20 query vectors vs full corpus (broadcast + codegen kernel)
     "ann_brute_topk" -> ((s, dir) => {
@@ -1633,8 +1650,10 @@ object SparkEntry {
       // same truth set as the brute baseline: the LSH gate is hash-green iff
       // the bucketed-candidate + exact-verify plan reaches recall 1.0
       "dedup_embedding_lsh" ->
-        ("SELECT a.vec_id AS \"idA\", b.vec_id AS \"idB\" FROM embeddings a JOIN embeddings b " +
-          "ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35"),
+        ("WITH c AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings " +
+          "UNION ALL SELECT CAST(vec_id + 100000 AS BIGINT), list_transform(embedding, x -> x * 2) FROM embeddings) " +
+          "SELECT a.vec_id AS \"idA\", b.vec_id AS \"idB\" FROM c a JOIN c b ON a.vec_id < b.vec_id " +
+          "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9"),
 
       "ann_brute_topk" ->
         ("WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20) " +

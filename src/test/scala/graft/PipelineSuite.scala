@@ -457,12 +457,13 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(candidates.size < n * (n - 1) / 4, s"candidates ${candidates.size} vs all-pairs ${n * (n - 1) / 2}")
   }
 
-  test("dedup_embedding_lsh gate: LSH+verify equals the brute truth set, no cartesian") {
-    // The gate query's exact-recall guarantee on the real fixtures: with the
-    // gate parameters (bits=4, bands=96) the bucketed-candidate + in-plan
-    // exact-cosine-verify path must reproduce the O(n²) truth set exactly at
-    // the fixture's 0.35 threshold, and its plan must contain no cartesian
-    // product — that is the whole point of gating the scalable path.
+  test("embedding LSH+verify equals the brute truth set at dense parameters, no cartesian") {
+    // Dense-parameter exact-recall property on the real fixtures: with
+    // bits=4/bands=96 the bucketed-candidate + in-plan exact-cosine-verify
+    // path reproduces the O(n²) truth set exactly at the fixture's 0.35
+    // threshold, and its plan contains no cartesian product. (The driver
+    // gate query itself runs sparse production parameters over planted
+    // colinear copies — next test — because recall there is structural.)
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
          if new java.io.File(s"$dir/embeddings.parquet").exists()) {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -479,6 +480,29 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
         s"scalable embedding dedup must not cross-join:\n$plan")
     }
+  }
+
+  test("embedding LSH is scale-invariant: planted colinear copies always collide") {
+    // the gate-query design: v and 2v produce identical sign bits under every
+    // hyperplane, so each planted pair shares every band bucket and recall
+    // 1.0 holds STRUCTURALLY at sparse production parameters (bits=12),
+    // where a random pair collides in a band with p = 2^-12
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planted = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val corpus = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .unionByName(planted)
+    val got = Dedup.nearDupPairsEmbeddingLsh(
+      corpus, col("vec_id"), col("embedding"), dim = 64,
+      threshold = 0.9, bands = 16, bits = 12)
+      .as[(Long, Long)].collect().toSet
+    val n = emb.count()
+    val expected = emb.select(col("vec_id").cast("long")).as[Long].collect()
+      .map(id => (id, id + 100000L)).toSet
+    assert(n > 0 && got == expected,
+      s"planted pairs must be exactly the truth set: missing ${(expected -- got).size}, " +
+        s"spurious ${(got -- expected).size}")
   }
 
   // --------------------------------------------------------------------------
