@@ -533,6 +533,30 @@ object SparkEntry {
             .as("rep_bigram_fraction"))
     }),
 
+    // end-to-end curation pass: langid -> quality -> exact dedup -> minhash
+    // near-dup -> decontaminate -> hash sample, composed by
+    // Curation.curate with the same parameterizations as the individual
+    // stage gates. Output = the per-stage attrition report (stage, n_rows):
+    // every count must match a DuckDB replication of the whole chained
+    // pipeline, which certifies stage ORDER and inter-stage dataflow, not
+    // just each stage in isolation.
+    "curation_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val handle = UnpersistHandle()
+      val (_, report) = graft.pipeline.Curation.curate(
+        docs, col("doc_id"), col("text"),
+        keepLangs = Set("en"),
+        minTokens = 30, maxTokens = 90,
+        minAvgTokenLen = 3.0, maxAvgTokenLen = 6.0,
+        minStopwordRatio = 0.02, maxTopBigramFraction = 0.2,
+        blocklist = Some((docs.filter(col("doc_id") % 97 === 0), col("text"))),
+        sampleRate = 0.25,
+        unpersistHandle = handle)
+      // the report is driver-local rows; the curated cache can go at once
+      handle.unpersist()
+      report
+    }),
+
     // per-group top-k via the window-group-limit plan: map-side partial
     // top-k before the shuffle (WindowGroupLimit Partial/Final), no full
     // per-group sort — plan shape pinned in AggOpsSuite
@@ -1472,6 +1496,48 @@ object SparkEntry {
           "CASE WHEN SUM(st.n_tok) = 0 THEN 0.0 ELSE CAST(SUM(st.n_stop) AS DOUBLE) / CAST(SUM(st.n_tok) AS DOUBLE) END AS stopword_ratio, " +
           "CASE WHEN SUM(st.n_g2) = 0 THEN 0.0 ELSE CAST(SUM(st.p_g2) AS DOUBLE) / CAST(SUM(st.n_g2) AS DOUBLE) END AS rep_bigram_fraction " +
           "FROM documents d JOIN st ON d.doc_id = st.doc_id GROUP BY d.source"),
+
+      // chained-pipeline replication: each stage's survivor set feeds the
+      // next, so every count checks inter-stage dataflow, not one stage
+      "curation_report" ->
+        (s"WITH $docTokCte, " +
+          "lsc AS (SELECT doc_id, " +
+          "len(list_intersect(list_distinct(toks), ['the','and','of','to','in','is','that','it','for','with'])) AS s_en, " +
+          "len(list_intersect(list_distinct(toks), ['le','la','les','des','et','une','est','que','pour','dans'])) AS s_fr, " +
+          "len(list_intersect(list_distinct(toks), ['der','die','das','und','ist','nicht','ein','mit','von','auf'])) AS s_de, " +
+          "len(list_intersect(list_distinct(toks), ['el','los','las','una','es','que','por','para','como','pero'])) AS s_es FROM tok), " +
+          "l1 AS (SELECT doc_id FROM lsc WHERE NOT (s_en = 0 AND s_fr = 0 AND s_de = 0 AND s_es = 0) " +
+          "AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_es), " +
+          "qg AS (SELECT doc_id, toks, CASE WHEN len(toks) < 2 THEN [] ELSE [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))] END AS g2 " +
+          "FROM tok WHERE doc_id IN (SELECT doc_id FROM l1)), " +
+          "qm AS (SELECT doc_id, len(toks) AS n, " +
+          "CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS avg_len, " +
+          "CAST(len([t for t in toks if list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], t)]) AS DOUBLE) / len(toks) AS stop_ratio, " +
+          "len(g2) AS t2, CASE WHEN len(g2) = 0 THEN 0 ELSE COALESCE(list_max([len([y for y in g2 if y = x]) for x in list_distinct(g2)]), 0) END AS p2 FROM qg), " +
+          "l2 AS (SELECT doc_id FROM qm WHERE n >= 30 AND n <= 90 AND avg_len >= 3.0 AND avg_len <= 6.0 " +
+          "AND stop_ratio >= 0.02 AND (CASE WHEN t2 = 0 THEN 0.0 ELSE CAST(p2 AS DOUBLE) / CAST(t2 AS DOUBLE) END) <= 0.2), " +
+          "cfp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f FROM documents " +
+          "WHERE doc_id IN (SELECT doc_id FROM l2)), " +
+          "l3 AS (SELECT doc_id FROM cfp QUALIFY ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) = 1), " +
+          "csh AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS s " +
+          "FROM tok WHERE len(toks) >= 3 AND doc_id IN (SELECT doc_id FROM l3)), " +
+          "cp AS (SELECT a.doc_id AS ia, b.doc_id AS ib, " +
+          "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS j " +
+          "FROM csh a JOIN csh b ON a.doc_id < b.doc_id), " +
+          "l4 AS (SELECT doc_id FROM l3 WHERE doc_id NOT IN (SELECT ib FROM cp WHERE j >= 0.8)), " +
+          "csh5 AS (SELECT doc_id, CASE WHEN len(toks) < 5 THEN [] ELSE list_distinct([array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks) - 3)]) END AS s FROM tok), " +
+          "cex AS (SELECT doc_id, u.g FROM csh5, unnest(csh5.s) AS u(g)), " +
+          "cbl AS (SELECT DISTINCT g FROM cex WHERE doc_id % 97 = 0), " +
+          "ccont AS (SELECT DISTINCT cex.doc_id FROM cex JOIN cbl USING (g) WHERE cex.doc_id IN (SELECT doc_id FROM l4)), " +
+          "l5 AS (SELECT doc_id FROM l4 WHERE doc_id NOT IN (SELECT doc_id FROM ccont)), " +
+          "l6 AS (SELECT doc_id FROM l5 WHERE substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000') " +
+          "SELECT '0_input' AS stage, (SELECT COUNT(*) FROM documents) AS n_rows " +
+          "UNION ALL SELECT '1_langid', COUNT(*) FROM l1 " +
+          "UNION ALL SELECT '2_quality', (SELECT COUNT(*) FROM l2) " +
+          "UNION ALL SELECT '3_exact', (SELECT COUNT(*) FROM l3) " +
+          "UNION ALL SELECT '4_neardup', (SELECT COUNT(*) FROM l4) " +
+          "UNION ALL SELECT '5_decontaminate', (SELECT COUNT(*) FROM l5) " +
+          "UNION ALL SELECT '6_sample', (SELECT COUNT(*) FROM l6)"),
 
       "decontaminate" ->
         (s"WITH $docTokCte, sh5 AS (SELECT doc_id, " +

@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import graft.UnpersistHandle
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * End-to-end training-data curation: the standard web-corpus pass composed
+ * from this library's operators, with the per-stage attrition report every
+ * real pipeline needs (which stage ate the data is the first question every
+ * curation run answers).
+ *
+ * Stage order follows the cheap-filters-first rule so each successive
+ * (more expensive) stage sees fewer rows:
+ *
+ *  1. language id      — narrow kernel filter (TextFunctions.langId)
+ *  2. quality rules    — narrow kernel filter (QualityFilters.gopherFilter)
+ *  3. exact dedup      — one hash shuffle on the normalized fingerprint
+ *  4. near-dup dedup   — MinHash bucket shuffle + exact-Jaccard verify,
+ *                        keep-first per duplicate set
+ *  5. decontamination  — broadcast blocklist shingles, narrow corpus side
+ *  6. hash sampling    — narrow md5-threshold filter
+ *
+ * Stages 1, 2, 5 and 6 are pure narrow filters: at 100 TB they fuse with the
+ * scan and cost one pass. The two dedups are the only shuffling stages and
+ * both run on the already-filtered survivor set.
+ *
+ * Each stage's survivor set is persisted, counted (the report's action), and
+ * the previous stage's cache is dropped immediately — at most two stage
+ * caches are live at any moment. The final curated DataFrame stays persisted
+ * and is released by the caller through `unpersistHandle` (the
+ * [[graft.RowNumbers]] contract).
+ *
+ * (Green-field §2.4 surface: the reference stops at pairwise diff/dedup and
+ * has no pipeline composition.)
+ */
+object Curation {
+
+  /**
+   * Run the curation pass over `docs`. Returns (curated, report): `curated`
+   * is the surviving rows of `docs` (all original columns, persisted —
+   * release via `unpersistHandle`), `report` is one row per stage
+   * `(stage: string, n_rows: long)` including the `0_input` count, built on
+   * the driver from the per-stage counts (stage counts are actions anyway).
+   *
+   * Stages toggle off via their parameters: `keepLangs = Set.empty` skips
+   * language filtering, `blocklist = None` skips decontamination,
+   * `sampleRate = 1.0` skips sampling.
+   */
+  def curate(
+      docs: DataFrame, id: Column, text: Column,
+      keepLangs: Set[String] = Set("en"),
+      minTokens: Int = 50, maxTokens: Int = 100000,
+      minAvgTokenLen: Double = 3.0, maxAvgTokenLen: Double = 10.0,
+      minStopwordRatio: Double = 0.02, maxTopBigramFraction: Double = 0.18,
+      minHashThreshold: Double = 0.8, shingleSize: Int = 3,
+      bands: Int = 16, rowsPerBand: Int = 8,
+      blocklist: Option[(DataFrame, Column)] = None,
+      blocklistShingleSize: Int = 5, minOverlap: Int = 1,
+      sampleRate: Double = 1.0, sampleSalt: String = "graft",
+      storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      unpersistHandle: UnpersistHandle = UnpersistHandle.Noop): (DataFrame, DataFrame) = {
+    require(sampleRate > 0.0 && sampleRate <= 1.0, s"sampleRate must be in (0, 1]: $sampleRate")
+
+    val spark = docs.sparkSession
+    val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var live: Option[DataFrame] = None
+
+    def step(stage: String, next: DataFrame): DataFrame = {
+      val p = next.persist(storageLevel)
+      counts += stage -> p.count()
+      live.foreach(_.unpersist(false))
+      live = Some(p)
+      p
+    }
+
+    counts += "0_input" -> docs.count()
+    var cur = docs
+
+    if (keepLangs.nonEmpty)
+      cur = step("1_langid", cur.filter(
+        graft.text.TextFunctions.langId(text, graft.text.TextFunctions.AsciiTokenPattern)
+          .isin(keepLangs.toSeq.map(l => l: Any): _*)))
+
+    cur = step("2_quality", graft.text.QualityFilters.gopherFilter(
+      cur, text, minTokens, maxTokens, minAvgTokenLen, maxAvgTokenLen,
+      minStopwordRatio, maxTopBigramFraction))
+
+    cur = step("3_exact", graft.dedup.Dedup.dropExactTextDuplicates(cur, text, id))
+
+    // near-dup shingle cache is internal to the stage: release it as soon
+    // as the survivor set is materialized
+    val mhHandle = graft.UnpersistHandle()
+    cur = step("4_neardup", graft.dedup.Dedup.deduplicateMinHash(
+      cur, id, text, shingleSize, bands, rowsPerBand, minHashThreshold,
+      unpersistHandle = mhHandle))
+    mhHandle.unpersist()
+
+    blocklist.foreach { case (bdf, btext) =>
+      cur = step("5_decontaminate", graft.dedup.Dedup.decontaminate(
+        cur, id, text, bdf, btext, blocklistShingleSize, minOverlap))
+    }
+
+    if (sampleRate < 1.0)
+      cur = step("6_sample", graft.sample.Sampling.hashSample(cur, id, sampleRate, sampleSalt))
+
+    unpersistHandle.setDataFrame(cur)
+    import spark.implicits._
+    (cur, counts.toSeq.toDF("stage", "n_rows"))
+  }
+}

@@ -235,4 +235,63 @@ class CurationSuite extends AnyFunSuite with SparkTest {
     assert(s.select(Redact.redactLongDigits(col("t")).as("r")).as[String].head()
       == "mail a9@b.io from 8.8.8.8 ref [REDACTED]")
   }
+
+  // --------------------------------------------------------------------------
+  // end-to-end curation composition
+  // --------------------------------------------------------------------------
+
+  private def curationDocs = {
+    val en = "the cat and the dog walked to the park and it was a fine day for all of them to play in the sun with friends"
+    Seq(
+      (1L, en + " one"),                        // keeper
+      (2L, en + " one"),                        // exact duplicate of 1 -> dropped at 3_exact
+      (3L, en + " one two"),                    // near-dup of 1 -> dropped at 4_neardup
+      (4L, "le chat et le chien une promenade dans les rues pour une belle journee avec des amis et que la vie est bonne pour tous les gens"), // french -> dropped at 1_langid
+      (5L, "it is x y"),                        // english but too short -> dropped at 2_quality
+      (6L, en + " benchmark secret answer token stream here today okay")  // contaminated
+    ).toDF("id", "text")
+  }
+
+  test("curate chains the stages in order and reports attrition") {
+    val docs = curationDocs
+    val blockDoc = Seq((99L, "benchmark secret answer token stream")).toDF("id", "text")
+    val handle = UnpersistHandle()
+    val (curated, report) = graft.pipeline.Curation.curate(
+      docs, col("id"), col("text"),
+      keepLangs = Set("en"),
+      minTokens = 5, maxTokens = 1000, minAvgTokenLen = 1.0, maxAvgTokenLen = 10.0,
+      minStopwordRatio = 0.01, maxTopBigramFraction = 0.9,
+      minHashThreshold = 0.8,
+      blocklist = Some((blockDoc, col("text"))),
+      unpersistHandle = handle)
+    val counts = report.as[(String, Long)].collect().toMap
+    assert(counts("0_input") == 6L)
+    assert(counts("1_langid") == 5L)        // drops the french doc
+    assert(counts("2_quality") == 4L)       // drops the 3-token doc
+    assert(counts("3_exact") == 3L)         // drops the byte-identical dup
+    assert(counts("4_neardup") == 2L)       // drops the near-dup, keeps smallest id
+    assert(counts("5_decontaminate") == 1L) // drops the contaminated doc
+    assert(report.columns.toSeq == Seq("stage", "n_rows"))
+    // no sampling stage when rate = 1.0
+    assert(!counts.contains("6_sample"))
+    // curated content is exactly the last stage's survivor rows, all columns
+    assert(curated.select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(curated.columns.toSeq == docs.columns.toSeq)
+    handle.unpersist()
+  }
+
+  test("curate stage toggles: no langid without langs, no decontaminate without blocklist") {
+    val docs = curationDocs
+    val handle = UnpersistHandle()
+    val (_, report) = graft.pipeline.Curation.curate(
+      docs, col("id"), col("text"),
+      keepLangs = Set.empty,
+      minTokens = 1, maxTokens = 1000, minAvgTokenLen = 1.0, maxAvgTokenLen = 10.0,
+      minStopwordRatio = 0.0, maxTopBigramFraction = 1.0,
+      sampleRate = 0.5,
+      unpersistHandle = handle)
+    val stages = report.as[(String, Long)].collect().map(_._1).toSeq
+    assert(stages == Seq("0_input", "2_quality", "3_exact", "4_neardup", "6_sample"))
+    handle.unpersist()
+  }
 }
