@@ -26,7 +26,7 @@ __all__ = [
     "cosine_similarity", "dot_product", "drop_exact_text_duplicates",
     "near_dup_pairs_minhash", "near_dup_pairs_simhash", "deduplicate_minhash",
     "deduplicate_lines", "decontaminate", "decontaminate_bloom", "brute_force_top_k",
-    "register_sql_functions",
+    "curate", "register_sql_functions",
     "connected_components", "assign_clusters", "deduplicate_by_clusters",
     "keep_best_by_clusters",
     "deduplicate_minhash_clusters", "hash_sample", "stratified_hash_sample",
@@ -228,6 +228,36 @@ def deduplicate_minhash(df: DataFrame, id_col: ColumnOrName, text: ColumnOrName,
         df._jdf, _jcol(id_col), _jcol(text),
         int(shingle_size), int(bands), int(rows_per_band), float(threshold))
     return DataFrame(jdf, df.sparkSession)
+
+
+def curate(df: DataFrame, id_col: ColumnOrName, text: ColumnOrName,
+           keep_langs: List[str] = ("en",),
+           min_tokens: int = 50, max_tokens: int = 100000,
+           min_avg_token_len: float = 3.0, max_avg_token_len: float = 10.0,
+           min_stopword_ratio: float = 0.02, max_top_bigram_fraction: float = 0.18,
+           minhash_threshold: float = 0.8, shingle_size: int = 3,
+           bands: int = 16, rows_per_band: int = 8,
+           blocklist: DataFrame = None, blocklist_text: ColumnOrName = None,
+           blocklist_shingle_size: int = 5, min_overlap: int = 1,
+           sample_rate: float = 1.0, sample_salt: str = "graft"):
+    """End-to-end curation pass (langid -> quality -> exact dedup -> minhash
+    near-dup -> decontaminate -> hash sample). Returns (curated, report):
+    curated keeps all original columns; report is one (stage, n_rows) row per
+    executed stage including 0_input. Pass keep_langs=[] to skip language
+    filtering, blocklist=None to skip decontamination, sample_rate=1.0 to
+    skip sampling."""
+    sess = df.sparkSession
+    jarr = _bridge(df).curate(
+        df._jdf, _jcol(id_col), _jcol(text), list(keep_langs),
+        int(min_tokens), int(max_tokens),
+        float(min_avg_token_len), float(max_avg_token_len),
+        float(min_stopword_ratio), float(max_top_bigram_fraction),
+        float(minhash_threshold), int(shingle_size), int(bands), int(rows_per_band),
+        blocklist._jdf if blocklist is not None else None,
+        _jcol(blocklist_text if blocklist_text is not None else text),
+        int(blocklist_shingle_size), int(min_overlap),
+        float(sample_rate), sample_salt)
+    return DataFrame(jarr[0], sess), DataFrame(jarr[1], sess)
 
 
 def register_sql_functions(spark) -> None:

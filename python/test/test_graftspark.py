@@ -535,6 +535,29 @@ class GraftsparkTest(unittest.TestCase):
         self.assertEqual(got, expected)
         self.assertTrue(expected)
 
+    def test_pipeline_curate(self):
+        from graftspark import pipeline as P
+        en = ("the cat and the dog walked to the park and it was a fine day "
+              "for all of them to play in the sun with friends")
+        docs = self.spark.createDataFrame([
+            (1, en + " one"),
+            (2, en + " one"),            # exact dup -> 3_exact
+            (3, en + " one two"),        # near-dup -> 4_neardup
+            (4, "le chat et le chien une promenade dans les rues pour une belle "
+                "journee avec des amis et que la vie est bonne pour tous les gens"),
+            (5, "it is x y"),            # too short -> 2_quality
+        ], ["id", "text"])
+        curated, report = P.curate(
+            docs, "id", "text", keep_langs=["en"],
+            min_tokens=5, max_tokens=1000,
+            min_avg_token_len=1.0, max_avg_token_len=10.0,
+            min_stopword_ratio=0.01, max_top_bigram_fraction=0.9)
+        counts = {r["stage"]: r["n_rows"] for r in report.collect()}
+        self.assertEqual(counts, {"0_input": 5, "1_langid": 4, "2_quality": 3,
+                                  "3_exact": 2, "4_neardup": 1})
+        self.assertEqual([r["id"] for r in curated.select("id").collect()], [1])
+        self.assertEqual(curated.columns, ["id", "text"])
+
     def test_pipeline_sql_registration(self):
         from graftspark import pipeline as P
         P.register_sql_functions(self.spark)

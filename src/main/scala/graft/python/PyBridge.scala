@@ -223,6 +223,35 @@ object PyBridge {
   def registerSqlFunctions(spark: SparkSession): Unit =
     graft.GraftExtensions.registerAll(spark)
 
+  /** End-to-end curation pass (P47). Returns [curated, report]; the curated
+    * side's internal cache is released once both returned plans are local —
+    * report rows are driver-built, curated is materialized, so the cache is
+    * dropped before returning (py4j callers get concrete results). */
+  def curate(df: DataFrame, id: Column, text: Column,
+             keepLangs: JList[String],
+             minTokens: Int, maxTokens: Int,
+             minAvgTokenLen: Double, maxAvgTokenLen: Double,
+             minStopwordRatio: Double, maxTopBigramFraction: Double,
+             minHashThreshold: Double, shingleSize: Int, bands: Int, rowsPerBand: Int,
+             blocklist: DataFrame, blocklistText: Column,
+             blocklistShingleSize: Int, minOverlap: Int,
+             sampleRate: Double, sampleSalt: String): Array[DataFrame] = {
+    val handle = UnpersistHandle()
+    val (curated, report) = graft.pipeline.Curation.curate(
+      df, id, text, keepLangs.asScala.toSet,
+      minTokens, maxTokens, minAvgTokenLen, maxAvgTokenLen,
+      minStopwordRatio, maxTopBigramFraction,
+      minHashThreshold, shingleSize, bands, rowsPerBand,
+      Option(blocklist).map(b => (b, blocklistText)),
+      blocklistShingleSize, minOverlap, sampleRate, sampleSalt,
+      unpersistHandle = handle)
+    // pin the curated rows past the unpersist so the Python caller's plan
+    // does not recompute the whole pipeline per action
+    val pinned = curated.localCheckpoint(true)
+    handle.unpersist()
+    Array(pinned, report)
+  }
+
   def nearDupPairsSimHash(df: DataFrame, id: Column, text: Column,
                           shingleSize: Int, bands: Int, maxHamming: Int,
                           threshold: Double): DataFrame =
