@@ -201,4 +201,48 @@ class StreamingDedupSuite extends AnyFunSuite with SparkTest {
       assert(rows.count(_.docId == 5L) === 16)
     } finally query.stop()
   }
+
+  test("streaming curation composes the stateless stages + watermarked dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val en = "the cat and the dog walked to the park and it was a fine day " +
+      "for all of them to play in the sun with friends"
+    val block = Seq("benchmark secret answer token stream").toDF("text")
+    val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+    val t1 = Timestamp.valueOf("2026-01-01 10:01:00")
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val curated = graft.streaming.StreamingCurate.curateStream(
+      input.toDF().toDF("id", "ts", "text"), col("id"), col("text"),
+      eventTimeColumn = "ts", delayThreshold = "10 minutes",
+      keepLangs = Set("en"),
+      minTokens = 5, maxTokens = 1000, minAvgTokenLen = 1.0, maxAvgTokenLen = 10.0,
+      minStopwordRatio = 0.01, maxTopBigramFraction = 0.9,
+      blocklist = Some((block, col("text"))))
+
+    val query = curated.writeStream.format("memory")
+      .queryName("sc_out").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, t0, en + " one"),
+        (2L, t1, en + " one"),   // exact duplicate, same batch -> dropped
+        (4L, t0, "le chat et le chien une promenade dans les rues pour une belle " +
+          "journee avec des amis et que la vie est bonne pour tous les gens"), // non-en
+        (5L, t0, "it is x y"))   // too short
+      query.processAllAvailable()
+      input.addData(
+        (6L, t1, en + " benchmark secret answer token stream here today"), // contaminated
+        (7L, t1, en + " one"),   // duplicate across batches, within watermark
+        (8L, t1, "the second fine day was even better for them and all of it"))
+      query.processAllAvailable()
+      val ids = spark.table("sc_out").select("id").as[Long].collect().toSet
+      assert(ids === Set(1L, 8L))
+      // a batch frame is rejected with a pointer at the batch pass
+      val err = intercept[IllegalArgumentException] {
+        graft.streaming.StreamingCurate.curateStream(
+          Seq((1L, t0, "x")).toDF("id", "ts", "text"), col("id"), col("text"),
+          "ts", "10 minutes")
+      }
+      assert(err.getMessage.contains("Curation.curate"))
+    } finally query.stop()
+  }
 }
