@@ -26,11 +26,13 @@ import org.apache.spark.storage.StorageLevel
  * scan and cost one pass. The two dedups are the only shuffling stages and
  * both run on the already-filtered survivor set.
  *
- * Each stage's survivor set is persisted, counted (the report's action), and
- * the previous stage's cache is dropped immediately — at most two stage
- * caches are live at any moment. The final curated DataFrame stays persisted
- * and is released by the caller through `unpersistHandle` (the
- * [[graft.RowNumbers]] contract).
+ * The two leading narrow stages report their attrition from ONE fused
+ * aggregate pass over the input (no per-stage scan or cache); each
+ * shuffling stage's survivor set is persisted, counted, and the previous
+ * stage's cache dropped immediately — at most two stage caches are live at
+ * any moment. The final curated DataFrame stays persisted and is released
+ * by the caller through `unpersistHandle` (the [[graft.RowNumbers]]
+ * contract).
  *
  * (Green-field §2.4 surface: the reference stops at pairwise diff/dedup and
  * has no pipeline composition.)
@@ -75,17 +77,26 @@ object Curation {
       p
     }
 
-    counts += "0_input" -> docs.count()
-    var cur = docs
-
-    if (keepLangs.nonEmpty)
-      cur = step("1_langid", cur.filter(
-        graft.text.TextFunctions.langId(text, graft.text.TextFunctions.AsciiTokenPattern)
-          .isin(keepLangs.toSeq.map(l => l: Any): _*)))
-
-    cur = step("2_quality", graft.text.QualityFilters.gopherFilter(
-      cur, text, minTokens, maxTokens, minAvgTokenLen, maxAvgTokenLen,
-      minStopwordRatio, maxTopBigramFraction))
+    // The two leading stages are pure narrow filters, so their attrition
+    // counts fuse into ONE aggregate pass over the input — no per-stage
+    // scan, no per-stage cache. The quality-survivor set itself stays lazy:
+    // it is scanned exactly once (by the exact-dedup stage), so persisting
+    // it would only add a cache write.
+    val langKeep: Column =
+      if (keepLangs.isEmpty) lit(true)
+      else graft.text.TextFunctions.langId(text, graft.text.TextFunctions.AsciiTokenPattern)
+        .isin(keepLangs.toSeq.map(l => l: Any): _*)
+    val qualKeep = graft.text.QualityFilters.gopherKeep(
+      text, minTokens, maxTokens, minAvgTokenLen, maxAvgTokenLen,
+      minStopwordRatio, maxTopBigramFraction)
+    val head = docs.agg(
+      count(lit(1)),
+      coalesce(sum(when(langKeep, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(langKeep && qualKeep, 1L).otherwise(0L)), lit(0L))).head()
+    counts += "0_input" -> head.getLong(0)
+    if (keepLangs.nonEmpty) counts += "1_langid" -> head.getLong(1)
+    counts += "2_quality" -> head.getLong(2)
+    var cur = docs.filter(langKeep && qualKeep)
 
     cur = step("3_exact", graft.dedup.Dedup.dropExactTextDuplicates(cur, text, id))
 
