@@ -600,6 +600,22 @@ object SparkEntry {
         t(s, dir, "documents"), col("source"), col("text"), k = 5)
         .withColumnRenamed("group_key", "source")),
 
+    // BM25 sparse retrieval (k1=1.2, b=0.75): bit-length idf + exact
+    // fixed-point saturation term, so the scores hash-match the DuckDB
+    // replication term for term. The fourth query carries a term absent
+    // from the corpus (contributes nothing — pins df=0 handling).
+    "bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (0L, Seq("hash", "table", "scan")),
+        (1L, Seq("merge", "sort")),
+        (2L, Seq("window", "batch", "slow")),
+        (3L, Seq("spark", "value", "zzzunseen"))).toDF("query_id", "terms")
+      graft.text.Bm25.topK(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        queries, col("query_id"), col("terms"), k = 10)
+    }),
+
     // one-pass column profile (rows/nulls/distinct/min/max per column);
     // value columns pre-cast so the text rendering is engine-portable
     "profile_orders" -> ((s, dir) =>
@@ -982,6 +998,46 @@ object SparkEntry {
         .crossJoin(hits)
         .select(col("total_expected"),
           (col("hits") >= col("total_expected") * 0.75).as("recall_ok"))
+    }),
+
+    // product-quantization approximate top-k: deterministic per-subspace
+    // Lloyd's codebooks, m-byte codes (the ~30x-compressed corpus scan at
+    // dim=64; ~250x at production dims), per-query ADC lookup table, exact
+    // re-rank of the k*refine shortlist. Oracle: golden fixture recomputed by
+    // an independent numpy replication of the training + ADC math
+    // (tools/make_golden.py); recall additionally asserted in sbt tests.
+    "ann_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val index = graft.ann.Pq.trainPq(emb, col("vec_id"), col("embedding"),
+        dim = 64, m = 8, ksub = 16, iterations = 3)
+      graft.ann.Pq.pqTopK(
+        emb.filter(col("vec_id") < 20), emb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        index, k = 3, refine = 8)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
+    "ann_pq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+      val index = graft.ann.Pq.trainPq(emb, col("vec_id"), col("embedding"),
+        dim = 64, m = 8, ksub = 16, iterations = 3)
+      val brute = graft.ann.Ann.bruteForceTopK(q, emb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val pq = graft.ann.Pq.pqTopK(q, emb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        index, k = 3, refine = 8)
+        .select(col("query_id"), col("neighbor_id"))
+      // threshold sits well under the measured deterministic recall@3
+      // (0.52-0.72 across sf0.001-0.1): a broken kernel, codebook, or
+      // shortlist change drives recall toward 0 and flips the boolean
+      val hits = brute.join(pq, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      brute.agg(count(lit(1)).as("total_expected"))
+        .crossJoin(hits)
+        .select(col("total_expected"),
+          (col("hits") >= col("total_expected") * 0.4).as("recall_ok"))
     }),
 
     // multimodal plumbing: binary payload + frame sampling
@@ -1434,6 +1490,34 @@ object SparkEntry {
           "(SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, term) AS rank FROM sc) " +
           "WHERE rank <= 5"),
 
+      // BM25: full arithmetic replication — bit-length idf, floored integer
+      // avgdl, exact fixed-point saturation term (x1e6), BIGINT score sums,
+      // one final division. Same query literals as the Spark side.
+      "bm25_topk" ->
+        (s"WITH $docTokCte, " +
+          "qt AS (SELECT * FROM (VALUES (0,'hash'),(0,'table'),(0,'scan')," +
+          "(1,'merge'),(1,'sort'),(2,'window'),(2,'batch'),(2,'slow')," +
+          "(3,'spark'),(3,'value'),(3,'zzzunseen')) AS v(query_id, term)), " +
+          "stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+          "CAST(SUM(len(toks)) AS BIGINT) AS total_tokens FROM tok), " +
+          "post AS (SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS dl, x.term " +
+          "FROM tok t, unnest(t.toks) AS x(term) " +
+          "WHERE x.term IN (SELECT term FROM qt)), " +
+          "tf AS (SELECT doc_id, term, dl, CAST(COUNT(*) AS BIGINT) AS tf " +
+          "FROM post GROUP BY doc_id, term, dl), " +
+          "dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term), " +
+          "contrib AS (SELECT tf.term, tf.doc_id, " +
+          "CAST(length(format('{:b}', s.n_docs)) - length(format('{:b}', dfc.df)) AS BIGINT) " +
+          "* ((1000000 * 44 * tf.tf * (s.total_tokens // s.n_docs)) // " +
+          "(20 * tf.tf * (s.total_tokens // s.n_docs) + 6 * (s.total_tokens // s.n_docs) + 18 * tf.dl)) AS c " +
+          "FROM tf JOIN dfc USING (term) CROSS JOIN stats s), " +
+          "sc AS (SELECT qt.query_id, contrib.doc_id, CAST(SUM(contrib.c) AS BIGINT) AS score_scaled " +
+          "FROM qt JOIN contrib USING (term) GROUP BY qt.query_id, contrib.doc_id) " +
+          "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank, doc_id, " +
+          "CAST(score_scaled AS DOUBLE) / 1000000 AS score FROM " +
+          "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS rank FROM sc) " +
+          "WHERE rank <= 10"),
+
       "profile_orders" -> Seq(
         ("o_orderkey", "o_orderkey"),
         ("o_custkey", "o_custkey"),
@@ -1748,6 +1832,14 @@ object SparkEntry {
           "SELECT CAST(COUNT(*) AS BIGINT) AS total_expected, TRUE AS recall_ok " +
           "FROM topk WHERE rank <= 3"),
 
+      "ann_pq_recall" ->
+        ("WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20), " +
+          "topk AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+          "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank " +
+          "FROM q JOIN embeddings c ON q.vec_id <> c.vec_id) " +
+          "SELECT CAST(COUNT(*) AS BIGINT) AS total_expected, TRUE AS recall_ok " +
+          "FROM topk WHERE rank <= 3"),
+
       // golden-fixture oracles: LSH/IVF candidate generation is seeded-hash
       // math DuckDB cannot express; the fixtures are recomputed independently
       // (java.util.Random + bucket/Lloyd's replication in numpy float64,
@@ -1759,6 +1851,10 @@ object SparkEntry {
       "ann_ivf_topk" ->
         ("SELECT query_id, rank, neighbor_id " +
           s"FROM read_parquet('$goldenDir/ann_ivf_topk_sf001.parquet')"),
+
+      "ann_pq_topk" ->
+        ("SELECT query_id, rank, neighbor_id " +
+          s"FROM read_parquet('$goldenDir/ann_pq_topk_sf001.parquet')"),
 
       // DuckDB has no deflate: expected lengths come from the python-zlib
       // golden (byte-identical raw stream, level 6); raw bytes and the ratio

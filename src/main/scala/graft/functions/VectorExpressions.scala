@@ -574,6 +574,112 @@ object VectorKernels extends Serializable {
   }
 
   /**
+   * Product-quantization encode: for each of the `m = codebooks.length`
+   * subspaces, the index of the sub-centroid with the smallest squared L2
+   * distance to the vector's subvector (ties -> lower code). Output is one
+   * byte per subspace — the 100 TB compression step (dim*4 bytes -> m bytes).
+   * Vector elements past `m * subdim` are ignored; missing ones read as 0.
+   */
+  def pqEncode(vec: ArrayData, codebooks: Array[Array[Array[Float]]]): Array[Byte] = {
+    val m = codebooks.length
+    val out = new Array[Byte](m)
+    val n = vec.numElements()
+    var s = 0
+    var base = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val subdim = cb(0).length
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cen = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < subdim) {
+          val x = (if (base + i < n) vec.getFloat(base + i).toDouble else 0.0) - cen(i).toDouble
+          d += x * x
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best.toByte
+      base += subdim
+      s += 1
+    }
+    out
+  }
+
+  /** [[pqEncode]] as int codes — the training-loop variant (joinable /
+    * explodable in Column algebra without byte indexing). */
+  def pqEncodeInts(vec: ArrayData, codebooks: Array[Array[Array[Float]]]): Array[Int] = {
+    val bytes = pqEncode(vec, codebooks)
+    val out = new Array[Int](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = bytes(i) & 0xFF; i += 1 }
+    out
+  }
+
+  /**
+   * Query-side ADC lookup table: `lut[s * ksub + c] = dot(q_sub(s),
+   * codebooks[s][c])`, flattened to one double array of length `m * ksub`.
+   * Computed ONCE per query; every corpus candidate is then scored in O(m)
+   * lookups by [[pqAdcDot]].
+   */
+  def pqLut(vec: ArrayData, codebooks: Array[Array[Array[Float]]]): Array[Double] = {
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val out = new Array[Double](m * ksub)
+    val n = vec.numElements()
+    var s = 0
+    var base = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val subdim = cb(0).length
+      var c = 0
+      while (c < ksub) {
+        val cen = cb(c)
+        var dot = 0.0
+        var i = 0
+        while (i < subdim) {
+          if (base + i < n) dot += vec.getFloat(base + i).toDouble * cen(i).toDouble
+          i += 1
+        }
+        out(s * ksub + c) = dot
+        c += 1
+      }
+      base += subdim
+      s += 1
+    }
+    out
+  }
+
+  /** Asymmetric-distance dot product: sum of the LUT entries the code bytes
+    * select — O(m) per (query, candidate) pair. */
+  def pqAdcDot(codes: Array[Byte], lut: ArrayData, ksub: Int): Double = {
+    var acc = 0.0
+    var s = 0
+    while (s < codes.length) {
+      acc += lut.getDouble(s * ksub + (codes(s) & 0xFF))
+      s += 1
+    }
+    acc
+  }
+
+  /** Reconstruction norm of an encoded vector from precomputed per-centroid
+    * squared norms: sqrt(sum_s |codebooks[s][code_s]|^2). */
+  def pqCodeNorm(codes: Array[Byte], normSq: Array[Array[Double]]): Double = {
+    var acc = 0.0
+    var s = 0
+    while (s < codes.length) {
+      acc += normSq(s)(codes(s) & 0xFF)
+      s += 1
+    }
+    math.sqrt(acc)
+  }
+
+  /**
    * Fused n-gram repetition statistics over ASCII tokens:
    * `[totalNgrams, topNgramCount]` — total n-gram occurrences (with repeats)
    * and the occurrence count of the single most frequent n-gram. One pass:
@@ -1025,6 +1131,139 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Float]], n
     copy(child = newChild)
 }
 
+/** pq_encode(vec): product-quantization codes, one byte per subspace ->
+  * binary of length m. The codebooks live in a codegen reference object
+  * (they ship to executors inside the plan, like the IVF centroids). */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _)
+        if codebooks.nonEmpty && codebooks.forall(cb => cb.nonEmpty && cb.length <= 256) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode expects array<float> and 1..256 centroids per subspace, got ${t.sql}")
+  }
+
+  override def nullSafeEval(vec: Any): Any =
+    VectorKernels.pqEncode(vec.asInstanceOf[ArrayData], codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernels.pqEncode($a, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** pq_encode_ints(vec): the same codes as array<int> — the training-loop
+  * variant, explodable/groupable in Column algebra. */
+case class PqEncodeInts(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if codebooks.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode_ints expects array<float>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(vec: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.pqEncodeInts(vec.asInstanceOf[ArrayData], codebooks))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    defineCodeGen(ctx, ev,
+      a => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorKernels.pqEncodeInts($a, $ref))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** pq_lut(qvec): per-query ADC lookup table (m * ksub doubles) — computed
+  * once per query row, then every candidate scores in O(m). */
+case class PqLut(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if codebooks.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_lut expects array<float>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(vec: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.pqLut(vec.asInstanceOf[ArrayData], codebooks))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    defineCodeGen(ctx, ev,
+      a => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorKernels.pqLut($a, $ref))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** pq_adc_dot(codes, lut): asymmetric-distance dot product — the inner-loop
+  * scorer of the PQ scan, O(m) per pair. */
+case class PqAdcDot(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, ArrayType(DoubleType, _)) if ksub > 0 => TypeCheckResult.TypeCheckSuccess
+    case (a, b) => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_dot expects (binary, array<double>), got (${a.sql}, ${b.sql})")
+  }
+
+  override def nullSafeEval(codes: Any, lut: Any): Any =
+    VectorKernels.pqAdcDot(codes.asInstanceOf[Array[Byte]], lut.asInstanceOf[ArrayData], ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorKernels.pqAdcDot($a, $b, $ksub)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** pq_code_norm(codes): reconstruction norm from precomputed per-centroid
+  * squared norms — the denominator of the approximate cosine. */
+case class PqCodeNorm(child: Expression, normSq: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType if normSq.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_code_norm expects binary, got ${t.sql}")
+  }
+
+  override def nullSafeEval(codes: Any): Any =
+    VectorKernels.pqCodeNorm(codes.asInstanceOf[Array[Byte]], normSq)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("normSq", normSq, "double[][]")
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernels.pqCodeNorm($a, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** minhash_band_hashes(features, bands, rowsPerBand): fused signature + LSH
   * band bucket hashes -> array<long> of length `bands`. Single kernel pass —
   * keeps the signature out of HOF lambdas where it would be re-evaluated per
@@ -1105,6 +1344,21 @@ object vectors {
 
   def nearest_centroids(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
     NearestCentroids(vec.asExpression, centroids, nprobe).asColumn
+
+  def pq_encode(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    PqEncode(vec.asExpression, codebooks).asColumn
+
+  def pq_encode_ints(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    PqEncodeInts(vec.asExpression, codebooks).asColumn
+
+  def pq_lut(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    PqLut(vec.asExpression, codebooks).asColumn
+
+  def pq_adc_dot(codes: Column, lut: Column, ksub: Int): Column =
+    PqAdcDot(codes.asExpression, lut.asExpression, ksub).asColumn
+
+  def pq_code_norm(codes: Column, normSq: Array[Array[Double]]): Column =
+    PqCodeNorm(codes.asExpression, normSq).asColumn
 
   /** Hamming distance between two 64-bit hashes as a Column. */
   def hamming64(a: Column, b: Column): Column =

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ann.Ann
+import graft.ann.{Ann, Pq}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.text.TextFunctions
@@ -573,6 +573,118 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = brute.count(ivf.contains).toDouble / brute.size
     assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("PQ: encode reproduces exact codes and ADC dot on codebook points") {
+    // two subspaces of 2 dims, 2 codes each; vectors sitting exactly on
+    // centroid combinations must encode losslessly, and the ADC dot must
+    // equal the exact dot against the reconstruction
+    val codebooks: Array[Array[Array[Float]]] = Array(
+      Array(Array(1f, 0f), Array(0f, 1f)),
+      Array(Array(2f, 0f), Array(0f, 2f)))
+    val index = Pq.PqIndex(codebooks)
+    val df = Seq(
+      (0L, Seq(1f, 0f, 2f, 0f)), // codes (0, 0)
+      (1L, Seq(0f, 1f, 0f, 2f)), // codes (1, 1)
+      (2L, Seq(1f, 0f, 0f, 2f))  // codes (0, 1)
+    ).toDF("id", "vec")
+    val enc = df.select(col("id"),
+        graft.functions.vectors.pq_encode(col("vec"), codebooks).as("codes"))
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(enc(0L).toSeq == Seq[Byte](0, 0))
+    assert(enc(1L).toSeq == Seq[Byte](1, 1))
+    assert(enc(2L).toSeq == Seq[Byte](0, 1))
+    val q = Seq(3f, 5f, 7f, 11f)
+    val adc = df.select(col("id"),
+        graft.functions.vectors.pq_adc_dot(
+          graft.functions.vectors.pq_encode(col("vec"), codebooks),
+          graft.functions.vectors.pq_lut(
+            typedLit(q).cast("array<float>"), codebooks),
+          index.ksub).as("adc"))
+      .as[(Long, Double)].collect().toMap
+    // exact dots of q against the (lossless) reconstructions
+    assert(adc(0L) == 3.0 * 1 + 7.0 * 2)
+    assert(adc(1L) == 5.0 * 1 + 11.0 * 2)
+    assert(adc(2L) == 3.0 * 1 + 11.0 * 2)
+    // reconstruction norms from the code bytes
+    val norms = df.select(col("id"),
+        graft.functions.vectors.pq_code_norm(
+          graft.functions.vectors.pq_encode(col("vec"), codebooks), index.normSq).as("n"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(norms(0L) - math.sqrt(1.0 + 4.0)) < 1e-12)
+  }
+
+  test("PQ: train + search approximates brute force on clustered vectors") {
+    val data = clusteredVectors(6, 10, 16, 0.05f)
+    val df = data.toDF("id", "vec")
+    val index = Pq.trainPq(df, col("id"), col("vec"), dim = 16, m = 4, ksub = 8,
+      iterations = 3)
+    assert(index.m == 4 && index.ksub == 8 && index.subdim == 4)
+    val queries = df.filter(col("id") < 6)
+    val brute = Ann.bruteForceTopK(queries, df, col("id"), col("vec"), col("id"), col("vec"), k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Pq.pqTopK(queries, df, col("id"), col("vec"), col("id"), col("vec"),
+      index, k = 3, refine = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(pq.contains).toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
+    // the re-rank emits exact cosines: spot-check against the brute scores
+    val bruteCos = Ann.bruteForceTopK(queries, df, col("id"), col("vec"), col("id"), col("vec"), k = 3)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    Pq.pqTopK(queries, df, col("id"), col("vec"), col("id"), col("vec"),
+      index, k = 3, refine = 4)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+      .foreach { case (q, n, c) =>
+        bruteCos.get((q, n)).foreach(b => assert(math.abs(b - c) < 1e-12, s"($q, $n)")) }
+  }
+
+  test("BM25: hand-computed scores, bit-length idf zeroes common terms") {
+    val docs = Seq(
+      (1L, "cat dog cat"),
+      (2L, "dog bird"),
+      (3L, "fish fish fish fish")).toDF("doc_id", "text")
+    val queries = Seq((0L, Seq("cat", "dog"))).toDF("query_id", "terms")
+    // N=3 (bitlen 2), T=9, avgdl=3; df(cat)=1 -> idf_bits 1, df(dog)=2 ->
+    // idf_bits 0 (a term in 2 of 3 docs carries no bits — quantized idf).
+    // doc1 cat: tf=2, dl=3 -> sat = 2*2.2/(2+1.2) = 1.375 exactly, so
+    // score = 1 * 1.375; doc2 only matches dog -> score 0.0 but still ranked.
+    val got = graft.text.Bm25.topK(docs, col("doc_id"), col("text"),
+        queries, col("query_id"), col("terms"), k = 10)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    assert(got.toSeq == Seq((0L, 1, 1L, 1.375), (0L, 2, 2L, 0.0)))
+  }
+
+  test("BM25: top-k plans a map-side WindowGroupLimit") {
+    val docs = Seq((1L, "cat dog"), (2L, "dog bird")).toDF("doc_id", "text")
+    val queries = Seq((0L, Seq("cat"))).toDF("query_id", "terms")
+    val formatted = graft.text.Bm25.topK(docs, col("doc_id"), col("text"),
+        queries, col("query_id"), col("terms"), k = 3)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("WindowGroupLimit"), formatted)
+  }
+
+  test("PQ: the ADC scan streams codes, not corpus vectors") {
+    val data = clusteredVectors(4, 8, 16, 0.05f)
+    val df = data.toDF("id", "vec")
+    val index = Pq.trainPq(df, col("id"), col("vec"), dim = 16, m = 4, ksub = 4,
+      iterations = 2)
+    val formatted = Pq.pqTopK(df.filter(col("id") < 4), df,
+        col("id"), col("vec"), col("id"), col("vec"), index, k = 2, refine = 4)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // the approximate-score shortlist is a two-phase WindowGroupLimit (the
+    // map-side top-(k*refine) kills the per-query row blow-up pre-exchange)
+    assert(formatted.contains("WindowGroupLimit"), formatted)
+    // the shortlist exchange ships (query_id, neighbor_id[, approx score]) —
+    // never the corpus embedding; the only full-vector touch after the scan
+    // is the |q| * k * refine join-back for exact re-rank
+    val sections = formatted.split("\n\n")
+    val shortlistExchanges = sections.filter(s =>
+      s.contains("Exchange") && s.contains("query_id") && s.contains("approx_cos"))
+    assert(shortlistExchanges.nonEmpty, formatted)
+    shortlistExchanges.foreach(s =>
+      assert(!s.contains("cvec"), s"shortlist exchange carries corpus vectors:\n$s"))
   }
 
   // --------------------------------------------------------------------------

@@ -439,6 +439,72 @@ def make_ann_goldens():
         cand[q] = s
     write_topk(topk_from_candidates(ids, vecs, cand, query_ids, 3), "ann_ivf_topk_sf001")
 
+    # --- PQ (dim=64, m=8, ksub=16, iterations=3, k=3, refine=8) ---
+    # replicate Pq.trainPq + pqTopK: deterministic init from the ksub
+    # smallest-id vectors, Lloyd's with L2 sub-assignment (ties -> lower
+    # code), ADC scoring with reconstruction-norm cosine, shortlist of
+    # k*refine by (-approx, neighbor), exact-cosine re-rank.
+    m, ksub, subdim, topk, refine = 8, 16, 8, 3, 8
+    seeds = vecs32[order[:ksub]]  # ksub smallest ids
+    cbs = np.stack([seeds[:, s * subdim:(s + 1) * subdim] for s in range(m)])
+    # cbs: (m, ksub, subdim) float32
+    sub64 = np.stack([vecs[:, s * subdim:(s + 1) * subdim] for s in range(m)])
+    # sub64: (m, n, subdim) float64
+    for _ in range(3):
+        nxt = cbs.copy()
+        for s in range(m):
+            d = ((sub64[s][:, None, :] - cbs[s].astype(np.float64)[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)  # ties -> lower code, same as kernel
+            for c in range(ksub):
+                members = sub64[s][assign == c]
+                if len(members):
+                    nxt[s][c] = members.mean(axis=0).astype(np.float32)
+        cbs = nxt
+    cb64 = cbs.astype(np.float64)
+    codes = np.empty((len(ids), m), dtype=np.int64)
+    for s in range(m):
+        d = ((sub64[s][:, None, :] - cb64[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = np.argmin(d, axis=1)
+    norm_sq = (cb64 ** 2).sum(axis=2)  # (m, ksub)
+    cnorm = np.sqrt(norm_sq[np.arange(m)[None, :], codes].sum(axis=1))  # (n,)
+    qnorm = np.sqrt((vecs ** 2).sum(axis=1))
+    idx = {v: i for i, v in enumerate(ids)}
+    rows = []
+    for q in query_ids:
+        qi = idx[q]
+        # lut[s, c] = dot(q_sub(s), cb[s][c])
+        lut = np.einsum("scd,sd->sc", cb64,
+                        np.stack([vecs[qi, s * subdim:(s + 1) * subdim] for s in range(m)]))
+        adc = lut[np.arange(m)[None, :], codes].sum(axis=1)  # (n,)
+        denom = qnorm[qi] * cnorm
+        with np.errstate(divide="ignore", invalid="ignore"):
+            approx = np.where((qnorm[qi] == 0) | (cnorm == 0), 0.0, adc / denom)
+        cand_order = sorted((i for i in range(len(ids)) if ids[i] != q),
+                            key=lambda i: (-approx[i], ids[i]))
+        shortlist = [int(ids[i]) for i in cand_order[:topk * refine]]
+        nm = vecs[[idx[n] for n in shortlist]]
+        cos = cosine_matrix(vecs[qi][None, :], nm)[0]
+        rerank = sorted(range(len(shortlist)), key=lambda i: (-cos[i], shortlist[i]))
+        for rank, i in enumerate(rerank[:topk], start=1):
+            rows.append((q, rank, shortlist[i]))
+    write_topk(rows, "ann_pq_topk_sf001")
+
+    # recall@3 vs exact brute force, for the ann_pq_recall threshold
+    cos_all = cosine_matrix(vecs, vecs)
+    hits = total = 0
+    pq_sets = {}
+    for (q, rank, n) in rows:
+        pq_sets.setdefault(q, set()).add(n)
+    for q in query_ids:
+        qi = idx[q]
+        sims = cos_all[qi]
+        order_q = sorted((i for i in range(len(ids)) if ids[i] != q),
+                         key=lambda i: (-sims[i], ids[i]))[:topk]
+        truth = {int(ids[i]) for i in order_q}
+        total += len(truth)
+        hits += len(truth & pq_sets.get(q, set()))
+    print(f"ann_pq recall@3 vs brute: {hits}/{total} = {hits/total:.3f}")
+
 
 if __name__ == "__main__":
     make_images_fixture()
