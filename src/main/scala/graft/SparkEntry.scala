@@ -600,6 +600,17 @@ object SparkEntry {
         t(s, dir, "documents"), col("source"), col("text"), k = 5)
         .withColumnRenamed("group_key", "source")),
 
+    // repeated-span detection/removal (substring-level dedup at token
+    // granularity): duplicate decision on the md5-prefix window hash both
+    // engines compute byte-identically; coverage = per-doc interval union
+    "repeated_spans" -> ((s, dir) =>
+      graft.text.SpanDedup.repeatedSpanStats(
+        t(s, dir, "documents"), col("doc_id"), col("text"), k = 3)),
+
+    "remove_repeated_spans" -> ((s, dir) =>
+      graft.text.SpanDedup.removeRepeatedSpans(
+        t(s, dir, "documents"), col("doc_id"), col("text"), k = 3)),
+
     // BM25 sparse retrieval (k1=1.2, b=0.75): bit-length idf + exact
     // fixed-point saturation term, so the scores hash-match the DuckDB
     // replication term for term. The fourth query carries a term absent
@@ -1489,6 +1500,50 @@ object SparkEntry {
           "SELECT source, term, tf_docs, df_docs, score, CAST(rank AS INT) AS rank FROM " +
           "(SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, term) AS rank FROM sc) " +
           "WHERE rank <= 5"),
+
+      // repeated spans: same window hash (md5 prefix over the space-joined
+      // 3-gram), same >= 2 duplicate rule, same interval-union island SQL
+      "repeated_spans" ->
+        (s"WITH $docTokCte, " +
+          "w AS (SELECT doc_id, i - 1 AS pos, " +
+          "substring(md5(array_to_string(toks[i:i+2], ' ')), 1, 16) AS h " +
+          "FROM tok, unnest(range(1, len(toks) - 1)) AS r(i)), " +
+          "dh AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2), " +
+          "dw AS (SELECT w.doc_id, w.pos FROM w JOIN dh USING (h)), " +
+          "i0 AS (SELECT doc_id, pos, MAX(pos + 2) OVER (PARTITION BY doc_id ORDER BY pos " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM dw), " +
+          "i1 AS (SELECT doc_id, pos, CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END AS ni FROM i0), " +
+          "i2 AS (SELECT doc_id, pos, SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i1), " +
+          "isl AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos + 2) AS e FROM i2 GROUP BY doc_id, island), " +
+          "per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_windows FROM dw GROUP BY doc_id), " +
+          "cov AS (SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS covered_tokens FROM isl GROUP BY doc_id) " +
+          "SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens, " +
+          "COALESCE(per.dup_windows, 0) AS dup_windows, " +
+          "COALESCE(cov.covered_tokens, 0) AS covered_tokens " +
+          "FROM tok t LEFT JOIN per USING (doc_id) LEFT JOIN cov USING (doc_id)"),
+
+      "remove_repeated_spans" ->
+        (s"WITH $docTokCte, " +
+          "w AS (SELECT doc_id, i - 1 AS pos, " +
+          "substring(md5(array_to_string(toks[i:i+2], ' ')), 1, 16) AS h " +
+          "FROM tok, unnest(range(1, len(toks) - 1)) AS r(i)), " +
+          "dh AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2), " +
+          "dw AS (SELECT w.doc_id, w.pos FROM w JOIN dh USING (h)), " +
+          "i0 AS (SELECT doc_id, pos, MAX(pos + 2) OVER (PARTITION BY doc_id ORDER BY pos " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM dw), " +
+          "i1 AS (SELECT doc_id, pos, CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END AS ni FROM i0), " +
+          "i2 AS (SELECT doc_id, pos, SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i1), " +
+          "isl AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos + 2) AS e FROM i2 GROUP BY doc_id, island), " +
+          "cp AS (SELECT doc_id, r.ti FROM isl, unnest(range(s, e + 1)) AS r(ti)), " +
+          "idx AS (SELECT t.doc_id, r.ti, t.toks[r.ti + 1] AS tok " +
+          "FROM tok t, unnest(range(0, len(t.toks))) AS r(ti)), " +
+          "kept AS (SELECT idx.doc_id, idx.ti, idx.tok FROM idx " +
+          "LEFT JOIN cp ON cp.doc_id = idx.doc_id AND cp.ti = idx.ti WHERE cp.doc_id IS NULL), " +
+          "reb AS (SELECT doc_id, array_to_string(list(tok ORDER BY ti), ' ') AS clean_text, " +
+          "CAST(COUNT(*) AS BIGINT) AS kept FROM kept GROUP BY doc_id) " +
+          "SELECT t.doc_id, COALESCE(reb.clean_text, '') AS clean_text, " +
+          "CAST(len(t.toks) - COALESCE(reb.kept, 0) AS BIGINT) AS removed_tokens " +
+          "FROM tok t LEFT JOIN reb USING (doc_id)"),
 
       // BM25: full arithmetic replication — bit-length idf, floored integer
       // avgdl, exact fixed-point saturation term (x1e6), BIGINT score sums,

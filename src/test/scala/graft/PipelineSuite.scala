@@ -639,6 +639,49 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
         bruteCos.get((q, n)).foreach(b => assert(math.abs(b - c) < 1e-12, s"($q, $n)")) }
   }
 
+  test("repeated spans: stats and removal on a hand-built corpus") {
+    // "a b c" appears in docs 1 and 2 (cross-doc dup); "x x x x" repeats
+    // "x x" within doc 3 (intra-doc dup, overlapping windows merge into one
+    // island); doc 4 has no duplicated window
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "z a b c y"),
+      (3L, "x x x x q"),
+      (4L, "p q r s t")).toDF("doc_id", "text")
+    val stats = graft.text.SpanDedup.repeatedSpanStats(
+        docs, col("doc_id"), col("text"), k = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // k=3 windows: doc1 [a b c][b c d][c d e]; doc2 [z a b][a b c][b c y];
+    // doc3 [x x x][x x x][x x q]; doc4 none duplicated.
+    // duplicated: "a b c" (docs 1+2), "x x x" (twice in doc 3)
+    assert(stats(1L) == ((5L, 1L, 3L)))
+    assert(stats(2L) == ((5L, 1L, 3L)))
+    assert(stats(3L) == ((5L, 2L, 4L))) // windows at pos 0,1 merge -> tokens 0..3
+    assert(stats(4L) == ((5L, 0L, 0L)))
+    val clean = graft.text.SpanDedup.removeRepeatedSpans(
+        docs, col("doc_id"), col("text"), k = 3)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(clean(1L) == (("d e", 3L)))
+    assert(clean(2L) == (("z y", 3L)))
+    assert(clean(3L) == (("q", 4L)))
+    assert(clean(4L) == (("p q r s t", 0L)))
+  }
+
+  test("repeated spans: the count shuffle carries hashes, not window text") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val formatted = graft.text.SpanDedup.repeatedSpanStats(
+        docs, col("doc_id"), col("text"), k = 3)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val sections = formatted.split("\n\n")
+    val countExchanges = sections.filter(s =>
+      s.contains("Exchange") && s.contains("hashpartitioning") && s.contains("h#"))
+    assert(countExchanges.nonEmpty, formatted)
+    countExchanges.foreach(s =>
+      assert(!s.contains("win"), s"window-count exchange carries window text:\n$s"))
+  }
+
   test("BM25: hand-computed scores, bit-length idf zeroes common terms") {
     val docs = Seq(
       (1L, "cat dog cat"),
