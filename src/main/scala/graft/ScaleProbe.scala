@@ -63,7 +63,8 @@ object ScaleProbe {
     // (assign_clusters needs the minhash pair list; the bucketed/plain as-of
     // comparison needs both sides), but only requested lines are printed.
     val allProbes = Set("minhash_pairs", "assign_clusters", "fuzzy_pairs",
-      "asof_hotkey_plain", "asof_hotkey_bucketed", "cluster_chain")
+      "asof_hotkey_plain", "asof_hotkey_bucketed", "cluster_chain",
+      "span_stats", "bm25_topk", "pq_topk")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -159,6 +160,61 @@ object ScaleProbe {
       require(nComp2 == dist._1,
         s"fast path disagrees with distributed path: $nComp2 vs ${dist._1}")
     }
+    }
+
+    // --- documents: repeated-span stats + BM25 on the amplified corpus ---
+    // the replica interleaving breaks most cross-replica 3-gram windows, so
+    // duplicate structure (and the dup-window semi-join) scales linearly in
+    // N; BM25's query set stays fixed while postings grow N-fold — the
+    // broadcast-semi-join-before-tf-shuffle shape is what keeps it linear
+    if (enabled("span_stats") || enabled("bm25_topk")) {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bigDocs = amplify(docs, n)
+      .select((col("doc_id") + col("__rep") * 1000000L).as("doc_id"),
+        regexp_replace(col("text"), lit("(\\w+ \\w+ \\w+)"),
+          concat(lit("$1 r"), col("__rep").cast("string"))).as("text"))
+    if (enabled("span_stats")) {
+      val (nSpan, tSpan) = time {
+        graft.text.SpanDedup.repeatedSpanStats(
+          bigDocs, col("doc_id"), col("text"), k = 3)
+          .queryExecution.toRdd.count()
+      }
+      report("span_stats", nSpan, tSpan)
+    }
+    if (enabled("bm25_topk")) {
+      import spark.implicits._
+      val queries = Seq(
+        (0L, Seq("hash", "table", "scan")),
+        (1L, Seq("merge", "sort")),
+        (2L, Seq("window", "batch", "slow"))).toDF("query_id", "terms")
+      val (nBm, tBm) = time {
+        graft.text.Bm25.topK(bigDocs, col("doc_id"), col("text"),
+          queries, col("query_id"), col("terms"), k = 10)
+          .queryExecution.toRdd.count()
+      }
+      report("bm25_topk", nBm, tBm)
+    }
+    }
+
+    // --- embeddings: PQ search over an N-fold corpus ---------------------
+    // the index trains on the UNamplified sample (the documented 100 TB
+    // pattern); the amplified corpus only pays the m-byte encode + O(m) ADC
+    // scan, so cost should grow ~linearly while the shortlist join-back
+    // stays |queries| * k * refine rows
+    if (enabled("pq_topk")) {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val index = graft.ann.Pq.trainPq(emb, col("vec_id"), col("embedding"),
+      dim = 64, m = 8, ksub = 16, iterations = 3)
+    val bigEmb = amplify(emb, n)
+      .select((col("vec_id") + col("__rep") * 1000000L).as("vec_id"),
+        col("embedding"))
+    val (nPq, tPq) = time {
+      graft.ann.Pq.pqTopK(emb.filter(col("vec_id") < 20), bigEmb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        index, k = 3, refine = 8)
+        .queryExecution.toRdd.count()
+    }
+    report("pq_topk", nPq, tPq)
     }
 
     // --- events: as-of join with a deliberately hot key ------------------
