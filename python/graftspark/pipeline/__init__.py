@@ -38,6 +38,8 @@ __all__ = [
     "with_running_total", "pack_sequences", "zorder_by",
     "edit_distance1_pairs", "weighted_hash_sample",
     "extract_media_features", "extract_audio_features", "sample_frames",
+    "train_pq", "pq_encode", "pq_top_k", "bm25_top_k",
+    "repeated_span_stats", "remove_repeated_spans",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -437,6 +439,64 @@ def brute_force_top_k(queries: DataFrame, corpus: DataFrame,
         queries._jdf, corpus._jdf, _jcol(query_id), _jcol(query_vec),
         _jcol(corpus_id), _jcol(corpus_vec), int(k))
     return DataFrame(jdf, queries.sparkSession)
+
+
+def train_pq(corpus: DataFrame, id: ColumnOrName, vec: ColumnOrName,
+             dim: int, m: int, ksub: int, iterations: int = 3):
+    """Train a product quantizer (deterministic per-subspace Lloyd's).
+    Returns an opaque index handle for pq_encode / pq_top_k."""
+    return _bridge(corpus).trainPq(corpus._jdf, _jcol(id), _jcol(vec),
+                                   int(dim), int(m), int(ksub), int(iterations))
+
+
+def pq_encode(corpus: DataFrame, id: ColumnOrName, vec: ColumnOrName,
+              index) -> DataFrame:
+    """Encode a corpus to (neighbor_id, codes, cnorm): m bytes per vector —
+    the table a production pipeline writes once and scans per query batch."""
+    jdf = _bridge(corpus).pqEncode(corpus._jdf, _jcol(id), _jcol(vec), index)
+    return DataFrame(jdf, corpus.sparkSession)
+
+
+def pq_top_k(queries: DataFrame, corpus: DataFrame,
+             query_id: ColumnOrName, query_vec: ColumnOrName,
+             corpus_id: ColumnOrName, corpus_vec: ColumnOrName,
+             index, k: int, refine: int = 8) -> DataFrame:
+    """PQ approximate top-k with exact re-rank:
+    (query_id, rank, neighbor_id, cosine)."""
+    jdf = _bridge(queries).pqTopK(
+        queries._jdf, corpus._jdf, _jcol(query_id), _jcol(query_vec),
+        _jcol(corpus_id), _jcol(corpus_vec), index, int(k), int(refine))
+    return DataFrame(jdf, queries.sparkSession)
+
+
+def bm25_top_k(docs: DataFrame, doc_id: ColumnOrName, text: ColumnOrName,
+               queries: DataFrame, query_id: ColumnOrName,
+               query_terms: ColumnOrName, k: int,
+               scale: int = 1000000) -> DataFrame:
+    """BM25 top-k docs per query (k1=1.2, b=0.75, bit-length idf, exact
+    fixed-point arithmetic): (query_id, rank, doc_id, score)."""
+    jdf = _bridge(docs).bm25TopK(
+        docs._jdf, _jcol(doc_id), _jcol(text),
+        queries._jdf, _jcol(query_id), _jcol(query_terms), int(k), int(scale))
+    return DataFrame(jdf, docs.sparkSession)
+
+
+def repeated_span_stats(docs: DataFrame, id: ColumnOrName, text: ColumnOrName,
+                        k: int, min_count: int = 2) -> DataFrame:
+    """Per-doc duplicated k-token-span report:
+    (doc_id, n_tokens, dup_windows, covered_tokens)."""
+    jdf = _bridge(docs).repeatedSpanStats(docs._jdf, _jcol(id), _jcol(text),
+                                          int(k), int(min_count))
+    return DataFrame(jdf, docs.sparkSession)
+
+
+def remove_repeated_spans(docs: DataFrame, id: ColumnOrName, text: ColumnOrName,
+                          k: int, min_count: int = 2) -> DataFrame:
+    """Drop tokens covered by corpus-duplicated k-token windows:
+    (doc_id, clean_text, removed_tokens)."""
+    jdf = _bridge(docs).removeRepeatedSpans(docs._jdf, _jcol(id), _jcol(text),
+                                            int(k), int(min_count))
+    return DataFrame(jdf, docs.sparkSession)
 
 
 def top_k_per_group(df: DataFrame, group_cols: List[ColumnOrName],

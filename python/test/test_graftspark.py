@@ -590,6 +590,64 @@ class GraftsparkTest(unittest.TestCase):
         self.assertEqual(best[1], 3)
         self.assertEqual(best[3], 1)
 
+    def test_pipeline_retrieval_and_span_operators(self):
+        from graftspark import pipeline as P
+        docs = self.spark.createDataFrame(
+            [(1, "a b c d e"), (2, "z a b c y"), (3, "x x x x q"),
+             (4, "p q r s t")], ["doc_id", "text"])
+        stats = {r["doc_id"]: r for r in P.repeated_span_stats(
+            docs, col("doc_id"), col("text"), 3).collect()}
+        self.assertEqual(
+            (stats[1]["dup_windows"], stats[1]["covered_tokens"]), (1, 3))
+        self.assertEqual(
+            (stats[3]["dup_windows"], stats[3]["covered_tokens"]), (2, 4))
+        self.assertEqual(stats[4]["dup_windows"], 0)
+        clean = {r["doc_id"]: r for r in P.remove_repeated_spans(
+            docs, col("doc_id"), col("text"), 3).collect()}
+        self.assertEqual(clean[1]["clean_text"], "d e")
+        self.assertEqual(clean[3]["clean_text"], "q")
+        self.assertEqual(clean[4]["removed_tokens"], 0)
+
+        # BM25: same hand-computed corpus as the Scala suite — idf_bits of a
+        # term in 2 of 3 docs is 0, doc1's "cat" contributes exactly 1.375
+        bdocs = self.spark.createDataFrame(
+            [(1, "cat dog cat"), (2, "dog bird"), (3, "fish fish fish fish")],
+            ["doc_id", "text"])
+        queries = self.spark.createDataFrame(
+            [(0, ["cat", "dog"])], ["query_id", "terms"])
+        got = P.bm25_top_k(bdocs, col("doc_id"), col("text"),
+                           queries, col("query_id"), col("terms"), 10).collect()
+        ranked = sorted(((r["rank"], r["doc_id"], r["score"]) for r in got))
+        self.assertEqual(ranked, [(1, 1, 1.375), (2, 2, 0.0)])
+
+    def test_pipeline_pq_ann(self):
+        from graftspark import pipeline as P
+        from pyspark.sql.types import (ArrayType, FloatType, LongType,
+                                       StructField, StructType)
+        import random
+        rng = random.Random(7)
+        centers = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(4)]
+        rows = []
+        for i in range(48):
+            c = centers[i % 4]
+            rows.append((i, [float(x + rng.gauss(0, 0.05)) for x in c]))
+        schema = StructType([StructField("id", LongType()),
+                             StructField("vec", ArrayType(FloatType()))])
+        df = self.spark.createDataFrame(rows, schema)
+        index = P.train_pq(df, col("id"), col("vec"), dim=8, m=2, ksub=4,
+                           iterations=3)
+        enc = P.pq_encode(df, col("id"), col("vec"), index).collect()
+        self.assertEqual(len(enc), 48)
+        self.assertTrue(all(len(r["codes"]) == 2 for r in enc))
+        queries = df.filter(col("id") < 4)
+        brute = {(r["query_id"], r["neighbor_id"]) for r in P.brute_force_top_k(
+            queries, df, col("id"), col("vec"), col("id"), col("vec"), 3).collect()}
+        approx = {(r["query_id"], r["neighbor_id"]) for r in P.pq_top_k(
+            queries, df, col("id"), col("vec"), col("id"), col("vec"),
+            index, 3, refine=4).collect()}
+        recall = len(brute & approx) / len(brute)
+        self.assertGreaterEqual(recall, 0.8)
+
     @staticmethod
     def _make_wheel(directory: str) -> str:
         """A minimal offline-installable wheel (zero-egress test env)."""

@@ -293,6 +293,36 @@ object PyBridge {
                      corpusId: Column, corpusVec: Column, k: Int): DataFrame =
     graft.ann.Ann.bruteForceTopK(queries, corpus, queryId, queryVec, corpusId, corpusVec, k)
 
+  /** Train a product quantizer; the returned index is an opaque py4j handle
+    * to pass back into [[pqTopK]] / [[pqEncode]]. */
+  def trainPq(corpus: DataFrame, id: Column, vec: Column,
+              dim: Int, m: Int, ksub: Int, iterations: Int): graft.ann.Pq.PqIndex =
+    graft.ann.Pq.trainPq(corpus, id, vec, dim, m, ksub, iterations)
+
+  def pqEncode(corpus: DataFrame, id: Column, vec: Column,
+               index: graft.ann.Pq.PqIndex): DataFrame =
+    graft.ann.Pq.encode(corpus, id, vec, index)
+
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+             queryId: Column, queryVec: Column,
+             corpusId: Column, corpusVec: Column,
+             index: graft.ann.Pq.PqIndex, k: Int, refine: Int): DataFrame =
+    graft.ann.Pq.pqTopK(queries, corpus, queryId, queryVec, corpusId, corpusVec,
+      index, k, refine)
+
+  def bm25TopK(docs: DataFrame, docId: Column, text: Column,
+               queries: DataFrame, queryId: Column, queryTerms: Column,
+               k: Int, scale: Long): DataFrame =
+    graft.text.Bm25.topK(docs, docId, text, queries, queryId, queryTerms, k, scale)
+
+  def repeatedSpanStats(docs: DataFrame, id: Column, text: Column,
+                        k: Int, minCount: Int): DataFrame =
+    graft.text.SpanDedup.repeatedSpanStats(docs, id, text, k, minCount)
+
+  def removeRepeatedSpans(docs: DataFrame, id: Column, text: Column,
+                          k: Int, minCount: Int): DataFrame =
+    graft.text.SpanDedup.removeRepeatedSpans(docs, id, text, k, minCount)
+
   // --------------------------------------------------------------------------
   // clustering / sampling / redaction (curation surface)
   // --------------------------------------------------------------------------
