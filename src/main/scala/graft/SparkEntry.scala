@@ -1011,6 +1011,17 @@ object SparkEntry {
           (col("hits") >= col("total_expected") * 0.75).as("recall_ok"))
     }),
 
+    // embedding-space corpus map: every vector assigned to its nearest
+    // trained centroid (narrow kernel pass). Oracle: golden fixture from the
+    // same independent numpy Lloyd's replication as ann_ivf_topk.
+    "kmeans_assign" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val index = graft.ann.Ann.trainIvf(emb, col("vec_id"), col("embedding"),
+        k = 16, iterations = 3)
+      graft.ann.Ann.ivfAssign(emb, col("vec_id"), col("embedding"), index)
+        .select(col("id").as("vec_id"), col("cid"))
+    }),
+
     // product-quantization approximate top-k: deterministic per-subspace
     // Lloyd's codebooks, m-byte codes (the ~30x-compressed corpus scan at
     // dim=64; ~250x at production dims), per-query ADC lookup table, exact
@@ -1910,6 +1921,10 @@ object SparkEntry {
       "ann_pq_topk" ->
         ("SELECT query_id, rank, neighbor_id " +
           s"FROM read_parquet('$goldenDir/ann_pq_topk_sf001.parquet')"),
+
+      "kmeans_assign" ->
+        ("SELECT vec_id, cid " +
+          s"FROM read_parquet('$goldenDir/kmeans_assign_sf001.parquet')"),
 
       // DuckDB has no deflate: expected lengths come from the python-zlib
       // golden (byte-identical raw stream, level 6); raw bytes and the ratio

@@ -123,6 +123,18 @@ object Ann {
   }
 
   /**
+   * Cluster assignment against a trained quantizer — the embedding-space
+   * corpus map (topic clustering, per-cluster sampling, bucketed layout):
+   * `(id, cid)` with `cid` the most cosine-similar centroid (ties to the
+   * lower index, matching the search path). A narrow codegen'd kernel pass —
+   * no shuffle; follow with `groupBy(cid)` for cluster sizes or
+   * `writePartitionedBy(cid)` for a cluster-local layout.
+   */
+  def ivfAssign(corpus: DataFrame, id: Column, vec: Column, index: IvfIndex): DataFrame =
+    corpus.select(id.as("id"),
+      get(vectors.nearest_centroids(vec, index.centroids, 1), lit(0)).as("cid"))
+
+  /**
    * IVF search: corpus vectors live in their nearest centroid's bucket;
    * queries probe their `nprobe` closest buckets; candidates are re-ranked
    * with the exact cosine kernel. Candidate count ≈ |queries| * nprobe *

@@ -575,6 +575,26 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("ivfAssign maps every vector to its search-path centroid, exchange-free") {
+    val data = clusteredVectors(4, 8, 16, 0.05f)
+    val df = data.toDF("id", "vec")
+    val index = Ann.trainIvf(df, col("id"), col("vec"), k = 4, iterations = 3)
+    val assigned = Ann.ivfAssign(df, col("id"), col("vec"), index)
+    // narrow kernel pass: no shuffle anywhere in the plan
+    val formatted = assigned.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!formatted.contains("Exchange"), formatted)
+    // agreement with the bucket ivfTopK searches: the probe-1 centroid
+    val viaSearch = df.select(col("id"),
+        get(graft.functions.vectors.nearest_centroids(col("vec"), index.centroids, 1),
+          lit(0)).as("cid"))
+      .as[(Long, Int)].collect().toMap
+    assigned.as[(Long, Int)].collect().foreach { case (id, cid) =>
+      assert(viaSearch(id) == cid, s"id $id") }
+    // every cluster non-empty on well-separated data
+    assert(assigned.select("cid").distinct().count() == 4)
+  }
+
   test("PQ: encode reproduces exact codes and ADC dot on codebook points") {
     // two subspaces of 2 dims, 2 codes each; vectors sitting exactly on
     // centroid combinations must encode losslessly, and the ADC dot must

@@ -439,6 +439,14 @@ def make_ann_goldens():
         cand[q] = s
     write_topk(topk_from_candidates(ids, vecs, cand, query_ids, 3), "ann_ivf_topk_sf001")
 
+    # corpus-map assignment golden: every vector's nearest trained centroid
+    table = pa.table({
+        "vec_id": pa.array([int(v) for v in ids], pa.int64()),
+        "cid": pa.array([int(c) for c in corpus_cid], pa.int32()),
+    })
+    pq.write_table(table, f"{OUT}/kmeans_assign_sf001.parquet")
+    print(f"kmeans_assign_sf001.parquet: {len(ids)} rows")
+
     # --- PQ (dim=64, m=8, ksub=16, iterations=3, k=3, refine=8) ---
     # replicate Pq.trainPq + pqTopK: deterministic init from the ksub
     # smallest-id vectors, Lloyd's with L2 sub-assignment (ties -> lower
