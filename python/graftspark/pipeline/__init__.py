@@ -39,7 +39,7 @@ __all__ = [
     "edit_distance1_pairs", "weighted_hash_sample",
     "extract_media_features", "extract_audio_features", "sample_frames",
     "train_pq", "pq_encode", "pq_top_k", "bm25_top_k",
-    "repeated_span_stats", "remove_repeated_spans",
+    "repeated_span_stats", "remove_repeated_spans", "classifier_score",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -479,6 +479,17 @@ def bm25_top_k(docs: DataFrame, doc_id: ColumnOrName, text: ColumnOrName,
         docs._jdf, _jcol(doc_id), _jcol(text),
         queries._jdf, _jcol(query_id), _jcol(query_terms), int(k), int(scale))
     return DataFrame(jdf, docs.sparkSession)
+
+
+def classifier_score(df: DataFrame, text: ColumnOrName, weights: List[int],
+                     bias: int = 0, threshold: int = 0,
+                     bigrams: bool = True) -> DataFrame:
+    """Hashing-trick linear classifier inference (256 md5-byte buckets,
+    integer weights -> exact BIGINT logit): adds `logit` and `keep`."""
+    jdf = _bridge(df).classifierScore(df._jdf, _jcol(text),
+                                      [int(w) for w in weights],
+                                      int(bias), int(threshold), bool(bigrams))
+    return DataFrame(jdf, df.sparkSession)
 
 
 def repeated_span_stats(docs: DataFrame, id: ColumnOrName, text: ColumnOrName,

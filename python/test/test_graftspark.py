@@ -620,6 +620,24 @@ class GraftsparkTest(unittest.TestCase):
         ranked = sorted(((r["rank"], r["doc_id"], r["score"]) for r in got))
         self.assertEqual(ranked, [(1, 1, 1.375), (2, 2, 0.0)])
 
+    def test_pipeline_classifier_score(self):
+        import hashlib
+        from graftspark import pipeline as P
+        weights = [((i * 31 + 3) % 11) - 5 for i in range(256)]
+
+        def local_logit(text):
+            toks = [t for t in __import__("re").split(r"[^a-z0-9]+", text.lower()) if t]
+            feats = toks + [" ".join(p) for p in zip(toks, toks[1:])]
+            return sum(weights[hashlib.md5(f.encode()).digest()[0]] for f in feats)
+
+        docs = self.spark.createDataFrame(
+            [(1, "Cat dog CAT"), (2, "one"), (3, "a b c d")], ["doc_id", "text"])
+        got = {r["doc_id"]: r for r in P.classifier_score(
+            docs, col("text"), weights).collect()}
+        for doc_id, text in [(1, "Cat dog CAT"), (2, "one"), (3, "a b c d")]:
+            self.assertEqual(got[doc_id]["logit"], local_logit(text))
+            self.assertEqual(got[doc_id]["keep"], got[doc_id]["logit"] >= 0)
+
     def test_pipeline_pq_ann(self):
         from graftspark import pipeline as P
         from pyspark.sql.types import (ArrayType, FloatType, LongType,

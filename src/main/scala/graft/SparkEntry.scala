@@ -103,6 +103,12 @@ object SparkEntry {
   private val goldenDir: String =
     sys.env.getOrElse("GRAFT_GOLDEN_DIR", "/root/repo/src/test/resources/golden")
 
+  /** Deterministic 256-bucket weight table for the classifier gate — the
+    * SAME generated literal feeds the Spark kernel and the DuckDB oracle's
+    * list, so there is one source of truth for the model. */
+  private[graft] val classifierGateWeights: Array[Int] =
+    Array.tabulate(256)(i => ((i * 37 + 11) % 21) - 10)
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O-agg baseline: TPC-H Q1-flavor pricing summary over lineitem
@@ -599,6 +605,15 @@ object SparkEntry {
       graft.text.CorpusStats.tfidfTerms(
         t(s, dir, "documents"), col("source"), col("text"), k = 5)
         .withColumnRenamed("group_key", "source")),
+
+    // hashing-trick linear classifier inference (fasttext-shaped quality
+    // filter): integer weights -> exact BIGINT logit from one fused kernel
+    // pass; the weight table is the same generated literal in both engines
+    "classifier_score" -> ((s, dir) =>
+      graft.text.Classifier.score(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        col("text"), classifierGateWeights)
+        .select(col("doc_id"), col("logit"), col("keep"))),
 
     // repeated-span detection/removal (substring-level dedup at token
     // granularity): duplicate decision on the md5-prefix window hash both
@@ -1511,6 +1526,23 @@ object SparkEntry {
           "SELECT source, term, tf_docs, df_docs, score, CAST(rank AS INT) AS rank FROM " +
           "(SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, term) AS rank FROM sc) " +
           "WHERE rank <= 5"),
+
+      // classifier: same generated weight table as a DuckDB list literal;
+      // the feature index decodes the md5 first byte via hex-char positions
+      "classifier_score" ->
+        (s"WITH $docTokCte, " +
+          "uni AS (SELECT doc_id, u.t AS g FROM tok, unnest(toks) AS u(t)), " +
+          "big AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g " +
+          "FROM tok, unnest(range(1, len(toks))) AS r(i)), " +
+          "feats AS (SELECT * FROM uni UNION ALL SELECT * FROM big), " +
+          s"wl AS (SELECT [${classifierGateWeights.mkString(", ")}] AS w), " +
+          "sc AS (SELECT f.doc_id, SUM(w.w[" +
+          "(strpos('0123456789abcdef', substring(md5(f.g), 1, 1)) - 1) * 16 + " +
+          "(strpos('0123456789abcdef', substring(md5(f.g), 2, 1)) - 1) + 1]) AS s " +
+          "FROM feats f CROSS JOIN wl w GROUP BY f.doc_id) " +
+          "SELECT t.doc_id, CAST(COALESCE(sc.s, 0) AS BIGINT) AS logit, " +
+          "COALESCE(sc.s, 0) >= 0 AS keep " +
+          "FROM tok t LEFT JOIN sc USING (doc_id)"),
 
       // repeated spans: same window hash (md5 prefix over the space-joined
       // 3-gram), same >= 2 duplicate rule, same interval-union island SQL

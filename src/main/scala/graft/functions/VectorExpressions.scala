@@ -679,6 +679,54 @@ object VectorKernels extends Serializable {
     math.sqrt(acc)
   }
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Feature index of a token/n-gram: the first byte of its md5 (0..255) —
+    * engine-portable (any engine's md5 of the same UTF-8 bytes agrees). */
+  @inline private def md5Bucket(bytes: Array[Byte], from: Int, len: Int): Int = {
+    val d = md5Digest.get()
+    d.reset()
+    d.update(bytes, from, len)
+    d.digest()(0) & 0xFF
+  }
+
+  /**
+   * Hashing-trick linear-classifier logit (fasttext-style quality filter
+   * inference): `Σ weights[md5_bucket(feature)]` over the document's
+   * lowercase tokens and (optionally) space-joined bigrams, one fused pass.
+   * Integer weights → the logit is an exact BIGINT, bit-identical across
+   * engines and partitionings; the caller applies bias/threshold in Column
+   * algebra. 256 buckets (the md5 first byte); larger models can stack
+   * several weight tables with different salts.
+   */
+  def hashedLinearScore(text: UTF8String, weights: Array[Int], bigrams: Boolean): Long = {
+    val toks = tokenizeAscii(text)
+    var acc = 0L
+    var i = 0
+    while (i < toks.length) {
+      val b = toks(i).getBytes
+      acc += weights(md5Bucket(b, 0, b.length))
+      i += 1
+    }
+    if (bigrams && toks.length >= 2) {
+      i = 0
+      while (i < toks.length - 1) {
+        val a = toks(i).getBytes
+        val b = toks(i + 1).getBytes
+        val joined = new Array[Byte](a.length + 1 + b.length)
+        System.arraycopy(a, 0, joined, 0, a.length)
+        joined(a.length) = ' '
+        System.arraycopy(b, 0, joined, a.length + 1, b.length)
+        acc += weights(md5Bucket(joined, 0, joined.length))
+        i += 1
+      }
+    }
+    acc
+  }
+
   /**
    * Fused n-gram repetition statistics over ASCII tokens:
    * `[totalNgrams, topNgramCount]` — total n-gram occurrences (with repeats)
@@ -1131,6 +1179,32 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Float]], n
     copy(child = newChild)
 }
 
+/** hashed_linear_score(text): exact-integer hashing-trick classifier logit
+  * (weights in a codegen reference object, 256 md5-first-byte buckets). */
+case class HashedLinearScore(child: Expression, weights: Array[Int], bigrams: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if weights.length == 256 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hashed_linear_score expects string and 256 weights, got ${t.sql} / ${weights.length}")
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    VectorKernels.hashedLinearScore(text.asInstanceOf[UTF8String], weights, bigrams)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("weights", weights, "int[]")
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorKernels.hashedLinearScore($a, $ref, $bigrams)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** pq_encode(vec): product-quantization codes, one byte per subspace ->
   * binary of length m. The codebooks live in a codegen reference object
   * (they ship to executors inside the plan, like the IVF centroids). */
@@ -1344,6 +1418,9 @@ object vectors {
 
   def nearest_centroids(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
     NearestCentroids(vec.asExpression, centroids, nprobe).asColumn
+
+  def hashed_linear_score(text: Column, weights: Array[Int], bigrams: Boolean = true): Column =
+    HashedLinearScore(text.asExpression, weights, bigrams).asColumn
 
   def pq_encode(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =
     PqEncode(vec.asExpression, codebooks).asColumn

@@ -315,6 +315,11 @@ object PyBridge {
                k: Int, scale: Long): DataFrame =
     graft.text.Bm25.topK(docs, docId, text, queries, queryId, queryTerms, k, scale)
 
+  def classifierScore(df: DataFrame, text: Column, weights: JList[Integer],
+                      bias: Long, threshold: Long, bigrams: Boolean): DataFrame =
+    graft.text.Classifier.score(df, text,
+      weights.asScala.map(_.intValue()).toArray, bias, threshold, bigrams)
+
   def repeatedSpanStats(docs: DataFrame, id: Column, text: Column,
                         k: Int, minCount: Int): DataFrame =
     graft.text.SpanDedup.repeatedSpanStats(docs, id, text, k, minCount)

@@ -702,6 +702,35 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
       assert(!s.contains("win"), s"window-count exchange carries window text:\n$s"))
   }
 
+  test("hashed linear classifier: exact logit matches a local reimplementation") {
+    val weights = Array.tabulate(256)(i => ((i * 31 + 3) % 11) - 5)
+    def localBucket(s: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8"))(0) & 0xFF
+    }
+    def localLogit(text: String): Long = {
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val unis = toks.map(t => weights(localBucket(t)).toLong).sum
+      val bigs = toks.sliding(2).filter(_.length == 2)
+        .map(p => weights(localBucket(p.mkString(" "))).toLong).sum
+      unis + bigs
+    }
+    val docs = Seq((1L, "Cat dog CAT"), (2L, "one"), (3L, ""), (4L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val got = graft.text.Classifier.score(docs, col("text"), weights)
+      .select("doc_id", "logit", "keep").as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._1 == localLogit("Cat dog CAT"))
+    assert(got(2L)._1 == localLogit("one"))
+    assert(got(3L)._1 == 0L)
+    assert(got(4L)._1 == localLogit("a b c d e f"))
+    got.foreach { case (_, (l, keep)) => assert(keep == (l >= 0L)) }
+    // filter agrees with score
+    val keptIds = graft.text.Classifier.filterByScore(docs, col("text"), weights)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIds == got.filter(_._2._2).keySet)
+  }
+
   test("BM25: hand-computed scores, bit-length idf zeroes common terms") {
     val docs = Seq(
       (1L, "cat dog cat"),
