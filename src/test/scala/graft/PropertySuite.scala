@@ -190,6 +190,45 @@ class PropertySuite extends AnyFunSuite {
     })
   }
 
+  test("hashedLinearScore equals the naive md5-bucket model on random docs") {
+    val genWeights: Gen[Array[Int]] =
+      Gen.listOfN(256, Gen.chooseNum(-100, 100)).map(_.toArray)
+    def naive(s: String, w: Array[Int], bigrams: Boolean): Long = {
+      val toks = s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      val feats = toks ++ (if (bigrams) toks.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSeq else Seq.empty)
+      val d = java.security.MessageDigest.getInstance("MD5")
+      feats.map(f => w(d.digest(f.getBytes("UTF-8"))(0) & 0xFF).toLong).sum
+    }
+    check("hashedLinearScore", Prop.forAll(genDoc, genWeights, Gen.oneOf(true, false)) {
+      (doc, w, bg) =>
+        VectorKernels.hashedLinearScore(UTF8String.fromString(doc), w, bg) ==
+          naive(doc, w, bg)
+    })
+  }
+
+  test("pq encode/lut/adc: ADC dot equals the exact dot against the reconstruction") {
+    val genVec: Gen[Array[Float]] =
+      Gen.listOfN(8, Gen.chooseNum(-8, 8).map(_.toFloat / 2f)).map(_.toArray)
+    val genCb: Gen[Array[Array[Array[Float]]]] = for {
+      ksub <- Gen.chooseNum(1, 6)
+      cbs <- Gen.listOfN(2, Gen.listOfN(ksub, Gen.listOfN(4,
+        Gen.chooseNum(-8, 8).map(_.toFloat / 2f)).map(_.toArray)).map(_.toArray))
+    } yield cbs.toArray
+    check("pqAdc", Prop.forAll(genVec, genVec, genCb) { (v, q, cbs) =>
+      val va = new GenericArrayData(v.map(x => x: Any))
+      val qa = new GenericArrayData(q.map(x => x: Any))
+      val codes = VectorKernels.pqEncode(va, cbs)
+      val ksub = cbs(0).length
+      val lut = new GenericArrayData(VectorKernels.pqLut(qa, cbs).map(x => x: Any))
+      val adc = VectorKernels.pqAdcDot(codes, lut, ksub)
+      // reconstruction = the selected sub-centroids concatenated
+      val recon = cbs.zipWithIndex.flatMap { case (cb, s) => cb(codes(s) & 0xFF) }
+      val exact = recon.zip(q).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      math.abs(adc - exact) < 1e-9
+    })
+  }
+
   test("MisraGries merged summaries keep every item above N/(m+1)") {
     import graft.agg.FrequentItems.MisraGriesAgg
     val genStream = Gen.listOfN(120,
