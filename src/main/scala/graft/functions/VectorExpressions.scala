@@ -695,20 +695,29 @@ object VectorKernels extends Serializable {
 
   /**
    * Hashing-trick linear-classifier logit (fasttext-style quality filter
-   * inference): `Σ weights[md5_bucket(feature)]` over the document's
-   * lowercase tokens and (optionally) space-joined bigrams, one fused pass.
-   * Integer weights → the logit is an exact BIGINT, bit-identical across
-   * engines and partitionings; the caller applies bias/threshold in Column
-   * algebra. 256 buckets (the md5 first byte); larger models can stack
-   * several weight tables with different salts.
+   * inference): `Σ weights[bucket(feature)]` over the document's lowercase
+   * tokens and (optionally) space-joined bigrams, one fused pass. Integer
+   * weights → the logit is an exact BIGINT, bit-identical across
+   * partitionings; the caller applies bias/threshold in Column algebra.
+   * 256 buckets; larger models stack several weight tables with different
+   * salts.
+   *
+   * `portableHash = true` buckets by the md5 first byte — any engine's md5
+   * of the same UTF-8 bytes agrees, which is what lets the oracle replicate
+   * the model. `false` buckets by xxhash64 — ~10× cheaper per feature, the
+   * production default when no cross-engine replication is needed (a model
+   * is trained against one bucketing and scored with the same one).
    */
-  def hashedLinearScore(text: UTF8String, weights: Array[Int], bigrams: Boolean): Long = {
+  def hashedLinearScore(text: UTF8String, weights: Array[Int], bigrams: Boolean,
+                        portableHash: Boolean): Long = {
     val toks = tokenizeAscii(text)
+    @inline def bucket(b: Array[Byte]): Int =
+      if (portableHash) md5Bucket(b, 0, b.length)
+      else (hash64(UTF8String.fromBytes(b)) & 0xFF).toInt
     var acc = 0L
     var i = 0
     while (i < toks.length) {
-      val b = toks(i).getBytes
-      acc += weights(md5Bucket(b, 0, b.length))
+      acc += weights(bucket(toks(i).getBytes))
       i += 1
     }
     if (bigrams && toks.length >= 2) {
@@ -720,7 +729,7 @@ object VectorKernels extends Serializable {
         System.arraycopy(a, 0, joined, 0, a.length)
         joined(a.length) = ' '
         System.arraycopy(b, 0, joined, a.length + 1, b.length)
-        acc += weights(md5Bucket(joined, 0, joined.length))
+        acc += weights(bucket(joined))
         i += 1
       }
     }
@@ -1180,8 +1189,10 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Float]], n
 }
 
 /** hashed_linear_score(text): exact-integer hashing-trick classifier logit
-  * (weights in a codegen reference object, 256 md5-first-byte buckets). */
-case class HashedLinearScore(child: Expression, weights: Array[Int], bigrams: Boolean)
+  * (weights in a codegen reference object, 256 buckets — md5 first byte
+  * when portable, xxhash64 low byte otherwise). */
+case class HashedLinearScore(child: Expression, weights: Array[Int], bigrams: Boolean,
+                             portableHash: Boolean)
     extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
@@ -1193,12 +1204,13 @@ case class HashedLinearScore(child: Expression, weights: Array[Int], bigrams: Bo
   }
 
   override def nullSafeEval(text: Any): Any =
-    VectorKernels.hashedLinearScore(text.asInstanceOf[UTF8String], weights, bigrams)
+    VectorKernels.hashedLinearScore(text.asInstanceOf[UTF8String], weights, bigrams,
+      portableHash)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("weights", weights, "int[]")
     defineCodeGen(ctx, ev,
-      a => s"graft.functions.VectorKernels.hashedLinearScore($a, $ref, $bigrams)")
+      a => s"graft.functions.VectorKernels.hashedLinearScore($a, $ref, $bigrams, $portableHash)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -1419,8 +1431,9 @@ object vectors {
   def nearest_centroids(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
     NearestCentroids(vec.asExpression, centroids, nprobe).asColumn
 
-  def hashed_linear_score(text: Column, weights: Array[Int], bigrams: Boolean = true): Column =
-    HashedLinearScore(text.asExpression, weights, bigrams).asColumn
+  def hashed_linear_score(text: Column, weights: Array[Int], bigrams: Boolean = true,
+                          portableHash: Boolean = true): Column =
+    HashedLinearScore(text.asExpression, weights, bigrams, portableHash).asColumn
 
   def pq_encode(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =
     PqEncode(vec.asExpression, codebooks).asColumn

@@ -28,23 +28,27 @@ import org.apache.spark.sql.{Column, DataFrame}
  */
 object Classifier {
 
-  /** Exact-integer logit of a 256-bucket hashed linear model. */
+  /** Exact-integer logit of a 256-bucket hashed linear model.
+    * `portableHash = true` buckets by the md5 first byte (replicable by any
+    * engine with md5 — what the oracle gate uses); `false` buckets by
+    * xxhash64, ~10× cheaper per feature — the production choice when the
+    * model is trained and scored under the same bucketing. */
   def logit(text: Column, weights: Array[Int], bias: Long = 0L,
-            bigrams: Boolean = true): Column =
-    vectors.hashed_linear_score(text, weights, bigrams) + lit(bias)
+            bigrams: Boolean = true, portableHash: Boolean = true): Column =
+    vectors.hashed_linear_score(text, weights, bigrams, portableHash) + lit(bias)
 
   /** Score every document: original columns + `logit` + boolean `keep`
     * (logit >= threshold). */
   def score(df: DataFrame, text: Column, weights: Array[Int],
             bias: Long = 0L, threshold: Long = 0L,
-            bigrams: Boolean = true): DataFrame =
-    df.withColumn("logit", logit(text, weights, bias, bigrams))
+            bigrams: Boolean = true, portableHash: Boolean = true): DataFrame =
+    df.withColumn("logit", logit(text, weights, bias, bigrams, portableHash))
       .withColumn("keep", col("logit") >= threshold)
 
   /** Keep only documents scoring at or above `threshold` — a pure narrow
     * filter (streaming-legal, fused with the scan). */
   def filterByScore(df: DataFrame, text: Column, weights: Array[Int],
                     bias: Long = 0L, threshold: Long = 0L,
-                    bigrams: Boolean = true): DataFrame =
-    df.filter(logit(text, weights, bias, bigrams) >= threshold)
+                    bigrams: Boolean = true, portableHash: Boolean = true): DataFrame =
+    df.filter(logit(text, weights, bias, bigrams, portableHash) >= threshold)
 }

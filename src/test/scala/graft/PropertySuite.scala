@@ -202,8 +202,22 @@ class PropertySuite extends AnyFunSuite {
     }
     check("hashedLinearScore", Prop.forAll(genDoc, genWeights, Gen.oneOf(true, false)) {
       (doc, w, bg) =>
-        VectorKernels.hashedLinearScore(UTF8String.fromString(doc), w, bg) ==
-          naive(doc, w, bg)
+        VectorKernels.hashedLinearScore(UTF8String.fromString(doc), w, bg,
+          portableHash = true) == naive(doc, w, bg)
+    })
+    // the xxhash64 fast path: same token/bigram feature stream, own buckets
+    // — pin determinism and the naive xx model (hash64 is itself
+    // property-tested against the corpus shingle kernels)
+    def naiveXx(s: String, w: Array[Int], bigrams: Boolean): Long = {
+      val toks = s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      val feats = toks ++ (if (bigrams) toks.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSeq else Seq.empty)
+      feats.map(f => w((VectorKernels.hash64(UTF8String.fromString(f)) & 0xFF).toInt).toLong).sum
+    }
+    check("hashedLinearScoreXx", Prop.forAll(genDoc, genWeights, Gen.oneOf(true, false)) {
+      (doc, w, bg) =>
+        VectorKernels.hashedLinearScore(UTF8String.fromString(doc), w, bg,
+          portableHash = false) == naiveXx(doc, w, bg)
     })
   }
 
