@@ -64,7 +64,7 @@ object ScaleProbe {
     // comparison needs both sides), but only requested lines are printed.
     val allProbes = Set("minhash_pairs", "assign_clusters", "fuzzy_pairs",
       "asof_hotkey_plain", "asof_hotkey_bucketed", "cluster_chain",
-      "span_stats", "bm25_topk", "pq_topk")
+      "span_stats", "bm25_topk", "pq_topk", "classifier")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -167,7 +167,7 @@ object ScaleProbe {
     // duplicate structure (and the dup-window semi-join) scales linearly in
     // N; BM25's query set stays fixed while postings grow N-fold — the
     // broadcast-semi-join-before-tf-shuffle shape is what keeps it linear
-    if (enabled("span_stats") || enabled("bm25_topk")) {
+    if (enabled("span_stats") || enabled("bm25_topk") || enabled("classifier")) {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val bigDocs = amplify(docs, n)
       .select((col("doc_id") + col("__rep") * 1000000L).as("doc_id"),
@@ -180,6 +180,25 @@ object ScaleProbe {
           .queryExecution.toRdd.count()
       }
       report("span_stats", nSpan, tSpan)
+    }
+    if (enabled("classifier")) {
+      // pure narrow kernel scan — the time IS the per-doc scoring cost;
+      // both bucket paths measured (portable md5 vs production xxhash64)
+      val weights = Array.tabulate(256)(i => ((i * 37 + 11) % 21) - 10)
+      val (nCls, tCls) = time {
+        graft.text.Classifier.score(bigDocs, col("text"), weights)
+          .queryExecution.toRdd.count()
+      }
+      report("classifier", nCls, tCls)
+      val (nClsXx, tClsXx) = time {
+        graft.text.Classifier.score(bigDocs, col("text"), weights,
+          portableHash = false)
+          .queryExecution.toRdd.count()
+      }
+      if (enabled("classifier"))
+        println(String.format(java.util.Locale.ROOT,
+          """{"probe":"classifier_xx","n":%d,"rows":%d,"sec":%.2f}""",
+          Int.box(n), Long.box(nClsXx), Double.box(tClsXx)))
     }
     if (enabled("bm25_topk")) {
       import spark.implicits._

@@ -704,7 +704,7 @@ object VectorKernels extends Serializable {
    *
    * `portableHash = true` buckets by the md5 first byte — any engine's md5
    * of the same UTF-8 bytes agrees, which is what lets the oracle replicate
-   * the model. `false` buckets by xxhash64 — ~10× cheaper per feature, the
+   * the model. `false` buckets by xxhash64 — measured 2.8× faster end-to-end, the
    * production default when no cross-engine replication is needed (a model
    * is trained against one bucketing and scored with the same one).
    */

@@ -702,6 +702,54 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
       assert(!s.contains("win"), s"window-count exchange carries window text:\n$s"))
   }
 
+  test("new-operator argument validation fails fast") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val emb = Seq((1L, Seq(1f, 2f, 3f, 4f))).toDF("id", "vec")
+    // PQ: dim must divide into m subspaces; ksub must fit a byte and the
+    // training set must cover it
+    intercept[IllegalArgumentException] {
+      Pq.trainPq(emb, col("id"), col("vec"), dim = 4, m = 3, ksub = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Pq.trainPq(emb, col("id"), col("vec"), dim = 4, m = 2, ksub = 300)
+    }
+    intercept[IllegalArgumentException] {
+      Pq.trainPq(emb, col("id"), col("vec"), dim = 4, m = 2, ksub = 16)
+    }
+    // classifier: the expression rejects a wrong-width weight table
+    intercept[Exception] {
+      graft.text.Classifier.score(docs, col("text"), Array(1, 2, 3)).collect()
+    }
+  }
+
+  test("span dedup: minCount above any multiplicity removes nothing; k above doc length is a no-op") {
+    val docs = Seq((1L, "a b c a b c"), (2L, "x y")).toDF("doc_id", "text")
+    // "a b c" occurs twice in doc 1 -> dup at minCount=2, clean at minCount=3
+    val at2 = graft.text.SpanDedup.repeatedSpanStats(docs, col("doc_id"), col("text"), k = 3)
+      .filter(col("doc_id") === 1).select("dup_windows").as[Long].head()
+    assert(at2 == 2)
+    val at3 = graft.text.SpanDedup.repeatedSpanStats(
+        docs, col("doc_id"), col("text"), k = 3, minCount = 3)
+      .agg(sum("dup_windows")).as[Long].head()
+    assert(at3 == 0)
+    // k larger than every document: no windows, full pass-through
+    val full = graft.text.SpanDedup.removeRepeatedSpans(
+        docs, col("doc_id"), col("text"), k = 10)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(full(1L) == (("a b c a b c", 0L)))
+    assert(full(2L) == (("x y", 0L)))
+  }
+
+  test("BM25: scale parameter changes resolution, not ranking") {
+    val docs = Seq((1L, "cat dog cat"), (2L, "dog bird"), (3L, "cat"))
+      .toDF("doc_id", "text")
+    val queries = Seq((0L, Seq("cat"))).toDF("query_id", "terms")
+    def ranks(scale: Long) = graft.text.Bm25.topK(docs, col("doc_id"), col("text"),
+        queries, col("query_id"), col("terms"), k = 10, scale = scale)
+      .select("rank", "doc_id").as[(Int, Long)].collect().sorted.toSeq
+    assert(ranks(1000000L) == ranks(1000L))
+  }
+
   test("hashed linear classifier: exact logit matches a local reimplementation") {
     val weights = Array.tabulate(256)(i => ((i * 31 + 3) % 11) - 5)
     def localBucket(s: String): Int = {
