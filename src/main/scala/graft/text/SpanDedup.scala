@@ -91,29 +91,33 @@ object SpanDedup {
    * order (normalized to the tokenizer's lowercase form — removal is a
    * token-stream operation, like sequence packing). Documents shorter than
    * `k` tokens or with no duplicated window pass through whole.
+   *
+   * The rebuild never shuffles tokens: each document's (few) covered
+   * intervals collapse to one array joined back by doc id — a
+   * O(docs-with-dups)-row exchange — and the uncovered tokens are selected
+   * by an indexed higher-order `filter` over the in-row token array
+   * (O(tokens × islands) work per doc, all narrow).
    */
   def removeRepeatedSpans(docs: DataFrame, id: Column, text: Column,
                           k: Int, minCount: Int = 2): DataFrame = {
     val toks = docs.select(id.as("doc_id"), vectors.tokenize_ascii(text).as("toks"))
     val dupw = duplicatedWindows(windows(docs, id, text, k), minCount)
-    val coveredPos = islands(dupw, k)
-      .select(col("doc_id"),
-        explode(sequence(col("start"), col("end"))).as("ti"))
-    val kept = toks
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("ti", "tok")))
-      .join(coveredPos, Seq("doc_id", "ti"), "left_anti")
-    val rebuilt = kept
+    val ivs = islands(dupw, k)
       .groupBy(col("doc_id"))
-      .agg(
-        array_join(
-          transform(array_sort(collect_list(struct(col("ti"), col("tok")))),
-            s => s.getField("tok")),
-          " ").as("clean_text"),
-        count(lit(1)).as("kept_tokens"))
-    toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
-      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .agg(collect_list(struct(col("start"), col("end"))).as("ivs"))
+    toks
+      .join(ivs, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("toks"),
+        when(col("ivs").isNull, col("toks")).otherwise(
+          zip_with(col("toks"),
+            sequence(lit(0L), size(col("toks")).cast("long") - 1),
+            (tok, i) => when(
+              exists(col("ivs"), iv =>
+                i >= iv.getField("start") && i <= iv.getField("end")),
+              lit(null)).otherwise(tok))).as("kept"))
       .select(col("doc_id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L))).as("removed_tokens"))
+        array_join(filter(col("kept"), _.isNotNull), " ").as("clean_text"),
+        (size(col("toks")) - size(filter(col("kept"), _.isNotNull)))
+          .cast("long").as("removed_tokens"))
   }
 }

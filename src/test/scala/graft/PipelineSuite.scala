@@ -689,6 +689,22 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(clean(4L) == (("p q r s t", 0L)))
   }
 
+  test("repeated spans: removal never explodes the token stream") {
+    // the only Generate in the removal plan is the window explode feeding
+    // the duplicate count — the rebuild works on in-row token arrays via an
+    // indexed higher-order filter, so no per-token rows ever shuffle
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val formatted = graft.text.SpanDedup.removeRepeatedSpans(
+        docs, col("doc_id"), col("text"), k = 3)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val explodeArgs = formatted.split("\n").filter(_.contains("posexplode"))
+    assert(explodeArgs.nonEmpty, formatted)
+    explodeArgs.foreach(l =>
+      assert(l.contains("wordshinglesall"),
+        s"found a non-window explode (token stream?):\n$l\n$formatted"))
+    assert(!formatted.contains("explode(sequence"), formatted)
+  }
+
   test("repeated spans: the count shuffle carries hashes, not window text") {
     val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
     val formatted = graft.text.SpanDedup.repeatedSpanStats(
