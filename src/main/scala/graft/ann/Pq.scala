@@ -129,8 +129,11 @@ object Pq {
           .orderBy(col("approx_cos").desc, col("neighbor_id"))))
       .filter(col("__srank") <= k * refine)
       .select(col("query_id"), col("qvec"), col("neighbor_id"))
-    shortlist
-      .join(corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cvec")), "neighbor_id")
+    // the shortlist is |queries| * k * refine rows by construction — always
+    // broadcastable — so the exact re-rank is one more narrow pass over the
+    // corpus scan, never a corpus-wide shuffle to meet a tiny join side
+    corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cvec"))
+      .join(broadcast(shortlist), "neighbor_id")
       .withColumn("cosine", vectors.cosine_similarity(col("qvec"), col("cvec")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))

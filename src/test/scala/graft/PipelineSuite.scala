@@ -841,6 +841,11 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(shortlistExchanges.nonEmpty, formatted)
     shortlistExchanges.foreach(s =>
       assert(!s.contains("cvec"), s"shortlist exchange carries corpus vectors:\n$s"))
+    // the exact re-rank broadcasts the bounded shortlist, so the corpus never
+    // hash-shuffles to meet it: no shuffle exchange may carry corpus vectors
+    assert(formatted.contains("BroadcastHashJoin"), formatted)
+    sections.filter(s => s.contains("Exchange hashpartitioning")).foreach(s =>
+      assert(!s.contains("cvec"), s"corpus vectors shuffled for re-rank:\n$s"))
   }
 
   // --------------------------------------------------------------------------
