@@ -642,6 +642,28 @@ object SparkEntry {
         queries, col("query_id"), col("terms"), k = 10)
     }),
 
+    // hybrid retrieval: the BM25 lexical top-10 fused with the exact-cosine
+    // vector top-10 (doc_id == vec_id in the fixture) by reciprocal-rank
+    // fusion — exact integer contributions, BIGINT sums, fully replayable
+    // in SQL. Queries 0-3 carry both a term list and their own embedding.
+    "hybrid_topk" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (0L, Seq("hash", "table", "scan")),
+        (1L, Seq("merge", "sort")),
+        (2L, Seq("window", "batch", "slow")),
+        (3L, Seq("spark", "value", "zzzunseen"))).toDF("query_id", "terms")
+      val lexical = graft.text.Bm25.topK(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        queries, col("query_id"), col("terms"), k = 10)
+      val emb = t(s, dir, "embeddings")
+      val vector = graft.ann.Ann.bruteForceTopK(
+        emb.filter(col("vec_id") < 4), emb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      graft.search.Retrieval.rrfFuse(Seq(lexical, vector), k = 10)
+    }),
+
     // one-pass column profile (rows/nulls/distinct/min/max per column);
     // value columns pre-cast so the text rendering is engine-portable
     "profile_orders" -> ((s, dir) =>
@@ -1035,6 +1057,37 @@ object SparkEntry {
         k = 16, iterations = 3)
       graft.ann.Ann.ivfAssign(emb, col("vec_id"), col("embedding"), index)
         .select(col("id").as("vec_id"), col("cid"))
+    }),
+
+    // SemDeDup-style semantic dedup: within-cluster pairs against the SAME
+    // trained quantizer as kmeans_assign, so the DuckDB oracle replays the
+    // pairing from the golden assignment fixture + exact cosine. The 0.35
+    // float boundary is the one dedup_embedding_pairs already pins.
+    "semantic_dedup_pairs" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val index = graft.ann.Ann.trainIvf(emb, col("vec_id"), col("embedding"),
+        k = 16, iterations = 3)
+      val handle = UnpersistHandle()
+      val out = graft.dedup.SemanticDedup.semanticDupPairs(
+        emb, col("vec_id"), col("embedding"), index, threshold = 0.35,
+        unpersistHandle = handle)
+        .localCheckpoint(true)
+      handle.unpersist()
+      out
+    }),
+
+    "semantic_dedup_keep" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val index = graft.ann.Ann.trainIvf(emb, col("vec_id"), col("embedding"),
+        k = 16, iterations = 3)
+      val handle = UnpersistHandle()
+      val out = graft.dedup.SemanticDedup.deduplicateSemantic(
+        emb, col("vec_id"), col("embedding"), index, threshold = 0.35,
+        unpersistHandle = handle)
+        .select(col("vec_id"))
+        .localCheckpoint(true)
+      handle.unpersist()
+      out
     }),
 
     // product-quantization approximate top-k: deterministic per-subspace
@@ -1616,6 +1669,44 @@ object SparkEntry {
           "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS rank FROM sc) " +
           "WHERE rank <= 10"),
 
+      // hybrid retrieval: the full BM25 replication (same CTE chain as
+      // bm25_topk) fused with DuckDB's own exact-cosine top-10 by integer
+      // reciprocal-rank contributions — every step exact, BIGINT sums.
+      "hybrid_topk" ->
+        (s"WITH $docTokCte, " +
+          "qt AS (SELECT * FROM (VALUES (0,'hash'),(0,'table'),(0,'scan')," +
+          "(1,'merge'),(1,'sort'),(2,'window'),(2,'batch'),(2,'slow')," +
+          "(3,'spark'),(3,'value'),(3,'zzzunseen')) AS v(query_id, term)), " +
+          "stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+          "CAST(SUM(len(toks)) AS BIGINT) AS total_tokens FROM tok), " +
+          "post AS (SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS dl, x.term " +
+          "FROM tok t, unnest(t.toks) AS x(term) " +
+          "WHERE x.term IN (SELECT term FROM qt)), " +
+          "tf AS (SELECT doc_id, term, dl, CAST(COUNT(*) AS BIGINT) AS tf " +
+          "FROM post GROUP BY doc_id, term, dl), " +
+          "dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term), " +
+          "contrib AS (SELECT tf.term, tf.doc_id, " +
+          "CAST(length(format('{:b}', s.n_docs)) - length(format('{:b}', dfc.df)) AS BIGINT) " +
+          "* ((1000000 * 44 * tf.tf * (s.total_tokens // s.n_docs)) // " +
+          "(20 * tf.tf * (s.total_tokens // s.n_docs) + 6 * (s.total_tokens // s.n_docs) + 18 * tf.dl)) AS c " +
+          "FROM tf JOIN dfc USING (term) CROSS JOIN stats s), " +
+          "sc AS (SELECT qt.query_id, contrib.doc_id, CAST(SUM(contrib.c) AS BIGINT) AS score_scaled " +
+          "FROM qt JOIN contrib USING (term) GROUP BY qt.query_id, contrib.doc_id), " +
+          "bm AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank FROM " +
+          "(SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS rank FROM sc) " +
+          "WHERE rank <= 10), " +
+          "q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4), " +
+          "ann AS (SELECT query_id, doc_id, rank FROM " +
+          "(SELECT q.vec_id AS query_id, c.vec_id AS doc_id, " +
+          "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank " +
+          "FROM q JOIN embeddings c ON q.vec_id <> c.vec_id) WHERE rank <= 10), " +
+          "u AS (SELECT query_id, doc_id, rank FROM bm UNION ALL SELECT query_id, doc_id, rank FROM ann), " +
+          "fused AS (SELECT query_id, doc_id, CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_scaled " +
+          "FROM u GROUP BY query_id, doc_id) " +
+          "SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf_scaled FROM " +
+          "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_scaled DESC, doc_id) AS rank FROM fused) " +
+          "WHERE rank <= 10"),
+
       "profile_orders" -> Seq(
         ("o_orderkey", "o_orderkey"),
         ("o_custkey", "o_custkey"),
@@ -1957,6 +2048,25 @@ object SparkEntry {
       "kmeans_assign" ->
         ("SELECT vec_id, cid " +
           s"FROM read_parquet('$goldenDir/kmeans_assign_sf001.parquet')"),
+
+      // semantic dedup replayed from the golden cluster assignment (the same
+      // independently-replicated quantizer the kmeans_assign gate pins) +
+      // DuckDB's own exact cosine: within-cluster pairs at the 0.35 boundary
+      // dedup_embedding_pairs already proves engine-portable.
+      "semantic_dedup_pairs" ->
+        (s"WITH ga AS (SELECT vec_id, cid FROM read_parquet('$goldenDir/kmeans_assign_sf001.parquet')), " +
+          "j AS (SELECT ga.vec_id, ga.cid, e.embedding FROM ga JOIN embeddings e USING (vec_id)) " +
+          "SELECT x.vec_id AS \"idA\", y.vec_id AS \"idB\" FROM j x JOIN j y " +
+          "ON x.cid = y.cid AND x.vec_id < y.vec_id " +
+          "WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.35"),
+
+      "semantic_dedup_keep" ->
+        (s"WITH ga AS (SELECT vec_id, cid FROM read_parquet('$goldenDir/kmeans_assign_sf001.parquet')), " +
+          "j AS (SELECT ga.vec_id, ga.cid, e.embedding FROM ga JOIN embeddings e USING (vec_id)), " +
+          "p AS (SELECT y.vec_id AS drop_id FROM j x JOIN j y " +
+          "ON x.cid = y.cid AND x.vec_id < y.vec_id " +
+          "WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.35) " +
+          "SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT drop_id FROM p)"),
 
       // DuckDB has no deflate: expected lengths come from the python-zlib
       // golden (byte-identical raw stream, level 6); raw bytes and the ratio

@@ -849,6 +849,124 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
   }
 
   // --------------------------------------------------------------------------
+  // semantic dedup
+  // --------------------------------------------------------------------------
+
+  private def cosD(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    a.indices.foreach { i =>
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** The kernel's assignment rule: most cosine-similar centroid, strict >
+    * comparison so ties go to the lower index. */
+  private def assignNaive(v: Seq[Float], centroids: Array[Array[Float]]): Int = {
+    var best = -1; var bestSim = Double.NegativeInfinity
+    centroids.indices.foreach { i =>
+      val s = cosD(v, centroids(i).toSeq)
+      if (s > bestSim) { best = i; bestSim = s }
+    }
+    best
+  }
+
+  test("semanticDupPairs equals naive within-cluster brute force") {
+    val data = clusteredVectors(5, 8, 16, 0.05f)
+    val df = data.toDF("id", "vec")
+    val index = Ann.trainIvf(df, col("id"), col("vec"), k = 5, iterations = 3)
+    val threshold = 0.9
+    val got = graft.dedup.SemanticDedup.semanticDupPairs(
+        df, col("id"), col("vec"), index, threshold,
+        storageLevel = org.apache.spark.storage.StorageLevel.NONE)
+      .as[(Long, Long)].collect().toSet
+    val byCluster = data.groupBy { case (_, v) => assignNaive(v, index.centroids) }
+    val expected = (for {
+      (_, members) <- byCluster.toSeq
+      (ia, va) <- members; (ib, vb) <- members
+      if ia < ib && cosD(va, vb) >= threshold
+    } yield (ia, ib)).toSet
+    assert(expected.nonEmpty, "fixture produced no within-cluster duplicates")
+    assert(got == expected)
+  }
+
+  test("deduplicateSemantic keeps the smallest id of every duplicated pair") {
+    val data = clusteredVectors(4, 6, 16, 0.03f)
+    val df = data.toDF("id", "vec")
+    val index = Ann.trainIvf(df, col("id"), col("vec"), k = 4, iterations = 3)
+    val pairs = graft.dedup.SemanticDedup.semanticDupPairs(
+        df, col("id"), col("vec"), index, 0.95,
+        storageLevel = org.apache.spark.storage.StorageLevel.NONE)
+      .as[(Long, Long)].collect()
+    val kept = graft.dedup.SemanticDedup.deduplicateSemantic(
+        df, col("id"), col("vec"), index, 0.95,
+        storageLevel = org.apache.spark.storage.StorageLevel.NONE)
+      .select(col("id")).as[Long].collect().toSet
+    val dropped = pairs.map(_._2).toSet
+    assert(kept == data.map(_._1).toSet -- dropped)
+    assert(dropped.nonEmpty)
+  }
+
+  test("semanticDupPairs prunes clusters above maxClusterSize before pairing") {
+    val data = clusteredVectors(2, 4, 8, 0.01f)
+    val df = data.toDF("id", "vec")
+    val index = Ann.trainIvf(df, col("id"), col("vec"), k = 2, iterations = 3)
+    val capped = graft.dedup.SemanticDedup.semanticDupPairs(
+        df, col("id"), col("vec"), index, 0.5, maxClusterSize = 3,
+        storageLevel = org.apache.spark.storage.StorageLevel.NONE)
+      .count()
+    val uncapped = graft.dedup.SemanticDedup.semanticDupPairs(
+        df, col("id"), col("vec"), index, 0.5, maxClusterSize = 4,
+        storageLevel = org.apache.spark.storage.StorageLevel.NONE)
+      .count()
+    assert(capped == 0L, "both 4-member clusters should be pruned at cap 3")
+    assert(uncapped > 0L)
+  }
+
+  test("semantic dedup plans an equi-join on the cluster id, never a cartesian") {
+    val data = clusteredVectors(3, 5, 8, 0.05f)
+    val df = data.toDF("id", "vec")
+    val index = Ann.trainIvf(df, col("id"), col("vec"), k = 3, iterations = 2)
+    val formatted = graft.dedup.SemanticDedup.semanticDupPairs(
+        df, col("id"), col("vec"), index, 0.5,
+        storageLevel = org.apache.spark.storage.StorageLevel.NONE)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!formatted.contains("CartesianProduct"), formatted)
+    assert(!formatted.contains("BroadcastNestedLoopJoin"), formatted)
+  }
+
+  // --------------------------------------------------------------------------
+  // reciprocal-rank fusion
+  // --------------------------------------------------------------------------
+
+  test("rrfFuse equals the naive reciprocal-rank sum") {
+    val listA = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (2L, 20L, 1))
+    val listB = Seq((1L, 11L, 1), (1L, 13L, 2), (2L, 20L, 2), (2L, 21L, 1))
+    val dfA = listA.toDF("query_id", "doc_id", "rank")
+    val dfB = listB.toDF("query_id", "doc_id", "rank")
+    val got = graft.search.Retrieval.rrfFuse(Seq(dfA, dfB), k = 10)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_scaled"))
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val contribs = (listA ++ listB).map { case (q, d, r) => ((q, d), 1000000L / (60 + r)) }
+    val fused = contribs.groupBy(_._1).map { case ((q, d), cs) => (q, d, cs.map(_._2).sum) }
+    val expected = fused.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.toSeq.sortBy { case (_, d, s) => (-s, d) }.zipWithIndex
+        .map { case ((q, d, s), i) => (q, i + 1, d, s) }
+    }.toSet
+    assert(got == expected)
+    // doc 11 appears in both lists for query 1: rank 2 + rank 1 contributions
+    assert(got.exists { case (q, _, d, s) => q == 1L && d == 11L &&
+      s == 1000000L / 62 + 1000000L / 61 })
+  }
+
+  test("rrfFuse top-k plans a map-side WindowGroupLimit") {
+    val dfA = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
+    val formatted = graft.search.Retrieval.rrfFuse(Seq(dfA), k = 1)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("WindowGroupLimit"), formatted)
+  }
+
+  // --------------------------------------------------------------------------
   // multimodal
   // --------------------------------------------------------------------------
 
