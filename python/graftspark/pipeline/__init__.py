@@ -40,6 +40,8 @@ __all__ = [
     "extract_media_features", "extract_audio_features", "sample_frames",
     "train_pq", "pq_encode", "pq_top_k", "bm25_top_k",
     "repeated_span_stats", "remove_repeated_spans", "classifier_score",
+    "train_ivf", "ivf_assign", "semantic_dup_pairs", "deduplicate_semantic",
+    "rrf_fuse",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -709,3 +711,57 @@ def lm_score_bits(docs: DataFrame, id_column: str, text: ColumnOrName,
         None if lm_text is None else _jcol(lm_text),
         int(unseen_bits))
     return DataFrame(jdf, docs.sparkSession)
+
+
+def train_ivf(corpus: DataFrame, id: ColumnOrName, vec: ColumnOrName,
+              k: int, iterations: int = 5):
+    """Train an IVF coarse quantizer (deterministic Lloyd's). Returns an
+    opaque index handle for ivf_assign / semantic_dup_pairs."""
+    return _bridge(corpus).trainIvf(corpus._jdf, _jcol(id), _jcol(vec),
+                                    int(k), int(iterations))
+
+
+def ivf_assign(corpus: DataFrame, id: ColumnOrName, vec: ColumnOrName,
+               index) -> DataFrame:
+    """Cluster assignment against a trained quantizer: (id, cid) — the
+    embedding-space corpus map, a narrow kernel pass (no shuffle)."""
+    jdf = _bridge(corpus).ivfAssign(corpus._jdf, _jcol(id), _jcol(vec), index)
+    return DataFrame(jdf, corpus.sparkSession)
+
+
+def semantic_dup_pairs(corpus: DataFrame, id: ColumnOrName, vec: ColumnOrName,
+                       index, threshold: float,
+                       max_cluster_size: int = 10000) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: (idA, idB) with both in
+    the same quantizer cluster and exact cosine >= threshold; clusters above
+    max_cluster_size are pruned before pairing."""
+    jdf = _bridge(corpus).semanticDupPairs(
+        corpus._jdf, _jcol(id), _jcol(vec), index,
+        float(threshold), int(max_cluster_size))
+    return DataFrame(jdf, corpus.sparkSession)
+
+
+def deduplicate_semantic(corpus: DataFrame, id: ColumnOrName,
+                         vec: ColumnOrName, index, threshold: float,
+                         max_cluster_size: int = 10000) -> DataFrame:
+    """End-to-end semantic dedup: keep the smallest id of every duplicated
+    pair (the library-wide keep-first convention)."""
+    jdf = _bridge(corpus).deduplicateSemantic(
+        corpus._jdf, _jcol(id), _jcol(vec), index,
+        float(threshold), int(max_cluster_size))
+    return DataFrame(jdf, corpus.sparkSession)
+
+
+def rrf_fuse(lists, k: int, k0: int = 60, scale: int = 1000000) -> DataFrame:
+    """Reciprocal-rank fusion of ranked lists (query_id, doc_id, rank):
+    (query_id, rank, doc_id, rrf_scaled) with exact integer contributions
+    scale // (k0 + rank) summed as BIGINT."""
+    if not lists:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    first = lists[0]
+    gw = first.sparkSession._jvm  # type: ignore[union-attr]
+    jlist = gw.java.util.ArrayList()
+    for df in lists:
+        jlist.add(df._jdf)
+    jdf = _bridge(first).rrfFuse(jlist, int(k), int(k0), int(scale))
+    return DataFrame(jdf, first.sparkSession)

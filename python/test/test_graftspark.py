@@ -666,6 +666,48 @@ class GraftsparkTest(unittest.TestCase):
         recall = len(brute & approx) / len(brute)
         self.assertGreaterEqual(recall, 0.8)
 
+    def test_pipeline_semantic_dedup(self):
+        from graftspark import pipeline as P
+        from pyspark.sql.types import (ArrayType, FloatType, LongType,
+                                       StructField, StructType)
+        import random
+        rng = random.Random(11)
+        centers = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(3)]
+        rows = []
+        for i in range(24):
+            c = centers[i % 3]
+            rows.append((i, [float(x + rng.gauss(0, 0.02)) for x in c]))
+        schema = StructType([StructField("id", LongType()),
+                             StructField("vec", ArrayType(FloatType()))])
+        df = self.spark.createDataFrame(rows, schema)
+        index = P.train_ivf(df, col("id"), col("vec"), k=3, iterations=3)
+        assigned = P.ivf_assign(df, col("id"), col("vec"), index).collect()
+        self.assertEqual(len(assigned), 24)
+        pairs = P.semantic_dup_pairs(df, col("id"), col("vec"), index,
+                                     threshold=0.99).collect()
+        self.assertTrue(all(r["idA"] < r["idB"] for r in pairs))
+        self.assertTrue(len(pairs) > 0)
+        kept = {r["id"] for r in P.deduplicate_semantic(
+            df, col("id"), col("vec"), index, threshold=0.99).collect()}
+        dropped = {r["idB"] for r in pairs}
+        self.assertEqual(kept, {i for i in range(24)} - dropped)
+
+    def test_pipeline_rrf_fuse(self):
+        from graftspark import pipeline as P
+        a = self.spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (2, 20, 1)], ["query_id", "doc_id", "rank"])
+        b = self.spark.createDataFrame(
+            [(1, 11, 1), (2, 21, 1), (2, 20, 2)], ["query_id", "doc_id", "rank"])
+        fused = P.rrf_fuse([a, b], k=10).collect()
+        by_qd = {(r["query_id"], r["doc_id"]): r for r in fused}
+        # doc 11 hit by both lists: 1000000 // 62 + 1000000 // 61
+        self.assertEqual(by_qd[(1, 11)]["rrf_scaled"],
+                         1000000 // 62 + 1000000 // 61)
+        self.assertEqual(by_qd[(1, 11)]["rank"], 1)
+        self.assertEqual(by_qd[(1, 10)]["rrf_scaled"], 1000000 // 61)
+        self.assertEqual(by_qd[(2, 20)]["rrf_scaled"],
+                         1000000 // 61 + 1000000 // 62)
+
     @staticmethod
     def _make_wheel(directory: str) -> str:
         """A minimal offline-installable wheel (zero-egress test env)."""

@@ -315,6 +315,29 @@ object PyBridge {
                k: Int, scale: Long): DataFrame =
     graft.text.Bm25.topK(docs, docId, text, queries, queryId, queryTerms, k, scale)
 
+  def trainIvf(corpus: DataFrame, id: Column, vec: Column,
+               k: Int, iterations: Int): graft.ann.Ann.IvfIndex =
+    graft.ann.Ann.trainIvf(corpus, id, vec, k, iterations)
+
+  def ivfAssign(corpus: DataFrame, id: Column, vec: Column,
+                index: graft.ann.Ann.IvfIndex): DataFrame =
+    graft.ann.Ann.ivfAssign(corpus, id, vec, index)
+
+  def semanticDupPairs(corpus: DataFrame, id: Column, vec: Column,
+                       index: graft.ann.Ann.IvfIndex, threshold: Double,
+                       maxClusterSize: Int): DataFrame =
+    graft.dedup.SemanticDedup.semanticDupPairs(corpus, id, vec, index,
+      threshold, maxClusterSize)
+
+  def deduplicateSemantic(corpus: DataFrame, id: Column, vec: Column,
+                          index: graft.ann.Ann.IvfIndex, threshold: Double,
+                          maxClusterSize: Int): DataFrame =
+    graft.dedup.SemanticDedup.deduplicateSemantic(corpus, id, vec, index,
+      threshold, maxClusterSize)
+
+  def rrfFuse(lists: JList[DataFrame], k: Int, k0: Int, scale: Long): DataFrame =
+    graft.search.Retrieval.rrfFuse(lists.asScala.toSeq, k, k0, scale)
+
   def classifierScore(df: DataFrame, text: Column, weights: JList[Integer],
                       bias: Long, threshold: Long, bigrams: Boolean): DataFrame =
     graft.text.Classifier.score(df, text,
