@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -64,7 +64,7 @@ object ScaleProbe {
     // comparison needs both sides), but only requested lines are printed.
     val allProbes = Set("minhash_pairs", "assign_clusters", "fuzzy_pairs",
       "asof_hotkey_plain", "asof_hotkey_bucketed", "cluster_chain",
-      "span_stats", "bm25_topk", "pq_topk", "classifier")
+      "span_stats", "bm25_topk", "pq_topk", "classifier", "semantic_dedup")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -234,6 +234,57 @@ object ScaleProbe {
         .queryExecution.toRdd.count()
     }
     report("pq_topk", nPq, tPq)
+    }
+
+    // --- embeddings: semantic dedup over an N-fold corpus ----------------
+    // Replicas are sign-flip images of the base corpus (multiplying each
+    // coordinate by a per-(replica, dim) ±1 is an ORTHOGONAL transform), and
+    // each replica PLANTS one exactly-colinear copy (x2 — exact in float) of
+    // every vector, the dedup_embedding_lsh gate's construction. At
+    // threshold 0.9 the truth set is EXACTLY the planted pairs: a colinear
+    // twin always shares its nearest centroid wherever it assigns (cosine
+    // is scale-invariant), while cross-replica cosines concentrate at
+    // ±1/√dim and cannot reach 0.9 — so the expected count n x |base| is an
+    // asserted linearity check, not an eyeball. The index grows WITH the
+    // corpus (k = 16·n — the k ~ n/targetClusterSize discipline the
+    // operator documents) by transforming the 16 base centroids through the
+    // SAME column expression (hash parity by construction): cluster SIZES
+    // stay ~constant while cluster COUNT carries the growth, which is what
+    // keeps the within-cluster pairing cost ~linear instead of quadratic.
+    if (enabled("semantic_dedup")) {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val baseCount = emb.count()
+    val base = graft.ann.Ann.trainIvf(emb, col("vec_id"), col("embedding"),
+      k = 16, iterations = 3)
+    def signFlip(vec: Column, rep: Column): Column =
+      transform(vec, (x, i) =>
+        x * when(pmod(xxhash64(rep, i), lit(2)) === 0, lit(1.0f)).otherwise(lit(-1.0f)))
+    val shifted = amplify(emb, n).select(
+      (col("vec_id") + col("__rep") * 1000000L).as("vec_id"),
+      signFlip(col("embedding"), col("__rep")).as("embedding"))
+    val planted = shifted.select((col("vec_id") + 100000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val bigEmb = shifted.unionByName(planted)
+    import spark.implicits._
+    val bigCentroids = base.centroids.zipWithIndex
+      .flatMap { case (c, i) => (0 until n).map(r => (r.toLong, i, c.toSeq)) }
+      .toSeq.toDF("__rep", "cidx", "centroid")
+      .select(col("__rep"), col("cidx"),
+        signFlip(col("centroid"), col("__rep")).as("centroid"))
+      .orderBy(col("__rep"), col("cidx"))
+      .collect().map(_.getSeq[Float](2).toArray)
+    val index = graft.ann.Ann.IvfIndex(bigCentroids)
+    val semHandle = UnpersistHandle()
+    val (nSem, tSem) = time {
+      graft.dedup.SemanticDedup.semanticDupPairs(
+        bigEmb, col("vec_id"), col("embedding"), index, threshold = 0.9,
+        unpersistHandle = semHandle)
+        .queryExecution.toRdd.count()
+    }
+    semHandle.unpersist()
+    require(nSem == n * baseCount,
+      s"semantic dedup pairs: got $nSem, expected exactly ${n * baseCount}")
+    report("semantic_dedup", nSem, tSem)
     }
 
     // --- events: as-of join with a deliberately hot key ------------------
