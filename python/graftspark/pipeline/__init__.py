@@ -239,23 +239,28 @@ def curate(df: DataFrame, id_col: ColumnOrName, text: ColumnOrName,
            min_tokens: int = 50, max_tokens: int = 100000,
            min_avg_token_len: float = 3.0, max_avg_token_len: float = 10.0,
            min_stopword_ratio: float = 0.02, max_top_bigram_fraction: float = 0.18,
+           classifier_weights: List[int] = None,
+           classifier_bias: int = 0, classifier_threshold: int = 0,
            minhash_threshold: float = 0.8, shingle_size: int = 3,
            bands: int = 16, rows_per_band: int = 8,
            blocklist: DataFrame = None, blocklist_text: ColumnOrName = None,
            blocklist_shingle_size: int = 5, min_overlap: int = 1,
            sample_rate: float = 1.0, sample_salt: str = "graft"):
-    """End-to-end curation pass (langid -> quality -> exact dedup -> minhash
-    near-dup -> decontaminate -> hash sample). Returns (curated, report):
-    curated keeps all original columns; report is one (stage, n_rows) row per
-    executed stage including 0_input. Pass keep_langs=[] to skip language
-    filtering, blocklist=None to skip decontamination, sample_rate=1.0 to
-    skip sampling."""
+    """End-to-end curation pass (langid -> quality -> classifier -> exact
+    dedup -> minhash near-dup -> decontaminate -> hash sample). Returns
+    (curated, report): curated keeps all original columns; report is one
+    (stage, n_rows) row per executed stage including 0_input. Pass
+    keep_langs=[] to skip language filtering, classifier_weights=None to
+    skip the model filter, blocklist=None to skip decontamination,
+    sample_rate=1.0 to skip sampling."""
     sess = df.sparkSession
     jarr = _bridge(df).curate(
         df._jdf, _jcol(id_col), _jcol(text), list(keep_langs),
         int(min_tokens), int(max_tokens),
         float(min_avg_token_len), float(max_avg_token_len),
         float(min_stopword_ratio), float(max_top_bigram_fraction),
+        None if classifier_weights is None else [int(w) for w in classifier_weights],
+        int(classifier_bias), int(classifier_threshold),
         float(minhash_threshold), int(shingle_size), int(bands), int(rows_per_band),
         blocklist._jdf if blocklist is not None else None,
         _jcol(blocklist_text if blocklist_text is not None else text),

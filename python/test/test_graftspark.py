@@ -557,6 +557,15 @@ class GraftsparkTest(unittest.TestCase):
                                   "3_exact": 2, "4_neardup": 1})
         self.assertEqual([r["id"] for r in curated.select("id").collect()], [1])
         self.assertEqual(curated.columns, ["id", "text"])
+        # classifier stage: all-(-1) weights with threshold 1 reject everything
+        _, report2 = P.curate(
+            docs, "id", "text", keep_langs=[],
+            min_tokens=1, max_tokens=1000,
+            min_avg_token_len=1.0, max_avg_token_len=10.0,
+            min_stopword_ratio=0.0, max_top_bigram_fraction=1.0,
+            classifier_weights=[-1] * 256, classifier_threshold=1)
+        counts2 = {r["stage"]: r["n_rows"] for r in report2.collect()}
+        self.assertEqual(counts2["2b_classifier"], 0)
 
     def test_pipeline_sql_registration(self):
         from graftspark import pipeline as P

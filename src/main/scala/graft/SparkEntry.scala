@@ -555,6 +555,7 @@ object SparkEntry {
         minTokens = 30, maxTokens = 90,
         minAvgTokenLen = 3.0, maxAvgTokenLen = 6.0,
         minStopwordRatio = 0.02, maxTopBigramFraction = 0.2,
+        classifierWeights = Some(classifierGateWeights),
         blocklist = Some((docs.filter(col("doc_id") % 97 === 0), col("text"))),
         sampleRate = 0.25,
         unpersistHandle = handle)
@@ -1789,8 +1790,17 @@ object SparkEntry {
           "len(g2) AS t2, CASE WHEN len(g2) = 0 THEN 0 ELSE COALESCE(list_max([len([y for y in g2 if y = x]) for x in list_distinct(g2)]), 0) END AS p2 FROM qg), " +
           "l2 AS (SELECT doc_id FROM qm WHERE n >= 30 AND n <= 90 AND avg_len >= 3.0 AND avg_len <= 6.0 " +
           "AND stop_ratio >= 0.02 AND (CASE WHEN t2 = 0 THEN 0.0 ELSE CAST(p2 AS DOUBLE) / CAST(t2 AS DOUBLE) END) <= 0.2), " +
+          "cuni AS (SELECT doc_id, u.t AS g FROM tok, unnest(toks) AS u(t)), " +
+          "cbig AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g " +
+          "FROM tok, unnest(range(1, len(toks))) AS r(i)), " +
+          s"cwl AS (SELECT [${classifierGateWeights.mkString(", ")}] AS w), " +
+          "cscore AS (SELECT f.doc_id, SUM(w.w[" +
+          "(strpos('0123456789abcdef', substring(md5(f.g), 1, 1)) - 1) * 16 + " +
+          "(strpos('0123456789abcdef', substring(md5(f.g), 2, 1)) - 1) + 1]) AS s " +
+          "FROM (SELECT * FROM cuni UNION ALL SELECT * FROM cbig) f CROSS JOIN cwl w GROUP BY f.doc_id), " +
+          "l2b AS (SELECT l2.doc_id FROM l2 LEFT JOIN cscore USING (doc_id) WHERE COALESCE(cscore.s, 0) >= 0), " +
           "cfp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f FROM documents " +
-          "WHERE doc_id IN (SELECT doc_id FROM l2)), " +
+          "WHERE doc_id IN (SELECT doc_id FROM l2b)), " +
           "l3 AS (SELECT doc_id FROM cfp QUALIFY ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) = 1), " +
           "csh AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS s " +
           "FROM tok WHERE len(toks) >= 3 AND doc_id IN (SELECT doc_id FROM l3)), " +
@@ -1807,6 +1817,7 @@ object SparkEntry {
           "SELECT '0_input' AS stage, (SELECT COUNT(*) FROM documents) AS n_rows " +
           "UNION ALL SELECT '1_langid', COUNT(*) FROM l1 " +
           "UNION ALL SELECT '2_quality', (SELECT COUNT(*) FROM l2) " +
+          "UNION ALL SELECT '2b_classifier', (SELECT COUNT(*) FROM l2b) " +
           "UNION ALL SELECT '3_exact', (SELECT COUNT(*) FROM l3) " +
           "UNION ALL SELECT '4_neardup', (SELECT COUNT(*) FROM l4) " +
           "UNION ALL SELECT '5_decontaminate', (SELECT COUNT(*) FROM l5) " +

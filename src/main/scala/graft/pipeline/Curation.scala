@@ -14,19 +14,21 @@ import org.apache.spark.storage.StorageLevel
  * Stage order follows the cheap-filters-first rule so each successive
  * (more expensive) stage sees fewer rows:
  *
- *  1. language id      — narrow kernel filter (TextFunctions.langId)
- *  2. quality rules    — narrow kernel filter (QualityFilters.gopherFilter)
- *  3. exact dedup      — one hash shuffle on the normalized fingerprint
- *  4. near-dup dedup   — MinHash bucket shuffle + exact-Jaccard verify,
+ *  1.  language id      — narrow kernel filter (TextFunctions.langId)
+ *  2.  quality rules    — narrow kernel filter (QualityFilters.gopherFilter)
+ *  2b. classifier       — optional fasttext-shaped model filter
+ *                         (Classifier.logit, one fused kernel pass)
+ *  3.  exact dedup      — one hash shuffle on the normalized fingerprint
+ *  4.  near-dup dedup   — MinHash bucket shuffle + exact-Jaccard verify,
  *                        keep-first per duplicate set
- *  5. decontamination  — broadcast blocklist shingles, narrow corpus side
- *  6. hash sampling    — narrow md5-threshold filter
+ *  5.  decontamination  — broadcast blocklist shingles, narrow corpus side
+ *  6.  hash sampling    — narrow md5-threshold filter
  *
- * Stages 1, 2, 5 and 6 are pure narrow filters: at 100 TB they fuse with the
- * scan and cost one pass. The two dedups are the only shuffling stages and
- * both run on the already-filtered survivor set.
+ * Stages 1, 2, 2b, 5 and 6 are pure narrow filters: at 100 TB they fuse with
+ * the scan and cost one pass. The two dedups are the only shuffling stages
+ * and both run on the already-filtered survivor set.
  *
- * The two leading narrow stages report their attrition from ONE fused
+ * The leading narrow stages report their attrition from ONE fused
  * aggregate pass over the input (no per-stage scan or cache); each
  * shuffling stage's survivor set is persisted, counted, and the previous
  * stage's cache dropped immediately — at most two stage caches are live at
@@ -47,8 +49,9 @@ object Curation {
    * the driver from the per-stage counts (stage counts are actions anyway).
    *
    * Stages toggle off via their parameters: `keepLangs = Set.empty` skips
-   * language filtering, `blocklist = None` skips decontamination,
-   * `sampleRate = 1.0` skips sampling.
+   * language filtering, `classifierWeights = None` skips the model filter,
+   * `blocklist = None` skips decontamination, `sampleRate = 1.0` skips
+   * sampling.
    */
   def curate(
       docs: DataFrame, id: Column, text: Column,
@@ -56,6 +59,8 @@ object Curation {
       minTokens: Int = 50, maxTokens: Int = 100000,
       minAvgTokenLen: Double = 3.0, maxAvgTokenLen: Double = 10.0,
       minStopwordRatio: Double = 0.02, maxTopBigramFraction: Double = 0.18,
+      classifierWeights: Option[Array[Int]] = None,
+      classifierBias: Long = 0L, classifierThreshold: Long = 0L,
       minHashThreshold: Double = 0.8, shingleSize: Int = 3,
       bands: Int = 16, rowsPerBand: Int = 8,
       blocklist: Option[(DataFrame, Column)] = None,
@@ -89,14 +94,21 @@ object Curation {
     val qualKeep = graft.text.QualityFilters.gopherKeep(
       text, minTokens, maxTokens, minAvgTokenLen, maxAvgTokenLen,
       minStopwordRatio, maxTopBigramFraction)
+    val clsKeep: Column = classifierWeights match {
+      case Some(w) =>
+        graft.text.Classifier.logit(text, w, classifierBias) >= classifierThreshold
+      case None => lit(true)
+    }
     val head = docs.agg(
       count(lit(1)),
       coalesce(sum(when(langKeep, 1L).otherwise(0L)), lit(0L)),
-      coalesce(sum(when(langKeep && qualKeep, 1L).otherwise(0L)), lit(0L))).head()
+      coalesce(sum(when(langKeep && qualKeep, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(langKeep && qualKeep && clsKeep, 1L).otherwise(0L)), lit(0L))).head()
     counts += "0_input" -> head.getLong(0)
     if (keepLangs.nonEmpty) counts += "1_langid" -> head.getLong(1)
     counts += "2_quality" -> head.getLong(2)
-    var cur = docs.filter(langKeep && qualKeep)
+    if (classifierWeights.nonEmpty) counts += "2b_classifier" -> head.getLong(3)
+    var cur = docs.filter(langKeep && qualKeep && clsKeep)
 
     cur = step("3_exact", graft.dedup.Dedup.dropExactTextDuplicates(cur, text, id))
 

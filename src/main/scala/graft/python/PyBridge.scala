@@ -232,6 +232,8 @@ object PyBridge {
              minTokens: Int, maxTokens: Int,
              minAvgTokenLen: Double, maxAvgTokenLen: Double,
              minStopwordRatio: Double, maxTopBigramFraction: Double,
+             classifierWeights: JList[Integer],
+             classifierBias: Long, classifierThreshold: Long,
              minHashThreshold: Double, shingleSize: Int, bands: Int, rowsPerBand: Int,
              blocklist: DataFrame, blocklistText: Column,
              blocklistShingleSize: Int, minOverlap: Int,
@@ -241,6 +243,8 @@ object PyBridge {
       df, id, text, keepLangs.asScala.toSet,
       minTokens, maxTokens, minAvgTokenLen, maxAvgTokenLen,
       minStopwordRatio, maxTopBigramFraction,
+      Option(classifierWeights).map(_.asScala.map(_.intValue()).toArray),
+      classifierBias, classifierThreshold,
       minHashThreshold, shingleSize, bands, rowsPerBand,
       Option(blocklist).map(b => (b, blocklistText)),
       blocklistShingleSize, minOverlap, sampleRate, sampleSalt,

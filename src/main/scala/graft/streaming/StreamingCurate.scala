@@ -9,9 +9,9 @@ import org.apache.spark.sql.{Column, DataFrame}
  * micro-batch.
  *
  * Stage mapping vs the batch pass:
- *  - language id, quality rules, hash sampling — STATELESS narrow filters
- *    (identical kernels and semantics to the batch stages, so a document
- *    passes the stream iff it passes the batch pass);
+ *  - language id, quality rules, classifier, hash sampling — STATELESS
+ *    narrow filters (identical kernels and semantics to the batch stages,
+ *    so a document passes the stream iff it passes the batch pass);
  *  - decontamination — the broadcast-exact variant
  *    ([[StreamingDecontaminate]]): the blocklist is a bounded sorted long
  *    array shipped once per executor, the probe a codegen'd narrow filter;
@@ -46,6 +46,8 @@ object StreamingCurate {
       minTokens: Int = 50, maxTokens: Int = 100000,
       minAvgTokenLen: Double = 3.0, maxAvgTokenLen: Double = 10.0,
       minStopwordRatio: Double = 0.02, maxTopBigramFraction: Double = 0.18,
+      classifierWeights: Option[Array[Int]] = None,
+      classifierBias: Long = 0L, classifierThreshold: Long = 0L,
       blocklist: Option[(DataFrame, Column)] = None,
       blocklistShingleSize: Int = 5, minOverlap: Int = 1,
       sampleRate: Double = 1.0, sampleSalt: String = "graft"): DataFrame = {
@@ -63,6 +65,13 @@ object StreamingCurate {
     cur = graft.text.QualityFilters.gopherFilter(
       cur, text, minTokens, maxTokens, minAvgTokenLen, maxAvgTokenLen,
       minStopwordRatio, maxTopBigramFraction)
+
+    // the model filter is one fused kernel pass — stateless, so the stream
+    // decision is identical to the batch stage's
+    classifierWeights.foreach { w =>
+      cur = graft.text.Classifier.filterByScore(
+        cur, text, w, classifierBias, classifierThreshold)
+    }
 
     blocklist.foreach { case (bdf, btext) =>
       cur = StreamingDecontaminate.decontaminateStream(

@@ -280,6 +280,40 @@ class CurationSuite extends AnyFunSuite with SparkTest {
     handle.unpersist()
   }
 
+  test("curate classifier stage filters by the exact kernel logit") {
+    val docs = curationDocs
+    // weights that reject everything (all -1) vs accept everything (all +1):
+    // the stage decision must equal Classifier.filterByScore's on the same docs
+    val rejectAll = Array.fill(256)(-1)
+    val acceptAll = Array.fill(256)(1)
+    val handle = UnpersistHandle()
+    val (curatedNone, reportNone) = graft.pipeline.Curation.curate(
+      docs, col("id"), col("text"),
+      keepLangs = Set.empty,
+      minTokens = 1, maxTokens = 1000, minAvgTokenLen = 1.0, maxAvgTokenLen = 10.0,
+      minStopwordRatio = 0.0, maxTopBigramFraction = 1.0,
+      classifierWeights = Some(rejectAll), classifierThreshold = 1L,
+      unpersistHandle = handle)
+    val countsNone = reportNone.as[(String, Long)].collect().toMap
+    assert(countsNone("2b_classifier") == 0L)
+    assert(curatedNone.count() == 0L)
+    handle.unpersist()
+    val handle2 = UnpersistHandle()
+    val (_, reportAll) = graft.pipeline.Curation.curate(
+      docs, col("id"), col("text"),
+      keepLangs = Set.empty,
+      minTokens = 1, maxTokens = 1000, minAvgTokenLen = 1.0, maxAvgTokenLen = 10.0,
+      minStopwordRatio = 0.0, maxTopBigramFraction = 1.0,
+      classifierWeights = Some(acceptAll), classifierThreshold = 1L,
+      unpersistHandle = handle2)
+    val countsAll = reportAll.as[(String, Long)].collect().toMap
+    assert(countsAll("2b_classifier") == countsAll("2_quality"))
+    // stage order in the report: 2b between quality and exact
+    val stages = reportAll.as[(String, Long)].collect().map(_._1).toSeq
+    assert(stages == Seq("0_input", "2_quality", "2b_classifier", "3_exact", "4_neardup"))
+    handle2.unpersist()
+  }
+
   test("curate stage toggles: no langid without langs, no decontaminate without blocklist") {
     val docs = curationDocs
     val handle = UnpersistHandle()

@@ -245,4 +245,28 @@ class StreamingDedupSuite extends AnyFunSuite with SparkTest {
       assert(err.getMessage.contains("Curation.curate"))
     } finally query.stop()
   }
+
+  test("streaming curation classifier stage drops what the batch stage drops") {
+    implicit val sqlCtx = spark.sqlContext
+    val en = "the cat and the dog walked to the park and it was a fine day " +
+      "for all of them to play in the sun with friends"
+    val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    // all-(-1) weights with threshold 1 reject every non-empty document —
+    // the same exact-kernel decision Curation.curate's 2b stage makes
+    val curated = graft.streaming.StreamingCurate.curateStream(
+      input.toDF().toDF("id", "ts", "text"), col("id"), col("text"),
+      eventTimeColumn = "ts", delayThreshold = "10 minutes",
+      keepLangs = Set.empty,
+      minTokens = 1, maxTokens = 1000, minAvgTokenLen = 1.0, maxAvgTokenLen = 10.0,
+      minStopwordRatio = 0.0, maxTopBigramFraction = 1.0,
+      classifierWeights = Some(Array.fill(256)(-1)), classifierThreshold = 1L)
+    val query = curated.writeStream.format("memory")
+      .queryName("sc_cls_out").outputMode("append").start()
+    try {
+      input.addData((1L, t0, en), (2L, t0, en + " two"))
+      query.processAllAvailable()
+      assert(spark.table("sc_cls_out").count() === 0L)
+    } finally query.stop()
+  }
 }
