@@ -41,7 +41,7 @@ __all__ = [
     "train_pq", "pq_encode", "pq_top_k", "bm25_top_k",
     "repeated_span_stats", "remove_repeated_spans", "classifier_score",
     "train_ivf", "ivf_assign", "semantic_dup_pairs", "deduplicate_semantic",
-    "rrf_fuse",
+    "rrf_fuse", "canonicalize_text",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -64,6 +64,13 @@ def _col_fn(name: str, *args) -> Column:
 def tokenize_ascii(text: ColumnOrName) -> Column:
     """Lowercased [a-z0-9] tokens, single codegen'd pass -> array<string>."""
     return _col_fn("tokenizeAscii", _jcol(text))
+
+
+def canonicalize_text(text: ColumnOrName) -> Column:
+    """Unicode canonicalization: NFC + control-char strip + whitespace
+    collapse + trim, one codegen'd kernel pass. Run before fingerprints or
+    shingles so byte-level noise can't split duplicates."""
+    return _col_fn("canonicalizeText", _jcol(text))
 
 
 def token_stats(text: ColumnOrName, stopwords: List[str] = ENGLISH_STOPWORDS) -> Column:

@@ -576,6 +576,14 @@ class GraftsparkTest(unittest.TestCase):
         self.assertEqual(row["toks"], ["a", "b", "c"])
         self.assertEqual(row["g2"], [3, 2])
 
+    def test_pipeline_canonicalize_text(self):
+        from graftspark import pipeline as P
+        df = self.spark.createDataFrame(
+            [("cafe\u0301  x\tY ",), ("a\u0001b",)], ["t"])
+        got = [r["n"] for r in
+               df.select(P.canonicalize_text("t").alias("n")).collect()]
+        self.assertEqual(got, ["café x Y", "ab"])
+
     def test_pipeline_vector_functions(self):
         from graftspark import pipeline as P
         from pyspark.sql.types import (ArrayType, FloatType, IntegerType,

@@ -6,9 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, Expression, Expr
   LessThan, Literal, Md5, RegExpReplace, Substring}
 import org.apache.spark.sql.types.{BinaryType, StringType}
 
-import graft.functions.{ChunkTokens, CosineSimilarity, DeflateLength, DeletionVariants,
-  DotProduct, HashedWordShingles, MinHashBandHashes, MinHashSignature, SimHash64,
-  TokenStats, TokenizeAscii, TopNgramStats, WordShingles, WordShinglesAll}
+import graft.functions.{CanonicalizeText, ChunkTokens, CosineSimilarity, DeflateLength,
+  DeletionVariants, DotProduct, HashedWordShingles, MinHashBandHashes, MinHashSignature,
+  SimHash64, TokenStats, TokenizeAscii, TopNgramStats, WordShingles, WordShinglesAll}
 import graft.multimodal.{ByteEntropy, ByteNibbleHistogram, ImageDimsExpr, VideoInfoExpr, WavInfoExpr}
 import graft.sample.Sampling
 import graft.text.Redact
@@ -82,6 +82,10 @@ object GraftExtensions {
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     fn("tokenize_ascii", "tokenize_ascii(text) - lowercased [a-z0-9] tokens") { es =>
       arity("tokenize_ascii", es, 1); TokenizeAscii(es.head)
+    },
+    fn("canonicalize_text",
+      "canonicalize_text(text) - NFC + control strip + whitespace collapse + trim") { es =>
+      arity("canonicalize_text", es, 1); CanonicalizeText(es.head)
     },
     fn("token_stats",
       "token_stats(text[, stopword, ...]) - [n_tokens, distinct, chars, stopword_count]") { es =>

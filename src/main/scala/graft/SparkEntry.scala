@@ -782,6 +782,17 @@ object SparkEntry {
 
     // PII redaction: email/IPv4/digit-run scrub with RE2-safe patterns; the
     // PII is synthesized from doc_id (corpus text carries none by itself)
+    // unicode canonicalization kernel: the fixture text is ASCII, so the
+    // gate plants the hazards — a decomposed accent (NFC composes it),
+    // control chars (stripped), ragged whitespace (collapsed/trimmed) —
+    // and hash-compares the normalized strings against DuckDB's
+    // nfc_normalize + regex replay of the same semantics.
+    "canonicalize_text" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextFunctions.canonicalizeText(
+          concat(col("text"), lit(" cafe\u0301\u0001\u000b x\tY  z ")))
+          .as("norm_text"))),
+
     "redact_pii" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         graft.text.Redact.redactPii(concat(
@@ -1878,6 +1889,15 @@ object SparkEntry {
           "WHERE substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) < " +
           "CASE WHEN source = 'src0' THEN 'e6666666' " +
           "WHEN source = 'src1' THEN '0ccccccd' ELSE '4ccccccd' END"),
+
+      // the kernel's exact contract: NFC compose, strip C0-except-\t\n\f\r
+      // plus DEL, collapse [\t\n\f\r ] runs, trim — replayed as
+      // nfc_normalize + two regex passes over the same planted suffix
+      "canonicalize_text" ->
+        ("SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(" +
+          "text || ' cafe' || chr(769) || chr(1) || chr(11) || ' x' || chr(9) || 'Y  z '), " +
+          "'[\\x00-\\x08\\x0b\\x0e-\\x1f\\x7f]', '', 'g'), " +
+          "'[\\t\\n\\f\\r ]+', ' ', 'g')) AS norm_text FROM documents"),
 
       // single alternation pass, identical pattern text in both engines
       "redact_pii" ->

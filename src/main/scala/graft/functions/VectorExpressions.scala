@@ -454,6 +454,42 @@ object VectorKernels extends Serializable {
   }
 
   /**
+   * Unicode text normalization, one pass after NFC: compose to NFC
+   * (skipped when already normalized — the common ASCII fast path), strip
+   * control characters (C0 except \t \n \f \r, plus DEL), collapse
+   * whitespace runs ([\t\n\f\r ]) to a single space, trim. The semantics
+   * are exactly `nfc_normalize` + the two regexp passes the DuckDB oracle
+   * runs, so normalized text is byte-identical across engines.
+   */
+  def canonicalizeText(text: UTF8String): UTF8String = {
+    val s = text.toString
+    val nfc =
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) s
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(nfc.length)
+    var pendingSpace = false
+    var started = false
+    var i = 0
+    while (i < nfc.length) {
+      val c = nfc.charAt(i)
+      val isStrip =
+        (c < 0x20 && c != '\t' && c != '\n' && c != '\f' && c != '\r') || c == 0x7f
+      if (!isStrip) {
+        val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+        if (isWs) {
+          if (started) pendingSpace = true
+        } else {
+          if (pendingSpace) { sb.append(' '); pendingSpace = false }
+          sb.append(c)
+          started = true
+        }
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /**
    * Single-pass ASCII tokenizer: lowercased maximal [a-z0-9] runs, matching
    * `split(lower(text), '[^a-z0-9]+')` token identity for all inputs —
    * multi-byte UTF8 separates, except the two lowercase-to-ASCII codepoints
@@ -1022,6 +1058,30 @@ case class DeletionVariants(child: Expression) extends UnaryExpression {
 }
 
 /** tokenize_ascii(text): single-pass lowercased [a-z0-9] tokens -> array<string>. */
+/** canonicalize_text(text): NFC + control-char strip + whitespace collapse +
+  * trim -> string. Semantics replicable by any engine with NFC + regex
+  * (the curation text-canonicalization step — run it BEFORE fingerprints,
+  * shingles, or tokenization so byte-level noise can't split duplicates). */
+case class CanonicalizeText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"canonicalize_text expects string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    VectorKernels.canonicalizeText(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorKernels.canonicalizeText($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class TokenizeAscii(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -1389,6 +1449,8 @@ case class MinHashBandHashes(child: Expression, bands: Int, rowsPerBand: Int)
 
 /** Column-facing wrappers. */
 object vectors {
+  def canonicalize_text(text: Column): Column = CanonicalizeText(text.asExpression).asColumn
+
   def cosine_similarity(a: Column, b: Column): Column =
     CosineSimilarity(a.asExpression, b.asExpression).asColumn
 

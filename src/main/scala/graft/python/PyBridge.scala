@@ -173,6 +173,8 @@ object PyBridge {
 
   def tokenizeAscii(c: Column): Column = graft.functions.vectors.tokenize_ascii(c)
 
+  def canonicalizeText(c: Column): Column = graft.functions.vectors.canonicalize_text(c)
+
   def tokenStats(c: Column, stopwords: JList[String]): Column =
     graft.functions.vectors.token_stats(c, stopwords.asScala.toSeq)
 

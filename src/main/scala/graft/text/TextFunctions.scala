@@ -21,6 +21,13 @@ object TextFunctions {
   /** ASCII token pattern (use when an external oracle must re-derive tokens). */
   val AsciiTokenPattern = "[^a-z0-9]+"
 
+  /** Unicode canonicalization: NFC compose + control-char strip + whitespace
+    * collapse + trim, one codegen'd kernel pass. Run BEFORE fingerprints,
+    * shingles, or tokenization so byte-level noise (decomposed accents,
+    * stray controls, ragged whitespace) can't split duplicate documents.
+    * Exactly replicable by any engine with NFC + regex (the oracle does). */
+  def canonicalizeText(c: Column): Column = graft.functions.vectors.canonicalize_text(c)
+
   /** Lowercase tokens of `c`, split on `pattern`, empties removed. The ASCII
     * pattern routes to a single-pass codegen'd kernel (identical tokens, no
     * regex, no interpreted HOF) — the hot path for corpus-scale scans. */

@@ -336,6 +336,31 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     samples.indices.foreach(i => assert(kernel(i) == regex(i), s"input '${samples(i)}'"))
   }
 
+  test("canonicalize_text: NFC compose, control strip, whitespace collapse, trim") {
+    val samples = Seq(
+      "cafe\u0301 composed",        // decomposed accent -> composed
+      "café stays",            // already NFC
+      "a\u0000b\u0001c\u007fd",     // C0 + DEL stripped
+      "x\u000by",                   // vertical tab is control, not whitespace
+      "  hello \t\n  world  ",      // collapse + trim
+      "", "   ", "\t\n\f\r",        // empty / whitespace-only
+      "keep nbsp",             // NBSP is NOT in the collapse class
+      "emoji 😀 ok")      // surrogate pair preserved
+    val got = samples.toDF("t")
+      .select(TextFunctions.canonicalizeText(col("t")).as("n"))
+      .as[String].collect()
+    val expected = Seq(
+      "café composed", "café stays", "abcd", "xy",
+      "hello world", "", "", "", "keep nbsp", "emoji 😀 ok")
+    samples.indices.foreach(i =>
+      assert(got(i) == expected(i), s"input ${samples(i).map(_.toInt)}"))
+    // identical decision through the SQL registration
+    graft.GraftExtensions.registerAll(spark)
+    val viaSql = spark.sql("SELECT canonicalize_text('  a\tb  ') AS n")
+      .as[String].collect().head
+    assert(viaSql == "a b")
+  }
+
   test("hashed shingles count matches string shingles count (incl. unicode)") {
     val docs = Seq("a b c d e a b c d e", "Héllo wörld this is mixed über text ja",
       "one two", "x y z x y z x y z",
