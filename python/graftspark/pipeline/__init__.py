@@ -41,7 +41,7 @@ __all__ = [
     "train_pq", "pq_encode", "pq_top_k", "bm25_top_k",
     "repeated_span_stats", "remove_repeated_spans", "classifier_score",
     "train_ivf", "ivf_assign", "semantic_dup_pairs", "deduplicate_semantic",
-    "rrf_fuse", "canonicalize_text",
+    "rrf_fuse", "canonicalize_text", "corpus_drift",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -777,3 +777,14 @@ def rrf_fuse(lists, k: int, k0: int = 60, scale: int = 1000000) -> DataFrame:
         jlist.add(df._jdf)
     jdf = _bridge(first).rrfFuse(jlist, int(k), int(k0), int(scale))
     return DataFrame(jdf, first.sparkSession)
+
+
+def corpus_drift(before: DataFrame, after: DataFrame, group: ColumnOrName,
+                 text: ColumnOrName) -> DataFrame:
+    """Per-group drift between two corpus snapshots: one fused-kernel
+    aggregate per side, full-outer joined on the group with zero-coalesce —
+    (group, n_docs_before/after/delta, n_tokens_before/after/delta,
+    stopword_ratio_before/after), all counts exact BIGINTs."""
+    jdf = _bridge(before).corpusDrift(before._jdf, after._jdf,
+                                      _jcol(group), _jcol(text))
+    return DataFrame(jdf, before.sparkSession)

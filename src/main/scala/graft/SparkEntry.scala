@@ -539,6 +539,24 @@ object SparkEntry {
             .as("rep_bigram_fraction"))
     }),
 
+    // per-group drift between two corpus snapshots: one fused-kernel
+    // aggregate per side, full-outer joined on the group. The "after"
+    // snapshot is built in plan — drops every 7th doc, appends drift
+    // tokens to every 5th, renames src2 to srcNEW so the report exercises
+    // both one-sided join cases (src2 before-only, srcNEW after-only).
+    "corpus_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val after = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(
+          when(col("source") === "src2", lit("srcNEW"))
+            .otherwise(col("source")).as("source"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" drifted tokens appended here")))
+            .otherwise(col("text")).as("text"))
+      graft.text.CorpusDrift.report(docs, after, col("source"), col("text"))
+        .withColumnRenamed("group", "source")
+    }),
+
     // end-to-end curation pass: langid -> quality -> exact dedup -> minhash
     // near-dup -> decontaminate -> hash sample, composed by
     // Curation.curate with the same parameterizations as the individual
@@ -1781,6 +1799,32 @@ object SparkEntry {
           "CASE WHEN SUM(st.n_tok) = 0 THEN 0.0 ELSE CAST(SUM(st.n_stop) AS DOUBLE) / CAST(SUM(st.n_tok) AS DOUBLE) END AS stopword_ratio, " +
           "CASE WHEN SUM(st.n_g2) = 0 THEN 0.0 ELSE CAST(SUM(st.p_g2) AS DOUBLE) / CAST(SUM(st.n_g2) AS DOUBLE) END AS rep_bigram_fraction " +
           "FROM documents d JOIN st ON d.doc_id = st.doc_id GROUP BY d.source"),
+
+      // both snapshots tokenized and aggregated independently, full-outer
+      // joined with zero-coalesce — the same ratio-of-sums arithmetic as
+      // corpus_quality_report on each side
+      "corpus_drift" ->
+        ("WITH bt AS (SELECT source AS grp, " +
+          "[x for x in string_split_regex(lower(text), '[^a-z0-9]+') if x <> ''] AS toks FROM documents), " +
+          "at2 AS (SELECT CASE WHEN source = 'src2' THEN 'srcNEW' ELSE source END AS grp, " +
+          "[x for x in string_split_regex(lower(CASE WHEN doc_id % 5 = 0 THEN text || ' drifted tokens appended here' ELSE text END), '[^a-z0-9]+') if x <> ''] AS toks " +
+          "FROM documents WHERE doc_id % 7 <> 0), " +
+          "ba AS (SELECT grp, COUNT(*) AS nd, CAST(SUM(len(toks)) AS BIGINT) AS nt, " +
+          "CAST(SUM(len([t for t in toks if list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], t)])) AS BIGINT) AS ns " +
+          "FROM bt GROUP BY grp), " +
+          "aa AS (SELECT grp, COUNT(*) AS nd, CAST(SUM(len(toks)) AS BIGINT) AS nt, " +
+          "CAST(SUM(len([t for t in toks if list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], t)])) AS BIGINT) AS ns " +
+          "FROM at2 GROUP BY grp) " +
+          "SELECT COALESCE(ba.grp, aa.grp) AS source, " +
+          "CAST(COALESCE(ba.nd, 0) AS BIGINT) AS n_docs_before, " +
+          "CAST(COALESCE(aa.nd, 0) AS BIGINT) AS n_docs_after, " +
+          "CAST(COALESCE(aa.nd, 0) - COALESCE(ba.nd, 0) AS BIGINT) AS n_docs_delta, " +
+          "COALESCE(ba.nt, 0) AS n_tokens_before, " +
+          "COALESCE(aa.nt, 0) AS n_tokens_after, " +
+          "COALESCE(aa.nt, 0) - COALESCE(ba.nt, 0) AS n_tokens_delta, " +
+          "CASE WHEN COALESCE(ba.nt, 0) = 0 THEN 0.0 ELSE CAST(ba.ns AS DOUBLE) / CAST(ba.nt AS DOUBLE) END AS stopword_ratio_before, " +
+          "CASE WHEN COALESCE(aa.nt, 0) = 0 THEN 0.0 ELSE CAST(aa.ns AS DOUBLE) / CAST(aa.nt AS DOUBLE) END AS stopword_ratio_after " +
+          "FROM ba FULL OUTER JOIN aa ON ba.grp = aa.grp"),
 
       // chained-pipeline replication: each stage's survivor set feeds the
       // next, so every count checks inter-stage dataflow, not one stage

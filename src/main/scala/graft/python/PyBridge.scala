@@ -344,6 +344,10 @@ object PyBridge {
   def rrfFuse(lists: JList[DataFrame], k: Int, k0: Int, scale: Long): DataFrame =
     graft.search.Retrieval.rrfFuse(lists.asScala.toSeq, k, k0, scale)
 
+  def corpusDrift(before: DataFrame, after: DataFrame,
+                  group: Column, text: Column): DataFrame =
+    graft.text.CorpusDrift.report(before, after, group, text)
+
   def classifierScore(df: DataFrame, text: Column, weights: JList[Integer],
                       bias: Long, threshold: Long, bigrams: Boolean): DataFrame =
     graft.text.Classifier.score(df, text,

