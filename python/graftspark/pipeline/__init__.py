@@ -41,7 +41,7 @@ __all__ = [
     "train_pq", "pq_encode", "pq_top_k", "bm25_top_k",
     "repeated_span_stats", "remove_repeated_spans", "classifier_score",
     "train_ivf", "ivf_assign", "semantic_dup_pairs", "deduplicate_semantic",
-    "rrf_fuse", "canonicalize_text", "corpus_drift",
+    "rrf_fuse", "canonicalize_text", "corpus_drift", "contamination_report",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -788,3 +788,16 @@ def corpus_drift(before: DataFrame, after: DataFrame, group: ColumnOrName,
     jdf = _bridge(before).corpusDrift(before._jdf, after._jdf,
                                       _jcol(group), _jcol(text))
     return DataFrame(jdf, before.sparkSession)
+
+
+def contamination_report(corpus: DataFrame, id_col: ColumnOrName,
+                         text: ColumnOrName, blocklist: DataFrame,
+                         blocklist_text: ColumnOrName,
+                         shingle_size: int = 8) -> DataFrame:
+    """Per-doc contamination severity vs a broadcast blocklist shingle set:
+    (id, n_shingles, n_overlap, contamination) — zero shuffles, the score
+    survives instead of becoming a drop decision."""
+    jdf = _bridge(corpus).contaminationReport(
+        corpus._jdf, _jcol(id_col), _jcol(text),
+        blocklist._jdf, _jcol(blocklist_text), int(shingle_size))
+    return DataFrame(jdf, corpus.sparkSession)

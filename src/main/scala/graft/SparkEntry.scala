@@ -539,6 +539,18 @@ object SparkEntry {
             .as("rep_bigram_fraction"))
     }),
 
+    // contamination severity REPORT: per-doc shingle/overlap counts and
+    // fraction from the same broadcast sorted-array binary-search probe as
+    // decontaminate_broadcast (zero shuffles) — the score survives instead
+    // of becoming a drop decision
+    "contamination_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.dedup.Dedup.contaminationReport(
+        docs, col("doc_id"), col("text"),
+        docs.filter(col("doc_id") % 97 === 0), col("text"), shingleSize = 5)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // per-group drift between two corpus snapshots: one fused-kernel
     // aggregate per side, full-outer joined on the group. The "after"
     // snapshot is built in plan — drops every 7th doc, appends drift
@@ -1896,6 +1908,21 @@ object SparkEntry {
           "bl AS (SELECT DISTINCT g FROM ex WHERE doc_id % 97 = 0), " +
           "cont AS (SELECT DISTINCT ex.doc_id FROM ex JOIN bl USING (g)) " +
           "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM cont)"),
+
+      // same shingle identity as the decontamination gates, but counts
+      // survive: distinct 5-gram shingles per doc, overlap vs the blocklist
+      // set, one ratio division
+      "contamination_report" ->
+        (s"WITH $docTokCte, sh5 AS (SELECT doc_id, " +
+          "CASE WHEN len(toks) < 5 THEN [] ELSE list_distinct([array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks) - 3)]) END AS s " +
+          "FROM tok), " +
+          "ex AS (SELECT doc_id, u.g FROM sh5, unnest(sh5.s) AS u(g)), " +
+          "bl AS (SELECT DISTINCT g FROM ex WHERE doc_id % 97 = 0), " +
+          "ovc AS (SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ov FROM ex JOIN bl USING (g) GROUP BY ex.doc_id) " +
+          "SELECT s.doc_id, CAST(len(s.s) AS BIGINT) AS n_shingles, " +
+          "CAST(COALESCE(ovc.n_ov, 0) AS BIGINT) AS n_overlap, " +
+          "CASE WHEN len(s.s) = 0 THEN 0.0 ELSE CAST(COALESCE(ovc.n_ov, 0) AS DOUBLE) / CAST(len(s.s) AS DOUBLE) END AS contamination " +
+          "FROM sh5 s LEFT JOIN ovc USING (doc_id)"),
 
       // bloom prefilter + exact verify = exact: identical oracle to decontaminate
       "decontaminate_bloom" ->

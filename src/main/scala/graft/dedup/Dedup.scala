@@ -213,6 +213,32 @@ object Dedup {
     corpus.filter(probe < minOverlap || probe.isNull)
   }
 
+  /**
+   * Per-document contamination REPORT instead of a filter: every corpus row
+   * with its shingle count, blocklist-overlap count, and overlap fraction
+   * (`n_overlap / n_shingles`, 0.0 for shingle-less docs). Same broadcast
+   * sorted-long-array + codegen binary-search probe as
+   * [[decontaminateBroadcast]] — zero shuffles, streaming-legal — but the
+   * score survives, so a pipeline can grade contamination severity
+   * (near-miss auditing, threshold sweeps) rather than only dropping docs.
+   */
+  def contaminationReport(
+      corpus: DataFrame, id: Column, text: Column,
+      blocklist: DataFrame, blocklistText: Column,
+      shingleSize: Int = 8,
+      maxBlocklistShingles: Long = 32L * 1024 * 1024): DataFrame = {
+    val probe = broadcastShingleProbe(
+      corpus, text, blocklist, blocklistText, shingleSize, maxBlocklistShingles)
+    val nShingles = size(TextFunctions.hashedTextShingles(text, shingleSize))
+    corpus.select(
+      id.as("id"),
+      nShingles.cast("long").as("n_shingles"),
+      coalesce(probe, lit(0L)).cast("long").as("n_overlap"))
+      .withColumn("contamination",
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(col("n_overlap").cast("double") / col("n_shingles").cast("double")))
+  }
+
   /** The overlap-count Column for [[decontaminateBroadcast]] — exposed so
     * callers (and the streaming wrapper) can keep the count as a column
     * instead of filtering. Runs one batch job over the STATIC blocklist to

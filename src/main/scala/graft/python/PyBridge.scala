@@ -348,6 +348,12 @@ object PyBridge {
                   group: Column, text: Column): DataFrame =
     graft.text.CorpusDrift.report(before, after, group, text)
 
+  def contaminationReport(corpus: DataFrame, id: Column, text: Column,
+                          blocklist: DataFrame, blocklistText: Column,
+                          shingleSize: Int): DataFrame =
+    graft.dedup.Dedup.contaminationReport(corpus, id, text, blocklist,
+      blocklistText, shingleSize)
+
   def classifierScore(df: DataFrame, text: Column, weights: JList[Integer],
                       bias: Long, threshold: Long, bigrams: Boolean): DataFrame =
     graft.text.Classifier.score(df, text,

@@ -361,6 +361,27 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(viaSql == "a b")
   }
 
+  test("contaminationReport scores overlap fraction; filter agrees with decontaminateBroadcast") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // shares a 5-gram prefix
+      (2L, "unrelated words entirely different here okay"),
+      (3L, "x")                                      // no 5-gram shingles
+    ).toDF("id", "text")
+    val block = Seq("alpha beta gamma delta epsilon").toDF("text")
+    val rep = graft.dedup.Dedup.contaminationReport(
+        docs, col("id"), col("text"), block, col("text"), shingleSize = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rep(1L).getLong(2) == 1L && rep(1L).getLong(1) == 2L)
+    assert(rep(1L).getDouble(3) == 0.5)
+    assert(rep(2L).getLong(2) == 0L && rep(2L).getDouble(3) == 0.0)
+    assert(rep(3L).getLong(1) == 0L && rep(3L).getDouble(3) == 0.0)
+    // the report's minOverlap-1 decision equals the filter's
+    val kept = graft.dedup.Dedup.decontaminateBroadcast(
+        docs, col("id"), col("text"), block, col("text"), shingleSize = 5)
+      .select("id").as[Long].collect().toSet
+    assert(kept == rep.filter(_._2.getLong(2) == 0L).keySet)
+  }
+
   test("corpus drift: exact deltas, one-sided groups read as zero") {
     val before = Seq(
       ("a", "the cat sat"), ("a", "a dog ran"), ("gone", "old words here")
