@@ -39,6 +39,17 @@ import org.apache.spark.sql.{Column, DataFrame}
  */
 object StreamingCurate {
 
+  /**
+   * Curate an unbounded document stream. Pass `observationName` to attach a
+   * `Dataset.observe` with the per-batch attrition counters every streaming
+   * curation run wants to monitor — `input_rows`, `after_langid`,
+   * `after_quality`, `after_classifier`, `after_decontaminate`,
+   * `after_sample` (cumulative conjunctions, the batch report's fused-
+   * aggregate discipline; a disabled stage repeats the previous count) —
+   * readable per micro-batch from `QueryProgress.observedMetrics`. The
+   * stateful dedup stage is not observable this way; its effect is the
+   * difference between `after_sample` and the sink's row count.
+   */
   def curateStream(
       stream: DataFrame, id: Column, text: Column,
       eventTimeColumn: String, delayThreshold: String,
@@ -50,36 +61,53 @@ object StreamingCurate {
       classifierBias: Long = 0L, classifierThreshold: Long = 0L,
       blocklist: Option[(DataFrame, Column)] = None,
       blocklistShingleSize: Int = 5, minOverlap: Int = 1,
-      sampleRate: Double = 1.0, sampleSalt: String = "graft"): DataFrame = {
+      sampleRate: Double = 1.0, sampleSalt: String = "graft",
+      observationName: Option[String] = None): DataFrame = {
     require(stream.isStreaming, "curateStream expects a streaming DataFrame; " +
       "use Curation.curate for batch frames (same stages plus near-dup dedup)")
     require(sampleRate > 0.0 && sampleRate <= 1.0, s"sampleRate must be in (0, 1]: $sampleRate")
 
-    var cur = stream
-
-    if (keepLangs.nonEmpty)
-      cur = cur.filter(
-        graft.text.TextFunctions.langId(text, graft.text.TextFunctions.AsciiTokenPattern)
-          .isin(keepLangs.toSeq: _*))
-
-    cur = graft.text.QualityFilters.gopherFilter(
-      cur, text, minTokens, maxTokens, minAvgTokenLen, maxAvgTokenLen,
+    // stage predicates, built once so the filters and the observed counters
+    // share one definition (identical decisions by construction)
+    val langKeep: Column =
+      if (keepLangs.isEmpty) lit(true)
+      else graft.text.TextFunctions.langId(text, graft.text.TextFunctions.AsciiTokenPattern)
+        .isin(keepLangs.toSeq: _*)
+    val qualKeep: Column = graft.text.QualityFilters.gopherKeep(
+      text, minTokens, maxTokens, minAvgTokenLen, maxAvgTokenLen,
       minStopwordRatio, maxTopBigramFraction)
-
     // the model filter is one fused kernel pass — stateless, so the stream
     // decision is identical to the batch stage's
-    classifierWeights.foreach { w =>
-      cur = graft.text.Classifier.filterByScore(
-        cur, text, w, classifierBias, classifierThreshold)
+    val clsKeep: Column = classifierWeights match {
+      case Some(w) =>
+        graft.text.Classifier.logit(text, w, classifierBias) >= classifierThreshold
+      case None => lit(true)
+    }
+    val decontKeep: Column = blocklist match {
+      case Some((bdf, btext)) =>
+        val probe = graft.dedup.Dedup.broadcastShingleProbe(
+          stream, text, bdf, btext, blocklistShingleSize, 32L * 1024 * 1024)
+        probe < minOverlap || probe.isNull
+      case None => lit(true)
+    }
+    val sampleKeep: Column =
+      if (sampleRate < 1.0) graft.sample.Sampling.hashSamplePredicate(id, sampleRate, sampleSalt)
+      else lit(true)
+
+    var cur = stream
+    observationName.foreach { name =>
+      def pass(c: Column, colName: String): Column =
+        coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L)).as(colName)
+      cur = cur.observe(name,
+        count(lit(1)).as("input_rows"),
+        pass(langKeep, "after_langid"),
+        pass(langKeep && qualKeep, "after_quality"),
+        pass(langKeep && qualKeep && clsKeep, "after_classifier"),
+        pass(langKeep && qualKeep && clsKeep && decontKeep, "after_decontaminate"),
+        pass(langKeep && qualKeep && clsKeep && decontKeep && sampleKeep, "after_sample"))
     }
 
-    blocklist.foreach { case (bdf, btext) =>
-      cur = StreamingDecontaminate.decontaminateStream(
-        cur, text, bdf, btext, blocklistShingleSize, minOverlap)
-    }
-
-    if (sampleRate < 1.0)
-      cur = graft.sample.Sampling.hashSample(cur, id, sampleRate, sampleSalt)
+    cur = cur.filter(langKeep && qualKeep && clsKeep && decontKeep && sampleKeep)
 
     // stateful stage last: every earlier filter shrinks what reaches the
     // state store

@@ -217,7 +217,8 @@ class StreamingDedupSuite extends AnyFunSuite with SparkTest {
       keepLangs = Set("en"),
       minTokens = 5, maxTokens = 1000, minAvgTokenLen = 1.0, maxAvgTokenLen = 10.0,
       minStopwordRatio = 0.01, maxTopBigramFraction = 0.9,
-      blocklist = Some((block, col("text"))))
+      blocklist = Some((block, col("text"))),
+      observationName = Some("curate_obs"))
 
     val query = curated.writeStream.format("memory")
       .queryName("sc_out").outputMode("append").start()
@@ -236,6 +237,17 @@ class StreamingDedupSuite extends AnyFunSuite with SparkTest {
       query.processAllAvailable()
       val ids = spark.table("sc_out").select("id").as[Long].collect().toSet
       assert(ids === Set(1L, 8L))
+      // observed attrition for the last micro-batch (docs 6, 7, 8): all
+      // pass langid/quality/classifier; doc 6 dies at decontamination; the
+      // stateful dedup of doc 7 happens past the observation point
+      val obs = query.lastProgress.observedMetrics.get("curate_obs")
+      assert(obs != null, "observed metrics missing")
+      assert(obs.getAs[Long]("input_rows") == 3L)
+      assert(obs.getAs[Long]("after_langid") == 3L)
+      assert(obs.getAs[Long]("after_quality") == 3L)
+      assert(obs.getAs[Long]("after_classifier") == 3L)
+      assert(obs.getAs[Long]("after_decontaminate") == 2L)
+      assert(obs.getAs[Long]("after_sample") == 2L)
       // a batch frame is rejected with a pointer at the batch pass
       val err = intercept[IllegalArgumentException] {
         graft.streaming.StreamingCurate.curateStream(
