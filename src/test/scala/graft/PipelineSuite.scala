@@ -888,6 +888,21 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(formatted.contains("WindowGroupLimit"), formatted)
   }
 
+  test("LSH top-k with few queries: corpus vectors never enter a shuffle exchange") {
+    val data = clusteredVectors(4, 10, 16, 0.05f)
+    val df = data.toDF("id", "vec")
+    val formatted = Ann.lshTopK(df.filter(col("id") < 4), df,
+        col("id"), col("vec"), col("id"), col("vec"),
+        dim = 16, k = 3, bands = 8, bits = 4)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // the tiny query side broadcasts, so the bucket join is exchange-free on
+    // the corpus side; the only shuffles left are the 24-byte-row candidate
+    // max-aggregate and top-k — none may carry an embedding
+    assert(formatted.contains("BroadcastHashJoin"), formatted)
+    formatted.split("\n\n").filter(_.contains("Exchange hashpartitioning")).foreach(s =>
+      assert(!s.contains("_vec_"), s"embedding in a shuffle exchange:\n$s"))
+  }
+
   test("PQ: the ADC scan streams codes, not corpus vectors") {
     val data = clusteredVectors(4, 8, 16, 0.05f)
     val df = data.toDF("id", "vec")
