@@ -278,6 +278,28 @@ class PropertySuite extends AnyFunSuite {
     })
   }
 
+  test("canonicalizeText equals the NFC + strip + collapse + trim reference on random unicode") {
+    // the reference model applies the DOCUMENTED contract literally as three
+    // separate passes; the kernel fuses them into one loop
+    def model(s: String): String = {
+      val nfc = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      val stripped = nfc.filterNot(c =>
+        (c < 0x20 && c != '\t' && c != '\n' && c != '\f' && c != '\r') || c == 0x7f)
+      stripped.replaceAll("[\t\n\f\r ]+", " ").replaceAll("^ | $", "")
+    }
+    val genChar: Gen[Char] = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '\t', '\n', '\f', '\r'),
+      1 -> Gen.oneOf('\u0000', '\u0001', '\u000b', '\u001f', '\u007f'),
+      1 -> Gen.oneOf('\u0301', '\u00e9', '\u00a0', '\u212b', 'A'),
+      1 -> Gen.oneOf('\ud83d', '\ude00')) // lone surrogates too
+    val genStr: Gen[String] = Gen.listOf(genChar).map(_.mkString)
+    check("canonicalizeText", Prop.forAll(genStr) { s =>
+      VectorKernels.canonicalizeText(UTF8String.fromString(s)).toString ==
+        model(new String(s.getBytes("UTF-8"), "UTF-8")) // UTF-8 round-trip like UTF8String
+    })
+  }
+
   test("zValue is monotonic per coordinate and within lane bounds") {
     import graft.write.ZOrder
     import org.apache.spark.sql.functions.col
