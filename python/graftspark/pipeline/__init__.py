@@ -42,6 +42,7 @@ __all__ = [
     "repeated_span_stats", "remove_repeated_spans", "classifier_score",
     "train_ivf", "ivf_assign", "semantic_dup_pairs", "deduplicate_semantic",
     "rrf_fuse", "canonicalize_text", "corpus_drift", "contamination_report",
+    "deduplicate_semantic_keep_diverse",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -800,4 +801,17 @@ def contamination_report(corpus: DataFrame, id_col: ColumnOrName,
     jdf = _bridge(corpus).contaminationReport(
         corpus._jdf, _jcol(id_col), _jcol(text),
         blocklist._jdf, _jcol(blocklist_text), int(shingle_size))
+    return DataFrame(jdf, corpus.sparkSession)
+
+
+def deduplicate_semantic_keep_diverse(corpus: DataFrame, id: ColumnOrName,
+                                      vec: ColumnOrName, index,
+                                      threshold: float,
+                                      max_cluster_size: int = 10000) -> DataFrame:
+    """SemDeDup's paper keep policy: duplicate pairs close into transitive
+    components and each component keeps the member FARTHEST from its
+    cluster centroid (diversity-preserving), ties to the smallest id."""
+    jdf = _bridge(corpus).deduplicateSemanticKeepDiverse(
+        corpus._jdf, _jcol(id), _jcol(vec), index,
+        float(threshold), int(max_cluster_size))
     return DataFrame(jdf, corpus.sparkSession)

@@ -98,4 +98,28 @@ object SemanticDedup {
     Dedup.keepFirst(corpus, id,
       semanticDupPairs(corpus, id, vec, index, threshold, maxClusterSize,
         storageLevel, unpersistHandle))
+
+  /**
+   * The SemDeDup paper's keep policy: duplicate pairs close transitively
+   * into COMPONENTS ([[Clustering.assignClusters]] — a pair (a,b),(b,c)
+   * keeps one of {a,b,c}, not two), and each component keeps the member
+   * FARTHEST from its cluster centroid (lowest cosine — the
+   * diversity-preserving choice), ties to the smallest id. Plans the
+   * map-side Partial+Final WindowGroupLimit argmax of
+   * [[Clustering.keepBestByClusters]], so the keep shuffle carries
+   * O(components) rows.
+   */
+  def deduplicateSemanticKeepDiverse(
+      corpus: DataFrame, id: Column, vec: Column,
+      index: Ann.IvfIndex, threshold: Double,
+      maxClusterSize: Int = DefaultMaxClusterSize,
+      storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      unpersistHandle: UnpersistHandle = UnpersistHandle.Noop): DataFrame = {
+    val pairs = semanticDupPairs(corpus, id, vec, index, threshold,
+      maxClusterSize, storageLevel, unpersistHandle)
+    // farthest-from-centroid wins: score by NEGATED cosine to the assigned
+    // centroid (one more narrow kernel pass; the centroids live in the plan)
+    val centroidCos = vectors.nearest_centroid_cosine(vec, index.centroids)
+    Clustering.keepBestByClusters(corpus, id, -centroidCos, pairs)
+  }
 }

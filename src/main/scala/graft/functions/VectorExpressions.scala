@@ -583,6 +583,19 @@ object VectorKernels extends Serializable {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
 
+  /** Cosine similarity to the single most-similar centroid — by definition
+    * the maximum over centroids, so it needs no index bookkeeping. */
+  def nearestCentroidCosine(vec: ArrayData, centroids: Array[Array[Float]]): Double = {
+    var best = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val s = cosineTo(vec, centroids(c))
+      if (s > best) best = s
+      c += 1
+    }
+    best
+  }
+
   /** Indices of the `nprobe` centroids most cosine-similar to `vec`, in
     * decreasing similarity (ties by lower index). One pass per centroid. */
   def nearestCentroids(vec: ArrayData, centroids: Array[Array[Float]], nprobe: Int): Array[Int] = {
@@ -1248,6 +1261,33 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Float]], n
     copy(child = newChild)
 }
 
+/** nearest_centroid_cosine(vec): cosine similarity to the most-similar
+  * centroid (the assigned one, same semantics as nearest_centroids'
+  * first pick) -> double. Centroids ride as a codegen reference object. */
+case class NearestCentroidCosine(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if centroids.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid_cosine expects array<float> and centroids, got ${t.sql}")
+  }
+
+  override def nullSafeEval(vec: Any): Any =
+    VectorKernels.nearestCentroidCosine(vec.asInstanceOf[ArrayData], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorKernels.nearestCentroidCosine($a, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** hashed_linear_score(text): exact-integer hashing-trick classifier logit
   * (weights in a codegen reference object, 256 buckets — md5 first byte
   * when portable, xxhash64 low byte otherwise). */
@@ -1450,6 +1490,9 @@ case class MinHashBandHashes(child: Expression, bands: Int, rowsPerBand: Int)
 /** Column-facing wrappers. */
 object vectors {
   def canonicalize_text(text: Column): Column = CanonicalizeText(text.asExpression).asColumn
+
+  def nearest_centroid_cosine(vec: Column, centroids: Array[Array[Float]]): Column =
+    NearestCentroidCosine(vec.asExpression, centroids).asColumn
 
   def cosine_similarity(a: Column, b: Column): Column =
     CosineSimilarity(a.asExpression, b.asExpression).asColumn

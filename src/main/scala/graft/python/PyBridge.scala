@@ -341,6 +341,12 @@ object PyBridge {
     graft.dedup.SemanticDedup.deduplicateSemantic(corpus, id, vec, index,
       threshold, maxClusterSize)
 
+  def deduplicateSemanticKeepDiverse(corpus: DataFrame, id: Column, vec: Column,
+                                     index: graft.ann.Ann.IvfIndex, threshold: Double,
+                                     maxClusterSize: Int): DataFrame =
+    graft.dedup.SemanticDedup.deduplicateSemanticKeepDiverse(corpus, id, vec,
+      index, threshold, maxClusterSize)
+
   def rrfFuse(lists: JList[DataFrame], k: Int, k0: Int, scale: Long): DataFrame =
     graft.search.Retrieval.rrfFuse(lists.asScala.toSeq, k, k0, scale)
 

@@ -989,6 +989,39 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(dropped.nonEmpty)
   }
 
+  test("deduplicateSemanticKeepDiverse keeps the farthest-from-centroid member per component") {
+    val data = clusteredVectors(3, 6, 16, 0.04f)
+    val df = data.toDF("id", "vec")
+    val index = Ann.trainIvf(df, col("id"), col("vec"), k = 3, iterations = 3)
+    val threshold = 0.95
+    val pairs = graft.dedup.SemanticDedup.semanticDupPairs(
+        df, col("id"), col("vec"), index, threshold,
+        storageLevel = org.apache.spark.storage.StorageLevel.NONE)
+      .as[(Long, Long)].collect()
+    val kept = graft.dedup.SemanticDedup.deduplicateSemanticKeepDiverse(
+        df, col("id"), col("vec"), index, threshold,
+        storageLevel = org.apache.spark.storage.StorageLevel.NONE)
+      .select(col("id")).as[Long].collect().toSet
+    // naive model: union-find components over the pair list; per component
+    // keep argmin(cosine to nearest centroid), ties to smallest id
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val vecs = data.toMap
+    def centroidCos(v: Seq[Float]): Double =
+      index.centroids.map(c => cosD(v, c.toSeq)).max
+    val byComp = data.map(_._1).groupBy(find)
+    val expected = byComp.values.map { ids =>
+      ids.minBy(i => (centroidCos(vecs(i)), i))
+    }.toSet
+    assert(pairs.nonEmpty && expected.size < data.size)
+    assert(kept == expected)
+  }
+
   test("semanticDupPairs prunes clusters above maxClusterSize before pairing") {
     val data = clusteredVectors(2, 4, 8, 0.01f)
     val df = data.toDF("id", "vec")
