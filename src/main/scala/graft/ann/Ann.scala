@@ -39,7 +39,7 @@ object Ann {
   }
 
   /** Deterministic seeded Gaussian hyperplanes: bands x bits x dim. */
-  private[ann] def hyperplanes(bands: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Float]]] = {
+  private[graft] def hyperplanes(bands: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Float]]] = {
     val rng = new scala.util.Random(seed)
     Array.fill(bands, bits)(Array.fill(dim)(rng.nextGaussian().toFloat))
   }

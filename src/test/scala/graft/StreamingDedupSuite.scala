@@ -258,6 +258,46 @@ class StreamingDedupSuite extends AnyFunSuite with SparkTest {
     } finally query.stop()
   }
 
+  test("streaming embedding near-dup flags colinear pairs with exact in-stream cosine") {
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(3)
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(16)(r.nextGaussian().toFloat)
+    }
+    val base = vec(1)
+    val doubled = base.map(_ * 2.0f) // exactly colinear: cosine 1.0
+    val other = vec(2)
+    val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+    val t1 = Timestamp.valueOf("2026-01-01 10:01:00")
+    val input = MemoryStream[(Long, Timestamp, Seq[Float])]
+    val cands = graft.streaming.StreamingEmbeddingNearDup.embeddingCandidates(
+      input.toDF().toDF("id", "ts", "vec"), col("id"), col("vec"),
+      eventTimeColumn = "ts", delayThreshold = "10 minutes",
+      dim = 16, threshold = 0.9, bands = 8, bits = 4)
+    val query = cands.writeStream.format("memory")
+      .queryName("send_out").outputMode("append").start()
+    try {
+      input.addData((1L, t0, base), (2L, t0, other))
+      query.processAllAvailable()
+      // cross-batch: the colinear copy arrives later and must flag against 1
+      input.addData((3L, t1, doubled))
+      query.processAllAvailable()
+      val rows = spark.table("send_out")
+        .select("docId", "firstDocId", "cosine")
+        .as[(Long, Long, Double)].collect()
+      val pairs = rows.map(r => (r._1, r._2)).distinct
+      assert(pairs.contains((3L, 1L)), rows.mkString(", "))
+      rows.filter(r => r._1 == 3L && r._2 == 1L)
+        .foreach(r => assert(math.abs(r._3 - 1.0) < 1e-9))
+      // sign-invariant LSH puts the colinear pair in EVERY band bucket —
+      // same bucket identity as the batch operator's
+      assert(rows.count(r => r._1 == 3L && r._2 == 1L) == 8)
+      // the unrelated vector never clears the 0.9 threshold
+      assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+    } finally query.stop()
+  }
+
   test("streaming curation classifier stage drops what the batch stage drops") {
     implicit val sqlCtx = spark.sqlContext
     val en = "the cat and the dog walked to the park and it was a fine day " +
