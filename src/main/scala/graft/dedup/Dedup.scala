@@ -491,12 +491,12 @@ object Dedup {
   }
 
   /** hyperplanes[band][bit] = deterministic seeded Gaussian vector; buckets
-    * are computed by one fused kernel pass over the embedding. */
+    * are computed by one fused kernel pass over the embedding. Delegates to
+    * the ONE generator ([[graft.ann.Ann.hyperplanes]]) so the batch dedup,
+    * the ANN search, and the streaming twin provably share bucket identity. */
   private def hyperplanes(
-      bands: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Float]]] = {
-    val rng = new scala.util.Random(seed)
-    Array.fill(bands, bits)(Array.fill(dim)(rng.nextGaussian().toFloat))
-  }
+      bands: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Float]]] =
+    graft.ann.Ann.hyperplanes(bands, bits, dim, seed)
 
   // --------------------------------------------------------------------------
   // Keep-one application
