@@ -42,7 +42,7 @@ __all__ = [
     "repeated_span_stats", "remove_repeated_spans", "classifier_score",
     "train_ivf", "ivf_assign", "semantic_dup_pairs", "deduplicate_semantic",
     "rrf_fuse", "canonicalize_text", "corpus_drift", "contamination_report",
-    "deduplicate_semantic_keep_diverse",
+    "deduplicate_semantic_keep_diverse", "compact_parquet",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -815,3 +815,14 @@ def deduplicate_semantic_keep_diverse(corpus: DataFrame, id: ColumnOrName,
         corpus._jdf, _jcol(id), _jcol(vec), index,
         float(threshold), int(max_cluster_size))
     return DataFrame(jdf, corpus.sparkSession)
+
+
+def compact_parquet(spark, input_dir: str, output_dir: str,
+                    target_file_bytes: int = 128 * 1024 * 1024,
+                    shuffle: bool = True) -> int:
+    """Compact a parquet directory's small files into ~target-sized files
+    (count from the directory's own footer metadata). Returns the number of
+    files written."""
+    return _bridge(spark).compactParquet(
+        spark._jsparkSession, input_dir, output_dir,
+        int(target_file_bytes), bool(shuffle))

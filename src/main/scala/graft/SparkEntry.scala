@@ -385,6 +385,24 @@ object SparkEntry {
           sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
     }),
 
+    // small-file compaction round-trip: fragment orders into 50 tiny files,
+    // compact by footer-metadata sizing, and hash-verify the data survived
+    // the move exactly (the file-count pin lives in sbt via parquetMetadata)
+    "compact_readback" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_cp").toString
+      val frag = base + "/frag"
+      val out = base + "/out"
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartition(50)
+        .write.mode("overwrite").parquet(frag)
+      graft.write.Compaction.compactParquet(s, frag, out,
+        targetFileBytes = 512L * 1024 * 1024)
+      s.read.parquet(out)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).cast("double").as("o_totalprice"))
+    }),
+
     // z-order layout round-trip: re-layout lineitem along the Morton curve
     // of (l_partkey, l_suppkey) — per-file min/max narrowing asserted in
     // sbt; the gate checks the data survives the re-layout exactly
@@ -1811,6 +1829,12 @@ object SparkEntry {
           "CASE WHEN SUM(st.n_tok) = 0 THEN 0.0 ELSE CAST(SUM(st.n_stop) AS DOUBLE) / CAST(SUM(st.n_tok) AS DOUBLE) END AS stopword_ratio, " +
           "CASE WHEN SUM(st.n_g2) = 0 THEN 0.0 ELSE CAST(SUM(st.p_g2) AS DOUBLE) / CAST(SUM(st.n_g2) AS DOUBLE) END AS rep_bigram_fraction " +
           "FROM documents d JOIN st ON d.doc_id = st.doc_id GROUP BY d.source"),
+
+      // compaction only moves rows: the oracle is the source table itself
+      "compact_readback" ->
+        ("SELECT o_orderkey, o_custkey, " +
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice " +
+          "FROM orders"),
 
       // both snapshots tokenized and aggregated independently, full-outer
       // joined with zero-coalesce — the same ratio-of-sums arithmetic as

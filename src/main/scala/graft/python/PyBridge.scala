@@ -360,6 +360,11 @@ object PyBridge {
     graft.dedup.Dedup.contaminationReport(corpus, id, text, blocklist,
       blocklistText, shingleSize)
 
+  def compactParquet(spark: SparkSession, inputDir: String, outputDir: String,
+                     targetFileBytes: Long, shuffle: Boolean): Int =
+    graft.write.Compaction.compactParquet(spark, inputDir, outputDir,
+      targetFileBytes, shuffle)
+
   def classifierScore(df: DataFrame, text: Column, weights: JList[Integer],
                       bias: Long, threshold: Long, bigrams: Boolean): DataFrame =
     graft.text.Classifier.score(df, text,

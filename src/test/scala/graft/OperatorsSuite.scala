@@ -192,6 +192,35 @@ class OperatorsSuite extends AnyFunSuite with SparkTest {
     assert(names === List("b", "e", "a"))
   }
 
+  test("compactParquet sizes output files from footer metadata and keeps rows") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val frag = base + "/frag"
+    val out = base + "/out"
+    spark.range(0, 20000).select(col("id"), (col("id") * 3).as("v"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(frag)
+    val fragFiles = graft.parquet.ParquetMeta.parquetMetadata(spark, None, Seq(frag)).count()
+    assert(fragFiles == 32L)
+    val totalBytes = graft.parquet.ParquetMeta.parquetMetadata(spark, None, Seq(frag))
+      .agg(sum(col("compressedBytes"))).head().getLong(0)
+    // target ~half the data per file -> exactly 2 output files
+    val n = graft.write.Compaction.compactParquet(spark, frag, out,
+      targetFileBytes = (totalBytes + 1) / 2)
+    assert(n == 2)
+    val outMeta = graft.parquet.ParquetMeta.parquetMetadata(spark, None, Seq(out))
+    assert(outMeta.count() == 2L)
+    assert(outMeta.agg(sum(col("rows"))).head().getLong(0) == 20000L)
+    // rows moved, never changed
+    val got = spark.read.parquet(out).as[(Long, Long)].collect().toSet
+    assert(got == (0L until 20000L).map(i => (i, i * 3)).toSet)
+    // huge target collapses to one file; coalesce path agrees on content
+    val out1 = base + "/one"
+    assert(graft.write.Compaction.compactParquet(spark, frag, out1,
+      targetFileBytes = Long.MaxValue / 2, shuffle = false) == 1)
+    assert(spark.read.parquet(out1).count() == 20000L)
+  }
+
   test("writeBucketedBy co-buckets tables so their join plans with no shuffle") {
     import graft.write.BucketedWrite
     val facts = spark.range(1000).select($"id".as("k"), ($"id" * 2).as("v"))
