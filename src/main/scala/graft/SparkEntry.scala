@@ -664,6 +664,25 @@ object SparkEntry {
         col("text"), classifierGateWeights)
         .select(col("doc_id"), col("logit"), col("keep"))),
 
+    // DSIR importance resampling (Xie et al. 2023): fit integer bits-ratio
+    // weights over the hashed feature buckets (target = English docs, raw =
+    // whole corpus), then select the most target-like docs with the same
+    // fused kernel classifier_score uses. Every number is an exact integer
+    // (md5 bucketing + floor-log2 bits), so DuckDB replays the whole fit.
+    "dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Dsir.weightTable(
+        docs.filter(col("lang") === "en"), docs, col("text"), col("text"))
+    }),
+
+    "dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = graft.text.Dsir.fitWeights(
+        docs.filter(col("lang") === "en"), docs, col("text"), col("text"))
+      graft.text.Dsir.selectTop(docs, col("doc_id"), col("text"), w, n = 100)
+        .select(col("doc_id"), col("dsir_score"))
+    }),
+
     // repeated-span detection/removal (substring-level dedup at token
     // granularity): duplicate decision on the md5-prefix window hash both
     // engines compute byte-identically; coverage = per-doc interval union
@@ -1656,6 +1675,54 @@ object SparkEntry {
           "SELECT t.doc_id, CAST(COALESCE(sc.s, 0) AS BIGINT) AS logit, " +
           "COALESCE(sc.s, 0) >= 0 AS keep " +
           "FROM tok t LEFT JOIN sc USING (doc_id)"),
+
+      // DSIR: full fit replication — same token+bigram feature stream and
+      // md5-first-byte bucketing as classifier_score, add-one-smoothed
+      // counts, floor-log2 bits via length(bin(x))-1
+      "dsir_weights" ->
+        (s"WITH $docTokCte, " +
+          "feats AS (SELECT doc_id, u.t AS g FROM tok, unnest(toks) AS u(t) " +
+          "UNION ALL SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g " +
+          "FROM tok, unnest(range(1, len(toks))) AS r(i)), " +
+          "fb AS (SELECT f.doc_id, " +
+          "(strpos('0123456789abcdef', substring(md5(f.g), 1, 1)) - 1) * 16 + " +
+          "(strpos('0123456789abcdef', substring(md5(f.g), 2, 1)) - 1) AS bucket FROM feats f), " +
+          "tcnt AS (SELECT bucket, COUNT(*) AS c FROM fb JOIN documents d USING (doc_id) " +
+          "WHERE d.lang = 'en' GROUP BY bucket), " +
+          "rcnt AS (SELECT bucket, COUNT(*) AS c FROM fb GROUP BY bucket), " +
+          "all_b AS (SELECT r.b AS bucket FROM range(0, 256) AS r(b)), " +
+          "j AS (SELECT all_b.bucket, COALESCE(tcnt.c, 0) AS target_cnt, " +
+          "COALESCE(rcnt.c, 0) AS raw_cnt FROM all_b " +
+          "LEFT JOIN tcnt USING (bucket) LEFT JOIN rcnt USING (bucket)), " +
+          "tot AS (SELECT SUM(target_cnt + 1) AS tt, SUM(raw_cnt + 1) AS rt FROM j) " +
+          "SELECT CAST(j.bucket AS INT) AS bucket, CAST(target_cnt AS BIGINT) AS target_cnt, " +
+          "CAST(raw_cnt AS BIGINT) AS raw_cnt, " +
+          "CAST((length(bin(target_cnt + 1)) - 1) - (length(bin(tt)) - 1) " +
+          "- (length(bin(raw_cnt + 1)) - 1) + (length(bin(rt)) - 1) AS BIGINT) AS weight " +
+          "FROM j CROSS JOIN tot"),
+
+      "dsir_select" ->
+        (s"WITH $docTokCte, " +
+          "feats AS (SELECT doc_id, u.t AS g FROM tok, unnest(toks) AS u(t) " +
+          "UNION ALL SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g " +
+          "FROM tok, unnest(range(1, len(toks))) AS r(i)), " +
+          "fb AS (SELECT f.doc_id, " +
+          "(strpos('0123456789abcdef', substring(md5(f.g), 1, 1)) - 1) * 16 + " +
+          "(strpos('0123456789abcdef', substring(md5(f.g), 2, 1)) - 1) AS bucket FROM feats f), " +
+          "tcnt AS (SELECT bucket, COUNT(*) AS c FROM fb JOIN documents d USING (doc_id) " +
+          "WHERE d.lang = 'en' GROUP BY bucket), " +
+          "rcnt AS (SELECT bucket, COUNT(*) AS c FROM fb GROUP BY bucket), " +
+          "all_b AS (SELECT r.b AS bucket FROM range(0, 256) AS r(b)), " +
+          "j AS (SELECT all_b.bucket, COALESCE(tcnt.c, 0) AS target_cnt, " +
+          "COALESCE(rcnt.c, 0) AS raw_cnt FROM all_b " +
+          "LEFT JOIN tcnt USING (bucket) LEFT JOIN rcnt USING (bucket)), " +
+          "tot AS (SELECT SUM(target_cnt + 1) AS tt, SUM(raw_cnt + 1) AS rt FROM j), " +
+          "wl AS (SELECT bucket, (length(bin(target_cnt + 1)) - 1) - (length(bin(tt)) - 1) " +
+          "- (length(bin(raw_cnt + 1)) - 1) + (length(bin(rt)) - 1) AS w FROM j CROSS JOIN tot), " +
+          "sc AS (SELECT fb.doc_id, SUM(wl.w) AS s FROM fb JOIN wl USING (bucket) GROUP BY fb.doc_id) " +
+          "SELECT t.doc_id, CAST(COALESCE(sc.s, 0) AS BIGINT) AS dsir_score " +
+          "FROM tok t LEFT JOIN sc USING (doc_id) " +
+          "ORDER BY dsir_score DESC, doc_id LIMIT 100"),
 
       // repeated spans: same window hash (md5 prefix over the space-joined
       // 3-gram), same >= 2 duplicate rule, same interval-union island SQL

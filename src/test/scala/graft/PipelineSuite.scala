@@ -862,6 +862,60 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(keptIds == got.filter(_._2._2).keySet)
   }
 
+  test("DSIR: weight table matches a local reimplementation") {
+    def localBucket(s: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8"))(0) & 0xFF
+    }
+    def feats(text: String): Seq[String] = {
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+    }
+    def bits(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val targetDocs = Seq("alpha beta gamma", "alpha alpha beta")
+    val rawDocs = targetDocs ++ Seq("zeta eta theta", "theta theta zeta", "")
+    val target = targetDocs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val raw = rawDocs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+
+    val tCnt = new Array[Long](256); val rCnt = new Array[Long](256)
+    targetDocs.flatMap(feats).foreach(g => tCnt(localBucket(g)) += 1)
+    rawDocs.flatMap(feats).foreach(g => rCnt(localBucket(g)) += 1)
+    val tTot = tCnt.map(_ + 1).sum; val rTot = rCnt.map(_ + 1).sum
+    val expected = Array.tabulate(256)(b =>
+      bits(tCnt(b) + 1) - bits(tTot) - bits(rCnt(b) + 1) + bits(rTot))
+
+    val got = graft.text.Dsir.weightTable(target, raw, col("text"), col("text"))
+      .select("bucket", "target_cnt", "raw_cnt", "weight")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(got.length == 256)
+    got.foreach { case (b, tc, rc, w) =>
+      assert(tc == tCnt(b) && rc == rCnt(b) && w == expected(b), s"bucket $b")
+    }
+    // fitWeights materializes the same numbers, and the fused kernel scores
+    // a doc to exactly sum(w over its feature occurrences)
+    val fitted = graft.text.Dsir.fitWeights(target, raw, col("text"), col("text"))
+    assert(fitted.toSeq == expected.map(_.toInt).toSeq)
+    val scored = graft.text.Dsir.score(raw, col("text"), fitted)
+      .select("id", "dsir_score").as[(Long, Long)].collect().toMap
+    rawDocs.zipWithIndex.foreach { case (t, i) =>
+      assert(scored(i.toLong) == feats(t).map(g => expected(localBucket(g))).sum)
+    }
+  }
+
+  test("DSIR: selectTop ranks target-like docs first, plans TakeOrderedAndProject") {
+    val target = Seq("alpha beta gamma alpha beta", "beta gamma alpha")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val raw = Seq(
+      (10L, "alpha beta gamma beta"), (11L, "zeta eta theta eta"),
+      (12L, "gamma alpha beta alpha"), (13L, "theta zeta eta zeta"))
+      .toDF("id", "text")
+    val w = graft.text.Dsir.fitWeights(target, raw, col("text"), col("text"))
+    val top = graft.text.Dsir.selectTop(raw, col("id"), col("text"), w, n = 2)
+    assert(top.select("id").as[Long].collect().toSet == Set(10L, 12L))
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("BM25: hand-computed scores, bit-length idf zeroes common terms") {
     val docs = Seq(
       (1L, "cat dog cat"),
