@@ -40,6 +40,7 @@ __all__ = [
     "extract_media_features", "extract_audio_features", "sample_frames",
     "train_pq", "pq_encode", "pq_top_k", "bm25_top_k",
     "repeated_span_stats", "remove_repeated_spans", "classifier_score",
+    "dsir_weight_table", "dsir_fit_weights", "dsir_score", "dsir_select_top",
     "train_ivf", "ivf_assign", "semantic_dup_pairs", "deduplicate_semantic",
     "rrf_fuse", "canonicalize_text", "corpus_drift", "contamination_report",
     "deduplicate_semantic_keep_diverse", "compact_parquet",
@@ -504,6 +505,46 @@ def classifier_score(df: DataFrame, text: ColumnOrName, weights: List[int],
     jdf = _bridge(df).classifierScore(df._jdf, _jcol(text),
                                       [int(w) for w in weights],
                                       int(bias), int(threshold), bool(bigrams))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def dsir_weight_table(target: DataFrame, raw: DataFrame,
+                      target_text: ColumnOrName, raw_text: ColumnOrName,
+                      bigrams: bool = True) -> DataFrame:
+    """DSIR importance-resampling fit (Xie et al. 2023): the 256-row
+    (bucket, target_cnt, raw_cnt, weight) table of integer floor-log2
+    likelihood-ratio weights over md5-bucketed token+bigram features."""
+    jdf = _bridge(target).dsirWeightTable(
+        target._jdf, raw._jdf, _jcol(target_text), _jcol(raw_text), bool(bigrams))
+    return DataFrame(jdf, target.sparkSession)
+
+
+def dsir_fit_weights(target: DataFrame, raw: DataFrame,
+                     target_text: ColumnOrName, raw_text: ColumnOrName,
+                     bigrams: bool = True) -> List[int]:
+    """The fitted 256-int weight vector (bounded driver collect), ready for
+    dsir_score / dsir_select_top / classifier_score."""
+    return [int(w) for w in _bridge(target).dsirFitWeights(
+        target._jdf, raw._jdf, _jcol(target_text), _jcol(raw_text), bool(bigrams))]
+
+
+def dsir_score(df: DataFrame, text: ColumnOrName, weights: List[int],
+               bigrams: bool = True) -> DataFrame:
+    """Adds exact-BIGINT `dsir_score` from one fused kernel pass (narrow,
+    streaming-legal)."""
+    jdf = _bridge(df).dsirScore(df._jdf, _jcol(text),
+                                [int(w) for w in weights], bool(bigrams))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def dsir_select_top(df: DataFrame, id: ColumnOrName, text: ColumnOrName,
+                    weights: List[int], n: int,
+                    bigrams: bool = True) -> DataFrame:
+    """The n most target-like documents, deterministically (score desc,
+    id asc) — plans TakeOrderedAndProject, never a global sort."""
+    jdf = _bridge(df).dsirSelectTop(df._jdf, _jcol(id), _jcol(text),
+                                    [int(w) for w in weights], int(n),
+                                    bool(bigrams))
     return DataFrame(jdf, df.sparkSession)
 
 

@@ -655,6 +655,55 @@ class GraftsparkTest(unittest.TestCase):
             self.assertEqual(got[doc_id]["logit"], local_logit(text))
             self.assertEqual(got[doc_id]["keep"], got[doc_id]["logit"] >= 0)
 
+    def test_pipeline_dsir(self):
+        import hashlib
+        import re
+        from graftspark import pipeline as P
+
+        def feats(text):
+            toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+            return toks + [" ".join(p) for p in zip(toks, toks[1:])]
+
+        def bits(x):
+            return x.bit_length() - 1
+
+        target_docs = ["alpha beta gamma", "alpha alpha beta"]
+        raw_docs = target_docs + ["zeta eta theta", "theta theta zeta"]
+        target = self.spark.createDataFrame(
+            list(enumerate(target_docs)), ["id", "text"])
+        raw = self.spark.createDataFrame(
+            list(enumerate(raw_docs)), ["id", "text"])
+
+        t_cnt, r_cnt = [0] * 256, [0] * 256
+        for d in target_docs:
+            for g in feats(d):
+                t_cnt[hashlib.md5(g.encode()).digest()[0]] += 1
+        for d in raw_docs:
+            for g in feats(d):
+                r_cnt[hashlib.md5(g.encode()).digest()[0]] += 1
+        t_tot = sum(c + 1 for c in t_cnt)
+        r_tot = sum(c + 1 for c in r_cnt)
+        expected = [bits(t_cnt[b] + 1) - bits(t_tot) - bits(r_cnt[b] + 1) + bits(r_tot)
+                    for b in range(256)]
+
+        fitted = P.dsir_fit_weights(target, raw, col("text"), col("text"))
+        self.assertEqual(fitted, expected)
+        wt = {r["bucket"]: r for r in P.dsir_weight_table(
+            target, raw, col("text"), col("text")).collect()}
+        self.assertEqual(len(wt), 256)
+        for b in range(256):
+            self.assertEqual(wt[b]["weight"], expected[b])
+            self.assertEqual(wt[b]["target_cnt"], t_cnt[b])
+
+        scored = {r["id"]: r["dsir_score"] for r in P.dsir_score(
+            raw, col("text"), fitted).collect()}
+        for i, d in enumerate(raw_docs):
+            self.assertEqual(scored[i],
+                             sum(expected[hashlib.md5(g.encode()).digest()[0]]
+                                 for g in feats(d)))
+        top = P.dsir_select_top(raw, col("id"), col("text"), fitted, 2)
+        self.assertEqual({r["id"] for r in top.collect()}, {0, 1})
+
     def test_pipeline_pq_ann(self):
         from graftspark import pipeline as P
         from pyspark.sql.types import (ArrayType, FloatType, LongType,

@@ -370,6 +370,27 @@ object PyBridge {
     graft.text.Classifier.score(df, text,
       weights.asScala.map(_.intValue()).toArray, bias, threshold, bigrams)
 
+  def dsirWeightTable(target: DataFrame, raw: DataFrame,
+                      targetText: Column, rawText: Column,
+                      bigrams: Boolean): DataFrame =
+    graft.text.Dsir.weightTable(target, raw, targetText, rawText, bigrams)
+
+  def dsirFitWeights(target: DataFrame, raw: DataFrame,
+                     targetText: Column, rawText: Column,
+                     bigrams: Boolean): JList[Integer] =
+    graft.text.Dsir.fitWeights(target, raw, targetText, rawText, bigrams)
+      .map(Integer.valueOf).toSeq.asJava
+
+  def dsirScore(df: DataFrame, text: Column, weights: JList[Integer],
+                bigrams: Boolean): DataFrame =
+    graft.text.Dsir.score(df, text,
+      weights.asScala.map(_.intValue()).toArray, bigrams)
+
+  def dsirSelectTop(df: DataFrame, id: Column, text: Column,
+                    weights: JList[Integer], n: Int, bigrams: Boolean): DataFrame =
+    graft.text.Dsir.selectTop(df, id, text,
+      weights.asScala.map(_.intValue()).toArray, n, bigrams)
+
   def repeatedSpanStats(docs: DataFrame, id: Column, text: Column,
                         k: Int, minCount: Int): DataFrame =
     graft.text.SpanDedup.repeatedSpanStats(docs, id, text, k, minCount)
