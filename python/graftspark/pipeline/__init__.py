@@ -41,6 +41,7 @@ __all__ = [
     "train_pq", "pq_encode", "pq_top_k", "bm25_top_k",
     "repeated_span_stats", "remove_repeated_spans", "classifier_score",
     "dsir_weight_table", "dsir_fit_weights", "dsir_score", "dsir_select_top",
+    "vocab_top_tokens", "vocab_coverage_report", "vocab_self_coverage_report",
     "train_ivf", "ivf_assign", "semantic_dup_pairs", "deduplicate_semantic",
     "rrf_fuse", "canonicalize_text", "corpus_drift", "contamination_report",
     "deduplicate_semantic_keep_diverse", "compact_parquet",
@@ -546,6 +547,32 @@ def dsir_select_top(df: DataFrame, id: ColumnOrName, text: ColumnOrName,
                                     [int(w) for w in weights], int(n),
                                     bool(bigrams))
     return DataFrame(jdf, df.sparkSession)
+
+
+def vocab_top_tokens(docs: DataFrame, text: ColumnOrName, n: int) -> DataFrame:
+    """Top-n corpus tokens by occurrence, deterministic (cnt desc, token
+    asc): (token, cnt) — plans TakeOrderedAndProject."""
+    jdf = _bridge(docs).vocabTopTokens(docs._jdf, _jcol(text), int(n))
+    return DataFrame(jdf, docs.sparkSession)
+
+
+def vocab_coverage_report(docs: DataFrame, id: ColumnOrName,
+                          text: ColumnOrName, vocab: List[str]) -> DataFrame:
+    """Per-doc token-occurrence coverage against a term list:
+    (id, n_tokens, n_in_vocab, oov_rate) — one fused broadcast-probe kernel
+    pass, exchange-free."""
+    jdf = _bridge(docs).vocabCoverageReport(
+        docs._jdf, _jcol(id), _jcol(text), [str(t) for t in vocab])
+    return DataFrame(jdf, docs.sparkSession)
+
+
+def vocab_self_coverage_report(docs: DataFrame, id: ColumnOrName,
+                               text: ColumnOrName, vocab_size: int) -> DataFrame:
+    """Coverage against the corpus's own top-n tokens (bounded fit collect,
+    then the same narrow probe)."""
+    jdf = _bridge(docs).vocabSelfCoverageReport(
+        docs._jdf, _jcol(id), _jcol(text), int(vocab_size))
+    return DataFrame(jdf, docs.sparkSession)
 
 
 def repeated_span_stats(docs: DataFrame, id: ColumnOrName, text: ColumnOrName,

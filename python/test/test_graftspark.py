@@ -704,6 +704,24 @@ class GraftsparkTest(unittest.TestCase):
         top = P.dsir_select_top(raw, col("id"), col("text"), fitted, 2)
         self.assertEqual({r["id"] for r in top.collect()}, {0, 1})
 
+    def test_pipeline_vocab_coverage(self):
+        from graftspark import pipeline as P
+        docs = self.spark.createDataFrame(
+            [(1, "the cat sat on the mat"), (2, "zyx wvu qrs"), (3, "")],
+            ["id", "text"])
+        top = P.vocab_top_tokens(docs, col("text"), 2).collect()
+        self.assertEqual([(r["token"], r["cnt"]) for r in top],
+                         [("the", 2), ("cat", 1)])
+        rep = {r["id"]: r for r in P.vocab_coverage_report(
+            docs, col("id"), col("text"), ["the", "cat", "dog"]).collect()}
+        self.assertEqual(rep[1]["n_tokens"], 6)
+        self.assertEqual(rep[1]["n_in_vocab"], 3)
+        self.assertEqual(rep[2]["n_in_vocab"], 0)
+        self.assertEqual(rep[3]["oov_rate"], 0.0)
+        rep2 = {r["id"]: r["n_in_vocab"] for r in P.vocab_self_coverage_report(
+            docs, col("id"), col("text"), 2).collect()}
+        self.assertEqual(rep2, {1: 3, 2: 0, 3: 0})
+
     def test_pipeline_pq_ann(self):
         from graftspark import pipeline as P
         from pyspark.sql.types import (ArrayType, FloatType, LongType,

@@ -683,6 +683,18 @@ object SparkEntry {
         .select(col("doc_id"), col("dsir_score"))
     }),
 
+    // vocabulary coverage / OOV report: corpus top-100 tokens by occurrence
+    // (deterministic tie-break), then per-doc occurrence coverage from one
+    // fused broadcast-probe kernel pass — DuckDB replays the fit and joins
+    // on the token STRINGS (hash collisions are 2^-64)
+    "vocab_top_tokens" -> ((s, dir) =>
+      graft.text.Vocab.topTokens(t(s, dir, "documents"), col("text"), n = 100)),
+
+    "vocab_coverage" -> ((s, dir) =>
+      graft.text.Vocab.selfCoverageReport(
+        t(s, dir, "documents"), col("doc_id"), col("text"), vocabSize = 100)
+        .withColumnRenamed("id", "doc_id")),
+
     // repeated-span detection/removal (substring-level dedup at token
     // granularity): duplicate decision on the md5-prefix window hash both
     // engines compute byte-identically; coverage = per-doc interval union
@@ -1723,6 +1735,28 @@ object SparkEntry {
           "SELECT t.doc_id, CAST(COALESCE(sc.s, 0) AS BIGINT) AS dsir_score " +
           "FROM tok t LEFT JOIN sc USING (doc_id) " +
           "ORDER BY dsir_score DESC, doc_id LIMIT 100"),
+
+      // vocabulary coverage: same tokenization, top-100 fit replayed with
+      // the same (cnt desc, token asc) tie-break, membership on the token
+      // strings themselves
+      "vocab_top_tokens" ->
+        (s"WITH $docTokCte, " +
+          "uni AS (SELECT u.t AS token FROM tok, unnest(toks) AS u(t)) " +
+          "SELECT token, COUNT(*) AS cnt FROM uni GROUP BY token " +
+          "ORDER BY cnt DESC, token LIMIT 100"),
+
+      "vocab_coverage" ->
+        (s"WITH $docTokCte, " +
+          "uni AS (SELECT doc_id, u.t AS token FROM tok, unnest(toks) AS u(t)), " +
+          "v AS (SELECT token FROM (SELECT token, COUNT(*) AS cnt FROM uni GROUP BY token " +
+          "ORDER BY cnt DESC, token LIMIT 100)), " +
+          "cov AS (SELECT uni.doc_id, COUNT(*) AS n_in FROM uni JOIN v USING (token) " +
+          "GROUP BY uni.doc_id) " +
+          "SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens, " +
+          "CAST(COALESCE(cov.n_in, 0) AS BIGINT) AS n_in_vocab, " +
+          "CASE WHEN len(t.toks) = 0 THEN 0.0 ELSE " +
+          "1.0 - CAST(COALESCE(cov.n_in, 0) AS DOUBLE) / CAST(len(t.toks) AS DOUBLE) END AS oov_rate " +
+          "FROM tok t LEFT JOIN cov USING (doc_id)"),
 
       // repeated spans: same window hash (md5 prefix over the space-joined
       // 3-gram), same >= 2 duplicate rule, same interval-union island SQL

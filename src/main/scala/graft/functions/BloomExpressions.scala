@@ -104,3 +104,43 @@ case class SortedSetOverlapCount(child: Expression, set: Broadcast[Array[Long]])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/**
+ * token_set_coverage(text): `[nTokens, nInVocab]` — ASCII-token occurrence
+ * count and how many occurrences hash (the `hashed_word_shingles` n=1
+ * family) into a SORTED long-array vocabulary shipped as a [[Broadcast]].
+ * One fused tokenize+hash+binary-search pass per document — no explode, no
+ * join, no shuffle — so OOV-rate reporting is a narrow scan column,
+ * streaming-legal like the other broadcast-set probes in this file.
+ */
+case class TokenSetCoverage(child: Expression, set: Broadcast[Array[Long]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"token_set_coverage expects string, got ${t.sql}")
+  }
+
+  @transient private lazy val localSet: Array[Long] = set.value
+
+  override def nullSafeEval(text: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.tokenSetCoverage(
+        text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], localSet))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("vocabBroadcast", set,
+      "org.apache.spark.broadcast.Broadcast")
+    val arr = ctx.addMutableState("long[]", "vocabSet",
+      v => s"$v = (long[]) $bcRef.value();")
+    defineCodeGen(ctx, ev,
+      c => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorKernels.tokenSetCoverage($c, $arr))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -786,6 +786,24 @@ object VectorKernels extends Serializable {
   }
 
   /**
+   * Token-occurrence coverage against a sorted 64-bit-hash vocabulary:
+   * `[nTokens, nInVocab]` — total ASCII-token occurrences and how many of
+   * them hash (via [[hash64]], the [[hashedWordShingles]] n=1 family) into
+   * the sorted set. One fused pass: tokenize, hash, binary-search — no
+   * explode, no join. `[0, 0]` for token-less documents.
+   */
+  def tokenSetCoverage(text: UTF8String, set: Array[Long]): Array[Long] = {
+    val tokens = tokenizeAscii(text)
+    var hits = 0L
+    var i = 0
+    while (i < tokens.length) {
+      if (java.util.Arrays.binarySearch(set, hash64(tokens(i))) >= 0) hits += 1
+      i += 1
+    }
+    Array(tokens.length.toLong, hits)
+  }
+
+  /**
    * Fused n-gram repetition statistics over ASCII tokens:
    * `[totalNgrams, topNgramCount]` — total n-gram occurrences (with repeats)
    * and the occurrence count of the single most frequent n-gram. One pass:

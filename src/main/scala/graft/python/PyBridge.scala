@@ -391,6 +391,17 @@ object PyBridge {
     graft.text.Dsir.selectTop(df, id, text,
       weights.asScala.map(_.intValue()).toArray, n, bigrams)
 
+  def vocabTopTokens(docs: DataFrame, text: Column, n: Int): DataFrame =
+    graft.text.Vocab.topTokens(docs, text, n)
+
+  def vocabCoverageReport(docs: DataFrame, id: Column, text: Column,
+                          vocab: JList[String]): DataFrame =
+    graft.text.Vocab.coverageReport(docs, id, text, vocab.asScala.toArray)
+
+  def vocabSelfCoverageReport(docs: DataFrame, id: Column, text: Column,
+                              vocabSize: Int): DataFrame =
+    graft.text.Vocab.selfCoverageReport(docs, id, text, vocabSize)
+
   def repeatedSpanStats(docs: DataFrame, id: Column, text: Column,
                         k: Int, minCount: Int): DataFrame =
     graft.text.SpanDedup.repeatedSpanStats(docs, id, text, k, minCount)

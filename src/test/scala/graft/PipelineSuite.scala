@@ -916,6 +916,40 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("Vocab: coverage report counts occurrences, probe plan has no exchange") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), // 6 tokens, the x2 + cat + sat in vocab
+      (2L, "Zyx Wvu qrs"),            // 3 tokens, none in vocab
+      (3L, "")).toDF("id", "text")
+    val vocab = Array("the", "cat", "sat", "dog")
+    val got = graft.text.Vocab.coverageReport(docs, col("id"), col("text"), vocab)
+      .select("id", "n_tokens", "n_in_vocab", "oov_rate")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 6L, 4L, 1.0 - 4.0 / 6.0)))
+    assert(got(2L) == ((2L, 3L, 0L, 1.0)))
+    assert(got(3L) == ((3L, 0L, 0L, 0.0)))
+    // the probe is a narrow kernel pass: no Exchange in the scoring plan
+    val plan = graft.text.Vocab.coverageReport(docs, col("id"), col("text"), vocab)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("Vocab: self-fit top tokens are deterministic and case-insensitive") {
+    val docs = Seq(
+      (1L, "Apple apple BANANA"), (2L, "apple cherry banana"), (3L, "date")
+    ).toDF("id", "text")
+    val top = graft.text.Vocab.topTokens(docs, col("text"), n = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("apple", 3L), ("banana", 2L)))
+    val rep = graft.text.Vocab.selfCoverageReport(docs, col("id"), col("text"), 2)
+      .select("id", "n_in_vocab").as[(Long, Long)].collect().toMap
+    assert(rep == Map(1L -> 3L, 2L -> 2L, 3L -> 0L))
+    // fit plans a bounded top-n, not a global sort
+    val fitPlan = graft.text.Vocab.topTokens(docs, col("text"), n = 2)
+      .queryExecution.executedPlan.toString
+    assert(fitPlan.contains("TakeOrderedAndProject"), fitPlan)
+  }
+
   test("BM25: hand-computed scores, bit-length idf zeroes common terms") {
     val docs = Seq(
       (1L, "cat dog cat"),
