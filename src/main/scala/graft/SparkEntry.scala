@@ -403,6 +403,19 @@ object SparkEntry {
           col("o_totalprice").cast(DecimalType(18, 2)).cast("double").as("o_totalprice"))
     }),
 
+    // JSONL sink/source round-trip: the dominant web-corpus interchange
+    // format. Write documents as line-delimited JSON, read back with an
+    // EXPLICIT schema (inference would re-scan the data — never at 100 TB),
+    // compare against the source table — pins JSON string escaping and
+    // unicode fidelity through the whole sink+source path.
+    "jsonl_readback" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jl").toString + "/out"
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      docs.write.mode("overwrite").json(tmp)
+      s.read.schema(docs.schema).json(tmp)
+    }),
+
     // z-order layout round-trip: re-layout lineitem along the Morton curve
     // of (l_partkey, l_suppkey) — per-file min/max narrowing asserted in
     // sbt; the gate checks the data survives the re-layout exactly
@@ -1936,6 +1949,10 @@ object SparkEntry {
         ("SELECT o_orderkey, o_custkey, " +
           "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice " +
           "FROM orders"),
+
+      // jsonl round-trip: the data must survive the sink+source byte-exactly
+      "jsonl_readback" ->
+        "SELECT doc_id, text, lang, source FROM documents",
 
       // both snapshots tokenized and aggregated independently, full-outer
       // joined with zero-coalesce — the same ratio-of-sums arithmetic as
