@@ -64,7 +64,8 @@ object ScaleProbe {
     // comparison needs both sides), but only requested lines are printed.
     val allProbes = Set("minhash_pairs", "assign_clusters", "fuzzy_pairs",
       "asof_hotkey_plain", "asof_hotkey_bucketed", "cluster_chain",
-      "span_stats", "bm25_topk", "pq_topk", "classifier", "semantic_dedup")
+      "span_stats", "bm25_topk", "pq_topk", "classifier", "semantic_dedup",
+      "dsir", "vocab")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -73,12 +74,16 @@ object ScaleProbe {
     def enabled(probe: String): Boolean =
       onlyProbes.isEmpty || onlyProbes.contains(probe)
 
-    // Locale.ROOT: a comma-decimal default locale would render invalid JSON
+    // Locale.ROOT: a comma-decimal default locale would render invalid JSON.
+    // reportAlways skips the name re-check — for probes whose PRINTED name
+    // differs from their filter name (classifier_xx, dsir_fit/score,
+    // vocab_fit/coverage); callers guard with enabled(<filter name>).
+    def reportAlways(probe: String, rows: Long, sec: Double): Unit =
+      println(String.format(java.util.Locale.ROOT,
+        """{"probe":"%s","n":%d,"rows":%d,"sec":%.2f}""",
+        probe, Int.box(n), Long.box(rows), Double.box(sec)))
     def report(probe: String, rows: Long, sec: Double): Unit =
-      if (enabled(probe))
-        println(String.format(java.util.Locale.ROOT,
-          """{"probe":"%s","n":%d,"rows":%d,"sec":%.2f}""",
-          probe, Int.box(n), Long.box(rows), Double.box(sec)))
+      if (enabled(probe)) reportAlways(probe, rows, sec)
 
     // --- documents: minhash pair-gen + verify, then components ------------
     if (enabled("minhash_pairs") || enabled("assign_clusters")) {
@@ -167,7 +172,8 @@ object ScaleProbe {
     // duplicate structure (and the dup-window semi-join) scales linearly in
     // N; BM25's query set stays fixed while postings grow N-fold — the
     // broadcast-semi-join-before-tf-shuffle shape is what keeps it linear
-    if (enabled("span_stats") || enabled("bm25_topk") || enabled("classifier")) {
+    if (enabled("span_stats") || enabled("bm25_topk") || enabled("classifier") ||
+        enabled("dsir") || enabled("vocab")) {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val bigDocs = amplify(docs, n)
       .select((col("doc_id") + col("__rep") * 1000000L).as("doc_id"),
@@ -199,6 +205,35 @@ object ScaleProbe {
         println(String.format(java.util.Locale.ROOT,
           """{"probe":"classifier_xx","n":%d,"rows":%d,"sec":%.2f}""",
           Int.box(n), Long.box(nClsXx), Double.box(tClsXx)))
+    }
+    if (enabled("dsir")) {
+      // fit aggregates the N-fold feature stream to <= 256 shuffled rows
+      // per task, then scoring is the same narrow kernel scan as the
+      // classifier probe — both halves should grow ~linearly in N
+      val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      val (w, tFit) = time {
+        graft.text.Dsir.fitWeights(
+          docs0.filter(col("lang") === "en"), bigDocs, col("text"), col("text"))
+      }
+      reportAlways("dsir_fit", w.count(_ != 0).toLong, tFit)
+      val (nScore, tScore) = time {
+        graft.text.Dsir.score(bigDocs, col("text"), w)
+          .queryExecution.toRdd.count()
+      }
+      reportAlways("dsir_score", nScore, tScore)
+    }
+    if (enabled("vocab")) {
+      // fit = one map-side-combined token count + bounded top-n; probe = a
+      // narrow broadcast binary-search pass (no explode, no join)
+      val (vocab, tVFit) = time {
+        graft.text.Vocab.fitTopTokenVocab(bigDocs, col("text"), n = 1000)
+      }
+      reportAlways("vocab_fit", vocab.length.toLong, tVFit)
+      val (nCov, tCov) = time {
+        graft.text.Vocab.coverageReport(bigDocs, col("doc_id"), col("text"), vocab)
+          .queryExecution.toRdd.count()
+      }
+      reportAlways("vocab_coverage", nCov, tCov)
     }
     if (enabled("bm25_topk")) {
       import spark.implicits._
