@@ -154,6 +154,48 @@ class StreamingDedupSuite extends AnyFunSuite with SparkTest {
     } finally query.stop()
   }
 
+  test("DSIR scoring and vocab coverage run unchanged in streaming pipelines") {
+    // both are stateless narrow kernel passes (weights / vocab are broadcast
+    // at plan build), so the batch operators apply verbatim to a stream and
+    // every per-doc number matches the batch computation exactly
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "zeta eta theta"),
+      (3L, "alpha alpha"), (4L, ""))
+    val batchDf = docs.toDF("id", "text")
+    val target = Seq((0L, "alpha beta gamma alpha")).toDF("id", "text")
+    val w = graft.text.Dsir.fitWeights(target, batchDf, col("text"), col("text"))
+    val vocab = Array("alpha", "beta")
+
+    val input = MemoryStream[(Long, String)]
+    val streamDf = input.toDF().toDF("id", "text")
+    val qScore = graft.text.Dsir.score(streamDf, col("text"), w)
+      .select(col("id"), col("dsir_score"))
+      .writeStream.format("memory").queryName("dsv_score")
+      .outputMode("append").start()
+    val qCov = graft.text.Vocab.coverageReport(streamDf, col("id"), col("text"), vocab)
+      .writeStream.format("memory").queryName("dsv_cov")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(2): _*)
+      qScore.processAllAvailable(); qCov.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      qScore.processAllAvailable(); qCov.processAllAvailable()
+      val gotScore = spark.table("dsv_score")
+        .as[(Long, Long)].collect().toMap
+      val expectScore = graft.text.Dsir.score(batchDf, col("text"), w)
+        .select(col("id"), col("dsir_score")).as[(Long, Long)].collect().toMap
+      assert(gotScore == expectScore && gotScore.size == 4)
+      val gotCov = spark.table("dsv_cov")
+        .select("id", "n_tokens", "n_in_vocab")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+      val expectCov = graft.text.Vocab.coverageReport(
+        batchDf, col("id"), col("text"), vocab)
+        .select("id", "n_tokens", "n_in_vocab")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+      assert(gotCov == expectCov && gotCov.size == 4)
+    } finally { qScore.stop(); qCov.stop() }
+  }
+
   test("streaming dedup within watermark drops near-time duplicates and emits rows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
