@@ -38,6 +38,7 @@ __all__ = [
     "with_running_total", "pack_sequences", "zorder_by",
     "edit_distance1_pairs", "weighted_hash_sample",
     "extract_media_features", "extract_audio_features", "sample_frames",
+    "drop_exact_payload_duplicates",
     "train_pq", "pq_encode", "pq_top_k", "bm25_top_k",
     "repeated_span_stats", "remove_repeated_spans", "classifier_score",
     "dsir_weight_table", "dsir_fit_weights", "dsir_score", "dsir_select_top",
@@ -748,6 +749,15 @@ def zorder_by(df: DataFrame, columns: List[str], partitions: int = 0,
     an explicit width must satisfy bits_per_column * n_columns <= 63."""
     jdf = _bridge(df).zorderBy(df._jdf, list(columns), int(partitions),
                                int(bits_per_column))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def drop_exact_payload_duplicates(df: DataFrame, id: ColumnOrName,
+                                  payload: ColumnOrName) -> DataFrame:
+    """Exact media-payload dedup: keep the smallest id per byte-identical
+    payload. The decision shuffle carries (md5, id) rows only — payload
+    bytes never enter an exchange."""
+    jdf = _bridge(df).dropExactPayloadDuplicates(df._jdf, _jcol(id), _jcol(payload))
     return DataFrame(jdf, df.sparkSession)
 
 

@@ -1287,6 +1287,20 @@ object SparkEntry {
         s.read.parquet(s"$goldenDir/videos.parquet"), col("video_id"), col("payload"), k = 4)
         .select(col("id").as("video_id"), col("frame_idx"), col("ts_ms"))),
 
+    // exact media-payload dedup: the image fixtures unioned with
+    // shifted-id byte-identical copies; keep-smallest-id per payload. The
+    // decision shuffle carries (md5, id) rows only — never payload bytes;
+    // the oracle groups on the blob itself (same keep set, no hash needed)
+    "multimodal_dedup" -> ((s, dir) => {
+      val imgs = s.read.parquet(s"$goldenDir/images.parquet")
+        .select(col("img_id"), col("payload"), col("format"), col("n_bytes"))
+      val dupes = imgs.select((col("img_id") + 100L).as("img_id"),
+        col("payload"), col("format"), col("n_bytes"))
+      graft.multimodal.Multimodal.dropExactPayloadDuplicates(
+        imgs.unionByName(dupes), col("img_id"), col("payload"))
+        .select(col("img_id"), col("format"), col("n_bytes"))
+    }),
+
     // O25 parquet footer facts (oracle: DuckDB parquet_file_metadata())
     "parquet_metadata_scan" -> ((s, dir) =>
       graft.parquet.ParquetMeta.parquetMetadata(s, None, Seq(s"$dir/lineitem.parquet"))
@@ -2355,6 +2369,14 @@ object SparkEntry {
           "FROM v, (SELECT unnest(range(4)) AS i) i) " +
           "SELECT video_id, frame_idx, " +
           "CAST(frame_idx * duration_ms // n_frames AS BIGINT) AS ts_ms FROM f"),
+
+      "multimodal_dedup" ->
+        ("WITH u AS (SELECT img_id, payload, format, n_bytes " +
+          s"FROM read_parquet('$goldenDir/images.parquet') " +
+          "UNION ALL SELECT img_id + 100, payload, format, n_bytes " +
+          s"FROM read_parquet('$goldenDir/images.parquet')), " +
+          "w AS (SELECT MIN(img_id) AS keep_id FROM u GROUP BY payload) " +
+          "SELECT u.img_id, u.format, u.n_bytes FROM u JOIN w ON u.img_id = w.keep_id"),
 
       // t2 correctness runs at sf0.01 (TESTDATA.md), so the oracle reads the
       // sf0.01 file directly — DuckDB has no table-level footer introspection.

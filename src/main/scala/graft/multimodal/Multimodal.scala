@@ -247,6 +247,29 @@ object Multimodal {
   def video_info(c: Column): Column = VideoInfoExpr(c.asExpression).asColumn
 
   /**
+   * Keep-ids of an exact media-payload dedup: the smallest id per
+   * byte-identical payload. The DECISION sub-plan is what must scale — it
+   * shuffles only `(md5, id)` rows (~24 B each, map-side-combined `min`),
+   * never the payloads themselves; a degenerate hot payload (the blank
+   * thumbnail repeated a billion times) costs one row per map task in the
+   * exchange. The returned frame is the keep manifest — downstream can
+   * anti-join a delete list, or semi-join the media table (exchange-free
+   * when that table is bucketed by id, `writeBucketedBy`).
+   */
+  def payloadDuplicateKeepIds(df: DataFrame, id: Column, payload: Column): DataFrame =
+    df.select(md5(payload).as("__mm_h"), id.as("__mm_id"))
+      .groupBy(col("__mm_h"))
+      .agg(min(col("__mm_id")).as("keep_id"))
+      .select(col("keep_id"))
+
+  /** Exact payload dedup applied: rows whose id wins [[payloadDuplicateKeepIds]].
+    * The semi-join is the one place payload rows move — co-locate by
+    * bucketing the media table on the id to make it exchange-free. */
+  def dropExactPayloadDuplicates(df: DataFrame, id: Column, payload: Column): DataFrame =
+    df.join(payloadDuplicateKeepIds(df, id, payload),
+      id === col("keep_id"), "left_semi")
+
+  /**
    * Uniform frame-sampling plan per video: `k` frame indices spaced evenly
    * across the container-declared frame count — `idx_i = (i * n_frames) div
    * k` for i in 0..k-1, deduplicated when a clip has fewer than `k` frames —

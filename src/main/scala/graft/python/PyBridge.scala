@@ -391,6 +391,9 @@ object PyBridge {
     graft.text.Dsir.selectTop(df, id, text,
       weights.asScala.map(_.intValue()).toArray, n, bigrams)
 
+  def dropExactPayloadDuplicates(df: DataFrame, id: Column, payload: Column): DataFrame =
+    graft.multimodal.Multimodal.dropExactPayloadDuplicates(df, id, payload)
+
   def vocabTopTokens(docs: DataFrame, text: Column, n: Int): DataFrame =
     graft.text.Vocab.topTokens(docs, text, n)
 

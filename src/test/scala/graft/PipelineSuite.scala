@@ -862,6 +862,27 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(keptIds == got.filter(_._2._2).keySet)
   }
 
+  test("multimodal payload dedup keeps smallest id; decision shuffle carries hashes, not payloads") {
+    val rows = Seq(
+      (1L, Array[Byte](1, 2, 3)), (2L, Array[Byte](9, 9)),
+      (3L, Array[Byte](1, 2, 3)), (4L, Array[Byte](1, 2, 3)),
+      (5L, Array[Byte](7))).toDF("id", "payload")
+    val kept = Multimodal.dropExactPayloadDuplicates(rows, col("id"), col("payload"))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 5L))
+    // the keep-id decision aggregates (md5, id) pairs — the payload column
+    // must be pruned before the aggregate's exchange
+    val decision = Multimodal.payloadDuplicateKeepIds(rows, col("id"), col("payload"))
+    val formatted = decision.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("partial_min"), formatted) // map-side combine
+    val exchangeSections = formatted.split("\n\n").filter(s =>
+      s.contains(") Exchange") && s.contains("hashpartitioning"))
+    assert(exchangeSections.nonEmpty, formatted)
+    exchangeSections.foreach(s =>
+      assert(!s.contains("payload"), s"payload bytes in the decision exchange:\n$s"))
+  }
+
   test("DSIR: weight table matches a local reimplementation") {
     def localBucket(s: String): Int = {
       val d = java.security.MessageDigest.getInstance("MD5")
