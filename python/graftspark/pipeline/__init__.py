@@ -44,6 +44,7 @@ __all__ = [
     "dsir_weight_table", "dsir_fit_weights", "dsir_score", "dsir_select_top",
     "vocab_top_tokens", "vocab_coverage_report", "vocab_self_coverage_report",
     "train_ivf", "ivf_assign", "semantic_dup_pairs", "deduplicate_semantic",
+    "save_ivf", "load_ivf", "save_pq", "load_pq",
     "rrf_fuse", "canonicalize_text", "corpus_drift", "contamination_report",
     "deduplicate_semantic_keep_diverse", "compact_parquet",
 ]
@@ -810,6 +811,28 @@ def train_ivf(corpus: DataFrame, id: ColumnOrName, vec: ColumnOrName,
     opaque index handle for ivf_assign / semantic_dup_pairs."""
     return _bridge(corpus).trainIvf(corpus._jdf, _jcol(id), _jcol(vec),
                                     int(k), int(iterations))
+
+
+def save_ivf(spark, index, path: str) -> None:
+    """Persist a trained IVF quantizer as a (cid, centroid) parquet table —
+    train once on a sample, reuse across runs and streaming restarts."""
+    _bridge(spark.range(1)).saveIvf(spark._jsparkSession, index, str(path))
+
+
+def load_ivf(spark, path: str):
+    """Load a quantizer persisted by save_ivf (opaque index handle)."""
+    return _bridge(spark.range(1)).loadIvf(spark._jsparkSession, str(path))
+
+
+def save_pq(spark, index, path: str) -> None:
+    """Persist trained PQ codebooks as a (subspace, code, centroid) parquet
+    table so later ingests encode against the same codes."""
+    _bridge(spark.range(1)).savePq(spark._jsparkSession, index, str(path))
+
+
+def load_pq(spark, path: str):
+    """Load codebooks persisted by save_pq (opaque index handle)."""
+    return _bridge(spark.range(1)).loadPq(spark._jsparkSession, str(path))
 
 
 def ivf_assign(corpus: DataFrame, id: ColumnOrName, vec: ColumnOrName,

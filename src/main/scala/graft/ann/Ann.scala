@@ -159,6 +159,27 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /**
+   * Persist a trained quantizer as a tiny parquet table `(cid, centroid)` —
+   * train ONCE on a representative sample, reuse across every batch run and
+   * streaming restart (retraining per run would silently re-bucket the
+   * corpus and invalidate any persisted cluster-local layout). k rows,
+   * float32-exact round-trip.
+   */
+  def saveIvf(spark: org.apache.spark.sql.SparkSession, index: IvfIndex,
+              path: String): Unit = {
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a quantizer persisted by [[saveIvf]] (bounded k-row collect). */
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+    IvfIndex(spark.read.parquet(path).select("cid", "centroid").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray))
+
   /** Candidate-pair count for an LSH configuration (diagnostics: candidates
     * should be orders of magnitude below |queries| * |corpus|). */
   def lshCandidateCount(

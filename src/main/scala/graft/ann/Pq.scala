@@ -141,4 +141,31 @@ object Pq {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
+
+  /**
+   * Persist trained codebooks as a tiny parquet table
+   * `(subspace, code, centroid)` — the corpus is encoded ONCE against a
+   * fixed quantizer; persisting it is what lets tomorrow's ingest encode
+   * against the same codes instead of silently re-quantizing. m×ksub rows,
+   * float32-exact round-trip.
+   */
+  def savePq(spark: org.apache.spark.sql.SparkSession, index: PqIndex,
+             path: String): Unit = {
+    import spark.implicits._
+    (for {
+      (cb, sub) <- index.codebooks.zipWithIndex
+      (cen, code) <- cb.zipWithIndex
+    } yield (sub, code, cen.toSeq)).toSeq
+      .toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load codebooks persisted by [[savePq]] (bounded m×ksub-row collect). */
+  def loadPq(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex = {
+    val rows = spark.read.parquet(path).select("subspace", "code", "centroid")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    PqIndex(rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, g) => g.sortBy(_._2).map(_._3) }.map(_.toArray).toArray)
+  }
 }

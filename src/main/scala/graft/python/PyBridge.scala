@@ -325,6 +325,18 @@ object PyBridge {
                k: Int, iterations: Int): graft.ann.Ann.IvfIndex =
     graft.ann.Ann.trainIvf(corpus, id, vec, k, iterations)
 
+  def saveIvf(spark: SparkSession, index: graft.ann.Ann.IvfIndex, path: String): Unit =
+    graft.ann.Ann.saveIvf(spark, index, path)
+
+  def loadIvf(spark: SparkSession, path: String): graft.ann.Ann.IvfIndex =
+    graft.ann.Ann.loadIvf(spark, path)
+
+  def savePq(spark: SparkSession, index: graft.ann.Pq.PqIndex, path: String): Unit =
+    graft.ann.Pq.savePq(spark, index, path)
+
+  def loadPq(spark: SparkSession, path: String): graft.ann.Pq.PqIndex =
+    graft.ann.Pq.loadPq(spark, path)
+
   def ivfAssign(corpus: DataFrame, id: Column, vec: Column,
                 index: graft.ann.Ann.IvfIndex): DataFrame =
     graft.ann.Ann.ivfAssign(corpus, id, vec, index)

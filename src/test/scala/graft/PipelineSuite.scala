@@ -862,6 +862,41 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(keptIds == got.filter(_._2._2).keySet)
   }
 
+  test("IVF and PQ indexes persist to parquet and round-trip exactly") {
+    val data = clusteredVectors(4, 10, 16, 0.05f)
+    val df = data.toDF("id", "vec")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idx").toString
+
+    val ivf = Ann.trainIvf(df, col("id"), col("vec"), k = 4, iterations = 2)
+    Ann.saveIvf(spark, ivf, s"$tmp/ivf")
+    val ivf2 = Ann.loadIvf(spark, s"$tmp/ivf")
+    assert(ivf2.centroids.length == ivf.centroids.length)
+    ivf.centroids.zip(ivf2.centroids).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b))
+    }
+    // assignments under the loaded index are identical
+    val a1 = Ann.ivfAssign(df, col("id"), col("vec"), ivf)
+      .as[(Long, Int)].collect().sorted.toSeq
+    val a2 = Ann.ivfAssign(df, col("id"), col("vec"), ivf2)
+      .as[(Long, Int)].collect().sorted.toSeq
+    assert(a1 == a2)
+
+    val pq = Pq.trainPq(df, col("id"), col("vec"), dim = 16, m = 4, ksub = 4,
+      iterations = 2)
+    Pq.savePq(spark, pq, s"$tmp/pq")
+    val pq2 = Pq.loadPq(spark, s"$tmp/pq")
+    assert(pq2.m == pq.m && pq2.ksub == pq.ksub && pq2.subdim == pq.subdim)
+    for (s <- 0 until pq.m; c <- 0 until pq.ksub)
+      assert(java.util.Arrays.equals(pq.codebooks(s)(c), pq2.codebooks(s)(c)))
+    // search under the loaded codebooks is identical
+    val q = df.filter(col("id") < 3)
+    def topk(ix: Pq.PqIndex) = Pq.pqTopK(q, df, col("id"), col("vec"),
+        col("id"), col("vec"), ix, k = 3, refine = 6)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(topk(pq) == topk(pq2))
+  }
+
   test("multimodal payload dedup keeps smallest id; decision shuffle carries hashes, not payloads") {
     val rows = Seq(
       (1L, Array[Byte](1, 2, 3)), (2L, Array[Byte](9, 9)),
