@@ -146,6 +146,19 @@ class PropertySuite extends AnyFunSuite {
     })
   }
 
+  test("tokenSetCoverage equals the naive occurrence count on random docs and vocabs") {
+    val genVocab: Gen[Seq[String]] =
+      Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n, genWord)).map(_.distinct)
+    check("tokenSetCoverage", Prop.forAll(genDoc, genVocab) { (doc, vocab) =>
+      val set = vocab.map(t => VectorKernels.hash64(UTF8String.fromString(t))).toArray
+      java.util.Arrays.sort(set)
+      val got = VectorKernels.tokenSetCoverage(UTF8String.fromString(doc), set).toSeq
+      val toks = doc.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      val vs = vocab.toSet
+      got == Seq(toks.size.toLong, toks.count(vs.contains).toLong)
+    })
+  }
+
   test("chunkTokens partitions the token stream (no overlap) and respects window size") {
     check("chunkTokens", Prop.forAll(genDoc, Gen.chooseNum(1, 8), Gen.chooseNum(0, 7)) {
       (doc, chunkSize, rawOverlap) =>
