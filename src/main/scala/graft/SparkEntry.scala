@@ -1167,6 +1167,20 @@ object SparkEntry {
     // trained quantizer as kmeans_assign, so the DuckDB oracle replays the
     // pairing from the golden assignment fixture + exact cosine. The 0.35
     // float boundary is the one dedup_embedding_pairs already pins.
+    // diversity-preserving subsampling: exactly k vectors per embedding
+    // cluster (P12d corpus map × P44 exact-k sampling) — the
+    // cluster-balanced draw that keeps tail topics represented when
+    // downsampling. Oracle: golden assignment fixture + the same md5 rank
+    "cluster_sample" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val index = graft.ann.Ann.trainIvf(emb, col("vec_id"), col("embedding"),
+        k = 16, iterations = 3)
+      val assigned = graft.ann.Ann.ivfAssign(emb, col("vec_id"), col("embedding"), index)
+        .select(col("id").as("vec_id"), col("cid"))
+      graft.sample.Sampling.sampleKPerGroup(
+        assigned, Seq(col("cid")), col("vec_id"), k = 3)
+    }),
+
     "semantic_dedup_pairs" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val index = graft.ann.Ann.trainIvf(emb, col("vec_id"), col("embedding"),
@@ -2306,6 +2320,13 @@ object SparkEntry {
       "kmeans_assign" ->
         ("SELECT vec_id, cid " +
           s"FROM read_parquet('$goldenDir/kmeans_assign_sf001.parquet')"),
+
+      "cluster_sample" ->
+        ("SELECT cid, vec_id, CAST(rk AS INT) AS sample_rank FROM " +
+          "(SELECT cid, vec_id, row_number() OVER (PARTITION BY cid " +
+          "ORDER BY md5('graft' || CAST(vec_id AS VARCHAR)), vec_id) AS rk " +
+          s"FROM read_parquet('$goldenDir/kmeans_assign_sf001.parquet')) " +
+          "WHERE rk <= 3"),
 
       // semantic dedup replayed from the golden cluster assignment (the same
       // independently-replicated quantizer the kmeans_assign gate pins) +
