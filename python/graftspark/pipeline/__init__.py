@@ -33,7 +33,7 @@ __all__ = [
     "redact_pii", "redact_emails", "redact_ipv4", "redact_long_digits",
     "asof_join", "range_join", "with_session_index", "session_bounds",
     "split_by_hash", "gopher_filter",
-    "top_k_per_group", "frequent_items", "profile_columns",
+    "top_k_per_group", "frequent_items", "profile_columns", "key_skew_report",
     "distinct_count_gate", "deflate_length", "lm_score_bits",
     "with_running_total", "pack_sequences", "zorder_by",
     "edit_distance1_pairs", "weighted_hash_sample",
@@ -603,6 +603,13 @@ def top_k_per_group(df: DataFrame, group_cols: List[ColumnOrName],
     jdf = _bridge(df).topKPerGroup(
         df._jdf, [_jcol(c) for c in group_cols],
         [_to_java_column(c) for c in order_cols], int(k), rank_column)
+    return DataFrame(jdf, df.sparkSession)
+
+
+def key_skew_report(df: DataFrame, key: ColumnOrName, k: int = 10) -> DataFrame:
+    """Top-k heaviest keys with exact counts and table share — the skew
+    pre-flight before committing a join/agg key: (key, cnt, share, rank)."""
+    jdf = _bridge(df).keySkewReport(df._jdf, _jcol(key), int(k))
     return DataFrame(jdf, df.sparkSession)
 
 

@@ -759,6 +759,12 @@ object SparkEntry {
 
     // one-pass column profile (rows/nulls/distinct/min/max per column);
     // value columns pre-cast so the text rendering is engine-portable
+    // key-skew pre-flight: the heaviest join/agg keys with their share of
+    // the table — the report you run before committing a 100 TB shuffle key
+    "skew_report" -> ((s, dir) =>
+      graft.agg.Skew.keySkewReport(
+        t(s, dir, "events"), col("user_id"), k = 10)),
+
     "profile_orders" -> ((s, dir) =>
       graft.agg.Profile.profileColumns(
         t(s, dir, "orders").select(
@@ -1908,6 +1914,13 @@ object SparkEntry {
           "SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf_scaled FROM " +
           "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_scaled DESC, doc_id) AS rank FROM fused) " +
           "WHERE rank <= 10"),
+
+      "skew_report" ->
+        ("SELECT user_id AS key, cnt, CAST(cnt AS DOUBLE) / total AS share, " +
+          "CAST(rk AS INT) AS rank FROM " +
+          "(SELECT user_id, COUNT(*) AS cnt, SUM(COUNT(*)) OVER () AS total, " +
+          "row_number() OVER (ORDER BY COUNT(*) DESC, user_id) AS rk " +
+          "FROM events GROUP BY user_id) WHERE rk <= 10"),
 
       "profile_orders" -> Seq(
         ("o_orderkey", "o_orderkey"),

@@ -406,6 +406,9 @@ object PyBridge {
   def dropExactPayloadDuplicates(df: DataFrame, id: Column, payload: Column): DataFrame =
     graft.multimodal.Multimodal.dropExactPayloadDuplicates(df, id, payload)
 
+  def keySkewReport(df: DataFrame, key: Column, k: Int): DataFrame =
+    graft.agg.Skew.keySkewReport(df, key, k)
+
   def vocabTopTokens(docs: DataFrame, text: Column, n: Int): DataFrame =
     graft.text.Vocab.topTokens(docs, text, n)
 

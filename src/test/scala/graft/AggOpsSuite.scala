@@ -55,6 +55,20 @@ class AggOpsSuite extends AnyFunSuite with SparkTest {
 
   // --- frequentItems --------------------------------------------------------
 
+  test("keySkewReport ranks heavy keys with exact shares, top-k is bounded") {
+    // 6x "a", 3x "b", 1x "c": shares 0.6 / 0.3 / 0.1
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val got = graft.agg.Skew.keySkewReport(df, col("k"), k = 2)
+      .select("key", "cnt", "share", "rank")
+      .as[(String, Long, Double, Int)].collect().toSeq
+    assert(got == Seq(("a", 6L, 0.6, 1), ("b", 3L, 0.3, 2)))
+    // bounded top-k: the count aggregate feeds a TakeOrderedAndProject, and
+    // the only window runs over the k surviving rows
+    val plan = graft.agg.Skew.keySkewReport(df, col("k"), k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("MisraGries summary never loses an above-threshold item") {
     val mg = new FrequentItems.MisraGriesAgg(3)
     // stream of 100 values: "hot" 40x, "warm" 25x, 35 singletons
