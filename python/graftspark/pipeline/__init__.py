@@ -34,6 +34,7 @@ __all__ = [
     "asof_join", "range_join", "with_session_index", "session_bounds",
     "split_by_hash", "gopher_filter",
     "top_k_per_group", "frequent_items", "profile_columns", "key_skew_report",
+    "hll_sketches", "merge_hll_sketches",
     "distinct_count_gate", "deflate_length", "lm_score_bits",
     "with_running_total", "pack_sequences", "zorder_by",
     "edit_distance1_pairs", "weighted_hash_sample",
@@ -604,6 +605,24 @@ def top_k_per_group(df: DataFrame, group_cols: List[ColumnOrName],
         df._jdf, [_jcol(c) for c in group_cols],
         [_to_java_column(c) for c in order_cols], int(k), rank_column)
     return DataFrame(jdf, df.sparkSession)
+
+
+def hll_sketches(df: DataFrame, group: ColumnOrName, item: ColumnOrName,
+                 lg_config_k: int = 12) -> DataFrame:
+    """Per-group mergeable HLL sketches as binary (group, sketch) — persist
+    per day/source, union any subset later with merge_hll_sketches."""
+    jdf = _bridge(df).hllSketches(df._jdf, _jcol(group), _jcol(item),
+                                  int(lg_config_k))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def merge_hll_sketches(sketches: DataFrame, group: ColumnOrName,
+                       sketch: ColumnOrName = "sketch") -> DataFrame:
+    """Union persisted sketches per group and read the distinct estimate:
+    (group, distinct_estimate) — incremental distinct counting, no rescan."""
+    jdf = _bridge(sketches).mergeHllSketches(sketches._jdf, _jcol(group),
+                                             _jcol(sketch))
+    return DataFrame(jdf, sketches.sparkSession)
 
 
 def key_skew_report(df: DataFrame, key: ColumnOrName, k: int = 10) -> DataFrame:

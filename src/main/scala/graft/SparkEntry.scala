@@ -648,6 +648,27 @@ object SparkEntry {
       graft.agg.Profile.distinctCountGate(
         t(s, dir, "lineitem"), col("l_returnflag"), col("l_partkey"), tolerance = 0.05)),
 
+    // incremental distinct counting: sketch two disjoint snapshot halves
+    // INDEPENDENTLY (the per-day persist), merge the sketch tables, and
+    // gate the merged estimate against the exact whole-corpus distinct —
+    // proving merge(sketch(A), sketch(B)) answers for A ∪ B with no rescan
+    "hll_merge_gate" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = graft.agg.Profile.hllSketches(
+        li.filter(col("l_orderkey") % 2 === 0), col("l_returnflag"), col("l_partkey"))
+      val b = graft.agg.Profile.hllSketches(
+        li.filter(col("l_orderkey") % 2 === 1), col("l_returnflag"), col("l_partkey"))
+      val merged = graft.agg.Profile.mergeHllSketches(
+        a.unionByName(b), col("l_returnflag"), col("sketch"))
+      val exact = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+        .groupBy(col("l_returnflag"))
+        .agg(count(col("l_partkey")).as("exact_distinct"))
+      exact.join(merged, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_distinct"),
+          (abs(col("distinct_estimate") - col("exact_distinct")).cast("double") /
+            col("exact_distinct").cast("double") <= 0.05).as("merge_ok"))
+    }),
+
     // mergeable rank-sketch quantiles kept honest: approx_percentile vs the
     // exact discrete quantile (value at floor(q*(n-1))+1 in sort order —
     // explicit definition, bit-identical in both engines). The value stays
@@ -1688,6 +1709,10 @@ object SparkEntry {
       "hll_distinct" ->
         ("SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_distinct, " +
           "TRUE AS hll_ok FROM lineitem GROUP BY l_returnflag"),
+
+      "hll_merge_gate" ->
+        ("SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_distinct, " +
+          "TRUE AS merge_ok FROM lineitem GROUP BY l_returnflag"),
 
       // exact discrete quantile by explicit definition: the value at
       // ascending index floor(q*(n-1))+1 — no quantile_disc/percentile

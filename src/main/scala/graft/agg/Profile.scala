@@ -117,6 +117,36 @@ object Profile {
   }
 
   /**
+   * Per-group HLL sketches as BINARY — the persistable half of distinct
+   * counting at 100 TB: sketch each day/source/shard independently (one
+   * small parquet table per run), then [[mergeHllSketches]] unions any
+   * subset later without touching the raw data again. Output:
+   * `(group, sketch)`.
+   */
+  def hllSketches(df: DataFrame, groupCol: Column, itemCol: Column,
+                  lgConfigK: Int = 12): DataFrame = {
+    val grpName = "__graft_hs_group"
+    df.select(groupCol.as(grpName), itemCol.as("__graft_hs_item"))
+      .groupBy(col(grpName))
+      .agg(hll_sketch_agg(col("__graft_hs_item"), lit(lgConfigK)).as("sketch"))
+      .select(col(grpName).as(groupCol.toString), col("sketch"))
+  }
+
+  /** Union previously persisted sketches per group and read the estimate:
+    * `(group, distinct_estimate)`. Merging is exact over the sketch lattice
+    * — merge(sketch(A), sketch(B)) == sketch(A ∪ B) — so incremental daily
+    * sketches answer the cross-run question with no rescan. */
+  def mergeHllSketches(sketches: DataFrame, groupCol: Column,
+                       sketchCol: Column): DataFrame = {
+    val grpName = "__graft_hm_group"
+    sketches.select(groupCol.as(grpName), sketchCol.as("__graft_hm_sketch"))
+      .groupBy(col(grpName))
+      .agg(hll_sketch_estimate(hll_union_agg(col("__graft_hm_sketch")))
+        .as("distinct_estimate"))
+      .select(col(grpName).as(groupCol.toString), col("distinct_estimate"))
+  }
+
+  /**
    * Per-group quantile with a sketch-honesty verdict — the distribution
    * analogue of [[distinctCountGate]]. At 100 TB the usable quantile is
    * `approx_percentile` (a mergeable rank sketch: map-side partials, one

@@ -409,6 +409,12 @@ object PyBridge {
   def keySkewReport(df: DataFrame, key: Column, k: Int): DataFrame =
     graft.agg.Skew.keySkewReport(df, key, k)
 
+  def hllSketches(df: DataFrame, group: Column, item: Column, lgConfigK: Int): DataFrame =
+    graft.agg.Profile.hllSketches(df, group, item, lgConfigK)
+
+  def mergeHllSketches(sketches: DataFrame, group: Column, sketch: Column): DataFrame =
+    graft.agg.Profile.mergeHllSketches(sketches, group, sketch)
+
   def vocabTopTokens(docs: DataFrame, text: Column, n: Int): DataFrame =
     graft.text.Vocab.topTokens(docs, text, n)
 

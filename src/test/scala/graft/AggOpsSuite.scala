@@ -69,6 +69,25 @@ class AggOpsSuite extends AnyFunSuite with SparkTest {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("HLL sketches persist to parquet and merged halves equal the whole-data sketch") {
+    val df = (0 until 500).map(i => (s"g${i % 3}", i % 97)).toDF("g", "v")
+    val a = Profile.hllSketches(df.filter($"v" % 2 === 0), col("g"), col("v"))
+    val b = Profile.hllSketches(df.filter($"v" % 2 === 1), col("g"), col("v"))
+    // round-trip through parquet (the per-day persist)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    a.write.parquet(s"$tmp/a"); b.write.parquet(s"$tmp/b")
+    val loaded = spark.read.parquet(s"$tmp/a").unionByName(spark.read.parquet(s"$tmp/b"))
+    val merged = Profile.mergeHllSketches(loaded, col("g"), col("sketch"))
+      .as[(String, Long)].collect().toMap
+    // the sketch lattice: merge of the halves == sketch of the whole
+    val whole = Profile.mergeHllSketches(
+      Profile.hllSketches(df, col("g"), col("v")), col("g"), col("sketch"))
+      .as[(String, Long)].collect().toMap
+    assert(merged == whole)
+    // and the estimate is near the exact distinct (97 values per group)
+    merged.values.foreach(e => assert(math.abs(e - 97.0) / 97.0 < 0.05, e))
+  }
+
   test("MisraGries summary never loses an above-threshold item") {
     val mg = new FrequentItems.MisraGriesAgg(3)
     // stream of 100 values: "hot" 40x, "warm" 25x, 35 singletons
