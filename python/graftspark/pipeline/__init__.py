@@ -26,6 +26,7 @@ __all__ = [
     "cosine_similarity", "dot_product", "drop_exact_text_duplicates",
     "near_dup_pairs_minhash", "near_dup_pairs_simhash", "deduplicate_minhash",
     "deduplicate_lines", "decontaminate", "decontaminate_bloom", "brute_force_top_k",
+    "build_blocklist_artifact", "decontaminate_with_artifact",
     "curate", "register_sql_functions",
     "connected_components", "assign_clusters", "deduplicate_by_clusters",
     "keep_best_by_clusters",
@@ -623,6 +624,30 @@ def merge_hll_sketches(sketches: DataFrame, group: ColumnOrName,
     jdf = _bridge(sketches).mergeHllSketches(sketches._jdf, _jcol(group),
                                              _jcol(sketch))
     return DataFrame(jdf, sketches.sparkSession)
+
+
+def build_blocklist_artifact(blocklist: DataFrame, text: ColumnOrName,
+                             path: str, shingle_size: int = 8,
+                             expected_shingles: int = 10 * 1000 * 1000,
+                             fpp: float = 0.01) -> None:
+    """Freeze a decontamination blocklist as a parquet artifact (distinct
+    hashed shingles + serialized Bloom prefilter) — build once, enforce
+    everywhere with decontaminate_with_artifact."""
+    _bridge(blocklist).buildBlocklistArtifact(
+        blocklist._jdf, _jcol(text), str(path), int(shingle_size),
+        int(expected_shingles), float(fpp))
+
+
+def decontaminate_with_artifact(corpus: DataFrame, id: ColumnOrName,
+                                text: ColumnOrName, path: str,
+                                shingle_size: int = 8,
+                                min_overlap: int = 1) -> DataFrame:
+    """Drop contaminated docs using a persisted blocklist artifact —
+    identical decisions to decontaminate_bloom over the original table."""
+    jdf = _bridge(corpus).decontaminateWithArtifact(
+        corpus._jdf, _jcol(id), _jcol(text), str(path), int(shingle_size),
+        int(min_overlap))
+    return DataFrame(jdf, corpus.sparkSession)
 
 
 def key_skew_report(df: DataFrame, key: ColumnOrName, k: int = 10) -> DataFrame:

@@ -406,6 +406,18 @@ object PyBridge {
   def dropExactPayloadDuplicates(df: DataFrame, id: Column, payload: Column): DataFrame =
     graft.multimodal.Multimodal.dropExactPayloadDuplicates(df, id, payload)
 
+  def buildBlocklistArtifact(blocklist: DataFrame, text: Column, path: String,
+                             shingleSize: Int, expectedShingles: Long,
+                             fpp: Double): Unit =
+    graft.dedup.Blocklist.buildArtifact(blocklist, text, path, shingleSize,
+      expectedShingles, fpp)
+
+  def decontaminateWithArtifact(corpus: DataFrame, id: Column, text: Column,
+                                path: String, shingleSize: Int,
+                                minOverlap: Int): DataFrame =
+    graft.dedup.Blocklist.decontaminateWithArtifact(corpus, id, text, path,
+      shingleSize, minOverlap)
+
   def keySkewReport(df: DataFrame, key: Column, k: Int): DataFrame =
     graft.agg.Skew.keySkewReport(df, key, k)
 

@@ -862,6 +862,27 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(keptIds == got.filter(_._2._2).keySet)
   }
 
+  test("blocklist artifact round-trips and decontaminates identically to the direct path") {
+    val block = Seq("the secret benchmark answer sequence alpha beta gamma delta epsilon zeta").toDF("text")
+    val corpus = Seq(
+      (1L, "the secret benchmark answer sequence alpha beta gamma delta epsilon zeta leaked here"),
+      (2L, "perfectly clean document with its own words entirely"),
+      (3L, "another clean one about different topics altogether")).toDF("id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bl").toString
+    graft.dedup.Blocklist.buildArtifact(block, col("text"), tmp, shingleSize = 5)
+    val fromArtifact = graft.dedup.Blocklist.decontaminateWithArtifact(
+      corpus, col("id"), col("text"), tmp, shingleSize = 5)
+      .select("id").as[Long].collect().toSet
+    val direct = Dedup.decontaminateBloom(
+      corpus, col("id"), col("text"), block, col("text"), shingleSize = 5)
+      .select("id").as[Long].collect().toSet
+    assert(fromArtifact == direct && fromArtifact == Set(2L, 3L))
+    // the loaded bloom agrees with the frozen shingle set
+    val bf = graft.dedup.Blocklist.loadBloom(spark, tmp)
+    val hashes = spark.read.parquet(s"$tmp/shingles").select("h").as[Long].collect()
+    assert(hashes.nonEmpty && hashes.forall(bf.mightContainLong))
+  }
+
   test("IVF and PQ indexes persist to parquet and round-trip exactly") {
     val data = clusteredVectors(4, 10, 16, 0.05f)
     val df = data.toDF("id", "vec")
