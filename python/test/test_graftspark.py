@@ -722,6 +722,79 @@ class GraftsparkTest(unittest.TestCase):
             docs, col("id"), col("text"), 2).collect()}
         self.assertEqual(rep2, {1: 3, 2: 0, 3: 0})
 
+    def test_pipeline_payload_dedup(self):
+        from graftspark import pipeline as P
+        df = self.spark.createDataFrame(
+            [(1, bytearray(b"abc")), (2, bytearray(b"xy")), (3, bytearray(b"abc"))],
+            ["id", "payload"])
+        kept = sorted(r["id"] for r in P.drop_exact_payload_duplicates(
+            df, col("id"), col("payload")).collect())
+        self.assertEqual(kept, [1, 2])
+
+    def test_pipeline_key_skew_report(self):
+        from graftspark import pipeline as P
+        df = self.spark.createDataFrame(
+            [("a",)] * 6 + [("b",)] * 3 + [("c",)], ["k"])
+        got = [(r["key"], r["cnt"], r["share"], r["rank"])
+               for r in P.key_skew_report(df, col("k"), 2).collect()]
+        self.assertEqual(got, [("a", 6, 0.6, 1), ("b", 3, 0.3, 2)])
+
+    def test_pipeline_hll_sketches(self):
+        from graftspark import pipeline as P
+        df = self.spark.createDataFrame(
+            [("g", i % 50) for i in range(300)], ["g", "v"])
+        # sketch two halves independently, merge — the per-day persist shape
+        a = P.hll_sketches(df.filter(col("v") % 2 == 0), col("g"), col("v"))
+        b = P.hll_sketches(df.filter(col("v") % 2 == 1), col("g"), col("v"))
+        est = P.merge_hll_sketches(a.unionByName(b), col("g")).collect()
+        self.assertEqual(len(est), 1)
+        self.assertLessEqual(abs(est[0]["distinct_estimate"] - 50), 3)
+
+    def test_pipeline_blocklist_artifact(self):
+        import tempfile
+        from graftspark import pipeline as P
+        block = self.spark.createDataFrame(
+            [("one two three four five six seven eight nine ten",)], ["text"])
+        corpus = self.spark.createDataFrame(
+            [(1, "one two three four five six seven eight nine ten leaked"),
+             (2, "totally unrelated clean content here")], ["id", "text"])
+        d = tempfile.mkdtemp()
+        P.build_blocklist_artifact(block, col("text"), d, shingle_size=5,
+                                   expected_shingles=1000)
+        kept = sorted(r["id"] for r in P.decontaminate_with_artifact(
+            corpus, col("id"), col("text"), d, shingle_size=5).collect())
+        self.assertEqual(kept, [2])
+
+    def test_pipeline_index_persistence(self):
+        import random
+        import tempfile
+        from pyspark.sql.types import (ArrayType, FloatType, LongType,
+                                       StructField, StructType)
+        from graftspark import pipeline as P
+        rng = random.Random(3)
+        rows = [(i, [float(rng.gauss(0, 1)) for _ in range(8)]) for i in range(40)]
+        schema = StructType([StructField("id", LongType()),
+                             StructField("vec", ArrayType(FloatType()))])
+        df = self.spark.createDataFrame(rows, schema)
+        d = tempfile.mkdtemp()
+        ix = P.train_ivf(df, col("id"), col("vec"), k=4, iterations=2)
+        P.save_ivf(self.spark, ix, d + "/ivf")
+        ix2 = P.load_ivf(self.spark, d + "/ivf")
+        a1 = sorted((r["id"], r["cid"]) for r in P.ivf_assign(
+            df, col("id"), col("vec"), ix).collect())
+        a2 = sorted((r["id"], r["cid"]) for r in P.ivf_assign(
+            df, col("id"), col("vec"), ix2).collect())
+        self.assertEqual(a1, a2)
+        pq = P.train_pq(df, col("id"), col("vec"), dim=8, m=2, ksub=4, iterations=2)
+        P.save_pq(self.spark, pq, d + "/pq")
+        pq2 = P.load_pq(self.spark, d + "/pq")
+        def topk(ix_):
+            return sorted((r["query_id"], r["rank"], r["neighbor_id"])
+                          for r in P.pq_top_k(df.filter(col("id") < 3), df,
+                                              col("id"), col("vec"), col("id"),
+                                              col("vec"), ix_, 3, 6).collect())
+        self.assertEqual(topk(pq), topk(pq2))
+
     def test_pipeline_pq_ann(self):
         from graftspark import pipeline as P
         from pyspark.sql.types import (ArrayType, FloatType, LongType,
