@@ -255,6 +255,7 @@ def curate(df: DataFrame, id_col: ColumnOrName, text: ColumnOrName,
            min_stopword_ratio: float = 0.02, max_top_bigram_fraction: float = 0.18,
            classifier_weights: List[int] = None,
            classifier_bias: int = 0, classifier_threshold: int = 0,
+           dsir_weights: List[int] = None, dsir_threshold: int = 0,
            minhash_threshold: float = 0.8, shingle_size: int = 3,
            bands: int = 16, rows_per_band: int = 8,
            blocklist: DataFrame = None, blocklist_text: ColumnOrName = None,
@@ -265,7 +266,8 @@ def curate(df: DataFrame, id_col: ColumnOrName, text: ColumnOrName,
     (curated, report): curated keeps all original columns; report is one
     (stage, n_rows) row per executed stage including 0_input. Pass
     keep_langs=[] to skip language filtering, classifier_weights=None to
-    skip the model filter, blocklist=None to skip decontamination,
+    skip the model filter, dsir_weights=None to skip the DSIR
+    target-likeness filter, blocklist=None to skip decontamination,
     sample_rate=1.0 to skip sampling."""
     sess = df.sparkSession
     jarr = _bridge(df).curate(
@@ -275,6 +277,8 @@ def curate(df: DataFrame, id_col: ColumnOrName, text: ColumnOrName,
         float(min_stopword_ratio), float(max_top_bigram_fraction),
         None if classifier_weights is None else [int(w) for w in classifier_weights],
         int(classifier_bias), int(classifier_threshold),
+        None if dsir_weights is None else [int(w) for w in dsir_weights],
+        int(dsir_threshold),
         float(minhash_threshold), int(shingle_size), int(bands), int(rows_per_band),
         blocklist._jdf if blocklist is not None else None,
         _jcol(blocklist_text if blocklist_text is not None else text),

@@ -50,6 +50,7 @@ object Curation {
    *
    * Stages toggle off via their parameters: `keepLangs = Set.empty` skips
    * language filtering, `classifierWeights = None` skips the model filter,
+   * `dsirWeights = None` skips the DSIR target-likeness filter,
    * `blocklist = None` skips decontamination, `sampleRate = 1.0` skips
    * sampling.
    */
@@ -61,6 +62,7 @@ object Curation {
       minStopwordRatio: Double = 0.02, maxTopBigramFraction: Double = 0.18,
       classifierWeights: Option[Array[Int]] = None,
       classifierBias: Long = 0L, classifierThreshold: Long = 0L,
+      dsirWeights: Option[Array[Int]] = None, dsirThreshold: Long = 0L,
       minHashThreshold: Double = 0.8, shingleSize: Int = 3,
       bands: Int = 16, rowsPerBand: Int = 8,
       blocklist: Option[(DataFrame, Column)] = None,
@@ -99,16 +101,26 @@ object Curation {
         graft.text.Classifier.logit(text, w, classifierBias) >= classifierThreshold
       case None => lit(true)
     }
+    // DSIR target-likeness filter: the same fused kernel as the classifier
+    // stage with importance-ratio weights (Dsir.fitWeights) — one more
+    // column in the same leading aggregate pass
+    val dsirKeep: Column = dsirWeights match {
+      case Some(w) =>
+        graft.functions.vectors.hashed_linear_score(text, w) >= dsirThreshold
+      case None => lit(true)
+    }
     val head = docs.agg(
       count(lit(1)),
       coalesce(sum(when(langKeep, 1L).otherwise(0L)), lit(0L)),
       coalesce(sum(when(langKeep && qualKeep, 1L).otherwise(0L)), lit(0L)),
-      coalesce(sum(when(langKeep && qualKeep && clsKeep, 1L).otherwise(0L)), lit(0L))).head()
+      coalesce(sum(when(langKeep && qualKeep && clsKeep, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(langKeep && qualKeep && clsKeep && dsirKeep, 1L).otherwise(0L)), lit(0L))).head()
     counts += "0_input" -> head.getLong(0)
     if (keepLangs.nonEmpty) counts += "1_langid" -> head.getLong(1)
     counts += "2_quality" -> head.getLong(2)
     if (classifierWeights.nonEmpty) counts += "2b_classifier" -> head.getLong(3)
-    var cur = docs.filter(langKeep && qualKeep && clsKeep)
+    if (dsirWeights.nonEmpty) counts += "2c_dsir" -> head.getLong(4)
+    var cur = docs.filter(langKeep && qualKeep && clsKeep && dsirKeep)
 
     cur = step("3_exact", graft.dedup.Dedup.dropExactTextDuplicates(cur, text, id))
 

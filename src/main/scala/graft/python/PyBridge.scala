@@ -236,6 +236,7 @@ object PyBridge {
              minStopwordRatio: Double, maxTopBigramFraction: Double,
              classifierWeights: JList[Integer],
              classifierBias: Long, classifierThreshold: Long,
+             dsirWeights: JList[Integer], dsirThreshold: Long,
              minHashThreshold: Double, shingleSize: Int, bands: Int, rowsPerBand: Int,
              blocklist: DataFrame, blocklistText: Column,
              blocklistShingleSize: Int, minOverlap: Int,
@@ -247,7 +248,9 @@ object PyBridge {
       minStopwordRatio, maxTopBigramFraction,
       Option(classifierWeights).map(_.asScala.map(_.intValue()).toArray),
       classifierBias, classifierThreshold,
-      minHashThreshold, shingleSize, bands, rowsPerBand,
+      Option(dsirWeights).map(_.asScala.map(_.intValue()).toArray), dsirThreshold,
+      minHashThreshold = minHashThreshold, shingleSize = shingleSize,
+      bands = bands, rowsPerBand = rowsPerBand,
       Option(blocklist).map(b => (b, blocklistText)),
       blocklistShingleSize, minOverlap, sampleRate, sampleSalt,
       unpersistHandle = handle)

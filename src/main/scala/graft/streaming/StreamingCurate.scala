@@ -43,7 +43,7 @@ object StreamingCurate {
    * Curate an unbounded document stream. Pass `observationName` to attach a
    * `Dataset.observe` with the per-batch attrition counters every streaming
    * curation run wants to monitor — `input_rows`, `after_langid`,
-   * `after_quality`, `after_classifier`, `after_decontaminate`,
+   * `after_quality`, `after_classifier`, `after_dsir`, `after_decontaminate`,
    * `after_sample` (cumulative conjunctions, the batch report's fused-
    * aggregate discipline; a disabled stage repeats the previous count) —
    * readable per micro-batch from `QueryProgress.observedMetrics`. The
@@ -59,6 +59,7 @@ object StreamingCurate {
       minStopwordRatio: Double = 0.02, maxTopBigramFraction: Double = 0.18,
       classifierWeights: Option[Array[Int]] = None,
       classifierBias: Long = 0L, classifierThreshold: Long = 0L,
+      dsirWeights: Option[Array[Int]] = None, dsirThreshold: Long = 0L,
       blocklist: Option[(DataFrame, Column)] = None,
       blocklistShingleSize: Int = 5, minOverlap: Int = 1,
       sampleRate: Double = 1.0, sampleSalt: String = "graft",
@@ -83,6 +84,11 @@ object StreamingCurate {
         graft.text.Classifier.logit(text, w, classifierBias) >= classifierThreshold
       case None => lit(true)
     }
+    val dsirKeep: Column = dsirWeights match {
+      case Some(w) =>
+        graft.functions.vectors.hashed_linear_score(text, w) >= dsirThreshold
+      case None => lit(true)
+    }
     val decontKeep: Column = blocklist match {
       case Some((bdf, btext)) =>
         val probe = graft.dedup.Dedup.broadcastShingleProbe(
@@ -103,11 +109,12 @@ object StreamingCurate {
         pass(langKeep, "after_langid"),
         pass(langKeep && qualKeep, "after_quality"),
         pass(langKeep && qualKeep && clsKeep, "after_classifier"),
-        pass(langKeep && qualKeep && clsKeep && decontKeep, "after_decontaminate"),
-        pass(langKeep && qualKeep && clsKeep && decontKeep && sampleKeep, "after_sample"))
+        pass(langKeep && qualKeep && clsKeep && dsirKeep, "after_dsir"),
+        pass(langKeep && qualKeep && clsKeep && dsirKeep && decontKeep, "after_decontaminate"),
+        pass(langKeep && qualKeep && clsKeep && dsirKeep && decontKeep && sampleKeep, "after_sample"))
     }
 
-    cur = cur.filter(langKeep && qualKeep && clsKeep && decontKeep && sampleKeep)
+    cur = cur.filter(langKeep && qualKeep && clsKeep && dsirKeep && decontKeep && sampleKeep)
 
     // stateful stage last: every earlier filter shrinks what reaches the
     // state store

@@ -314,6 +314,32 @@ class CurationSuite extends AnyFunSuite with SparkTest {
     handle2.unpersist()
   }
 
+  test("curate DSIR stage filters by the fitted target-likeness score") {
+    val docs = curationDocs
+    // fit weights against a tiny synthetic target made of the docs' own
+    // vocabulary so some docs clear threshold 0 and others don't; the stage
+    // decision must equal Dsir.score's on the same docs
+    val target = docs.limit(2).select(col("id"), col("text"))
+    val w = graft.text.Dsir.fitWeights(target, docs, col("text"), col("text"))
+    val handle = UnpersistHandle()
+    val (curated, report) = graft.pipeline.Curation.curate(
+      docs, col("id"), col("text"),
+      keepLangs = Set.empty,
+      minTokens = 1, maxTokens = 1000, minAvgTokenLen = 1.0, maxAvgTokenLen = 10.0,
+      minStopwordRatio = 0.0, maxTopBigramFraction = 1.0,
+      dsirWeights = Some(w), dsirThreshold = 0L,
+      unpersistHandle = handle)
+    val counts = report.as[(String, Long)].collect().toMap
+    val expected = graft.text.Dsir.score(docs, col("text"), w)
+      .filter(col("dsir_score") >= 0L).count()
+    assert(counts("2c_dsir") == expected)
+    // stage order: 2c after quality (and the absent classifier stage)
+    val stages = report.as[(String, Long)].collect().map(_._1).toSeq
+    assert(stages.indexOf("2c_dsir") > stages.indexOf("2_quality"))
+    assert(stages.indexOf("2c_dsir") < stages.indexOf("3_exact"))
+    handle.unpersist()
+  }
+
   test("curate stage toggles: no langid without langs, no decontaminate without blocklist") {
     val docs = curationDocs
     val handle = UnpersistHandle()

@@ -363,4 +363,39 @@ class StreamingDedupSuite extends AnyFunSuite with SparkTest {
       assert(spark.table("sc_cls_out").count() === 0L)
     } finally query.stop()
   }
+
+  test("streaming curation DSIR stage matches the batch per-doc decision") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta"), (2L, "zeta eta theta zeta eta"),
+      (3L, "alpha gamma beta alpha"), (4L, "eta theta zeta theta"))
+    val target = Seq((0L, "alpha beta gamma")).toDF("id", "text")
+    val batchDf = docs.toDF("id", "text")
+    val w = graft.text.Dsir.fitWeights(target, batchDf, col("text"), col("text"))
+    // threshold at the midpoint of the batch score spread so the gate
+    // splits the corpus — target-like docs above, off-target docs below
+    val scores = graft.text.Dsir.score(batchDf, col("text"), w)
+      .select("id", "dsir_score").as[(Long, Long)].collect().toMap
+    val thr = (scores.values.min + scores.values.max) / 2
+    val expectedKept = scores.filter(_._2 >= thr).keySet
+    assert(expectedKept.nonEmpty && expectedKept.size < docs.size) // both sides exercised
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val curated = graft.streaming.StreamingCurate.curateStream(
+      input.toDF().toDF("id", "ts", "text"), col("id"), col("text"),
+      eventTimeColumn = "ts", delayThreshold = "10 minutes",
+      keepLangs = Set.empty,
+      minTokens = 1, maxTokens = 1000, minAvgTokenLen = 1.0, maxAvgTokenLen = 10.0,
+      minStopwordRatio = 0.0, maxTopBigramFraction = 1.0,
+      dsirWeights = Some(w), dsirThreshold = thr)
+    val query = curated.writeStream.format("memory")
+      .queryName("sc_dsir_out").outputMode("append").start()
+    try {
+      input.addData(docs.map { case (i, t) => (i, t0, t) }: _*)
+      query.processAllAvailable()
+      val kept = spark.table("sc_dsir_out").select("id").as[Long].collect().toSet
+      assert(kept == expectedKept)
+    } finally query.stop()
+  }
 }
