@@ -35,7 +35,7 @@ __all__ = [
     "asof_join", "range_join", "with_session_index", "session_bounds",
     "split_by_hash", "gopher_filter",
     "top_k_per_group", "frequent_items", "profile_columns", "key_skew_report",
-    "hll_sketches", "merge_hll_sketches",
+    "hll_sketches", "merge_hll_sketches", "quality_checks",
     "distinct_count_gate", "deflate_length", "lm_score_bits",
     "with_running_total", "pack_sequences", "zorder_by",
     "edit_distance1_pairs", "weighted_hash_sample",
@@ -652,6 +652,36 @@ def decontaminate_with_artifact(corpus: DataFrame, id: ColumnOrName,
         corpus._jdf, _jcol(id), _jcol(text), str(path), int(shingle_size),
         int(min_overlap))
     return DataFrame(jdf, corpus.sparkSession)
+
+
+def quality_checks(df: DataFrame, rules) -> DataFrame:
+    """Deequ-style data-quality contract gate. `rules` is a list of dicts:
+    {"rule": "not_null", "column": c, "max_null_fraction": 0.0}
+    {"rule": "in_range", "column": c, "min": lo, "max": hi}
+    {"rule": "matches_regex", "column": c, "pattern": p, "min_match_fraction": 1.0}
+    {"rule": "min_rows", "min_rows": n}
+    {"rule": "unique", "column": c}
+    Returns one row per rule: (rule, column, metric, threshold, pass)."""
+    types, cols, p1, p2, pats = [], [], [], [], []
+    for r in rules:
+        t = r["rule"]
+        types.append(t)
+        cols.append(str(r.get("column", "")))
+        pats.append(str(r.get("pattern", "")))
+        if t == "not_null":
+            p1.append(float(r.get("max_null_fraction", 0.0))); p2.append(0.0)
+        elif t == "in_range":
+            p1.append(float(r["min"])); p2.append(float(r["max"]))
+        elif t == "matches_regex":
+            p1.append(float(r.get("min_match_fraction", 1.0))); p2.append(0.0)
+        elif t == "min_rows":
+            p1.append(float(r["min_rows"])); p2.append(0.0)
+        elif t == "unique":
+            p1.append(0.0); p2.append(0.0)
+        else:
+            raise ValueError(f"unknown rule type: {t}")
+    jdf = _bridge(df).runChecks(df._jdf, types, cols, p1, p2, pats)
+    return DataFrame(jdf, df.sparkSession)
 
 
 def key_skew_report(df: DataFrame, key: ColumnOrName, k: int = 10) -> DataFrame:

@@ -722,6 +722,26 @@ class GraftsparkTest(unittest.TestCase):
             docs, col("id"), col("text"), 2).collect()}
         self.assertEqual(rep2, {1: 3, 2: 0, 3: 0})
 
+    def test_pipeline_quality_checks(self):
+        from graftspark import pipeline as P
+        df = self.spark.createDataFrame(
+            [(1, 10.0, "ok"), (2, 20.0, "ok"), (3, None, "bad!"), (3, 999.0, "ok")],
+            ["id", "v", "s"])
+        got = [(r["rule"], r["column"], r["metric"], r["pass"])
+               for r in P.quality_checks(df, [
+                   {"rule": "not_null", "column": "v", "max_null_fraction": 0.3},
+                   {"rule": "unique", "column": "id"},
+                   {"rule": "in_range", "column": "v", "min": 0, "max": 100},
+                   {"rule": "matches_regex", "column": "s", "pattern": "^ok$",
+                    "min_match_fraction": 0.7},
+                   {"rule": "min_rows", "min_rows": 4}]).collect()]
+        self.assertEqual(got, [
+            ("not_null", "v", 0.25, True),
+            ("unique", "id", 1.0, False),
+            ("in_range", "v", 1.0, False),
+            ("matches_regex", "s", 0.75, True),
+            ("min_rows", "", 4.0, True)])
+
     def test_pipeline_payload_dedup(self):
         from graftspark import pipeline as P
         df = self.spark.createDataFrame(

@@ -780,6 +780,20 @@ object SparkEntry {
 
     // one-pass column profile (rows/nulls/distinct/min/max per column);
     // value columns pre-cast so the text rendering is engine-portable
+    // data-quality expectations: the contract gate before publishing a
+    // snapshot — scalar rules share ONE aggregate pass; each unique rule is
+    // one single-distinct aggregate (no Expand)
+    "quality_checks" -> ((s, dir) => {
+      import graft.agg.Checks.Check._
+      graft.agg.Checks.run(t(s, dir, "orders"), Seq(
+        NotNull("o_orderkey"),
+        Unique("o_orderkey"),
+        NotNull("o_custkey"),
+        InRange("o_custkey", 1, 1e9),
+        MatchesRegex("o_orderstatus", "^[FOP]$"),
+        MinRows(100)))
+    }),
+
     // key-skew pre-flight: the heaviest join/agg keys with their share of
     // the table — the report you run before committing a 100 TB shuffle key
     "skew_report" -> ((s, dir) =>
@@ -1939,6 +1953,31 @@ object SparkEntry {
           "SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf_scaled FROM " +
           "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_scaled DESC, doc_id) AS rank FROM fused) " +
           "WHERE rank <= 10"),
+
+      "quality_checks" ->
+        ("SELECT * FROM (" +
+          "SELECT 'not_null' AS rule, 'o_orderkey' AS \"column\", " +
+          "CAST(COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS DOUBLE) / COUNT(*) AS metric, " +
+          "0.0 AS threshold, " +
+          "CAST(COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS DOUBLE) / COUNT(*) <= 0.0 AS pass FROM orders " +
+          "UNION ALL SELECT 'unique', 'o_orderkey', " +
+          "CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS DOUBLE), 0.0, " +
+          "COUNT(o_orderkey) = COUNT(DISTINCT o_orderkey) FROM orders " +
+          "UNION ALL SELECT 'not_null', 'o_custkey', " +
+          "CAST(COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS DOUBLE) / COUNT(*), 0.0, " +
+          "CAST(COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS DOUBLE) / COUNT(*) <= 0.0 FROM orders " +
+          "UNION ALL SELECT 'in_range', 'o_custkey', " +
+          "CAST(COUNT(CASE WHEN o_custkey IS NOT NULL AND " +
+          "(CAST(o_custkey AS DOUBLE) < 1 OR CAST(o_custkey AS DOUBLE) > 1e9) THEN 1 END) AS DOUBLE), 0.0, " +
+          "COUNT(CASE WHEN o_custkey IS NOT NULL AND " +
+          "(CAST(o_custkey AS DOUBLE) < 1 OR CAST(o_custkey AS DOUBLE) > 1e9) THEN 1 END) = 0 FROM orders " +
+          "UNION ALL SELECT 'matches_regex', 'o_orderstatus', " +
+          "CAST(COUNT(CASE WHEN o_orderstatus IS NOT NULL AND regexp_matches(o_orderstatus, '^[FOP]$') THEN 1 END) AS DOUBLE) / " +
+          "COUNT(CASE WHEN o_orderstatus IS NOT NULL THEN 1 END), 1.0, " +
+          "CAST(COUNT(CASE WHEN o_orderstatus IS NOT NULL AND regexp_matches(o_orderstatus, '^[FOP]$') THEN 1 END) AS DOUBLE) / " +
+          "COUNT(CASE WHEN o_orderstatus IS NOT NULL THEN 1 END) >= 1.0 FROM orders " +
+          "UNION ALL SELECT 'min_rows', '', CAST(COUNT(*) AS DOUBLE), 100.0, " +
+          "COUNT(*) >= 100 FROM orders)"),
 
       "skew_report" ->
         ("SELECT user_id AS key, cnt, CAST(cnt AS DOUBLE) / total AS share, " +

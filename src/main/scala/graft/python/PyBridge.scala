@@ -421,6 +421,27 @@ object PyBridge {
     graft.dedup.Blocklist.decontaminateWithArtifact(corpus, id, text, path,
       shingleSize, minOverlap)
 
+  /** Checks rules arrive as parallel lists (py4j has no case-class ADTs):
+    * ruleTypes in {not_null, in_range, matches_regex, min_rows, unique};
+    * p1/p2 carry the numeric parameters (maxNullFraction; min/max;
+    * minMatchFraction; minRows), patterns the regex (empty otherwise). */
+  def runChecks(df: DataFrame, ruleTypes: JList[String], columns: JList[String],
+                p1: JList[java.lang.Double], p2: JList[java.lang.Double],
+                patterns: JList[String]): DataFrame = {
+    import graft.agg.Checks.Check._
+    val rules = ruleTypes.asScala.indices.map { i =>
+      ruleTypes.get(i) match {
+        case "not_null" => NotNull(columns.get(i), p1.get(i))
+        case "in_range" => InRange(columns.get(i), p1.get(i), p2.get(i))
+        case "matches_regex" => MatchesRegex(columns.get(i), patterns.get(i), p1.get(i))
+        case "min_rows" => MinRows(p1.get(i).toLong)
+        case "unique" => Unique(columns.get(i))
+        case other => throw new IllegalArgumentException(s"unknown rule type: $other")
+      }
+    }
+    graft.agg.Checks.run(df, rules)
+  }
+
   def keySkewReport(df: DataFrame, key: Column, k: Int): DataFrame =
     graft.agg.Skew.keySkewReport(df, key, k)
 

@@ -55,6 +55,34 @@ class AggOpsSuite extends AnyFunSuite with SparkTest {
 
   // --- frequentItems --------------------------------------------------------
 
+  test("Checks evaluates passing and failing rules with exact metrics") {
+    import graft.agg.Checks
+    import graft.agg.Checks.Check._
+    val df = Seq(
+      (1L, Some(10.0), "ok"), (2L, Some(20.0), "ok"),
+      (3L, None, "bad!"), (3L, Some(999.0), "ok")).toDF("id", "v", "s")
+    val got = Checks.run(df, Seq(
+      NotNull("v", maxNullFraction = 0.3), // 1/4 nulls -> pass
+      NotNull("v"),                        // fail
+      Unique("id"),                        // dup 3L -> fail, metric 1
+      InRange("v", 0, 100),                // 999 -> fail, metric 1
+      MatchesRegex("s", "^ok$", 0.7),      // 3/4 -> pass
+      MinRows(4), MinRows(5)))
+      .select("rule", "column", "metric", "pass")
+      .as[(String, String, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("not_null", "v", 0.25, true),
+      ("not_null", "v", 0.25, false),
+      ("unique", "id", 1.0, false),
+      ("in_range", "v", 1.0, false),
+      ("matches_regex", "s", 0.75, true),
+      ("min_rows", "", 4.0, true),
+      ("min_rows", "", 4.0, false)))
+    // the scalar rules share one aggregate pass: no Expand in the plan
+    val scalarOnly = Checks.run(df, Seq(NotNull("v"), InRange("v", 0, 100), MinRows(1)))
+    assert(scalarOnly.count() == 3)
+  }
+
   test("keySkewReport ranks heavy keys with exact shares, top-k is bounded") {
     // 6x "a", 3x "b", 1x "c": shares 0.6 / 0.3 / 0.1
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
