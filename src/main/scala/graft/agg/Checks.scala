@@ -36,6 +36,46 @@ object Checks {
     case class Unique(column: String) extends Check
   }
 
+  /**
+   * Streaming contract monitoring: attach the SCALAR rules (everything but
+   * [[Check.Unique]], which needs cross-batch distinctness) to a streaming
+   * DataFrame as `Dataset.observe` metrics — zero extra passes, the counts
+   * ride the existing micro-batch execution. Each rule `i` contributes
+   * `rule_i_metric` and `rule_i_pass` to the observation named `name`;
+   * read them from a `StreamingQueryListener` / `lastProgress` and alert on
+   * `pass == false`. The per-batch metric definitions are EXACTLY
+   * [[run]]'s, so a batch replay of the same rows reports the same
+   * numbers.
+   */
+  def observeChecks(stream: DataFrame, name: String, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "at least one check required")
+    import Check._
+    require(!checks.exists(_.isInstanceOf[Unique]),
+      "Unique needs cross-batch distinctness - not expressible as a per-batch observe metric")
+    val n = count(lit(1))
+    val cols = checks.zipWithIndex.flatMap { case (c, i) =>
+      val (metric, pass) = c match {
+        case NotNull(col0, maxFrac) =>
+          val nulls = count(when(col(col0).isNull, lit(1)))
+          val frac = when(n === 0, lit(0.0)).otherwise(nulls.cast("double") / n.cast("double"))
+          (frac, frac <= maxFrac)
+        case InRange(col0, lo, hi) =>
+          val bad = count(when(col(col0).isNotNull &&
+            (col(col0).cast("double") < lo || col(col0).cast("double") > hi), lit(1)))
+          (bad.cast("double"), bad === 0L)
+        case MatchesRegex(col0, p, minFrac) =>
+          val nn = count(when(col(col0).isNotNull, lit(1)))
+          val ok = count(when(col(col0).isNotNull && col(col0).rlike(p), lit(1)))
+          val frac = when(nn === 0, lit(1.0)).otherwise(ok.cast("double") / nn.cast("double"))
+          (frac, frac >= minFrac)
+        case MinRows(minRows) => (n.cast("double"), n >= minRows)
+        case u: Unique => throw new IllegalStateException(s"unreachable: $u")
+      }
+      Seq(metric.as(s"rule_${i}_metric"), pass.as(s"rule_${i}_pass"))
+    }
+    stream.observe(name, cols.head, cols.tail: _*)
+  }
+
   /** Evaluate all checks; see object docs for the output contract. */
   def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "at least one check required")

@@ -364,6 +364,40 @@ class StreamingDedupSuite extends AnyFunSuite with SparkTest {
     } finally query.stop()
   }
 
+  test("observeChecks reports per-batch contract metrics matching the batch rules") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.agg.Checks
+    import graft.agg.Checks.Check._
+    val input = MemoryStream[(Long, String)]
+    val rules = Seq(
+      NotNull("s", maxNullFraction = 0.5),
+      MatchesRegex("s", "^ok$", 0.5),
+      MinRows(2))
+    val observed = Checks.observeChecks(
+      input.toDF().toDF("id", "s"), "contract", rules)
+    val query = observed.writeStream.format("memory")
+      .queryName("chk_out").outputMode("append").start()
+    try {
+      input.addData((1L, "ok"), (2L, "ok"), (3L, "bad"), (4L, "ok"))
+      query.processAllAvailable()
+      val m = query.lastProgress.observedMetrics.get("contract")
+      // not_null: 0 nulls -> 0.0 pass; regex: 3/4 -> pass; min_rows: 4 -> pass
+      assert(m.getAs[Double]("rule_0_metric") == 0.0 && m.getAs[Boolean]("rule_0_pass"))
+      assert(m.getAs[Double]("rule_1_metric") == 0.75 && m.getAs[Boolean]("rule_1_pass"))
+      assert(m.getAs[Double]("rule_2_metric") == 4.0 && m.getAs[Boolean]("rule_2_pass"))
+      // the same rows through the batch evaluator agree metric-for-metric
+      val batch = Checks.run(
+        Seq((1L, "ok"), (2L, "ok"), (3L, "bad"), (4L, "ok")).toDF("id", "s"), rules)
+        .select("metric", "pass").as[(Double, Boolean)].collect().toSeq
+      assert(batch == Seq((0.0, true), (0.75, true), (4.0, true)))
+      // Unique is rejected with a clear message
+      val err = intercept[IllegalArgumentException] {
+        Checks.observeChecks(input.toDF().toDF("id", "s"), "x", Seq(Unique("id")))
+      }
+      assert(err.getMessage.contains("Unique"))
+    } finally query.stop()
+  }
+
   test("streaming curation DSIR stage matches the batch per-doc decision") {
     implicit val sqlCtx = spark.sqlContext
     val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
