@@ -31,7 +31,7 @@ __all__ = [
     "connected_components", "assign_clusters", "deduplicate_by_clusters",
     "keep_best_by_clusters",
     "deduplicate_minhash_clusters", "hash_sample", "stratified_hash_sample",
-    "redact_pii", "redact_emails", "redact_ipv4", "redact_long_digits",
+    "redact_pii", "redact_emails", "redact_ipv4", "redact_long_digits", "strip_html",
     "asof_join", "range_join", "with_session_index", "session_bounds",
     "split_by_hash", "gopher_filter",
     "top_k_per_group", "frequent_items", "profile_columns", "key_skew_report",
@@ -389,6 +389,13 @@ def gopher_filter(df: DataFrame, text: ColumnOrName,
         float(min_avg_token_len), float(max_avg_token_len),
         float(min_stopword_ratio), float(max_top_bigram_fraction))
     return DataFrame(jdf, df.sparkSession)
+
+
+def strip_html(text: ColumnOrName) -> Column:
+    """HTML-to-text extraction: drop script/style/comments/tags, decode the
+    named entities (after stripping), collapse whitespace — a deterministic
+    RE2-safe regex chain, narrow and streaming-legal."""
+    return _col_fn("stripHtml", _jcol(text))
 
 
 def redact_pii(text: ColumnOrName, token: str = "[REDACTED]") -> Column:

@@ -926,6 +926,20 @@ object SparkEntry {
           concat(col("text"), lit(" cafe\u0301\u0001\u000b x\tY  z ")))
           .as("norm_text"))),
 
+    // HTML-to-text extraction: each document wrapped in synthetic markup
+    // (tags, script, comment, entities) in-plan, then stripped — both
+    // engines build the identical input and replay the identical RE2-safe
+    // regex chain, so the extraction itself is what hash-matches
+    "html_extract" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.text.Html.stripHtml(concat(
+          lit("<html><head><style>p{color:red}</style>" +
+            "<script type=\"text/javascript\">var x=1;</script></head>" +
+            "<body><!-- crawl artifact --><p>"),
+          col("text"),
+          lit("</p><div>&quot;quoted&quot; &amp;amp; x &lt; y&#65;</div></body></html>")))
+          .as("clean_text"))),
+
     "redact_pii" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         graft.text.Redact.redactPii(concat(
@@ -2218,6 +2232,32 @@ object SparkEntry {
           "'[\\t\\n\\f\\r ]+', ' ', 'g')) AS norm_text FROM documents"),
 
       // single alternation pass, identical pattern text in both engines
+      // the same synthetic wrap + the same RE2-safe chain, nested
+      // programmatically so the step order is readable and the parens match
+      "html_extract" -> {
+        val wrapped =
+          "'<html><head><style>p{color:red}</style>" +
+            "<script type=\"text/javascript\">var x=1;</script></head>" +
+            "<body><!-- crawl artifact --><p>' || text || " +
+            "'</p><div>&quot;quoted&quot; &amp;amp; x &lt; y&#65;</div></body></html>'"
+        val steps: Seq[(String, String)] = Seq(
+          "'(?is)<script\\b[^>]*>.*?</script>|<style\\b[^>]*>.*?</style>'" -> "' '",
+          "'(?s)<!--.*?-->'" -> "' '",
+          "'<[^>]*>'" -> "' '",
+          "'&nbsp;'" -> "' '",
+          "'&lt;'" -> "'<'",
+          "'&gt;'" -> "'>'",
+          "'&quot;'" -> "'\"'",
+          "'&apos;'" -> "''''",
+          "'&#[0-9]{1,8};|&#[xX][0-9A-Fa-f]{1,6};'" -> "' '",
+          "'&amp;'" -> "'&'",
+          "'[ \\t\\r\\n]+'" -> "' '")
+        val chain = steps.foldLeft(s"($wrapped)") { case (acc, (pat, rep)) =>
+          s"regexp_replace($acc, $pat, $rep, 'g')"
+        }
+        s"SELECT doc_id, trim($chain) AS clean_text FROM documents"
+      },
+
       "redact_pii" ->
         ("SELECT doc_id, regexp_replace(" +
           "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.org or 10.2.' || " +

@@ -534,6 +534,8 @@ object PyBridge {
 
   def redactPii(c: Column, token: String): Column = graft.text.Redact.redactPii(c, token)
 
+  def stripHtml(c: Column): Column = graft.text.Html.stripHtml(c)
+
   def redactEmails(c: Column, token: String): Column = graft.text.Redact.redactEmails(c, token)
 
   def redactIpv4(c: Column, token: String): Column = graft.text.Redact.redactIpv4(c, token)

@@ -862,6 +862,21 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(keptIds == got.filter(_._2._2).keySet)
   }
 
+  test("stripHtml drops script/style/comments/tags and decodes entities in order") {
+    val html = "<html><head><style>p{x}</style><script>var a='<p>';</script></head>" +
+      "<body><!-- note --><h1>Title</h1><p>Hello&nbsp;&lt;world&gt; &quot;q&quot; " +
+      "&amp;amp; done&#33;</p></body></html>"
+    val got = Seq(html).toDF("t")
+      .select(graft.text.Html.stripHtml(col("t")).as("c")).as[String].head()
+    // entities decode AFTER stripping: &lt;world&gt; stays literal text;
+    // &amp;amp; decodes exactly once; &#33; (numeric) becomes a space
+    assert(got == "Title Hello <world> \"q\" &amp; done")
+    // plain text passes through modulo whitespace collapse
+    val plain = Seq("no   markup\there").toDF("t")
+      .select(graft.text.Html.stripHtml(col("t")).as("c")).as[String].head()
+    assert(plain == "no markup here")
+  }
+
   test("blocklist artifact round-trips and decontaminates identically to the direct path") {
     val block = Seq("the secret benchmark answer sequence alpha beta gamma delta epsilon zeta").toDF("text")
     val corpus = Seq(
