@@ -722,6 +722,16 @@ class GraftsparkTest(unittest.TestCase):
             docs, col("id"), col("text"), 2).collect()}
         self.assertEqual(rep2, {1: 3, 2: 0, 3: 0})
 
+    def test_pipeline_strip_html(self):
+        from graftspark import pipeline as P
+        df = self.spark.createDataFrame(
+            [("<html><style>x{}</style><script>var a;</script>"
+              "<!-- c --><p>Hi&nbsp;&lt;b&gt; &amp;amp; bye&#33;</p></html>",),
+             ("plain   text",)], ["t"])
+        got = [r["c"] for r in df.select(P.strip_html(col("t")).alias("c")).collect()]
+        # entities decode after stripping; &amp;amp; decodes once; &#33; -> space
+        self.assertEqual(got, ["Hi <b> &amp; bye", "plain text"])
+
     def test_pipeline_quality_checks(self):
         from graftspark import pipeline as P
         df = self.spark.createDataFrame(
