@@ -83,6 +83,23 @@ class AggOpsSuite extends AnyFunSuite with SparkTest {
     assert(scalarOnly.count() == 3)
   }
 
+  test("Checks edge cases: all-null regex column, empty table, null-only range") {
+    import graft.agg.Checks
+    import graft.agg.Checks.Check._
+    val allNull = Seq((1L, null: String), (2L, null: String)).toDF("id", "s")
+    val r1 = Checks.run(allNull, Seq(
+      MatchesRegex("s", "^x$"), // nn == 0 -> frac 1.0, pass
+      InRange("s", 0, 1),       // nulls skipped -> 0 violations, pass
+      NotNull("s")))            // fail at 1.0
+      .select("rule", "metric", "pass").as[(String, Double, Boolean)].collect().toSeq
+    assert(r1 == Seq(
+      ("matches_regex", 1.0, true), ("in_range", 0.0, true), ("not_null", 1.0, false)))
+    val empty = Seq.empty[(Long, String)].toDF("id", "s")
+    val r2 = Checks.run(empty, Seq(NotNull("s"), MinRows(1), Unique("s")))
+      .select("rule", "metric", "pass").as[(String, Double, Boolean)].collect().toSeq
+    assert(r2 == Seq(("not_null", 0.0, true), ("min_rows", 0.0, false), ("unique", 0.0, true)))
+  }
+
   test("keySkewReport ranks heavy keys with exact shares, top-k is bounded") {
     // 6x "a", 3x "b", 1x "c": shares 0.6 / 0.3 / 0.1
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")

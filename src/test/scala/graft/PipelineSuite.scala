@@ -994,6 +994,30 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("DSIR and vocab edge cases: unigram-only fit, empty vocab, empty corpus") {
+    val docs = Seq((1L, "alpha beta"), (2L, "")).toDF("id", "text")
+    // bigrams=false: the fit and the kernel agree on the unigram-only stream
+    val w = graft.text.Dsir.fitWeights(docs, docs, col("text"), col("text"),
+      bigrams = false)
+    def bucket(s: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8"))(0) & 0xFF
+    }
+    val scored = graft.text.Dsir.score(docs, col("text"), w, bigrams = false)
+      .select("id", "dsir_score").as[(Long, Long)].collect().toMap
+    assert(scored(1L) == w(bucket("alpha")) + w(bucket("beta")))
+    assert(scored(2L) == 0L)
+    // empty vocabulary: zero coverage everywhere, no crash
+    val cov = graft.text.Vocab.coverageReport(docs, col("id"), col("text"),
+      Array.empty[String]).select("id", "n_in_vocab").as[(Long, Long)].collect().toMap
+    assert(cov == Map(1L -> 0L, 2L -> 0L))
+    // empty corpus: weight table still has 256 rows with pure-smoothing weights
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    val wt = graft.text.Dsir.weightTable(empty, empty, col("text"), col("text"))
+    assert(wt.count() == 256)
+    assert(wt.select("weight").distinct().as[Long].collect().toSeq == Seq(0L))
+  }
+
   test("DSIR: selectTop ranks target-like docs first, plans TakeOrderedAndProject") {
     val target = Seq("alpha beta gamma alpha beta", "beta gamma alpha")
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
