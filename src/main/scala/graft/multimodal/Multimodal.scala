@@ -256,11 +256,17 @@ object Multimodal {
    * anti-join a delete list, or semi-join the media table (exchange-free
    * when that table is bucketed by id, `writeBucketedBy`).
    */
-  def payloadDuplicateKeepIds(df: DataFrame, id: Column, payload: Column): DataFrame =
-    df.select(md5(payload).as("__mm_h"), id.as("__mm_id"))
+  def payloadDuplicateKeepIds(df: DataFrame, id: Column, payload: Column): DataFrame = {
+    val keyed = df.select(md5(payload).as("__mm_h"), id.as("__mm_id"))
+    // a null payload is "no payload", not a duplicate of every other null
+    // payload — null-hash rows all survive instead of collapsing to one
+    val winners = keyed.filter(col("__mm_h").isNotNull)
       .groupBy(col("__mm_h"))
       .agg(min(col("__mm_id")).as("keep_id"))
       .select(col("keep_id"))
+    winners.unionByName(
+      keyed.filter(col("__mm_h").isNull).select(col("__mm_id").as("keep_id")))
+  }
 
   /** Exact payload dedup applied: rows whose id wins [[payloadDuplicateKeepIds]].
     * The semi-join is the one place payload rows move — co-locate by

@@ -941,6 +941,13 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     val kept = Multimodal.dropExactPayloadDuplicates(rows, col("id"), col("payload"))
       .select("id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L, 5L))
+    // null payloads are "no payload", not duplicates of each other: all kept
+    val withNulls = Seq(
+      (1L, Array[Byte](1)), (2L, Array[Byte](1)),
+      (3L, null: Array[Byte]), (4L, null: Array[Byte])).toDF("id", "payload")
+    val keptNulls = Multimodal.dropExactPayloadDuplicates(
+      withNulls, col("id"), col("payload")).select("id").as[Long].collect().toSet
+    assert(keptNulls == Set(1L, 3L, 4L))
     // the keep-id decision aggregates (md5, id) pairs — the payload column
     // must be pruned before the aggregate's exchange
     val decision = Multimodal.payloadDuplicateKeepIds(rows, col("id"), col("payload"))
