@@ -19,7 +19,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Skew {
 
   /** Top-k heaviest values of `key`: `(key, cnt, share, rank)`, ranked by
-    * `(cnt desc, key asc)` — deterministic under ties. */
+    * `(cnt desc, key asc)` — deterministic under ties. Null keys report as
+    * one `(null)` row by design: every null lands in the same reducer of a
+    * groupBy (and silently vanishes from an inner join), so a heavy null
+    * key is exactly the kind of surprise this report exists to surface. */
   def keySkewReport(df: DataFrame, key: Column, k: Int = 10): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val counts = df.select(key.as("key")).groupBy(col("key"))
