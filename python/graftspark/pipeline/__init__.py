@@ -32,6 +32,7 @@ __all__ = [
     "keep_best_by_clusters",
     "deduplicate_minhash_clusters", "hash_sample", "stratified_hash_sample",
     "redact_pii", "redact_emails", "redact_ipv4", "redact_long_digits", "strip_html",
+    "fold_accents",
     "asof_join", "range_join", "with_session_index", "session_bounds",
     "split_by_hash", "gopher_filter",
     "top_k_per_group", "frequent_items", "profile_columns", "key_skew_report",
@@ -389,6 +390,13 @@ def gopher_filter(df: DataFrame, text: ColumnOrName,
         float(min_avg_token_len), float(max_avg_token_len),
         float(min_stopword_ratio), float(max_top_bigram_fraction))
     return DataFrame(jdf, df.sparkSession)
+
+
+def fold_accents(text: ColumnOrName) -> Column:
+    """Accent folding (NFD, drop combining marks, NFC recompose) — run
+    before fingerprints/shingles when diacritic variants should dedup
+    together. Undecomposable letters pass through unchanged."""
+    return _col_fn("foldAccents", _jcol(text))
 
 
 def strip_html(text: ColumnOrName) -> Column:

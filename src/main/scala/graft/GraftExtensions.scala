@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, Expression, Expr
   LessThan, Literal, Md5, RegExpReplace, Substring}
 import org.apache.spark.sql.types.{BinaryType, StringType}
 
-import graft.functions.{CanonicalizeText, ChunkTokens, CosineSimilarity, DeflateLength,
+import graft.functions.{CanonicalizeText, ChunkTokens, CosineSimilarity, DeflateLength, FoldAccents,
   DeletionVariants, DotProduct, HashedWordShingles, MinHashBandHashes, MinHashSignature,
   SimHash64, TokenStats, TokenizeAscii, TopNgramStats, WordShingles, WordShinglesAll}
 import graft.multimodal.{ByteEntropy, ByteNibbleHistogram, ImageDimsExpr, VideoInfoExpr, WavInfoExpr}
@@ -82,6 +82,10 @@ object GraftExtensions {
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     fn("tokenize_ascii", "tokenize_ascii(text) - lowercased [a-z0-9] tokens") { es =>
       arity("tokenize_ascii", es, 1); TokenizeAscii(es.head)
+    },
+    fn("fold_accents",
+      "fold_accents(text) - NFD, drop combining marks, NFC recompose") { es =>
+      arity("fold_accents", es, 1); FoldAccents(es.head)
     },
     fn("canonicalize_text",
       "canonicalize_text(text) - NFC + control strip + whitespace collapse + trim") { es =>

@@ -940,6 +940,14 @@ object SparkEntry {
           lit("</p><div>&quot;quoted&quot; &amp;amp; x &lt; y&#65;</div></body></html>")))
           .as("clean_text"))),
 
+    // accent folding: planted diacritics over every doc; NFD-drop-Mn must
+    // agree with DuckDB's strip_accents on the decomposable set
+    "fold_accents" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextFunctions.foldAccents(concat(col("text"),
+          lit(" café über niño ça čech à ö")))
+          .as("folded"))),
+
     "redact_pii" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         graft.text.Redact.redactPii(concat(
@@ -2257,6 +2265,10 @@ object SparkEntry {
         }
         s"SELECT doc_id, trim($chain) AS clean_text FROM documents"
       },
+
+      "fold_accents" ->
+        ("SELECT doc_id, strip_accents(text || ' café über niño ça čech à ö') " +
+          "AS folded FROM documents"),
 
       "redact_pii" ->
         ("SELECT doc_id, regexp_replace(" +

@@ -490,6 +490,33 @@ object VectorKernels extends Serializable {
   }
 
   /**
+   * Accent folding: NFD-decompose, drop every combining mark (Unicode
+   * category Mn), NFC-recompose — `café`/`café` -> `cafe`, `über` ->
+   * `uber`. ASCII fast path skips the Normalizer entirely. Characters
+   * without a decomposition (`ø`, `đ`, ligatures) pass through unchanged —
+   * this is mark REMOVAL, not transliteration, so the behavior is
+   * defined purely by the Unicode tables and reproducible anywhere.
+   */
+  def foldAccents(text: UTF8String): UTF8String = {
+    val bytes = text.getBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < bytes.length) { if (bytes(i) < 0) ascii = false; i += 1 }
+    if (ascii) return text
+    val s = text.toString
+    val nfd = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var j = 0
+    while (j < nfd.length) {
+      val c = nfd.charAt(j)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      j += 1
+    }
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFC))
+  }
+
+  /**
    * Single-pass ASCII tokenizer: lowercased maximal [a-z0-9] runs, matching
    * `split(lower(text), '[^a-z0-9]+')` token identity for all inputs —
    * multi-byte UTF8 separates, except the two lowercase-to-ASCII codepoints
@@ -1113,6 +1140,26 @@ case class CanonicalizeText(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class FoldAccents(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"fold_accents expects string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    VectorKernels.foldAccents(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorKernels.foldAccents($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class TokenizeAscii(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -1508,6 +1555,8 @@ case class MinHashBandHashes(child: Expression, bands: Int, rowsPerBand: Int)
 /** Column-facing wrappers. */
 object vectors {
   def canonicalize_text(text: Column): Column = CanonicalizeText(text.asExpression).asColumn
+
+  def fold_accents(text: Column): Column = FoldAccents(text.asExpression).asColumn
 
   def nearest_centroid_cosine(vec: Column, centroids: Array[Array[Float]]): Column =
     NearestCentroidCosine(vec.asExpression, centroids).asColumn

@@ -536,6 +536,8 @@ object PyBridge {
 
   def stripHtml(c: Column): Column = graft.text.Html.stripHtml(c)
 
+  def foldAccents(c: Column): Column = graft.text.TextFunctions.foldAccents(c)
+
   def redactEmails(c: Column, token: String): Column = graft.text.Redact.redactEmails(c, token)
 
   def redactIpv4(c: Column, token: String): Column = graft.text.Redact.redactIpv4(c, token)

@@ -28,6 +28,10 @@ object TextFunctions {
     * Exactly replicable by any engine with NFC + regex (the oracle does). */
   def canonicalizeText(c: Column): Column = graft.functions.vectors.canonicalize_text(c)
 
+  /** Accent folding (NFD, drop combining marks, NFC) — run before
+    * fingerprints/shingles when diacritic variants should dedup together. */
+  def foldAccents(c: Column): Column = graft.functions.vectors.fold_accents(c)
+
   /** Lowercase tokens of `c`, split on `pattern`, empties removed. The ASCII
     * pattern routes to a single-pass codegen'd kernel (identical tokens, no
     * regex, no interpreted HOF) — the hot path for corpus-scale scans. */

@@ -862,6 +862,18 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(keptIds == got.filter(_._2._2).keySet)
   }
 
+  test("foldAccents drops combining marks, keeps undecomposable letters, ASCII fast path") {
+    val got = Seq("Café ÜBER niño — ø straße", "plain ascii")
+      .toDF("t").select(TextFunctions.foldAccents(col("t")).as("f"))
+      .as[String].collect().toSeq
+    // ø has no decomposition (kept); ß is not a mark (kept); marks drop
+    assert(got == Seq("Cafe UBER nino — ø straße", "plain ascii"))
+    // SQL registration round-trips
+    graft.GraftExtensions.registerAll(spark)
+    val viaSql = spark.sql("SELECT fold_accents('élan') AS f").as[String].head()
+    assert(viaSql == "elan")
+  }
+
   test("stripHtml drops script/style/comments/tags and decodes entities in order") {
     val html = "<html><head><style>p{x}</style><script>var a='<p>';</script></head>" +
       "<body><!-- note --><h1>Title</h1><p>Hello&nbsp;&lt;world&gt; &quot;q&quot; " +
