@@ -171,6 +171,20 @@ object GraftExtensions {
                   else Redact.DefaultToken
       RegExpReplace(es.head, Literal(Redact.PiiPattern), Literal(token), Literal(1))
     },
+    fn("strip_html", "strip_html(text) - HTML-to-text extraction (RE2-safe regex chain)") { es =>
+      arity("strip_html", es, 1)
+      // the same ordered chain as graft.text.Html.stripHtml, as built-ins
+      import graft.text.Html
+      val steps: Seq[(String, String)] = Seq(
+        Html.ScriptStylePattern -> " ", Html.CommentPattern -> " ",
+        Html.TagPattern -> " ", "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+        "&quot;" -> "\"", "&apos;" -> "'", Html.NumericEntityPattern -> " ",
+        "&amp;" -> "&", Html.WhitespacePattern -> " ")
+      val chained = steps.foldLeft(es.head) { case (acc, (pat, rep)) =>
+        RegExpReplace(acc, Literal(pat), Literal(rep), Literal(1))
+      }
+      org.apache.spark.sql.catalyst.expressions.StringTrim(chained)
+    },
     fn("hash_sample_keep",
       "hash_sample_keep(key, rate[, salt]) - deterministic sampling keep-predicate") { es =>
       arity("hash_sample_keep", es, 2, 3)

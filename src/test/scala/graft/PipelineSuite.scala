@@ -872,6 +872,12 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     graft.GraftExtensions.registerAll(spark)
     val viaSql = spark.sql("SELECT fold_accents('élan') AS f").as[String].head()
     assert(viaSql == "elan")
+    // strip_html registers too, and the SQL expression equals the Column API
+    val html = "<p>Hi&nbsp;&amp; <b>bye</b></p>"
+    val viaSqlHtml = spark.sql(s"SELECT strip_html('$html') AS c").as[String].head()
+    val viaCol = Seq(html).toDF("t")
+      .select(graft.text.Html.stripHtml(col("t")).as("c")).as[String].head()
+    assert(viaSqlHtml == viaCol && viaCol == "Hi & bye")
   }
 
   test("stripHtml drops script/style/comments/tags and decodes entities in order") {
