@@ -770,6 +770,39 @@ object VectorKernels extends Serializable {
   }
 
   /**
+   * Per-document md5-bucket feature histogram: `counts[256]` over exactly
+   * the token + (optional) bigram occurrence stream [[hashedLinearScore]]
+   * scores — the DSIR-fit aggregation input, fused so the fit never
+   * explodes feature STRINGS or re-hashes them in Column algebra (one
+   * thread-local MessageDigest per feature vs cast+md5+conv+substring per
+   * exploded row).
+   */
+  def md5BucketCounts(text: UTF8String, bigrams: Boolean): Array[Long] = {
+    val toks = tokenizeAscii(text)
+    val counts = new Array[Long](256)
+    var i = 0
+    while (i < toks.length) {
+      val b = toks(i).getBytes
+      counts(md5Bucket(b, 0, b.length)) += 1
+      i += 1
+    }
+    if (bigrams && toks.length >= 2) {
+      i = 0
+      while (i < toks.length - 1) {
+        val a = toks(i).getBytes
+        val b = toks(i + 1).getBytes
+        val joined = new Array[Byte](a.length + 1 + b.length)
+        System.arraycopy(a, 0, joined, 0, a.length)
+        joined(a.length) = ' '
+        System.arraycopy(b, 0, joined, a.length + 1, b.length)
+        counts(md5Bucket(joined, 0, joined.length)) += 1
+        i += 1
+      }
+    }
+    counts
+  }
+
+  /**
    * Hashing-trick linear-classifier logit (fasttext-style quality filter
    * inference): `Σ weights[bucket(feature)]` over the document's lowercase
    * tokens and (optionally) space-joined bigrams, one fused pass. Integer
@@ -1135,6 +1168,28 @@ case class CanonicalizeText(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       a => s"graft.functions.VectorKernels.canonicalizeText($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class Md5BucketCounts(child: Expression, bigrams: Boolean) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"md5_bucket_counts expects string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.md5BucketCounts(text.asInstanceOf[UTF8String], bigrams))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorKernels.md5BucketCounts($a, $bigrams))")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -1557,6 +1612,9 @@ object vectors {
   def canonicalize_text(text: Column): Column = CanonicalizeText(text.asExpression).asColumn
 
   def fold_accents(text: Column): Column = FoldAccents(text.asExpression).asColumn
+
+  def md5_bucket_counts(text: Column, bigrams: Boolean = true): Column =
+    Md5BucketCounts(text.asExpression, bigrams).asColumn
 
   def nearest_centroid_cosine(vec: Column, centroids: Array[Array[Float]]): Column =
     NearestCentroidCosine(vec.asExpression, centroids).asColumn

@@ -43,12 +43,6 @@ object Dsir {
 
   val Buckets = 256
 
-  /** md5-first-byte bucket of a feature string, in Column algebra —
-    * provably the kernel's `md5Bucket` (first two hex chars of the digest
-    * of the UTF-8 bytes). */
-  private def md5Bucket(g: Column): Column =
-    conv(substring(md5(g.cast("binary")), 1, 2), 16, 10).cast("int")
-
   /** floor(log2(c)) for a positive BIGINT column, integer-exact. */
   private def floorLog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
 
@@ -57,15 +51,18 @@ object Dsir {
    * over exactly the feature stream the scoring kernel sees (tokens with
    * multiplicity, plus space-joined bigrams when `bigrams`). Buckets with
    * no occurrences are absent (the weight fit re-adds them with count 0).
+   *
+   * One fused kernel pass per document builds its 256-bucket histogram
+   * ([[graft.functions.Md5BucketCounts]] — thread-local MessageDigest per
+   * feature), so the plan explodes 256 small long pairs per doc instead of
+   * every feature STRING, and nothing re-hashes in Column algebra. The
+   * map-side-combined aggregate still sends <= 256 rows per task.
    */
-  def bucketCounts(docs: DataFrame, text: Column, bigrams: Boolean = true): DataFrame = {
-    val toks = docs.select(explode(vectors.tokenize_ascii(text)).as("g"))
-    val feats =
-      if (bigrams) toks.unionAll(docs.select(explode(vectors.word_shingles_all(text, 2)).as("g")))
-      else toks
-    feats.select(md5Bucket(col("g")).as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
-  }
+  def bucketCounts(docs: DataFrame, text: Column, bigrams: Boolean = true): DataFrame =
+    docs.select(posexplode(vectors.md5_bucket_counts(text, bigrams))
+        .as(Seq("bucket", "cnt")))
+      .filter(col("cnt") > 0)
+      .groupBy("bucket").agg(sum(col("cnt")).as("cnt"))
 
   /**
    * The fitted 256-row weight table: `(bucket, target_cnt, raw_cnt,
