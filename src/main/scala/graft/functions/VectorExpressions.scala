@@ -777,13 +777,23 @@ object VectorKernels extends Serializable {
    * thread-local MessageDigest per feature vs cast+md5+conv+substring per
    * exploded row).
    */
-  def md5BucketCounts(text: UTF8String, bigrams: Boolean): Array[Long] = {
+  def md5BucketCounts(text: UTF8String, bigrams: Boolean): Array[Long] =
+    featureBucketCounts(text, bigrams, portableHash = true)
+
+  /** [[md5BucketCounts]] generalized over the bucketing family: portable
+    * md5 first byte, or the production [[hash64]]&0xFF — EXACTLY the two
+    * bucketings [[hashedLinearScore]] scores under, so a fit under either
+    * family is consistent with inference under the same family. */
+  def featureBucketCounts(text: UTF8String, bigrams: Boolean,
+                          portableHash: Boolean): Array[Long] = {
     val toks = tokenizeAscii(text)
+    @inline def bucket(b: Array[Byte]): Int =
+      if (portableHash) md5Bucket(b, 0, b.length)
+      else (hash64(UTF8String.fromBytes(b)) & 0xFF).toInt
     val counts = new Array[Long](256)
     var i = 0
     while (i < toks.length) {
-      val b = toks(i).getBytes
-      counts(md5Bucket(b, 0, b.length)) += 1
+      counts(bucket(toks(i).getBytes)) += 1
       i += 1
     }
     if (bigrams && toks.length >= 2) {
@@ -795,7 +805,7 @@ object VectorKernels extends Serializable {
         System.arraycopy(a, 0, joined, 0, a.length)
         joined(a.length) = ' '
         System.arraycopy(b, 0, joined, a.length + 1, b.length)
-        counts(md5Bucket(joined, 0, joined.length)) += 1
+        counts(bucket(joined)) += 1
         i += 1
       }
     }
@@ -1173,7 +1183,8 @@ case class CanonicalizeText(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-case class Md5BucketCounts(child: Expression, bigrams: Boolean) extends UnaryExpression {
+case class Md5BucketCounts(child: Expression, bigrams: Boolean,
+                           portableHash: Boolean = true) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
@@ -1184,12 +1195,13 @@ case class Md5BucketCounts(child: Expression, bigrams: Boolean) extends UnaryExp
 
   override def nullSafeEval(text: Any): Any =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      VectorKernels.md5BucketCounts(text.asInstanceOf[UTF8String], bigrams))
+      VectorKernels.featureBucketCounts(text.asInstanceOf[UTF8String], bigrams,
+        portableHash))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       a => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.functions.VectorKernels.md5BucketCounts($a, $bigrams))")
+        s"graft.functions.VectorKernels.featureBucketCounts($a, $bigrams, $portableHash))")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -1615,6 +1627,9 @@ object vectors {
 
   def md5_bucket_counts(text: Column, bigrams: Boolean = true): Column =
     Md5BucketCounts(text.asExpression, bigrams).asColumn
+
+  def feature_bucket_counts(text: Column, bigrams: Boolean, portableHash: Boolean): Column =
+    Md5BucketCounts(text.asExpression, bigrams, portableHash).asColumn
 
   def nearest_centroid_cosine(vec: Column, centroids: Array[Array[Float]]): Column =
     NearestCentroidCosine(vec.asExpression, centroids).asColumn

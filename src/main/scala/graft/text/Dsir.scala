@@ -25,6 +25,10 @@ import org.apache.spark.sql.{Column, DataFrame}
  *    bits(rTot)` is a small exact integer (within 1 bit per term of the
  *    true log2 ratio — the same fidelity/robustness trade as
  *    [[LanguageModel.scoreBits]]);
+ *  - fit and inference share ONE bucketing family: portable md5 (the
+ *    oracle-checkable default) or the production `hash64`&0xFF fast path
+ *    (`portableHash = false` on BOTH fit and score — the classifier's
+ *    measured-2.8x-faster bucketing);
  *  - a document's importance score is then the INTEGER-weighted feature
  *    sum — one fused codegen'd kernel pass per document next to the scan
  *    (no explode, no shuffle, no UDF), i.e. DSIR inference IS
@@ -58,8 +62,9 @@ object Dsir {
    * every feature STRING, and nothing re-hashes in Column algebra. The
    * map-side-combined aggregate still sends <= 256 rows per task.
    */
-  def bucketCounts(docs: DataFrame, text: Column, bigrams: Boolean = true): DataFrame =
-    docs.select(posexplode(vectors.md5_bucket_counts(text, bigrams))
+  def bucketCounts(docs: DataFrame, text: Column, bigrams: Boolean = true,
+                   portableHash: Boolean = true): DataFrame =
+    docs.select(posexplode(vectors.feature_bucket_counts(text, bigrams, portableHash))
         .as(Seq("bucket", "cnt")))
       .filter(col("cnt") > 0)
       .groupBy("bucket").agg(sum(col("cnt")).as("cnt"))
@@ -75,11 +80,14 @@ object Dsir {
   def weightTable(
       target: DataFrame, raw: DataFrame,
       targetText: Column, rawText: Column,
-      bigrams: Boolean = true): DataFrame = {
+      bigrams: Boolean = true,
+      portableHash: Boolean = true): DataFrame = {
     val spark = target.sparkSession
     val all = spark.range(Buckets).select(col("id").cast("int").as("bucket"))
-    val t = bucketCounts(target, targetText, bigrams).withColumnRenamed("cnt", "__t")
-    val r = bucketCounts(raw, rawText, bigrams).withColumnRenamed("cnt", "__r")
+    val t = bucketCounts(target, targetText, bigrams, portableHash)
+      .withColumnRenamed("cnt", "__t")
+    val r = bucketCounts(raw, rawText, bigrams, portableHash)
+      .withColumnRenamed("cnt", "__r")
     val joined = all.join(t, Seq("bucket"), "left").join(r, Seq("bucket"), "left")
       .select(col("bucket"),
         coalesce(col("__t"), lit(0L)).as("target_cnt"),
@@ -100,9 +108,10 @@ object Dsir {
   def fitWeights(
       target: DataFrame, raw: DataFrame,
       targetText: Column, rawText: Column,
-      bigrams: Boolean = true): Array[Int] = {
+      bigrams: Boolean = true,
+      portableHash: Boolean = true): Array[Int] = {
     val w = new Array[Int](Buckets)
-    weightTable(target, raw, targetText, rawText, bigrams)
+    weightTable(target, raw, targetText, rawText, bigrams, portableHash)
       .select(col("bucket"), col("weight"))
       .collect()
       .foreach(row => w(row.getInt(0)) = row.getLong(1).toInt)
@@ -112,16 +121,17 @@ object Dsir {
   /** Original columns + exact-BIGINT `dsir_score` from one fused kernel
     * pass (narrow, streaming-legal). */
   def score(df: DataFrame, text: Column, weights: Array[Int],
-            bigrams: Boolean = true): DataFrame =
+            bigrams: Boolean = true, portableHash: Boolean = true): DataFrame =
     df.withColumn("dsir_score",
-      vectors.hashed_linear_score(text, weights, bigrams, portableHash = true))
+      vectors.hashed_linear_score(text, weights, bigrams, portableHash))
 
   /** The `n` most target-like documents, deterministically: top-n by
     * `(dsir_score desc, id asc)` — plans TakeOrderedAndProject (bounded k,
     * per-partition heads, no global sort). */
   def selectTop(df: DataFrame, id: Column, text: Column, weights: Array[Int],
-                n: Int, bigrams: Boolean = true): DataFrame =
-    score(df, text, weights, bigrams)
+                n: Int, bigrams: Boolean = true,
+                portableHash: Boolean = true): DataFrame =
+    score(df, text, weights, bigrams, portableHash)
       .orderBy(col("dsir_score").desc, id.asc)
       .limit(n)
 }

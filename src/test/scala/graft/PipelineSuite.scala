@@ -1043,6 +1043,35 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(wt.select("weight").distinct().as[Long].collect().toSeq == Seq(0L))
   }
 
+  test("DSIR: production xxhash bucketing — fit and inference agree, same selection") {
+    val target = Seq("alpha beta gamma alpha beta", "beta gamma alpha")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val raw = Seq(
+      (10L, "alpha beta gamma beta"), (11L, "zeta eta theta eta"),
+      (12L, "gamma alpha beta alpha"), (13L, "theta zeta eta zeta"))
+      .toDF("id", "text")
+    // xx fit counts equal a local model over the hash64 bucketing
+    val counts = graft.text.Dsir.bucketCounts(raw, col("text"), bigrams = true,
+      portableHash = false).as[(Int, Long)].collect().toMap
+    val local = new Array[Long](256)
+    Seq("alpha beta gamma beta", "zeta eta theta eta",
+      "gamma alpha beta alpha", "theta zeta eta zeta").foreach { t =>
+      val toks = t.split(" ").toSeq
+      (toks ++ toks.sliding(2).map(_.mkString(" "))).foreach { g =>
+        local((graft.functions.VectorKernels.hash64(
+          org.apache.spark.unsafe.types.UTF8String.fromString(g)) & 0xFF).toInt) += 1
+      }
+    }
+    (0 until 256).foreach(b => assert(counts.getOrElse(b, 0L) == local(b), s"bucket $b"))
+    // end-to-end under the fast path: the clear-cut fixture selects the
+    // same target-like docs as the portable path
+    val wXx = graft.text.Dsir.fitWeights(target, raw, col("text"), col("text"),
+      portableHash = false)
+    val topXx = graft.text.Dsir.selectTop(raw, col("id"), col("text"), wXx,
+      n = 2, portableHash = false).select("id").as[Long].collect().toSet
+    assert(topXx == Set(10L, 12L))
+  }
+
   test("DSIR: selectTop ranks target-like docs first, plans TakeOrderedAndProject") {
     val target = Seq("alpha beta gamma alpha beta", "beta gamma alpha")
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
