@@ -545,30 +545,35 @@ def dsir_weight_table(target: DataFrame, raw: DataFrame,
 
 def dsir_fit_weights(target: DataFrame, raw: DataFrame,
                      target_text: ColumnOrName, raw_text: ColumnOrName,
-                     bigrams: bool = True) -> List[int]:
+                     bigrams: bool = True, portable_hash: bool = True) -> List[int]:
     """The fitted 256-int weight vector (bounded driver collect), ready for
-    dsir_score / dsir_select_top / classifier_score."""
+    dsir_score / dsir_select_top / classifier_score. portable_hash=False
+    fits under the faster hash64 production bucketing — score with the
+    same setting."""
     return [int(w) for w in _bridge(target).dsirFitWeights(
-        target._jdf, raw._jdf, _jcol(target_text), _jcol(raw_text), bool(bigrams))]
+        target._jdf, raw._jdf, _jcol(target_text), _jcol(raw_text),
+        bool(bigrams), bool(portable_hash))]
 
 
 def dsir_score(df: DataFrame, text: ColumnOrName, weights: List[int],
-               bigrams: bool = True) -> DataFrame:
+               bigrams: bool = True, portable_hash: bool = True) -> DataFrame:
     """Adds exact-BIGINT `dsir_score` from one fused kernel pass (narrow,
-    streaming-legal)."""
+    streaming-legal). Use the same portable_hash the weights were fit
+    under."""
     jdf = _bridge(df).dsirScore(df._jdf, _jcol(text),
-                                [int(w) for w in weights], bool(bigrams))
+                                [int(w) for w in weights], bool(bigrams),
+                                bool(portable_hash))
     return DataFrame(jdf, df.sparkSession)
 
 
 def dsir_select_top(df: DataFrame, id: ColumnOrName, text: ColumnOrName,
-                    weights: List[int], n: int,
-                    bigrams: bool = True) -> DataFrame:
+                    weights: List[int], n: int, bigrams: bool = True,
+                    portable_hash: bool = True) -> DataFrame:
     """The n most target-like documents, deterministically (score desc,
     id asc) — plans TakeOrderedAndProject, never a global sort."""
     jdf = _bridge(df).dsirSelectTop(df._jdf, _jcol(id), _jcol(text),
                                     [int(w) for w in weights], int(n),
-                                    bool(bigrams))
+                                    bool(bigrams), bool(portable_hash))
     return DataFrame(jdf, df.sparkSession)
 
 

@@ -392,19 +392,20 @@ object PyBridge {
 
   def dsirFitWeights(target: DataFrame, raw: DataFrame,
                      targetText: Column, rawText: Column,
-                     bigrams: Boolean): JList[Integer] =
-    graft.text.Dsir.fitWeights(target, raw, targetText, rawText, bigrams)
-      .map(Integer.valueOf).toSeq.asJava
+                     bigrams: Boolean, portableHash: Boolean): JList[Integer] =
+    graft.text.Dsir.fitWeights(target, raw, targetText, rawText, bigrams,
+      portableHash).map(Integer.valueOf).toSeq.asJava
 
   def dsirScore(df: DataFrame, text: Column, weights: JList[Integer],
-                bigrams: Boolean): DataFrame =
+                bigrams: Boolean, portableHash: Boolean): DataFrame =
     graft.text.Dsir.score(df, text,
-      weights.asScala.map(_.intValue()).toArray, bigrams)
+      weights.asScala.map(_.intValue()).toArray, bigrams, portableHash)
 
   def dsirSelectTop(df: DataFrame, id: Column, text: Column,
-                    weights: JList[Integer], n: Int, bigrams: Boolean): DataFrame =
+                    weights: JList[Integer], n: Int, bigrams: Boolean,
+                    portableHash: Boolean): DataFrame =
     graft.text.Dsir.selectTop(df, id, text,
-      weights.asScala.map(_.intValue()).toArray, n, bigrams)
+      weights.asScala.map(_.intValue()).toArray, n, bigrams, portableHash)
 
   def dropExactPayloadDuplicates(df: DataFrame, id: Column, payload: Column): DataFrame =
     graft.multimodal.Multimodal.dropExactPayloadDuplicates(df, id, payload)
