@@ -249,7 +249,7 @@ def deduplicate_minhash(df: DataFrame, id_col: ColumnOrName, text: ColumnOrName,
     return DataFrame(jdf, df.sparkSession)
 
 
-def curate(df: DataFrame, id_col: ColumnOrName, text: ColumnOrName,
+def curate(df: DataFrame, id_col: ColumnOrName, text: ColumnOrName, *,
            keep_langs: List[str] = ("en",),
            min_tokens: int = 50, max_tokens: int = 100000,
            min_avg_token_len: float = 3.0, max_avg_token_len: float = 10.0,
@@ -261,7 +261,8 @@ def curate(df: DataFrame, id_col: ColumnOrName, text: ColumnOrName,
            bands: int = 16, rows_per_band: int = 8,
            blocklist: DataFrame = None, blocklist_text: ColumnOrName = None,
            blocklist_shingle_size: int = 5, min_overlap: int = 1,
-           sample_rate: float = 1.0, sample_salt: str = "graft"):
+           sample_rate: float = 1.0, sample_salt: str = "graft",
+           dsir_portable_hash: bool = True):
     """End-to-end curation pass (langid -> quality -> classifier -> exact
     dedup -> minhash near-dup -> decontaminate -> hash sample). Returns
     (curated, report): curated keeps all original columns; report is one
@@ -269,7 +270,11 @@ def curate(df: DataFrame, id_col: ColumnOrName, text: ColumnOrName,
     keep_langs=[] to skip language filtering, classifier_weights=None to
     skip the model filter, dsir_weights=None to skip the DSIR
     target-likeness filter, blocklist=None to skip decontamination,
-    sample_rate=1.0 to skip sampling."""
+    sample_rate=1.0 to skip sampling. dsir_portable_hash must match the
+    setting the DSIR weights were fitted under (dsir_fit_weights) —
+    scoring under the wrong bucket family silently misfilters. All
+    configuration parameters are keyword-only so signature growth can
+    never silently shift a positional call."""
     sess = df.sparkSession
     jarr = _bridge(df).curate(
         df._jdf, _jcol(id_col), _jcol(text), list(keep_langs),
@@ -284,7 +289,7 @@ def curate(df: DataFrame, id_col: ColumnOrName, text: ColumnOrName,
         blocklist._jdf if blocklist is not None else None,
         _jcol(blocklist_text if blocklist_text is not None else text),
         int(blocklist_shingle_size), int(min_overlap),
-        float(sample_rate), sample_salt)
+        float(sample_rate), sample_salt, bool(dsir_portable_hash))
     return DataFrame(jarr[0], sess), DataFrame(jarr[1], sess)
 
 
@@ -534,12 +539,16 @@ def classifier_score(df: DataFrame, text: ColumnOrName, weights: List[int],
 
 def dsir_weight_table(target: DataFrame, raw: DataFrame,
                       target_text: ColumnOrName, raw_text: ColumnOrName,
-                      bigrams: bool = True) -> DataFrame:
+                      bigrams: bool = True, portable_hash: bool = True) -> DataFrame:
     """DSIR importance-resampling fit (Xie et al. 2023): the 256-row
     (bucket, target_cnt, raw_cnt, weight) table of integer floor-log2
-    likelihood-ratio weights over md5-bucketed token+bigram features."""
+    likelihood-ratio weights over hash-bucketed token+bigram features.
+    portable_hash=True buckets by the md5 first byte (engine-portable),
+    False by the faster xxhash64 production bucketing — same knob as
+    dsir_fit_weights, so either fit can be inspected as a table."""
     jdf = _bridge(target).dsirWeightTable(
-        target._jdf, raw._jdf, _jcol(target_text), _jcol(raw_text), bool(bigrams))
+        target._jdf, raw._jdf, _jcol(target_text), _jcol(raw_text),
+        bool(bigrams), bool(portable_hash))
     return DataFrame(jdf, target.sparkSession)
 
 

@@ -1,7 +1,8 @@
 package graft.agg
 
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
 
 /**
  * Data-quality expectations — declarative checks over a table, evaluated in
@@ -36,6 +37,21 @@ object Checks {
     case class Unique(column: String) extends Check
   }
 
+  /** InRange violation predicate in the column's exact type family. A
+    * BIGINT compared through a double cast silently rounds values beyond
+    * 2^53 (9007199254740993 would "pass" a [0, 2^53] range), so integral
+    * and decimal columns compare against DECIMAL literals — Spark's
+    * comparison coercion widens both sides to an exact common decimal, no
+    * lossy cast. Float/double columns (and anything else) keep the double
+    * path: they ARE doubles, nothing to lose. */
+  private def rangeViolation(dt: DataType, c: Column, lo: Double, hi: Double): Column =
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | _: DecimalType =>
+        c < lit(java.math.BigDecimal.valueOf(lo)) || c > lit(java.math.BigDecimal.valueOf(hi))
+      case _ =>
+        c.cast("double") < lo || c.cast("double") > hi
+    }
+
   /**
    * Streaming contract monitoring: attach the SCALAR rules (everything but
    * [[Check.Unique]], which needs cross-batch distinctness) to a streaming
@@ -61,7 +77,7 @@ object Checks {
           (frac, frac <= maxFrac)
         case InRange(col0, lo, hi) =>
           val bad = count(when(col(col0).isNotNull &&
-            (col(col0).cast("double") < lo || col(col0).cast("double") > hi), lit(1)))
+            rangeViolation(stream.schema(col0).dataType, col(col0), lo, hi), lit(1)))
           (bad.cast("double"), bad === 0L)
         case MatchesRegex(col0, p, minFrac) =>
           val nn = count(when(col(col0).isNotNull, lit(1)))
@@ -88,7 +104,7 @@ object Checks {
         Seq(count(when(col(c).isNull, lit(1))).as(s"__a$i"))
       case (InRange(c, lo, hi), i) =>
         Seq(count(when(col(c).isNotNull &&
-          (col(c).cast("double") < lo || col(c).cast("double") > hi), lit(1))).as(s"__a$i"))
+          rangeViolation(df.schema(c).dataType, col(c), lo, hi), lit(1))).as(s"__a$i"))
       case (MatchesRegex(c, p, _), i) =>
         Seq(count(when(col(c).isNotNull, lit(1))).as(s"__a${i}n"),
           count(when(col(c).isNotNull && col(c).rlike(p), lit(1))).as(s"__a$i"))

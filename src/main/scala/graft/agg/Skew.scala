@@ -19,7 +19,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Skew {
 
   /** Top-k heaviest values of `key`: `(key, cnt, share, rank)`, ranked by
-    * `(cnt desc, key asc)` — deterministic under ties. Null keys report as
+    * `(cnt desc, key asc NULLS LAST)` — deterministic under ties. The
+    * NULLS LAST is load-bearing: Spark's plain `asc` sorts nulls FIRST
+    * while most SQL engines (DuckDB, Postgres) default to NULLS LAST, so a
+    * null key tying with a real key at the top-k boundary would otherwise
+    * report a different key set per engine. Null keys report as
     * one `(null)` row by design: every null lands in the same reducer of a
     * groupBy (and silently vanishes from an inner join), so a heavy null
     * key is exactly the kind of surprise this report exists to surface. */
@@ -29,12 +33,12 @@ object Skew {
       .agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("__total"))
     counts.crossJoin(broadcast(total))
-      .orderBy(col("cnt").desc, col("key").asc)
+      .orderBy(col("cnt").desc, col("key").asc_nulls_last)
       .limit(k)
       .withColumn("share", col("cnt").cast("double") / col("__total").cast("double"))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .orderBy(col("cnt").desc, col("key").asc)))
+          .orderBy(col("cnt").desc, col("key").asc_nulls_last)))
       .select(col("key"), col("cnt"), col("share"), col("rank"))
   }
 }

@@ -53,6 +53,14 @@ object Curation {
    * `dsirWeights = None` skips the DSIR target-likeness filter,
    * `blocklist = None` skips decontamination, `sampleRate = 1.0` skips
    * sampling.
+   *
+   * `dsirPortableHash` MUST match the setting the DSIR weights were fitted
+   * under ([[graft.text.Dsir.fitWeights]]): `true` for the portable md5
+   * bucketing (the default on both sides), `false` for the faster xxhash64
+   * production bucketing. Scoring under the wrong bucket family silently
+   * keeps/drops the wrong documents. New parameters append at the END of
+   * this signature (never mid-list) so existing positional callers keep
+   * meaning what they meant; prefer named arguments regardless.
    */
   def curate(
       docs: DataFrame, id: Column, text: Column,
@@ -69,7 +77,8 @@ object Curation {
       blocklistShingleSize: Int = 5, minOverlap: Int = 1,
       sampleRate: Double = 1.0, sampleSalt: String = "graft",
       storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
-      unpersistHandle: UnpersistHandle = UnpersistHandle.Noop): (DataFrame, DataFrame) = {
+      unpersistHandle: UnpersistHandle = UnpersistHandle.Noop,
+      dsirPortableHash: Boolean = true): (DataFrame, DataFrame) = {
     require(sampleRate > 0.0 && sampleRate <= 1.0, s"sampleRate must be in (0, 1]: $sampleRate")
 
     val spark = docs.sparkSession
@@ -106,7 +115,8 @@ object Curation {
     // column in the same leading aggregate pass
     val dsirKeep: Column = dsirWeights match {
       case Some(w) =>
-        graft.functions.vectors.hashed_linear_score(text, w) >= dsirThreshold
+        graft.functions.vectors.hashed_linear_score(
+          text, w, portableHash = dsirPortableHash) >= dsirThreshold
       case None => lit(true)
     }
     val head = docs.agg(

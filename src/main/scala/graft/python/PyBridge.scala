@@ -240,7 +240,8 @@ object PyBridge {
              minHashThreshold: Double, shingleSize: Int, bands: Int, rowsPerBand: Int,
              blocklist: DataFrame, blocklistText: Column,
              blocklistShingleSize: Int, minOverlap: Int,
-             sampleRate: Double, sampleSalt: String): Array[DataFrame] = {
+             sampleRate: Double, sampleSalt: String,
+             dsirPortableHash: Boolean): Array[DataFrame] = {
     val handle = UnpersistHandle()
     val (curated, report) = graft.pipeline.Curation.curate(
       df, id, text, keepLangs.asScala.toSet,
@@ -253,7 +254,7 @@ object PyBridge {
       bands = bands, rowsPerBand = rowsPerBand,
       Option(blocklist).map(b => (b, blocklistText)),
       blocklistShingleSize, minOverlap, sampleRate, sampleSalt,
-      unpersistHandle = handle)
+      unpersistHandle = handle, dsirPortableHash = dsirPortableHash)
     // pin the curated rows past the unpersist so the Python caller's plan
     // does not recompute the whole pipeline per action
     val pinned = curated.localCheckpoint(true)
@@ -387,8 +388,9 @@ object PyBridge {
 
   def dsirWeightTable(target: DataFrame, raw: DataFrame,
                       targetText: Column, rawText: Column,
-                      bigrams: Boolean): DataFrame =
-    graft.text.Dsir.weightTable(target, raw, targetText, rawText, bigrams)
+                      bigrams: Boolean, portableHash: Boolean): DataFrame =
+    graft.text.Dsir.weightTable(target, raw, targetText, rawText, bigrams,
+      portableHash)
 
   def dsirFitWeights(target: DataFrame, raw: DataFrame,
                      targetText: Column, rawText: Column,

@@ -63,7 +63,8 @@ object StreamingCurate {
       blocklist: Option[(DataFrame, Column)] = None,
       blocklistShingleSize: Int = 5, minOverlap: Int = 1,
       sampleRate: Double = 1.0, sampleSalt: String = "graft",
-      observationName: Option[String] = None): DataFrame = {
+      observationName: Option[String] = None,
+      dsirPortableHash: Boolean = true): DataFrame = {
     require(stream.isStreaming, "curateStream expects a streaming DataFrame; " +
       "use Curation.curate for batch frames (same stages plus near-dup dedup)")
     require(sampleRate > 0.0 && sampleRate <= 1.0, s"sampleRate must be in (0, 1]: $sampleRate")
@@ -84,9 +85,12 @@ object StreamingCurate {
         graft.text.Classifier.logit(text, w, classifierBias) >= classifierThreshold
       case None => lit(true)
     }
+    // dsirPortableHash must match the weights' fit setting (Dsir.fitWeights)
+    // — scoring under the wrong bucket family silently misfilters
     val dsirKeep: Column = dsirWeights match {
       case Some(w) =>
-        graft.functions.vectors.hashed_linear_score(text, w) >= dsirThreshold
+        graft.functions.vectors.hashed_linear_score(
+          text, w, portableHash = dsirPortableHash) >= dsirThreshold
       case None => lit(true)
     }
     val decontKeep: Column = blocklist match {

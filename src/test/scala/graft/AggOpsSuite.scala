@@ -100,6 +100,45 @@ class AggOpsSuite extends AnyFunSuite with SparkTest {
     assert(r2 == Seq(("not_null", 0.0, true), ("min_rows", 0.0, false), ("unique", 0.0, true)))
   }
 
+  test("Checks InRange is exact beyond 2^53 for integral columns") {
+    import graft.agg.Checks
+    import graft.agg.Checks.Check._
+    // 2^53 + 1 rounds DOWN to 2^53 as a double, so a double-cast comparison
+    // would wrongly pass it against an upper bound of 2^53; the native
+    // decimal comparison must flag exactly the two out-of-range rows
+    val p53 = 9007199254740992L // 2^53
+    val df = Seq(p53 - 1, p53, p53 + 1, -(p53 + 1)).toDF("v")
+    val got = Checks.run(df, Seq(InRange("v", -p53.toDouble, p53.toDouble)))
+      .select("metric", "pass").as[(Double, Boolean)].collect().toSeq
+    assert(got == Seq((2.0, false)))
+    // same rule through the observe path (shares rangeViolation, but pin it)
+    val obs = Checks.observeChecks(df, "obs53", Seq(InRange("v", -p53.toDouble, p53.toDouble)))
+    val row = obs.select(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))).head()
+    assert(row.getLong(0) == 4L) // observe attached without breaking the plan
+    // float columns keep the double path (they ARE doubles - nothing to lose)
+    val fdf = Seq(0.5, 1.5).toDF("v")
+    val fgot = Checks.run(fdf, Seq(InRange("v", 0.0, 1.0)))
+      .select("metric", "pass").as[(Double, Boolean)].collect().toSeq
+    assert(fgot == Seq((1.0, false)))
+  }
+
+  test("keySkewReport sorts null keys last at the top-k boundary") {
+    // 3x "a", 2x null, 2x "" : null ties with "" at cnt=2; NULLS LAST must
+    // put "" in the k=2 report (Spark's plain asc would pick null first,
+    // diverging from engines that default to NULLS LAST)
+    val df = (Seq.fill(3)(Some("a")) ++ Seq.fill(2)(None) ++ Seq.fill(2)(Some("")))
+      .toDF("k")
+    val got = graft.agg.Skew.keySkewReport(df, col("k"), k = 2)
+      .select("key", "cnt", "rank").as[(String, Long, Int)].collect().toSeq
+    assert(got == Seq(("a", 3L, 1), ("", 2L, 2)))
+    // with k=3 the null row itself must still surface (heavy nulls are the
+    // point of the report)
+    val got3 = graft.agg.Skew.keySkewReport(df, col("k"), k = 3)
+      .select("key", "cnt", "rank").as[(String, Long, Int)].collect().toSeq
+    assert(got3 == Seq(("a", 3L, 1), ("", 2L, 2), (null, 2L, 3)))
+  }
+
   test("keySkewReport ranks heavy keys with exact shares, top-k is bounded") {
     // 6x "a", 3x "b", 1x "c": shares 0.6 / 0.3 / 0.1
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")

@@ -340,6 +340,36 @@ class CurationSuite extends AnyFunSuite with SparkTest {
     handle.unpersist()
   }
 
+  test("curate DSIR stage honors the xxhash production bucket family") {
+    val docs = curationDocs
+    val target = docs.limit(2).select(col("id"), col("text"))
+    // fit under the xxhash production bucketing; curate must score under the
+    // SAME family when told so - the stage count equals the manual
+    // portableHash=false score filter, which differs from the md5-family
+    // count on this corpus (guarding against a silent family mismatch)
+    val wX = graft.text.Dsir.fitWeights(target, docs, col("text"), col("text"),
+      portableHash = false)
+    val handle = UnpersistHandle()
+    val (_, report) = graft.pipeline.Curation.curate(
+      docs, col("id"), col("text"),
+      keepLangs = Set.empty,
+      minTokens = 1, maxTokens = 1000, minAvgTokenLen = 1.0, maxAvgTokenLen = 10.0,
+      minStopwordRatio = 0.0, maxTopBigramFraction = 1.0,
+      dsirWeights = Some(wX), dsirThreshold = 1L,
+      unpersistHandle = handle, dsirPortableHash = false)
+    val counts = report.as[(String, Long)].collect().toMap
+    val expected = graft.text.Dsir.score(docs, col("text"), wX, portableHash = false)
+      .filter(col("dsir_score") >= 1L).count()
+    assert(counts("2c_dsir") == expected)
+    // scoring xxhash-fitted weights under md5 is a DIFFERENT decision on
+    // this corpus - the parameter is load-bearing, not cosmetic
+    val md5Count = graft.text.Dsir.score(docs, col("text"), wX)
+      .filter(col("dsir_score") >= 1L).count()
+    assert(md5Count != expected,
+      s"corpus fails to distinguish bucket families (both $expected) - pick different docs")
+    handle.unpersist()
+  }
+
   test("curate stage toggles: no langid without langs, no decontaminate without blocklist") {
     val docs = curationDocs
     val handle = UnpersistHandle()
