@@ -1288,6 +1288,25 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
+    // the composed 100 TB ANN plan: IVF bucket pruning x PQ ADC scoring -
+    // queries probe their nprobe closest coarse buckets (broadcast equi-join
+    // on cid, never a corpus crossJoin), the O(m) ADC kernel scores only
+    // those buckets' m-byte codes, exact re-rank on the k*refine shortlist.
+    // Oracle: golden fixture from the independent numpy replication of BOTH
+    // trainings + the composition (tools/make_golden.py)
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ivf = graft.ann.Ann.trainIvf(emb, col("vec_id"), col("embedding"),
+        k = 16, iterations = 3)
+      val pqi = graft.ann.Pq.trainPq(emb, col("vec_id"), col("embedding"),
+        dim = 64, m = 8, ksub = 16, iterations = 3)
+      graft.ann.Pq.ivfPqTopK(
+        emb.filter(col("vec_id") < 20), emb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        ivf, pqi, k = 3, nprobe = 3, refine = 8)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
     "ann_pq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 20)
@@ -2005,7 +2024,7 @@ object SparkEntry {
         ("SELECT user_id AS key, cnt, CAST(cnt AS DOUBLE) / total AS share, " +
           "CAST(rk AS INT) AS rank FROM " +
           "(SELECT user_id, COUNT(*) AS cnt, SUM(COUNT(*)) OVER () AS total, " +
-          "row_number() OVER (ORDER BY COUNT(*) DESC, user_id) AS rk " +
+          "row_number() OVER (ORDER BY COUNT(*) DESC, user_id NULLS LAST) AS rk " +
           "FROM events GROUP BY user_id) WHERE rk <= 10"),
 
       "profile_orders" -> Seq(
@@ -2445,6 +2464,10 @@ object SparkEntry {
       "ann_pq_topk" ->
         ("SELECT query_id, rank, neighbor_id " +
           s"FROM read_parquet('$goldenDir/ann_pq_topk_sf001.parquet')"),
+
+      "ann_ivfpq_topk" ->
+        ("SELECT query_id, rank, neighbor_id " +
+          s"FROM read_parquet('$goldenDir/ann_ivfpq_topk_sf001.parquet')"),
 
       "kmeans_assign" ->
         ("SELECT vec_id, cid " +

@@ -129,9 +129,71 @@ object Pq {
           .orderBy(col("approx_cos").desc, col("neighbor_id"))))
       .filter(col("__srank") <= k * refine)
       .select(col("query_id"), col("qvec"), col("neighbor_id"))
-    // the shortlist is |queries| * k * refine rows by construction — always
-    // broadcastable — so the exact re-rank is one more narrow pass over the
-    // corpus scan, never a corpus-wide shuffle to meet a tiny join side
+    rerankExact(corpus, corpusId, corpusVec, shortlist, k)
+  }
+
+  /**
+   * IVF × PQ — the composed 100 TB ANN plan (the IVFADC layout of Jégou et
+   * al.'s product-quantization paper, re-expressed as DataFrame joins).
+   * [[pqTopK]] alone still ADC-scans the WHOLE encoded corpus per query
+   * batch; [[Ann.ivfTopK]] alone prunes to `nprobe` buckets but re-ranks
+   * full 4 KB vectors. Composing them multiplies the two savings: corpus
+   * vectors live in their nearest IVF centroid's bucket as m-byte PQ codes,
+   * queries probe only their `nprobe` closest buckets (a broadcast
+   * EQUI-join on `cid` — never a corpus-wide crossJoin), the O(m) ADC
+   * kernel scores just those buckets' codes, and only the per-query
+   * `k * refine` shortlist touches full vectors for the exact re-rank.
+   * Scan cost per query batch: ~(nprobe / k_ivf) of the corpus × (m / 4·dim)
+   * of the bytes — at k_ivf=1024, nprobe=8, m=16, dim=1024 that is ~1/32000
+   * of what brute force reads.
+   *
+   * Codes here quantize the raw vectors (not residuals): the codebook is
+   * shared across buckets, so ingest encodes each vector once with no
+   * per-bucket state, and the exact re-rank absorbs the approximation
+   * either way. Output: (query_id, rank, neighbor_id, cosine) — cosine
+   * exact, ties by neighbor_id ascending.
+   */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+                queryId: Column, queryVec: Column, corpusId: Column, corpusVec: Column,
+                ivf: Ann.IvfIndex, index: PqIndex, k: Int,
+                nprobe: Int = 2, refine: Int = 8): DataFrame = {
+    // the persisted-once table of a production run: (cid, id, codes, cnorm),
+    // one narrow fused kernel pass over the corpus scan
+    val enc = corpus.select(
+        get(vectors.nearest_centroids(corpusVec, ivf.centroids, 1), lit(0)).as("cid"),
+        corpusId.as("neighbor_id"),
+        vectors.pq_encode(corpusVec, index.codebooks).as("codes"))
+      .withColumn("cnorm", vectors.pq_code_norm(col("codes"), index.normSq))
+    // one query row per probed bucket; a corpus vector lives in exactly ONE
+    // bucket, so a (query, neighbor) pair can match at most once — no
+    // post-join dedup needed (unlike the LSH band join)
+    val q = queries.select(
+      queryId.as("query_id"), queryVec.as("qvec"),
+      vectors.pq_lut(queryVec, index.codebooks).as("lut"),
+      sqrt(vectors.dot_product(queryVec, queryVec)).as("qnorm"),
+      explode(vectors.nearest_centroids(queryVec, ivf.centroids, nprobe)).as("cid"))
+    val scored = broadcast(q).join(enc, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_cos",
+        when(col("qnorm") === 0.0 || col("cnorm") === 0.0, lit(0.0))
+          .otherwise(
+            vectors.pq_adc_dot(col("codes"), col("lut"), index.ksub) /
+              (col("qnorm") * col("cnorm"))))
+    val shortlist = scored
+      .withColumn("__srank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("approx_cos").desc, col("neighbor_id"))))
+      .filter(col("__srank") <= k * refine)
+      .select(col("query_id"), col("qvec"), col("neighbor_id"))
+    rerankExact(corpus, corpusId, corpusVec, shortlist, k)
+  }
+
+  /** Exact-cosine re-rank of a bounded (query_id, qvec, neighbor_id)
+    * shortlist: |queries| * k * refine rows by construction — always
+    * broadcastable — so the re-rank is one more narrow pass over the corpus
+    * scan, never a corpus-wide shuffle to meet a tiny join side. */
+  private def rerankExact(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                          shortlist: DataFrame, k: Int): DataFrame =
     corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cvec"))
       .join(broadcast(shortlist), "neighbor_id")
       .withColumn("cosine", vectors.cosine_similarity(col("qvec"), col("cvec")))
@@ -140,7 +202,6 @@ object Pq {
           .orderBy(col("cosine").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
-  }
 
   /**
    * Persist trained codebooks as a tiny parquet table

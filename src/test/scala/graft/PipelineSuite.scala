@@ -1188,6 +1188,65 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
       assert(!s.contains("cvec"), s"corpus vectors shuffled for re-rank:\n$s"))
   }
 
+  test("IVFxPQ: probe-all equals plain PQ; pruned probes keep recall") {
+    val data = clusteredVectors(6, 10, 16, 0.05f)
+    val df = data.toDF("id", "vec")
+    val queries = df.filter(col("id") < 6)
+    val ivf = Ann.trainIvf(df, col("id"), col("vec"), k = 6, iterations = 3)
+    val pqi = Pq.trainPq(df, col("id"), col("vec"), dim = 16, m = 4, ksub = 8,
+      iterations = 3)
+    // probing ALL buckets makes the candidate set the whole corpus, so the
+    // composition must reproduce plain pqTopK row for row (same ADC scores,
+    // same shortlist, same exact re-rank) - the bucket join prunes, never
+    // rescores
+    val full = Pq.pqTopK(queries, df, col("id"), col("vec"), col("id"), col("vec"),
+      pqi, k = 3, refine = 4)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val probeAll = Pq.ivfPqTopK(queries, df, col("id"), col("vec"), col("id"), col("vec"),
+      ivf, pqi, k = 3, nprobe = 6, refine = 4)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(probeAll == full)
+    // pruned probes on well-separated clusters: recall vs brute stays high,
+    // and the emitted cosines are exact
+    val brute = Ann.bruteForceTopK(queries, df, col("id"), col("vec"), col("id"), col("vec"), k = 3)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+    val bruteSet = brute.map(r => (r._1, r._2)).toSet
+    val pruned = Pq.ivfPqTopK(queries, df, col("id"), col("vec"), col("id"), col("vec"),
+      ivf, pqi, k = 3, nprobe = 2, refine = 4)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+    val recall = bruteSet.count(pruned.map(r => (r._1, r._2)).toSet).toDouble / bruteSet.size
+    assert(recall >= 0.8, s"recall $recall")
+    val bruteCos = brute.map { case (q, n, c) => (q, n) -> c }.toMap
+    pruned.foreach { case (q, n, c) =>
+      bruteCos.get((q, n)).foreach(b => assert(math.abs(b - c) < 1e-12, s"($q, $n)")) }
+  }
+
+  test("IVFxPQ: bucket equi-join feeds the ADC scan - no cartesian, no vector shuffle") {
+    val data = clusteredVectors(4, 8, 16, 0.05f)
+    val df = data.toDF("id", "vec")
+    val ivf = Ann.trainIvf(df, col("id"), col("vec"), k = 4, iterations = 2)
+    val pqi = Pq.trainPq(df, col("id"), col("vec"), dim = 16, m = 4, ksub = 4,
+      iterations = 2)
+    val formatted = Pq.ivfPqTopK(df.filter(col("id") < 4), df,
+        col("id"), col("vec"), col("id"), col("vec"), ivf, pqi, k = 2,
+        nprobe = 2, refine = 4)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // the candidate generator is a broadcast EQUI-join on the coarse bucket
+    // id - never a full-corpus cross product (that would be plain PQ's scan)
+    assert(!formatted.contains("CartesianProduct") &&
+      !formatted.contains("BroadcastNestedLoop"), formatted)
+    assert(formatted.contains("BroadcastHashJoin"), formatted)
+    assert(formatted.contains("cid"), formatted)
+    // map-side top-(k*refine) shortlist, same discipline as plain PQ
+    assert(formatted.contains("WindowGroupLimit"), formatted)
+    // no shuffle exchange may carry corpus vectors (codes are m bytes; the
+    // only full-vector touch is the broadcast-shortlist re-rank join)
+    formatted.split("\n\n").filter(s => s.contains("Exchange hashpartitioning")).foreach(s =>
+      assert(!s.contains("cvec"), s"corpus vectors shuffled:\n$s"))
+  }
+
   // --------------------------------------------------------------------------
   // semantic dedup
   // --------------------------------------------------------------------------

@@ -513,6 +513,50 @@ def make_ann_goldens():
         hits += len(truth & pq_sets.get(q, set()))
     print(f"ann_pq recall@3 vs brute: {hits}/{total} = {hits/total:.3f}")
 
+    # --- IVF x PQ (nprobe=3, m=8, ksub=16, k=3, refine=8) ---
+    # composition of the two blocks above: candidates = the query's nprobe
+    # nearest IVF buckets, scored by PQ ADC cosine, shortlist k*refine by
+    # (-approx, id), exact-cosine re-rank. Reuses corpus_cid / cen from the
+    # IVF block and cb64 / codes / cnorm / qnorm from the PQ block, so the
+    # fixture stays an independent float64 replication of both kernels.
+    rows = []
+    for q in query_ids:
+        qi = idx[q]
+        sims = cos_c[qi]
+        probe = sorted(range(16), key=lambda c: (-sims[c], c))[:3]
+        cand_idx = [i for i in range(len(ids))
+                    if corpus_cid[i] in probe and ids[i] != q]
+        lut = np.einsum("scd,sd->sc", cb64,
+                        np.stack([vecs[qi, s * subdim:(s + 1) * subdim] for s in range(m)]))
+        adc = lut[np.arange(m)[None, :], codes].sum(axis=1)
+        denom = qnorm[qi] * cnorm
+        with np.errstate(divide="ignore", invalid="ignore"):
+            approx = np.where((qnorm[qi] == 0) | (cnorm == 0), 0.0, adc / denom)
+        cand_order = sorted(cand_idx, key=lambda i: (-approx[i], ids[i]))
+        shortlist = [int(ids[i]) for i in cand_order[:topk * refine]]
+        nm = vecs[[idx[n] for n in shortlist]]
+        cos = cosine_matrix(vecs[qi][None, :], nm)[0]
+        rerank = sorted(range(len(shortlist)), key=lambda i: (-cos[i], shortlist[i]))
+        for rank, i in enumerate(rerank[:topk], start=1):
+            rows.append((q, rank, shortlist[i]))
+    write_topk(rows, "ann_ivfpq_topk_sf001")
+
+    # recall@3 vs brute for the composed path (diagnostic print; the gate
+    # hash-compares the fixture itself)
+    ivfpq_sets = {}
+    for (q, rank, n) in rows:
+        ivfpq_sets.setdefault(q, set()).add(n)
+    hits = total = 0
+    for q in query_ids:
+        qi = idx[q]
+        sims = cos_all[qi]
+        order_q = sorted((i for i in range(len(ids)) if ids[i] != q),
+                         key=lambda i: (-sims[i], ids[i]))[:topk]
+        truth = {int(ids[i]) for i in order_q}
+        total += len(truth)
+        hits += len(truth & ivfpq_sets.get(q, set()))
+    print(f"ann_ivfpq recall@3 vs brute: {hits}/{total} = {hits/total:.3f}")
+
 
 if __name__ == "__main__":
     make_images_fixture()
