@@ -3,7 +3,7 @@ package graft
 import graft.diff._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, StringType}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -40,6 +40,22 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Replay `staged` as ordered file-source micro-batches (batch b = rows
+    * with `batchCol == b`) through the streaming transform `op`, drain the
+    * result into a parquet sink, and return the sink read back — the
+    * [[graft.streaming.StreamHarness]] pattern that gives the streaming
+    * operators the same DuckDB hash gate as the batch ones. */
+  private def streamReplay(s: SparkSession, staged: DataFrame, batchCol: Column,
+                           numBatches: Int, awaitNoDataBatch: Boolean = false)(
+      op: DataFrame => DataFrame): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_gate").toString
+    val schema = graft.streaming.StreamHarness.writeOrderedBatches(
+      staged, batchCol, numBatches, s"$root/in")
+    val stream = graft.streaming.StreamHarness.readOrderedBatches(s, s"$root/in", schema)
+    graft.streaming.StreamHarness.drainToParquet(
+      op(stream), s"$root/sink", s"$root/ck", awaitNoDataBatch)
+  }
 
   /**
    * `events.ts` as epoch MICROseconds, robust to how the datagen typed the
@@ -623,6 +639,127 @@ object SparkEntry {
       // the report is driver-local rows; the curated cache can go at once
       handle.unpersist()
       report
+    }),
+
+    // ---------------------------------------------------------------------
+    // streaming operators through the batch gate: the bounded table becomes
+    // an ordered file-source replay (StreamHarness), the streaming plan runs
+    // to exhaustion into a parquet sink, and the sink is what the DuckDB
+    // oracle checks — the formerly sbt-only streaming twins get the same
+    // hash gate as every batch operator. Replay batches are keyed by the
+    // per-dedup-key occurrence number (at most one row per state key per
+    // micro-batch), which makes the stateful keep-first deterministic: the
+    // kept row IS the smallest id, exactly what the oracle predicts.
+    // ---------------------------------------------------------------------
+
+    // P14b: watermarked streaming exact dedup over a planted-duplicate feed
+    "streaming_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(
+        docs.filter(col("doc_id") % 7 === 0).select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit("  ")).as("text")))
+        .withColumn("ts", timestamp_seconds(lit(1000000000L) + col("doc_id")))
+      val occ = row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(graft.text.TextFunctions.fingerprint64(col("text")))
+          .orderBy(col("doc_id"))) - 1
+      val nBatches = corpus.select(occ.as("o")).agg(max(col("o"))).head().getInt(0) + 1
+      streamReplay(s, corpus, occ, nBatches)(st =>
+        graft.streaming.StreamingDedup.dropDuplicateTextsWithinWatermark(
+          st, col("text"), "ts", "30 days"))
+        .select(col("doc_id"))
+    }),
+
+    // P48: the streaming curation pass (stateless filter stages + sampling,
+    // watermarked keep-first dedup LAST); survivors hash-compared against
+    // the DuckDB replication of the whole chain
+    "streaming_curate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(
+        docs.filter(col("doc_id") % 7 === 0).select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit("  ")).as("text")))
+        .withColumn("ts", timestamp_seconds(lit(1000000000L) + col("doc_id")))
+      val occ = row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(graft.text.TextFunctions.fingerprint64(col("text")))
+          .orderBy(col("doc_id"))) - 1
+      val nBatches = corpus.select(occ.as("o")).agg(max(col("o"))).head().getInt(0) + 1
+      streamReplay(s, corpus, occ, nBatches)(st =>
+        graft.streaming.StreamingCurate.curateStream(
+          st, col("doc_id"), col("text"), "ts", "30 days",
+          keepLangs = Set("en"),
+          minTokens = 30, maxTokens = 90,
+          minAvgTokenLen = 3.0, maxAvgTokenLen = 6.0,
+          minStopwordRatio = 0.02, maxTopBigramFraction = 0.2,
+          sampleRate = 0.25))
+        .select(col("doc_id"))
+    }),
+
+    // P48b: windowed streaming quality report — append-mode windows are
+    // finalized by a far-future flush row + the trailing no-data batch, so
+    // the sink holds exactly the closed windows the oracle recomputes
+    "streaming_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("ts", timestamp_seconds(lit(1000000000L) + col("doc_id")))
+        .withColumn("source", (col("doc_id") % 3).cast("string"))
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val flush = docs.sparkSession.range(1).select(
+        lit(-1L).as("doc_id"), lit("flush").as("text"),
+        timestamp_seconds(lit(1100000000L)).as("ts"), lit("x").as("source"))
+      val staged = docs.unionAll(flush)
+      val batchC = when(col("doc_id") < 0, lit(2))
+        .otherwise(least(floor(col("doc_id") * 2 / (maxId + 1)), lit(1))).cast("int")
+      streamReplay(s, staged, batchC, 3, awaitNoDataBatch = true)(st =>
+        graft.streaming.StreamingQuality.qualityByWindow(
+          st, col("text"), "ts", "100 seconds", "0 seconds", col("source")))
+        .filter(col("source") =!= "x")
+        .select(unix_timestamp(col("window.start")).as("window_start"), col("source"),
+          col("n_docs"), col("total_tokens"), col("stopword_ratio"),
+          col("rep_bigram_fraction"))
+    }),
+
+    // P38: streaming MinHash near-dup candidates + the documented per-batch
+    // exact-Jaccard verify; output = docs flagged as a verified near-dup of
+    // an EARLIER doc (the streaming dedup decision)
+    "streaming_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("ts", timestamp_seconds(lit(1000000000L) + col("doc_id")))
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val batchC = least(floor(col("doc_id") * 2 / (maxId + 1)), lit(1)).cast("int")
+      val cand = streamReplay(s, docs, batchC, 2)(st =>
+        graft.streaming.StreamingNearDup.minHashCandidates(
+          st, col("doc_id"), col("text"), "ts", "30 days").toDF())
+        .select(col("firstDocId").as("idA"), col("docId").as("idB")).distinct()
+      val sh = t(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextFunctions.hashedTextShingles(col("text"), 3).as("sh"))
+      cand
+        .join(sh.select(col("doc_id").as("idA"), col("sh").as("shA")), "idA")
+        .join(sh.select(col("doc_id").as("idB"), col("sh").as("shB")), "idB")
+        .filter(graft.text.TextFunctions.jaccard(col("shA"), col("shB")) >= 0.8)
+        .select(col("idB").as("doc_id")).distinct()
+    }),
+
+    // P38b: streaming embedding near-dup over a planted scaled-duplicate
+    // feed; cosine verified INSIDE the state function, so the output needs
+    // no further check — per doc, the smallest earlier near-partner
+    "streaming_embedding_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val corpus = emb.unionAll(
+        emb.select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+        .withColumn("ts", timestamp_seconds(lit(1000000000L) + col("vec_id")))
+      val maxId = corpus.agg(max(col("vec_id"))).head().getLong(0)
+      val batchC = least(floor(col("vec_id") * 2 / (maxId + 1)), lit(1)).cast("int")
+      streamReplay(s, corpus, batchC, 2)(st =>
+        graft.streaming.StreamingEmbeddingNearDup.embeddingCandidates(
+          st, col("vec_id"), col("embedding"), "ts", "30 days",
+          dim = 64, threshold = 0.9).toDF())
+        .groupBy(col("docId"))
+        .agg(min(col("firstDocId")).as("first_doc_id"))
+        .select(col("docId").as("doc_id"), col("first_doc_id"))
     }),
 
     // per-group top-k via the window-group-limit plan: map-side partial
@@ -2125,6 +2262,69 @@ object SparkEntry {
           "CASE WHEN COALESCE(ba.nt, 0) = 0 THEN 0.0 ELSE CAST(ba.ns AS DOUBLE) / CAST(ba.nt AS DOUBLE) END AS stopword_ratio_before, " +
           "CASE WHEN COALESCE(aa.nt, 0) = 0 THEN 0.0 ELSE CAST(aa.ns AS DOUBLE) / CAST(aa.nt AS DOUBLE) END AS stopword_ratio_after " +
           "FROM ba FULL OUTER JOIN aa ON ba.grp = aa.grp"),
+
+      // streaming gates: the replay feeding (one occurrence per key per
+      // micro-batch, batches in occurrence order) pins keep-first to the
+      // smallest id, so each oracle is the batch-equivalent prediction
+      "streaming_dedup" ->
+        ("WITH corpus AS (SELECT doc_id, text FROM documents " +
+          "UNION ALL SELECT doc_id + 100000 AS doc_id, text || '  ' AS text " +
+          "FROM documents WHERE doc_id % 7 = 0), " +
+          "fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f FROM corpus) " +
+          "SELECT doc_id FROM fp " +
+          "QUALIFY ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) = 1"),
+
+      "streaming_curate" ->
+        ("WITH corpus AS (SELECT doc_id, text FROM documents " +
+          "UNION ALL SELECT doc_id + 100000 AS doc_id, text || '  ' AS text " +
+          "FROM documents WHERE doc_id % 7 = 0), " +
+          "ctok AS (SELECT doc_id, text, [x for x in string_split_regex(lower(text), '[^a-z0-9]+') if x <> ''] AS toks FROM corpus), " +
+          "lsc AS (SELECT doc_id, " +
+          "len(list_intersect(list_distinct(toks), ['the','and','of','to','in','is','that','it','for','with'])) AS s_en, " +
+          "len(list_intersect(list_distinct(toks), ['le','la','les','des','et','une','est','que','pour','dans'])) AS s_fr, " +
+          "len(list_intersect(list_distinct(toks), ['der','die','das','und','ist','nicht','ein','mit','von','auf'])) AS s_de, " +
+          "len(list_intersect(list_distinct(toks), ['el','los','las','una','es','que','por','para','como','pero'])) AS s_es FROM ctok), " +
+          "l1 AS (SELECT doc_id FROM lsc WHERE NOT (s_en = 0 AND s_fr = 0 AND s_de = 0 AND s_es = 0) " +
+          "AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_es), " +
+          "qg AS (SELECT doc_id, toks, CASE WHEN len(toks) < 2 THEN [] ELSE [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))] END AS g2 " +
+          "FROM ctok WHERE doc_id IN (SELECT doc_id FROM l1)), " +
+          "qm AS (SELECT doc_id, len(toks) AS n, " +
+          "CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS avg_len, " +
+          "CAST(len([t for t in toks if list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], t)]) AS DOUBLE) / len(toks) AS stop_ratio, " +
+          "len(g2) AS t2, CASE WHEN len(g2) = 0 THEN 0 ELSE COALESCE(list_max([len([y for y in g2 if y = x]) for x in list_distinct(g2)]), 0) END AS p2 FROM qg), " +
+          "l2 AS (SELECT doc_id FROM qm WHERE n >= 30 AND n <= 90 AND avg_len >= 3.0 AND avg_len <= 6.0 " +
+          "AND stop_ratio >= 0.02 AND (CASE WHEN t2 = 0 THEN 0.0 ELSE CAST(p2 AS DOUBLE) / CAST(t2 AS DOUBLE) END) <= 0.2), " +
+          "l3 AS (SELECT doc_id FROM l2 " +
+          "WHERE substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'), " +
+          "fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f FROM ctok " +
+          "WHERE doc_id IN (SELECT doc_id FROM l3)) " +
+          "SELECT doc_id FROM fp " +
+          "QUALIFY ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) = 1"),
+
+      "streaming_quality" ->
+        ("WITH tok AS (SELECT doc_id, [x for x in string_split_regex(lower(text), '[^a-z0-9]+') if x <> ''] AS toks FROM documents), " +
+          "m AS (SELECT doc_id, CAST((1000000000 + doc_id) // 100 * 100 AS BIGINT) AS window_start, " +
+          "CAST(doc_id % 3 AS VARCHAR) AS source, len(toks) AS n, " +
+          "len([t for t in toks if list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], t)]) AS stop, " +
+          "CASE WHEN len(toks) < 2 THEN [] ELSE [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))] END AS g2 FROM tok), " +
+          "m2 AS (SELECT window_start, source, n, stop, len(g2) AS t2, " +
+          "CASE WHEN len(g2) = 0 THEN 0 ELSE COALESCE(list_max([len([y for y in g2 if y = x]) for x in list_distinct(g2)]), 0) END AS p2 FROM m) " +
+          "SELECT window_start, source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+          "CAST(SUM(n) AS BIGINT) AS total_tokens, " +
+          "CASE WHEN SUM(n) = 0 THEN 0.0 ELSE CAST(SUM(stop) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) END AS stopword_ratio, " +
+          "CASE WHEN SUM(t2) = 0 THEN 0.0 ELSE CAST(SUM(p2) AS DOUBLE) / CAST(SUM(t2) AS DOUBLE) END AS rep_bigram_fraction " +
+          "FROM m2 GROUP BY window_start, source"),
+
+      "streaming_neardup" ->
+        (s"WITH $docTokCte, $docShCte, $docPairCte " +
+          "SELECT DISTINCT ib AS doc_id FROM p WHERE j >= 0.8"),
+
+      "streaming_embedding_neardup" ->
+        ("WITH c AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings " +
+          "UNION ALL SELECT CAST(vec_id + 100000 AS BIGINT), list_transform(embedding, x -> x * 2) FROM embeddings), " +
+          "p AS (SELECT a.vec_id AS ia, b.vec_id AS ib FROM c a JOIN c b ON a.vec_id < b.vec_id " +
+          "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9) " +
+          "SELECT ib AS doc_id, CAST(MIN(ia) AS BIGINT) AS first_doc_id FROM p GROUP BY ib"),
 
       // chained-pipeline replication: each stage's survivor set feeds the
       // next, so every count checks inter-stage dataflow, not one stage

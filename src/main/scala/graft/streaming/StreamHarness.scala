@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/**
+ * Deterministic replay harness for the streaming operators: turn a bounded
+ * batch table into an ordered sequence of file-source micro-batches, run a
+ * streaming transform to exhaustion into a parquet sink, and read the sink
+ * back. This is how the streaming operators get the same DuckDB-oracle
+ * treatment as the batch ones (and how a production incident gets replayed
+ * from a parquet snapshot through the exact streaming plan).
+ *
+ * Batch-order control is the whole point: Structured Streaming's
+ * keep-first operators (`dropDuplicatesWithinWatermark`, the bucket-state
+ * near-dup detectors) pick the first row they SEE, so a replay is only
+ * deterministic if every micro-batch holds at most one row per state key
+ * and batches arrive in a chosen order. [[writeOrderedBatches]] gives
+ * exactly that: batch `b` = the rows with `batchCol == b`, written as one
+ * parquet file each with strictly increasing modification times, so a
+ * `maxFilesPerTrigger=1` file stream replays them in `batchCol` order.
+ */
+object StreamHarness {
+
+  /** Write `df` as one parquet file per `batchCol` value (0-based, dense)
+    * into `dir`, in ascending batch order with strictly increasing file
+    * modification times. Returns the written schema (minus `batchCol`) for
+    * `readStream.schema(...)`. Gate/replay scale: one sequential write per
+    * batch, each a single task. */
+  def writeOrderedBatches(df: DataFrame, batchCol: Column, numBatches: Int,
+                          dir: String): StructType = {
+    val base = df.withColumn("__batch", batchCol)
+    require(numBatches >= 1, s"numBatches must be >= 1: $numBatches")
+    def parquetFiles: Array[java.io.File] = new java.io.File(dir).listFiles() match {
+      case null => Array.empty
+      case fs => fs.filter(_.getName.endsWith(".parquet"))
+    }
+    var seen = Set.empty[String]
+    var lastMod = 0L
+    (0 until numBatches).foreach { b =>
+      base.filter(org.apache.spark.sql.functions.col("__batch") === b)
+        .drop("__batch")
+        .coalesce(1)
+        .write.mode("append").parquet(dir)
+      // the file source orders files by modification time: make sure batch
+      // b's file timestamps strictly follow batch b-1's even on a
+      // coarse-granularity filesystem clock (only this batch's fresh files
+      // are touched — rewriting older batches' times would reorder them)
+      val fresh = parquetFiles.filterNot(f => seen.contains(f.getName))
+      fresh.filter(_.lastModified() <= lastMod).foreach(_.setLastModified(lastMod + 1))
+      lastMod = math.max(lastMod, fresh.map(_.lastModified()).max)
+      seen ++= fresh.map(_.getName)
+    }
+    df.schema
+  }
+
+  /** Open `dir` (written by [[writeOrderedBatches]]) as a file-source
+    * stream replaying one file per micro-batch, oldest first. */
+  def readOrderedBatches(spark: SparkSession, dir: String,
+                         schema: StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+  /**
+   * Run a streaming DataFrame to exhaustion into an append-mode parquet
+   * sink and return the sink read back as a batch DataFrame.
+   *
+   * `awaitNoDataBatch = true` additionally waits for a zero-input-row
+   * micro-batch to commit after the data is drained — required for
+   * watermark-finalized output (append-mode windowed aggregation emits a
+   * window only in a batch AFTER the watermark passes its end, which for a
+   * finite replay is the trailing no-data batch the engine runs when the
+   * last data batch advanced the watermark).
+   */
+  def drainToParquet(stream: DataFrame, sinkDir: String, checkpointDir: String,
+                     awaitNoDataBatch: Boolean = false): DataFrame = {
+    val spark = stream.sparkSession
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      if (awaitNoDataBatch) {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        def sawNoDataBatch: Boolean =
+          q.recentProgress.exists(p => p.numInputRows == 0)
+        while (!sawNoDataBatch && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.read.parquet(sinkDir)
+  }
+}

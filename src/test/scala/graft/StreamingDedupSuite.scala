@@ -432,4 +432,25 @@ class StreamingDedupSuite extends AnyFunSuite with SparkTest {
       assert(kept == expectedKept)
     } finally query.stop()
   }
+
+  test("StreamHarness replays file batches in the chosen order (keep-first follows it)") {
+    import graft.streaming.StreamHarness
+    // two occurrences per key; which occurrence wins keep-first must follow
+    // the batch assignment, not file-listing luck
+    val df = Seq((1L, "a"), (2L, "b"), (11L, "a"), (12L, "b")).toDF("id", "text")
+      .withColumn("ts", timestamp_seconds(lit(1000L) + col("id")))
+    def run(batchCol: org.apache.spark.sql.Column): Set[Long] = {
+      val root = java.nio.file.Files.createTempDirectory("graft_harness").toString
+      val schema = StreamHarness.writeOrderedBatches(df, batchCol, 2, s"$root/in")
+      val out = StreamHarness.drainToParquet(
+        StreamingDedup.dropDuplicateTextsWithinWatermark(
+          StreamHarness.readOrderedBatches(spark, s"$root/in", schema),
+          col("text"), "ts", "1 hour"),
+        s"$root/sink", s"$root/ck")
+      out.select("id").as[Long].collect().toSet
+    }
+    // small ids first -> they are kept; inverted order -> large ids kept
+    assert(run(when(col("id") > 10, 1).otherwise(0)) == Set(1L, 2L))
+    assert(run(when(col("id") > 10, 0).otherwise(1)) == Set(11L, 12L))
+  }
 }
