@@ -704,6 +704,58 @@ class GraftsparkTest(unittest.TestCase):
         top = P.dsir_select_top(raw, col("id"), col("text"), fitted, 2)
         self.assertEqual({r["id"] for r in top.collect()}, {0, 1})
 
+    def test_pipeline_dsir_portable_hash_parity(self):
+        from graftspark import pipeline as P
+        target = self.spark.createDataFrame(
+            [(0, "alpha beta gamma"), (1, "alpha alpha beta")], ["id", "text"])
+        raw = self.spark.createDataFrame(
+            [(0, "alpha beta gamma"), (1, "alpha alpha beta"),
+             (2, "zeta eta theta"), (3, "theta theta zeta")], ["id", "text"])
+        # the weight table must expose the SAME fit as dsir_fit_weights under
+        # the xxhash production bucketing, so a production fit is auditable
+        fitted = P.dsir_fit_weights(target, raw, col("text"), col("text"),
+                                    portable_hash=False)
+        wt = {r["bucket"]: r["weight"] for r in P.dsir_weight_table(
+            target, raw, col("text"), col("text"), portable_hash=False).collect()}
+        self.assertEqual([wt[b] for b in range(256)], fitted)
+        # and the two bucket families are genuinely different fits
+        md5_fit = P.dsir_fit_weights(target, raw, col("text"), col("text"))
+        self.assertNotEqual(fitted, md5_fit)
+        # scoring under the matching family reproduces end to end
+        sc = {r["id"]: r["dsir_score"] for r in P.dsir_score(
+            raw, col("text"), fitted, portable_hash=False).collect()}
+        self.assertTrue(all(isinstance(v, int) for v in sc.values()))
+
+    def test_pipeline_curate_dsir_portable_hash(self):
+        from graftspark import pipeline as P
+        en = ("the cat and the dog walked to the park and it was a fine day "
+              "for all of them to play in the sun with friends")
+        docs = self.spark.createDataFrame(
+            [(i, en + f" extra {i} tokens appended") for i in range(6)],
+            ["id", "text"])
+        target = docs.limit(2)
+        w = P.dsir_fit_weights(target, docs, col("text"), col("text"),
+                               portable_hash=False)
+        _, report = P.curate(
+            docs, "id", "text", keep_langs=[],
+            min_tokens=1, max_tokens=1000,
+            min_avg_token_len=1.0, max_avg_token_len=10.0,
+            min_stopword_ratio=0.0, max_top_bigram_fraction=1.0,
+            dsir_weights=w, dsir_threshold=1,
+            dsir_portable_hash=False)
+        counts = {r["stage"]: r["n_rows"] for r in report.collect()}
+        expected = P.dsir_score(docs, col("text"), w, portable_hash=False) \
+            .filter(col("dsir_score") >= 1).count()
+        self.assertEqual(counts["2c_dsir"], expected)
+
+    def test_pipeline_curate_rejects_positional_config(self):
+        from graftspark import pipeline as P
+        docs = self.spark.createDataFrame([(1, "x")], ["id", "text"])
+        # config params are keyword-only: adding parameters can never again
+        # silently shift a positional call's meaning
+        with self.assertRaises(TypeError):
+            P.curate(docs, "id", "text", ["en"])
+
     def test_pipeline_vocab_coverage(self):
         from graftspark import pipeline as P
         docs = self.spark.createDataFrame(
