@@ -171,6 +171,12 @@ object GraftExtensions {
                   else Redact.DefaultToken
       RegExpReplace(es.head, Literal(Redact.PiiPattern), Literal(token), Literal(1))
     },
+    fn("decode_numeric_entities",
+      "decode_numeric_entities(text) - HTML numeric char refs -> code points " +
+        "(whitespace/control/invalid -> space, malformed stay literal)") { es =>
+      arity("decode_numeric_entities", es, 1)
+      graft.functions.DecodeNumericEntities(es.head)
+    },
     fn("strip_html", "strip_html(text) - HTML-to-text extraction (RE2-safe regex chain)") { es =>
       arity("strip_html", es, 1)
       // the same ordered chain as graft.text.Html.stripHtml, as built-ins

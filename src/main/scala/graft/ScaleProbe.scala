@@ -186,6 +186,16 @@ object ScaleProbe {
           .queryExecution.toRdd.count()
       }
       report("span_stats", nSpan, tSpan)
+      // the operator's input volume: total k-token windows over the corpus
+      // (the hash-only count shuffle carries one row per window) — rows here
+      // is the window count the span_stats wall-clock paid for
+      val (nWin, tWin) = time {
+        bigDocs.select(greatest(
+            size(graft.functions.vectors.tokenize_ascii(col("text"))) - 2, lit(0))
+            .cast("long").as("w"))
+          .agg(sum(col("w"))).head().getLong(0)
+      }
+      reportAlways("span_windows", nWin, tWin)
     }
     if (enabled("classifier")) {
       // pure narrow kernel scan — the time IS the per-doc scoring cost;
@@ -247,6 +257,30 @@ object ScaleProbe {
           .queryExecution.toRdd.count()
       }
       report("bm25_topk", nBm, tBm)
+      // the tf exchange's actual row count: postings MATCHING a query term
+      // (the broadcast semi-join keeps every other posting out of the
+      // shuffle) — this is the volume the bm25_topk wall-clock shuffles
+      val (nPost, tPost) = time {
+        bigDocs.select(explode(
+            graft.functions.vectors.tokenize_ascii(col("text"))).as("term"))
+          .join(broadcast(queries.select(explode(col("terms")).as("term")).distinct()),
+            Seq("term"), "left_semi")
+          .count()
+      }
+      reportAlways("bm25_postings", nPost, tPost)
+      // RRF fusion is corpus-size-INDEPENDENT: contributions are exactly
+      // |queries| * k rows per leg at any N (legs pinned via localCheckpoint
+      // so the fusion is what's timed)
+      val leg1 = graft.text.Bm25.topK(bigDocs, col("doc_id"), col("text"),
+        queries, col("query_id"), col("terms"), k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+        .localCheckpoint(true)
+      val leg2 = leg1.withColumn("rank", lit(11) - col("rank"))
+      val (nHyb, tHyb) = time {
+        graft.search.Retrieval.rrfFuse(Seq(leg1, leg2), k = 10)
+          .queryExecution.toRdd.count()
+      }
+      reportAlways("hybrid_fuse", nHyb, tHyb)
     }
     }
 
@@ -269,6 +303,46 @@ object ScaleProbe {
         .queryExecution.toRdd.count()
     }
     report("pq_topk", nPq, tPq)
+    // the result rows are |Q|*k by construction at any N — assert the
+    // shortlist bound the design claims instead of eyeballing it
+    require(nPq <= 20L * 3, s"pq_topk emitted $nPq rows > |Q|*k")
+    // encoded-corpus footprint: rows = bytes per vector (m code bytes + 8
+    // cnorm bytes) vs dim*4 = 256 raw — the scan-IO cut PQ exists for
+    val (bytesPerVec, tEnc) = time {
+      val enc = graft.ann.Pq.encode(bigEmb, col("vec_id"), col("embedding"), index)
+      math.round(enc.agg(avg(octet_length(col("codes")))).head().getDouble(0)) + 8
+    }
+    reportAlways("pq_encode_bytes", bytesPerVec, tEnc)
+    // exact brute force over the SAME amplified corpus — the baseline the
+    // O(m) ADC scan undercuts (compare sec against pq_topk's line)
+    val (nBrute, tBrute) = time {
+      graft.ann.Ann.bruteForceTopK(emb.filter(col("vec_id") < 20), bigEmb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 3)
+        .queryExecution.toRdd.count()
+    }
+    reportAlways("pq_brute_baseline", nBrute, tBrute)
+    // composed IVF x PQ (P12e): the bucket equi-join should cut the ADC
+    // candidate stream to ~nprobe/k_ivf of the corpus at any N
+    val ivf = graft.ann.Ann.trainIvf(emb, col("vec_id"), col("embedding"),
+      k = 16, iterations = 3)
+    val (nIvfPq, tIvfPq) = time {
+      graft.ann.Pq.ivfPqTopK(emb.filter(col("vec_id") < 20), bigEmb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        ivf, index, k = 3, nprobe = 3, refine = 8)
+        .queryExecution.toRdd.count()
+    }
+    reportAlways("ivfpq_topk", nIvfPq, tIvfPq)
+    // rows entering the ADC scorer through the bucket join (vs plain PQ's
+    // full |Q| x corpus scan) — the measured prune factor
+    val (nCand, tCand) = time {
+      val c = bigEmb.select(get(graft.functions.vectors.nearest_centroids(
+        col("embedding"), ivf.centroids, 1), lit(0)).as("cid"))
+      val q = emb.filter(col("vec_id") < 20).select(explode(
+        graft.functions.vectors.nearest_centroids(
+          col("embedding"), ivf.centroids, 3)).as("cid"))
+      q.join(c, "cid").count()
+    }
+    reportAlways("ivfpq_candidates", nCand, tCand)
     }
 
     // --- embeddings: semantic dedup over an N-fold corpus ----------------

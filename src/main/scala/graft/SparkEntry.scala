@@ -1077,6 +1077,16 @@ object SparkEntry {
           lit("</p><div>&quot;quoted&quot; &amp;amp; x &lt; y&#65;</div></body></html>")))
           .as("clean_text"))),
 
+    // the decode mode: numeric character references become their actual
+    // code points via the codegen'd kernel (a computed character is not
+    // expressible as a portable regex), so the oracle is the planted golden
+    // fixture — expected outputs computed by an independent python
+    // replication of the chain + decode rules (tools/make_golden.py)
+    "html_extract_decoded" -> ((s, dir) =>
+      s.read.parquet(s"$goldenDir/html.parquet").select(col("html_id"),
+        graft.text.Html.stripHtml(col("html"), decodeNumericEntities = true)
+          .as("clean_text"))),
+
     // accent folding: planted diacritics over every doc; NFD-drop-Mn must
     // agree with DuckDB's strip_accents on the decomposable set
     "fold_accents" -> ((s, dir) =>
@@ -2484,6 +2494,10 @@ object SparkEntry {
         }
         s"SELECT doc_id, trim($chain) AS clean_text FROM documents"
       },
+
+      "html_extract_decoded" ->
+        ("SELECT html_id, clean_text " +
+          s"FROM read_parquet('$goldenDir/html.parquet')"),
 
       "fold_accents" ->
         ("SELECT doc_id, strip_accents(text || ' café über niño ça čech à ö') " +

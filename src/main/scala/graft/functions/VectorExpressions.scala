@@ -461,6 +461,56 @@ object VectorKernels extends Serializable {
    * are exactly `nfc_normalize` + the two regexp passes the DuckDB oracle
    * runs, so normalized text is byte-identical across engines.
    */
+  /** Decode HTML numeric character references (`&#65;` / `&#x1F600;`) to
+    * their code points — the step a portable regex chain cannot express
+    * (regex replacement can't compute a character from digits). Rules:
+    * malformed references (no digits, no terminating `;`) stay literal;
+    * valid references decode to the code point, EXCEPT whitespace-class
+    * (incl. U+00A0), C0/C1 controls, NUL, surrogates, and out-of-range
+    * values, which all become one space — the same collapse-friendly
+    * normalization the named-entity step applies to `&nbsp;`. */
+  def decodeNumericEntities(text: UTF8String): UTF8String = {
+    val s = text.toString
+    var i = s.indexOf("&#")
+    if (i < 0) return text
+    val sb = new java.lang.StringBuilder(s.length)
+    var from = 0
+    while (i >= 0) {
+      sb.append(s, from, i)
+      var j = i + 2
+      var hex = false
+      if (j < s.length && (s.charAt(j) == 'x' || s.charAt(j) == 'X')) { hex = true; j += 1 }
+      val digits0 = j
+      val maxDigits = if (hex) 6 else 8
+      var cp = 0L
+      var ok = true
+      while (ok && j < s.length && j - digits0 < maxDigits && {
+        val c = s.charAt(j)
+        val d =
+          if (c >= '0' && c <= '9') c - '0'
+          else if (hex && c >= 'a' && c <= 'f') c - 'a' + 10
+          else if (hex && c >= 'A' && c <= 'F') c - 'A' + 10
+          else -1
+        if (d >= 0) { cp = cp * (if (hex) 16 else 10) + d; true } else false
+      }) j += 1
+      ok = j > digits0 && j < s.length && s.charAt(j) == ';'
+      if (ok) {
+        val v = cp.toInt
+        val invalid = cp > 0x10FFFFL || v == 0 || (v >= 0xD800 && v <= 0xDFFF)
+        val spaceLike = !invalid && (v == 0xA0 || v < 0x20 ||
+          (v >= 0x7F && v <= 0x9F) || Character.isWhitespace(v))
+        if (invalid || spaceLike) sb.append(' ') else sb.appendCodePoint(v)
+        from = j + 1
+      } else {
+        sb.append("&#") // malformed: keep literal, resume after the marker
+        from = i + 2
+      }
+      i = s.indexOf("&#", from)
+    }
+    sb.append(s, from, s.length)
+    UTF8String.fromString(sb.toString)
+  }
+
   def canonicalizeText(text: UTF8String): UTF8String = {
     val s = text.toString
     val nfc =
@@ -1183,6 +1233,32 @@ case class CanonicalizeText(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** decode_numeric_entities(text): HTML numeric character references
+  * (`&#65;` / `&#x1F600;`) -> code points; whitespace-class / control /
+  * invalid references -> one space; malformed stay literal. The codegen'd
+  * companion of the strip_html regex chain (see
+  * [[VectorKernels.decodeNumericEntities]] for the exact rules). */
+case class DecodeNumericEntities(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"decode_numeric_entities expects string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    VectorKernels.decodeNumericEntities(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorKernels.decodeNumericEntities($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class Md5BucketCounts(child: Expression, bigrams: Boolean,
                            portableHash: Boolean = true) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -1622,6 +1698,9 @@ case class MinHashBandHashes(child: Expression, bands: Int, rowsPerBand: Int)
 /** Column-facing wrappers. */
 object vectors {
   def canonicalize_text(text: Column): Column = CanonicalizeText(text.asExpression).asColumn
+
+  def decode_numeric_entities(text: Column): Column =
+    DecodeNumericEntities(text.asExpression).asColumn
 
   def fold_accents(text: Column): Column = FoldAccents(text.asExpression).asColumn
 

@@ -18,12 +18,17 @@ import org.apache.spark.sql.functions._
  *  3. every remaining tag becomes one space (block/inline distinction is
  *     deliberately not modeled — the whitespace collapse folds either way);
  *  4. decode the five named entities + `&nbsp;`; numeric character
- *     references become one space (decoding arbitrary code points is not
- *     expressible as an engine-portable regex — documented loss);
+ *     references either become one space (the default, engine-portable
+ *     regex step any SQL engine replays verbatim) or decode to their
+ *     actual code points via the codegen'd
+ *     [[graft.functions.DecodeNumericEntities]] kernel
+ *     (`decodeNumericEntities = true` — the curation-quality mode; its
+ *     oracle is a planted golden fixture, since computing a character
+ *     from digits is not expressible as a portable regex);
  *  5. collapse whitespace runs, trim.
  *
- * All five steps are codegen'd `regexp_replace` projections — narrow, no
- * UDF, no shuffle, streaming-legal.
+ * Every step is a codegen'd projection — narrow, no UDF, no shuffle,
+ * streaming-legal — in both modes.
  */
 object Html {
 
@@ -35,24 +40,28 @@ object Html {
   val WhitespacePattern: String = "[ \\t\\r\\n]+"
 
   /** Extract visible text from HTML markup; plain text passes through
-    * unchanged (modulo whitespace collapse). */
-  def stripHtml(c: Column): Column = {
+    * unchanged (modulo whitespace collapse). `decodeNumericEntities = true`
+    * decodes `&#...;` references to their code points (kernel step) instead
+    * of collapsing them to a space (portable regex step). */
+  def stripHtml(c: Column, decodeNumericEntities: Boolean = false): Column = {
     val noScript = regexp_replace(c, ScriptStylePattern, " ")
     val noComment = regexp_replace(noScript, CommentPattern, " ")
     val noTags = regexp_replace(noComment, TagPattern, " ")
-    val named = regexp_replace(
+    val namedDone = regexp_replace(
       regexp_replace(
         regexp_replace(
           regexp_replace(
-            regexp_replace(
-              regexp_replace(noTags, "&nbsp;", " "),
-              "&lt;", "<"),
-            "&gt;", ">"),
-          "&quot;", "\""),
-        "&apos;", "'"),
-      NumericEntityPattern, " ")
+            regexp_replace(noTags, "&nbsp;", " "),
+            "&lt;", "<"),
+          "&gt;", ">"),
+        "&quot;", "\""),
+      "&apos;", "'")
+    val numericDone =
+      if (decodeNumericEntities)
+        graft.functions.vectors.decode_numeric_entities(namedDone)
+      else regexp_replace(namedDone, NumericEntityPattern, " ")
     // &amp; LAST so double-escaped entities don't decode twice
-    val decoded = regexp_replace(named, "&amp;", "&")
+    val decoded = regexp_replace(numericDone, "&amp;", "&")
     trim(regexp_replace(decoded, WhitespacePattern, " "))
   }
 }

@@ -895,6 +895,37 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(plain == "no markup here")
   }
 
+  test("decodeNumericEntities: code points, space-class collapse, malformed stay literal") {
+    def dec(s: String): String = Seq(s).toDF("t")
+      .select(graft.functions.vectors.decode_numeric_entities(col("t")).as("c"))
+      .as[String].head()
+    assert(dec("A&#66;&#x43;!") == "ABC!")                // dec + hex
+    assert(dec("smile &#x1F600;") == "smile 😀") // astral plane
+    assert(dec("caf&#233;") == "café")
+    // whitespace-class / control / invalid -> one space
+    assert(dec("a&#160;b") == "a b")       // U+00A0
+    assert(dec("a&#10;b&#x9;c") == "a b c")
+    assert(dec("a&#7;b") == "a b")         // BEL control
+    assert(dec("a&#xD800;b") == "a b")     // surrogate
+    assert(dec("a&#1114112;b") == "a b")   // > U+10FFFF
+    assert(dec("a&#0;b") == "a b")         // NUL
+    assert(dec("a&#1114111;b") == "a􏿿b") // max valid cp
+    // malformed references stay literal
+    assert(dec("&#; &#xZZ; &#x; &#") == "&#; &#xZZ; &#x; &#")
+    // unterminated digits (no ';') stay literal
+    assert(dec("&#65 no") == "&#65 no")
+    // stripHtml decode mode: same chain, kernel instead of space-collapse,
+    // and the &-last ordering still shields double-escaped refs
+    val got = Seq("<p>done&#33;</p> shield&amp;#65;x").toDF("t")
+      .select(graft.text.Html.stripHtml(col("t"), decodeNumericEntities = true).as("c"))
+      .as[String].head()
+    assert(got == "done! shield&#65;x")
+    // SQL registration round-trip
+    graft.GraftExtensions.registerAll(spark)
+    assert(spark.sql("SELECT decode_numeric_entities('x&#89;z') AS c")
+      .as[String].head() == "xYz")
+  }
+
   test("blocklist artifact round-trips and decontaminates identically to the direct path") {
     val block = Seq("the secret benchmark answer sequence alpha beta gamma delta epsilon zeta").toDF("text")
     val corpus = Seq(

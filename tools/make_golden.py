@@ -323,6 +323,93 @@ def make_video_fixture():
 
 
 # ---------------------------------------------------------------------------
+# HTML extraction with numeric-entity DECODE: an independent python
+# replication of the strip_html chain with decodeNumericEntities=true (the
+# kernel rules: valid refs -> code point; whitespace-class/control/invalid
+# -> one space; malformed stay literal). Planted inputs only use code points
+# whose whitespace classification agrees between java Character.isWhitespace
+# and python str.isspace, so the replication is engine-independent.
+# ---------------------------------------------------------------------------
+def make_html_fixture():
+    import re
+
+    def decode_numeric(s):
+        out, i = [], 0
+        while True:
+            j = s.find("&#", i)
+            if j < 0:
+                out.append(s[i:])
+                break
+            out.append(s[i:j])
+            k = j + 2
+            hexmode = k < len(s) and s[k] in "xX"
+            if hexmode:
+                k += 1
+            d0, maxd = k, (6 if hexmode else 8)
+            digits = "0123456789abcdefABCDEF" if hexmode else "0123456789"
+            while k < len(s) and k - d0 < maxd and s[k] in digits:
+                k += 1
+            if k > d0 and k < len(s) and s[k] == ";":
+                cp = int(s[d0:k], 16 if hexmode else 10)
+                invalid = cp > 0x10FFFF or cp == 0 or 0xD800 <= cp <= 0xDFFF
+                spacelike = (not invalid) and (
+                    cp == 0xA0 or cp < 0x20 or 0x7F <= cp <= 0x9F or chr(cp).isspace())
+                out.append(" " if (invalid or spacelike) else chr(cp))
+                i = k + 1
+            else:
+                out.append("&#")  # malformed: literal, resume after marker
+                i = j + 2
+        return "".join(out)
+
+    def strip_html_decoded(h):
+        h = re.sub(r"(?is)<script\b[^>]*>.*?</script>|<style\b[^>]*>.*?</style>", " ", h)
+        h = re.sub(r"(?s)<!--.*?-->", " ", h)
+        h = re.sub(r"<[^>]*>", " ", h)
+        for pat, rep in [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                         ("&quot;", '"'), ("&apos;", "'")]:
+            h = h.replace(pat, rep)
+        h = decode_numeric(h)
+        h = h.replace("&amp;", "&")
+        return re.sub(r"[ \t\r\n]+", " ", h).strip()
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    planted = [
+        "<p>&#65;&#66;C</p>",                                   # decimal refs
+        "<div>smile &#x1F600; now</div>",                       # astral hex ref
+        "caf&#233; and&#160;joined",                            # e-acute; nbsp ref -> space
+        "bell&#7;control &#xD800; bad &#1114111;ok",            # control/surrogate -> space; max cp valid
+        "over &#1114112; flow &#0; nul",                        # out of range / NUL -> space
+        "malformed &#; and &#xZZ; and &#x; stay",               # literal
+        "<script>var x=&#65;;</script>kept &lt;b&gt; &amp;amp; &#38;",
+        "amp shields: double&amp;#65;no decode",                # &-last ordering
+        "line&#10;break&#x9;tab &#8232;ls",                     # ws-class refs -> space
+    ]
+    ids, htmls, cleans = [], [], []
+    for i, p in enumerate(planted):
+        ids.append(int(-(i + 1)))  # planted rows: negative ids
+        htmls.append(p)
+        cleans.append(strip_html_decoded(p))
+    # plus every real document wrapped in the html_extract gate's synthetic
+    # markup, with a numeric-ref tail the space-mode gate cannot cover
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        h = ("<html><head><style>p{color:red}</style>"
+             "<script type=\"text/javascript\">var x=1;</script></head>"
+             "<body><!-- crawl artifact --><p>" + (text or "") +
+             "</p><div>&#84;ail &#x21; &quot;q&quot;</div></body></html>")
+        ids.append(int(doc_id))
+        htmls.append(h)
+        cleans.append(strip_html_decoded(h))
+    table = pa.table({
+        "html_id": pa.array(ids, pa.int64()),
+        "html": pa.array(htmls, pa.string()),
+        "clean_text": pa.array(cleans, pa.string()),
+    })
+    pq.write_table(table, f"{OUT}/html.parquet")
+    print(f"html.parquet: {len(ids)} rows")
+
+
+# ---------------------------------------------------------------------------
 # DEFLATE lengths for compression_signal (python zlib == JVM Deflater: both
 # wrap the same zlib; raw stream, level 6 — verified byte-identical)
 # ---------------------------------------------------------------------------
@@ -562,5 +649,6 @@ if __name__ == "__main__":
     make_images_fixture()
     make_audio_fixture()
     make_video_fixture()
+    make_html_fixture()
     make_deflate_fixture()
     make_ann_goldens()
