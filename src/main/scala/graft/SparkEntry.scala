@@ -1477,6 +1477,67 @@ object SparkEntry {
           (col("hits") >= col("total_expected") * 0.4).as("recall_ok"))
     }),
 
+    // IVFADC with residual codes (the paper-faithful layout): codes
+    // quantize vec - assigned centroid, the ADC score adds back the
+    // per-(query, bucket) dot(q, centroid) term. Oracle: golden fixture
+    // from the independent numpy replication (float32 residual arithmetic
+    // + both trainings + composition, tools/make_golden.py)
+    "ann_ivfpq_residual_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ivf = graft.ann.Ann.trainIvf(emb, col("vec_id"), col("embedding"),
+        k = 16, iterations = 3)
+      val pqi = graft.ann.Pq.trainPqResidual(emb, col("vec_id"), col("embedding"),
+        ivf, dim = 64, m = 8, ksub = 16, iterations = 3)
+      graft.ann.Pq.ivfPqTopK(
+        emb.filter(col("vec_id") < 20), emb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        ivf, pqi, k = 3, nprobe = 3, refine = 8, residual = true)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
+    // composed-path recall gate, nprobe swept {1, 2, all}: raw-code recall
+    // must clear 0.5 at every nprobe (measured 0.65-0.77 across
+    // sf0.001-0.1; a broken bucket join, LUT, or shortlist drives it
+    // toward 0), and residual codes must recall at least as well as raw at
+    // probe-all (measured +0.08..+0.13). Monotonicity in nprobe is
+    // deliberately NOT asserted: with a fixed k*refine shortlist, extra
+    // probed candidates can displace true neighbors from the approx-ranked
+    // shortlist before the exact re-rank (measured: raw nprobe=1 recall
+    // 0.77 > nprobe=2 recall 0.65 at sf0.001) — more probes widen the
+    // candidate pool, not the shortlist.
+    "ann_ivfpq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+      val ivf = graft.ann.Ann.trainIvf(emb, col("vec_id"), col("embedding"),
+        k = 16, iterations = 3)
+      val raw = graft.ann.Pq.trainPq(emb, col("vec_id"), col("embedding"),
+        dim = 64, m = 8, ksub = 16, iterations = 3)
+      val res = graft.ann.Pq.trainPqResidual(emb, col("vec_id"), col("embedding"),
+        ivf, dim = 64, m = 8, ksub = 16, iterations = 3)
+      val brute = graft.ann.Ann.bruteForceTopK(q, emb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      def hitsOf(nprobe: Int, index: graft.ann.Pq.PqIndex, residual: Boolean,
+                 name: String) = {
+        val got = graft.ann.Pq.ivfPqTopK(q, emb,
+          col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+          ivf, index, k = 3, nprobe = nprobe, refine = 8, residual = residual)
+          .select(col("query_id"), col("neighbor_id"))
+        brute.join(got, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as(name))
+      }
+      brute.agg(count(lit(1)).as("total_expected"))
+        .crossJoin(hitsOf(1, raw, residual = false, "h1"))
+        .crossJoin(hitsOf(2, raw, residual = false, "h2"))
+        .crossJoin(hitsOf(16, raw, residual = false, "hall"))
+        .crossJoin(hitsOf(16, res, residual = true, "hres"))
+        .select(col("total_expected"),
+          (col("h1") >= col("total_expected") * 0.5).as("recall_np1_ok"),
+          (col("h2") >= col("total_expected") * 0.5).as("recall_np2_ok"),
+          (col("hall") >= col("total_expected") * 0.5).as("recall_all_ok"),
+          (col("hres") >= col("hall")).as("residual_ge_raw"))
+    }),
+
     // multimodal plumbing: binary payload + frame sampling
     "multimodal_features" -> ((s, dir) => {
       val bin = encode(col("text"), "utf-8")
@@ -2325,6 +2386,17 @@ object SparkEntry {
           "CASE WHEN SUM(t2) = 0 THEN 0.0 ELSE CAST(SUM(p2) AS DOUBLE) / CAST(SUM(t2) AS DOUBLE) END AS rep_bigram_fraction " +
           "FROM m2 GROUP BY window_start, source"),
 
+      // DATA ASSUMPTION (both streaming near-dup oracles): the oracle
+      // predicts the ALL-PAIRS ideal (every doc with ANY earlier partner at
+      // J>=0.8 / cosine>=0.9), but the streaming operators only flag
+      // collisions against each LSH bucket's FIRST member, and banding has
+      // false negatives. The gates match because in this datagen every
+      // qualifying pair is a planted near-copy whose earlier partner IS
+      // bucket-first in some shared band (near-copies collide in most
+      // bands, and transitive duplicate groups share their earliest member
+      // as bucket-first). StreamingSuite pins the bucket-first semantics
+      // directly; if a datagen change breaks these rows, suspect the data
+      // assumption — not the operator — first.
       "streaming_neardup" ->
         (s"WITH $docTokCte, $docShCte, $docPairCte " +
           "SELECT DISTINCT ib AS doc_id FROM p WHERE j >= 0.8"),
@@ -2682,6 +2754,23 @@ object SparkEntry {
       "ann_ivfpq_topk" ->
         ("SELECT query_id, rank, neighbor_id " +
           s"FROM read_parquet('$goldenDir/ann_ivfpq_topk_sf001.parquet')"),
+
+      "ann_ivfpq_residual_topk" ->
+        ("SELECT query_id, rank, neighbor_id " +
+          s"FROM read_parquet('$goldenDir/ann_ivfpq_residual_topk_sf001.parquet')"),
+
+      // recall booleans are asserted on the Spark side (the query flips
+      // them on regression); the oracle pins the brute-force total and the
+      // expected verdicts
+      "ann_ivfpq_recall" ->
+        ("WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20), " +
+          "topk AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+          "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank " +
+          "FROM q JOIN embeddings c ON q.vec_id <> c.vec_id) " +
+          "SELECT CAST(COUNT(*) AS BIGINT) AS total_expected, " +
+          "TRUE AS recall_np1_ok, TRUE AS recall_np2_ok, TRUE AS recall_all_ok, " +
+          "TRUE AS residual_ge_raw " +
+          "FROM topk WHERE rank <= 3"),
 
       "kmeans_assign" ->
         ("SELECT vec_id, cid " +

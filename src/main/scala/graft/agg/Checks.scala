@@ -37,6 +37,11 @@ object Checks {
     case class Unique(column: String) extends Check
   }
 
+  /** Resolve a rule column's type through analysis, not StructType.apply —
+    * nested field paths ("a.b") resolve like any column reference would. */
+  private def columnType(df: DataFrame, c: String): DataType =
+    df.select(col(c)).schema.head.dataType
+
   /** InRange violation predicate in the column's exact type family. A
     * BIGINT compared through a double cast silently rounds values beyond
     * 2^53 (9007199254740993 would "pass" a [0, 2^53] range), so integral
@@ -47,10 +52,23 @@ object Checks {
   private def rangeViolation(dt: DataType, c: Column, lo: Double, hi: Double): Column =
     dt match {
       case ByteType | ShortType | IntegerType | LongType | _: DecimalType =>
-        c < lit(java.math.BigDecimal.valueOf(lo)) || c > lit(java.math.BigDecimal.valueOf(hi))
+        exactBoundViolation(c, lo, isLower = true) ||
+          exactBoundViolation(c, hi, isLower = false)
       case _ =>
         c.cast("double") < lo || c.cast("double") > hi
     }
+
+  /** One side of the exact-type range check. Finite bounds become DECIMAL
+    * literals; non-finite bounds have no decimal literal, so they take the
+    * value the IEEE comparison would: integral/decimal values are all
+    * finite, so an infinite bound excludes everything or nothing, and a NaN
+    * bound compares false (never a violation). */
+  private def exactBoundViolation(c: Column, b: Double, isLower: Boolean): Column =
+    if (java.lang.Double.isFinite(b)) {
+      val boundLit = lit(java.math.BigDecimal.valueOf(b))
+      if (isLower) c < boundLit else c > boundLit
+    } else if (b.isNaN) lit(false)
+    else lit((b == Double.PositiveInfinity) == isLower)
 
   /**
    * Streaming contract monitoring: attach the SCALAR rules (everything but
@@ -77,7 +95,7 @@ object Checks {
           (frac, frac <= maxFrac)
         case InRange(col0, lo, hi) =>
           val bad = count(when(col(col0).isNotNull &&
-            rangeViolation(stream.schema(col0).dataType, col(col0), lo, hi), lit(1)))
+            rangeViolation(columnType(stream, col0), col(col0), lo, hi), lit(1)))
           (bad.cast("double"), bad === 0L)
         case MatchesRegex(col0, p, minFrac) =>
           val nn = count(when(col(col0).isNotNull, lit(1)))
@@ -104,7 +122,7 @@ object Checks {
         Seq(count(when(col(c).isNull, lit(1))).as(s"__a$i"))
       case (InRange(c, lo, hi), i) =>
         Seq(count(when(col(c).isNotNull &&
-          rangeViolation(df.schema(c).dataType, col(c), lo, hi), lit(1))).as(s"__a$i"))
+          rangeViolation(columnType(df, c), col(c), lo, hi), lit(1))).as(s"__a$i"))
       case (MatchesRegex(c, p, _), i) =>
         Seq(count(when(col(c).isNotNull, lit(1))).as(s"__a${i}n"),
           count(when(col(c).isNotNull && col(c).rlike(p), lit(1))).as(s"__a$i"))

@@ -116,19 +116,25 @@ object Pq {
       queryId.as("query_id"), queryVec.as("qvec"),
       vectors.pq_lut(queryVec, index.codebooks).as("lut"),
       sqrt(vectors.dot_product(queryVec, queryVec)).as("qnorm"))
+    // project to the three scalar ranking columns BEFORE the per-query
+    // window: the exchange feeding row_number then moves ~20 bytes per ADC
+    // candidate, not the query vector + m*ksub-double LUT payload; qvec
+    // rejoins on the tiny post-rank shortlist for the exact re-rank
     val scored = broadcast(q).crossJoin(enc)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("approx_cos",
+      .select(col("query_id"), col("neighbor_id"),
         when(col("qnorm") === 0.0 || col("cnorm") === 0.0, lit(0.0))
           .otherwise(
             vectors.pq_adc_dot(col("codes"), col("lut"), index.ksub) /
-              (col("qnorm") * col("cnorm"))))
+              (col("qnorm") * col("cnorm"))).as("approx_cos"))
     val shortlist = scored
       .withColumn("__srank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("approx_cos").desc, col("neighbor_id"))))
       .filter(col("__srank") <= k * refine)
-      .select(col("query_id"), col("qvec"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(queries.select(queryId.as("query_id"), queryVec.as("qvec"))),
+        "query_id")
     rerankExact(corpus, corpusId, corpusVec, shortlist, k)
   }
 
@@ -147,46 +153,105 @@ object Pq {
    * of the bytes — at k_ivf=1024, nprobe=8, m=16, dim=1024 that is ~1/32000
    * of what brute force reads.
    *
-   * Codes here quantize the raw vectors (not residuals): the codebook is
-   * shared across buckets, so ingest encodes each vector once with no
-   * per-bucket state, and the exact re-rank absorbs the approximation
-   * either way. Output: (query_id, rank, neighbor_id, cosine) — cosine
-   * exact, ties by neighbor_id ascending.
+   * Codes quantize the raw vectors by default: the codebook is shared
+   * across buckets, so ingest encodes each vector once with no per-bucket
+   * state, and the exact re-rank absorbs the approximation either way.
+   * `residual = true` is the paper-faithful IVFADC layout: codes quantize
+   * `vec - centroid(cid)` instead (train with [[trainPqResidual]]!) —
+   * residuals are smaller than raw vectors, so the same m bytes carry more
+   * precision and the ADC shortlist ranks closer to exact. The ADC score
+   * then reconstructs `dot(q, c + r̂) = dot(q, c) + dot(q, r̂)`: the first
+   * term is one dot product per (query, probed bucket) on the tiny
+   * broadcast side, the second is the same O(m) LUT sum, so the per-
+   * candidate scan cost is unchanged. Output: (query_id, rank, neighbor_id,
+   * cosine) — cosine exact, ties by neighbor_id ascending.
    */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
                 queryId: Column, queryVec: Column, corpusId: Column, corpusVec: Column,
                 ivf: Ann.IvfIndex, index: PqIndex, k: Int,
-                nprobe: Int = 2, refine: Int = 8): DataFrame = {
+                nprobe: Int = 2, refine: Int = 8,
+                residual: Boolean = false): DataFrame = {
     // the persisted-once table of a production run: (cid, id, codes, cnorm),
     // one narrow fused kernel pass over the corpus scan
-    val enc = corpus.select(
-        get(vectors.nearest_centroids(corpusVec, ivf.centroids, 1), lit(0)).as("cid"),
-        corpusId.as("neighbor_id"),
-        vectors.pq_encode(corpusVec, index.codebooks).as("codes"))
-      .withColumn("cnorm", vectors.pq_code_norm(col("codes"), index.normSq))
+    val enc =
+      if (residual) encodeResidual(corpus, corpusId, corpusVec, ivf, index)
+      else corpus.select(
+          get(vectors.nearest_centroids(corpusVec, ivf.centroids, 1), lit(0)).as("cid"),
+          corpusId.as("neighbor_id"),
+          vectors.pq_encode(corpusVec, index.codebooks).as("codes"))
+        .withColumn("cnorm", vectors.pq_code_norm(col("codes"), index.normSq))
     // one query row per probed bucket; a corpus vector lives in exactly ONE
     // bucket, so a (query, neighbor) pair can match at most once — no
     // post-join dedup needed (unlike the LSH band join)
     val q = queries.select(
-      queryId.as("query_id"), queryVec.as("qvec"),
-      vectors.pq_lut(queryVec, index.codebooks).as("lut"),
-      sqrt(vectors.dot_product(queryVec, queryVec)).as("qnorm"),
-      explode(vectors.nearest_centroids(queryVec, ivf.centroids, nprobe)).as("cid"))
+        queryId.as("query_id"), queryVec.as("qvec"),
+        vectors.pq_lut(queryVec, index.codebooks).as("lut"),
+        sqrt(vectors.dot_product(queryVec, queryVec)).as("qnorm"),
+        explode(vectors.nearest_centroids(queryVec, ivf.centroids, nprobe)).as("cid"))
+      .withColumn("qc_dot",
+        if (residual)
+          vectors.dot_product(col("qvec"), element_at(centroidsLit(ivf), col("cid") + 1))
+        else lit(0.0))
+    // project to the three scalar ranking columns BEFORE the per-query
+    // window: the exchange feeding row_number then moves ~20 bytes per ADC
+    // candidate, not the query vector + m*ksub-double LUT payload; qvec
+    // rejoins on the tiny post-rank shortlist for the exact re-rank
     val scored = broadcast(q).join(enc, "cid")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("approx_cos",
+      .select(col("query_id"), col("neighbor_id"),
         when(col("qnorm") === 0.0 || col("cnorm") === 0.0, lit(0.0))
           .otherwise(
-            vectors.pq_adc_dot(col("codes"), col("lut"), index.ksub) /
-              (col("qnorm") * col("cnorm"))))
+            (col("qc_dot") + vectors.pq_adc_dot(col("codes"), col("lut"), index.ksub)) /
+              (col("qnorm") * col("cnorm"))).as("approx_cos"))
     val shortlist = scored
       .withColumn("__srank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("approx_cos").desc, col("neighbor_id"))))
       .filter(col("__srank") <= k * refine)
-      .select(col("query_id"), col("qvec"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(queries.select(queryId.as("query_id"), queryVec.as("qvec"))),
+        "query_id")
     rerankExact(corpus, corpusId, corpusVec, shortlist, k)
   }
+
+  /** The IVF centroid table as an `array<array<float>>` literal — ships in
+    * the plan like the kernel reference objects (k_ivf * dim floats). */
+  private def centroidsLit(ivf: Ann.IvfIndex): Column =
+    typedLit(ivf.centroids.map(_.toSeq).toSeq)
+
+  /** `vec - centroid(assigned cid)` as a codegen'd column — the quantity
+    * residual PQ trains on and encodes. */
+  private def residualOf(vec: Column, ivf: Ann.IvfIndex): Column =
+    zip_with(vec,
+      element_at(centroidsLit(ivf),
+        get(vectors.nearest_centroids(vec, ivf.centroids, 1), lit(0)) + 1),
+      (x, y) => x - y)
+
+  /** Train a product quantizer on IVF residuals (`vec - assigned
+    * centroid`) — same deterministic Lloyd's loop as [[trainPq]], seeded by
+    * the residuals of the `ksub` smallest-id vectors. Pair with
+    * `ivfPqTopK(..., residual = true)` and [[encodeResidual]]. */
+  def trainPqResidual(corpus: DataFrame, id: Column, vec: Column, ivf: Ann.IvfIndex,
+                      dim: Int, m: Int, ksub: Int, iterations: Int = 3): PqIndex =
+    trainPq(corpus, id, residualOf(vec, ivf), dim, m, ksub, iterations)
+
+  /** Residual encode: `(cid, neighbor_id, codes, cnorm)` with `codes` the
+    * PQ codes of `vec - centroid(cid)` and `cnorm` the exact norm of the
+    * reconstruction `centroid(cid) + decode(codes)` (per-subspace norm
+    * tables don't apply — the centroid couples subspaces — so the encode
+    * pass reconstructs; still one narrow fused pass over the corpus). */
+  def encodeResidual(corpus: DataFrame, id: Column, vec: Column,
+                     ivf: Ann.IvfIndex, index: PqIndex): DataFrame =
+    corpus.select(
+        get(vectors.nearest_centroids(vec, ivf.centroids, 1), lit(0)).as("cid"),
+        id.as("neighbor_id"), vec.as("__v"))
+      .withColumn("__cen", element_at(centroidsLit(ivf), col("cid") + 1))
+      .withColumn("codes", vectors.pq_encode(
+        zip_with(col("__v"), col("__cen"), (x, y) => x - y), index.codebooks))
+      .withColumn("__recon", zip_with(col("__cen"),
+        vectors.pq_reconstruct(col("codes"), index.codebooks), (x, y) => x + y))
+      .withColumn("cnorm", sqrt(vectors.dot_product(col("__recon"), col("__recon"))))
+      .select(col("cid"), col("neighbor_id"), col("codes"), col("cnorm"))
 
   /** Exact-cosine re-rank of a bounded (query_id, qvec, neighbor_id)
     * shortlist: |queries| * k * refine rows by construction — always

@@ -805,6 +805,20 @@ object VectorKernels extends Serializable {
     math.sqrt(acc)
   }
 
+  /** Decode m-byte PQ codes back to the quantized vector (the subspace
+    * centroids concatenated) — residual-IVFADC encoding reconstructs to
+    * compute each vector's exact approximation norm. */
+  def pqReconstruct(codes: Array[Byte], codebooks: Array[Array[Array[Float]]]): Array[Float] = {
+    val subdim = codebooks(0)(0).length
+    val out = new Array[Float](codes.length * subdim)
+    var s = 0
+    while (s < codes.length) {
+      System.arraycopy(codebooks(s)(codes(s) & 0xFF), 0, out, s * subdim, subdim)
+      s += 1
+    }
+    out
+  }
+
   private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -1633,6 +1647,34 @@ case class PqAdcDot(left: Expression, right: Expression, ksub: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** pq_reconstruct(codes): decode PQ codes back to the quantized vector —
+  * the residual-IVFADC encode path reconstructs to take exact norms. */
+case class PqReconstruct(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType if codebooks.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_reconstruct expects binary, got ${t.sql}")
+  }
+
+  override def nullSafeEval(codes: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.pqReconstruct(codes.asInstanceOf[Array[Byte]], codebooks))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    defineCodeGen(ctx, ev,
+      a => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorKernels.pqReconstruct($a, $ref))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** pq_code_norm(codes): reconstruction norm from precomputed per-centroid
   * squared norms — the denominator of the approximate cosine. */
 case class PqCodeNorm(child: Expression, normSq: Array[Array[Double]])
@@ -1773,6 +1815,9 @@ object vectors {
 
   def pq_code_norm(codes: Column, normSq: Array[Array[Double]]): Column =
     PqCodeNorm(codes.asExpression, normSq).asColumn
+
+  def pq_reconstruct(codes: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    PqReconstruct(codes.asExpression, codebooks).asColumn
 
   /** Hamming distance between two 64-bit hashes as a Column. */
   def hamming64(a: Column, b: Column): Column =

@@ -86,9 +86,16 @@ object StreamHarness {
     try {
       q.processAllAvailable()
       if (awaitNoDataBatch) {
+        // only a zero-input batch AFTER the last data batch finalizes the
+        // watermark — a zero-input trigger that fired before the first file
+        // was discovered (or between replayed files) proves nothing, so key
+        // the wait on batchId, not on any zero-input entry existing
+        val lastDataBatch =
+          q.recentProgress.filter(_.numInputRows > 0).map(_.batchId)
+            .foldLeft(-1L)(math.max)
         val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
         def sawNoDataBatch: Boolean =
-          q.recentProgress.exists(p => p.numInputRows == 0)
+          q.recentProgress.exists(p => p.numInputRows == 0 && p.batchId > lastDataBatch)
         while (!sawNoDataBatch && System.nanoTime() < deadline)
           Thread.sleep(50)
         q.processAllAvailable()

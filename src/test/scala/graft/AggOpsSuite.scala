@@ -123,6 +123,27 @@ class AggOpsSuite extends AnyFunSuite with SparkTest {
     assert(fgot == Seq((1.0, false)))
   }
 
+  test("Checks InRange handles non-finite bounds and nested field paths") {
+    import graft.agg.Checks
+    import graft.agg.Checks.Check._
+    val df = Seq(-5L, 0L, 7L).toDF("v")
+    // open-ended ranges via infinite/NaN bounds must plan (no decimal
+    // literal exists for them) and keep the IEEE comparison semantics:
+    // an infinite bound excludes nothing, a NaN bound compares false
+    val r = Checks.run(df, Seq(
+      InRange("v", 0, Double.PositiveInfinity),  // violation: -5
+      InRange("v", Double.NegativeInfinity, 0),  // violation: 7
+      InRange("v", Double.NaN, Double.NaN)))     // NaN bounds: never violate
+      .select("metric", "pass").as[(Double, Boolean)].collect().toSeq
+    assert(r == Seq((1.0, false), (1.0, false), (0.0, true)))
+    // nested field paths resolve through analysis, not StructType.apply
+    val nested = Seq((1L, 5L), (2L, 200L)).toDF("id", "b")
+      .select($"id", org.apache.spark.sql.functions.struct($"b").as("a"))
+    val rn = Checks.run(nested, Seq(InRange("a.b", 0, 100)))
+      .select("metric", "pass").as[(Double, Boolean)].collect().toSeq
+    assert(rn == Seq((1.0, false)))
+  }
+
   test("keySkewReport sorts null keys last at the top-k boundary") {
     // 3x "a", 2x null, 2x "" : null ties with "" at cnt=2; NULLS LAST must
     // put "" in the k=2 report (Spark's plain asc would pick null first,

@@ -326,12 +326,24 @@ def make_video_fixture():
 # HTML extraction with numeric-entity DECODE: an independent python
 # replication of the strip_html chain with decodeNumericEntities=true (the
 # kernel rules: valid refs -> code point; whitespace-class/control/invalid
-# -> one space; malformed stay literal). Planted inputs only use code points
-# whose whitespace classification agrees between java Character.isWhitespace
-# and python str.isspace, so the replication is engine-independent.
+# -> one space; malformed stay literal). The whitespace classification
+# replicates java.lang.Character.isWhitespace explicitly (NOT python
+# str.isspace, which disagrees on U+2007/U+202F/U+180E), so the fixture is
+# correct for arbitrary document text, not just the planted set.
 # ---------------------------------------------------------------------------
 def make_html_fixture():
     import re
+    import unicodedata
+
+    def java_is_whitespace(cp):
+        # java.lang.Character.isWhitespace: Unicode space separators EXCEPT
+        # the non-breaking ones (U+00A0, U+2007, U+202F), plus line/paragraph
+        # separators and the legacy control set \t \n \v \f \r \x1c-\x1f
+        if 0x09 <= cp <= 0x0D or 0x1C <= cp <= 0x1F:
+            return True
+        if cp in (0xA0, 0x2007, 0x202F):
+            return False
+        return unicodedata.category(chr(cp)) in ("Zs", "Zl", "Zp")
 
     def decode_numeric(s):
         out, i = [], 0
@@ -353,7 +365,8 @@ def make_html_fixture():
                 cp = int(s[d0:k], 16 if hexmode else 10)
                 invalid = cp > 0x10FFFF or cp == 0 or 0xD800 <= cp <= 0xDFFF
                 spacelike = (not invalid) and (
-                    cp == 0xA0 or cp < 0x20 or 0x7F <= cp <= 0x9F or chr(cp).isspace())
+                    cp == 0xA0 or cp < 0x20 or 0x7F <= cp <= 0x9F
+                    or java_is_whitespace(cp))
                 out.append(" " if (invalid or spacelike) else chr(cp))
                 i = k + 1
             else:
@@ -643,6 +656,78 @@ def make_ann_goldens():
         total += len(truth)
         hits += len(truth & ivfpq_sets.get(q, set()))
     print(f"ann_ivfpq recall@3 vs brute: {hits}/{total} = {hits/total:.3f}")
+
+    # --- residual IVF x PQ (IVFADC proper: codes quantize vec - centroid) ---
+    # replicates trainPqResidual + encodeResidual + ivfPqTopK(residual=true):
+    # residuals are float32 subtractions against the assigned (cosine-
+    # nearest) float32 IVF centroid; PQ trains on the residuals with the
+    # same deterministic Lloyd's; cnorm is the exact norm of the float32
+    # reconstruction centroid + decode(codes); the ADC score adds the
+    # per-(query, bucket) dot(q, centroid) term.
+    res32 = vecs32 - centroids[corpus_cid]  # float32 arithmetic, like zip_with
+    res64 = res32.astype(np.float64)
+    rseeds = res32[order[:ksub]]
+    rcb = np.stack([rseeds[:, s * subdim:(s + 1) * subdim] for s in range(m)])
+    rsub64 = np.stack([res64[:, s * subdim:(s + 1) * subdim] for s in range(m)])
+    for _ in range(3):
+        nxt = rcb.copy()
+        for s in range(m):
+            d = ((rsub64[s][:, None, :] - rcb[s].astype(np.float64)[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for c in range(ksub):
+                members = rsub64[s][assign == c]
+                if len(members):
+                    nxt[s][c] = members.mean(axis=0).astype(np.float32)
+        rcb = nxt
+    rcb64 = rcb.astype(np.float64)
+    codes_r = np.empty((len(ids), m), dtype=np.int64)
+    for s in range(m):
+        d = ((rsub64[s][:, None, :] - rcb64[s][None, :, :]) ** 2).sum(axis=2)
+        codes_r[:, s] = np.argmin(d, axis=1)
+    # float32 reconstruction = centroid + decoded residual, exact norm in f64
+    decode32 = np.concatenate(
+        [rcb[s][codes_r[:, s]] for s in range(m)], axis=1)  # (n, dim) float32
+    recon32 = centroids[corpus_cid] + decode32  # float32 add, like zip_with
+    cnorm_r = np.sqrt((recon32.astype(np.float64) ** 2).sum(axis=1))
+    rows = []
+    for q in query_ids:
+        qi = idx[q]
+        sims = cos_c[qi]
+        probe = sorted(range(16), key=lambda c: (-sims[c], c))[:3]
+        qc = {c: float(np.dot(vecs[qi], cen[c])) for c in probe}
+        lut = np.einsum("scd,sd->sc", rcb64,
+                        np.stack([vecs[qi, s * subdim:(s + 1) * subdim] for s in range(m)]))
+        adc = lut[np.arange(m)[None, :], codes_r].sum(axis=1)
+        cand_idx = [i for i in range(len(ids))
+                    if corpus_cid[i] in probe and ids[i] != q]
+        approx = {}
+        for i in cand_idx:
+            if qnorm[qi] == 0 or cnorm_r[i] == 0:
+                approx[i] = 0.0
+            else:
+                approx[i] = (qc[int(corpus_cid[i])] + adc[i]) / (qnorm[qi] * cnorm_r[i])
+        cand_order = sorted(cand_idx, key=lambda i: (-approx[i], ids[i]))
+        shortlist = [int(ids[i]) for i in cand_order[:topk * refine]]
+        nm = vecs[[idx[n] for n in shortlist]]
+        cos = cosine_matrix(vecs[qi][None, :], nm)[0]
+        rerank = sorted(range(len(shortlist)), key=lambda i: (-cos[i], shortlist[i]))
+        for rank, i in enumerate(rerank[:topk], start=1):
+            rows.append((q, rank, shortlist[i]))
+    write_topk(rows, "ann_ivfpq_residual_topk_sf001")
+
+    rres_sets = {}
+    for (q, rank, n) in rows:
+        rres_sets.setdefault(q, set()).add(n)
+    hits = total = 0
+    for q in query_ids:
+        qi = idx[q]
+        sims = cos_all[qi]
+        order_q = sorted((i for i in range(len(ids)) if ids[i] != q),
+                         key=lambda i: (-sims[i], ids[i]))[:topk]
+        truth = {int(ids[i]) for i in order_q}
+        total += len(truth)
+        hits += len(truth & rres_sets.get(q, set()))
+    print(f"ann_ivfpq_residual recall@3 vs brute: {hits}/{total} = {hits/total:.3f}")
 
 
 if __name__ == "__main__":
