@@ -64,6 +64,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // WindowExec warns "No Partition Defined for Window operation" on every
+    // deliberately-global window: the #partitions-row offset windows of
+    // RowNumbers/PrefixSum (three-phase design — the global window only ever
+    // sees one tiny row per partition) and Skew's k-survivor ranking. Those
+    // are bounded by construction, so the warning is noise here — silence
+    // that one logger rather than let it trail the metric line.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     // warm up JVM/codegen/scheduler so the first measured query isn't inflated
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -177,6 +177,12 @@ object GraftExtensions {
       arity("decode_numeric_entities", es, 1)
       graft.functions.DecodeNumericEntities(es.head)
     },
+    fn("decode_html_entities",
+      "decode_html_entities(text) - one-pass named (HTML 4.01 set + apos) " +
+        "and numeric char-ref decode; unknown names stay literal") { es =>
+      arity("decode_html_entities", es, 1)
+      graft.functions.DecodeHtmlEntities(es.head)
+    },
     fn("strip_html", "strip_html(text) - HTML-to-text extraction (RE2-safe regex chain)") { es =>
       arity("strip_html", es, 1)
       // the same ordered chain as graft.text.Html.stripHtml, as built-ins

@@ -65,7 +65,7 @@ object ScaleProbe {
     val allProbes = Set("minhash_pairs", "assign_clusters", "fuzzy_pairs",
       "asof_hotkey_plain", "asof_hotkey_bucketed", "cluster_chain",
       "span_stats", "bm25_topk", "pq_topk", "classifier", "semantic_dedup",
-      "dsir", "vocab")
+      "dsir", "vocab", "streaming_neardup_state", "streaming_embedding_state")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -394,6 +394,104 @@ object ScaleProbe {
     require(nSem == n * baseCount,
       s"semantic dedup pairs: got $nSem, expected exactly ${n * baseCount}")
     report("semantic_dedup", nSem, tSem)
+    }
+
+    // --- streaming near-dup state: bucket-state growth + eviction ---------
+    // The two state-store claims SCALE.md previously made from code reading
+    // alone, now measured: (1) state is ONE row per distinct (band, bucket)
+    // of the feed — asserted EXACTLY against a batch recount of the same
+    // kernel's distinct buckets, so linearity across N follows bucket
+    // growth, not feed volume; (2) the watermark evicts — a far-future
+    // flush batch advances event time past retention and the trailing
+    // no-data batch must drop the table to (at most) the flush row's own
+    // buckets. Replay: batch 0 = amplified corpus, batch 1 = flush row.
+    def streamStateProbe(probe: String, staged: DataFrame, batchCol: Column,
+                         expectedBuckets: Long, flushBuckets: Long)
+                        (mk: DataFrame => DataFrame): Unit = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_$probe").toString
+      val schema = graft.streaming.StreamHarness.writeOrderedBatches(
+        staged, batchCol, 2, s"$dir/in")
+      val stream = graft.streaming.StreamHarness.readOrderedBatches(
+        spark, s"$dir/in", schema)
+      val t0 = System.nanoTime()
+      val q = mk(stream).writeStream.format("parquet")
+        .option("path", s"$dir/out").option("checkpointLocation", s"$dir/cp")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // wait for the watermark-finalizing no-data batch (same batchId
+        // discipline as StreamHarness.drainToParquet)
+        val lastData = q.recentProgress.filter(_.numInputRows > 0)
+          .map(_.batchId).foldLeft(-1L)(math.max)
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (!q.recentProgress.exists(p =>
+            p.numInputRows == 0 && p.batchId > lastData) &&
+            System.nanoTime() < deadline) Thread.sleep(50)
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val progress = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        val afterLoad = progress.filter(_.batchId == 0)
+          .map(_.stateOperators(0).numRowsTotal).max
+        val finalRows = progress
+          .map(p => (p.batchId, p.stateOperators(0).numRowsTotal)).maxBy(_._1)._2
+        require(afterLoad == expectedBuckets,
+          s"$probe state rows $afterLoad != distinct buckets $expectedBuckets")
+        require(finalRows <= flushBuckets,
+          s"$probe eviction left $finalRows state rows (> $flushBuckets)")
+        println(String.format(java.util.Locale.ROOT,
+          """{"probe":"%s","n":%d,"rows":%d,"sec":%.2f,"after_eviction":%d}""",
+          probe, Int.box(n), Long.box(afterLoad), Double.box(sec),
+          Long.box(finalRows)))
+      } finally q.stop()
+    }
+
+    if (enabled("streaming_neardup_state")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val bigDocs = amplify(docs, n).select(
+        (col("doc_id") + col("__rep") * 1000000L).as("doc_id"),
+        regexp_replace(col("text"), lit("(\\w+ \\w+ \\w+)"),
+          concat(lit("$1 r"), col("__rep").cast("string"))).as("text"))
+        .withColumn("ts", timestamp_seconds(lit(1000000000L)))
+      val expected = bigDocs.select(
+        posexplode(graft.functions.vectors.minhash_band_hashes(
+          graft.text.TextFunctions.hashedTextShingles(col("text"), 3), 16, 8))
+          .as(Seq("band", "bucket")))
+        .distinct().count()
+      val flush = spark.range(1).select(lit(-1L).as("doc_id"),
+        lit("watermark flush marker row").as("text"),
+        timestamp_seconds(lit(1000000000L + 400L * 86400L)).as("ts"))
+      streamStateProbe("streaming_neardup_state",
+        bigDocs.unionByName(flush),
+        when(col("doc_id") < 0, 1).otherwise(0).cast("int"),
+        expected, flushBuckets = 16)(st =>
+        graft.streaming.StreamingNearDup.minHashCandidates(
+          st, col("doc_id"), col("text"), "ts", "0 seconds").toDF())
+    }
+
+    if (enabled("streaming_embedding_state")) {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      def signFlipS(vec: Column, rep: Column): Column =
+        transform(vec, (x, i) =>
+          x * when(pmod(xxhash64(rep, i), lit(2)) === 0, lit(1.0f)).otherwise(lit(-1.0f)))
+      val bigEmb = amplify(emb, n).select(
+        (col("vec_id").cast("long") + col("__rep") * 1000000L).as("vec_id"),
+        signFlipS(col("embedding"), col("__rep")).as("embedding"))
+        .withColumn("ts", timestamp_seconds(lit(1000000000L)))
+      val planes = graft.ann.Ann.hyperplanes(16, 12, 64, 42)
+      val expected = bigEmb.select(
+        posexplode(graft.functions.vectors.lsh_band_buckets(col("embedding"), planes))
+          .as(Seq("band", "bucket")))
+        .distinct().count()
+      val flush = spark.range(1).select(lit(-1L).as("vec_id"),
+        array((0 until 64).map(_ => lit(1.0f)): _*).as("embedding"),
+        timestamp_seconds(lit(1000000000L + 400L * 86400L)).as("ts"))
+      streamStateProbe("streaming_embedding_state",
+        bigEmb.unionByName(flush),
+        when(col("vec_id") < 0, 1).otherwise(0).cast("int"),
+        expected, flushBuckets = 16)(st =>
+        graft.streaming.StreamingEmbeddingNearDup.embeddingCandidates(
+          st, col("vec_id"), col("embedding"), "ts", "0 seconds",
+          dim = 64, threshold = 0.9).toDF())
     }
 
     // --- events: as-of join with a deliberately hot key ------------------

@@ -1087,6 +1087,16 @@ object SparkEntry {
         graft.text.Html.stripHtml(col("html"), decodeNumericEntities = true)
           .as("clean_text"))),
 
+    // the full-entity mode: the HTML 4.01 named set (+ apos) AND numeric
+    // refs decode in ONE left-to-right kernel pass (double escapes drop
+    // exactly one level, unknown names stay literal). Oracle: planted
+    // golden fixture replicated in python against the stdlib
+    // html.entities table — never this kernel's own map
+    "html_extract_entities" -> ((s, dir) =>
+      s.read.parquet(s"$goldenDir/html_entities.parquet").select(col("html_id"),
+        graft.text.Html.stripHtml(col("html"), decodeNamedEntities = true)
+          .as("clean_text"))),
+
     // accent folding: planted diacritics over every doc; NFD-drop-Mn must
     // agree with DuckDB's strip_accents on the decomposable set
     "fold_accents" -> ((s, dir) =>
@@ -2570,6 +2580,10 @@ object SparkEntry {
       "html_extract_decoded" ->
         ("SELECT html_id, clean_text " +
           s"FROM read_parquet('$goldenDir/html.parquet')"),
+
+      "html_extract_entities" ->
+        ("SELECT html_id, clean_text " +
+          s"FROM read_parquet('$goldenDir/html_entities.parquet')"),
 
       "fold_accents" ->
         ("SELECT doc_id, strip_accents(text || ' café über niño ça čech à ö') " +

@@ -98,27 +98,10 @@ object Curation {
     // scan, no per-stage cache. The quality-survivor set itself stays lazy:
     // it is scanned exactly once (by the exact-dedup stage), so persisting
     // it would only add a cache write.
-    val langKeep: Column =
-      if (keepLangs.isEmpty) lit(true)
-      else graft.text.TextFunctions.langId(text, graft.text.TextFunctions.AsciiTokenPattern)
-        .isin(keepLangs.toSeq.map(l => l: Any): _*)
-    val qualKeep = graft.text.QualityFilters.gopherKeep(
-      text, minTokens, maxTokens, minAvgTokenLen, maxAvgTokenLen,
-      minStopwordRatio, maxTopBigramFraction)
-    val clsKeep: Column = classifierWeights match {
-      case Some(w) =>
-        graft.text.Classifier.logit(text, w, classifierBias) >= classifierThreshold
-      case None => lit(true)
-    }
-    // DSIR target-likeness filter: the same fused kernel as the classifier
-    // stage with importance-ratio weights (Dsir.fitWeights) — one more
-    // column in the same leading aggregate pass
-    val dsirKeep: Column = dsirWeights match {
-      case Some(w) =>
-        graft.functions.vectors.hashed_linear_score(
-          text, w, portableHash = dsirPortableHash) >= dsirThreshold
-      case None => lit(true)
-    }
+    val (langKeep, qualKeep, clsKeep, dsirKeep) = keepPredicates(
+      text, keepLangs, minTokens, maxTokens, minAvgTokenLen, maxAvgTokenLen,
+      minStopwordRatio, maxTopBigramFraction, classifierWeights, classifierBias,
+      classifierThreshold, dsirWeights, dsirThreshold, dsirPortableHash)
     val head = docs.agg(
       count(lit(1)),
       coalesce(sum(when(langKeep, 1L).otherwise(0L)), lit(0L)),
@@ -153,5 +136,132 @@ object Curation {
     unpersistHandle.setDataFrame(cur)
     import spark.implicits._
     (cur, counts.toSeq.toDF("stage", "n_rows"))
+  }
+
+  /**
+   * The observe-mode twin of [[curate]]: identical stages, identical
+   * report, but the per-stage attrition counts ride the query as
+   * `Dataset.observe` counters (the [[graft.agg.Checks.observeChecks]] /
+   * StreamingCurate pattern) instead of a persist+count action per
+   * shuffling stage. ONE action — the count that warms the final survivor
+   * cache — materializes the whole chain and every counter with it.
+   *
+   * The tradeoff is checkpoint semantics: [[curate]]'s per-stage persists
+   * mean each shuffling stage's input is computed once even though MinHash
+   * dedup scans its input more than once internally; here only the MinHash
+   * stage's own internal shingle cache bounds recomputation. For the
+   * narrow-dominated pipeline shape this is a strict win (4 actions -> 1);
+   * for callers who want stage-boundary caches, [[curate]] stands.
+   */
+  def curateObserved(
+      docs: DataFrame, id: Column, text: Column,
+      keepLangs: Set[String] = Set("en"),
+      minTokens: Int = 50, maxTokens: Int = 100000,
+      minAvgTokenLen: Double = 3.0, maxAvgTokenLen: Double = 10.0,
+      minStopwordRatio: Double = 0.02, maxTopBigramFraction: Double = 0.18,
+      classifierWeights: Option[Array[Int]] = None,
+      classifierBias: Long = 0L, classifierThreshold: Long = 0L,
+      dsirWeights: Option[Array[Int]] = None, dsirThreshold: Long = 0L,
+      minHashThreshold: Double = 0.8, shingleSize: Int = 3,
+      bands: Int = 16, rowsPerBand: Int = 8,
+      blocklist: Option[(DataFrame, Column)] = None,
+      blocklistShingleSize: Int = 5, minOverlap: Int = 1,
+      sampleRate: Double = 1.0, sampleSalt: String = "graft",
+      storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      unpersistHandle: UnpersistHandle = UnpersistHandle.Noop,
+      dsirPortableHash: Boolean = true): (DataFrame, DataFrame) = {
+    require(sampleRate > 0.0 && sampleRate <= 1.0, s"sampleRate must be in (0, 1]: $sampleRate")
+
+    val spark = docs.sparkSession
+    val (langKeep, qualKeep, clsKeep, dsirKeep) = keepPredicates(
+      text, keepLangs, minTokens, maxTokens, minAvgTokenLen, maxAvgTokenLen,
+      minStopwordRatio, maxTopBigramFraction, classifierWeights, classifierBias,
+      classifierThreshold, dsirWeights, dsirThreshold, dsirPortableHash)
+
+    // the leading fused pass becomes observe counters on the INPUT node:
+    // the same conditional sums, zero extra scans, no driver-side action
+    val obsIn = new org.apache.spark.sql.Observation("curate_leading")
+    var cur = docs.observe(obsIn,
+        count(lit(1)).as("n_input"),
+        coalesce(sum(when(langKeep, 1L).otherwise(0L)), lit(0L)).as("n_lang"),
+        coalesce(sum(when(langKeep && qualKeep, 1L).otherwise(0L)), lit(0L)).as("n_qual"),
+        coalesce(sum(when(langKeep && qualKeep && clsKeep, 1L).otherwise(0L)), lit(0L)).as("n_cls"),
+        coalesce(sum(when(langKeep && qualKeep && clsKeep && dsirKeep, 1L).otherwise(0L)), lit(0L)).as("n_dsir"))
+      .filter(langKeep && qualKeep && clsKeep && dsirKeep)
+
+    val stageObs = scala.collection.mutable.ArrayBuffer.empty[(String, org.apache.spark.sql.Observation)]
+    def observed(stage: String, next: DataFrame): DataFrame = {
+      val obs = new org.apache.spark.sql.Observation(s"curate_$stage")
+      stageObs += stage -> obs
+      next.observe(obs, count(lit(1)).as("n"))
+    }
+
+    cur = observed("3_exact", graft.dedup.Dedup.dropExactTextDuplicates(cur, text, id))
+    val mhHandle = graft.UnpersistHandle()
+    cur = observed("4_neardup", graft.dedup.Dedup.deduplicateMinHash(
+      cur, id, text, shingleSize, bands, rowsPerBand, minHashThreshold,
+      unpersistHandle = mhHandle))
+    blocklist.foreach { case (bdf, btext) =>
+      cur = observed("5_decontaminate", graft.dedup.Dedup.decontaminate(
+        cur, id, text, bdf, btext, blocklistShingleSize, minOverlap))
+    }
+    if (sampleRate < 1.0)
+      cur = observed("6_sample",
+        graft.sample.Sampling.hashSample(cur, id, sampleRate, sampleSalt))
+
+    // the single action: warms the survivor cache AND flows every counter
+    val persisted = cur.persist(storageLevel)
+    persisted.count()
+    mhHandle.unpersist()
+    unpersistHandle.setDataFrame(persisted)
+
+    val leading = obsIn.get
+    val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    counts += "0_input" -> leading("n_input").asInstanceOf[Long]
+    if (keepLangs.nonEmpty) counts += "1_langid" -> leading("n_lang").asInstanceOf[Long]
+    counts += "2_quality" -> leading("n_qual").asInstanceOf[Long]
+    if (classifierWeights.nonEmpty) counts += "2b_classifier" -> leading("n_cls").asInstanceOf[Long]
+    if (dsirWeights.nonEmpty) counts += "2c_dsir" -> leading("n_dsir").asInstanceOf[Long]
+    stageObs.foreach { case (stage, obs) =>
+      counts += stage -> obs.get("n").asInstanceOf[Long]
+    }
+    import spark.implicits._
+    (persisted, counts.toSeq.toDF("stage", "n_rows"))
+  }
+
+  /** The stage-gate predicates shared by [[curate]] and [[curateObserved]]:
+    * (language keep, quality keep, classifier keep, DSIR keep) — all
+    * narrow fused-kernel columns. */
+  private def keepPredicates(
+      text: Column, keepLangs: Set[String],
+      minTokens: Int, maxTokens: Int,
+      minAvgTokenLen: Double, maxAvgTokenLen: Double,
+      minStopwordRatio: Double, maxTopBigramFraction: Double,
+      classifierWeights: Option[Array[Int]], classifierBias: Long,
+      classifierThreshold: Long,
+      dsirWeights: Option[Array[Int]], dsirThreshold: Long,
+      dsirPortableHash: Boolean): (Column, Column, Column, Column) = {
+    val langKeep: Column =
+      if (keepLangs.isEmpty) lit(true)
+      else graft.text.TextFunctions.langId(text, graft.text.TextFunctions.AsciiTokenPattern)
+        .isin(keepLangs.toSeq.map(l => l: Any): _*)
+    val qualKeep = graft.text.QualityFilters.gopherKeep(
+      text, minTokens, maxTokens, minAvgTokenLen, maxAvgTokenLen,
+      minStopwordRatio, maxTopBigramFraction)
+    val clsKeep: Column = classifierWeights match {
+      case Some(w) =>
+        graft.text.Classifier.logit(text, w, classifierBias) >= classifierThreshold
+      case None => lit(true)
+    }
+    // DSIR target-likeness filter: the same fused kernel as the classifier
+    // stage with importance-ratio weights (Dsir.fitWeights) — one more
+    // column in the same leading pass
+    val dsirKeep: Column = dsirWeights match {
+      case Some(w) =>
+        graft.functions.vectors.hashed_linear_score(
+          text, w, portableHash = dsirPortableHash) >= dsirThreshold
+      case None => lit(true)
+    }
+    (langKeep, qualKeep, clsKeep, dsirKeep)
   }
 }

@@ -42,11 +42,21 @@ object Html {
   /** Extract visible text from HTML markup; plain text passes through
     * unchanged (modulo whitespace collapse). `decodeNumericEntities = true`
     * decodes `&#...;` references to their code points (kernel step) instead
-    * of collapsing them to a space (portable regex step). */
-  def stripHtml(c: Column, decodeNumericEntities: Boolean = false): Column = {
+    * of collapsing them to a space (portable regex step).
+    * `decodeNamedEntities = true` replaces the whole entity step with the
+    * one-pass [[graft.functions.DecodeHtmlEntities]] kernel: the full
+    * HTML 4.01 named set (+ `apos`) AND numeric references decode together,
+    * left-to-right, so double-escapes (`&amp;eacute;`) drop exactly one
+    * level with no `&amp;`-last ordering trick — this mode subsumes
+    * `decodeNumericEntities`. */
+  def stripHtml(c: Column, decodeNumericEntities: Boolean = false,
+                decodeNamedEntities: Boolean = false): Column = {
     val noScript = regexp_replace(c, ScriptStylePattern, " ")
     val noComment = regexp_replace(noScript, CommentPattern, " ")
     val noTags = regexp_replace(noComment, TagPattern, " ")
+    if (decodeNamedEntities)
+      return trim(regexp_replace(
+        graft.functions.vectors.decode_html_entities(noTags), WhitespacePattern, " "))
     val namedDone = regexp_replace(
       regexp_replace(
         regexp_replace(

@@ -280,6 +280,42 @@ class CurationSuite extends AnyFunSuite with SparkTest {
     handle.unpersist()
   }
 
+  test("curateObserved reports the same attrition as curate with one action") {
+    val docs = curationDocs
+    val blockDoc = Seq((99L, "benchmark secret answer token stream")).toDF("id", "text")
+    def run(observed: Boolean) = {
+      val handle = UnpersistHandle()
+      // sampleRate < 1 so the 6_sample stage counter is exercised too
+      val (curated, report) =
+        if (observed) graft.pipeline.Curation.curateObserved(
+          docs, col("id"), col("text"), keepLangs = Set("en"),
+          minTokens = 5, maxTokens = 1000, minAvgTokenLen = 1.0, maxAvgTokenLen = 10.0,
+          minStopwordRatio = 0.01, maxTopBigramFraction = 0.9,
+          minHashThreshold = 0.8,
+          blocklist = Some((blockDoc, col("text"))), sampleRate = 0.75,
+          unpersistHandle = handle)
+        else graft.pipeline.Curation.curate(
+          docs, col("id"), col("text"), keepLangs = Set("en"),
+          minTokens = 5, maxTokens = 1000, minAvgTokenLen = 1.0, maxAvgTokenLen = 10.0,
+          minStopwordRatio = 0.01, maxTopBigramFraction = 0.9,
+          minHashThreshold = 0.8,
+          blocklist = Some((blockDoc, col("text"))), sampleRate = 0.75,
+          unpersistHandle = handle)
+      val ids = curated.select("id").as[Long].collect().sorted.toSeq
+      val rep = report.as[(String, Long)].collect().toSeq
+      handle.unpersist()
+      (ids, rep)
+    }
+    val (idsP, repP) = run(observed = false)
+    val (idsO, repO) = run(observed = true)
+    // observe-mode counters must equal the persist+count actions row for
+    // row (same stages, same order, same values), and the survivor set
+    // must be identical
+    assert(repO == repP, s"observe $repO vs persist $repP")
+    assert(idsO == idsP)
+    assert(repO.map(_._1).contains("6_sample"))
+  }
+
   test("curate classifier stage filters by the exact kernel logit") {
     val docs = curationDocs
     // weights that reject everything (all -1) vs accept everything (all +1):

@@ -926,6 +926,38 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
       .as[String].head() == "xYz")
   }
 
+  test("decodeHtmlEntities: named + numeric in one pass, single decode level") {
+    def dec(s: String): String = Seq(s).toDF("t")
+      .select(graft.functions.vectors.decode_html_entities(col("t")).as("c"))
+      .as[String].head()
+    // the HTML 4.01 named set decodes; numeric rules are unchanged
+    assert(dec("caf&eacute; &mdash; &#65;&#x42;") == "café — AB")
+    assert(dec("&Omega;&alpha; &ne; &hellip;") == "Ωα ≠ …")
+    assert(dec("&copy;&reg;&euro;") == "©®€")
+    // space-class named refs collapse to one space like &#160;
+    assert(dec("a&nbsp;b&ensp;c&thinsp;d") == "a b c d")
+    // ONE left-to-right pass: double escapes drop exactly one level, with
+    // no &amp;-last ordering trick
+    assert(dec("&amp;eacute; &amp;amp; &amp;#65;") == "&eacute; &amp; &#65;")
+    assert(dec("&lt;b&gt; &quot;q&quot; &apos;a&apos;") == "<b> \"q\" 'a'")
+    // unknown / unterminated / over-long names stay literal
+    assert(dec("&foo; &fake123; &eacute x") == "&foo; &fake123; &eacute x")
+    assert(dec("&thisisaverylongentitynamepastlimitxx;") ==
+      "&thisisaverylongentitynamepastlimitxx;")
+    // malformed numeric unchanged from the numeric kernel
+    assert(dec("&#; &#xZZ; &# &") == "&#; &#xZZ; &# &")
+    // stripHtml full-entity mode subsumes the numeric mode's chain
+    val got = Seq("<p>caf&eacute;&#33;</p> <script>x&mdash;</script>&amp;lt;")
+      .toDF("t")
+      .select(graft.text.Html.stripHtml(col("t"), decodeNamedEntities = true).as("c"))
+      .as[String].head()
+    assert(got == "café! &lt;")
+    // SQL registration round-trip
+    graft.GraftExtensions.registerAll(spark)
+    assert(spark.sql("SELECT decode_html_entities('x&eacute;&#89;z') AS c")
+      .as[String].head() == "xéYz")
+  }
+
   test("blocklist artifact round-trips and decontaminates identically to the direct path") {
     val block = Seq("the secret benchmark answer sequence alpha beta gamma delta epsilon zeta").toDF("text")
     val corpus = Seq(

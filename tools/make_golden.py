@@ -421,6 +421,102 @@ def make_html_fixture():
     pq.write_table(table, f"{OUT}/html.parquet")
     print(f"html.parquet: {len(ids)} rows")
 
+    # -----------------------------------------------------------------------
+    # full-entity mode (strip_html with decodeNamedEntities=true): ONE
+    # left-to-right pass decodes the HTML 4.01 named set (+ apos) AND
+    # numeric refs together. Independent replication: python's stdlib
+    # html.entities.name2codepoint IS the public HTML 4.01 table, so the
+    # fixture never copies the kernel's own entity map.
+    # -----------------------------------------------------------------------
+    from html.entities import name2codepoint
+    named_table = dict(name2codepoint, apos=39)
+    ENT_CHARS = ("abcdefghijklmnopqrstuvwxyz"
+                 "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789")
+
+    def entity_char(cp):
+        invalid = cp > 0x10FFFF or cp == 0 or 0xD800 <= cp <= 0xDFFF
+        spacelike = (not invalid) and (
+            cp == 0xA0 or cp < 0x20 or 0x7F <= cp <= 0x9F
+            or java_is_whitespace(cp))
+        return " " if (invalid or spacelike) else chr(cp)
+
+    def decode_html(s):
+        out, i = [], 0
+        while True:
+            j = s.find("&", i)
+            if j < 0:
+                out.append(s[i:])
+                break
+            out.append(s[i:j])
+            if j + 1 < len(s) and s[j + 1] == "#":
+                k = j + 2
+                hexmode = k < len(s) and s[k] in "xX"
+                if hexmode:
+                    k += 1
+                d0, maxd = k, (6 if hexmode else 8)
+                digits = "0123456789abcdefABCDEF" if hexmode else "0123456789"
+                while k < len(s) and k - d0 < maxd and s[k] in digits:
+                    k += 1
+                if k > d0 and k < len(s) and s[k] == ";":
+                    out.append(entity_char(int(s[d0:k], 16 if hexmode else 10)))
+                    i = k + 1
+                else:
+                    out.append("&#")
+                    i = j + 2
+            else:
+                k = j + 1
+                while k < len(s) and k - j - 1 < 32 and s[k] in ENT_CHARS:
+                    k += 1
+                cp = (named_table.get(s[j + 1:k])
+                      if k > j + 1 and k < len(s) and s[k] == ";" else None)
+                if cp is not None:
+                    out.append(entity_char(cp))
+                    i = k + 1
+                else:
+                    out.append("&")
+                    i = j + 1
+        return "".join(out)
+
+    def strip_html_entities(h):
+        h = re.sub(r"(?is)<script\b[^>]*>.*?</script>|<style\b[^>]*>.*?</style>", " ", h)
+        h = re.sub(r"(?s)<!--.*?-->", " ", h)
+        h = re.sub(r"<[^>]*>", " ", h)
+        h = decode_html(h)
+        return re.sub(r"[ \t\r\n]+", " ", h).strip()
+
+    planted_named = [
+        "caf&eacute; &mdash; d&eacute;j&agrave; vu &hellip; done",
+        "<p>&Omega; &alpha; &infin; &ne; &le; &ge; &radic;</p>",
+        "A&nbsp;B&ensp;C&emsp;D&thinsp;E spaces",                # Zs refs -> space
+        "&amp;eacute; one level only; &amp;amp; and &amp;#65; too",
+        "&foo; unknown &fake123; stays &apos;quoted&apos;",
+        "&ampx no-semi literal; &eacute no-semi literal; tail",
+        "&copy;&reg;&trade; &euro;&pound;&yen; &laquo;q&raquo;",
+        "&lt;tag&gt; &quot;q&quot; mixed &#65;&eacute;&#x42;",
+        "&shy;soft&zwnj;join&lrm;marks decode as-is",            # Cf refs kept
+        "&thisisaverylongentitynamepastlimitxx; over the 32-char name cap",
+        "<script>&mdash;</script>dropped &curren; &Prime; &permil;",
+    ]
+    ids2, htmls2, cleans2 = [], [], []
+    for i, p in enumerate(planted_named):
+        ids2.append(int(-(i + 1)))
+        htmls2.append(p)
+        cleans2.append(strip_html_entities(p))
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        h = ("<html><head><style>p{color:red}</style></head>"
+             "<body><!-- x --><p>" + (text or "") +
+             "</p><div>&eacute;tail &mdash; &#84; &amp;lt; &bogus;</div></body></html>")
+        ids2.append(int(doc_id))
+        htmls2.append(h)
+        cleans2.append(strip_html_entities(h))
+    table2 = pa.table({
+        "html_id": pa.array(ids2, pa.int64()),
+        "html": pa.array(htmls2, pa.string()),
+        "clean_text": pa.array(cleans2, pa.string()),
+    })
+    pq.write_table(table2, f"{OUT}/html_entities.parquet")
+    print(f"html_entities.parquet: {len(ids2)} rows")
+
 
 # ---------------------------------------------------------------------------
 # DEFLATE lengths for compression_signal (python zlib == JVM Deflater: both
