@@ -13,7 +13,7 @@ graft.text.TextFunctions / graft.dedup.Dedup / graft.ann.Ann.
 from typing import List
 
 from pyspark import SparkContext
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql.functions import col
 
 # graftspark resolves _to_java_column across pyspark versions (classic vs sql)
@@ -50,6 +50,10 @@ __all__ = [
     "save_ivf", "load_ivf", "save_pq", "load_pq",
     "rrf_fuse", "canonicalize_text", "corpus_drift", "contamination_report",
     "deduplicate_semantic_keep_diverse", "compact_parquet",
+    "ivf_pq_top_k", "train_pq_residual", "pq_encode_residual",
+    "decode_numeric_entities", "decode_html_entities",
+    "write_ordered_batches", "read_ordered_batches", "drain_to_parquet",
+    "drop_duplicate_texts_within_watermark",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -239,6 +243,45 @@ def decontaminate_stream(stream: DataFrame, text: ColumnOrName,
     return DataFrame(jdf, stream.sparkSession)
 
 
+def write_ordered_batches(df: DataFrame, batch_col: ColumnOrName,
+                          num_batches: int, path: str) -> str:
+    """Write df as one parquet file per batch_col value (0-based, dense)
+    with strictly increasing file modification times — the deterministic
+    replay input for read_ordered_batches. Returns the schema JSON to pass
+    back to read_ordered_batches."""
+    return _bridge(df).writeOrderedBatches(
+        df._jdf, _jcol(batch_col), int(num_batches), str(path))
+
+
+def read_ordered_batches(spark: SparkSession, path: str, schema_json: str) -> DataFrame:
+    """Open a write_ordered_batches directory as a file-source STREAM
+    replaying one file per micro-batch, oldest first."""
+    jdf = _bridge(spark.range(1)).readOrderedBatches(
+        spark._jsparkSession, str(path), str(schema_json))
+    return DataFrame(jdf, spark)
+
+
+def drain_to_parquet(stream: DataFrame, sink_path: str, checkpoint_path: str,
+                     await_no_data_batch: bool = False) -> DataFrame:
+    """Run a streaming DataFrame to exhaustion into an append-mode parquet
+    sink and return the sink read back as a batch DataFrame.
+    await_no_data_batch=True additionally waits for the watermark-finalizing
+    zero-input micro-batch (required for append-mode windowed aggregation)."""
+    jdf = _bridge(stream).drainToParquet(
+        stream._jdf, str(sink_path), str(checkpoint_path), bool(await_no_data_batch))
+    return DataFrame(jdf, stream.sparkSession)
+
+
+def drop_duplicate_texts_within_watermark(stream: DataFrame, text: ColumnOrName,
+                                          event_time_column: str,
+                                          delay_threshold: str) -> DataFrame:
+    """Streaming exact-text dedup: keep the first document per normalized
+    text fingerprint, with state bounded by the watermark."""
+    jdf = _bridge(stream).dropDuplicateTextsWithinWatermark(
+        stream._jdf, _jcol(text), str(event_time_column), str(delay_threshold))
+    return DataFrame(jdf, stream.sparkSession)
+
+
 def deduplicate_minhash(df: DataFrame, id_col: ColumnOrName, text: ColumnOrName,
                         shingle_size: int = 3, bands: int = 16,
                         rows_per_band: int = 8, threshold: float = 0.8) -> DataFrame:
@@ -404,11 +447,34 @@ def fold_accents(text: ColumnOrName) -> Column:
     return _col_fn("foldAccents", _jcol(text))
 
 
-def strip_html(text: ColumnOrName) -> Column:
-    """HTML-to-text extraction: drop script/style/comments/tags, decode the
-    named entities (after stripping), collapse whitespace — a deterministic
-    RE2-safe regex chain, narrow and streaming-legal."""
+def strip_html(text: ColumnOrName, decode_numeric_entities: bool = False,
+               decode_named_entities: bool = False) -> Column:
+    """HTML-to-text extraction: drop script/style/comments/tags, decode
+    entities (after stripping), collapse whitespace — narrow and
+    streaming-legal. Default: RE2-safe regex chain (5 XML entities + nbsp;
+    numeric refs become one space). decode_numeric_entities=True decodes
+    numeric refs to their code points via the codegen kernel.
+    decode_named_entities=True switches to the one-pass kernel decoding the
+    full HTML 4.01 named set (+ apos) AND numeric refs together — double
+    escapes drop exactly one level; subsumes decode_numeric_entities."""
+    if decode_numeric_entities or decode_named_entities:
+        return _col_fn("stripHtmlDecoded", _jcol(text),
+                       bool(decode_numeric_entities), bool(decode_named_entities))
     return _col_fn("stripHtml", _jcol(text))
+
+
+def decode_numeric_entities(text: ColumnOrName) -> Column:
+    """Decode HTML numeric character references (&#65; / &#x1F600;) to
+    their code points; whitespace-class/control/invalid refs become one
+    space, malformed refs stay literal."""
+    return _col_fn("decodeNumericEntities", _jcol(text))
+
+
+def decode_html_entities(text: ColumnOrName) -> Column:
+    """One-pass named (HTML 4.01 set + apos) and numeric character-
+    reference decode; unknown names stay literal, double escapes drop
+    exactly one level."""
+    return _col_fn("decodeHtmlEntities", _jcol(text))
 
 
 def redact_pii(text: ColumnOrName, token: str = "[REDACTED]") -> Column:
@@ -512,6 +578,45 @@ def pq_top_k(queries: DataFrame, corpus: DataFrame,
         queries._jdf, corpus._jdf, _jcol(query_id), _jcol(query_vec),
         _jcol(corpus_id), _jcol(corpus_vec), index, int(k), int(refine))
     return DataFrame(jdf, queries.sparkSession)
+
+
+def ivf_pq_top_k(queries: DataFrame, corpus: DataFrame,
+                 query_id: ColumnOrName, query_vec: ColumnOrName,
+                 corpus_id: ColumnOrName, corpus_vec: ColumnOrName,
+                 ivf, index, k: int, nprobe: int = 2, refine: int = 8,
+                 residual: bool = False) -> DataFrame:
+    """The composed IVF x PQ plan (IVFADC): queries probe their nprobe
+    nearest coarse buckets (broadcast equi-join on the bucket id), the O(m)
+    ADC kernel scores only those buckets' m-byte codes, and the k*refine
+    shortlist re-ranks against full vectors for exact cosines. residual=True
+    expects an index from train_pq_residual (codes quantize vec minus its
+    assigned centroid — better recall at the same code size).
+    Returns (query_id, rank, neighbor_id, cosine)."""
+    jdf = _bridge(queries).ivfPqTopK(
+        queries._jdf, corpus._jdf, _jcol(query_id), _jcol(query_vec),
+        _jcol(corpus_id), _jcol(corpus_vec), ivf, index,
+        int(k), int(nprobe), int(refine), bool(residual))
+    return DataFrame(jdf, queries.sparkSession)
+
+
+def train_pq_residual(corpus: DataFrame, id: ColumnOrName, vec: ColumnOrName,
+                      ivf, dim: int, m: int, ksub: int, iterations: int = 3):
+    """Train a product quantizer on IVF residuals (vec - assigned centroid)
+    — the paper-faithful IVFADC layout. Pair with
+    ivf_pq_top_k(..., residual=True) / pq_encode_residual."""
+    return _bridge(corpus).trainPqResidual(
+        corpus._jdf, _jcol(id), _jcol(vec), ivf,
+        int(dim), int(m), int(ksub), int(iterations))
+
+
+def pq_encode_residual(corpus: DataFrame, id: ColumnOrName, vec: ColumnOrName,
+                       ivf, index) -> DataFrame:
+    """Residual encode to (cid, neighbor_id, codes, cnorm): PQ codes of
+    vec - centroid(cid) with exact reconstruction norms — the table a
+    production IVFADC pipeline writes once."""
+    jdf = _bridge(corpus).pqEncodeResidual(
+        corpus._jdf, _jcol(id), _jcol(vec), ivf, index)
+    return DataFrame(jdf, corpus.sparkSession)
 
 
 def bm25_top_k(docs: DataFrame, doc_id: ColumnOrName, text: ColumnOrName,

@@ -905,6 +905,110 @@ class GraftsparkTest(unittest.TestCase):
         recall = len(brute & approx) / len(brute)
         self.assertGreaterEqual(recall, 0.8)
 
+    def test_pipeline_ivf_pq_ann(self):
+        from graftspark import pipeline as P
+        from pyspark.sql.types import (ArrayType, FloatType, LongType,
+                                       StructField, StructType)
+        import random
+        rng = random.Random(13)
+        centers = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(4)]
+        rows = []
+        for i in range(48):
+            c = centers[i % 4]
+            rows.append((i, [float(x + rng.gauss(0, 0.05)) for x in c]))
+        schema = StructType([StructField("id", LongType()),
+                             StructField("vec", ArrayType(FloatType()))])
+        df = self.spark.createDataFrame(rows, schema)
+        queries = df.filter(col("id") < 4)
+        ivf = P.train_ivf(df, col("id"), col("vec"), k=4, iterations=3)
+        pq = P.train_pq(df, col("id"), col("vec"), dim=8, m=2, ksub=4,
+                        iterations=3)
+
+        def rows_of(jdf):
+            return sorted((r["query_id"], r["rank"], r["neighbor_id"])
+                          for r in jdf.collect())
+        # probing ALL buckets must reproduce plain pq_top_k row for row
+        full = rows_of(P.pq_top_k(queries, df, col("id"), col("vec"),
+                                  col("id"), col("vec"), pq, 3, refine=4))
+        probe_all = rows_of(P.ivf_pq_top_k(
+            queries, df, col("id"), col("vec"), col("id"), col("vec"),
+            ivf, pq, 3, nprobe=4, refine=4))
+        self.assertEqual(probe_all, full)
+
+        # residual codes: train on residuals, query with residual=True
+        res = P.train_pq_residual(df, col("id"), col("vec"), ivf,
+                                  dim=8, m=2, ksub=4, iterations=3)
+        got = P.ivf_pq_top_k(queries, df, col("id"), col("vec"),
+                             col("id"), col("vec"), ivf, res, 3,
+                             nprobe=4, refine=4, residual=True)
+        brute = {(r["query_id"], r["neighbor_id"]) for r in P.brute_force_top_k(
+            queries, df, col("id"), col("vec"), col("id"), col("vec"), 3).collect()}
+        approx = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+        self.assertGreaterEqual(len(brute & approx) / len(brute), 0.8)
+
+        # residual encode surface: one (cid, codes, cnorm) row per vector
+        enc = P.pq_encode_residual(df, col("id"), col("vec"), ivf, res).collect()
+        self.assertEqual(len(enc), 48)
+        self.assertTrue(all(len(r["codes"]) == 2 and r["cnorm"] >= 0.0
+                            for r in enc))
+
+        # a residual index round-trips through save_pq/load_pq bit-exactly
+        d = tempfile.mkdtemp()
+        P.save_pq(self.spark, res, d + "/rpq")
+        res2 = P.load_pq(self.spark, d + "/rpq")
+        got2 = P.ivf_pq_top_k(queries, df, col("id"), col("vec"),
+                              col("id"), col("vec"), ivf, res2, 3,
+                              nprobe=4, refine=4, residual=True)
+        self.assertEqual(rows_of(got), rows_of(got2))
+
+    def test_pipeline_entity_decode(self):
+        from graftspark import pipeline as P
+        df = self.spark.createDataFrame(
+            [("caf&eacute; &mdash; &#65;&#x42; &amp;eacute; &foo; a&nbsp;b",)],
+            ["t"])
+        # full named+numeric kernel: one decode level, unknown names literal
+        got = df.select(P.decode_html_entities(col("t")).alias("c")).head()["c"]
+        self.assertEqual(got, "café — AB &eacute; &foo; a b")
+        # numeric-only kernel leaves named refs alone
+        got_n = df.select(P.decode_numeric_entities(col("t")).alias("c")).head()["c"]
+        self.assertEqual(
+            got_n, "caf&eacute; &mdash; AB &amp;eacute; &foo; a&nbsp;b")
+        # strip_html kwargs route to the kernel modes
+        html = self.spark.createDataFrame(
+            [("<p>caf&eacute;&#33;</p> <script>x</script>&amp;lt;",)], ["t"])
+        self.assertEqual(
+            html.select(P.strip_html(col("t"), decode_named_entities=True)
+                        .alias("c")).head()["c"],
+            "café! &lt;")
+        self.assertEqual(
+            html.select(P.strip_html(col("t"), decode_numeric_entities=True)
+                        .alias("c")).head()["c"],
+            "caf&eacute;! &lt;")
+
+    def test_pipeline_stream_replay(self):
+        from datetime import datetime, timezone
+        from graftspark import pipeline as P
+        from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                       StructField, StructType, TimestampType)
+        ts = datetime(2021, 1, 1, tzinfo=timezone.utc)
+        # batch 0 = first occurrence of each text, batch 1 = the duplicates:
+        # keep-first must keep exactly batch 0's ids
+        rows = [(1, "alpha text", ts, 0), (2, "beta text", ts, 0),
+                (4, "gamma text", ts, 0), (3, "alpha text", ts, 1),
+                (5, "beta  text", ts, 1)]  # 5 normalizes to 2's fingerprint
+        schema = StructType([
+            StructField("id", LongType()), StructField("text", StringType()),
+            StructField("ts", TimestampType()), StructField("b", IntegerType())])
+        df = self.spark.createDataFrame(rows, schema)
+        d = tempfile.mkdtemp()
+        schema_json = P.write_ordered_batches(df, col("b"), 2, d + "/in")
+        stream = P.read_ordered_batches(self.spark, d + "/in", schema_json)
+        self.assertTrue(stream.isStreaming)
+        deduped = P.drop_duplicate_texts_within_watermark(
+            stream, col("text"), "ts", "30 days")
+        out = P.drain_to_parquet(deduped, d + "/out", d + "/cp")
+        self.assertEqual(sorted(r["id"] for r in out.collect()), [1, 2, 4])
+
     def test_pipeline_semantic_dedup(self):
         from graftspark import pipeline as P
         from pyspark.sql.types import (ArrayType, FloatType, LongType,

@@ -320,6 +320,26 @@ object PyBridge {
     graft.ann.Pq.pqTopK(queries, corpus, queryId, queryVec, corpusId, corpusVec,
       index, k, refine)
 
+  /** The composed IVF×PQ plan (IVFADC); `residual = true` expects an index
+    * trained by [[trainPqResidual]]. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+                queryId: Column, queryVec: Column,
+                corpusId: Column, corpusVec: Column,
+                ivf: graft.ann.Ann.IvfIndex, index: graft.ann.Pq.PqIndex,
+                k: Int, nprobe: Int, refine: Int, residual: Boolean): DataFrame =
+    graft.ann.Pq.ivfPqTopK(queries, corpus, queryId, queryVec, corpusId, corpusVec,
+      ivf, index, k, nprobe, refine, residual)
+
+  def trainPqResidual(corpus: DataFrame, id: Column, vec: Column,
+                      ivf: graft.ann.Ann.IvfIndex,
+                      dim: Int, m: Int, ksub: Int, iterations: Int): graft.ann.Pq.PqIndex =
+    graft.ann.Pq.trainPqResidual(corpus, id, vec, ivf, dim, m, ksub, iterations)
+
+  def pqEncodeResidual(corpus: DataFrame, id: Column, vec: Column,
+                       ivf: graft.ann.Ann.IvfIndex,
+                       index: graft.ann.Pq.PqIndex): DataFrame =
+    graft.ann.Pq.encodeResidual(corpus, id, vec, ivf, index)
+
   def bm25TopK(docs: DataFrame, docId: Column, text: Column,
                queries: DataFrame, queryId: Column, queryTerms: Column,
                k: Int, scale: Long): DataFrame =
@@ -538,6 +558,41 @@ object PyBridge {
   def redactPii(c: Column, token: String): Column = graft.text.Redact.redactPii(c, token)
 
   def stripHtml(c: Column): Column = graft.text.Html.stripHtml(c)
+
+  def stripHtmlDecoded(c: Column, decodeNumericEntities: Boolean,
+                       decodeNamedEntities: Boolean): Column =
+    graft.text.Html.stripHtml(c, decodeNumericEntities, decodeNamedEntities)
+
+  def decodeNumericEntities(c: Column): Column =
+    graft.functions.vectors.decode_numeric_entities(c)
+
+  def decodeHtmlEntities(c: Column): Column =
+    graft.functions.vectors.decode_html_entities(c)
+
+  // --------------------------------------------------------------------------
+  // streaming replay harness + streaming dedup
+  // --------------------------------------------------------------------------
+
+  /** [[graft.streaming.StreamHarness.writeOrderedBatches]]; returns the
+    * written schema as JSON for [[readOrderedBatches]]. */
+  def writeOrderedBatches(df: DataFrame, batchCol: Column, numBatches: Int,
+                          dir: String): String =
+    graft.streaming.StreamHarness.writeOrderedBatches(df, batchCol, numBatches, dir).json
+
+  def readOrderedBatches(spark: SparkSession, dir: String, schemaJson: String): DataFrame =
+    graft.streaming.StreamHarness.readOrderedBatches(spark, dir,
+      DataType.fromJson(schemaJson).asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  def drainToParquet(stream: DataFrame, sinkDir: String, checkpointDir: String,
+                     awaitNoDataBatch: Boolean): DataFrame =
+    graft.streaming.StreamHarness.drainToParquet(stream, sinkDir, checkpointDir,
+      awaitNoDataBatch)
+
+  def dropDuplicateTextsWithinWatermark(stream: DataFrame, text: Column,
+                                        eventTimeColumn: String,
+                                        delayThreshold: String): DataFrame =
+    graft.streaming.StreamingDedup.dropDuplicateTextsWithinWatermark(
+      stream, text, eventTimeColumn, delayThreshold)
 
   def foldAccents(c: Column): Column = graft.text.TextFunctions.foldAccents(c)
 
