@@ -54,6 +54,9 @@ __all__ = [
     "decode_numeric_entities", "decode_html_entities",
     "write_ordered_batches", "read_ordered_batches", "drain_to_parquet",
     "drop_duplicate_texts_within_watermark",
+    "bpe_train", "bpe_encode", "bpe_token_count", "save_bpe", "load_bpe",
+    "canonicalize_url", "url_host", "registrable_domain",
+    "dedup_by_canonical_url", "domain_stats", "weighted_sample_top_k",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -241,6 +244,80 @@ def decontaminate_stream(stream: DataFrame, text: ColumnOrName,
         stream._jdf, _jcol(text), blocklist._jdf, _jcol(blocklist_text),
         int(shingle_size), int(min_overlap), int(max_blocklist_shingles))
     return DataFrame(jdf, stream.sparkSession)
+
+
+def canonicalize_url(url: ColumnOrName) -> Column:
+    """Deterministic URL canonicalization (scheme/host lowercase, www. /
+    default-port / fragment / tracking-param drop, sorted query) — the step
+    before URL-level dedup. Narrow kernel, streaming-legal."""
+    return _col_fn("canonicalizeUrl", _jcol(url))
+
+
+def url_host(url: ColumnOrName) -> Column:
+    """Canonical host ('' when unparsable) — per-site group key."""
+    return _col_fn("urlHost", _jcol(url))
+
+
+def registrable_domain(url: ColumnOrName) -> Column:
+    """Registrable-domain heuristic (last 2 labels, 3 under known
+    multi-part suffixes; IPv4 passes whole) — per-publisher group key."""
+    return _col_fn("registrableDomain", _jcol(url))
+
+
+def dedup_by_canonical_url(df: DataFrame, id_col: ColumnOrName,
+                           url: ColumnOrName) -> DataFrame:
+    """Keep one row (smallest id) per canonical URL."""
+    jdf = _bridge(df).dedupByCanonicalUrl(df._jdf, _jcol(id_col), _jcol(url))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def domain_stats(df: DataFrame, url: ColumnOrName) -> DataFrame:
+    """(domain, n_urls, n_distinct_urls) per registrable domain."""
+    jdf = _bridge(df).domainStats(df._jdf, _jcol(url))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def weighted_sample_top_k(df: DataFrame, key: ColumnOrName,
+                          weight: ColumnOrName, k: int,
+                          salt: str = "graft") -> DataFrame:
+    """Exact-size weighted draw WITHOUT replacement (Efraimidis-Spirakis
+    keys ln(u)/w from the md5 hash uniform) — deterministic across runs,
+    partitionings and engines; rows with weight <= 0 never qualify."""
+    jdf = _bridge(df).weightedSampleTopK(df._jdf, _jcol(key), _jcol(weight),
+                                         int(k), str(salt))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def bpe_train(corpus: DataFrame, text: ColumnOrName, num_merges: int,
+              max_words: int = 1 << 20, min_freq: int = 1):
+    """Learn a BPE merge list from the corpus's ascii word-frequency table
+    (deterministic: pair-count maxima, ties to the smallest pair). The
+    corpus-sized work is one map-side-combined word count; merge learning
+    runs on the bounded frequency table. Returns an opaque model handle."""
+    return _bridge(corpus).bpeTrain(corpus._jdf, _jcol(text),
+                                    int(num_merges), int(max_words), int(min_freq))
+
+
+def bpe_encode(text: ColumnOrName, model) -> Column:
+    """The trained-BPE subword stream (array<string>) of the ascii-tokenized
+    text — one narrow kernel pass, no shuffle, streaming-legal."""
+    return _col_fn("bpeEncode", _jcol(text), model)
+
+
+def bpe_token_count(text: ColumnOrName, model) -> Column:
+    """Subword count per row — the token-budget / packing input."""
+    return _col_fn("bpeTokenCount", _jcol(text), model)
+
+
+def save_bpe(spark: SparkSession, model, path: str) -> None:
+    """Persist the merge list as a (rank, left, right) parquet table so
+    every run (and the serving side) encodes against the same merges."""
+    _bridge(spark.range(1)).saveBpe(spark._jsparkSession, model, str(path))
+
+
+def load_bpe(spark: SparkSession, path: str):
+    """Load a model persisted by save_bpe (opaque model handle)."""
+    return _bridge(spark.range(1)).loadBpe(spark._jsparkSession, str(path))
 
 
 def write_ordered_batches(df: DataFrame, batch_col: ColumnOrName,

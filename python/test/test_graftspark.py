@@ -985,6 +985,54 @@ class GraftsparkTest(unittest.TestCase):
                         .alias("c")).head()["c"],
             "caf&eacute;! &lt;")
 
+    def test_pipeline_bpe(self):
+        from graftspark import pipeline as P
+        df = self.spark.createDataFrame(
+            [("aaab aaab aab",), ("aaab ab",), ("aab zz",)], ["t"])
+        model = P.bpe_train(df, col("t"), num_merges=3)
+        enc = df.select(P.bpe_encode(col("t"), model).alias("e"),
+                        P.bpe_token_count(col("t"), model).alias("n")).collect()
+        # merges learned from these counts: (a,a) then (a,b) then (aa,ab)
+        self.assertEqual(enc[0]["e"], ["aaab", "aaab", "aa", "b"])
+        self.assertEqual(enc[1]["e"], ["aaab", "ab"])
+        # (z,z) was never learned within num_merges=3 -> chars stay split
+        self.assertEqual(enc[2]["e"], ["aa", "b", "z", "z"])
+        self.assertEqual([r["n"] for r in enc], [4, 2, 4])
+        # save/load round-trip encodes identically
+        d = tempfile.mkdtemp()
+        P.save_bpe(self.spark, model, d + "/bpe")
+        model2 = P.load_bpe(self.spark, d + "/bpe")
+        enc2 = df.select(P.bpe_encode(col("t"), model2).alias("e")).collect()
+        self.assertEqual([r["e"] for r in enc], [r["e"] for r in enc2])
+
+    def test_pipeline_urls_and_weighted_topk(self):
+        from graftspark import pipeline as P
+        df = self.spark.createDataFrame(
+            [(1, "HTTPS://WWW.Example.COM:443/A/?utm_source=x&b=2&a=1#f"),
+             (2, "https://example.com/A?a=1&b=2"),
+             (3, "http://www.news.com.au/story/")], ["id", "u"])
+        rows = df.select(
+            P.canonicalize_url(col("u")).alias("c"),
+            P.url_host(col("u")).alias("h"),
+            P.registrable_domain(col("u")).alias("d")).collect()
+        self.assertEqual(rows[0]["c"], "https://example.com/A?a=1&b=2")
+        self.assertEqual(rows[0]["c"], rows[1]["c"])
+        self.assertEqual(rows[2]["h"], "news.com.au")
+        self.assertEqual(rows[2]["d"], "news.com.au")
+        kept = sorted(r["id"] for r in P.dedup_by_canonical_url(
+            df, col("id"), col("u")).collect())
+        self.assertEqual(kept, [1, 3])
+        stats = {r["domain"]: (r["n_urls"], r["n_distinct_urls"])
+                 for r in P.domain_stats(df, col("u")).collect()}
+        self.assertEqual(stats["example.com"], (2, 1))
+        # weighted top-k without replacement: heavy rows win, exact size
+        wdf = self.spark.range(500).toDF("k").withColumn(
+            "w", expr("CASE WHEN k < 20 THEN 1000.0 ELSE 0.01 END"))
+        got = {r["k"] for r in P.weighted_sample_top_k(
+            wdf, col("k"), col("w"), k=20).collect()}
+        self.assertEqual(len(got), 20)
+        self.assertGreaterEqual(len([k for k in got if k < 20]), 19)
+
     def test_pipeline_stream_replay(self):
         from datetime import datetime, timezone
         from graftspark import pipeline as P

@@ -177,6 +177,23 @@ object GraftExtensions {
       arity("decode_numeric_entities", es, 1)
       graft.functions.DecodeNumericEntities(es.head)
     },
+    fn("canonicalize_url",
+      "canonicalize_url(url) - deterministic URL normalization (scheme/host " +
+        "lowercase, www./default-port/fragment/tracking-param drop, sorted query)") { es =>
+      arity("canonicalize_url", es, 1)
+      graft.functions.UrlKernel(es.head, "canonicalize_url")
+    },
+    fn("url_host",
+      "url_host(url) - canonical host ('' when unparsable)") { es =>
+      arity("url_host", es, 1)
+      graft.functions.UrlKernel(es.head, "url_host")
+    },
+    fn("registrable_domain",
+      "registrable_domain(url) - registrable-domain heuristic (2 labels, " +
+        "3 under known multi-part suffixes)") { es =>
+      arity("registrable_domain", es, 1)
+      graft.functions.UrlKernel(es.head, "registrable_domain")
+    },
     fn("decode_html_entities",
       "decode_html_entities(text) - one-pass named (HTML 4.01 set + apos) " +
         "and numeric char-ref decode; unknown names stay literal") { es =>

@@ -1042,6 +1042,15 @@ object SparkEntry {
         t(s, dir, "documents"), col("doc_id"), col("n_chars") / lit(2000.0), rate = 1.0)
         .select(col("doc_id"))),
 
+    // exact-size weighted draw WITHOUT replacement (Efraimidis-Spirakis
+    // A-ES keys from the md5 hash uniform): top-100 by ln(u)/w — the oracle
+    // recomputes the same keys in DuckDB, so selection AND determinism are
+    // both checked
+    "sample_weighted_topk" -> ((s, dir) =>
+      graft.sample.Sampling.weightedSampleTopK(
+        t(s, dir, "documents"), col("doc_id"), col("n_chars").cast("double"), k = 100)
+        .select(col("doc_id"))),
+
     // stratified rates per source (up/down-sample by corpus quality), CASE
     // threshold per row — still a narrow filter
     "sample_stratified" -> ((s, dir) =>
@@ -1086,6 +1095,36 @@ object SparkEntry {
       s.read.parquet(s"$goldenDir/html.parquet").select(col("html_id"),
         graft.text.Html.stripHtml(col("html"), decodeNumericEntities = true)
           .as("clean_text"))),
+
+    // real BPE tokenization (P63): merges learned from THIS corpus's word-
+    // frequency table (deterministic — ties by smallest pair), text encoded
+    // to the actual subword stream by the codegen'd kernel. Oracle: golden
+    // fixture from an independent python replication of the whole algorithm
+    // (word count -> merge loop -> greedy lowest-rank encode,
+    // tools/make_golden.py)
+    "bpe_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.text.Bpe.train(docs, col("text"), numMerges = 200)
+      docs.select(col("doc_id"),
+        size(graft.text.Bpe.encode(col("text"), model)).cast("long").as("n_bpe_tokens"),
+        concat_ws(" ", graft.text.Bpe.encode(col("text"), model)).as("bpe_text"))
+    }),
+
+    // URL canonicalization family (P64): planted hazard URLs + per-doc
+    // synthetic pairs, kernels vs the independent python replication of
+    // the documented rule set (tools/make_golden.py)
+    "url_canonicalize" -> ((s, dir) =>
+      s.read.parquet(s"$goldenDir/urls_sf001.parquet").select(col("url_id"),
+        graft.text.Urls.canonicalizeUrl(col("url")).as("canonical"),
+        graft.text.Urls.urlHost(col("url")).as("host"),
+        graft.text.Urls.registrableDomain(col("url")).as("domain"))),
+
+    // URL-level dedup: keep the smallest id per canonical form; the oracle
+    // re-derives the keep set in DuckDB from the fixture's canonical column
+    "url_dedup" -> ((s, dir) =>
+      graft.text.Urls.dedupByCanonicalUrl(
+        s.read.parquet(s"$goldenDir/urls_sf001.parquet"), col("url_id"), col("url"))
+        .select(col("url_id"))),
 
     // the full-entity mode: the HTML 4.01 named set (+ apos) AND numeric
     // refs decode in ONE left-to-right kernel pass (double escapes drop
@@ -2535,6 +2574,12 @@ object SparkEntry {
           "* 4294967296.0) AS BIGINT)) " +
           "OR LEAST(1.0, GREATEST(0.0, (n_chars / 2000.0) * 1.0)) >= 1.0"),
 
+      "sample_weighted_topk" ->
+        ("SELECT doc_id FROM (SELECT doc_id FROM documents " +
+          "WHERE CAST(n_chars AS DOUBLE) > 0 " +
+          "ORDER BY ln((CAST(('0x' || substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) " +
+          "/ 4294967296.0) / CAST(n_chars AS DOUBLE) DESC, doc_id LIMIT 100)"),
+
       "sample_stratified" ->
         ("SELECT doc_id, source FROM documents " +
           "WHERE substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) < " +
@@ -2584,6 +2629,19 @@ object SparkEntry {
       "html_extract_entities" ->
         ("SELECT html_id, clean_text " +
           s"FROM read_parquet('$goldenDir/html_entities.parquet')"),
+
+      "bpe_tokens" ->
+        ("SELECT doc_id, n_bpe_tokens, bpe_text " +
+          s"FROM read_parquet('$goldenDir/bpe_tokens_sf001.parquet')"),
+
+      "url_canonicalize" ->
+        ("SELECT url_id, canonical, host, domain " +
+          s"FROM read_parquet('$goldenDir/urls_sf001.parquet')"),
+
+      "url_dedup" ->
+        ("SELECT CAST(MIN(url_id) AS BIGINT) AS url_id " +
+          s"FROM read_parquet('$goldenDir/urls_sf001.parquet') " +
+          "GROUP BY canonical"),
 
       "fold_accents" ->
         ("SELECT doc_id, strip_accents(text || ' café über niño ça čech à ö') " +

@@ -660,6 +660,127 @@ object VectorKernels extends Serializable {
     m
   }
 
+  /** Query-param names dropped by URL canonicalization: click/campaign
+    * trackers that vary per visit without changing the resource. Names
+    * starting with `utm_` are dropped too. */
+  private val TrackingParams: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("gclid", "fbclid", "ref", "mc_cid", "mc_eid", "igshid", "msclkid",
+      "dclid", "wbraid", "gbraid").foreach(s.add)
+    s
+  }
+
+  private def isTrackingParam(name: String): Boolean =
+    name.startsWith("utm_") || TrackingParams.contains(name)
+
+  /**
+   * Deterministic URL canonicalization for web-corpus dedup — the fixed
+   * rule set (replicated verbatim by the python fixture builder):
+   *  1. trim; no "://" -> returned trimmed, unchanged (not a URL);
+   *  2. scheme and host lowercase; a leading `www.` label drops;
+   *  3. the default port drops (`:80` for http, `:443` for https; other
+   *     ports stay); a bare trailing colon drops;
+   *  4. the fragment drops;
+   *  5. a trailing `/` on a non-empty path drops (`/` alone -> empty);
+   *  6. tracking query params drop (utm_*, gclid, fbclid, ref, ... — name
+   *     compared lowercased); survivors sort lexicographically (raw
+   *     `k=v` strings, code-unit order) and rejoin with `&`;
+   *  7. everything else (path case, percent-encoding) is preserved —
+   *     canonicalization must never merge genuinely different resources.
+   */
+  def canonicalizeUrl(url: UTF8String): UTF8String = {
+    val s = url.toString.trim
+    val si = s.indexOf("://")
+    if (si <= 0) return UTF8String.fromString(s)
+    val scheme = s.substring(0, si).toLowerCase(java.util.Locale.ROOT)
+    val rest = s.substring(si + 3)
+    var he = rest.length
+    var i = 0
+    while (i < rest.length && he == rest.length) {
+      val c = rest.charAt(i)
+      if (c == '/' || c == '?' || c == '#') he = i
+      i += 1
+    }
+    val hostPort = rest.substring(0, he).toLowerCase(java.util.Locale.ROOT)
+    val ci = hostPort.lastIndexOf(':')
+    var host = hostPort
+    var port = ""
+    if (ci >= 0) {
+      val p = hostPort.substring(ci + 1)
+      if (p.forall(c => c >= '0' && c <= '9')) { // "" (bare colon) qualifies
+        host = hostPort.substring(0, ci)
+        port = p
+      }
+    }
+    if (host.startsWith("www.") && host.length > 4) host = host.substring(4)
+    val keepPort = port.nonEmpty &&
+      !((scheme == "http" && port == "80") || (scheme == "https" && port == "443"))
+    val after = rest.substring(he)
+    val fi = after.indexOf('#')
+    val noFrag = if (fi >= 0) after.substring(0, fi) else after
+    val qi = noFrag.indexOf('?')
+    var path = if (qi >= 0) noFrag.substring(0, qi) else noFrag
+    val query = if (qi >= 0) noFrag.substring(qi + 1) else ""
+    if (path == "/") path = ""
+    else if (path.length > 1 && path.endsWith("/")) path = path.substring(0, path.length - 1)
+    val params = query.split("&", -1).filter(_.nonEmpty).filterNot { p =>
+      val eq = p.indexOf('=')
+      val name = if (eq >= 0) p.substring(0, eq) else p
+      isTrackingParam(name.toLowerCase(java.util.Locale.ROOT))
+    }
+    java.util.Arrays.sort(params, java.util.Comparator.naturalOrder[String]())
+    val q2 = if (params.isEmpty) "" else "?" + params.mkString("&")
+    UTF8String.fromString(
+      scheme + "://" + host + (if (keepPort) ":" + port else "") + path + q2)
+  }
+
+  /** The canonical host of a URL ("" when unparsable) — the group key for
+    * per-site aggregation. */
+  def urlHost(url: UTF8String): UTF8String = {
+    val canon = canonicalizeUrl(url).toString
+    val si = canon.indexOf("://")
+    if (si <= 0) return UTF8String.EMPTY_UTF8
+    val rest = canon.substring(si + 3)
+    var he = rest.length
+    var i = 0
+    while (i < rest.length && he == rest.length) {
+      val c = rest.charAt(i)
+      if (c == '/' || c == '?' || c == ':') he = i
+      i += 1
+    }
+    UTF8String.fromString(rest.substring(0, he))
+  }
+
+  /** Common multi-part public suffixes (the heuristic slice of the public
+    * suffix list — registrable domains under these keep three labels). */
+  private val MultiPartTlds: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("co.uk", "ac.uk", "gov.uk", "org.uk", "me.uk", "co.jp", "ne.jp",
+      "or.jp", "ac.jp", "go.jp", "com.au", "net.au", "org.au", "edu.au",
+      "gov.au", "co.nz", "org.nz", "net.nz", "com.br", "org.br", "com.mx",
+      "co.in", "net.in", "org.in", "co.za", "com.sg", "com.cn", "org.cn",
+      "net.cn", "com.tw", "com.hk", "co.kr", "com.ar", "com.tr",
+      "com.pl").foreach(s.add)
+    s
+  }
+
+  /** Registrable-domain heuristic: last two host labels, or three when the
+    * last two are a known multi-part public suffix; IPv4 hosts (and hosts
+    * with < 3 labels) pass through whole. A documented approximation of
+    * the full public suffix list — right for per-domain corpus stats,
+    * not for cookie-scope security decisions. */
+  def registrableDomain(url: UTF8String): UTF8String = {
+    val host = urlHost(url).toString
+    if (host.isEmpty) return UTF8String.EMPTY_UTF8
+    val labels = host.split('.')
+    if (labels.length <= 2) return UTF8String.fromString(host)
+    if (labels.forall(l => l.nonEmpty && l.forall(c => c >= '0' && c <= '9')))
+      return UTF8String.fromString(host) // IPv4
+    val last2 = labels(labels.length - 2) + "." + labels(labels.length - 1)
+    val keep = if (MultiPartTlds.contains(last2)) 3 else 2
+    UTF8String.fromString(labels.takeRight(keep).mkString("."))
+  }
+
   def canonicalizeText(text: UTF8String): UTF8String = {
     val s = text.toString
     val nfc =
@@ -1422,6 +1543,147 @@ case class DecodeNumericEntities(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/**
+ * Serializable BPE encoder shipped inside the plan (like the PQ codebooks):
+ * the merge-rank table plus a per-thread word→subwords memo — real text
+ * repeats words heavily, so most words hit the memo and pay zero merge
+ * work. Encode semantics match [[graft.text.Bpe]] training exactly: apply
+ * the lowest-rank adjacent pair, one left-to-right non-overlapping
+ * replacement pass, repeat until no adjacent pair has a rank.
+ */
+class BpeCoder(merges: Array[Array[String]]) extends Serializable {
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    var i = 0
+    while (i < merges.length) {
+      m.putIfAbsent(merges(i)(0) + " " + merges(i)(1), Int.box(i))
+      i += 1
+    }
+    m
+  }
+
+  @transient private lazy val memo =
+    new ThreadLocal[java.util.LinkedHashMap[String, Array[String]]] {
+      override def initialValue() =
+        new java.util.LinkedHashMap[String, Array[String]](1024, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, Array[String]]): Boolean =
+            size() > 65536
+        }
+    }
+
+  private def encodeWord(w: String): Array[String] = {
+    val cached = memo.get.get(w)
+    if (cached != null) return cached
+    var syms: Array[String] = w.map(_.toString).toArray
+    var done = syms.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bl: String = null
+      var br: String = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.get(syms(i) + " " + syms(i + 1))
+        if (r != null && r.intValue < bestRank) {
+          bestRank = r.intValue; bl = syms(i); br = syms(i + 1)
+        }
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        val out = Array.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == bl && syms(j + 1) == br) {
+            out += bl + br; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+        done = syms.length < 2
+      }
+    }
+    memo.get.put(w, syms)
+    syms
+  }
+
+  /** Encode full text: ascii-tokenize, concatenate each word's subwords. */
+  def encode(text: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val words = VectorKernels.tokenizeAscii(text)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < words.length) {
+      val subs = encodeWord(words(i).toString)
+      var j = 0
+      while (j < subs.length) { out += UTF8String.fromString(subs(j)); j += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** canonicalize_url(url) / url_host(url) / registrable_domain(url): the
+  * deterministic URL-normalization family (see
+  * [[VectorKernels.canonicalizeUrl]] for the exact rules). */
+case class UrlKernel(child: Expression, mode: String) extends UnaryExpression {
+  require(UrlKernel.Modes.contains(mode), s"unknown url kernel mode: $mode")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$mode expects string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(url: Any): Any = mode match {
+    case "canonicalize_url" => VectorKernels.canonicalizeUrl(url.asInstanceOf[UTF8String])
+    case "url_host" => VectorKernels.urlHost(url.asInstanceOf[UTF8String])
+    case "registrable_domain" => VectorKernels.registrableDomain(url.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = mode match {
+      case "canonicalize_url" => "canonicalizeUrl"
+      case "url_host" => "urlHost"
+      case "registrable_domain" => "registrableDomain"
+    }
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernels.$fn($a)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object UrlKernel {
+  val Modes: Set[String] = Set("canonicalize_url", "url_host", "registrable_domain")
+}
+
+/** bpe_encode_tokens(text): trained-BPE subword stream of the ascii-
+  * tokenized text — one narrow kernel pass, no shuffle. */
+case class BpeEncodeTokens(child: Expression, merges: Array[Array[String]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if merges.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode_tokens expects string and a non-empty merge list, got ${t.sql}")
+  }
+
+  @transient private lazy val coder = new BpeCoder(merges)
+
+  override def nullSafeEval(text: Any): Any =
+    coder.encode(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeCoder", coder, "graft.functions.BpeCoder")
+    defineCodeGen(ctx, ev, a => s"$ref.encode($a)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** decode_html_entities(text): one-pass named + numeric character-
   * reference decode (see [[VectorKernels.decodeHtmlEntities]]). */
 case class DecodeHtmlEntities(child: Expression) extends UnaryExpression {
@@ -1918,6 +2180,18 @@ object vectors {
 
   def decode_html_entities(text: Column): Column =
     DecodeHtmlEntities(text.asExpression).asColumn
+
+  def bpe_encode_tokens(text: Column, merges: Array[(String, String)]): Column =
+    BpeEncodeTokens(text.asExpression, merges.map(p => Array(p._1, p._2))).asColumn
+
+  def canonicalize_url(url: Column): Column =
+    UrlKernel(url.asExpression, "canonicalize_url").asColumn
+
+  def url_host(url: Column): Column =
+    UrlKernel(url.asExpression, "url_host").asColumn
+
+  def registrable_domain(url: Column): Column =
+    UrlKernel(url.asExpression, "registrable_domain").asColumn
 
   def fold_accents(text: Column): Column = FoldAccents(text.asExpression).asColumn
 

@@ -594,6 +594,42 @@ object PyBridge {
     graft.streaming.StreamingDedup.dropDuplicateTextsWithinWatermark(
       stream, text, eventTimeColumn, delayThreshold)
 
+  // --------------------------------------------------------------------------
+  // BPE tokenizer
+  // --------------------------------------------------------------------------
+
+  def canonicalizeUrl(c: Column): Column = graft.text.Urls.canonicalizeUrl(c)
+
+  def urlHost(c: Column): Column = graft.text.Urls.urlHost(c)
+
+  def registrableDomain(c: Column): Column = graft.text.Urls.registrableDomain(c)
+
+  def dedupByCanonicalUrl(df: DataFrame, id: Column, url: Column): DataFrame =
+    graft.text.Urls.dedupByCanonicalUrl(df, id, url)
+
+  def domainStats(df: DataFrame, url: Column): DataFrame =
+    graft.text.Urls.domainStats(df, url)
+
+  def weightedSampleTopK(df: DataFrame, key: Column, weight: Column,
+                         k: Int, salt: String): DataFrame =
+    graft.sample.Sampling.weightedSampleTopK(df, key, weight, k, salt)
+
+  def bpeTrain(corpus: DataFrame, text: Column, numMerges: Int,
+               maxWords: Int, minFreq: Long): graft.text.Bpe.BpeModel =
+    graft.text.Bpe.train(corpus, text, numMerges, maxWords, minFreq)
+
+  def bpeEncode(c: Column, model: graft.text.Bpe.BpeModel): Column =
+    graft.text.Bpe.encode(c, model)
+
+  def bpeTokenCount(c: Column, model: graft.text.Bpe.BpeModel): Column =
+    graft.text.Bpe.tokenCount(c, model)
+
+  def saveBpe(spark: SparkSession, model: graft.text.Bpe.BpeModel, path: String): Unit =
+    graft.text.Bpe.saveBpe(spark, model, path)
+
+  def loadBpe(spark: SparkSession, path: String): graft.text.Bpe.BpeModel =
+    graft.text.Bpe.loadBpe(spark, path)
+
   def foldAccents(c: Column): Column = graft.text.TextFunctions.foldAccents(c)
 
   def redactEmails(c: Column, token: String): Column = graft.text.Redact.redactEmails(c, token)

@@ -113,6 +113,41 @@ object Sampling {
   }
 
   /**
+   * Weighted sampling WITHOUT replacement, exact size k — the
+   * Efraimidis–Spirakis A-ES scheme ("Weighted random sampling with a
+   * reservoir", IPL 2006) made deterministic: each row draws the hash
+   * uniform `u = (int(md5[0:8]) + 0.5) / 2^32` from its key and scores
+   * `ln(u) / w`; the k largest scores ARE a weighted draw without
+   * replacement (row probability proportional to `w` at the margin).
+   * [[weightedHashSample]] keeps an EXPECTED fraction per row; this keeps
+   * an exact budget — the data-mixing primitive for "exactly k docs,
+   * importance-weighted" eval sets and mixture recipes.
+   *
+   * Determinism: the uniform is the same md5 family as every sampler here
+   * (reproducible across runs, partitionings, engines); ties (near-equal
+   * scores) break by the key. Rows with `w <= 0` or null never qualify
+   * (their limit score is -inf), matching the A-ES domain.
+   *
+   * Scale shape: a narrow projection + global top-k, which Catalyst plans
+   * as `TakeOrderedAndProject` — each task keeps its local k, only
+   * |tasks| * k rows reach the driver-side merge; no full sort, no wide
+   * exchange of the corpus.
+   */
+  def weightedSampleTopK(
+      df: DataFrame, key: Column, weight: Column, k: Int,
+      salt: String = "graft"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val u = (conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8),
+      16, 10).cast("double") + 0.5) / 4294967296.0
+    val w = weight.cast("double")
+    df.filter(w > 0.0)
+      .withColumn("__es_key", log(u) / w)
+      .orderBy(col("__es_key").desc, key.asc)
+      .limit(k)
+      .drop("__es_key")
+  }
+
+  /**
    * Token-budget resampling (domain mixing): down-sample each stratum so its
    * expected token mass lands on `budget` tokens — the "mix sources to a
    * target recipe" step every training-data pipeline runs before packing.

@@ -59,6 +59,33 @@ class CurationSuite extends AnyFunSuite with SparkTest {
     assert(n === 1L)
   }
 
+  test("weightedSampleTopK draws exactly k, weight-sensitive, partition-stable") {
+    val df = spark.range(2000).toDF("k")
+      .withColumn("w", when(col("k") < 100, lit(1000.0)).otherwise(lit(0.01)))
+    val got = Sampling.weightedSampleTopK(df, col("k"), col("w"), k = 100)
+      .select("k").as[Long].collect().toSet
+    assert(got.size == 100)
+    // 100 heavy rows at 10^5x the light weight: essentially all must win
+    // (a light row only beats a heavy one when its hash uniform lands
+    // within ~1e-5 of 1.0)
+    assert(got.count(_ < 100L) >= 98, s"heavy selected: ${got.count(_ < 100L)}")
+    // the draw is a pure function of (key, weight): any partitioning agrees
+    val again = Sampling.weightedSampleTopK(
+      df.repartition(13), col("k"), col("w"), k = 100)
+      .select("k").as[Long].collect().toSet
+    assert(again == got)
+    // zero/negative/null weights never qualify; k > survivors returns all
+    val edge = Seq((1L, Some(2.0)), (2L, Some(0.0)), (3L, Some(-1.0)),
+      (4L, Option.empty[Double]), (5L, Some(0.5))).toDF("k", "w")
+    val kept = Sampling.weightedSampleTopK(edge, col("k"), col("w"), k = 10)
+      .select("k").as[Long].collect().toSet
+    assert(kept == Set(1L, 5L))
+    // distributed top-k plan: TakeOrderedAndProject, no global sort exchange
+    val formatted = Sampling.weightedSampleTopK(df, col("k"), col("w"), k = 100)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("TakeOrderedAndProject"), formatted)
+  }
+
   test("stratifiedHashSample applies per-stratum rates with a default") {
     val df = (0L until 3000L).map(i => (i, s"s${i % 3}")).toDF("k", "g")
     val out = Sampling.stratifiedHashSample(

@@ -926,6 +926,98 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
       .as[String].head() == "xYz")
   }
 
+  test("BPE: merge learning matches the hand-computed sequence; encode inverts it") {
+    import graft.text.Bpe
+    // counts: (a,a) = 2*10 + 5 = 25 beats (a,b) = 18 -> merge 0 = (a,a)
+    // then (a,b) = 13 beats (aa,a) = 10 -> merge 1 = (a,b)
+    // then (aa,ab) = 10 beats (aa,b) = 5 -> merge 2 = (aa,ab)
+    val model = Bpe.trainFromCounts(
+      Array(("aaab", 10L), ("aab", 5L), ("ab", 3L)), numMerges = 3)
+    assert(model.merges == IndexedSeq(("a", "a"), ("a", "b"), ("aa", "ab")))
+    // exhaustion: asking for more merges than exist stops cleanly
+    val ex = Bpe.trainFromCounts(Array(("ab", 1L)), numMerges = 10)
+    assert(ex.merges == IndexedSeq(("a", "b")))
+    // kernel encode follows ranks: lowest-rank adjacent pair first, one
+    // non-overlapping left-to-right pass per merge
+    def enc(s: String): Seq[String] = Seq(s).toDF("t")
+      .select(Bpe.encode(col("t"), model).as("e")).as[Seq[String]].head()
+    assert(enc("aaab") == Seq("aaab"))
+    assert(enc("aab") == Seq("aa", "b"))     // (a,a) outranks (a,b)
+    assert(enc("ab") == Seq("ab"))
+    assert(enc("aabb") == Seq("aa", "b", "b"))
+    assert(enc("ba") == Seq("b", "a"))       // no applicable merge
+    assert(enc("aaab aab!AB") == Seq("aaab", "aa", "b", "ab"))  // per-word, ascii-lower
+    assert(enc("") == Seq.empty)
+    // tokenCount is the stream size
+    val n = Seq("aaab ab xyz").toDF("t")
+      .select(Bpe.tokenCount(col("t"), model).as("n")).as[Long].head()
+    assert(n == 1 + 1 + 3)
+  }
+
+  test("BPE trained on documents round-trips through save/load deterministically") {
+    import graft.text.Bpe
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m1 = Bpe.train(docs, col("text"), numMerges = 50)
+    val m2 = Bpe.train(docs, col("text"), numMerges = 50)
+    assert(m1.merges == m2.merges) // no RNG anywhere
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    Bpe.saveBpe(spark, m1, s"$dir/model")
+    val m3 = Bpe.loadBpe(spark, s"$dir/model")
+    assert(m3.merges == m1.merges)
+    // encoding concatenates to the original ascii token stream (merges
+    // never cross word boundaries, no marker)
+    val row = docs.limit(5)
+      .select(concat_ws("", Bpe.encode(col("text"), m1)).as("joined"),
+        concat_ws("", graft.text.TextFunctions.tokenize(
+          col("text"), graft.text.TextFunctions.AsciiTokenPattern)).as("plain"))
+      .as[(String, String)].collect()
+    row.foreach { case (joined, plain) => assert(joined == plain) }
+    // the plan is a narrow kernel projection - no exchange
+    val formatted = docs
+      .select(Bpe.encode(col("text"), m1))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!formatted.contains("Exchange"), formatted)
+  }
+
+  test("URL canonicalization: case/port/www/fragment/tracking/sort rules") {
+    import graft.text.Urls
+    def c(u: String): String = Seq(u).toDF("u")
+      .select(Urls.canonicalizeUrl(col("u"))).as[String].head()
+    def h(u: String): String = Seq(u).toDF("u")
+      .select(Urls.urlHost(col("u"))).as[String].head()
+    def d(u: String): String = Seq(u).toDF("u")
+      .select(Urls.registrableDomain(col("u"))).as[String].head()
+    assert(c("HTTPS://WWW.Example.COM:443/Path/Sub/?utm_source=x&b=2&a=1#frag")
+      == "https://example.com/Path/Sub?a=1&b=2")
+    assert(c("http://example.com:8080/a/") == "http://example.com:8080/a")
+    assert(c("not a url at all") == "not a url at all")
+    assert(c("https://example.com/?") == "https://example.com")
+    assert(c("http://example.com?x=1") == "http://example.com?x=1")
+    assert(c("  http://example.com/x  ") == "http://example.com/x")
+    assert(c("http://example.com/a//b/") == "http://example.com/a//b")
+    assert(h("https://example.com:444/x") == "example.com")
+    assert(h("nope") == "")
+    assert(d("http://www.example.co.uk/") == "example.co.uk")
+    assert(d("https://sub.deep.example.com/x") == "example.com")
+    assert(d("http://192.168.0.1/a") == "192.168.0.1")
+    assert(d("http://localhost/a") == "localhost")
+    // SQL registration
+    graft.GraftExtensions.registerAll(spark)
+    assert(spark.sql("SELECT registrable_domain('https://www.news.com.au/s') AS d")
+      .as[String].head() == "news.com.au")
+    // dedup keeps the smallest id per canonical form
+    val df = Seq((3L, "https://a.com/y"), (1L, "https://www.a.com/x/"),
+      (2L, "https://a.com/x")).toDF("id", "u")
+    val kept = Urls.dedupByCanonicalUrl(df, col("id"), col("u"))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+    // domain stats count urls and distinct canonicals per domain
+    val stats = Urls.domainStats(df, col("u"))
+      .as[(String, Long, Long)].collect()
+      .map { case (k, a, b) => k -> ((a, b)) }.toMap
+    assert(stats == Map("a.com" -> ((3L, 2L))))
+  }
+
   test("decodeHtmlEntities: named + numeric in one pass, single decode level") {
     def dec(s: String): String = Seq(s).toDF("t")
       .select(graft.functions.vectors.decode_html_entities(col("t")).as("c"))

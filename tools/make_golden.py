@@ -519,6 +519,223 @@ def make_html_fixture():
 
 
 # ---------------------------------------------------------------------------
+# URL canonicalization: an independent replication of the UrlKernel rules
+# (documented at VectorKernels.canonicalizeUrl) over planted hazard URLs +
+# synthetic per-doc URL pairs whose canonical forms collide (the dedup case)
+# ---------------------------------------------------------------------------
+def make_url_fixture():
+    TRACKING = {"gclid", "fbclid", "ref", "mc_cid", "mc_eid", "igshid",
+                "msclkid", "dclid", "wbraid", "gbraid"}
+    MULTI = {"co.uk", "ac.uk", "gov.uk", "org.uk", "me.uk", "co.jp", "ne.jp",
+             "or.jp", "ac.jp", "go.jp", "com.au", "net.au", "org.au",
+             "edu.au", "gov.au", "co.nz", "org.nz", "net.nz", "com.br",
+             "org.br", "com.mx", "co.in", "net.in", "org.in", "co.za",
+             "com.sg", "com.cn", "org.cn", "net.cn", "com.tw", "com.hk",
+             "co.kr", "com.ar", "com.tr", "com.pl"}
+
+    def canon(u):
+        s = u.strip()
+        si = s.find("://")
+        if si <= 0:
+            return s
+        scheme = s[:si].lower()
+        rest = s[si + 3:]
+        he = len(rest)
+        for i, c in enumerate(rest):
+            if c in "/?#":
+                he = i
+                break
+        hostport = rest[:he].lower()
+        ci = hostport.rfind(":")
+        host, port = hostport, ""
+        if ci >= 0:
+            p = hostport[ci + 1:]
+            if all("0" <= c <= "9" for c in p):
+                host, port = hostport[:ci], p
+        if host.startswith("www.") and len(host) > 4:
+            host = host[4:]
+        keep_port = bool(port) and not (
+            (scheme == "http" and port == "80")
+            or (scheme == "https" and port == "443"))
+        after = rest[he:]
+        fi = after.find("#")
+        nofrag = after[:fi] if fi >= 0 else after
+        qi = nofrag.find("?")
+        path = nofrag[:qi] if qi >= 0 else nofrag
+        query = nofrag[qi + 1:] if qi >= 0 else ""
+        if path == "/":
+            path = ""
+        elif len(path) > 1 and path.endswith("/"):
+            path = path[:-1]
+
+        def tracking(p):
+            eq = p.find("=")
+            name = (p[:eq] if eq >= 0 else p).lower()
+            return name.startswith("utm_") or name in TRACKING
+
+        params = sorted(p for p in query.split("&") if p and not tracking(p))
+        q2 = ("?" + "&".join(params)) if params else ""
+        return scheme + "://" + host + ((":" + port) if keep_port else "") + path + q2
+
+    def host_of(u):
+        c = canon(u)
+        si = c.find("://")
+        if si <= 0:
+            return ""
+        rest = c[si + 3:]
+        he = len(rest)
+        for i, ch in enumerate(rest):
+            if ch in "/?:":
+                he = i
+                break
+        return rest[:he]
+
+    def domain_of(u):
+        h = host_of(u)
+        if not h:
+            return ""
+        labels = h.split(".")
+        if len(labels) <= 2:
+            return h
+        if all(l and all("0" <= c <= "9" for c in l) for l in labels):
+            return h
+        last2 = ".".join(labels[-2:])
+        return ".".join(labels[-3:]) if last2 in MULTI else last2
+
+    planted = [
+        "HTTPS://WWW.Example.COM:443/Path/Sub/?utm_source=x&b=2&a=1#frag",
+        "http://example.com:8080/a/",
+        "http://www.example.co.uk/",
+        "https://sub.deep.example.com/x?gclid=123",
+        "http://192.168.0.1:80/admin/",
+        "not a url at all",
+        "ftp://Files.Example.org/pub/",
+        "https://example.com/?",
+        "https://example.com/a?b=2&a=1&utm_campaign=z&UTM_Medium=y",
+        "http://www.only",
+        "https://example.com:444/x",
+        "  http://example.com/x  ",
+        "https://www.news.com.au/story/",
+        "http://example.com/a//b/",
+        "http://EXAMPLE.com/A#b#c",
+        "http://example.com?x=1",
+        "https://www.x.co.jp:443/?fbclid=1&z=9",
+        "http://a.b.c.d.example.com/x",
+        "http://example.com:notaport/x",
+        "http://example.com:/x",
+    ]
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]).to_pandas()
+    ids, urls = [], []
+    for i, u in enumerate(planted):
+        ids.append(int(-(i + 1)))
+        urls.append(u)
+    # per-doc PAIR with colliding canonicals: even id = noisy variant,
+    # odd id = already-canonical variant -> dedup keeps the even (smaller)
+    for doc_id in docs.doc_id:
+        m = int(doc_id) % 50
+        ids.append(int(2 * doc_id))
+        urls.append(f"https://WWW.Site{m}.COM:443/path/{int(doc_id)}/"
+                    f"?utm_source=feed&b=2&a=1#frag")
+        ids.append(int(2 * doc_id + 1))
+        urls.append(f"https://site{m}.com/path/{int(doc_id)}?a=1&b=2")
+    table = pa.table({
+        "url_id": pa.array(ids, pa.int64()),
+        "url": pa.array(urls, pa.string()),
+        "canonical": pa.array([canon(u) for u in urls], pa.string()),
+        "host": pa.array([host_of(u) for u in urls], pa.string()),
+        "domain": pa.array([domain_of(u) for u in urls], pa.string()),
+    })
+    pq.write_table(table, f"{OUT}/urls_sf001.parquet")
+    print(f"urls_sf001.parquet: {len(ids)} rows")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenization: an independent replication of graft.text.Bpe — ascii
+# word count, numMerges deterministic merge-learning rounds (max pair count,
+# ties -> lexicographically smallest pair), greedy lowest-rank-first encode
+# with one left-to-right non-overlapping replacement pass per merge.
+# Lowercasing is ASCII-only (A-Z), matching the kernel tokenizer.
+# ---------------------------------------------------------------------------
+def make_bpe_fixture():
+    import re
+    import string
+    from collections import Counter
+
+    NUM_MERGES = 200
+    ascii_lower = str.maketrans(string.ascii_uppercase, string.ascii_lowercase)
+
+    def words_of(t):
+        return re.findall(r"[a-z0-9]+", (t or "").translate(ascii_lower))
+
+    def merge_pair(syms, pair):
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == pair[0] and syms[i + 1] == pair[1]:
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    wc = Counter()
+    for t in docs.text:
+        wc.update(words_of(t))
+    items = sorted(((w, c) for w, c in wc.items() if len(w) >= 2),
+                   key=lambda x: (-x[1], x[0]))[:1 << 20]
+    seqs = [(list(w), c) for w, c in items]
+    merges = []
+    for _ in range(NUM_MERGES):
+        pc = Counter()
+        for syms, c in seqs:
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        seqs = [(merge_pair(syms, best), c) for syms, c in seqs]
+    ranks = {}
+    for i, m in enumerate(merges):
+        ranks.setdefault(m, i)
+
+    memo = {}
+
+    def encode_word(w):
+        if w in memo:
+            return memo[w]
+        syms = list(w)
+        while len(syms) > 1:
+            best = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best[0]):
+                    best = (r, syms[i], syms[i + 1])
+            if best is None:
+                break
+            syms = merge_pair(syms, (best[1], best[2]))
+        memo[w] = syms
+        return syms
+
+    ids, counts, texts = [], [], []
+    for doc_id, t in zip(docs.doc_id, docs.text):
+        toks = [s for w in words_of(t) for s in encode_word(w)]
+        ids.append(int(doc_id))
+        counts.append(len(toks))
+        texts.append(" ".join(toks))
+    table = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_bpe_tokens": pa.array(counts, pa.int64()),
+        "bpe_text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(table, f"{OUT}/bpe_tokens_sf001.parquet")
+    print(f"bpe_tokens_sf001.parquet: {len(ids)} rows, "
+          f"{len(merges)} merges, vocab sample {merges[:5]}")
+
+
+# ---------------------------------------------------------------------------
 # DEFLATE lengths for compression_signal (python zlib == JVM Deflater: both
 # wrap the same zlib; raw stream, level 6 — verified byte-identical)
 # ---------------------------------------------------------------------------
@@ -831,5 +1048,7 @@ if __name__ == "__main__":
     make_audio_fixture()
     make_video_fixture()
     make_html_fixture()
+    make_bpe_fixture()
+    make_url_fixture()
     make_deflate_fixture()
     make_ann_goldens()
