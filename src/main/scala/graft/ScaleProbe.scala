@@ -65,7 +65,8 @@ object ScaleProbe {
     val allProbes = Set("minhash_pairs", "assign_clusters", "fuzzy_pairs",
       "asof_hotkey_plain", "asof_hotkey_bucketed", "cluster_chain",
       "span_stats", "bm25_topk", "pq_topk", "classifier", "semantic_dedup",
-      "dsir", "vocab", "streaming_neardup_state", "streaming_embedding_state")
+      "dsir", "vocab", "streaming_neardup_state", "streaming_embedding_state",
+      "bpe_encode")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -492,6 +493,23 @@ object ScaleProbe {
         graft.streaming.StreamingEmbeddingNearDup.embeddingCandidates(
           st, col("vec_id"), col("embedding"), "ts", "0 seconds",
           dim = 64, threshold = 0.9).toDF())
+    }
+
+    // --- BPE encode: narrow kernel scan, trained once on the sample ------
+    // production shape: merges learn ONCE (on the unamplified sample —
+    // train cost is corpus-word-count + bounded driver loop), then encode
+    // is a pure kernel pass whose cost must track corpus bytes linearly
+    if (enabled("bpe_encode")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val model = graft.text.Bpe.train(docs, col("text"), numMerges = 200)
+      val big = amplify(docs, n).select(
+        (col("doc_id") + col("__rep") * 1000000L).as("doc_id"),
+        concat(col("text"), lit(" r"), col("__rep").cast("string")).as("text"))
+      val (nTok, tEnc) = time {
+        big.select(sum(size(graft.text.Bpe.encode(col("text"), model))).as("n"))
+          .head().getLong(0)
+      }
+      report("bpe_encode", nTok, tEnc)
     }
 
     // --- events: as-of join with a deliberately hot key ------------------

@@ -1126,6 +1126,33 @@ object SparkEntry {
         s.read.parquet(s"$goldenDir/urls_sf001.parquet"), col("url_id"), col("url"))
         .select(col("url_id"))),
 
+    // per-domain cap (anti-boilerplate guard): deterministic md5-ranked
+    // k-per-registrable-domain draw; oracle replays the ranking in DuckDB
+    // over the fixture's domain column
+    "url_domain_cap" -> ((s, dir) =>
+      graft.text.Urls.capPerDomain(
+        s.read.parquet(s"$goldenDir/urls_sf001.parquet").select(col("url_id"), col("url")),
+        col("url_id"), col("url"), maxPerDomain = 5)
+        .select(col("url_id"))),
+
+    // streaming twin of url_dedup: the fixture replayed as ordered batches
+    // (occurrence number per canonical form), keep-first must equal the
+    // batch keep-smallest-id decision
+    "streaming_url_dedup" -> ((s, dir) => {
+      val urls = s.read.parquet(s"$goldenDir/urls_sf001.parquet")
+        .select(col("url_id"), col("url"))
+        .withColumn("ts", timestamp_seconds(lit(1000000000L) + col("url_id")))
+      val occ = row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(graft.functions.vectors.canonicalize_url(col("url")))
+          .orderBy(col("url_id"))) - 1
+      val nBatches = urls.select(occ.as("o")).agg(max(col("o"))).head().getInt(0) + 1
+      streamReplay(s, urls, occ, nBatches)(st =>
+        graft.streaming.StreamingDedup.dropDuplicateUrlsWithinWatermark(
+          st, col("url"), "ts", "30 days"))
+        .select(col("url_id"))
+    }),
+
     // the full-entity mode: the HTML 4.01 named set (+ apos) AND numeric
     // refs decode in ONE left-to-right kernel pass (double escapes drop
     // exactly one level, unknown names stay literal). Oracle: planted
@@ -2639,6 +2666,18 @@ object SparkEntry {
           s"FROM read_parquet('$goldenDir/urls_sf001.parquet')"),
 
       "url_dedup" ->
+        ("SELECT CAST(MIN(url_id) AS BIGINT) AS url_id " +
+          s"FROM read_parquet('$goldenDir/urls_sf001.parquet') " +
+          "GROUP BY canonical"),
+
+      "url_domain_cap" ->
+        ("SELECT url_id FROM (SELECT url_id, row_number() OVER " +
+          "(PARTITION BY domain ORDER BY md5('graft' || CAST(url_id AS VARCHAR)), url_id) AS rk " +
+          s"FROM read_parquet('$goldenDir/urls_sf001.parquet')) WHERE rk <= 5"),
+
+      // the replay feeds batches in per-canonical occurrence order, so
+      // streaming keep-first == batch keep-smallest-id
+      "streaming_url_dedup" ->
         ("SELECT CAST(MIN(url_id) AS BIGINT) AS url_id " +
           s"FROM read_parquet('$goldenDir/urls_sf001.parquet') " +
           "GROUP BY canonical"),

@@ -32,6 +32,26 @@ object StreamingDedup {
   }
 
   /**
+   * Keep the first row per CANONICAL URL within the watermark horizon —
+   * the streaming twin of [[graft.text.Urls.dedupByCanonicalUrl]]: a crawl
+   * feed re-fetches the same page under scheme/www/tracking-param variants,
+   * and URL-level dedup upstream of text processing is the cheapest drop in
+   * the whole pipeline. State is keyed by xxhash64 of the canonical form
+   * (8-byte keys, like the text variant) — NOT the normalized-text
+   * fingerprint, whose lowercasing would merge case-distinct paths the
+   * canonicalization deliberately preserves.
+   */
+  def dropDuplicateUrlsWithinWatermark(
+      df: DataFrame, urlCol: Column, eventTimeColumn: String,
+      delayThreshold: String): DataFrame = {
+    val fp = "__graft_url_fp"
+    df.withColumn(fp, xxhash64(graft.text.Urls.canonicalizeUrl(urlCol)))
+      .withWatermark(eventTimeColumn, delayThreshold)
+      .dropDuplicatesWithinWatermark(fp)
+      .drop(fp)
+  }
+
+  /**
    * Keep the first document per fingerprint within the watermark horizon:
    * duplicates arriving within `delayThreshold` of each other are dropped,
    * state older than the watermark is evicted. `eventTimeColumn` must be a

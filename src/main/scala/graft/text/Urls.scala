@@ -54,4 +54,20 @@ object Urls {
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_urls"),
         count_distinct(col("__c")).as("n_distinct_urls"))
+
+  /**
+   * Cap each registrable domain at `maxPerDomain` rows — the anti-
+   * boilerplate guard every web-corpus recipe applies (one template-heavy
+   * site must not dominate the mixture). The kept rows are a deterministic
+   * hash draw per domain (the [[graft.sample.Sampling.sampleKPerGroup]]
+   * md5 ranking keyed by `id`), so re-runs and engines agree; plans as
+   * map-side-partial `WindowGroupLimit` — a billion-URL domain sends ~k
+   * rows per task into the exchange, never the domain.
+   */
+  def capPerDomain(df: DataFrame, id: Column, url: Column, maxPerDomain: Int,
+                   salt: String = "graft"): DataFrame =
+    graft.sample.Sampling.sampleKPerGroup(
+      df.withColumn("__domain", registrableDomain(url)),
+      Seq(col("__domain")), id, maxPerDomain, salt)
+      .drop("__domain", "sample_rank")
 }

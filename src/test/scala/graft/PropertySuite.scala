@@ -313,6 +313,82 @@ class PropertySuite extends AnyFunSuite {
     })
   }
 
+  test("canonicalizeUrl is idempotent and structure-preserving") {
+    // idempotence is load-bearing: the canonical form IS the dedup key, so
+    // re-canonicalizing stored keys (a re-run, a migration) must be a no-op
+    val genLabel: Gen[String] = Gen.choose(1, 4)
+      .flatMap(n => Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.alphaNumChar, 1 -> Gen.const('-'))).map(_.mkString))
+    val genHost: Gen[String] = for {
+      www <- Gen.oneOf("", "www.", "WWW.")
+      labels <- Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, genLabel))
+    } yield www + labels.mkString(".")
+    val genUrl: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS", "ftp")
+      host <- genHost
+      port <- Gen.oneOf("", ":80", ":443", ":8080", ":", ":x9")
+      path <- Gen.oneOf("", "/", "/a", "/A/b/", "/a//b/", "/%20x")
+      query <- Gen.oneOf("", "?", "?b=2&a=1", "?utm_source=x", "?a=1&a=1",
+        "?ref=r&z", "?UTM_X=1&k")
+      frag <- Gen.oneOf("", "#f", "#a#b")
+      junk <- Gen.oneOf("", " ", "  ")
+    } yield junk + scheme + "://" + host + port + path + query + frag
+    def canon(s: String): String =
+      VectorKernels.canonicalizeUrl(UTF8String.fromString(s)).toString
+    check("canonicalizeUrl idempotent", Prop.forAll(genUrl) { u =>
+      val c = canon(u)
+      canon(c) == c
+    })
+    check("canonicalizeUrl structure", Prop.forAll(genUrl) { u =>
+      val c = canon(u)
+      // canonical form never carries a fragment, an unsorted query, or a
+      // tracking param; host/scheme are lowercase
+      val si = c.indexOf("://")
+      si > 0 && {
+        val scheme = c.substring(0, si)
+        val qi = c.indexOf('?')
+        val params = if (qi >= 0) c.substring(qi + 1).split("&").toSeq else Seq.empty
+        scheme == scheme.toLowerCase &&
+          !c.contains("#") &&
+          params == params.sorted &&
+          !params.exists(p => p.toLowerCase.startsWith("utm_") ||
+            p.toLowerCase.startsWith("ref=") || p.toLowerCase == "ref") &&
+          VectorKernels.urlHost(UTF8String.fromString(c)).toString ==
+            VectorKernels.urlHost(UTF8String.fromString(u)).toString
+      }
+    })
+    // non-URLs (no scheme) pass through trimmed and stay fixed points
+    check("canonicalizeUrl non-url fixpoint", Prop.forAll(Gen.alphaNumStr) { s =>
+      canon(s) == s.trim && canon(canon(s)) == canon(s)
+    })
+  }
+
+  test("decodeHtmlEntities: escape round-trip, never lengthens, &-free fixpoint") {
+    val genPiece: Gen[String] = Gen.frequency(
+      4 -> Gen.alphaNumStr.map(_.take(6)),
+      2 -> Gen.oneOf("&amp;", "&lt;", "&eacute;", "&nbsp;", "&mdash;"),
+      2 -> Gen.oneOf("&#65;", "&#x42;", "&#;", "&#x;", "&# ", "&"),
+      1 -> Gen.oneOf("&bogus;", "&amp;amp;", "&amp;#65;", ";", "#", " "))
+    val genStr: Gen[String] = Gen.listOf(genPiece).map(_.mkString)
+    def dec(s: String): String =
+      VectorKernels.decodeHtmlEntities(UTF8String.fromString(s)).toString
+    // the single-decode-level guarantee, stated as a round-trip: escaping
+    // every '&' as &amp; then decoding once returns the original, no
+    // matter what ref-shaped text the original carried
+    check("decodeHtmlEntities escape round-trip", Prop.forAll(genStr) { s =>
+      dec(s.replace("&", "&amp;")) == s
+    })
+    // every replacement (named, numeric, space-classed) is no longer than
+    // its reference, so decode never lengthens
+    check("decodeHtmlEntities never lengthens", Prop.forAll(genStr) { s =>
+      dec(s).length <= s.length
+    })
+    check("decodeHtmlEntities &-free fixpoint", Prop.forAll(genStr) { s =>
+      val noAmp = s.replace("&", "")
+      dec(noAmp) == noAmp
+    })
+  }
+
   test("zValue is monotonic per coordinate and within lane bounds") {
     import graft.write.ZOrder
     import org.apache.spark.sql.functions.col
