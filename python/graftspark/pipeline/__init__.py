@@ -57,6 +57,10 @@ __all__ = [
     "bpe_train", "bpe_encode", "bpe_token_count", "save_bpe", "load_bpe",
     "canonicalize_url", "url_host", "registrable_domain",
     "dedup_by_canonical_url", "domain_stats", "weighted_sample_top_k",
+    "cap_per_domain", "remove_boilerplate_lines",
+    "kmv_sketch", "kmv_overlap_estimate", "kmv_distinct_estimate",
+    "merge_kmv_sketches",
+    "resample_to_mixture",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -274,6 +278,72 @@ def dedup_by_canonical_url(df: DataFrame, id_col: ColumnOrName,
 def domain_stats(df: DataFrame, url: ColumnOrName) -> DataFrame:
     """(domain, n_urls, n_distinct_urls) per registrable domain."""
     jdf = _bridge(df).domainStats(df._jdf, _jcol(url))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def cap_per_domain(df: DataFrame, id_col: ColumnOrName, url: ColumnOrName,
+                   max_per_domain: int, salt: str = "graft") -> DataFrame:
+    """Cap each registrable domain at k rows via the deterministic md5-ranked
+    per-group draw (anti-boilerplate mixture guard; WindowGroupLimit plan)."""
+    jdf = _bridge(df).capPerDomain(df._jdf, _jcol(id_col), _jcol(url),
+                                   int(max_per_domain), str(salt))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def remove_boilerplate_lines(df: DataFrame, id_col: ColumnOrName,
+                             text: ColumnOrName, min_docs: int,
+                             separator: str = "\n",
+                             output_text_column: str = "text") -> DataFrame:
+    """CCNet-style boilerplate filter: drop EVERY occurrence of lines that
+    appear in >= min_docs distinct documents (vs deduplicate_lines, which
+    keeps the first). Documents reduced to nothing keep an empty text."""
+    jdf = _bridge(df).removeBoilerplateLines(
+        df._jdf, _jcol(id_col), _jcol(text), int(min_docs), separator,
+        output_text_column)
+    return DataFrame(jdf, df.sparkSession)
+
+
+def kmv_sketch(df: DataFrame, value: ColumnOrName, k: int) -> DataFrame:
+    """One-row KMV sketch: the k smallest distinct md5 hashes of `value`
+    (bounded aggregation — each task ships at most k strings)."""
+    jdf = _bridge(df).kmvSketch(df._jdf, _jcol(value), int(k))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def merge_kmv_sketches(sketches: DataFrame, sketch: ColumnOrName,
+                       k: int) -> DataFrame:
+    """Merge persisted KMV sketch rows into one sketch of their union —
+    exact (lattice merge), composable across days/shards like HLL."""
+    jdf = _bridge(sketches).mergeKmvSketches(sketches._jdf, _jcol(sketch), int(k))
+    return DataFrame(jdf, sketches.sparkSession)
+
+
+def kmv_overlap_estimate(a: DataFrame, a_value: ColumnOrName,
+                         b: DataFrame, b_value: ColumnOrName,
+                         k: int) -> DataFrame:
+    """Corpus-vs-corpus Jaccard estimate WITHOUT a join: one row
+    (k_used, n_both, j_estimate) from the two corpora's KMV sketches;
+    exact when the union has fewer than k distinct fingerprints."""
+    jdf = _bridge(a).kmvOverlapEstimate(a._jdf, _jcol(a_value),
+                                        b._jdf, _jcol(b_value), int(k))
+    return DataFrame(jdf, a.sparkSession)
+
+
+def kmv_distinct_estimate(sketch: ColumnOrName, k: int) -> Column:
+    """Distinct-count estimate from a KMV sketch array: exact below k,
+    else (k-1)/u_k from the k-th smallest hash."""
+    return _col_fn("kmvDistinctEstimate", _jcol(sketch), int(k))
+
+
+def resample_to_mixture(df: DataFrame, domain: ColumnOrName, targets: dict,
+                        key: ColumnOrName, salt: str = "graft") -> DataFrame:
+    """Resample a multi-domain corpus to target mixture proportions
+    ({domain: share}, shares sum to 1): per-domain rates derived from data
+    counts (the scarcest domain relative to its target is kept whole), then
+    the deterministic md5-threshold keep. Untargeted domains are dropped."""
+    jdf = _bridge(df).resampleToMixture(
+        df._jdf, _jcol(domain),
+        {str(k2): float(v) for k2, v in targets.items()}, _jcol(key), str(salt))
     return DataFrame(jdf, df.sparkSession)
 
 

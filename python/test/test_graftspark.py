@@ -1033,6 +1033,51 @@ class GraftsparkTest(unittest.TestCase):
         self.assertEqual(len(got), 20)
         self.assertGreaterEqual(len([k for k in got if k < 20]), 19)
 
+    def test_pipeline_mixture_overlap_boilerplate(self):
+        from graftspark import pipeline as P
+        # per-domain cap: deterministic k-per-registrable-domain draw
+        urls = self.spark.createDataFrame(
+            [(i, "https://big.example.com/p%d" % i) for i in range(10)] +
+            [(100, "https://small.org/x")], ["id", "u"])
+        capped = P.cap_per_domain(urls, col("id"), col("u"), max_per_domain=3)
+        doms = {}
+        for r in capped.select(P.registrable_domain(col("u")).alias("d")).collect():
+            doms[r["d"]] = doms.get(r["d"], 0) + 1
+        self.assertEqual(doms, {"example.com": 3, "small.org": 1})
+        again = P.cap_per_domain(urls.repartition(5), col("id"), col("u"),
+                                 max_per_domain=3)
+        self.assertEqual(sorted(r["id"] for r in capped.collect()),
+                         sorted(r["id"] for r in again.collect()))
+        # boilerplate removal drops ALL occurrences at the distinct-doc bar
+        docs = self.spark.createDataFrame(
+            [(1, "one\nfooter"), (2, "two\nfooter"), (3, "three\nfooter")],
+            ["doc_id", "text"])
+        out = {r["doc_id"]: r["text"] for r in P.remove_boilerplate_lines(
+            docs, col("doc_id"), col("text"), min_docs=3).collect()}
+        self.assertEqual(out, {1: "one", 2: "two", 3: "three"})
+        # KMV overlap: exact when the union fits in k
+        a = self.spark.range(30).toDF("v")
+        b = self.spark.range(20, 50).toDF("v")
+        row = P.kmv_overlap_estimate(a, col("v"), b, col("v"), k=256).collect()[0]
+        self.assertEqual((row["k_used"], row["n_both"]), (50, 10))
+        self.assertAlmostEqual(row["j_estimate"], 0.2)
+        sk = P.kmv_sketch(a, col("v"), k=256)
+        est = sk.select(
+            P.kmv_distinct_estimate(col("kmv"), 256).alias("d")).collect()[0]["d"]
+        self.assertEqual(est, 30.0)
+        # mixture resampling: a=100/b=200/c=300 rows to 50/30/20 shares ->
+        # T = 200, a kept whole, b ~60, c ~40
+        rows = [(i, "a" if i % 6 < 1 else ("b" if i % 6 < 3 else "c"))
+                for i in range(600)]
+        df = self.spark.createDataFrame(rows, ["id", "dom"])
+        out2 = P.resample_to_mixture(
+            df, col("dom"), {"a": 0.5, "b": 0.3, "c": 0.2}, col("id"))
+        counts = {r["dom"]: r["count"]
+                  for r in out2.groupBy("dom").count().collect()}
+        self.assertEqual(counts["a"], 100)
+        self.assertLess(abs(counts["b"] - 60), 30)
+        self.assertLess(abs(counts["c"] - 40), 25)
+
     def test_pipeline_stream_replay(self):
         from datetime import datetime, timezone
         from graftspark import pipeline as P

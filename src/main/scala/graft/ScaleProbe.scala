@@ -66,7 +66,7 @@ object ScaleProbe {
       "asof_hotkey_plain", "asof_hotkey_bucketed", "cluster_chain",
       "span_stats", "bm25_topk", "pq_topk", "classifier", "semantic_dedup",
       "dsir", "vocab", "streaming_neardup_state", "streaming_embedding_state",
-      "bpe_encode")
+      "bpe_encode", "boilerplate", "kmv_sketch")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -510,6 +510,40 @@ object ScaleProbe {
           .head().getLong(0)
       }
       report("bpe_encode", nTok, tEnc)
+    }
+
+    // --- boilerplate line removal: the anti-join's hot-hash stress -------
+    // every amplified doc carries the same header line (the most skewed
+    // hash possible: one line hash owning N*|docs| exploded rows on the
+    // anti-join probe side — exactly the rows the join DROPS) plus a
+    // per-replica tail line that stays below the threshold at every N
+    if (enabled("boilerplate")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val big = amplify(docs, n).select(
+        (col("doc_id") + col("__rep") * 1000000L).as("doc_id"),
+        concat(lit("shared boilerplate header\n"), col("text"),
+          lit("\ndoc tail "), col("doc_id").cast("string"),
+          lit(" r"), col("__rep").cast("string")).as("text"))
+      val (nRows, t) = time {
+        graft.dedup.Dedup.removeBoilerplateLines(
+          big, col("doc_id"), col("text"), minDocs = 100)
+          .agg(count(lit(1)), sum(length(col("text")))).head().getLong(0)
+      }
+      report("boilerplate", nRows, t)
+    }
+
+    // --- KMV sketch: bounded-communication aggregate ---------------------
+    // output is k strings at EVERY N — the probe measures that the sketch
+    // pass stays a linear scan with constant exchange volume
+    if (enabled("kmv_sketch")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val big = amplify(docs, n).select(
+        concat(col("text"), lit(" r"), col("__rep").cast("string")).as("text"))
+      val (kUsed, t) = time {
+        graft.dedup.CorpusOverlap.kmvSketch(big, col("text"), 1024)
+          .select(size(col("kmv"))).head().getInt(0).toLong
+      }
+      report("kmv_sketch", kUsed, t)
     }
 
     // --- events: as-of join with a deliberately hot key ------------------

@@ -1059,6 +1059,21 @@ object SparkEntry {
         Map("src0" -> 0.9, "src1" -> 0.05), defaultRate = 0.3)
         .select(col("doc_id"), col("source"))),
 
+    // mixture resampling: rates DERIVED from data counts to hit 50/30/20
+    // target shares (src2 thinned so counts are non-uniform; src0 is the
+    // binding domain -> rate exactly 1.0, exercising the keep-all guard);
+    // the count -> T -> rate -> threshold chain is fixed IEEE arithmetic
+    // the oracle replays bit-for-bit
+    "mixture_resample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1", "src2"))
+        .filter(col("doc_id") % 2 === 0 || col("source") =!= lit("src2"))
+      graft.sample.Sampling.resampleToMixture(
+        docs, col("source"), Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+        col("doc_id"))
+        .select(col("doc_id"), col("source"))
+    }),
+
     // PII redaction: email/IPv4/digit-run scrub with RE2-safe patterns; the
     // PII is synthesized from doc_id (corpus text carries none by itself)
     // unicode canonicalization kernel: the fixture text is ASCII, so the
@@ -1228,6 +1243,19 @@ object SparkEntry {
       graft.dedup.Dedup.deduplicateLines(synth, col("doc_id"), col("text"))
     }),
 
+    // CCNet-style boilerplate removal: lines planted in >= minDocs distinct
+    // docs ("all rights reserved" in every doc, "promo k" in ~1/7 of them)
+    // are dropped EVERYWHERE incl. their first occurrence; unique lines stay
+    "boilerplate_lines" -> ((s, dir) => {
+      val synth = t(s, dir, "documents").select(col("doc_id"),
+        concat(substring(col("text"), 1, 40), lit("\n"),
+          lit("all rights reserved"), lit("\n"),
+          lit("promo "), (col("doc_id") % 7).cast("string"), lit("\n"),
+          lit("doc "), col("doc_id").cast("string")).as("text"))
+      graft.dedup.Dedup.removeBoilerplateLines(
+        synth, col("doc_id"), col("text"), minDocs = 50)
+    }),
+
     // exact dedup: corpus with planted normalized-duplicate copies
     "dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -1279,6 +1307,17 @@ object SparkEntry {
         .localCheckpoint(true)
       ch.unpersist(); rh.unpersist()
       out
+    }),
+
+    // KMV corpus-overlap estimate: two corpora with a planted ~1/5 overlap
+    // (doc_id % 5 == 2 in both) reduce to bottom-64 md5 sketches; the
+    // Jaccard estimate is a deterministic function of the hashes, replayed
+    // exactly by the oracle — no tolerance band
+    "corpus_overlap_kmv" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.dedup.CorpusOverlap.overlapEstimate(
+        docs.filter(col("doc_id") % 5 < 3), col("text"),
+        docs.filter(col("doc_id") % 5 > 1), col("text"), k = 64)
     }),
 
     // transitive near-dup clustering: alternating large-star/small-star
@@ -2613,6 +2652,23 @@ object SparkEntry {
           "CASE WHEN source = 'src0' THEN 'e6666666' " +
           "WHEN source = 'src1' THEN '0ccccccd' ELSE '4ccccccd' END"),
 
+      // rates derived from counts: T = min(c/share), rate = share*T/c,
+      // threshold = printf('%08x', floor(rate*2^32)) — every step DOUBLE
+      // arithmetic in the same association as the Spark plan
+      "mixture_resample" ->
+        ("WITH input AS (SELECT doc_id, source FROM documents " +
+          "WHERE source IN ('src0', 'src1', 'src2') AND (doc_id % 2 = 0 OR source <> 'src2')), " +
+          "shares(source, share) AS (VALUES ('src0', CAST(0.5 AS DOUBLE)), " +
+          "('src1', CAST(0.3 AS DOUBLE)), ('src2', CAST(0.2 AS DOUBLE))), " +
+          "counts AS (SELECT source, CAST(count(*) AS DOUBLE) AS c FROM input GROUP BY source), " +
+          "j AS (SELECT s.source, s.share, c.c FROM shares s JOIN counts c USING (source)), " +
+          "tt AS (SELECT min(c / share) AS t FROM j), " +
+          "rates AS (SELECT source, LEAST(CAST(1.0 AS DOUBLE), share * t / c) AS rate, " +
+          "printf('%08x', CAST(floor(LEAST(CAST(1.0 AS DOUBLE), share * t / c) * CAST(4294967296.0 AS DOUBLE)) AS BIGINT)) AS th " +
+          "FROM j, tt) " +
+          "SELECT i.doc_id, i.source FROM input i JOIN rates r USING (source) " +
+          "WHERE substring(md5('graft' || CAST(i.doc_id AS VARCHAR)), 1, 8) < r.th OR r.rate >= 1.0"),
+
       // the kernel's exact contract: NFC compose, strip C0-except-\t\n\f\r
       // plus DEL, collapse [\t\n\f\r ] runs, trim — replayed as
       // nfc_normalize + two regex passes over the same planted suffix
@@ -2745,6 +2801,17 @@ object SparkEntry {
           "agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text FROM kept GROUP BY doc_id) " +
           "SELECT s.doc_id, COALESCE(a.text, '') AS text FROM src s LEFT JOIN agg a ON s.doc_id = a.doc_id"),
 
+      "boilerplate_lines" ->
+        ("WITH src AS (SELECT doc_id, substring(text, 1, 40) || chr(10) || " +
+          "'all rights reserved' || chr(10) || 'promo ' || CAST(doc_id % 7 AS VARCHAR) || " +
+          "chr(10) || 'doc ' || CAST(doc_id AS VARCHAR) AS text FROM documents), " +
+          "pp AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM src), " +
+          "parts AS (SELECT doc_id, unnest(parts) AS line, unnest(range(1, len(parts) + 1)) AS pos FROM pp), " +
+          "freq AS (SELECT line FROM parts GROUP BY line HAVING count(DISTINCT doc_id) >= 50), " +
+          "kept AS (SELECT doc_id, pos, line FROM parts WHERE line NOT IN (SELECT line FROM freq)), " +
+          "agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text FROM kept GROUP BY doc_id) " +
+          "SELECT s.doc_id, COALESCE(a.text, '') AS text FROM src s LEFT JOIN agg a ON s.doc_id = a.doc_id"),
+
       "dedup_exact" ->
         ("WITH corpus AS (SELECT doc_id, text FROM documents " +
           "UNION ALL SELECT doc_id + 100000 AS doc_id, text || '  ' AS text FROM documents WHERE doc_id % 7 = 0), " +
@@ -2798,6 +2865,20 @@ object SparkEntry {
           "CAST(len(list_intersect(cp.s, rf.s)) AS DOUBLE) / " +
           "CAST(len(list_distinct(list_concat(cp.s, rf.s))) AS DOUBLE) >= 0.8) " +
           "SELECT doc_id FROM d WHERE sn >= 10 AND doc_id NOT IN (SELECT doc_id FROM m)"),
+
+      // KMV overlap: bottom-64 distinct md5 per corpus, X = bottom-64 of
+      // their union, J = |X ∩ A ∩ B| / |X| — pure hash arithmetic, so the
+      // oracle recomputes the estimate exactly
+      "corpus_overlap_kmv" ->
+        ("WITH ha AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 < 3), " +
+          "sa AS (SELECT h FROM ha ORDER BY h LIMIT 64), " +
+          "hb AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 > 1), " +
+          "sb AS (SELECT h FROM hb ORDER BY h LIMIT 64), " +
+          "x AS (SELECT h FROM (SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)) ORDER BY h LIMIT 64) " +
+          "SELECT CAST(count(*) AS INTEGER) AS k_used, " +
+          "CAST(sum(CASE WHEN h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb) THEN 1 ELSE 0 END) AS INTEGER) AS n_both, " +
+          "CAST(sum(CASE WHEN h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb) THEN 1 ELSE 0 END) AS DOUBLE) / " +
+          "CAST(count(*) AS DOUBLE) AS j_estimate FROM x"),
 
       "dedup_embedding_pairs" ->
         ("SELECT a.vec_id AS \"idA\", b.vec_id AS \"idB\" FROM embeddings a JOIN embeddings b " +

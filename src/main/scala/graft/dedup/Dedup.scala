@@ -99,6 +99,53 @@ object Dedup {
       .select(id, coalesce(col(outputTextColumn), lit("")).as(outputTextColumn))
   }
 
+  /**
+   * Remove EVERY occurrence of lines appearing in at least `minDocs`
+   * DISTINCT documents — the CCNet-style boilerplate filter. This is a
+   * different contract from [[deduplicateLines]]: keep-first dedup preserves
+   * one copy of a cookie banner somewhere in the corpus; a boilerplate line
+   * ("all rights reserved", navigation text) is noise in every document
+   * including the first, so the frequency threshold drops them all while a
+   * line shared by only a few documents (a quotation) survives untouched.
+   *
+   * Scale shape: the frequency pass groups by the 8-byte line hash with
+   * `count(distinct id)` — Spark plans the two-stage distinct aggregate, so
+   * map tasks combine (hash, id) pairs locally and only 16-byte rows reach
+   * either exchange; line text never enters the counting side. Survivor
+   * selection is a left-anti join on the hash (uniformly distributed key;
+   * the deliberately-skewed hashes — the boilerplate — are exactly the rows
+   * the join DROPS, and AQE's skew split applies to the anti join's sorted
+   * probe side). Reassembly is the same per-document group-sort as
+   * [[deduplicateLines]].
+   */
+  def removeBoilerplateLines(
+      df: DataFrame, id: Column, text: Column, minDocs: Int,
+      separator: String = "\n", outputTextColumn: String = "text"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val p = graft.functions.distinctPrefixFor(df.columns.toSeq)
+    val idc = p + "id"
+    val pos = p + "pos"
+    val line = p + "line"
+    val h = p + "h"
+    val n = p + "n"
+    val parts = df.select(id.as(idc),
+      posexplode(split(text, java.util.regex.Pattern.quote(separator))).as(Seq(pos, line)))
+      .withColumn(h, xxhash64(col(line)))
+    val boilerplate = parts
+      .groupBy(col(h))
+      .agg(count_distinct(col(idc)).as(n))
+      .filter(col(n) >= minDocs)
+      .select(col(h))
+    val kept = parts.join(boilerplate, Seq(h), "left_anti")
+    val reassembled = kept
+      .groupBy(col(idc))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col(pos), col(line)))), x => x(line)),
+        separator).as(outputTextColumn))
+    df.select(id).join(reassembled, id === col(idc), "left")
+      .select(id, coalesce(col(outputTextColumn), lit("")).as(outputTextColumn))
+  }
+
   // --------------------------------------------------------------------------
   // Decontamination (benchmark / test-set overlap removal)
   // --------------------------------------------------------------------------

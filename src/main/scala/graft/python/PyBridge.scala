@@ -610,6 +610,36 @@ object PyBridge {
   def domainStats(df: DataFrame, url: Column): DataFrame =
     graft.text.Urls.domainStats(df, url)
 
+  def capPerDomain(df: DataFrame, id: Column, url: Column, maxPerDomain: Int,
+                   salt: String): DataFrame =
+    graft.text.Urls.capPerDomain(df, id, url, maxPerDomain, salt)
+
+  def removeBoilerplateLines(df: DataFrame, id: Column, text: Column, minDocs: Int,
+                             separator: String, outputTextColumn: String): DataFrame =
+    graft.dedup.Dedup.removeBoilerplateLines(df, id, text, minDocs, separator,
+      outputTextColumn)
+
+  def kmvSketch(df: DataFrame, value: Column, k: Int): DataFrame =
+    graft.dedup.CorpusOverlap.kmvSketch(df, value, k)
+
+  def mergeKmvSketches(sketches: DataFrame, sketchCol: Column, k: Int): DataFrame =
+    graft.dedup.CorpusOverlap.mergeKmvSketches(sketches, sketchCol, k)
+
+  def kmvOverlapEstimate(a: DataFrame, aValue: Column, b: DataFrame,
+                         bValue: Column, k: Int): DataFrame =
+    graft.dedup.CorpusOverlap.overlapEstimate(a, aValue, b, bValue, k)
+
+  def kmvDistinctEstimate(sketch: Column, k: Int): Column =
+    graft.dedup.CorpusOverlap.distinctEstimate(sketch, k)
+
+  def resampleToMixture(df: DataFrame, domain: Column,
+                        targets: java.util.Map[String, java.lang.Double],
+                        key: Column, salt: String): DataFrame =
+    graft.sample.Sampling.resampleToMixture(
+      df, domain,
+      targets.asScala.map { case (k, v) => k -> v.doubleValue() }.toMap,
+      key, salt)
+
   def weightedSampleTopK(df: DataFrame, key: Column, weight: Column,
                          k: Int, salt: String): DataFrame =
     graft.sample.Sampling.weightedSampleTopK(df, key, weight, k, salt)

@@ -230,4 +230,64 @@ object Sampling {
     }
     df.filter(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8) < threshold)
   }
+
+  /**
+   * Resample a multi-domain corpus to TARGET mixture proportions — the
+   * data-mixing recipe step ("40% web, 30% code, ...") executed as one
+   * deterministic down-sampling pass. [[stratifiedHashSample]] takes rates
+   * the caller already knows; this derives them from the data: given target
+   * shares per domain (must sum to 1), it finds the LARGEST output for
+   * which every domain's required rate stays ≤ 1 (the scarcest domain
+   * relative to its target is kept whole — no domain can be up-sampled by
+   * a filter), then keeps each domain's deterministic md5-hash fraction.
+   * Domains without a target share are dropped (they are not in the
+   * recipe); a target domain absent from the data contributes nothing and
+   * the mixture renormalizes over the present ones.
+   *
+   * Every derived quantity (count → rate → 8-hex threshold) is a fixed
+   * IEEE expression the DuckDB oracle replays bit-for-bit, so the kept SET
+   * — not just its size — is reproducible across runs, partitionings, and
+   * engines, like every sampler here.
+   *
+   * Scale shape: one map-side-combined count per domain (|domains| rows),
+   * a driver-free chain of tiny broadcasts to attach each row's rate, and
+   * the same narrow md5 filter as [[hashSample]]. The corpus itself is
+   * scanned once and never shuffled.
+   */
+  def resampleToMixture(
+      df: DataFrame, domain: Column, targets: Map[String, Double],
+      key: Column, salt: String = "graft"): DataFrame = {
+    require(targets.nonEmpty, "resampleToMixture needs at least one target domain")
+    targets.foreach { case (d, s) =>
+      require(s > 0.0, s"target share must be positive: $d -> $s") }
+    require(math.abs(targets.values.sum - 1.0) < 1e-9,
+      s"target shares must sum to 1: ${targets.values.sum}")
+    val p = graft.functions.distinctPrefixFor(df.columns.toSeq)
+    val dcol = p + "domain"
+    val scol = p + "share"
+    val ccol = p + "c"
+    val tcol = p + "t"
+    val rcol = p + "rate"
+    val hcol = p + "threshold"
+    val spark = df.sparkSession
+    val shares = spark.createDataFrame(
+      targets.toSeq.sortBy(_._1).map { case (d, s) => (d, s) })
+      .toDF(dcol, scol)
+    val tagged = df.withColumn(dcol, domain.cast("string"))
+    val counts = tagged.groupBy(col(dcol))
+      .agg(count(lit(1)).cast("double").as(ccol))
+      .join(broadcast(shares), dcol) // inner: un-targeted domains drop here
+    // largest mixture total with every rate <= 1: T = min(count / share)
+    val t = counts.agg(min(col(ccol) / col(scol)).as(tcol))
+    val rates = counts.crossJoin(broadcast(t))
+      .withColumn(rcol, least(lit(1.0), col(scol) * col(tcol) / col(ccol)))
+      .withColumn(hcol,
+        format_string("%08x", floor(col(rcol) * lit(4294967296.0)).cast("long")))
+      .select(col(dcol), col(rcol), col(hcol))
+    tagged.join(broadcast(rates), dcol)
+      .filter(
+        substring(md5(concat(lit(salt), key.cast("string"))), 1, 8) < col(hcol) ||
+          col(rcol) >= lit(1.0)) // rate == 1: "ffffffff" < "100000000" fails as strings
+      .drop(dcol, rcol, hcol)
+  }
 }

@@ -525,4 +525,60 @@ class AggOpsSuite extends AnyFunSuite with SparkTest {
     assert(got(10L) === ((10L, 1L, 0L, 0.0)))
     assert(got(11L) === ((11L, 1L, 7L, 7.0))) // "q r" unseen
   }
+
+  // --- KMV sketch / corpus overlap -----------------------------------------
+
+  test("kmvSketch equals global sort-distinct-limit under any partitioning") {
+    import graft.dedup.CorpusOverlap
+    val df = (0L until 5000L).map(i => s"v${i % 1300}").toDF("v")
+    // the sketch is a lattice merge (union + trim), so the 17-partition
+    // partial/merge path must be BIT-identical to the global definition
+    val sk = CorpusOverlap.kmvSketch(df.repartition(17), col("v"), 64)
+      .head().getSeq[String](0)
+    val naive = df.select(md5(col("v")).as("h")).distinct().orderBy("h").limit(64)
+      .as[String].collect().toSeq
+    assert(sk == naive)
+    assert(sk == sk.sorted && sk.distinct.size == sk.size)
+  }
+
+  test("overlapEstimate tracks true Jaccard; exact when the union fits in k") {
+    import graft.dedup.CorpusOverlap
+    // A = 0..999, B = 500..1499 -> true J = 500 / 1500 = 1/3
+    val a = (0L until 1000L).toDF("v")
+    val b = (500L until 1500L).toDF("v")
+    val row = CorpusOverlap.overlapEstimate(a, col("v"), b, col("v"), 256).head()
+    assert(row.getInt(0) == 256)
+    val j = row.getDouble(2)
+    // KMV sd ~ sqrt(J(1-J)/k) ~ 0.03 at k=256; the md5 draw is FIXED, so
+    // this either always passes or never does — 4 sigma of slack
+    assert(math.abs(j - 1.0 / 3) < 0.12, s"estimate $j")
+    // union smaller than k: the sketches hold everything -> exact answer
+    val ex = CorpusOverlap.overlapEstimate(
+      (0L until 30L).toDF("v"), col("v"),
+      (20L until 50L).toDF("v"), col("v"), 256).head()
+    assert(ex.getInt(0) == 50 && ex.getInt(1) == 10 && ex.getDouble(2) == 10.0 / 50)
+  }
+
+  test("mergeKmvSketches equals the sketch of the concatenated corpus") {
+    import graft.dedup.CorpusOverlap
+    val a = (0L until 4000L).map(i => s"a$i").toDF("v")
+    val b = (0L until 4000L).map(i => if (i % 3 == 0) s"a$i" else s"b$i").toDF("v")
+    val whole = CorpusOverlap.kmvSketch(a.union(b), col("v"), 128)
+      .head().getSeq[String](0)
+    val merged = CorpusOverlap.mergeKmvSketches(
+      CorpusOverlap.kmvSketch(a, col("v"), 128)
+        .union(CorpusOverlap.kmvSketch(b, col("v"), 128)), col("kmv"), 128)
+      .head().getSeq[String](0)
+    assert(merged == whole) // lattice merge: BIT-identical, not approximate
+  }
+
+  test("distinctEstimate tracks exact distinct counts; exact below k") {
+    import graft.dedup.CorpusOverlap
+    val est = CorpusOverlap.kmvSketch((0L until 20000L).toDF("v"), col("v"), 512)
+      .select(CorpusOverlap.distinctEstimate(col("kmv"), 512)).head().getDouble(0)
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.15, s"est $est")
+    val small = CorpusOverlap.kmvSketch((0L until 100L).toDF("v"), col("v"), 512)
+      .select(CorpusOverlap.distinctEstimate(col("kmv"), 512)).head().getDouble(0)
+    assert(small == 100.0)
+  }
 }

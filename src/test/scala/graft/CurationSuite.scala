@@ -447,4 +447,57 @@ class CurationSuite extends AnyFunSuite with SparkTest {
     assert(stages == Seq("0_input", "2_quality", "3_exact", "4_neardup", "6_sample"))
     handle.unpersist()
   }
+
+  test("removeBoilerplateLines drops every occurrence of corpus-frequent lines") {
+    val docs = Seq(
+      (1L, "unique one\nshared footer\nalpha"),
+      (2L, "unique two\nshared footer\nalpha"),
+      (3L, "shared footer\nbeta")).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplateLines(docs, col("doc_id"), col("text"), minDocs = 3)
+      .as[(Long, String)].collect().toMap
+    // "shared footer" reaches 3 docs -> gone everywhere, INCLUDING its first
+    // occurrence (the contract difference vs deduplicateLines); "alpha" at 2
+    // docs stays untouched in both
+    assert(out(1L) == "unique one\nalpha")
+    assert(out(2L) == "unique two\nalpha")
+    assert(out(3L) == "beta")
+    // raise the bar: nothing reaches minDocs = 4, every doc passes through
+    val all = Dedup.removeBoilerplateLines(docs, col("doc_id"), col("text"), minDocs = 4)
+      .as[(Long, String)].collect().toMap
+    assert(all(1L) == "unique one\nshared footer\nalpha")
+    assert(all(3L) == "shared footer\nbeta")
+  }
+
+  test("removeBoilerplateLines counts DISTINCT documents, not occurrences") {
+    // a line repeated 3x inside ONE doc is not boilerplate at minDocs = 2
+    val docs = Seq((1L, "x\nx\nx\ny"), (2L, "z")).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplateLines(docs, col("doc_id"), col("text"), minDocs = 2)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "x\nx\nx\ny")
+    assert(out(2L) == "z")
+  }
+
+  test("resampleToMixture hits target shares and keeps the binding domain whole") {
+    // counts: a = 500, b = 1000, c = 1500
+    val df = (0L until 3000L)
+      .map(i => (i, if (i % 6 < 1) "a" else if (i % 6 < 3) "b" else "c"))
+      .toDF("id", "dom")
+    val targets = Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)
+    val out = Sampling.resampleToMixture(df, col("dom"), targets, col("id"))
+    val counts = out.groupBy("dom").count().as[(String, Long)].collect().toMap
+    // T = min(500/0.5, 1000/0.3, 1500/0.2) = 1000: the a-domain is the
+    // scarcest relative to its target -> kept verbatim; b thins to ~300,
+    // c to ~200 (binomial noise around the exact-rate expectation)
+    assert(counts("a") == 500L, s"binding domain must be kept whole: $counts")
+    assert(math.abs(counts("b") - 300L) < 60, s"b: $counts")
+    assert(math.abs(counts("c") - 200L) < 55, s"c: $counts")
+    // kept SET is partitioning-invariant, like every hash sampler
+    val again = Sampling.resampleToMixture(df.repartition(13), col("dom"), targets, col("id"))
+    assert(out.select("id").as[Long].collect().toSet ==
+      again.select("id").as[Long].collect().toSet)
+    // domains outside the recipe are dropped entirely
+    val withJunk = df.union(Seq((9000L, "zz"), (9001L, "zz")).toDF("id", "dom"))
+    val kept = Sampling.resampleToMixture(withJunk, col("dom"), targets, col("id"))
+    assert(kept.filter(col("dom") === "zz").count() == 0)
+  }
 }
