@@ -8,7 +8,8 @@ import org.apache.spark.sql.types.{BinaryType, StringType}
 
 import graft.functions.{CanonicalizeText, ChunkTokens, CosineSimilarity, DeflateLength, FoldAccents,
   DeletionVariants, DotProduct, HashedWordShingles, MinHashBandHashes, MinHashSignature,
-  SimHash64, TokenStats, TokenizeAscii, TopNgramStats, WordShingles, WordShinglesAll}
+  SimHash64, TokenStats, TokenizeAscii, TopNgramStats, WinnowedShingles, WordShingles,
+  WordShinglesAll}
 import graft.multimodal.{ByteEntropy, ByteNibbleHistogram, ImageDimsExpr, VideoInfoExpr, WavInfoExpr}
 import graft.sample.Sampling
 import graft.text.Redact
@@ -108,6 +109,13 @@ object GraftExtensions {
     fn("hashed_word_shingles", "hashed_word_shingles(text, n) - distinct hashed word n-grams") { es =>
       arity("hashed_word_shingles", es, 2)
       HashedWordShingles(es.head, intLit(es(1), "hashed_word_shingles", "n"))
+    },
+    fn("winnowed_shingles",
+      "winnowed_shingles(text, n, w) - MOSS winnowing fingerprint selection: " +
+        "distinct window-min hashes of the full n-gram hash sequence") { es =>
+      arity("winnowed_shingles", es, 3)
+      WinnowedShingles(es.head, intLit(es(1), "winnowed_shingles", "n"),
+        intLit(es(2), "winnowed_shingles", "w"))
     },
     fn("word_shingles", "word_shingles(text, n) - distinct word n-grams as strings") { es =>
       arity("word_shingles", es, 2)

@@ -182,7 +182,7 @@ object VectorKernels extends Serializable {
    * merges/splits differently. Docs containing them (detected here) take a
    * renormalizing slow path; everything else stays on the zero-copy fast path.
    */
-  private def hasSpecialLowerToAscii(bytes: Array[Byte]): Boolean = {
+  private[functions] def hasSpecialLowerToAscii(bytes: Array[Byte]): Boolean = {
     var i = 0
     while (i < bytes.length) {
       val b = bytes(i)
@@ -203,7 +203,7 @@ object VectorKernels extends Serializable {
     * then terminates the token, mirroring the combining-dot separator). The
     * result contains only [a-z0-9 ] bytes, so the fast kernels run on it
     * unchanged with token identity equal to `split(lower(text), '[^a-z0-9]+')`. */
-  private def renormalizeSpecial(bytes: Array[Byte]): Array[Byte] = {
+  private[functions] def renormalizeSpecial(bytes: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(bytes.length)
     var wroteAny = false
     var inTok = false

@@ -500,4 +500,37 @@ class CurationSuite extends AnyFunSuite with SparkTest {
     val kept = Sampling.resampleToMixture(withJunk, col("dom"), targets, col("id"))
     assert(kept.filter(col("dom") === "zz").count() == 0)
   }
+
+  test("containmentPairs finds planted excerpts that Jaccard near-dup cannot see") {
+    val base = (1 to 60).map(i => s"w${i}a w${i}b w${i}c").mkString(" ") // 180 tokens
+    val excerpt = base.split(" ").slice(30, 60).mkString(" ")            // 30-token run
+    val other = (1 to 60).map(i => s"z${i}x z${i}y z${i}q").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, s"$other $excerpt"), // the run embedded in an unrelated doc
+      (3L, other),
+      (4L, excerpt)             // the excerpt as its own (small) document
+    ).toDF("doc_id", "text")
+    val pairs = graft.dedup.Containment.containmentPairs(
+      docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    // the excerpt doc is FULLY contained in both carriers — containment 1.0
+    // where Jaccard would be ~28/178: the asymmetric case this op exists for
+    assert(pairs((1L, 4L)) == 1.0, s"excerpt-in-base: $pairs")
+    assert(pairs((2L, 4L)) == 1.0, s"excerpt-in-carrier: $pairs")
+    // doc 3 is a subset of doc 2 by construction
+    assert(pairs((2L, 3L)) == 1.0, s"subset pair: $pairs")
+    // two LARGE docs sharing only the 30-token run stay below threshold:
+    // containment divides by the smaller DOCUMENT (28/178), by design
+    assert(!pairs.contains((1L, 2L)), s"large-large run must not qualify: $pairs")
+    assert(!pairs.contains((1L, 3L)))
+    // fragmented overlap (no shared run of w+n-1 tokens, sub-threshold
+    // set overlap): no pair
+    val frag = Seq(
+      (1L, (1 to 40).map(i => s"a$i b$i").mkString(" ")),
+      (2L, (1 to 40).map(i => s"a$i c$i").mkString(" "))).toDF("doc_id", "text")
+    val none = graft.dedup.Containment.containmentPairs(
+      frag, col("doc_id"), col("text")).count()
+    assert(none == 0)
+  }
 }

@@ -389,6 +389,43 @@ class PropertySuite extends AnyFunSuite {
     })
   }
 
+  test("winnowedShingles: subset, guarantee, and density properties") {
+    import graft.functions.WinnowKernels
+    val genTok: Gen[String] = Gen.choose(1, 5)
+      .flatMap(l => Gen.listOfN(l, Gen.alphaLowerChar).map(_.mkString))
+    val genDoc: Gen[String] = Gen.choose(0, 40)
+      .flatMap(k => Gen.listOfN(k, genTok).map(_.mkString(" ")))
+    def winnow(s: String, n: Int, w: Int): Set[Long] =
+      WinnowKernels.winnowedShingles(UTF8String.fromString(s), n, w).toSet
+    def shingles(s: String, n: Int): Set[Long] =
+      VectorKernels.hashedWordShingles(UTF8String.fromString(s), n).toSet
+    // every selected print is one of the document's shingle hashes (same
+    // token + hash identity — this is what lets candidates verify against
+    // the full sets), and at least one print is selected whenever any
+    // shingle exists
+    check("winnow subset + nonempty", Prop.forAll(genDoc) { d =>
+      val sh = shingles(d, 3)
+      val wp = winnow(d, 3, 4)
+      wp.subsetOf(sh) && (sh.isEmpty == wp.isEmpty)
+    })
+    // THE winnowing guarantee: planting a shared run of w+n-1 tokens into
+    // two otherwise-unrelated documents forces a shared selected print
+    val genPair = for {
+      a <- genDoc; b <- genDoc
+      run <- Gen.listOfN(6, genTok).map(_.mkString(" ")) // w+n-1 = 4+3-1 = 6
+    } yield (s"$a $run $b".trim, s"$b $run $a".trim)
+    check("winnow guarantee", Prop.forAll(genPair) { case (x, y) =>
+      winnow(x, 3, 4).intersect(winnow(y, 3, 4)).nonEmpty
+    })
+    // selection thins the index: never more prints than windows, and long
+    // random docs select well under half their positions
+    check("winnow density", Prop.forAll(genDoc) { d =>
+      val m = VectorKernels.hashedWordShingles(UTF8String.fromString(d), 3).length
+      val sel = winnow(d, 3, 4).size
+      sel <= math.max(1, m) && (m < 20 || sel <= (m * 2) / 3)
+    })
+  }
+
   test("zValue is monotonic per coordinate and within lane bounds") {
     import graft.write.ZOrder
     import org.apache.spark.sql.functions.col

@@ -109,6 +109,13 @@ class SurfaceSuite extends AnyFunSuite with SparkTest {
     assert(row.getSeq[String](3) == Seq("the cat sat", "the cat sat"))
     assert(row.getInt(4) == 3)                          // distinct bigrams
     assert(row.getSeq[String](5) == Seq("the cat", "cat sat", "sat the"))
+    // winnowed selection is a nonempty subset of the shingle hash set
+    val wrow = spark.sql(
+      """SELECT winnowed_shingles(text, 2, 3) AS wp,
+        |       hashed_word_shingles(text, 2) AS hs
+        |FROM ext_docs""".stripMargin).collect().head
+    assert(wrow.getSeq[Long](0).nonEmpty &&
+      wrow.getSeq[Long](0).toSet.subsetOf(wrow.getSeq[Long](1).toSet))
     // multiplicity-preserving shingles and the DEFLATE kernel
     val qrow = spark.sql(
       """SELECT word_shingles_all(text, 2) AS all2,
