@@ -15,6 +15,7 @@ from graftspark import _bridge
 __all__ = [
     "parquet_metadata", "parquet_schema", "parquet_blocks",
     "parquet_block_columns", "parquet_partitions",
+    "zonemap_pruning_report", "zonemap_pruning_summary",
 ]
 
 
@@ -63,3 +64,21 @@ DataFrameReader.parquet_schema = parquet_schema
 DataFrameReader.parquet_blocks = parquet_blocks
 DataFrameReader.parquet_block_columns = parquet_block_columns
 DataFrameReader.parquet_partitions = parquet_partitions
+
+
+def zonemap_pruning_report(spark, paths, column: str, lo: float,
+                           hi: float) -> DataFrame:
+    """Per-row-group skip decision (filename, block, n_values, skippable)
+    for lo <= column <= hi, from footer min/max — the measurement half of
+    zorder/sorted layouts. Groups without stats are NOT skippable."""
+    jdf = _bridge(spark).zoneMapPruningReport(
+        spark._jsparkSession, list(paths), column, float(lo), float(hi))
+    return DataFrame(jdf, spark)
+
+
+def zonemap_pruning_summary(spark, paths, column: str, lo: float,
+                            hi: float) -> DataFrame:
+    """One-row rollup of zonemap_pruning_report incl. skip_fraction."""
+    jdf = _bridge(spark).zoneMapPruningSummary(
+        spark._jsparkSession, list(paths), column, float(lo), float(hi))
+    return DataFrame(jdf, spark)

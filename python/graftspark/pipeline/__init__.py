@@ -53,13 +53,13 @@ __all__ = [
     "ivf_pq_top_k", "train_pq_residual", "pq_encode_residual",
     "decode_numeric_entities", "decode_html_entities",
     "write_ordered_batches", "read_ordered_batches", "drain_to_parquet",
-    "drop_duplicate_texts_within_watermark",
+    "drop_duplicate_texts_within_watermark", "containment_candidates_stream",
     "bpe_train", "bpe_encode", "bpe_token_count", "save_bpe", "load_bpe",
     "canonicalize_url", "url_host", "registrable_domain",
     "dedup_by_canonical_url", "domain_stats", "weighted_sample_top_k",
     "cap_per_domain", "remove_boilerplate_lines",
     "kmv_sketch", "kmv_overlap_estimate", "kmv_distinct_estimate",
-    "merge_kmv_sketches",
+    "merge_kmv_sketches", "winnowed_shingles", "containment_pairs",
     "resample_to_mixture",
 ]
 
@@ -310,6 +310,28 @@ def kmv_sketch(df: DataFrame, value: ColumnOrName, k: int) -> DataFrame:
     return DataFrame(jdf, df.sparkSession)
 
 
+def winnowed_shingles(text: ColumnOrName, n: int = 3, w: int = 4) -> Column:
+    """MOSS winnowing fingerprint selection: distinct window-min hashes of
+    the document's full n-gram hash sequence (~2/(w+1) of positions; any
+    shared token run >= w+n-1 long shares a selected print)."""
+    return _col_fn("winnowedShingles", _jcol(text), int(n), int(w))
+
+
+def containment_pairs(df: DataFrame, id_col: ColumnOrName,
+                      text: ColumnOrName, shingle_size: int = 3,
+                      window: int = 4, threshold: float = 0.5,
+                      min_shingles: int = 10,
+                      max_print_bucket: int = 64) -> DataFrame:
+    """Excerpt/containment detection: (idA, idB, containment) pairs with
+    exact shingle-set containment |Sa ∩ Sb| / min(|Sa|, |Sb|) >= threshold,
+    candidates from winnowing fingerprints (asymmetric overlap that
+    symmetric Jaccard near-dup cannot see)."""
+    jdf = _bridge(df).containmentPairs(
+        df._jdf, _jcol(id_col), _jcol(text), int(shingle_size), int(window),
+        float(threshold), int(min_shingles), int(max_print_bucket))
+    return DataFrame(jdf, df.sparkSession)
+
+
 def merge_kmv_sketches(sketches: DataFrame, sketch: ColumnOrName,
                        k: int) -> DataFrame:
     """Merge persisted KMV sketch rows into one sketch of their union —
@@ -419,6 +441,19 @@ def drain_to_parquet(stream: DataFrame, sink_path: str, checkpoint_path: str,
     return DataFrame(jdf, stream.sparkSession)
 
 
+def containment_candidates_stream(stream: DataFrame, id_col: ColumnOrName,
+                                  text: ColumnOrName, event_time_column: str,
+                                  delay_threshold: str, shingle_size: int = 3,
+                                  window: int = 4) -> DataFrame:
+    """Streaming excerpt/containment candidates: later docs colliding with a
+    winnowed print's FIRST owner (16-byte state per print, watermark-bounded);
+    verify exact containment downstream per micro-batch."""
+    jdf = _bridge(stream).containmentCandidatesStream(
+        stream._jdf, _jcol(id_col), _jcol(text), event_time_column,
+        delay_threshold, int(shingle_size), int(window))
+    return DataFrame(jdf, stream.sparkSession)
+
+
 def drop_duplicate_texts_within_watermark(stream: DataFrame, text: ColumnOrName,
                                           event_time_column: str,
                                           delay_threshold: str) -> DataFrame:
@@ -452,7 +487,7 @@ def curate(df: DataFrame, id_col: ColumnOrName, text: ColumnOrName, *,
            blocklist: DataFrame = None, blocklist_text: ColumnOrName = None,
            blocklist_shingle_size: int = 5, min_overlap: int = 1,
            sample_rate: float = 1.0, sample_salt: str = "graft",
-           dsir_portable_hash: bool = True):
+           dsir_portable_hash: bool = True, observed: bool = False):
     """End-to-end curation pass (langid -> quality -> classifier -> exact
     dedup -> minhash near-dup -> decontaminate -> hash sample). Returns
     (curated, report): curated keeps all original columns; report is one
@@ -464,9 +499,11 @@ def curate(df: DataFrame, id_col: ColumnOrName, text: ColumnOrName, *,
     setting the DSIR weights were fitted under (dsir_fit_weights) —
     scoring under the wrong bucket family silently misfilters. All
     configuration parameters are keyword-only so signature growth can
-    never silently shift a positional call."""
+    never silently shift a positional call. observed=True computes the
+    attrition report with Observation counters (one action) instead of
+    per-stage persist+count — same counts, no checkpoint semantics."""
     sess = df.sparkSession
-    jarr = _bridge(df).curate(
+    jarr = getattr(_bridge(df), "curateObserved" if observed else "curate")(
         df._jdf, _jcol(id_col), _jcol(text), list(keep_langs),
         int(min_tokens), int(max_tokens),
         float(min_avg_token_len), float(max_avg_token_len),

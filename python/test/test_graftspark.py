@@ -1078,6 +1078,52 @@ class GraftsparkTest(unittest.TestCase):
         self.assertLess(abs(counts["b"] - 60), 30)
         self.assertLess(abs(counts["c"] - 40), 25)
 
+    def test_pipeline_containment(self):
+        from graftspark import pipeline as P
+        base = " ".join("w%da w%db w%dc" % (i, i, i) for i in range(1, 61))
+        excerpt = " ".join(base.split(" ")[30:60])
+        other = " ".join("z%dx z%dy z%dq" % (i, i, i) for i in range(1, 61))
+        docs = self.spark.createDataFrame(
+            [(1, base), (2, other + " " + excerpt), (3, excerpt)],
+            ["doc_id", "text"])
+        pairs = {(r["idA"], r["idB"]): r["containment"]
+                 for r in P.containment_pairs(
+                     docs, col("doc_id"), col("text")).collect()}
+        self.assertEqual(pairs[(1, 3)], 1.0)  # excerpt fully inside base
+        self.assertEqual(pairs[(2, 3)], 1.0)  # and inside its carrier
+        self.assertNotIn((1, 2), pairs)       # large-large run: below 0.5
+        prints = docs.select(
+            P.winnowed_shingles(col("text"), 3, 4).alias("p")).collect()
+        self.assertTrue(all(len(r["p"]) > 0 for r in prints))
+        # observe-mode curation reports the same attrition as persist-mode
+        _, rep_p = P.curate(docs, col("doc_id"), col("text"), keep_langs=[],
+                            min_tokens=1, max_tokens=10000)
+        _, rep_o = P.curate(docs, col("doc_id"), col("text"), keep_langs=[],
+                            min_tokens=1, max_tokens=10000, observed=True)
+        self.assertEqual(sorted(map(tuple, rep_p.collect())),
+                         sorted(map(tuple, rep_o.collect())))
+
+    def test_parquet_zonemap_pruning(self):
+        from graftspark import parquet as GP
+        d = tempfile.mkdtemp()
+        self.spark.range(0, 40000).toDF("k") \
+            .repartition(1).sortWithinPartitions("k") \
+            .write.option("parquet.block.size", "65536").parquet(d + "/zm")
+        rep = GP.zonemap_pruning_report(
+            self.spark, [d + "/zm"], "k", 0.0, 1000.0).collect()
+        self.assertGreater(len(rep), 1)  # small block size -> several groups
+        # sorted layout: exactly the groups whose min > 1000 are skippable
+        for r in rep:
+            self.assertIn(r["skippable"], (True, False))
+        skip = [r for r in rep if r["skippable"]]
+        self.assertGreater(len(skip), 0)
+        self.assertLess(len(skip), len(rep))
+        summ = GP.zonemap_pruning_summary(
+            self.spark, [d + "/zm"], "k", 0.0, 1000.0).collect()[0]
+        self.assertEqual(summ["n_blocks"], len(rep))
+        self.assertEqual(summ["n_skippable"], len(skip))
+        self.assertGreater(summ["skip_fraction"], 0.5)
+
     def test_pipeline_stream_replay(self):
         from datetime import datetime, timezone
         from graftspark import pipeline as P

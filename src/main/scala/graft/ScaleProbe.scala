@@ -66,7 +66,7 @@ object ScaleProbe {
       "asof_hotkey_plain", "asof_hotkey_bucketed", "cluster_chain",
       "span_stats", "bm25_topk", "pq_topk", "classifier", "semantic_dedup",
       "dsir", "vocab", "streaming_neardup_state", "streaming_embedding_state",
-      "bpe_encode", "boilerplate", "kmv_sketch")
+      "bpe_encode", "boilerplate", "kmv_sketch", "containment")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -544,6 +544,31 @@ object ScaleProbe {
           .select(size(col("kmv"))).head().getInt(0).toLong
       }
       report("kmv_sketch", kUsed, t)
+    }
+
+    // --- containment: winnow index + capped print join -------------------
+    // every token gets a replica prefix, so replicas are textually DISJOINT
+    // (amplifying near-identical copies would make every excerpt ~contained
+    // in every replica of its source — N^2 true pairs, a datagen artifact,
+    // not an operator property); each replica then contributes one excerpt
+    // per 5th doc, so true pairs = excerpt-vs-own-carrier only and the
+    // verified pair count must grow exactly linearly
+    if (enabled("containment")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val toks = graft.text.TextFunctions.tokenize(
+        col("text"), graft.text.TextFunctions.AsciiTokenPattern)
+      val big = amplify(docs, n).select(
+        (col("doc_id") + col("__rep") * 1000000L).as("doc_id"),
+        regexp_replace(col("text"), lit("([a-z0-9A-Z]+)"),
+          concat(lit("r"), col("__rep").cast("string"), lit("x$1"))).as("text"))
+      val excerpts = big.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 500000000L).as("doc_id"),
+          concat_ws(" ", slice(toks, 3, 30)).as("text"))
+      val (nPairs, t) = time {
+        graft.dedup.Containment.containmentPairs(
+          big.unionAll(excerpts), col("doc_id"), col("text")).count()
+      }
+      report("containment", nPairs, t)
     }
 
     // --- events: as-of join with a deliberately hot key ------------------

@@ -449,6 +449,21 @@ object SparkEntry {
           sum(col("l_orderkey") * col("l_linenumber")).as("checksum"))
     }),
 
+    // zone-map pruning report over a freshly written sorted layout: the
+    // oracle reads THE SAME FOOTERS via DuckDB's parquet_metadata at a fixed
+    // path, so the per-row-group skip decisions must agree bit-for-bit no
+    // matter where the writer placed group boundaries
+    "zonemap_prune" -> ((s, dir) => {
+      val out = "/tmp/graft_zonemap_gate/out"
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        .repartition(1).sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .option("parquet.block.size", "65536")
+        .parquet(out)
+      graft.parquet.ZoneMap.pruningReport(s, Seq(out), "l_orderkey", 500.0, 2000.0)
+        .select(col("block"), col("n_values"), col("skippable"))
+    }),
+
     // bucketed-table co-location end-to-end: write both sides bucketed on the
     // join key (shuffle paid once at write), then join them back with zero
     // Exchange (sbt pins the plan shape; the gate checks the data round-trip)
@@ -641,6 +656,27 @@ object SparkEntry {
       report
     }),
 
+    // the observe-mode twin: same stages, same attrition counts, ONE action
+    // (counters ride the job as Observation metrics instead of four
+    // persist+count boundaries) — the shape to prefer when the caller does
+    // not want checkpoint semantics; sbt pins observed == persisted counts
+    "curation_report_observed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val handle = UnpersistHandle()
+      val (_, report) = graft.pipeline.Curation.curateObserved(
+        docs, col("doc_id"), col("text"),
+        keepLangs = Set("en"),
+        minTokens = 30, maxTokens = 90,
+        minAvgTokenLen = 3.0, maxAvgTokenLen = 6.0,
+        minStopwordRatio = 0.02, maxTopBigramFraction = 0.2,
+        classifierWeights = Some(classifierGateWeights),
+        blocklist = Some((docs.filter(col("doc_id") % 97 === 0), col("text"))),
+        sampleRate = 0.25,
+        unpersistHandle = handle)
+      handle.unpersist()
+      report
+    }),
+
     // ---------------------------------------------------------------------
     // streaming operators through the batch gate: the bounded table becomes
     // an ordered file-source replay (StreamHarness), the streaming plan runs
@@ -738,6 +774,35 @@ object SparkEntry {
         .join(sh.select(col("doc_id").as("idA"), col("sh").as("shA")), "idA")
         .join(sh.select(col("doc_id").as("idB"), col("sh").as("shB")), "idB")
         .filter(graft.text.TextFunctions.jaccard(col("shA"), col("shB")) >= 0.8)
+        .select(col("idB").as("doc_id")).distinct()
+    }),
+
+    // streaming containment: originals replay in batch 0, excerpts in batch
+    // 1; candidates collide on winnowed prints against each print's first
+    // owner, then exact containment verifies gate-side (same verify as the
+    // batch gate) — flagged docs must equal the batch pairs' later members
+    "streaming_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val toksSC = graft.text.TextFunctions.tokenize(
+        col("text"), graft.text.TextFunctions.AsciiTokenPattern)
+      val excerpts = t(s, dir, "documents").filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat_ws(" ", slice(toksSC, 3, 30)).as("text"))
+      val corpus = docs.unionAll(excerpts)
+        .withColumn("ts", timestamp_seconds(lit(1000000000L) + col("doc_id")))
+      val batchC = when(col("doc_id") >= 100000L, 1).otherwise(0).cast("int")
+      val cand = streamReplay(s, corpus, batchC, 2)(st =>
+        graft.streaming.StreamingContainment.winnowCandidates(
+          st, col("doc_id"), col("text"), "ts", "30 days").toDF())
+        .select(col("firstDocId").as("idA"), col("docId").as("idB")).distinct()
+      val sh = corpus.select(col("doc_id"),
+        graft.text.TextFunctions.hashedTextShingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) >= 10)
+      cand
+        .join(sh.select(col("doc_id").as("idA"), col("sh").as("shA")), "idA")
+        .join(sh.select(col("doc_id").as("idB"), col("sh").as("shB")), "idB")
+        .filter(size(array_intersect(col("shA"), col("shB"))).cast("double") /
+          least(size(col("shA")), size(col("shB"))).cast("double") >= 0.5)
         .select(col("idB").as("doc_id")).distinct()
     }),
 
@@ -1320,6 +1385,23 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 > 1), col("text"), k = 64)
     }),
 
+    // containment (excerpt-in-document): every 5th doc contributes a planted
+    // 30-token excerpt (tokens 3..32, re-joined) under doc_id+100000 —
+    // contiguous by construction, so the winnowing guarantee (shared runs
+    // >= w+n-1 tokens always share a selected print) makes candidate
+    // recall exact; the oracle computes exact all-pairs set containment
+    "containment_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val toks = graft.text.TextFunctions.tokenize(
+        col("text"), graft.text.TextFunctions.AsciiTokenPattern)
+      val excerpts = t(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat_ws(" ", slice(toks, 3, 30)).as("text"))
+      graft.dedup.Containment.containmentPairs(
+        docs.unionAll(excerpts), col("doc_id"), col("text"))
+    }),
+
     // transitive near-dup clustering: alternating large-star/small-star
     // connected components over the verified MinHash pair list; every
     // document gets its component-minimum cluster id (own id if unique).
@@ -1800,7 +1882,7 @@ object SparkEntry {
       s"WITH $docTokCte, $docShCte, $docPairCte " +
         "SELECT ia AS \"idA\", ib AS \"idB\", j AS jaccard FROM p WHERE j >= 0.8"
 
-    Map(
+    val base = Map(
       "q1_pricing_summary" ->
         ("SELECT l_returnflag, l_linestatus, " +
           "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
@@ -2017,6 +2099,14 @@ object SparkEntry {
           "CAST(SUM(l_suppkey) AS BIGINT) AS sum_supp, " +
           "MIN(l_orderkey) AS min_okey, MAX(l_orderkey) AS max_okey, " +
           "CAST(SUM(l_orderkey * l_linenumber) AS BIGINT) AS checksum FROM lineitem"),
+
+      // same footers, independent reader: group boundaries are wherever the
+      // writer put them — both sides just read them back
+      "zonemap_prune" ->
+        ("SELECT CAST(row_group_id + 1 AS BIGINT) AS block, num_values AS n_values, " +
+          "COALESCE(CAST(stats_max_value AS DOUBLE) < 500.0 OR CAST(stats_min_value AS DOUBLE) > 2000.0, FALSE) AS skippable " +
+          "FROM parquet_metadata('/tmp/graft_zonemap_gate/out/*.parquet') " +
+          "WHERE path_in_schema = 'l_orderkey'"),
 
       "write_bucketed_readback" ->
         ("SELECT o.o_orderstatus, COUNT(*) AS n_items, " +
@@ -2880,6 +2970,22 @@ object SparkEntry {
           "CAST(sum(CASE WHEN h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb) THEN 1 ELSE 0 END) AS DOUBLE) / " +
           "CAST(count(*) AS DOUBLE) AS j_estimate FROM x"),
 
+      // exact all-pairs set containment over the planted-excerpt corpus;
+      // docs under 10 shingles excluded on both sides (a 2-shingle doc hits
+      // 0.5 by one accidental shared gram)
+      "containment_pairs" ->
+        ("WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL " +
+          "SELECT doc_id + 100000 AS doc_id, array_to_string(" +
+          "([x for x in string_split_regex(lower(text), '[^a-z0-9]+') if x <> ''])[3:32], ' ') AS text " +
+          "FROM documents WHERE doc_id % 5 = 1), " +
+          "tok AS (SELECT doc_id, [x for x in string_split_regex(lower(text), '[^a-z0-9]+') if x <> ''] AS toks FROM corpus), " +
+          "sh AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS s FROM tok WHERE len(toks) >= 3), " +
+          "sf AS (SELECT doc_id, s FROM sh WHERE len(s) >= 10), " +
+          "p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, " +
+          "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(LEAST(len(a.s), len(b.s)) AS DOUBLE) AS c " +
+          "FROM sf a JOIN sf b ON a.doc_id < b.doc_id) " +
+          "SELECT ia AS \"idA\", ib AS \"idB\", c AS containment FROM p WHERE c >= 0.5"),
+
       "dedup_embedding_pairs" ->
         ("SELECT a.vec_id AS \"idA\", b.vec_id AS \"idB\" FROM embeddings a JOIN embeddings b " +
           "ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35"),
@@ -3099,5 +3205,29 @@ object SparkEntry {
           "CAST(stats_null_count AS BIGINT) AS nulls " +
           "FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')")
     )
+    base ++ Map(
+      // observe-mode curation computes the SAME attrition report with one
+      // action instead of four persist+count boundaries — gate it against
+      // the identical chained-pipeline oracle
+      "curation_report_observed" -> base("curation_report"),
+      // streaming flags the LATER doc of each containment pair (candidates
+      // collide against each print's first owner, exact verify gate-side);
+      // the replay feeds originals before excerpts, so flagged == the
+      // distinct later members of the batch containment pairs. Data
+      // assumption (as for streaming_neardup): each true pair's earlier
+      // member owns at least one shared print first — StreamingDedupSuite
+      // pins the print-first semantics on hand-planted feeds
+      "streaming_containment" ->
+        ("WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL " +
+          "SELECT doc_id + 100000 AS doc_id, array_to_string(" +
+          "([x for x in string_split_regex(lower(text), '[^a-z0-9]+') if x <> ''])[3:32], ' ') AS text " +
+          "FROM documents WHERE doc_id % 5 = 1), " +
+          "tok AS (SELECT doc_id, [x for x in string_split_regex(lower(text), '[^a-z0-9]+') if x <> ''] AS toks FROM corpus), " +
+          "sh AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS s FROM tok WHERE len(toks) >= 3), " +
+          "sf AS (SELECT doc_id, s FROM sh WHERE len(s) >= 10), " +
+          "p AS (SELECT a.doc_id AS ia, b.doc_id AS ib, " +
+          "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(LEAST(len(a.s), len(b.s)) AS DOUBLE) AS c " +
+          "FROM sf a JOIN sf b ON a.doc_id < b.doc_id) " +
+          "SELECT DISTINCT ib AS doc_id FROM p WHERE c >= 0.5"))
   }
 }

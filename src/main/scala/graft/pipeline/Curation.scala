@@ -189,11 +189,12 @@ object Curation {
         coalesce(sum(when(langKeep && qualKeep && clsKeep && dsirKeep, 1L).otherwise(0L)), lit(0L)).as("n_dsir"))
       .filter(langKeep && qualKeep && clsKeep && dsirKeep)
 
-    val stageObs = scala.collection.mutable.ArrayBuffer.empty[(String, org.apache.spark.sql.Observation)]
+    val stageObs = scala.collection.mutable.ArrayBuffer.empty[(String, org.apache.spark.sql.Observation, DataFrame)]
     def observed(stage: String, next: DataFrame): DataFrame = {
       val obs = new org.apache.spark.sql.Observation(s"curate_$stage")
-      stageObs += stage -> obs
-      next.observe(obs, count(lit(1)).as("n"))
+      val withObs = next.observe(obs, count(lit(1)).as("n"))
+      stageObs += ((stage, obs, next))
+      withObs
     }
 
     cur = observed("3_exact", graft.dedup.Dedup.dropExactTextDuplicates(cur, text, id))
@@ -209,22 +210,54 @@ object Curation {
       cur = observed("6_sample",
         graft.sample.Sampling.hashSample(cur, id, sampleRate, sampleSalt))
 
-    // the single action: warms the survivor cache AND flows every counter
+    // the single action: warms the survivor cache AND flows every counter.
+    // AQE's empty-relation propagation can replace an already-EXECUTED
+    // query-stage subtree (together with its CollectMetricsExec nodes) by
+    // EmptyRelation when a stage output turns out empty at runtime; the
+    // ObservationManager then cannot find the node in the final plan and
+    // completes the observation with an EMPTY row even though the metric
+    // accumulators fired. Keep that one rule off for this single action so
+    // stacked observes survive stages that go empty mid-pipeline; the
+    // shortcut it disables is worthless here anyway (an empty curation
+    // stage makes all downstream work trivially small).
+    val aqeExcludedKey = "spark.sql.adaptive.optimizer.excludedRules"
+    val prevExcluded = spark.conf.getOption(aqeExcludedKey)
+    val emptyRule = "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
+    spark.conf.set(aqeExcludedKey,
+      prevExcluded.filter(_.nonEmpty).map(_ + "," + emptyRule).getOrElse(emptyRule))
     val persisted = cur.persist(storageLevel)
-    persisted.count()
-    mhHandle.unpersist()
+    try persisted.count()
+    finally prevExcluded match {
+      case Some(v) => spark.conf.set(aqeExcludedKey, v)
+      case None => spark.conf.unset(aqeExcludedKey)
+    }
     unpersistHandle.setDataFrame(persisted)
 
-    val leading = obsIn.get
+    // belt-and-braces: if an observation still came back empty (a non-AQE
+    // rule pruned its node), recompute that counter with a direct action —
+    // only ever pays in the degenerate empty-stage case
+    val leading = {
+      val got = obsIn.get
+      if (got.nonEmpty) got
+      else docs.agg(
+        count(lit(1)).as("n_input"),
+        coalesce(sum(when(langKeep, 1L).otherwise(0L)), lit(0L)).as("n_lang"),
+        coalesce(sum(when(langKeep && qualKeep, 1L).otherwise(0L)), lit(0L)).as("n_qual"),
+        coalesce(sum(when(langKeep && qualKeep && clsKeep, 1L).otherwise(0L)), lit(0L)).as("n_cls"),
+        coalesce(sum(when(langKeep && qualKeep && clsKeep && dsirKeep, 1L).otherwise(0L)), lit(0L)).as("n_dsir"))
+        .first().getValuesMap[Any](Seq("n_input", "n_lang", "n_qual", "n_cls", "n_dsir"))
+    }
     val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     counts += "0_input" -> leading("n_input").asInstanceOf[Long]
     if (keepLangs.nonEmpty) counts += "1_langid" -> leading("n_lang").asInstanceOf[Long]
     counts += "2_quality" -> leading("n_qual").asInstanceOf[Long]
     if (classifierWeights.nonEmpty) counts += "2b_classifier" -> leading("n_cls").asInstanceOf[Long]
     if (dsirWeights.nonEmpty) counts += "2c_dsir" -> leading("n_dsir").asInstanceOf[Long]
-    stageObs.foreach { case (stage, obs) =>
-      counts += stage -> obs.get("n").asInstanceOf[Long]
+    stageObs.foreach { case (stage, obs, stageDf) =>
+      val got = obs.get
+      counts += stage -> got.getOrElse("n", stageDf.count()).asInstanceOf[Long]
     }
+    mhHandle.unpersist()
     import spark.implicits._
     (persisted, counts.toSeq.toDF("stage", "n_rows"))
   }

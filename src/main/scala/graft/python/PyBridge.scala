@@ -134,6 +134,14 @@ object PyBridge {
                       parallelism: java.lang.Integer, paths: JList[String]): DataFrame =
     ParquetMeta.parquetMetadata(spark, par(parallelism), paths.asScala.toSeq, Option(reader))
 
+  def zoneMapPruningReport(spark: SparkSession, paths: JList[String],
+                           column: String, lo: Double, hi: Double): DataFrame =
+    graft.parquet.ZoneMap.pruningReport(spark, paths.asScala.toSeq, column, lo, hi)
+
+  def zoneMapPruningSummary(spark: SparkSession, paths: JList[String],
+                            column: String, lo: Double, hi: Double): DataFrame =
+    graft.parquet.ZoneMap.pruningSummary(spark, paths.asScala.toSeq, column, lo, hi)
+
   def parquetSchema(reader: DataFrameReader, spark: SparkSession,
                     parallelism: java.lang.Integer, paths: JList[String]): DataFrame =
     ParquetMeta.parquetSchema(spark, par(parallelism), paths.asScala.toSeq, Option(reader))
@@ -261,6 +269,44 @@ object PyBridge {
     handle.unpersist()
     Array(pinned, report)
   }
+
+  def curateObserved(df: DataFrame, id: Column, text: Column,
+                     keepLangs: JList[String],
+                     minTokens: Int, maxTokens: Int,
+                     minAvgTokenLen: Double, maxAvgTokenLen: Double,
+                     minStopwordRatio: Double, maxTopBigramFraction: Double,
+                     classifierWeights: JList[Integer],
+                     classifierBias: Long, classifierThreshold: Long,
+                     dsirWeights: JList[Integer], dsirThreshold: Long,
+                     minHashThreshold: Double, shingleSize: Int, bands: Int, rowsPerBand: Int,
+                     blocklist: DataFrame, blocklistText: Column,
+                     blocklistShingleSize: Int, minOverlap: Int,
+                     sampleRate: Double, sampleSalt: String,
+                     dsirPortableHash: Boolean): Array[DataFrame] = {
+    val handle = UnpersistHandle()
+    val (curated, report) = graft.pipeline.Curation.curateObserved(
+      df, id, text, keepLangs.asScala.toSet,
+      minTokens, maxTokens, minAvgTokenLen, maxAvgTokenLen,
+      minStopwordRatio, maxTopBigramFraction,
+      Option(classifierWeights).map(_.asScala.map(_.intValue()).toArray),
+      classifierBias, classifierThreshold,
+      Option(dsirWeights).map(_.asScala.map(_.intValue()).toArray), dsirThreshold,
+      minHashThreshold = minHashThreshold, shingleSize = shingleSize,
+      bands = bands, rowsPerBand = rowsPerBand,
+      blocklist = Option(blocklist).map(b => (b, blocklistText)),
+      blocklistShingleSize = blocklistShingleSize, minOverlap = minOverlap,
+      sampleRate = sampleRate, sampleSalt = sampleSalt,
+      unpersistHandle = handle, dsirPortableHash = dsirPortableHash)
+    val pinned = curated.localCheckpoint(true)
+    handle.unpersist()
+    Array(pinned, report)
+  }
+
+  def containmentCandidatesStream(stream: DataFrame, id: Column, text: Column,
+                                  eventTimeColumn: String, delayThreshold: String,
+                                  shingleSize: Int, window: Int): DataFrame =
+    graft.streaming.StreamingContainment.winnowCandidates(
+      stream, id, text, eventTimeColumn, delayThreshold, shingleSize, window).toDF()
 
   def nearDupPairsSimHash(df: DataFrame, id: Column, text: Column,
                           shingleSize: Int, bands: Int, maxHamming: Int,
@@ -621,6 +667,15 @@ object PyBridge {
 
   def kmvSketch(df: DataFrame, value: Column, k: Int): DataFrame =
     graft.dedup.CorpusOverlap.kmvSketch(df, value, k)
+
+  def winnowedShingles(text: Column, n: Int, w: Int): Column =
+    graft.functions.winnow.winnowed_shingles(text, n, w)
+
+  def containmentPairs(df: DataFrame, id: Column, text: Column,
+                       shingleSize: Int, window: Int, threshold: Double,
+                       minShingles: Int, maxPrintBucket: Int): DataFrame =
+    graft.dedup.Containment.containmentPairs(df, id, text, shingleSize, window,
+      threshold, minShingles, maxPrintBucket)
 
   def mergeKmvSketches(sketches: DataFrame, sketchCol: Column, k: Int): DataFrame =
     graft.dedup.CorpusOverlap.mergeKmvSketches(sketches, sketchCol, k)

@@ -343,6 +343,26 @@ class CurationSuite extends AnyFunSuite with SparkTest {
     assert(repO.map(_._1).contains("6_sample"))
   }
 
+  test("curateObserved survives a stage that goes empty mid-pipeline") {
+    // regression: AQE's empty-relation propagation used to replace the
+    // executed query stages (and their CollectMetrics nodes) with
+    // EmptyRelation when the quality gate filtered everything out, so the
+    // ObservationManager completed the leading observation with an EMPTY
+    // row -> "key not found: n_input". Stopword-free docs reproduce it:
+    // the 0.02 min-stopword-ratio default rejects all three.
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+      (3L, "alpha beta gamma")).toDF("id", "text")
+    val handle = UnpersistHandle()
+    val (curated, report) = graft.pipeline.Curation.curateObserved(
+      docs, col("id"), col("text"), keepLangs = Set.empty,
+      minTokens = 1, maxTokens = 1000, unpersistHandle = handle)
+    assert(curated.count() == 0L)
+    val rep = report.as[(String, Long)].collect().toMap
+    assert(rep == Map("0_input" -> 3L, "2_quality" -> 0L,
+      "3_exact" -> 0L, "4_neardup" -> 0L), rep.toString)
+    handle.unpersist()
+  }
+
   test("curate classifier stage filters by the exact kernel logit") {
     val docs = curationDocs
     // weights that reject everything (all -1) vs accept everything (all +1):

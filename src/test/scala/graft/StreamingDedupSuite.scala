@@ -244,6 +244,38 @@ class StreamingDedupSuite extends AnyFunSuite with SparkTest {
     } finally query.stop()
   }
 
+  test("streaming containment flags collisions against the print's first doc") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val candidates = graft.streaming.StreamingContainment.winnowCandidates(
+      input.toDF().toDF("id", "ts", "text"), col("id"), col("text"),
+      eventTimeColumn = "ts", delayThreshold = "10 minutes")
+
+    val query = candidates.writeStream.format("memory")
+      .queryName("sc_out").outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+      val t1 = Timestamp.valueOf("2026-01-01 10:01:00")
+      val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+        "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+      val excerpt = base.split(" ").slice(4, 14).mkString(" ") // 10-token run
+      val other = "completely different words about catalyst physical planning"
+      // batch 1: the source doc and an unrelated one
+      input.addData((1L, t0, base), (2L, t0, other))
+      query.processAllAvailable()
+      // batch 2: a later doc carrying the excerpt -> collides with doc 1
+      input.addData((9L, t1, s"unrelated filler words go here $excerpt"))
+      query.processAllAvailable()
+      val pairs = spark.table("sc_out").select("docId", "firstDocId")
+        .as[(Long, Long)].collect().toSet
+      // the 10-token shared run >= w+n-1 = 6 guarantees a shared selected
+      // print whose first owner is doc 1 (print-first semantics: the state
+      // keeps only each print's FIRST document, 16 bytes per print)
+      assert(pairs.contains((9L, 1L)), s"pairs: $pairs")
+      assert(!pairs.exists(_._2 == 2L)) // nothing collides with the unrelated doc
+    } finally query.stop()
+  }
+
   test("streaming curation composes the stateless stages + watermarked dedup") {
     implicit val sqlCtx = spark.sqlContext
     val en = "the cat and the dog walked to the park and it was a fine day " +

@@ -70,4 +70,31 @@ class ParquetMetaSuite extends AnyFunSuite with SparkTest {
     val meta = spark.read.parquetMetadata(2, lineitem, orders)
     assert(meta.rdd.getNumPartitions === 2)
   }
+
+  test("ZoneMap pruning report matches the actual data ranges per group") {
+    import graft.parquet.ZoneMap
+    val d = java.nio.file.Files.createTempDirectory("graft_zm").toString + "/zm"
+    spark.range(0, 40000).toDF("k")
+      .repartition(1).sortWithinPartitions("k")
+      .write.option("parquet.block.size", "65536").parquet(d)
+    val rep = ZoneMap.pruningReport(spark, Seq(d), "k", 0.0, 1000.0)
+      .orderBy("block").collect()
+    assert(rep.length > 1) // tiny block size -> several row groups
+    // referee: re-derive each group's true min/max by reading the data in
+    // block order (file is sorted + single part, so groups are contiguous)
+    var offset = 0L
+    rep.foreach { r =>
+      val n = r.getAs[Long]("n_values")
+      val lo = offset              // first value of this group
+      val hi = offset + n - 1      // last value
+      val expected = hi < 0.0 || lo > 1000.0
+      assert(r.getAs[Boolean]("skippable") === expected,
+        s"block ${r.getAs[Long]("block")}: [$lo,$hi]")
+      offset += n
+    }
+    assert(offset === 40000L)
+    val sum = ZoneMap.pruningSummary(spark, Seq(d), "k", 0.0, 1000.0).collect().head
+    assert(sum.getAs[Long]("n_blocks") === rep.length.toLong)
+    assert(sum.getAs[Double]("skip_fraction") > 0.5) // most groups above 1000
+  }
 }
