@@ -54,11 +54,15 @@ __all__ = [
     "decode_numeric_entities", "decode_html_entities",
     "write_ordered_batches", "read_ordered_batches", "drain_to_parquet",
     "drop_duplicate_texts_within_watermark", "containment_candidates_stream",
+    "jaccard_join_prefix", "deduplicate_exact_jaccard",
+    "corpus_bucket_first", "near_dup_candidates_seeded_stream",
+    "cap_per_domain_stream",
     "bpe_train", "bpe_encode", "bpe_token_count", "save_bpe", "load_bpe",
     "canonicalize_url", "url_host", "registrable_domain",
     "dedup_by_canonical_url", "domain_stats", "weighted_sample_top_k",
     "cap_per_domain", "remove_boilerplate_lines",
     "kmv_sketch", "kmv_overlap_estimate", "kmv_distinct_estimate",
+    "join_size_estimate",
     "merge_kmv_sketches", "winnowed_shingles", "containment_pairs",
     "resample_to_mixture",
 ]
@@ -174,6 +178,27 @@ def near_dup_pairs_minhash(df: DataFrame, id_col: ColumnOrName, text: ColumnOrNa
     jdf = _bridge(df).nearDupPairsMinHash(
         df._jdf, _jcol(id_col), _jcol(text),
         int(shingle_size), int(bands), int(rows_per_band), float(threshold))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def jaccard_join_prefix(df: DataFrame, id_col: ColumnOrName, text: ColumnOrName,
+                        shingle_size: int = 3, threshold: float = 0.8) -> DataFrame:
+    """EXACT similarity self-join via prefix filtering (AllPairs/PPJoin):
+    every (idA, idB, jaccard) pair with jaccard >= threshold, guaranteed —
+    the lossless complement to near_dup_pairs_minhash. Candidates come from
+    rarest-first prefix-token collisions (a theorem, not LSH chance)."""
+    jdf = _bridge(df).jaccardJoinPrefix(
+        df._jdf, _jcol(id_col), _jcol(text), int(shingle_size), float(threshold))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def deduplicate_exact_jaccard(df: DataFrame, id_col: ColumnOrName,
+                              text: ColumnOrName, shingle_size: int = 3,
+                              threshold: float = 0.8) -> DataFrame:
+    """Keep-first dedup over the exact prefix-filter join: zero false drops
+    AND zero misses."""
+    jdf = _bridge(df).deduplicateExactJaccard(
+        df._jdf, _jcol(id_col), _jcol(text), int(shingle_size), float(threshold))
     return DataFrame(jdf, df.sparkSession)
 
 
@@ -351,6 +376,20 @@ def kmv_overlap_estimate(a: DataFrame, a_value: ColumnOrName,
     return DataFrame(jdf, a.sparkSession)
 
 
+def join_size_estimate(a: DataFrame, a_key: ColumnOrName,
+                       b: DataFrame, b_key: ColumnOrName,
+                       k: int, exact_top_n: int = 64) -> DataFrame:
+    """Join-size pre-flight: estimate |a JOIN b| without shuffling the join
+    key — exact top-N heavy keys per side (skew never left to sampling
+    chance) + a KMV coordinated tail sample. One row (k_used, n_heavy,
+    heavy_mass, k_rest, sum_products_rest, d_union, join_estimate); exact
+    whenever the key-space union fits in k."""
+    jdf = _bridge(a).joinSizeEstimate(a._jdf, _jcol(a_key),
+                                      b._jdf, _jcol(b_key),
+                                      int(k), int(exact_top_n))
+    return DataFrame(jdf, a.sparkSession)
+
+
 def kmv_distinct_estimate(sketch: ColumnOrName, k: int) -> Column:
     """Distinct-count estimate from a KMV sketch array: exact below k,
     else (k-1)/u_k from the k-th smallest hash."""
@@ -451,6 +490,49 @@ def containment_candidates_stream(stream: DataFrame, id_col: ColumnOrName,
     jdf = _bridge(stream).containmentCandidatesStream(
         stream._jdf, _jcol(id_col), _jcol(text), event_time_column,
         delay_threshold, int(shingle_size), int(window))
+    return DataFrame(jdf, stream.sparkSession)
+
+
+def corpus_bucket_first(corpus: DataFrame, id_col: ColumnOrName,
+                        text: ColumnOrName, shingle_size: int = 3,
+                        bands: int = 16, rows_per_band: int = 8) -> DataFrame:
+    """Bucket-first table (band, bucket, firstDocId) of a batch corpus —
+    the seed for near_dup_candidates_seeded_stream. Compute once per corpus
+    snapshot; row count = the corpus's distinct LSH buckets, not its docs."""
+    jdf = _bridge(corpus).corpusBucketFirst(
+        corpus._jdf, _jcol(id_col), _jcol(text), int(shingle_size),
+        int(bands), int(rows_per_band))
+    return DataFrame(jdf, corpus.sparkSession)
+
+
+def near_dup_candidates_seeded_stream(stream: DataFrame, id_col: ColumnOrName,
+                                      text: ColumnOrName, event_time_column: str,
+                                      delay_threshold: str, seed: DataFrame,
+                                      shingle_size: int = 3, bands: int = 16,
+                                      rows_per_band: int = 8,
+                                      state_retention_ms: int = 3600000) -> DataFrame:
+    """Streaming near-dup bootstrapped from an existing corpus: seed is the
+    corpus_bucket_first output — the corpus is never replayed; its buckets
+    pre-populate the state store (permanent, never evicted) so micro-batch 0
+    already collides new docs against the whole corpus. Stream-created
+    buckets evict past watermark + retention as usual."""
+    jdf = _bridge(stream).minHashCandidatesSeededStream(
+        stream._jdf, _jcol(id_col), _jcol(text), event_time_column,
+        delay_threshold, seed._jdf, int(shingle_size), int(bands),
+        int(rows_per_band), int(state_retention_ms))
+    return DataFrame(jdf, stream.sparkSession)
+
+
+def cap_per_domain_stream(stream: DataFrame, id_col: ColumnOrName,
+                          url: ColumnOrName, max_per_domain: int,
+                          event_time_column: str, delay_threshold: str,
+                          state_retention_ms: int = 86400000) -> DataFrame:
+    """Streaming per-domain admission cap (first-arrival k per registrable
+    domain): one 8-byte counter per domain, evicted (budget restarts) once
+    idle past watermark + retention. Output (domain, docId, rank, ts)."""
+    jdf = _bridge(stream).capPerDomainStream(
+        stream._jdf, _jcol(id_col), _jcol(url), int(max_per_domain),
+        event_time_column, delay_threshold, int(state_retention_ms))
     return DataFrame(jdf, stream.sparkSession)
 
 

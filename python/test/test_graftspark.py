@@ -1065,6 +1065,11 @@ class GraftsparkTest(unittest.TestCase):
         est = sk.select(
             P.kmv_distinct_estimate(col("kmv"), 256).alias("d")).collect()[0]["d"]
         self.assertEqual(est, 30.0)
+        # join-size pre-flight: exact when the key union fits in k — here
+        # |a join b| on the 10 shared keys with multiplicities 1x1
+        js = P.join_size_estimate(a, col("v"), b, col("v"), k=256).collect()[0]
+        self.assertEqual(js["k_used"], 50)
+        self.assertEqual(js["join_estimate"], 10.0)
         # mixture resampling: a=100/b=200/c=300 rows to 50/30/20 shares ->
         # T = 200, a kept whole, b ~60, c ~40
         rows = [(i, "a" if i % 6 < 1 else ("b" if i % 6 < 3 else "c"))
@@ -1147,6 +1152,68 @@ class GraftsparkTest(unittest.TestCase):
             stream, col("text"), "ts", "30 days")
         out = P.drain_to_parquet(deduped, d + "/out", d + "/cp")
         self.assertEqual(sorted(r["id"] for r in out.collect()), [1, 2, 4])
+
+    def test_pipeline_jaccard_prefix(self):
+        from graftspark import pipeline as P
+        base = ("doc words alpha beta gamma delta epsilon zeta eta theta "
+                "iota kappa lambda mu nu xi omicron pi rho sigma tau")
+        docs = self.spark.createDataFrame(
+            [(1, base), (2, base.replace("gamma", "gamma2")),
+             (3, "a totally different document about catalyst planner rules")],
+            ["doc_id", "text"])
+        pairs = {(r["idA"], r["idB"]) for r in P.jaccard_join_prefix(
+            docs, col("doc_id"), col("text"), threshold=0.7).collect()}
+        self.assertEqual(pairs, {(1, 2)})
+        kept = sorted(r["doc_id"] for r in P.deduplicate_exact_jaccard(
+            docs, col("doc_id"), col("text"), threshold=0.7).collect())
+        self.assertEqual(kept, [1, 3])
+
+    def test_pipeline_seeded_stream_and_domain_cap(self):
+        from datetime import datetime, timezone
+        from graftspark import pipeline as P
+        from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                       StructField, StructType, TimestampType)
+        ts = datetime(2021, 1, 1, tzinfo=timezone.utc)
+        prose = ("the quick brown fox jumps over the lazy dog near the "
+                 "river bank today")
+        corpus = self.spark.createDataFrame(
+            [(10, prose), (11, "corpus noise about bucketed joins")],
+            ["doc_id", "text"])
+        seed = P.corpus_bucket_first(corpus, col("doc_id"), col("text"))
+        self.assertGreater(seed.count(), 0)
+        schema = StructType([
+            StructField("id", LongType()), StructField("text", StringType()),
+            StructField("ts", TimestampType()), StructField("b", IntegerType())])
+        feed = self.spark.createDataFrame(
+            [(100, prose, ts, 0), (101, "fresh unseen text entirely", ts, 0)],
+            schema)
+        d = tempfile.mkdtemp()
+        sj = P.write_ordered_batches(feed, col("b"), 1, d + "/in")
+        stream = P.read_ordered_batches(self.spark, d + "/in", sj)
+        cand = P.near_dup_candidates_seeded_stream(
+            stream, col("id"), col("text"), "ts", "30 days", seed)
+        out = P.drain_to_parquet(cand, d + "/out", d + "/cp")
+        got = {(r["docId"], r["firstDocId"]) for r in out.collect()}
+        # the corpus was never replayed, yet batch 0 collides against doc 10
+        self.assertEqual(got, {(100, 10)})
+        # streaming per-domain cap: first-arrival k per registrable domain
+        urls = self.spark.createDataFrame(
+            [(1, "https://example.com/a", ts, 0),
+             (2, "https://www.example.com/b", ts, 0),
+             (3, "https://example.com/c", ts, 0),
+             (4, "https://other.org/x", ts, 0)],
+            StructType([
+                StructField("id", LongType()), StructField("url", StringType()),
+                StructField("ts", TimestampType()), StructField("b", IntegerType())]))
+        d2 = tempfile.mkdtemp()
+        sj2 = P.write_ordered_batches(urls, col("b"), 1, d2 + "/in")
+        stream2 = P.read_ordered_batches(self.spark, d2 + "/in", sj2)
+        capped = P.cap_per_domain_stream(
+            stream2, col("id"), col("url"), 2, "ts", "30 days")
+        out2 = P.drain_to_parquet(capped, d2 + "/out", d2 + "/cp")
+        admitted = {(r["docId"], r["domain"], r["rank"]) for r in out2.collect()}
+        self.assertEqual(admitted, {(1, "example.com", 1), (2, "example.com", 2),
+                                    (4, "other.org", 1)})
 
     def test_pipeline_semantic_dedup(self):
         from graftspark import pipeline as P

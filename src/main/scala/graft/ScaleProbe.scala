@@ -66,7 +66,8 @@ object ScaleProbe {
       "asof_hotkey_plain", "asof_hotkey_bucketed", "cluster_chain",
       "span_stats", "bm25_topk", "pq_topk", "classifier", "semantic_dedup",
       "dsir", "vocab", "streaming_neardup_state", "streaming_embedding_state",
-      "bpe_encode", "boilerplate", "kmv_sketch", "containment")
+      "bpe_encode", "boilerplate", "kmv_sketch", "containment",
+      "jaccard_prefix")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -569,6 +570,26 @@ object ScaleProbe {
           big.unionAll(excerpts), col("doc_id"), col("text")).count()
       }
       report("containment", nPairs, t)
+    }
+
+    // --- jaccard_prefix: exact prefix-filter similarity join --------------
+    // same disjoint-replica amplification as containment: each replica
+    // carries its own copy of the datagen's planted near-dup pairs and
+    // nothing cross-replica qualifies, so the EXACT pair count must grow
+    // exactly linearly while the prefix index (the quadratic hazard) stays
+    // collision-bounded — rarest-first ordering keeps replica-local tokens
+    // in prefixes and cross-replica candidates at zero
+    if (enabled("jaccard_prefix")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val big = amplify(docs, n).select(
+        (col("doc_id") + col("__rep") * 1000000L).as("doc_id"),
+        regexp_replace(col("text"), lit("([a-z0-9A-Z]+)"),
+          concat(lit("r"), col("__rep").cast("string"), lit("x$1"))).as("text"))
+      val (nPairs, t) = time {
+        graft.dedup.PrefixJoin.jaccardJoinPrefix(
+          big, col("doc_id"), col("text"), threshold = 0.8).count()
+      }
+      report("jaccard_prefix", nPairs, t)
     }
 
     // --- events: as-of join with a deliberately hot key ------------------

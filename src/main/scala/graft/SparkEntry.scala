@@ -806,6 +806,55 @@ object SparkEntry {
         .select(col("idB").as("doc_id")).distinct()
     }),
 
+    // P38c: streaming near-dup SEEDED from a batch corpus (initialState):
+    // the lower-id half of documents is the "curated 100 TB corpus" — its
+    // bucket-first table is computed batch-side and never replayed; the
+    // upper half streams in 2 batches and collides against the seeded
+    // state from micro-batch 0. Same verify + DATA ASSUMPTION as
+    // streaming_neardup (see the oracle comment there)
+    "streaming_corpus_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val mid = maxId / 2
+      val corpus = docs.filter(col("doc_id") <= mid)
+      val feed = docs.filter(col("doc_id") > mid)
+        .withColumn("ts", timestamp_seconds(lit(1000000000L) + col("doc_id")))
+      val seed = graft.streaming.StreamingNearDup.corpusBucketFirst(
+        corpus, col("doc_id"), col("text"))
+      val batchC = least(
+        floor((col("doc_id") - mid - 1) * 2 / (maxId - mid)), lit(1)).cast("int")
+      val cand = streamReplay(s, feed, batchC, 2)(st =>
+        graft.streaming.StreamingNearDup.minHashCandidatesSeeded(
+          st, col("doc_id"), col("text"), "ts", "30 days", seed).toDF())
+        .select(col("firstDocId").as("idA"), col("docId").as("idB")).distinct()
+      val sh = docs.select(col("doc_id"),
+        graft.text.TextFunctions.hashedTextShingles(col("text"), 3).as("sh"))
+      cand
+        .join(sh.select(col("doc_id").as("idA"), col("sh").as("shA")), "idA")
+        .join(sh.select(col("doc_id").as("idB"), col("sh").as("shB")), "idB")
+        .filter(graft.text.TextFunctions.jaccard(col("shA"), col("shB")) >= 0.8)
+        .select(col("idB").as("doc_id")).distinct()
+    }),
+
+    // streaming per-domain admission cap: the url fixture replays in
+    // event-time order (ts = base + url_id), each registrable domain
+    // admits its first 5 arrivals — rank and keep-set must equal the
+    // batch row_number replay in DuckDB
+    "streaming_domain_cap" -> ((s, dir) => {
+      val urls = s.read.parquet(s"$goldenDir/urls_sf001.parquet")
+        .select(col("url_id"), col("url"))
+        .withColumn("ts", timestamp_seconds(lit(1000000000L) + col("url_id")))
+      val maxId = urls.agg(max(col("url_id"))).head().getLong(0)
+      // hazard fixtures carry NEGATIVE url_ids — clamp them into batch 0
+      val batchC = greatest(
+        least(floor(col("url_id") * 2 / (maxId + 1)), lit(1)), lit(0)).cast("int")
+      streamReplay(s, urls, batchC, 2)(st =>
+        graft.streaming.StreamingDomainCap.capPerDomain(
+          st, col("url_id"), col("url"), maxPerDomain = 5,
+          "ts", "30 days", stateRetentionMs = 365L * 24 * 3600 * 1000).toDF())
+        .select(col("docId").as("url_id"), col("rank"))
+    }),
+
     // P38b: streaming embedding near-dup over a planted scaled-duplicate
     // feed; cosine verified INSIDE the state function, so the output needs
     // no further check — per doc, the smallest earlier near-partner
@@ -1344,6 +1393,20 @@ object SparkEntry {
       out
     }),
 
+    // EXACT similarity self-join via prefix filtering (AllPairs/PPJoin):
+    // the same (idA, idB, jaccard) contract as dedup_minhash_pairs but
+    // GUARANTEED complete — the oracle match here is a theorem, not a
+    // property of the datagen's collision luck
+    "dedup_jaccard_prefix" -> ((s, dir) => {
+      val handle = UnpersistHandle()
+      val out = graft.dedup.PrefixJoin.jaccardJoinPrefix(
+        t(s, dir, "documents"), col("doc_id"), col("text"), threshold = 0.8,
+        unpersistHandle = handle)
+        .localCheckpoint(true)
+      handle.unpersist()
+      out
+    }),
+
     // keep-first near-dup dedup (drop larger id of each verified pair)
     "dedup_minhash" -> ((s, dir) => {
       val handle = UnpersistHandle()
@@ -1384,6 +1447,16 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 < 3), col("text"),
         docs.filter(col("doc_id") % 5 > 1), col("text"), k = 64)
     }),
+
+    // join-size pre-flight: estimate |orders ⋈ lineitem| from coordinated
+    // KMV key samples + exact sampled multiplicities, never shuffling the
+    // join key; deterministic hash/integer/IEEE arithmetic end to end, so
+    // the DuckDB oracle replays the ESTIMATE bit-for-bit (u_k hex parse =
+    // 8 manual digits, the classifier-gate trick)
+    "join_size_estimate" -> ((s, dir) =>
+      graft.dedup.CorpusOverlap.joinSizeEstimate(
+        t(s, dir, "orders"), col("o_orderkey"),
+        t(s, dir, "lineitem"), col("l_orderkey"), k = 256)),
 
     // containment (excerpt-in-document): every 5th doc contributes a planted
     // 30-token excerpt (tokens 3..32, re-joined) under doc_id+100000 —
@@ -2606,6 +2679,22 @@ object SparkEntry {
         (s"WITH $docTokCte, $docShCte, $docPairCte " +
           "SELECT DISTINCT ib AS doc_id FROM p WHERE j >= 0.8"),
 
+      // corpus-seeded variant: same all-pairs ideal + same data assumption,
+      // restricted to later members in the streamed (upper-id) half — the
+      // earlier partner may be a corpus doc (seeded bucket) or an earlier
+      // stream doc (stream-created bucket)
+      "streaming_corpus_neardup" ->
+        (s"WITH $docTokCte, $docShCte, $docPairCte " +
+          "SELECT DISTINCT ib AS doc_id FROM p WHERE j >= 0.8 " +
+          "AND ib > (SELECT MAX(doc_id) // 2 FROM documents)"),
+
+      // arrival order == url_id order under the replay, so first-k-arrivals
+      // == row_number over url_id
+      "streaming_domain_cap" ->
+        ("SELECT url_id, rank FROM (SELECT url_id, row_number() OVER " +
+          "(PARTITION BY domain ORDER BY url_id) AS rank " +
+          s"FROM read_parquet('$goldenDir/urls_sf001.parquet')) WHERE rank <= 5"),
+
       "streaming_embedding_neardup" ->
         ("WITH c AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings " +
           "UNION ALL SELECT CAST(vec_id + 100000 AS BIGINT), list_transform(embedding, x -> x * 2) FROM embeddings), " +
@@ -2909,6 +2998,9 @@ object SparkEntry {
           "SELECT doc_id FROM fp QUALIFY ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) = 1"),
 
       "dedup_minhash_pairs" -> docPairsSql,
+      // the prefix-filter join must equal the exact all-pairs oracle BY
+      // CONSTRUCTION (no LSH luck involved) — same SQL, stronger claim
+      "dedup_jaccard_prefix" -> docPairsSql,
 
       // connected components via recursive reachability over the (symmetric)
       // verified pair edges; cluster id = min reachable doc id (incl. self)
@@ -2969,6 +3061,46 @@ object SparkEntry {
           "CAST(sum(CASE WHEN h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb) THEN 1 ELSE 0 END) AS INTEGER) AS n_both, " +
           "CAST(sum(CASE WHEN h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb) THEN 1 ELSE 0 END) AS DOUBLE) / " +
           "CAST(count(*) AS DOUBLE) AS j_estimate FROM x"),
+
+      // join-size estimate: exact top-64 heavy keys per side + KMV-sampled
+      // tail (X = bottom-256 of the key-space union); u_k parsed from 8
+      // manual hex digits (exact integer arithmetic), then the same IEEE
+      // expression order as the Spark side — the estimate replays exactly
+      "join_size_estimate" ->
+        ("WITH ha AS (SELECT md5(CAST(o_orderkey AS VARCHAR)) AS h FROM orders WHERE o_orderkey IS NOT NULL), " +
+          "hb AS (SELECT md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem WHERE l_orderkey IS NOT NULL), " +
+          "ta AS (SELECT h FROM (SELECT h, COUNT(*) AS c FROM ha GROUP BY h ORDER BY c DESC, h LIMIT 64)), " +
+          "tb AS (SELECT h FROM (SELECT h, COUNT(*) AS c FROM hb GROUP BY h ORDER BY c DESC, h LIMIT 64)), " +
+          "hv AS (SELECT DISTINCT h FROM (SELECT h FROM ta UNION ALL SELECT h FROM tb)), " +
+          "sa AS (SELECT h FROM (SELECT DISTINCT h FROM ha) ORDER BY h LIMIT 256), " +
+          "sb AS (SELECT h FROM (SELECT DISTINCT h FROM hb) ORDER BY h LIMIT 256), " +
+          "x AS (SELECT h FROM (SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)) ORDER BY h LIMIT 256), " +
+          "probe AS (SELECT DISTINCT h FROM (SELECT h FROM x UNION ALL SELECT h FROM hv)), " +
+          "ca AS (SELECT h, COUNT(*) AS ca FROM ha WHERE h IN (SELECT h FROM probe) GROUP BY h), " +
+          "cb AS (SELECT h, COUNT(*) AS cb FROM hb WHERE h IN (SELECT h FROM probe) GROUP BY h), " +
+          "pairs AS (SELECT ca.h AS h, ca.ca * cb.cb AS p FROM ca JOIN cb USING (h)), " +
+          "heavy AS (SELECT CAST(COALESCE(SUM(p), 0) AS BIGINT) AS heavy_mass FROM pairs WHERE h IN (SELECT h FROM hv)), " +
+          "rest AS (SELECT CAST(COALESCE(SUM(p), 0) AS BIGINT) AS sum_products_rest FROM pairs " +
+          "WHERE h NOT IN (SELECT h FROM hv) AND h IN (SELECT h FROM x)), " +
+          "krest AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_rest FROM x WHERE h NOT IN (SELECT h FROM hv)), " +
+          "nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_heavy FROM hv), " +
+          "kth AS (SELECT h AS hk FROM x ORDER BY h OFFSET 255 LIMIT 1), " +
+          "stats AS (SELECT CAST((SELECT COUNT(*) FROM x) AS BIGINT) AS k_used, (SELECT " +
+          "(strpos('0123456789abcdef', substring(hk, 1, 1)) - 1) * 268435456 + " +
+          "(strpos('0123456789abcdef', substring(hk, 2, 1)) - 1) * 16777216 + " +
+          "(strpos('0123456789abcdef', substring(hk, 3, 1)) - 1) * 1048576 + " +
+          "(strpos('0123456789abcdef', substring(hk, 4, 1)) - 1) * 65536 + " +
+          "(strpos('0123456789abcdef', substring(hk, 5, 1)) - 1) * 4096 + " +
+          "(strpos('0123456789abcdef', substring(hk, 6, 1)) - 1) * 256 + " +
+          "(strpos('0123456789abcdef', substring(hk, 7, 1)) - 1) * 16 + " +
+          "(strpos('0123456789abcdef', substring(hk, 8, 1)) - 1) FROM kth) AS v), " +
+          "d AS (SELECT k_used, CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE) " +
+          "ELSE 255.0 / ((CAST(v AS DOUBLE) + 0.5) / 4294967296.0) END AS d_union FROM stats) " +
+          "SELECT d.k_used, nh.n_heavy, heavy.heavy_mass, krest.k_rest, rest.sum_products_rest, d.d_union, " +
+          "CAST(heavy.heavy_mass AS DOUBLE) + CASE WHEN krest.k_rest = 0 THEN 0.0 ELSE " +
+          "(GREATEST(d.d_union - CAST(nh.n_heavy AS DOUBLE), CAST(krest.k_rest AS DOUBLE)) / CAST(krest.k_rest AS DOUBLE)) * " +
+          "CAST(rest.sum_products_rest AS DOUBLE) END AS join_estimate " +
+          "FROM d CROSS JOIN nh CROSS JOIN heavy CROSS JOIN krest CROSS JOIN rest"),
 
       // exact all-pairs set containment over the planted-excerpt corpus;
       // docs under 10 shingles excluded on both sides (a 2-shingle doc hits

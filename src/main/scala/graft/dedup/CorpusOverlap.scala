@@ -85,6 +85,95 @@ object CorpusOverlap {
   }
 
   /**
+   * Join-size pre-flight estimate: how many rows would `a JOIN b` on the
+   * given keys produce? The answer a planner wants BEFORE paying for the
+   * join — whether a fact-to-fact join at 100 TB will emit 10^9 or 10^13
+   * rows decides the strategy (or vetoes the query), and finding out by
+   * running it is the one way you cannot afford.
+   *
+   * Two-part estimator (the skew decomposition every production
+   * cardinality estimator uses — exact heavy hitters + sampled tail):
+   *
+   *  1. HEAVY: each side's `exactTopN` most frequent keys (deterministic
+   *     `(count desc, key)` ranking — plans TakeOrderedAndProject over a
+   *     map-side-combined count) form the heavy set `H`; their join mass
+   *     `Σ cntA·cntB` is computed EXACTLY. A key multiplied millions of
+   *     times on both sides dominates the true join size, and no uniform
+   *     sample can be trusted to catch it — so it is never left to chance.
+   *  2. TAIL: `X` = the k smallest distinct `md5(key)` of the two sides'
+   *     UNION (a coordinated uniform sample, the [[overlapEstimate]]
+   *     construction); the non-heavy sample `X \ H` scales its exact
+   *     multiplicity mass by `(D_union - |H|) / |X \ H|`, with `D_union`
+   *     the KMV distinct estimate (exact when the union fits in k, making
+   *     the whole answer exact).
+   *
+   * Scale shape: two bounded sketch passes, two bounded top-N count
+   * passes, and two narrow broadcast-probe counting scans (at most
+   * k + 2·exactTopN rows per task leave each); the join key itself is
+   * NEVER shuffled between the tables. Every step is deterministic
+   * hash/integer/IEEE arithmetic, so the DuckDB oracle replays the
+   * estimate bit-for-bit (the u_k hex parse is 8 manual digits, the
+   * classifier-gate trick).
+   *
+   * Output, one row: `(k_used, n_heavy, heavy_mass, k_rest,
+   * sum_products_rest, d_union, join_estimate)`.
+   */
+  def joinSizeEstimate(
+      a: DataFrame, aKey: Column, b: DataFrame, bKey: Column,
+      k: Int, exactTopN: Int = 64): DataFrame = {
+    val ha = a.select(md5(aKey.cast("string")).as("h")).where(col("h").isNotNull)
+    val hb = b.select(md5(bKey.cast("string")).as("h")).where(col("h").isNotNull)
+
+    // heavy set H: union of the two sides' top-N keys by exact count
+    def topKeys(hashes: DataFrame): DataFrame = hashes
+      .groupBy(col("h")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("h")).limit(exactTopN).select(col("h"))
+    val hv = topKeys(ha).union(topKeys(hb)).distinct()
+
+    // coordinated tail sample: bottom-k of the union's distinct hashes
+    val sa = ha.agg(kmvBottomK(col("h"), k).as("ka"))
+    val sb = hb.agg(kmvBottomK(col("h"), k).as("kb"))
+    val xRow = sa.join(broadcast(sb)) // 1 row x 1 row
+      .select(slice(array_sort(array_distinct(concat(col("ka"), col("kb")))), 1, k).as("x"))
+    val xKeys = xRow.select(explode(col("x")).as("h"))
+
+    // ONE exact-multiplicity probe per side over X ∪ H (≤ k + 2N keys):
+    // broadcast semi-join filter (narrow) + map-side-combined counts
+    val probe = xKeys.union(hv).distinct()
+    def sampledCounts(hashes: DataFrame, as: String): DataFrame = hashes
+      .join(broadcast(probe), Seq("h"), "left_semi")
+      .groupBy(col("h")).agg(count(lit(1)).as(as))
+    val pairs = sampledCounts(ha, "ca").join(sampledCounts(hb, "cb"), "h")
+      .select(col("h"), (col("ca") * col("cb")).as("p"))
+
+    val heavy = pairs.join(hv, Seq("h"), "left_semi")
+      .agg(coalesce(sum(col("p")), lit(0L)).as("heavy_mass"))
+    val rest = pairs.join(hv, Seq("h"), "left_anti")
+      .join(xKeys, Seq("h"), "left_semi")
+      .agg(coalesce(sum(col("p")), lit(0L)).as("sum_products_rest"))
+    val kRest = xKeys.join(hv, Seq("h"), "left_anti")
+      .agg(count(lit(1)).as("k_rest"))
+    val nHeavy = hv.agg(count(lit(1)).as("n_heavy"))
+
+    // u_k from the k-th smallest union hash, via its first 8 hex digits —
+    // exact integer arithmetic, then one IEEE division (oracle-portable)
+    val ukInt = conv(substring(element_at(col("x"), k), 1, 8), 16, 10).cast("long")
+    val dUnion = when(size(col("x")) < k, size(col("x")).cast("double"))
+      .otherwise(lit(k - 1.0) /
+        ((ukInt.cast("double") + lit(0.5)) / lit(4294967296.0)))
+    xRow.select(size(col("x")).cast("long").as("k_used"), dUnion.as("d_union"))
+      .join(broadcast(nHeavy)).join(broadcast(heavy)) // 1-row scalar attaches
+      .join(broadcast(kRest)).join(broadcast(rest))
+      .select(col("k_used"), col("n_heavy"), col("heavy_mass"), col("k_rest"),
+        col("sum_products_rest"), col("d_union"),
+        (col("heavy_mass").cast("double") +
+          when(col("k_rest") === 0, lit(0.0))
+            .otherwise((greatest(col("d_union") - col("n_heavy").cast("double"),
+              col("k_rest").cast("double")) / col("k_rest").cast("double")) *
+              col("sum_products_rest").cast("double"))).as("join_estimate"))
+  }
+
+  /**
    * Distinct-count estimate from a sketch array: exact when the corpus has
    * fewer than `k` distinct values (the sketch holds all of them), else the
    * KMV estimator `(k - 1) / u_k` where `u_k` is the k-th smallest hash

@@ -230,6 +230,34 @@ object PyBridge {
                          threshold: Double): DataFrame =
     graft.dedup.Dedup.deduplicateMinHash(df, id, text, shingleSize, bands, rowsPerBand, threshold)
 
+  def jaccardJoinPrefix(df: DataFrame, id: Column, text: Column,
+                        shingleSize: Int, threshold: Double): DataFrame =
+    graft.dedup.PrefixJoin.jaccardJoinPrefix(df, id, text, shingleSize, threshold)
+
+  def deduplicateExactJaccard(df: DataFrame, id: Column, text: Column,
+                              shingleSize: Int, threshold: Double): DataFrame =
+    graft.dedup.PrefixJoin.deduplicateExactJaccard(df, id, text, shingleSize, threshold)
+
+  def corpusBucketFirst(corpus: DataFrame, id: Column, text: Column,
+                        shingleSize: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    graft.streaming.StreamingNearDup.corpusBucketFirst(
+      corpus, id, text, shingleSize, bands, rowsPerBand)
+
+  def minHashCandidatesSeededStream(stream: DataFrame, id: Column, text: Column,
+                                    eventTimeColumn: String, delayThreshold: String,
+                                    seed: DataFrame, shingleSize: Int, bands: Int,
+                                    rowsPerBand: Int, stateRetentionMs: Long): DataFrame =
+    graft.streaming.StreamingNearDup.minHashCandidatesSeeded(
+      stream, id, text, eventTimeColumn, delayThreshold, seed,
+      shingleSize, bands, rowsPerBand, stateRetentionMs).toDF()
+
+  def capPerDomainStream(stream: DataFrame, id: Column, url: Column,
+                         maxPerDomain: Int, eventTimeColumn: String,
+                         delayThreshold: String, stateRetentionMs: Long): DataFrame =
+    graft.streaming.StreamingDomainCap.capPerDomain(
+      stream, id, url, maxPerDomain, eventTimeColumn, delayThreshold,
+      stateRetentionMs).toDF()
+
   def registerSqlFunctions(spark: SparkSession): Unit =
     graft.GraftExtensions.registerAll(spark)
 
@@ -679,6 +707,10 @@ object PyBridge {
 
   def mergeKmvSketches(sketches: DataFrame, sketchCol: Column, k: Int): DataFrame =
     graft.dedup.CorpusOverlap.mergeKmvSketches(sketches, sketchCol, k)
+
+  def joinSizeEstimate(a: DataFrame, aKey: Column, b: DataFrame, bKey: Column,
+                       k: Int, exactTopN: Int): DataFrame =
+    graft.dedup.CorpusOverlap.joinSizeEstimate(a, aKey, b, bKey, k, exactTopN)
 
   def kmvOverlapEstimate(a: DataFrame, aValue: Column, b: DataFrame,
                          bValue: Column, k: Int): DataFrame =

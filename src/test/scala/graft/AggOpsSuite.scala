@@ -559,6 +559,34 @@ class AggOpsSuite extends AnyFunSuite with SparkTest {
     assert(ex.getInt(0) == 50 && ex.getInt(1) == 10 && ex.getDouble(2) == 10.0 / 50)
   }
 
+  test("joinSizeEstimate is exact under k and skew-robust sampled") {
+    import graft.dedup.CorpusOverlap
+    // exact path: 40 distinct keys, all captured by the heavy top-N — the
+    // estimate must equal the true join size to the last row
+    val a = (0L until 40L).flatMap(i => Seq.fill((i % 5 + 1).toInt)(i)).toDF("k")
+    val b = (0L until 40L).flatMap(i => Seq.fill(2)(i)).toDF("k")
+    val trueSize = a.join(b, "k").count()
+    val ex = CorpusOverlap.joinSizeEstimate(a, col("k"), b, col("k"), 256).head()
+    assert(ex.getLong(0) == 40L)        // k_used: union fits in the sketch
+    assert(ex.getLong(1) == 40L)        // n_heavy: every key is top-64
+    assert(ex.getLong(2) == trueSize)   // heavy_mass IS the join size
+    assert(ex.getLong(3) == 0L)         // nothing left for the tail sample
+    assert(ex.getDouble(6) == trueSize.toDouble)
+    // skew path: key 0 multiplies 2001 x 2001 (99.9% of the true size) —
+    // the exact heavy pass must catch it regardless of where md5("0")
+    // lands in the sample; only the uniform singleton tail is estimated
+    val ha = ((0L until 5000L) ++ Seq.fill(2000)(0L)).toDF("k")
+    val hb = ((0L until 5000L) ++ Seq.fill(2000)(0L)).toDF("k")
+    val hTrue = ha.join(hb, "k").count() // 4999 + 2001*2001
+    val est = CorpusOverlap.joinSizeEstimate(ha, col("k"), hb, col("k"), 512).head()
+    assert(est.getLong(0) == 512L)
+    assert(est.getLong(2) >= 2001L * 2001L) // hot key exactly accounted
+    val rel = est.getDouble(6) / hTrue.toDouble
+    // fixed md5 draw -> deterministic; tail mass is 0.12% of the total, so
+    // even a 4-sigma KMV error on D keeps the ratio inside half a percent
+    assert(rel > 0.95 && rel < 1.05, s"estimate ${est.getDouble(6)} vs $hTrue")
+  }
+
   test("mergeKmvSketches equals the sketch of the concatenated corpus") {
     import graft.dedup.CorpusOverlap
     val a = (0L until 4000L).map(i => s"a$i").toDF("v")

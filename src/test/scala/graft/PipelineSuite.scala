@@ -261,6 +261,45 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(out == (0 until 40).map(_.toLong).toSet)
   }
 
+  test("prefix-filter jaccard join equals brute-force all-pairs at every threshold") {
+    val df = nearDupCorpus.toDF("id", "text")
+    val sh = df.select(col("id"),
+      TextFunctions.hashedTextShingles(col("text"), 3).as("s"))
+    for (t <- Seq(0.3, 0.5, 0.7, 0.9)) {
+      val brute = sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+        .withColumn("j", TextFunctions.jaccard(col("a.s"), col("b.s")))
+        .filter(col("j") >= t)
+        .select(col("a.id"), col("b.id"), col("j"))
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = graft.dedup.PrefixJoin.jaccardJoinPrefix(
+        df, col("id"), col("text"), threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref == brute, s"threshold $t: prefix join != brute force")
+    }
+  }
+
+  test("prefix join is robust to empty/short docs; exact keep-first dedup works") {
+    val df = (nearDupCorpus ++ Seq((300L, ""), (301L, "one"), (302L, "two words here")))
+      .toDF("id", "text")
+    val pairs = graft.dedup.PrefixJoin.jaccardJoinPrefix(
+      df, col("id"), col("text"), threshold = 0.7)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 103L), (7L, 107L), (11L, 111L)))
+    val kept = graft.dedup.PrefixJoin.deduplicateExactJaccard(
+      df, col("id"), col("text"), threshold = 0.7)
+      .select("id").as[Long].collect().toSet
+    assert(kept == (0 until 40).map(_.toLong).toSet ++ Set(300L, 301L, 302L))
+  }
+
+  test("prefix join plans equi-joins only — no cartesian anywhere") {
+    val df = nearDupCorpus.toDF("id", "text")
+    val formatted = graft.dedup.PrefixJoin.jaccardJoinPrefix(
+      df, col("id"), col("text"), threshold = 0.7)
+      .queryExecution.executedPlan.toString
+    assert(!formatted.contains("CartesianProduct") &&
+      !formatted.contains("BroadcastNestedLoop"), formatted.take(2000))
+  }
+
   test("cross-corpus near-dup matches exact pairs and leaves the reference alone") {
     // reference = the 40 base docs; "new batch" = the planted dups of 3/7/11
     // plus two genuinely new docs that must survive

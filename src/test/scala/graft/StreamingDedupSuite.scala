@@ -244,6 +244,80 @@ class StreamingDedupSuite extends AnyFunSuite with SparkTest {
     } finally query.stop()
   }
 
+  test("corpus-seeded streaming near-dup collides against the corpus owner from batch one") {
+    implicit val sqlCtx = spark.sqlContext
+    val prose = "the quick brown fox jumps over the lazy dog near the river bank"
+    val fresh = "an entirely fresh streaming document about watermark state eviction"
+    // the "already-curated corpus": doc 10 carries the prose, doc 11 is noise
+    val corpus = Seq(
+      (10L, prose),
+      (11L, "reference corpus noise row about bucketed joins and skew salting"))
+      .toDF("doc_id", "text")
+    val seed = graft.streaming.StreamingNearDup.corpusBucketFirst(
+      corpus, col("doc_id"), col("text"))
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val candidates = graft.streaming.StreamingNearDup.minHashCandidatesSeeded(
+      input.toDF().toDF("id", "ts", "text"), col("id"), col("text"),
+      eventTimeColumn = "ts", delayThreshold = "10 minutes", seed = seed)
+
+    val query = candidates.writeStream.format("memory")
+      .queryName("scnd_out").outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+      val t1 = Timestamp.valueOf("2026-01-01 10:01:00")
+      // FIRST micro-batch: a copy of corpus doc 10 must already collide —
+      // the corpus was never replayed, only its bucket-first table
+      input.addData((100L, t0, prose), (101L, t0, fresh))
+      query.processAllAvailable()
+      // second: a dup of the STREAM doc 101 -> flagged against 101 (stream-
+      // created bucket), and another corpus-prose copy -> still against 10
+      input.addData((102L, t1, fresh), (103L, t1, prose))
+      query.processAllAvailable()
+      val pairs = spark.table("scnd_out").select("docId", "firstDocId")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs === Set((100L, 10L), (103L, 10L), (102L, 101L)))
+      // the corpus owner stays first: 100 never becomes a bucket owner for
+      // the prose buckets, so 103 collides with 10, not 100
+      assert(!pairs.contains((103L, 100L)))
+    } finally query.stop()
+  }
+
+  test("streaming domain cap admits first k per registrable domain across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val capped = graft.streaming.StreamingDomainCap.capPerDomain(
+      input.toDF().toDF("id", "ts", "url"), col("id"), col("url"),
+      maxPerDomain = 2, eventTimeColumn = "ts", delayThreshold = "10 minutes")
+
+    val query = capped.writeStream.format("memory")
+      .queryName("sdc_out").outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+      val t1 = Timestamp.valueOf("2026-01-01 10:01:00")
+      // batch 1: three example.com URLs (one over budget), one other.org
+      input.addData(
+        (1L, t0, "https://example.com/a"),
+        (2L, t0, "https://www.example.com/b?x=1"),
+        (3L, t1, "https://example.com/c"),
+        (4L, t0, "https://other.org/page"))
+      query.processAllAvailable()
+      // batch 2: example.com budget already spent; other.org has one left
+      input.addData(
+        (5L, t1, "https://example.com/d"),
+        (6L, t1, "https://other.org/second"),
+        (7L, t1, "https://other.org/third"))
+      query.processAllAvailable()
+      val rows = spark.table("sdc_out")
+        .select("docId", "domain", "rank")
+        .as[(Long, String, Long)].collect().toSet
+      // within batch 1, example.com order is (ts, id): 1, 2 admitted, 3 dropped
+      assert(rows === Set(
+        (1L, "example.com", 1L), (2L, "example.com", 2L),
+        (4L, "other.org", 1L), (6L, "other.org", 2L)))
+    } finally query.stop()
+  }
+
   test("streaming containment flags collisions against the print's first doc") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
