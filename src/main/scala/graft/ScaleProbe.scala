@@ -67,7 +67,7 @@ object ScaleProbe {
       "span_stats", "bm25_topk", "pq_topk", "classifier", "semantic_dedup",
       "dsir", "vocab", "streaming_neardup_state", "streaming_embedding_state",
       "bpe_encode", "boilerplate", "kmv_sketch", "containment",
-      "jaccard_prefix")
+      "jaccard_prefix", "streaming_seeded_state", "streaming_domain_cap_state")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -494,6 +494,92 @@ object ScaleProbe {
         graft.streaming.StreamingEmbeddingNearDup.embeddingCandidates(
           st, col("vec_id"), col("embedding"), "ts", "0 seconds",
           dim = 64, threshold = 0.9).toDF())
+    }
+
+    // --- seeded streaming near-dup: state bounded by the CORPUS ----------
+    // the permanence claim measured: the feed replays the corpus's content
+    // N times under fresh ids, so every bucket it touches is already
+    // seeded — state must sit EXACTLY at the corpus bucket count after
+    // load no matter the feed volume, and stay there after the flush
+    // (seeded buckets never evict; only the flush row's own stream-created
+    // buckets may linger)
+    if (enabled("streaming_seeded_state")) {
+      val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val seed = graft.streaming.StreamingNearDup.corpusBucketFirst(
+        corpus, col("doc_id"), col("text"))
+      val seedBuckets = seed.count()
+      val feed = amplify(corpus, n).select(
+        (col("doc_id") + col("__rep") * 1000000L + 10000000L).as("doc_id"),
+        col("text"))
+        .withColumn("ts", timestamp_seconds(lit(1000000000L)))
+      val flush = spark.range(1).select(lit(-1L).as("doc_id"),
+        lit("watermark flush marker row").as("text"),
+        timestamp_seconds(lit(1000000000L + 400L * 86400L)).as("ts"))
+      val staged = feed.unionByName(flush)
+      val batchCol = when(col("doc_id") < 0, 1).otherwise(0).cast("int")
+      val dir = java.nio.file.Files.createTempDirectory("graft_seeded").toString
+      val schema = graft.streaming.StreamHarness.writeOrderedBatches(
+        staged, batchCol, 2, s"$dir/in")
+      val stream = graft.streaming.StreamHarness.readOrderedBatches(
+        spark, s"$dir/in", schema)
+      val t0 = System.nanoTime()
+      val q = graft.streaming.StreamingNearDup.minHashCandidatesSeeded(
+        stream, col("doc_id"), col("text"), "ts", "0 seconds", seed,
+        stateRetentionMs = 0L).toDF()
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out").option("checkpointLocation", s"$dir/cp")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val lastData = q.recentProgress.filter(_.numInputRows > 0)
+          .map(_.batchId).foldLeft(-1L)(math.max)
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (!q.recentProgress.exists(p =>
+            p.numInputRows == 0 && p.batchId > lastData) &&
+            System.nanoTime() < deadline) Thread.sleep(50)
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val progress = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        val afterLoad = progress.filter(_.batchId == 0)
+          .map(_.stateOperators(0).numRowsTotal).max
+        val finalRows = progress
+          .map(p => (p.batchId, p.stateOperators(0).numRowsTotal)).maxBy(_._1)._2
+        require(afterLoad == seedBuckets,
+          s"seeded state $afterLoad != corpus buckets $seedBuckets at N=$n")
+        require(finalRows >= seedBuckets && finalRows <= seedBuckets + 16,
+          s"seed permanence violated: $finalRows vs $seedBuckets")
+        println(String.format(java.util.Locale.ROOT,
+          """{"probe":"%s","n":%d,"rows":%d,"sec":%.2f,"after_flush":%d}""",
+          "streaming_seeded_state", Int.box(n), Long.box(afterLoad),
+          Double.box(sec), Long.box(finalRows)))
+      } finally q.stop()
+    }
+
+    // --- streaming domain cap: one counter per domain ----------------------
+    // domains are replica-scoped (100 per replica), so state must equal
+    // 100*N after load — NOT feed volume (500*N rows) — and drain to the
+    // flush row's single domain after the watermark passes
+    if (enabled("streaming_domain_cap_state")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val big = amplify(docs, n).select(
+        (col("doc_id") + col("__rep") * 1000000L).as("doc_id"),
+        concat(lit("https://site"), col("__rep").cast("string"), lit("x"),
+          pmod(col("doc_id"), lit(100)).cast("string"), lit(".com/p"),
+          col("doc_id").cast("string")).as("url"))
+        .withColumn("ts", timestamp_seconds(lit(1000000000L)))
+      val expected = big.select(
+        graft.text.Urls.registrableDomain(col("url"))).distinct().count()
+      val flush = spark.range(1).select(lit(-1L).as("doc_id"),
+        lit("https://flush-marker.example/x").as("url"),
+        timestamp_seconds(lit(1000000000L + 400L * 86400L)).as("ts"))
+      streamStateProbe("streaming_domain_cap_state",
+        big.unionByName(flush),
+        when(col("doc_id") < 0, 1).otherwise(0).cast("int"),
+        expected, flushBuckets = 1)(st =>
+        graft.streaming.StreamingDomainCap.capPerDomain(
+          st, col("doc_id"), col("url"), maxPerDomain = 5,
+          "ts", "0 seconds", stateRetentionMs = 0L).toDF())
     }
 
     // --- BPE encode: narrow kernel scan, trained once on the sample ------
