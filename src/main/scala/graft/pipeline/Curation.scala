@@ -146,12 +146,14 @@ object Curation {
    * shuffling stage. ONE action — the count that warms the final survivor
    * cache — materializes the whole chain and every counter with it.
    *
-   * The tradeoff is checkpoint semantics: [[curate]]'s per-stage persists
-   * mean each shuffling stage's input is computed once even though MinHash
-   * dedup scans its input more than once internally; here only the MinHash
-   * stage's own internal shingle cache bounds recomputation. For the
-   * narrow-dominated pipeline shape this is a strict win (4 actions -> 1);
-   * for callers who want stage-boundary caches, [[curate]] stands.
+   * The tradeoff is checkpoint semantics: [[curate]]'s per-stage
+   * persist+count pairs give every stage boundary a cache AND an action;
+   * here the only caches are the ones consumed twice structurally (the
+   * MinHash stage's shingle frame and its input, which feeds both the
+   * candidate side and the keep-first anti-join), and there is exactly ONE
+   * action. For the narrow-dominated pipeline shape this is a strict win
+   * (4 actions -> 1); for callers who want stage-boundary checkpoint
+   * semantics, [[curate]] stands.
    */
   def curateObserved(
       docs: DataFrame, id: Column, text: Column,
@@ -198,9 +200,16 @@ object Curation {
     }
 
     cur = observed("3_exact", graft.dedup.Dedup.dropExactTextDuplicates(cur, text, id))
+    // the near-dup stage consumes its input TWICE structurally (the shingle
+    // side feeding candidate pairs AND the keep-first anti-join's left
+    // side); without a stage-boundary persist the second consumer would
+    // recompute the whole upstream chain — cache it for the one action and
+    // release right after. Still one ACTION; this is an internal cache, the
+    // same discipline as the near-dup stage's own shingle cache.
+    val preNearDup = cur.persist(storageLevel)
     val mhHandle = graft.UnpersistHandle()
     cur = observed("4_neardup", graft.dedup.Dedup.deduplicateMinHash(
-      cur, id, text, shingleSize, bands, rowsPerBand, minHashThreshold,
+      preNearDup, id, text, shingleSize, bands, rowsPerBand, minHashThreshold,
       unpersistHandle = mhHandle))
     blocklist.foreach { case (bdf, btext) =>
       cur = observed("5_decontaminate", graft.dedup.Dedup.decontaminate(
@@ -258,6 +267,7 @@ object Curation {
       counts += stage -> got.getOrElse("n", stageDf.count()).asInstanceOf[Long]
     }
     mhHandle.unpersist()
+    preNearDup.unpersist()
     import spark.implicits._
     (persisted, counts.toSeq.toDF("stage", "n_rows"))
   }
