@@ -24,6 +24,8 @@ __all__ = [
     "chunk_tokens", "chunk_by_tokens", "lang_id", "quality_score",
     "approx_bpe_token_count", "fingerprint_md5", "hashed_word_shingles",
     "cosine_similarity", "dot_product", "drop_exact_text_duplicates",
+    "int8_encode", "int8_encode_ints", "int8_scale", "int8_dot",
+    "int8_decode", "int8_brute_force_top_k",
     "near_dup_pairs_minhash", "near_dup_pairs_simhash", "deduplicate_minhash",
     "deduplicate_lines", "decontaminate", "decontaminate_bloom", "brute_force_top_k",
     "build_blocklist_artifact", "decontaminate_with_artifact",
@@ -140,6 +142,46 @@ def fingerprint_md5(text: ColumnOrName) -> Column:
 def hashed_word_shingles(text: ColumnOrName, n: int) -> Column:
     """Distinct hashed word n-grams (single-pass kernel) -> array<long>."""
     return _col_fn("hashedWordShingles", _jcol(text), int(n))
+
+
+def int8_encode(vec: ColumnOrName) -> Column:
+    """Symmetric per-vector int8 quantization of array<float> -> binary
+    codes (1 byte/dim; 4x smaller at rest and on every scan)."""
+    return _col_fn("int8Encode", _jcol(vec))
+
+
+def int8_encode_ints(vec: ColumnOrName) -> Column:
+    """int8 codes as array<int> (the Column-algebra / debugging view)."""
+    return _col_fn("int8EncodeInts", _jcol(vec))
+
+
+def int8_scale(vec: ColumnOrName) -> Column:
+    """Dequantization scale maxabs/127 for int8_encode's codes."""
+    return _col_fn("int8Scale", _jcol(vec))
+
+
+def int8_dot(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Exact integer dot product of two int8 code columns -> long; cosine
+    needs no scales: int8_dot(a,b)/sqrt(int8_dot(a,a)*int8_dot(b,b))."""
+    return _col_fn("int8Dot", _jcol(a), _jcol(b))
+
+
+def int8_decode(codes: ColumnOrName, scale: ColumnOrName) -> Column:
+    """Lossy inverse of int8_encode: codes * scale as array<float>."""
+    return _col_fn("int8Decode", _jcol(codes), _jcol(scale))
+
+
+def int8_brute_force_top_k(queries: DataFrame, corpus: DataFrame,
+                           query_id: ColumnOrName, query_vec: ColumnOrName,
+                           corpus_id: ColumnOrName, corpus_vec: ColumnOrName,
+                           k: int) -> DataFrame:
+    """Exact-ranking top-k over int8-quantized vectors: the corpus scan
+    reads 1 byte per dimension instead of 4; scores are exact integer dot
+    products (scales cancel in the cosine)."""
+    jdf = _bridge(queries).int8BruteForceTopK(
+        queries._jdf, corpus._jdf, _jcol(query_id), _jcol(query_vec),
+        _jcol(corpus_id), _jcol(corpus_vec), int(k))
+    return DataFrame(jdf, queries.sparkSession)
 
 
 def cosine_similarity(a: ColumnOrName, b: ColumnOrName) -> Column:

@@ -1215,6 +1215,29 @@ class GraftsparkTest(unittest.TestCase):
         self.assertEqual(admitted, {(1, "example.com", 1), (2, "example.com", 2),
                                     (4, "other.org", 1)})
 
+    def test_pipeline_int8(self):
+        from graftspark import pipeline as P
+        from pyspark.sql.types import (ArrayType, FloatType, LongType,
+                                       StructField, StructType)
+        schema = StructType([StructField("id", LongType()),
+                             StructField("vec", ArrayType(FloatType()))])
+        df = self.spark.createDataFrame(
+            [(1, [0.5, -1.0]), (2, [1.0, 0.0]), (3, [0.9, 0.1])], schema)
+        row = df.select(
+            P.int8_encode_ints(col("vec")).alias("codes"),
+            P.int8_scale(col("vec")).alias("s"),
+            P.int8_dot(P.int8_encode(col("vec")),
+                       P.int8_encode(col("vec"))).alias("dd")).collect()[0]
+        self.assertEqual(list(row["codes"]), [64, -127])
+        self.assertAlmostEqual(row["s"], 1.0 / 127.0)
+        self.assertEqual(row["dd"], 64 * 64 + 127 * 127)
+        topk = P.int8_brute_force_top_k(
+            df.filter(col("id") == 2), df, col("id"), col("vec"),
+            col("id"), col("vec"), k=1).collect()
+        # vec 3 is nearly parallel to vec 2; vec 1 points elsewhere
+        self.assertEqual([(r["query_id"], r["neighbor_id"]) for r in topk],
+                         [(2, 3)])
+
     def test_pipeline_semantic_dedup(self):
         from graftspark import pipeline as P
         from pyspark.sql.types import (ArrayType, FloatType, LongType,

@@ -147,6 +147,21 @@ object GraftExtensions {
     fn("simhash64", "simhash64(features) - 64-bit SimHash") { es =>
       arity("simhash64", es, 1); SimHash64(es.head)
     },
+    fn("int8_encode", "int8_encode(vec) - symmetric int8 quantization to binary codes") { es =>
+      arity("int8_encode", es, 1); graft.functions.Int8Encode(es.head)
+    },
+    fn("int8_encode_ints", "int8_encode_ints(vec) - int8 codes as array<int>") { es =>
+      arity("int8_encode_ints", es, 1); graft.functions.Int8EncodeInts(es.head)
+    },
+    fn("int8_scale", "int8_scale(vec) - dequantization scale maxabs/127") { es =>
+      arity("int8_scale", es, 1); graft.functions.Int8Scale(es.head)
+    },
+    fn("int8_dot", "int8_dot(a, b) - exact integer dot of int8 code arrays") { es =>
+      arity("int8_dot", es, 2); graft.functions.Int8Dot(es.head, es(1))
+    },
+    fn("int8_decode", "int8_decode(codes, scale) - int8 codes back to array<float>") { es =>
+      arity("int8_decode", es, 2); graft.functions.Int8Decode(es.head, es(1))
+    },
     fn("cosine_similarity", "cosine_similarity(a, b) - cosine over array<float>") { es =>
       arity("cosine_similarity", es, 2); CosineSimilarity(es.head, es(1))
     },

@@ -1561,6 +1561,26 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
+    // int8 quantization family: codes + scale per vector, every number a
+    // fixed deterministic expression (floor(x*127/maxabs + 0.5), clamp) —
+    // the DuckDB oracle replays the arithmetic on the same floats
+    "embedding_int8_codes" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(col("vec_id"),
+        graft.functions.vectors.int8_encode_ints(col("embedding"))
+          .cast("array<bigint>").as("codes"),
+        graft.functions.vectors.int8_scale(col("embedding")).as("scale"))),
+
+    // brute-force top-k over the quantized corpus: integer dot products,
+    // scales cancel in the cosine — DuckDB replays the WHOLE pipeline
+    // (quantize -> int dot -> cosine -> rank) bit-for-bit
+    "ann_int8_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ann.Ann.int8BruteForceTopK(
+        emb.filter(col("vec_id") < 20), emb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
     // LSH-bucketed approximate top-k. Oracle: golden fixture recomputed by an
     // independent numpy replication of the seeded hyperplanes + bucket math
     // (tools/make_golden.py); recall additionally asserted in sbt tests.
@@ -3137,6 +3157,34 @@ object SparkEntry {
           "c.vec_id AS neighbor_id " +
           "FROM q JOIN embeddings c ON q.vec_id <> c.vec_id " +
           "QUALIFY rank <= 3"),
+
+      "embedding_int8_codes" ->
+        ("WITH base AS (SELECT vec_id, embedding AS e, " +
+          "COALESCE(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 0.0) AS m FROM embeddings) " +
+          "SELECT vec_id, CASE WHEN m = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT)) " +
+          "ELSE list_transform(e, x -> CAST(GREATEST(-127.0, LEAST(127.0, " +
+          "floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5))) AS BIGINT)) END AS codes, " +
+          "m / 127.0 AS scale FROM base"),
+
+      // the full int8 pipeline replayed: quantize both sides, exact integer
+      // dot products (p[1]*p[2] over the zipped code lists), scale-free
+      // cosine, rank — deterministic at every step
+      "ann_int8_topk" ->
+        ("WITH base AS (SELECT vec_id, embedding AS e, " +
+          "COALESCE(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 0.0) AS m FROM embeddings), " +
+          "codes AS (SELECT vec_id, CASE WHEN m = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT)) " +
+          "ELSE list_transform(e, x -> CAST(GREATEST(-127.0, LEAST(127.0, " +
+          "floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5))) AS BIGINT)) END AS c FROM base), " +
+          "n AS (SELECT vec_id, c, list_sum(list_transform(list_zip(c, c), p -> p[1] * p[2])) AS nn FROM codes), " +
+          "q AS (SELECT vec_id, c, nn FROM n WHERE vec_id < 20), " +
+          "scored AS (SELECT q.vec_id AS query_id, cp.vec_id AS neighbor_id, " +
+          "CASE WHEN q.nn = 0 OR cp.nn = 0 THEN 0.0 ELSE " +
+          "CAST(list_sum(list_transform(list_zip(q.c, cp.c), p -> p[1] * p[2])) AS DOUBLE) / " +
+          "sqrt(CAST(q.nn AS DOUBLE) * CAST(cp.nn AS DOUBLE)) END AS cos8 " +
+          "FROM q JOIN n cp ON q.vec_id <> cp.vec_id) " +
+          "SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
+          "ORDER BY cos8 DESC, neighbor_id) AS INTEGER) AS rank, neighbor_id " +
+          "FROM scored QUALIFY rank <= 3"),
 
       // recall gates: DuckDB reproduces the brute-force truth-set size and
       // asserts the thresholded recall boolean is true; the Spark side flips

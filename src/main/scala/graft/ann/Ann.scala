@@ -38,6 +38,41 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /**
+   * [[bruteForceTopK]] over int8-quantized vectors — the cheap storage
+   * tier: the corpus scan reads 1 byte per dimension instead of 4 (a
+   * 100 TB float corpus becomes 25 TB at rest AND on every scan), and the
+   * score is one exact INTEGER dot product per pair. Scales cancel in the
+   * cosine (`int8dot(a,b) / sqrt(int8dot(a,a) * int8dot(b,b))`), so the
+   * quantized corpus needs no side data at all for ranking. Typical recall
+   * vs float cosine is near-1 at dim >= 32 (sbt-pinned); when the corpus
+   * is stored pre-encoded ([[vectors.int8_encode]] at write time) the
+   * whole pipeline never touches a float vector until the optional exact
+   * re-rank. Output: (query_id, rank, neighbor_id, cosine_q8).
+   */
+  def int8BruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      queryId: Column, queryVec: Column, corpusId: Column, corpusVec: Column,
+      k: Int): DataFrame = {
+    val q = queries.select(queryId.as("query_id"),
+      vectors.int8_encode(queryVec).as("qcodes"))
+      .withColumn("qnorm", vectors.int8_dot(col("qcodes"), col("qcodes")))
+    val c = corpus.select(corpusId.as("neighbor_id"),
+      vectors.int8_encode(corpusVec).as("ccodes"))
+      .withColumn("cnorm", vectors.int8_dot(col("ccodes"), col("ccodes")))
+    broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine_q8",
+        when(col("qnorm") === 0L || col("cnorm") === 0L, lit(0.0))
+          .otherwise(vectors.int8_dot(col("qcodes"), col("ccodes")).cast("double") /
+            sqrt(col("qnorm").cast("double") * col("cnorm").cast("double"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine_q8").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_q8"))
+  }
+
   /** Deterministic seeded Gaussian hyperplanes: bands x bits x dim. */
   private[graft] def hyperplanes(bands: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Float]]] = {
     val rng = new scala.util.Random(seed)

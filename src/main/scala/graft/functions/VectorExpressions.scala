@@ -1089,6 +1089,79 @@ object VectorKernels extends Serializable {
     out
   }
 
+  /** Max |x_i| of a float vector, in double (0.0 for empty vectors). */
+  def int8MaxAbs(vec: ArrayData): Double = {
+    var m = 0.0
+    var i = 0
+    val n = vec.numElements()
+    while (i < n) {
+      val a = math.abs(vec.getFloat(i).toDouble)
+      if (a > m) m = a
+      i += 1
+    }
+    m
+  }
+
+  /**
+   * Symmetric per-vector int8 quantization: `code_i =
+   * floor(x_i * 127.0 / maxabs + 0.5)` clamped to [-127, 127] (zero vector
+   * -> all zeros). `floor(v + 0.5)` is the SPECIFIED rounding — one fixed
+   * IEEE expression both engines evaluate identically, unlike the
+   * HALF_UP/HALF_EVEN zoo of round() builtins. The scale `maxabs / 127.0`
+   * travels beside the codes ([[int8Scale]]); cosine between quantized
+   * vectors needs no scale at all (it cancels).
+   */
+  def int8Encode(vec: ArrayData): Array[Byte] = {
+    val n = vec.numElements()
+    val out = new Array[Byte](n)
+    val m = int8MaxAbs(vec)
+    if (m == 0.0) return out
+    var i = 0
+    while (i < n) {
+      val v = math.floor(vec.getFloat(i).toDouble * 127.0 / m + 0.5)
+      out(i) = math.max(-127.0, math.min(127.0, v)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** [[int8Encode]] as array<int> — the oracle-gate / Column-algebra view. */
+  def int8EncodeInts(vec: ArrayData): Array[Int] = {
+    val bytes = int8Encode(vec)
+    val out = new Array[Int](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = bytes(i).toInt; i += 1 }
+    out
+  }
+
+  /** Scale of [[int8Encode]]'s codes: maxabs / 127.0 (0.0 for zero/empty). */
+  def int8Scale(vec: ArrayData): Double = int8MaxAbs(vec) / 127.0
+
+  /** Exact integer dot product of two signed-int8 code arrays. The true
+    * dot is `int8Dot(a, b) * scaleA * scaleB`; cosine needs no scales:
+    * `int8Dot(a, b) / sqrt(int8Dot(a, a) * int8Dot(b, b))`. */
+  def int8Dot(a: Array[Byte], b: Array[Byte]): Long = {
+    var acc = 0L
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      acc += a(i).toLong * b(i).toLong
+      i += 1
+    }
+    acc
+  }
+
+  /** Decode int8 codes back to floats: `code_i * scale` (lossy inverse). */
+  def int8Decode(codes: Array[Byte], scale: Double): Array[Float] = {
+    val out = new Array[Float](codes.length)
+    var i = 0
+    while (i < codes.length) {
+      out(i) = (codes(i).toDouble * scale).toFloat
+      i += 1
+    }
+    out
+  }
+
   private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -2109,6 +2182,122 @@ case class PqReconstruct(child: Expression, codebooks: Array[Array[Array[Float]]
     copy(child = newChild)
 }
 
+/** int8_encode(vec): symmetric per-vector int8 quantization of a float
+  * vector -> one signed byte per dimension (4x smaller at rest and on the
+  * scan than float32; the cheap storage tier below PQ's 16x). */
+case class Int8Encode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"int8_encode expects array<float>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(vec: Any): Any =
+    VectorKernels.int8Encode(vec.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernels.int8Encode($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** int8_encode_ints(vec): the same codes as array<int> — the oracle-gate /
+  * Column-algebra view of [[Int8Encode]]. */
+case class Int8EncodeInts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"int8_encode_ints expects array<float>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(vec: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.int8EncodeInts(vec.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorKernels.int8EncodeInts($a))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** int8_scale(vec): the dequantization scale maxabs/127 for [[Int8Encode]]'s
+  * codes (0.0 for zero/empty vectors). */
+case class Int8Scale(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"int8_scale expects array<float>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(vec: Any): Any =
+    VectorKernels.int8Scale(vec.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernels.int8Scale($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** int8_dot(a, b): exact integer dot product of two int8 code arrays (the
+  * true dot is this times both scales; cosine needs no scales at all). */
+case class Int8Dot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"int8_dot expects binary inputs, got ${l.sql}, ${r.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.int8Dot(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.int8Dot($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** int8_decode(codes, scale): lossy inverse of [[Int8Encode]]. */
+case class Int8Decode(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"int8_decode expects (binary, double), got ${l.sql}, ${r.sql}")
+  }
+
+  override def nullSafeEval(codes: Any, scale: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.int8Decode(codes.asInstanceOf[Array[Byte]], scale.asInstanceOf[Double]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, s) => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorKernels.int8Decode($a, $s))")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** pq_code_norm(codes): reconstruction norm from precomputed per-centroid
   * squared norms — the denominator of the approximate cosine. */
 case class PqCodeNorm(child: Expression, normSq: Array[Array[Double]])
@@ -2267,6 +2456,18 @@ object vectors {
 
   def pq_reconstruct(codes: Column, codebooks: Array[Array[Array[Float]]]): Column =
     PqReconstruct(codes.asExpression, codebooks).asColumn
+
+  def int8_encode(vec: Column): Column = Int8Encode(vec.asExpression).asColumn
+
+  def int8_encode_ints(vec: Column): Column = Int8EncodeInts(vec.asExpression).asColumn
+
+  def int8_scale(vec: Column): Column = Int8Scale(vec.asExpression).asColumn
+
+  def int8_dot(a: Column, b: Column): Column =
+    Int8Dot(a.asExpression, b.asExpression).asColumn
+
+  def int8_decode(codes: Column, scale: Column): Column =
+    Int8Decode(codes.asExpression, scale.asExpression).asColumn
 
   /** Hamming distance between two 64-bit hashes as a Column. */
   def hamming64(a: Column, b: Column): Column =

@@ -211,6 +211,23 @@ object PyBridge {
   def hashedWordShingles(c: Column, n: Int): Column =
     graft.functions.vectors.hashed_word_shingles(c, n)
 
+  def int8Encode(vec: Column): Column = graft.functions.vectors.int8_encode(vec)
+
+  def int8EncodeInts(vec: Column): Column = graft.functions.vectors.int8_encode_ints(vec)
+
+  def int8Scale(vec: Column): Column = graft.functions.vectors.int8_scale(vec)
+
+  def int8Dot(a: Column, b: Column): Column = graft.functions.vectors.int8_dot(a, b)
+
+  def int8Decode(codes: Column, scale: Column): Column =
+    graft.functions.vectors.int8_decode(codes, scale)
+
+  def int8BruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                         queryId: Column, queryVec: Column,
+                         corpusId: Column, corpusVec: Column, k: Int): DataFrame =
+    graft.ann.Ann.int8BruteForceTopK(
+      queries, corpus, queryId, queryVec, corpusId, corpusVec, k)
+
   def cosineSimilarity(a: Column, b: Column): Column =
     graft.functions.vectors.cosine_similarity(a, b)
 

@@ -636,6 +636,41 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("int8 quantization: codes/scale/decode round-trip within one step") {
+    import graft.functions.vectors
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector -> zero codes, scale 0
+      (3L, Array(2.0f, 2.0f, -2.0f, 1.0f))).toDF("id", "vec")
+    val got = df.select(col("id"),
+      vectors.int8_encode_ints(col("vec")).as("codes"),
+      vectors.int8_scale(col("vec")).as("scale"),
+      vectors.int8_decode(vectors.int8_encode(col("vec")), vectors.int8_scale(col("vec"))).as("back"))
+      .as[(Long, Seq[Int], Double, Seq[Float])].collect().sortBy(_._1)
+    // vec 1: maxabs 1.0 -> codes floor(x*127 + 0.5)
+    assert(got(0)._2 == Seq(64, -127, 32, 0) && got(0)._3 == 1.0 / 127.0)
+    assert(got(1)._2 == Seq(0, 0, 0, 0) && got(1)._3 == 0.0)
+    assert(got(2)._2 == Seq(127, 127, -127, 64))
+    // decode error bounded by half a quantization step per coordinate
+    got.foreach { case (id, _, scale, back) =>
+      val orig = df.filter(col("id") === id).select("vec").as[Seq[Float]].head()
+      orig.zip(back).foreach { case (o, b) =>
+        assert(math.abs(o - b) <= scale / 2 + 1e-6, s"id $id: $o vs $b") }
+    }
+  }
+
+  test("int8BruteForceTopK matches float brute force on separated clusters") {
+    val data = clusteredVectors(4, 6, 32, 0.02f)
+    val df = data.toDF("id", "vec")
+    val queries = df.filter(col("id") < 4)
+    val brute = Ann.bruteForceTopK(queries, df, col("id"), col("vec"), col("id"), col("vec"), k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val q8 = Ann.int8BruteForceTopK(queries, df, col("id"), col("vec"), col("id"), col("vec"), k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(q8.contains).toDouble / brute.size
+    assert(recall >= 0.9, s"int8 recall $recall") // near-1 at dim 32
+  }
+
   test("lshTopK approximates brute force on tight clusters") {
     val data = clusteredVectors(5, 8, 32, 0.02f)
     val df = data.toDF("id", "vec")

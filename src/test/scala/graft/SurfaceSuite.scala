@@ -135,6 +135,17 @@ class SurfaceSuite extends AnyFunSuite with SparkTest {
       .collect().head
     assert(math.abs(vrow.getDouble(0) - 1.0) < 1e-9)
     assert(math.abs(vrow.getDouble(1) - 1.0) < 1e-9)
+    // int8 quantization family round-trips through SQL
+    val irow = spark.sql(
+      """SELECT int8_encode_ints(v) AS codes, int8_scale(v) AS s,
+        |       int8_dot(int8_encode(v), int8_encode(v)) AS dd,
+        |       int8_decode(int8_encode(v), int8_scale(v)) AS back FROM VALUES
+        |  (array(CAST(0.5 AS FLOAT), CAST(-1.0 AS FLOAT))) AS t(v)""".stripMargin)
+      .collect().head
+    assert(irow.getSeq[Int](0) == Seq(64, -127))
+    assert(irow.getDouble(1) == 1.0 / 127.0)
+    assert(irow.getLong(2) == 64L * 64 + 127L * 127)
+    assert(math.abs(irow.getSeq[Float](3).head - 0.5f) <= 0.5 / 127 + 1e-6)
     // binary kernels
     val brow = spark.sql(
       "SELECT byte_entropy(CAST('aaaa' AS BINARY)) AS e, " +
