@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame
 from graftspark import _bridge
 from graftspark.diff import _pure
 
-__all__ = ["DiffMode", "DiffComparators", "DiffOptions", "Differ", "diff", "diff_with"]
+__all__ = ["DiffMode", "DiffComparators", "DiffOptions", "Differ", "diff",
+           "diff_with", "patch_right", "patch_left"]
 
 
 _ISO_DURATION = _re.compile(
@@ -303,6 +304,36 @@ class Differ:
                           list(id_columns), list(ignore_columns or []))
         return DataFrame(jdf, left.sparkSession)
 
+    def patch_right(self, diff_result: DataFrame) -> DataFrame:
+        """Reconstruct the RIGHT snapshot from a (non-sparse) diff result:
+        drop deletes, take right-prefixed values under their original
+        names — patch_right(left.diff(right, id)) == right, row for row.
+        Pure column algebra, so it works on any engine's diff output."""
+        return self._patch(diff_result, self._options.right_column_prefix,
+                           self._options.delete_diff_value)
+
+    def patch_left(self, diff_result: DataFrame) -> DataFrame:
+        """Mirror of patch_right: drop inserts, take left values — replay a
+        diff backwards to roll a snapshot back."""
+        return self._patch(diff_result, self._options.left_column_prefix,
+                           self._options.insert_diff_value)
+
+    def _patch(self, d: DataFrame, prefix: str, drop_action: str) -> DataFrame:
+        from pyspark.sql.functions import col as _c
+        o = self._options
+        lp, rp, take = (o.left_column_prefix + "_",
+                        o.right_column_prefix + "_", prefix + "_")
+        cols = d.columns
+        if o.diff_column not in cols:
+            raise ValueError(f"not a diff result: no {o.diff_column!r} column")
+        ids = [c for c in cols
+               if c != o.diff_column and c != o.change_column
+               and not c.startswith(lp) and not c.startswith(rp)]
+        vals = [c for c in cols if c.startswith(take)]
+        return (d.filter(_c(o.diff_column) != drop_action)
+                .select([_c(f"`{c}`") for c in ids] +
+                        [_c(f"`{c}`").alias(c[len(take):]) for c in vals]))
+
     def diff_with(self, left: DataFrame, right: DataFrame, *id_columns: str,
                   ignore_columns: Optional[List[str]] = None) -> DataFrame:
         """Diff as an (action, left-struct, right-struct) triple: columns
@@ -323,6 +354,18 @@ def diff(left: DataFrame, right: DataFrame, *id_columns: str,
     """Full-outer compare of two DataFrames on id columns; emits the diff
     action column N/C/D/I, id columns, and per-side value columns."""
     return Differ(options, engine).diff(left, right, *id_columns, ignore_columns=ignore_columns)
+
+
+def patch_right(diff_result: DataFrame,
+                options: Optional[DiffOptions] = None) -> DataFrame:
+    """Reconstruct the right snapshot from a (non-sparse) diff result."""
+    return Differ(options).patch_right(diff_result)
+
+
+def patch_left(diff_result: DataFrame,
+               options: Optional[DiffOptions] = None) -> DataFrame:
+    """Reconstruct the left snapshot from a (non-sparse) diff result."""
+    return Differ(options).patch_left(diff_result)
 
 
 def diff_with(left: DataFrame, right: DataFrame, *id_columns: str,

@@ -78,6 +78,15 @@ class GraftsparkTest(unittest.TestCase):
         ]
         self.assertEqual(actual, expected)
 
+    def test_diff_patch(self):
+        from graftspark.diff import patch_left, patch_right
+        left, right = self._left_right()
+        d = left.diff(right, "id")
+        self.assertEqual(sorted(map(tuple, patch_right(d).collect())),
+                         sorted(map(tuple, right.collect())))
+        self.assertEqual(sorted(map(tuple, patch_left(d).collect())),
+                         sorted(map(tuple, left.collect())))
+
     def test_diff_options_change_column_sparse_sidebyside(self):
         from graftspark.diff import DiffMode, DiffOptions
         left, right = self._left_right()

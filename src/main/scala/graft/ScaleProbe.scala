@@ -67,7 +67,8 @@ object ScaleProbe {
       "span_stats", "bm25_topk", "pq_topk", "classifier", "semantic_dedup",
       "dsir", "vocab", "streaming_neardup_state", "streaming_embedding_state",
       "bpe_encode", "boilerplate", "kmv_sketch", "containment",
-      "jaccard_prefix", "streaming_seeded_state", "streaming_domain_cap_state")
+      "jaccard_prefix", "streaming_seeded_state", "streaming_domain_cap_state",
+      "int8_footprint")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -580,6 +581,60 @@ object ScaleProbe {
         graft.streaming.StreamingDomainCap.capPerDomain(
           st, col("doc_id"), col("url"), maxPerDomain = 5,
           "ts", "0 seconds", stateRetentionMs = 0L).toDF())
+    }
+
+    // --- int8 footprint: bytes at rest + topk-from-disk, float vs codes --
+    // the quantized corpus is written ONCE (encode at write time) and every
+    // later scan reads the small layout; the probe reports each path's
+    // on-disk parquet bytes (rows field) and its top-k-from-disk wall-clock
+    if (enabled("int8_footprint")) {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      def signFlipF(vec: Column, rep: Column): Column =
+        transform(vec, (x, i) =>
+          x * when(pmod(xxhash64(rep, i), lit(2)) === 0, lit(1.0f)).otherwise(lit(-1.0f)))
+      val big = amplify(emb, n).select(
+        (col("vec_id").cast("long") + col("__rep") * 1000000L).as("vec_id"),
+        signFlipF(col("embedding"), col("__rep")).as("embedding"))
+      val root = java.nio.file.Files.createTempDirectory("graft_int8fp").toString
+      big.write.parquet(s"$root/float")
+      big.select(col("vec_id"),
+        graft.functions.vectors.int8_encode(col("embedding")).as("codes"),
+        graft.functions.vectors.int8_scale(col("embedding")).as("scale"))
+        .write.parquet(s"$root/int8")
+      def bytesOf(p: String): Long = {
+        val d = new java.io.File(p)
+        d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      }
+      val fcorp = spark.read.parquet(s"$root/float")
+      val fq = fcorp.filter(col("vec_id") < 20)
+      val (nF, tF) = time {
+        graft.ann.Ann.bruteForceTopK(fq, fcorp,
+          col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 3).count()
+      }
+      val ccorp = spark.read.parquet(s"$root/int8")
+      val q8 = ccorp.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("codes").as("qcodes"))
+        .withColumn("qnorm",
+          graft.functions.vectors.int8_dot(col("qcodes"), col("qcodes")))
+      val c8 = ccorp.select(col("vec_id").as("neighbor_id"), col("codes"))
+        .withColumn("cnorm",
+          graft.functions.vectors.int8_dot(col("codes"), col("codes")))
+      val (n8, t8) = time {
+        broadcast(q8).crossJoin(c8)
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("cos8",
+            when(col("qnorm") === 0L || col("cnorm") === 0L, lit(0.0))
+              .otherwise(
+                graft.functions.vectors.int8_dot(col("qcodes"), col("codes")).cast("double") /
+                  sqrt(col("qnorm").cast("double") * col("cnorm").cast("double"))))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("query_id")).orderBy(col("cos8").desc, col("neighbor_id"))))
+          .filter(col("rank") <= 3).count()
+      }
+      require(nF == n8, s"int8 topk row count $n8 != float $nF")
+      reportAlways("int8_float_path", bytesOf(s"$root/float"), tF)
+      reportAlways("int8_code_path", bytesOf(s"$root/int8"), t8)
     }
 
     // --- BPE encode: narrow kernel scan, trained once on the sample ------

@@ -144,6 +144,13 @@ object SparkEntry {
     "diff_orders" -> ((s, dir) =>
       diffLeft(s, dir).diff(diffRight(s, dir), "o_orderkey")),
 
+    // patch closure: replay the diff over the left snapshot and get the
+    // right snapshot back, row for row — the oracle recomputes the right
+    // side DIRECTLY, never touching the diff
+    "diff_patch_right" -> ((s, dir) =>
+      graft.diff.Diff.patchRight(
+        diffLeft(s, dir).diff(diffRight(s, dir), "o_orderkey"))),
+
     // O6 diff modes: LeftSide projection
     "diff_orders_leftside" -> ((s, dir) =>
       diffLeft(s, dir).diff(diffRight(s, dir),
@@ -1985,6 +1992,8 @@ object SparkEntry {
           "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
 
       "diff_orders" -> plainDiffSelect,
+
+      "diff_patch_right" -> diffRightSql,
 
       "diff_orders_sidebyside" -> plainDiffSelect,
 

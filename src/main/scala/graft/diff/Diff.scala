@@ -281,6 +281,49 @@ class Differ(val options: DiffOptions) extends Serializable {
     df.select(col(backticks(plainOptions.diffColumn)).as("_1"), leftStruct, rightStruct)
       .as[(String, T, U)]
   }
+
+  /**
+   * Reconstruct the RIGHT side from a ColumnByColumn/SideBySide diff
+   * result — the closure of the diff family: a diff is not just a report,
+   * it is a PATCH. Ship the diff of two 100 TB snapshots (typically a tiny
+   * fraction of either) and replay it instead of shipping the snapshot:
+   * `patchRight(left.diff(right, id)) == right`, row for row (sbt-pinned).
+   *
+   * Column roles come from the diff schema itself: value columns carry the
+   * configured side prefix, ids are the unprefixed survivors. Rows with the
+   * delete action are dropped; every other action contributes its
+   * right-side values under the original names (the diff JOIN already
+   * materialized them — N rows carry the identical value on both sides).
+   * NOT defined for sparse diffs, whose unchanged values are nulled out by
+   * design: patching those needs the base dataset, at which point you have
+   * the snapshot anyway.
+   */
+  def patchRight(diffResult: DataFrame): DataFrame =
+    patchSide(diffResult, options.rightColumnPrefix, options.deleteDiffValue)
+
+  /** Mirror of [[patchRight]]: reconstruct the LEFT side (drop inserts,
+    * take left-prefixed values) — replay a diff BACKWARDS to roll a
+    * snapshot back. */
+  def patchLeft(diffResult: DataFrame): DataFrame =
+    patchSide(diffResult, options.leftColumnPrefix, options.insertDiffValue)
+
+  private def patchSide(diffResult: DataFrame, prefix: String,
+                        dropAction: String): DataFrame = {
+    val lp = options.leftColumnPrefix + "_"
+    val rp = options.rightColumnPrefix + "_"
+    val take = prefix + "_"
+    val cols = diffResult.columns.toSeq
+    require(cols.contains(options.diffColumn),
+      s"not a diff result: no '${options.diffColumn}' column in ${cols.mkString(", ")}")
+    val idCols = cols.filterNot(c =>
+      c == options.diffColumn || options.changeColumn.contains(c) ||
+        c.startsWith(lp) || c.startsWith(rp))
+    val valueCols = cols.filter(_.startsWith(take))
+    diffResult
+      .filter(col(backticks(options.diffColumn)) =!= dropAction)
+      .select(idCols.map(c => col(backticks(c))) ++
+        valueCols.map(c => col(backticks(c)).as(c.stripPrefix(take))): _*)
+  }
 }
 
 object Differ {
@@ -325,6 +368,12 @@ object Diff {
   def ofWith[T, U](left: Dataset[T], right: Dataset[U],
                    idColumns: Seq[String], ignoreColumns: Seq[String] = Seq.empty): Dataset[(String, T, U)] =
     default.diffWith(left, right, idColumns, ignoreColumns)
+
+  /** [[Differ.patchRight]] under the default options. */
+  def patchRight(diffResult: DataFrame): DataFrame = default.patchRight(diffResult)
+
+  /** [[Differ.patchLeft]] under the default options. */
+  def patchLeft(diffResult: DataFrame): DataFrame = default.patchLeft(diffResult)
 
   // Java API (reference: Diff.scala:485-497)
   def of[T](left: Dataset[T], right: Dataset[T], idColumns: java.util.List[String],

@@ -39,6 +39,25 @@ class DiffSuite extends AnyFunSuite with SparkTest {
       Row("I", 4, null, "four")))
   }
 
+  test("patchRight/patchLeft replay the diff into either snapshot exactly") {
+    val d = left.diff(right, "id")
+    assert(rows(Diff.patchRight(d)) === rows(right.toDF()))
+    assert(rows(Diff.patchLeft(d)) === rows(left.toDF()))
+    // custom prefixes and a change column round-trip too
+    val opts = DiffOptions.default
+      .withLeftColumnPrefix("a").withRightColumnPrefix("b")
+      .withChangeColumn("changes")
+    val d2 = left.diff(right, opts, "id")
+    val differ = new Differ(opts)
+    assert(rows(differ.patchRight(d2)) === rows(right.toDF()))
+    assert(rows(differ.patchLeft(d2)) === rows(left.toDF()))
+    // not a diff result -> clear error
+    val e = intercept[IllegalArgumentException] {
+      Diff.patchRight(left.toDF())
+    }
+    assert(e.getMessage.contains("diff"))
+  }
+
   test("diff with no id columns treats all columns as id: only N/D/I") {
     val result = left.diff(right)
     assert(result.columns.toSeq === Seq("diff", "id", "value"))
