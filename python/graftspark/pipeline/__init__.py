@@ -10,7 +10,7 @@ near_dup_pairs_minhash, deduplicate_minhash, brute_force_top_k) delegate to
 graft.text.TextFunctions / graft.dedup.Dedup / graft.ann.Ann.
 """
 
-from typing import List
+from typing import Dict, List
 
 from pyspark import SparkContext
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -31,7 +31,7 @@ __all__ = [
     "build_blocklist_artifact", "decontaminate_with_artifact",
     "curate", "register_sql_functions",
     "connected_components", "assign_clusters", "deduplicate_by_clusters",
-    "keep_best_by_clusters",
+    "keep_best_by_clusters", "split_by_clusters", "soft_dedup_weights",
     "deduplicate_minhash_clusters", "hash_sample", "stratified_hash_sample",
     "redact_pii", "redact_emails", "redact_ipv4", "redact_long_digits", "strip_html",
     "fold_accents",
@@ -688,6 +688,36 @@ def keep_best_by_clusters(df: DataFrame, id_col: ColumnOrName,
     plans as a map-side WindowGroupLimit rank-1 filter."""
     jdf = _bridge(df).keepBestByClusters(
         df._jdf, _jcol(id_col), _jcol(score), pairs._jdf, int(max_iterations))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def split_by_clusters(df: DataFrame, id_col: ColumnOrName, pairs: DataFrame,
+                      weights: Dict[str, float], salt: str = "graft",
+                      output_column: str = "split",
+                      cluster_column: str = "cluster_id",
+                      max_iterations: int = 50) -> DataFrame:
+    """Leakage-safe train/val/test split: the split hash is computed on the
+    near-dup CLUSTER id, so a whole family of near-duplicates lands in
+    exactly one split (a doc-hash split would put copy A in train and copy
+    B in test — silent eval inflation)."""
+    names = list(weights.keys())
+    jdf = _bridge(df).splitByClusters(
+        df._jdf, _jcol(id_col), pairs._jdf, names,
+        [float(weights[n]) for n in names], salt, output_column,
+        cluster_column, int(max_iterations))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def soft_dedup_weights(df: DataFrame, id_col: ColumnOrName, pairs: DataFrame,
+                       alpha: float = 1.0, weight_column: str = "dedup_weight",
+                       cluster_column: str = "cluster_id",
+                       max_iterations: int = 50) -> DataFrame:
+    """Soft dedup: weight each document `cluster_size^(-alpha)` instead of
+    dropping duplicates — at alpha=1 every near-dup cluster contributes one
+    unit of total weight (hard dedup in expectation); alpha=0 is no dedup."""
+    jdf = _bridge(df).softDedupWeights(
+        df._jdf, _jcol(id_col), pairs._jdf, float(alpha), weight_column,
+        cluster_column, int(max_iterations))
     return DataFrame(jdf, df.sparkSession)
 
 

@@ -355,6 +355,15 @@ class GraftsparkTest(unittest.TestCase):
         best = sorted(r["id"] for r in
                       P.keep_best_by_clusters(scored, "id", "score", pairs).collect())
         self.assertEqual(best, [2, 4])  # highest score in the 1~3~2 family wins
+        # leakage-safe split: the 1~3~2 family shares one split label
+        sp = {r["id"]: r["split"] for r in P.split_by_clusters(
+            base, "id", pairs, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+        self.assertEqual(len({sp[1], sp[2], sp[3]}), 1)
+        # soft dedup: family of 3 weighs 1/3 each, singleton weighs 1
+        w = {r["id"]: r["dedup_weight"] for r in
+             P.soft_dedup_weights(base, "id", pairs).collect()}
+        self.assertAlmostEqual(w[1], 1.0 / 3)
+        self.assertEqual(w[4], 1.0)
         # redaction scrubs emails, IPv4 and long digit runs
         red = self.spark.createDataFrame(
             [("mail a@b.co from 8.8.8.8 ref 987654321",)], ["t"]) \

@@ -1513,6 +1513,34 @@ object SparkEntry {
       out.select(col("doc_id"), col("n_chars"))
     }),
 
+    // leakage-safe split: the split hash is computed on the near-dup
+    // CLUSTER id, so a whole family of near-duplicates lands in exactly one
+    // split — a doc-hash split would put copy A in train and copy B in test
+    "split_leakage_safe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val handle = UnpersistHandle()
+      val pairs = graft.dedup.Dedup.nearDupPairsMinHash(
+        docs, col("doc_id"), col("text"), threshold = 0.8, unpersistHandle = handle)
+      val out = graft.dedup.Clustering.splitByClusters(
+        docs.select(col("doc_id")), col("doc_id"), pairs,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      handle.unpersist()
+      out.select(col("doc_id"), col("cluster_id"), col("split"))
+    }),
+
+    // soft dedup: near-duplicates get weight 1/cluster_size instead of
+    // being dropped — every cluster contributes one unit of total weight
+    "soft_dedup_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val handle = UnpersistHandle()
+      val pairs = graft.dedup.Dedup.nearDupPairsMinHash(
+        docs, col("doc_id"), col("text"), threshold = 0.8, unpersistHandle = handle)
+      val out = graft.dedup.Clustering.softDedupWeights(
+        docs.select(col("doc_id")), col("doc_id"), pairs)
+      handle.unpersist()
+      out.select(col("doc_id"), col("cluster_id"), col("dedup_weight"))
+    }),
+
     // SimHash bit-band candidates verified by exact shingle Jaccard
     "dedup_simhash_pairs" -> ((s, dir) => {
       val handle = UnpersistHandle()
@@ -3058,6 +3086,38 @@ object SparkEntry {
           "(SELECT doc_id, n_chars, row_number() OVER " +
           "(PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn FROM s) " +
           "WHERE rn = 1"),
+
+      // same recursive-CTE components, then the split_assign CASE on the
+      // CLUSTER id's md5 (cumulative thresholds 0.8 -> cccccccd, 0.9 ->
+      // e6666666) — the leakage-safety claim is structural: split is a
+      // pure function of cluster_id, so no cluster can straddle splits
+      "split_leakage_safe" ->
+        (s"WITH RECURSIVE $docTokCte, $docShCte, $docPairCte, " +
+          "e AS (SELECT ia AS a, ib AS b FROM p WHERE j >= 0.8 " +
+          "UNION SELECT ib AS a, ia AS b FROM p WHERE j >= 0.8), " +
+          "r(a, b) AS (SELECT a, b FROM e " +
+          "UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a WHERE e.b <> r.a), " +
+          "c AS (SELECT d.doc_id, CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT) AS cluster_id " +
+          "FROM documents d LEFT JOIN r ON d.doc_id = r.a GROUP BY d.doc_id) " +
+          "SELECT doc_id, cluster_id, CASE " +
+          "WHEN substring(md5('graft' || CAST(cluster_id AS VARCHAR)), 1, 8) < 'cccccccd' THEN 'train' " +
+          "WHEN substring(md5('graft' || CAST(cluster_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val' " +
+          "ELSE 'test' END AS split FROM c"),
+
+      // same components, weight = the literal IEEE division 1.0/size —
+      // bit-identical across engines, so the gate hashes exactly
+      "soft_dedup_weights" ->
+        (s"WITH RECURSIVE $docTokCte, $docShCte, $docPairCte, " +
+          "e AS (SELECT ia AS a, ib AS b FROM p WHERE j >= 0.8 " +
+          "UNION SELECT ib AS a, ia AS b FROM p WHERE j >= 0.8), " +
+          "r(a, b) AS (SELECT a, b FROM e " +
+          "UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a WHERE e.b <> r.a), " +
+          "c AS (SELECT d.doc_id, CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT) AS cluster_id " +
+          "FROM documents d LEFT JOIN r ON d.doc_id = r.a GROUP BY d.doc_id), " +
+          "sz AS (SELECT cluster_id, COUNT(*) AS n FROM c GROUP BY cluster_id) " +
+          "SELECT c.doc_id, c.cluster_id, " +
+          "CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE) AS dedup_weight " +
+          "FROM c JOIN sz USING (cluster_id)"),
 
       "dedup_simhash_pairs" -> docPairsSql,
 

@@ -223,6 +223,76 @@ object Clustering {
     out
   }
 
+  /**
+   * Leakage-safe train/val/test split: the split hash is computed on the
+   * near-dup CLUSTER id, not the document id, so a whole family of
+   * near-duplicates lands in exactly one split. Splitting by document hash
+   * leaks: with A ~ B near-identical, A in train and B in test means the
+   * held-out set is partly memorized training data — the standard silent
+   * eval inflation in web-corpus pipelines. Hashing the component minimum
+   * instead makes that impossible by construction; singletons (no
+   * duplicate) degrade to the plain [[graft.sample.Sampling.splitByHash]]
+   * assignment on their own id.
+   *
+   * Scale shape: [[assignClusters]]'s bounded component map + equi-join,
+   * then a narrow md5-threshold CASE — no shuffle beyond the cluster join.
+   * The realized split fractions deviate from `weights` by the duplicate
+   * mass (a 10-doc cluster moves as one unit of 10); that is the point,
+   * not a defect.
+   */
+  def splitByClusters(
+      df: DataFrame, id: Column, pairs: DataFrame,
+      weights: Seq[(String, Double)],
+      salt: String = "graft",
+      outputColumn: String = "split",
+      clusterColumn: String = "cluster_id",
+      maxIterations: Int = 50,
+      localEdgeThreshold: Long = 1L << 20): DataFrame =
+    graft.sample.Sampling.splitByHash(
+      assignClusters(df, id, pairs, clusterColumn, maxIterations, localEdgeThreshold),
+      col(clusterColumn), weights, salt, outputColumn)
+
+  /**
+   * Soft dedup: instead of DROPPING near-duplicates, attach a training
+   * weight `size^(-alpha)` per document, where size is its near-dup
+   * cluster's row count. At `alpha = 1` every cluster contributes exactly
+   * one unit of total weight (sum of weights == number of clusters — the
+   * invariant the suite pins), reproducing hard dedup in expectation while
+   * keeping every copy available to the sampler; `alpha < 1` interpolates
+   * toward "count duplicates partially" (the repetition-tolerant schedules
+   * some LLM data mixes use); `alpha = 0` is no dedup.
+   *
+   * `alpha = 1` is computed as the literal IEEE division `1.0 / size` (not
+   * `pow(size, -1)`) so the result is bit-identical to any engine's
+   * division — that exactness is what the DuckDB gate hashes.
+   *
+   * Scale shape: cluster sizes come from a groupBy count (map-side partial
+   * combine — a billion-copy cluster sends one row per map task), joined
+   * back on the cluster id; AQE's skew-join split handles the hot-cluster
+   * probe side. The corpus never shuffles on anything but the cluster key
+   * it already shuffled on for [[assignClusters]].
+   */
+  def softDedupWeights(
+      df: DataFrame, id: Column, pairs: DataFrame,
+      alpha: Double = 1.0,
+      weightColumn: String = "dedup_weight",
+      clusterColumn: String = "cluster_id",
+      maxIterations: Int = 50,
+      localEdgeThreshold: Long = 1L << 20): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1]: $alpha")
+    val prefix = graft.functions.distinctPrefixFor(df.columns.toSeq)
+    val sz = prefix + "size"
+    val clustered = assignClusters(df, id, pairs, clusterColumn, maxIterations, localEdgeThreshold)
+    val sizes = clustered.groupBy(col(clusterColumn)).agg(count(lit(1)).as(sz))
+    val weight =
+      if (alpha == 1.0) lit(1.0) / col(sz).cast("double")
+      else if (alpha == 0.0) lit(1.0)
+      else pow(col(sz).cast("double"), lit(-alpha))
+    clustered.join(sizes, clusterColumn)
+      .withColumn(weightColumn, weight)
+      .drop(sz)
+  }
+
   // --------------------------------------------------------------------------
   // internals
   // --------------------------------------------------------------------------

@@ -610,6 +610,20 @@ object PyBridge {
     graft.dedup.Clustering.deduplicateMinHashClusters(
       df, id, text, shingleSize, bands, rowsPerBand, threshold)
 
+  def splitByClusters(df: DataFrame, id: Column, pairs: DataFrame,
+                      names: JList[String], weights: JList[java.lang.Double],
+                      salt: String, outputColumn: String, clusterColumn: String,
+                      maxIterations: Int): DataFrame =
+    graft.dedup.Clustering.splitByClusters(df, id, pairs,
+      names.asScala.toSeq.zip(weights.asScala.toSeq.map(_.doubleValue())),
+      salt, outputColumn, clusterColumn, maxIterations)
+
+  def softDedupWeights(df: DataFrame, id: Column, pairs: DataFrame,
+                       alpha: Double, weightColumn: String, clusterColumn: String,
+                       maxIterations: Int): DataFrame =
+    graft.dedup.Clustering.softDedupWeights(df, id, pairs, alpha,
+      weightColumn, clusterColumn, maxIterations)
+
   def hashSample(df: DataFrame, key: Column, rate: Double, salt: String): DataFrame =
     graft.sample.Sampling.hashSample(df, key, rate, salt)
 

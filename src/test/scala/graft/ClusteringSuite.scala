@@ -172,4 +172,51 @@ class ClusteringSuite extends AnyFunSuite with SparkTest {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 4L))
   }
+
+  test("splitByClusters never lets a near-dup cluster straddle splits") {
+    // 200 docs; pairs chain them into 50 clusters of 4 (0~1~2~3, 4~5~6~7, …)
+    val docs = spark.range(200).select(col("id").as("doc_id"))
+    val pairs = (0L until 200L by 4).flatMap(b =>
+      Seq((b, b + 1), (b + 1, b + 2), (b + 2, b + 3))).toDF("idA", "idB")
+    val out = Clustering.splitByClusters(
+      docs, col("doc_id"), pairs, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .as[(Long, Long, String)].collect()
+    assert(out.length == 200)
+    // structural leakage-safety: one split label per cluster
+    out.groupBy(_._2).foreach { case (cl, rows) =>
+      assert(rows.map(_._3).distinct.length == 1, s"cluster $cl straddles splits")
+    }
+    // cluster ids are the chain minima; split equals splitByHash on that id
+    assert(out.forall { case (id, cl, _) => cl == (id / 4) * 4 })
+    val byHash = graft.sample.Sampling.splitByHash(
+      docs.select((col("doc_id") / 4).cast("long").multiply(4).as("k")), col("k"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .as[(Long, String)].collect().toMap
+    assert(out.forall { case (_, cl, sp) => byHash(cl) == sp })
+  }
+
+  test("softDedupWeights: 1/size weights; total weight == cluster count") {
+    val docs = spark.range(100).select(col("id").as("doc_id"))
+    // one cluster of 10 (ids 0..9), one of 2 (20, 21), rest singletons
+    val pairs = ((0L until 9L).map(i => (i, i + 1)) :+ (20L, 21L)).toDF("idA", "idB")
+    val out = Clustering.softDedupWeights(docs, col("doc_id"), pairs)
+      .select(col("doc_id"), col("cluster_id"), col("dedup_weight"))
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 100)
+    val w = out.map(r => r._1 -> r._3).toMap
+    assert((0L until 10L).forall(i => w(i) == 0.1))
+    assert(w(20L) == 0.5 && w(21L) == 0.5)
+    assert(w(50L) == 1.0)
+    // alpha=1 invariant: every cluster contributes exactly one unit
+    val clusters = out.map(_._2).distinct.length
+    assert(math.abs(out.map(_._3).sum - clusters) < 1e-9)
+    // alpha=0 is no dedup; alpha=0.5 interpolates (10-cluster: 10^-0.5)
+    val w0 = Clustering.softDedupWeights(docs, col("doc_id"), pairs, alpha = 0.0)
+      .select(col("doc_id"), col("dedup_weight")).as[(Long, Double)].collect().toMap
+    assert(w0.values.forall(_ == 1.0))
+    val wHalf = Clustering.softDedupWeights(docs, col("doc_id"), pairs, alpha = 0.5)
+      .select(col("doc_id"), col("dedup_weight")).as[(Long, Double)].collect().toMap
+    assert(math.abs(wHalf(0L) - math.pow(10.0, -0.5)) < 1e-12)
+  }
 }
