@@ -50,7 +50,7 @@ __all__ = [
     "vocab_top_tokens", "vocab_coverage_report", "vocab_self_coverage_report",
     "train_ivf", "ivf_assign", "semantic_dup_pairs", "deduplicate_semantic",
     "save_ivf", "load_ivf", "save_pq", "load_pq",
-    "rrf_fuse", "canonicalize_text", "corpus_drift", "contamination_report",
+    "rrf_fuse", "canonicalize_text", "fix_mojibake", "corpus_drift", "contamination_report",
     "deduplicate_semantic_keep_diverse", "compact_parquet",
     "ivf_pq_top_k", "train_pq_residual", "pq_encode_residual",
     "decode_numeric_entities", "decode_html_entities",
@@ -813,6 +813,14 @@ def decode_html_entities(text: ColumnOrName) -> Column:
     reference decode; unknown names stay literal, double escapes drop
     exactly one level."""
     return _col_fn("decodeHtmlEntities", _jcol(text))
+
+
+def fix_mojibake(text: ColumnOrName) -> Column:
+    """Repair UTF-8-read-as-cp1252 corruption ('Ã©' -> 'é') by inverting
+    the mis-decode and strictly re-decoding as UTF-8, to a fixpoint
+    (handles double corruption); whole-string and conservative — text that
+    doesn't round-trip exactly stays unchanged."""
+    return _col_fn("fixMojibake", _jcol(text))
 
 
 def redact_pii(text: ColumnOrName, token: str = "[REDACTED]") -> Column:

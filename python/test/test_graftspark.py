@@ -801,6 +801,12 @@ class GraftsparkTest(unittest.TestCase):
         got = [r["c"] for r in df.select(P.strip_html(col("t")).alias("c")).collect()]
         # entities decode after stripping; &amp;amp; decodes once; &#33; -> space
         self.assertEqual(got, ["Hi <b> &amp; bye", "plain text"])
+        # mojibake repair: classic corruption fixed, clean text untouched
+        moji = self.spark.createDataFrame(
+            [("cafÃ©",), ("café plain",)], ["t"])
+        fixed = [r["c"] for r in
+                 moji.select(P.fix_mojibake(col("t")).alias("c")).collect()]
+        self.assertEqual(fixed, ["café", "café plain"])
 
     def test_pipeline_quality_checks(self):
         from graftspark import pipeline as P

@@ -200,6 +200,12 @@ object GraftExtensions {
       arity("decode_numeric_entities", es, 1)
       graft.functions.DecodeNumericEntities(es.head)
     },
+    fn("fix_mojibake",
+      "fix_mojibake(text) - repair UTF-8-read-as-cp1252 corruption " +
+        "('Ã©' -> 'é') to a fixpoint; non-round-tripping text unchanged") { es =>
+      arity("fix_mojibake", es, 1)
+      graft.functions.FixMojibake(es.head)
+    },
     fn("canonicalize_url",
       "canonicalize_url(url) - deterministic URL normalization (scheme/host " +
         "lowercase, www./default-port/fragment/tracking-param drop, sorted query)") { es =>

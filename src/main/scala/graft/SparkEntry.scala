@@ -1232,6 +1232,16 @@ object SparkEntry {
         graft.text.Html.stripHtml(col("html"), decodeNumericEntities = true)
           .as("clean_text"))),
 
+    // mojibake repair (P76): UTF-8-read-as-cp1252 corruption inverted by
+    // the codegen'd kernel (explicit cp1252 inverse table + strict UTF-8
+    // re-decode to a fixpoint, whole-string-or-nothing). Oracle: planted
+    // golden fixture from an independent python replication of the exact
+    // table and rules (tools/make_golden.py make_mojibake_fixture), with
+    // every real document's text corrupted the way the wild does
+    "fix_mojibake" -> ((s, dir) =>
+      s.read.parquet(s"$goldenDir/mojibake_sf001.parquet").select(col("moji_id"),
+        graft.functions.vectors.fix_mojibake(col("corrupted")).as("fixed_text"))),
+
     // real BPE tokenization (P63): merges learned from THIS corpus's word-
     // frequency table (deterministic — ties by smallest pair), text encoded
     // to the actual subword stream by the codegen'd kernel. Oracle: golden
@@ -2948,6 +2958,10 @@ object SparkEntry {
       "html_extract_entities" ->
         ("SELECT html_id, clean_text " +
           s"FROM read_parquet('$goldenDir/html_entities.parquet')"),
+
+      "fix_mojibake" ->
+        ("SELECT moji_id, fixed_text " +
+          s"FROM read_parquet('$goldenDir/mojibake_sf001.parquet')"),
 
       "bpe_tokens" ->
         ("SELECT doc_id, n_bpe_tokens, bpe_text " +

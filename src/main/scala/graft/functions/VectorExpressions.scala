@@ -585,6 +585,80 @@ object VectorKernels extends Serializable {
     UTF8String.fromString(sb.toString)
   }
 
+  /**
+   * Repair classic mojibake: UTF-8 bytes that were mis-decoded as
+   * Windows-1252 somewhere upstream ("Ã©" for "é", "â€™" for "’" — the
+   * single most common encoding corruption in web crawls). The repair is
+   * the exact inverse of the corruption: map every char back to its
+   * cp1252 byte; if EVERY char maps and the byte string is STRICTLY valid
+   * UTF-8 (overlongs, lone surrogates, >U+10FFFF all rejected), the UTF-8
+   * decode is the original text. Repeated to a fixpoint (≤ 4 passes) so
+   * doubly-corrupted text ("ÃƒÂ©") also repairs.
+   *
+   * Deliberately whole-string and conservative: text mixing genuine "é"
+   * with mojibake "Ã©" maps to a byte string that is NOT valid UTF-8, so
+   * it returns unchanged (no partial/segment rewriting — a curation
+   * kernel must never corrupt clean text; the false-negative is the safe
+   * side). ASCII never changes (it decodes to itself). The cp1252 inverse
+   * table is written out EXPLICITLY (the five undefined bytes 0x81 0x8D
+   * 0x8F 0x90 0x9D do not map) so the oracle's Python replication can
+   * mirror it literally instead of trusting two charset libraries to
+   * agree.
+   */
+  def fixMojibake(text: UTF8String): UTF8String = {
+    var s = text.toString
+    var pass = 0
+    var changed = false
+    while (pass < 4 && {
+      val next = fixMojibakeOnce(s)
+      if (next == null || next == s) false else { s = next; changed = true; true }
+    }) pass += 1
+    if (changed) UTF8String.fromString(s) else text
+  }
+
+  /** One repair pass: null when any char has no cp1252 byte or the byte
+    * string is not strictly valid UTF-8. */
+  private def fixMojibakeOnce(s: String): String = {
+    val n = s.length
+    // fast path: mojibake needs a char whose cp1252 byte is >= 0x80
+    var has = false
+    var i = 0
+    while (i < n && !has) { if (s.charAt(i) >= 0x80) has = true; i += 1 }
+    if (!has) return null
+    val bytes = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      val b = cp1252Byte(s.charAt(i))
+      if (b < 0) return null
+      bytes(i) = b.toByte
+      i += 1
+    }
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    catch { case _: java.nio.charset.CharacterCodingException => null }
+  }
+
+  /** The explicit cp1252 inverse map: byte for a char, -1 when the char is
+    * not cp1252-encodable (incl. the five undefined bytes). 0x00-0x7F and
+    * 0xA0-0xFF are identity; 0x80-0x9F hold the 27 cp1252 specials. */
+  private def cp1252Byte(c: Char): Int =
+    if (c < 0x80) c
+    else if (c >= 0xA0 && c <= 0xFF) c
+    else (c: Int) match {
+      case 0x20AC => 0x80; case 0x201A => 0x82; case 0x0192 => 0x83
+      case 0x201E => 0x84; case 0x2026 => 0x85; case 0x2020 => 0x86
+      case 0x2021 => 0x87; case 0x02C6 => 0x88; case 0x2030 => 0x89
+      case 0x0160 => 0x8A; case 0x2039 => 0x8B; case 0x0152 => 0x8C
+      case 0x017D => 0x8E; case 0x2018 => 0x91; case 0x2019 => 0x92
+      case 0x201C => 0x93; case 0x201D => 0x94; case 0x2022 => 0x95
+      case 0x2013 => 0x96; case 0x2014 => 0x97; case 0x02DC => 0x98
+      case 0x2122 => 0x99; case 0x0161 => 0x9A; case 0x203A => 0x9B
+      case 0x0153 => 0x9C; case 0x017E => 0x9E; case 0x0178 => 0x9F
+      case _ => -1
+    }
+
   /** The HTML 4.01 named character entities (all single-codepoint; a
     * strict subset of HTML5's list, which adds multi-codepoint math forms)
     * plus XML's `apos`. Source: the public HTML 4.01 entity spec.
@@ -1616,6 +1690,31 @@ case class DecodeNumericEntities(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** fix_mojibake(text): repair UTF-8-read-as-cp1252 corruption ("Ã©" ->
+  * "é") by inverting the mis-decode and strictly re-decoding as UTF-8, to
+  * a fixpoint (≤4 passes, handles double corruption); whole-string and
+  * conservative — anything that doesn't round-trip exactly stays
+  * unchanged (see [[VectorKernels.fixMojibake]] for the exact rules). */
+case class FixMojibake(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"fix_mojibake expects string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    VectorKernels.fixMojibake(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorKernels.fixMojibake($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /**
  * Serializable BPE encoder shipped inside the plan (like the PQ codebooks):
  * the merge-rank table plus a per-thread word→subwords memo — real text
@@ -2369,6 +2468,9 @@ object vectors {
 
   def decode_html_entities(text: Column): Column =
     DecodeHtmlEntities(text.asExpression).asColumn
+
+  def fix_mojibake(text: Column): Column =
+    FixMojibake(text.asExpression).asColumn
 
   def bpe_encode_tokens(text: Column, merges: Array[(String, String)]): Column =
     BpeEncodeTokens(text.asExpression, merges.map(p => Array(p._1, p._2))).asColumn

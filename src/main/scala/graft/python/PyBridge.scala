@@ -674,6 +674,9 @@ object PyBridge {
   def decodeHtmlEntities(c: Column): Column =
     graft.functions.vectors.decode_html_entities(c)
 
+  def fixMojibake(c: Column): Column =
+    graft.functions.vectors.fix_mojibake(c)
+
   // --------------------------------------------------------------------------
   // streaming replay harness + streaming dedup
   // --------------------------------------------------------------------------

@@ -1000,6 +1000,30 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
       .as[String].head() == "xYz")
   }
 
+  test("fixMojibake: inverts cp1252 mis-decode to a fixpoint, never touches non-round-tripping text") {
+    def fx(s: String): String = Seq(s).toDF("t")
+      .select(graft.functions.vectors.fix_mojibake(col("t")).as("c"))
+      .as[String].head()
+    def corrupt(s: String): String =
+      new String(s.getBytes("UTF-8"), "windows-1252")
+    // the classic single corruption
+    assert(fx(corrupt("café")) == "café")
+    assert(fx("cafÃ©") == "café")                      // spelled out: Ã©  -> é
+    assert(fx(corrupt("‘smart’ “quotes — dashes… €")) == "‘smart’ “quotes — dashes… €")
+    // double corruption repairs via the fixpoint loop
+    assert(fx(corrupt(corrupt("café…"))) == "café…")
+    // conservatism: ASCII, genuine accents, mixed, and unmappables unchanged
+    assert(fx("plain ascii") == "plain ascii")
+    assert(fx("café — “naïve”") == "café — “naïve”")   // e9+space != valid utf-8
+    assert(fx("mixed é and Ã© text") == "mixed é and Ã© text")
+    assert(fx("中文 with Ã©") == "中文 with Ã©")        // cp1252-unencodable
+    // Â + nbsp is the valid two-byte sequence C2 A0 -> one nbsp
+    assert(fx("\u00c2\u00a0") == "\u00a0")
+    // SQL registration round-trip
+    graft.GraftExtensions.registerAll(spark)
+    assert(spark.sql("SELECT fix_mojibake('cafÃ©') AS c").as[String].head() == "café")
+  }
+
   test("BPE: merge learning matches the hand-computed sequence; encode inverts it") {
     import graft.text.Bpe
     // counts: (a,a) = 2*10 + 5 = 25 beats (a,b) = 18 -> merge 0 = (a,a)

@@ -1043,11 +1043,110 @@ def make_ann_goldens():
     print(f"ann_ivfpq_residual recall@3 vs brute: {hits}/{total} = {hits/total:.3f}")
 
 
+# ---------------------------------------------------------------------------
+# Mojibake repair: an independent python replication of the fixMojibake
+# kernel — explicit cp1252 inverse table (the five undefined bytes 0x81
+# 0x8D 0x8F 0x90 0x9D do NOT map), strict UTF-8 re-decode, fixpoint <= 4
+# passes, whole-string-or-nothing. The fixture plants the hazard classes
+# and corrupts every real document's text the way the wild does
+# (utf8-encode -> cp1252-mis-decode), expecting exact recovery.
+# ---------------------------------------------------------------------------
+def make_mojibake_fixture():
+    CP1252_SPECIALS = {
+        0x20AC: 0x80, 0x201A: 0x82, 0x0192: 0x83, 0x201E: 0x84, 0x2026: 0x85,
+        0x2020: 0x86, 0x2021: 0x87, 0x02C6: 0x88, 0x2030: 0x89, 0x0160: 0x8A,
+        0x2039: 0x8B, 0x0152: 0x8C, 0x017D: 0x8E, 0x2018: 0x91, 0x2019: 0x92,
+        0x201C: 0x93, 0x201D: 0x94, 0x2022: 0x95, 0x2013: 0x96, 0x2014: 0x97,
+        0x02DC: 0x98, 0x2122: 0x99, 0x0161: 0x9A, 0x203A: 0x9B, 0x0153: 0x9C,
+        0x017E: 0x9E, 0x0178: 0x9F,
+    }
+
+    def cp1252_byte(ch):
+        cp = ord(ch)
+        if cp < 0x80:
+            return cp
+        if 0xA0 <= cp <= 0xFF:
+            return cp
+        return CP1252_SPECIALS.get(cp, -1)
+
+    def fix_once(s):
+        if all(ord(c) < 0x80 for c in s):
+            return None
+        bs = bytearray()
+        for c in s:
+            b = cp1252_byte(c)
+            if b < 0:
+                return None
+            bs.append(b)
+        try:
+            return bytes(bs).decode("utf-8", "strict")
+        except UnicodeDecodeError:
+            return None
+
+    def fix(s):
+        for _ in range(4):
+            nxt = fix_once(s)
+            if nxt is None or nxt == s:
+                break
+            s = nxt
+        return s
+
+    # the corruption itself (what a cp1252 mis-decode of utf-8 bytes does);
+    # raises if any utf-8 byte lands on an undefined cp1252 byte, so the
+    # planted suffix avoids such characters
+    def corrupt(s):
+        return s.encode("utf-8").decode("cp1252")
+
+    # NOTE: U+201D (right double quote) is excluded from every corrupt()
+    # input ON PURPOSE: its UTF-8 tail byte 0x9D is one of the five
+    # cp1252-undefined bytes, so a strict cp1252 mis-decode of it cannot
+    # have happened upstream — our inverse model is exactly as strict.
+    suffix = " café — ‘naïve’ résumé… €9"
+    planted = [
+        "plain ascii stays plain ascii",          # unchanged fast path
+        corrupt("single corruption: café — “q’"),  # the classic Ã©/â€œ case
+        corrupt(corrupt("double trouble: café…")),  # fixpoint repairs twice
+        "clean text stays: café — “naïve”",        # e9 alone != valid utf-8
+        "mixed clean é with mojibake Ã© stays",    # whole-string conservatism
+        "unmappable 世界 plus Ã© stays",           # cp1252-unencodable char
+        "\u00c2\u00a0",                  # Â+nbsp -> one nbsp (C2 A0)
+        corrupt("quotes ‘a’ “b bullets • dash – em — ellipsis …"),
+        corrupt("euro € trademark ™ oe œ scaron š"),
+    ]
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    ids, corrupted, fixed = [], [], []
+    for i, p in enumerate(planted):
+        ids.append(int(-(i + 1)))
+        corrupted.append(p)
+        fixed.append(fix(p))
+    # "—" cannot be DOUBLY mis-decoded (its first corruption contains ”,
+    # see the note above), so the double-corruption rows use a dash-free
+    # suffix; every other suffix char survives two strict round trips
+    suffix_double = suffix.replace(" — ", " – ")
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        double = doc_id % 3 == 0
+        t = (text or "") + (suffix_double if double else suffix)
+        c = corrupt(corrupt(t)) if double else corrupt(t)
+        ids.append(int(doc_id))
+        corrupted.append(c)
+        fixed.append(fix(c))
+        assert fixed[-1] == t, f"doc {doc_id}: repair did not invert corruption"
+    table = pa.table({
+        "moji_id": pa.array(ids, pa.int64()),
+        "corrupted": pa.array(corrupted, pa.string()),
+        "fixed_text": pa.array(fixed, pa.string()),
+    })
+    pq.write_table(table, f"{OUT}/mojibake_sf001.parquet")
+    print(f"mojibake_sf001.parquet: {len(ids)} rows")
+
+
 if __name__ == "__main__":
     make_images_fixture()
     make_audio_fixture()
     make_video_fixture()
     make_html_fixture()
+    make_mojibake_fixture()
     make_bpe_fixture()
     make_url_fixture()
     make_deflate_fixture()
