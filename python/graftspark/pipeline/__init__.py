@@ -36,7 +36,7 @@ __all__ = [
     "redact_pii", "redact_emails", "redact_ipv4", "redact_long_digits", "strip_html",
     "fold_accents",
     "asof_join", "range_join", "with_session_index", "session_bounds",
-    "split_by_hash", "gopher_filter",
+    "split_by_hash", "temperature_sample", "gopher_filter",
     "top_k_per_group", "frequent_items", "profile_columns", "key_skew_report",
     "hll_sketches", "merge_hll_sketches", "quality_checks",
     "distinct_count_gate", "deflate_length", "lm_score_bits",
@@ -749,6 +749,17 @@ def stratified_hash_sample(df: DataFrame, strata: ColumnOrName,
     jdf = _bridge(df).stratifiedHashSample(
         df._jdf, _jcol(strata), _jcol(key),
         {str(k): float(v) for k, v in rates.items()}, float(default_rate), salt)
+    return DataFrame(jdf, df.sparkSession)
+
+
+def temperature_sample(df: DataFrame, domain: ColumnOrName, key: ColumnOrName,
+                       alpha: float = 0.5, salt: str = "graft") -> DataFrame:
+    """Temperature-based source balancing: sample domain d at rate
+    (count_min/count_d)^(1-alpha) — the largest no-upsampling mixture whose
+    realized shares follow count^alpha. alpha=1 keeps natural proportions,
+    alpha=0 flattens to equal counts, 0.5 square-roots the imbalance."""
+    jdf = _bridge(df).temperatureSample(
+        df._jdf, _jcol(domain), _jcol(key), float(alpha), salt)
     return DataFrame(jdf, df.sparkSession)
 
 

@@ -338,6 +338,13 @@ class GraftsparkTest(unittest.TestCase):
         strat = P.stratified_hash_sample(docs, "g", "id", {"s0": 0.0}, 1.0)
         self.assertEqual({r["g"] for r in strat.collect()}, {"s1"})
         self.assertEqual(strat.count(), 100)
+        # temperature sampling: alpha=1 keeps everything; alpha=0.5 keeps
+        # the smallest domain whole
+        self.assertEqual(
+            P.temperature_sample(docs, "g", "id", alpha=1.0).count(), 200)
+        temp = P.temperature_sample(docs, "g", "id").groupBy("g").count()
+        tc = {r["g"]: r["count"] for r in temp.collect()}
+        self.assertEqual(min(tc.values()), 100)  # equal-size domains: all kept
         # clustering: 1~3 and 2~3 form one family; 4 is a singleton
         pairs = self.spark.createDataFrame([(1, 3), (2, 3)], ["idA", "idB"])
         base = self.spark.createDataFrame([(1,), (2,), (3,), (4,)], ["id"])

@@ -1195,6 +1195,18 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // temperature-balanced sampling at alpha=0.5: rate_d =
+    // sqrt(count_min/count_d) — IEEE division + IEEE sqrt, both exactly
+    // rounded by spec, so the oracle replays the thresholds bit-for-bit.
+    // The % 2 / source skew filter plants unequal domain sizes.
+    "temperature_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0 || col("source").isin("src0", "src1"))
+      graft.sample.Sampling.temperatureSample(
+        docs, col("source"), col("doc_id"))
+        .select(col("doc_id"), col("source"))
+    }),
+
     // PII redaction: email/IPv4/digit-run scrub with RE2-safe patterns; the
     // PII is synthesized from doc_id (corpus text carries none by itself)
     // unicode canonicalization kernel: the fixture text is ASCII, so the
@@ -2912,6 +2924,19 @@ object SparkEntry {
           "rates AS (SELECT source, LEAST(CAST(1.0 AS DOUBLE), share * t / c) AS rate, " +
           "printf('%08x', CAST(floor(LEAST(CAST(1.0 AS DOUBLE), share * t / c) * CAST(4294967296.0 AS DOUBLE)) AS BIGINT)) AS th " +
           "FROM j, tt) " +
+          "SELECT i.doc_id, i.source FROM input i JOIN rates r USING (source) " +
+          "WHERE substring(md5('graft' || CAST(i.doc_id AS VARCHAR)), 1, 8) < r.th OR r.rate >= 1.0"),
+
+      // rate = sqrt(min_count/count): one exact IEEE division + one exact
+      // IEEE sqrt per domain, the same floor/printf threshold rendering
+      "temperature_sample" ->
+        ("WITH input AS (SELECT doc_id, source FROM documents " +
+          "WHERE doc_id % 3 = 0 OR source IN ('src0', 'src1')), " +
+          "counts AS (SELECT source, CAST(count(*) AS DOUBLE) AS c FROM input GROUP BY source), " +
+          "mn AS (SELECT min(c) AS m FROM counts), " +
+          "rates AS (SELECT source, sqrt(m / c) AS rate, " +
+          "printf('%08x', CAST(floor(sqrt(m / c) * CAST(4294967296.0 AS DOUBLE)) AS BIGINT)) AS th " +
+          "FROM counts, mn) " +
           "SELECT i.doc_id, i.source FROM input i JOIN rates r USING (source) " +
           "WHERE substring(md5('graft' || CAST(i.doc_id AS VARCHAR)), 1, 8) < r.th OR r.rate >= 1.0"),
 

@@ -639,6 +639,10 @@ object PyBridge {
       rates.asScala.map { case (k, v) => k -> v.doubleValue() }.toMap,
       defaultRate, salt)
 
+  def temperatureSample(df: DataFrame, domain: Column, key: Column,
+                        alpha: Double, salt: String): DataFrame =
+    graft.sample.Sampling.temperatureSample(df, domain, key, alpha, salt)
+
   def splitByHash(df: DataFrame, key: Column, names: JList[String],
                   weights: JList[java.lang.Double], salt: String,
                   outputColumn: String): DataFrame =

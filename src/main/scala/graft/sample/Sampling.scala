@@ -254,6 +254,57 @@ object Sampling {
    * the same narrow md5 filter as [[hashSample]]. The corpus itself is
    * scanned once and never shuffled.
    */
+  /**
+   * Temperature-based source balancing — the standard multilingual /
+   * multi-source mix trick: sample domain d at rate
+   * `(count_min / count_d)^(1-alpha)`, the largest no-upsampling mixture
+   * whose realized shares follow `count^alpha`. `alpha = 1` keeps natural
+   * proportions (every rate 1), `alpha = 0` flattens to equal counts per
+   * domain, `alpha = 0.5` (the common default) square-roots the imbalance:
+   * a 100× bigger domain ends up only 10× bigger.
+   *
+   * Exactness: the rate arithmetic is chosen to be bit-identical across
+   * engines — an IEEE division and, at alpha 0.5/0/1, an IEEE sqrt or
+   * nothing (sqrt is exactly rounded by spec; `pow` is only
+   * within-1-ulp, so other alphas are documented as approximate and the
+   * oracle gate pins 0.5). Keep decisions are the same md5-threshold
+   * predicate as [[hashSample]]: deterministic per key, engine-portable.
+   *
+   * Scale shape: one map-side-combining count per domain (tiny), a
+   * broadcast scalar min, a broadcast rates join, then a narrow filter —
+   * the corpus itself never shuffles.
+   */
+  def temperatureSample(
+      df: DataFrame, domain: Column, key: Column,
+      alpha: Double = 0.5, salt: String = "graft"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1]: $alpha")
+    val p = graft.functions.distinctPrefixFor(df.columns.toSeq)
+    val dcol = p + "domain"
+    val ccol = p + "c"
+    val mcol = p + "mn"
+    val rcol = p + "rate"
+    val hcol = p + "threshold"
+    val tagged = df.withColumn(dcol, domain.cast("string"))
+    val counts = tagged.groupBy(col(dcol)).agg(count(lit(1)).cast("double").as(ccol))
+    val mn = counts.agg(min(col(ccol)).as(mcol))
+    val ratio = col(mcol) / col(ccol)
+    val rate =
+      if (alpha == 1.0) lit(1.0)
+      else if (alpha == 0.5) sqrt(ratio)
+      else if (alpha == 0.0) ratio
+      else pow(ratio, lit(1.0 - alpha)) // within 1 ulp, not oracle-pinned
+    val rates = counts.crossJoin(broadcast(mn))
+      .withColumn(rcol, rate)
+      .withColumn(hcol,
+        format_string("%08x", floor(col(rcol) * lit(4294967296.0)).cast("long")))
+      .select(col(dcol), col(rcol), col(hcol))
+    tagged.join(broadcast(rates), dcol)
+      .filter(
+        substring(md5(concat(lit(salt), key.cast("string"))), 1, 8) < col(hcol) ||
+          col(rcol) >= lit(1.0)) // rate == 1: "ffffffff" < "100000000" fails as strings
+      .drop(dcol, rcol, hcol)
+  }
+
   def resampleToMixture(
       df: DataFrame, domain: Column, targets: Map[String, Double],
       key: Column, salt: String = "graft"): DataFrame = {

@@ -521,6 +521,29 @@ class CurationSuite extends AnyFunSuite with SparkTest {
     assert(kept.filter(col("dom") === "zz").count() == 0)
   }
 
+  test("temperatureSample square-roots the imbalance; alpha 0/1 hit the flat/natural poles") {
+    // counts: a = 400, b = 1600 (a 4x imbalance)
+    val df = (0L until 2000L)
+      .map(i => (i, if (i % 5 < 1) "a" else "b"))
+      .toDF("id", "dom")
+    val out = Sampling.temperatureSample(df, col("dom"), col("id"))
+    val counts = out.groupBy("dom").count().as[(String, Long)].collect().toMap
+    // alpha=0.5: smallest domain kept whole; b thins by sqrt(400/1600) = 1/2
+    assert(counts("a") == 400L, s"smallest domain must be kept whole: $counts")
+    assert(math.abs(counts("b") - 800L) < 80, s"b ~ 1600/2: $counts")
+    // alpha=1: natural proportions — everything kept
+    assert(Sampling.temperatureSample(df, col("dom"), col("id"), alpha = 1.0)
+      .count() == 2000L)
+    // alpha=0: flat — b thins toward a's count
+    val flat = Sampling.temperatureSample(df, col("dom"), col("id"), alpha = 0.0)
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(flat("a") == 400L && math.abs(flat("b") - 400L) < 60, s"flat: $flat")
+    // kept SET is partitioning-invariant, like every hash sampler
+    val again = Sampling.temperatureSample(df.repartition(13), col("dom"), col("id"))
+    assert(out.select("id").as[Long].collect().toSet ==
+      again.select("id").as[Long].collect().toSet)
+  }
+
   test("containmentPairs finds planted excerpts that Jaccard near-dup cannot see") {
     val base = (1 to 60).map(i => s"w${i}a w${i}b w${i}c").mkString(" ") // 180 tokens
     val excerpt = base.split(" ").slice(30, 60).mkString(" ")            // 30-token run
