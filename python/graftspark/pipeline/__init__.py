@@ -43,7 +43,7 @@ __all__ = [
     "with_running_total", "pack_sequences", "zorder_by",
     "edit_distance1_pairs", "weighted_hash_sample",
     "extract_media_features", "extract_audio_features", "sample_frames",
-    "drop_exact_payload_duplicates",
+    "drop_exact_payload_duplicates", "cdc_chunks", "chunk_dedup_report",
     "train_pq", "pq_encode", "pq_top_k", "bm25_top_k",
     "repeated_span_stats", "remove_repeated_spans", "classifier_score",
     "dsir_weight_table", "dsir_fit_weights", "dsir_score", "dsir_select_top",
@@ -832,6 +832,28 @@ def fix_mojibake(text: ColumnOrName) -> Column:
     (handles double corruption); whole-string and conservative — text that
     doesn't round-trip exactly stays unchanged."""
     return _col_fn("fixMojibake", _jcol(text))
+
+
+def cdc_chunks(payload: ColumnOrName, avg_bits: int = 12,
+               min_size: int = 2048, max_size: int = 16384) -> Column:
+    """Content-defined chunking of a binary payload: struct(hashes
+    array<long>, sizes array<int>) — Gear rolling-hash boundaries (cut when
+    the masked hash hits zero past min_size, or at max_size), FNV-1a 64
+    chunk ids. Insertion-stable: an edit shifts only nearby chunks."""
+    return _col_fn("cdcChunks", _jcol(payload), int(avg_bits),
+                   int(min_size), int(max_size))
+
+
+def chunk_dedup_report(df: DataFrame, payload: ColumnOrName,
+                       avg_bits: int = 12, min_size: int = 2048,
+                       max_size: int = 16384) -> DataFrame:
+    """One-row corpus report: total/distinct chunk counts and bytes plus
+    dedup_ratio — the fraction of payload mass a content-addressed chunk
+    store would not write. Payload bytes never shuffle; only (hash, size)
+    pairs reach the aggregate."""
+    jdf = _bridge(df).chunkDedupReport(
+        df._jdf, _jcol(payload), int(avg_bits), int(min_size), int(max_size))
+    return DataFrame(jdf, df.sparkSession)
 
 
 def redact_pii(text: ColumnOrName, token: str = "[REDACTED]") -> Column:

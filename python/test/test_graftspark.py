@@ -843,6 +843,21 @@ class GraftsparkTest(unittest.TestCase):
         kept = sorted(r["id"] for r in P.drop_exact_payload_duplicates(
             df, col("id"), col("payload")).collect())
         self.assertEqual(kept, [1, 2])
+        # CDC: two payloads sharing a 4000-byte block dedup at chunk level
+        import random
+        rng = random.Random(5)
+        base = bytes(rng.randrange(256) for _ in range(4000))
+        two = self.spark.createDataFrame(
+            [(1, bytearray(base)), (2, bytearray(base + b"tail!"))],
+            ["id", "payload"])
+        ch = two.select(P.cdc_chunks(
+            col("payload"), avg_bits=5, min_size=16, max_size=128).alias("c")) \
+            .select("c.sizes").collect()
+        self.assertEqual(sorted(sum(r["sizes"]) for r in ch), [4000, 4005])
+        rep = P.chunk_dedup_report(two, col("payload"), avg_bits=5,
+                                   min_size=16, max_size=128).collect()[0]
+        self.assertEqual(rep["total_bytes"], 8005)
+        self.assertGreater(rep["dedup_ratio"], 0.4)
 
     def test_pipeline_key_skew_report(self):
         from graftspark import pipeline as P

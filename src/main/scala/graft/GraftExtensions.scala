@@ -200,6 +200,18 @@ object GraftExtensions {
       arity("decode_numeric_entities", es, 1)
       graft.functions.DecodeNumericEntities(es.head)
     },
+    fn("cdc_chunks",
+      "cdc_chunks(payload[, avgBits, minSize, maxSize]) - content-defined " +
+        "chunk ids+sizes (Gear rolling hash, FNV-1a 64 ids)") { es =>
+      arity("cdc_chunks", es, 1, 4)
+      val avgBits = if (es.length > 1) intLit(es(1), "cdc_chunks", "avgBits")
+                    else graft.multimodal.Cdc.DefaultAvgBits
+      val minSize = if (es.length > 2) intLit(es(2), "cdc_chunks", "minSize")
+                    else graft.multimodal.Cdc.DefaultMinSize
+      val maxSize = if (es.length > 3) intLit(es(3), "cdc_chunks", "maxSize")
+                    else graft.multimodal.Cdc.DefaultMaxSize
+      graft.multimodal.CdcChunks(es.head, avgBits, minSize, maxSize)
+    },
     fn("fix_mojibake",
       "fix_mojibake(text) - repair UTF-8-read-as-cp1252 corruption " +
         "('Ã©' -> 'é') to a fixpoint; non-round-tripping text unchanged") { es =>

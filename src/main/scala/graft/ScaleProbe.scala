@@ -68,7 +68,7 @@ object ScaleProbe {
       "dsir", "vocab", "streaming_neardup_state", "streaming_embedding_state",
       "bpe_encode", "boilerplate", "kmv_sketch", "containment",
       "jaccard_prefix", "streaming_seeded_state", "streaming_domain_cap_state",
-      "int8_footprint")
+      "int8_footprint", "soft_dedup_split")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -89,7 +89,8 @@ object ScaleProbe {
       if (enabled(probe)) reportAlways(probe, rows, sec)
 
     // --- documents: minhash pair-gen + verify, then components ------------
-    if (enabled("minhash_pairs") || enabled("assign_clusters")) {
+    if (enabled("minhash_pairs") || enabled("assign_clusters") ||
+        enabled("soft_dedup_split")) {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val bigDocs = amplify(docs, n)
       .select((col("doc_id") + col("__rep") * 1000000L).as("doc_id"),
@@ -111,6 +112,36 @@ object ScaleProbe {
         .queryExecution.toRdd.count()
     }
     report("assign_clusters", nClusters, tClusters)
+
+    // soft weights + leakage-safe split over the same pair list: the
+    // alpha=1 invariant (sum of weights == cluster count) and the
+    // structural no-straddle guarantee are require-asserted AT EVERY N —
+    // scale growth must never loosen either contract
+    if (enabled("soft_dedup_split")) {
+      val ids = bigDocs.select(col("doc_id"))
+      val (wRows, tW) = time {
+        val w = graft.dedup.Clustering.softDedupWeights(ids, col("doc_id"), pairs._2)
+        val agg = w.agg(
+          sum(col("dedup_weight")).as("total"),
+          countDistinct(col("cluster_id")).as("clusters"),
+          count(lit(1)).as("rows")).collect()(0)
+        require(math.abs(agg.getDouble(0) - agg.getLong(1)) < 1e-6,
+          s"weight sum ${agg.getDouble(0)} != cluster count ${agg.getLong(1)}")
+        agg.getLong(2)
+      }
+      reportAlways("soft_dedup_weights", wRows, tW)
+      val (sRows, tS) = time {
+        val sp = graft.dedup.Clustering.splitByClusters(
+          ids, col("doc_id"), pairs._2,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        val straddlers = sp.groupBy(col("cluster_id"))
+          .agg(countDistinct(col("split")).as("k"))
+          .filter(col("k") > 1).count()
+        require(straddlers == 0L, s"$straddlers clusters straddle splits")
+        sp.count()
+      }
+      reportAlways("split_by_clusters", sRows, tS)
+    }
     }
 
     // --- customer names: fuzzy ED-1 self-join ----------------------------

@@ -1254,6 +1254,28 @@ object SparkEntry {
       s.read.parquet(s"$goldenDir/mojibake_sf001.parquet").select(col("moji_id"),
         graft.functions.vectors.fix_mojibake(col("corrupted")).as("fixed_text"))),
 
+    // content-defined chunking (P78): splitmix64 Gear rolling hash cuts,
+    // FNV-1a 64 chunk ids — every step exact 64-bit integer arithmetic the
+    // python fixture replication mirrors literally. Arrays ship as
+    // comma-joined strings (the driver compare is scalar-typed).
+    "cdc_chunks" -> ((s, dir) =>
+      s.read.parquet(s"$goldenDir/cdc_sf001.parquet").select(col("pay_id"),
+        graft.multimodal.Cdc.cdcChunks(col("payload"),
+          avgBits = 5, minSize = 16, maxSize = 128).as("c"))
+        .select(col("pay_id"),
+          concat_ws(",", transform(col("c.hashes"), _.cast("string"))).as("chunk_hashes"),
+          concat_ws(",", transform(col("c.sizes"), _.cast("string"))).as("chunk_sizes"),
+          size(col("c.hashes")).cast("long").as("n_chunks"))),
+
+    // corpus chunk-dedup report: how much payload byte mass a
+    // content-addressed chunk store would NOT write — the planted shared
+    // block on every 3rd payload is invisible to whole-payload dedup but
+    // shows up here as repeated chunk hashes
+    "cdc_dedup_report" -> ((s, dir) =>
+      graft.multimodal.Cdc.chunkDedupReport(
+        s.read.parquet(s"$goldenDir/cdc_sf001.parquet"), col("payload"),
+        avgBits = 5, minSize = 16, maxSize = 128)),
+
     // real BPE tokenization (P63): merges learned from THIS corpus's word-
     // frequency table (deterministic — ties by smallest pair), text encoded
     // to the actual subword stream by the codegen'd kernel. Oracle: golden
@@ -2987,6 +3009,27 @@ object SparkEntry {
       "fix_mojibake" ->
         ("SELECT moji_id, fixed_text " +
           s"FROM read_parquet('$goldenDir/mojibake_sf001.parquet')"),
+
+      // COALESCE: DuckDB's array_to_string of an EMPTY list is NULL, not ''
+      "cdc_chunks" ->
+        ("SELECT pay_id, COALESCE(array_to_string(hashes, ','), '') AS chunk_hashes, " +
+          "COALESCE(array_to_string(sizes, ','), '') AS chunk_sizes, " +
+          "CAST(len(hashes) AS BIGINT) AS n_chunks " +
+          s"FROM read_parquet('$goldenDir/cdc_sf001.parquet')"),
+
+      // replay the dedup aggregate from the fixture's chunk lists: per-hash
+      // copy counts (sizes are content-determined, min==max per hash), then
+      // the one-row totals and the exact IEEE ratio division
+      "cdc_dedup_report" ->
+        ("WITH z AS (SELECT unnest(hashes) AS hash, unnest(sizes) AS size " +
+          s"FROM read_parquet('$goldenDir/cdc_sf001.parquet')), " +
+          "g AS (SELECT hash, CAST(count(*) AS BIGINT) AS copies, min(size) AS size FROM z GROUP BY hash) " +
+          "SELECT CAST(sum(copies) AS BIGINT) AS total_chunks, " +
+          "CAST(count(*) AS BIGINT) AS distinct_chunks, " +
+          "CAST(sum(copies * size) AS BIGINT) AS total_bytes, " +
+          "CAST(sum(size) AS BIGINT) AS distinct_bytes, " +
+          "CAST(1.0 AS DOUBLE) - CAST(sum(size) AS DOUBLE) / CAST(sum(copies * size) AS DOUBLE) AS dedup_ratio " +
+          "FROM g"),
 
       "bpe_tokens" ->
         ("SELECT doc_id, n_bpe_tokens, bpe_text " +

@@ -681,6 +681,13 @@ object PyBridge {
   def fixMojibake(c: Column): Column =
     graft.functions.vectors.fix_mojibake(c)
 
+  def cdcChunks(c: Column, avgBits: Int, minSize: Int, maxSize: Int): Column =
+    graft.multimodal.Cdc.cdcChunks(c, avgBits, minSize, maxSize)
+
+  def chunkDedupReport(df: DataFrame, payload: Column,
+                       avgBits: Int, minSize: Int, maxSize: Int): DataFrame =
+    graft.multimodal.Cdc.chunkDedupReport(df, payload, avgBits, minSize, maxSize)
+
   // --------------------------------------------------------------------------
   // streaming replay harness + streaming dedup
   // --------------------------------------------------------------------------

@@ -1000,6 +1000,48 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
       .as[String].head() == "xYz")
   }
 
+  test("cdcChunks: sizes partition the payload, boundaries are insertion-stable, report sees planted dup mass") {
+    import graft.multimodal.Cdc
+    val rng = new scala.util.Random(11)
+    val base = Array.fill[Byte](4000)(rng.nextInt(256).toByte)
+    def chunksOf(p: Array[Byte]): (Seq[Long], Seq[Int]) = {
+      val row = Seq(Tuple1(p)).toDF("p")
+        .select(Cdc.cdcChunks(col("p"), avgBits = 5, minSize = 16, maxSize = 128).as("c"))
+        .select(col("c.hashes"), col("c.sizes"))
+        .as[(Seq[Long], Seq[Int])].head()
+      row
+    }
+    val (hs, ss) = chunksOf(base)
+    assert(ss.sum == base.length)                       // sizes partition the payload
+    assert(ss.init.forall(s => s >= 16 && s <= 128))    // bounds hold (last may be short)
+    assert(ss.last <= 128)
+    assert(hs.length == ss.length && hs.length > 10)
+    // insertion stability: a 10-byte insert at the front realigns after the
+    // next boundary — the two chunkings share most hashes (fixed-size
+    // blocking would share none)
+    val shifted = Array.fill[Byte](10)(7.toByte) ++ base
+    val (hs2, _) = chunksOf(shifted)
+    val shared = hs.toSet.intersect(hs2.toSet).size
+    assert(shared >= hs.length - 3, s"only $shared/${hs.length} chunks survived the insert")
+    // edge cases: empty -> no chunks; sub-min payload -> one chunk
+    assert(chunksOf(Array.emptyByteArray)._1.isEmpty)
+    assert(chunksOf("tiny".getBytes)._2 == Seq(4))
+    // report: two payloads sharing `base` as a block -> dedup_ratio > 0,
+    // and bytes accounting is exact
+    val two = Seq(Tuple1(base), Tuple1(base ++ "unique tail content here".getBytes))
+      .toDF("payload")
+    val rep = Cdc.chunkDedupReport(two, col("payload"), avgBits = 5, minSize = 16, maxSize = 128)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(rep._3 == 4000L + 4000L + 24L, s"total_bytes: $rep")
+    assert(rep._4 < rep._3 && rep._5 > 0.4, s"planted dup mass missed: $rep")
+    // SQL registration round-trip (struct result, explicit params)
+    graft.GraftExtensions.registerAll(spark)
+    val viaSql = spark.sql(
+      "SELECT cdc_chunks(CAST('tiny' AS BINARY), 5, 16, 128).sizes AS s")
+      .as[Seq[Int]].head()
+    assert(viaSql == Seq(4))
+  }
+
   test("fixMojibake: inverts cp1252 mis-decode to a fixpoint, never touches non-round-tripping text") {
     def fx(s: String): String = Seq(s).toDF("t")
       .select(graft.functions.vectors.fix_mojibake(col("t")).as("c"))

@@ -1141,12 +1141,90 @@ def make_mojibake_fixture():
     print(f"mojibake_sf001.parquet: {len(ids)} rows")
 
 
+# ---------------------------------------------------------------------------
+# Content-defined chunking: an independent python replication of the
+# CdcKernels pipeline — splitmix64 Gear table, rolling (h<<1)+G[b] boundary
+# rule (cut when len>=min and (h & mask)==0, or at max), per-chunk FNV-1a 64
+# ids. Payloads are doc texts plus a planted shared block on every 3rd doc,
+# so chunk-level dedup sees mass that whole-payload dedup cannot.
+# ---------------------------------------------------------------------------
+def make_cdc_fixture():
+    M = (1 << 64) - 1
+
+    def splitmix64(x):
+        z = (x + 0x9E3779B97F4A7C15) & M
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M
+        return z ^ (z >> 31)
+
+    GEAR = [splitmix64(i + 1) for i in range(256)]
+
+    def fnv1a(b):
+        h = 0xcbf29ce484222325
+        for x in b:
+            h ^= x
+            h = (h * 0x100000001B3) & M
+        return h
+
+    def chunks(b, avg_bits, min_size, max_size):
+        mask = (1 << avg_bits) - 1
+        hs, ss = [], []
+        start, h = 0, 0
+        for i, x in enumerate(b):
+            h = ((h << 1) + GEAR[x]) & M
+            ln = i - start + 1
+            if (ln >= min_size and (h & mask) == 0) or ln == max_size:
+                hs.append(fnv1a(b[start:i + 1]))
+                ss.append(ln)
+                start, h = i + 1, 0
+        if start < len(b):
+            hs.append(fnv1a(b[start:]))
+            ss.append(len(b) - start)
+        return hs, ss
+
+    def signed(h):
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    shared = b"SHARED-BOILERPLATE-BLOCK " * 10  # 250 bytes of common mass
+    ids, payloads, hss, sss = [], [], [], []
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        p = (text or "").encode("utf-8")
+        if doc_id % 3 == 0:
+            p = p + shared
+        hs, ss = chunks(p, 5, 16, 128)
+        ids.append(int(doc_id))
+        payloads.append(p)
+        hss.append([signed(h) for h in hs])
+        sss.append(ss)
+    # planted edges: empty payload (zero chunks) and a sub-min-size one
+    for extra_id, p in [(-1, b""), (-2, b"tiny")]:
+        hs, ss = chunks(p, 5, 16, 128)
+        ids.append(extra_id)
+        payloads.append(p)
+        hss.append([signed(h) for h in hs])
+        sss.append(ss)
+    table = pa.table({
+        "pay_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+        "hashes": pa.array(hss, pa.list_(pa.int64())),
+        "sizes": pa.array(sss, pa.list_(pa.int32())),
+    })
+    pq.write_table(table, f"{OUT}/cdc_sf001.parquet")
+    n_chunks = sum(len(h) for h in hss)
+    n_distinct = len({h for hs in hss for h in hs})
+    print(f"cdc_sf001.parquet: {len(ids)} rows, {n_chunks} chunks, "
+          f"{n_distinct} distinct")
+
+
 if __name__ == "__main__":
     make_images_fixture()
     make_audio_fixture()
     make_video_fixture()
     make_html_fixture()
     make_mojibake_fixture()
+    make_cdc_fixture()
     make_bpe_fixture()
     make_url_fixture()
     make_deflate_fixture()
