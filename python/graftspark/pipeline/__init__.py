@@ -44,6 +44,7 @@ __all__ = [
     "edit_distance1_pairs", "weighted_hash_sample",
     "extract_media_features", "extract_audio_features", "sample_frames",
     "drop_exact_payload_duplicates", "cdc_chunks", "chunk_dedup_report",
+    "payload_near_dup_pairs",
     "train_pq", "pq_encode", "pq_top_k", "bm25_top_k",
     "repeated_span_stats", "remove_repeated_spans", "classifier_score",
     "dsir_weight_table", "dsir_fit_weights", "dsir_score", "dsir_select_top",
@@ -853,6 +854,23 @@ def chunk_dedup_report(df: DataFrame, payload: ColumnOrName,
     pairs reach the aggregate."""
     jdf = _bridge(df).chunkDedupReport(
         df._jdf, _jcol(payload), int(avg_bits), int(min_size), int(max_size))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def payload_near_dup_pairs(df: DataFrame, id_col: ColumnOrName,
+                           payload: ColumnOrName, min_shared_bytes: int = 1,
+                           min_containment: float = 0.5,
+                           max_chunk_copies: int = 1000, avg_bits: int = 12,
+                           min_size: int = 2048, max_size: int = 16384) -> DataFrame:
+    """Payload near-dup pairs from shared CDC chunk mass: (idA, idB,
+    shared_bytes, containment) where containment = shared / min(total_a,
+    total_b) over each payload's DISTINCT chunk set. Chunks shared by more
+    than max_chunk_copies payloads are dropped before the join (the
+    boilerplate-chunk guard: container magic, padding blocks)."""
+    jdf = _bridge(df).payloadNearDupPairs(
+        df._jdf, _jcol(id_col), _jcol(payload), int(min_shared_bytes),
+        float(min_containment), int(max_chunk_copies), int(avg_bits),
+        int(min_size), int(max_size))
     return DataFrame(jdf, df.sparkSession)
 
 

@@ -858,6 +858,11 @@ class GraftsparkTest(unittest.TestCase):
                                    min_size=16, max_size=128).collect()[0]
         self.assertEqual(rep["total_bytes"], 8005)
         self.assertGreater(rep["dedup_ratio"], 0.4)
+        pairs = P.payload_near_dup_pairs(
+            two, col("id"), col("payload"), avg_bits=5,
+            min_size=16, max_size=128).collect()
+        self.assertEqual([(r["idA"], r["idB"]) for r in pairs], [(1, 2)])
+        self.assertGreater(pairs[0]["containment"], 0.9)
 
     def test_pipeline_key_skew_report(self):
         from graftspark import pipeline as P

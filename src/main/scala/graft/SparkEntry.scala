@@ -1276,6 +1276,17 @@ object SparkEntry {
         s.read.parquet(s"$goldenDir/cdc_sf001.parquet"), col("payload"),
         avgBits = 5, minSize = 16, maxSize = 128)),
 
+    // payload near-dup pairs from shared chunk mass: the 167-payload
+    // boilerplate block is capped away (maxChunkCopies=20 — the
+    // boilerplate-chunk guard working as designed) while genuinely
+    // near-identical payload pairs survive the 0.5-containment bar
+    "cdc_near_dup_pairs" -> ((s, dir) =>
+      graft.multimodal.Cdc.payloadNearDupPairs(
+        s.read.parquet(s"$goldenDir/cdc_sf001.parquet"),
+        col("pay_id"), col("payload"),
+        minContainment = 0.5, maxChunkCopies = 20,
+        avgBits = 5, minSize = 16, maxSize = 128)),
+
     // real BPE tokenization (P63): merges learned from THIS corpus's word-
     // frequency table (deterministic — ties by smallest pair), text encoded
     // to the actual subword stream by the codegen'd kernel. Oracle: golden
@@ -3016,6 +3027,23 @@ object SparkEntry {
           "COALESCE(array_to_string(sizes, ','), '') AS chunk_sizes, " +
           "CAST(len(hashes) AS BIGINT) AS n_chunks " +
           s"FROM read_parquet('$goldenDir/cdc_sf001.parquet')"),
+
+      // the same distinct-chunk-set / hot-chunk-cap / containment pipeline
+      // replayed relationally from the fixture's chunk lists
+      "cdc_near_dup_pairs" ->
+        ("WITH z AS (SELECT pay_id, unnest(hashes) AS hash, unnest(sizes) AS size " +
+          s"FROM read_parquet('$goldenDir/cdc_sf001.parquet')), " +
+          "d AS (SELECT pay_id, hash, min(size) AS size FROM z GROUP BY pay_id, hash), " +
+          "ok AS (SELECT hash FROM d GROUP BY hash HAVING count(*) <= 20), " +
+          "k AS (SELECT d.pay_id, d.hash, d.size FROM d JOIN ok USING (hash)), " +
+          "tot AS (SELECT pay_id, CAST(sum(size) AS BIGINT) AS total FROM d GROUP BY pay_id), " +
+          "p AS (SELECT a.pay_id AS ia, b.pay_id AS ib, CAST(sum(a.size) AS BIGINT) AS sb " +
+          "FROM k a JOIN k b ON a.hash = b.hash AND a.pay_id < b.pay_id GROUP BY 1, 2) " +
+          "SELECT p.ia AS \"idA\", p.ib AS \"idB\", p.sb AS shared_bytes, " +
+          "CAST(p.sb AS DOUBLE) / CAST(LEAST(ta.total, tb.total) AS DOUBLE) AS containment " +
+          "FROM p JOIN tot ta ON ta.pay_id = p.ia JOIN tot tb ON tb.pay_id = p.ib " +
+          "WHERE p.sb >= 1 AND " +
+          "CAST(p.sb AS DOUBLE) / CAST(LEAST(ta.total, tb.total) AS DOUBLE) >= 0.5"),
 
       // replay the dedup aggregate from the fixture's chunk lists: per-hash
       // copy counts (sizes are content-determined, min==max per hash), then

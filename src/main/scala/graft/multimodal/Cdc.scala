@@ -144,6 +144,68 @@ object Cdc {
    * bytes never shuffle) → map-side-combining groupBy(hash) → one scalar
    * aggregate.
    */
+  /**
+   * Payload near-dup pairs from shared chunk mass: (idA, idB,
+   * shared_bytes, containment) for every pair whose DISTINCT shared-chunk
+   * bytes reach `minSharedBytes` and whose containment
+   * (`shared / min(totalA, totalB)`) reaches `minContainment` — the
+   * media-file twin of text near-dup: a re-encoded header or an appended
+   * watermark leaves most chunks equal while whole-payload hashes differ.
+   *
+   * Chunk multiplicity is ignored (each payload contributes its distinct
+   * chunk set) — repeated zero-blocks inside one file must not inflate
+   * similarity. Chunks shared by more than `maxChunkCopies` payloads are
+   * dropped BEFORE the join — the boilerplate-chunk guard (container
+   * magic, padding blocks) that keeps the candidate stream
+   * output-bounded; the same role as the MinHash hot-bucket cap, and the
+   * gate exercises it: the fixture's 167-payload shared block is capped
+   * away while genuine pairwise near-dups survive.
+   *
+   * Scale shape: only (id, hash, size) rows enter the exchanges; the
+   * pair aggregate is a map-side-combining groupBy on (idA, idB), and the
+   * join degree per chunk hash is ≤ maxChunkCopies by construction, so
+   * candidate count ≤ chunks · maxChunkCopies² at worst and — for real
+   * corpora — ≈ the true near-dup pair mass.
+   */
+  def payloadNearDupPairs(df: DataFrame, id: Column, payload: Column,
+                          minSharedBytes: Long = 1L,
+                          minContainment: Double = 0.5,
+                          maxChunkCopies: Int = 1000,
+                          avgBits: Int = DefaultAvgBits,
+                          minSize: Int = DefaultMinSize,
+                          maxSize: Int = DefaultMaxSize): DataFrame = {
+    require(minSharedBytes >= 1L, s"minSharedBytes must be >= 1: $minSharedBytes")
+    require(minContainment >= 0.0 && minContainment <= 1.0,
+      s"minContainment must be in [0, 1]: $minContainment")
+    require(maxChunkCopies >= 2, s"maxChunkCopies must be >= 2: $maxChunkCopies")
+    val chunks = df.select(id.as("__id"),
+      cdcChunks(payload, avgBits, minSize, maxSize).as("c"))
+      .select(col("__id"), explode(arrays_zip(col("c.hashes"), col("c.sizes"))).as("z"))
+      .groupBy(col("__id"), col("z.hashes").as("hash"))
+      .agg(min(col("z.sizes")).as("size")) // distinct chunk set per payload
+    val kept = chunks.join(
+      chunks.groupBy(col("hash")).agg(count(lit(1)).as("__copies"))
+        .filter(col("__copies") <= maxChunkCopies)
+        .select(col("hash")),
+      Seq("hash"), "left_semi")
+    val totals = chunks.groupBy(col("__id"))
+      .agg(sum(col("size")).as("__total"))
+    val a = kept.select(col("__id").as("idA"), col("hash"), col("size"))
+    val b = kept.select(col("__id").as("idB"), col("hash"))
+    val pairs = a.join(b, Seq("hash"))
+      .filter(col("idA") < col("idB"))
+      .groupBy(col("idA"), col("idB"))
+      .agg(sum(col("size")).as("shared_bytes"))
+    pairs
+      .join(totals.select(col("__id").as("idA"), col("__total").as("__ta")), Seq("idA"))
+      .join(totals.select(col("__id").as("idB"), col("__total").as("__tb")), Seq("idB"))
+      .withColumn("containment",
+        col("shared_bytes").cast("double") / least(col("__ta"), col("__tb")).cast("double"))
+      .filter(col("shared_bytes") >= minSharedBytes &&
+        col("containment") >= minContainment)
+      .select(col("idA"), col("idB"), col("shared_bytes"), col("containment"))
+  }
+
   def chunkDedupReport(df: DataFrame, payload: Column,
                        avgBits: Int = DefaultAvgBits,
                        minSize: Int = DefaultMinSize,

@@ -688,6 +688,13 @@ object PyBridge {
                        avgBits: Int, minSize: Int, maxSize: Int): DataFrame =
     graft.multimodal.Cdc.chunkDedupReport(df, payload, avgBits, minSize, maxSize)
 
+  def payloadNearDupPairs(df: DataFrame, id: Column, payload: Column,
+                          minSharedBytes: Long, minContainment: Double,
+                          maxChunkCopies: Int, avgBits: Int,
+                          minSize: Int, maxSize: Int): DataFrame =
+    graft.multimodal.Cdc.payloadNearDupPairs(df, id, payload, minSharedBytes,
+      minContainment, maxChunkCopies, avgBits, minSize, maxSize)
+
   // --------------------------------------------------------------------------
   // streaming replay harness + streaming dedup
   // --------------------------------------------------------------------------

@@ -1042,6 +1042,29 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(viaSql == Seq(4))
   }
 
+  test("payloadNearDupPairs pairs edited copies, caps boilerplate chunks") {
+    import graft.multimodal.Cdc
+    val rng = new scala.util.Random(13)
+    def rand(n: Int) = Array.fill[Byte](n)(rng.nextInt(256).toByte)
+    val base = rand(4000)
+    val hot = rand(600) // a "container magic" block shared by EVERY payload
+    val others = (3 to 30).map(i => (i.toLong, hot ++ rand(3000)))
+    val corpus = (Seq(
+      (1L, hot ++ base),                                    // near-dup of 2
+      (2L, hot ++ base ++ "watermark".getBytes)) ++ others) // 3..30 unrelated
+      .toDF("id", "payload")
+    val pairs = Cdc.payloadNearDupPairs(
+      corpus, col("id"), col("payload"),
+      minContainment = 0.5, maxChunkCopies = 10,
+      avgBits = 5, minSize = 16, maxSize = 128)
+      .as[(Long, Long, Long, Double)].collect()
+    // only (1, 2) survives: the hot block is in 30 payloads > cap, so it
+    // cannot glue unrelated payloads together; the edited copy pair shares
+    // nearly all of its chunk mass
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)), pairs.mkString(", "))
+    assert(pairs.head._4 > 0.8, s"containment: ${pairs.head._4}")
+  }
+
   test("fixMojibake: inverts cp1252 mis-decode to a fixpoint, never touches non-round-tripping text") {
     def fx(s: String): String = Seq(s).toDF("t")
       .select(graft.functions.vectors.fix_mojibake(col("t")).as("c"))
