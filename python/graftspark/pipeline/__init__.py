@@ -44,7 +44,7 @@ __all__ = [
     "edit_distance1_pairs", "weighted_hash_sample",
     "extract_media_features", "extract_audio_features", "sample_frames",
     "drop_exact_payload_duplicates", "cdc_chunks", "chunk_dedup_report",
-    "payload_near_dup_pairs",
+    "payload_near_dup_pairs", "novelty_profile", "duplicate_gram_mass",
     "train_pq", "pq_encode", "pq_top_k", "bm25_top_k",
     "repeated_span_stats", "remove_repeated_spans", "classifier_score",
     "dsir_weight_table", "dsir_fit_weights", "dsir_score", "dsir_select_top",
@@ -1262,6 +1262,29 @@ def tfidf_terms(df: DataFrame, group: ColumnOrName, text: ColumnOrName,
     (tf * floor_log2(N/df)): group_key, term, tf_docs, df_docs, score, rank."""
     jdf = _bridge(df).tfidfTerms(df._jdf, _jcol(group), _jcol(text),
                                  int(k), rank_column)
+    return DataFrame(jdf, df.sparkSession)
+
+
+def novelty_profile(df: DataFrame, id_col: ColumnOrName, text: ColumnOrName,
+                    n: int, min_doc_freq: int = 2,
+                    hashed: bool = False) -> DataFrame:
+    """Per-document duplicate-text-mass profile: (id, n_grams, dup_grams,
+    dup_fraction) where dup_grams counts the document's distinct word
+    n-grams present in >= min_doc_freq documents (itself included).
+    hashed=True keeps the exchanges to 8-byte longs (production setting)."""
+    jdf = _bridge(df).noveltyProfile(df._jdf, _jcol(id_col), _jcol(text),
+                                     int(n), int(min_doc_freq), bool(hashed))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def duplicate_gram_mass(df: DataFrame, text: ColumnOrName, n: int,
+                        min_doc_freq: int = 2,
+                        hashed: bool = False) -> DataFrame:
+    """One-row corpus duplicate-mass report over word n-grams:
+    gram_occurrences, distinct_grams, dup_occurrences, distinct_dup_grams,
+    dup_mass_fraction — decides whether a span-dedup pass is worth running."""
+    jdf = _bridge(df).duplicateGramMass(df._jdf, _jcol(text), int(n),
+                                        int(min_doc_freq), bool(hashed))
     return DataFrame(jdf, df.sparkSession)
 
 

@@ -864,6 +864,26 @@ class GraftsparkTest(unittest.TestCase):
         self.assertEqual([(r["idA"], r["idB"]) for r in pairs], [(1, 2)])
         self.assertGreater(pairs[0]["containment"], 0.9)
 
+    def test_pipeline_novelty_profile(self):
+        from graftspark import pipeline as P
+        from pyspark.sql.functions import col
+        docs = self.spark.createDataFrame(
+            [(1, "the quick brown fox jumps"),
+             (2, "the quick brown fox sleeps"),
+             (3, "totally unrelated text here")], ["doc_id", "text"])
+        prof = {r["id"]: (r["n_grams"], r["dup_grams"])
+                for r in P.novelty_profile(
+                    docs, col("doc_id"), col("text"), 3).collect()}
+        self.assertEqual(prof, {1: (3, 2), 2: (3, 2), 3: (2, 0)})
+        hashed = {r["id"]: (r["n_grams"], r["dup_grams"])
+                  for r in P.novelty_profile(
+                      docs, col("doc_id"), col("text"), 3, hashed=True).collect()}
+        self.assertEqual(hashed, prof)
+        mass = P.duplicate_gram_mass(docs, col("text"), 3).collect()[0]
+        self.assertEqual((mass["gram_occurrences"], mass["distinct_grams"],
+                          mass["dup_occurrences"], mass["distinct_dup_grams"]),
+                         (8, 6, 4, 2))
+
     def test_pipeline_key_skew_report(self):
         from graftspark import pipeline as P
         df = self.spark.createDataFrame(

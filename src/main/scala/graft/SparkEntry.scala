@@ -580,6 +580,22 @@ object SparkEntry {
     "top_ngrams" -> ((s, dir) =>
       graft.text.CorpusStats.topNgrams(t(s, dir, "documents"), col("text"), n = 2, k = 20)),
 
+    // per-document duplicate-text-mass profile: fraction of each document's
+    // distinct trigram set shared with >= 2 documents. Doc-freq agg combines
+    // map-side; only the duplicated gram mass re-enters a shuffle (left-semi
+    // on the dup-gram set); per-doc totals are a narrow kernel size() column.
+    "novelty_profile" -> ((s, dir) =>
+      graft.text.CorpusStats.noveltyProfile(
+        t(s, dir, "documents"), col("doc_id"), col("text"), n = 3)),
+
+    // one-row corpus duplicate-mass report over the same trigrams: one
+    // map-side-combining gram aggregation + a scalar aggregate over the
+    // vocabulary-sized doc-freq table — decides whether span dedup is worth
+    // running before paying for it.
+    "dup_gram_mass" -> ((s, dir) =>
+      graft.text.CorpusStats.duplicateGramMass(
+        t(s, dir, "documents"), col("text"), n = 3)),
+
     // token-window chunking for training-data prep: one row per overlapping
     // 32-token chunk (stride 24). Narrow plan: kernel + partition-local
     // posexplode next to the scan, no shuffle.
@@ -2347,6 +2363,34 @@ object SparkEntry {
           "FROM tok), ex AS (SELECT u.g AS gram FROM g, unnest(g.g2) AS u(g)) " +
           "SELECT gram, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM ex " +
           "GROUP BY gram ORDER BY doc_freq DESC, gram LIMIT 20"),
+
+      // same tokenizer, distinct trigrams per doc, doc-freq >= 2 marks a
+      // gram duplicated; dup_fraction is the same IEEE division of two longs
+      "novelty_profile" ->
+        (s"WITH $docTokCte, g AS (SELECT doc_id, " +
+          "CASE WHEN len(toks) < 3 THEN [] ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) END AS gs " +
+          "FROM tok), " +
+          "ex AS (SELECT doc_id, u.g AS gram FROM g, unnest(g.gs) AS u(g)), " +
+          "dfq AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) >= 2), " +
+          "dup AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup FROM ex JOIN dfq USING (gram) GROUP BY doc_id) " +
+          "SELECT g.doc_id AS id, CAST(len(g.gs) AS BIGINT) AS n_grams, " +
+          "COALESCE(d.dup, 0) AS dup_grams, " +
+          "CASE WHEN len(g.gs) = 0 THEN NULL ELSE " +
+          "CAST(COALESCE(d.dup, 0) AS DOUBLE) / CAST(len(g.gs) AS DOUBLE) END AS dup_fraction " +
+          "FROM g LEFT JOIN dup d USING (doc_id)"),
+
+      "dup_gram_mass" ->
+        (s"WITH $docTokCte, g AS (SELECT doc_id, " +
+          "CASE WHEN len(toks) < 3 THEN [] ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) END AS gs " +
+          "FROM tok), " +
+          "ex AS (SELECT doc_id, u.g AS gram FROM g, unnest(g.gs) AS u(g)), " +
+          "dfq AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY gram) " +
+          "SELECT CAST(sum(df) AS BIGINT) AS gram_occurrences, " +
+          "CAST(count(*) AS BIGINT) AS distinct_grams, " +
+          "CAST(sum(CASE WHEN df >= 2 THEN df ELSE 0 END) AS BIGINT) AS dup_occurrences, " +
+          "CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS distinct_dup_grams, " +
+          "CAST(sum(CASE WHEN df >= 2 THEN df ELSE 0 END) AS DOUBLE) / CAST(sum(df) AS DOUBLE) AS dup_mass_fraction " +
+          "FROM dfq"),
 
       "group_topk" ->
         ("SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (" +

@@ -863,6 +863,14 @@ object PyBridge {
                  rankColumn: String): DataFrame =
     graft.text.CorpusStats.tfidfTerms(df, group, text, k, rankColumn)
 
+  def noveltyProfile(df: DataFrame, id: Column, text: Column, n: Int,
+                     minDocFreq: Int, hashed: Boolean): DataFrame =
+    graft.text.CorpusStats.noveltyProfile(df, id, text, n, minDocFreq, hashed)
+
+  def duplicateGramMass(df: DataFrame, text: Column, n: Int,
+                        minDocFreq: Int, hashed: Boolean): DataFrame =
+    graft.text.CorpusStats.duplicateGramMass(df, text, n, minDocFreq, hashed)
+
   def nearDupPairsMinHashAgainst(corpus: DataFrame, reference: DataFrame,
                                  id: Column, text: Column, shingleSize: Int,
                                  bands: Int, rowsPerBand: Int,

@@ -39,6 +39,92 @@ object CorpusStats {
   }
 
   /**
+   * Per-document n-gram novelty profile: for each document, how much of its
+   * distinct word `n`-gram set also appears in at least `minDocFreq`
+   * documents (itself included) — the document-level "duplicate text mass"
+   * view that ranks near-boilerplate documents for removal and flags
+   * memorization-risk text, without committing to any pairing of documents
+   * the way near-dup detection does. Output per input row:
+   * `(id, n_grams, dup_grams, dup_fraction)` with `dup_fraction =
+   * dup_grams / n_grams` as one IEEE division of two exact longs (NULL when
+   * the document has no `n`-gram at all).
+   *
+   * Set semantics per document (the codegen distinct-shingle kernel):
+   * a document repeating its own phrase is NOT novel-penalized — only mass
+   * shared ACROSS documents counts, which is what matters for training-data
+   * curation.
+   *
+   * Scale shape: the exploded `(id, gram)` stream feeds a map-side-combining
+   * doc-frequency aggregation; the duplicated-gram set (df >= minDocFreq) —
+   * for realistic `n` a small fraction of the vocabulary — comes back as a
+   * LEFT SEMI join on the gram key, so the second aggregation only carries
+   * the duplicated mass; per-doc totals are a narrow `size(kernel)` column
+   * that never touches an exchange. With `hashed = true` both exchanges
+   * carry 8-byte longs instead of gram text (the production setting; counts
+   * are identical absent 64-bit collisions — sbt pins hashed == string on a
+   * corpus at this scale).
+   */
+  def noveltyProfile(df: DataFrame, id: Column, text: Column, n: Int,
+                     minDocFreq: Int = 2, hashed: Boolean = false): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2: $minDocFreq")
+    def shingles(c: Column): Column =
+      if (hashed) vectors.hashed_word_shingles(c, n) else vectors.word_shingles(c, n)
+    val grams = df.select(id.as("id"), explode(shingles(text)).as("gram"))
+    val dupGrams = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select(col("gram"))
+    val dupPerDoc = grams.join(dupGrams, Seq("gram"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("__dup"))
+    df.select(id.as("id"), size(shingles(text)).cast("long").as("n_grams"))
+      .join(dupPerDoc, Seq("id"), "left")
+      .select(
+        col("id"), col("n_grams"),
+        coalesce(col("__dup"), lit(0L)).as("dup_grams"),
+        when(col("n_grams") === 0L, lit(null).cast("double"))
+          .otherwise(coalesce(col("__dup"), lit(0L)).cast("double") /
+            col("n_grams").cast("double")).as("dup_fraction"))
+  }
+
+  /**
+   * One-row corpus duplicate-mass report over word `n`-grams: of all
+   * per-document distinct `n`-gram occurrences, how many are of grams
+   * present in at least `minDocFreq` documents — the corpus-level summary
+   * that decides WHETHER a span-dedup pass is worth running before paying
+   * for it. Columns: `gram_occurrences` (sum of per-doc distinct grams),
+   * `distinct_grams`, `dup_occurrences`, `distinct_dup_grams`, and
+   * `dup_mass_fraction` as one IEEE division of two exact longs.
+   *
+   * Scale shape: ONE map-side-combining aggregation on the gram key
+   * produces the vocabulary-sized doc-frequency table, and the report is a
+   * single scalar aggregate over it — no join back to the corpus at all,
+   * strictly cheaper than [[noveltyProfile]]. `hashed = true` keeps the one
+   * real exchange to 8-byte longs.
+   */
+  def duplicateGramMass(df: DataFrame, text: Column, n: Int,
+                        minDocFreq: Int = 2, hashed: Boolean = false): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2: $minDocFreq")
+    val gram =
+      if (hashed) vectors.hashed_word_shingles(text, n) else vectors.word_shingles(text, n)
+    df.select(explode(gram).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("__df"))
+      .agg(
+        sum(col("__df")).as("gram_occurrences"),
+        count(lit(1)).as("distinct_grams"),
+        sum(when(col("__df") >= minDocFreq, col("__df")).otherwise(0L)).as("dup_occurrences"),
+        sum(when(col("__df") >= minDocFreq, 1L).otherwise(0L)).as("distinct_dup_grams"))
+      .select(
+        col("gram_occurrences"), col("distinct_grams"),
+        col("dup_occurrences"), col("distinct_dup_grams"),
+        (col("dup_occurrences").cast("double") /
+          col("gram_occurrences").cast("double")).as("dup_mass_fraction"))
+  }
+
+  /**
    * The `k` most DISTINCTIVE terms of each group (source/domain/language
    * slice): TF-IDF with every number exact, so the ranking is engine-portable
    * and hash-verifiable. Term frequency is the count of group documents

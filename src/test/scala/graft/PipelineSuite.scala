@@ -1065,6 +1065,41 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(pairs.head._4 > 0.8, s"containment: ${pairs.head._4}")
   }
 
+  test("noveltyProfile / duplicateGramMass: cross-doc set semantics, hashed == string") {
+    import graft.text.CorpusStats
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),        // shares "the quick brown"/"quick brown fox" with 2
+      (2L, "the quick brown fox sleeps"),
+      (3L, "alpha beta gamma alpha beta gamma"), // self-repetition only: NOT duplicated
+      (4L, "one two"),                           // < n tokens: 0 grams, NULL fraction
+      (5L, "totally unrelated text here")
+    ).toDF("doc_id", "text")
+    val prof = CorpusStats.noveltyProfile(docs, col("doc_id"), col("text"), n = 3)
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1)
+    // doc1: grams {the quick brown, quick brown fox, brown fox jumps} — first two shared with doc2
+    assert(prof(0) == ((1L, 3L, 2L, Some(2.0 / 3.0))), prof(0).toString)
+    assert(prof(1) == ((2L, 3L, 2L, Some(2.0 / 3.0))), prof(1).toString)
+    // doc3 repeats its own phrase: distinct-set semantics, no other doc shares it
+    assert(prof(2)._3 == 0L && prof(2)._4.contains(0.0), prof(2).toString)
+    assert(prof(3) == ((4L, 0L, 0L, None)), prof(3).toString)
+    assert(prof(4)._3 == 0L, prof(4).toString)
+
+    val mass = CorpusStats.duplicateGramMass(docs, col("text"), n = 3)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    // occurrences (distinct per doc): doc1 3 + doc2 3 + doc3 3 (its repeated
+    // trigram deduped) + doc5 2 = 11; dup grams: 2 grams x 2 docs = 4
+    assert(mass == ((11L, 9L, 4L, 2L, 4.0 / 11.0)), mass.toString)
+
+    // hashed production path: identical numbers (no 64-bit collisions here)
+    val hashedProf = CorpusStats.noveltyProfile(
+      docs, col("doc_id"), col("text"), n = 3, hashed = true)
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1)
+    assert(hashedProf.toSeq == prof.toSeq)
+    val hashedMass = CorpusStats.duplicateGramMass(docs, col("text"), n = 3, hashed = true)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(hashedMass == mass)
+  }
+
   test("fixMojibake: inverts cp1252 mis-decode to a fixpoint, never touches non-round-tripping text") {
     def fx(s: String): String = Seq(s).toDF("t")
       .select(graft.functions.vectors.fix_mojibake(col("t")).as("c"))
