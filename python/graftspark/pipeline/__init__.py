@@ -45,6 +45,7 @@ __all__ = [
     "extract_media_features", "extract_audio_features", "sample_frames",
     "drop_exact_payload_duplicates", "cdc_chunks", "chunk_dedup_report",
     "payload_near_dup_pairs", "novelty_profile", "duplicate_gram_mass",
+    "top_fraction_per_group",
     "train_pq", "pq_encode", "pq_top_k", "bm25_top_k",
     "repeated_span_stats", "remove_repeated_spans", "classifier_score",
     "dsir_weight_table", "dsir_fit_weights", "dsir_score", "dsir_select_top",
@@ -1285,6 +1286,20 @@ def duplicate_gram_mass(df: DataFrame, text: ColumnOrName, n: int,
     dup_mass_fraction — decides whether a span-dedup pass is worth running."""
     jdf = _bridge(df).duplicateGramMass(df._jdf, _jcol(text), int(n),
                                         int(min_doc_freq), bool(hashed))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def top_fraction_per_group(df: DataFrame, group_cols: List[ColumnOrName],
+                           order_cols: List[Column], fraction: float,
+                           rank_column: str = "rank") -> DataFrame:
+    """Adaptive per-group cut: keep each group's top ceil(fraction * n) rows
+    by order_cols (pass Column orderings like col('score').desc(); make the
+    order total with a tie-break column). Every non-empty group keeps at
+    least one row; one exchange on the group key serves both the rank and
+    the group count."""
+    jdf = _bridge(df).topFractionPerGroup(
+        df._jdf, [_jcol(c) for c in group_cols],
+        [_jcol(c) for c in order_cols], float(fraction), rank_column)
     return DataFrame(jdf, df.sparkSession)
 
 

@@ -883,6 +883,14 @@ class GraftsparkTest(unittest.TestCase):
         self.assertEqual((mass["gram_occurrences"], mass["distinct_grams"],
                           mass["dup_occurrences"], mass["distinct_dup_grams"]),
                          (8, 6, 4, 2))
+        # adaptive per-group cut: 5-row group keeps ceil(1.5)=2, 1-row keeps 1
+        cut = P.top_fraction_per_group(
+            self.spark.createDataFrame(
+                [("a", i, float(i)) for i in range(1, 6)] + [("b", 9, 1.0)],
+                ["g", "id", "v"]),
+            [col("g")], [col("v").desc(), col("id")], 0.3)
+        self.assertEqual(sorted((r["g"], r["id"]) for r in cut.collect()),
+                         [("a", 4), ("a", 5), ("b", 9)])
 
     def test_pipeline_key_skew_report(self):
         from graftspark import pipeline as P

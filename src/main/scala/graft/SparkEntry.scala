@@ -596,6 +596,20 @@ object SparkEntry {
       graft.text.CorpusStats.duplicateGramMass(
         t(s, dir, "documents"), col("text"), n = 3)),
 
+    // adaptive per-source quality cut: keep each source's top 30% by token
+    // count (rank <= ceil(0.3 * group size)) — the threshold adapts to the
+    // source instead of a global bar emptying weak sources. One exchange on
+    // source; the group count rides the same partitioning as a window agg.
+    "quality_cut_per_source" -> ((s, dir) => {
+      import graft.text.TextFunctions._
+      val scored = t(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        tokenStatsAscii(col("text"), EnglishStopwords)(0).as("n_tokens"))
+      graft.agg.TopK.topFractionPerGroup(
+        scored, Seq(col("source")),
+        Seq(col("n_tokens").desc, col("doc_id").asc), 0.3)
+    }),
+
     // token-window chunking for training-data prep: one row per overlapping
     // 32-token chunk (stride 24). Narrow plan: kernel + partition-local
     // posexplode next to the scan, no shuffle.
@@ -2391,6 +2405,16 @@ object SparkEntry {
           "CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS distinct_dup_grams, " +
           "CAST(sum(CASE WHEN df >= 2 THEN df ELSE 0 END) AS DOUBLE) / CAST(sum(df) AS DOUBLE) AS dup_mass_fraction " +
           "FROM dfq"),
+
+      // same tokenizer count, same total order, same IEEE ceil threshold
+      "quality_cut_per_source" ->
+        (s"WITH $docTokCte, t AS (SELECT d.doc_id, d.source, " +
+          "CAST(len(tok.toks) AS BIGINT) AS n_tokens " +
+          "FROM documents d JOIN tok ON tok.doc_id = d.doc_id), " +
+          "r AS (SELECT t.*, row_number() OVER (PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS rk, " +
+          "count(*) OVER (PARTITION BY source) AS cnt FROM t) " +
+          "SELECT doc_id, source, n_tokens, CAST(rk AS INT) AS rank " +
+          "FROM r WHERE CAST(rk AS DOUBLE) <= ceil(0.3 * CAST(cnt AS DOUBLE))"),
 
       "group_topk" ->
         ("SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (" +

@@ -65,4 +65,47 @@ object TopK {
     df.withColumn(rankColumn, row_number().over(w))
       .filter(col(rankColumn) <= k)
   }
+
+  /**
+   * Keep the top `fraction` of each group's rows, ranked by `orderCols` —
+   * the adaptive quality cut: "drop the worst 70% of every domain" adapts
+   * the score threshold to each domain instead of imposing one global bar
+   * that would empty low-scoring domains and keep the bulk of high-scoring
+   * ones. A row stays when `rank <= ceil(fraction * group_count)`, so every
+   * non-empty group keeps at least one row and exactly the ceiling of its
+   * share; both sides of the comparison are IEEE doubles computed the same
+   * way in any engine, so the cut is hash-verifiable.
+   *
+   * Unlike [[topKPerGroup]], the keep-limit is data-dependent, so Catalyst
+   * cannot rewrite the window into `WindowGroupLimit` — every group pays
+   * its sort. That is inherent to the exact semantics (the rank threshold
+   * is unknown until the group is counted), and the shuffle is ONE exchange
+   * on the group key: the group count rides the same partitioning as an
+   * unordered window aggregate, so no second exchange and no join
+   * materializes. For corpora where groups are huge and an approximate cut is
+   * acceptable, compute a per-group score threshold from
+   * `approx_percentile` instead and filter narrowly; this exact variant is
+   * the referee for that path.
+   *
+   * The ordering should be total (add tie-break columns) for deterministic
+   * output.
+   */
+  def topFractionPerGroup(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      orderCols: Seq[Column],
+      fraction: Double,
+      rankColumn: String = "rank"): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction must be in (0, 1]: $fraction")
+    require(groupCols.nonEmpty, "topFractionPerGroup needs at least one group column")
+    require(orderCols.nonEmpty, "topFractionPerGroup needs at least one order column")
+    val w = Window.partitionBy(groupCols: _*).orderBy(orderCols: _*)
+    val wGroup = Window.partitionBy(groupCols: _*)
+    df.withColumn(rankColumn, row_number().over(w))
+      .withColumn("__group_count", count(lit(1)).over(wGroup))
+      .filter(col(rankColumn).cast("double") <=
+        ceil(lit(fraction) * col("__group_count").cast("double")).cast("double"))
+      .drop("__group_count")
+  }
 }

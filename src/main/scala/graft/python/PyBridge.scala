@@ -871,6 +871,12 @@ object PyBridge {
                         minDocFreq: Int, hashed: Boolean): DataFrame =
     graft.text.CorpusStats.duplicateGramMass(df, text, n, minDocFreq, hashed)
 
+  def topFractionPerGroup(df: DataFrame, groupCols: JList[Column],
+                          orderCols: JList[Column], fraction: Double,
+                          rankColumn: String): DataFrame =
+    graft.agg.TopK.topFractionPerGroup(
+      df, groupCols.asScala.toSeq, orderCols.asScala.toSeq, fraction, rankColumn)
+
   def nearDupPairsMinHashAgainst(corpus: DataFrame, reference: DataFrame,
                                  id: Column, text: Column, shingleSize: Int,
                                  bands: Int, rowsPerBand: Int,

@@ -53,6 +53,25 @@ class AggOpsSuite extends AnyFunSuite with SparkTest {
     } finally spark.conf.unset("spark.sql.optimizer.windowGroupLimitThreshold")
   }
 
+  test("topFractionPerGroup keeps ceil(fraction * n) per group, single exchange") {
+    // group a: 5 rows -> ceil(1.5) = 2 kept; b: 2 -> 1; c: 1 -> 1 (never empty)
+    val got = TopK.topFractionPerGroup(
+      topKFixture, Seq($"k"), Seq($"v".desc, $"id".asc), fraction = 0.3,
+      rankColumn = "rk")
+      .select("k", "id", "rk").as[(String, Long, Int)].collect().toSet
+    assert(got === Set(("a", 2L, 1), ("a", 4L, 2), ("b", 7L, 1), ("c", 8L, 1)))
+    // fraction = 1.0 keeps everything
+    assert(TopK.topFractionPerGroup(
+      topKFixture, Seq($"k"), Seq($"v".desc, $"id".asc), 1.0).count() === 8L)
+    // the group count must NOT cost a second exchange: one shuffle on the
+    // group key serves both the rank window and the count window
+    val plan = TopK.topFractionPerGroup(
+      topKFixture, Seq($"k"), Seq($"v".desc, $"id".asc), 0.3)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected 1 exchange, got $exchanges in:\n$plan")
+  }
+
   // --- frequentItems --------------------------------------------------------
 
   test("Checks evaluates passing and failing rules with exact metrics") {
