@@ -45,7 +45,8 @@ __all__ = [
     "extract_media_features", "extract_audio_features", "sample_frames",
     "drop_exact_payload_duplicates", "cdc_chunks", "chunk_dedup_report",
     "payload_near_dup_pairs", "novelty_profile", "duplicate_gram_mass",
-    "top_fraction_per_group",
+    "top_fraction_per_group", "save_dedup_index",
+    "near_dup_pairs_against_index", "deduplicate_against_index",
     "train_pq", "pq_encode", "pq_top_k", "bm25_top_k",
     "repeated_span_stats", "remove_repeated_spans", "classifier_score",
     "dsir_weight_table", "dsir_fit_weights", "dsir_score", "dsir_select_top",
@@ -1348,6 +1349,41 @@ def deduplicate_against(corpus: DataFrame, reference: DataFrame,
     jdf = _bridge(corpus).deduplicateAgainst(
         corpus._jdf, reference._jdf, _jcol(id), _jcol(text),
         int(shingle_size), int(bands), int(rows_per_band), float(threshold))
+    return DataFrame(jdf, corpus.sparkSession)
+
+
+def save_dedup_index(df: DataFrame, id: ColumnOrName, text: ColumnOrName,
+                     path: str, shingle_size: int = 3, bands: int = 16,
+                     rows_per_band: int = 8,
+                     max_bucket_size: int = 1000) -> None:
+    """Persist a MinHash dedup index (shingle sets + pruned band buckets +
+    params) for incremental cross-corpus dedup: the reference corpus is
+    shingled ONCE here instead of on every ingest batch."""
+    _bridge(df).saveDedupIndex(df._jdf, _jcol(id), _jcol(text), path,
+                               int(shingle_size), int(bands),
+                               int(rows_per_band), int(max_bucket_size))
+
+
+def near_dup_pairs_against_index(corpus: DataFrame, id: ColumnOrName,
+                                 text: ColumnOrName, path: str,
+                                 threshold: float = 0.8,
+                                 max_bucket_size: int = 1000) -> DataFrame:
+    """(idA, idB, jaccard) of the increment against a saved dedup index;
+    banding comes from the index, reference text is never read."""
+    jdf = _bridge(corpus).nearDupPairsAgainstIndex(
+        corpus._jdf, _jcol(id), _jcol(text), path, float(threshold),
+        int(max_bucket_size))
+    return DataFrame(jdf, corpus.sparkSession)
+
+
+def deduplicate_against_index(corpus: DataFrame, id: ColumnOrName,
+                              text: ColumnOrName, path: str,
+                              threshold: float = 0.8,
+                              max_bucket_size: int = 1000) -> DataFrame:
+    """Drop increment docs near-duplicating any indexed document."""
+    jdf = _bridge(corpus).deduplicateAgainstIndex(
+        corpus._jdf, _jcol(id), _jcol(text), path, float(threshold),
+        int(max_bucket_size))
     return DataFrame(jdf, corpus.sparkSession)
 
 

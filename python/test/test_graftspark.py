@@ -956,6 +956,26 @@ class GraftsparkTest(unittest.TestCase):
                                               col("vec"), ix_, 3, 6).collect())
         self.assertEqual(topk(pq), topk(pq2))
 
+    def test_pipeline_dedup_index(self):
+        import tempfile
+        from graftspark import pipeline as P
+        base = ("doc %d alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lambda mu nu xi omicron pi rho sigma tau upsilon")
+        ref = self.spark.createDataFrame(
+            [(i, base % i) for i in range(10)], ["id", "text"])
+        batch = self.spark.createDataFrame(
+            [(103, (base % 3).replace("gamma", "gamma2")),
+             (200, "entirely fresh text about quasars and neutron stars here")],
+            ["id", "text"])
+        d = tempfile.mkdtemp() + "/idx"
+        P.save_dedup_index(ref, col("id"), col("text"), d)
+        pairs = P.near_dup_pairs_against_index(
+            batch, col("id"), col("text"), d, threshold=0.7).collect()
+        self.assertEqual([(r["idA"], r["idB"]) for r in pairs], [(103, 3)])
+        kept = P.deduplicate_against_index(
+            batch, col("id"), col("text"), d, threshold=0.7).collect()
+        self.assertEqual([r["id"] for r in kept], [200])
+
     def test_pipeline_pq_ann(self):
         from graftspark import pipeline as P
         from pyspark.sql.types import (ArrayType, FloatType, LongType,

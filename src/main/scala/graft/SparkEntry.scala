@@ -1529,6 +1529,27 @@ object SparkEntry {
       out
     }),
 
+    // incremental ingest: the reference corpus's shingle sets + pruned band
+    // buckets persist as a parquet index; the "increment" (new sources) is
+    // the only side shingled at query time — reference text is never read.
+    // Same split and same oracle as dedup_cross_corpus: with equal caps the
+    // index path is row-for-row the direct two-sided path.
+    "dedup_against_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isNew = expr("CAST(substring(source, 4) AS INT) >= 10")
+      val idx = graft.createTemporaryDir("dedup-index")
+      graft.dedup.DedupIndex.saveDedupIndex(
+        docs.filter(!isNew), col("doc_id"), col("text"), idx)
+      val ch = UnpersistHandle()
+      val out = graft.dedup.DedupIndex.deduplicateAgainstIndex(
+        docs.filter(isNew), col("doc_id"), col("text"), idx,
+        threshold = 0.8, corpusHandle = ch)
+        .select("doc_id")
+        .localCheckpoint(true)
+      ch.unpersist()
+      out
+    }),
+
     // KMV corpus-overlap estimate: two corpora with a planted ~1/5 overlap
     // (doc_id % 5 == 2 in both) reduce to bottom-64 md5 sketches; the
     // Jaccard estimate is a deterministic function of the hashes, replayed
@@ -3306,6 +3327,18 @@ object SparkEntry {
       // exact cross-corpus near-dup reference: every new-batch doc (src10+)
       // within Jaccard 0.8 of ANY reference doc (src0-9) is dropped
       "dedup_cross_corpus" ->
+        (s"WITH $docTokCte, $docShCte, " +
+          "d AS (SELECT doc_id, CAST(substring(source, 4) AS INT) AS sn FROM documents), " +
+          "cp AS (SELECT sh.doc_id, sh.s FROM sh JOIN d USING (doc_id) WHERE d.sn >= 10), " +
+          "rf AS (SELECT sh.doc_id, sh.s FROM sh JOIN d USING (doc_id) WHERE d.sn < 10), " +
+          "m AS (SELECT DISTINCT cp.doc_id FROM cp JOIN rf ON " +
+          "CAST(len(list_intersect(cp.s, rf.s)) AS DOUBLE) / " +
+          "CAST(len(list_distinct(list_concat(cp.s, rf.s))) AS DOUBLE) >= 0.8) " +
+          "SELECT doc_id FROM d WHERE sn >= 10 AND doc_id NOT IN (SELECT doc_id FROM m)"),
+
+      // identical semantics to dedup_cross_corpus (the index path is the
+      // direct path with the reference side amortized) — same oracle
+      "dedup_against_index" ->
         (s"WITH $docTokCte, $docShCte, " +
           "d AS (SELECT doc_id, CAST(substring(source, 4) AS INT) AS sn FROM documents), " +
           "cp AS (SELECT sh.doc_id, sh.s FROM sh JOIN d USING (doc_id) WHERE d.sn >= 10), " +

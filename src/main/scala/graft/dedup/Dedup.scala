@@ -572,7 +572,7 @@ object Dedup {
 
   /** Persist the shingle set unless disabled with `StorageLevel.NONE`;
     * register with the caller's handle so the cache can be released. */
-  private def persistShingles(
+  private[dedup] def persistShingles(
       shingled: DataFrame, storageLevel: StorageLevel,
       unpersistHandle: UnpersistHandle): DataFrame =
     if (storageLevel == StorageLevel.NONE) shingled
@@ -583,7 +583,7 @@ object Dedup {
     * WITHOUT the lower bound of 2: in a cross-corpus join a bucket holding
     * one corpus doc and one reference doc is a singleton on each side yet
     * still a candidate. The hot bucket's member list never materializes. */
-  private def pruneHotBuckets(exploded: DataFrame, maxBucketSize: Int): DataFrame = {
+  private[dedup] def pruneHotBuckets(exploded: DataFrame, maxBucketSize: Int): DataFrame = {
     val inRange = exploded
       .groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("__bucket_count"))
@@ -638,7 +638,7 @@ object Dedup {
 
   /** Join candidate pairs back to their shingle sets and keep those with
     * exact Jaccard >= threshold. Output (idA, idB, jaccard). */
-  private def verifyJaccard(candidates: DataFrame, shingled: DataFrame, threshold: Double): DataFrame = {
+  private[dedup] def verifyJaccard(candidates: DataFrame, shingled: DataFrame, threshold: Double): DataFrame = {
     val a = shingled.select(col("id").as("idA"), col("shingles").as("shinglesA"))
     val b = shingled.select(col("id").as("idB"), col("shingles").as("shinglesB"))
     candidates

@@ -884,6 +884,24 @@ object PyBridge {
     graft.dedup.Dedup.nearDupPairsMinHashAgainst(corpus, reference, id, text,
       shingleSize, bands, rowsPerBand, threshold)
 
+  def saveDedupIndex(df: DataFrame, id: Column, text: Column, path: String,
+                     shingleSize: Int, bands: Int, rowsPerBand: Int,
+                     maxBucketSize: Int): Unit =
+    graft.dedup.DedupIndex.saveDedupIndex(df, id, text, path, shingleSize,
+      bands, rowsPerBand, maxBucketSize)
+
+  def nearDupPairsAgainstIndex(corpus: DataFrame, id: Column, text: Column,
+                               path: String, threshold: Double,
+                               maxBucketSize: Int): DataFrame =
+    graft.dedup.DedupIndex.nearDupPairsAgainstIndex(corpus, id, text, path,
+      threshold, maxBucketSize)
+
+  def deduplicateAgainstIndex(corpus: DataFrame, id: Column, text: Column,
+                              path: String, threshold: Double,
+                              maxBucketSize: Int): DataFrame =
+    graft.dedup.DedupIndex.deduplicateAgainstIndex(corpus, id, text, path,
+      threshold, maxBucketSize)
+
   def deduplicateAgainst(corpus: DataFrame, reference: DataFrame,
                          id: Column, text: Column, shingleSize: Int,
                          bands: Int, rowsPerBand: Int, threshold: Double): DataFrame =

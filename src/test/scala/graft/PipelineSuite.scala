@@ -332,6 +332,37 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
       s"candidate distinct carries shingle arrays:\n${aggLines.mkString("\n")}")
   }
 
+  test("saved dedup index reproduces the direct cross-corpus path row-for-row") {
+    import graft.dedup.DedupIndex
+    val reference = (nearDupCorpus.filter(_._1 < 100) ++ Seq(
+      (200L, "entirely fresh document about quasars and neutron stars colliding"),
+      (201L, "another fresh document mentioning tokamaks and stellarators")))
+      .toDF("id", "text")
+    val batch = nearDupCorpus.filter(_._1 >= 100).toDF("id", "text")
+    val idx = graft.createTemporaryDir("dedup-index-test")
+    DedupIndex.saveDedupIndex(reference, col("id"), col("text"), idx)
+    // params round-trip (and their presence marks a complete save)
+    val p = DedupIndex.readIndexParams(spark, idx)
+    assert(p == DedupIndex.IndexParams(3, 16, 8, 1000))
+    val viaIndex = DedupIndex.nearDupPairsAgainstIndex(
+      batch, col("id"), col("text"), idx, threshold = 0.7)
+      .select("idA", "idB", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val direct = Dedup.nearDupPairsMinHashAgainst(
+      batch, reference, col("id"), col("text"), threshold = 0.7)
+      .select("idA", "idB", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(viaIndex == direct && viaIndex.map(t => (t._1, t._2)) ==
+      Set((103L, 3L), (107L, 7L), (111L, 11L)), viaIndex.toString)
+    val kept = DedupIndex.deduplicateAgainstIndex(
+      batch, col("id"), col("text"), idx, threshold = 0.7)
+      .select("id").as[Long].collect().toSet
+    assert(kept.isEmpty) // every batch doc near-duplicates the reference
+    // a half-written index (no params) fails loudly, not silently-empty
+    val broken = graft.createTemporaryDir("dedup-index-broken")
+    intercept[Exception] {
+      DedupIndex.nearDupPairsAgainstIndex(batch, col("id"), col("text"), broken)
+    }
+  }
+
   test("tfidfTerms ranks group-distinctive terms first, boilerplate scores zero") {
     // 8 docs, two sources; 'common' appears in every doc (idf_bits 0),
     // 'alpha*' only in a-docs, 'beta*' only in b-docs
