@@ -34,7 +34,7 @@ __all__ = [
     "keep_best_by_clusters", "split_by_clusters", "soft_dedup_weights",
     "deduplicate_minhash_clusters", "hash_sample", "stratified_hash_sample",
     "redact_pii", "redact_emails", "redact_ipv4", "redact_long_digits", "strip_html",
-    "fold_accents",
+    "fold_accents", "script_profile",
     "asof_join", "range_join", "with_session_index", "session_bounds",
     "split_by_hash", "temperature_sample", "gopher_filter",
     "top_k_per_group", "frequent_items", "profile_columns", "key_skew_report",
@@ -797,6 +797,13 @@ def fold_accents(text: ColumnOrName) -> Column:
     before fingerprints/shingles when diacritic variants should dedup
     together. Undecomposable letters pass through unchanged."""
     return _col_fn("foldAccents", _jcol(text))
+
+
+def script_profile(text: ColumnOrName) -> Column:
+    """Unicode script-mix profile over codepoints -> array<long>
+    [total, latin, cyrillic, greek, arabic, cjk, digit]; explicit
+    engine-portable ranges (astral codepoints count once, class-less)."""
+    return _col_fn("scriptProfile", _jcol(text))
 
 
 def strip_html(text: ColumnOrName, decode_numeric_entities: bool = False,

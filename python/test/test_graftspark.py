@@ -883,6 +883,11 @@ class GraftsparkTest(unittest.TestCase):
         self.assertEqual((mass["gram_occurrences"], mass["distinct_grams"],
                           mass["dup_occurrences"], mass["distinct_dup_grams"]),
                          (8, 6, 4, 2))
+        # script-mix profile: [total, latin, cyr, greek, arabic, cjk, digit]
+        sp = self.spark.createDataFrame(
+            [("héllo мир 9",)], ["t"]).select(
+            P.script_profile(col("t")).alias("p")).collect()[0]["p"]
+        self.assertEqual(list(sp), [11, 5, 3, 0, 0, 0, 1])
         # adaptive per-group cut: 5-row group keeps ceil(1.5)=2, 1-row keeps 1
         cut = P.top_fraction_per_group(
             self.spark.createDataFrame(

@@ -8,8 +8,8 @@ import org.apache.spark.sql.types.{BinaryType, StringType}
 
 import graft.functions.{CanonicalizeText, ChunkTokens, CosineSimilarity, DeflateLength, FoldAccents,
   DeletionVariants, DotProduct, HashedWordShingles, MinHashBandHashes, MinHashSignature,
-  SimHash64, TokenStats, TokenizeAscii, TopNgramStats, WinnowedShingles, WordShingles,
-  WordShinglesAll}
+  ScriptProfile, SimHash64, TokenStats, TokenizeAscii, TopNgramStats, WinnowedShingles,
+  WordShingles, WordShinglesAll}
 import graft.multimodal.{ByteEntropy, ByteNibbleHistogram, ImageDimsExpr, VideoInfoExpr, WavInfoExpr}
 import graft.sample.Sampling
 import graft.text.Redact
@@ -167,6 +167,10 @@ object GraftExtensions {
     },
     fn("dot_product", "dot_product(a, b) - dot product over array<float>") { es =>
       arity("dot_product", es, 2); DotProduct(es.head, es(1))
+    },
+    fn("script_profile",
+      "script_profile(text) - [total, latin, cyrillic, greek, arabic, cjk, digit] codepoint counts") { es =>
+      arity("script_profile", es, 1); ScriptProfile(es.head)
     },
     fn("byte_entropy", "byte_entropy(binary) - Shannon entropy in bits/byte") { es =>
       arity("byte_entropy", es, 1); ByteEntropy(es.head)

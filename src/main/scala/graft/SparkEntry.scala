@@ -543,6 +543,19 @@ object SparkEntry {
             .as("stopword_ratio"))
     }),
 
+    // unicode script-mix profile (multilingual curation signal): explicit
+    // codepoint ranges — engine-portable by construction, unlike
+    // Character.UnicodeScript whose tables move with the JDK. One fused
+    // kernel pass per document, narrow.
+    "script_mix" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.vectors.script_profile(col("text")).as("sp"))
+        .select(col("doc_id"),
+          col("sp")(0).as("n_codepoints"), col("sp")(1).as("latin"),
+          col("sp")(2).as("cyrillic"), col("sp")(3).as("greek"),
+          col("sp")(4).as("arabic"), col("sp")(5).as("cjk"),
+          col("sp")(6).as("digit"))),
+
     // language identification (marker-word heuristic, deterministic tie-break)
     "text_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -2373,6 +2386,18 @@ object SparkEntry {
           "WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en' " +
           "WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr' " +
           "WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS pred_lang FROM sc"),
+
+      // the same explicit ranges as regex classes; length() counts
+      // codepoints in DuckDB exactly as the kernel does (astral = 1)
+      "script_mix" ->
+        ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_codepoints, " +
+          "CAST(length(regexp_replace(text, '[^A-Za-z\\x{00C0}-\\x{024F}]', '', 'g')) AS BIGINT) AS latin, " +
+          "CAST(length(regexp_replace(text, '[^\\x{0400}-\\x{04FF}]', '', 'g')) AS BIGINT) AS cyrillic, " +
+          "CAST(length(regexp_replace(text, '[^\\x{0370}-\\x{03FF}]', '', 'g')) AS BIGINT) AS greek, " +
+          "CAST(length(regexp_replace(text, '[^\\x{0600}-\\x{06FF}]', '', 'g')) AS BIGINT) AS arabic, " +
+          "CAST(length(regexp_replace(text, '[^\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7AF}]', '', 'g')) AS BIGINT) AS cjk, " +
+          "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digit " +
+          "FROM documents"),
 
       "text_fingerprint" ->
         ("SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents"),

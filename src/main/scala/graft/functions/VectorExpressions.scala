@@ -966,6 +966,39 @@ object VectorKernels extends Serializable {
     Array(tokens.length.toLong, seen.size.toLong, sumLen, stop)
   }
 
+  /** Unicode script-mix profile over CODEPOINTS (surrogate pairs count
+    * once): [total, latin, cyrillic, greek, arabic, cjk, digit]. Classes
+    * are EXPLICIT codepoint ranges — not Character.getType / UnicodeScript,
+    * whose tables move with the JDK's Unicode version — so any engine
+    * replays them exactly with the same ranges in a regex class:
+    * latin A–Z a–z U+00C0–U+024F; cyrillic U+0400–U+04FF; greek
+    * U+0370–U+03FF; arabic U+0600–U+06FF; cjk U+3040–U+30FF (kana) ∪
+    * U+4E00–U+9FFF (unified) ∪ U+AC00–U+D7AF (hangul); digit 0–9.
+    * Codepoints outside every class (whitespace, punctuation, emoji, other
+    * scripts) count only in total. A profile, not a validator: the two
+    * Latin-1 math signs × ÷ land in latin to keep the ranges contiguous. */
+  def scriptProfile(text: UTF8String): Array[Long] = {
+    val s = text.toString
+    var total = 0L; var latin = 0L; var cyr = 0L; var greek = 0L
+    var arab = 0L; var cjk = 0L; var digit = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      total += 1
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+          (cp >= 0xC0 && cp <= 0x24F)) latin += 1
+      else if (cp >= 0x400 && cp <= 0x4FF) cyr += 1
+      else if (cp >= 0x370 && cp <= 0x3FF) greek += 1
+      else if (cp >= 0x600 && cp <= 0x6FF) arab += 1
+      else if ((cp >= 0x3040 && cp <= 0x30FF) || (cp >= 0x4E00 && cp <= 0x9FFF) ||
+               (cp >= 0xAC00 && cp <= 0xD7AF)) cjk += 1
+      else if (cp >= '0' && cp <= '9') digit += 1
+    }
+    Array(total, latin, cyr, greek, arab, cjk, digit)
+  }
+
   /** Hyperplane-LSH band buckets: packed sign bits of dot products with
     * planes[band][bit][dim], all bands in one pass over the vector's floats. */
   def lshBandBuckets(vec: ArrayData, planes: Array[Array[Array[Float]]]): Array[Long] = {
@@ -1980,6 +2013,31 @@ case class TokenStats(child: Expression, stopwords: Seq[String] = Seq.empty)
     copy(child = newChild)
 }
 
+/** script_profile(text) -> array<long> [total, latin, cyrillic, greek,
+  * arabic, cjk, digit] over codepoints; explicit engine-portable ranges.
+  * See [[VectorKernels.scriptProfile]]. */
+case class ScriptProfile(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"script_profile expects string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.scriptProfile(text.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorKernels.scriptProfile($a))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** top_ngram_stats(text, n) -> array<long> [totalNgrams, topNgramCount]:
   * single-pass tokenize + n-gram hash + mode count. See
   * [[VectorKernels.topNgramStats]]. */
@@ -2527,6 +2585,8 @@ object vectors {
 
   def top_ngram_stats(text: Column, n: Int): Column =
     TopNgramStats(text.asExpression, n).asColumn
+
+  def script_profile(text: Column): Column = ScriptProfile(text.asExpression).asColumn
 
   def chunk_tokens(text: Column, chunkSize: Int, stride: Int): Column =
     ChunkTokens(text.asExpression, chunkSize, stride).asColumn

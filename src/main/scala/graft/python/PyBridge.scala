@@ -801,6 +801,8 @@ object PyBridge {
 
   def foldAccents(c: Column): Column = graft.text.TextFunctions.foldAccents(c)
 
+  def scriptProfile(c: Column): Column = graft.functions.vectors.script_profile(c)
+
   def redactEmails(c: Column, token: String): Column = graft.text.Redact.redactEmails(c, token)
 
   def redactIpv4(c: Column, token: String): Column = graft.text.Redact.redactIpv4(c, token)

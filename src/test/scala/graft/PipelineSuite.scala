@@ -1131,6 +1131,21 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(hashedMass == mass)
   }
 
+  test("scriptProfile counts codepoints by explicit ranges; astral = 1; SQL-registered") {
+    def sp(s: String): Seq[Long] = Seq(s).toDF("t")
+      .select(graft.functions.vectors.script_profile(col("t")).as("p"))
+      .as[Seq[Long]].head()
+    //                 total latin cyr greek arabic cjk digit
+    assert(sp("héllo мир 日本語 ab9") == Seq(17L, 7L, 3L, 0L, 0L, 3L, 1L))
+    assert(sp("αβγ سلام こんにちは 한국") == Seq(17L, 0L, 0L, 3L, 4L, 7L, 0L))
+    // astral emoji: ONE codepoint, no class; × ÷ land in latin by design
+    assert(sp("a😀b×÷") == Seq(5L, 4L, 0L, 0L, 0L, 0L, 0L))
+    assert(sp("") == Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L))
+    graft.GraftExtensions.registerAll(spark)
+    assert(spark.sql("SELECT script_profile('мир 9')[2] AS cyr, script_profile('мир 9')[6] AS d")
+      .as[(Long, Long)].head() == ((3L, 1L)))
+  }
+
   test("fixMojibake: inverts cp1252 mis-decode to a fixpoint, never touches non-round-tripping text") {
     def fx(s: String): String = Seq(s).toDF("t")
       .select(graft.functions.vectors.fix_mojibake(col("t")).as("c"))
