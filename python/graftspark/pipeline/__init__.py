@@ -34,7 +34,7 @@ __all__ = [
     "keep_best_by_clusters", "split_by_clusters", "soft_dedup_weights",
     "deduplicate_minhash_clusters", "hash_sample", "stratified_hash_sample",
     "redact_pii", "redact_emails", "redact_ipv4", "redact_long_digits", "strip_html",
-    "fold_accents", "script_profile",
+    "fold_accents", "script_profile", "matched_patterns",
     "asof_join", "range_join", "with_session_index", "session_bounds",
     "split_by_hash", "temperature_sample", "gopher_filter",
     "top_k_per_group", "frequent_items", "profile_columns", "key_skew_report",
@@ -804,6 +804,13 @@ def script_profile(text: ColumnOrName) -> Column:
     [total, latin, cyrillic, greek, arabic, cjk, digit]; explicit
     engine-portable ranges (astral codepoints count once, class-less)."""
     return _col_fn("scriptProfile", _jcol(text))
+
+
+def matched_patterns(text: ColumnOrName, patterns: List[str]) -> Column:
+    """Distinct ids (ascending) of the fixed phrases occurring verbatim in
+    the text — one Aho-Corasick pass regardless of list size. Byte-exact,
+    case-sensitive; lowercase both sides for case-insensitive lists."""
+    return _col_fn("matchedPatterns", _jcol(text), [str(p) for p in patterns])
 
 
 def strip_html(text: ColumnOrName, decode_numeric_entities: bool = False,

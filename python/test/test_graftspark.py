@@ -888,6 +888,11 @@ class GraftsparkTest(unittest.TestCase):
             [("héllo мир 9",)], ["t"]).select(
             P.script_profile(col("t")).alias("p")).collect()[0]["p"]
         self.assertEqual(list(sp), [11, 5, 3, 0, 0, 0, 1])
+        # multi-pattern AC scan: nested patterns all fire, ids ascending
+        mp = self.spark.createDataFrame([("the scan slowed",)], ["t"]).select(
+            P.matched_patterns(col("t"), ["scan slow", "scan", "can", "zz"])
+            .alias("m")).collect()[0]["m"]
+        self.assertEqual(list(mp), [0, 1, 2])
         # adaptive per-group cut: 5-row group keeps ceil(1.5)=2, 1-row keeps 1
         cut = P.top_fraction_per_group(
             self.spark.createDataFrame(

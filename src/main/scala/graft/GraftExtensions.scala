@@ -8,8 +8,8 @@ import org.apache.spark.sql.types.{BinaryType, StringType}
 
 import graft.functions.{CanonicalizeText, ChunkTokens, CosineSimilarity, DeflateLength, FoldAccents,
   DeletionVariants, DotProduct, HashedWordShingles, MinHashBandHashes, MinHashSignature,
-  ScriptProfile, SimHash64, TokenStats, TokenizeAscii, TopNgramStats, WinnowedShingles,
-  WordShingles, WordShinglesAll}
+  MatchedPatterns, ScriptProfile, SimHash64, TokenStats, TokenizeAscii, TopNgramStats,
+  WinnowedShingles, WordShingles, WordShinglesAll}
 import graft.multimodal.{ByteEntropy, ByteNibbleHistogram, ImageDimsExpr, VideoInfoExpr, WavInfoExpr}
 import graft.sample.Sampling
 import graft.text.Redact
@@ -167,6 +167,11 @@ object GraftExtensions {
     },
     fn("dot_product", "dot_product(a, b) - dot product over array<float>") { es =>
       arity("dot_product", es, 2); DotProduct(es.head, es(1))
+    },
+    fn("matched_patterns",
+      "matched_patterns(text, pattern, ...) - distinct ids of patterns occurring verbatim (one Aho-Corasick pass)") { es =>
+      arity("matched_patterns", es, (2 to 33): _*)
+      MatchedPatterns(es.head, stringLits(es.tail, "matched_patterns"))
     },
     fn("script_profile",
       "script_profile(text) - [total, latin, cyrillic, greek, arabic, cjk, digit] codepoint counts") { es =>

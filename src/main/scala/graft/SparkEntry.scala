@@ -125,6 +125,14 @@ object SparkEntry {
   private[graft] val classifierGateWeights: Array[Int] =
     Array.tabulate(256)(i => ((i * 37 + 11) % 21) - 10)
 
+  /** Fixed phrase blocklist for the `pattern_hits` gate — ONE literal list
+    * feeds both the Aho–Corasick kernel and the DuckDB VALUES oracle.
+    * Deliberately overlapping ("can" is inside "scan", "scan slow" extends
+    * "scan") to exercise fail-link reporting; the last entry never occurs. */
+  private[graft] val PatternList: Seq[String] = Seq(
+    "scan slow", "scan", "can", "fast sort", "table key",
+    "spark", "park", "zzz never present")
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O-agg baseline: TPC-H Q1-flavor pricing summary over lineitem
@@ -555,6 +563,15 @@ object SparkEntry {
           col("sp")(2).as("cyrillic"), col("sp")(3).as("greek"),
           col("sp")(4).as("arabic"), col("sp")(5).as("cjk"),
           col("sp")(6).as("digit"))),
+
+    // multi-pattern substring blocklist: which fixed phrases occur verbatim
+    // in each document — ONE Aho-Corasick byte pass regardless of list size
+    // (N contains() calls would each rescan the text). Overlapping patterns
+    // ("can" inside "scan") exercise the fail links; one row per hit.
+    "pattern_hits" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        explode(graft.functions.vectors.matched_patterns(col("text"),
+          PatternList)).as("pattern_id"))),
 
     // language identification (marker-word heuristic, deterministic tie-break)
     "text_langid" -> ((s, dir) =>
@@ -2386,6 +2403,14 @@ object SparkEntry {
           "WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en' " +
           "WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr' " +
           "WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS pred_lang FROM sc"),
+
+      // one literal list, replayed as a VALUES join with contains()
+      "pattern_hits" ->
+        ("WITH p(i, s) AS (VALUES " +
+          PatternList.zipWithIndex
+            .map { case (s, i) => s"($i, '$s')" }.mkString(", ") +
+          ") SELECT d.doc_id, CAST(p.i AS INT) AS pattern_id " +
+          "FROM documents d, p WHERE contains(d.text, p.s)"),
 
       // the same explicit ranges as regex classes; length() counts
       // codepoints in DuckDB exactly as the kernel does (astral = 1)

@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Aho–Corasick multi-pattern substring search: which of N fixed phrases
+ * occur verbatim anywhere in the text, found in ONE pass over the bytes
+ * regardless of N — the curation shape for bad-phrase / boilerplate-marker /
+ * URL-fragment blocklists where N regex passes (or N `contains` calls)
+ * would each rescan the document.
+ *
+ * Matching is over UTF-8 bytes. That is exactly substring-of-characters
+ * semantics for valid UTF-8: the encoding is self-synchronizing (lead and
+ * continuation bytes are disjoint ranges), so a pattern's byte sequence can
+ * only align at codepoint boundaries — byte-level hits never straddle a
+ * character. Case-sensitive; lowercase both sides first for
+ * case-insensitive lists.
+ *
+ * The automaton builds once per expression instance on the driver and
+ * ships to executors as a broadcast-like reference object (standard
+ * codegen `addReferenceObj`), so per-row work is just the byte walk.
+ */
+final class AcAutomaton(patterns: Seq[String]) extends Serializable {
+  require(patterns.nonEmpty, "AcAutomaton needs at least one pattern")
+  require(patterns.forall(_.nonEmpty), "empty pattern would match every row")
+
+  private val patternBytes: Array[Array[Byte]] =
+    patterns.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+  val size: Int = patternBytes.length
+
+  // Trie as parallel growable arrays; children dense per node over the
+  // 256 byte values would be memory-heavy for large lists — use a single
+  // open hash from (node << 8 | byte) to child instead.
+  private val children = new java.util.HashMap[Integer, Integer]()
+  private var nodeCount = 1
+  private var outputs: Array[Array[Int]] = _ // per node: pattern ids ending here
+  private var fail: Array[Int] = _
+
+  locally {
+    val outBuild = scala.collection.mutable.Map.empty[Int, List[Int]]
+    var p = 0
+    while (p < patternBytes.length) {
+      var node = 0
+      val bytes = patternBytes(p)
+      var i = 0
+      while (i < bytes.length) {
+        val key = Integer.valueOf((node << 8) | (bytes(i) & 0xFF))
+        val next = children.get(key)
+        if (next == null) {
+          children.put(key, Integer.valueOf(nodeCount))
+          node = nodeCount
+          nodeCount += 1
+        } else node = next.intValue()
+        i += 1
+      }
+      outBuild(node) = p :: outBuild.getOrElse(node, Nil)
+      p += 1
+    }
+    // BFS fail links; merge fail-target outputs so a hit at a node reports
+    // every pattern that ends at ANY suffix of the current position
+    fail = new Array[Int](nodeCount)
+    val outArr = Array.fill(nodeCount)(List.empty[Int])
+    outBuild.foreach { case (n, ids) => outArr(n) = ids }
+    val queue = new java.util.ArrayDeque[Int]()
+    var b = 0
+    while (b < 256) {
+      val c = children.get(Integer.valueOf(b))
+      if (c != null) { fail(c.intValue()) = 0; queue.add(c.intValue()) }
+      b += 1
+    }
+    // need child enumeration per node: build it once from the hash
+    val childList = Array.fill(nodeCount)(List.empty[(Int, Int)])
+    children.forEach { (k, v) =>
+      childList(k.intValue() >>> 8) = ((k.intValue() & 0xFF, v.intValue())) :: childList(k.intValue() >>> 8)
+    }
+    while (!queue.isEmpty) {
+      val node = queue.poll()
+      childList(node).foreach { case (byte, child) =>
+        var f = fail(node)
+        while (f != 0 && children.get(Integer.valueOf((f << 8) | byte)) == null) f = fail(f)
+        val fc = children.get(Integer.valueOf((f << 8) | byte))
+        fail(child) = if (fc != null && fc.intValue() != child) fc.intValue() else 0
+        outArr(child) = outArr(child) ++ outArr(fail(child))
+        queue.add(child)
+      }
+    }
+    outputs = outArr.map(_.toArray)
+  }
+
+  /** Distinct matched pattern ids, ascending. */
+  def matches(text: UTF8String): Array[Int] = {
+    val bytes = text.getBytes
+    val hit = new Array[Boolean](size)
+    var hits = 0
+    var node = 0
+    var i = 0
+    while (i < bytes.length && hits < size) {
+      val b = bytes(i) & 0xFF
+      var n = node
+      var c = children.get(Integer.valueOf((n << 8) | b))
+      while (n != 0 && c == null) { n = fail(n); c = children.get(Integer.valueOf((n << 8) | b)) }
+      node = if (c == null) 0 else c.intValue()
+      val out = outputs(node)
+      var j = 0
+      while (j < out.length) {
+        if (!hit(out(j))) { hit(out(j)) = true; hits += 1 }
+        j += 1
+      }
+      i += 1
+    }
+    val res = new Array[Int](hits)
+    var k = 0; var p = 0
+    while (p < size) { if (hit(p)) { res(k) = p; k += 1 }; p += 1 }
+    res
+  }
+}
+
+/** matched_patterns(text) -> array<int>: distinct ids (ascending) of the
+  * fixed patterns occurring verbatim in the text; one Aho–Corasick pass. */
+case class MatchedPatterns(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val automaton = new AcAutomaton(patterns)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if patterns.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure("matched_patterns needs >= 1 pattern")
+    case t => TypeCheckResult.TypeCheckFailure(s"matched_patterns expects string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      automaton.matches(text.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acRef = ctx.addReferenceObj("acAutomaton", automaton, classOf[AcAutomaton].getName)
+    defineCodeGen(ctx, ev,
+      a => s"new org.apache.spark.sql.catalyst.util.GenericArrayData($acRef.matches($a))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

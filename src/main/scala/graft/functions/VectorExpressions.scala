@@ -2588,6 +2588,9 @@ object vectors {
 
   def script_profile(text: Column): Column = ScriptProfile(text.asExpression).asColumn
 
+  def matched_patterns(text: Column, patterns: Seq[String]): Column =
+    MatchedPatterns(text.asExpression, patterns).asColumn
+
   def chunk_tokens(text: Column, chunkSize: Int, stride: Int): Column =
     ChunkTokens(text.asExpression, chunkSize, stride).asColumn
 

@@ -803,6 +803,9 @@ object PyBridge {
 
   def scriptProfile(c: Column): Column = graft.functions.vectors.script_profile(c)
 
+  def matchedPatterns(c: Column, patterns: JList[String]): Column =
+    graft.functions.vectors.matched_patterns(c, patterns.asScala.toSeq)
+
   def redactEmails(c: Column, token: String): Column = graft.text.Redact.redactEmails(c, token)
 
   def redactIpv4(c: Column, token: String): Column = graft.text.Redact.redactIpv4(c, token)

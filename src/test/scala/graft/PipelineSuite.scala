@@ -1131,6 +1131,29 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(hashedMass == mass)
   }
 
+  test("matched_patterns: one AC pass finds overlapping/nested hits; SQL-registered") {
+    import graft.functions.AcAutomaton
+    def mp(text: String, pats: String*): Seq[Int] = Seq(text).toDF("t")
+      .select(graft.functions.vectors.matched_patterns(col("t"), pats).as("m"))
+      .as[Seq[Int]].head()
+    // nested ("can" in "scan") and extending ("scan slow") patterns all fire
+    assert(mp("the scan slowed", "scan slow", "scan", "can", "zzz") == Seq(0, 1, 2))
+    // fail-link case: "ab" then "ba" overlap inside "aba"
+    assert(mp("aba", "ab", "ba", "aba", "bab") == Seq(0, 1, 2))
+    assert(mp("no hits here", "xyz") == Seq())
+    // suffix-via-fail output: pattern ending mid-walk of a longer pattern
+    assert(mp("xhersheyx", "hershey", "she", "he", "hers") == Seq(0, 1, 2, 3))
+    // utf-8 byte matching never straddles codepoint boundaries
+    assert(mp("naïve café", "ïv", "café", "afé") == Seq(0, 1, 2))
+    assert(mp("héllo", "é") == Seq(0))
+    // kernel-direct: duplicates in text report once
+    val ac = new AcAutomaton(Seq("aa"))
+    assert(ac.matches(org.apache.spark.unsafe.types.UTF8String.fromString("aaaa")).toSeq == Seq(0))
+    graft.GraftExtensions.registerAll(spark)
+    assert(spark.sql("SELECT matched_patterns('scan slowed', 'scan slow', 'zz') AS m")
+      .as[Seq[Int]].head() == Seq(0))
+  }
+
   test("scriptProfile counts codepoints by explicit ranges; astral = 1; SQL-registered") {
     def sp(s: String): Seq[Long] = Seq(s).toDF("t")
       .select(graft.functions.vectors.script_profile(col("t")).as("p"))
