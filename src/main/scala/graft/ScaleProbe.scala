@@ -68,7 +68,7 @@ object ScaleProbe {
       "dsir", "vocab", "streaming_neardup_state", "streaming_embedding_state",
       "bpe_encode", "boilerplate", "kmv_sketch", "containment",
       "jaccard_prefix", "streaming_seeded_state", "streaming_domain_cap_state",
-      "int8_footprint", "soft_dedup_split")
+      "int8_footprint", "soft_dedup_split", "novelty", "dedup_index")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -142,6 +142,52 @@ object ScaleProbe {
       }
       reportAlways("split_by_clusters", sRows, tS)
     }
+    }
+
+    // --- documents: n-gram novelty profile --------------------------------
+    // claim under test: cost grows ~linearly with corpus size because the
+    // second shuffle carries only the DUPLICATED gram mass (the left-semi
+    // on the df >= 2 set), not the full exploded gram stream; hashed=true
+    // keeps both exchanges to 8-byte longs
+    if (enabled("novelty")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val bigDocs = amplify(docs, n)
+        .select((col("doc_id") + col("__rep") * 1000000L).as("doc_id"),
+          regexp_replace(col("text"), lit("(\\w+ \\w+ \\w+)"),
+            concat(lit("$1 r"), col("__rep").cast("string"))).as("text"))
+      val (rows, t) = time {
+        graft.text.CorpusStats.noveltyProfile(
+          bigDocs, col("doc_id"), col("text"), n = 3, hashed = true)
+          .queryExecution.toRdd.count()
+      }
+      report("novelty", rows, t)
+    }
+
+    // --- documents: persisted dedup index, fixed increment ----------------
+    // claim under test: with the reference N-times larger, the increment's
+    // query cost grows only with the INDEX SCAN (shingle/band work is
+    // increment-only) — re-shingling the reference would grow the kernel
+    // work N-fold too, which this probe would expose as super-linear time
+    if (enabled("dedup_index")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val bigRef = amplify(docs, n)
+        .select((col("doc_id") + col("__rep") * 1000000L).as("doc_id"),
+          regexp_replace(col("text"), lit("(\\w+ \\w+ \\w+)"),
+            concat(lit("$1 r"), col("__rep").cast("string"))).as("text"))
+      // the increment replays 200 replica-0 documents under new ids, so
+      // every one of them near-duplicates an indexed document — the verify
+      // join must do real work, not return empty
+      val increment = bigRef.filter(col("doc_id") < 1000000L).limit(200)
+        .select((col("doc_id") + 500000000L).as("doc_id"), col("text"))
+      val idx = graft.createTemporaryDir(s"scale-dedup-index-$n")
+      graft.dedup.DedupIndex.saveDedupIndex(
+        bigRef, col("doc_id"), col("text"), idx)
+      val (rows, t) = time {
+        graft.dedup.DedupIndex.nearDupPairsAgainstIndex(
+          increment, col("doc_id"), col("text"), idx, threshold = 0.8)
+          .queryExecution.toRdd.count()
+      }
+      report("dedup_index", rows, t)
     }
 
     // --- customer names: fuzzy ED-1 self-join ----------------------------
