@@ -47,6 +47,7 @@ __all__ = [
     "payload_near_dup_pairs", "novelty_profile", "duplicate_gram_mass",
     "top_fraction_per_group", "save_dedup_index",
     "near_dup_pairs_against_index", "deduplicate_against_index",
+    "append_to_dedup_index",
     "train_pq", "pq_encode", "pq_top_k", "bm25_top_k",
     "repeated_span_stats", "remove_repeated_spans", "classifier_score",
     "dsir_weight_table", "dsir_fit_weights", "dsir_score", "dsir_select_top",
@@ -1376,6 +1377,14 @@ def save_dedup_index(df: DataFrame, id: ColumnOrName, text: ColumnOrName,
     _bridge(df).saveDedupIndex(df._jdf, _jcol(id), _jcol(text), path,
                                int(shingle_size), int(bands),
                                int(rows_per_band), int(max_bucket_size))
+
+
+def append_to_dedup_index(df: DataFrame, id: ColumnOrName,
+                          text: ColumnOrName, path: str) -> None:
+    """Append a batch (typically just-deduped survivors) to an existing
+    dedup index; banding comes from the saved params. Buckets hot only
+    across batches are re-pruned at query time."""
+    _bridge(df).appendToDedupIndex(df._jdf, _jcol(id), _jcol(text), path)
 
 
 def near_dup_pairs_against_index(corpus: DataFrame, id: ColumnOrName,

@@ -985,6 +985,17 @@ class GraftsparkTest(unittest.TestCase):
         kept = P.deduplicate_against_index(
             batch, col("id"), col("text"), d, threshold=0.7).collect()
         self.assertEqual([r["id"] for r in kept], [200])
+        # ingest loop: append the survivor, the next batch sees it
+        P.append_to_dedup_index(
+            self.spark.createDataFrame(
+                [(r["id"], r["text"]) for r in kept], ["id", "text"]),
+            col("id"), col("text"), d)
+        again = P.near_dup_pairs_against_index(
+            self.spark.createDataFrame(
+                [(500, "entirely fresh text about quasars and neutron stars here")],
+                ["id", "text"]),
+            col("id"), col("text"), d, threshold=0.7).collect()
+        self.assertEqual([(r["idA"], r["idB"]) for r in again], [(500, 200)])
 
     def test_pipeline_pq_ann(self):
         from graftspark import pipeline as P

@@ -68,6 +68,37 @@ object DedupIndex {
     } finally shingled.unpersist()
   }
 
+  /**
+   * Append a batch (typically the survivors of a just-deduped increment) to
+   * an existing index, completing the ingest loop: dedupe today's batch
+   * against the index, then append the keepers so tomorrow's batch sees
+   * them. Banding comes from the saved params; shingle and bucket files are
+   * parquet-appended, no rewrite of the existing index.
+   *
+   * Hot-bucket pruning is applied WITHIN the appended batch (same cap as
+   * the save); buckets that only become hot across batches are re-pruned at
+   * query time (see [[nearDupPairsAgainstIndex]]), which can only differ
+   * from an all-at-once save by keeping candidates a bigger bucket would
+   * have dropped — extra candidates feed the EXACT verify, so the
+   * difference is added recall, never a false pair.
+   */
+  def appendToDedupIndex(df: DataFrame, id: Column, text: Column,
+                         path: String): Unit = {
+    val p = readIndexParams(df.sparkSession, path)
+    val shingled = df
+      .select(id.as("id"), TextFunctions.hashedTextShingles(text, p.shingleSize).as("shingles"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      shingled.write.mode("append").parquet(s"$path/shingles")
+      val exploded = shingled.select(col("id"),
+        posexplode(vectors.minhash_band_hashes(col("shingles"), p.bands, p.rowsPerBand))
+          .as(Seq("band", "bucket")))
+      Dedup.pruneHotBuckets(exploded, p.maxBucketSize)
+        .repartition(col("band"), col("bucket"))
+        .write.mode("append").parquet(s"$path/buckets")
+    } finally shingled.unpersist()
+  }
+
   /** Read the saved index parameters (fails if the save never completed). */
   def readIndexParams(spark: SparkSession, path: String): IndexParams = {
     val row = spark.read.parquet(s"$path/params").head()
@@ -104,7 +135,11 @@ object DedupIndex {
         posexplode(vectors.minhash_band_hashes(col("shingles"), p.bands, p.rowsPerBand))
           .as(Seq("band", "bucket"))),
       maxBucketSize)
-    val refBuckets = spark.read.parquet(s"$path/buckets")
+    // re-prune the loaded buckets: idempotent for a single-save index (the
+    // save already applied this cap), and REQUIRED after appends, where a
+    // bucket can become hot only across batches
+    val refBuckets = Dedup.pruneHotBuckets(
+      spark.read.parquet(s"$path/buckets"), p.maxBucketSize)
       .select(col("band"), col("bucket"), col("id").as("__ref_id"))
     val candidates = corpusX.join(refBuckets, Seq("band", "bucket"))
       .select(col("id").as("idA"), col("__ref_id").as("idB"))

@@ -895,6 +895,10 @@ object PyBridge {
     graft.dedup.DedupIndex.saveDedupIndex(df, id, text, path, shingleSize,
       bands, rowsPerBand, maxBucketSize)
 
+  def appendToDedupIndex(df: DataFrame, id: Column, text: Column,
+                         path: String): Unit =
+    graft.dedup.DedupIndex.appendToDedupIndex(df, id, text, path)
+
   def nearDupPairsAgainstIndex(corpus: DataFrame, id: Column, text: Column,
                                path: String, threshold: Double,
                                maxBucketSize: Int): DataFrame =

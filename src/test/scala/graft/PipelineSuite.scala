@@ -361,6 +361,18 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     intercept[Exception] {
       DedupIndex.nearDupPairsAgainstIndex(batch, col("id"), col("text"), broken)
     }
+    // ingest loop: append a batch, the NEXT increment sees both generations
+    DedupIndex.appendToDedupIndex(
+      Seq((300L, "entirely fresh appended doc about gravitational lensing surveys maps"))
+        .toDF("id", "text"), col("id"), col("text"), idx)
+    val gen2 = Seq(
+      (400L, "entirely fresh appended doc about gravitational lensing surveys maps today"), // ~dup of 300 (one appended word, J = 8/9)
+      (401L, nearDupCorpus.find(_._1 == 5L).get._2)) // exact dup of original 5
+      .toDF("id", "text")
+    val pairs2 = DedupIndex.nearDupPairsAgainstIndex(
+      gen2, col("id"), col("text"), idx, threshold = 0.7)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs2 == Set((400L, 300L), (401L, 5L)), pairs2.toString)
   }
 
   test("tfidfTerms ranks group-distinctive terms first, boilerplate scores zero") {
