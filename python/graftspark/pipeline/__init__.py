@@ -57,6 +57,7 @@ __all__ = [
     "rrf_fuse", "canonicalize_text", "fix_mojibake", "corpus_drift", "contamination_report",
     "deduplicate_semantic_keep_diverse", "compact_parquet",
     "ivf_pq_top_k", "train_pq_residual", "pq_encode_residual",
+    "save_ann_index", "ivf_pq_top_k_indexed",
     "decode_numeric_entities", "decode_html_entities",
     "write_ordered_batches", "read_ordered_batches", "drain_to_parquet",
     "drop_duplicate_texts_within_watermark", "containment_candidates_stream",
@@ -1516,6 +1517,29 @@ def lm_score_bits(docs: DataFrame, id_column: str, text: ColumnOrName,
         None if lm_text is None else _jcol(lm_text),
         int(unseen_bits))
     return DataFrame(jdf, docs.sparkSession)
+
+
+def save_ann_index(corpus: DataFrame, corpus_id: ColumnOrName,
+                   corpus_vec: ColumnOrName, ivf, index, path: str,
+                   residual: bool = False) -> None:
+    """Persist the full IVFADC serving state (quantizers + encoded corpus +
+    raw vectors, params last): the write-once table ivf_pq_top_k_indexed
+    scans instead of re-encoding the corpus on every query batch."""
+    _bridge(corpus).saveAnnIndex(corpus._jdf, _jcol(corpus_id),
+                                 _jcol(corpus_vec), ivf, index, path,
+                                 bool(residual))
+
+
+def ivf_pq_top_k_indexed(queries: DataFrame, query_id: ColumnOrName,
+                         query_vec: ColumnOrName, path: str, k: int,
+                         nprobe: int = 2, refine: int = 8) -> DataFrame:
+    """The composed IVFADC query against a persisted index — identical
+    results to ivf_pq_top_k with the same quantizers; corpus never
+    re-encoded. Returns (query_id, rank, neighbor_id, cosine)."""
+    jdf = _bridge(queries).ivfPqTopKIndexed(
+        queries._jdf, _jcol(query_id), _jcol(query_vec), path,
+        int(k), int(nprobe), int(refine))
+    return DataFrame(jdf, queries.sparkSession)
 
 
 def train_ivf(corpus: DataFrame, id: ColumnOrName, vec: ColumnOrName,

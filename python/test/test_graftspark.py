@@ -965,6 +965,18 @@ class GraftsparkTest(unittest.TestCase):
                                               col("id"), col("vec"), col("id"),
                                               col("vec"), ix_, 3, 6).collect())
         self.assertEqual(topk(pq), topk(pq2))
+        # full serving state: indexed IVFADC == in-memory IVFADC
+        P.save_ann_index(df, col("id"), col("vec"), ix, pq, d + "/ann")
+        mem = sorted((r["query_id"], r["rank"], r["neighbor_id"])
+                     for r in P.ivf_pq_top_k(
+                         df.filter(col("id") < 3), df, col("id"), col("vec"),
+                         col("id"), col("vec"), ix, pq, 3, nprobe=2,
+                         refine=4).collect())
+        via = sorted((r["query_id"], r["rank"], r["neighbor_id"])
+                     for r in P.ivf_pq_top_k_indexed(
+                         df.filter(col("id") < 3), col("id"), col("vec"),
+                         d + "/ann", 3, nprobe=2, refine=4).collect())
+        self.assertEqual(mem, via)
 
     def test_pipeline_dedup_index(self):
         import tempfile

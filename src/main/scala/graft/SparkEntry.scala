@@ -1915,6 +1915,24 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
+    // the SAME composed IVFADC plan against a persisted serving state
+    // (quantizers + encoded corpus + vectors saved in-query, then queried
+    // back) — the write-once production layout where no query batch ever
+    // re-encodes the corpus. Same training, same golden oracle.
+    "ann_indexed_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ivf = graft.ann.Ann.trainIvf(emb, col("vec_id"), col("embedding"),
+        k = 16, iterations = 3)
+      val pqi = graft.ann.Pq.trainPq(emb, col("vec_id"), col("embedding"),
+        dim = 64, m = 8, ksub = 16, iterations = 3)
+      val idx = graft.createTemporaryDir("ann-index")
+      graft.ann.Pq.saveAnnIndex(emb, col("vec_id"), col("embedding"), ivf, pqi, idx)
+      graft.ann.Pq.ivfPqTopKIndexed(
+        emb.filter(col("vec_id") < 20), col("vec_id"), col("embedding"),
+        idx, k = 3, nprobe = 3, refine = 8)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
     "ann_pq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 20)
@@ -3566,6 +3584,12 @@ object SparkEntry {
       "ann_ivfpq_residual_topk" ->
         ("SELECT query_id, rank, neighbor_id " +
           s"FROM read_parquet('$goldenDir/ann_ivfpq_residual_topk_sf001.parquet')"),
+
+      // identical plan + training through the persisted index: the same
+      // golden fixture IS the oracle
+      "ann_indexed_topk" ->
+        ("SELECT query_id, rank, neighbor_id " +
+          s"FROM read_parquet('$goldenDir/ann_ivfpq_topk_sf001.parquet')"),
 
       // recall booleans are asserted on the Spark side (the query flips
       // them on regression); the oracle pins the brute-force total and the

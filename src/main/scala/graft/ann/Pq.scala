@@ -175,11 +175,30 @@ object Pq {
     // one narrow fused kernel pass over the corpus scan
     val enc =
       if (residual) encodeResidual(corpus, corpusId, corpusVec, ivf, index)
-      else corpus.select(
-          get(vectors.nearest_centroids(corpusVec, ivf.centroids, 1), lit(0)).as("cid"),
-          corpusId.as("neighbor_id"),
-          vectors.pq_encode(corpusVec, index.codebooks).as("codes"))
-        .withColumn("cnorm", vectors.pq_code_norm(col("codes"), index.normSq))
+      else encodeIvf(corpus, corpusId, corpusVec, ivf, index)
+    ivfPqTopKFromEnc(queries, queryId, queryVec, enc,
+      corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cvec")),
+      ivf, index, k, nprobe, refine, residual)
+  }
+
+  /** Non-residual IVF×PQ corpus encoding `(cid, neighbor_id, codes, cnorm)`
+    * — one narrow fused kernel pass over the corpus scan. */
+  def encodeIvf(corpus: DataFrame, id: Column, vec: Column,
+                ivf: Ann.IvfIndex, index: PqIndex): DataFrame =
+    corpus.select(
+        get(vectors.nearest_centroids(vec, ivf.centroids, 1), lit(0)).as("cid"),
+        id.as("neighbor_id"),
+        vectors.pq_encode(vec, index.codebooks).as("codes"))
+      .withColumn("cnorm", vectors.pq_code_norm(col("codes"), index.normSq))
+
+  /** The composed IVFADC plan from a prepared `(cid, neighbor_id, codes,
+    * cnorm)` table — shared by the in-memory path (which encodes in-plan)
+    * and the persisted-index path (which reads the table from parquet). */
+  private def ivfPqTopKFromEnc(
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      enc: DataFrame, corpusVecs: DataFrame,
+      ivf: Ann.IvfIndex, index: PqIndex, k: Int,
+      nprobe: Int, refine: Int, residual: Boolean): DataFrame = {
     // one query row per probed bucket; a corpus vector lives in exactly ONE
     // bucket, so a (query, neighbor) pair can match at most once — no
     // post-join dedup needed (unlike the LSH band join)
@@ -211,7 +230,7 @@ object Pq {
       .select(col("query_id"), col("neighbor_id"))
       .join(broadcast(queries.select(queryId.as("query_id"), queryVec.as("qvec"))),
         "query_id")
-    rerankExact(corpus, corpusId, corpusVec, shortlist, k)
+    rerankExact(corpusVecs, col("neighbor_id"), col("cvec"), shortlist, k)
   }
 
   /** The IVF centroid table as an `array<array<float>>` literal — ships in
@@ -293,5 +312,55 @@ object Pq {
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
     PqIndex(rows.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (_, g) => g.sortBy(_._2).map(_._3) }.map(_.toArray).toArray)
+  }
+
+  /**
+   * Persist the FULL IVFADC serving state at `path`: both quantizers
+   * (`ivf/`, `pq/`), the encoded corpus (`enc/` — `(cid, neighbor_id,
+   * codes, cnorm)`, repartitioned on `cid` so a probe scans coherent
+   * files), the raw vectors (`vectors/`, exact-re-rank side), and a
+   * `params/` row (the residual flag) written LAST so a half-finished save
+   * fails loudly. [[ivfPqTopK]] re-encodes the corpus inside every query
+   * batch — correct, but at 100 TB the encode kernel pass over all vectors
+   * is the dominant cost and is identical across batches; this is the
+   * write-once table that [[ivfPqTopKIndexed]] scans instead.
+   */
+  def saveAnnIndex(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                   ivf: Ann.IvfIndex, index: PqIndex, path: String,
+                   residual: Boolean = false): Unit = {
+    val spark = corpus.sparkSession
+    Ann.saveIvf(spark, ivf, s"$path/ivf")
+    savePq(spark, index, s"$path/pq")
+    val base = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cvec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      base.write.mode("overwrite").parquet(s"$path/vectors")
+      val enc =
+        if (residual) encodeResidual(base, col("neighbor_id"), col("cvec"), ivf, index)
+        else encodeIvf(base, col("neighbor_id"), col("cvec"), ivf, index)
+      enc.repartition(col("cid")).write.mode("overwrite").parquet(s"$path/enc")
+    } finally base.unpersist()
+    spark.range(1).select(lit(residual).as("residual"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /**
+   * The composed IVFADC query against a persisted index: loads the two
+   * bounded quantizer tables (k_ivf and m×ksub rows), scans `enc/` for the
+   * probed buckets only, and exact-re-ranks from `vectors/`. Identical
+   * results to the in-memory [[ivfPqTopK]] with the same quantizers
+   * (sbt-pinned) — the corpus is never re-encoded.
+   */
+  def ivfPqTopKIndexed(queries: DataFrame, queryId: Column, queryVec: Column,
+                       path: String, k: Int,
+                       nprobe: Int = 2, refine: Int = 8): DataFrame = {
+    val spark = queries.sparkSession
+    val residual = spark.read.parquet(s"$path/params").head().getAs[Boolean]("residual")
+    val ivf = Ann.loadIvf(spark, s"$path/ivf")
+    val index = loadPq(spark, s"$path/pq")
+    ivfPqTopKFromEnc(queries, queryId, queryVec,
+      spark.read.parquet(s"$path/enc"),
+      spark.read.parquet(s"$path/vectors"),
+      ivf, index, k, nprobe, refine, residual)
   }
 }

@@ -431,6 +431,15 @@ object PyBridge {
                        index: graft.ann.Pq.PqIndex): DataFrame =
     graft.ann.Pq.encodeResidual(corpus, id, vec, ivf, index)
 
+  def saveAnnIndex(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                   ivf: graft.ann.Ann.IvfIndex, index: graft.ann.Pq.PqIndex,
+                   path: String, residual: Boolean): Unit =
+    graft.ann.Pq.saveAnnIndex(corpus, corpusId, corpusVec, ivf, index, path, residual)
+
+  def ivfPqTopKIndexed(queries: DataFrame, queryId: Column, queryVec: Column,
+                       path: String, k: Int, nprobe: Int, refine: Int): DataFrame =
+    graft.ann.Pq.ivfPqTopKIndexed(queries, queryId, queryVec, path, k, nprobe, refine)
+
   def bm25TopK(docs: DataFrame, docId: Column, text: Column,
                queries: DataFrame, queryId: Column, queryTerms: Column,
                k: Int, scale: Long): DataFrame =

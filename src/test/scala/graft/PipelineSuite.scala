@@ -1657,6 +1657,36 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
       bruteCos.get((q, n)).foreach(b => assert(math.abs(b - c) < 1e-12, s"($q, $n)")) }
   }
 
+  test("persisted ANN index reproduces the in-memory IVFADC path row-for-row") {
+    val data = clusteredVectors(6, 10, 16, 0.05f)
+    val df = data.toDF("id", "vec")
+    val queries = df.filter(col("id") < 6)
+    val ivf = Ann.trainIvf(df, col("id"), col("vec"), k = 6, iterations = 3)
+    for (residual <- Seq(false, true)) {
+      val pqi =
+        if (residual) Pq.trainPqResidual(df, col("id"), col("vec"), ivf,
+          dim = 16, m = 4, ksub = 8, iterations = 3)
+        else Pq.trainPq(df, col("id"), col("vec"), dim = 16, m = 4, ksub = 8,
+          iterations = 3)
+      val inMem = Pq.ivfPqTopK(queries, df, col("id"), col("vec"), col("id"), col("vec"),
+        ivf, pqi, k = 3, nprobe = 2, refine = 4, residual = residual)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Int, Long, Double)].collect().toSet
+      val idx = graft.createTemporaryDir(s"ann-index-test-$residual")
+      Pq.saveAnnIndex(df, col("id"), col("vec"), ivf, pqi, idx, residual = residual)
+      val indexed = Pq.ivfPqTopKIndexed(queries, col("id"), col("vec"),
+        idx, k = 3, nprobe = 2, refine = 4)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(indexed == inMem, s"residual=$residual")
+    }
+    // a half-written index (no params) fails loudly
+    intercept[Exception] {
+      Pq.ivfPqTopKIndexed(queries, col("id"), col("vec"),
+        graft.createTemporaryDir("ann-index-broken"), k = 3)
+    }
+  }
+
   test("IVFADC residual codes recall at least as well as raw codes at fixed m") {
     // the paper-faithful comparison: same corpus, same IVF, same m/ksub,
     // probe-all (so IVF pruning can't confound the code-precision effect) —
