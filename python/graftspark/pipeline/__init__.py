@@ -26,6 +26,7 @@ __all__ = [
     "cosine_similarity", "dot_product", "drop_exact_text_duplicates",
     "int8_encode", "int8_encode_ints", "int8_scale", "int8_dot",
     "int8_decode", "int8_brute_force_top_k",
+    "bit_sign_pack", "hamming_words", "hamming_brute_force_top_k", "hamming_top_k",
     "near_dup_pairs_minhash", "near_dup_pairs_simhash", "deduplicate_minhash",
     "deduplicate_lines", "decontaminate", "decontaminate_bloom", "brute_force_top_k",
     "build_blocklist_artifact", "decontaminate_with_artifact",
@@ -57,7 +58,8 @@ __all__ = [
     "rrf_fuse", "canonicalize_text", "fix_mojibake", "corpus_drift", "contamination_report",
     "deduplicate_semantic_keep_diverse", "compact_parquet",
     "ivf_pq_top_k", "train_pq_residual", "pq_encode_residual",
-    "save_ann_index", "ivf_pq_top_k_indexed",
+    "save_ann_index", "ivf_pq_top_k_indexed", "append_to_ann_index",
+    "repeat_to_token_budget",
     "decode_numeric_entities", "decode_html_entities",
     "write_ordered_batches", "read_ordered_batches", "drain_to_parquet",
     "drop_duplicate_texts_within_watermark", "containment_candidates_stream",
@@ -72,6 +74,7 @@ __all__ = [
     "join_size_estimate",
     "merge_kmv_sketches", "winnowed_shingles", "containment_pairs",
     "resample_to_mixture",
+    "band_collision_probability", "band_threshold", "plan_bands",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -186,6 +189,47 @@ def int8_brute_force_top_k(queries: DataFrame, corpus: DataFrame,
     jdf = _bridge(queries).int8BruteForceTopK(
         queries._jdf, corpus._jdf, _jcol(query_id), _jcol(query_vec),
         _jcol(corpus_id), _jcol(corpus_vec), int(k))
+    return DataFrame(jdf, queries.sparkSession)
+
+
+def bit_sign_pack(vec: ColumnOrName) -> Column:
+    """1-bit sign quantization of array<float> into packed 64-bit words
+    (1 bit/dim at rest and on every scan: 32x under float32, 8x under
+    int8). Bit i of word i//64 = (vec[i] >= 0)."""
+    return _col_fn("bitSignPack", _jcol(vec))
+
+
+def hamming_words(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Hamming distance between two bit_sign_pack codes (XOR + popcount);
+    dim - hamming counts sign agreements, a monotone proxy for cosine
+    direction."""
+    return _col_fn("hammingWords", _jcol(a), _jcol(b))
+
+
+def hamming_brute_force_top_k(queries: DataFrame, corpus: DataFrame,
+                              query_id: ColumnOrName, query_vec: ColumnOrName,
+                              corpus_id: ColumnOrName, corpus_vec: ColumnOrName,
+                              k: int) -> DataFrame:
+    """Brute-force top-k over 1-bit sign codes by ascending Hamming
+    distance — the cheapest storage tier of the quantized-ANN family.
+    Returns (query_id, rank, neighbor_id, hamming), exact integer
+    arithmetic end to end."""
+    jdf = _bridge(queries).hammingBruteForceTopK(
+        queries._jdf, corpus._jdf, _jcol(query_id), _jcol(query_vec),
+        _jcol(corpus_id), _jcol(corpus_vec), int(k))
+    return DataFrame(jdf, queries.sparkSession)
+
+
+def hamming_top_k(queries: DataFrame, corpus: DataFrame,
+                  query_id: ColumnOrName, query_vec: ColumnOrName,
+                  corpus_id: ColumnOrName, corpus_vec: ColumnOrName,
+                  k: int, refine: int = 8) -> DataFrame:
+    """Hamming shortlist (k*refine candidates over the 32x-compressed
+    scan) + exact cosine re-rank of the bounded shortlist. Returns
+    (query_id, rank, neighbor_id, cosine) with cosine exact."""
+    jdf = _bridge(queries).hammingTopK(
+        queries._jdf, corpus._jdf, _jcol(query_id), _jcol(query_vec),
+        _jcol(corpus_id), _jcol(corpus_vec), int(k), int(refine))
     return DataFrame(jdf, queries.sparkSession)
 
 
@@ -1542,6 +1586,32 @@ def ivf_pq_top_k_indexed(queries: DataFrame, query_id: ColumnOrName,
     return DataFrame(jdf, queries.sparkSession)
 
 
+def append_to_ann_index(batch: DataFrame, id: ColumnOrName,
+                        vec: ColumnOrName, path: str) -> None:
+    """Append a vector batch to an index saved by save_ann_index: the batch
+    is encoded against the SAVED quantizers (codebooks fixed at save time,
+    so config mismatch cannot happen) and parquet-appended to the encoded
+    corpus and raw-vector tables. Queries afterwards equal a fresh save
+    over the union corpus."""
+    _bridge(batch).appendToAnnIndex(batch._jdf, _jcol(id), _jcol(vec), str(path))
+
+
+def repeat_to_token_budget(df: DataFrame, domain: ColumnOrName,
+                           n_tokens: ColumnOrName, key: ColumnOrName,
+                           shares: dict, budget: int,
+                           max_epochs: int = 4, salt: str = "graft") -> DataFrame:
+    """Epoch-aware repetition to a token budget — the up-sampling step a
+    filter cannot take: domain d gets floor(share_d*budget/T_d) full passes
+    (capped at max_epochs; an added `epoch` column numbers the copies) plus
+    one fractional epoch via the md5-threshold draw, so expected emitted
+    token mass per domain equals its target share of the budget."""
+    jdf = _bridge(df).repeatToTokenBudget(
+        df._jdf, _jcol(domain), _jcol(n_tokens), _jcol(key),
+        {str(k): float(v) for k, v in shares.items()},
+        int(budget), int(max_epochs), salt)
+    return DataFrame(jdf, df.sparkSession)
+
+
 def train_ivf(corpus: DataFrame, id: ColumnOrName, vec: ColumnOrName,
               k: int, iterations: int = 5):
     """Train an IVF coarse quantizer (deterministic Lloyd's). Returns an
@@ -1664,3 +1734,52 @@ def compact_parquet(spark, input_dir: str, output_dir: str,
     return _bridge(spark).compactParquet(
         spark._jsparkSession, input_dir, output_dir,
         int(target_file_bytes), bool(shuffle))
+
+
+def band_collision_probability(j: float, bands: int, rows_per_band: int) -> float:
+    """Candidate probability of a pair at Jaccard j under (bands,
+    rows_per_band) MinHash banding: 1 - (1 - j^r)^b. Pure closed-form
+    replica of graft.dedup.BandPlan.collisionProbability (driver-side math,
+    no JVM round-trip)."""
+    if not 0.0 <= j <= 1.0:
+        raise ValueError(f"jaccard must be in [0, 1]: {j}")
+    if bands < 1 or rows_per_band < 1:
+        raise ValueError(f"need bands, rows >= 1: {bands}, {rows_per_band}")
+    return 1.0 - (1.0 - j ** float(rows_per_band)) ** float(bands)
+
+
+def band_threshold(bands: int, rows_per_band: int) -> float:
+    """The banding S-curve waterline (1/b)^(1/r) — the Jaccard where
+    candidate probability crosses ~1 - 1/e."""
+    if bands < 1 or rows_per_band < 1:
+        raise ValueError(f"need bands, rows >= 1: {bands}, {rows_per_band}")
+    return (1.0 / float(bands)) ** (1.0 / float(rows_per_band))
+
+
+def plan_bands(n_hashes: int, target_jaccard: float):
+    """Choose (bands, rows_per_band) with bands*rows == n_hashes whose
+    waterline sits closest below-or-at the target (banding false negatives
+    are unrecoverable; false candidates only cost verify work). Returns a
+    dict with bands/rows_per_band/threshold/recall_at_target/
+    candidate_rate_at_half_target — same selection rule as
+    graft.dedup.BandPlan.planBands."""
+    if n_hashes < 2:
+        raise ValueError(f"need at least 2 hashes: {n_hashes}")
+    if not 0.0 < target_jaccard < 1.0:
+        raise ValueError(f"target must be in (0, 1): {target_jaccard}")
+    plans = []
+    for r in range(1, n_hashes + 1):
+        if n_hashes % r:
+            continue
+        b = n_hashes // r
+        plans.append({
+            "bands": b, "rows_per_band": r,
+            "threshold": band_threshold(b, r),
+            "recall_at_target": band_collision_probability(target_jaccard, b, r),
+            "candidate_rate_at_half_target":
+                band_collision_probability(target_jaccard * 0.5, b, r),
+        })
+    under = [p for p in plans if p["threshold"] <= target_jaccard]
+    pool = under or plans
+    return min(pool, key=lambda p: (abs(p["threshold"] - target_jaccard),
+                                    -p["recall_at_target"]))

@@ -1370,6 +1370,95 @@ class GraftsparkTest(unittest.TestCase):
         self.assertEqual([(r["query_id"], r["neighbor_id"]) for r in topk],
                          [(2, 3)])
 
+    def test_pipeline_band_plan(self):
+        from graftspark import pipeline as P
+        self.assertAlmostEqual(P.band_threshold(16, 8), (1 / 16) ** (1 / 8))
+        self.assertEqual(P.band_collision_probability(1.0, 16, 8), 1.0)
+        self.assertAlmostEqual(P.band_collision_probability(0.5, 1, 4), 0.0625)
+        # for 128 hashes at target 0.8 the planner lands on the repo's
+        # documented default banding (16 bands x 8 rows, waterline ~0.707)
+        plan = P.plan_bands(128, 0.8)
+        self.assertEqual((plan["bands"], plan["rows_per_band"]), (16, 8))
+        self.assertLessEqual(plan["threshold"], 0.8)
+        self.assertGreater(plan["recall_at_target"], 0.9)
+        with self.assertRaises(ValueError):
+            P.plan_bands(1, 0.8)
+
+    def test_pipeline_bitsign_hamming(self):
+        from graftspark import pipeline as P
+        from pyspark.sql.types import (ArrayType, FloatType, LongType,
+                                       StructField, StructType)
+        schema = StructType([StructField("id", LongType()),
+                             StructField("vec", ArrayType(FloatType()))])
+        df = self.spark.createDataFrame(
+            [(1, [0.5, -1.0, 0.0, -0.0]),
+             (2, [1.0, -2.0, 3.0, 4.0]),
+             (3, [-1.0, 1.0, -1.0, -1.0])], schema)
+        row = df.filter(col("id") == 1).select(
+            P.bit_sign_pack(col("vec")).alias("w"),
+            P.hamming_words(P.bit_sign_pack(col("vec")),
+                            P.bit_sign_pack(col("vec"))).alias("h")).collect()[0]
+        self.assertEqual(list(row["w"]), [13])  # bits 0, 2, 3
+        self.assertEqual(row["h"], 0)
+        # id 2 shares id 1's sign pattern exactly; id 3 inverts it
+        topk = P.hamming_brute_force_top_k(
+            df.filter(col("id") == 1), df, col("id"), col("vec"),
+            col("id"), col("vec"), k=2).collect()
+        self.assertEqual([(r["neighbor_id"], r["hamming"]) for r in topk],
+                         [(2, 0), (3, 4)])
+        rr = P.hamming_top_k(
+            df.filter(col("id") == 1), df, col("id"), col("vec"),
+            col("id"), col("vec"), k=1, refine=2).collect()
+        self.assertEqual([(r["query_id"], r["neighbor_id"]) for r in rr],
+                         [(1, 2)])
+
+    def test_pipeline_repeat_to_token_budget(self):
+        from graftspark import pipeline as P
+        df = self.spark.createDataFrame(
+            [(i, "a", 10) for i in range(20)] +
+            [(i + 100, "b", 100) for i in range(20)],
+            ["id", "dom", "toks"])
+        # budget 1600: a targets 800 tokens over T_a=200 -> 4 full epochs;
+        # b targets 800 over T_b=2000 -> 0 full epochs + 0.4 fraction
+        out = P.repeat_to_token_budget(
+            df, col("dom"), col("toks"), col("id"),
+            {"a": 0.5, "b": 0.5}, budget=1600, max_epochs=8)
+        rows = out.collect()
+        a = [r for r in rows if r["dom"] == "a"]
+        b = [r for r in rows if r["dom"] == "b"]
+        self.assertEqual(len(a), 80)  # 20 docs x 4 epochs exactly
+        self.assertEqual(sorted({r["epoch"] for r in a}), [1, 2, 3, 4])
+        self.assertTrue(0 < len(b) < 20)  # fractional epoch, rate 0.4
+        self.assertTrue(all(r["epoch"] == 1 for r in b))
+
+    def test_pipeline_ann_index_append(self):
+        import tempfile
+        from graftspark import pipeline as P
+        from pyspark.sql.types import (ArrayType, FloatType, LongType,
+                                       StructField, StructType)
+        import random
+        rng = random.Random(5)
+        centers = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(3)]
+        schema = StructType([StructField("id", LongType()),
+                             StructField("vec", ArrayType(FloatType()))])
+        rows = [(int(i), [c + rng.gauss(0, 0.05) for c in centers[i % 3]])
+                for i in range(24)]
+        df = self.spark.createDataFrame(rows, schema)
+        ix = P.train_ivf(df, col("id"), col("vec"), k=3, iterations=2)
+        pq = P.train_pq(df, col("id"), col("vec"), dim=8, m=2, ksub=4, iterations=2)
+        d = tempfile.mkdtemp()
+        P.save_ann_index(df, col("id"), col("vec"), ix, pq, d + "/full")
+        P.save_ann_index(df.filter(col("id") % 2 == 0), col("id"), col("vec"),
+                         ix, pq, d + "/grown")
+        P.append_to_ann_index(df.filter(col("id") % 2 == 1), col("id"),
+                              col("vec"), d + "/grown")
+        def q(path):
+            return sorted((r["query_id"], r["rank"], r["neighbor_id"])
+                          for r in P.ivf_pq_top_k_indexed(
+                              df.filter(col("id") < 3), col("id"), col("vec"),
+                              path, 3, nprobe=2, refine=4).collect())
+        self.assertEqual(q(d + "/full"), q(d + "/grown"))
+
     def test_pipeline_semantic_dedup(self):
         from graftspark import pipeline as P
         from pyspark.sql.types import (ArrayType, FloatType, LongType,

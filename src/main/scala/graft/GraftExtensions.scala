@@ -159,6 +159,12 @@ object GraftExtensions {
     fn("int8_dot", "int8_dot(a, b) - exact integer dot of int8 code arrays") { es =>
       arity("int8_dot", es, 2); graft.functions.Int8Dot(es.head, es(1))
     },
+    fn("bit_sign_pack", "bit_sign_pack(vec) - 1-bit sign quantization to packed 64-bit words") { es =>
+      arity("bit_sign_pack", es, 1); graft.functions.BitSignPack(es.head)
+    },
+    fn("hamming_words", "hamming_words(a, b) - Hamming distance between packed sign codes") { es =>
+      arity("hamming_words", es, 2); graft.functions.HammingWords(es.head, es(1))
+    },
     fn("int8_decode", "int8_decode(codes, scale) - int8 codes back to array<float>") { es =>
       arity("int8_decode", es, 2); graft.functions.Int8Decode(es.head, es(1))
     },

@@ -68,7 +68,8 @@ object ScaleProbe {
       "dsir", "vocab", "streaming_neardup_state", "streaming_embedding_state",
       "bpe_encode", "boilerplate", "kmv_sketch", "containment",
       "jaccard_prefix", "streaming_seeded_state", "streaming_domain_cap_state",
-      "int8_footprint", "soft_dedup_split", "novelty", "dedup_index")
+      "int8_footprint", "bitsign_footprint", "soft_dedup_split", "novelty",
+      "dedup_index")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -712,6 +713,43 @@ object ScaleProbe {
       require(nF == n8, s"int8 topk row count $n8 != float $nF")
       reportAlways("int8_float_path", bytesOf(s"$root/float"), tF)
       reportAlways("int8_code_path", bytesOf(s"$root/int8"), t8)
+    }
+
+    // --- 1-bit sign tier: packed corpus written once, Hamming-ranked ------
+    // the tier below int8: 1 bit/dim at rest, scored by XOR+popcount over
+    // dim/64 words; the probe reports the packed table's parquet bytes and
+    // the top-k-from-disk wall-clock of the pure-Hamming ranking
+    if (enabled("bitsign_footprint")) {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      def signFlipB(vec: Column, rep: Column): Column =
+        transform(vec, (x, i) =>
+          x * when(pmod(xxhash64(rep, i), lit(2)) === 0, lit(1.0f)).otherwise(lit(-1.0f)))
+      val big = amplify(emb, n).select(
+        (col("vec_id").cast("long") + col("__rep") * 1000000L).as("vec_id"),
+        signFlipB(col("embedding"), col("__rep")).as("embedding"))
+      val root = java.nio.file.Files.createTempDirectory("graft_bitsignfp").toString
+      big.select(col("vec_id"),
+        graft.functions.vectors.bit_sign_pack(col("embedding")).as("words"))
+        .write.parquet(s"$root/packed")
+      def bytesOf(p: String): Long = {
+        val d = new java.io.File(p)
+        d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      }
+      val pc = spark.read.parquet(s"$root/packed")
+      val qp = pc.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("words").as("qbits"))
+      val (nH, tH) = time {
+        broadcast(qp).crossJoin(pc.select(col("vec_id").as("neighbor_id"), col("words")))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("hamming",
+            graft.functions.vectors.hamming_words(col("qbits"), col("words")))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("query_id")).orderBy(col("hamming").asc, col("neighbor_id"))))
+          .filter(col("rank") <= 3).count()
+      }
+      require(nH == 60, s"hamming topk row count $nH != 60")
+      reportAlways("bitsign_code_path", bytesOf(s"$root/packed"), tH)
     }
 
     // --- BPE encode: narrow kernel scan, trained once on the sample ------

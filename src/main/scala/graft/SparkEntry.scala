@@ -726,7 +726,13 @@ object SparkEntry {
     // the observe-mode twin: same stages, same attrition counts, ONE action
     // (counters ride the job as Observation metrics instead of four
     // persist+count boundaries) — the shape to prefer when the caller does
-    // not want checkpoint semantics; sbt pins observed == persisted counts
+    // not want checkpoint semantics; sbt pins observed == persisted counts.
+    // Bench note: at gate SF this can read SLOWER than persist-mode — the
+    // four persist+count actions there run over cached, shrinking survivor
+    // sets (nearly free on 50k rows) while the single action carries the
+    // whole chain once. That inversion flips at scale: one pass over the
+    // corpus beats four materializations of it, which is the operator's
+    // reason to exist.
     "curation_report_observed" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val handle = UnpersistHandle()
@@ -1267,6 +1273,21 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // epoch-aware repetition to a token budget: the UP-sampling step a
+    // filter cannot take — full passes via floor(share*budget/T_d) (capped
+    // at maxEpochs), one fractional epoch via the md5 draw. At sf0.001 the
+    // 0.6-share domain clamps at 4 epochs, the others land full+fractional;
+    // at larger SFs the same arithmetic degrades toward pure down-sampling.
+    // DuckDB replays counts -> floor -> printf threshold -> generate_series.
+    "mixture_epochs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+      graft.sample.Sampling.repeatToTokenBudget(
+        docs, col("source"), col("n_chars"), col("doc_id"),
+        Map("src0" -> 0.6, "src1" -> 0.3, "src2" -> 0.1),
+        budget = 100000L, maxEpochs = 4)
+        .select(col("doc_id"), col("source"), col("epoch"))
+    }),
+
     // PII redaction: email/IPv4/digit-run scrub with RE2-safe patterns; the
     // PII is synthesized from doc_id (corpus text carries none by itself)
     // unicode canonicalization kernel: the fixture text is ASCII, so the
@@ -1752,6 +1773,28 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
+    // the 1-bit storage tier below int8: sign-packed words, 1 bit per
+    // dimension at rest and on every scan. DuckDB replays the exact
+    // two's-complement packing arithmetic (bit 63 via the explicit
+    // -2^63 addend — BIGINT sums never overflow). Sign replay assumes
+    // non-NaN embeddings (Java NaN >= 0 is false; DuckDB sorts NaN high),
+    // which the datagen guarantees and the float schema makes natural.
+    "embedding_bitsign_codes" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(col("vec_id"),
+        graft.functions.vectors.bit_sign_pack(col("embedding")).as("words"))),
+
+    // brute-force top-k over the packed sign codes by ascending Hamming
+    // distance — XOR + popcount, every step exact integer arithmetic, so
+    // DuckDB reproduces the full ranking from the raw floats (count of
+    // sign disagreements per pair). Exact-rerank recall is sbt-asserted.
+    "ann_hamming_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ann.Ann.hammingBruteForceTopK(
+        emb.filter(col("vec_id") < 20), emb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
+    }),
+
     // LSH-bucketed approximate top-k. Oracle: golden fixture recomputed by an
     // independent numpy replication of the seeded hyperplanes + bucket math
     // (tools/make_golden.py); recall additionally asserted in sbt tests.
@@ -1931,6 +1974,30 @@ object SparkEntry {
         emb.filter(col("vec_id") < 20), col("vec_id"), col("embedding"),
         idx, k = 3, nprobe = 3, refine = 8)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
+    // reranked 1-bit path quality: Hamming shortlist (k*refine over the
+    // 32x-compressed scan) + exact cosine re-rank, recall@3 vs the float
+    // brute-force truth thresholded to a DuckDB-assertable boolean.
+    // Threshold sits well under the measured deterministic recall (sbt
+    // pins the same path at >= 0.8 on separated clusters; real-embedding
+    // recall measured 0.5-0.8 across SFs at refine=8).
+    "ann_hamming_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+      val brute = graft.ann.Ann.bruteForceTopK(q, emb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val ham = graft.ann.Ann.hammingTopK(q, emb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 3, refine = 8)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = brute.join(ham, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      brute.agg(count(lit(1)).as("total_expected"))
+        .crossJoin(hits)
+        .select(col("total_expected"),
+          (col("hits") >= col("total_expected") * 0.4).as("recall_ok"))
     }),
 
     "ann_pq_recall" -> ((s, dir) => {
@@ -3130,6 +3197,27 @@ object SparkEntry {
           "SELECT i.doc_id, i.source FROM input i JOIN rates r USING (source) " +
           "WHERE substring(md5('graft' || CAST(i.doc_id AS VARCHAR)), 1, 8) < r.th OR r.rate >= 1.0"),
 
+      // token sums -> epoch floors (maxEpochs-clamped) -> fractional-epoch
+      // remainder -> the same printf/md5 draw -> generate_series fan-out:
+      // every step fixed integer/IEEE arithmetic, replayed bit-for-bit
+      "mixture_epochs" ->
+        ("WITH input AS (SELECT doc_id, source, n_chars FROM documents), " +
+          "shares(source, share) AS (VALUES ('src0', CAST(0.6 AS DOUBLE)), " +
+          "('src1', CAST(0.3 AS DOUBLE)), ('src2', CAST(0.1 AS DOUBLE))), " +
+          "masses AS (SELECT source, CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE) AS t " +
+          "FROM input GROUP BY source), " +
+          "j AS (SELECT s.source, s.share, m.t FROM shares s JOIN masses m USING (source) WHERE m.t > 0), " +
+          "rates AS (SELECT source, t, share * 100000.0 AS target, " +
+          "CAST(LEAST(CAST(4.0 AS DOUBLE), floor(share * 100000.0 / t)) AS INT) AS epochs FROM j), " +
+          "r2 AS (SELECT source, epochs, CASE WHEN epochs >= 4 THEN 0.0 " +
+          "ELSE (target - CAST(epochs AS DOUBLE) * t) / t END AS rem FROM rates), " +
+          "r3 AS (SELECT source, epochs, " +
+          "printf('%08x', CAST(floor(rem * 4294967296.0) AS BIGINT)) AS th FROM r2), " +
+          "c AS (SELECT i.doc_id, i.source, r.epochs + " +
+          "CASE WHEN substring(md5('graft' || CAST(i.doc_id AS VARCHAR)), 1, 8) < r.th " +
+          "THEN 1 ELSE 0 END AS ncopies FROM input i JOIN r3 r USING (source)) " +
+          "SELECT doc_id, source, CAST(unnest(generate_series(1, ncopies)) AS INT) AS epoch FROM c"),
+
       // the kernel's exact contract: NFC compose, strip C0-except-\t\n\f\r
       // plus DEL, collapse [\t\n\f\r ] runs, trim — replayed as
       // nfc_normalize + two regex passes over the same planted suffix
@@ -3534,6 +3622,35 @@ object SparkEntry {
           "ORDER BY cos8 DESC, neighbor_id) AS INTEGER) AS rank, neighbor_id " +
           "FROM scored QUALIFY rank <= 3"),
 
+      // 1-bit sign packing replayed in exact two's-complement arithmetic:
+      // bits 0..62 sum directly, bit 63 adds the explicit -2^63 addend
+      // (1::BIGINT << 63 would overflow; the sum of bits 0..62 is at most
+      // 2^63-1, so the BIGINT cast is exact)
+      "embedding_bitsign_codes" ->
+        ("SELECT vec_id, list(CAST(word AS BIGINT) ORDER BY w) AS words FROM (" +
+          "SELECT vec_id, (pos - 1) // 64 AS w, " +
+          "sum(CASE WHEN x >= 0 AND ((pos - 1) % 64) < 63 " +
+          "THEN (1::BIGINT << CAST((pos - 1) % 64 AS INT)) ELSE 0 END) " +
+          "+ CASE WHEN max(CASE WHEN x >= 0 AND ((pos - 1) % 64) = 63 THEN 1 ELSE 0 END) = 1 " +
+          "THEN -9223372036854775807 - 1 ELSE 0 END AS word " +
+          "FROM (SELECT vec_id, unnest(embedding) AS x, " +
+          "generate_subscripts(embedding, 1) AS pos FROM embeddings) " +
+          "GROUP BY 1, 2) GROUP BY vec_id"),
+
+      // the Hamming ranking replayed relationally: per-position sign
+      // disagreement count == XOR+popcount of the packed words by definition
+      "ann_hamming_topk" ->
+        ("SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, hamming FROM (" +
+          "SELECT query_id, neighbor_id, hamming, " +
+          "row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank " +
+          "FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+          "CAST(sum(CASE WHEN (q.x >= 0) <> (c.x >= 0) THEN 1 ELSE 0 END) AS INT) AS hamming " +
+          "FROM (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos " +
+          "FROM embeddings WHERE vec_id < 20) q " +
+          "JOIN (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos " +
+          "FROM embeddings) c USING (pos) " +
+          "WHERE q.vec_id <> c.vec_id GROUP BY 1, 2)) WHERE rank <= 3"),
+
       // recall gates: DuckDB reproduces the brute-force truth-set size and
       // asserts the thresholded recall boolean is true; the Spark side flips
       // it to false if the approximate path regresses.
@@ -3546,6 +3663,14 @@ object SparkEntry {
           "FROM topk WHERE rank <= 3"),
 
       "ann_ivf_recall" ->
+        ("WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20), " +
+          "topk AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+          "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank " +
+          "FROM q JOIN embeddings c ON q.vec_id <> c.vec_id) " +
+          "SELECT CAST(COUNT(*) AS BIGINT) AS total_expected, TRUE AS recall_ok " +
+          "FROM topk WHERE rank <= 3"),
+
+      "ann_hamming_recall" ->
         ("WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20), " +
           "topk AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
           "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank " +

@@ -73,6 +73,62 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_q8"))
   }
 
+  /**
+   * Brute-force top-k over 1-bit sign-packed codes, ranked by ascending
+   * Hamming distance (ties by neighbor_id) — the cheapest storage tier of
+   * the quantized-ANN family: 1 bit/dim at rest AND on every scan (a 100 TB
+   * float32 corpus reads as ~3 TB, 32x under float, 8x under int8), scored
+   * by XOR + popcount over ceil(dim/64) words. `dim - hamming` counts sign
+   * agreements — a monotone proxy for cosine direction (the SimHash bound).
+   * Output: (query_id, rank, neighbor_id, hamming) — every step exact
+   * integer arithmetic, so an engine replaying the sign comparison
+   * reproduces the ranking bit-for-bit.
+   */
+  def hammingBruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      queryId: Column, queryVec: Column, corpusId: Column, corpusVec: Column,
+      k: Int): DataFrame = {
+    val q = queries.select(queryId.as("query_id"),
+      vectors.bit_sign_pack(queryVec).as("qbits"))
+    val c = corpus.select(corpusId.as("neighbor_id"),
+      vectors.bit_sign_pack(corpusVec).as("cbits"))
+    broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        vectors.hamming_words(col("qbits"), col("cbits")).as("hamming"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("hamming").asc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
+  }
+
+  /**
+   * Hamming shortlist + exact cosine re-rank: the production shape of the
+   * 1-bit tier — the 32x-compressed scan ranks a `k * refine` candidate
+   * shortlist per query (map-side-limited WindowGroupLimit), and only that
+   * bounded shortlist touches full vectors for the exact cosine. Output:
+   * (query_id, rank, neighbor_id, cosine) — cosine exact.
+   */
+  def hammingTopK(
+      queries: DataFrame, corpus: DataFrame,
+      queryId: Column, queryVec: Column, corpusId: Column, corpusVec: Column,
+      k: Int, refine: Int = 8): DataFrame = {
+    val shortlist = hammingBruteForceTopK(
+        queries, corpus, queryId, queryVec, corpusId, corpusVec, k * refine)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(queries.select(queryId.as("query_id"), queryVec.as("qvec"))),
+        "query_id")
+    corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cvec"))
+      .join(broadcast(shortlist), "neighbor_id")
+      .withColumn("cosine", vectors.cosine_similarity(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Deterministic seeded Gaussian hyperplanes: bands x bits x dim. */
   private[graft] def hyperplanes(bands: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Float]]] = {
     val rng = new scala.util.Random(seed)

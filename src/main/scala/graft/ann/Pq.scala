@@ -345,6 +345,34 @@ object Pq {
   }
 
   /**
+   * Append a new vector batch to an index saved by [[saveAnnIndex]]: the
+   * daily-ingest loop of a production ANN service. The batch is encoded
+   * against the SAVED quantizers (read from `ivf/`, `pq/`, `params/` — a
+   * config mismatch cannot happen by construction; codebooks are fixed at
+   * save time, exactly like [[graft.dedup.DedupIndex.appendToDedupIndex]])
+   * and parquet-appended to `enc/` (repartitioned on `cid`, so new files
+   * stay probe-coherent) and `vectors/`. Queries after the append are
+   * row-for-row identical to an index saved over the union corpus with the
+   * same quantizers (sbt-pinned) — only the increment is ever encoded.
+   */
+  def appendToAnnIndex(batch: DataFrame, id: Column, vec: Column,
+                       path: String): Unit = {
+    val spark = batch.sparkSession
+    val residual = spark.read.parquet(s"$path/params").head().getAs[Boolean]("residual")
+    val ivf = Ann.loadIvf(spark, s"$path/ivf")
+    val index = loadPq(spark, s"$path/pq")
+    val base = batch.select(id.as("neighbor_id"), vec.as("cvec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      base.write.mode("append").parquet(s"$path/vectors")
+      val enc =
+        if (residual) encodeResidual(base, col("neighbor_id"), col("cvec"), ivf, index)
+        else encodeIvf(base, col("neighbor_id"), col("cvec"), ivf, index)
+      enc.repartition(col("cid")).write.mode("append").parquet(s"$path/enc")
+    } finally base.unpersist()
+  }
+
+  /**
    * The composed IVFADC query against a persisted index: loads the two
    * bounded quantizer tables (k_ivf and m×ksub rows), scans `enc/` for the
    * probed buckets only, and exact-re-ranks from `vectors/`. Identical

@@ -1269,6 +1269,39 @@ object VectorKernels extends Serializable {
     out
   }
 
+  /**
+   * 1-bit sign quantization: bit `i` of word `i / 64` is set iff
+   * `vec(i) >= 0.0f` (NaN packs as 0 — `>=` is false for NaN in both Java
+   * and SQL engines). Words are two's-complement longs — ceil(dim / 64)
+   * BIGINTs, exactly 1 bit per dimension at rest and on every scan: a
+   * 100 TB float32 corpus reads as ~3 TB. Sign agreement between two such
+   * codes is `dim - hamming`, a monotone proxy for cosine direction
+   * (Charikar's SimHash bound applied to the identity rotation).
+   */
+  def bitSignPack(vec: ArrayData): Array[Long] = {
+    val n = vec.numElements()
+    val out = new Array[Long]((n + 63) >>> 6)
+    var i = 0
+    while (i < n) {
+      if (vec.getFloat(i) >= 0.0f) out(i >>> 6) |= (1L << (i & 63))
+      i += 1
+    }
+    out
+  }
+
+  /** Hamming distance between two packed sign codes: sum of
+    * `Long.bitCount(a_w ^ b_w)` over the common word prefix. */
+  def hammingWords(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      acc += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    acc
+  }
+
   private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -2455,6 +2488,56 @@ case class Int8Decode(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** bit_sign_pack(vec): 1-bit sign quantization of a float vector into
+  * packed 64-bit words — the cheapest embedding storage tier (32x under
+  * float32, 8x under int8). Bit i of word i/64 = (vec_i >= 0). */
+case class BitSignPack(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bit_sign_pack expects array<float>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(vec: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.bitSignPack(vec.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorKernels.bitSignPack($a))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** hamming_words(a, b): Hamming distance between two [[BitSignPack]] codes
+  * (XOR + popcount over the packed words — `dim - hamming` is the sign-
+  * agreement count, a monotone proxy for cosine direction). */
+case class HammingWords(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"hamming_words expects (array<bigint>, array<bigint>), got ${l.sql}, ${r.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.hammingWords(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorKernels.hammingWords($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** pq_code_norm(codes): reconstruction norm from precomputed per-centroid
   * squared norms — the denominator of the approximate cosine. */
 case class PqCodeNorm(child: Expression, normSq: Array[Array[Double]])
@@ -2633,6 +2716,11 @@ object vectors {
 
   def int8_decode(codes: Column, scale: Column): Column =
     Int8Decode(codes.asExpression, scale.asExpression).asColumn
+
+  def bit_sign_pack(vec: Column): Column = BitSignPack(vec.asExpression).asColumn
+
+  def hamming_words(a: Column, b: Column): Column =
+    HammingWords(a.asExpression, b.asExpression).asColumn
 
   /** Hamming distance between two 64-bit hashes as a Column. */
   def hamming64(a: Column, b: Column): Column =

@@ -264,7 +264,13 @@ object Curation {
     if (dsirWeights.nonEmpty) counts += "2c_dsir" -> leading("n_dsir").asInstanceOf[Long]
     stageObs.foreach { case (stage, obs, stageDf) =>
       val got = obs.get
-      counts += stage -> got.getOrElse("n", stageDf.count()).asInstanceOf[Long]
+      counts += stage -> got.getOrElse("n", {
+        // a pruned CollectMetrics node costs a full recount of this stage —
+        // should only ever happen on a degenerate empty stage; say so if not
+        System.err.println(s"[curateObserved] observation for $stage came " +
+          "back empty; paying a direct recount")
+        stageDf.count()
+      }).asInstanceOf[Long]
     }
     mhHandle.unpersist()
     preNearDup.unpersist()

@@ -228,6 +228,23 @@ object PyBridge {
     graft.ann.Ann.int8BruteForceTopK(
       queries, corpus, queryId, queryVec, corpusId, corpusVec, k)
 
+  def bitSignPack(vec: Column): Column = graft.functions.vectors.bit_sign_pack(vec)
+
+  def hammingWords(a: Column, b: Column): Column =
+    graft.functions.vectors.hamming_words(a, b)
+
+  def hammingBruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                            queryId: Column, queryVec: Column,
+                            corpusId: Column, corpusVec: Column, k: Int): DataFrame =
+    graft.ann.Ann.hammingBruteForceTopK(
+      queries, corpus, queryId, queryVec, corpusId, corpusVec, k)
+
+  def hammingTopK(queries: DataFrame, corpus: DataFrame,
+                  queryId: Column, queryVec: Column,
+                  corpusId: Column, corpusVec: Column, k: Int, refine: Int): DataFrame =
+    graft.ann.Ann.hammingTopK(
+      queries, corpus, queryId, queryVec, corpusId, corpusVec, k, refine)
+
   def cosineSimilarity(a: Column, b: Column): Column =
     graft.functions.vectors.cosine_similarity(a, b)
 
@@ -439,6 +456,9 @@ object PyBridge {
   def ivfPqTopKIndexed(queries: DataFrame, queryId: Column, queryVec: Column,
                        path: String, k: Int, nprobe: Int, refine: Int): DataFrame =
     graft.ann.Pq.ivfPqTopKIndexed(queries, queryId, queryVec, path, k, nprobe, refine)
+
+  def appendToAnnIndex(batch: DataFrame, id: Column, vec: Column, path: String): Unit =
+    graft.ann.Pq.appendToAnnIndex(batch, id, vec, path)
 
   def bm25TopK(docs: DataFrame, docId: Column, text: Column,
                queries: DataFrame, queryId: Column, queryTerms: Column,
@@ -787,6 +807,14 @@ object PyBridge {
       df, domain,
       targets.asScala.map { case (k, v) => k -> v.doubleValue() }.toMap,
       key, salt)
+
+  def repeatToTokenBudget(df: DataFrame, domain: Column, nTokens: Column,
+                          key: Column, shares: java.util.Map[String, java.lang.Double],
+                          budget: Long, maxEpochs: Int, salt: String): DataFrame =
+    graft.sample.Sampling.repeatToTokenBudget(
+      df, domain, nTokens, key,
+      shares.asScala.map { case (k, v) => k -> v.doubleValue() }.toMap,
+      budget, maxEpochs, salt)
 
   def weightedSampleTopK(df: DataFrame, key: Column, weight: Column,
                          k: Int, salt: String): DataFrame =

@@ -341,4 +341,83 @@ object Sampling {
           col(rcol) >= lit(1.0)) // rate == 1: "ffffffff" < "100000000" fails as strings
       .drop(dcol, rcol, hcol)
   }
+
+  /**
+   * Epoch-aware repetition to a token budget — the step [[resampleToMixture]]
+   * cannot take: a filter can only DOWN-sample, but real LLM data recipes
+   * repeat scarce high-quality domains for several epochs to hit their
+   * target share of the training budget (data-constrained scaling:
+   * Muennighoff et al. 2023 measure useful repetition up to ~4 epochs).
+   * Per domain d with token mass `T_d = sum(nTokens)` and target
+   * `share_d * budget` tokens:
+   *
+   *   epochs_d = min(maxEpochs, floor(share_d * budget / T_d))   full passes
+   *   rem_d    = (share_d * budget - epochs_d * T_d) / T_d        (0 if clamped)
+   *
+   * Every row is emitted `epochs_d` times (an added `epoch` column numbers
+   * the copies 1..epochs_d), plus one more copy in epoch `epochs_d + 1` for
+   * rows winning the md5-threshold draw at rate `rem_d` — so the expected
+   * emitted token mass per domain is exactly its target (capped at
+   * `(maxEpochs) * T_d`), and a domain whose natural mass exceeds its
+   * target degrades to the fractional-epoch DOWN-sample (epochs 0).
+   *
+   * Determinism: `T_d` is an exact long sum; target/epochs/rem are fixed
+   * IEEE double expressions (exact as long as `epochs_d * T_d` stays under
+   * 2^53 — 9 PB of tokens); the draw is the same md5-threshold predicate as
+   * [[hashSample]]. Any engine replaying counts -> floor -> printf
+   * threshold -> md5 reproduces the emitted multiset bit-for-bit.
+   *
+   * Scale shape: one map-side-combining token sum per domain (tiny), a
+   * broadcast rates join, then a NARROW sequence-explode whose fan-out is
+   * bounded by `maxEpochs + 1` — the corpus never shuffles and is scanned
+   * once. Domains not in `shares` are dropped (they have no budget).
+   */
+  def repeatToTokenBudget(
+      df: DataFrame, domain: Column, nTokens: Column, key: Column,
+      shares: Map[String, Double], budget: Long,
+      maxEpochs: Int = 4, salt: String = "graft"): DataFrame = {
+    require(shares.nonEmpty, "repeatToTokenBudget needs at least one domain share")
+    shares.foreach { case (d, s) =>
+      require(s > 0.0, s"domain share must be positive: $d -> $s") }
+    require(math.abs(shares.values.sum - 1.0) < 1e-9,
+      s"domain shares must sum to 1: ${shares.values.sum}")
+    require(budget > 0, s"budget must be positive: $budget")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1: $maxEpochs")
+    require(!df.columns.contains("epoch"),
+      "repeatToTokenBudget adds an `epoch` column; input already has one")
+    val p = graft.functions.distinctPrefixFor(df.columns.toSeq)
+    val dcol = p + "domain"
+    val scol = p + "share"
+    val tcol = p + "t"
+    val ecol = p + "epochs"
+    val rcol = p + "rem"
+    val hcol = p + "threshold"
+    val ncol = p + "ncopies"
+    val spark = df.sparkSession
+    val shareDf = spark.createDataFrame(
+      shares.toSeq.sortBy(_._1).map { case (d, s) => (d, s) })
+      .toDF(dcol, scol)
+    val tagged = df.withColumn(dcol, domain.cast("string"))
+    val masses = tagged.groupBy(col(dcol))
+      .agg(sum(nTokens.cast("long")).cast("double").as(tcol))
+      .filter(col(tcol) > 0.0)
+      .join(broadcast(shareDf), dcol) // inner: un-budgeted domains drop here
+    val target = col(scol) * lit(budget.toDouble)
+    val rates = masses
+      .withColumn(ecol,
+        least(lit(maxEpochs.toDouble), floor(target / col(tcol))).cast("int"))
+      .withColumn(rcol,
+        when(col(ecol) >= maxEpochs, lit(0.0))
+          .otherwise((target - col(ecol).cast("double") * col(tcol)) / col(tcol)))
+      .withColumn(hcol,
+        format_string("%08x", floor(col(rcol) * lit(4294967296.0)).cast("long")))
+      .select(col(dcol), col(ecol), col(rcol), col(hcol))
+    tagged.join(broadcast(rates), dcol)
+      .withColumn(ncol, col(ecol) +
+        when(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8) < col(hcol),
+          lit(1)).otherwise(lit(0)))
+      .filter(col(ncol) >= 1)
+      .withColumn("epoch", explode(sequence(lit(1), col(ncol))))
+      .drop(dcol, ecol, rcol, hcol, ncol)
+  }
 }

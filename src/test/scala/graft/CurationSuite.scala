@@ -521,6 +521,42 @@ class CurationSuite extends AnyFunSuite with SparkTest {
     assert(kept.filter(col("dom") === "zz").count() == 0)
   }
 
+  test("repeatToTokenBudget repeats scarce domains and caps at maxEpochs") {
+    // token masses: a = 1000, b = 10000 (100 docs x 10 / 100 docs x 100)
+    val df = ((0L until 100L).map(i => (i, "a", 10L)) ++
+      (100L until 200L).map(i => (i, "b", 100L))).toDF("id", "dom", "toks")
+    val shares = Map("a" -> 0.5, "b" -> 0.5)
+    // budget 8000: a targets 4000 tokens = 4 epochs exactly; b targets
+    // 4000 = 0 full epochs + 0.4 fractional
+    val out = Sampling.repeatToTokenBudget(df, col("dom"), col("toks"), col("id"),
+      shares, budget = 8000L, maxEpochs = 8)
+    val counts = out.groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(counts("a") == 400L, s"a = 4 exact epochs: $counts")
+    assert(math.abs(counts("b") - 40L) < 20, s"b ~ 0.4 fractional epoch: $counts")
+    // epoch numbering: domain a carries epochs 1..4, each id exactly once per epoch
+    val aEpochs = out.filter(col("dom") === "a").groupBy("epoch").count()
+      .as[(Int, Long)].collect().toMap
+    assert(aEpochs == Map(1 -> 100L, 2 -> 100L, 3 -> 100L, 4 -> 100L), s"$aEpochs")
+    // maxEpochs clamps the full passes AND zeroes the fractional draw
+    val clamped = Sampling.repeatToTokenBudget(df, col("dom"), col("toks"), col("id"),
+      shares, budget = 8000L, maxEpochs = 2)
+    val aClamped = clamped.filter(col("dom") === "a")
+    assert(aClamped.count() == 200L && aClamped.agg(max(col("epoch"))).as[Int].head() == 2)
+    // emitted multiset is partitioning-invariant
+    val again = Sampling.repeatToTokenBudget(df.repartition(13), col("dom"),
+      col("toks"), col("id"), shares, budget = 8000L, maxEpochs = 8)
+    assert(out.select("id", "epoch").as[(Long, Int)].collect().sorted.toSeq ==
+      again.select("id", "epoch").as[(Long, Int)].collect().sorted.toSeq)
+    // domains outside the recipe are dropped; epoch column collides loudly
+    val withJunk = df.union(Seq((900L, "zz", 5L)).toDF("id", "dom", "toks"))
+    assert(Sampling.repeatToTokenBudget(withJunk, col("dom"), col("toks"), col("id"),
+      shares, budget = 8000L).filter(col("dom") === "zz").count() == 0)
+    intercept[IllegalArgumentException] {
+      Sampling.repeatToTokenBudget(df.withColumn("epoch", lit(1)), col("dom"),
+        col("toks"), col("id"), shares, budget = 8000L)
+    }
+  }
+
   test("temperatureSample square-roots the imbalance; alpha 0/1 hit the flat/natural poles") {
     // counts: a = 400, b = 1600 (a 4x imbalance)
     val df = (0L until 2000L)

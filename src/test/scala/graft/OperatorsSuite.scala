@@ -280,4 +280,30 @@ class OperatorsSuite extends AnyFunSuite with SparkTest {
     }
     sc.setJobDescription(null)
   }
+
+  test("BandPlan: S-curve arithmetic and divisor-constrained planning") {
+    import graft.dedup.BandPlan
+    // closed forms at hand-checkable points
+    assert(math.abs(BandPlan.thresholdOf(16, 8) - math.pow(1.0 / 16, 1.0 / 8)) < 1e-15)
+    assert(BandPlan.collisionProbability(1.0, 16, 8) == 1.0)
+    assert(BandPlan.collisionProbability(0.0, 16, 8) == 0.0)
+    // one band of r rows: p = j^r exactly
+    assert(math.abs(BandPlan.collisionProbability(0.5, 1, 4) - 0.0625) < 1e-15)
+    // the repo's default banding (16 x 8): waterline ~0.707, J=0.8
+    // near-certain, J=0.4 candidates rare — the documented 0.8 operating point
+    val p8 = BandPlan.collisionProbability(0.8, 16, 8)
+    val p4 = BandPlan.collisionProbability(0.4, 16, 8)
+    assert(p8 > 0.93 && p4 < 0.05, s"p(0.8)=$p8 p(0.4)=$p4")
+    // planner picks a waterline at-or-below target (false negatives are
+    // unrecoverable; false candidates just cost verify work)
+    val plan = BandPlan.planBands(128, 0.8)
+    assert(plan.bands * plan.rowsPerBand == 128)
+    assert(plan.threshold <= 0.8 + 1e-12, s"$plan")
+    assert(plan.recallAtTarget > 0.9, s"$plan")
+    assert(plan.candidateRateAtHalfTarget < 0.2, s"$plan")
+    // monotone sanity: more rows per band -> higher waterline
+    assert(BandPlan.thresholdOf(8, 16) > BandPlan.thresholdOf(16, 8))
+    intercept[IllegalArgumentException] { BandPlan.planBands(1, 0.8) }
+    intercept[IllegalArgumentException] { BandPlan.collisionProbability(1.5, 2, 2) }
+  }
 }

@@ -714,6 +714,50 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(recall >= 0.9, s"int8 recall $recall") // near-1 at dim 32
   }
 
+  test("bit_sign_pack packs signs into two's-complement words") {
+    import graft.functions.vectors
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.0f, -0.0f)),           // bits 0,2,3 -> 13
+      (2L, Array.fill(65)(1.0f)),                       // all 64 bits + bit 0
+      (3L, Array.fill(64)(-1.0f))).toDF("id", "vec")   // no bits
+    val got = df.select(col("id"), vectors.bit_sign_pack(col("vec")).as("w"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1)
+    assert(got(0)._2 == Seq(13L))
+    assert(got(1)._2 == Seq(-1L, 1L)) // 64 set bits = two's-complement -1
+    assert(got(2)._2 == Seq(0L))
+    val h = df.filter(col("id") =!= 2)
+      .select(vectors.hamming_words(
+        vectors.bit_sign_pack(col("vec")),
+        lit(null).cast("array<bigint>")).isNull.as("n"))
+      .as[Boolean].collect()
+    assert(h.forall(identity)) // null-safe
+    // hamming: 13 = 0b1101 vs 0 -> 3 disagreements
+    val d = Seq((Array(0.5f, -1.0f, 0.0f, -0.0f), Array(-1.0f, -1.0f, -1.0f, -1.0f)))
+      .toDF("a", "b")
+      .select(vectors.hamming_words(
+        vectors.bit_sign_pack(col("a")), vectors.bit_sign_pack(col("b"))))
+      .as[Int].head()
+    assert(d == 3)
+  }
+
+  test("hammingTopK exact-rerank recovers float brute force on clusters") {
+    val data = clusteredVectors(4, 6, 32, 0.02f)
+    val df = data.toDF("id", "vec")
+    val queries = df.filter(col("id") < 4)
+    val brute = Ann.bruteForceTopK(queries, df, col("id"), col("vec"), col("id"), col("vec"), k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val hb = Ann.hammingTopK(queries, df, col("id"), col("vec"), col("id"), col("vec"),
+      k = 3, refine = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(hb.contains).toDouble / brute.size
+    assert(recall >= 0.8, s"hamming rerank recall $recall")
+    // the pure-Hamming ranking keeps queries inside their own sign cluster
+    val ham = Ann.hammingBruteForceTopK(queries, df, col("id"), col("vec"), col("id"), col("vec"), k = 3)
+    assert(ham.count() == 12)
+    val sameCluster = ham.filter(col("query_id") % 4 === col("neighbor_id") % 4).count()
+    assert(sameCluster == 12, s"hamming kept $sameCluster/12 in-cluster")
+  }
+
   test("lshTopK approximates brute force on tight clusters") {
     val data = clusteredVectors(5, 8, 32, 0.02f)
     val df = data.toDF("id", "vec")
@@ -1684,6 +1728,38 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     intercept[Exception] {
       Pq.ivfPqTopKIndexed(queries, col("id"), col("vec"),
         graft.createTemporaryDir("ann-index-broken"), k = 3)
+    }
+  }
+
+  test("appendToAnnIndex equals a fresh save over the union corpus") {
+    val data = clusteredVectors(6, 10, 16, 0.05f)
+    val df = data.toDF("id", "vec")
+    val queries = df.filter(col("id") < 6)
+    val half1 = df.filter(col("id") % 2 === 0)
+    val half2 = df.filter(col("id") % 2 === 1)
+    // quantizers trained on the FULL corpus in both layouts: the append
+    // contract is "fixed codebooks, growing corpus"
+    val ivf = Ann.trainIvf(df, col("id"), col("vec"), k = 6, iterations = 3)
+    for (residual <- Seq(false, true)) {
+      val pqi =
+        if (residual) Pq.trainPqResidual(df, col("id"), col("vec"), ivf,
+          dim = 16, m = 4, ksub = 8, iterations = 3)
+        else Pq.trainPq(df, col("id"), col("vec"), dim = 16, m = 4, ksub = 8,
+          iterations = 3)
+      val full = graft.createTemporaryDir(s"ann-append-full-$residual")
+      Pq.saveAnnIndex(df, col("id"), col("vec"), ivf, pqi, full, residual = residual)
+      val grown = graft.createTemporaryDir(s"ann-append-grown-$residual")
+      Pq.saveAnnIndex(half1, col("id"), col("vec"), ivf, pqi, grown, residual = residual)
+      Pq.appendToAnnIndex(half2, col("id"), col("vec"), grown)
+      val expect = Pq.ivfPqTopKIndexed(queries, col("id"), col("vec"),
+        full, k = 3, nprobe = 2, refine = 4)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Int, Long, Double)].collect().toSet
+      val got = Pq.ivfPqTopKIndexed(queries, col("id"), col("vec"),
+        grown, k = 3, nprobe = 2, refine = 4)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(got == expect, s"residual=$residual")
     }
   }
 

@@ -152,6 +152,15 @@ class SurfaceSuite extends AnyFunSuite with SparkTest {
         "byte_nibble_histogram(CAST('aaaa' AS BINARY))[6] AS h6").collect().head
     assert(brow.getDouble(0) == 0.0) // constant bytes -> zero entropy
     assert(brow.getLong(1) == 4L)    // 'a' = 0x61 -> high nibble 6
+    // 1-bit sign tier round-trips through SQL: pack then hamming
+    val srow = spark.sql(
+      """SELECT bit_sign_pack(a) AS wa,
+        |       hamming_words(bit_sign_pack(a), bit_sign_pack(b)) AS h FROM VALUES
+        |  (array(CAST(0.5 AS FLOAT), CAST(-1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |   array(CAST(-0.5 AS FLOAT), CAST(-1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS t(a, b)"""
+        .stripMargin).collect().head
+    assert(srow.getSeq[Long](0) == Seq(5L)) // bits 0 and 2
+    assert(srow.getInt(1) == 1)             // only position 0 disagrees
     // non-literal size parameters are rejected with a clear message
     val err = intercept[Exception] {
       spark.sql("SELECT top_ngram_stats(text, id + 1) FROM ext_docs").collect()
