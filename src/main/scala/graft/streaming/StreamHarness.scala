@@ -89,15 +89,34 @@ object StreamHarness {
         // only a zero-input batch AFTER the last data batch finalizes the
         // watermark — a zero-input trigger that fired before the first file
         // was discovered (or between replayed files) proves nothing, so key
-        // the wait on batchId, not on any zero-input entry existing
+        // the wait on batchId, not on any zero-input entry existing. The
+        // wait itself is a listener latch (event-driven, deterministic), not
+        // a poll; 30 s stays as the safety bound only.
         val lastDataBatch =
           q.recentProgress.filter(_.numInputRows > 0).map(_.batchId)
             .foldLeft(-1L)(math.max)
-        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
         def sawNoDataBatch: Boolean =
           q.recentProgress.exists(p => p.numInputRows == 0 && p.batchId > lastDataBatch)
-        while (!sawNoDataBatch && System.nanoTime() < deadline)
-          Thread.sleep(50)
+        val latch = new java.util.concurrent.CountDownLatch(1)
+        val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+          override def onQueryStarted(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryProgress(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+            if (e.progress.runId == q.runId && e.progress.numInputRows == 0 &&
+                e.progress.batchId > lastDataBatch) latch.countDown()
+          override def onQueryTerminated(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+            if (e.runId == q.runId) latch.countDown()
+        }
+        spark.streams.addListener(listener)
+        try {
+          // the qualifying batch may have committed between
+          // processAllAvailable and listener registration — check the
+          // progress history once before blocking on the latch
+          if (!sawNoDataBatch)
+            latch.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        } finally spark.streams.removeListener(listener)
         q.processAllAvailable()
       }
     } finally q.stop()
