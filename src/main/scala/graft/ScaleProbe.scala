@@ -69,7 +69,7 @@ object ScaleProbe {
       "bpe_encode", "boilerplate", "kmv_sketch", "containment",
       "jaccard_prefix", "streaming_seeded_state", "streaming_domain_cap_state",
       "int8_footprint", "bitsign_footprint", "soft_dedup_split", "novelty",
-      "dedup_index")
+      "dedup_index", "multimatch")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -750,6 +750,29 @@ object ScaleProbe {
       }
       require(nH == 60, s"hamming topk row count $nH != 60")
       reportAlways("bitsign_code_path", bytesOf(s"$root/packed"), tH)
+    }
+
+    // --- Aho-Corasick: one byte pass regardless of blocklist size --------
+    // the operator's 100 TB claim is that per-row cost is the byte walk,
+    // NOT patterns x contains(): the probe scans the same amplified corpus
+    // with 8 and with 256 patterns and reports both wall-clocks (flat), at
+    // fixed pattern count the time tracks corpus bytes via n
+    if (enabled("multimatch")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val big = amplify(docs, n).select(
+        (col("doc_id") + col("__rep") * 1000000L).as("doc_id"), col("text"))
+      val few = Seq("the", "and", "data", "with", "for", "this", "that", "from")
+      val many = few ++ (0 until 248).map(i => s"zzblock$i")
+      def hits(ps: Seq[String]): Long =
+        big.select(sum(size(graft.functions.vectors.matched_patterns(col("text"), ps)))
+          .as("h")).head().getLong(0)
+      hits(few) // untimed warmup: codegen + scan caches, so the 8-vs-256
+                // comparison measures the automaton walk, not first-run JIT
+      val (h8, t8) = time(hits(few))
+      val (h256, t256) = time(hits(many))
+      require(h8 == h256, s"absent patterns changed the hit count: $h8 vs $h256")
+      reportAlways("multimatch_8pat", h8, t8)
+      reportAlways("multimatch_256pat", h256, t256)
     }
 
     // --- BPE encode: narrow kernel scan, trained once on the sample ------
