@@ -35,7 +35,7 @@ __all__ = [
     "keep_best_by_clusters", "split_by_clusters", "soft_dedup_weights",
     "deduplicate_minhash_clusters", "hash_sample", "stratified_hash_sample",
     "redact_pii", "redact_emails", "redact_ipv4", "redact_long_digits", "strip_html",
-    "fold_accents", "script_profile", "matched_patterns",
+    "fold_accents", "script_profile", "matched_patterns", "mask_patterns",
     "asof_join", "range_join", "with_session_index", "session_bounds",
     "split_by_hash", "temperature_sample", "gopher_filter",
     "top_k_per_group", "frequent_items", "profile_columns", "key_skew_report",
@@ -857,6 +857,15 @@ def matched_patterns(text: ColumnOrName, patterns: List[str]) -> Column:
     the text — one Aho-Corasick pass regardless of list size. Byte-exact,
     case-sensitive; lowercase both sides for case-insensitive lists."""
     return _col_fn("matchedPatterns", _jcol(text), [str(p) for p in patterns])
+
+
+def mask_patterns(text: ColumnOrName, patterns: List[str],
+                  mask: str = "[REDACTED]") -> Column:
+    """Every leftmost-longest non-overlapping occurrence of the fixed
+    phrases replaced by `mask` — in-place blocklist scrubbing (keep the
+    document, drop the phrase) in one Aho-Corasick pass."""
+    return _col_fn("maskPatterns", _jcol(text), [str(p) for p in patterns],
+                   str(mask))
 
 
 def strip_html(text: ColumnOrName, decode_numeric_entities: bool = False,

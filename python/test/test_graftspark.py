@@ -893,6 +893,11 @@ class GraftsparkTest(unittest.TestCase):
             P.matched_patterns(col("t"), ["scan slow", "scan", "can", "zz"])
             .alias("m")).collect()[0]["m"]
         self.assertEqual(list(mp), [0, 1, 2])
+        # masking twin: leftmost-longest non-overlapping, in-place
+        mk = self.spark.createDataFrame([("a scan can be scanned",)], ["t"]).select(
+            P.mask_patterns(col("t"), ["scan", "can"], "#").alias("m")
+        ).collect()[0]["m"]
+        self.assertEqual(mk, "a # # be #ned")
         # adaptive per-group cut: 5-row group keeps ceil(1.5)=2, 1-row keeps 1
         cut = P.top_fraction_per_group(
             self.spark.createDataFrame(

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{BinaryType, StringType}
 
 import graft.functions.{CanonicalizeText, ChunkTokens, CosineSimilarity, DeflateLength, FoldAccents,
   DeletionVariants, DotProduct, HashedWordShingles, MinHashBandHashes, MinHashSignature,
-  MatchedPatterns, ScriptProfile, SimHash64, TokenStats, TokenizeAscii, TopNgramStats,
+  MaskPatterns, MatchedPatterns, ScriptProfile, SimHash64, TokenStats, TokenizeAscii, TopNgramStats,
   WinnowedShingles, WordShingles, WordShinglesAll}
 import graft.multimodal.{ByteEntropy, ByteNibbleHistogram, ImageDimsExpr, VideoInfoExpr, WavInfoExpr}
 import graft.sample.Sampling
@@ -178,6 +178,12 @@ object GraftExtensions {
       "matched_patterns(text, pattern, ...) - distinct ids of patterns occurring verbatim (one Aho-Corasick pass)") { es =>
       arity("matched_patterns", es, (2 to 33): _*)
       MatchedPatterns(es.head, stringLits(es.tail, "matched_patterns"))
+    },
+    fn("mask_patterns",
+      "mask_patterns(text, mask, pattern, ...) - leftmost-longest non-overlapping occurrences replaced by mask (one Aho-Corasick pass)") { es =>
+      arity("mask_patterns", es, (3 to 34): _*)
+      MaskPatterns(es.head, stringLits(es.drop(2), "mask_patterns"),
+        stringLit(es(1), "mask_patterns", "mask"))
     },
     fn("script_profile",
       "script_profile(text) - [total, latin, cyrillic, greek, arabic, cjk, digit] codepoint counts") { es =>

@@ -133,6 +133,12 @@ object SparkEntry {
     "scan slow", "scan", "can", "fast sort", "table key",
     "spark", "park", "zzz never present")
 
+  /** Must match tools/make_golden.py make_mask_fixture PATTERNS exactly —
+    * the fixture's masked_text column is the oracle for this list. */
+  private[graft] val MaskGatePatterns: Seq[String] = Seq(
+    "she", "he", "hers", "can", "scan", "café",
+    "lorem ipsum", "click here", "subscribe now")
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O-agg baseline: TPC-H Q1-flavor pricing summary over lineitem
@@ -572,6 +578,17 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         explode(graft.functions.vectors.matched_patterns(col("text"),
           PatternList)).as("pattern_id"))),
+
+    // blocklist masking (the removal twin of pattern_hits): leftmost-longest
+    // non-overlapping occurrences replaced in place, one Aho-Corasick pass.
+    // Oracle: golden fixture from an independent python replication of the
+    // documented selection rule over UTF-8 bytes (tools/make_golden.py
+    // make_mask_fixture — planted nested/overlapping/adjacent/multibyte
+    // hazards + every sf0.01 doc text with planted phrases)
+    "mask_blocklist" -> ((s, dir) =>
+      s.read.parquet(s"$goldenDir/mask_sf001.parquet").select(col("mask_id"),
+        graft.functions.vectors.mask_patterns(col("text"), MaskGatePatterns)
+          .as("masked_text"))),
 
     // language identification (marker-word heuristic, deterministic tie-break)
     "text_langid" -> ((s, dir) =>
@@ -3265,6 +3282,12 @@ object SparkEntry {
       "fix_mojibake" ->
         ("SELECT moji_id, fixed_text " +
           s"FROM read_parquet('$goldenDir/mojibake_sf001.parquet')"),
+
+      // planted golden from the independent python replication of the
+      // leftmost-longest byte-level masking contract (make_mask_fixture)
+      "mask_blocklist" ->
+        ("SELECT mask_id, masked_text " +
+          s"FROM read_parquet('$goldenDir/mask_sf001.parquet')"),
 
       // COALESCE: DuckDB's array_to_string of an EMPTY list is NULL, not ''
       "cdc_chunks" ->

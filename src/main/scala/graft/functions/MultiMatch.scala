@@ -91,6 +91,67 @@ final class AcAutomaton(patterns: Seq[String]) extends Serializable {
     outputs = outArr.map(_.toArray)
   }
 
+  private val patLen: Array[Int] = patternBytes.map(_.length)
+
+  /**
+   * Replace every LEFTMOST-LONGEST non-overlapping pattern occurrence with
+   * `mask` — the removal twin of [[matches]] (scrub the bad phrase, keep
+   * the document). Selection rule, fully specified so an independent
+   * replication agrees byte-for-byte: collect every occurrence of every
+   * pattern (one automaton walk), order by (start ascending, length
+   * descending), then greedily keep each occurrence whose start is at or
+   * past the previous kept occurrence's end (same-span duplicates mask
+   * identically, so no further tiebreak affects the output). UTF-8
+   * self-synchronization makes byte spans codepoint-aligned, so splicing
+   * never corrupts a character.
+   */
+  def maskAll(text: UTF8String, mask: Array[Byte]): UTF8String = {
+    val bytes = text.getBytes
+    // occurrences packed as (start << 32 | (MaxInt - len)) — one ascending
+    // long sort IS the (start asc, length desc) selection order; equal
+    // (start, len) duplicates mask identically, so no further tiebreak
+    // affects the output
+    var occ = new Array[Long](8)
+    var nOcc = 0
+    var node = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      var n = node
+      var c = children.get(Integer.valueOf((n << 8) | b))
+      while (n != 0 && c == null) { n = fail(n); c = children.get(Integer.valueOf((n << 8) | b)) }
+      node = if (c == null) 0 else c.intValue()
+      val out = outputs(node)
+      var j = 0
+      while (j < out.length) {
+        val p = out(j)
+        val start = i - patLen(p) + 1
+        if (nOcc == occ.length) occ = java.util.Arrays.copyOf(occ, occ.length * 2)
+        occ(nOcc) = (start.toLong << 32) | ((Integer.MAX_VALUE - patLen(p)).toLong & 0xFFFFFFFFL)
+        nOcc += 1
+        j += 1
+      }
+      i += 1
+    }
+    if (nOcc == 0) return text
+    java.util.Arrays.sort(occ, 0, nOcc)
+    val outBuf = new java.io.ByteArrayOutputStream(bytes.length)
+    var cur = 0
+    var k = 0
+    while (k < nOcc) {
+      val start = (occ(k) >>> 32).toInt
+      val len = Integer.MAX_VALUE - (occ(k) & 0xFFFFFFFFL).toInt
+      if (start >= cur) {
+        outBuf.write(bytes, cur, start - cur)
+        outBuf.write(mask, 0, mask.length)
+        cur = start + len
+      }
+      k += 1
+    }
+    outBuf.write(bytes, cur, bytes.length - cur)
+    UTF8String.fromBytes(outBuf.toByteArray)
+  }
+
   /** Distinct matched pattern ids, ascending. */
   def matches(text: UTF8String): Array[Int] = {
     val bytes = text.getBytes
@@ -142,6 +203,37 @@ case class MatchedPatterns(child: Expression, patterns: Seq[String])
     val acRef = ctx.addReferenceObj("acAutomaton", automaton, classOf[AcAutomaton].getName)
     defineCodeGen(ctx, ev,
       a => s"new org.apache.spark.sql.catalyst.util.GenericArrayData($acRef.matches($a))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** mask_patterns(text) -> string: every leftmost-longest non-overlapping
+  * occurrence of the fixed patterns replaced by `mask` — in-place blocklist
+  * scrubbing (keep the document, drop the phrase) in one Aho–Corasick pass. */
+case class MaskPatterns(child: Expression, patterns: Seq[String], mask: String)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val automaton = new AcAutomaton(patterns)
+  private val maskBytes: Array[Byte] =
+    mask.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if patterns.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure("mask_patterns needs >= 1 pattern")
+    case t => TypeCheckResult.TypeCheckFailure(s"mask_patterns expects string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    automaton.maskAll(text.asInstanceOf[UTF8String], maskBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acRef = ctx.addReferenceObj("acAutomaton", automaton, classOf[AcAutomaton].getName)
+    val maskRef = ctx.addReferenceObj("maskBytes", maskBytes, "byte[]")
+    defineCodeGen(ctx, ev, a => s"$acRef.maskAll($a, $maskRef)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -2674,6 +2674,10 @@ object vectors {
   def matched_patterns(text: Column, patterns: Seq[String]): Column =
     MatchedPatterns(text.asExpression, patterns).asColumn
 
+  def mask_patterns(text: Column, patterns: Seq[String],
+                    mask: String = "[REDACTED]"): Column =
+    MaskPatterns(text.asExpression, patterns, mask).asColumn
+
   def chunk_tokens(text: Column, chunkSize: Int, stride: Int): Column =
     ChunkTokens(text.asExpression, chunkSize, stride).asColumn
 

@@ -843,6 +843,9 @@ object PyBridge {
   def matchedPatterns(c: Column, patterns: JList[String]): Column =
     graft.functions.vectors.matched_patterns(c, patterns.asScala.toSeq)
 
+  def maskPatterns(c: Column, patterns: JList[String], mask: String): Column =
+    graft.functions.vectors.mask_patterns(c, patterns.asScala.toSeq, mask)
+
   def redactEmails(c: Column, token: String): Column = graft.text.Redact.redactEmails(c, token)
 
   def redactIpv4(c: Column, token: String): Column = graft.text.Redact.redactIpv4(c, token)

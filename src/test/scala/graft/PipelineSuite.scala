@@ -1210,6 +1210,31 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
       .as[Seq[Int]].head() == Seq(0))
   }
 
+  test("mask_patterns: leftmost-longest non-overlapping masking; SQL-registered") {
+    def mk(text: String, pats: Seq[String], mask: String = "#"): String =
+      Seq(text).toDF("t")
+        .select(graft.functions.vectors.mask_patterns(col("t"), pats, mask).as("m"))
+        .as[String].head()
+    // longest-at-position wins over its nested prefix/suffix patterns
+    assert(mk("a scan can be scanned", Seq("scan", "can")) == "a # # be #ned")
+    // leftmost wins: 'hers' at 0 beats 'he' at 0; the 'he' at 4 still masks
+    assert(mk("hershey", Seq("she", "he", "hers")) == "##y")
+    // overlap resolution: 'she' at 0 consumes the 'he' at 1
+    assert(mk("shehe", Seq("she", "he")) == "##")
+    assert(mk("she sells seashells", Seq("she", "he")) == "# sells sea#lls")
+    // multibyte pattern, ascii lookalike untouched; splices stay valid utf-8
+    assert(mk("cafe café cafés", Seq("café")) == "cafe # #s")
+    // no hits -> identity (same object semantics not required, same value is)
+    assert(mk("nothing", Seq("zzz")) == "nothing")
+    // whole-string and adjacent back-to-back phrase hits
+    assert(mk("ababab", Seq("ab"), "[X]") == "[X][X][X]")
+    // mask text may itself contain pattern text without re-scanning
+    assert(mk("he said", Seq("he"), "he!") == "he! said")
+    graft.GraftExtensions.registerAll(spark)
+    assert(spark.sql("SELECT mask_patterns('a scan', '█', 'scan', 'can') AS m")
+      .as[String].head() == "a █")
+  }
+
   test("scriptProfile counts codepoints by explicit ranges; astral = 1; SQL-registered") {
     def sp(s: String): Seq[Long] = Seq(s).toDF("t")
       .select(graft.functions.vectors.script_profile(col("t")).as("p"))

@@ -1218,6 +1218,71 @@ def make_cdc_fixture():
           f"{n_distinct} distinct")
 
 
+def make_mask_fixture():
+    # Independent replication of AcAutomaton.maskAll's documented contract:
+    # collect EVERY occurrence of every pattern over UTF-8 BYTES (python's
+    # bytes.find with step-1 restart sees overlapping occurrences, same as
+    # the automaton), order (start asc, length desc), greedily keep
+    # non-overlapping, splice the mask bytes in. Pattern list must match
+    # SparkEntry.MaskGatePatterns EXACTLY.
+    PATTERNS = ["she", "he", "hers", "can", "scan", "café",
+                "lorem ipsum", "click here", "subscribe now"]
+    MASK = "[REDACTED]"
+
+    def mask(text):
+        b = text.encode("utf-8")
+        mb = MASK.encode("utf-8")
+        occ = []
+        for p in PATTERNS:
+            pb = p.encode("utf-8")
+            start = b.find(pb)
+            while start != -1:
+                occ.append((start, -len(pb)))
+                start = b.find(pb, start + 1)
+        occ.sort()
+        out = bytearray()
+        cur = 0
+        for start, neg in occ:
+            ln = -neg
+            if start >= cur:
+                out += b[cur:start]
+                out += mb
+                cur = start + ln
+        out += b[cur:]
+        return out.decode("utf-8")
+
+    planted = [
+        "she sells seashells",            # 'she' beats nested 'he'; 2nd hit inside 'seashells'
+        "hershey",                        # 'hers' (longest at 0) then 'he' at 4
+        "a scan can be scanned",          # 'scan' beats its nested 'can'; standalone 'can' masked
+        "cafe café cafés",                # multibyte pattern, ascii lookalike untouched
+        "click here to subscribe now and subscribe later",  # phrase + prefix-only miss
+        "he",                             # whole-string match
+        "shehe",                          # adjacent: 'she' then 'he'
+        "nothing to see",                 # no hits at all (identity)
+        "lorem ipsumlorem ipsum",         # back-to-back phrase hits
+    ]
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    ids, texts, masked = [], [], []
+    for i, p in enumerate(planted):
+        ids.append(int(-(i + 1)))
+        texts.append(p)
+        masked.append(mask(p))
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        t = (text or "") + " — lorem ipsum café; click here, subscribe now"
+        ids.append(int(doc_id))
+        texts.append(t)
+        masked.append(mask(t))
+    table = pa.table({
+        "mask_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "masked_text": pa.array(masked, pa.string()),
+    })
+    pq.write_table(table, f"{OUT}/mask_sf001.parquet")
+    print(f"mask_sf001.parquet: {len(ids)} rows")
+
+
 if __name__ == "__main__":
     make_images_fixture()
     make_audio_fixture()
@@ -1228,4 +1293,5 @@ if __name__ == "__main__":
     make_bpe_fixture()
     make_url_fixture()
     make_deflate_fixture()
+    make_mask_fixture()
     make_ann_goldens()
