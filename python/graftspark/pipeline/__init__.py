@@ -68,6 +68,7 @@ __all__ = [
     "cap_per_domain_stream",
     "bpe_train", "bpe_encode", "bpe_token_count", "save_bpe", "load_bpe",
     "canonicalize_url", "url_host", "registrable_domain",
+    "extract_urls", "with_link_stats",
     "dedup_by_canonical_url", "domain_stats", "weighted_sample_top_k",
     "cap_per_domain", "remove_boilerplate_lines",
     "kmv_sketch", "kmv_overlap_estimate", "kmv_distinct_estimate",
@@ -382,6 +383,20 @@ def registrable_domain(url: ColumnOrName) -> Column:
     """Registrable-domain heuristic (last 2 labels, 3 under known
     multi-part suffixes; IPv4 passes whole) — per-publisher group key."""
     return _col_fn("registrableDomain", _jcol(url))
+
+
+def extract_urls(text: ColumnOrName) -> Column:
+    """All http(s) URLs appearing in free text, in document order (one
+    regexp pass; prose-boundary delimiter set)."""
+    return _col_fn("extractUrls", _jcol(text))
+
+
+def with_link_stats(df: DataFrame, text: ColumnOrName) -> DataFrame:
+    """Append per-document link-density stats (n_urls, n_distinct_urls,
+    url_chars, link_density) — the link-farm/nav-page quality signal;
+    narrow single-pass projection."""
+    jdf = _bridge(df).withLinkStats(df._jdf, _jcol(text))
+    return DataFrame(jdf, df.sparkSession)
 
 
 def dedup_by_canonical_url(df: DataFrame, id_col: ColumnOrName,

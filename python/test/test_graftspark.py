@@ -1162,6 +1162,14 @@ class GraftsparkTest(unittest.TestCase):
         stats = {r["domain"]: (r["n_urls"], r["n_distinct_urls"])
                  for r in P.domain_stats(df, col("u")).collect()}
         self.assertEqual(stats["example.com"], (2, 1))
+        # text-embedded URL extraction + link-density stats
+        ldf = self.spark.createDataFrame(
+            [(1, "go to https://a.b/c (https://a.b/c) now"),
+             (2, "plain prose")], ["id", "t"])
+        ls = {r["id"]: (r["n_urls"], r["n_distinct_urls"], r["url_chars"])
+              for r in P.with_link_stats(ldf, col("t")).collect()}
+        self.assertEqual(ls[1], (2, 1, 26))
+        self.assertEqual(ls[2], (0, 0, 0))
         # weighted top-k without replacement: heavy rows win, exact size
         wdf = self.spark.range(500).toDF("k").withColumn(
             "w", expr("CASE WHEN k < 20 THEN 1000.0 ELSE 0.01 END"))

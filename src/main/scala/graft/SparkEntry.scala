@@ -1399,6 +1399,19 @@ object SparkEntry {
         concat_ws(" ", graft.text.Bpe.encode(col("text"), model)).as("bpe_text"))
     }),
 
+    // link-density stats over text-embedded URLs (the link-farm/nav-page
+    // quality signal): URLs planted in-plan (incl. a duplicate and
+    // prose-boundary parens), extraction + counts + one IEEE division all
+    // replayed by DuckDB with the IDENTICAL regex (plain RE2 syntax)
+    "link_density" -> ((s, dir) => {
+      val t0 = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" see https://ex.com/a?b=1 and " +
+          "http://sub.ex.org/p, again (https://ex.com/a?b=1) end")).as("tt"))
+      graft.text.Urls.withLinkStats(t0, col("tt"))
+        .select(col("doc_id"), col("n_urls"), col("n_distinct_urls"),
+          col("url_chars"), col("link_density"))
+    }),
+
     // URL canonicalization family (P64): planted hazard URLs + per-doc
     // synthetic pairs, kernels vs the independent python replication of
     // the documented rule set (tools/make_golden.py)
@@ -3330,6 +3343,20 @@ object SparkEntry {
       "bpe_tokens" ->
         ("SELECT doc_id, n_bpe_tokens, bpe_text " +
           s"FROM read_parquet('$goldenDir/bpe_tokens_sf001.parquet')"),
+
+      // identical RE2 pattern text in both engines; counts exact integers,
+      // link_density one IEEE division
+      "link_density" ->
+        ("WITH t AS (SELECT doc_id, text || ' see https://ex.com/a?b=1 and " +
+          "http://sub.ex.org/p, again (https://ex.com/a?b=1) end' AS tt FROM documents), " +
+          "u AS (SELECT doc_id, tt, " +
+          "regexp_extract_all(tt, 'https?://[^\\s<>\"'')\\]]+') AS urls FROM t) " +
+          "SELECT doc_id, CAST(len(urls) AS INT) AS n_urls, " +
+          "CAST(len(list_distinct(urls)) AS INT) AS n_distinct_urls, " +
+          "CAST(COALESCE(list_sum(list_transform(urls, x -> length(x))), 0) AS INT) AS url_chars, " +
+          "CASE WHEN length(tt) = 0 THEN 0.0 ELSE " +
+          "CAST(COALESCE(list_sum(list_transform(urls, x -> length(x))), 0) AS DOUBLE) / " +
+          "CAST(length(tt) AS DOUBLE) END AS link_density FROM u"),
 
       "url_canonicalize" ->
         ("SELECT url_id, canonical, host, domain " +

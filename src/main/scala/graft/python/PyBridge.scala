@@ -846,6 +846,11 @@ object PyBridge {
   def maskPatterns(c: Column, patterns: JList[String], mask: String): Column =
     graft.functions.vectors.mask_patterns(c, patterns.asScala.toSeq, mask)
 
+  def extractUrls(c: Column): Column = graft.text.Urls.extractUrls(c)
+
+  def withLinkStats(df: DataFrame, text: Column): DataFrame =
+    graft.text.Urls.withLinkStats(df, text)
+
   def redactEmails(c: Column, token: String): Column = graft.text.Redact.redactEmails(c, token)
 
   def redactIpv4(c: Column, token: String): Column = graft.text.Redact.redactIpv4(c, token)

@@ -29,6 +29,42 @@ object Urls {
     * suffixes; IPv4 passes whole) — per-publisher group key. */
   def registrableDomain(url: Column): Column = vectors.registrable_domain(url)
 
+  /** The URL-extraction regex: scheme + maximal run of non-delimiter
+    * characters (whitespace, angle brackets, double quote, single quote,
+    * closing paren/bracket end a URL — the prose-boundary set). Plain RE2
+    * syntax so Java regex and any RE2 engine read it identically. */
+  val UrlPattern: String = "https?://[^\\s<>\"')\\]]+"
+
+  /** All http(s) URLs appearing in free text, in document order — the
+    * front step of link-based quality signals (and of feeding text-embedded
+    * links into [[canonicalizeUrl]]/[[capPerDomain]]). One codegen'd
+    * regexp pass, narrow, streaming-legal. */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(UrlPattern), lit(0))
+
+  /**
+   * Per-document link-density stats — the boilerplate/spam signal quality
+   * pipelines cut on (link farms and nav pages carry high URL-character
+   * mass): `n_urls`, `n_distinct_urls`, `url_chars` (total characters
+   * inside URLs), and `link_density = url_chars / text chars` (0 for empty
+   * text; one IEEE division of exact integers, engine-portable). Columns
+   * are appended to `df`. Narrow single-pass projection — no shuffle, no
+   * state, streaming-legal.
+   */
+  def withLinkStats(df: DataFrame, text: Column): DataFrame = {
+    val p = graft.functions.distinctPrefixFor(df.columns.toSeq)
+    val ucol = p + "urls"
+    df.withColumn(ucol, extractUrls(text))
+      .withColumn("n_urls", size(col(ucol)))
+      .withColumn("n_distinct_urls", size(array_distinct(col(ucol))))
+      .withColumn("url_chars",
+        aggregate(transform(col(ucol), u => length(u)), lit(0), (acc, x) => acc + x))
+      .withColumn("link_density",
+        when(length(text) === 0, lit(0.0))
+          .otherwise(col("url_chars").cast("double") / length(text).cast("double")))
+      .drop(ucol)
+  }
+
   /**
    * Keep ONE row per canonical URL — the smallest id, so the decision is
    * deterministic and engine-portable. Scale shape: the only exchange

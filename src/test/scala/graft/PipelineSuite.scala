@@ -1235,6 +1235,22 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
       .as[String].head() == "a █")
   }
 
+  test("withLinkStats: extraction boundaries, dup counting, density division") {
+    val df = Seq(
+      (1L, "see https://a.b/c?d=1 and (https://a.b/c?d=1) or http://x.y/z."),
+      (2L, "no links at all"),
+      (3L, "")).toDF("id", "t")
+    val got = graft.text.Urls.withLinkStats(df, col("t"))
+      .select("id", "n_urls", "n_distinct_urls", "url_chars", "link_density")
+      .as[(Long, Int, Int, Int, Double)].collect().sortBy(_._1)
+    // ')' ends a URL; '.' does NOT (real URLs carry dots) — the trailing
+    // "z." keeps its dot, documented prose-boundary trade-off
+    assert(got(0)._2 == 3 && got(0)._3 == 2, s"${got(0)}")
+    assert(got(0)._4 == 17 + 17 + 13, s"${got(0)}") // 2x ...c?d=1 + x.y/z.
+    assert(got(1) == ((2L, 0, 0, 0, 0.0)))
+    assert(got(2) == ((3L, 0, 0, 0, 0.0))) // empty text: defined 0, no NaN
+  }
+
   test("scriptProfile counts codepoints by explicit ranges; astral = 1; SQL-registered") {
     def sp(s: String): Seq[Long] = Seq(s).toDF("t")
       .select(graft.functions.vectors.script_profile(col("t")).as("p"))
