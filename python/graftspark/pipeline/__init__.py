@@ -46,7 +46,7 @@ __all__ = [
     "extract_media_features", "extract_audio_features", "sample_frames",
     "drop_exact_payload_duplicates", "cdc_chunks", "chunk_dedup_report",
     "payload_near_dup_pairs", "novelty_profile", "duplicate_gram_mass",
-    "top_fraction_per_group", "save_dedup_index",
+    "top_fraction_per_group", "approx_top_fraction_per_group", "save_dedup_index",
     "near_dup_pairs_against_index", "deduplicate_against_index",
     "append_to_dedup_index",
     "train_pq", "pq_encode", "pq_top_k", "bm25_top_k",
@@ -1385,6 +1385,21 @@ def top_fraction_per_group(df: DataFrame, group_cols: List[ColumnOrName],
     jdf = _bridge(df).topFractionPerGroup(
         df._jdf, [_jcol(c) for c in group_cols],
         [_jcol(c) for c in order_cols], float(fraction), rank_column)
+    return DataFrame(jdf, df.sparkSession)
+
+
+def approx_top_fraction_per_group(df: DataFrame,
+                                  group_cols: List[ColumnOrName],
+                                  score: ColumnOrName, fraction: float,
+                                  accuracy: int = 10000) -> DataFrame:
+    """The 100 TB shape of top_fraction_per_group: per-group score threshold
+    from one mergeable percentile_approx aggregate (|groups|-row broadcast),
+    then a narrow score >= threshold filter — no corpus sort, no window.
+    Approximate only at the cut boundary (sketch rank error + threshold
+    ties); every non-empty group keeps at least one row."""
+    jdf = _bridge(df).approxTopFractionPerGroup(
+        df._jdf, [_jcol(c) for c in group_cols], _jcol(score),
+        float(fraction), int(accuracy))
     return DataFrame(jdf, df.sparkSession)
 
 

@@ -906,6 +906,15 @@ class GraftsparkTest(unittest.TestCase):
             [col("g")], [col("v").desc(), col("id")], 0.3)
         self.assertEqual(sorted((r["g"], r["id"]) for r in cut.collect()),
                          [("a", 4), ("a", 5), ("b", 9)])
+        # the approximate (no-sort) path tracks exact within tolerance
+        adf = self.spark.createDataFrame(
+            [("a", i, float(i % 97)) for i in range(200)] + [("b", 900, 1.0)],
+            ["g", "id", "v"])
+        acut = P.approx_top_fraction_per_group(adf, [col("g")], col("v"), 0.3)
+        counts = {r["g"]: r["n"] for r in
+                  acut.groupBy("g").agg(expr("count(*) AS n")).collect()}
+        self.assertTrue(abs(counts["a"] - 60) <= 8, counts)
+        self.assertEqual(counts["b"], 1)
 
     def test_pipeline_key_skew_report(self):
         from graftspark import pipeline as P

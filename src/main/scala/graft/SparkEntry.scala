@@ -657,6 +657,30 @@ object SparkEntry {
         Seq(col("n_tokens").desc, col("doc_id").asc), 0.3)
     }),
 
+    // the approximate (100 TB) quality-cut path: per-group threshold from
+    // one mergeable percentile_approx + a narrow filter — no corpus sort,
+    // no window. Sketch thresholds aren't engine-portable, so the gate is
+    // a per-group boolean (kept count within the documented tolerance of
+    // ceil(fraction·n)); DuckDB replays the group sizes and asserts TRUE.
+    // The exact referee is quality_cut_per_source above.
+    "quality_cut_approx" -> ((s, dir) => {
+      import graft.text.TextFunctions._
+      val scored = t(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        tokenStatsAscii(col("text"), EnglishStopwords)(0).as("n_tokens"))
+      val kept = graft.agg.TopK.approxTopFractionPerGroup(
+        scored, Seq(col("source")), col("n_tokens"), 0.3)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      scored.groupBy(col("source")).agg(count(lit(1)).as("n_rows"))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_rows"),
+          (coalesce(col("n_kept"), lit(0L)) >= lit(1L) &&
+            abs(coalesce(col("n_kept"), lit(0L)).cast("double") -
+              ceil(lit(0.3) * col("n_rows").cast("double")).cast("double")) <=
+              greatest(lit(2.0), lit(0.15) * col("n_rows").cast("double")))
+            .as("cut_ok"))
+    }),
+
     // token-window chunking for training-data prep: one row per overlapping
     // 32-token chunk (stride 24). Narrow plan: kernel + partition-local
     // posexplode next to the scan, no shuffle.
@@ -2601,6 +2625,13 @@ object SparkEntry {
           "count(*) OVER (PARTITION BY source) AS cnt FROM t) " +
           "SELECT doc_id, source, n_tokens, CAST(rk AS INT) AS rank " +
           "FROM r WHERE CAST(rk AS DOUBLE) <= ceil(0.3 * CAST(cnt AS DOUBLE))"),
+
+      // boolean gate: DuckDB reproduces the per-source row counts and
+      // asserts the tolerance verdict is true; a broken sketch/threshold/
+      // join flips it to false on the Spark side
+      "quality_cut_approx" ->
+        ("SELECT source, CAST(count(*) AS BIGINT) AS n_rows, TRUE AS cut_ok " +
+          "FROM documents GROUP BY source"),
 
       "group_topk" ->
         ("SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (" +

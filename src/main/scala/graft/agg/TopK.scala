@@ -108,4 +108,44 @@ object TopK {
         ceil(lit(fraction) * col("__group_count").cast("double")).cast("double"))
       .drop("__group_count")
   }
+
+  /**
+   * The 100 TB shape of [[topFractionPerGroup]]: instead of ranking every
+   * group (one exchange + a per-group SORT of the whole corpus), compute
+   * each group's score threshold from ONE mergeable `percentile_approx`
+   * aggregate — a map-side-combined pass whose output is |groups| rows —
+   * broadcast it back, and keep rows with `score >= threshold` as a NARROW
+   * filter next to the scan. The corpus is never sorted and never rides a
+   * window; only the tiny threshold table shuffles.
+   *
+   * Approximate exactly at the cut boundary: the kept fraction differs
+   * from `fraction` by the sketch's rank error (tunable via `accuracy`,
+   * default 10⁴ ≈ 0.01% rank error) plus ties at the threshold (kept
+   * inclusively). Every non-empty group keeps >= 1 row (its max scores >=
+   * any quantile). [[topFractionPerGroup]] is the exact referee — the sbt
+   * suite pins per-group kept counts within tolerance of exact, and the
+   * gate asserts the same as an in-plan boolean.
+   */
+  def approxTopFractionPerGroup(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      score: Column,
+      fraction: Double,
+      accuracy: Int = 10000): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction must be in (0, 1]: $fraction")
+    require(groupCols.nonEmpty, "approxTopFractionPerGroup needs at least one group column")
+    require(accuracy >= 100, s"accuracy must be >= 100: $accuracy")
+    val p = graft.functions.distinctPrefixFor(df.columns.toSeq)
+    val gcols = groupCols.zipWithIndex.map { case (_, i) => p + s"g$i" }
+    val tcol = p + "threshold"
+    val tagged = groupCols.zip(gcols).foldLeft(df) { case (d, (g, n)) => d.withColumn(n, g) }
+    val thresholds = tagged
+      .groupBy(gcols.map(col): _*)
+      .agg(percentile_approx(score.cast("double"), lit(1.0 - fraction), lit(accuracy)).as(tcol))
+    tagged
+      .join(broadcast(thresholds), gcols)
+      .filter(score.cast("double") >= col(tcol))
+      .drop(tcol).drop(gcols: _*)
+  }
 }

@@ -927,6 +927,12 @@ object PyBridge {
     graft.agg.TopK.topFractionPerGroup(
       df, groupCols.asScala.toSeq, orderCols.asScala.toSeq, fraction, rankColumn)
 
+  def approxTopFractionPerGroup(df: DataFrame, groupCols: JList[Column],
+                                score: Column, fraction: Double,
+                                accuracy: Int): DataFrame =
+    graft.agg.TopK.approxTopFractionPerGroup(
+      df, groupCols.asScala.toSeq, score, fraction, accuracy)
+
   def nearDupPairsMinHashAgainst(corpus: DataFrame, reference: DataFrame,
                                  id: Column, text: Column, shingleSize: Int,
                                  bands: Int, rowsPerBand: Int,

@@ -72,6 +72,32 @@ class AggOpsSuite extends AnyFunSuite with SparkTest {
     assert(exchanges === 1, s"expected 1 exchange, got $exchanges in:\n$plan")
   }
 
+  test("approxTopFractionPerGroup tracks the exact referee with no corpus sort") {
+    // skewed groups: big 1000 rows, small 40, tiny 1
+    val df = ((0L until 1000L).map(i => ("big", i, (i % 997).toDouble)) ++
+      (0L until 40L).map(i => ("small", 2000L + i, i.toDouble)) ++
+      Seq(("tiny", 9000L, 5.0))).toDF("k", "id", "v")
+    val approx = TopK.approxTopFractionPerGroup(df, Seq($"k"), $"v", 0.3)
+    val exact = TopK.topFractionPerGroup(df, Seq($"k"), Seq($"v".desc, $"id".asc), 0.3)
+    val aCnt = approx.groupBy("k").count().as[(String, Long)].collect().toMap
+    val eCnt = exact.groupBy("k").count().as[(String, Long)].collect().toMap
+    eCnt.foreach { case (k, e) =>
+      val a = aCnt.getOrElse(k, 0L)
+      assert(a >= 1, s"group $k kept nothing")
+      assert(math.abs(a - e) <= math.max(2L, (0.1 * e).toLong),
+        s"group $k: approx $a vs exact $e")
+    }
+    // the whole point: no Sort over the corpus, no Window — a tiny
+    // threshold aggregate broadcast back onto a narrow filter
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+    // fraction = 1.0 keeps every row (threshold = group min)
+    assert(TopK.approxTopFractionPerGroup(df, Seq($"k"), $"v", 1.0).count() === 1041L)
+    // schema is preserved (helper columns dropped)
+    assert(approx.columns.toSeq === Seq("k", "id", "v"))
+  }
+
   // --- frequentItems --------------------------------------------------------
 
   test("Checks evaluates passing and failing rules with exact metrics") {
