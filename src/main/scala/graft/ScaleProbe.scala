@@ -69,7 +69,7 @@ object ScaleProbe {
       "bpe_encode", "boilerplate", "kmv_sketch", "containment",
       "jaccard_prefix", "streaming_seeded_state", "streaming_domain_cap_state",
       "int8_footprint", "bitsign_footprint", "soft_dedup_split", "novelty",
-      "dedup_index", "multimatch")
+      "dedup_index", "multimatch", "quality_cut")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -750,6 +750,34 @@ object ScaleProbe {
       }
       require(nH == 60, s"hamming topk row count $nH != 60")
       reportAlways("bitsign_code_path", bytesOf(s"$root/packed"), tH)
+    }
+
+    // --- quality cut: exact (sorted window) vs approximate (threshold) ---
+    // the adaptive cut's two paths priced against each other as groups grow:
+    // exact pays a per-group SORT of the corpus; approximate pays one
+    // mergeable percentile aggregate + a narrow filter. Kept counts
+    // require-asserted within tolerance at every N.
+    if (enabled("quality_cut")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val big = amplify(docs, n).select(
+        (col("doc_id") + col("__rep") * 1000000L).as("doc_id"),
+        col("source"), length(col("text")).cast("double").as("score"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        big.count() // materialize so both paths price their own plan only
+        val (ec, tExact) = time {
+          graft.agg.TopK.topFractionPerGroup(big, Seq(col("source")),
+            Seq(col("score").desc, col("doc_id").asc), 0.3).count()
+        }
+        val (ac, tApprox) = time {
+          graft.agg.TopK.approxTopFractionPerGroup(big, Seq(col("source")),
+            col("score"), 0.3).count()
+        }
+        require(ac >= 1 && math.abs(ac - ec) <= math.max(2L, (0.1 * ec).toLong),
+          s"approx kept $ac vs exact $ec")
+        reportAlways("quality_cut_exact", ec, tExact)
+        reportAlways("quality_cut_approx", ac, tApprox)
+      } finally big.unpersist()
     }
 
     // --- Aho-Corasick: one byte pass regardless of blocklist size --------
