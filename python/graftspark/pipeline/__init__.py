@@ -30,7 +30,7 @@ __all__ = [
     "near_dup_pairs_minhash", "near_dup_pairs_simhash", "deduplicate_minhash",
     "deduplicate_lines", "decontaminate", "decontaminate_bloom", "brute_force_top_k",
     "build_blocklist_artifact", "decontaminate_with_artifact",
-    "curate", "register_sql_functions",
+    "curate", "curate_increment", "register_sql_functions",
     "connected_components", "assign_clusters", "deduplicate_by_clusters",
     "keep_best_by_clusters", "split_by_clusters", "soft_dedup_weights",
     "deduplicate_minhash_clusters", "hash_sample", "stratified_hash_sample",
@@ -705,6 +705,43 @@ def curate(df: DataFrame, id_col: ColumnOrName, text: ColumnOrName, *,
         _jcol(blocklist_text if blocklist_text is not None else text),
         int(blocklist_shingle_size), int(min_overlap),
         float(sample_rate), sample_salt, bool(dsir_portable_hash))
+    return DataFrame(jarr[0], sess), DataFrame(jarr[1], sess)
+
+
+def curate_increment(df: DataFrame, id_col: ColumnOrName,
+                     text: ColumnOrName, index_path: str, *,
+                     keep_langs: List[str] = ("en",),
+                     min_tokens: int = 50, max_tokens: int = 100000,
+                     min_avg_token_len: float = 3.0,
+                     max_avg_token_len: float = 10.0,
+                     min_stopword_ratio: float = 0.02,
+                     max_top_bigram_fraction: float = 0.18,
+                     classifier_weights: List[int] = None,
+                     classifier_bias: int = 0, classifier_threshold: int = 0,
+                     dsir_weights: List[int] = None, dsir_threshold: int = 0,
+                     minhash_threshold: float = 0.8,
+                     sample_rate: float = 1.0, sample_salt: str = "graft",
+                     append_survivors: bool = True,
+                     dsir_portable_hash: bool = True):
+    """The daily-ingest loop in one call: curate a NEW batch against a
+    persisted dedup index (save_dedup_index) — narrow quality stages,
+    batch-internal exact + near-dup dedup, near-dup against the index
+    (reference text never re-read; shingle/banding config comes FROM the
+    index), then survivors appended so tomorrow's batch sees them.
+    append_survivors=False audits without mutating. Returns
+    (survivors, report)."""
+    sess = df.sparkSession
+    jarr = _bridge(df).curateIncrement(
+        df._jdf, _jcol(id_col), _jcol(text), str(index_path),
+        list(keep_langs), int(min_tokens), int(max_tokens),
+        float(min_avg_token_len), float(max_avg_token_len),
+        float(min_stopword_ratio), float(max_top_bigram_fraction),
+        None if classifier_weights is None else [int(w) for w in classifier_weights],
+        int(classifier_bias), int(classifier_threshold),
+        None if dsir_weights is None else [int(w) for w in dsir_weights],
+        int(dsir_threshold), float(minhash_threshold),
+        float(sample_rate), sample_salt, bool(append_survivors),
+        bool(dsir_portable_hash))
     return DataFrame(jarr[0], sess), DataFrame(jarr[1], sess)
 
 

@@ -1023,6 +1023,37 @@ class GraftsparkTest(unittest.TestCase):
             col("id"), col("text"), d, threshold=0.7).collect()
         self.assertEqual([(r["idA"], r["idB"]) for r in again], [(500, 200)])
 
+    def test_pipeline_curate_increment(self):
+        import tempfile
+        from graftspark import pipeline as P
+        en = ("the cat and the dog walked to the park and it was a fine day "
+              "for all of them to play in the sun with friends")
+        ref = self.spark.createDataFrame(
+            [(100, en + " reference edition")], ["id", "text"])
+        d = tempfile.mkdtemp() + "/idx"
+        P.save_dedup_index(ref, col("id"), col("text"), d)
+        batch = self.spark.createDataFrame(
+            [(1, en + " fresh batch one content words here"),
+             (2, en + " reference edition extra")], ["id", "text"])
+        survivors, report = P.curate_increment(
+            batch, col("id"), col("text"), d,
+            keep_langs=["en"], min_tokens=5, max_tokens=1000,
+            min_avg_token_len=1.0, max_avg_token_len=10.0,
+            min_stopword_ratio=0.01, max_top_bigram_fraction=0.9)
+        self.assertEqual([r["id"] for r in survivors.collect()], [1])
+        stages = {r["stage"]: r["n_rows"] for r in report.collect()}
+        self.assertEqual(stages["5_neardup_index"], 1)
+        # the appended survivor guards the next batch
+        s2, _ = P.curate_increment(
+            self.spark.createDataFrame(
+                [(10, en + " fresh batch one content words here again")],
+                ["id", "text"]),
+            col("id"), col("text"), d,
+            keep_langs=["en"], min_tokens=5, max_tokens=1000,
+            min_avg_token_len=1.0, max_avg_token_len=10.0,
+            min_stopword_ratio=0.01, max_top_bigram_fraction=0.9)
+        self.assertEqual(s2.count(), 0)
+
     def test_pipeline_pq_ann(self):
         from graftspark import pipeline as P
         from pyspark.sql.types import (ArrayType, FloatType, LongType,

@@ -764,6 +764,30 @@ object SparkEntry {
       report
     }),
 
+    // the daily-ingest loop: reference sources (src0..src9) become a
+    // persisted dedup index; the new sources (src10+) curate as an
+    // increment — narrow quality stages, batch-internal exact + near-dup
+    // dedup, near-dup against the index (reference text never re-read),
+    // survivors appended. Output is the attrition report; DuckDB replays
+    // every stage relationally (the curation_report predicates + the
+    // dedup_against_index cross-side all-pairs verify).
+    "curation_increment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isNew = expr("CAST(substring(source, 4) AS INT) >= 10")
+      val idx = graft.createTemporaryDir("cur-inc-index")
+      graft.dedup.DedupIndex.saveDedupIndex(
+        docs.filter(!isNew), col("doc_id"), col("text"), idx)
+      val handle = UnpersistHandle()
+      val (_, report) = graft.pipeline.Curation.curateIncrement(
+        docs.filter(isNew), col("doc_id"), col("text"), idx,
+        keepLangs = Set("en"), minTokens = 30, maxTokens = 90,
+        minAvgTokenLen = 3.0, maxAvgTokenLen = 6.0,
+        minStopwordRatio = 0.02, maxTopBigramFraction = 0.2,
+        unpersistHandle = handle)
+      handle.unpersist()
+      report
+    }),
+
     // the observe-mode twin: same stages, same attrition counts, ONE action
     // (counters ride the job as Observation metrics instead of four
     // persist+count boundaries) — the shape to prefer when the caller does
@@ -3101,6 +3125,51 @@ object SparkEntry {
 
       // chained-pipeline replication: each stage's survivor set feeds the
       // next, so every count checks inter-stage dataflow, not one stage
+      // the increment loop replayed stage by stage on the src10+ batch:
+      // langid + quality (the curation_report predicates), exact keep-first,
+      // within-batch all-pairs near-dup, then the cross-side verify against
+      // the src0..src9 reference shingle sets
+      "curation_increment" ->
+        (s"WITH $docTokCte, $docShCte, " +
+          "d AS (SELECT doc_id, CAST(substring(source, 4) AS INT) AS sn FROM documents), " +
+          "bids AS (SELECT doc_id FROM d WHERE sn >= 10), " +
+          "lsc AS (SELECT doc_id, " +
+          "len(list_intersect(list_distinct(toks), ['the','and','of','to','in','is','that','it','for','with'])) AS s_en, " +
+          "len(list_intersect(list_distinct(toks), ['le','la','les','des','et','une','est','que','pour','dans'])) AS s_fr, " +
+          "len(list_intersect(list_distinct(toks), ['der','die','das','und','ist','nicht','ein','mit','von','auf'])) AS s_de, " +
+          "len(list_intersect(list_distinct(toks), ['el','los','las','una','es','que','por','para','como','pero'])) AS s_es " +
+          "FROM tok WHERE doc_id IN (SELECT doc_id FROM bids)), " +
+          "l1 AS (SELECT doc_id FROM lsc WHERE NOT (s_en = 0 AND s_fr = 0 AND s_de = 0 AND s_es = 0) " +
+          "AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_es), " +
+          "qg AS (SELECT doc_id, toks, CASE WHEN len(toks) < 2 THEN [] ELSE [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))] END AS g2 " +
+          "FROM tok WHERE doc_id IN (SELECT doc_id FROM l1)), " +
+          "qm AS (SELECT doc_id, len(toks) AS n, " +
+          "CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS avg_len, " +
+          "CAST(len([t for t in toks if list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], t)]) AS DOUBLE) / len(toks) AS stop_ratio, " +
+          "len(g2) AS t2, CASE WHEN len(g2) = 0 THEN 0 ELSE COALESCE(list_max([len([y for y in g2 if y = x]) for x in list_distinct(g2)]), 0) END AS p2 FROM qg), " +
+          "l2 AS (SELECT doc_id FROM qm WHERE n >= 30 AND n <= 90 AND avg_len >= 3.0 AND avg_len <= 6.0 " +
+          "AND stop_ratio >= 0.02 AND (CASE WHEN t2 = 0 THEN 0.0 ELSE CAST(p2 AS DOUBLE) / CAST(t2 AS DOUBLE) END) <= 0.2), " +
+          "cfp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f FROM documents " +
+          "WHERE doc_id IN (SELECT doc_id FROM l2)), " +
+          "l3 AS (SELECT doc_id FROM cfp QUALIFY ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) = 1), " +
+          "csh AS (SELECT sh.doc_id, sh.s FROM sh WHERE sh.doc_id IN (SELECT doc_id FROM l3)), " +
+          "cp AS (SELECT a.doc_id AS ia, b.doc_id AS ib, " +
+          "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS j " +
+          "FROM csh a JOIN csh b ON a.doc_id < b.doc_id), " +
+          "l4 AS (SELECT doc_id FROM l3 WHERE doc_id NOT IN (SELECT ib FROM cp WHERE j >= 0.8)), " +
+          "rf AS (SELECT sh.doc_id, sh.s FROM sh JOIN d USING (doc_id) WHERE d.sn < 10), " +
+          "c4 AS (SELECT sh.doc_id, sh.s FROM sh WHERE sh.doc_id IN (SELECT doc_id FROM l4)), " +
+          "m AS (SELECT DISTINCT c4.doc_id FROM c4 JOIN rf ON " +
+          "CAST(len(list_intersect(c4.s, rf.s)) AS DOUBLE) / " +
+          "CAST(len(list_distinct(list_concat(c4.s, rf.s))) AS DOUBLE) >= 0.8), " +
+          "l5 AS (SELECT doc_id FROM l4 WHERE doc_id NOT IN (SELECT doc_id FROM m)) " +
+          "SELECT '0_input' AS stage, (SELECT COUNT(*) FROM bids) AS n_rows " +
+          "UNION ALL SELECT '1_langid', COUNT(*) FROM l1 " +
+          "UNION ALL SELECT '2_quality', COUNT(*) FROM l2 " +
+          "UNION ALL SELECT '3_exact', COUNT(*) FROM l3 " +
+          "UNION ALL SELECT '4_neardup_batch', COUNT(*) FROM l4 " +
+          "UNION ALL SELECT '5_neardup_index', COUNT(*) FROM l5"),
+
       "curation_report" ->
         (s"WITH $docTokCte, " +
           "lsc AS (SELECT doc_id, " +

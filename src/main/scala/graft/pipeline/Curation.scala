@@ -281,6 +281,108 @@ object Curation {
   /** The stage-gate predicates shared by [[curate]] and [[curateObserved]]:
     * (language keep, quality keep, classifier keep, DSIR keep) — all
     * narrow fused-kernel columns. */
+  /**
+   * The daily-ingest curation loop in one call: curate a NEW batch against
+   * a persisted near-dup index ([[graft.dedup.DedupIndex.saveDedupIndex]])
+   * so dedup stays GLOBAL across increments without ever re-reading the
+   * historical corpus. Stages: the same fused narrow quality pass as
+   * [[curate]] → batch-internal exact dedup → batch-internal MinHash
+   * near-dup → near-dup against the index (only the increment is shingled;
+   * the reference side is the saved bucket/shingle tables — and shingle
+   * size / banding come FROM the index, so batch-internal and cross-index
+   * dedup share one config by construction) → optional hash sample. With
+   * `appendSurvivors = true` (default) the survivors are appended to the
+   * index, closing the loop: tomorrow's batch dedups against today's
+   * survivors. `appendSurvivors = false` audits without mutating.
+   *
+   * Returns `(survivors, report)` like [[curate]]; report stages are
+   * `0_input, 1_langid, 2_quality[, 2b, 2c], 3_exact, 4_neardup_batch,
+   * 5_neardup_index[, 6_sample]`.
+   *
+   * Scale shape: the historical corpus costs ONE index build ever
+   * (amortized across all future increments); each increment pays
+   * narrow passes over itself plus band-bucket equi-joins against the
+   * saved tables — daily cost tracks the increment, not the corpus.
+   */
+  def curateIncrement(
+      batch: DataFrame, id: Column, text: Column, indexPath: String,
+      keepLangs: Set[String] = Set("en"),
+      minTokens: Int = 50, maxTokens: Int = 100000,
+      minAvgTokenLen: Double = 3.0, maxAvgTokenLen: Double = 10.0,
+      minStopwordRatio: Double = 0.02, maxTopBigramFraction: Double = 0.18,
+      classifierWeights: Option[Array[Int]] = None,
+      classifierBias: Long = 0L, classifierThreshold: Long = 0L,
+      dsirWeights: Option[Array[Int]] = None, dsirThreshold: Long = 0L,
+      minHashThreshold: Double = 0.8,
+      sampleRate: Double = 1.0, sampleSalt: String = "graft",
+      appendSurvivors: Boolean = true,
+      storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      unpersistHandle: UnpersistHandle = UnpersistHandle.Noop,
+      dsirPortableHash: Boolean = true): (DataFrame, DataFrame) = {
+    require(sampleRate > 0.0 && sampleRate <= 1.0, s"sampleRate must be in (0, 1]: $sampleRate")
+    val spark = batch.sparkSession
+    val p = graft.dedup.DedupIndex.readIndexParams(spark, indexPath)
+    val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var live: Option[DataFrame] = None
+    def step(stage: String, next: DataFrame): DataFrame = {
+      val persisted = next.persist(storageLevel)
+      counts += stage -> persisted.count()
+      live.foreach(_.unpersist(false))
+      live = Some(persisted)
+      persisted
+    }
+    val (langKeep, qualKeep, clsKeep, dsirKeep) = keepPredicates(
+      text, keepLangs, minTokens, maxTokens, minAvgTokenLen, maxAvgTokenLen,
+      minStopwordRatio, maxTopBigramFraction, classifierWeights, classifierBias,
+      classifierThreshold, dsirWeights, dsirThreshold, dsirPortableHash)
+    val head = batch.agg(
+      count(lit(1)),
+      coalesce(sum(when(langKeep, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(langKeep && qualKeep, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(langKeep && qualKeep && clsKeep, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(langKeep && qualKeep && clsKeep && dsirKeep, 1L).otherwise(0L)), lit(0L))).head()
+    counts += "0_input" -> head.getLong(0)
+    if (keepLangs.nonEmpty) counts += "1_langid" -> head.getLong(1)
+    counts += "2_quality" -> head.getLong(2)
+    if (classifierWeights.nonEmpty) counts += "2b_classifier" -> head.getLong(3)
+    if (dsirWeights.nonEmpty) counts += "2c_dsir" -> head.getLong(4)
+    var cur = batch.filter(langKeep && qualKeep && clsKeep && dsirKeep)
+
+    cur = step("3_exact", graft.dedup.Dedup.dropExactTextDuplicates(cur, text, id))
+
+    val mhHandle = graft.UnpersistHandle()
+    cur = step("4_neardup_batch", graft.dedup.Dedup.deduplicateMinHash(
+      cur, id, text, p.shingleSize, p.bands, p.rowsPerBand, minHashThreshold,
+      unpersistHandle = mhHandle))
+    mhHandle.unpersist()
+
+    val idxHandle = graft.UnpersistHandle()
+    cur = step("5_neardup_index", graft.dedup.DedupIndex.deduplicateAgainstIndex(
+      cur, id, text, indexPath, minHashThreshold, p.maxBucketSize,
+      storageLevel, idxHandle))
+    idxHandle.unpersist()
+
+    if (sampleRate < 1.0)
+      cur = step("6_sample", graft.sample.Sampling.hashSample(cur, id, sampleRate, sampleSalt))
+
+    if (appendSurvivors) {
+      // the append writes to the same path the survivor plan READS;
+      // Spark's cache manager re-caches path-dependent plans on write,
+      // which would re-run the index dedup against the just-appended
+      // survivors — every survivor then self-matches and silently
+      // disappears from the returned frame. The survivor set is defined
+      // by the PRE-append index, so pin it by truncating lineage first.
+      val pinned = cur.localCheckpoint(true)
+      live.foreach(_.unpersist(false))
+      graft.dedup.DedupIndex.appendToDedupIndex(pinned, id, text, indexPath)
+      cur = pinned
+    }
+
+    unpersistHandle.setDataFrame(cur)
+    import spark.implicits._
+    (cur, counts.toSeq.toDF("stage", "n_rows"))
+  }
+
   private def keepPredicates(
       text: Column, keepLangs: Set[String],
       minTokens: Int, maxTokens: Int,

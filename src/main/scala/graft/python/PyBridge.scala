@@ -332,6 +332,35 @@ object PyBridge {
     Array(pinned, report)
   }
 
+  def curateIncrement(df: DataFrame, id: Column, text: Column, indexPath: String,
+                      keepLangs: JList[String],
+                      minTokens: Int, maxTokens: Int,
+                      minAvgTokenLen: Double, maxAvgTokenLen: Double,
+                      minStopwordRatio: Double, maxTopBigramFraction: Double,
+                      classifierWeights: JList[Integer],
+                      classifierBias: Long, classifierThreshold: Long,
+                      dsirWeights: JList[Integer], dsirThreshold: Long,
+                      minHashThreshold: Double,
+                      sampleRate: Double, sampleSalt: String,
+                      appendSurvivors: Boolean,
+                      dsirPortableHash: Boolean): Array[DataFrame] = {
+    val handle = UnpersistHandle()
+    val (curated, report) = graft.pipeline.Curation.curateIncrement(
+      df, id, text, indexPath, keepLangs.asScala.toSet,
+      minTokens, maxTokens, minAvgTokenLen, maxAvgTokenLen,
+      minStopwordRatio, maxTopBigramFraction,
+      Option(classifierWeights).map(_.asScala.map(_.intValue()).toArray),
+      classifierBias, classifierThreshold,
+      Option(dsirWeights).map(_.asScala.map(_.intValue()).toArray), dsirThreshold,
+      minHashThreshold = minHashThreshold,
+      sampleRate = sampleRate, sampleSalt = sampleSalt,
+      appendSurvivors = appendSurvivors,
+      unpersistHandle = handle, dsirPortableHash = dsirPortableHash)
+    val pinned = curated.localCheckpoint(true)
+    handle.unpersist()
+    Array(pinned, report)
+  }
+
   def curateObserved(df: DataFrame, id: Column, text: Column,
                      keepLangs: JList[String],
                      minTokens: Int, maxTokens: Int,

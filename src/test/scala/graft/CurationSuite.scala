@@ -307,6 +307,68 @@ class CurationSuite extends AnyFunSuite with SparkTest {
     handle.unpersist()
   }
 
+  test("curateIncrement dedups against the index and closes the ingest loop") {
+    val en = "the cat and the dog walked to the park and it was a fine day for all of them to play in the sun with friends"
+    val reference = Seq((100L, en + " reference edition")).toDF("id", "text")
+    val idx = graft.createTemporaryDir("curate-inc-test")
+    graft.dedup.DedupIndex.saveDedupIndex(reference, col("id"), col("text"), idx)
+    val batch1 = Seq(
+      (1L, en + " fresh batch one content words here"), // survives
+      (2L, en + " reference edition extra"),   // near-dup of the INDEXED doc
+      (3L, en + " fresh batch one content words here"), // exact dup of 1 within batch
+      (4L, "le chat et le chien une promenade dans les rues pour une belle journee avec des amis et que la vie est bonne pour tous les gens")
+    ).toDF("id", "text")
+    val h1 = UnpersistHandle()
+    val (s1, r1) = graft.pipeline.Curation.curateIncrement(
+      batch1, col("id"), col("text"), idx,
+      keepLangs = Set("en"),
+      minTokens = 5, maxTokens = 1000, minAvgTokenLen = 1.0, maxAvgTokenLen = 10.0,
+      minStopwordRatio = 0.01, maxTopBigramFraction = 0.9,
+      unpersistHandle = h1)
+    val c1 = r1.as[(String, Long)].collect().toMap
+    assert(c1("0_input") == 4L && c1("1_langid") == 3L)
+    assert(c1("3_exact") == 2L)          // within-batch exact dup dropped
+    assert(c1("4_neardup_batch") == 2L)  // 1 and 2 are not near-dups of each other
+    assert(c1("5_neardup_index") == 1L)  // 2 near-dups the INDEXED reference doc
+    assert(s1.select("id").as[Long].collect().toSeq == Seq(1L))
+    h1.unpersist()
+    // the loop: batch 2 re-sends batch 1's survivor (near-verbatim) — the
+    // appended index catches it without re-reading reference OR batch 1
+    val batch2 = Seq(
+      (10L, en + " fresh batch one content words here again"), // near-dup of appended id 1
+      (11L, en + " genuinely new second batch text here")
+    ).toDF("id", "text")
+    val h2 = UnpersistHandle()
+    val (s2, r2) = graft.pipeline.Curation.curateIncrement(
+      batch2, col("id"), col("text"), idx,
+      keepLangs = Set("en"),
+      minTokens = 5, maxTokens = 1000, minAvgTokenLen = 1.0, maxAvgTokenLen = 10.0,
+      minStopwordRatio = 0.01, maxTopBigramFraction = 0.9,
+      unpersistHandle = h2)
+    val c2 = r2.as[(String, Long)].collect().toMap
+    assert(c2("5_neardup_index") == 1L, s"$c2")
+    assert(s2.select("id").as[Long].collect().toSeq == Seq(11L))
+    h2.unpersist()
+    // audit mode leaves the index untouched: re-running batch 2 with
+    // appendSurvivors = false yields the same result twice
+    val (s3, _) = graft.pipeline.Curation.curateIncrement(
+      batch2, col("id"), col("text"), idx,
+      keepLangs = Set("en"),
+      minTokens = 5, maxTokens = 1000, minAvgTokenLen = 1.0, maxAvgTokenLen = 10.0,
+      minStopwordRatio = 0.01, maxTopBigramFraction = 0.9,
+      appendSurvivors = false)
+    // 11 was appended by the batch-2 run above, so it now dedups away;
+    // running audit mode twice is idempotent
+    assert(s3.select("id").as[Long].collect().isEmpty)
+    val (s4, _) = graft.pipeline.Curation.curateIncrement(
+      batch2, col("id"), col("text"), idx,
+      keepLangs = Set("en"),
+      minTokens = 5, maxTokens = 1000, minAvgTokenLen = 1.0, maxAvgTokenLen = 10.0,
+      minStopwordRatio = 0.01, maxTopBigramFraction = 0.9,
+      appendSurvivors = false)
+    assert(s4.select("id").as[Long].collect().isEmpty)
+  }
+
   test("curateObserved reports the same attrition as curate with one action") {
     val docs = curationDocs
     val blockDoc = Seq((99L, "benchmark secret answer token stream")).toDF("id", "text")
