@@ -122,7 +122,10 @@ object TopK {
    * from `fraction` by the sketch's rank error (tunable via `accuracy`,
    * default 10⁴ ≈ 0.01% rank error) plus ties at the threshold (kept
    * inclusively). Every non-empty group keeps >= 1 row (its max scores >=
-   * any quantile). [[topFractionPerGroup]] is the exact referee — the sbt
+   * any quantile). Rows with a NULL score are dropped (they have no
+   * position under a score order; the exact variant instead sorts them
+   * last under `desc` — give scores a sentinel first if they must
+   * survive). [[topFractionPerGroup]] is the exact referee — the sbt
    * suite pins per-group kept counts within tolerance of exact, and the
    * gate asserts the same as an in-plan boolean.
    */

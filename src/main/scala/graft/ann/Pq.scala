@@ -275,12 +275,18 @@ object Pq {
   /** Exact-cosine re-rank of a bounded (query_id, qvec, neighbor_id)
     * shortlist: |queries| * k * refine rows by construction — always
     * broadcastable — so the re-rank is one more narrow pass over the corpus
-    * scan, never a corpus-wide shuffle to meet a tiny join side. */
+    * scan, never a corpus-wide shuffle to meet a tiny join side. The
+    * pre-rank (query_id, neighbor_id) max-cosine agg collapses duplicate
+    * corpus rows for the same id (a retried half-finished
+    * [[appendToAnnIndex]] leaves one) so a neighbor can never occupy two
+    * ranks; it runs over the bounded candidate set, not the corpus. */
   private def rerankExact(corpus: DataFrame, corpusId: Column, corpusVec: Column,
                           shortlist: DataFrame, k: Int): DataFrame =
     corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cvec"))
       .join(broadcast(shortlist), "neighbor_id")
       .withColumn("cosine", vectors.cosine_similarity(col("qvec"), col("cvec")))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cosine")).as("cosine"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("neighbor_id"))))
@@ -354,6 +360,16 @@ object Pq {
    * stay probe-coherent) and `vectors/`. Queries after the append are
    * row-for-row identical to an index saved over the union corpus with the
    * same quantizers (sbt-pinned) — only the increment is ever encoded.
+   *
+   * Failure mode of a half-finished append: `vectors/` lands first, so a
+   * crash between the two writes leaves vectors without codes — such rows
+   * can never enter a shortlist (candidates come from `enc/`) and the
+   * re-rank's inner join ignores them. Re-running the append restores
+   * consistency; the duplicate vector row it leaves is collapsed by the
+   * re-rank's per-(query, neighbor) max-cosine agg, so no neighbor can
+   * occupy two ranks (sbt-pinned). The reverse write order would instead
+   * ship codes whose exact re-rank silently drops — degraded recall,
+   * which is why vectors go first.
    */
   def appendToAnnIndex(batch: DataFrame, id: Column, vec: Column,
                        path: String): Unit = {

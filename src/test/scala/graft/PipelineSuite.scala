@@ -1801,6 +1801,18 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
         .select("query_id", "rank", "neighbor_id", "cosine")
         .as[(Long, Int, Long, Double)].collect().toSet
       assert(got == expect, s"residual=$residual")
+      // the documented half-finished-append recovery: vectors/ lands first,
+      // the crash skips enc/, and the RETRY leaves duplicate VECTOR rows
+      // (codes append exactly once). The re-rank's per-(query, neighbor)
+      // max agg collapses the duplicates, so no neighbor occupies two
+      // ranks and the top-k is unchanged
+      half2.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+        .write.mode("append").parquet(s"$grown/vectors")
+      val retried = Pq.ivfPqTopKIndexed(queries, col("id"), col("vec"),
+        grown, k = 3, nprobe = 2, refine = 4)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(retried == expect, s"retried append changed top-k, residual=$residual")
     }
   }
 
