@@ -23,6 +23,7 @@ __all__ = [
     "tokenize_ascii", "token_stats", "top_ngram_stats", "top_ngram_fraction",
     "chunk_tokens", "chunk_by_tokens", "lang_id", "quality_score",
     "approx_bpe_token_count", "fingerprint_md5", "hashed_word_shingles",
+    "readability_stats", "flesch_score",
     "cosine_similarity", "dot_product", "drop_exact_text_duplicates",
     "int8_encode", "int8_encode_ints", "int8_scale", "int8_dot",
     "int8_decode", "int8_brute_force_top_k",
@@ -146,6 +147,20 @@ def approx_bpe_token_count(text: ColumnOrName) -> Column:
 def fingerprint_md5(text: ColumnOrName) -> Column:
     """MD5 hex fingerprint of the whitespace/case-normalized text."""
     return _col_fn("fingerprintMd5", _jcol(text))
+
+
+def readability_stats(text: ColumnOrName) -> Column:
+    """One-pass Flesch counters [n_words, n_sentences, n_syllable_groups]
+    (ASCII letter runs / punctuation runs / per-word vowel runs floored
+    at 1 — exact regex-replayable rules)."""
+    return _col_fn("readabilityStats", _jcol(text))
+
+
+def flesch_score(text: ColumnOrName) -> Column:
+    """Flesch reading ease from the one-pass counters: 206.835 -
+    1.015*(words/sentences) - 84.6*(syllables/words); 0.0 for wordless
+    text. A standard cheap quality signal."""
+    return _col_fn("fleschScore", _jcol(text))
 
 
 def hashed_word_shingles(text: ColumnOrName, n: int) -> Column:

@@ -893,6 +893,12 @@ class GraftsparkTest(unittest.TestCase):
             P.matched_patterns(col("t"), ["scan slow", "scan", "can", "zz"])
             .alias("m")).collect()[0]["m"]
         self.assertEqual(list(mp), [0, 1, 2])
+        # readability: one-pass Flesch counters + exact score formula
+        rr = self.spark.createDataFrame([("The cat sat.",)], ["t"]).select(
+            P.readability_stats(col("t")).alias("r"),
+            P.flesch_score(col("t")).alias("f")).collect()[0]
+        self.assertEqual(list(rr["r"]), [3, 1, 3])
+        self.assertAlmostEqual(rr["f"], 206.835 - 1.015 * 3.0 - 84.6)
         # masking twin: leftmost-longest non-overlapping, in-place
         mk = self.spark.createDataFrame([("a scan can be scanned",)], ["t"]).select(
             P.mask_patterns(col("t"), ["scan", "can"], "#").alias("m")

@@ -185,6 +185,10 @@ object GraftExtensions {
       MaskPatterns(es.head, stringLits(es.drop(2), "mask_patterns"),
         stringLit(es(1), "mask_patterns", "mask"))
     },
+    fn("readability_stats",
+      "readability_stats(text) - [n_words, n_sentences, n_syllable_groups] Flesch counters in one pass") { es =>
+      arity("readability_stats", es, 1); graft.functions.ReadabilityStats(es.head)
+    },
     fn("script_profile",
       "script_profile(text) - [total, latin, cyrillic, greek, arabic, cjk, digit] codepoint counts") { es =>
       arity("script_profile", es, 1); ScriptProfile(es.head)

@@ -579,6 +579,23 @@ object SparkEntry {
         explode(graft.functions.vectors.matched_patterns(col("text"),
           PatternList)).as("pattern_id"))),
 
+    // Flesch readability counters + score (a standard cheap quality
+    // signal): one fused kernel pass; planted suffix exercises the
+    // vowel-less floor ("zzz", "brr", the lone "N"), multi-run syllables
+    // ("queueing"), and punctuation-run sentence counting. DuckDB replays
+    // the identical regex rules + the one fixed IEEE expression.
+    "text_readability" -> ((s, dir) => {
+      import graft.text.TextFunctions._
+      val t0 = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" Planted: zzz brr!!! A queueing bee? N0 v0wels end")).as("tt"))
+      t0.select(col("doc_id"),
+        get(readabilityStats(col("tt")), lit(0)).as("n_words"),
+        get(readabilityStats(col("tt")), lit(1)).as("n_sentences"),
+        get(readabilityStats(col("tt")), lit(2)).as("n_syllables"),
+        fleschScore(col("tt")).as("flesch"))
+    }),
+
     // blocklist masking (the removal twin of pattern_hits): leftmost-longest
     // non-overlapping occurrences replaced in place, one Aho-Corasick pass.
     // Oracle: golden fixture from an independent python replication of the
@@ -3395,6 +3412,23 @@ object SparkEntry {
       "fix_mojibake" ->
         ("SELECT moji_id, fixed_text " +
           s"FROM read_parquet('$goldenDir/mojibake_sf001.parquet')"),
+
+      // identical letter/punctuation/vowel-run regex rules + the fixed IEEE
+      // Flesch expression, replayed on the same planted suffix
+      "text_readability" ->
+        ("WITH t AS (SELECT doc_id, text || " +
+          "' Planted: zzz brr!!! A queueing bee? N0 v0wels end' AS tt FROM documents), " +
+          "c AS (SELECT doc_id, regexp_extract_all(tt, '[A-Za-z]+') AS ws, " +
+          "GREATEST(1, len(regexp_extract_all(tt, '[.!?]+'))) AS ns FROM t), " +
+          "m AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, " +
+          "CAST(ns AS BIGINT) AS n_sentences, " +
+          "CAST(COALESCE(list_sum(list_transform(ws, w -> " +
+          "GREATEST(1, len(regexp_extract_all(lower(w), '[aeiouy]+'))))), 0) AS BIGINT) AS n_syllables " +
+          "FROM c) " +
+          "SELECT doc_id, n_words, n_sentences, n_syllables, " +
+          "CASE WHEN n_words = 0 THEN 0.0 ELSE " +
+          "206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) " +
+          "- 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) END AS flesch FROM m"),
 
       // planted golden from the independent python replication of the
       // leftmost-longest byte-level masking contract (make_mask_fixture)

@@ -1289,6 +1289,52 @@ object VectorKernels extends Serializable {
     out
   }
 
+  /**
+   * One-pass readability counters over the UTF-8 bytes:
+   * `[n_words, n_sentences, n_syllable_groups]`.
+   *  - words: maximal runs of ASCII letters;
+   *  - sentences: maximal runs of `.`/`!`/`?` (floored at 1 — a text is at
+   *    least one sentence);
+   *  - syllable groups: per word, maximal runs of `aeiouy` (case-folded),
+   *    floored at 1 per word — the standard Flesch syllable heuristic.
+   * Rules are byte-exact and regex-expressible, so any engine replays them
+   * (non-ASCII bytes are word/sentence boundaries by construction).
+   */
+  def readabilityStats(text: UTF8String): Array[Long] = {
+    val bytes = text.getBytes
+    var words = 0L
+    var sentences = 0L
+    var syllables = 0L
+    var inWord = false
+    var inVowel = false
+    var inStop = false
+    var wordVowelRuns = 0L
+    var i = 0
+    @inline def endWord(): Unit = if (inWord) {
+      words += 1
+      syllables += math.max(1L, wordVowelRuns)
+      inWord = false; inVowel = false; wordVowelRuns = 0L
+    }
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val lower = (b | 0x20).toByte
+      val isLetter = lower >= 'a' && lower <= 'z'
+      val isVowel = isLetter && (lower == 'a' || lower == 'e' || lower == 'i' ||
+        lower == 'o' || lower == 'u' || lower == 'y')
+      val isStop = b == '.' || b == '!' || b == '?'
+      if (isLetter) {
+        inWord = true
+        if (isVowel && !inVowel) wordVowelRuns += 1
+        inVowel = isVowel
+      } else endWord()
+      if (isStop && !inStop) sentences += 1
+      inStop = isStop
+      i += 1
+    }
+    endWord()
+    Array(words, math.max(1L, sentences), syllables)
+  }
+
   /** Hamming distance between two packed sign codes: sum of
     * `Long.bitCount(a_w ^ b_w)` over the common word prefix. */
   def hammingWords(a: ArrayData, b: ArrayData): Int = {
@@ -2049,6 +2095,31 @@ case class TokenStats(child: Expression, stopwords: Seq[String] = Seq.empty)
 /** script_profile(text) -> array<long> [total, latin, cyrillic, greek,
   * arabic, cjk, digit] over codepoints; explicit engine-portable ranges.
   * See [[VectorKernels.scriptProfile]]. */
+/** readability_stats(text) -> array<long> [n_words, n_sentences,
+  * n_syllable_groups]: one byte pass of the Flesch counting rules — see
+  * [[VectorKernels.readabilityStats]] for the exact regex-replayable spec. */
+case class ReadabilityStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"readability_stats expects string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.readabilityStats(text.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorKernels.readabilityStats($a))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class ScriptProfile(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -2670,6 +2741,9 @@ object vectors {
     TopNgramStats(text.asExpression, n).asColumn
 
   def script_profile(text: Column): Column = ScriptProfile(text.asExpression).asColumn
+
+  def readability_stats(text: Column): Column =
+    ReadabilityStats(text.asExpression).asColumn
 
   def matched_patterns(text: Column, patterns: Seq[String]): Column =
     MatchedPatterns(text.asExpression, patterns).asColumn

@@ -877,6 +877,11 @@ object PyBridge {
 
   def extractUrls(c: Column): Column = graft.text.Urls.extractUrls(c)
 
+  def readabilityStats(c: Column): Column =
+    graft.text.TextFunctions.readabilityStats(c)
+
+  def fleschScore(c: Column): Column = graft.text.TextFunctions.fleschScore(c)
+
   def withLinkStats(df: DataFrame, text: Column): DataFrame =
     graft.text.Urls.withLinkStats(df, text)
 

@@ -129,6 +129,27 @@ object TextFunctions {
   def tokenStatsAscii(c: Column, stopwords: Seq[String] = EnglishStopwords): Column =
     graft.functions.vectors.token_stats(c, stopwords)
 
+  /** One-pass Flesch counters `[n_words, n_sentences, n_syllable_groups]`
+    * (codegen'd kernel; exact regex-replayable rules — see
+    * [[graft.functions.VectorKernels.readabilityStats]]). */
+  def readabilityStats(c: Column): Column =
+    graft.functions.vectors.readability_stats(c)
+
+  /** Flesch reading ease from the one-pass counters:
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`; 0.0 for
+    * wordless text. Exact long counts into one fixed IEEE expression, so
+    * any engine replaying the counting rules reproduces the score
+    * bit-for-bit. Typical English prose lands 30–80; gibberish and
+    * boilerplate drift far outside — a standard cheap quality signal. */
+  def fleschScore(c: Column): Column = {
+    val s = readabilityStats(c)
+    val w = org.apache.spark.sql.functions.get(s, lit(0)).cast("double")
+    val sen = org.apache.spark.sql.functions.get(s, lit(1)).cast("double")
+    val syl = org.apache.spark.sql.functions.get(s, lit(2)).cast("double")
+    when(w === 0.0, lit(0.0))
+      .otherwise(lit(206.835) - lit(1.015) * (w / sen) - lit(84.6) * (syl / w))
+  }
+
   /** Ratio of non-alphanumeric, non-whitespace chars to all chars (0 for empty). */
   def punctuationRatio(c: Column): Column = {
     val total = length(c)

@@ -1235,6 +1235,33 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
       .as[String].head() == "a █")
   }
 
+  test("readabilityStats counts words/sentences/syllable-runs; fleschScore formula") {
+    import graft.text.TextFunctions._
+    def rs(s: String): Seq[Long] = Seq(s).toDF("t")
+      .select(readabilityStats(col("t")).as("r")).as[Seq[Long]].head()
+    // "The cat sat." -> 3 words, 1 sentence, 3 single-vowel-run syllables
+    assert(rs("The cat sat.") == Seq(3L, 1L, 3L))
+    // vowel RUNS not vowels: "queueing" = q-ueuei-ng = 1 run... 'ueuei' is
+    // one maximal run -> 1; "bee" -> 1; vowel-less "zzz" floors to 1
+    assert(rs("queueing bee zzz") == Seq(3L, 1L, 3L))
+    // punctuation runs: "!!!" is ONE sentence boundary; "?!" one run too;
+    // no terminal punctuation floors sentences at 1
+    assert(rs("Wow!!! Really?! ok") == Seq(3L, 2L, 4L)) // Really = ea + y
+    assert(rs("no punctuation here") == Seq(3L, 1L, 6L))
+    // digits split words: "N0" = word "N" (floored 1 syllable) + boundary
+    assert(rs("N0") == Seq(1L, 1L, 1L))
+    // empty / non-ASCII-only: zero words, sentence floor still 1
+    assert(rs("") == Seq(0L, 1L, 0L))
+    assert(rs("日本語") == Seq(0L, 1L, 0L))
+    // flesch: exact IEEE expression over the counts; wordless -> 0.0
+    val f = Seq("The cat sat.").toDF("t").select(fleschScore(col("t"))).as[Double].head()
+    assert(math.abs(f - (206.835 - 1.015 * 3.0 - 84.6)) < 1e-12)
+    assert(Seq("").toDF("t").select(fleschScore(col("t"))).as[Double].head() == 0.0)
+    graft.GraftExtensions.registerAll(spark)
+    assert(spark.sql("SELECT readability_stats('Hi there.') AS r")
+      .as[Seq[Long]].head() == Seq(2L, 1L, 3L))
+  }
+
   test("withLinkStats: extraction boundaries, dup counting, density division") {
     val df = Seq(
       (1L, "see https://a.b/c?d=1 and (https://a.b/c?d=1) or http://x.y/z."),
