@@ -475,7 +475,11 @@ object SparkEntry {
     // path, so the per-row-group skip decisions must agree bit-for-bit no
     // matter where the writer placed group boundaries
     "zonemap_prune" -> ((s, dir) => {
-      val out = "/tmp/graft_zonemap_gate/out"
+      // the path is part of the oracle contract (DuckDB reads THE SAME
+      // footers) and must be SF-specific: a concurrent or later run at
+      // another SF (sbt's sf0.001 gate sweep, bench at sf0.1) would
+      // otherwise overwrite the footers between the query and the compare
+      val out = s"/tmp/graft_zonemap_gate/${new java.io.File(dir).getName}/out"
       t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
         .repartition(1).sortWithinPartitions("l_orderkey")
         .write.mode("overwrite")
@@ -2551,7 +2555,7 @@ object SparkEntry {
       "zonemap_prune" ->
         ("SELECT CAST(row_group_id + 1 AS BIGINT) AS block, num_values AS n_values, " +
           "COALESCE(CAST(stats_max_value AS DOUBLE) < 500.0 OR CAST(stats_min_value AS DOUBLE) > 2000.0, FALSE) AS skippable " +
-          "FROM parquet_metadata('/tmp/graft_zonemap_gate/out/*.parquet') " +
+          "FROM parquet_metadata('/tmp/graft_zonemap_gate/sf0.01/out/*.parquet') " +
           "WHERE path_in_schema = 'l_orderkey'"),
 
       "write_bucketed_readback" ->
