@@ -470,6 +470,24 @@ object SparkEntry {
           sum(col("l_orderkey") * col("l_linenumber")).as("checksum"))
     }),
 
+    // Hilbert-curve layout (the locality-tightened z-order sibling): same
+    // content-preservation contract as zorder_write_readback; the curve
+    // properties themselves (bijectivity, unit-step adjacency) are
+    // theorem-tested in HilbertSuite
+    "hilbert_write_readback" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hw").toString + "/out"
+      graft.write.Hilbert.hilbertOrderBy(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
+        Seq("l_partkey", "l_suppkey"), partitions = 8)
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp)
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_partkey")).as("sum_part"), sum(col("l_suppkey")).as("sum_supp"),
+          min(col("l_orderkey")).as("min_okey"), max(col("l_orderkey")).as("max_okey"),
+          sum(col("l_orderkey") * col("l_linenumber")).as("checksum"))
+    }),
+
     // zone-map pruning report over a freshly written sorted layout: the
     // oracle reads THE SAME FOOTERS via DuckDB's parquet_metadata at a fixed
     // path, so the per-row-group skip decisions must agree bit-for-bit no
@@ -1164,6 +1182,26 @@ object SparkEntry {
       graft.text.Bm25.topK(
         t(s, dir, "documents"), col("doc_id"), col("text"),
         queries, col("query_id"), col("terms"), k = 10)
+    }),
+
+    // count-min sketch over the token stream (depth 4 x width 1024,
+    // md5-bucketed = engine-portable): ONE 32 KB mergeable buffer per task
+    // instead of a corpus-sized groupBy, then point queries against the
+    // broadcast one-row sketch. The oracle replays the ENTIRE sketch —
+    // counters, collisions and all — so estimates match bit-for-bit; the
+    // one-sided (estimate >= exact) guarantee is pinned in CountMinSuite.
+    "cms_token_counts" -> ((s, dir) => {
+      val depth = 4; val width = 1024
+      val toks = t(s, dir, "documents")
+        .select(explode(graft.text.TextFunctions.tokenize(col("text"))).as("token"))
+      val sketch = toks.agg(
+        graft.agg.CountMin.cmsSketch(col("token"), depth, width).as("sk"))
+      val top = toks.groupBy("token").agg(count(lit(1)).as("exact_count"))
+        .orderBy(desc("exact_count"), asc("token")).limit(20)
+      top.crossJoin(broadcast(sketch))
+        .select(col("token"), col("exact_count"),
+          graft.agg.CountMin.cmsEstimate(col("sk"), col("token"), depth, width)
+            .as("cms_estimate"))
     }),
 
     // hybrid retrieval: the BM25 lexical top-10 fused with the exact-cosine
@@ -2122,6 +2160,33 @@ object SparkEntry {
           (col("hits") >= col("total_expected") * 0.4).as("recall_ok"))
     }),
 
+    // OPQ-lite (PCA rotation + eigenvalue allocation, Ge et al. 2013)
+    // ahead of the same PQ: one bounded moments-sketch pass learns an
+    // orthonormal rotation (VecMomentsAgg -> driver Jacobi), vectors rotate
+    // inline through a codegen kernel, recall floor same as ann_pq_recall.
+    // Rotation algebra (orthonormality, norm preservation, allocation
+    // balance, rotated >= raw on correlated data) is pinned in OpqSuite.
+    "ann_opq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+      val rot = graft.ann.Opq.trainRotation(emb, col("embedding"), dim = 64, m = 8)
+      val index = graft.ann.Opq.trainPqRotated(emb, col("vec_id"), col("embedding"),
+        rot, dim = 64, m = 8, ksub = 16, iterations = 3)
+      val brute = graft.ann.Ann.bruteForceTopK(q, emb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val opq = graft.ann.Opq.pqTopKRotated(q, emb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        rot, index, k = 3, refine = 8)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = brute.join(opq, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      brute.agg(count(lit(1)).as("total_expected"))
+        .crossJoin(hits)
+        .select(col("total_expected"),
+          (col("hits") >= col("total_expected") * 0.4).as("recall_ok"))
+    }),
+
     // IVFADC with residual codes (the paper-faithful layout): codes
     // quantize vec - assigned centroid, the ADC score adds back the
     // per-(query, bucket) dot(q, centroid) term. Oracle: golden fixture
@@ -2320,6 +2385,13 @@ object SparkEntry {
     // word 3-grams — must mirror TextFunctions.textShingles exactly)
     val docTokCte =
       "tok AS (SELECT doc_id, [x for x in string_split_regex(lower(text), '[^a-z0-9]+') if x <> ''] AS toks FROM documents)"
+    // first 16 md5 bits of "<d>:<key>" mod 1024 — the CountMinKernels.bucket
+    // contract, decoded hex-char-by-hex-char (the classifier_score idiom)
+    def cmsBucket(key: String): String =
+      s"((strpos('0123456789abcdef', substring(md5(d || ':' || $key), 1, 1)) - 1) * 4096 + " +
+        s"(strpos('0123456789abcdef', substring(md5(d || ':' || $key), 2, 1)) - 1) * 256 + " +
+        s"(strpos('0123456789abcdef', substring(md5(d || ':' || $key), 3, 1)) - 1) * 16 + " +
+        s"(strpos('0123456789abcdef', substring(md5(d || ':' || $key), 4, 1)) - 1)) % 1024"
     val docShCte =
       "sh AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS s FROM tok WHERE len(toks) >= 3)"
     val docPairCte =
@@ -2545,6 +2617,13 @@ object SparkEntry {
           "FROM orders GROUP BY o_orderstatus"),
 
       "zorder_write_readback" ->
+        ("SELECT COUNT(*) AS cnt, CAST(SUM(l_partkey) AS BIGINT) AS sum_part, " +
+          "CAST(SUM(l_suppkey) AS BIGINT) AS sum_supp, " +
+          "MIN(l_orderkey) AS min_okey, MAX(l_orderkey) AS max_okey, " +
+          "CAST(SUM(l_orderkey * l_linenumber) AS BIGINT) AS checksum FROM lineitem"),
+
+      // layout permutes rows, never content: the same full-table aggregates
+      "hilbert_write_readback" ->
         ("SELECT COUNT(*) AS cnt, CAST(SUM(l_partkey) AS BIGINT) AS sum_part, " +
           "CAST(SUM(l_suppkey) AS BIGINT) AS sum_supp, " +
           "MIN(l_orderkey) AS min_okey, MAX(l_orderkey) AS max_okey, " +
@@ -2884,6 +2963,22 @@ object SparkEntry {
           "CAST(score_scaled AS DOUBLE) / 1000000 AS score FROM " +
           "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS rank FROM sc) " +
           "WHERE rank <= 10"),
+
+      // full count-min replay: counters over ALL tokens (collisions
+      // included), then min-over-rows point queries for the top-20
+      "cms_token_counts" ->
+        (s"WITH $docTokCte, " +
+          "flat AS (SELECT x.term AS token FROM tok t, unnest(t.toks) AS x(term)), " +
+          "ds AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS v(d)), " +
+          s"hashed AS (SELECT d, token, ${cmsBucket("token")} AS bucket FROM flat CROSS JOIN ds), " +
+          "counters AS (SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM hashed GROUP BY d, bucket), " +
+          "top AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count FROM flat " +
+          "GROUP BY token ORDER BY exact_count DESC, token LIMIT 20), " +
+          s"tb AS (SELECT t.token, t.exact_count, ds.d, ${cmsBucket("t.token")} AS bucket " +
+          "FROM top t CROSS JOIN ds) " +
+          "SELECT tb.token, tb.exact_count, CAST(MIN(c.c) AS BIGINT) AS cms_estimate " +
+          "FROM tb JOIN counters c ON c.d = tb.d AND c.bucket = tb.bucket " +
+          "GROUP BY tb.token, tb.exact_count"),
 
       // hybrid retrieval: the full BM25 replication (same CTE chain as
       // bm25_topk) fused with DuckDB's own exact-cosine top-10 by integer
@@ -3867,6 +3962,16 @@ object SparkEntry {
           "FROM topk WHERE rank <= 3"),
 
       "ann_pq_recall" ->
+        ("WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20), " +
+          "topk AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+          "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank " +
+          "FROM q JOIN embeddings c ON q.vec_id <> c.vec_id) " +
+          "SELECT CAST(COUNT(*) AS BIGINT) AS total_expected, TRUE AS recall_ok " +
+          "FROM topk WHERE rank <= 3"),
+
+      // same boolean contract as ann_pq_recall: the oracle pins the
+      // expected-pair count; the floor assertion rides inside the plan
+      "ann_opq_recall" ->
         ("WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20), " +
           "topk AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
           "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank " +

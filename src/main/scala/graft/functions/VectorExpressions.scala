@@ -1158,6 +1158,33 @@ object VectorKernels extends Serializable {
     out
   }
 
+  /**
+   * Dense rotation: `out[r] = dot(matrix[r], vec)` in float32 (double
+   * accumulator, rounded once per output element — the arithmetic a float32
+   * BLAS gemv with fused accumulation would produce deterministically).
+   * The OPQ/PCA rotation path: matrix is orthonormal, so norms and pairwise
+   * cosines are preserved exactly up to float rounding.
+   */
+  def matVecMul(vec: ArrayData, matrix: Array[Array[Float]]): Array[Float] = {
+    val rows = matrix.length
+    val n = vec.numElements()
+    val out = new Array[Float](rows)
+    var r = 0
+    while (r < rows) {
+      val row = matrix(r)
+      val len = if (row.length < n) row.length else n
+      var acc = 0.0
+      var i = 0
+      while (i < len) {
+        acc += row(i).toDouble * vec.getFloat(i).toDouble
+        i += 1
+      }
+      out(r) = acc.toFloat
+      r += 1
+    }
+    out
+  }
+
   /** Asymmetric-distance dot product: sum of the LUT entries the code bytes
     * select — O(m) per (query, candidate) pair. */
   def pqAdcDot(codes: Array[Byte], lut: ArrayData, ksub: Int): Double = {
@@ -2391,6 +2418,35 @@ case class PqLut(child: Expression, codebooks: Array[Array[Array[Float]]])
     copy(child = newChild)
 }
 
+/** mat_vec_mul(vec): dense rotation `R x` with the matrix riding as a
+  * codegen reference object — the OPQ/PCA rotation applied inline in the
+  * scan, narrow and streaming-legal. */
+case class MatVecMul(child: Expression, matrix: Array[Array[Float]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if matrix.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"mat_vec_mul expects array<float> and a non-empty matrix, got ${t.sql}")
+  }
+
+  override def nullSafeEval(vec: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.matVecMul(vec.asInstanceOf[ArrayData], matrix))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("matrix", matrix, "float[][]")
+    defineCodeGen(ctx, ev,
+      a => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VectorKernels.matVecMul($a, $ref))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** pq_adc_dot(codes, lut): asymmetric-distance dot product — the inner-loop
   * scorer of the PQ scan, O(m) per pair. */
 case class PqAdcDot(left: Expression, right: Expression, ksub: Int)
@@ -2773,6 +2829,9 @@ object vectors {
 
   def pq_lut(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =
     PqLut(vec.asExpression, codebooks).asColumn
+
+  def mat_vec_mul(vec: Column, matrix: Array[Array[Float]]): Column =
+    MatVecMul(vec.asExpression, matrix).asColumn
 
   def pq_adc_dot(codes: Column, lut: Column, ksub: Int): Column =
     PqAdcDot(codes.asExpression, lut.asExpression, ksub).asColumn

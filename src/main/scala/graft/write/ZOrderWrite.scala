@@ -36,7 +36,29 @@ object ZOrder {
   private val MaxCols = 4
 
   /** Widest lane that still fits `k` columns in 63 bits, capped at 16. */
-  private def autoBits(k: Int): Int = math.min(16, 63 / k)
+  private[write] def autoBits(k: Int): Int = math.min(16, 63 / k)
+
+  /** Affine map of a column onto a `[0, maxLane]` integer lane given its
+    * global [min, max]; nulls and constant-range columns land on 0. Shared
+    * by the Morton and Hilbert layouts. */
+  private[write] def lane(c: Column, mn: Double, mx: Double, maxLane: Long): Column = {
+    val span = mx - mn
+    val unit = // value scaled to [0, 1]; constant-range columns -> 0
+      if (span <= 0.0) lit(0.0)
+      else least(greatest((c.cast("double") - lit(mn)) / lit(span), lit(0.0)), lit(1.0))
+    coalesce(round(unit * lit(maxLane.toDouble)).cast("long"), lit(0L))
+  }
+
+  /** One tiny driver-side min/max agg over `columns` -> (mins, maxs). */
+  private[write] def globalRanges(df: DataFrame, columns: Seq[String])
+      : (Seq[Double], Seq[Double]) = {
+    val aggs = columns.flatMap(c =>
+      Seq(min(col(c)).cast("double").as(s"_min_$c"), max(col(c)).cast("double").as(s"_max_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val mins = columns.indices.map(i => Option(row.get(2 * i)).fold(0.0)(_.asInstanceOf[Double]))
+    val maxs = columns.indices.map(i => Option(row.get(2 * i + 1)).fold(0.0)(_.asInstanceOf[Double]))
+    (mins, maxs)
+  }
 
   /**
    * The Morton key for `cols` given their global `[min, max]` ranges:
@@ -59,13 +81,7 @@ object ZOrder {
     require(laneBits >= 1 && laneBits * k <= 63,
       s"bitsPerColumn=$laneBits with $k columns exceeds the 64-bit key")
     val maxLane = (1L << laneBits) - 1
-    val lanes = cols.zipWithIndex.map { case (c, j) =>
-      val span = maxs(j) - mins(j)
-      val unit = // value scaled to [0, 1]; constant-range columns -> 0
-        if (span <= 0.0) lit(0.0)
-        else least(greatest((c.cast("double") - lit(mins(j))) / lit(span), lit(0.0)), lit(1.0))
-      coalesce(round(unit * lit(maxLane.toDouble)).cast("long"), lit(0L))
-    }
+    val lanes = cols.zipWithIndex.map { case (c, j) => lane(c, mins(j), maxs(j), maxLane) }
     // interleave: bit i of lane j lands at position i * k + j
     val terms = for {
       j <- 0 until k
@@ -89,11 +105,7 @@ object ZOrder {
     val missing = columns.filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in schema: ${missing.mkString(", ")}")
     // one driver-visible row of 2k doubles — the only non-lazy step
-    val aggs = columns.flatMap(c =>
-      Seq(min(col(c)).cast("double").as(s"_min_$c"), max(col(c)).cast("double").as(s"_max_$c")))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val mins = columns.indices.map(i => Option(row.get(2 * i)).fold(0.0)(_.asInstanceOf[Double]))
-    val maxs = columns.indices.map(i => Option(row.get(2 * i + 1)).fold(0.0)(_.asInstanceOf[Double]))
+    val (mins, maxs) = globalRanges(df, columns)
 
     val zCol = "__graft_zorder"
     val withZ = df.withColumn(zCol,
