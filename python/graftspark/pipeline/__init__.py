@@ -77,6 +77,9 @@ __all__ = [
     "merge_kmv_sketches", "winnowed_shingles", "containment_pairs",
     "resample_to_mixture",
     "band_collision_probability", "band_threshold", "plan_bands",
+    "train_rotation", "rotate_vec", "train_pq_rotated", "pq_top_k_rotated",
+    "save_rotation", "load_rotation",
+    "hilbert_order_by", "cms_sketch", "cms_estimate",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -1874,3 +1877,84 @@ def plan_bands(n_hashes: int, target_jaccard: float):
     pool = under or plans
     return min(pool, key=lambda p: (abs(p["threshold"] - target_jaccard),
                                     -p["recall_at_target"]))
+
+
+def train_rotation(corpus: DataFrame, vec: ColumnOrName, dim: int, m: int,
+                   center: bool = False):
+    """Learn the OPQ-lite orthonormal rotation (PCA + eigenvalue allocation,
+    Ge et al. 2013 parametric variant): one bounded moments-sketch pass over
+    the corpus, driver-side Jacobi eigendecomposition, principal dims
+    permuted so each of the m PQ subspaces carries ~equal variance.
+    Returns an opaque rotation handle."""
+    return _bridge(corpus).trainRotation(corpus._jdf, _jcol(vec),
+                                         int(dim), int(m), bool(center))
+
+
+def rotate_vec(vec: ColumnOrName, rotation) -> Column:
+    """Apply a trained rotation inline (narrow codegen'd kernel): norms and
+    pairwise cosines are preserved exactly up to float rounding."""
+    return _col_fn("rotateVec", _jcol(vec), rotation)
+
+
+def train_pq_rotated(corpus: DataFrame, id: ColumnOrName, vec: ColumnOrName,
+                     rotation, dim: int, m: int, ksub: int,
+                     iterations: int = 3):
+    """Train a PQ on the ROTATED corpus — same deterministic Lloyd's as
+    train_pq, better-conditioned input. Returns an opaque index handle."""
+    return _bridge(corpus).trainPqRotated(corpus._jdf, _jcol(id), _jcol(vec),
+                                          rotation, int(dim), int(m),
+                                          int(ksub), int(iterations))
+
+
+def pq_top_k_rotated(queries: DataFrame, corpus: DataFrame,
+                     query_id: ColumnOrName, query_vec: ColumnOrName,
+                     corpus_id: ColumnOrName, corpus_vec: ColumnOrName,
+                     rotation, index, k: int, refine: int = 8) -> DataFrame:
+    """Rotated-PQ approximate top-k with exact re-rank: both sides rotate
+    inline, then the plan is pq_top_k. (query_id, rank, neighbor_id,
+    cosine) with cosine exact in the ORIGINAL space (R is orthonormal)."""
+    jdf = _bridge(queries).pqTopKRotated(
+        queries._jdf, corpus._jdf, _jcol(query_id), _jcol(query_vec),
+        _jcol(corpus_id), _jcol(corpus_vec), rotation, index,
+        int(k), int(refine))
+    return DataFrame(jdf, queries.sparkSession)
+
+
+def save_rotation(spark, rotation, path: str) -> None:
+    """Persist a trained rotation as a (r, row) parquet table."""
+    _bridge(spark.range(1)).saveRotation(spark._jsparkSession, rotation,
+                                         str(path))
+
+
+def load_rotation(spark, path: str):
+    """Load a rotation persisted by save_rotation (opaque handle)."""
+    return _bridge(spark.range(1)).loadRotation(spark._jsparkSession,
+                                                str(path))
+
+
+def hilbert_order_by(df: DataFrame, columns: List[str], partitions: int = 0,
+                     bits_per_column: int = 0) -> DataFrame:
+    """Re-layout along the Hilbert curve of 2-4 numeric columns — the
+    locality-tightened sibling of zorder_by (consecutive curve indices are
+    unit grid steps, so equal runs of sorted keys stay inside compact
+    hyper-rectangles and per-file min/max stats get tighter)."""
+    jdf = _bridge(df).hilbertOrderBy(df._jdf, list(columns), int(partitions),
+                                     int(bits_per_column))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def cms_sketch(key: ColumnOrName, depth: int, width: int) -> Column:
+    """Count-min sketch aggregate over a string key column: one depth*width
+    long buffer per task, map-side combined — approximate frequencies for
+    EVERY key at corpus-size-independent communication cost. md5-bucketed,
+    so any engine replays the counters exactly."""
+    return _col_fn("cmsSketch", _jcol(key), int(depth), int(width))
+
+
+def cms_estimate(sketch: ColumnOrName, key: ColumnOrName, depth: int,
+                 width: int) -> Column:
+    """Point query against a cms_sketch column (broadcast the one-row sketch
+    onto the key stream first): true_count <= estimate <= true_count +
+    (e/width) * N with probability 1 - e^-depth."""
+    return _col_fn("cmsEstimate", _jcol(sketch), _jcol(key), int(depth),
+                   int(width))

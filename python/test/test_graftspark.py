@@ -1144,6 +1144,72 @@ class GraftsparkTest(unittest.TestCase):
                               nprobe=4, refine=4, residual=True)
         self.assertEqual(rows_of(got), rows_of(got2))
 
+    def test_pipeline_opq_rotation(self):
+        from graftspark import pipeline as P
+        from pyspark.sql.types import (ArrayType, FloatType, LongType,
+                                       StructField, StructType)
+        import math
+        rows = []
+        for i in range(60):
+            a, b = math.sin(i * 0.7), math.cos(i * 1.3)
+            rows.append((i, [float(x) for x in
+                             (a + 0.9 * b, 0.9 * a + b, a - 0.9 * b,
+                              0.9 * a - b, 0.2 * a, 0.2 * b,
+                              0.1 * math.sin(i * 3.7), 0.1 * math.cos(i * 4.3))]))
+        schema = StructType([StructField("id", LongType()),
+                             StructField("vec", ArrayType(FloatType()))])
+        df = self.spark.createDataFrame(rows, schema)
+        rot = P.train_rotation(df, col("vec"), dim=8, m=2)
+        # rotation preserves norms (orthonormal)
+        both = df.select(P.dot_product(col("vec"), col("vec")).alias("n0"),
+                         P.dot_product(P.rotate_vec(col("vec"), rot),
+                                       P.rotate_vec(col("vec"), rot)).alias("n1")
+                         ).collect()
+        for r in both:
+            self.assertAlmostEqual(r["n0"], r["n1"], places=3)
+        # rotated PQ reaches the brute-force neighbors
+        queries = df.filter(col("id") < 4)
+        pq = P.train_pq_rotated(df, col("id"), col("vec"), rot,
+                                dim=8, m=2, ksub=8, iterations=3)
+        got = {(r["query_id"], r["neighbor_id"]) for r in P.pq_top_k_rotated(
+            queries, df, col("id"), col("vec"), col("id"), col("vec"),
+            rot, pq, 3, refine=4).collect()}
+        brute = {(r["query_id"], r["neighbor_id"]) for r in P.brute_force_top_k(
+            queries, df, col("id"), col("vec"), col("id"), col("vec"), 3).collect()}
+        self.assertGreaterEqual(len(brute & got) / len(brute), 0.5)
+        # rotation round-trips through save/load bit-exactly
+        d = tempfile.mkdtemp()
+        P.save_rotation(self.spark, rot, d + "/rot")
+        rot2 = P.load_rotation(self.spark, d + "/rot")
+        got2 = {(r["query_id"], r["neighbor_id"]) for r in P.pq_top_k_rotated(
+            queries, df, col("id"), col("vec"), col("id"), col("vec"),
+            rot2, pq, 3, refine=4).collect()}
+        self.assertEqual(got, got2)
+
+    def test_pipeline_hilbert_and_cms(self):
+        from graftspark import pipeline as P
+        from pyspark.sql.functions import broadcast, count, lit
+        # hilbert re-layout preserves the data exactly
+        src = self.spark.createDataFrame(
+            [(i, (i * 7) % 50, (i * 13) % 50) for i in range(200)],
+            ["id", "x", "y"])
+        laid = P.hilbert_order_by(src, ["x", "y"], partitions=4)
+        self.assertEqual(sorted(r["id"] for r in laid.collect()),
+                         list(range(200)))
+        # count-min: estimate >= exact always; exact when the sketch is wide
+        words = self.spark.createDataFrame(
+            [(f"w{i % 23}",) for i in range(300)] + [("hot",)] * 40, ["k"])
+        sk = words.agg(P.cms_sketch(col("k"), 4, 2048).alias("sk"))
+        got = (words.groupBy("k").agg(count(lit(1)).alias("n"))
+               .crossJoin(broadcast(sk))
+               .select(col("k"), col("n"),
+                       P.cms_estimate(col("sk"), col("k"), 4, 2048).alias("est"))
+               .collect())
+        self.assertTrue(all(r["est"] >= r["n"] for r in got))
+        hot = [r for r in got if r["k"] == "hot"][0]
+        self.assertEqual(hot["n"], 40)
+        self.assertEqual(hot["est"], 40)
+
     def test_pipeline_entity_decode(self):
         from graftspark import pipeline as P
         df = self.spark.createDataFrame(

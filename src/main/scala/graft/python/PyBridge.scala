@@ -510,6 +510,36 @@ object PyBridge {
   def loadPq(spark: SparkSession, path: String): graft.ann.Pq.PqIndex =
     graft.ann.Pq.loadPq(spark, path)
 
+  /** OPQ-lite rotation (PCA + eigenvalue allocation); the returned rotation
+    * is an opaque py4j handle for [[rotateVec]] / [[trainPqRotated]] /
+    * [[pqTopKRotated]]. */
+  def trainRotation(corpus: DataFrame, vec: Column, dim: Int, m: Int,
+                    center: Boolean): graft.ann.Opq.Rotation =
+    graft.ann.Opq.trainRotation(corpus, vec, dim, m, center)
+
+  def rotateVec(vec: Column, rotation: graft.ann.Opq.Rotation): Column =
+    graft.ann.Opq.rotate(vec, rotation)
+
+  def trainPqRotated(corpus: DataFrame, id: Column, vec: Column,
+                     rotation: graft.ann.Opq.Rotation,
+                     dim: Int, m: Int, ksub: Int, iterations: Int): graft.ann.Pq.PqIndex =
+    graft.ann.Opq.trainPqRotated(corpus, id, vec, rotation, dim, m, ksub, iterations)
+
+  def pqTopKRotated(queries: DataFrame, corpus: DataFrame,
+                    queryId: Column, queryVec: Column,
+                    corpusId: Column, corpusVec: Column,
+                    rotation: graft.ann.Opq.Rotation, index: graft.ann.Pq.PqIndex,
+                    k: Int, refine: Int): DataFrame =
+    graft.ann.Opq.pqTopKRotated(queries, corpus, queryId, queryVec,
+      corpusId, corpusVec, rotation, index, k, refine)
+
+  def saveRotation(spark: SparkSession, rotation: graft.ann.Opq.Rotation,
+                   path: String): Unit =
+    graft.ann.Opq.saveRotation(spark, rotation, path)
+
+  def loadRotation(spark: SparkSession, path: String): graft.ann.Opq.Rotation =
+    graft.ann.Opq.loadRotation(spark, path)
+
   def ivfAssign(corpus: DataFrame, id: Column, vec: Column,
                 index: graft.ann.Ann.IvfIndex): DataFrame =
     graft.ann.Ann.ivfAssign(corpus, id, vec, index)
@@ -1021,6 +1051,17 @@ object PyBridge {
   def zorderBy(df: DataFrame, columns: JList[String], partitions: Int,
                bitsPerColumn: Int): DataFrame =
     graft.write.ZOrder.zorderBy(df, columns.asScala.toSeq, partitions, bitsPerColumn)
+
+  def hilbertOrderBy(df: DataFrame, columns: JList[String], partitions: Int,
+                     bitsPerColumn: Int): DataFrame =
+    graft.write.Hilbert.hilbertOrderBy(df, columns.asScala.toSeq, partitions,
+      bitsPerColumn)
+
+  def cmsSketch(key: Column, depth: Int, width: Int): Column =
+    graft.agg.CountMin.cmsSketch(key, depth, width)
+
+  def cmsEstimate(sketch: Column, key: Column, depth: Int, width: Int): Column =
+    graft.agg.CountMin.cmsEstimate(sketch, key, depth, width)
 
   def editDistance1Pairs(df: DataFrame, id: Column, str: Column): DataFrame =
     graft.join.FuzzyJoin.editDistance1Pairs(df, id, str)
