@@ -80,6 +80,7 @@ __all__ = [
     "train_rotation", "rotate_vec", "train_pq_rotated", "pq_top_k_rotated",
     "save_rotation", "load_rotation",
     "hilbert_order_by", "cms_sketch", "cms_estimate",
+    "write_bloom_index", "bloom_pruning_report", "bloom_pruned_parquet",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -1958,3 +1959,33 @@ def cms_estimate(sketch: ColumnOrName, key: ColumnOrName, depth: int,
     (e/width) * N with probability 1 - e^-depth."""
     return _col_fn("cmsEstimate", _jcol(sketch), _jcol(key), int(depth),
                    int(width))
+
+
+def write_bloom_index(spark, dir: str, column: str, log_bits: int = 20,
+                      k: int = 5) -> None:
+    """Build a per-file Bloom sidecar over an equality-lookup column: one
+    grouped-aggregate scan, a fixed 2^log_bits-bit buffer per file, written
+    to an underscore-prefixed directory plain reads ignore."""
+    _bridge(spark.range(1)).writeBloomIndex(spark._jsparkSession, str(dir),
+                                            str(column), int(log_bits), int(k))
+
+
+def bloom_pruning_report(spark, dir: str, column: str,
+                         values: List[str]) -> DataFrame:
+    """Per-file pruning decision for an IN-list probe: (file, keep) — keep
+    iff any probe value might be present (no false negatives)."""
+    jdf = _bridge(spark.range(1)).bloomPruningReport(
+        spark._jsparkSession, str(dir), str(column),
+        [str(v) for v in values])
+    return DataFrame(jdf, spark)
+
+
+def bloom_pruned_parquet(spark, dir: str, column: str,
+                         values: List[str]) -> DataFrame:
+    """IN-list read through the sidecar: scan only surviving files, then
+    re-apply the real predicate — identical rows to the plain filtered
+    read, a fraction of the IO."""
+    jdf = _bridge(spark.range(1)).bloomPrunedParquet(
+        spark._jsparkSession, str(dir), str(column),
+        [str(v) for v in values])
+    return DataFrame(jdf, spark)

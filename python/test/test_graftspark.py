@@ -1209,6 +1209,19 @@ class GraftsparkTest(unittest.TestCase):
         hot = [r for r in got if r["k"] == "hot"][0]
         self.assertEqual(hot["n"], 40)
         self.assertEqual(hot["est"], 40)
+        # bloom sidecar: pruned read == plain filtered read, files skipped
+        d = tempfile.mkdtemp() + "/data"
+        (self.spark.createDataFrame(
+            [(i, f"p{i}") for i in range(4000)], ["key", "payload"])
+         .repartitionByRange(8, col("key")).write.parquet(d))
+        P.write_bloom_index(self.spark, d, "key", log_bits=18, k=5)
+        rep = P.bloom_pruning_report(self.spark, d, "key", ["17"]).collect()
+        self.assertEqual(len(rep), 8)
+        self.assertLess(sum(1 for r in rep if r["keep"]), 8)
+        got_b = sorted(r["payload"] for r in
+                       P.bloom_pruned_parquet(self.spark, d, "key",
+                                              ["17", "3999"]).collect())
+        self.assertEqual(got_b, ["p17", "p3999"])
 
     def test_pipeline_entity_decode(self):
         from graftspark import pipeline as P

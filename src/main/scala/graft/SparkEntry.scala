@@ -488,6 +488,24 @@ object SparkEntry {
           sum(col("l_orderkey") * col("l_linenumber")).as("checksum"))
     }),
 
+    // Bloom sidecar index (equality-predicate file skipping, the zone-map
+    // companion): write range-clustered, build per-file blooms in one
+    // grouped-aggregate scan, then answer an IN-list by scanning ONLY the
+    // surviving files + re-filtering. No false negatives by construction,
+    // so the result must equal the plain filtered read — which is what the
+    // oracle computes. Skip counts and FP behavior pinned in BloomIndexSuite.
+    "bloom_skip_readback" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bl").toString + "/out"
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        .repartitionByRange(8, col("l_orderkey"))
+        .write.mode("overwrite").parquet(tmp)
+      graft.parquet.BloomIndex.writeBloomIndex(s, tmp, "l_orderkey", logBits = 18, k = 5)
+      graft.parquet.BloomIndex.prunedParquet(s, tmp, "l_orderkey",
+        Seq(1L, 7L, 325L, 1000L))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    }),
+
     // zone-map pruning report over a freshly written sorted layout: the
     // oracle reads THE SAME FOOTERS via DuckDB's parquet_metadata at a fixed
     // path, so the per-row-group skip decisions must agree bit-for-bit no
@@ -2621,6 +2639,12 @@ object SparkEntry {
           "CAST(SUM(l_suppkey) AS BIGINT) AS sum_supp, " +
           "MIN(l_orderkey) AS min_okey, MAX(l_orderkey) AS max_okey, " +
           "CAST(SUM(l_orderkey * l_linenumber) AS BIGINT) AS checksum FROM lineitem"),
+
+      // the index prunes, the filter answers: the pruned scan must equal
+      // the plain IN-list read
+      "bloom_skip_readback" ->
+        ("SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem " +
+          "WHERE l_orderkey IN (1, 7, 325, 1000)"),
 
       // layout permutes rows, never content: the same full-table aggregates
       "hilbert_write_readback" ->

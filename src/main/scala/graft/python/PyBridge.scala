@@ -1063,6 +1063,23 @@ object PyBridge {
   def cmsEstimate(sketch: Column, key: Column, depth: Int, width: Int): Column =
     graft.agg.CountMin.cmsEstimate(sketch, key, depth, width)
 
+  def writeBloomIndex(spark: SparkSession, dir: String, column: String,
+                      logBits: Int, k: Int): Unit =
+    graft.parquet.BloomIndex.writeBloomIndex(spark, dir, column, logBits, k)
+
+  def bloomPruningReport(spark: SparkSession, dir: String, column: String,
+                         values: JList[String]): DataFrame = {
+    val report = graft.parquet.BloomIndex.pruningReport(
+      spark, dir, column, values.asScala.toSeq)
+    import spark.implicits._
+    report.toDF("file", "keep")
+  }
+
+  def bloomPrunedParquet(spark: SparkSession, dir: String, column: String,
+                         values: JList[String]): DataFrame =
+    graft.parquet.BloomIndex.prunedParquet(spark, dir, column,
+      values.asScala.toSeq)
+
   def editDistance1Pairs(df: DataFrame, id: Column, str: Column): DataFrame =
     graft.join.FuzzyJoin.editDistance1Pairs(df, id, str)
 
