@@ -81,6 +81,8 @@ __all__ = [
     "save_rotation", "load_rotation",
     "hilbert_order_by", "cms_sketch", "cms_estimate",
     "write_bloom_index", "bloom_pruning_report", "bloom_pruned_parquet",
+    "write_with_manifest", "verify_manifest", "verify_manifest_summary",
+    "mine_hard_negatives",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -1989,3 +1991,41 @@ def bloom_pruned_parquet(spark, dir: str, column: str,
         spark._jsparkSession, str(dir), str(column),
         [str(v) for v in values])
     return DataFrame(jdf, spark)
+
+
+def write_with_manifest(df: DataFrame, dir: str) -> None:
+    """Write parquet plus a per-file manifest sidecar (row count +
+    order-insensitive XOR content fingerprint), computed from the files
+    that actually landed."""
+    _bridge(df).writeWithManifest(df._jdf, str(dir))
+
+
+def verify_manifest(spark, dir: str) -> DataFrame:
+    """Per-file verification of a snapshot against its manifest: (file,
+    rows_expected, rows_actual, fp_expected, fp_actual, ok) — missing,
+    extra, truncated, or corrupted files each flip ok on their row."""
+    jdf = _bridge(spark.range(1)).verifyManifest(spark._jsparkSession, str(dir))
+    return DataFrame(jdf, spark)
+
+
+def verify_manifest_summary(spark, dir: str) -> DataFrame:
+    """One-row go/no-go: (files, total_rows, all_ok)."""
+    jdf = _bridge(spark.range(1)).verifyManifestSummary(spark._jsparkSession,
+                                                        str(dir))
+    return DataFrame(jdf, spark)
+
+
+def mine_hard_negatives(corpus: DataFrame, doc_id: ColumnOrName,
+                        text: ColumnOrName, queries: DataFrame,
+                        query_id: ColumnOrName, query_terms: ColumnOrName,
+                        positives: DataFrame, pos_query_id: ColumnOrName,
+                        pos_doc_id: ColumnOrName, k: int,
+                        candidate_factor: int = 2) -> DataFrame:
+    """Hard negatives for retriever/embedding training: per query, the BM25
+    top-(k*candidate_factor) corpus docs that are NOT known positives,
+    re-ranked 1..k -> (query_id, neg_rank, doc_id, score)."""
+    jdf = _bridge(corpus).mineHardNegatives(
+        corpus._jdf, _jcol(doc_id), _jcol(text), queries._jdf,
+        _jcol(query_id), _jcol(query_terms), positives._jdf,
+        _jcol(pos_query_id), _jcol(pos_doc_id), int(k), int(candidate_factor))
+    return DataFrame(jdf, corpus.sparkSession)

@@ -1223,6 +1223,37 @@ class GraftsparkTest(unittest.TestCase):
                                               ["17", "3999"]).collect())
         self.assertEqual(got_b, ["p17", "p3999"])
 
+    def test_pipeline_manifest_and_hard_negatives(self):
+        from graftspark import pipeline as P
+        # manifest: clean verify, then a deleted file flips all_ok
+        d = tempfile.mkdtemp() + "/snap"
+        src = self.spark.createDataFrame(
+            [(i, f"t{i}") for i in range(1000)], ["id", "text"]).repartition(3)
+        P.write_with_manifest(src, d)
+        s = P.verify_manifest_summary(self.spark, d).collect()[0]
+        self.assertEqual(s["total_rows"], 1000)
+        self.assertTrue(s["all_ok"])
+        import os
+        victim = [f for f in os.listdir(d)
+                  if f.endswith(".parquet") and not f.startswith("_")][0]
+        os.remove(os.path.join(d, victim))
+        self.assertFalse(
+            P.verify_manifest_summary(self.spark, d).collect()[0]["all_ok"])
+        bad = P.verify_manifest(self.spark, d).where("NOT ok").collect()
+        self.assertEqual(len(bad), 1)
+        # hard negatives: the positive vanishes, survivors renumber from 1
+        docs = self.spark.createDataFrame(
+            [(1, "hash table hash table hash"), (2, "hash table scan"),
+             (3, "hash join"), (4, "table of contents")], ["doc_id", "text"])
+        queries = self.spark.createDataFrame(
+            [(0, ["hash", "table"])], ["query_id", "terms"])
+        pos = self.spark.createDataFrame([(0, 1)], ["query_id", "doc_id"])
+        negs = P.mine_hard_negatives(
+            docs, "doc_id", "text", queries, "query_id", "terms",
+            pos, "query_id", "doc_id", k=2).collect()
+        self.assertEqual(sorted(r["neg_rank"] for r in negs), [1, 2])
+        self.assertNotIn(1, [r["doc_id"] for r in negs])
+
     def test_pipeline_entity_decode(self):
         from graftspark import pipeline as P
         df = self.spark.createDataFrame(

@@ -280,6 +280,33 @@ object GraftExtensions {
       }
       org.apache.spark.sql.catalyst.expressions.StringTrim(chained)
     },
+    fn("hilbert_index",
+      "hilbert_index(lanes, bits) - Hilbert-curve key of pre-quantized " +
+        "array<bigint> coordinate lanes (Skilling transform)") { es =>
+      arity("hilbert_index", es, 2)
+      graft.functions.HilbertIndex(es.head, intLit(es(1), "hilbert_index", "bits"))
+    },
+    fn("cms_sketch",
+      "cms_sketch(key, depth, width) - count-min counter array (md5-bucketed, " +
+        "engine-portable; mergeable aggregate)") { es =>
+      arity("cms_sketch", es, 3)
+      graft.agg.CmsSketchAgg(es.head, intLit(es(1), "cms_sketch", "depth"),
+        intLit(es(2), "cms_sketch", "width"))
+    },
+    fn("cms_estimate",
+      "cms_estimate(sketch, key, depth, width) - count-min point query " +
+        "(min over rows; estimate >= true count)") { es =>
+      arity("cms_estimate", es, 4)
+      graft.agg.CmsEstimate(es.head, es(1), intLit(es(2), "cms_estimate", "depth"),
+        intLit(es(3), "cms_estimate", "width"))
+    },
+    fn("bloom_bits",
+      "bloom_bits(hash, logBits, k) - fixed-size Bloom bit array over 64-bit " +
+        "hashes (mergeable aggregate; pair with xxhash64)") { es =>
+      arity("bloom_bits", es, 3)
+      graft.parquet.BloomBitsAgg(es.head, intLit(es(1), "bloom_bits", "logBits"),
+        intLit(es(2), "bloom_bits", "k"))
+    },
     fn("hash_sample_keep",
       "hash_sample_keep(key, rate[, salt]) - deterministic sampling keep-predicate") { es =>
       arity("hash_sample_keep", es, 2, 3)

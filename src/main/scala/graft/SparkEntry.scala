@@ -488,6 +488,20 @@ object SparkEntry {
           sum(col("l_orderkey") * col("l_linenumber")).as("checksum"))
     }),
 
+    // export manifest: write-then-certify — the manifest is computed from
+    // the files that actually landed, verification re-aggregates the
+    // CURRENT directory and full-outer-joins it. Order-insensitive XOR
+    // fingerprints make producer/verifier agree under any parallelism;
+    // drift classes (missing/extra/corrupt file) are pinned in ManifestSuite.
+    "manifest_verify" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mf").toString + "/out"
+      graft.write.Manifest.writeWithManifest(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")),
+        tmp)
+      graft.write.Manifest.verifySummary(s, tmp)
+        .select(col("total_rows"), col("all_ok"))
+    }),
+
     // Bloom sidecar index (equality-predicate file skipping, the zone-map
     // companion): write range-clustered, build per-file blooms in one
     // grouped-aggregate scan, then answer an IN-list by scanning ONLY the
@@ -1200,6 +1214,25 @@ object SparkEntry {
       graft.text.Bm25.topK(
         t(s, dir, "documents"), col("doc_id"), col("text"),
         queries, col("query_id"), col("terms"), k = 10)
+    }),
+
+    // hard-negative mining (the dense-retriever training-data op): BM25
+    // top-(k*factor) candidates minus known positives, re-ranked 1..k per
+    // query. Positives mix docs that rank (must vanish) and ones that
+    // don't (no effect); the bounded re-rank window sees k*factor rows max.
+    "hard_negatives" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (0L, Seq("hash", "table", "scan")),
+        (1L, Seq("merge", "sort")),
+        (2L, Seq("window", "batch", "slow")),
+        (3L, Seq("spark", "value", "zzzunseen"))).toDF("query_id", "terms")
+      val positives = Seq((0L, 3L), (0L, 17L), (1L, 5L), (2L, 999999L))
+        .toDF("query_id", "doc_id")
+      graft.search.Mining.mineHardNegatives(
+        t(s, dir, "documents"), col("doc_id"), col("text"),
+        queries, col("query_id"), col("terms"),
+        positives, col("query_id"), col("doc_id"), k = 5, candidateFactor = 2)
     }),
 
     // count-min sketch over the token stream (depth 4 x width 1024,
@@ -2640,6 +2673,11 @@ object SparkEntry {
           "MIN(l_orderkey) AS min_okey, MAX(l_orderkey) AS max_okey, " +
           "CAST(SUM(l_orderkey * l_linenumber) AS BIGINT) AS checksum FROM lineitem"),
 
+      // a clean snapshot must verify whole: row total from the table, ok
+      // by construction
+      "manifest_verify" ->
+        "SELECT COUNT(*) AS total_rows, TRUE AS all_ok FROM orders",
+
       // the index prunes, the filter answers: the pruned scan must equal
       // the plain IN-list read
       "bloom_skip_readback" ->
@@ -2987,6 +3025,38 @@ object SparkEntry {
           "CAST(score_scaled AS DOUBLE) / 1000000 AS score FROM " +
           "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS rank FROM sc) " +
           "WHERE rank <= 10"),
+
+      // the full BM25 replication at k*factor=10, positives removed via
+      // NOT EXISTS, survivors renumbered 1..5 per query
+      "hard_negatives" ->
+        (s"WITH $docTokCte, " +
+          "qt AS (SELECT * FROM (VALUES (0,'hash'),(0,'table'),(0,'scan')," +
+          "(1,'merge'),(1,'sort'),(2,'window'),(2,'batch'),(2,'slow')," +
+          "(3,'spark'),(3,'value'),(3,'zzzunseen')) AS v(query_id, term)), " +
+          "pos AS (SELECT * FROM (VALUES (0, 3),(0, 17),(1, 5),(2, 999999)) AS v(query_id, doc_id)), " +
+          "stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+          "CAST(SUM(len(toks)) AS BIGINT) AS total_tokens FROM tok), " +
+          "post AS (SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS dl, x.term " +
+          "FROM tok t, unnest(t.toks) AS x(term) " +
+          "WHERE x.term IN (SELECT term FROM qt)), " +
+          "tf AS (SELECT doc_id, term, dl, CAST(COUNT(*) AS BIGINT) AS tf " +
+          "FROM post GROUP BY doc_id, term, dl), " +
+          "dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term), " +
+          "contrib AS (SELECT tf.term, tf.doc_id, " +
+          "CAST(length(format('{:b}', s.n_docs)) - length(format('{:b}', dfc.df)) AS BIGINT) " +
+          "* ((1000000 * 44 * tf.tf * (s.total_tokens // s.n_docs)) // " +
+          "(20 * tf.tf * (s.total_tokens // s.n_docs) + 6 * (s.total_tokens // s.n_docs) + 18 * tf.dl)) AS c " +
+          "FROM tf JOIN dfc USING (term) CROSS JOIN stats s), " +
+          "sc AS (SELECT qt.query_id, contrib.doc_id, CAST(SUM(contrib.c) AS BIGINT) AS score_scaled " +
+          "FROM qt JOIN contrib USING (term) GROUP BY qt.query_id, contrib.doc_id), " +
+          "topk AS (SELECT * FROM " +
+          "(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS rank FROM sc) " +
+          "WHERE rank <= 10), " +
+          "neg AS (SELECT t.*, row_number() OVER (PARTITION BY t.query_id ORDER BY t.rank) AS neg_rank " +
+          "FROM topk t WHERE NOT EXISTS (SELECT 1 FROM pos p " +
+          "WHERE p.query_id = t.query_id AND p.doc_id = t.doc_id)) " +
+          "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neg_rank AS INT) AS neg_rank, doc_id, " +
+          "CAST(score_scaled AS DOUBLE) / 1000000 AS score FROM neg WHERE neg_rank <= 5"),
 
       // full count-min replay: counters over ALL tokens (collisions
       // included), then min-over-rows point queries for the top-20

@@ -1080,6 +1080,23 @@ object PyBridge {
     graft.parquet.BloomIndex.prunedParquet(spark, dir, column,
       values.asScala.toSeq)
 
+  def writeWithManifest(df: DataFrame, dir: String): Unit =
+    graft.write.Manifest.writeWithManifest(df, dir)
+
+  def verifyManifest(spark: SparkSession, dir: String): DataFrame =
+    graft.write.Manifest.verifyManifest(spark, dir)
+
+  def verifyManifestSummary(spark: SparkSession, dir: String): DataFrame =
+    graft.write.Manifest.verifySummary(spark, dir)
+
+  def mineHardNegatives(corpus: DataFrame, docId: Column, text: Column,
+                        queries: DataFrame, queryId: Column, queryTerms: Column,
+                        positives: DataFrame, posQueryId: Column, posDocId: Column,
+                        k: Int, candidateFactor: Int): DataFrame =
+    graft.search.Mining.mineHardNegatives(corpus, docId, text,
+      queries, queryId, queryTerms, positives, posQueryId, posDocId,
+      k, candidateFactor)
+
   def editDistance1Pairs(df: DataFrame, id: Column, str: Column): DataFrame =
     graft.join.FuzzyJoin.editDistance1Pairs(df, id, str)
 

@@ -168,6 +168,29 @@ class SurfaceSuite extends AnyFunSuite with SparkTest {
     assert(err.getMessage.contains("literal"))
   }
 
+  test("GraftExtensions registers the layout/sketch functions for SQL use") {
+    GraftExtensions.registerAll(spark)
+    // hilbert_index: same values as the kernel, via SQL
+    val h = spark.sql(
+      "SELECT hilbert_index(array(3L, 5L), 3) AS h").collect().head.getLong(0)
+    assert(h == graft.functions.LayoutKernels.hilbertIndex(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](3L, 5L)), 3))
+    // cms aggregate + point query, end-to-end in SQL
+    Seq("a", "a", "a", "b").toDF("k").createOrReplaceTempView("cms_keys")
+    val est = spark.sql(
+      """SELECT cms_estimate(sk, 'a', 4, 256) AS ea,
+        |       cms_estimate(sk, 'b', 4, 256) AS eb
+        |FROM (SELECT cms_sketch(k, 4, 256) AS sk FROM cms_keys)""".stripMargin)
+      .collect().head
+    assert(est.getLong(0) == 3L && est.getLong(1) == 1L)
+    // bloom aggregate: bytes match the driver-side insert path
+    val bloom = spark.sql(
+      "SELECT bloom_bits(xxhash64(k), 10, 3) AS b FROM cms_keys")
+      .collect().head.getAs[Array[Byte]](0)
+    assert(bloom.length == (1 << 10) / 8 && bloom.exists(_ != 0))
+  }
+
   test("GraftExtensions registers the curation functions for SQL use") {
     GraftExtensions.registerAll(spark)
     // redact_pii matches the Scala column API byte for byte
