@@ -69,7 +69,7 @@ object ScaleProbe {
       "bpe_encode", "boilerplate", "kmv_sketch", "containment",
       "jaccard_prefix", "streaming_seeded_state", "streaming_domain_cap_state",
       "int8_footprint", "bitsign_footprint", "soft_dedup_split", "novelty",
-      "dedup_index", "multimatch", "quality_cut")
+      "dedup_index", "multimatch", "quality_cut", "bloom_index", "cms_sketch")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -931,6 +931,63 @@ object ScaleProbe {
     report("asof_hotkey_bucketed", nAsofBkt, tAsofBkt)
     require(nAsofPlain == nAsofBkt,
       s"bucketed as-of must be row-identical: $nAsofPlain vs $nAsofBkt")
+    }
+
+    // --- bloom sidecar: build linear in rows, PROBE cost file-bounded ----
+    // build scans N x lineitem and carries one fixed buffer per file; the
+    // point lookup collects one sidecar row per file and scans only
+    // surviving files — kept-file count must stay ~flat as N grows (the
+    // key lives in the same range slice at every N), which is the whole
+    // value claim of the index
+    if (enabled("bloom_index")) {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val big = amplify(li, n)
+        .select((col("l_orderkey") + col("__rep") * 100000000L).as("key"),
+          col("l_partkey"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_bloomprobe")
+        .toString + "/data"
+      big.repartitionByRange(32, col("key")).write.mode("overwrite").parquet(dir)
+      val (_, tBuild) = time {
+        graft.parquet.BloomIndex.writeBloomIndex(spark, dir, "key",
+          logBits = 20, k = 5)
+      }
+      val (probeStats, tProbe) = time {
+        val rep = graft.parquet.BloomIndex.pruningReport(spark, dir, "key",
+          Seq(325L, 100000325L))
+        (rep.size.toLong, rep.count(_._2).toLong)
+      }
+      require(probeStats._2 < probeStats._1,
+        s"bloom probe kept ${probeStats._2} of ${probeStats._1} files — no pruning")
+      println(String.format(java.util.Locale.ROOT,
+        """{"probe":"bloom_index","n":%d,"rows":%d,"sec":%.2f,"files":%d,"kept":%d,"probe_sec":%.2f}""",
+        Int.box(n), Long.box(big.count()), Double.box(tBuild),
+        Long.box(probeStats._1), Long.box(probeStats._2), Double.box(tProbe)))
+    }
+
+    // --- count-min: build linear in tokens, state constant ---------------
+    // the sketch buffer is depth x width longs at EVERY N; estimates stay
+    // >= truth (the one-sided contract is asserted under amplification,
+    // where collisions only grow)
+    if (enabled("cms_sketch")) {
+      val docs2 = spark.read.parquet(s"$sfDir/documents.parquet")
+      val bigToks = amplify(docs2, n)
+        .select(explode(graft.text.TextFunctions.tokenize(col("text"))).as("token"))
+      val (stats, tCms) = time {
+        val sk = bigToks.agg(
+          graft.agg.CountMin.cmsSketch(col("token"), 4, 1024).as("sk"))
+        val est = bigToks.groupBy("token").agg(count(lit(1)).as("exact"))
+          .orderBy(desc("exact"), asc("token")).limit(10)
+          .crossJoin(broadcast(sk))
+          .select(col("exact"),
+            graft.agg.CountMin.cmsEstimate(col("sk"), col("token"), 4, 1024)
+              .as("est"))
+          .collect()
+        require(est.forall(r => r.getLong(1) >= r.getLong(0)),
+          "cms estimate below truth under amplification")
+        est.map(_.getLong(0)).sum
+      }
+      report("cms_sketch", stats, tCms)
     }
 
     spark.stop()
