@@ -83,6 +83,9 @@ __all__ = [
     "write_bloom_index", "bloom_pruning_report", "bloom_pruned_parquet",
     "write_with_manifest", "verify_manifest", "verify_manifest_summary",
     "mine_hard_negatives",
+    "domain_edges", "link_rank",
+    "write_partitioned_with_manifest", "partition_manifest_summary",
+    "snapshot_changed_partitions", "diff_snapshots",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -2015,6 +2018,52 @@ def verify_manifest_summary(spark, dir: str) -> DataFrame:
     return DataFrame(jdf, spark)
 
 
+def _jstrlist(spark, items):
+    jlist = spark._jvm.java.util.ArrayList()
+    for x in items:
+        jlist.add(str(x))
+    return jlist
+
+
+def write_partitioned_with_manifest(df: DataFrame, dir: str,
+                                    partition_cols) -> None:
+    """Hive-partitioned parquet write plus the manifest sidecar — the
+    incremental-snapshot-diff-ready format."""
+    _bridge(df).writePartitionedWithManifest(
+        df._jdf, str(dir), _jstrlist(df.sparkSession, partition_cols))
+
+
+def partition_manifest_summary(spark, dir: str, partition_cols) -> DataFrame:
+    """Per-partition (partition_cols..., rows, fingerprint) rolled up from
+    the manifest sidecar alone — KB of IO at any snapshot size."""
+    jdf = _bridge(spark.range(1)).partitionManifestSummary(
+        spark._jsparkSession, str(dir), _jstrlist(spark, partition_cols))
+    return DataFrame(jdf, spark)
+
+
+def snapshot_changed_partitions(spark, left_dir: str, right_dir: str,
+                                partition_cols) -> DataFrame:
+    """Partition-level change report between two manifest'd snapshots:
+    (partition_cols..., status, rows_left, rows_right), status in
+    added|removed|changed|unchanged — computed from the manifests only."""
+    jdf = _bridge(spark.range(1)).snapshotChangedPartitions(
+        spark._jsparkSession, str(left_dir), str(right_dir),
+        _jstrlist(spark, partition_cols))
+    return DataFrame(jdf, spark)
+
+
+def diff_snapshots(spark, left_dir: str, right_dir: str, id_columns,
+                   partition_cols, use_manifests: bool = True,
+                   max_changed_partitions: int = 10000) -> DataFrame:
+    """Row-level diff of two partitioned snapshots reading ONLY changed
+    partitions (manifest-driven detection + static partition pruning)."""
+    jdf = _bridge(spark.range(1)).diffSnapshots(
+        spark._jsparkSession, str(left_dir), str(right_dir),
+        _jstrlist(spark, id_columns), _jstrlist(spark, partition_cols),
+        bool(use_manifests), int(max_changed_partitions))
+    return DataFrame(jdf, spark)
+
+
 def mine_hard_negatives(corpus: DataFrame, doc_id: ColumnOrName,
                         text: ColumnOrName, queries: DataFrame,
                         query_id: ColumnOrName, query_terms: ColumnOrName,
@@ -2029,3 +2078,24 @@ def mine_hard_negatives(corpus: DataFrame, doc_id: ColumnOrName,
         _jcol(query_id), _jcol(query_terms), positives._jdf,
         _jcol(pos_query_id), _jcol(pos_doc_id), int(k), int(candidate_factor))
     return DataFrame(jdf, corpus.sparkSession)
+
+
+def domain_edges(df: DataFrame, page_url: ColumnOrName,
+                 outlink_url: ColumnOrName) -> DataFrame:
+    """Distinct registrable-domain edge list (src, dst) from (page URL,
+    outlink URL) rows; self-links and unparsable hosts dropped."""
+    jdf = _bridge(df).domainEdges(df._jdf, _jcol(page_url), _jcol(outlink_url))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def link_rank(edges: DataFrame, src: ColumnOrName, dst: ColumnOrName,
+              iterations: int = 3, damp_num: int = 85, damp_den: int = 100,
+              scale: int = 1000000000000) -> DataFrame:
+    """Fixed-point-integer PageRank over an edge table -> (node, rank_fp,
+    rank). Deterministic by construction: every step is integer arithmetic
+    on scale-scaled longs, so any engine replaying the documented
+    recurrence reproduces each rank bit-for-bit."""
+    jdf = _bridge(edges).linkRank(edges._jdf, _jcol(src), _jcol(dst),
+                                  int(iterations), int(damp_num),
+                                  int(damp_den), int(scale))
+    return DataFrame(jdf, edges.sparkSession)

@@ -1254,6 +1254,54 @@ class GraftsparkTest(unittest.TestCase):
         self.assertEqual(sorted(r["neg_rank"] for r in negs), [1, 2])
         self.assertNotIn(1, [r["doc_id"] for r in negs])
 
+    def test_pipeline_snapshot_diff(self):
+        from graftspark import pipeline as P
+        import tempfile
+        left = self.spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+            ["id", "p", "v"])
+        right = self.spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 21.0), (3, "b", 30.0), (5, "d", 50.0)],
+            ["id", "p", "v"])
+        ld = tempfile.mkdtemp() + "/l"
+        rd = tempfile.mkdtemp() + "/r"
+        P.write_partitioned_with_manifest(left, ld, ["p"])
+        P.write_partitioned_with_manifest(right, rd, ["p"])
+        st = {r["p"]: r["status"]
+              for r in P.snapshot_changed_partitions(self.spark, ld, rd, ["p"]).collect()}
+        self.assertEqual(st, {"a": "changed", "b": "unchanged",
+                              "c": "removed", "d": "added"})
+        d = P.diff_snapshots(self.spark, ld, rd, ["id"], ["p"])
+        got = sorted((r["diff"], r["id"]) for r in d.collect())
+        # partition b (id 3) never surfaces; id 1 is N inside changed 'a'
+        self.assertEqual(got, [("C", 2), ("D", 4), ("I", 5), ("N", 1)])
+
+    def test_pipeline_link_rank(self):
+        from graftspark import pipeline as P
+        # 3-node graph: a->b, b->c, c->a, a->c; replicate the documented
+        # fixed-point integer recurrence for 2 iterations
+        e = self.spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")], ["src", "dst"])
+        got = {r["node"]: r["rank_fp"]
+               for r in P.link_rank(e, "src", "dst", iterations=2).collect()}
+        S, n = 1000000000000, 3
+        base = S * 15 // 100 // n
+        r = {k: S // n for k in "abc"}
+        out = {"a": 2, "b": 1, "c": 1}
+        for _ in range(2):
+            inflow = {"a": r["c"] // out["c"], "b": r["a"] // out["a"],
+                      "c": r["a"] // out["a"] + r["b"] // out["b"]}
+            r = {k: base + 85 * inflow[k] // 100 for k in r}
+        self.assertEqual(got, r)
+        # domain_edges collapses to registrable domains, drops self-links
+        df = self.spark.createDataFrame(
+            [("https://blog.example.com/p", "https://www.example.com/h"),
+             ("https://blog.example.com/p", "https://other.org/x")],
+            ["page", "link"])
+        edges = P.domain_edges(df, "page", "link").collect()
+        self.assertEqual([(x["src"], x["dst"]) for x in edges],
+                         [("example.com", "other.org")])
+
     def test_pipeline_entity_decode(self):
         from graftspark import pipeline as P
         df = self.spark.createDataFrame(

@@ -165,6 +165,69 @@ object SparkEntry {
       graft.diff.Diff.patchRight(
         diffLeft(s, dir).diff(diffRight(s, dir), "o_orderkey"))),
 
+    // P95 incremental snapshot diff: two manifest'd hive-partitioned
+    // snapshots of orders (partitioned by o_orderpriority); the right
+    // snapshot perturbs '1-URGENT' prices (keys % 10 == 0), deletes
+    // '2-HIGH' keys % 7 == 0, and adds a 'Z-NEW' partition. diffSnapshots
+    // detects changed partitions from the MANIFESTS alone and row-diffs
+    // only those (static partition pruning pinned in SnapshotDiffSuite).
+    // Oracle: the full relational diff restricted to partitions with any
+    // multiset difference — identical to fingerprint detection on data
+    // with no XOR-cancelling even-multiplicity swaps (none planted).
+    "snapshot_diff" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+          col("o_totalprice"))
+      val right = orders
+        .withColumn("o_totalprice",
+          when(col("prio") === "1-URGENT" && col("o_orderkey") % 10 === 0,
+            col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+        .where(!(col("prio") === "2-HIGH" && col("o_orderkey") % 7 === 0))
+        .unionAll(orders
+          .where(col("prio") === "5-LOW" && col("o_orderkey") % 100 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            lit("Z-NEW").as("prio"), col("o_totalprice")))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snapdiff_gate").toString
+      graft.diff.SnapshotDiff.writePartitionedWithManifest(
+        orders, s"$root/left", Seq("prio"))
+      graft.diff.SnapshotDiff.writePartitionedWithManifest(
+        right, s"$root/right", Seq("prio"))
+      graft.diff.SnapshotDiff.diffSnapshots(s, s"$root/left", s"$root/right",
+        Seq("o_orderkey"), Seq("prio"))
+        .select(col("diff"), col("o_orderkey"),
+          col("left_prio"), col("right_prio"),
+          col("left_o_totalprice"), col("right_o_totalprice"))
+    }),
+
+    // the partition-level change report of the same two snapshots, read
+    // from the manifest sidecars only (KB of IO at any snapshot size)
+    "snapshot_changed" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+          col("o_totalprice"))
+      val right = orders
+        .withColumn("o_totalprice",
+          when(col("prio") === "1-URGENT" && col("o_orderkey") % 10 === 0,
+            col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+        .where(!(col("prio") === "2-HIGH" && col("o_orderkey") % 7 === 0))
+        .unionAll(orders
+          .where(col("prio") === "5-LOW" && col("o_orderkey") % 100 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            lit("Z-NEW").as("prio"), col("o_totalprice")))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snapchg_gate").toString
+      graft.diff.SnapshotDiff.writePartitionedWithManifest(
+        orders, s"$root/left", Seq("prio"))
+      graft.diff.SnapshotDiff.writePartitionedWithManifest(
+        right, s"$root/right", Seq("prio"))
+      graft.diff.SnapshotDiff.changedPartitions(
+        graft.diff.SnapshotDiff.partitionManifestSummary(s, s"$root/left", Seq("prio")),
+        graft.diff.SnapshotDiff.partitionManifestSummary(s, s"$root/right", Seq("prio")),
+        Seq("prio"))
+        .select(col("prio"), col("status"), col("rows_left"), col("rows_right"))
+    }),
+
     // O6 diff modes: LeftSide projection
     "diff_orders_leftside" -> ((s, dir) =>
       diffLeft(s, dir).diff(diffRight(s, dir),
@@ -1613,6 +1676,22 @@ object SparkEntry {
         .select(col("url_id"))
     }),
 
+    // P94 link-graph authority rank: a deterministic synthetic citation
+    // graph over the documents sources (two derived outlinks per doc into
+    // the same namespace => cycles, self-loops, varying degrees), 3
+    // fixed-point-integer PageRank iterations — the oracle replays the
+    // documented integer recurrence bit-for-bit (no float summation
+    // anywhere, so engine accumulation order cannot matter)
+    "link_rank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val e = docs.select(col("source").as("src"),
+          concat(lit("src"), pmod(col("doc_id") * 7 + 3, lit(20))).as("dst"))
+        .union(docs.select(col("source").as("src"),
+          concat(lit("src"), pmod(col("doc_id") * 13 + 5, lit(20))).as("dst")))
+      graft.graph.LinkRank.rank(e, col("src"), col("dst"), iterations = 3)
+        .select(col("node"), col("rank_fp"), col("rank").as("rank_score"))
+    }),
+
     // the full-entity mode: the HTML 4.01 named set (+ apos) AND numeric
     // refs decode in ONE left-to-right kernel pass (double escapes drop
     // exactly one level, unknown names stay literal). Oracle: planted
@@ -2432,6 +2511,23 @@ object SparkEntry {
         "l.o_totalprice AS left_o_totalprice, r.o_totalprice AS right_o_totalprice " +
         "FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey")
 
+    // snapshot-diff CTEs: the same left/right perturbation of orders as the
+    // gates, plus the changed-partition set derived by exact multiset
+    // difference (== fingerprint detection when nothing XOR-cancels)
+    val snapCte =
+      "WITH l AS (SELECT o_orderkey, o_orderpriority AS prio, o_totalprice FROM orders), " +
+        "r AS (SELECT o_orderkey, prio, " +
+        "CASE WHEN prio = '1-URGENT' AND o_orderkey % 10 = 0 " +
+        "THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice " +
+        "FROM l WHERE NOT (prio = '2-HIGH' AND o_orderkey % 7 = 0) " +
+        "UNION ALL " +
+        "SELECT o_orderkey + 100000000, 'Z-NEW', o_totalprice " +
+        "FROM l WHERE prio = '5-LOW' AND o_orderkey % 100 = 0), " +
+        "d AS (SELECT prio FROM (" +
+        "(SELECT * FROM l EXCEPT ALL SELECT * FROM r) " +
+        "UNION ALL " +
+        "(SELECT * FROM r EXCEPT ALL SELECT * FROM l)) x GROUP BY prio)"
+
     // document tokenization / shingling / near-dup-pair CTEs (ASCII tokens,
     // word 3-grams — must mirror TextFunctions.textShingles exactly)
     val docTokCte =
@@ -2465,6 +2561,31 @@ object SparkEntry {
       "diff_orders" -> plainDiffSelect,
 
       "diff_patch_right" -> diffRightSql,
+
+      "snapshot_diff" ->
+        (s"$snapCte SELECT " +
+          "CASE WHEN l2.o_orderkey IS NULL THEN 'I' " +
+          "WHEN r2.o_orderkey IS NULL THEN 'D' " +
+          "WHEN l2.prio IS DISTINCT FROM r2.prio " +
+          "OR l2.o_totalprice IS DISTINCT FROM r2.o_totalprice THEN 'C' " +
+          "ELSE 'N' END AS diff, " +
+          "COALESCE(l2.o_orderkey, r2.o_orderkey) AS o_orderkey, " +
+          "l2.prio AS left_prio, r2.prio AS right_prio, " +
+          "l2.o_totalprice AS left_o_totalprice, r2.o_totalprice AS right_o_totalprice " +
+          "FROM (SELECT * FROM l WHERE prio IN (SELECT prio FROM d)) l2 " +
+          "FULL OUTER JOIN (SELECT * FROM r WHERE prio IN (SELECT prio FROM d)) r2 " +
+          "ON l2.o_orderkey = r2.o_orderkey"),
+
+      "snapshot_changed" ->
+        (s"$snapCte, lc AS (SELECT prio, COUNT(*) AS rows_left FROM l GROUP BY prio), " +
+          "rc AS (SELECT prio, COUNT(*) AS rows_right FROM r GROUP BY prio) " +
+          "SELECT COALESCE(lc.prio, rc.prio) AS prio, " +
+          "CASE WHEN rc.prio IS NULL THEN 'removed' " +
+          "WHEN lc.prio IS NULL THEN 'added' " +
+          "WHEN COALESCE(lc.prio, rc.prio) IN (SELECT prio FROM d) THEN 'changed' " +
+          "ELSE 'unchanged' END AS status, " +
+          "lc.rows_left AS rows_left, rc.rows_right AS rows_right " +
+          "FROM lc FULL OUTER JOIN rc ON lc.prio = rc.prio"),
 
       "diff_orders_sidebyside" -> plainDiffSelect,
 
@@ -3601,6 +3722,32 @@ object SparkEntry {
       "html_extract_entities" ->
         ("SELECT html_id, clean_text " +
           s"FROM read_parquet('$goldenDir/html_entities.parquet')"),
+
+      // the whole fixed-point PageRank recurrence replayed in integer
+      // arithmetic: same edge construction, same left-associated integer
+      // divisions, 3 unrolled iterations — bit-for-bit by construction
+      "link_rank" -> {
+        val base = "((1000000000000 * 15 // 100) // p.n)"
+        def step(i: Int): String = {
+          val prev = if (i == 1) "r0" else s"r${i - 1}"
+          s"s$i AS (SELECT e.dst, SUM($prev.r // od.outdeg) AS inflow " +
+            s"FROM e JOIN $prev ON e.src = $prev.node " +
+            "JOIN od ON e.src = od.src GROUP BY e.dst), " +
+            s"r$i AS (SELECT nodes.node, $base + ((85 * COALESCE(s$i.inflow, 0)) // 100) AS r " +
+            s"FROM nodes CROSS JOIN p LEFT JOIN s$i ON nodes.node = s$i.dst)"
+        }
+        "WITH e0 AS (" +
+          "SELECT source AS src, 'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst FROM documents " +
+          "UNION ALL " +
+          "SELECT source AS src, 'src' || CAST((doc_id * 13 + 5) % 20 AS VARCHAR) AS dst FROM documents), " +
+          "e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst), " +
+          "nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e), " +
+          "p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes), " +
+          "od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src), " +
+          "r0 AS (SELECT node, 1000000000000 // p.n AS r FROM nodes CROSS JOIN p), " +
+          step(1) + ", " + step(2) + ", " + step(3) + " " +
+          "SELECT node, r AS rank_fp, CAST(r AS DOUBLE) / 1000000000000.0 AS rank_score FROM r3"
+      },
 
       "fix_mojibake" ->
         ("SELECT moji_id, fixed_text " +

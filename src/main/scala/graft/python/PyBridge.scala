@@ -1086,6 +1086,33 @@ object PyBridge {
   def verifyManifest(spark: SparkSession, dir: String): DataFrame =
     graft.write.Manifest.verifyManifest(spark, dir)
 
+  def writePartitionedWithManifest(df: DataFrame, dir: String,
+                                   partitionCols: JList[String]): Unit =
+    graft.diff.SnapshotDiff.writePartitionedWithManifest(
+      df, dir, partitionCols.asScala.toSeq)
+
+  def partitionManifestSummary(spark: SparkSession, dir: String,
+                               partitionCols: JList[String]): DataFrame =
+    graft.diff.SnapshotDiff.partitionManifestSummary(
+      spark, dir, partitionCols.asScala.toSeq)
+
+  def snapshotChangedPartitions(spark: SparkSession, leftDir: String,
+                                rightDir: String,
+                                partitionCols: JList[String]): DataFrame = {
+    val cols = partitionCols.asScala.toSeq
+    graft.diff.SnapshotDiff.changedPartitions(
+      graft.diff.SnapshotDiff.partitionManifestSummary(spark, leftDir, cols),
+      graft.diff.SnapshotDiff.partitionManifestSummary(spark, rightDir, cols),
+      cols)
+  }
+
+  def diffSnapshots(spark: SparkSession, leftDir: String, rightDir: String,
+                    idColumns: JList[String], partitionCols: JList[String],
+                    useManifests: Boolean, maxChangedPartitions: Int): DataFrame =
+    graft.diff.SnapshotDiff.diffSnapshots(spark, leftDir, rightDir,
+      idColumns.asScala.toSeq, partitionCols.asScala.toSeq,
+      useManifests, maxChangedPartitions)
+
   def verifyManifestSummary(spark: SparkSession, dir: String): DataFrame =
     graft.write.Manifest.verifySummary(spark, dir)
 
@@ -1096,6 +1123,13 @@ object PyBridge {
     graft.search.Mining.mineHardNegatives(corpus, docId, text,
       queries, queryId, queryTerms, positives, posQueryId, posDocId,
       k, candidateFactor)
+
+  def domainEdges(df: DataFrame, pageUrl: Column, outlinkUrl: Column): DataFrame =
+    graft.graph.LinkRank.domainEdges(df, pageUrl, outlinkUrl)
+
+  def linkRank(edges: DataFrame, src: Column, dst: Column, iterations: Int,
+               dampNum: Long, dampDen: Long, scale: Long): DataFrame =
+    graft.graph.LinkRank.rank(edges, src, dst, iterations, dampNum, dampDen, scale)
 
   def editDistance1Pairs(df: DataFrame, id: Column, str: Column): DataFrame =
     graft.join.FuzzyJoin.editDistance1Pairs(df, id, str)
