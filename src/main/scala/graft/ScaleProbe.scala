@@ -69,7 +69,8 @@ object ScaleProbe {
       "bpe_encode", "boilerplate", "kmv_sketch", "containment",
       "jaccard_prefix", "streaming_seeded_state", "streaming_domain_cap_state",
       "int8_footprint", "bitsign_footprint", "soft_dedup_split", "novelty",
-      "dedup_index", "multimatch", "quality_cut", "bloom_index", "cms_sketch")
+      "dedup_index", "multimatch", "quality_cut", "bloom_index", "cms_sketch",
+      "link_rank", "snapshot_diff")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -988,6 +989,85 @@ object ScaleProbe {
         est.map(_.getLong(0)).sum
       }
       report("cms_sketch", stats, tCms)
+    }
+
+    // --- link rank: N disjoint replica subgraphs, per-iteration cost ------
+    // linear in edges; the fixed-point integer math makes the contract
+    // checkable: structurally identical replicas MUST produce identical
+    // rank vectors (require-asserted), so scale can never drift results
+    if (enabled("link_rank")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val e0 = amplify(docs.select(col("doc_id"), col("source")), n)
+        .select(concat(col("__rep"), lit("_"), col("source")).as("src"),
+          concat(col("__rep"), lit("_src"),
+            pmod(col("doc_id") * 7 + 3, lit(20))).as("dst"))
+      val (stats, tLr) = time {
+        val r = graft.graph.LinkRank.rank(e0, col("src"), col("dst"),
+          iterations = 3)
+        val suffixRanks = r.select(
+          substring_index(col("node"), "_", -1).as("suffix"), col("rank_fp"))
+          .distinct().count()
+        val suffixes = r.select(substring_index(col("node"), "_", -1))
+          .distinct().count()
+        require(suffixRanks == suffixes,
+          s"replica rank asymmetry: $suffixRanks distinct (suffix, rank) " +
+            s"vs $suffixes suffixes")
+        r.count()
+      }
+      report("link_rank", stats, tLr)
+    }
+
+    // --- snapshot diff: detection cost rides the MANIFESTS (rows = file
+    // count, not data volume); the incremental diff reads only the 2
+    // perturbed partitions of 32 and must agree with the full diff on
+    // every non-N row — the full diff is timed alongside as the referee
+    if (enabled("snapshot_diff")) {
+      // orders, not lineitem: the datagen's lineitem has no unique key
+      // (duplicate (orderkey, linenumber) pairs), and a diff id must be one
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val big = amplify(ord, n).select(
+        (col("o_orderkey") + col("__rep") * 1000000000L).as("id"),
+        col("o_custkey"), col("o_totalprice").as("v"),
+        pmod(col("o_orderkey"), lit(32)).as("pt"))
+      val right = big
+        .withColumn("v",
+          // modulus chosen so the (pt = 3, id % m = 0) intersection is
+          // non-empty (id % 10 = 0 never meets pt 3 under mod-32 keys)
+          when(col("pt") === 3 && col("id") % 3 === 0,
+            col("v") + 1.0).otherwise(col("v")))
+        .where(!(col("pt") === 7 && col("id") % 5 === 0))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snapprobe").toString
+      graft.diff.SnapshotDiff.writePartitionedWithManifest(
+        big, s"$root/left", Seq("pt"))
+      graft.diff.SnapshotDiff.writePartitionedWithManifest(
+        right, s"$root/right", Seq("pt"))
+      val (chg, tDetect) = time {
+        graft.diff.SnapshotDiff.changedPartitions(
+          graft.diff.SnapshotDiff.partitionManifestSummary(
+            spark, s"$root/left", Seq("pt")),
+          graft.diff.SnapshotDiff.partitionManifestSummary(
+            spark, s"$root/right", Seq("pt")),
+          Seq("pt")).where(col("status") =!= "unchanged").count()
+      }
+      require(chg == 2, s"expected exactly 2 changed partitions, got $chg")
+      val (incRows, tInc) = time {
+        graft.diff.SnapshotDiff.diffSnapshots(spark, s"$root/left",
+          s"$root/right", Seq("id"), Seq("pt"))
+          .where(col("diff") =!= "N").count()
+      }
+      val (fullRows, tFull) = time {
+        graft.diff.Diff.of(spark.read.parquet(s"$root/left"),
+          spark.read.parquet(s"$root/right"), "id")
+          .where(col("diff") =!= "N").count()
+      }
+      require(incRows == fullRows,
+        s"incremental diff lost rows: $incRows vs full $fullRows")
+      println(String.format(java.util.Locale.ROOT,
+        """{"probe":"snapshot_diff","n":%d,"rows":%d,"sec":%.2f,"detect_sec":%.2f,"full_sec":%.2f}""",
+        Int.box(n), Long.box(incRows), Double.box(tInc),
+        Double.box(tDetect), Double.box(tFull)))
     }
 
     spark.stop()
