@@ -68,6 +68,8 @@ __all__ = [
     "corpus_bucket_first", "near_dup_candidates_seeded_stream",
     "cap_per_domain_stream",
     "bpe_train", "bpe_encode", "bpe_token_count", "save_bpe", "load_bpe",
+    "wordpiece_train", "wordpiece_encode", "wordpiece_token_count",
+    "save_wordpiece", "load_wordpiece",
     "canonicalize_url", "url_host", "registrable_domain",
     "extract_urls", "with_link_stats",
     "dedup_by_canonical_url", "domain_stats", "weighted_sample_top_k",
@@ -579,6 +581,41 @@ def save_bpe(spark: SparkSession, model, path: str) -> None:
 def load_bpe(spark: SparkSession, path: str):
     """Load a model persisted by save_bpe (opaque model handle)."""
     return _bridge(spark.range(1)).loadBpe(spark._jsparkSession, str(path))
+
+
+def wordpiece_train(corpus: DataFrame, text: ColumnOrName, vocab_size: int,
+                    max_piece_len: int = 10, max_words: int = 1 << 20,
+                    min_freq: int = 1):
+    """Learn a WordPiece vocabulary (the greedy longest-match family, the
+    BERT runtime rule) from the corpus's ascii word-frequency table:
+    substring candidates scored by occurrence-weighted word frequency, all
+    single-char pieces kept, top rest by (score desc, piece asc) — integer
+    arithmetic end to end. Returns an opaque model handle."""
+    return _bridge(corpus).wordPieceTrain(
+        corpus._jdf, _jcol(text), int(vocab_size), int(max_piece_len),
+        int(max_words), int(min_freq))
+
+
+def wordpiece_encode(text: ColumnOrName, model) -> Column:
+    """Greedy longest-match piece stream (array<string>) of the
+    ascii-tokenized text; a position with no matching piece makes the whole
+    word [UNK]. One narrow kernel pass, streaming-legal."""
+    return _col_fn("wordPieceEncode", _jcol(text), model)
+
+
+def wordpiece_token_count(text: ColumnOrName, model) -> Column:
+    """Piece count per row — the token-budget / packing input."""
+    return _col_fn("wordPieceTokenCount", _jcol(text), model)
+
+
+def save_wordpiece(spark: SparkSession, model, path: str) -> None:
+    """Persist the piece vocabulary as a one-column parquet table."""
+    _bridge(spark.range(1)).saveWordPiece(spark._jsparkSession, model, str(path))
+
+
+def load_wordpiece(spark: SparkSession, path: str):
+    """Load a model persisted by save_wordpiece (opaque model handle)."""
+    return _bridge(spark.range(1)).loadWordPiece(spark._jsparkSession, str(path))
 
 
 def write_ordered_batches(df: DataFrame, batch_col: ColumnOrName,

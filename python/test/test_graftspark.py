@@ -1254,6 +1254,29 @@ class GraftsparkTest(unittest.TestCase):
         self.assertEqual(sorted(r["neg_rank"] for r in negs), [1, 2])
         self.assertNotIn(1, [r["doc_id"] for r in negs])
 
+    def test_pipeline_wordpiece(self):
+        from graftspark import pipeline as P
+        import tempfile
+        docs = self.spark.createDataFrame(
+            [(1, "the cat sat on the mat"), (2, "concatenation of categories"),
+             (3, "the dog sat")], ["id", "text"])
+        m = P.wordpiece_train(docs, "text", vocab_size=40)
+        toks = docs.select(
+            P.wordpiece_encode(col("text"), m).alias("p"),
+            P.wordpiece_token_count(col("text"), m).alias("n")).collect()
+        # training vocab never UNKs its own corpus; count matches the stream
+        for r in toks:
+            self.assertNotIn("[UNK]", r["p"])
+            self.assertEqual(len(r["p"]), r["n"])
+        d = tempfile.mkdtemp() + "/wp"
+        P.save_wordpiece(self.spark, m, d)
+        m2 = P.load_wordpiece(self.spark, d)
+        a = [r["p"] for r in docs.select(
+            P.wordpiece_encode(col("text"), m).alias("p")).collect()]
+        b = [r["p"] for r in docs.select(
+            P.wordpiece_encode(col("text"), m2).alias("p")).collect()]
+        self.assertEqual(a, b)
+
     def test_pipeline_snapshot_diff(self):
         from graftspark import pipeline as P
         import tempfile

@@ -1620,6 +1620,24 @@ object SparkEntry {
         concat_ws(" ", graft.text.Bpe.encode(col("text"), model)).as("bpe_text"))
     }),
 
+    // P96 WordPiece tokenizer: greedy longest-match-first segmentation
+    // against a vocab selected on the bounded word table; doc_id-derived
+    // planted words LONGER than maxPieceLen force genuine multi-piece
+    // paths. Fixture = independent python replication of the whole
+    // algorithm (word count -> substring scoring -> vocab cut -> greedy
+    // encode, tools/make_golden.py)
+    "wordpiece_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" frag"), col("doc_id"),
+          lit("mentation inter"), col("doc_id"), lit("ation")).as("tt"))
+      val model = graft.text.WordPiece.train(docs, col("tt"), vocabSize = 300)
+      docs.select(col("doc_id"),
+        size(graft.text.WordPiece.encode(col("tt"), model)).cast("long")
+          .as("n_wp_tokens"),
+        concat_ws(" ", graft.text.WordPiece.encode(col("tt"), model))
+          .as("wp_text"))
+    }),
+
     // link-density stats over text-embedded URLs (the link-farm/nav-page
     // quality signal): URLs planted in-plan (incl. a duplicate and
     // prose-boundary parens), extraction + counts + one IEEE division all
@@ -3817,6 +3835,10 @@ object SparkEntry {
       "bpe_tokens" ->
         ("SELECT doc_id, n_bpe_tokens, bpe_text " +
           s"FROM read_parquet('$goldenDir/bpe_tokens_sf001.parquet')"),
+
+      "wordpiece_tokens" ->
+        ("SELECT doc_id, n_wp_tokens, wp_text " +
+          s"FROM read_parquet('$goldenDir/wordpiece_tokens_sf001.parquet')"),
 
       // identical RE2 pattern text in both engines; counts exact integers,
       // link_density one IEEE division

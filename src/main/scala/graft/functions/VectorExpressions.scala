@@ -1995,6 +1995,113 @@ case class BpeEncodeTokens(child: Expression, merges: Array[Array[String]])
     copy(child = newChild)
 }
 
+/**
+ * Serializable WordPiece encoder shipped inside the plan (the BpeCoder
+ * pattern): the piece set plus a per-thread word→subwords memo. Encode is
+ * the BERT-runtime rule — greedy longest-match-first: the longest
+ * word-initial piece at position 0, then the longest `##`-continuation
+ * piece at each subsequent position; a position with NO matching piece
+ * makes the whole word `[UNK]` (cannot happen when every single character
+ * is in the vocab, which training guarantees for its own corpus).
+ */
+class WordPieceCoder(pieces: Array[String]) extends Serializable {
+  @transient private lazy val vocab: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](pieces.length * 2)
+    var i = 0
+    while (i < pieces.length) { s.add(pieces(i)); i += 1 }
+    s
+  }
+
+  /** Longest piece length in CHARACTERS of the word (## not counted) —
+    * bounds the greedy scan. */
+  @transient private lazy val maxLen: Int = {
+    var m = 1
+    var i = 0
+    while (i < pieces.length) {
+      val p = pieces(i)
+      val l = if (p.startsWith("##")) p.length - 2 else p.length
+      if (l > m) m = l
+      i += 1
+    }
+    m
+  }
+
+  @transient private lazy val memo =
+    new ThreadLocal[java.util.LinkedHashMap[String, Array[String]]] {
+      override def initialValue() =
+        new java.util.LinkedHashMap[String, Array[String]](1024, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, Array[String]]): Boolean =
+            size() > 65536
+        }
+    }
+
+  private val Unk = Array("[UNK]")
+
+  private def encodeWord(w: String): Array[String] = {
+    val cached = memo.get.get(w)
+    if (cached != null) return cached
+    val out = Array.newBuilder[String]
+    var i = 0
+    var failed = false
+    while (i < w.length && !failed) {
+      var j = math.min(w.length, i + maxLen)
+      var hit: String = null
+      while (hit == null && j > i) {
+        val cand = if (i == 0) w.substring(i, j) else "##" + w.substring(i, j)
+        if (vocab.contains(cand)) hit = cand else j -= 1
+      }
+      if (hit == null) failed = true
+      else { out += hit; i = j }
+    }
+    val res = if (failed) Unk else out.result()
+    memo.get.put(w, res)
+    res
+  }
+
+  /** Encode full text: ascii-tokenize, concatenate each word's pieces. */
+  def encode(text: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val words = VectorKernels.tokenizeAscii(text)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < words.length) {
+      val subs = encodeWord(words(i).toString)
+      var j = 0
+      while (j < subs.length) { out += UTF8String.fromString(subs(j)); j += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** wordpiece_encode(text): greedy longest-match subword stream of the
+  * ascii-tokenized text against a trained piece vocabulary — one narrow
+  * kernel pass, no shuffle. */
+case class WordPieceEncode(child: Expression, pieces: Array[String])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if pieces.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"wordpiece_encode expects string and a non-empty vocab, got ${t.sql}")
+  }
+
+  @transient private lazy val coder = new WordPieceCoder(pieces)
+
+  override def nullSafeEval(text: Any): Any =
+    coder.encode(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wpCoder", coder, "graft.functions.WordPieceCoder")
+    defineCodeGen(ctx, ev, a => s"$ref.encode($a)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** decode_html_entities(text): one-pass named + numeric character-
   * reference decode (see [[VectorKernels.decodeHtmlEntities]]). */
 case class DecodeHtmlEntities(child: Expression) extends UnaryExpression {
@@ -2742,6 +2849,9 @@ object vectors {
 
   def bpe_encode_tokens(text: Column, merges: Array[(String, String)]): Column =
     BpeEncodeTokens(text.asExpression, merges.map(p => Array(p._1, p._2))).asColumn
+
+  def wordpiece_encode(text: Column, pieces: Array[String]): Column =
+    WordPieceEncode(text.asExpression, pieces).asColumn
 
   def canonicalize_url(url: Column): Column =
     UrlKernel(url.asExpression, "canonicalize_url").asColumn

@@ -895,6 +895,29 @@ object PyBridge {
   def loadBpe(spark: SparkSession, path: String): graft.text.Bpe.BpeModel =
     graft.text.Bpe.loadBpe(spark, path)
 
+  def wordPieceTrain(corpus: DataFrame, text: Column, vocabSize: Int,
+                     maxPieceLen: Int, maxWords: Int,
+                     minFreq: Long): graft.text.WordPiece.WordPieceModel =
+    graft.text.WordPiece.train(corpus, text, vocabSize, maxPieceLen,
+      maxWords, minFreq)
+
+  def wordPieceEncode(c: Column,
+                      model: graft.text.WordPiece.WordPieceModel): Column =
+    graft.text.WordPiece.encode(c, model)
+
+  def wordPieceTokenCount(c: Column,
+                          model: graft.text.WordPiece.WordPieceModel): Column =
+    graft.text.WordPiece.tokenCount(c, model)
+
+  def saveWordPiece(spark: SparkSession,
+                    model: graft.text.WordPiece.WordPieceModel,
+                    path: String): Unit =
+    graft.text.WordPiece.saveWordPiece(spark, model, path)
+
+  def loadWordPiece(spark: SparkSession,
+                    path: String): graft.text.WordPiece.WordPieceModel =
+    graft.text.WordPiece.loadWordPiece(spark, path)
+
   def foldAccents(c: Column): Column = graft.text.TextFunctions.foldAccents(c)
 
   def scriptProfile(c: Column): Column = graft.functions.vectors.script_profile(c)

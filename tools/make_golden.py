@@ -1283,6 +1283,88 @@ def make_mask_fixture():
     print(f"mask_sf001.parquet: {len(ids)} rows")
 
 
+def make_wordpiece_fixture():
+    """Independent replication of graft.text.WordPiece train + encode:
+    word count -> substring scoring (every occurrence, word-initial as-is,
+    interior ##-prefixed, <= max_piece_len chars) -> vocab = all single-char
+    pieces + top (vocab_size - base) by (score desc, piece asc) -> greedy
+    longest-match-first encode. Integer arithmetic end to end."""
+    import re
+    import string
+    from collections import Counter
+
+    VOCAB_SIZE = 300
+    MAX_PIECE_LEN = 10
+    ascii_lower = str.maketrans(string.ascii_uppercase, string.ascii_lowercase)
+
+    def words_of(t):
+        return re.findall(r"[a-z0-9]+", (t or "").translate(ascii_lower))
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    # the datagen corpus has ~31 distinct words — plant doc_id-derived
+    # words LONGER than max_piece_len so multi-piece segmentation (and the
+    # greedy-scan length bound) is genuinely exercised; same suffix on the
+    # Spark side
+    aug = [(int(d), (t or "") + f" frag{int(d)}mentation inter{int(d)}ation")
+           for d, t in zip(docs.doc_id, docs.text)]
+    wc = Counter()
+    for _, t in aug:
+        wc.update(words_of(t))
+    items = sorted(wc.items(), key=lambda x: (-x[1], x[0]))[:1 << 20]
+
+    score = Counter()
+    for w, c in items:
+        for i in range(len(w)):
+            for j in range(i + 1, min(len(w), i + MAX_PIECE_LEN) + 1):
+                piece = w[i:j] if i == 0 else "##" + w[i:j]
+                score[piece] += c
+    base = [p for p in score
+            if (len(p) - 2 if p.startswith("##") else len(p)) == 1]
+    rest = [(p, s) for p, s in score.items() if p not in set(base)]
+    top = [p for p, _ in sorted(rest, key=lambda kv: (-kv[1], kv[0]))
+           [:VOCAB_SIZE - len(base)]]
+    vocab = set(base) | set(top)
+    max_len = max((len(p) - 2 if p.startswith("##") else len(p))
+                  for p in vocab)
+
+    memo = {}
+
+    def encode_word(w):
+        if w in memo:
+            return memo[w]
+        out, i = [], 0
+        while i < len(w):
+            hit = None
+            for j in range(min(len(w), i + max_len), i, -1):
+                cand = w[i:j] if i == 0 else "##" + w[i:j]
+                if cand in vocab:
+                    hit = cand
+                    break
+            if hit is None:
+                out = ["[UNK]"]
+                break
+            out.append(hit)
+            i += (len(hit) - 2 if hit.startswith("##") else len(hit))
+        memo[w] = out
+        return out
+
+    ids, counts, texts = [], [], []
+    for doc_id, t in aug:
+        toks = [s for w in words_of(t) for s in encode_word(w)]
+        ids.append(doc_id)
+        counts.append(len(toks))
+        texts.append(" ".join(toks))
+    table = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_wp_tokens": pa.array(counts, pa.int64()),
+        "wp_text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(table, f"{OUT}/wordpiece_tokens_sf001.parquet")
+    print(f"wordpiece_tokens_sf001.parquet: {len(ids)} rows, "
+          f"vocab {len(vocab)}")
+
+
 if __name__ == "__main__":
     make_images_fixture()
     make_audio_fixture()
@@ -1291,6 +1373,7 @@ if __name__ == "__main__":
     make_mojibake_fixture()
     make_cdc_fixture()
     make_bpe_fixture()
+    make_wordpiece_fixture()
     make_url_fixture()
     make_deflate_fixture()
     make_mask_fixture()
