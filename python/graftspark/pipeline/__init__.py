@@ -88,6 +88,8 @@ __all__ = [
     "domain_edges", "link_rank",
     "write_partitioned_with_manifest", "partition_manifest_summary",
     "snapshot_changed_partitions", "diff_snapshots",
+    "jsonl_read_validated", "jsonl_parse_lines", "jsonl_good",
+    "jsonl_quarantine",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -616,6 +618,36 @@ def save_wordpiece(spark: SparkSession, model, path: str) -> None:
 def load_wordpiece(spark: SparkSession, path: str):
     """Load a model persisted by save_wordpiece (opaque model handle)."""
     return _bridge(spark.range(1)).loadWordPiece(spark._jsparkSession, str(path))
+
+
+def jsonl_read_validated(spark, path: str, schema_ddl: str) -> DataFrame:
+    """Read a JSONL path against a DECLARED schema (DDL string, e.g.
+    "doc_id BIGINT, lang STRING"): declared fields expanded plus
+    _corrupt_record (null for clean rows, the verbatim line otherwise).
+    Split with jsonl_good / jsonl_quarantine."""
+    jdf = _bridge(spark.range(1)).jsonlReadValidated(
+        spark._jsparkSession, str(path), str(schema_ddl))
+    return DataFrame(jdf, spark)
+
+
+def jsonl_parse_lines(df: DataFrame, line: ColumnOrName,
+                      schema_ddl: str) -> DataFrame:
+    """Parse an existing line column against a declared schema — the same
+    contract as jsonl_read_validated, streaming-legal."""
+    jdf = _bridge(df).jsonlParseLines(df._jdf, _jcol(line), str(schema_ddl))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def jsonl_good(parsed: DataFrame) -> DataFrame:
+    """The clean channel: fully parsed rows, corrupt column dropped."""
+    return DataFrame(_bridge(parsed).jsonlGood(parsed._jdf),
+                     parsed.sparkSession)
+
+
+def jsonl_quarantine(parsed: DataFrame) -> DataFrame:
+    """The quarantine channel: the verbatim offending lines."""
+    return DataFrame(_bridge(parsed).jsonlQuarantine(parsed._jdf),
+                     parsed.sparkSession)
 
 
 def write_ordered_batches(df: DataFrame, batch_col: ColumnOrName,

@@ -1254,6 +1254,24 @@ class GraftsparkTest(unittest.TestCase):
         self.assertEqual(sorted(r["neg_rank"] for r in negs), [1, 2])
         self.assertNotIn(1, [r["doc_id"] for r in negs])
 
+    def test_pipeline_jsonl(self):
+        from graftspark import pipeline as P
+        import tempfile
+        d = tempfile.mkdtemp()
+        with open(d + "/x.jsonl", "w") as f:
+            f.write('{"id": 1, "name": "a"}\n')
+            f.write('{"id": 2}\n')
+            f.write('broken {\n')
+            f.write('{"id": "nope", "name": "c"}\n')
+        parsed = P.jsonl_read_validated(self.spark, d + "/x.jsonl",
+                                        "id BIGINT, name STRING")
+        good = P.jsonl_good(parsed).orderBy("id").collect()
+        self.assertEqual([r["id"] for r in good], [1, 2])
+        self.assertIsNone(good[1]["name"])  # missing field stays clean
+        bad = sorted(r["line"] for r in P.jsonl_quarantine(parsed).collect())
+        # malformed syntax AND the type-mismatched id are both flagged
+        self.assertEqual(bad, ['broken {', '{"id": "nope", "name": "c"}'])
+
     def test_pipeline_wordpiece(self):
         from graftspark import pipeline as P
         import tempfile

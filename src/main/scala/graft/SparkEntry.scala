@@ -1620,6 +1620,33 @@ object SparkEntry {
         concat_ws(" ", graft.text.Bpe.encode(col("text"), model)).as("bpe_text"))
     }),
 
+    // P97 validated JSONL ingest: every line either parses against the
+    // DECLARED schema or lands verbatim in quarantine. The fixture carries
+    // only SYNTAX-level corruption (truncated objects + garbage), so
+    // Spark's PERMISSIVE corrupt set and DuckDB's json_valid() agree
+    // exactly; type-mismatch flagging (where engines differ) is sbt-pinned
+    "jsonl_parse" -> ((s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang", StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType)))
+      graft.sources.Jsonl.good(graft.sources.Jsonl.readValidated(
+        s, s"$goldenDir/docs_sf001.jsonl", schema))
+    }),
+
+    "jsonl_quarantine" -> ((s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang", StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType)))
+      graft.sources.Jsonl.quarantine(graft.sources.Jsonl.readValidated(
+        s, s"$goldenDir/docs_sf001.jsonl", schema))
+    }),
+
     // P96 WordPiece tokenizer: greedy longest-match-first segmentation
     // against a vocab selected on the bounded word table; doc_id-derived
     // planted words LONGER than maxPieceLen force genuine multi-piece
@@ -3839,6 +3866,19 @@ object SparkEntry {
       "wordpiece_tokens" ->
         ("SELECT doc_id, n_wp_tokens, wp_text " +
           s"FROM read_parquet('$goldenDir/wordpiece_tokens_sf001.parquet')"),
+
+      "jsonl_parse" ->
+        ("SELECT CAST(json_extract(line, '$.doc_id') AS BIGINT) AS doc_id, " +
+          "json_extract_string(line, '$.lang') AS lang, " +
+          "CAST(json_extract(line, '$.n_chars') AS BIGINT) AS n_chars " +
+          s"FROM read_csv('$goldenDir/docs_sf001.jsonl', " +
+          "columns={'line':'VARCHAR'}, delim=chr(1), quote='', escape='', " +
+          "header=false) WHERE json_valid(line)"),
+
+      "jsonl_quarantine" ->
+        (s"SELECT line FROM read_csv('$goldenDir/docs_sf001.jsonl', " +
+          "columns={'line':'VARCHAR'}, delim=chr(1), quote='', escape='', " +
+          "header=false) WHERE NOT json_valid(line)"),
 
       // identical RE2 pattern text in both engines; counts exact integers,
       // link_density one IEEE division

@@ -918,6 +918,19 @@ object PyBridge {
                     path: String): graft.text.WordPiece.WordPieceModel =
     graft.text.WordPiece.loadWordPiece(spark, path)
 
+  def jsonlReadValidated(spark: SparkSession, path: String, ddl: String): DataFrame =
+    graft.sources.Jsonl.readValidated(spark, path,
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+
+  def jsonlParseLines(df: DataFrame, line: Column, ddl: String): DataFrame =
+    graft.sources.Jsonl.parseLines(df, line,
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+
+  def jsonlGood(df: DataFrame): DataFrame = graft.sources.Jsonl.good(df)
+
+  def jsonlQuarantine(df: DataFrame): DataFrame =
+    graft.sources.Jsonl.quarantine(df)
+
   def foldAccents(c: Column): Column = graft.text.TextFunctions.foldAccents(c)
 
   def scriptProfile(c: Column): Column = graft.functions.vectors.script_profile(c)

@@ -1283,6 +1283,27 @@ def make_mask_fixture():
     print(f"mask_sf001.parquet: {len(ids)} rows")
 
 
+def make_jsonl_fixture():
+    """JSONL ingest fixture: one line per sf document (doc_id, lang,
+    n_chars); every 10th line truncated mid-object plus two planted garbage
+    lines — ONLY syntax-level corruption, so Spark's PERMISSIVE corrupt set
+    and DuckDB's json_valid() agree exactly (type-mismatch flagging is
+    sbt-pinned instead, where the engines' notions differ)."""
+    import json
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"]).to_pandas()
+    lines = []
+    for d, l, n in zip(docs.doc_id, docs.lang, docs.n_chars):
+        line = json.dumps({"doc_id": int(d), "lang": str(l),
+                           "n_chars": int(n)}, separators=(", ", ": "))
+        lines.append(line[:-2] if int(d) % 10 == 0 else line)
+    lines.append("garbage line one")
+    lines.append('{"doc_id": oops}')
+    with open(f"{OUT}/docs_sf001.jsonl", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"docs_sf001.jsonl: {len(lines)} lines")
+
+
 def make_wordpiece_fixture():
     """Independent replication of graft.text.WordPiece train + encode:
     word count -> substring scoring (every occurrence, word-initial as-is,
@@ -1374,6 +1395,7 @@ if __name__ == "__main__":
     make_cdc_fixture()
     make_bpe_fixture()
     make_wordpiece_fixture()
+    make_jsonl_fixture()
     make_url_fixture()
     make_deflate_fixture()
     make_mask_fixture()
