@@ -90,6 +90,7 @@ __all__ = [
     "snapshot_changed_partitions", "diff_snapshots",
     "jsonl_read_validated", "jsonl_parse_lines", "jsonl_good",
     "jsonl_quarantine",
+    "streaming_top_keys_per_window",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -618,6 +619,22 @@ def save_wordpiece(spark: SparkSession, model, path: str) -> None:
 def load_wordpiece(spark: SparkSession, path: str):
     """Load a model persisted by save_wordpiece (opaque model handle)."""
     return _bridge(spark.range(1)).loadWordPiece(spark._jsparkSession, str(path))
+
+
+def streaming_top_keys_per_window(stream: DataFrame, key: ColumnOrName,
+                                  event_time_column: str,
+                                  window_duration: str, watermark_delay: str,
+                                  k: int, capacity: int) -> DataFrame:
+    """Streaming windowed heavy hitters with BOUNDED per-window state (a
+    Misra-Gries summary of `capacity` counters, merged per micro-batch with
+    the order-insensitive mergeable rule). A window's top k (count desc,
+    key asc) rows emit once, when the watermark passes the window end ->
+    (window_start, rank, key, est_count). Estimates never exceed truth;
+    keys with frequency > total/(capacity+1) always survive."""
+    jdf = _bridge(stream).streamingTopKeysPerWindow(
+        stream._jdf, _jcol(key), str(event_time_column),
+        str(window_duration), str(watermark_delay), int(k), int(capacity))
+    return DataFrame(jdf, stream.sparkSession)
 
 
 def jsonl_read_validated(spark, path: str, schema_ddl: str) -> DataFrame:

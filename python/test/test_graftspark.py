@@ -1543,6 +1543,35 @@ class GraftsparkTest(unittest.TestCase):
         out = P.drain_to_parquet(deduped, d + "/out", d + "/cp")
         self.assertEqual(sorted(r["id"] for r in out.collect()), [1, 2, 4])
 
+    def test_pipeline_streaming_heavy_hitters(self):
+        from datetime import datetime, timezone
+        from graftspark import pipeline as P
+        from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                       StructType, TimestampType)
+        base = datetime(2021, 1, 1, tzinfo=timezone.utc).timestamp()
+
+        def ts(s):
+            return datetime.fromtimestamp(base + s, tz=timezone.utc)
+
+        # window [0, 60): a x3, b x1; the far-future row closes it
+        rows = [("a", ts(1), 0), ("b", ts(2), 0), ("a", ts(3), 0),
+                ("a", ts(4), 1), ("zz", ts(7200), 2)]
+        schema = StructType([
+            StructField("key", StringType()), StructField("ts", TimestampType()),
+            StructField("b", IntegerType())])
+        df = self.spark.createDataFrame(rows, schema)
+        d = tempfile.mkdtemp()
+        schema_json = P.write_ordered_batches(df, col("b"), 3, d + "/in")
+        stream = P.read_ordered_batches(self.spark, d + "/in", schema_json)
+        hh = P.streaming_top_keys_per_window(
+            stream, col("key"), "ts", "1 minute", "0 seconds",
+            k=2, capacity=8)
+        out = P.drain_to_parquet(hh, d + "/out", d + "/cp",
+                                 await_no_data_batch=True)
+        got = sorted((r["rank"], r["key"], r["est_count"])
+                     for r in out.where(col("key") != "zz").collect())
+        self.assertEqual(got, [(1, "a", 3), (2, "b", 1)])
+
     def test_pipeline_jaccard_prefix(self):
         from graftspark import pipeline as P
         base = ("doc words alpha beta gamma delta epsilon zeta eta theta "

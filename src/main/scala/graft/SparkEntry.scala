@@ -1028,6 +1028,32 @@ object SparkEntry {
           col("rep_bigram_fraction"))
     }),
 
+    // P98: streaming windowed heavy hitters — bounded Misra-Gries state
+    // per window, emitted on watermark close. The gate runs the EXACT
+    // degenerate config (capacity >= the window's distinct keys, where the
+    // summary IS the count table and batching provably cannot matter); the
+    // bounded-capacity MG bounds are sbt-pinned in StreamingTopKSuite
+    "streaming_heavy_hitters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source").as("key"))
+        .withColumn("ts",
+          timestamp_seconds(lit(1000000000L) + (col("doc_id") % 120)))
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val flush = docs.sparkSession.range(1).select(
+        lit(-1L).as("doc_id"), lit("zz").as("key"),
+        timestamp_seconds(lit(1100000000L)).as("ts"))
+      val staged = docs.unionAll(flush)
+      val batchC = when(col("doc_id") < 0, lit(2))
+        .otherwise(least(floor(col("doc_id") * 2 / (maxId + 1)), lit(1))).cast("int")
+      streamReplay(s, staged, batchC, 3, awaitNoDataBatch = true)(st =>
+        graft.streaming.StreamingTopK.topKeysPerWindow(
+          st, col("key"), "ts", "1 minute", "0 seconds",
+          k = 5, capacity = 64).toDF())
+        .filter(col("key") =!= "zz")
+        .select(unix_timestamp(col("window_start")).as("window_start"),
+          col("rank"), col("key"), col("est_count"))
+    }),
+
     // P38: streaming MinHash near-dup candidates + the documented per-batch
     // exact-Jaccard verify; output = docs flagged as a verified near-dup of
     // an EARLIER doc (the streaming dedup decision)
@@ -3446,6 +3472,14 @@ object SparkEntry {
           "WHERE doc_id IN (SELECT doc_id FROM l3)) " +
           "SELECT doc_id FROM fp " +
           "QUALIFY ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) = 1"),
+
+      "streaming_heavy_hitters" ->
+        ("WITH m AS (SELECT (1000000000 + doc_id % 120) // 60 * 60 AS window_start, " +
+          "source AS key FROM documents), " +
+          "c AS (SELECT window_start, key, COUNT(*) AS est_count FROM m GROUP BY 1, 2) " +
+          "SELECT CAST(window_start AS BIGINT) AS window_start, CAST(rn AS INT) AS rank, " +
+          "key, est_count FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start " +
+          "ORDER BY est_count DESC, key) AS rn FROM c) x WHERE rn <= 5"),
 
       "streaming_quality" ->
         ("WITH tok AS (SELECT doc_id, [x for x in string_split_regex(lower(text), '[^a-z0-9]+') if x <> ''] AS toks FROM documents), " +

@@ -918,6 +918,13 @@ object PyBridge {
                     path: String): graft.text.WordPiece.WordPieceModel =
     graft.text.WordPiece.loadWordPiece(spark, path)
 
+  def streamingTopKeysPerWindow(df: DataFrame, key: Column,
+                                eventTimeColumn: String, windowDuration: String,
+                                watermarkDelay: String, k: Int,
+                                capacity: Int): DataFrame =
+    graft.streaming.StreamingTopK.topKeysPerWindow(df, key, eventTimeColumn,
+      windowDuration, watermarkDelay, k, capacity).toDF()
+
   def jsonlReadValidated(spark: SparkSession, path: String, ddl: String): DataFrame =
     graft.sources.Jsonl.readValidated(spark, path,
       org.apache.spark.sql.types.StructType.fromDDL(ddl))
