@@ -46,6 +46,7 @@ __all__ = [
     "histogram", "with_row_numbers", "UnpersistHandle", "unpersist_handle",
     "job_description", "append_job_description", "create_temporary_dir",
     "install_pip_package", "install_poetry_project",
+    "register_extensions",
 ]
 
 _jar_checked = False
@@ -88,6 +89,14 @@ def _get_jvm(obj: Any):
 
 def _bridge(obj: Any):
     return _get_jvm(obj).graft.python.PyBridge
+
+
+def register_extensions(spark) -> None:
+    """Register the graft SQL kernel functions AND the Bloom-skip optimizer
+    rule on a LIVE session — the config-free twin of
+    spark.sql.extensions=graft.GraftExtensions. Idempotent."""
+    _get_jvm(spark.range(1)).graft.GraftExtensions.registerAll(
+        spark._jsparkSession)
 
 
 def _to_java_columns(cols: Iterable[ColumnOrName]) -> list:

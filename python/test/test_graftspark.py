@@ -1254,6 +1254,25 @@ class GraftsparkTest(unittest.TestCase):
         self.assertEqual(sorted(r["neg_rank"] for r in negs), [1, 2])
         self.assertNotIn(1, [r["doc_id"] for r in negs])
 
+    def test_register_extensions_bloom_skip(self):
+        import graftspark as G
+        from graftspark import pipeline as P
+        import tempfile
+        d = tempfile.mkdtemp() + "/d"
+        df = self.spark.range(0, 4000).select(
+            col("id").alias("key"), (col("id") % 7).alias("v"))
+        df.repartitionByRange(8, col("key")).write.parquet(d)
+        P.write_bloom_index(self.spark, d, "key", log_bits=16, k=5)
+        G.register_extensions(self.spark)
+        G.register_extensions(self.spark)  # idempotent
+        q = self.spark.read.parquet(d).where(col("key") == 1234)
+        # the transparent rule prunes AND the answer is exact
+        self.assertEqual([r["key"] for r in q.collect()], [1234])
+        # the SQL kernels rode along with the same registration call
+        got = self.spark.sql(
+            "SELECT decode_html_entities('a&amp;b') AS s").head()["s"]
+        self.assertEqual(got, "a&b")
+
     def test_pipeline_jsonl(self):
         from graftspark import pipeline as P
         import tempfile

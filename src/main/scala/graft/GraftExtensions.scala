@@ -27,8 +27,12 @@ import graft.text.Redact
  * they parameterize the generated code and cannot vary per row.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // tier (c): transparent Bloom-sidecar file skipping for plain
+    // equality/IN filters (disable with spark.graft.bloomSkip.enabled=false)
+    ext.injectOptimizerRule(_ => graft.plans.BloomSkipRule)
+  }
 }
 
 object GraftExtensions {
@@ -325,5 +329,10 @@ object GraftExtensions {
     functions.foreach { case (ident, info, builder) =>
       registry.registerFunction(ident, info, builder)
     }
+    // live-session path for the optimizer rule (config-based sessions get
+    // it through injectOptimizerRule above)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.BloomSkipRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BloomSkipRule
   }
 }

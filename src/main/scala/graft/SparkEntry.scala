@@ -1646,6 +1646,41 @@ object SparkEntry {
         concat_ws(" ", graft.text.Bpe.encode(col("text"), model)).as("bpe_text"))
     }),
 
+    // P91b transparent Bloom-sidecar data skipping (the Rule[LogicalPlan]
+    // tier): a PLAIN equality/IN filter against an indexed directory scans
+    // only surviving files — the pruning is require-asserted in-plan, the
+    // oracle checks the unchanged RESULTS (false positives cost IO only,
+    // the guard filter answers)
+    "bloom_skip_rule" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_bloomrule").toString + "/d"
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .repartitionByRange(16, col("l_orderkey"))
+        .write.mode("overwrite").parquet(root)
+      graft.parquet.BloomIndex.writeBloomIndex(s, root, "l_orderkey",
+        logBits = 18, k = 5)
+      val before = s.experimental.extraOptimizations
+      s.experimental.extraOptimizations = before :+ graft.plans.BloomSkipRule
+      try {
+        val q = s.read.parquet(root).filter(col("l_orderkey").isin(325L, 48000L))
+        val scanned = q.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.length
+              case _ => 0
+            }
+        }.sum
+        require(scanned > 0 && scanned < 16,
+          s"bloom skip rule did not prune: $scanned of 16 files scanned")
+        // materialize under the rule, so the gate result IS the pruned read
+        val rows = q.collect()
+        s.createDataFrame(
+          java.util.Arrays.asList(rows: _*), q.schema)
+      } finally s.experimental.extraOptimizations = before
+    }),
+
     // P97 validated JSONL ingest: every line either parses against the
     // DECLARED schema or lands verbatim in quarantine. The fixture carries
     // only SYNTAX-level corruption (truncated objects + garbage), so
@@ -3900,6 +3935,10 @@ object SparkEntry {
       "wordpiece_tokens" ->
         ("SELECT doc_id, n_wp_tokens, wp_text " +
           s"FROM read_parquet('$goldenDir/wordpiece_tokens_sf001.parquet')"),
+
+      "bloom_skip_rule" ->
+        ("SELECT l_orderkey, l_partkey, l_quantity FROM lineitem " +
+          "WHERE l_orderkey IN (325, 48000)"),
 
       "jsonl_parse" ->
         ("SELECT CAST(json_extract(line, '$.doc_id') AS BIGINT) AS doc_id, " +
