@@ -1272,6 +1272,15 @@ class GraftsparkTest(unittest.TestCase):
         got = self.spark.sql(
             "SELECT decode_html_entities('a&amp;b') AS s").head()["s"]
         self.assertEqual(got, "a&b")
+        # the zone-skip twin (opt-in conf) answers range lookups exactly
+        self.spark.conf.set("spark.graft.zoneSkip.enabled", "true")
+        try:
+            zq = self.spark.read.parquet(d).where(
+                (col("key") >= 100) & (col("key") < 110))
+            self.assertEqual(sorted(r["key"] for r in zq.collect()),
+                             list(range(100, 110)))
+        finally:
+            self.spark.conf.unset("spark.graft.zoneSkip.enabled")
 
     def test_pipeline_jsonl(self):
         from graftspark import pipeline as P

@@ -29,9 +29,11 @@ import graft.text.Redact
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
-    // tier (c): transparent Bloom-sidecar file skipping for plain
-    // equality/IN filters (disable with spark.graft.bloomSkip.enabled=false)
+    // tier (c): transparent file skipping — Bloom sidecar for equality/IN
+    // (disable with spark.graft.bloomSkip.enabled=false) and footer zone
+    // maps for ranges (opt-in via spark.graft.zoneSkip.enabled=true)
     ext.injectOptimizerRule(_ => graft.plans.BloomSkipRule)
+    ext.injectOptimizerRule(_ => graft.plans.ZoneSkipRule)
   }
 }
 
@@ -331,8 +333,10 @@ object GraftExtensions {
     }
     // live-session path for the optimizer rule (config-based sessions get
     // it through injectOptimizerRule above)
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.BloomSkipRule))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.BloomSkipRule
+    Seq(graft.plans.BloomSkipRule, graft.plans.ZoneSkipRule).foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+    }
   }
 }

@@ -1681,6 +1681,40 @@ object SparkEntry {
       } finally s.experimental.extraOptimizations = before
     }),
 
+    // P79b transparent zone-map skipping for RANGE predicates (footer
+    // stats, no sidecar, no staleness question — opt-in conf): pruning
+    // require-asserted in-plan, oracle checks the unchanged results
+    "zone_skip_rule" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_zonerule").toString + "/d"
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .repartitionByRange(16, col("l_orderkey"))
+        .write.mode("overwrite").parquet(root)
+      val before = s.experimental.extraOptimizations
+      s.experimental.extraOptimizations = before :+ graft.plans.ZoneSkipRule
+      s.conf.set("spark.graft.zoneSkip.enabled", "true")
+      try {
+        val q = s.read.parquet(root)
+          .filter(col("l_orderkey") >= 5000L && col("l_orderkey") < 5700L)
+        val scanned = q.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.inputFiles.length
+              case _ => 0
+            }
+        }.sum
+        require(scanned > 0 && scanned < 16,
+          s"zone skip rule did not prune: $scanned of 16 files scanned")
+        val rows = q.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), q.schema)
+      } finally {
+        s.conf.unset("spark.graft.zoneSkip.enabled")
+        s.experimental.extraOptimizations = before
+      }
+    }),
+
     // P97 validated JSONL ingest: every line either parses against the
     // DECLARED schema or lands verbatim in quarantine. The fixture carries
     // only SYNTAX-level corruption (truncated objects + garbage), so
@@ -3939,6 +3973,10 @@ object SparkEntry {
       "bloom_skip_rule" ->
         ("SELECT l_orderkey, l_partkey, l_quantity FROM lineitem " +
           "WHERE l_orderkey IN (325, 48000)"),
+
+      "zone_skip_rule" ->
+        ("SELECT l_orderkey, l_partkey, l_quantity FROM lineitem " +
+          "WHERE l_orderkey >= 5000 AND l_orderkey < 5700"),
 
       "jsonl_parse" ->
         ("SELECT CAST(json_extract(line, '$.doc_id') AS BIGINT) AS doc_id, " +
