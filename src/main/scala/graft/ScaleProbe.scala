@@ -70,7 +70,7 @@ object ScaleProbe {
       "jaccard_prefix", "streaming_seeded_state", "streaming_domain_cap_state",
       "int8_footprint", "bitsign_footprint", "soft_dedup_split", "novelty",
       "dedup_index", "multimatch", "quality_cut", "bloom_index", "cms_sketch",
-      "link_rank", "snapshot_diff")
+      "link_rank", "snapshot_diff", "wordpiece_encode", "streaming_topk_state")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -821,6 +821,20 @@ object ScaleProbe {
       report("bpe_encode", nTok, tEnc)
     }
 
+    // --- wordpiece encode: same narrow-kernel linearity claim as bpe ----
+    if (enabled("wordpiece_encode")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val model = graft.text.WordPiece.train(docs, col("text"), vocabSize = 300)
+      val big = amplify(docs, n).select(
+        (col("doc_id") + col("__rep") * 1000000L).as("doc_id"),
+        concat(col("text"), lit(" r"), col("__rep").cast("string")).as("text"))
+      val (nTok, tEnc) = time {
+        big.select(sum(size(graft.text.WordPiece.encode(col("text"), model))).as("n"))
+          .head().getLong(0)
+      }
+      report("wordpiece_encode", nTok, tEnc)
+    }
+
     // --- boilerplate line removal: the anti-join's hot-hash stress -------
     // every amplified doc carries the same header line (the most skewed
     // hash possible: one line hash owning N*|docs| exploded rows on the
@@ -989,6 +1003,26 @@ object ScaleProbe {
         est.map(_.getLong(0)).sum
       }
       report("cms_sketch", stats, tCms)
+    }
+
+    // --- streaming top-k: state rows == OPEN WINDOWS, never keys --------
+    // the operator's whole claim: amplification multiplies the distinct
+    // keys N-fold, but the state store holds ONE row per open window (the
+    // bounded MG summary lives inside it); the flush batch closes the
+    // window and leaves at most the flush row's own window behind
+    if (enabled("streaming_topk_state")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val bigKeys = amplify(docs, n).select(
+        concat(lit("k"), (col("doc_id") + col("__rep") * 1000000L)).as("key"))
+        .withColumn("ts", timestamp_seconds(lit(1000000020L)))
+      val flush = spark.range(1).select(lit("zz").as("key"),
+        timestamp_seconds(lit(1000000020L + 400L * 86400L)).as("ts"))
+      streamStateProbe("streaming_topk_state", bigKeys.unionByName(flush),
+        when(col("key") === "zz", 1).otherwise(0).cast("int"),
+        expectedBuckets = 1, flushBuckets = 1)(st =>
+        graft.streaming.StreamingTopK.topKeysPerWindow(
+          st, col("key"), "ts", "1 minute", "0 seconds",
+          k = 10, capacity = 64).toDF())
     }
 
     // --- link rank: N disjoint replica subgraphs, per-iteration cost ------
