@@ -89,7 +89,7 @@ __all__ = [
     "write_partitioned_with_manifest", "partition_manifest_summary",
     "snapshot_changed_partitions", "diff_snapshots",
     "jsonl_read_validated", "jsonl_parse_lines", "jsonl_good",
-    "jsonl_quarantine",
+    "jsonl_quarantine", "csv_read_validated", "csv_parse_lines",
     "streaming_top_keys_per_window",
 ]
 
@@ -619,6 +619,33 @@ def save_wordpiece(spark: SparkSession, model, path: str) -> None:
 def load_wordpiece(spark: SparkSession, path: str):
     """Load a model persisted by save_wordpiece (opaque model handle)."""
     return _bridge(spark.range(1)).loadWordPiece(spark._jsparkSession, str(path))
+
+
+def _jstrmap(spark, d):
+    jmap = spark._jvm.java.util.HashMap()
+    for k, v in (d or {}).items():
+        jmap.put(str(k), str(v))
+    return jmap
+
+
+def csv_read_validated(spark, path: str, schema_ddl: str,
+                       options=None) -> DataFrame:
+    """The CSV twin of jsonl_read_validated: declared fields +
+    _corrupt_record. CSV being positional, an arity mismatch flags the
+    record (unlike JSONL's null-for-absent-key). options passes dialect
+    knobs (sep, quote, ...)."""
+    jdf = _bridge(spark.range(1)).csvReadValidated(
+        spark._jsparkSession, str(path), str(schema_ddl),
+        _jstrmap(spark, options))
+    return DataFrame(jdf, spark)
+
+
+def csv_parse_lines(df: DataFrame, line: ColumnOrName, schema_ddl: str,
+                    options=None) -> DataFrame:
+    """Parse an existing CSV line column — streaming-legal."""
+    jdf = _bridge(df).csvParseLines(df._jdf, _jcol(line), str(schema_ddl),
+                                    _jstrmap(df.sparkSession, options))
+    return DataFrame(jdf, df.sparkSession)
 
 
 def streaming_top_keys_per_window(stream: DataFrame, key: ColumnOrName,

@@ -1300,6 +1300,21 @@ class GraftsparkTest(unittest.TestCase):
         # malformed syntax AND the type-mismatched id are both flagged
         self.assertEqual(bad, ['broken {', '{"id": "nope", "name": "c"}'])
 
+    def test_pipeline_csv(self):
+        from graftspark import pipeline as P
+        import tempfile
+        d = tempfile.mkdtemp()
+        with open(d + "/x.csv", "w") as f:
+            f.write("1,a,1.0\n2,b\nx,c,3.0\n")
+        parsed = P.csv_read_validated(self.spark, d + "/x.csv",
+                                      "id BIGINT, name STRING, score DOUBLE")
+        self.assertEqual(
+            [r["id"] for r in P.jsonl_good(parsed).orderBy("id").collect()],
+            [1])
+        bad = sorted(r["line"] for r in P.jsonl_quarantine(parsed).collect())
+        # arity mismatch AND type mismatch both flag (CSV is positional)
+        self.assertEqual(bad, ["2,b", "x,c,3.0"])
+
     def test_pipeline_wordpiece(self):
         from graftspark import pipeline as P
         import tempfile

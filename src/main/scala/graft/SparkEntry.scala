@@ -1742,6 +1742,31 @@ object SparkEntry {
         s, s"$goldenDir/docs_sf001.jsonl", schema))
     }),
 
+    // P97b validated CSV ingest (the positional twin): arity-only fixture
+    // corruption, where PERMISSIVE from_csv and read_csv(ignore_errors)
+    // provably agree; type-mismatch flagging is sbt-pinned
+    "csv_parse" -> ((s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang", StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType)))
+      graft.sources.Csvl.good(graft.sources.Csvl.readValidated(
+        s, s"$goldenDir/docs_sf001.csv", schema))
+    }),
+
+    "csv_quarantine" -> ((s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang", StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType)))
+      graft.sources.Csvl.quarantine(graft.sources.Csvl.readValidated(
+        s, s"$goldenDir/docs_sf001.csv", schema))
+    }),
+
     // P96 WordPiece tokenizer: greedy longest-match-first segmentation
     // against a vocab selected on the bounded word table; doc_id-derived
     // planted words LONGER than maxPieceLen force genuine multi-piece
@@ -3990,6 +4015,19 @@ object SparkEntry {
         (s"SELECT line FROM read_csv('$goldenDir/docs_sf001.jsonl', " +
           "columns={'line':'VARCHAR'}, delim=chr(1), quote='', escape='', " +
           "header=false) WHERE NOT json_valid(line)"),
+
+      // auto_detect=false: DuckDB's sniffer balks at 10% planted-malformed
+      // lines; the dialect is fixed anyway
+      "csv_parse" ->
+        (s"SELECT doc_id, lang, n_chars FROM read_csv('$goldenDir/docs_sf001.csv', " +
+          "columns={'doc_id':'BIGINT','lang':'VARCHAR','n_chars':'BIGINT'}, " +
+          "header=false, ignore_errors=true, null_padding=false, " +
+          "auto_detect=false, delim=',', quote='\"', escape='\"')"),
+
+      "csv_quarantine" ->
+        (s"SELECT line FROM read_csv('$goldenDir/docs_sf001.csv', " +
+          "columns={'line':'VARCHAR'}, delim=chr(1), quote='', escape='', " +
+          "header=false) WHERE len(string_split(line, ',')) <> 3"),
 
       // identical RE2 pattern text in both engines; counts exact integers,
       // link_density one IEEE division

@@ -938,6 +938,18 @@ object PyBridge {
   def jsonlQuarantine(df: DataFrame): DataFrame =
     graft.sources.Jsonl.quarantine(df)
 
+  def csvReadValidated(spark: SparkSession, path: String, ddl: String,
+                       options: java.util.Map[String, String]): DataFrame =
+    graft.sources.Csvl.readValidated(spark, path,
+      org.apache.spark.sql.types.StructType.fromDDL(ddl),
+      options.asScala.toMap)
+
+  def csvParseLines(df: DataFrame, line: Column, ddl: String,
+                    options: java.util.Map[String, String]): DataFrame =
+    graft.sources.Csvl.parseLines(df, line,
+      org.apache.spark.sql.types.StructType.fromDDL(ddl),
+      options.asScala.toMap)
+
   def foldAccents(c: Column): Column = graft.text.TextFunctions.foldAccents(c)
 
   def scriptProfile(c: Column): Column = graft.functions.vectors.script_profile(c)

@@ -66,3 +66,46 @@ object Jsonl {
     parsed.where(col(CorruptColumn).isNotNull)
       .select(col(CorruptColumn).as("line"))
 }
+
+/**
+ * The CSV twin of [[Jsonl]] — same contract, same channels: every line
+ * either parses against the DECLARED schema or lands verbatim in
+ * quarantine (`from_csv` PERMISSIVE + explicit corrupt-record column; a
+ * type-mismatched field flags the record, and — CSV being positional —
+ * so does an arity mismatch: a line with missing trailing fields is
+ * malformed here where the JSONL channel would null absent keys; both
+ * behaviors sbt-pinned). `options` passes the usual CSV dialect knobs
+ * (`sep`, `quote`, ...); `header` handling is the caller's (a header
+ * line quarantines under a typed schema — filter it first).
+ */
+object Csvl {
+
+  val CorruptColumn: String = Jsonl.CorruptColumn
+
+  /** Parse a CSV line column against `schema`: fields + `_corrupt_record`
+    * (null for clean rows). One narrow projection, streaming-legal. */
+  def parseLines(df: DataFrame, line: Column, schema: StructType,
+                 options: Map[String, String] = Map.empty): DataFrame = {
+    require(!schema.fieldNames.contains(CorruptColumn),
+      s"schema must not already contain $CorruptColumn")
+    val withCorrupt = schema.add(CorruptColumn, StringType, nullable = true)
+    val opts = options ++ Map(
+      "mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> CorruptColumn)
+    df.withColumn("__parsed", from_csv(line, withCorrupt, opts))
+      .select(
+        (schema.fieldNames.map(f => col(s"__parsed.`$f`").as(f)) :+
+          col(s"__parsed.`$CorruptColumn`").as(CorruptColumn)): _*)
+  }
+
+  /** Read a CSV path, parsed and flagged. */
+  def readValidated(spark: SparkSession, path: String, schema: StructType,
+                    options: Map[String, String] = Map.empty): DataFrame =
+    parseLines(spark.read.text(path), col("value"), schema, options)
+
+  /** The clean channel. */
+  def good(parsed: DataFrame): DataFrame = Jsonl.good(parsed)
+
+  /** The quarantine channel. */
+  def quarantine(parsed: DataFrame): DataFrame = Jsonl.quarantine(parsed)
+}

@@ -1304,6 +1304,22 @@ def make_jsonl_fixture():
     print(f"docs_sf001.jsonl: {len(lines)} lines")
 
 
+def make_csv_fixture():
+    """CSV ingest fixture: doc_id,lang,n_chars per document; every 10th
+    line drops its trailing field — ARITY-only corruption, where Spark's
+    PERMISSIVE from_csv and DuckDB's read_csv(ignore_errors) provably
+    agree (type-mismatch semantics, where engines differ, are sbt-pinned)."""
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"]).to_pandas()
+    lines = []
+    for d, l, n in zip(docs.doc_id, docs.lang, docs.n_chars):
+        lines.append(f"{int(d)},{l}" if int(d) % 10 == 0
+                     else f"{int(d)},{l},{int(n)}")
+    with open(f"{OUT}/docs_sf001.csv", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"docs_sf001.csv: {len(lines)} lines")
+
+
 def make_wordpiece_fixture():
     """Independent replication of graft.text.WordPiece train + encode:
     word count -> substring scoring (every occurrence, word-initial as-is,
@@ -1396,6 +1412,7 @@ if __name__ == "__main__":
     make_bpe_fixture()
     make_wordpiece_fixture()
     make_jsonl_fixture()
+    make_csv_fixture()
     make_url_fixture()
     make_deflate_fixture()
     make_mask_fixture()
