@@ -90,7 +90,7 @@ __all__ = [
     "snapshot_changed_partitions", "diff_snapshots",
     "jsonl_read_validated", "jsonl_parse_lines", "jsonl_good",
     "jsonl_quarantine", "csv_read_validated", "csv_parse_lines",
-    "streaming_top_keys_per_window",
+    "streaming_top_keys_per_window", "curriculum_order",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -619,6 +619,17 @@ def save_wordpiece(spark: SparkSession, model, path: str) -> None:
 def load_wordpiece(spark: SparkSession, path: str):
     """Load a model persisted by save_wordpiece (opaque model handle)."""
     return _bridge(spark.range(1)).loadWordPiece(spark._jsparkSession, str(path))
+
+
+def curriculum_order(df: DataFrame, id: ColumnOrName, score: ColumnOrName,
+                     bands: int, salt: str) -> DataFrame:
+    """Deterministic curriculum ordering: `bands` difficulty bands by the
+    score column (exact integer rank split), shuffled within each band by
+    the md5(salt || id) draw, with a global order_id from the distributed
+    3-phase row number -> df + (band, order_id)."""
+    jdf = _bridge(df).curriculumOrder(df._jdf, _jcol(id), _jcol(score),
+                                      int(bands), str(salt))
+    return DataFrame(jdf, df.sparkSession)
 
 
 def _jstrmap(spark, d):

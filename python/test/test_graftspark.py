@@ -1300,6 +1300,21 @@ class GraftsparkTest(unittest.TestCase):
         # malformed syntax AND the type-mismatched id are both flagged
         self.assertEqual(bad, ['broken {', '{"id": "nope", "name": "c"}'])
 
+    def test_pipeline_curriculum(self):
+        from graftspark import pipeline as P
+        df = self.spark.range(0, 20).select(
+            col("id"), (col("id") * 7 % 100).alias("score"))
+        out = P.curriculum_order(df, "id", "score", bands=2, salt="s").collect()
+        self.assertEqual(sorted(r["order_id"] for r in out),
+                         list(range(1, 21)))
+        # bands respect the score rank: max of band 0 <= min of band 1
+        b0 = max(r["score"] for r in out if r["band"] == 0)
+        b1 = min(r["score"] for r in out if r["band"] == 1)
+        self.assertLessEqual(b0, b1)
+        # deterministic
+        out2 = P.curriculum_order(df, "id", "score", bands=2, salt="s").collect()
+        self.assertEqual(sorted(map(str, out)), sorted(map(str, out2)))
+
     def test_pipeline_csv(self):
         from graftspark import pipeline as P
         import tempfile

@@ -1742,6 +1742,15 @@ object SparkEntry {
         s, s"$goldenDir/docs_sf001.jsonl", schema))
     }),
 
+    // P99 curriculum ordering: bands by exact integer rank split, shuffled
+    // within band by the md5 draw, global order via the 3-phase distributed
+    // row number — every step engine-reproducible, DuckDB replays all of it
+    "curriculum_order" -> ((s, dir) =>
+      graft.sample.Curriculum.curriculumOrder(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        col("doc_id"), col("n_chars"), bands = 4, salt = "c9")
+        .select(col("doc_id"), col("band"), col("order_id"))),
+
     // P97b validated CSV ingest (the positional twin): arity-only fixture
     // corruption, where PERMISSIVE from_csv and read_csv(ignore_errors)
     // provably agree; type-mismatch flagging is sbt-pinned
@@ -4018,6 +4027,15 @@ object SparkEntry {
 
       // auto_detect=false: DuckDB's sniffer balks at 10% planted-malformed
       // lines; the dialect is fixed anyway
+      "curriculum_order" ->
+        ("WITH r AS (SELECT doc_id, " +
+          "ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rank, " +
+          "COUNT(*) OVER () AS n, " +
+          "md5('c9' || CAST(doc_id AS VARCHAR)) AS key FROM documents) " +
+          "SELECT doc_id, CAST((rank - 1) * 4 // n AS BIGINT) AS band, " +
+          "CAST(ROW_NUMBER() OVER (ORDER BY (rank - 1) * 4 // n, key, doc_id) AS BIGINT) AS order_id " +
+          "FROM r"),
+
       "csv_parse" ->
         (s"SELECT doc_id, lang, n_chars FROM read_csv('$goldenDir/docs_sf001.csv', " +
           "columns={'doc_id':'BIGINT','lang':'VARCHAR','n_chars':'BIGINT'}, " +

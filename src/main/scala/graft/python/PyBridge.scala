@@ -879,6 +879,10 @@ object PyBridge {
                          k: Int, salt: String): DataFrame =
     graft.sample.Sampling.weightedSampleTopK(df, key, weight, k, salt)
 
+  def curriculumOrder(df: DataFrame, id: Column, score: Column,
+                      bands: Int, salt: String): DataFrame =
+    graft.sample.Curriculum.curriculumOrder(df, id, score, bands, salt)
+
   def bpeTrain(corpus: DataFrame, text: Column, numMerges: Int,
                maxWords: Int, minFreq: Long): graft.text.Bpe.BpeModel =
     graft.text.Bpe.train(corpus, text, numMerges, maxWords, minFreq)
