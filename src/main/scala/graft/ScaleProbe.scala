@@ -70,7 +70,8 @@ object ScaleProbe {
       "jaccard_prefix", "streaming_seeded_state", "streaming_domain_cap_state",
       "int8_footprint", "bitsign_footprint", "soft_dedup_split", "novelty",
       "dedup_index", "multimatch", "quality_cut", "bloom_index", "cms_sketch",
-      "link_rank", "snapshot_diff", "wordpiece_encode", "streaming_topk_state")
+      "link_rank", "snapshot_diff", "wordpiece_encode", "streaming_topk_state",
+      "curriculum")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -1023,6 +1024,30 @@ object ScaleProbe {
         graft.streaming.StreamingTopK.topKeysPerWindow(
           st, col("key"), "ts", "1 minute", "0 seconds",
           k = 10, capacity = 64).toDF())
+    }
+
+    // --- curriculum ordering: two 3-phase row numbers, linear ------------
+    // contract at every N: order_id is a permutation of 1..rows and bands
+    // split by the exact integer formula (max band == bands - 1)
+    if (enabled("curriculum")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val big = amplify(docs, n).select(
+        (col("doc_id") + col("__rep") * 1000000L).as("doc_id"),
+        col("n_chars"))
+      val (stats, tCur) = time {
+        val out = graft.sample.Curriculum.curriculumOrder(
+          big, col("doc_id"), col("n_chars"), bands = 8, salt = "probe")
+        val agg = out.agg(count(lit(1)).as("rows"),
+          max(col("order_id")).as("mx"), min(col("order_id")).as("mn"),
+          countDistinct(col("order_id")).as("d"),
+          max(col("band")).as("mb")).head()
+        require(agg.getLong(1) == agg.getLong(0) && agg.getLong(2) == 1L &&
+          agg.getLong(3) == agg.getLong(0),
+          s"order_id not a permutation: $agg")
+        require(agg.getLong(4) == 7L, s"max band ${agg.getLong(4)} != 7")
+        agg.getLong(0)
+      }
+      report("curriculum", stats, tCur)
     }
 
     // --- link rank: N disjoint replica subgraphs, per-iteration cost ------
