@@ -90,7 +90,7 @@ __all__ = [
     "snapshot_changed_partitions", "diff_snapshots",
     "jsonl_read_validated", "jsonl_parse_lines", "jsonl_good",
     "jsonl_quarantine", "csv_read_validated", "csv_parse_lines",
-    "streaming_top_keys_per_window", "curriculum_order",
+    "streaming_top_keys_per_window", "curriculum_order", "schema_diff_dirs",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -630,6 +630,15 @@ def curriculum_order(df: DataFrame, id: ColumnOrName, score: ColumnOrName,
     jdf = _bridge(df).curriculumOrder(df._jdf, _jcol(id), _jcol(score),
                                       int(bands), str(salt))
     return DataFrame(jdf, df.sparkSession)
+
+
+def schema_diff_dirs(spark, left_dir: str, right_dir: str) -> DataFrame:
+    """Column-level schema drift between two parquet snapshot dirs (footer
+    schemas only): (column, status, left_type, right_type), status in
+    added|removed|type_changed|unchanged."""
+    jdf = _bridge(spark.range(1)).schemaDiffDirs(
+        spark._jsparkSession, str(left_dir), str(right_dir))
+    return DataFrame(jdf, spark)
 
 
 def _jstrmap(spark, d):

@@ -1300,6 +1300,20 @@ class GraftsparkTest(unittest.TestCase):
         # malformed syntax AND the type-mismatched id are both flagged
         self.assertEqual(bad, ['broken {', '{"id": "nope", "name": "c"}'])
 
+    def test_pipeline_schema_drift(self):
+        from graftspark import pipeline as P
+        import tempfile
+        root = tempfile.mkdtemp()
+        self.spark.createDataFrame([(1, "a", 1.0)], ["id", "x", "v"]) \
+            .write.parquet(root + "/l")
+        self.spark.createDataFrame([("1", "a", 2)], ["id", "x", "y"]) \
+            .write.parquet(root + "/r")
+        got = {r["column"]: r["status"]
+               for r in P.schema_diff_dirs(self.spark, root + "/l",
+                                           root + "/r").collect()}
+        self.assertEqual(got, {"id": "type_changed", "x": "unchanged",
+                               "v": "removed", "y": "added"})
+
     def test_pipeline_curriculum(self):
         from graftspark import pipeline as P
         df = self.spark.range(0, 20).select(

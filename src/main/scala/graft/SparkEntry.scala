@@ -1742,6 +1742,21 @@ object SparkEntry {
         s, s"$goldenDir/docs_sf001.jsonl", schema))
     }),
 
+    // P100 schema drift report: two deliberately drifted vintages of the
+    // orders export — added, removed, type-changed, unchanged each planted;
+    // footer-only read; oracle is the fully determined literal table
+    "schema_drift" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_schemadrift").toString
+      val orders = t(s, dir, "orders")
+      orders.select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .limit(100).write.mode("overwrite").parquet(s"$root/left")
+      orders.select(col("o_orderkey").cast("int").as("o_orderkey"),
+          col("o_totalprice"), col("o_orderstatus"))
+        .limit(100).write.mode("overwrite").parquet(s"$root/right")
+      graft.diff.SchemaDiff.schemaDiffDirs(s, s"$root/left", s"$root/right")
+    }),
+
     // P99 curriculum ordering: bands by exact integer rank split, shuffled
     // within band by the md5 draw, global order via the 3-phase distributed
     // row number — every step engine-reproducible, DuckDB replays all of it
@@ -4027,6 +4042,14 @@ object SparkEntry {
 
       // auto_detect=false: DuckDB's sniffer balks at 10% planted-malformed
       // lines; the dialect is fixed anyway
+      "schema_drift" ->
+        ("SELECT * FROM (VALUES " +
+          "('o_orderkey', 'type_changed', 'BIGINT', 'INT'), " +
+          "('o_totalprice', 'unchanged', 'DOUBLE', 'DOUBLE'), " +
+          "('o_orderpriority', 'removed', 'STRING', NULL), " +
+          "('o_orderstatus', 'added', NULL, 'STRING')" +
+          ") AS t(\"column\", status, left_type, right_type)"),
+
       "curriculum_order" ->
         ("WITH r AS (SELECT doc_id, " +
           "ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rank, " +

@@ -883,6 +883,10 @@ object PyBridge {
                       bands: Int, salt: String): DataFrame =
     graft.sample.Curriculum.curriculumOrder(df, id, score, bands, salt)
 
+  def schemaDiffDirs(spark: SparkSession, leftDir: String,
+                     rightDir: String): DataFrame =
+    graft.diff.SchemaDiff.schemaDiffDirs(spark, leftDir, rightDir)
+
   def bpeTrain(corpus: DataFrame, text: Column, numMerges: Int,
                maxWords: Int, minFreq: Long): graft.text.Bpe.BpeModel =
     graft.text.Bpe.train(corpus, text, numMerges, maxWords, minFreq)
