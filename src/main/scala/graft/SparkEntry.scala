@@ -1691,12 +1691,17 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
         .repartitionByRange(16, col("l_orderkey"))
         .write.mode("overwrite").parquet(root)
+      // SF-relative range so the gate holds at every scale the driver or
+      // the sf0.001 smoke suite runs it at: [mx/3, mx/3 + max(1, mx/20))
+      val mx = t(s, dir, "lineitem").agg(max(col("l_orderkey"))).head().getLong(0)
+      val lo = mx / 3
+      val hi = lo + math.max(1L, mx / 20)
       val before = s.experimental.extraOptimizations
       s.experimental.extraOptimizations = before :+ graft.plans.ZoneSkipRule
       s.conf.set("spark.graft.zoneSkip.enabled", "true")
       try {
         val q = s.read.parquet(root)
-          .filter(col("l_orderkey") >= 5000L && col("l_orderkey") < 5700L)
+          .filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
         val scanned = q.queryExecution.optimizedPlan.collect {
           case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
             r.relation match {
@@ -4024,8 +4029,10 @@ object SparkEntry {
           "WHERE l_orderkey IN (325, 48000)"),
 
       "zone_skip_rule" ->
-        ("SELECT l_orderkey, l_partkey, l_quantity FROM lineitem " +
-          "WHERE l_orderkey >= 5000 AND l_orderkey < 5700"),
+        ("WITH p AS (SELECT MAX(l_orderkey) AS mx FROM lineitem) " +
+          "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem, p " +
+          "WHERE l_orderkey >= mx // 3 " +
+          "AND l_orderkey < mx // 3 + GREATEST(1, mx // 20)"),
 
       "jsonl_parse" ->
         ("SELECT CAST(json_extract(line, '$.doc_id') AS BIGINT) AS doc_id, " +
