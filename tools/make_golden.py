@@ -423,13 +423,15 @@ def make_html_fixture():
 
     # -----------------------------------------------------------------------
     # full-entity mode (strip_html with decodeNamedEntities=true): ONE
-    # left-to-right pass decodes the HTML 4.01 named set (+ apos) AND
-    # numeric refs together. Independent replication: python's stdlib
-    # html.entities.name2codepoint IS the public HTML 4.01 table, so the
-    # fixture never copies the kernel's own entity map.
+    # left-to-right pass decodes the FULL WHATWG HTML5 named set (2,125
+    # semicolon-terminated names incl. the 93 multi-codepoint math forms)
+    # AND numeric refs together. Independent replication: python's stdlib
+    # html.entities.html5 IS the public WHATWG table — the kernel's table
+    # file is generated from the same public data, but the decode LOGIC
+    # here is written independently of the kernel's.
     # -----------------------------------------------------------------------
-    from html.entities import name2codepoint
-    named_table = dict(name2codepoint, apos=39)
+    from html.entities import html5
+    named_table = {n[:-1]: v for n, v in html5.items() if n.endswith(";")}
     ENT_CHARS = ("abcdefghijklmnopqrstuvwxyz"
                  "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789")
 
@@ -467,10 +469,12 @@ def make_html_fixture():
                 k = j + 1
                 while k < len(s) and k - j - 1 < 32 and s[k] in ENT_CHARS:
                     k += 1
-                cp = (named_table.get(s[j + 1:k])
-                      if k > j + 1 and k < len(s) and s[k] == ";" else None)
-                if cp is not None:
-                    out.append(entity_char(cp))
+                val = (named_table.get(s[j + 1:k])
+                       if k > j + 1 and k < len(s) and s[k] == ";" else None)
+                if val is not None:
+                    # per-codepoint, sharing the numeric path's space-like
+                    # normalization (multi-codepoint html5 forms included)
+                    out.append("".join(entity_char(ord(c)) for c in val))
                     i = k + 1
                 else:
                     out.append("&")
@@ -496,6 +500,14 @@ def make_html_fixture():
         "&shy;soft&zwnj;join&lrm;marks decode as-is",            # Cf refs kept
         "&thisisaverylongentitynamepastlimitxx; over the 32-char name cap",
         "<script>&mdash;</script>dropped &curren; &Prime; &permil;",
+        # html5-only hazards: multi-codepoint math forms, the fj ligature
+        # pair, a two-space-like value, case-sensitive siblings, and a
+        # deep name at the length frontier
+        "&NotEqualTilde; &bne; &acE; multi-codepoint forms",
+        "&fjlig; spells fj; &ThickSpace;collapses",
+        "&Dagger; vs &dagger;; &DD; vs &dd;; &And; vs &and;",
+        "&CounterClockwiseContourIntegral; longest name decodes",
+        "&angst; &angmsdaa; &bemptyv; newer names; &notarealname; stays",
     ]
     ids2, htmls2, cleans2 = [], [], []
     for i, p in enumerate(planted_named):
