@@ -82,7 +82,7 @@ object LinkRank {
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("__outdeg"))
 
     var r = nodes.withColumn("__r", lit(scale / n))
-    for (_ <- 1 to iterations) {
+    for (it <- 1 to iterations) {
       val inflow = e
         .join(r.withColumnRenamed("node", "src"), "src")
         .join(outdeg, "src")
@@ -93,6 +93,10 @@ object LinkRank {
         .select(col("node"),
           (lit(base) + expr(s"($dampNum * coalesce(__inflow, 0L)) div $dampDen"))
             .as("__r"))
+      // truncate lineage on long runs: a depth-50 join chain costs the
+      // analyzer/optimizer quadratically; one eager local checkpoint per 8
+      // iterations keeps the plan shallow at unchanged results
+      if (it % 8 == 0 && it < iterations) r = r.localCheckpoint(true)
     }
     r.select(col("node"), col("__r").as("rank_fp"),
       (col("__r").cast("double") / lit(scale.toDouble)).as("rank"))

@@ -68,6 +68,19 @@ class LinkRankSuite extends AnyFunSuite with SparkTest {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("deep iteration counts converge across the checkpoint boundary") {
+    // 20 iterations crosses the every-8 lineage truncation twice; the
+    // 2-cycle's fixed point must hold exactly regardless
+    val e = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val r = LinkRank.rank(e, col("src"), col("dst"), iterations = 20)
+      .orderBy("node").collect().map(_.getLong(1))
+    assert(r(0) == r(1))
+    val r5 = LinkRank.rank(e, col("src"), col("dst"), iterations = 5)
+      .orderBy("node").collect().map(_.getLong(1))
+    // the symmetric fixed point is reached immediately and never moves
+    assert(r.toSeq == r5.toSeq)
+  }
+
   test("domainEdges collapses to registrable domains and drops self-links") {
     val df = Seq(
       ("https://blog.example.com/p1", "https://www.example.com/home"),
