@@ -91,6 +91,7 @@ __all__ = [
     "jsonl_read_validated", "jsonl_parse_lines", "jsonl_good",
     "jsonl_quarantine", "csv_read_validated", "csv_parse_lines",
     "streaming_top_keys_per_window", "curriculum_order", "schema_diff_dirs",
+    "split_sentences", "chunk_by_sentences",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -629,6 +630,24 @@ def curriculum_order(df: DataFrame, id: ColumnOrName, score: ColumnOrName,
     3-phase row number -> df + (band, order_id)."""
     jdf = _bridge(df).curriculumOrder(df._jdf, _jcol(id), _jcol(score),
                                       int(bands), str(salt))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def split_sentences(text: ColumnOrName) -> Column:
+    """array<string> of trimmed sentences under the fixed RE2-safe rule
+    (terminator runs [.!?]+ end a sentence; trailing fragments kept;
+    whitespace/punctuation-only input yields none)."""
+    return _col_fn("splitSentences", _jcol(text))
+
+
+def chunk_by_sentences(df: DataFrame, id: ColumnOrName, text: ColumnOrName,
+                       token_budget: int) -> DataFrame:
+    """Sentence-aware chunking (the RAG upgrade over fixed token windows):
+    one row per chunk (id, chunk_id, n_sentences, n_tokens, chunk_text);
+    chunks break where the running whitespace-token count crosses a budget
+    multiple and NEVER split a sentence."""
+    jdf = _bridge(df).chunkBySentences(df._jdf, _jcol(id), _jcol(text),
+                                       int(token_budget))
     return DataFrame(jdf, df.sparkSession)
 
 

@@ -1300,6 +1300,18 @@ class GraftsparkTest(unittest.TestCase):
         # malformed syntax AND the type-mismatched id are both flagged
         self.assertEqual(bad, ['broken {', '{"id": "nope", "name": "c"}'])
 
+    def test_pipeline_sentence_chunks(self):
+        from graftspark import pipeline as P
+        df = self.spark.createDataFrame(
+            [(1, "a b c. d e f. g h i. j k l.")], ["id", "t"])
+        got = sorted(
+            (r["chunk_id"], r["chunk_text"], r["n_tokens"])
+            for r in P.chunk_by_sentences(df, "id", "t", 5).collect())
+        self.assertEqual(got, [(0, "a b c. d e f.", 6),
+                               (1, "g h i. j k l.", 6)])
+        s = df.select(P.split_sentences(col("t")).alias("s")).head()["s"]
+        self.assertEqual(s, ["a b c.", "d e f.", "g h i.", "j k l."])
+
     def test_pipeline_schema_drift(self):
         from graftspark import pipeline as P
         import tempfile

@@ -1747,6 +1747,21 @@ object SparkEntry {
         s, s"$goldenDir/docs_sf001.jsonl", schema))
     }),
 
+    // P101 sentence-aware chunking: the shared RE2-safe sentence pattern +
+    // the budget-line chunk rule (tokens-before div budget), both replayed
+    // relationally by DuckDB (unnest -> renumber -> windowed cumsum ->
+    // integer div -> string_agg)
+    "sentence_chunks" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(". First tail sentence here. Second one!" +
+          " A third?? And a trailing fragment")).as("tt"))
+      graft.text.Sentences.chunkBySentences(docs, col("doc_id"), col("tt"),
+        tokenBudget = 12)
+        .select(col("id").as("doc_id"), col("chunk_id"),
+          col("n_sentences").cast("long").as("n_sentences"),
+          col("n_tokens"), col("chunk_text"))
+    }),
+
     // P100 schema drift report: two deliberately drifted vintages of the
     // orders export — added, removed, type-changed, unchanged each planted;
     // footer-only read; oracle is the fully determined literal table
@@ -4049,6 +4064,25 @@ object SparkEntry {
 
       // auto_detect=false: DuckDB's sniffer balks at 10% planted-malformed
       // lines; the dialect is fixed anyway
+      "sentence_chunks" ->
+        ("WITH t AS (SELECT doc_id, text || '. First tail sentence here. Second one!" +
+          " A third?? And a trailing fragment' AS tt FROM documents), " +
+          "s0 AS (SELECT doc_id, " +
+          "unnest(regexp_extract_all(tt, '[^.!?]+[.!?]+\\s*|[^.!?]+$')) AS raw, " +
+          "generate_subscripts(regexp_extract_all(tt, '[^.!?]+[.!?]+\\s*|[^.!?]+$'), 1) AS i " +
+          "FROM t), " +
+          "s1 AS (SELECT doc_id, trim(raw) AS s, i FROM s0 WHERE length(trim(raw)) > 0), " +
+          "s2 AS (SELECT doc_id, s, " +
+          "CAST(len(string_split_regex(s, '\\s+')) AS BIGINT) AS tok, " +
+          "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS si FROM s1), " +
+          "s3 AS (SELECT doc_id, s, tok, si, " +
+          "COALESCE(SUM(tok) OVER (PARTITION BY doc_id ORDER BY si " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 12 AS chunk_id " +
+          "FROM s2) " +
+          "SELECT doc_id, chunk_id, COUNT(*) AS n_sentences, SUM(tok) AS n_tokens, " +
+          "string_agg(s, ' ' ORDER BY si) AS chunk_text " +
+          "FROM s3 GROUP BY doc_id, chunk_id"),
+
       "schema_drift" ->
         ("SELECT * FROM (VALUES " +
           "('o_orderkey', 'type_changed', 'BIGINT', 'INT'), " +

@@ -887,6 +887,13 @@ object PyBridge {
                      rightDir: String): DataFrame =
     graft.diff.SchemaDiff.schemaDiffDirs(spark, leftDir, rightDir)
 
+  def splitSentences(text: Column): Column =
+    graft.text.Sentences.splitSentences(text)
+
+  def chunkBySentences(df: DataFrame, id: Column, text: Column,
+                       tokenBudget: Int): DataFrame =
+    graft.text.Sentences.chunkBySentences(df, id, text, tokenBudget)
+
   def bpeTrain(corpus: DataFrame, text: Column, numMerges: Int,
                maxWords: Int, minFreq: Long): graft.text.Bpe.BpeModel =
     graft.text.Bpe.train(corpus, text, numMerges, maxWords, minFreq)
