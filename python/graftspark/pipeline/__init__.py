@@ -28,6 +28,7 @@ __all__ = [
     "int8_encode", "int8_encode_ints", "int8_scale", "int8_dot",
     "int8_decode", "int8_brute_force_top_k",
     "bit_sign_pack", "hamming_words", "hamming_brute_force_top_k", "hamming_top_k",
+    "mrl_top_k", "truncate_vec",
     "near_dup_pairs_minhash", "near_dup_pairs_simhash", "deduplicate_minhash",
     "deduplicate_lines", "decontaminate", "decontaminate_bloom", "brute_force_top_k",
     "build_blocklist_artifact", "decontaminate_with_artifact",
@@ -262,6 +263,25 @@ def hamming_top_k(queries: DataFrame, corpus: DataFrame,
         queries._jdf, corpus._jdf, _jcol(query_id), _jcol(query_vec),
         _jcol(corpus_id), _jcol(corpus_vec), int(k), int(refine))
     return DataFrame(jdf, queries.sparkSession)
+
+
+def mrl_top_k(queries: DataFrame, corpus: DataFrame,
+              query_id: ColumnOrName, query_vec: ColumnOrName,
+              corpus_id: ColumnOrName, corpus_vec: ColumnOrName,
+              k: int, dims: int, refine: int = 8) -> DataFrame:
+    """Matryoshka two-tier top-k: exact-cosine shortlist over the
+    first-`dims` prefix of every vector (dims/dim of the bytes and FLOPs),
+    then exact full-vector re-rank of the k*refine shortlist ->
+    (query_id, rank, neighbor_id, cosine)."""
+    jdf = _bridge(queries).mrlTopK(
+        queries._jdf, corpus._jdf, _jcol(query_id), _jcol(query_vec),
+        _jcol(corpus_id), _jcol(corpus_vec), int(k), int(dims), int(refine))
+    return DataFrame(jdf, queries.sparkSession)
+
+
+def truncate_vec(vec: ColumnOrName, dims: int) -> Column:
+    """First-dims Matryoshka prefix of an embedding column."""
+    return _col_fn("truncateVec", _jcol(vec), int(dims))
 
 
 def cosine_similarity(a: ColumnOrName, b: ColumnOrName) -> Column:

@@ -1300,6 +1300,27 @@ class GraftsparkTest(unittest.TestCase):
         # malformed syntax AND the type-mismatched id are both flagged
         self.assertEqual(bad, ['broken {', '{"id": "nope", "name": "c"}'])
 
+    def test_pipeline_mrl(self):
+        from graftspark import pipeline as P
+        import math
+        rows = []
+        for i in range(24):
+            base = [1.0 if d == i % 4 else 0.0 for d in range(8)]
+            rows.append((i, [v + 0.01 * ((i * 31 + d) % 7) for d, v in
+                             enumerate(base)]))
+        df = self.spark.createDataFrame(rows, ["id", "vec"]) \
+            .select(col("id"), col("vec").cast("array<float>").alias("vec"))
+        q = df.where(col("id") < 4)
+        full = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in
+                P.mrl_top_k(q, df, "id", "vec", "id", "vec",
+                            k=3, dims=8, refine=4).collect()}
+        brute = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in
+                 P.brute_force_top_k(q, df, "id", "vec", "id", "vec",
+                                     k=3).collect()}
+        self.assertEqual(full, brute)  # dims == full dimension: identical
+        t = df.select(P.truncate_vec(col("vec"), 3).alias("t")).head()["t"]
+        self.assertEqual(len(t), 3)
+
     def test_pipeline_sentence_chunks(self):
         from graftspark import pipeline as P
         df = self.spark.createDataFrame(

@@ -2229,6 +2229,18 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
+    // P102 Matryoshka two-tier ANN: prefix-cosine shortlist (16 of 64
+    // dims) -> exact full-vector re-rank; DuckDB replays both tiers
+    // relationally (prefix slice + list cosine + two ROW_NUMBERs)
+    "ann_mrl_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ann.Ann.mrlTopK(
+        emb.filter(col("vec_id") < 20), emb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 3, dims = 16, refine = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
     // int8 quantization family: codes + scale per vector, every number a
     // fixed deterministic expression (floor(x*127/maxabs + 0.5), clamp) —
     // the DuckDB oracle replays the arithmetic on the same floats
@@ -4410,6 +4422,17 @@ object SparkEntry {
           "c.vec_id AS neighbor_id " +
           "FROM q JOIN embeddings c ON q.vec_id <> c.vec_id " +
           "QUALIFY rank <= 3"),
+
+      "ann_mrl_topk" ->
+        ("WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20), " +
+          "sl AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.embedding AS qv, c.embedding AS cv, " +
+          "ROW_NUMBER() OVER (PARTITION BY q.vec_id " +
+          "ORDER BY list_cosine_similarity(q.embedding[1:16], c.embedding[1:16]) DESC, c.vec_id) AS srank " +
+          "FROM q JOIN embeddings c ON q.vec_id <> c.vec_id QUALIFY srank <= 12) " +
+          "SELECT query_id, " +
+          "CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
+          "ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS INTEGER) AS rank, " +
+          "neighbor_id FROM sl QUALIFY rank <= 3"),
 
       "embedding_int8_codes" ->
         ("WITH base AS (SELECT vec_id, embedding AS e, " +

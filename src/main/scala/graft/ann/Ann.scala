@@ -129,6 +129,53 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** First-`dims` prefix of an embedding — the Matryoshka truncation
+    * (Kusupati et al. 2022): MRL-trained embeddings concentrate signal in
+    * the leading dimensions, so the prefix is a usable low-cost
+    * representation. Cosine needs no renormalization (it normalizes
+    * itself), so the truncated tier carries NO side data. Persist this
+    * column (or a truncated copy of the corpus) to make the cheap tier
+    * cheap AT REST and on every scan, not just in FLOPs. */
+  def truncateVec(vec: Column, dims: Int): Column = {
+    require(dims >= 1, s"dims must be positive: $dims")
+    slice(vec, 1, dims)
+  }
+
+  /**
+   * Matryoshka two-tier top-k: shortlist by exact cosine over the
+   * first-`dims` PREFIX of every vector (reading/scoring `dims`/dim of the
+   * data — 4x fewer bytes and FLOPs at dims = dim/4), then exact-cosine
+   * re-rank of the `k * refine` shortlist on the FULL vectors — the same
+   * production shape as [[hammingTopK]]/PQ: a compressed scan shortlists,
+   * full vectors are touched only for the bounded re-rank. With
+   * MRL-trained embeddings the prefix ranking is near-exact and the
+   * re-rank recovers the remainder; recall floor sbt-pinned.
+   */
+  def mrlTopK(
+      queries: DataFrame, corpus: DataFrame,
+      queryId: Column, queryVec: Column, corpusId: Column, corpusVec: Column,
+      k: Int, dims: Int, refine: Int = 8): DataFrame = {
+    require(k >= 1 && refine >= 1, s"need k >= 1 and refine >= 1")
+    val shortlist = bruteForceTopK(
+        queries.select(queryId.as("query_id"),
+          truncateVec(queryVec, dims).as("tvec")),
+        corpus.select(corpusId.as("neighbor_id"),
+          truncateVec(corpusVec, dims).as("tvec")),
+        col("query_id"), col("tvec"), col("neighbor_id"), col("tvec"),
+        k * refine)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(queries.select(queryId.as("query_id"), queryVec.as("qvec"))),
+        "query_id")
+    corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cvec"))
+      .join(broadcast(shortlist), "neighbor_id")
+      .withColumn("cosine", vectors.cosine_similarity(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Deterministic seeded Gaussian hyperplanes: bands x bits x dim. */
   private[graft] def hyperplanes(bands: Int, bits: Int, dim: Int, seed: Long): Array[Array[Array[Float]]] = {
     val rng = new scala.util.Random(seed)

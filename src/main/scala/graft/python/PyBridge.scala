@@ -245,6 +245,16 @@ object PyBridge {
     graft.ann.Ann.hammingTopK(
       queries, corpus, queryId, queryVec, corpusId, corpusVec, k, refine)
 
+  def mrlTopK(queries: DataFrame, corpus: DataFrame,
+              queryId: Column, queryVec: Column,
+              corpusId: Column, corpusVec: Column,
+              k: Int, dims: Int, refine: Int): DataFrame =
+    graft.ann.Ann.mrlTopK(
+      queries, corpus, queryId, queryVec, corpusId, corpusVec, k, dims, refine)
+
+  def truncateVec(vec: Column, dims: Int): Column =
+    graft.ann.Ann.truncateVec(vec, dims)
+
   def cosineSimilarity(a: Column, b: Column): Column =
     graft.functions.vectors.cosine_similarity(a, b)
 

@@ -758,6 +758,27 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(sameCluster == 12, s"hamming kept $sameCluster/12 in-cluster")
   }
 
+  test("mrlTopK: full-dims shortlist reproduces brute force; truncated tier recalls clusters") {
+    val data = clusteredVectors(4, 6, 32, 0.02f)
+    val df = data.toDF("id", "vec")
+    val queries = df.filter(col("id") < 4)
+    val brute = Ann.bruteForceTopK(queries, df, col("id"), col("vec"),
+      col("id"), col("vec"), k = 3)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    // dims == full dimension: the prefix IS the vector -> row-identical
+    val full = Ann.mrlTopK(queries, df, col("id"), col("vec"), col("id"), col("vec"),
+      k = 3, dims = 32, refine = 4)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(full == brute)
+    // 8-dim prefix tier: cluster structure survives the truncation
+    val mrl = Ann.mrlTopK(queries, df, col("id"), col("vec"), col("id"), col("vec"),
+      k = 3, dims = 8, refine = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val bset = brute.map(t => (t._1, t._3))
+    val recall = bset.count(mrl.contains).toDouble / bset.size
+    assert(recall >= 0.8, s"mrl recall $recall")
+  }
+
   test("lshTopK approximates brute force on tight clusters") {
     val data = clusteredVectors(5, 8, 32, 0.02f)
     val df = data.toDF("id", "vec")
