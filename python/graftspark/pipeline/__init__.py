@@ -93,6 +93,8 @@ __all__ = [
     "jsonl_quarantine", "csv_read_validated", "csv_parse_lines",
     "streaming_top_keys_per_window", "curriculum_order", "schema_diff_dirs",
     "split_sentences", "chunk_by_sentences",
+    "k_anonymity_report", "l_diversity_report", "suppress_rare_rows",
+    "rare_rows",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -643,13 +645,17 @@ def load_wordpiece(spark: SparkSession, path: str):
 
 
 def curriculum_order(df: DataFrame, id: ColumnOrName, score: ColumnOrName,
-                     bands: int, salt: str) -> DataFrame:
+                     bands: int, salt: str,
+                     band_col: str = "band",
+                     order_col: str = "order_id") -> DataFrame:
     """Deterministic curriculum ordering: `bands` difficulty bands by the
     score column (exact integer rank split), shuffled within each band by
-    the md5(salt || id) draw, with a global order_id from the distributed
-    3-phase row number -> df + (band, order_id)."""
+    the md5(salt || id) draw, with a global order id from the distributed
+    3-phase row number -> df + (band_col, order_col). The output names must
+    not already exist on df (fails fast instead of overwriting)."""
     jdf = _bridge(df).curriculumOrder(df._jdf, _jcol(id), _jcol(score),
-                                      int(bands), str(salt))
+                                      int(bands), str(salt),
+                                      str(band_col), str(order_col))
     return DataFrame(jdf, df.sparkSession)
 
 
@@ -661,13 +667,14 @@ def split_sentences(text: ColumnOrName) -> Column:
 
 
 def chunk_by_sentences(df: DataFrame, id: ColumnOrName, text: ColumnOrName,
-                       token_budget: int) -> DataFrame:
+                       token_budget: int, id_name: str = "id") -> DataFrame:
     """Sentence-aware chunking (the RAG upgrade over fixed token windows):
     one row per chunk (id, chunk_id, n_sentences, n_tokens, chunk_text);
     chunks break where the running whitespace-token count crosses a budget
-    multiple and NEVER split a sentence."""
+    multiple and NEVER split a sentence. id_name renames the output id
+    column (pass your own column's name to keep it)."""
     jdf = _bridge(df).chunkBySentences(df._jdf, _jcol(id), _jcol(text),
-                                       int(token_budget))
+                                       int(token_budget), str(id_name))
     return DataFrame(jdf, df.sparkSession)
 
 
@@ -2271,3 +2278,38 @@ def link_rank(edges: DataFrame, src: ColumnOrName, dst: ColumnOrName,
                                   int(iterations), int(damp_num),
                                   int(damp_den), int(scale))
     return DataFrame(jdf, edges.sparkSession)
+
+
+def k_anonymity_report(df: DataFrame, quasi_cols, k: int) -> DataFrame:
+    """One row per quasi-identifier combination: (quasi_cols..., combo_rows,
+    k_anonymous). Exact GROUP BY census — the privacy step regex PII
+    redaction cannot cover (re-identification lives in combinations)."""
+    jdf = _bridge(df).kAnonymityReport(
+        df._jdf, _jstrlist(df.sparkSession, quasi_cols), int(k))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def l_diversity_report(df: DataFrame, quasi_cols, sensitive: ColumnOrName,
+                       l: int) -> DataFrame:
+    """Distinct-l diversity per combo: (quasi_cols..., combo_rows,
+    distinct_sensitive, l_diverse)."""
+    jdf = _bridge(df).lDiversityReport(
+        df._jdf, _jstrlist(df.sparkSession, quasi_cols), _jcol(sensitive),
+        int(l))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def suppress_rare_rows(df: DataFrame, quasi_cols, k: int) -> DataFrame:
+    """The safe-to-train channel: rows whose quasi combo occurs >= k times
+    (one window-count exchange, no join). Original schema."""
+    jdf = _bridge(df).suppressRareRows(
+        df._jdf, _jstrlist(df.sparkSession, quasi_cols), int(k))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def rare_rows(df: DataFrame, quasi_cols, k: int) -> DataFrame:
+    """The suppressed complement of suppress_rare_rows — the channel a
+    privacy reviewer inspects (the quarantine-twin contract)."""
+    jdf = _bridge(df).rareRows(
+        df._jdf, _jstrlist(df.sparkSession, quasi_cols), int(k))
+    return DataFrame(jdf, df.sparkSession)

@@ -1265,9 +1265,14 @@ class GraftsparkTest(unittest.TestCase):
         P.write_bloom_index(self.spark, d, "key", log_bits=16, k=5)
         G.register_extensions(self.spark)
         G.register_extensions(self.spark)  # idempotent
-        q = self.spark.read.parquet(d).where(col("key") == 1234)
-        # the transparent rule prunes AND the answer is exact
-        self.assertEqual([r["key"] for r in q.collect()], [1234])
+        # bloom skipping is opt-in (default off), like the zone-skip twin
+        self.spark.conf.set("spark.graft.bloomSkip.enabled", "true")
+        try:
+            q = self.spark.read.parquet(d).where(col("key") == 1234)
+            # the transparent rule prunes AND the answer is exact
+            self.assertEqual([r["key"] for r in q.collect()], [1234])
+        finally:
+            self.spark.conf.unset("spark.graft.bloomSkip.enabled")
         # the SQL kernels rode along with the same registration call
         got = self.spark.sql(
             "SELECT decode_html_entities('a&amp;b') AS s").head()["s"]
@@ -1332,6 +1337,11 @@ class GraftsparkTest(unittest.TestCase):
                                (1, "g h i. j k l.", 6)])
         s = df.select(P.split_sentences(col("t")).alias("s")).head()["s"]
         self.assertEqual(s, ["a b c.", "d e f.", "g h i.", "j k l."])
+        # id_name keeps the caller's own id column name
+        named = P.chunk_by_sentences(
+            df.withColumnRenamed("id", "doc_id"), "doc_id", "t", 5,
+            id_name="doc_id")
+        self.assertEqual(named.columns[0], "doc_id")
 
     def test_pipeline_schema_drift(self):
         from graftspark import pipeline as P
@@ -1361,6 +1371,34 @@ class GraftsparkTest(unittest.TestCase):
         # deterministic
         out2 = P.curriculum_order(df, "id", "score", bands=2, salt="s").collect()
         self.assertEqual(sorted(map(str, out)), sorted(map(str, out2)))
+        # custom output names leave a caller's own 'band' column untouched
+        withband = df.withColumn("band", col("id") * 0)
+        out3 = P.curriculum_order(withband, "id", "score", bands=2, salt="s",
+                                  band_col="cur_band", order_col="cur_order")
+        self.assertIn("cur_order", out3.columns)
+        self.assertTrue(all(r["band"] == 0 for r in out3.collect()))
+
+    def test_pipeline_anonymity(self):
+        from graftspark import pipeline as P
+        df = self.spark.createDataFrame(
+            [(1, "10001", "F", "flu"), (2, "10001", "F", "flu"),
+             (3, "10001", "F", "cold"), (4, "10001", "M", "cold"),
+             (5, "94xxx", "F", "rare")],
+            ["id", "zip", "sex", "dx"])
+        rep = {(r["zip"], r["sex"]): (r["combo_rows"], r["k_anonymous"])
+               for r in P.k_anonymity_report(df, ["zip", "sex"], 2).collect()}
+        self.assertEqual(rep[("10001", "F")], (3, True))
+        self.assertEqual(rep[("94xxx", "F")], (1, False))
+        kept = sorted(r["id"] for r in
+                      P.suppress_rare_rows(df, ["zip", "sex"], 2).collect())
+        rare = sorted(r["id"] for r in
+                      P.rare_rows(df, ["zip", "sex"], 2).collect())
+        self.assertEqual(kept, [1, 2, 3])
+        self.assertEqual(rare, [4, 5])
+        div = {r["zip"]: (r["distinct_sensitive"], r["l_diverse"]) for r in
+               P.l_diversity_report(df, ["zip"], "dx", 2).collect()}
+        self.assertEqual(div["10001"], (2, True))
+        self.assertEqual(div["94xxx"], (1, False))
 
     def test_pipeline_csv(self):
         from graftspark import pipeline as P

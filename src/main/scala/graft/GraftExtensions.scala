@@ -30,8 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     // tier (c): transparent file skipping — Bloom sidecar for equality/IN
-    // (disable with spark.graft.bloomSkip.enabled=false) and footer zone
-    // maps for ranges (opt-in via spark.graft.zoneSkip.enabled=true)
+    // (opt-in via spark.graft.bloomSkip.enabled=true) and footer zone
+    // maps for ranges (opt-in via spark.graft.zoneSkip.enabled=true);
+    // both rules are no-ops until their conf is set, so injecting the
+    // extensions costs existing queries nothing
     ext.injectOptimizerRule(_ => graft.plans.BloomSkipRule)
     ext.injectOptimizerRule(_ => graft.plans.ZoneSkipRule)
   }

@@ -58,8 +58,11 @@ object RowNumbers {
     val withLocalRn = withPid.withColumn(localRnCol, row_number().over(localWindow))
 
     // phase 3: cumulative offsets over the (tiny) per-partition maxima,
-    // shifted by one partition, broadcast back
-    val cumWindow = Window.orderBy(col(pidCol))
+    // shifted by one partition, broadcast back. The window sees exactly
+    // #partitions rows — single-partition by design; the constant
+    // partition key makes that explicit instead of tripping WindowExec's
+    // "No Partition Defined" warning on every run
+    val cumWindow = Window.partitionBy(lit(0)).orderBy(col(pidCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = withLocalRn
       .groupBy(col(pidCol))

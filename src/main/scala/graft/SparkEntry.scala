@@ -1662,6 +1662,7 @@ object SparkEntry {
         logBits = 18, k = 5)
       val before = s.experimental.extraOptimizations
       s.experimental.extraOptimizations = before :+ graft.plans.BloomSkipRule
+      s.conf.set("spark.graft.bloomSkip.enabled", "true")
       try {
         val q = s.read.parquet(root).filter(col("l_orderkey").isin(325L, 48000L))
         val scanned = q.queryExecution.optimizedPlan.collect {
@@ -1678,7 +1679,10 @@ object SparkEntry {
         val rows = q.collect()
         s.createDataFrame(
           java.util.Arrays.asList(rows: _*), q.schema)
-      } finally s.experimental.extraOptimizations = before
+      } finally {
+        s.conf.unset("spark.graft.bloomSkip.enabled")
+        s.experimental.extraOptimizations = before
+      }
     }),
 
     // P79b transparent zone-map skipping for RANGE predicates (footer
@@ -1926,6 +1930,28 @@ object SparkEntry {
           lit(" contact user"), col("doc_id").cast("string"),
           lit("@mail.example.org or 10.2."), (col("doc_id") % 256).cast("string"),
           lit(".77 acct 900123456789"))).as("redacted"))),
+
+    // P103 k-anonymity: combo census over (lang, source, length-bucket)
+    // quasi-identifiers — exact GROUP BY arithmetic, replayed verbatim
+    "k_anonymity_report" -> ((s, dir) =>
+      graft.privacy.Anonymity.kAnonymityReport(
+        t(s, dir, "documents").withColumn("len_bucket", col("n_chars") % 7),
+        Seq("lang", "source", "len_bucket"), k = 5)),
+
+    // the safe-to-train channel: rows whose quasi combo occurs >= k times
+    // (ONE window-count exchange, no join — plan-pinned in AnonymitySuite).
+    // k=2 keeps BOTH channels populated on the fixture (284 kept / 216
+    // suppressed at sf0.01) — a vacuous 0-row gate would prove nothing
+    "suppress_rare_rows" -> ((s, dir) =>
+      graft.privacy.Anonymity.suppressRareRows(
+        t(s, dir, "documents").withColumn("len_bucket", col("n_chars") % 7)
+          .select(col("doc_id"), col("lang"), col("source"), col("len_bucket")),
+        Seq("lang", "source", "len_bucket"), k = 2)),
+
+    // distinct-l diversity of the sensitive column inside each combo
+    "l_diversity_report" -> ((s, dir) =>
+      graft.privacy.Anonymity.lDiversityReport(
+        t(s, dir, "documents"), Seq("lang"), col("source"), l = 3)),
 
     // deterministic train/val/test split assignment (same hash family as
     // sampling; a doc's split never changes across runs/engines/partitions)
@@ -2243,12 +2269,18 @@ object SparkEntry {
 
     // int8 quantization family: codes + scale per vector, every number a
     // fixed deterministic expression (floor(x*127/maxabs + 0.5), clamp) —
-    // the DuckDB oracle replays the arithmetic on the same floats
+    // the DuckDB oracle replays the arithmetic on the same floats.
+    // Exploded to one (vec_id, pos, code, scale) row per dimension: the
+    // driver's comparator sorts/hashes scalar cells, so array columns
+    // would be unhashable on its side even though values match.
     "embedding_int8_codes" -> ((s, dir) =>
-      t(s, dir, "embeddings").select(col("vec_id"),
-        graft.functions.vectors.int8_encode_ints(col("embedding"))
-          .cast("array<bigint>").as("codes"),
-        graft.functions.vectors.int8_scale(col("embedding")).as("scale"))),
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.functions.vectors.int8_scale(col("embedding")).as("scale"),
+          posexplode(graft.functions.vectors.int8_encode_ints(col("embedding"))
+            .cast("array<bigint>")))
+        .select(col("vec_id"), col("pos").cast("int").as("pos"),
+          col("col").as("code"), col("scale"))),
 
     // brute-force top-k over the quantized corpus: integer dot products,
     // scales cancel in the cosine — DuckDB replays the WHOLE pipeline
@@ -2267,9 +2299,14 @@ object SparkEntry {
     // -2^63 addend — BIGINT sums never overflow). Sign replay assumes
     // non-NaN embeddings (Java NaN >= 0 is false; DuckDB sorts NaN high),
     // which the datagen guarantees and the float schema makes natural.
+    // Exploded to one (vec_id, w, word) row per packed word — same
+    // driver-comparator scalar-cell constraint as embedding_int8_codes.
     "embedding_bitsign_codes" -> ((s, dir) =>
-      t(s, dir, "embeddings").select(col("vec_id"),
-        graft.functions.vectors.bit_sign_pack(col("embedding")).as("words"))),
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(graft.functions.vectors.bit_sign_pack(col("embedding"))))
+        .select(col("vec_id"), col("pos").cast("int").as("w"),
+          col("col").as("word"))),
 
     // brute-force top-k over the packed sign codes by ascending Hamming
     // distance — XOR + popcount, every step exact integer arithmetic, so
@@ -4170,6 +4207,22 @@ object SparkEntry {
           "|\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" +
           "|\\b\\d{9,}\\b', '[REDACTED]', 'g') AS redacted FROM documents"),
 
+      "k_anonymity_report" ->
+        ("SELECT lang, source, n_chars % 7 AS len_bucket, " +
+          "CAST(COUNT(*) AS BIGINT) AS combo_rows, " +
+          "COUNT(*) >= 5 AS k_anonymous FROM documents GROUP BY 1, 2, 3"),
+
+      "suppress_rare_rows" ->
+        ("SELECT doc_id, lang, source, n_chars % 7 AS len_bucket " +
+          "FROM documents QUALIFY " +
+          "COUNT(*) OVER (PARTITION BY lang, source, n_chars % 7) >= 2"),
+
+      "l_diversity_report" ->
+        ("SELECT lang, CAST(COUNT(*) AS BIGINT) AS combo_rows, " +
+          "CAST(COUNT(DISTINCT source) AS BIGINT) AS distinct_sensitive, " +
+          "COUNT(DISTINCT source) >= 3 AS l_diverse " +
+          "FROM documents GROUP BY lang"),
+
       // cumulative thresholds: 0.8 -> cccccccd, 0.9 -> e6666666, rest = test
       "split_assign" ->
         ("SELECT doc_id, CASE " +
@@ -4437,10 +4490,12 @@ object SparkEntry {
       "embedding_int8_codes" ->
         ("WITH base AS (SELECT vec_id, embedding AS e, " +
           "COALESCE(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 0.0) AS m FROM embeddings) " +
-          "SELECT vec_id, CASE WHEN m = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT)) " +
-          "ELSE list_transform(e, x -> CAST(GREATEST(-127.0, LEAST(127.0, " +
-          "floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5))) AS BIGINT)) END AS codes, " +
-          "m / 127.0 AS scale FROM base"),
+          "SELECT vec_id, CAST(pos - 1 AS INTEGER) AS pos, " +
+          "CASE WHEN m = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST(GREATEST(-127.0, LEAST(127.0, " +
+          "floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5))) AS BIGINT) END AS code, " +
+          "m / 127.0 AS scale " +
+          "FROM (SELECT vec_id, m, unnest(e) AS x, generate_subscripts(e, 1) AS pos FROM base)"),
 
       // the full int8 pipeline replayed: quantize both sides, exact integer
       // dot products (p[1]*p[2] over the zipped code lists), scale-free
@@ -4467,7 +4522,7 @@ object SparkEntry {
       // (1::BIGINT << 63 would overflow; the sum of bits 0..62 is at most
       // 2^63-1, so the BIGINT cast is exact)
       "embedding_bitsign_codes" ->
-        ("SELECT vec_id, list(CAST(word AS BIGINT) ORDER BY w) AS words FROM (" +
+        ("SELECT vec_id, CAST(w AS INTEGER) AS w, CAST(word AS BIGINT) AS word FROM (" +
           "SELECT vec_id, (pos - 1) // 64 AS w, " +
           "sum(CASE WHEN x >= 0 AND ((pos - 1) % 64) < 63 " +
           "THEN (1::BIGINT << CAST((pos - 1) % 64 AS INT)) ELSE 0 END) " +
@@ -4475,7 +4530,7 @@ object SparkEntry {
           "THEN -9223372036854775807 - 1 ELSE 0 END AS word " +
           "FROM (SELECT vec_id, unnest(embedding) AS x, " +
           "generate_subscripts(embedding, 1) AS pos FROM embeddings) " +
-          "GROUP BY 1, 2) GROUP BY vec_id"),
+          "GROUP BY 1, 2)"),
 
       // the Hamming ranking replayed relationally: per-position sign
       // disagreement count == XOR+popcount of the packed words by definition

@@ -70,9 +70,11 @@ object PrefixSum {
     val withLocal = withPid.withColumn(localCol,
       coalesce(sum(col(valCol)).over(localWindow), lit(0)))
 
-    // phase 3: per-partition totals -> cumulative offsets (tiny window),
+    // phase 3: per-partition totals -> cumulative offsets (tiny window,
+    // exactly #partitions rows — constant partition key documents the
+    // single-partition intent and silences WindowExec's warning),
     // shifted one partition forward, broadcast back
-    val cumWindow = Window.orderBy(col(pidCol))
+    val cumWindow = Window.partitionBy(lit(0)).orderBy(col(pidCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = withPid
       .groupBy(col(pidCol))

@@ -36,8 +36,12 @@ object Skew {
       .orderBy(col("cnt").desc, col("key").asc_nulls_last)
       .limit(k)
       .withColumn("share", col("cnt").cast("double") / col("__total").cast("double"))
+      // the window sees at most k survivors (post-limit) — constant
+      // partition key documents the single-partition intent and silences
+      // WindowExec's "No Partition Defined" warning
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0))
           .orderBy(col("cnt").desc, col("key").asc_nulls_last)))
       .select(col("key"), col("cnt"), col("share"), col("rank"))
   }

@@ -107,13 +107,17 @@ object CorpusOverlap {
    *     the KMV distinct estimate (exact when the union fits in k, making
    *     the whole answer exact).
    *
-   * Scale shape: two bounded sketch passes, two bounded top-N count
-   * passes, and two narrow broadcast-probe counting scans (at most
-   * k + 2·exactTopN rows per task leave each); the join key itself is
-   * NEVER shuffled between the tables. Every step is deterministic
-   * hash/integer/IEEE arithmetic, so the DuckDB oracle replays the
-   * estimate bit-for-bit (the u_k hex parse is 8 manual digits, the
-   * classifier-gate trick).
+   * Scale shape: ONE `groupBy(key).count()` shuffle per side is the only
+   * corpus-sized work — the top-N ranking, the KMV tail sketch, and the
+   * exact probe multiplicities are ALL derived from that same grouped
+   * frame (KMV over the grouped distinct keys equals KMV over the raw
+   * stream — bottom-k-distinct ignores multiplicity; the probe counts ARE
+   * the grouped counts), so the physical plan carries one scan + one
+   * exchange per table, which Spark's ReuseExchange shares across the
+   * branches. The join key itself is NEVER shuffled between the tables.
+   * Every step is deterministic hash/integer/IEEE arithmetic, so the
+   * DuckDB oracle replays the estimate bit-for-bit (the u_k hex parse is
+   * 8 manual digits, the classifier-gate trick).
    *
    * Output, one row: `(k_used, n_heavy, heavy_mass, k_rest,
    * sum_products_rest, d_union, join_estimate)`.
@@ -124,26 +128,35 @@ object CorpusOverlap {
     val ha = a.select(md5(aKey.cast("string")).as("h")).where(col("h").isNotNull)
     val hb = b.select(md5(bKey.cast("string")).as("h")).where(col("h").isNotNull)
 
-    // heavy set H: union of the two sides' top-N keys by exact count
-    def topKeys(hashes: DataFrame): DataFrame = hashes
-      .groupBy(col("h")).agg(count(lit(1)).as("__c"))
-      .orderBy(col("__c").desc, col("h")).limit(exactTopN).select(col("h"))
-    val hv = topKeys(ha).union(topKeys(hb)).distinct()
+    // the one corpus-sized pass per side: exact per-key multiplicities
+    // (map-side combined). Everything below reuses this grouped frame, so
+    // the repeated references canonicalize to the SAME exchange and the
+    // shuffle runs once per side (ReuseExchange — plan-pinned in sbt).
+    def grouped(hashes: DataFrame, as: String): DataFrame = hashes
+      .groupBy(col("h")).agg(count(lit(1)).as(as))
+    val ga = grouped(ha, "ca")
+    val gb = grouped(hb, "cb")
 
-    // coordinated tail sample: bottom-k of the union's distinct hashes
-    val sa = ha.agg(kmvBottomK(col("h"), k).as("ka"))
-    val sb = hb.agg(kmvBottomK(col("h"), k).as("kb"))
+    // heavy set H: union of the two sides' top-N keys by exact count
+    // (TakeOrderedAndProject over the grouped frame)
+    val hv = ga.orderBy(col("ca").desc, col("h")).limit(exactTopN).select(col("h"))
+      .union(gb.orderBy(col("cb").desc, col("h")).limit(exactTopN).select(col("h")))
+      .distinct()
+
+    // coordinated tail sample: bottom-k of the union's distinct hashes —
+    // KMV over the grouped keys (distinct by construction) is identical to
+    // KMV over the raw hash stream
+    val sa = ga.agg(kmvBottomK(col("h"), k).as("ka"))
+    val sb = gb.agg(kmvBottomK(col("h"), k).as("kb"))
     val xRow = sa.join(broadcast(sb)) // 1 row x 1 row
       .select(slice(array_sort(array_distinct(concat(col("ka"), col("kb")))), 1, k).as("x"))
     val xKeys = xRow.select(explode(col("x")).as("h"))
 
-    // ONE exact-multiplicity probe per side over X ∪ H (≤ k + 2N keys):
-    // broadcast semi-join filter (narrow) + map-side-combined counts
+    // exact multiplicities over X ∪ H (≤ k + 2N keys): the probe counts
+    // are simply the grouped counts, broadcast-semi-filtered
     val probe = xKeys.union(hv).distinct()
-    def sampledCounts(hashes: DataFrame, as: String): DataFrame = hashes
-      .join(broadcast(probe), Seq("h"), "left_semi")
-      .groupBy(col("h")).agg(count(lit(1)).as(as))
-    val pairs = sampledCounts(ha, "ca").join(sampledCounts(hb, "cb"), "h")
+    val pairs = ga.join(broadcast(probe), Seq("h"), "left_semi")
+      .join(gb.join(broadcast(probe), Seq("h"), "left_semi"), "h")
       .select(col("h"), (col("ca") * col("cb")).as("p"))
 
     val heavy = pairs.join(hv, Seq("h"), "left_semi")

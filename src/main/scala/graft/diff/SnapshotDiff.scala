@@ -39,7 +39,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
  * row B) cancels out of the fingerprint. Partition values that hive-escape on write (slashes,
  * colons…) are compared in escaped form for detection but are not
  * supported by the pruning predicate — keep partition values URL-safe
- * (the usual lakehouse discipline).
+ * (the usual lakehouse discipline). Path decoding handles `%XX` escapes
+ * ONLY: a literal `+` in a partition value round-trips as `+` (pinned),
+ * never as a space.
  */
 object SnapshotDiff {
 
@@ -69,16 +71,20 @@ object SnapshotDiff {
   /** Per-partition (partitionCols…, rows, fingerprint) from the MANIFEST
     * sidecar — KB of IO regardless of snapshot size. Partition values are
     * parsed from the file paths (hive `col=value` segments) and
-    * URI-decoded — `input_file_name()` renders paths URI-escaped (a space
-    * in a partition value arrives as `%20`), so the decode restores the
-    * values the data scan would produce (a literal `+` in a value is the
-    * one ambiguity of that decode — URL-safe partition values sidestep it). */
+    * percent-decoded — `input_file_name()` renders paths URI-escaped (a
+    * space in a partition value arrives as `%20`). Only `%XX` escapes are
+    * decoded: a literal `+` in the path stays `+` (the escape-to-`%2B`
+    * step below opts out of `url_decode`'s form-encoding rule that would
+    * silently turn it into a space and break both change detection and
+    * the pruning predicate). */
   def partitionManifestSummary(spark: SparkSession, dir: String,
                                partitionCols: Seq[String]): DataFrame = {
-    val m = spark.read.parquet(Manifest.manifestPath(dir))
+    val m = Manifest.readManifest(spark, dir)
     val withParts = partitionCols.foldLeft(m) { (d, c) =>
-      d.withColumn(c, url_decode(regexp_extract(col("file"),
-        java.util.regex.Pattern.quote(c) + "=([^/]*)/", 1)))
+      d.withColumn(c, url_decode(regexp_replace(
+        regexp_extract(col("file"),
+          java.util.regex.Pattern.quote(c) + "=([^/]*)/", 1),
+        lit("\\+"), lit("%2B"))))
     }
     withParts.groupBy(partitionCols.map(col): _*)
       .agg(sum(col("rows")).as("rows"), bit_xor(col("fingerprint")).as("fingerprint"))

@@ -94,9 +94,18 @@ object LinkRank {
           (lit(base) + expr(s"($dampNum * coalesce(__inflow, 0L)) div $dampDen"))
             .as("__r"))
       // truncate lineage on long runs: a depth-50 join chain costs the
-      // analyzer/optimizer quadratically; one eager local checkpoint per 8
-      // iterations keeps the plan shallow at unchanged results
-      if (it % 8 == 0 && it < iterations) r = r.localCheckpoint(true)
+      // analyzer/optimizer quadratically; one eager checkpoint per 8
+      // iterations keeps the plan shallow at unchanged results. RELIABLE
+      // checkpoint when the session has a checkpoint dir (blocks land on
+      // the cluster's fault-tolerant store — executor loss recovers);
+      // otherwise localCheckpoint, whose executor-resident blocks make
+      // the truncated lineage unrecoverable on executor loss — on a real
+      // cluster set sc.setCheckpointDir for iterations > 8.
+      if (it % 8 == 0 && it < iterations) {
+        r = if (r.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          r.checkpoint(true)
+        else r.localCheckpoint(true)
+      }
     }
     r.select(col("node"), col("__r").as("rank_fp"),
       (col("__r").cast("double") / lit(scale.toDouble)).as("rank"))

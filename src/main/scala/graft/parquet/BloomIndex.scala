@@ -179,7 +179,9 @@ object BloomIndex {
                     values: Seq[Any]): Seq[(String, Boolean)] = {
     require(values.nonEmpty, "need at least one probe value")
     val hashes = hashValues(spark, dir, column, values)
-    spark.read.parquet(sidecarPath(dir, column))
+    // concrete file paths (SidecarFiles): underscore dirs and globs both
+    // trip noisy reader checks; explicit existing files stay quiet
+    SidecarFiles.read(spark, sidecarPath(dir, column))
       .select(col("file"), col("log_bits"), col("k"), col("bloom"))
       .collect()
       .map { r =>

@@ -1,14 +1,17 @@
 package graft.plans
 
 import java.nio.ByteBuffer
+import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.hadoop.fs.Path
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, In, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, In, Literal, XxHash64}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
-import org.apache.spark.sql.functions.{col, xxhash64}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import graft.parquet.{BloomBits, BloomIndex}
@@ -17,7 +20,9 @@ import graft.parquet.{BloomBits, BloomIndex}
  * Transparent Bloom-sidecar data skipping — the optimizer-rule tier of
  * [[BloomIndex]]: with the rule injected (config
  * `spark.sql.extensions=graft.GraftExtensions`, or
- * `GraftExtensions.registerAll(spark)` on a live session), a PLAIN
+ * `GraftExtensions.registerAll(spark)` on a live session) AND enabled
+ * (`spark.graft.bloomSkip.enabled=true` — OPT-IN, like its zone-map
+ * sibling [[ZoneSkipRule]]), a PLAIN
  *
  *   spark.read.parquet(dir).filter($"key" === v)
  *
@@ -39,12 +44,23 @@ import graft.parquet.{BloomBits, BloomIndex}
  *    parquet relation (the shapes whose probe-value typing is exact), and
  *    only when the sidecar directory exists;
  *  - idempotent: the pruned relation is tagged with
- *    [[BloomPrunedFileIndex]], which the matcher skips.
+ *    [[BloomPrunedFileIndex]], which the matcher skips;
+ *  - FAIL-OPEN: any sidecar IO/parse problem falls back to no pruning
+ *    (the plan the rule never touched), so a slow or corrupted sidecar
+ *    can degrade only the skip, never query planning.
  *
- * Cost: one driver-side sidecar read (one row per data file — the bounded
- * footer-listing discipline) per matching query. That is the point: a
- * point lookup trades a KB-scale sidecar scan for not reading a 100 TB
- * directory.
+ * Cost discipline (this rule runs inside the optimizer, potentially once
+ * per AQE re-optimization):
+ *  - the rule is OPT-IN (default off) — sessions that merely load the
+ *    extensions pay zero per-query metadata latency;
+ *  - probe hashes are computed by evaluating the `XxHash64` expression
+ *    driver-side on the predicate literals — no Spark job;
+ *  - parsed sidecar contents are CACHED per sidecar directory, keyed by a
+ *    freshness signature (file count, total bytes, max modification time)
+ *    taken from one driver `listStatus` — a rebuilt/extended sidecar
+ *    invalidates the entry, a re-optimization of the same query hits the
+ *    cache. The only uncached per-query driver IO is that single list call
+ *    per indexed column.
  */
 class BloomPrunedFileIndex(spark: SparkSession, paths: Seq[Path],
                            schema: Option[StructType])
@@ -53,6 +69,18 @@ class BloomPrunedFileIndex(spark: SparkSession, paths: Seq[Path],
 object BloomSkipRule extends Rule[LogicalPlan] {
 
   private val EnabledKey = "spark.graft.bloomSkip.enabled"
+
+  /** Parsed sidecar rows (path key -> (bits, logBits, k)) plus the
+    * directory signature they were read under. */
+  private case class CachedSidecar(signature: (Int, Long, Long),
+                                   blooms: Map[String, (Array[Long], Int, Int)])
+
+  /** Keyed by sidecar directory path; bounded by the number of distinct
+    * (indexed directory, column) pairs a driver queries — KB-scale each. */
+  private val sidecarCache = new ConcurrentHashMap[String, CachedSidecar]()
+
+  /** Test hook / manual invalidation. */
+  def clearCache(): Unit = sidecarCache.clear()
 
   private def supported(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | StringType => true
@@ -83,35 +111,64 @@ object BloomSkipRule extends Rule[LogicalPlan] {
     * file listings may render `file:/...`). */
   private def pathKey(s: String): String = new Path(s).toUri.getPath
 
-  /** Surviving data files per the sidecar, with the staleness guard:
-    * files absent from the sidecar are always kept. */
-  private def keptFiles(spark: SparkSession, root: String, column: String,
-                        dataType: DataType, values: Seq[Literal],
-                        allFiles: Seq[Path]): Option[Seq[Path]] = {
-    val hashes = spark.createDataFrame(
-        scala.jdk.CollectionConverters.SeqHasAsJava(
-          values.map(v => org.apache.spark.sql.Row(v.value.toString))).asJava,
-        StructType(Seq(StructField("v", StringType))))
-      .select(xxhash64(col("v").cast(dataType)).as("h"))
-      .collect().map(_.getLong(0))
-    val sidecar = spark.read
-      .parquet(BloomIndex.sidecarPath(root, column))
+  /** One driver listStatus: freshness signature of the sidecar directory
+    * (file count, total bytes, max mtime). Any rebuild or append to the
+    * sidecar changes at least one component on every sane filesystem. */
+  private def dirSignature(fsys: FileSystem, dir: Path): (Int, Long, Long) = {
+    val st = fsys.listStatus(dir).filter(_.isFile)
+    (st.length, st.map(_.getLen).sum,
+      if (st.isEmpty) 0L else st.map(_.getModificationTime).max)
+  }
+
+  /** Sidecar contents for (root, column), through the cache; None when the
+    * sidecar directory does not exist. The parquet read (a tiny Spark job,
+    * one row per data file) runs only on a signature miss. */
+  private def loadSidecar(spark: SparkSession, root: String,
+                          column: String): Option[Map[String, (Array[Long], Int, Int)]] = {
+    val scPath = new Path(BloomIndex.sidecarPath(root, column))
+    val fsys = scPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fsys.exists(scPath)) return None
+    val sig = dirSignature(fsys, scPath)
+    val key = scPath.toString
+    val cached = sidecarCache.get(key)
+    if (cached != null && cached.signature == sig) return Some(cached.blooms)
+    val blooms = graft.parquet.SidecarFiles.read(spark, scPath.toString)
       .select(col("file"), col("log_bits"), col("k"), col("bloom"))
       .collect()
       .map { r =>
         val bytes = r.getAs[Array[Byte]]("bloom")
         val bits = new Array[Long](bytes.length / 8)
         ByteBuffer.wrap(bytes).asLongBuffer().get(bits)
-        pathKey(r.getString(0)) ->
-          hashes.exists(h => BloomBits.mightContain(bits, h, r.getInt(1), r.getInt(2)))
+        pathKey(r.getString(0)) -> ((bits, r.getInt(1), r.getInt(2)))
       }.toMap
-    val kept = allFiles.filter(f => sidecar.getOrElse(pathKey(f.toString), true))
+    sidecarCache.put(key, CachedSidecar(sig, blooms))
+    Some(blooms)
+  }
+
+  /** Surviving data files per the sidecar, with the staleness guard:
+    * files absent from the sidecar are always kept. Probe hashes come from
+    * evaluating XxHash64 on the predicate literals driver-side — the
+    * literal's type equals the column's (the matcher binds bare
+    * attributes), so this is exactly the hash the index was built with. */
+  private def keptFiles(blooms: Map[String, (Array[Long], Int, Int)],
+                        values: Seq[Literal],
+                        allFiles: Seq[Path]): Option[Seq[Path]] = {
+    val hashes = values.map(v =>
+      new XxHash64(Seq(v)).eval(null).asInstanceOf[Long])
+    val kept = allFiles.filter { f =>
+      blooms.get(pathKey(f.toString)) match {
+        case Some((bits, logBits, k)) =>
+          hashes.exists(h => BloomBits.mightContain(bits, h, logBits, k))
+        case None => true
+      }
+    }
     if (kept.size < allFiles.size) Some(kept) else None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val spark = SparkSession.active
-    if (spark.conf.get(EnabledKey, "true") != "true") return plan
+    // opt-in: sessions that merely inject the extensions pay nothing
+    if (spark.conf.get(EnabledKey, "false") != "true") return plan
     plan.transformUp {
       case f @ Filter(cond, rel: LogicalRelation) =>
         rel.relation match {
@@ -119,38 +176,47 @@ object BloomSkipRule extends Rule[LogicalPlan] {
               if fs.partitionSchema.isEmpty &&
                 fs.location.rootPaths.size == 1 &&
                 !fs.location.isInstanceOf[BloomPrunedFileIndex] =>
-            val root = fs.location.rootPaths.head
-            val candidates = eqConjuncts(cond).filter { case (name, _) =>
-              fs.dataSchema.fieldNames.contains(name) && {
-                val p = new Path(BloomIndex.sidecarPath(root.toString, name))
-                p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-              }
-            }
-            if (candidates.isEmpty) f
-            else {
-              val allFiles = fs.location.inputFiles.map(new Path(_)).toSeq
-              // intersect across indexed conjuncts: a file must survive
-              // EVERY indexed predicate to be read
-              val keptOpt = candidates.foldLeft(Option(allFiles)) {
-                case (None, _) => None
-                case (Some(files), (name, lits)) =>
-                  keptFiles(spark, root.toString, name,
-                    fs.dataSchema(name).dataType, lits, files)
-                    .orElse(Some(files))
-              }
-              keptOpt match {
-                case Some(kept) if kept.size < allFiles.size =>
-                  if (kept.isEmpty) LocalRelation(rel.output, Nil)
-                  else {
-                    val pruned = fs.copy(location = new BloomPrunedFileIndex(
-                      spark, kept, Some(fs.dataSchema)))(spark)
-                    Filter(cond, rel.copy(relation = pruned))
-                  }
-                case _ => f
-              }
+            try pruneFilter(spark, f, cond, rel, fs)
+            catch {
+              case NonFatal(e) =>
+                // fail open: a sidecar problem must never break planning
+                logWarning(s"bloom-skip: sidecar probe failed for " +
+                  s"${fs.location.rootPaths.head}, keeping full scan", e)
+                f
             }
           case _ => f
         }
+    }
+  }
+
+  private def pruneFilter(spark: SparkSession, f: Filter, cond: Expression,
+                          rel: LogicalRelation,
+                          fs: HadoopFsRelation): LogicalPlan = {
+    val root = fs.location.rootPaths.head
+    val candidates = eqConjuncts(cond).flatMap { case (name, lits) =>
+      if (!fs.dataSchema.fieldNames.contains(name)) None
+      else loadSidecar(spark, root.toString, name).map(b => (b, lits))
+    }
+    if (candidates.isEmpty) f
+    else {
+      val allFiles = fs.location.inputFiles.map(new Path(_)).toSeq
+      // intersect across indexed conjuncts: a file must survive EVERY
+      // indexed predicate to be read
+      val keptOpt = candidates.foldLeft(Option(allFiles)) {
+        case (None, _) => None
+        case (Some(files), (blooms, lits)) =>
+          keptFiles(blooms, lits, files).orElse(Some(files))
+      }
+      keptOpt match {
+        case Some(kept) if kept.size < allFiles.size =>
+          if (kept.isEmpty) LocalRelation(rel.output, Nil)
+          else {
+            val pruned = fs.copy(location = new BloomPrunedFileIndex(
+              spark, kept, Some(fs.dataSchema)))(spark)
+            Filter(cond, rel.copy(relation = pruned))
+          }
+        case _ => f
+      }
     }
   }
 }

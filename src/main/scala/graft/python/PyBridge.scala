@@ -893,6 +893,12 @@ object PyBridge {
                       bands: Int, salt: String): DataFrame =
     graft.sample.Curriculum.curriculumOrder(df, id, score, bands, salt)
 
+  def curriculumOrder(df: DataFrame, id: Column, score: Column,
+                      bands: Int, salt: String,
+                      bandCol: String, orderCol: String): DataFrame =
+    graft.sample.Curriculum.curriculumOrder(df, id, score, bands, salt,
+      bandCol, orderCol)
+
   def schemaDiffDirs(spark: SparkSession, leftDir: String,
                      rightDir: String): DataFrame =
     graft.diff.SchemaDiff.schemaDiffDirs(spark, leftDir, rightDir)
@@ -903,6 +909,10 @@ object PyBridge {
   def chunkBySentences(df: DataFrame, id: Column, text: Column,
                        tokenBudget: Int): DataFrame =
     graft.text.Sentences.chunkBySentences(df, id, text, tokenBudget)
+
+  def chunkBySentences(df: DataFrame, id: Column, text: Column,
+                       tokenBudget: Int, idName: String): DataFrame =
+    graft.text.Sentences.chunkBySentences(df, id, text, tokenBudget, idName)
 
   def bpeTrain(corpus: DataFrame, text: Column, numMerges: Int,
                maxWords: Int, minFreq: Long): graft.text.Bpe.BpeModel =
@@ -1226,6 +1236,22 @@ object PyBridge {
   // --------------------------------------------------------------------------
   // job description (set/restore primitives for Python context managers)
   // --------------------------------------------------------------------------
+
+  def kAnonymityReport(df: DataFrame, quasiCols: JList[String],
+                       k: Int): DataFrame =
+    graft.privacy.Anonymity.kAnonymityReport(df, quasiCols.asScala.toSeq, k)
+
+  def lDiversityReport(df: DataFrame, quasiCols: JList[String],
+                       sensitive: Column, l: Int): DataFrame =
+    graft.privacy.Anonymity.lDiversityReport(
+      df, quasiCols.asScala.toSeq, sensitive, l)
+
+  def suppressRareRows(df: DataFrame, quasiCols: JList[String],
+                       k: Int): DataFrame =
+    graft.privacy.Anonymity.suppressRareRows(df, quasiCols.asScala.toSeq, k)
+
+  def rareRows(df: DataFrame, quasiCols: JList[String], k: Int): DataFrame =
+    graft.privacy.Anonymity.rareRows(df, quasiCols.asScala.toSeq, k)
 
   private val JobDescriptionProperty = "spark.job.description"
 

@@ -30,9 +30,19 @@ import org.apache.spark.sql.{Column, DataFrame}
  */
 object Curriculum {
 
+  /** @param bandCol / `orderCol`: OUTPUT column names (default `band` /
+    *   `order_id`). They must not already exist on `df` — this fails fast
+    *   instead of silently overwriting a caller column. */
   def curriculumOrder(df: DataFrame, id: Column, score: Column,
-                      bands: Int, salt: String): DataFrame = {
+                      bands: Int, salt: String,
+                      bandCol: String = "band",
+                      orderCol: String = "order_id"): DataFrame = {
     require(bands >= 1 && bands <= (1 << 20), s"bands out of range: $bands")
+    require(!df.columns.contains(bandCol) && !df.columns.contains(orderCol),
+      s"output columns '$bandCol'/'$orderCol' already exist on the input — " +
+        "pass bandCol/orderCol to avoid overwriting caller data")
+    require(bandCol != orderCol,
+      s"bandCol and orderCol must differ, got '$bandCol'")
     val p = graft.functions.distinctPrefixFor(df.columns.toSeq)
     val rankCol = p + "rank"
     val keyCol = p + "key"
@@ -45,11 +55,11 @@ object Curriculum {
     val withN = ranked.crossJoin(
       broadcast(ranked.agg(count(lit(1)).as(nCol))))
     val banded = withN
-      .withColumn("band", expr(s"(($rankCol - 1L) * $bands) div $nCol"))
+      .withColumn(bandCol, expr(s"(($rankCol - 1L) * $bands) div $nCol"))
       .drop(rankCol, nCol)
     RowNumbers.withRowNumbers(banded,
-      rowNumberColumnName = "order_id",
-      order = Seq(col("band").asc, col(keyCol).asc, id.asc))
+      rowNumberColumnName = orderCol,
+      order = Seq(col(bandCol).asc, col(keyCol).asc, id.asc))
       .drop(keyCol)
   }
 }

@@ -48,17 +48,25 @@ object Sentences {
     when(length(s) === 0, lit(0)).otherwise(size(split(s, "\\s+")))
 
   /**
-   * One row per chunk: `(idColumn, chunk_id, n_sentences, n_tokens,
+   * One row per chunk: `(idName, chunk_id, n_sentences, n_tokens,
    * chunk_text)` — sentences joined by a single space, chunk ids dense
    * from 0 per document.
+   *
+   * @param idName output name for the document-id column (default `id`;
+   *   pass the caller's own column name to keep it — the default would
+   *   otherwise silently rename it). Must not collide with the four fixed
+   *   output columns.
    */
   def chunkBySentences(df: DataFrame, id: Column, text: Column,
-                       tokenBudget: Int): DataFrame = {
+                       tokenBudget: Int, idName: String = "id"): DataFrame = {
     require(tokenBudget >= 1, s"tokenBudget must be positive: $tokenBudget")
-    val p = graft.functions.distinctPrefixFor(df.columns.toSeq)
+    require(!Set("chunk_id", "n_sentences", "n_tokens", "chunk_text")
+        .contains(idName),
+      s"idName '$idName' collides with a fixed output column")
+    val p = graft.functions.distinctPrefixFor(df.columns.toSeq :+ idName)
     val sentsCol = p + "sents"
     val chunksCol = p + "chunks"
-    val withSents = df.select(id.as("id"), splitSentences(text).as(sentsCol))
+    val withSents = df.select(id.as(idName), splitSentences(text).as(sentsCol))
     // per sentence i: (sentence, chunk = tokens-before div budget)
     val assigned = withSents.withColumn(chunksCol,
       transform(col(sentsCol), (s, i) =>
@@ -69,7 +77,7 @@ object Sentences {
             .cast("long").as("chunk"))))
     // regroup by chunk id inside the row, then explode
     assigned
-      .select(col("id"), col(chunksCol))
+      .select(col(idName), col(chunksCol))
       .withColumn("__chunk", explode(
         transform(
           sequence(lit(0L),
@@ -79,7 +87,7 @@ object Sentences {
             filter(col(chunksCol), e => e.getField("chunk") === cid)
               .as("members")))))
       .where(size(col("__chunk").getField("members")) > 0)
-      .select(col("id"),
+      .select(col(idName),
         col("__chunk").getField("chunk_id").as("chunk_id"),
         size(col("__chunk").getField("members")).as("n_sentences"),
         aggregate(col("__chunk").getField("members"), lit(0L),

@@ -33,6 +33,12 @@ object Manifest {
 
   def manifestPath(dir: String): String = s"$dir/_manifest"
 
+  /** Read the manifest sidecar via concrete file paths
+    * ([[graft.parquet.SidecarFiles]] — underscore dirs and globs both trip
+    * noisy reader checks; explicit existing files take the quiet path). */
+  def readManifest(spark: SparkSession, dir: String): DataFrame =
+    graft.parquet.SidecarFiles.read(spark, manifestPath(dir))
+
   /** Per-file (file, rows, fingerprint) of the CURRENT contents of `dir`. */
   private def fileSummary(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
@@ -57,7 +63,7 @@ object Manifest {
    * drift each flips `ok` on its row.
    */
   def verifyManifest(spark: SparkSession, dir: String): DataFrame = {
-    val expected = spark.read.parquet(manifestPath(dir))
+    val expected = readManifest(spark, dir)
       .select(col("file"), col("rows").as("rows_expected"),
         col("fingerprint").as("fp_expected"))
     val actual = fileSummary(spark, dir)

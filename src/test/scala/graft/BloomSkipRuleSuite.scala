@@ -23,7 +23,11 @@ class BloomSkipRuleSuite extends AnyFunSuite with SparkTest {
   private def withRule[A](f: => A): A = {
     val before = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = before :+ BloomSkipRule
-    try f finally spark.experimental.extraOptimizations = before
+    spark.conf.set("spark.graft.bloomSkip.enabled", "true")
+    try f finally {
+      spark.conf.unset("spark.graft.bloomSkip.enabled")
+      spark.experimental.extraOptimizations = before
+    }
   }
 
   private def makeIndexed(): (String, Long) = {
@@ -90,12 +94,37 @@ class BloomSkipRuleSuite extends AnyFunSuite with SparkTest {
       val q2 = spark.read.parquet(dir2).filter(col("key") > 7990L)
       assert(q2.count() == 9L)
       assert(scannedFiles(q2).size == 16)
-      // kill switch
+      // explicit kill switch wins even inside withRule
       spark.conf.set("spark.graft.bloomSkip.enabled", "false")
       try {
         val q3 = spark.read.parquet(dir2).filter(col("key") === key)
         assert(scannedFiles(q3).size == 16)
-      } finally spark.conf.unset("spark.graft.bloomSkip.enabled")
+      } finally spark.conf.set("spark.graft.bloomSkip.enabled", "true")
+    }
+    // OPT-IN default: rule injected but conf unset -> no pruning, no
+    // sidecar IO on unrelated sessions' queries
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ BloomSkipRule
+    try {
+      val q4 = spark.read.parquet(dir2).filter(col("key") === key)
+      assert(scannedFiles(q4).size == 16)
+    } finally spark.experimental.extraOptimizations = before
+  }
+
+  test("sidecar cache invalidates when the index is rebuilt") {
+    val (dir, _) = makeIndexed()
+    withRule {
+      // warm the cache with the full index
+      val q1 = spark.read.parquet(dir).filter(col("key") === 4321L)
+      assert(scannedFiles(q1).size < 16)
+      // rebuild the sidecar over a disjoint fake column domain is not
+      // possible here; instead rebuild with far fewer bits so the file
+      // set survives but the cached entry must be re-read (signature
+      // changes: bytes + mtime). Pruning still holds and results match.
+      BloomIndex.writeBloomIndex(spark, dir, "key", logBits = 14, k = 3)
+      val q2 = spark.read.parquet(dir).filter(col("key") === 4321L)
+      assert(q2.collect().map(_.getLong(0)).toSeq == Seq(4321L))
+      assert(scannedFiles(q2).size < 16)
     }
   }
 

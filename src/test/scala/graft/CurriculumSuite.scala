@@ -44,6 +44,27 @@ class CurriculumSuite extends AnyFunSuite with SparkTest {
     assert(run("a") != run("b"))
   }
 
+  test("existing band/order_id columns fail fast; custom names avoid it") {
+    val withBand = docs(10).withColumn("band", lit(7))
+    val e = intercept[IllegalArgumentException] {
+      Curriculum.curriculumOrder(withBand.toDF(), col("id"), col("score"),
+        bands = 2, salt = "s")
+    }
+    assert(e.getMessage.contains("already exist"))
+    // caller-chosen output names leave the caller's own 'band' untouched
+    val out = Curriculum.curriculumOrder(withBand.toDF(), col("id"),
+      col("score"), bands = 2, salt = "s",
+      bandCol = "cur_band", orderCol = "cur_order").collect()
+    assert(out.forall(_.getAs[Int]("band") == 7))
+    assert(out.map(_.getAs[Long]("cur_order")).sorted.toSeq == (1L to 10L))
+    // and the permutation matches the default-named run exactly
+    val dflt = Curriculum.curriculumOrder(docs(10).toDF(), col("id"),
+      col("score"), bands = 2, salt = "s")
+      .orderBy("order_id").collect().map(_.getAs[Long]("id")).toSeq
+    val custom = out.sortBy(_.getAs[Long]("cur_order")).map(_.getAs[Long]("id")).toSeq
+    assert(custom == dflt)
+  }
+
   test("bands respect score rank: every band-0 score <= every band-1 score") {
     val out = Curriculum.curriculumOrder(docs(100).toDF(), col("id"),
       col("score"), bands = 2, salt = "s").collect()

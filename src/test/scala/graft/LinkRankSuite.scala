@@ -81,6 +81,26 @@ class LinkRankSuite extends AnyFunSuite with SparkTest {
     assert(r.toSeq == r5.toSeq)
   }
 
+  test("with a checkpoint dir configured, deep runs use RELIABLE checkpoints") {
+    // executor-loss robustness: when sc.setCheckpointDir is set, lineage
+    // truncation lands on the fault-tolerant store instead of
+    // executor-local blocks — and the ranks are bit-identical either way
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")).toDF("src", "dst")
+    val noDir = LinkRank.rank(e, col("src"), col("dst"), iterations = 10)
+      .orderBy("node").collect().map(r => (r.getString(0), r.getLong(1)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val withDir = LinkRank.rank(e, col("src"), col("dst"), iterations = 10)
+        .orderBy("node").collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(withDir.toSeq == noDir.toSeq)
+      // the reliable path actually wrote checkpoint data
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "expected reliable checkpoint files under the dir")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("domainEdges collapses to registrable domains and drops self-links") {
     val df = Seq(
       ("https://blog.example.com/p1", "https://www.example.com/home"),

@@ -44,6 +44,19 @@ class SentencesSuite extends AnyFunSuite with SparkTest {
       Seq((0L, "a. one two three four five six seven eight."), (3L, "b.")))
   }
 
+  test("idName keeps the caller's id column name; collisions fail fast") {
+    val df = Seq((1L, "a b. c d.")).toDF("doc_id", "t")
+    val out = Sentences.chunkBySentences(df, col("doc_id"), col("t"), 5,
+      idName = "doc_id")
+    assert(out.columns.head == "doc_id")
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val e = intercept[IllegalArgumentException] {
+      Sentences.chunkBySentences(df, col("doc_id"), col("t"), 5,
+        idName = "chunk_id")
+    }
+    assert(e.getMessage.contains("collides"))
+  }
+
   test("empty and whitespace docs produce no chunks; plan stays narrow") {
     val df = Seq((1L, ""), (2L, "   "), (3L, "x.")).toDF("id", "t")
     val out = Sentences.chunkBySentences(df, col("id"), col("t"), 5)

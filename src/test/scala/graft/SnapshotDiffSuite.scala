@@ -114,6 +114,24 @@ class SnapshotDiffSuite extends AnyFunSuite with SparkTest {
     assert(d.map(_.getAs[Long]("id")).toSeq == Seq(1L))
   }
 
+  test("partition values with literal '+' round-trip (no form-decode to space)") {
+    val (ld, rd) = (tmp(), tmp())
+    val l = Seq((1L, "c++", 1.0), (2L, "a+b", 2.0), (3L, "plain", 3.0))
+      .toDF("id", "p", "v")
+    val r = Seq((1L, "c++", 9.0), (2L, "a+b", 2.0), (3L, "plain", 3.0))
+      .toDF("id", "p", "v")
+    SnapshotDiff.writePartitionedWithManifest(l, ld, Seq("p"))
+    SnapshotDiff.writePartitionedWithManifest(r, rd, Seq("p"))
+    // manifest-derived values must equal the data-scan values: '+' stays '+'
+    val got = SnapshotDiff.partitionManifestSummary(spark, ld, Seq("p"))
+      .select("p").collect().map(_.getString(0)).toSet
+    assert(got == Set("c++", "a+b", "plain"))
+    // change detection keys match on-disk values, so the diff is not empty
+    val d = SnapshotDiff.diffSnapshots(spark, ld, rd, Seq("id"), Seq("p"))
+      .where(col("diff") === "C").collect()
+    assert(d.map(_.getAs[Long]("id")).toSeq == Seq(1L))
+  }
+
   test("a row moving partitions surfaces as C with the partition change") {
     val (ld, rd) = (tmp(), tmp())
     val l = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "p", "v")
