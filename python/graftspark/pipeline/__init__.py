@@ -94,7 +94,8 @@ __all__ = [
     "streaming_top_keys_per_window", "curriculum_order", "schema_diff_dirs",
     "split_sentences", "chunk_by_sentences",
     "k_anonymity_report", "l_diversity_report", "suppress_rare_rows",
-    "rare_rows",
+    "rare_rows", "streaming_token_counts_by_window",
+    "total_variation_by_window",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -2313,3 +2314,31 @@ def rare_rows(df: DataFrame, quasi_cols, k: int) -> DataFrame:
     jdf = _bridge(df).rareRows(
         df._jdf, _jstrlist(df.sparkSession, quasi_cols), int(k))
     return DataFrame(jdf, df.sparkSession)
+
+
+def streaming_token_counts_by_window(stream: DataFrame, text: ColumnOrName,
+                                     event_time_column: str,
+                                     window_duration: str,
+                                     watermark_delay: str,
+                                     vocab, oov_bucket: str = "<oov>") -> DataFrame:
+    """Streaming drift front half: windowed token counts BUCKETED to the
+    bounded vocab (everything else collapses into oov_bucket), so state is
+    <= len(vocab)+1 rows per open window no matter the stream ->
+    (window, token, cnt), append-mode legal."""
+    jdf = _bridge(stream).streamingTokenCountsByWindow(
+        stream._jdf, _jcol(text), str(event_time_column),
+        str(window_duration), str(watermark_delay),
+        _jstrlist(stream.sparkSession, vocab), str(oov_bucket))
+    return DataFrame(jdf, stream.sparkSession)
+
+
+def total_variation_by_window(counts: DataFrame, window_cols,
+                              reference: DataFrame) -> DataFrame:
+    """Exact total-variation drift per window vs a fixed (token, cnt)
+    reference: tv_scaled = sum |c_i*M - r_i*N| as exact BIGINT, tv the one
+    final IEEE division -> (window_cols..., n_tokens, ref_tokens,
+    tv_scaled, tv)."""
+    jdf = _bridge(counts).totalVariationByWindow(
+        counts._jdf, _jstrlist(counts.sparkSession, window_cols),
+        reference._jdf)
+    return DataFrame(jdf, counts.sparkSession)

@@ -1686,6 +1686,45 @@ class GraftsparkTest(unittest.TestCase):
         out = P.drain_to_parquet(deduped, d + "/out", d + "/cp")
         self.assertEqual(sorted(r["id"] for r in out.collect()), [1, 2, 4])
 
+    def test_pipeline_streaming_drift(self):
+        from datetime import datetime, timezone
+        from graftspark import pipeline as P
+        from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                       StructField, StructType, TimestampType)
+        ts = datetime(2021, 1, 1, tzinfo=timezone.utc)
+        flush_ts = datetime(2021, 1, 2, tzinfo=timezone.utc)
+        # batch 0 = the data window, batch 1 = a far-future flush row whose
+        # event time advances the watermark past the window end so the
+        # append-mode aggregation emits it
+        rows = [(1, "the cat sat", ts, 0), (2, "dog and dog", ts, 0),
+                (3, "the the unknown", ts, 0), (4, "flush", flush_ts, 1)]
+        schema = StructType([
+            StructField("id", LongType()), StructField("text", StringType()),
+            StructField("ts", TimestampType()), StructField("b", IntegerType())])
+        df = self.spark.createDataFrame(rows, schema)
+        d = tempfile.mkdtemp()
+        schema_json = P.write_ordered_batches(df, col("b"), 2, d + "/in")
+        stream = P.read_ordered_batches(self.spark, d + "/in", schema_json)
+        counts = P.streaming_token_counts_by_window(
+            stream, col("text"), "ts", "1 minute", "0 seconds",
+            ["the", "cat", "dog"])
+        out = P.drain_to_parquet(counts, d + "/out", d + "/cp",
+                                 await_no_data_batch=True)
+        from pyspark.sql.functions import unix_timestamp
+        rows2 = out.select(unix_timestamp(col("window.start")).alias("w"),
+                           "token", "cnt").collect()
+        wmin = min(r["w"] for r in rows2)  # the data window; later = flush
+        got = {r["token"]: r["cnt"] for r in rows2 if r["w"] == wmin}
+        self.assertEqual(got, {"the": 3, "cat": 1, "dog": 2, "<oov>": 3})
+        # exact integer TV readout: hand case from the sbt suite
+        ref = self.spark.createDataFrame(
+            [("the", 6), ("cat", 3), ("dog", 3)], ["token", "cnt"])
+        hand = self.spark.createDataFrame(
+            [(0, "the", 1), (0, "cat", 1)], ["w", "token", "cnt"])
+        r = P.total_variation_by_window(hand, ["w"], ref).head()
+        self.assertEqual(r["tv_scaled"], 12)
+        self.assertEqual(r["tv"], 0.25)
+
     def test_pipeline_streaming_heavy_hitters(self):
         from datetime import datetime, timezone
         from graftspark import pipeline as P

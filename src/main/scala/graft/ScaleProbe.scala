@@ -71,7 +71,7 @@ object ScaleProbe {
       "int8_footprint", "bitsign_footprint", "soft_dedup_split", "novelty",
       "dedup_index", "multimatch", "quality_cut", "bloom_index", "cms_sketch",
       "link_rank", "snapshot_diff", "wordpiece_encode", "streaming_topk_state",
-      "curriculum")
+      "curriculum", "anonymity", "streaming_drift_state")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -1024,6 +1024,65 @@ object ScaleProbe {
         graft.streaming.StreamingTopK.topKeysPerWindow(
           st, col("key"), "ts", "1 minute", "0 seconds",
           k = 10, capacity = 64).toDF())
+    }
+
+    // --- streaming drift: N x the corpus with a UNIQUE token injected per
+    // replica-document — a naive groupBy(window, token) would hold rows for
+    // every unique token; the vocab-bucketed plan must hold exactly the
+    // bucketed tokens actually present (constant in N), require-asserted
+    if (enabled("streaming_drift_state")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val driftVocab = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+      val big = amplify(docs, n).select(
+        concat(col("text"), lit(" uniq"),
+          (col("doc_id") + col("__rep") * 1000000L).cast("string")).as("text"))
+        .withColumn("ts", timestamp_seconds(lit(1000000020L)))
+      // the exact bucketed-token count the state must equal (one window)
+      val expected = big
+        .select(explode(graft.text.TextFunctions.tokenize(
+          col("text"), graft.text.TextFunctions.AsciiTokenPattern)).as("tok"))
+        .select(when(col("tok").isInCollection(driftVocab), col("tok"))
+          .otherwise(lit("<oov>")).as("token"))
+        .distinct().count()
+      val flush = spark.range(1).select(lit("zz").as("text"),
+        timestamp_seconds(lit(1000000020L + 400L * 86400L)).as("ts"))
+      streamStateProbe("streaming_drift_state", big.unionByName(flush),
+        when(col("text") === "zz", 1).otherwise(0).cast("int"),
+        expectedBuckets = expected, flushBuckets = 1)(st =>
+        graft.streaming.StreamingDrift.tokenCountsByWindow(
+          st, col("text"), "ts", "1 minute", "0 seconds", driftVocab))
+    }
+
+    // --- k-anonymity suppression: amplification multiplies every quasi
+    // combo's count by exactly n (replicas share lang/source/len_bucket),
+    // so scaling the threshold by n must keep the SAME combos — kept rows
+    // == n x the base kept set, require-asserted. Cost = one window-count
+    // exchange per channel.
+    if (enabled("anonymity")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      def quasi(df: DataFrame) = df.select(col("doc_id"), col("lang"),
+        col("source"), (col("n_chars") % 7).as("len_bucket"))
+      val base = quasi(docs)
+      val big = amplify(docs, n).select(
+        (col("doc_id") + col("__rep") * 1000000L).as("doc_id"),
+        col("lang"), col("source"), (col("n_chars") % 7).as("len_bucket"))
+      val cols = Seq("lang", "source", "len_bucket")
+      val baseKept = graft.privacy.Anonymity.suppressRareRows(base, cols, 2)
+        .queryExecution.toRdd.count()
+      val (stats, tAn) = time {
+        val kc = graft.privacy.Anonymity.suppressRareRows(big, cols, 2 * n)
+          .queryExecution.toRdd.count()
+        val rc = graft.privacy.Anonymity.rareRows(big, cols, 2 * n)
+          .queryExecution.toRdd.count()
+        val total = big.count()
+        require(kc + rc == total,
+          s"anonymity channels not a partition: $kc + $rc != $total")
+        require(kc == n.toLong * baseKept,
+          s"kept rows $kc != n x base kept ${n.toLong * baseKept} - " +
+            "combo counts did not scale linearly")
+        kc
+      }
+      report("anonymity", stats, tAn)
     }
 
     // --- curriculum ordering: two 3-phase row numbers, linear ------------

@@ -1028,6 +1028,37 @@ object SparkEntry {
           col("rep_bigram_fraction"))
     }),
 
+    // P104: streaming distribution drift — vocab-bucketed windowed token
+    // counts (state <= |vocab|+1 rows per open window BY CONSTRUCTION) +
+    // the exact integer total-variation readout vs a fixed reference:
+    // tv_scaled = sum |c_i*M - r_i*N| is exact BIGINT (the fixed-point
+    // discipline), tv = tv_scaled/(2*N*M) the only IEEE step — DuckDB
+    // replays tokenize -> bucket -> window counts -> TV bit-for-bit
+    "streaming_drift" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("ts", timestamp_seconds(lit(1000000000L) + col("doc_id")))
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val flush = docs.sparkSession.range(1).select(
+        lit(-1L).as("doc_id"), lit("flush").as("text"),
+        timestamp_seconds(lit(1100000000L)).as("ts"))
+      val staged = docs.unionAll(flush)
+      val batchC = when(col("doc_id") < 0, lit(2))
+        .otherwise(least(floor(col("doc_id") * 2 / (maxId + 1)), lit(1))).cast("int")
+      val vocab = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+      val counts = streamReplay(s, staged, batchC, 3, awaitNoDataBatch = true)(st =>
+        graft.streaming.StreamingDrift.tokenCountsByWindow(
+          st, col("text"), "ts", "100 seconds", "0 seconds", vocab))
+        .select(unix_timestamp(col("window.start")).as("window_start"),
+          col("token"), col("cnt"))
+        .filter(col("window_start") < 1100000000L) // drop the flush window
+      val ref = Seq(("the", 60L), ("a", 30L), ("of", 25L), ("and", 20L),
+        ("to", 18L), ("in", 15L), ("is", 12L), ("it", 10L), ("<oov>", 310L))
+        .toDF("token", "cnt")
+      graft.streaming.StreamingDrift.totalVariationByWindow(
+        counts, Seq("window_start"), ref)
+    }),
+
     // P98: streaming windowed heavy hitters — bounded Misra-Gries state
     // per window, emitted on watermark close. The gate runs the EXACT
     // degenerate config (capacity >= the window's distinct keys, where the
@@ -3667,6 +3698,28 @@ object SparkEntry {
           "SELECT CAST(window_start AS BIGINT) AS window_start, CAST(rn AS INT) AS rank, " +
           "key, est_count FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start " +
           "ORDER BY est_count DESC, key) AS rn FROM c) x WHERE rn <= 5"),
+
+      // ordered replay + exact integer TV: windowed bucketed counts, then
+      // tv_scaled = SUM |c*M - r*N| (exact), tv = one final division
+      "streaming_drift" ->
+        ("WITH tok AS (SELECT doc_id, [x for x in string_split_regex(lower(text), '[^a-z0-9]+') if x <> ''] AS toks FROM documents), " +
+          "t2 AS (SELECT CAST((1000000000 + doc_id) // 100 * 100 AS BIGINT) AS window_start, unnest(toks) AS tk FROM tok), " +
+          "b AS (SELECT window_start, CASE WHEN list_contains(['the','a','of','and','to','in','is','it'], tk) " +
+          "THEN tk ELSE '<oov>' END AS token, CAST(COUNT(*) AS BIGINT) AS ccnt FROM t2 GROUP BY 1, 2), " +
+          "n AS (SELECT window_start, CAST(SUM(ccnt) AS BIGINT) AS n FROM b GROUP BY 1), " +
+          "ref AS (SELECT * FROM (VALUES ('the', 60), ('a', 30), ('of', 25), ('and', 20), " +
+          "('to', 18), ('in', 15), ('is', 12), ('it', 10), ('<oov>', 310)) AS r(token, rcnt)), " +
+          "m AS (SELECT CAST(SUM(rcnt) AS BIGINT) AS m FROM ref), " +
+          "grid AS (SELECT w.window_start, ref.token, CAST(ref.rcnt AS BIGINT) AS rcnt " +
+          "FROM (SELECT DISTINCT window_start FROM b) w CROSS JOIN ref), " +
+          "fo AS (SELECT COALESCE(g.window_start, b.window_start) AS window_start, " +
+          "COALESCE(g.token, b.token) AS token, COALESCE(g.rcnt, 0) AS rcnt, COALESCE(b.ccnt, 0) AS ccnt " +
+          "FROM grid g FULL OUTER JOIN b ON g.window_start = b.window_start AND g.token = b.token) " +
+          "SELECT f.window_start, n.n AS n_tokens, m.m AS ref_tokens, " +
+          "CAST(SUM(ABS(f.ccnt * m.m - f.rcnt * n.n)) AS BIGINT) AS tv_scaled, " +
+          "CAST(SUM(ABS(f.ccnt * m.m - f.rcnt * n.n)) AS DOUBLE) / (2.0 * n.n * m.m) AS tv " +
+          "FROM fo f JOIN n ON f.window_start = n.window_start CROSS JOIN m " +
+          "GROUP BY 1, 2, 3"),
 
       "streaming_quality" ->
         ("WITH tok AS (SELECT doc_id, [x for x in string_split_regex(lower(text), '[^a-z0-9]+') if x <> ''] AS toks FROM documents), " +

@@ -1237,6 +1237,21 @@ object PyBridge {
   // job description (set/restore primitives for Python context managers)
   // --------------------------------------------------------------------------
 
+  def streamingTokenCountsByWindow(stream: DataFrame, text: Column,
+                                   eventTimeColumn: String,
+                                   windowDuration: String,
+                                   watermarkDelay: String,
+                                   vocab: JList[String],
+                                   oovBucket: String): DataFrame =
+    graft.streaming.StreamingDrift.tokenCountsByWindow(
+      stream, text, eventTimeColumn, windowDuration, watermarkDelay,
+      vocab.asScala.toSeq, oovBucket)
+
+  def totalVariationByWindow(counts: DataFrame, windowCols: JList[String],
+                             reference: DataFrame): DataFrame =
+    graft.streaming.StreamingDrift.totalVariationByWindow(
+      counts, windowCols.asScala.toSeq, reference)
+
   def kAnonymityReport(df: DataFrame, quasiCols: JList[String],
                        k: Int): DataFrame =
     graft.privacy.Anonymity.kAnonymityReport(df, quasiCols.asScala.toSeq, k)
