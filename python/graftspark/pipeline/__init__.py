@@ -95,7 +95,8 @@ __all__ = [
     "split_sentences", "chunk_by_sentences",
     "k_anonymity_report", "l_diversity_report", "suppress_rare_rows",
     "rare_rows", "streaming_token_counts_by_window",
-    "total_variation_by_window",
+    "total_variation_by_window", "train_unigram", "unigram_encode",
+    "unigram_token_count", "save_unigram", "load_unigram",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -2342,3 +2343,39 @@ def total_variation_by_window(counts: DataFrame, window_cols,
         counts._jdf, _jstrlist(counts.sparkSession, window_cols),
         reference._jdf)
     return DataFrame(jdf, counts.sparkSession)
+
+
+def train_unigram(corpus: DataFrame, text: ColumnOrName, vocab_size: int,
+                  max_piece_len: int = 10, seed_size: int = 4096,
+                  em_iterations: int = 2, max_words: int = 1 << 20,
+                  min_freq: int = 1):
+    """Learn a unigram-LM tokenizer (the SentencePiece default family;
+    Viterbi globally-best segmentation) from the corpus's ascii
+    word-frequency table — the deterministic fixed-point variant: hard-EM
+    with exact integer log2 scores, so training replays bit-for-bit in any
+    engine. Returns an opaque model handle."""
+    return _bridge(corpus).unigramTrain(
+        corpus._jdf, _jcol(text), int(vocab_size), int(max_piece_len),
+        int(seed_size), int(em_iterations), int(max_words), int(min_freq))
+
+
+def unigram_encode(text: ColumnOrName, model) -> Column:
+    """Globally-best (Viterbi) piece stream (array<string>) of the
+    ascii-tokenized text; a char absent from the vocab segments as itself
+    at the fixed penalty. One narrow kernel pass, streaming-legal."""
+    return _col_fn("unigramEncode", _jcol(text), model)
+
+
+def unigram_token_count(text: ColumnOrName, model) -> Column:
+    """Piece count per row — the token-budget / packing input."""
+    return _col_fn("unigramTokenCount", _jcol(text), model)
+
+
+def save_unigram(spark: SparkSession, model, path: str) -> None:
+    """Persist the (piece, score) table as a tiny parquet table."""
+    _bridge(spark.range(1)).saveUnigram(spark._jsparkSession, model, str(path))
+
+
+def load_unigram(spark: SparkSession, path: str):
+    """Load a model persisted by save_unigram (opaque model handle)."""
+    return _bridge(spark.range(1)).loadUnigram(spark._jsparkSession, str(path))

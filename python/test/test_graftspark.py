@@ -1686,6 +1686,28 @@ class GraftsparkTest(unittest.TestCase):
         out = P.drain_to_parquet(deduped, d + "/out", d + "/cp")
         self.assertEqual(sorted(r["id"] for r in out.collect()), [1, 2, 4])
 
+    def test_pipeline_unigram(self):
+        from graftspark import pipeline as P
+        from pyspark.sql.functions import concat, lit
+        docs = self.spark.range(0, 100).select(
+            concat(lit("internationalization analytics engine doc"),
+                   col("id").cast("string")).alias("t"))
+        m = P.train_unigram(docs, "t", vocab_size=120, seed_size=1024)
+        enc = docs.select(P.unigram_encode("t", m).alias("p"),
+                          P.unigram_token_count("t", m).alias("n")).head()
+        # pieces concatenate back to the lowercased alnum text
+        self.assertEqual("".join(enc["p"]),
+                         "internationalizationanalyticsenginedoc0")
+        self.assertEqual(enc["n"], len(enc["p"]))
+        # frequent long words learn multi-char pieces
+        self.assertLess(enc["n"], 20)
+        # save/load round-trips the segmentation
+        d = tempfile.mkdtemp()
+        P.save_unigram(self.spark, m, d + "/m")
+        m2 = P.load_unigram(self.spark, d + "/m")
+        enc2 = docs.select(P.unigram_encode("t", m2).alias("p")).head()
+        self.assertEqual(enc["p"], enc2["p"])
+
     def test_pipeline_streaming_drift(self):
         from datetime import datetime, timezone
         from graftspark import pipeline as P

@@ -1852,6 +1852,24 @@ object SparkEntry {
     // paths. Fixture = independent python replication of the whole
     // algorithm (word count -> substring scoring -> vocab cut -> greedy
     // encode, tools/make_golden.py)
+    // P105: unigram-LM tokenizer (the third subword family — Viterbi
+    // globally-best segmentation under exact fixed-point log2 scores,
+    // hard-EM trained). Fixture = an independent python replication of
+    // the ENTIRE algorithm (word count -> seed -> EM -> encode),
+    // tools/make_golden.py make_unigram_fixture — integer arithmetic end
+    // to end, so the match is bit-for-bit, no tolerance.
+    "unigram_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" frag"), col("doc_id"),
+          lit("mentation inter"), col("doc_id"), lit("ation")).as("tt"))
+      val model = graft.text.Unigram.train(docs, col("tt"), vocabSize = 300)
+      docs.select(col("doc_id"),
+        size(graft.text.Unigram.encode(col("tt"), model)).cast("long")
+          .as("n_ug_tokens"),
+        concat_ws(" ", graft.text.Unigram.encode(col("tt"), model))
+          .as("ug_text"))
+    }),
+
     "wordpiece_tokens" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"),
         concat(col("text"), lit(" frag"), col("doc_id"),
@@ -4140,6 +4158,10 @@ object SparkEntry {
       "wordpiece_tokens" ->
         ("SELECT doc_id, n_wp_tokens, wp_text " +
           s"FROM read_parquet('$goldenDir/wordpiece_tokens_sf001.parquet')"),
+
+      "unigram_tokens" ->
+        ("SELECT doc_id, n_ug_tokens, ug_text " +
+          s"FROM read_parquet('$goldenDir/unigram_tokens_sf001.parquet')"),
 
       "bloom_skip_rule" ->
         ("SELECT l_orderkey, l_partkey, l_quantity FROM lineitem " +

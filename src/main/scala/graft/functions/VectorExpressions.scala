@@ -2038,6 +2038,91 @@ case class WordPieceEncode(child: Expression, pieces: Array[String])
     copy(child = newChild)
 }
 
+class UnigramCoder(pieces: Array[String], scores: Array[Long])
+    extends Serializable {
+  @transient private lazy val vocab: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](pieces.length * 2)
+    var i = 0
+    while (i < pieces.length) { m.put(pieces(i), scores(i)); i += 1 }
+    m
+  }
+
+  @transient private lazy val maxLen: Int = {
+    var m = 1
+    var i = 0
+    while (i < pieces.length) { if (pieces(i).length > m) m = pieces(i).length; i += 1 }
+    m
+  }
+
+  @transient private lazy val lookup: String => Long = { k =>
+    val v = vocab.get(k)
+    if (v == null) Long.MinValue else v.longValue()
+  }
+
+  @transient private lazy val memo =
+    new ThreadLocal[java.util.LinkedHashMap[String, Array[String]]] {
+      override def initialValue() =
+        new java.util.LinkedHashMap[String, Array[String]](1024, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, Array[String]]): Boolean =
+            size() > 65536
+        }
+    }
+
+  private def encodeWord(w: String): Array[String] = {
+    val cached = memo.get.get(w)
+    if (cached != null) return cached
+    val res = graft.text.Unigram.viterbi(w, lookup, maxLen)
+    memo.get.put(w, res)
+    res
+  }
+
+  /** Encode full text: ascii-tokenize, concatenate each word's Viterbi
+    * pieces. */
+  def encode(text: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val words = VectorKernels.tokenizeAscii(text)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < words.length) {
+      val subs = encodeWord(words(i).toString)
+      var j = 0
+      while (j < subs.length) { out += UTF8String.fromString(subs(j)); j += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** unigram_encode(text): globally-best (Viterbi) subword stream of the
+  * ascii-tokenized text under a trained unigram model's fixed-point
+  * scores — one narrow kernel pass, no shuffle. */
+case class UnigramEncode(child: Expression, pieces: Array[String],
+                         scores: Array[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if pieces.nonEmpty && pieces.length == scores.length =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"unigram_encode expects string and a non-empty piece/score vocab, got ${t.sql}")
+  }
+
+  @transient private lazy val coder = new UnigramCoder(pieces, scores)
+
+  override def nullSafeEval(text: Any): Any =
+    coder.encode(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ugCoder", coder, "graft.functions.UnigramCoder")
+    defineCodeGen(ctx, ev, a => s"$ref.encode($a)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** decode_html_entities(text): one-pass named + numeric character-
   * reference decode (see [[VectorKernels.decodeHtmlEntities]]). */
 case class DecodeHtmlEntities(child: Expression) extends UnaryExpression {
@@ -2788,6 +2873,10 @@ object vectors {
 
   def wordpiece_encode(text: Column, pieces: Array[String]): Column =
     WordPieceEncode(text.asExpression, pieces).asColumn
+
+  def unigram_encode(text: Column, pieces: Array[String],
+                     scores: Array[Long]): Column =
+    UnigramEncode(text.asExpression, pieces, scores).asColumn
 
   def canonicalize_url(url: Column): Column =
     UrlKernel(url.asExpression, "canonicalize_url").asColumn

@@ -953,6 +953,30 @@ object PyBridge {
                     path: String): graft.text.WordPiece.WordPieceModel =
     graft.text.WordPiece.loadWordPiece(spark, path)
 
+  def unigramTrain(corpus: DataFrame, text: Column, vocabSize: Int,
+                   maxPieceLen: Int, seedSize: Int, emIterations: Int,
+                   maxWords: Int,
+                   minFreq: Long): graft.text.Unigram.UnigramModel =
+    graft.text.Unigram.train(corpus, text, vocabSize, maxPieceLen, seedSize,
+      emIterations, maxWords, minFreq)
+
+  def unigramEncode(c: Column,
+                    model: graft.text.Unigram.UnigramModel): Column =
+    graft.text.Unigram.encode(c, model)
+
+  def unigramTokenCount(c: Column,
+                        model: graft.text.Unigram.UnigramModel): Column =
+    graft.text.Unigram.tokenCount(c, model)
+
+  def saveUnigram(spark: SparkSession,
+                  model: graft.text.Unigram.UnigramModel,
+                  path: String): Unit =
+    graft.text.Unigram.saveUnigram(spark, model, path)
+
+  def loadUnigram(spark: SparkSession,
+                  path: String): graft.text.Unigram.UnigramModel =
+    graft.text.Unigram.loadUnigram(spark, path)
+
   def streamingTopKeysPerWindow(df: DataFrame, key: Column,
                                 eventTimeColumn: String, windowDuration: String,
                                 watermarkDelay: String, k: Int,

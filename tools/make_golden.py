@@ -1414,6 +1414,137 @@ def make_wordpiece_fixture():
           f"vocab {len(vocab)}")
 
 
+def make_unigram_fixture():
+    """Independent replication of graft.text.Unigram train + encode: word
+    count -> substring pseudo-counts -> seed vocab (all single chars + top
+    seed_size-chars by (count desc, piece asc)) -> hard-EM (Viterbi counts
+    under exact fixed-point log2 scores) -> final vocab + scores ->
+    Viterbi encode. Integer arithmetic end to end (log2fp is exact
+    shift-and-square on python ints), so this must match the Scala side
+    bit-for-bit."""
+    import re
+    import string
+    from collections import Counter
+
+    VOCAB_SIZE = 300
+    MAX_PIECE_LEN = 10
+    SEED_SIZE = 4096
+    EM_ITERS = 2
+    UNK_CHAR = -(1 << 40)
+    ascii_lower = str.maketrans(string.ascii_uppercase, string.ascii_lowercase)
+
+    def words_of(t):
+        return re.findall(r"[a-z0-9]+", (t or "").translate(ascii_lower))
+
+    def log2fp(c, frac_bits=16):
+        assert c >= 1
+        ip = c.bit_length() - 1
+        result = ip << frac_bits
+        mant = int(c)
+        shift = ip
+        for bit in range(frac_bits - 1, -1, -1):
+            mant *= mant
+            shift *= 2
+            if mant >= (1 << (shift + 1)):
+                result |= 1 << bit
+                shift += 1
+            excess = mant.bit_length() - 64
+            if excess > 0:
+                mant >>= excess
+                shift -= excess
+        return result
+
+    def viterbi(w, score, max_piece_len):
+        n = len(w)
+        best = [None] * (n + 1)
+        back = [0] * (n + 1)
+        best[0] = 0
+        for end in range(1, n + 1):
+            for start in range(max(0, end - max_piece_len), end):
+                if best[start] is None:
+                    continue
+                piece = w[start:end]
+                s = score.get(piece)
+                if s is None and end - start == 1:
+                    s = UNK_CHAR
+                if s is None:
+                    continue
+                cand = best[start] + s
+                if best[end] is None or cand > best[end]:
+                    best[end] = cand
+                    back[end] = start
+        out, pos = [], n
+        while pos > 0:
+            out.append(w[back[pos]:pos])
+            pos = back[pos]
+        return out[::-1]
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    aug = [(int(d), (t or "") + f" frag{int(d)}mentation inter{int(d)}ation")
+           for d, t in zip(docs.doc_id, docs.text)]
+    wc = Counter()
+    for _, t in aug:
+        wc.update(words_of(t))
+    items = sorted(wc.items(), key=lambda x: (-x[1], x[0]))[:1 << 20]
+
+    seed = Counter()
+    for w, c in items:
+        L = len(w)
+        for i in range(L):
+            for j in range(i + 1, min(L, i + MAX_PIECE_LEN) + 1):
+                seed[w[i:j]] += c
+    chars = sorted(p for p in seed if len(p) == 1)
+    seed_multi = sorted(((p, s) for p, s in seed.items() if len(p) > 1),
+                        key=lambda kv: (-kv[1], kv[0]))[:SEED_SIZE - len(chars)]
+    counts = {ch: seed[ch] for ch in chars}
+    counts.update({p: s for p, s in seed_multi})
+
+    def scores_of(cts):
+        total = sum(max(v, 1) for v in cts.values())
+        lt = log2fp(max(total, 1))
+        return {p: log2fp(max(c, 1)) - lt for p, c in cts.items()}
+
+    for _ in range(EM_ITERS):
+        sc = scores_of(counts)
+        nxt = Counter()
+        for w, c in items:
+            for p in viterbi(w, sc, MAX_PIECE_LEN):
+                nxt[p] += c
+        pruned = {ch: nxt.get(ch, 0) for ch in chars}
+        pruned.update({p: c for p, c in nxt.items() if len(p) > 1 and c > 0})
+        counts = pruned
+
+    final_multi = sorted(((p, c) for p, c in counts.items() if len(p) > 1),
+                         key=lambda kv: (-kv[1], kv[0]))[:VOCAB_SIZE - len(chars)]
+    final_counts = {ch: counts.get(ch, 0) for ch in chars}
+    final_counts.update({p: c for p, c in final_multi})
+    final_scores = scores_of(final_counts)
+    max_len = max(len(p) for p in final_scores)
+
+    memo = {}
+
+    def encode_word(w):
+        if w not in memo:
+            memo[w] = viterbi(w, final_scores, max_len)
+        return memo[w]
+
+    ids, counts_out, texts = [], [], []
+    for doc_id, t in aug:
+        toks = [s for w in words_of(t) for s in encode_word(w)]
+        ids.append(doc_id)
+        counts_out.append(len(toks))
+        texts.append(" ".join(toks))
+    table = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_ug_tokens": pa.array(counts_out, pa.int64()),
+        "ug_text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(table, f"{OUT}/unigram_tokens_sf001.parquet")
+    print(f"unigram_tokens_sf001.parquet: {len(ids)} rows, "
+          f"vocab {len(final_scores)}")
+
+
 if __name__ == "__main__":
     make_images_fixture()
     make_audio_fixture()
@@ -1423,6 +1554,7 @@ if __name__ == "__main__":
     make_cdc_fixture()
     make_bpe_fixture()
     make_wordpiece_fixture()
+    make_unigram_fixture()
     make_jsonl_fixture()
     make_csv_fixture()
     make_url_fixture()
