@@ -1707,6 +1707,14 @@ class GraftsparkTest(unittest.TestCase):
         m2 = P.load_unigram(self.spark, d + "/m")
         enc2 = docs.select(P.unigram_encode("t", m2).alias("p")).head()
         self.assertEqual(enc["p"], enc2["p"])
+        # pure-SQL path through the saved artifact
+        import graftspark as G
+        G.register_extensions(self.spark)
+        docs.createOrReplaceTempView("ug_docs_py")
+        r = self.spark.sql(
+            f"SELECT unigram_encode_model('{d}/m', t) AS p FROM ug_docs_py"
+        ).head()
+        self.assertEqual(list(r["p"]), list(enc["p"]))
 
     def test_pipeline_streaming_drift(self):
         from datetime import datetime, timezone

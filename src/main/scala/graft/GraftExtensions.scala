@@ -87,10 +87,64 @@ object GraftExtensions {
       new ExpressionInfo("graft.GraftExtensions", null, name, usage, ""),
       builder)
 
+  /** Saved tokenizer models loaded inside SQL function builders, cached by
+    * (kind, path) under a listStatus signature of the artifact directory —
+    * a retrained/re-saved model invalidates, re-analysis of the same query
+    * hits the cache (the BloomSkip sidecar discipline). Builders run at
+    * ANALYSIS time, so the load is one bounded driver read per distinct
+    * model, never per row. */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Any)]()
+
+  private def loadCachedModel[A](kind: String, path: String)
+                                (load: SparkSession => A): A = {
+    val spark = SparkSession.active
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"${kind}_encode_model: no model at $path")
+    val sig = fs.listStatus(p).filter(_.isFile)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString(",")
+    val key = s"$kind|$path"
+    val cached = modelCache.get(key)
+    if (cached != null && cached._1 == sig) cached._2.asInstanceOf[A]
+    else {
+      val m = load(spark)
+      modelCache.put(key, (sig, m))
+      m
+    }
+  }
+
   /** All SQL-registrable kernels: name, doc, builder. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     fn("tokenize_ascii", "tokenize_ascii(text) - lowercased [a-z0-9] tokens") { es =>
       arity("tokenize_ascii", es, 1); TokenizeAscii(es.head)
+    },
+    // saved-artifact tokenizer encodes: path must be a string literal; the
+    // model loads once at analysis (cached) and ships as a kernel reference
+    fn("bpe_encode_model",
+      "bpe_encode_model(path, text) - BPE merge-replay subword stream under the model saved at path") { es =>
+      arity("bpe_encode_model", es, 2)
+      val path = stringLit(es.head, "bpe_encode_model", "path")
+      val m = loadCachedModel("bpe", path)(sp => graft.text.Bpe.loadBpe(sp, path))
+      graft.functions.BpeEncodeTokens(es(1),
+        m.merges.map(p => Array(p._1, p._2)).toArray)
+    },
+    fn("wordpiece_encode_model",
+      "wordpiece_encode_model(path, text) - greedy longest-match subword stream under the model saved at path") { es =>
+      arity("wordpiece_encode_model", es, 2)
+      val path = stringLit(es.head, "wordpiece_encode_model", "path")
+      val m = loadCachedModel("wordpiece", path)(sp =>
+        graft.text.WordPiece.loadWordPiece(sp, path))
+      graft.functions.WordPieceEncode(es(1), m.pieces.toArray)
+    },
+    fn("unigram_encode_model",
+      "unigram_encode_model(path, text) - Viterbi globally-best subword stream under the model saved at path") { es =>
+      arity("unigram_encode_model", es, 2)
+      val path = stringLit(es.head, "unigram_encode_model", "path")
+      val m = loadCachedModel("unigram", path)(sp =>
+        graft.text.Unigram.loadUnigram(sp, path))
+      graft.functions.UnigramEncode(es(1), m.pieces.toArray, m.scores.toArray)
     },
     fn("fold_accents",
       "fold_accents(text) - NFD, drop combining marks, NFC recompose") { es =>

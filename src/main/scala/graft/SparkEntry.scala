@@ -1870,6 +1870,25 @@ object SparkEntry {
           .as("ug_text"))
     }),
 
+    // the save -> SQL round-trip of the same model: train, persist the
+    // artifact, then encode PURELY through spark.sql and the registered
+    // unigram_encode_model function — must hit the identical fixture
+    "unigram_tokens_sql" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" frag"), col("doc_id"),
+          lit("mentation inter"), col("doc_id"), lit("ation")).as("tt"))
+      val model = graft.text.Unigram.train(docs, col("tt"), vocabSize = 300)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ugsql").toString + "/m"
+      graft.text.Unigram.saveUnigram(s, model, path)
+      graft.GraftExtensions.registerAll(s)
+      docs.createOrReplaceTempView("graft_ug_docs")
+      s.sql(s"SELECT doc_id, " +
+        s"CAST(size(unigram_encode_model('$path', tt)) AS BIGINT) AS n_ug_tokens, " +
+        s"concat_ws(' ', unigram_encode_model('$path', tt)) AS ug_text " +
+        "FROM graft_ug_docs")
+    }),
+
     "wordpiece_tokens" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"),
         concat(col("text"), lit(" frag"), col("doc_id"),
@@ -4160,6 +4179,10 @@ object SparkEntry {
           s"FROM read_parquet('$goldenDir/wordpiece_tokens_sf001.parquet')"),
 
       "unigram_tokens" ->
+        ("SELECT doc_id, n_ug_tokens, ug_text " +
+          s"FROM read_parquet('$goldenDir/unigram_tokens_sf001.parquet')"),
+
+      "unigram_tokens_sql" ->
         ("SELECT doc_id, n_ug_tokens, ug_text " +
           s"FROM read_parquet('$goldenDir/unigram_tokens_sf001.parquet')"),
 

@@ -214,6 +214,52 @@ class SurfaceSuite extends AnyFunSuite with SparkTest {
       .as[Long].collect().toSet
     assert(salted != sqlKept)
   }
+
+  test("GraftExtensions registers the saved-model tokenizer encodes for SQL") {
+    GraftExtensions.registerAll(spark)
+    val docs = spark.range(0, 100).select(
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("alpha beta alphabet doc"),
+        $"id".cast("string")).as("t"))
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlmodels").toString
+    val bpe = graft.text.Bpe.train(docs, $"t", numMerges = 60)
+    graft.text.Bpe.saveBpe(spark, bpe, s"$root/bpe")
+    val wp = graft.text.WordPiece.train(docs, $"t", vocabSize = 80)
+    graft.text.WordPiece.saveWordPiece(spark, wp, s"$root/wp")
+    val ug = graft.text.Unigram.train(docs, $"t", vocabSize = 80, seedSize = 512)
+    graft.text.Unigram.saveUnigram(spark, ug, s"$root/ug")
+    docs.createOrReplaceTempView("sql_model_docs")
+    // every SQL path must equal its Scala column-API twin row for row
+    val got = spark.sql(
+      s"SELECT bpe_encode_model('$root/bpe', t) AS b, " +
+        s"wordpiece_encode_model('$root/wp', t) AS w, " +
+        s"unigram_encode_model('$root/ug', t) AS u FROM sql_model_docs")
+      .collect()
+    val want = docs.select(
+      graft.text.Bpe.encode($"t", bpe).as("b"),
+      graft.text.WordPiece.encode($"t", wp).as("w"),
+      graft.text.Unigram.encode($"t", ug).as("u")).collect()
+    got.zip(want).foreach { case (g, e) =>
+      assert(g.getSeq[String](0) == e.getSeq[String](0))
+      assert(g.getSeq[String](1) == e.getSeq[String](1))
+      assert(g.getSeq[String](2) == e.getSeq[String](2))
+    }
+    // re-saving the model invalidates the analysis-time cache
+    val ug2 = graft.text.Unigram.train(docs, $"t", vocabSize = 60, seedSize = 256)
+    assert(ug2 != ug)
+    graft.text.Unigram.saveUnigram(spark, ug2, s"$root/ug")
+    val refreshed = spark.sql(
+      s"SELECT unigram_encode_model('$root/ug', t) AS u FROM sql_model_docs")
+      .collect().map(_.getSeq[String](0)).toSeq
+    val want2 = docs.select(graft.text.Unigram.encode($"t", ug2).as("u"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(refreshed == want2)
+    // non-literal path fails fast
+    val e = intercept[Exception] {
+      spark.sql("SELECT unigram_encode_model(t, t) FROM sql_model_docs").collect()
+    }
+    assert(e.getMessage.contains("literal") || e.getMessage.contains("foldable"))
+  }
 }
 
 /** Single-column subset encoder target for diffAs tests. */
