@@ -71,7 +71,7 @@ object ScaleProbe {
       "int8_footprint", "bitsign_footprint", "soft_dedup_split", "novelty",
       "dedup_index", "multimatch", "quality_cut", "bloom_index", "cms_sketch",
       "link_rank", "snapshot_diff", "wordpiece_encode", "streaming_topk_state",
-      "curriculum", "anonymity", "streaming_drift_state")
+      "curriculum", "anonymity", "streaming_drift_state", "unigram_encode")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -834,6 +834,22 @@ object ScaleProbe {
           .head().getLong(0)
       }
       report("wordpiece_encode", nTok, tEnc)
+    }
+
+    // --- unigram encode: same narrow-kernel linearity claim; the Viterbi
+    // DP per word is absorbed by the per-thread memo on the Zipfian word
+    // distribution, so amplification must cost ~the scan, not the DP
+    if (enabled("unigram_encode")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val model = graft.text.Unigram.train(docs, col("text"), vocabSize = 300)
+      val big = amplify(docs, n).select(
+        (col("doc_id") + col("__rep") * 1000000L).as("doc_id"),
+        concat(col("text"), lit(" r"), col("__rep").cast("string")).as("text"))
+      val (nTok, tEnc) = time {
+        big.select(sum(size(graft.text.Unigram.encode(col("text"), model))).as("n"))
+          .head().getLong(0)
+      }
+      report("unigram_encode", nTok, tEnc)
     }
 
     // --- boilerplate line removal: the anti-join's hot-hash stress -------

@@ -447,4 +447,83 @@ class PropertySuite extends AnyFunSuite {
     // bijective on the grid (no two cells share a key)
     assert(z.values.toSet.size === grid.size)
   }
+
+  // --------------------------------------------------------------------------
+  // tokenizer invariants (driver-side coder/DP paths, no Spark jobs)
+  // --------------------------------------------------------------------------
+
+  private val genTokWord: Gen[String] = for {
+    n <- Gen.choose(1, 24)
+    cs <- Gen.listOfN(n, Gen.oneOf(('a' to 'f') ++ ('0' to '3')))
+  } yield cs.mkString
+
+  test("unigram log2fp: exact on powers of two, within 1 ulp-of-fixed-point elsewhere, monotone") {
+    import graft.text.Unigram.log2fp
+    check("log2fp pow2", Prop.forAll(Gen.choose(0, 62)) { k =>
+      log2fp(1L << k) == (k.toLong << 16)
+    })
+    check("log2fp vs double reference", Prop.forAll(Gen.choose(1L, Long.MaxValue / 2)) { c =>
+      val ref = math.floor(65536.0 * (math.log(c.toDouble) / math.log(2.0))).toLong
+      math.abs(log2fp(c) - ref) <= 1L
+    })
+    check("log2fp monotone", Prop.forAll(Gen.choose(1L, Long.MaxValue / 2 - 1)) { c =>
+      log2fp(c) <= log2fp(c + 1)
+    })
+  }
+
+  test("unigram viterbi: pieces concat to the word; never beaten by greedy") {
+    // vocab = random subset of the word's substrings plus all single chars
+    // (so segmentation always exists without the UNK fallback)
+    val genCase = for {
+      w <- genTokWord
+      all = (for { i <- 0 until w.length; j <- (i + 1) to math.min(w.length, i + 6) }
+        yield w.substring(i, j)).distinct
+      keepMask <- Gen.listOfN(all.size, Gen.choose(0, 2))
+      scores <- Gen.listOfN(all.size, Gen.choose(-1000000L, -1L))
+    } yield {
+      val chars = w.map(_.toString).distinct
+      val kept = all.zip(keepMask).zip(scores).collect {
+        case ((p, keep), s) if keep == 0 || p.length == 1 => p -> s
+      }.toMap
+      val full = chars.map(ch => ch -> kept.getOrElse(ch, -500000L)).toMap ++ kept
+      (w, full)
+    }
+    check("viterbi concat + optimality", Prop.forAll(genCase) { case (w, sc) =>
+      val lookup: String => Long = p => sc.getOrElse(p, Long.MinValue)
+      val pieces = graft.text.Unigram.viterbi(w, lookup, 6)
+      val concatOk = pieces.mkString("") == w
+      val vScore = pieces.map(lookup).sum
+      // greedy longest-match under the same vocab
+      var i = 0
+      var gScore = 0L
+      while (i < w.length) {
+        var j = math.min(w.length, i + 6)
+        while (j > i + 1 && lookup(w.substring(i, j)) == Long.MinValue) j -= 1
+        gScore += lookup(w.substring(i, j))
+        i = j
+      }
+      concatOk && vScore >= gScore
+    })
+  }
+
+  test("wordpiece coder: pieces reassemble the word or the whole word is [UNK]") {
+    val genCase = for {
+      w <- genTokWord
+      all = (for { i <- 0 until w.length; j <- (i + 1) to math.min(w.length, i + 6) }
+        yield if (i == 0) w.substring(i, j) else "##" + w.substring(i, j)).distinct
+      keepMask <- Gen.listOfN(all.size, Gen.choose(0, 3))
+    } yield (w, all.zip(keepMask).collect { case (p, 0) => p })
+    check("wordpiece reassembly", Prop.forAll(genCase) { case (w, vocab) =>
+      if (vocab.isEmpty) true
+      else {
+        val coder = new graft.functions.WordPieceCoder(vocab.toArray)
+        val out = coder.encode(UTF8String.fromString(w)).array
+          .map(_.asInstanceOf[UTF8String].toString)
+        if (out.sameElements(Array("[UNK]"))) true
+        else out.zipWithIndex.map { case (p, idx) =>
+          if (idx == 0) p else p.stripPrefix("##")
+        }.mkString("") == w
+      }
+    })
+  }
 }
