@@ -97,6 +97,7 @@ __all__ = [
     "rare_rows", "streaming_token_counts_by_window",
     "total_variation_by_window", "train_unigram", "unigram_encode",
     "unigram_token_count", "save_unigram", "load_unigram",
+    "warc_records", "read_warc",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -2379,3 +2380,19 @@ def save_unigram(spark: SparkSession, model, path: str) -> None:
 def load_unigram(spark: SparkSession, path: str):
     """Load a model persisted by save_unigram (opaque model handle)."""
     return _bridge(spark.range(1)).loadUnigram(spark._jsparkSession, str(path))
+
+
+def warc_records(bytes_col: ColumnOrName) -> Column:
+    """Binary WARC/WET shard bytes (gz or plain) -> array of record structs
+    (warc_type, target_uri, warc_date, content_length, payload). One narrow
+    kernel pass; gzip members decompress in-kernel."""
+    return _col_fn("warcRecords", _jcol(bytes_col))
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Read WARC/WET shards (Common Crawl layout) under path: one row per
+    record -> (file, record_idx, warc_type, target_uri, warc_date,
+    content_length, payload). Shards parse in executor tasks via the
+    binaryFile source; the driver only lists files."""
+    jdf = _bridge(spark.range(1)).readWarc(spark._jsparkSession, str(path))
+    return DataFrame(jdf, spark)

@@ -1686,6 +1686,21 @@ class GraftsparkTest(unittest.TestCase):
         out = P.drain_to_parquet(deduped, d + "/out", d + "/cp")
         self.assertEqual(sorted(r["id"] for r in out.collect()), [1, 2, 4])
 
+    def test_pipeline_warc(self):
+        from graftspark import pipeline as P
+        import gzip
+        d = tempfile.mkdtemp()
+        rec = (b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+               b"WARC-Target-URI: http://ex.com/1\r\n"
+               b"Content-Length: 9\r\n\r\nhello doc\r\n\r\n")
+        with open(d + "/s.warc.wet.gz", "wb") as f:
+            f.write(gzip.compress(rec))
+        out = P.read_warc(self.spark, d).collect()
+        self.assertEqual(len(out), 1)
+        self.assertEqual(out[0]["payload"], "hello doc")
+        self.assertEqual(out[0]["target_uri"], "http://ex.com/1")
+        self.assertEqual(out[0]["content_length"], 9)
+
     def test_pipeline_unigram(self):
         from graftspark import pipeline as P
         from pyspark.sql.functions import concat, lit

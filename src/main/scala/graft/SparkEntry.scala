@@ -1999,6 +1999,45 @@ object SparkEntry {
           lit("@mail.example.org or 10.2."), (col("doc_id") % 256).cast("string"),
           lit(".77 acct 900123456789"))).as("redacted"))),
 
+    // P106 WARC/WET ingest: the gate builds gzip WET shards from the
+    // documents table byte-for-byte (headers + octet Content-Length),
+    // reads them back through binaryFile + the warc_records kernel, and
+    // the oracle recomputes every field directly from the table — uri
+    // derivation, OCTET lengths (strlen), payload text
+    "warc_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .filter(col("doc_id") < 200)
+        .orderBy("doc_id")
+        .collect()
+      val root = java.nio.file.Files.createTempDirectory("graft_wet").toString
+      val crlf = "\r\n"
+      (0 until 4).foreach { shardIdx =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write((s"WARC/1.0${crlf}WARC-Type: warcinfo$crlf" +
+          s"Content-Length: 0$crlf$crlf$crlf$crlf")
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        docs.filter(_.getLong(0) % 4 == shardIdx).foreach { r =>
+          val body = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          gz.write((s"WARC/1.0${crlf}WARC-Type: conversion$crlf" +
+            s"WARC-Target-URI: http://ex.test/${r.getLong(0)}$crlf" +
+            s"WARC-Date: 2026-08-15T00:00:00Z$crlf" +
+            s"Content-Length: ${body.length}$crlf$crlf")
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          gz.write(body)
+          gz.write(s"$crlf$crlf".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        }
+        gz.close()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$root/shard$shardIdx.warc.wet.gz"),
+          bos.toByteArray)
+      }
+      graft.sources.Warc.readWarc(s, root)
+        .where(col("warc_type") === "conversion")
+        .select(col("target_uri"), col("content_length"), col("payload"))
+    }),
+
     // P103 k-anonymity: combo census over (lang, source, length-bucket)
     // quasi-identifiers — exact GROUP BY arithmetic, replayed verbatim
     "k_anonymity_report" -> ((s, dir) =>
@@ -4304,6 +4343,11 @@ object SparkEntry {
           "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" +
           "|\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" +
           "|\\b\\d{9,}\\b', '[REDACTED]', 'g') AS redacted FROM documents"),
+
+      "warc_ingest" ->
+        ("SELECT 'http://ex.test/' || CAST(doc_id AS VARCHAR) AS target_uri, " +
+          "CAST(strlen(COALESCE(text, '')) AS BIGINT) AS content_length, " +
+          "COALESCE(text, '') AS payload FROM documents WHERE doc_id < 200"),
 
       "k_anonymity_report" ->
         ("SELECT lang, source, n_chars % 7 AS len_bucket, " +

@@ -1276,6 +1276,12 @@ object PyBridge {
     graft.streaming.StreamingDrift.totalVariationByWindow(
       counts, windowCols.asScala.toSeq, reference)
 
+  def warcRecords(bytes: Column): Column =
+    graft.sources.Warc.warcRecords(bytes)
+
+  def readWarc(spark: SparkSession, path: String): DataFrame =
+    graft.sources.Warc.readWarc(spark, path)
+
   def kAnonymityReport(df: DataFrame, quasiCols: JList[String],
                        k: Int): DataFrame =
     graft.privacy.Anonymity.kAnonymityReport(df, quasiCols.asScala.toSeq, k)
