@@ -93,8 +93,15 @@ object GraftExtensions {
     * hits the cache (the BloomSkip sidecar discipline). Builders run at
     * ANALYSIS time, so the load is one bounded driver read per distinct
     * model, never per row. */
+  private val ModelCacheCap = 64
   private val modelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Any)]()
+    new java.util.LinkedHashMap[String, (String, Any)](16, 0.75f, true) {
+      // LRU-bounded: a driver that retrains to fresh timestamped paths
+      // (or serves many tenants) must not grow the heap without bound
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, Any)]): Boolean =
+        size() > ModelCacheCap
+    }
 
   private def loadCachedModel[A](kind: String, path: String)
                                 (load: SparkSession => A): A = {
@@ -102,17 +109,15 @@ object GraftExtensions {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(p), s"${kind}_encode_model: no model at $path")
-    val sig = fs.listStatus(p).filter(_.isFile)
-      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-      .sorted.mkString(",")
+    val sig = graft.parquet.SidecarFiles.signature(spark, path)
     val key = s"$kind|$path"
-    val cached = modelCache.get(key)
-    if (cached != null && cached._1 == sig) cached._2.asInstanceOf[A]
-    else {
-      val m = load(spark)
-      modelCache.put(key, (sig, m))
-      m
+    modelCache.synchronized {
+      val cached = modelCache.get(key)
+      if (cached != null && cached._1 == sig) return cached._2.asInstanceOf[A]
     }
+    val m = load(spark)
+    modelCache.synchronized { modelCache.put(key, (sig, m)) }
+    m
   }
 
   /** All SQL-registrable kernels: name, doc, builder. */

@@ -100,7 +100,10 @@ object LinkRank {
       // the cluster's fault-tolerant store — executor loss recovers);
       // otherwise localCheckpoint, whose executor-resident blocks make
       // the truncated lineage unrecoverable on executor loss — on a real
-      // cluster set sc.setCheckpointDir for iterations > 8.
+      // cluster set sc.setCheckpointDir for iterations > 8. Reliable
+      // checkpoint files persist after the job: enable
+      // spark.cleaner.referenceTracking.cleanCheckpoints=true (or clean the
+      // dir externally) on drivers that call rank() repeatedly.
       if (it % 8 == 0 && it < iterations) {
         r = if (r.sparkSession.sparkContext.getCheckpointDir.isDefined)
           r.checkpoint(true)

@@ -32,4 +32,18 @@ object SidecarFiles {
     require(files.nonEmpty, s"no data files in sidecar directory $dir")
     spark.read.parquet(files: _*)
   }
+
+  /** Freshness signature of an artifact directory for driver-side caches:
+    * sorted `name:length:mtime` per file. Per-file NAMES matter — Spark
+    * part-file names are unique per write, so a rebuild changes the
+    * signature even when file count, total bytes, and coarse mtimes all
+    * collide (fixed-size bloom sidecars rebuilt in the same millisecond
+    * would otherwise serve stale bits). */
+  def signature(spark: SparkSession, dir: String): String = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).filter(_.isFile)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString(",")
+  }
 }

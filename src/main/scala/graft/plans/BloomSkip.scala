@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentHashMap
 
 import scala.util.control.NonFatal
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, In, Literal, XxHash64}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan}
@@ -56,8 +56,8 @@ import graft.parquet.{BloomBits, BloomIndex}
  *  - probe hashes are computed by evaluating the `XxHash64` expression
  *    driver-side on the predicate literals — no Spark job;
  *  - parsed sidecar contents are CACHED per sidecar directory, keyed by a
- *    freshness signature (file count, total bytes, max modification time)
- *    taken from one driver `listStatus` — a rebuilt/extended sidecar
+ *    per-file freshness signature (sorted name:length:mtime — one driver
+ *    `listStatus`) — a rebuilt/extended sidecar
  *    invalidates the entry, a re-optimization of the same query hits the
  *    cache. The only uncached per-query driver IO is that single list call
  *    per indexed column.
@@ -72,7 +72,7 @@ object BloomSkipRule extends Rule[LogicalPlan] {
 
   /** Parsed sidecar rows (path key -> (bits, logBits, k)) plus the
     * directory signature they were read under. */
-  private case class CachedSidecar(signature: (Int, Long, Long),
+  private case class CachedSidecar(signature: String,
                                    blooms: Map[String, (Array[Long], Int, Int)])
 
   /** Keyed by sidecar directory path; bounded by the number of distinct
@@ -111,15 +111,6 @@ object BloomSkipRule extends Rule[LogicalPlan] {
     * file listings may render `file:/...`). */
   private def pathKey(s: String): String = new Path(s).toUri.getPath
 
-  /** One driver listStatus: freshness signature of the sidecar directory
-    * (file count, total bytes, max mtime). Any rebuild or append to the
-    * sidecar changes at least one component on every sane filesystem. */
-  private def dirSignature(fsys: FileSystem, dir: Path): (Int, Long, Long) = {
-    val st = fsys.listStatus(dir).filter(_.isFile)
-    (st.length, st.map(_.getLen).sum,
-      if (st.isEmpty) 0L else st.map(_.getModificationTime).max)
-  }
-
   /** Sidecar contents for (root, column), through the cache; None when the
     * sidecar directory does not exist. The parquet read (a tiny Spark job,
     * one row per data file) runs only on a signature miss. */
@@ -128,7 +119,10 @@ object BloomSkipRule extends Rule[LogicalPlan] {
     val scPath = new Path(BloomIndex.sidecarPath(root, column))
     val fsys = scPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fsys.exists(scPath)) return None
-    val sig = dirSignature(fsys, scPath)
+    // per-file name:len:mtime signature (SidecarFiles.signature): part-file
+    // names are unique per write, so a same-millisecond equal-size rebuild
+    // still invalidates — count/bytes/max-mtime alone would not
+    val sig = graft.parquet.SidecarFiles.signature(spark, scPath.toString)
     val key = scPath.toString
     val cached = sidecarCache.get(key)
     if (cached != null && cached.signature == sig) return Some(cached.blooms)

@@ -83,7 +83,12 @@ object StreamingDrift {
   def totalVariationByWindow(counts: DataFrame, windowCols: Seq[String],
                              reference: DataFrame): DataFrame = {
     require(windowCols.nonEmpty, "need at least one window column")
-    val ref = reference.select(col("token"), col("cnt").cast("long").as("rcnt"))
+    // pre-aggregate the reference: a duplicate token row (e.g. a reference
+    // built by unioning counted samples) would otherwise fan out the grid
+    // join and silently inflate tv_scaled
+    val ref = reference
+      .groupBy(col("token"))
+      .agg(sum(col("cnt").cast("long")).as("rcnt"))
     // M: one scalar row (bounded reference)
     val m = ref.agg(coalesce(sum(col("rcnt")), lit(0L)).as("__m"))
     val wc = windowCols.map(col)

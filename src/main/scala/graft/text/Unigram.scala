@@ -55,6 +55,13 @@ object Unigram {
   val FracBits = 16
   val UnkCharScore: Long = -(1L << 40)
 
+  /** DP score floor: path scores saturate here instead of wrapping —
+    * without it a pathological >2^23-char out-of-vocab run (every char at
+    * UnkCharScore) would overflow Long and pick a garbage segmentation,
+    * diverging from the unbounded-int python replication. Part of the
+    * replay spec: the fixture saturates identically. */
+  val ScoreFloor: Long = -(1L << 62)
+
   case class UnigramModel(pieces: IndexedSeq[String], scores: IndexedSeq[Long]) {
     require(pieces.nonEmpty, "Unigram model needs a non-empty vocab")
     require(pieces.length == scores.length, "pieces/scores length mismatch")
@@ -107,7 +114,9 @@ object Unigram {
             else if (end - start == 1) UnkCharScore
             else Long.MinValue
           if (s != Long.MinValue) {
-            val cand = best(start) + s
+            // saturating add: best >= ScoreFloor and s >= UnkCharScore, so
+            // the raw sum cannot wrap; the max keeps the invariant
+            val cand = math.max(best(start) + s, ScoreFloor)
             if (cand > best(end)) { best(end) = cand; backStart(end) = start }
           }
         }

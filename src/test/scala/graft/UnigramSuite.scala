@@ -88,6 +88,18 @@ class UnigramSuite extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("pathological out-of-vocab runs saturate at the floor, never wrap") {
+    // >2^23 UNK chars would overflow a naive Long accumulation
+    // (2^23 * 2^40 > 2^63); the saturating add must keep a sane
+    // one-char-per-position segmentation instead of garbage
+    val sc = Map("a" -> -1L)
+    val lookup: String => Long = p => sc.getOrElse(p, Long.MinValue)
+    val w = "9" * ((1 << 23) + 10)
+    val pieces = Unigram.viterbi(w, lookup, 4)
+    assert(pieces.length == w.length)
+    assert(pieces.forall(_ == "9"))
+  }
+
   test("save/load round-trips the model exactly") {
     val docs = spark.range(0, 50).select(
       concat(lit("alpha beta gamma doc"), col("id").cast("string")).as("t"))

@@ -24,7 +24,8 @@ for name in sorted(out_dirs):
     # column in an oracle-gated result is a hard failure there even when
     # values match. Mirror that here instead of tuple-izing it away.
     arr_cols = [c for c in s.columns
-                if len(s) and isinstance(s[c].iloc[0], (list, np.ndarray))]
+                if len(s) and s[c].map(
+                    lambda v: isinstance(v, (list, np.ndarray))).any()]
     if name in oracle and arr_cols:
         bad.append((name, f'array-typed columns {arr_cols} (driver cannot hash)')); continue
     if name not in oracle:

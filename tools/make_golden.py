@@ -1431,6 +1431,7 @@ def make_unigram_fixture():
     SEED_SIZE = 4096
     EM_ITERS = 2
     UNK_CHAR = -(1 << 40)
+    SCORE_FLOOR = -(1 << 62)  # saturating-add floor, part of the replay spec
     ascii_lower = str.maketrans(string.ascii_uppercase, string.ascii_lowercase)
 
     def words_of(t):
@@ -1469,7 +1470,7 @@ def make_unigram_fixture():
                     s = UNK_CHAR
                 if s is None:
                     continue
-                cand = best[start] + s
+                cand = max(best[start] + s, SCORE_FLOOR)
                 if best[end] is None or cand > best[end]:
                     best[end] = cand
                     back[end] = start
