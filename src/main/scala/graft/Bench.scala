@@ -88,12 +88,20 @@ object Bench {
     // probe runs before, between, and after the passes so the JSON records
     // whether the host state drifted mid-run.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // local profiling aid: restrict the measured set to a comma-separated
+    // list of query names (full set when unset — the driver's mode)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val probes = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     probes += calibrate(cpus.toInt)
     for (pass <- 1 to passes) {
-      SparkEntry.queries.foreach { case (name, fn) =>
+      queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).queryExecution.toRdd.count()

@@ -132,8 +132,7 @@ object GraftExtensions {
       arity("bpe_encode_model", es, 2)
       val path = stringLit(es.head, "bpe_encode_model", "path")
       val m = loadCachedModel("bpe", path)(sp => graft.text.Bpe.loadBpe(sp, path))
-      graft.functions.BpeEncodeTokens(es(1),
-        m.merges.map(p => Array(p._1, p._2)).toArray)
+      graft.functions.BpeEncodeTokens(es(1), m.merges)
     },
     fn("wordpiece_encode_model",
       "wordpiece_encode_model(path, text) - greedy longest-match subword stream under the model saved at path") { es =>
@@ -141,7 +140,7 @@ object GraftExtensions {
       val path = stringLit(es.head, "wordpiece_encode_model", "path")
       val m = loadCachedModel("wordpiece", path)(sp =>
         graft.text.WordPiece.loadWordPiece(sp, path))
-      graft.functions.WordPieceEncode(es(1), m.pieces.toArray)
+      graft.functions.WordPieceEncode(es(1), m.pieces)
     },
     fn("unigram_encode_model",
       "unigram_encode_model(path, text) - Viterbi globally-best subword stream under the model saved at path") { es =>
@@ -149,7 +148,7 @@ object GraftExtensions {
       val path = stringLit(es.head, "unigram_encode_model", "path")
       val m = loadCachedModel("unigram", path)(sp =>
         graft.text.Unigram.loadUnigram(sp, path))
-      graft.functions.UnigramEncode(es(1), m.pieces.toArray, m.scores.toArray)
+      graft.functions.UnigramEncode(es(1), m.pieces, m.scores)
     },
     fn("fold_accents",
       "fold_accents(text) - NFD, drop combining marks, NFC recompose") { es =>

@@ -71,7 +71,8 @@ object ScaleProbe {
       "int8_footprint", "bitsign_footprint", "soft_dedup_split", "novelty",
       "dedup_index", "multimatch", "quality_cut", "bloom_index", "cms_sketch",
       "link_rank", "snapshot_diff", "wordpiece_encode", "streaming_topk_state",
-      "curriculum", "anonymity", "streaming_drift_state", "unigram_encode")
+      "curriculum", "anonymity", "streaming_drift_state", "unigram_encode",
+      "warc_ingest")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -1202,6 +1203,51 @@ object ScaleProbe {
         """{"probe":"snapshot_diff","n":%d,"rows":%d,"sec":%.2f,"detect_sec":%.2f,"full_sec":%.2f}""",
         Int.box(n), Long.box(incRows), Double.box(tInc),
         Double.box(tDetect), Double.box(tFull)))
+    }
+
+    // --- WARC ingest: shard-count scaling with BOUNDED per-task memory --
+    // binaryFile holds one whole decompressed shard per task (WARC is not
+    // line-splittable; real WET shards are 100-200 MB gz by design), so the
+    // scale claim is: runtime grows with shard COUNT while per-task memory
+    // stays one-shard-bounded. Amplification = N identical ~1 MB gz shards;
+    // linear sec/N and a fixed per-shard record count certify the shape.
+    // The gzip-bomb cap is exercised at probe scale too: a capped re-read
+    // of the same shards must return strictly fewer records, not OOM.
+    if (enabled("warc_ingest")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text")).limit(2000).collect()
+      val sb = new java.io.ByteArrayOutputStream()
+      docs.foreach { r =>
+        val body = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        sb.write((s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+          s"WARC-Target-URI: http://ex.com/${r.getLong(0)}\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n")
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        sb.write(body)
+        sb.write("\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      }
+      val gzBos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(gzBos)
+      gz.write(sb.toByteArray); gz.close()
+      val shard = gzBos.toByteArray
+      val dir = java.nio.file.Files.createTempDirectory("graft_warcprobe")
+      (0 until n).foreach { i =>
+        java.nio.file.Files.write(dir.resolve(s"s$i.warc.wet.gz"), shard)
+      }
+      val (recs, tWarc) = time {
+        graft.sources.Warc.readWarc(spark, dir.toString).count()
+      }
+      require(recs == docs.length.toLong * n,
+        s"warc_ingest: expected ${docs.length.toLong * n} records, got $recs")
+      // capped re-read: decompression stops at ~1/4 shard, records drop,
+      // nothing throws — the truncated-tail guard at amplified scale
+      val capped = spark.read.format("binaryFile").load(dir.toString)
+        .select(explode(graft.sources.Warc.warcRecords(
+          col("content"), sb.size().toLong / 4)).as("r"))
+        .count()
+      require(capped > 0 && capped < recs,
+        s"warc_ingest cap: expected 0 < capped < $recs, got $capped")
+      report("warc_ingest", recs, tWarc)
     }
 
     spark.stop()

@@ -2608,6 +2608,31 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
+    // the daily-ingest append path (P84b): index saved over HALF the
+    // corpus, the other half appended against the saved quantizers, then
+    // the same IVFADC query. Append == save-over-union with the same
+    // quantizers (sbt-pinned), and the quantizers here are trained on the
+    // full corpus exactly as in ann_ivfpq_topk — so the result must be
+    // row-for-row the SAME golden fixture. A mis-encoded, dropped, or
+    // double-counted appended row changes the shortlist or the re-rank and
+    // hash-fails the gate.
+    "ann_append_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ivf = graft.ann.Ann.trainIvf(emb, col("vec_id"), col("embedding"),
+        k = 16, iterations = 3)
+      val pqi = graft.ann.Pq.trainPq(emb, col("vec_id"), col("embedding"),
+        dim = 64, m = 8, ksub = 16, iterations = 3)
+      val idx = graft.createTemporaryDir("ann-append-index")
+      graft.ann.Pq.saveAnnIndex(emb.filter(col("vec_id") % 2 === 0),
+        col("vec_id"), col("embedding"), ivf, pqi, idx)
+      graft.ann.Pq.appendToAnnIndex(emb.filter(col("vec_id") % 2 === 1),
+        col("vec_id"), col("embedding"), idx)
+      graft.ann.Pq.ivfPqTopKIndexed(
+        emb.filter(col("vec_id") < 20), col("vec_id"), col("embedding"),
+        idx, k = 3, nprobe = 3, refine = 8)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
     // reranked 1-bit path quality: Hamming shortlist (k*refine over the
     // 32x-compressed scan) + exact cosine re-rank, recall@3 vs the float
     // brute-force truth thresholded to a DuckDB-assertable boolean.
@@ -4141,7 +4166,9 @@ object SparkEntry {
           "od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src), " +
           "r0 AS (SELECT node, 1000000000000 // p.n AS r FROM nodes CROSS JOIN p), " +
           step(1) + ", " + step(2) + ", " + step(3) + " " +
-          "SELECT node, r AS rank_fp, CAST(r AS DOUBLE) / 1000000000000.0 AS rank_score FROM r3"
+          // DuckDB SUM(BIGINT) promotes to HUGEINT -> pandas float64; cast back
+          // so the driver hash-compares int64 against Spark's LongType.
+          "SELECT node, CAST(r AS BIGINT) AS rank_fp, CAST(r AS DOUBLE) / 1000000000000.0 AS rank_score FROM r3"
       },
 
       "fix_mojibake" ->
@@ -4262,10 +4289,12 @@ object SparkEntry {
           "CAST(len(string_split_regex(s, '\\s+')) AS BIGINT) AS tok, " +
           "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS si FROM s1), " +
           "s3 AS (SELECT doc_id, s, tok, si, " +
-          "COALESCE(SUM(tok) OVER (PARTITION BY doc_id ORDER BY si " +
-          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 12 AS chunk_id " +
+          // CAST: DuckDB windowed/grouped SUM(BIGINT) promotes to HUGEINT ->
+          // pandas float64 -> driver hash mismatch vs Spark's LongType.
+          "CAST(COALESCE(SUM(tok) OVER (PARTITION BY doc_id ORDER BY si " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 12 AS BIGINT) AS chunk_id " +
           "FROM s2) " +
-          "SELECT doc_id, chunk_id, COUNT(*) AS n_sentences, SUM(tok) AS n_tokens, " +
+          "SELECT doc_id, chunk_id, COUNT(*) AS n_sentences, CAST(SUM(tok) AS BIGINT) AS n_tokens, " +
           "string_agg(s, ' ' ORDER BY si) AS chunk_text " +
           "FROM s3 GROUP BY doc_id, chunk_id"),
 
@@ -4760,6 +4789,12 @@ object SparkEntry {
       // identical plan + training through the persisted index: the same
       // golden fixture IS the oracle
       "ann_indexed_topk" ->
+        ("SELECT query_id, rank, neighbor_id " +
+          s"FROM read_parquet('$goldenDir/ann_ivfpq_topk_sf001.parquet')"),
+
+      // append == save-over-union under fixed quantizers (sbt-pinned), so
+      // the half-A-save + half-B-append query reproduces the same fixture
+      "ann_append_topk" ->
         ("SELECT query_id, rank, neighbor_id " +
           s"FROM read_parquet('$goldenDir/ann_ivfpq_topk_sf001.parquet')"),
 

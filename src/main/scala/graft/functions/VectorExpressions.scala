@@ -1906,7 +1906,7 @@ object UrlKernel {
 
 /** bpe_encode_tokens(text): trained-BPE subword stream of the ascii-
   * tokenized text — one narrow kernel pass, no shuffle. */
-case class BpeEncodeTokens(child: Expression, merges: Array[Array[String]])
+case class BpeEncodeTokens(child: Expression, merges: IndexedSeq[(String, String)])
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -1917,7 +1917,8 @@ case class BpeEncodeTokens(child: Expression, merges: Array[Array[String]])
       s"bpe_encode_tokens expects string and a non-empty merge list, got ${t.sql}")
   }
 
-  @transient private lazy val coder = new BpeCoder(merges)
+  @transient private lazy val coder =
+    new BpeCoder(merges.map(p => Array(p._1, p._2)).toArray)
 
   override def nullSafeEval(text: Any): Any =
     coder.encode(text.asInstanceOf[UTF8String])
@@ -2013,7 +2014,7 @@ class WordPieceCoder(pieces: Array[String]) extends Serializable {
 /** wordpiece_encode(text): greedy longest-match subword stream of the
   * ascii-tokenized text against a trained piece vocabulary — one narrow
   * kernel pass, no shuffle. */
-case class WordPieceEncode(child: Expression, pieces: Array[String])
+case class WordPieceEncode(child: Expression, pieces: IndexedSeq[String])
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -2024,7 +2025,7 @@ case class WordPieceEncode(child: Expression, pieces: Array[String])
       s"wordpiece_encode expects string and a non-empty vocab, got ${t.sql}")
   }
 
-  @transient private lazy val coder = new WordPieceCoder(pieces)
+  @transient private lazy val coder = new WordPieceCoder(pieces.toArray)
 
   override def nullSafeEval(text: Any): Any =
     coder.encode(text.asInstanceOf[UTF8String])
@@ -2096,9 +2097,16 @@ class UnigramCoder(pieces: Array[String], scores: Array[Long])
 /** unigram_encode(text): globally-best (Viterbi) subword stream of the
   * ascii-tokenized text under a trained unigram model's fixed-point
   * scores — one narrow kernel pass, no shuffle. */
-case class UnigramEncode(child: Expression, pieces: Array[String],
-                         scores: Array[Long])
+case class UnigramEncode(child: Expression, pieces: IndexedSeq[String],
+                         scores: IndexedSeq[Long])
     extends UnaryExpression {
+  // Model params are IndexedSeq, NOT Array: arrays compare by reference in
+  // case-class equality, so two encode columns over the same model in one
+  // select (e.g. size(encode) + concat_ws(encode)) would never be
+  // semantically equal — defeating common-subexpression elimination and
+  // doubling the Viterbi work per row. Seq equality is element-wise; CSE
+  // collapses the twins to one evaluation. Same rule for WordPieceEncode
+  // and BpeEncodeTokens above.
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
@@ -2109,7 +2117,7 @@ case class UnigramEncode(child: Expression, pieces: Array[String],
       s"unigram_encode expects string and a non-empty piece/score vocab, got ${t.sql}")
   }
 
-  @transient private lazy val coder = new UnigramCoder(pieces, scores)
+  @transient private lazy val coder = new UnigramCoder(pieces.toArray, scores.toArray)
 
   override def nullSafeEval(text: Any): Any =
     coder.encode(text.asInstanceOf[UTF8String])
@@ -2868,14 +2876,14 @@ object vectors {
   def fix_mojibake(text: Column): Column =
     FixMojibake(text.asExpression).asColumn
 
-  def bpe_encode_tokens(text: Column, merges: Array[(String, String)]): Column =
-    BpeEncodeTokens(text.asExpression, merges.map(p => Array(p._1, p._2))).asColumn
+  def bpe_encode_tokens(text: Column, merges: IndexedSeq[(String, String)]): Column =
+    BpeEncodeTokens(text.asExpression, merges).asColumn
 
-  def wordpiece_encode(text: Column, pieces: Array[String]): Column =
+  def wordpiece_encode(text: Column, pieces: IndexedSeq[String]): Column =
     WordPieceEncode(text.asExpression, pieces).asColumn
 
-  def unigram_encode(text: Column, pieces: Array[String],
-                     scores: Array[Long]): Column =
+  def unigram_encode(text: Column, pieces: IndexedSeq[String],
+                     scores: IndexedSeq[Long]): Column =
     UnigramEncode(text.asExpression, pieces, scores).asColumn
 
   def canonicalize_url(url: Column): Column =

@@ -53,10 +53,23 @@ object Warc {
     StructField("content_length", LongType, nullable = false),
     StructField("payload", StringType, nullable = false)))
 
+  /** Decompressed-size ceiling per shard (default 1 GiB = 4x the ~256 MB
+    * upper end of real WET gz shards). Untrusted crawl data can carry a
+    * gzip bomb — an unbounded inflate OOMs the executor, and anything past
+    * ~2 GB hits the JVM byte-array limit with an opaque error. At the cap
+    * the inflate STOPS and parsing sees a truncated shard: the same
+    * records-parsed-so-far tail behavior [[parseRecords]] already specifies
+    * for a cut-off record. */
+  val DefaultMaxDecompressedBytes: Long = 1L << 30
+
   /** Column: binary WARC/WET shard bytes (gz or plain) -> array of record
     * structs ([[RecordSchema]]). */
   def warcRecords(bytes: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    WarcRecordsExpr(bytes.asExpression).asColumn
+    warcRecords(bytes, DefaultMaxDecompressedBytes)
+
+  /** As [[warcRecords]] with an explicit per-shard decompressed-size cap. */
+  def warcRecords(bytes: org.apache.spark.sql.Column, maxDecompressedBytes: Long): org.apache.spark.sql.Column =
+    WarcRecordsExpr(bytes.asExpression, maxDecompressedBytes).asColumn
 
   /**
    * Read WARC/WET shards under `path` (glob ok): one row per record with
@@ -77,15 +90,28 @@ object Warc {
 
   // ------------------------------------------------------------------ kernel
 
-  private[graft] def gunzipIfNeeded(bytes: Array[Byte]): Array[Byte] = {
+  private[graft] def gunzipIfNeeded(
+      bytes: Array[Byte],
+      maxBytes: Long = DefaultMaxDecompressedBytes): Array[Byte] = {
     if (bytes.length < 2 || bytes(0) != 0x1f.toByte || bytes(1) != 0x8b.toByte)
       return bytes
+    // clamp to just under the JVM byte-array ceiling even if a caller asks
+    // for more — a larger single shard is unrepresentable anyway
+    val cap = math.min(maxBytes, (Integer.MAX_VALUE - 16).toLong)
+    require(cap > 0, s"maxDecompressedBytes must be positive, got $maxBytes")
     // GZIPInputStream reads across concatenated members
     val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 1 << 16)
-    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(bytes.length.toLong * 4, cap).toInt.max(1 << 16))
     val buf = new Array[Byte](1 << 16)
     var n = in.read(buf)
-    while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+    // stop AT the cap (truncated-tail semantics, not an executor OOM):
+    // write only up to cap bytes, then abandon the rest of the stream
+    while (n >= 0 && out.size().toLong < cap) {
+      val room = cap - out.size()
+      if (n > 0) out.write(buf, 0, math.min(n.toLong, room).toInt)
+      n = if (out.size().toLong < cap) in.read(buf) else -1
+    }
     in.close()
     out.toByteArray
   }
@@ -106,8 +132,10 @@ object Warc {
   private val HeaderEnd = "\r\n\r\n".getBytes(StandardCharsets.US_ASCII)
 
   /** Parse every record of a (possibly gzipped) shard. */
-  private[graft] def parseRecords(raw: Array[Byte]): Seq[(String, String, String, Long, String)] = {
-    val bytes = gunzipIfNeeded(raw)
+  private[graft] def parseRecords(
+      raw: Array[Byte],
+      maxBytes: Long = DefaultMaxDecompressedBytes): Seq[(String, String, String, Long, String)] = {
+    val bytes = gunzipIfNeeded(raw, maxBytes)
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Long, String)]
     var pos = indexOf(bytes, Marker, 0)
     while (pos >= 0) {
@@ -142,8 +170,8 @@ object Warc {
     out.toSeq
   }
 
-  private[graft] def parseToArrayData(raw: Array[Byte]): GenericArrayData =
-    new GenericArrayData(parseRecords(raw).map { case (t, u, d, l, p) =>
+  private[graft] def parseToArrayData(raw: Array[Byte], maxBytes: Long): GenericArrayData =
+    new GenericArrayData(parseRecords(raw, maxBytes).map { case (t, u, d, l, p) =>
       InternalRow(
         if (t == null) null else UTF8String.fromString(t),
         if (u == null) null else UTF8String.fromString(u),
@@ -153,8 +181,12 @@ object Warc {
 }
 
 /** warc_records(binary): WARC/WET shard bytes -> array of record structs;
-  * one narrow kernel pass, gz handled in-kernel. */
-case class WarcRecordsExpr(child: Expression) extends UnaryExpression {
+  * one narrow kernel pass, gz handled in-kernel with a decompressed-size
+  * cap (gzip-bomb guard — see [[Warc.DefaultMaxDecompressedBytes]]). */
+case class WarcRecordsExpr(
+    child: Expression,
+    maxDecompressedBytes: Long = Warc.DefaultMaxDecompressedBytes)
+  extends UnaryExpression {
   override def dataType: DataType =
     ArrayType(Warc.RecordSchema, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -166,11 +198,11 @@ case class WarcRecordsExpr(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(bytes: Any): Any =
-    Warc.parseToArrayData(bytes.asInstanceOf[Array[Byte]])
+    Warc.parseToArrayData(bytes.asInstanceOf[Array[Byte]], maxDecompressedBytes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      b => s"graft.sources.Warc.parseToArrayData($b)")
+      b => s"graft.sources.Warc.parseToArrayData($b, ${maxDecompressedBytes}L)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -80,15 +80,30 @@ object StreamingDrift {
    * (vocab-bucketed), so the windows × reference grid is tiny; the only
    * corpus-sized object — the raw stream — never reaches this function.
    */
+  val DefaultMaxReferenceTokens: Int = 1 << 20
+
   def totalVariationByWindow(counts: DataFrame, windowCols: Seq[String],
-                             reference: DataFrame): DataFrame = {
+                             reference: DataFrame,
+                             maxReferenceTokens: Int = DefaultMaxReferenceTokens): DataFrame = {
     require(windowCols.nonEmpty, "need at least one window column")
+    require(maxReferenceTokens > 0, "maxReferenceTokens must be positive")
     // pre-aggregate the reference: a duplicate token row (e.g. a reference
     // built by unioning counted samples) would otherwise fan out the grid
     // join and silently inflate tv_scaled
     val ref = reference
       .groupBy(col("token"))
       .agg(sum(col("cnt").cast("long")).as("rcnt"))
+    // The windows x ref grid below BROADCASTS the reference — safe only
+    // because the reference is vocab-bucketed/bounded. Enforce that rather
+    // than assume it: a caller handing an unbounded raw token table would
+    // otherwise OOM the driver on the broadcast. One bounded probe action
+    // (limit stops the count at the cap) on a table that is tiny by
+    // contract; the distinct-token count, not the token mass, is capped.
+    val refDistinct = ref.limit(maxReferenceTokens + 1).count()
+    require(refDistinct <= maxReferenceTokens,
+      s"reference has >$maxReferenceTokens distinct tokens — it must be a " +
+        "bounded (vocab-bucketed) distribution; bucket it (e.g. " +
+        "tokenCountsByWindow's vocab + OOV collapse) before the readout")
     // M: one scalar row (bounded reference)
     val m = ref.agg(coalesce(sum(col("rcnt")), lit(0L)).as("__m"))
     val wc = windowCols.map(col)
@@ -104,15 +119,36 @@ object StreamingDrift {
       .select(wc.map(cn => cn) :+ col("token") :+
         coalesce(col("rcnt"), lit(0L)).as("rcnt") :+
         coalesce(col("ccnt"), lit(0L)).as("ccnt"): _*)
+    // Cross-multiplied terms in decimal(38,0), NOT long: c_i*M and r_i*N can
+    // each reach ~8.5e37 (N, M are corpus token counts — 100 TB-scale inputs
+    // plausibly push N*M past 2^63), where long arithmetic either throws
+    // (ANSI, Spark 4 default) or silently wraps (ansi=false). A long*long
+    // product fits decimal(38,0) exactly, so the sum stays exact; only the
+    // final tv division is IEEE. Beyond decimal(38,0) (tv_scaled >= 1e38,
+    // i.e. 2*N*M itself overflows 38 digits) the exact-BIGINT output
+    // contract is unmeetable — fail fast instead of returning null/garbage.
+    val dec = "decimal(38,0)"
     grid
       .join(n, windowCols)
       .crossJoin(broadcast(m))
-      .withColumn("__term", abs(col("ccnt") * col("__m") - col("rcnt") * col("__n")))
+      .withColumn("__term", abs(
+        col("ccnt").cast(dec) * col("__m").cast(dec) -
+          col("rcnt").cast(dec) * col("__n").cast(dec)))
       .groupBy(wc: _*)
       .agg(
         first(col("__n")).as("n_tokens"),
         first(col("__m")).as("ref_tokens"),
-        sum(col("__term")).as("tv_scaled"))
+        sum(col("__term")).as("__tv_dec"))
+      .withColumn("tv_scaled",
+        when(col("__tv_dec").isNull || // decimal overflow under ansi=false
+          col("__tv_dec") > lit(Long.MaxValue).cast(dec),
+          raise_error(concat(
+            lit("totalVariationByWindow: tv_scaled exceeds BIGINT for window "),
+            concat_ws(",", wc.map(_.cast("string")): _*),
+            lit(" — the exact-integer replay contract cannot hold; " +
+              "compare distributions on a counted sample instead"))).cast("long"))
+          .otherwise(col("__tv_dec").cast("long")))
+      .drop("__tv_dec")
       .withColumn("tv",
         when(col("n_tokens") === 0 || col("ref_tokens") === 0, lit(null))
           .otherwise(col("tv_scaled").cast("double") /

@@ -125,7 +125,7 @@ object Bpe {
   /** Tokenize `text` into the model's subword stream: `array<string>`, one
     * codegen kernel pass, no shuffle. */
   def encode(text: Column, model: BpeModel): Column =
-    graft.functions.vectors.bpe_encode_tokens(text, model.merges.toArray)
+    graft.functions.vectors.bpe_encode_tokens(text, model.merges)
 
   /** Subword count per row — the budget/packing input. */
   def tokenCount(text: Column, model: BpeModel): Column =

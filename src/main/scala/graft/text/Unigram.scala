@@ -231,8 +231,7 @@ object Unigram {
   /** Tokenize `text` into the model's piece stream: `array<string>`, one
     * codegen kernel pass, no shuffle. */
   def encode(text: Column, model: UnigramModel): Column =
-    graft.functions.vectors.unigram_encode(
-      text, model.pieces.toArray, model.scores.toArray)
+    graft.functions.vectors.unigram_encode(text, model.pieces, model.scores)
 
   /** Piece count per row — the budget/packing input. */
   def tokenCount(text: Column, model: UnigramModel): Column =

@@ -102,7 +102,7 @@ object WordPiece {
   /** Tokenize `text` into the model's piece stream: `array<string>`, one
     * codegen kernel pass, no shuffle. */
   def encode(text: Column, model: WordPieceModel): Column =
-    graft.functions.vectors.wordpiece_encode(text, model.pieces.toArray)
+    graft.functions.vectors.wordpiece_encode(text, model.pieces)
 
   /** Piece count per row — the budget/packing input. */
   def tokenCount(text: Column, model: WordPieceModel): Column =

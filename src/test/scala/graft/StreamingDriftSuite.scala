@@ -94,6 +94,48 @@ class StreamingDriftSuite extends AnyFunSuite with SparkTest {
     assert(r3.getAs[Double]("tv") == 0.25)
   }
 
+  test("tv_scaled is exact past long-multiplication range (decimal terms)") {
+    // token masses ~3e9: the cross-products c*M and r*N are ~1e19 > 2^63,
+    // where long arithmetic would throw (ANSI) or wrap (ansi=false) — the
+    // decimal(38,0) terms keep them exact. counts(the:2e9, cat:1e9),
+    // ref(the:3e9, cat:3e9); N=3e9, M=6e9;
+    // terms |2e9*6e9 - 3e9*3e9| = 3e18 and |1e9*6e9 - 3e9*3e9| = 3e18;
+    // sum = 6e18 still fits BIGINT; tv = 6e18 / (2*3e9*6e9) = 1/6.
+    val ref = Seq(("the", 3000000000L), ("cat", 3000000000L)).toDF("token", "cnt")
+    val big = Seq((0L, "the", 2000000000L), (0L, "cat", 1000000000L))
+      .toDF("w", "token", "cnt")
+    val r = StreamingDrift.totalVariationByWindow(big, Seq("w"), ref).head()
+    assert(r.getAs[Long]("tv_scaled") == 6000000000000000000L)
+    assert(math.abs(r.getAs[Double]("tv") - 1.0 / 6.0) < 1e-12)
+  }
+
+  test("tv_scaled beyond BIGINT fails fast instead of returning garbage") {
+    // intermediate terms ~8.5e18 each are fine in decimal, but the sum
+    // crosses 2^63 — the exact-BIGINT output contract is unmeetable and the
+    // readout must raise, not wrap or null out
+    val ref = Seq(("the", 3000000000L), ("dog", 3000000000L)).toDF("token", "cnt")
+    val big = Seq((0L, "cat", 3000000000L)).toDF("w", "token", "cnt")
+    val e = intercept[Exception] {
+      StreamingDrift.totalVariationByWindow(big, Seq("w"), ref).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("exceeds BIGINT")))
+  }
+
+  test("unbounded reference is rejected before the broadcast grid") {
+    val ref = (0 until 3000).map(i => (s"tok$i", 1L)).toDF("token", "cnt")
+    val counts = Seq((0L, "tok1", 5L)).toDF("w", "token", "cnt")
+    val e = intercept[IllegalArgumentException] {
+      StreamingDrift.totalVariationByWindow(counts, Seq("w"), ref,
+        maxReferenceTokens = 1000)
+    }
+    assert(e.getMessage.contains("distinct tokens"))
+    // at or under the cap it runs
+    assert(StreamingDrift.totalVariationByWindow(counts, Seq("w"), ref,
+      maxReferenceTokens = 3000).count() == 1L)
+  }
+
   test("guards: empty/duplicate vocab and oov collisions fail fast") {
     val df = Seq((ts(1L), "x")).toDF("ts", "text")
     intercept[IllegalArgumentException] {

@@ -100,6 +100,27 @@ class UnigramSuite extends AnyFunSuite with SparkTest {
     assert(pieces.forall(_ == "9"))
   }
 
+  test("two encode columns over one model are semantically equal (CSE)") {
+    // Seq (not Array) params: element-wise case-class equality, so
+    // size(encode) + concat_ws(encode) in one select collapses to ONE
+    // Viterbi evaluation under subexpression elimination. With Array
+    // params each column built fresh arrays and was never semanticEqual.
+    import graft.functions.UnigramEncode
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val m1 = Unigram.UnigramModel(Vector("a", "b", "ab"), Vector(1L, 2L, 3L))
+    val m2 = Unigram.UnigramModel(Vector("a", "b", "ab"), Vector(1L, 2L, 3L))
+    val e1 = UnigramEncode(Literal("abab"), m1.pieces, m1.scores)
+    val e2 = UnigramEncode(Literal("abab"), m2.pieces, m2.scores)
+    assert(e1.semanticEquals(e2), "fresh model instances must stay CSE-able")
+    assert(e1 == e2)
+    // the gate shape: both derived columns in one projection agree
+    val row = Seq("abab").toDF("t")
+      .select(size(Unigram.encode(col("t"), m1)).as("n"),
+        concat_ws(" ", Unigram.encode(col("t"), m2)).as("s"))
+      .head()
+    assert(row.getInt(0) == row.getString(1).split(" ").length)
+  }
+
   test("save/load round-trips the model exactly") {
     val docs = spark.range(0, 50).select(
       concat(lit("alpha beta gamma doc"), col("id").cast("string")).as("t"))

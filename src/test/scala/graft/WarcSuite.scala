@@ -71,6 +71,32 @@ class WarcSuite extends AnyFunSuite with SparkTest {
     assert(Warc.parseRecords(Array.emptyByteArray).isEmpty)
   }
 
+  test("gzip-bomb guard: decompression stops at the cap with truncated-tail semantics") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    // a highly compressible shard: many identical records (a tiny gz input
+    // inflating far past the cap — the bomb shape)
+    val one = rec("conversion", "http://ex.com/x", "z" * 1000)
+    val shardBytes = shard(Seq.fill(200)(one): _*)
+    val bomb = gz(shardBytes)
+    assert(bomb.length < shardBytes.length / 10) // genuinely compressible
+    // uncapped: all 200 records
+    assert(Warc.parseRecords(bomb).size == 200)
+    // capped at ~10 records' worth: parse stops cleanly at the truncated
+    // tail — records up to the cap, NO throw, no phantom record
+    val cap = one.length.toLong * 10 + 50
+    val got = Warc.parseRecords(bomb, maxBytes = cap)
+    assert(got.size == 10 && got.forall(_._5 == "z" * 1000))
+    // the inflated buffer never exceeds the cap (OOM guard), and a cap
+    // beyond the JVM array ceiling clamps instead of overflowing
+    assert(Warc.gunzipIfNeeded(bomb, cap).length <= cap)
+    assert(Warc.gunzipIfNeeded(bomb, Long.MaxValue).length == shardBytes.length)
+    intercept[IllegalArgumentException](Warc.gunzipIfNeeded(bomb, 0L))
+  }
+
   test("readWarc: binaryFile end-to-end, one row per record, files in parallel") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/s1.warc.wet"),

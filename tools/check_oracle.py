@@ -41,15 +41,28 @@ for name in sorted(out_dirs):
             bad.append((name, f'schema mismatch: spark={list(sc.columns)} duck={list(dc.columns)}')); continue
         if len(sc) != len(dc):
             bad.append((name, f'row count: spark={len(sc)} duck={len(dc)}')); continue
+        # The driver hashes RENDERED cells, so an int64 column vs a float64
+        # column (e.g. DuckDB HUGEINT sums coming back as float64) is a hard
+        # hash failure even when values are numerically equal. Fail any
+        # integer-vs-float dtype disagreement before the float-noise fallback.
+        dtype_bad = [c for c in sc.columns
+                     if (sc[c].dtype.kind in 'iu') != (dc[c].dtype.kind in 'iu')
+                     and {sc[c].dtype.kind, dc[c].dtype.kind} <= set('iuf')]
+        if dtype_bad:
+            bad.append((name, 'dtype mismatch (int-vs-float, driver hash-fails): '
+                        + ', '.join(f'{c}: spark={sc[c].dtype} duck={dc[c].dtype}'
+                                    for c in dtype_bad)))
+            continue
         eq = sc.equals(dc)
         if not eq:
-            # tolerate float noise
+            # tolerate float noise ONLY when both sides are already float
             diffs = 0
             for c in sc.columns:
                 if not sc[c].equals(dc[c]):
-                    try:
-                        if np.allclose(sc[c].astype(float), dc[c].astype(float), rtol=1e-6, equal_nan=True): continue
-                    except Exception: pass
+                    if sc[c].dtype.kind == 'f' and dc[c].dtype.kind == 'f':
+                        try:
+                            if np.allclose(sc[c], dc[c], rtol=1e-6, equal_nan=True): continue
+                        except Exception: pass
                     diffs += 1
             if diffs == 0: eq = True
         (ok if eq else bad).append((name, f'{len(sc)} rows ' + ('MATCH' if eq else 'VALUE MISMATCH')))
