@@ -36,6 +36,7 @@ __all__ = [
     "connected_components", "assign_clusters", "deduplicate_by_clusters",
     "keep_best_by_clusters", "split_by_clusters", "soft_dedup_weights",
     "deduplicate_minhash_clusters", "hash_sample", "stratified_hash_sample",
+    "epoch_shuffle", "epoch_shards", "dehyphenate",
     "redact_pii", "redact_emails", "redact_ipv4", "redact_long_digits", "strip_html",
     "fold_accents", "script_profile", "matched_patterns", "mask_patterns",
     "asof_join", "range_join", "with_session_index", "session_bounds",
@@ -1048,6 +1049,30 @@ def hash_sample(df: DataFrame, key: ColumnOrName, rate: float,
     return DataFrame(jdf, df.sparkSession)
 
 
+def epoch_shuffle(df: DataFrame, id: ColumnOrName, seed: int, epoch: int,
+                  position_column: str = "shuffle_pos") -> DataFrame:
+    """Deterministic epoch shuffle: the same (seed, epoch) yields the same
+    global training-order permutation (1..N in `position_column`) on every
+    run, cluster size, and engine; different epochs are independent. One
+    range exchange + the 3-phase row-number plan — no single-partition
+    window, no rand()."""
+    jdf = _bridge(df).epochShuffle(df._jdf, _jcol(id), int(seed), int(epoch),
+                                   position_column)
+    return DataFrame(jdf, df.sparkSession)
+
+
+def epoch_shards(df: DataFrame, id: ColumnOrName, seed: int, epoch: int,
+                 num_shards: int, shard_column: str = "shard",
+                 pos_column: str = "shard_pos") -> DataFrame:
+    """Epoch-sharded variant without a global order: deterministic (shard,
+    pos-in-shard) per row — num_shards independent internally-shuffled
+    streams from ONE hash exchange; strictly cheaper than epoch_shuffle
+    when shards are consumed in parallel."""
+    jdf = _bridge(df).epochShards(df._jdf, _jcol(id), int(seed), int(epoch),
+                                  int(num_shards), shard_column, pos_column)
+    return DataFrame(jdf, df.sparkSession)
+
+
 def stratified_hash_sample(df: DataFrame, strata: ColumnOrName,
                            key: ColumnOrName, rates: dict,
                            default_rate: float, salt: str = "graft") -> DataFrame:
@@ -1154,6 +1179,15 @@ def decode_html_entities(text: ColumnOrName) -> Column:
     reference decode; unknown names stay literal, double escapes drop
     exactly one level."""
     return _col_fn("decodeHtmlEntities", _jcol(text))
+
+
+def dehyphenate(text: ColumnOrName) -> Column:
+    """Rejoin words hyphen-split across line breaks ('exam-\\nple' ->
+    'example'): ASCII letter + '-' + optional spaces + newline + optional
+    indent + a LOWERCASE letter joins; dashes ('--'), uppercase/digit
+    continuations, and mid-line hyphens are preserved. Chained breaks
+    repair in one pass."""
+    return _col_fn("dehyphenate", _jcol(text))
 
 
 def fix_mojibake(text: ColumnOrName) -> Column:

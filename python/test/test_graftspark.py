@@ -324,6 +324,33 @@ class GraftsparkTest(unittest.TestCase):
             shingle_size=2, min_overlap=1, expected_shingles=64, fpp=0.05).collect())
         self.assertEqual(kept4, [1, 2])
 
+    def test_pipeline_epoch_order(self):
+        from graftspark import pipeline as P
+        docs = self.spark.createDataFrame([(i,) for i in range(100)], ["id"])
+        # epoch shuffle: contiguous permutation, reproducible, epoch-dependent
+        e1 = {r["id"]: r["shuffle_pos"]
+              for r in P.epoch_shuffle(docs, "id", 7, 1).collect()}
+        self.assertEqual(sorted(e1.values()), list(range(1, 101)))
+        again = {r["id"]: r["shuffle_pos"]
+                 for r in P.epoch_shuffle(docs.repartition(5), "id", 7, 1).collect()}
+        self.assertEqual(e1, again)
+        e2 = {r["id"]: r["shuffle_pos"]
+              for r in P.epoch_shuffle(docs, "id", 7, 2).collect()}
+        self.assertNotEqual(e1, e2)
+        # epoch shards: in-range shards, contiguous per-shard positions
+        rows = P.epoch_shards(docs, "id", 7, 1, 4).collect()
+        self.assertTrue(all(0 <= r["shard"] < 4 for r in rows))
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+        for poss in by_shard.values():
+            self.assertEqual(sorted(poss), list(range(1, len(poss) + 1)))
+        # dehyphenation repair rides the same curation surface
+        t = self.spark.createDataFrame(
+            [("exam-\nple",), ("stay-- \nput",), ("New-\nYork",)], ["t"])
+        fixed = [r["c"] for r in t.select(P.dehyphenate(col("t")).alias("c")).collect()]
+        self.assertEqual(fixed, ["example", "stay-- \nput", "New-\nYork"])
+
     def test_pipeline_curation_operators(self):
         from graftspark import pipeline as P
         docs = self.spark.createDataFrame(

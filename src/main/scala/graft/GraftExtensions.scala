@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, Expression, Expr
   LessThan, Literal, Md5, RegExpReplace, Substring}
 import org.apache.spark.sql.types.{BinaryType, StringType}
 
-import graft.functions.{CanonicalizeText, ChunkTokens, CosineSimilarity, DeflateLength, FoldAccents,
+import graft.functions.{CanonicalizeText, ChunkTokens, CosineSimilarity, DeflateLength, Dehyphenate, FoldAccents,
   DeletionVariants, DotProduct, HashedWordShingles, MinHashBandHashes, MinHashSignature,
   MaskPatterns, MatchedPatterns, ScriptProfile, SimHash64, TokenStats, TokenizeAscii, TopNgramStats,
   WinnowedShingles, WordShingles, WordShinglesAll}
@@ -149,6 +149,11 @@ object GraftExtensions {
       val m = loadCachedModel("unigram", path)(sp =>
         graft.text.Unigram.loadUnigram(sp, path))
       graft.functions.UnigramEncode(es(1), m.pieces, m.scores)
+    },
+    fn("dehyphenate",
+      "dehyphenate(text) - rejoin words hyphen-split across line breaks " +
+        "(lowercase continuation only; dashes/uppercase/digits preserved)") { es =>
+      arity("dehyphenate", es, 1); Dehyphenate(es.head)
     },
     fn("fold_accents",
       "fold_accents(text) - NFD, drop combining marks, NFC recompose") { es =>

@@ -1516,6 +1516,25 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id")), col("doc_id"), numShards = 8)
         .select(col("doc_id"), col("shuffle_pos"), col("shard"))),
 
+    // epoch-seeded training order (P107): same (seed, epoch) -> same global
+    // permutation on any engine; different epochs -> independent orders.
+    // The oracle replays md5('7:2:'||id) ordering directly
+    "epoch_shuffle" -> ((s, dir) =>
+      graft.sample.Sampling.epochShuffle(
+        t(s, dir, "documents").select(col("doc_id")), col("doc_id"),
+        seed = 7, epoch = 2)
+        .select(col("doc_id"), col("shuffle_pos"))),
+
+    // the shard-parallel epoch variant (P107b): deterministic (shard,
+    // pos-in-shard) with NO global order — one hash exchange + per-shard
+    // window. Shard = top-60-bits of the md5 key mod 4; DuckDB replays the
+    // hex prefix via CAST('0x'||substr AS BIGINT)
+    "epoch_shards" -> ((s, dir) =>
+      graft.sample.Sampling.epochShards(
+        t(s, dir, "documents").select(col("doc_id")), col("doc_id"),
+        seed = 7, epoch = 2, numShards = 4)
+        .select(col("doc_id"), col("shard"), col("shard_pos"))),
+
     // deterministic weighted (importance) sampling: keep probability
     // min(1, n_chars/2000) per doc — every arithmetic step bit-identical
     // across engines (IEEE multiply, floor, fixed-width hex render)
@@ -1629,6 +1648,17 @@ object SparkEntry {
     "fix_mojibake" -> ((s, dir) =>
       s.read.parquet(s"$goldenDir/mojibake_sf001.parquet").select(col("moji_id"),
         graft.functions.vectors.fix_mojibake(col("corrupted")).as("fixed_text"))),
+
+    // line-break dehyphenation (P107): the crawl/OCR/PDF-text repair —
+    // `exam-\nple` rejoins to `example` under a fully-specified byte-level
+    // single-pass rule (lowercase continuation only; '--', uppercase,
+    // digits, mid-line hyphens preserved; chained breaks repair in one
+    // pass). Oracle: golden fixture from the independent python replication
+    // (tools/make_golden.py make_dehyphenate_fixture) over every document
+    // plus planted edge cases
+    "text_dehyphenate" -> ((s, dir) =>
+      s.read.parquet(s"$goldenDir/dehyphenate_sf001.parquet").select(col("hy_id"),
+        graft.functions.vectors.dehyphenate(col("broken")).as("fixed_text"))),
 
     // content-defined chunking (P78): splitmix64 Gear rolling hash cuts,
     // FNV-1a 64 chunk ids — every step exact 64-bit integer arithmetic the
@@ -4029,6 +4059,20 @@ object SparkEntry {
           "(row_number() OVER (ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)), doc_id) - 1) % 8 AS shard " +
           "FROM documents"),
 
+      "epoch_shuffle" ->
+        ("SELECT doc_id, " +
+          "row_number() OVER (ORDER BY md5('7:2:' || CAST(doc_id AS VARCHAR)), doc_id) AS shuffle_pos " +
+          "FROM documents"),
+
+      // the hex-prefix shard replay: 15 hex chars = 60 bits fit BIGINT in
+      // both engines (Spark conv(...,16,10) / DuckDB CAST('0x...' AS BIGINT))
+      "epoch_shards" ->
+        ("WITH k AS (SELECT doc_id, md5('7:2:' || CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
+          "s AS (SELECT doc_id, h, " +
+          "CAST(CAST(('0x' || substring(h, 1, 15)) AS BIGINT) % 4 AS INT) AS shard FROM k) " +
+          "SELECT doc_id, shard, " +
+          "row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS shard_pos FROM s"),
+
       "sample_weighted" ->
         ("SELECT doc_id FROM documents " +
           "WHERE substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) < " +
@@ -4174,6 +4218,10 @@ object SparkEntry {
       "fix_mojibake" ->
         ("SELECT moji_id, fixed_text " +
           s"FROM read_parquet('$goldenDir/mojibake_sf001.parquet')"),
+
+      "text_dehyphenate" ->
+        ("SELECT hy_id, fixed_text " +
+          s"FROM read_parquet('$goldenDir/dehyphenate_sf001.parquet')"),
 
       // identical letter/punctuation/vowel-run regex rules + the fixed IEEE
       // Flesch expression, replayed on the same planted suffix

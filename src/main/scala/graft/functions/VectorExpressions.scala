@@ -847,6 +847,51 @@ object VectorKernels extends Serializable {
   }
 
   /**
+   * Line-break dehyphenation — the standard crawl/OCR/PDF-text repair:
+   * a word split across lines as `exam-\nple` rejoins to `example`.
+   *
+   * Exact single-pass rule (byte-level; only ASCII bytes are ever
+   * removed, so UTF-8 passes through intact):
+   *   an ASCII LETTER, then `-`, then `[ \t\r]*`, then `\n`, then
+   *   `[ \t]*`, then a LOWERCASE ASCII letter
+   * deletes the `-` and the whitespace span (the two halves join); the
+   * scan continues AT the joining letter, so chained breaks
+   * (`x-\ny-\nz` -> `xyz`) all repair in one pass. Everything else —
+   * uppercase continuation (likely a true compound/proper noun), digits,
+   * `--` dashes, hyphens not at a line end — is preserved. The rule is
+   * fully specified so the python fixture replication is bit-for-bit.
+   */
+  def dehyphenate(text: UTF8String): UTF8String = {
+    val b = text.getBytes
+    val out = new Array[Byte](b.length)
+    var i = 0
+    var n = 0
+    var changed = false
+    while (i < b.length) {
+      val c = b(i)
+      var joined = false
+      if (c == '-' && n > 0 && isAsciiLetterByte(out(n - 1))) {
+        var j = i + 1
+        while (j < b.length && (b(j) == ' ' || b(j) == '\t' || b(j) == '\r')) j += 1
+        if (j < b.length && b(j) == '\n') {
+          j += 1
+          while (j < b.length && (b(j) == ' ' || b(j) == '\t')) j += 1
+          if (j < b.length && b(j) >= 'a' && b(j) <= 'z') {
+            i = j // drop '-' + whitespace + newline; continue AT the letter
+            changed = true
+            joined = true
+          }
+        }
+      }
+      if (!joined) { out(n) = c; n += 1; i += 1 }
+    }
+    if (!changed) text else UTF8String.fromBytes(java.util.Arrays.copyOf(out, n))
+  }
+
+  private def isAsciiLetterByte(c: Byte): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  /**
    * Single-pass ASCII tokenizer: lowercased maximal [a-z0-9] runs, matching
    * `split(lower(text), '[^a-z0-9]+')` token identity for all inputs —
    * multi-byte UTF8 separates, except the two lowercase-to-ASCII codepoints
@@ -2178,6 +2223,28 @@ case class Md5BucketCounts(child: Expression, bigrams: Boolean,
     copy(child = newChild)
 }
 
+/** dehyphenate(text): line-break hyphenation repair (`exam-\nple` ->
+  * `example`) — see [[VectorKernels.dehyphenate]] for the exact rule. */
+case class Dehyphenate(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"dehyphenate expects string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    VectorKernels.dehyphenate(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorKernels.dehyphenate($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class FoldAccents(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = child.nullable
@@ -2896,6 +2963,8 @@ object vectors {
     UrlKernel(url.asExpression, "registrable_domain").asColumn
 
   def fold_accents(text: Column): Column = FoldAccents(text.asExpression).asColumn
+
+  def dehyphenate(text: Column): Column = Dehyphenate(text.asExpression).asColumn
 
   def md5_bucket_counts(text: Column, bigrams: Boolean = true): Column =
     Md5BucketCounts(text.asExpression, bigrams).asColumn

@@ -729,6 +729,15 @@ object PyBridge {
                          rate: Double, salt: String): DataFrame =
     graft.sample.Sampling.weightedHashSample(df, key, weight, rate, salt)
 
+  def epochShuffle(df: DataFrame, id: Column, seed: Long, epoch: Long,
+                   positionColumn: String): DataFrame =
+    graft.sample.Sampling.epochShuffle(df, id, seed, epoch, positionColumn)
+
+  def epochShards(df: DataFrame, id: Column, seed: Long, epoch: Long,
+                  numShards: Int, shardColumn: String, posColumn: String): DataFrame =
+    graft.sample.Sampling.epochShards(df, id, seed, epoch, numShards,
+      shardColumn, posColumn)
+
   def stratifiedHashSample(df: DataFrame, strata: Column, key: Column,
                            rates: java.util.Map[String, java.lang.Double],
                            defaultRate: Double, salt: String): DataFrame =
@@ -778,6 +787,9 @@ object PyBridge {
 
   def fixMojibake(c: Column): Column =
     graft.functions.vectors.fix_mojibake(c)
+
+  def dehyphenate(c: Column): Column =
+    graft.functions.vectors.dehyphenate(c)
 
   def cdcChunks(c: Column, avgBits: Int, minSize: Int, maxSize: Int): Column =
     graft.multimodal.Cdc.cdcChunks(c, avgBits, minSize, maxSize)

@@ -215,6 +215,60 @@ object Sampling {
   }
 
   /**
+   * Deterministic EPOCH shuffle — the reproducible training-order
+   * permutation: the same `(seed, epoch)` yields the same global order on
+   * every run, cluster size, and engine (resuming a crashed training job
+   * mid-epoch depends on it), while different epochs yield independent
+   * permutations. This is [[shuffleByHash]] with the salt fixed to the
+   * `"seed:epoch:"` convention — one range exchange + the 3-phase position
+   * assignment, no `rand()` (non-deterministic under task retries — a
+   * recomputed partition would re-draw and corrupt the permutation).
+   */
+  def epochShuffle(df: DataFrame, id: Column, seed: Long, epoch: Long,
+                   positionColumn: String = "shuffle_pos",
+                   unpersistHandle: graft.UnpersistHandle = graft.UnpersistHandle.Noop): DataFrame =
+    shuffleByHash(df, id, salt = s"$seed:$epoch:",
+      positionColumn = positionColumn, unpersistHandle = unpersistHandle)
+
+  /**
+   * Epoch-sharded variant for consumers that do NOT need one global order:
+   * each row gets a deterministic `(shard, pos-in-shard)` for the epoch —
+   * `numShards` independent streams (one per data-loader worker), each
+   * internally shuffled by the seeded hash. ONE hash-partition exchange +
+   * local sort (the per-shard window), no global range exchange, no
+   * row-numbers phase, no persist: strictly cheaper than [[epochShuffle]]
+   * and the shape to prefer at 100 TB when shards are consumed in
+   * parallel anyway.
+   *
+   * Shard assignment = the top 60 bits of the same md5 key mod
+   * `numShards` (hash-balanced, not exactly balanced like the round-robin
+   * of [[shuffleByHash]] — balancing would require the global order this
+   * variant exists to avoid). Every step — md5, hex-prefix to integer,
+   * mod, per-shard rank — replays bit-for-bit in any engine.
+   */
+  def epochShards(df: DataFrame, id: Column, seed: Long, epoch: Long,
+                  numShards: Int,
+                  shardColumn: String = "shard",
+                  posColumn: String = "shard_pos"): DataFrame = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    require(!df.columns.contains(shardColumn) && !df.columns.contains(posColumn),
+      s"output columns '$shardColumn'/'$posColumn' collide with input columns")
+    val keyCol = "__epoch_shard_key"
+    require(!df.columns.contains(keyCol), s"input must not contain $keyCol")
+    val key = md5(concat(lit(s"$seed:$epoch:"), id.cast("string")))
+    // 15 hex chars = 60 bits: fits a long exactly in both Spark (conv) and
+    // DuckDB (CAST('0x...' AS BIGINT)) — the cross-engine replay pair
+    val shard = pmod(conv(substring(col(keyCol), 1, 15), 16, 10).cast("long"),
+      lit(numShards.toLong)).cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardColumn)).orderBy(col(keyCol), id)
+    df.withColumn(keyCol, key)
+      .withColumn(shardColumn, shard)
+      .withColumn(posColumn, row_number().over(w).cast("long"))
+      .drop(keyCol)
+  }
+
+  /**
    * Per-stratum sampling rates (e.g. up-sample a high-quality source,
    * down-sample a boilerplate-heavy one) with `defaultRate` for strata not
    * listed. The per-row threshold is a chained CASE on the stratum value —

@@ -201,6 +201,64 @@ class CurationSuite extends AnyFunSuite with SparkTest {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("epochShuffle: reproducible per (seed, epoch), independent across epochs") {
+    val keys = (0L until 2000L).toDF("k")
+    def run(seed: Long, epoch: Long): Map[Long, Long] = {
+      val h = graft.UnpersistHandle()
+      val m = Sampling.epochShuffle(keys, col("k"), seed, epoch, unpersistHandle = h)
+        .select(col("k"), col("shuffle_pos")).as[(Long, Long)].collect().toMap
+      h.unpersist(); m
+    }
+    val e1 = run(7, 1)
+    // a contiguous permutation, identical on re-run
+    assert(e1.values.toSeq.sorted == (1L to 2000L))
+    assert(run(7, 1) == e1)
+    // different epoch (or seed) yields a DIFFERENT permutation
+    val e2 = run(7, 2)
+    assert(e2.values.toSeq.sorted == (1L to 2000L))
+    assert(e1 != e2)
+    assert(run(8, 1) != e1)
+    // equals shuffleByHash under the documented salt convention
+    val h = graft.UnpersistHandle()
+    val viaSalt = Sampling.shuffleByHash(keys, col("k"), salt = "7:1:", unpersistHandle = h)
+      .select(col("k"), col("shuffle_pos")).as[(Long, Long)].collect().toMap
+    h.unpersist()
+    assert(viaSalt == e1)
+  }
+
+  test("epochShards: deterministic (shard, pos), per-shard contiguous, no global exchange") {
+    val keys = (0L until 2000L).toDF("k")
+    def run(epoch: Long) = Sampling.epochShards(keys, col("k"), seed = 7,
+      epoch = epoch, numShards = 4)
+      .select(col("k"), col("shard"), col("shard_pos"))
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    val out = run(1)
+    // every shard in range; positions contiguous 1..size WITHIN each shard
+    assert(out.forall(r => r._2 >= 0 && r._2 < 4))
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length))
+    }
+    // hash-balanced: no shard owns more than half the corpus
+    assert(out.groupBy(_._2).map(_._2.length).max < 1000)
+    // reproducible; epoch changes the assignment
+    assert(run(1).toSeq == out.toSeq)
+    assert(run(2).toSeq != out.toSeq)
+    // partitioning-independent
+    val repart = Sampling.epochShards(keys.repartition(13), col("k"), seed = 7,
+      epoch = 1, numShards = 4)
+      .select(col("k"), col("shard"), col("shard_pos"))
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(repart.toSeq == out.toSeq)
+    // plan shape: ONE exchange (the per-shard window's hash partition),
+    // no range exchange — the cheaper-than-global-order claim
+    val plan = Sampling.epochShards(keys, col("k"), 7, 1, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"),
+      s"epochShards must not range-partition:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one hash exchange:\n$plan")
+  }
+
   test("gopherFilter keeps natural-language docs and drops degenerate ones") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over a lazy dog and then it runs far away to the old barn door again"),

@@ -1314,6 +1314,28 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
       .as[(Long, Long)].head() == ((3L, 1L)))
   }
 
+  test("dehyphenate: line-break joins, chained breaks, and every preserve rule") {
+    def dh(s: String): String = Seq(s).toDF("t")
+      .select(graft.functions.vectors.dehyphenate(col("t")).as("c"))
+      .as[String].head()
+    assert(dh("exam-\nple") == "example")
+    assert(dh("exam- \r\n  ple") == "example")          // CRLF + indent
+    assert(dh("x-\ny-\nz") == "xyz")                    // chained, one pass
+    assert(dh("stay-- \nput") == "stay-- \nput")        // '--' preserved
+    assert(dh("New-\nYork") == "New-\nYork")            // uppercase continuation
+    assert(dh("v1-\n2") == "v1-\n2")                    // digit before hyphen
+    assert(dh("a-\n9") == "a-\n9")                      // digit continuation
+    assert(dh("hy-phen") == "hy-phen")                  // mid-line
+    assert(dh("tail-\n") == "tail-\n")                  // nothing after newline
+    assert(dh("café-\nlatte") == "café-\nlatte")        // é is not ASCII
+    assert(dh("né-\nve") == "né-\nve")                  // é BEFORE '-': not ASCII
+    assert(dh("go-\ning and résu-\nmé tail") == "going and résumé tail")
+    assert(dh("") == "")
+    // SQL registration round-trip
+    graft.GraftExtensions.registerAll(spark)
+    assert(spark.sql("SELECT dehyphenate('exam-\nple') AS c").as[String].head() == "example")
+  }
+
   test("fixMojibake: inverts cp1252 mis-decode to a fixpoint, never touches non-round-tripping text") {
     def fx(s: String): String = Seq(s).toDF("t")
       .select(graft.functions.vectors.fix_mojibake(col("t")).as("c"))

@@ -1154,6 +1154,71 @@ def make_mojibake_fixture():
 
 
 # ---------------------------------------------------------------------------
+# Line-break dehyphenation: independent byte-level replication of
+# VectorKernels.dehyphenate — ASCII letter, '-', [ \t\r]*, '\n', [ \t]*,
+# lowercase ASCII letter => drop the '-' + whitespace span and continue the
+# scan AT the joining letter (chained breaks repair in one pass); all other
+# hyphens (uppercase/digit continuation, '--', mid-line) are preserved.
+# ---------------------------------------------------------------------------
+def make_dehyphenate_fixture():
+    def dehyph(s):
+        b = s.encode("utf-8")
+        out = bytearray()
+        i = 0
+        while i < len(b):
+            c = b[i]
+            joined = False
+            if c == ord("-") and out and chr(out[-1]).isascii() and chr(out[-1]).isalpha():
+                j = i + 1
+                while j < len(b) and b[j] in (0x20, 0x09, 0x0D):
+                    j += 1
+                if j < len(b) and b[j] == 0x0A:
+                    j += 1
+                    while j < len(b) and b[j] in (0x20, 0x09):
+                        j += 1
+                    if j < len(b) and ord("a") <= b[j] <= ord("z"):
+                        i = j
+                        joined = True
+            if not joined:
+                out.append(c)
+                i += 1
+        return bytes(out).decode("utf-8")
+
+    planted = [
+        "plain text no breaks",
+        "exam-\nple",                       # the canonical break
+        "exam- \r\n  ple chained x-\ny-\nz",  # CRLF + indent + chained
+        "stay-- \nput double dash",          # '--' preserved ('-' before '-')
+        "New-\nYork uppercase preserved",    # capitalized continuation
+        "v1-\n2 digit continuation stays",
+        "trailing hyphen-\n",                # nothing after the newline
+        "mid-line hy-phen stays",
+        "9-\nlives digit before hyphen stays",
+        "café-\nlatte stays: é is not an ASCII letter",  # multibyte guard
+    ]
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    ids, broken, fixed = [], [], []
+    for i, p in enumerate(planted):
+        ids.append(int(-(i + 1)))
+        broken.append(p)
+        fixed.append(dehyph(p))
+    suffix = "\nhyphen-\nated tail exam- \n  ple inter-\nnal Non-\nBreak v2-\n3 end"
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        t = (text or "") + suffix
+        ids.append(int(doc_id))
+        broken.append(t)
+        fixed.append(dehyph(t))
+    table = pa.table({
+        "hy_id": pa.array(ids, pa.int64()),
+        "broken": pa.array(broken, pa.string()),
+        "fixed_text": pa.array(fixed, pa.string()),
+    })
+    pq.write_table(table, f"{OUT}/dehyphenate_sf001.parquet")
+    print(f"dehyphenate_sf001.parquet: {len(ids)} rows")
+
+
+# ---------------------------------------------------------------------------
 # Content-defined chunking: an independent python replication of the
 # CdcKernels pipeline — splitmix64 Gear table, rolling (h<<1)+G[b] boundary
 # rule (cut when len>=min and (h & mask)==0, or at max), per-chunk FNV-1a 64
@@ -1552,6 +1617,7 @@ if __name__ == "__main__":
     make_video_fixture()
     make_html_fixture()
     make_mojibake_fixture()
+    make_dehyphenate_fixture()
     make_cdc_fixture()
     make_bpe_fixture()
     make_wordpiece_fixture()
