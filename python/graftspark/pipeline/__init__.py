@@ -36,7 +36,7 @@ __all__ = [
     "connected_components", "assign_clusters", "deduplicate_by_clusters",
     "keep_best_by_clusters", "split_by_clusters", "soft_dedup_weights",
     "deduplicate_minhash_clusters", "hash_sample", "stratified_hash_sample",
-    "epoch_shuffle", "epoch_shards", "dehyphenate",
+    "epoch_shuffle", "epoch_shards", "dehyphenate", "mixture_interleave",
     "redact_pii", "redact_emails", "redact_ipv4", "redact_long_digits", "strip_html",
     "fold_accents", "script_profile", "matched_patterns", "mask_patterns",
     "asof_join", "range_join", "with_session_index", "session_bounds",
@@ -1487,12 +1487,35 @@ def repeated_span_stats(docs: DataFrame, id: ColumnOrName, text: ColumnOrName,
 
 
 def remove_repeated_spans(docs: DataFrame, id: ColumnOrName, text: ColumnOrName,
-                          k: int, min_count: int = 2) -> DataFrame:
+                          k: int, min_count: int = 2,
+                          keep_first: bool = False) -> DataFrame:
     """Drop tokens covered by corpus-duplicated k-token windows:
-    (doc_id, clean_text, removed_tokens)."""
-    jdf = _bridge(docs).removeRepeatedSpans(docs._jdf, _jcol(id), _jcol(text),
-                                            int(k), int(min_count))
+    (doc_id, clean_text, removed_tokens). keep_first=True exempts the
+    canonical occurrence — smallest (doc_id, pos) — of each duplicated
+    window (the keep-one rule of suffix-array training-data dedup), so a
+    copy survives in its first document."""
+    b = _bridge(docs)
+    if keep_first:
+        jdf = b.removeRepeatedSpansKeepFirst(docs._jdf, _jcol(id), _jcol(text),
+                                             int(k), int(min_count))
+    else:
+        jdf = b.removeRepeatedSpans(docs._jdf, _jcol(id), _jcol(text),
+                                    int(k), int(min_count))
     return DataFrame(jdf, docs.sparkSession)
+
+
+def mixture_interleave(df: DataFrame, id: ColumnOrName, source: ColumnOrName,
+                       weights: dict, seed: int, epoch: int,
+                       pos_column: str = "mix_pos") -> DataFrame:
+    """Deterministic weighted interleave — the data-mixture schedule: one
+    global order (1..N in pos_column) in which every prefix carries each
+    source in proportion to its weight (WFQ bound: within one item per
+    source), each source internally shuffled by the seeded epoch hash.
+    Rows whose source has no weight raise rather than mis-weight."""
+    jw = {str(k): int(v) for k, v in weights.items()}
+    jdf = _bridge(df).mixtureInterleave(df._jdf, _jcol(id), _jcol(source),
+                                        jw, int(seed), int(epoch), pos_column)
+    return DataFrame(jdf, df.sparkSession)
 
 
 def top_k_per_group(df: DataFrame, group_cols: List[ColumnOrName],

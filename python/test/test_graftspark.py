@@ -351,6 +351,27 @@ class GraftsparkTest(unittest.TestCase):
         fixed = [r["c"] for r in t.select(P.dehyphenate(col("t")).alias("c")).collect()]
         self.assertEqual(fixed, ["example", "stay-- \nput", "New-\nYork"])
 
+    def test_pipeline_mixture_interleave(self):
+        from graftspark import pipeline as P
+        docs = self.spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b") for i in range(80)], ["id", "src"])
+        rows = sorted(P.mixture_interleave(docs, "id", "src",
+                                           {"a": 3, "b": 1}, 7, 1).collect(),
+                      key=lambda r: r["mix_pos"])
+        self.assertEqual([r["mix_pos"] for r in rows], list(range(1, 81)))
+        # 3:1 proportion in the balanced prefix (within the WFQ bound)
+        prefix = rows[:40]
+        na = sum(1 for r in prefix if r["src"] == "a")
+        self.assertTrue(28 <= na <= 32, na)
+        # keep-one span removal: 'a b c' survives in doc 1, removed from doc 2
+        span_docs = self.spark.createDataFrame(
+            [(1, "a b c d e"), (2, "z a b c y")], ["doc_id", "text"])
+        kept = {r["doc_id"]: (r["clean_text"], r["removed_tokens"])
+                for r in P.remove_repeated_spans(span_docs, "doc_id", "text",
+                                                 k=3, keep_first=True).collect()}
+        self.assertEqual(kept[1], ("a b c d e", 0))
+        self.assertEqual(kept[2], ("z y", 3))
+
     def test_pipeline_curation_operators(self):
         from graftspark import pipeline as P
         docs = self.spark.createDataFrame(

@@ -1320,6 +1320,15 @@ object SparkEntry {
       graft.text.SpanDedup.removeRepeatedSpans(
         t(s, dir, "documents"), col("doc_id"), col("text"), k = 3)),
 
+    // the keep-one rule (P50b, Lee et al. 2021 suffix-array dedup): the
+    // smallest-(doc_id, pos) occurrence of each duplicated window survives;
+    // the oracle exempts the same canonical copy via the identical
+    // (doc_id, pos) rank window over the shared md5-prefix hash
+    "remove_repeated_spans_keepfirst" -> ((s, dir) =>
+      graft.text.SpanDedup.removeRepeatedSpans(
+        t(s, dir, "documents"), col("doc_id"), col("text"), k = 3,
+        keepFirst = true)),
+
     // BM25 sparse retrieval (k1=1.2, b=0.75): bit-length idf + exact
     // fixed-point saturation term, so the scores hash-match the DuckDB
     // replication term for term. The fourth query carries a term absent
@@ -1515,6 +1524,19 @@ object SparkEntry {
       graft.sample.Sampling.shuffleByHash(
         t(s, dir, "documents").select(col("doc_id")), col("doc_id"), numShards = 8)
         .select(col("doc_id"), col("shuffle_pos"), col("shard"))),
+
+    // deterministic weighted interleave (P109): the data-mixture SCHEDULE —
+    // every prefix of the global order carries each source in proportion to
+    // its weight (WFQ finish tags in exact integer arithmetic); DuckDB
+    // replays rank, virtual time, and the final order bit-for-bit
+    "mixture_interleave" -> ((s, dir) =>
+      graft.sample.Sampling.mixtureInterleave(
+        t(s, dir, "documents").select(col("doc_id"), col("source"))
+          .filter(col("source").isin("src0", "src1", "src2", "src3")),
+        col("doc_id"), col("source"),
+        Map("src0" -> 4L, "src1" -> 2L, "src2" -> 1L, "src3" -> 1L),
+        seed = 7, epoch = 1)
+        .select(col("doc_id"), col("source"), col("mix_pos"))),
 
     // epoch-seeded training order (P107): same (seed, epoch) -> same global
     // permutation on any engine; different epochs -> independent orders.
@@ -3539,6 +3561,33 @@ object SparkEntry {
           "CAST(len(t.toks) - COALESCE(reb.kept, 0) AS BIGINT) AS removed_tokens " +
           "FROM tok t LEFT JOIN reb USING (doc_id)"),
 
+      // keep-one variant: identical pipeline, but the canonical occurrence
+      // (rank 1 by (doc_id, pos) within each window hash) is exempted
+      "remove_repeated_spans_keepfirst" ->
+        (s"WITH $docTokCte, " +
+          "w AS (SELECT doc_id, i - 1 AS pos, " +
+          "substring(md5(array_to_string(toks[i:i+2], ' ')), 1, 16) AS h " +
+          "FROM tok, unnest(range(1, len(toks) - 1)) AS r(i)), " +
+          "own AS (SELECT doc_id, pos, " +
+          "ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk, " +
+          "COUNT(*) OVER (PARTITION BY h) AS cnt FROM w), " +
+          "dw AS (SELECT doc_id, pos FROM own WHERE cnt >= 2 AND rk > 1), " +
+          "i0 AS (SELECT doc_id, pos, MAX(pos + 2) OVER (PARTITION BY doc_id ORDER BY pos " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM dw), " +
+          "i1 AS (SELECT doc_id, pos, CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END AS ni FROM i0), " +
+          "i2 AS (SELECT doc_id, pos, SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i1), " +
+          "isl AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos + 2) AS e FROM i2 GROUP BY doc_id, island), " +
+          "cp AS (SELECT doc_id, r.ti FROM isl, unnest(range(s, e + 1)) AS r(ti)), " +
+          "idx AS (SELECT t.doc_id, r.ti, t.toks[r.ti + 1] AS tok " +
+          "FROM tok t, unnest(range(0, len(t.toks))) AS r(ti)), " +
+          "kept AS (SELECT idx.doc_id, idx.ti, idx.tok FROM idx " +
+          "LEFT JOIN cp ON cp.doc_id = idx.doc_id AND cp.ti = idx.ti WHERE cp.doc_id IS NULL), " +
+          "reb AS (SELECT doc_id, array_to_string(list(tok ORDER BY ti), ' ') AS clean_text, " +
+          "CAST(COUNT(*) AS BIGINT) AS kept FROM kept GROUP BY doc_id) " +
+          "SELECT t.doc_id, COALESCE(reb.clean_text, '') AS clean_text, " +
+          "CAST(len(t.toks) - COALESCE(reb.kept, 0) AS BIGINT) AS removed_tokens " +
+          "FROM tok t LEFT JOIN reb USING (doc_id)"),
+
       // BM25: full arithmetic replication — bit-length idf, floored integer
       // avgdl, exact fixed-point saturation term (x1e6), BIGINT score sums,
       // one final division. Same query literals as the Spark side.
@@ -4058,6 +4107,18 @@ object SparkEntry {
           "row_number() OVER (ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)), doc_id) AS shuffle_pos, " +
           "(row_number() OVER (ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)), doc_id) - 1) % 8 AS shard " +
           "FROM documents"),
+
+      // WFQ replay: per-source md5 rank r, virtual time (2r-1)*(lcm/w)
+      // with lcm(4,2,1,1)=4, global order by (v, source, r)
+      "mixture_interleave" ->
+        ("WITH d AS (SELECT doc_id, source FROM documents " +
+          "WHERE source IN ('src0','src1','src2','src3')), " +
+          "r AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source " +
+          "ORDER BY md5('7:1:' || CAST(doc_id AS VARCHAR)), doc_id) AS r FROM d), " +
+          "v AS (SELECT doc_id, source, r, (2*r - 1) * (CASE source " +
+          "WHEN 'src0' THEN 1 WHEN 'src1' THEN 2 ELSE 4 END) AS vk FROM r) " +
+          "SELECT doc_id, source, " +
+          "ROW_NUMBER() OVER (ORDER BY vk, source, r) AS mix_pos FROM v"),
 
       "epoch_shuffle" ->
         ("SELECT doc_id, " +

@@ -682,6 +682,18 @@ object PyBridge {
                           k: Int, minCount: Int): DataFrame =
     graft.text.SpanDedup.removeRepeatedSpans(docs, id, text, k, minCount)
 
+  def removeRepeatedSpansKeepFirst(docs: DataFrame, id: Column, text: Column,
+                                   k: Int, minCount: Int): DataFrame =
+    graft.text.SpanDedup.removeRepeatedSpans(docs, id, text, k, minCount,
+      keepFirst = true)
+
+  def mixtureInterleave(df: DataFrame, id: Column, source: Column,
+                        weights: java.util.Map[String, java.lang.Number],
+                        seed: Long, epoch: Long, posColumn: String): DataFrame =
+    graft.sample.Sampling.mixtureInterleave(df, id, source,
+      weights.asScala.map { case (k, v) => k -> v.longValue() }.toMap,
+      seed, epoch, posColumn)
+
   // --------------------------------------------------------------------------
   // clustering / sampling / redaction (curation surface)
   // --------------------------------------------------------------------------

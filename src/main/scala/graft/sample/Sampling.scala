@@ -231,6 +231,61 @@ object Sampling {
       positionColumn = positionColumn, unpersistHandle = unpersistHandle)
 
   /**
+   * Deterministic weighted interleave — the data-mixture SCHEDULE: one
+   * global training order in which every prefix contains each source in
+   * proportion to its weight (within one item per source — the weighted
+   * fair queuing bound), with each source internally shuffled by the
+   * seeded epoch hash. Where [[mixtureResample]]/[[temperatureSample]]
+   * change WHAT is kept, this orders everything that was kept — the
+   * "interleave datasets by weight" step of a training data loader, made
+   * reproducible and engine-replayable.
+   *
+   * Mechanics (all exact integer arithmetic): per-source rank `r` from the
+   * seeded md5 order (one hash exchange + per-source window), virtual time
+   * `v = (2r − 1) · (C / w_s)` with `C = lcm(weights)` — the classic WFQ
+   * finish-tag, scaled by 2C so it stays integral — then the global
+   * position by `(v, source, r)` through the 3-phase row-number plan.
+   * Rows whose source has no weight fail fast (a silent drop or a default
+   * weight would corrupt the mixture).
+   *
+   * Long-range: `v ≤ 2·N_s·C/w_s`; with ANSI on (Spark 4 default) an
+   * overflow throws rather than mis-ordering. lcm(weights) is validated
+   * against Long range at plan time.
+   */
+  def mixtureInterleave(df: DataFrame, id: Column, source: Column,
+                        weights: Map[String, Long], seed: Long, epoch: Long,
+                        posColumn: String = "mix_pos",
+                        unpersistHandle: graft.UnpersistHandle = graft.UnpersistHandle.Noop): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    weights.foreach { case (s, w) => require(w > 0, s"weight for '$s' must be positive: $w") }
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcm = weights.values.foldLeft(1L) { (acc, w) =>
+      val g = gcd(acc, w)
+      val r = acc / g * w
+      require(r > 0 && r / (acc / g) == w, s"lcm(weights) overflows Long")
+      r
+    }
+    val key = md5(concat(lit(s"$seed:$epoch:"), id.cast("string")))
+    val perSource = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__mix_src")).orderBy(col("__mix_key"), id)
+    // source -> C / w_s, unknown sources raise (never silently mis-weighted)
+    val kCol = weights.foldLeft(
+      raise_error(concat(lit("mixtureInterleave: no weight for source "),
+        col("__mix_src"))).cast("long")) {
+      case (acc, (s, w)) => when(col("__mix_src") === s, lit(lcm / w)).otherwise(acc)
+    }
+    val ranked = df
+      .withColumn("__mix_src", source.cast("string"))
+      .withColumn("__mix_key", key)
+      .withColumn("__mix_r", row_number().over(perSource).cast("long"))
+      .withColumn("__mix_v", (lit(2L) * col("__mix_r") - 1L) * kCol)
+    graft.RowNumbers.withRowNumbers(
+      ranked, posColumn, unpersistHandle = unpersistHandle,
+      order = Seq(col("__mix_v").asc, col("__mix_src").asc, col("__mix_r").asc))
+      .drop("__mix_src", "__mix_key", "__mix_r", "__mix_v")
+  }
+
+  /**
    * Epoch-sharded variant for consumers that do NOT need one global order:
    * each row gets a deterministic `(shard, pos-in-shard)` for the epoch —
    * `numShards` independent streams (one per data-loader worker), each

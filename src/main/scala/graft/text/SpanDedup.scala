@@ -36,12 +36,27 @@ object SpanDedup {
         posexplode(vectors.word_shingles_all(text, k)).as(Seq("pos", "win")))
       .select(col("doc_id"), col("pos"), substring(md5(col("win")), 1, 16).as("h"))
 
-  /** (doc_id, pos) of windows whose hash occurs >= minCount times corpus-wide. */
-  private def duplicatedWindows(w: DataFrame, minCount: Int): DataFrame = {
-    val dup = w.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minCount)
-      .select(col("h"))
-    w.join(dup, Seq("h"), "left_semi").select(col("doc_id"), col("pos"))
+  /** (doc_id, pos) of windows whose hash occurs >= minCount times corpus-wide.
+    * With `keepFirst` the CANONICAL occurrence of each window — smallest
+    * (doc_id, pos) — is exempted, so one copy of every duplicated span
+    * survives removal (the keep-one rule of suffix-array training-data
+    * dedup, Lee et al. 2021); without it every occurrence is marked. Both
+    * paths are one hash exchange on the 16-hex window hash. */
+  private def duplicatedWindows(w: DataFrame, minCount: Int,
+                                keepFirst: Boolean = false): DataFrame = {
+    if (!keepFirst) {
+      val dup = w.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= minCount)
+        .select(col("h"))
+      w.join(dup, Seq("h"), "left_semi").select(col("doc_id"), col("pos"))
+    } else {
+      val byHash = Window.partitionBy(col("h"))
+      val ranked = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
+      w.withColumn("cnt", count(lit(1)).over(byHash))
+        .withColumn("rk", row_number().over(ranked))
+        .filter(col("cnt") >= minCount && col("rk") > 1)
+        .select(col("doc_id"), col("pos"))
+    }
   }
 
   /** Merged covered intervals per doc: (doc_id, start, end) inclusive token
@@ -97,11 +112,21 @@ object SpanDedup {
    * O(docs-with-dups)-row exchange — and the uncovered tokens are selected
    * by an indexed higher-order `filter` over the in-row token array
    * (O(tokens × islands) work per doc, all narrow).
+   *
+   * `keepFirst = true` applies the keep-one rule of suffix-array
+   * training-data dedup (Lee et al. 2021): the canonical occurrence of
+   * each duplicated window — smallest (doc_id, pos) — is NOT marked, so a
+   * copy of every duplicated span survives in its first document instead
+   * of the span vanishing from the corpus entirely. (As in the original
+   * algorithm, a canonical window can still fall inside the cover of a
+   * DIFFERENT overlapping duplicated window whose canonical copy lives
+   * elsewhere — the guarantee is per window string, not per island.)
    */
   def removeRepeatedSpans(docs: DataFrame, id: Column, text: Column,
-                          k: Int, minCount: Int = 2): DataFrame = {
+                          k: Int, minCount: Int = 2,
+                          keepFirst: Boolean = false): DataFrame = {
     val toks = docs.select(id.as("doc_id"), vectors.tokenize_ascii(text).as("toks"))
-    val dupw = duplicatedWindows(windows(docs, id, text, k), minCount)
+    val dupw = duplicatedWindows(windows(docs, id, text, k), minCount, keepFirst)
     val ivs = islands(dupw, k)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("start"), col("end"))).as("ivs"))

@@ -226,6 +226,50 @@ class CurationSuite extends AnyFunSuite with SparkTest {
     assert(viaSalt == e1)
   }
 
+  test("mixtureInterleave: every prefix carries sources in weight proportion") {
+    // 3:1 weights over two sources of 400 rows each
+    val docs = (0L until 800L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "src")
+    val h = graft.UnpersistHandle()
+    val out = Sampling.mixtureInterleave(docs, col("id"), col("src"),
+      Map("a" -> 3L, "b" -> 1L), seed = 7, epoch = 1, unpersistHandle = h)
+      .select(col("id"), col("src"), col("mix_pos"))
+      .as[(Long, String, Long)].collect().sortBy(_._3)
+    h.unpersist()
+    // a contiguous permutation over all rows
+    assert(out.map(_._3).toSeq == (1L to 800L))
+    // WFQ bound: in every prefix, source counts track weights within 1 item
+    // per source (count_s >= floor(prefix * w_s / W) - 1) until a source
+    // runs dry — with 400 'a' at weight 3, 'a' is exhausted at prefix 533
+    var na = 0; var nb = 0
+    out.take(532).zipWithIndex.foreach { case ((_, s, _), i) =>
+      if (s == "a") na += 1 else nb += 1
+      val n = i + 1
+      assert(na >= n * 3 / 4 - 1 && nb >= n / 4 - 1,
+        s"prefix $n unbalanced: a=$na b=$nb")
+    }
+    // deterministic: same seed reproduces; different epoch differs
+    val h2 = graft.UnpersistHandle()
+    val again = Sampling.mixtureInterleave(docs.repartition(7), col("id"), col("src"),
+      Map("a" -> 3L, "b" -> 1L), seed = 7, epoch = 1, unpersistHandle = h2)
+      .select(col("id"), col("mix_pos")).as[(Long, Long)].collect().toMap
+    h2.unpersist()
+    assert(again == out.map(r => r._1 -> r._3).toMap)
+    // unknown source fails fast rather than silently mis-weighting
+    val e = intercept[Exception] {
+      Sampling.mixtureInterleave(docs, col("id"), col("src"),
+        Map("a" -> 3L), seed = 7, epoch = 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("no weight for source")))
+    // weight validation
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureInterleave(docs, col("id"), col("src"),
+        Map("a" -> 0L, "b" -> 1L), 7, 1)
+    }
+  }
+
   test("epochShards: deterministic (shard, pos), per-shard contiguous, no global exchange") {
     val keys = (0L until 2000L).toDF("k")
     def run(epoch: Long) = Sampling.epochShards(keys, col("k"), seed = 7,

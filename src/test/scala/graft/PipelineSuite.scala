@@ -938,6 +938,29 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(clean(4L) == (("p q r s t", 0L)))
   }
 
+  test("repeated spans keepFirst: the canonical occurrence survives removal") {
+    // same corpus as above; canonical = smallest (doc_id, pos) per window:
+    // "a b c" keeps its doc-1 copy (doc 1 now unchanged), doc 2 still loses
+    // it; "x x x" keeps pos 0 in doc 3 (only the pos-1 window is marked, so
+    // tokens 1..3 go and the leading x survives)
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "z a b c y"),
+      (3L, "x x x x q"),
+      (4L, "p q r s t")).toDF("doc_id", "text")
+    val clean = graft.text.SpanDedup.removeRepeatedSpans(
+        docs, col("doc_id"), col("text"), k = 3, keepFirst = true)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(clean(1L) == (("a b c d e", 0L)))
+    assert(clean(2L) == (("z y", 3L)))
+    assert(clean(3L) == (("x q", 3L)))
+    assert(clean(4L) == (("p q r s t", 0L)))
+    // every duplicated window string survives somewhere in the corpus
+    val corpus = clean.values.map(_._1).mkString(" | ")
+    assert(corpus.contains("a b c") && corpus.contains("x"))
+  }
+
   test("repeated spans: removal never explodes the token stream") {
     // the only Generate in the removal plan is the window explode feeding
     // the duplicate count — the rebuild works on in-row token arrays via an
