@@ -2303,6 +2303,29 @@ def diff_snapshots(spark, left_dir: str, right_dir: str, id_columns,
     return DataFrame(jdf, spark)
 
 
+def history_from_snapshots(snapshots: DataFrame, version_col: str,
+                           id_cols, attr_cols=None) -> DataFrame:
+    """SCD2 history build from a stack of snapshots: one row per (id,
+    contiguous run of versions with identical attributes) carrying
+    valid_from, valid_to (EXCLUSIVE; null = current) and is_current.
+    Attribute comparison is null-safe; a delete + re-insert yields two
+    runs even with identical attributes."""
+    spark = snapshots.sparkSession
+    jdf = _bridge(snapshots).historyFromSnapshots(
+        snapshots._jdf, str(version_col), _jstrlist(spark, id_cols),
+        _jstrlist(spark, attr_cols if attr_cols is not None else []))
+    return DataFrame(jdf, spark)
+
+
+def history_snapshot_at(history: DataFrame, version, version_col: str) -> DataFrame:
+    """Reconstruct the snapshot at `version` from a history table (rows
+    with valid_from <= version < valid_to), restoring `version_col` —
+    the exact inverse of history_from_snapshots for any input version."""
+    jdf = _bridge(history).historySnapshotAt(
+        history._jdf, version, str(version_col))
+    return DataFrame(jdf, history.sparkSession)
+
+
 def mine_hard_negatives(corpus: DataFrame, doc_id: ColumnOrName,
                         text: ColumnOrName, queries: DataFrame,
                         query_id: ColumnOrName, query_terms: ColumnOrName,

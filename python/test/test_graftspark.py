@@ -1508,6 +1508,24 @@ class GraftsparkTest(unittest.TestCase):
         # partition b (id 3) never surfaces; id 1 is N inside changed 'a'
         self.assertEqual(got, [("C", 2), ("D", 4), ("I", 5), ("N", 1)])
 
+    def test_pipeline_scd2_history(self):
+        from graftspark import pipeline as P
+        snaps = self.spark.createDataFrame(
+            [(1, 1, "a"), (2, 1, "a"), (1, 2, "a"), (2, 2, "B"),
+             (1, 3, "a"), (2, 3, "B"), (3, 3, "x")],
+            ["id", "v", "attr"])
+        h = P.history_from_snapshots(snaps, "v", ["id"])
+        got = sorted((r["id"], r["attr"], r["valid_from"], r["valid_to"],
+                      r["is_current"]) for r in h.collect())
+        self.assertEqual(got, [
+            (1, "a", 1, None, True),
+            (2, "B", 2, None, True),
+            (2, "a", 1, 2, False),
+            (3, "x", 3, None, True)])
+        back = sorted((r["id"], r["v"], r["attr"])
+                      for r in P.history_snapshot_at(h, 2, "v").collect())
+        self.assertEqual(back, [(1, 2, "a"), (2, 2, "B")])
+
     def test_pipeline_link_rank(self):
         from graftspark import pipeline as P
         # 3-node graph: a->b, b->c, c->a, a->c; replicate the documented

@@ -95,6 +95,23 @@ object SparkEntry {
           .otherwise(col("o_totalprice")).as("o_totalprice"))
       .filter(col("o_orderkey") % 5 =!= 0)
 
+  // --- SCD2 fixture: four monthly vintages of a 300-key orders slice --------
+  // Presence/attr are pure functions of (key, vintage ordinal vn): price +7.0
+  // from v3 for k%150==0 (run break), absent from v3 on for k%11==0 (delete),
+  // absent at v2..v3 only for k%7==0 (delete + re-insert = two runs).
+  private def scd2Snapshots(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+        col("o_totalprice").as("price"))
+      .withColumn("vn", explode(sequence(lit(1), lit(4))))
+      .where(!(col("vn").isin(2, 3) && col("o_orderkey") % 7 === 0) &&
+        !(col("vn") >= 3 && col("o_orderkey") % 11 === 0))
+      .select(col("o_orderkey"), col("prio"),
+        when(col("vn") >= 3 && col("o_orderkey") % 150 === 0, col("price") + 7.0)
+          .otherwise(col("price")).as("price"),
+        concat(lit("2024-0"), col("vn")).as("v"))
+
   // timestamp variants for the duration-comparator query
   private def dateLeft(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -226,6 +243,29 @@ object SparkEntry {
         graft.diff.SnapshotDiff.partitionManifestSummary(s, s"$root/right", Seq("prio")),
         Seq("prio"))
         .select(col("prio"), col("status"), col("rows_left"), col("rows_right"))
+    }),
+
+    // P110 SCD2 history build: four deterministic monthly vintages of a
+    // 300-key orders slice — price changes from v3 (k%150), hard deletes
+    // from v3 (k%11), and a delete+re-insert hole at v2..v3 (k%7, which
+    // must yield TWO runs for the same key/attrs — the gap rule). Oracle:
+    // DuckDB replays the full window algebra (version index → lag-based
+    // run breaks → run grouping → exclusive valid_to lookup).
+    "scd2_history" -> ((s, dir) => {
+      graft.diff.History.fromSnapshots(
+        scd2Snapshots(s, dir), "v", Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("prio"), col("price"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+    }),
+
+    // P110 round-trip: snapshotAt reconstructs the 2024-03 vintage exactly
+    // from the history table — the oracle recomputes that vintage DIRECTLY
+    // from orders, never touching the history.
+    "scd2_snapshot_at" -> ((s, dir) => {
+      val hist = graft.diff.History.fromSnapshots(
+        scd2Snapshots(s, dir), "v", Seq("o_orderkey"))
+      graft.diff.History.snapshotAt(hist, "2024-03", "v")
+        .select(col("o_orderkey"), col("prio"), col("price"), col("v"))
     }),
 
     // O6 diff modes: LeftSide projection
@@ -2937,6 +2977,16 @@ object SparkEntry {
       "SELECT o_orderkey, o_custkey, o_orderstatus, " +
         "CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice " +
         "FROM orders WHERE o_orderkey % 5 <> 0"
+    // the four SCD2 vintages — must mirror scd2Snapshots exactly
+    val scd2SnapsSql =
+      "SELECT o_orderkey, o_orderpriority AS prio, " +
+        "CASE WHEN vn >= 3 AND o_orderkey % 150 = 0 THEN o_totalprice + 7.0 " +
+        "ELSE o_totalprice END AS price, " +
+        "'2024-0' || vn AS v " +
+        "FROM orders, UNNEST([1, 2, 3, 4]) AS t(vn) " +
+        "WHERE o_orderkey % 50 = 0 " +
+        "AND NOT (vn IN (2, 3) AND o_orderkey % 7 = 0) " +
+        "AND NOT (vn >= 3 AND o_orderkey % 11 = 0)"
     def diffCte = s"WITH l AS ($diffLeftSql), r AS ($diffRightSql)"
     val changed =
       "l.o_custkey IS DISTINCT FROM r.o_custkey OR " +
@@ -3003,6 +3053,34 @@ object SparkEntry {
       "diff_orders" -> plainDiffSelect,
 
       "diff_patch_right" -> diffRightSql,
+
+      // P110: full window-algebra replay of the SCD2 build — version index,
+      // lag-based run breaks (null-safe attr compare + the gap rule), run
+      // grouping, exclusive valid_to via the vi+1 lookup.
+      "scd2_history" ->
+        (s"WITH snaps AS ($scd2SnapsSql), " +
+          "vs AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS vi " +
+          "       FROM (SELECT DISTINCT v FROM snaps)), " +
+          "b AS (SELECT s.*, vs.vi FROM snaps s JOIN vs ON s.v = vs.v), " +
+          "m AS (SELECT *, CASE WHEN LAG(vi) OVER w IS NULL " +
+          "                       OR LAG(vi) OVER w != vi - 1 " +
+          "                       OR prio IS DISTINCT FROM LAG(prio) OVER w " +
+          "                       OR price IS DISTINCT FROM LAG(price) OVER w " +
+          "                THEN 1 ELSE 0 END AS chg " +
+          "      FROM b WINDOW w AS (PARTITION BY o_orderkey ORDER BY vi)), " +
+          "r AS (SELECT *, SUM(chg) OVER (PARTITION BY o_orderkey ORDER BY vi) AS run FROM m), " +
+          "g AS (SELECT o_orderkey, run, MIN(vi) AS fvi, MAX(vi) AS tvi, " +
+          "             MIN(prio) AS prio, MIN(price) AS price " +
+          "      FROM r GROUP BY o_orderkey, run) " +
+          "SELECT g.o_orderkey AS o_orderkey, g.prio AS prio, g.price AS price, " +
+          "v1.v AS valid_from, v2.v AS valid_to, v2.v IS NULL AS is_current " +
+          "FROM g JOIN vs v1 ON v1.vi = g.fvi LEFT JOIN vs v2 ON v2.vi = g.tvi + 1"),
+
+      // P110 round-trip: the 2024-03 vintage recomputed directly, never
+      // touching the history table.
+      "scd2_snapshot_at" ->
+        (s"WITH snaps AS ($scd2SnapsSql) " +
+          "SELECT o_orderkey, prio, price, v FROM snaps WHERE v = '2024-03'"),
 
       "snapshot_diff" ->
         (s"$snapCte SELECT " +

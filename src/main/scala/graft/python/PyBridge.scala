@@ -1254,6 +1254,16 @@ object PyBridge {
   def verifyManifestSummary(spark: SparkSession, dir: String): DataFrame =
     graft.write.Manifest.verifySummary(spark, dir)
 
+  def historyFromSnapshots(snapshots: DataFrame, versionCol: String,
+                           idCols: java.util.List[String],
+                           attrCols: java.util.List[String]): DataFrame =
+    graft.diff.History.fromSnapshots(snapshots, versionCol,
+      idCols.asScala.toSeq, attrCols.asScala.toSeq)
+
+  def historySnapshotAt(history: DataFrame, version: Object,
+                        versionCol: String): DataFrame =
+    graft.diff.History.snapshotAt(history, version, versionCol)
+
   def mineHardNegatives(corpus: DataFrame, docId: Column, text: Column,
                         queries: DataFrame, queryId: Column, queryTerms: Column,
                         positives: DataFrame, posQueryId: Column, posDocId: Column,

@@ -1,0 +1,82 @@
+package graft
+
+import graft.diff.History
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class HistorySuite extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  // id 1: unchanged v1..v3 (one run, current)
+  // id 2: attr changes at v2 (two runs; first closes at v2)
+  // id 3: present v1, absent v2, back at v3 with SAME attrs (gap = two runs)
+  // id 4: deleted after v1 (valid_to = v2, not current)
+  // id 5: appears only at v3 (valid_from = v3, current)
+  private def snaps = Seq(
+    (1, 1, "a"), (2, 1, "a"), (3, 1, "a"), (4, 1, "a"),
+    (1, 2, "a"), (2, 2, "B"),
+    (1, 3, "a"), (2, 3, "B"), (3, 3, "a"), (5, 3, "x")
+  ).toDF("id", "v", "attr")
+
+  private def hist = History.fromSnapshots(snaps, "v", Seq("id"))
+
+  test("runs, exclusive valid_to and is_current are exact") {
+    val got = hist
+      .select($"id", $"attr", $"valid_from", $"valid_to", $"is_current")
+      .as[(Int, String, Int, Option[Int], Boolean)].collect().toSet
+    assert(got === Set(
+      (1, "a", 1, None, true),
+      (2, "a", 1, Some(2), false),
+      (2, "B", 2, None, true),
+      (3, "a", 1, Some(2), false), // gap: absent at v2 closes the run
+      (3, "a", 3, None, true),     // re-insert = NEW run despite equal attrs
+      (4, "a", 1, Some(2), false),
+      (5, "x", 3, None, true)))
+  }
+
+  test("null attributes compare null-safe (null == null stays one run)") {
+    val s = Seq((1, 1, Option.empty[String]), (1, 2, Option.empty[String]),
+      (1, 3, Some("z"))).toDF("id", "v", "attr")
+    val got = History.fromSnapshots(s, "v", Seq("id"))
+      .select($"valid_from", $"valid_to").as[(Int, Option[Int])].collect().toSet
+    assert(got === Set((1, Some(3)), (3, None)))
+  }
+
+  test("snapshotAt reconstructs every input vintage exactly") {
+    for (v <- Seq(1, 2, 3)) {
+      val back = History.snapshotAt(hist, v, "v")
+        .select($"id", $"v", $"attr").as[(Int, Int, String)].collect().toSet
+      val want = snaps.where($"v" === v)
+        .as[(Int, Int, String)].collect().toSet
+      assert(back === want, s"vintage $v")
+    }
+  }
+
+  test("snapshotAt between versions reads as of the prior snapshot") {
+    // attr columns restored without the dropped validity columns
+    val s = Seq((1, 10, "a"), (1, 30, "b")).toDF("id", "v", "attr")
+    val h = History.fromSnapshots(s, "v", Seq("id"))
+    val got = History.snapshotAt(h, 20, "v")
+      .select($"id", $"attr").as[(Int, String)].collect().toSet
+    assert(got === Set((1, "a")))
+  }
+
+  test("output-column collisions fail fast") {
+    val s = Seq((1, 1, "a")).toDF("id", "v", "valid_from")
+    val e = intercept[IllegalArgumentException] {
+      History.fromSnapshots(s, "v", Seq("id"))
+    }
+    assert(e.getMessage.contains("valid_from"))
+  }
+
+  test("plan: one corpus hash exchange, version dimension broadcast back") {
+    val plan = hist.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    // windows + run grouping share the one id partitioning; the version
+    // dimension is a collected local table, never re-scanned
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).toSeq
+    assert(exchanges.size == 1, s"${exchanges.size} hash exchanges in:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition exchange leaked into the corpus plan:\n$plan")
+  }
+}
