@@ -2342,6 +2342,29 @@ def mine_hard_negatives(corpus: DataFrame, doc_id: ColumnOrName,
     return DataFrame(jdf, corpus.sparkSession)
 
 
+def mine_aligned_pairs(left: DataFrame, left_id: ColumnOrName,
+                       left_vec: ColumnOrName, right: DataFrame,
+                       right_id: ColumnOrName, right_vec: ColumnOrName,
+                       k: int, min_margin: float = 1.0) -> DataFrame:
+    """Margin-based aligned-pair mining over two embedded corpora (the
+    bitext-mining criterion): mutual best match by ratio-margin-normalized
+    cosine above min_margin -> (left_id, right_id, cosine, margin)."""
+    jdf = _bridge(left).mineAlignedPairs(
+        left._jdf, _jcol(left_id), _jcol(left_vec), right._jdf,
+        _jcol(right_id), _jcol(right_vec), int(k), float(min_margin))
+    return DataFrame(jdf, left.sparkSession)
+
+
+def aligned_pairs_from_neighbors(forward: DataFrame, backward: DataFrame,
+                                 k: int, min_margin: float = 1.0) -> DataFrame:
+    """The margin algebra over precomputed (query_id, rank, neighbor_id,
+    cosine) neighbor tables from ANY ANN tier — the 100 TB path: plug the
+    served IVF/PQ index's top-k instead of brute force."""
+    jdf = _bridge(forward).alignedPairsFromNeighbors(
+        forward._jdf, backward._jdf, int(k), float(min_margin))
+    return DataFrame(jdf, forward.sparkSession)
+
+
 def domain_edges(df: DataFrame, page_url: ColumnOrName,
                  outlink_url: ColumnOrName) -> DataFrame:
     """Distinct registrable-domain edge list (src, dst) from (page URL,

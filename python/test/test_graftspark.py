@@ -1526,6 +1526,23 @@ class GraftsparkTest(unittest.TestCase):
                       for r in P.history_snapshot_at(h, 2, "v").collect())
         self.assertEqual(back, [(1, 2, "a"), (2, 2, "B")])
 
+    def test_pipeline_mine_aligned_pairs(self):
+        from graftspark import pipeline as P
+        from pyspark.sql.types import (ArrayType, FloatType, LongType,
+                                       StructField, StructType)
+        schema = StructType([
+            StructField("id", LongType()),
+            StructField("vec", ArrayType(FloatType()))])
+        left = self.spark.createDataFrame(
+            [(0, [1.0, 0.1]), (2, [0.8, 0.6]), (4, [0.1, 1.0])], schema)
+        right = self.spark.createDataFrame(
+            [(1, [1.0, 0.0]), (3, [0.0, 1.0])], schema)
+        got = sorted((r["left_id"], r["right_id"])
+                     for r in P.mine_aligned_pairs(
+                         left, "id", "vec", right, "id", "vec",
+                         k=2, min_margin=0.0).collect())
+        self.assertEqual(got, [(0, 1), (4, 3)])
+
     def test_pipeline_link_rank(self):
         from graftspark import pipeline as P
         # 3-node graph: a->b, b->c, c->a, a->c; replicate the documented

@@ -1404,6 +1404,29 @@ object SparkEntry {
         positives, col("query_id"), col("doc_id"), k = 5, candidateFactor = 2)
     }),
 
+    // P111 margin-based aligned-pair mining (the bitext-mining criterion):
+    // embeddings split by vec_id parity into two corpora, NN4 both
+    // directions over the int8 tier (exact integer dots — cos8 is a double
+    // computed from exact ints, bit-portable where float32 cosine is not),
+    // neighborhood mass summed in fixed point (floor(cos*2^20) longs),
+    // margin = one IEEE division of exact ints, mutual-best + threshold.
+    // The oracle replays the ENTIRE algebra relationally — quantization,
+    // dots, margins — bit-identical, ties and threshold included. (The
+    // float-cosine path, mineAlignedPairs, is pinned against this int8
+    // referee in MiningSuite; ids never collide across the parity split,
+    // so the int8 tier's self-exclusion is a no-op here.)
+    "mined_pairs" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val left = emb.filter(col("vec_id") % 2 === 0)
+      val right = emb.filter(col("vec_id") % 2 === 1)
+      def nn(q: DataFrame, c: DataFrame) =
+        graft.ann.Ann.int8BruteForceTopK(q, c,
+          col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), k = 4)
+          .withColumnRenamed("cosine_q8", "cosine")
+      graft.search.Mining.alignedPairsFromNeighbors(
+        nn(left, right), nn(right, left), k = 4, minMargin = 1.0)
+    }),
+
     // count-min sketch over the token stream (depth 4 x width 1024,
     // md5-bucketed = engine-portable): ONE 32 KB mergeable buffer per task
     // instead of a corpus-sized groupBy, then point queries against the
@@ -3725,6 +3748,51 @@ object SparkEntry {
           "WHERE p.query_id = t.query_id AND p.doc_id = t.doc_id)) " +
           "SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neg_rank AS INT) AS neg_rank, doc_id, " +
           "CAST(score_scaled AS DOUBLE) / 1000000 AS score FROM neg WHERE neg_rank <= 5"),
+
+      // P111: full relational replay of the margin algebra — int8 quantize
+      // (the embedding_int8_codes replay), exact integer dots, cos8 as one
+      // double from exact ints, NN4 both directions, fixed-point
+      // neighborhood sums (CAST to BIGINT: DuckDB promotes SUM to
+      // HUGEINT), one double division, mutual best.
+      "mined_pairs" ->
+        ("WITH base AS (SELECT vec_id, embedding AS e, " +
+          "COALESCE(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 0.0) AS m FROM embeddings), " +
+          "codes AS (SELECT vec_id, CASE WHEN m = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT)) " +
+          "ELSE list_transform(e, x -> CAST(GREATEST(-127.0, LEAST(127.0, " +
+          "floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5))) AS BIGINT)) END AS c FROM base), " +
+          "n AS (SELECT vec_id, c, list_sum(list_transform(list_zip(c, c), p -> p[1] * p[2])) AS nn FROM codes), " +
+          "l AS (SELECT vec_id AS id, c, nn FROM n WHERE vec_id % 2 = 0), " +
+          "r AS (SELECT vec_id AS id, c, nn FROM n WHERE vec_id % 2 = 1), " +
+          "sc AS (SELECT l.id AS lid, r.id AS rid, " +
+          "  CASE WHEN l.nn = 0 OR r.nn = 0 THEN 0.0 ELSE " +
+          "  CAST(list_sum(list_transform(list_zip(l.c, r.c), p -> p[1] * p[2])) AS DOUBLE) / " +
+          "  sqrt(CAST(l.nn AS DOUBLE) * CAST(r.nn AS DOUBLE)) END AS cos " +
+          "  FROM l, r), " +
+          "nnlr AS (SELECT * FROM (SELECT lid, rid, cos, " +
+          "  ROW_NUMBER() OVER (PARTITION BY lid ORDER BY cos DESC, rid) AS rk " +
+          "  FROM sc) WHERE rk <= 4), " +
+          "nnrl AS (SELECT * FROM (SELECT lid, rid, cos, " +
+          "  ROW_NUMBER() OVER (PARTITION BY rid ORDER BY cos DESC, lid) AS rk " +
+          "  FROM sc) WHERE rk <= 4), " +
+          "a AS (SELECT lid, CAST(SUM(CAST(FLOOR(cos * 1048576) AS BIGINT)) AS BIGINT) AS afp " +
+          "  FROM nnlr GROUP BY lid), " +
+          "b AS (SELECT rid, CAST(SUM(CAST(FLOOR(cos * 1048576) AS BIGINT)) AS BIGINT) AS bfp " +
+          "  FROM nnrl GROUP BY rid), " +
+          "fwm AS (SELECT nnlr.lid, nnlr.rid, cos, " +
+          "  CASE WHEN a.afp + b.bfp > 0 THEN " +
+          "    CAST(CAST(FLOOR(cos * 1048576) AS BIGINT) * 8 AS DOUBLE) / CAST(a.afp + b.bfp AS DOUBLE) " +
+          "  END AS margin FROM nnlr JOIN a USING (lid) JOIN b USING (rid)), " +
+          "fw AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lid " +
+          "  ORDER BY margin DESC NULLS LAST, rid) AS fr FROM fwm) WHERE fr = 1), " +
+          "bwm AS (SELECT nnrl.lid, nnrl.rid, " +
+          "  CASE WHEN a.afp + b.bfp > 0 THEN " +
+          "    CAST(CAST(FLOOR(cos * 1048576) AS BIGINT) * 8 AS DOUBLE) / CAST(a.afp + b.bfp AS DOUBLE) " +
+          "  END AS margin FROM nnrl JOIN a USING (lid) JOIN b USING (rid)), " +
+          "bw AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY rid " +
+          "  ORDER BY margin DESC NULLS LAST, lid) AS br FROM bwm) WHERE br = 1) " +
+          "SELECT fw.lid AS left_id, fw.rid AS right_id, fw.cos AS cosine, fw.margin AS margin " +
+          "FROM fw JOIN bw ON fw.lid = bw.lid AND fw.rid = bw.rid " +
+          "WHERE fw.margin >= 1.0"),
 
       // full count-min replay: counters over ALL tokens (collisions
       // included), then min-over-rows point queries for the top-20

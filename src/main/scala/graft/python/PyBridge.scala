@@ -1272,6 +1272,16 @@ object PyBridge {
       queries, queryId, queryTerms, positives, posQueryId, posDocId,
       k, candidateFactor)
 
+  def mineAlignedPairs(left: DataFrame, leftId: Column, leftVec: Column,
+                       right: DataFrame, rightId: Column, rightVec: Column,
+                       k: Int, minMargin: Double): DataFrame =
+    graft.search.Mining.mineAlignedPairs(left, leftId, leftVec,
+      right, rightId, rightVec, k, minMargin)
+
+  def alignedPairsFromNeighbors(forward: DataFrame, backward: DataFrame,
+                                k: Int, minMargin: Double): DataFrame =
+    graft.search.Mining.alignedPairsFromNeighbors(forward, backward, k, minMargin)
+
   def domainEdges(df: DataFrame, pageUrl: Column, outlinkUrl: Column): DataFrame =
     graft.graph.LinkRank.domainEdges(df, pageUrl, outlinkUrl)
 

@@ -28,6 +28,110 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Mining {
 
   /**
+   * Margin-based aligned-pair mining (Artetxe & Schwenk 2019 — the CCMatrix
+   * / LASER bitext-mining criterion, and the standard recipe for pairing
+   * any two embedded corpora: translations, near-duplicate sources,
+   * query↔document alignment): raw cosine over-fires in dense "hubness"
+   * regions, so each candidate cosine is RATIO-NORMALIZED by the average
+   * similarity of both endpoints' own neighborhoods —
+   *
+   *   margin(x, y) = cos(x, y) / ((avgcos(x, NNk(x)) + avgcos(y, NNk(y))) / 2)
+   *
+   * — and a pair survives only when each side is the other's best candidate
+   * by that margin (mutual best, the "max" strategy) above `minMargin`.
+   *
+   * Engine-exact by construction: pairwise cosines are bit-reproducible
+   * (single fixed-order kernel pass — the property every ANN gate already
+   * pins), but an AVERAGE of k cosines is not (float addition is order-
+   * sensitive and shuffle order is not deterministic). So neighborhood
+   * mass is summed in FIXED POINT — `floor(cos * 2^20)` per neighbor,
+   * summed exactly as longs — and the margin is ONE IEEE division of
+   * exact integers: every engine that replays the documented algebra
+   * reproduces each margin bit-for-bit, ties and thresholds included.
+   * Ties on margin break by neighbor id ascending; a non-positive
+   * neighborhood mass yields a null margin (ranked last on both engines).
+   *
+   * Scale shape: this operator never touches vectors — it consumes the
+   * `(query_id, rank, neighbor_id, cosine)` neighbor tables of ANY ANN
+   * tier (the IVF/PQ/Hamming serving indexes at 100 TB, [[crossTopK]]'s
+   * broadcast brute force as the labeled referee below), so the expensive
+   * step inherits whatever index the corpus already has. The margin
+   * algebra itself is two grouped integer sums (map-side combined), two
+   * bounded hash joins back onto the k·|queries|-row candidate tables,
+   * and per-query WindowGroupLimit-shaped rank-1 selection.
+   */
+  def alignedPairsFromNeighbors(forward: DataFrame, backward: DataFrame,
+                                k: Int, minMargin: Double = 1.0): DataFrame = {
+    require(k >= 1, s"need k >= 1: $k")
+    val Scale = 1L << 20
+    def fp(c: Column): Column = floor(c * Scale).cast("long")
+
+    // exact per-endpoint neighborhood mass (sum of fixed-point cosines)
+    val massL = forward.groupBy(col("query_id").as("lid"))
+      .agg(sum(fp(col("cosine"))).as("afp"))
+    val massR = backward.groupBy(col("query_id").as("rid"))
+      .agg(sum(fp(col("cosine"))).as("bfp"))
+
+    def margined(nn: DataFrame, qAs: String, nAs: String): DataFrame =
+      nn.select(col("query_id").as(qAs), col("neighbor_id").as(nAs),
+          col("cosine"), fp(col("cosine")).as("cfp"))
+        .join(massL, Seq("lid"))
+        .join(massR, Seq("rid"))
+        .withColumn("margin",
+          when(col("afp") + col("bfp") > 0,
+            (col("cfp") * (2L * k)).cast("double") /
+              (col("afp") + col("bfp")).cast("double")))
+
+    val fw = margined(forward, "lid", "rid")
+      .withColumn("fr", row_number().over(Window.partitionBy(col("lid"))
+        .orderBy(col("margin").desc_nulls_last, col("rid"))))
+      .filter(col("fr") === 1)
+      .select(col("lid"), col("rid"), col("cosine"), col("margin"))
+    val bw = margined(backward, "rid", "lid")
+      .withColumn("br", row_number().over(Window.partitionBy(col("rid"))
+        .orderBy(col("margin").desc_nulls_last, col("lid"))))
+      .filter(col("br") === 1)
+      .select(col("lid"), col("rid"))
+
+    fw.join(bw, Seq("lid", "rid"), "left_semi")
+      .filter(col("margin") >= minMargin)
+      .select(col("lid").as("left_id"), col("rid").as("right_id"),
+        col("cosine"), col("margin"))
+  }
+
+  /** Exact cross-corpus top-k by cosine — the brute-force referee for
+    * [[alignedPairsFromNeighbors]]: unlike [[graft.ann.Ann.bruteForceTopK]]
+    * there is NO self-exclusion (left and right are different id spaces).
+    * Queries broadcast; corpus streams through the codegen cosine kernel. */
+  def crossTopK(queries: DataFrame, queryId: Column, queryVec: Column,
+                corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                k: Int): DataFrame = {
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qvec"))
+    val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cvec"))
+    broadcast(q).crossJoin(c)
+      .withColumn("cosine",
+        graft.functions.vectors.cosine_similarity(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /**
+   * Convenience end-to-end mining over two embedded corpora with the exact
+   * referee: brute-force NNk both directions, then the margin algebra.
+   * At scale, build the two neighbor tables with the served ANN tier
+   * instead and call [[alignedPairsFromNeighbors]] directly.
+   */
+  def mineAlignedPairs(left: DataFrame, leftId: Column, leftVec: Column,
+                       right: DataFrame, rightId: Column, rightVec: Column,
+                       k: Int, minMargin: Double = 1.0): DataFrame =
+    alignedPairsFromNeighbors(
+      crossTopK(left, leftId, leftVec, right, rightId, rightVec, k),
+      crossTopK(right, rightId, rightVec, left, leftId, leftVec, k),
+      k, minMargin)
+
+  /**
    * Per-query hard negatives `(query_id, neg_rank, doc_id, score)`:
    * BM25 top `k * candidateFactor` minus `positives`, re-ranked 1..k.
    */

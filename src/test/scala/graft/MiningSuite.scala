@@ -56,4 +56,71 @@ class MiningSuite extends AnyFunSuite with SparkTest {
       allPos, col("query_id"), col("doc_id"), k = 4, candidateFactor = 1)
     assert(negs.count() == 0)
   }
+
+  // --- margin-based aligned-pair mining -------------------------------------
+
+  // two 2-D corpora with two obvious directions: l0/r0 point along +x,
+  // l1/r1 along +y; l2 sits between, slightly x-leaning
+  private def leftVecs = Seq(
+    (0L, Seq(1.0f, 0.1f)), (2L, Seq(0.8f, 0.6f)), (4L, Seq(0.1f, 1.0f))
+  ).toDF("id", "vec")
+  private def rightVecs = Seq(
+    (1L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f))
+  ).toDF("id", "vec")
+
+  test("mineAlignedPairs pairs each direction and is mutual-best") {
+    val got = Mining.mineAlignedPairs(
+      leftVecs, col("id"), col("vec"), rightVecs, col("id"), col("vec"),
+      k = 2, minMargin = 0.0)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    // l0 <-> r1 (both +x), l4 <-> r3 (both +y); l2 loses both mutual races
+    assert(got === Set((0L, 1L), (4L, 3L)))
+  }
+
+  test("minMargin threshold drops pairs; margins are finite and > 0 here") {
+    val all = Mining.mineAlignedPairs(
+      leftVecs, col("id"), col("vec"), rightVecs, col("id"), col("vec"),
+      k = 2, minMargin = 0.0).select("margin").as[Double].collect()
+    assert(all.nonEmpty && all.forall(m => m > 0 && !m.isNaN))
+    val none = Mining.mineAlignedPairs(
+      leftVecs, col("id"), col("vec"), rightVecs, col("id"), col("vec"),
+      k = 2, minMargin = all.max + 1.0)
+    assert(none.count() == 0)
+  }
+
+  test("crossTopK has no self-exclusion across id spaces") {
+    // same id on both sides must still pair (different corpora)
+    val l = Seq((7L, Seq(1.0f, 0.0f))).toDF("id", "vec")
+    val r = Seq((7L, Seq(1.0f, 0.0f))).toDF("id", "vec")
+    val nn = Mining.crossTopK(l, col("id"), col("vec"),
+      r, col("id"), col("vec"), k = 1).collect()
+    assert(nn.length == 1 && nn.head.getLong(2) == 7L)
+  }
+
+  test("float path and int8 referee agree on pair selection (gate shape)") {
+    // the mined_pairs gate runs the int8 tier; the float path must pick
+    // the same mutual-best pairs on well-separated data
+    def nn8(q: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+      graft.ann.Ann.int8BruteForceTopK(q, c,
+        col("id"), col("vec"), col("id"), col("vec"), k = 2)
+        .withColumnRenamed("cosine_q8", "cosine")
+    val viaInt8 = Mining.alignedPairsFromNeighbors(
+      nn8(leftVecs, rightVecs), nn8(rightVecs, leftVecs), k = 2, minMargin = 0.0)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    val viaFloat = Mining.mineAlignedPairs(
+      leftVecs, col("id"), col("vec"), rightVecs, col("id"), col("vec"),
+      k = 2, minMargin = 0.0)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(viaInt8 === viaFloat)
+  }
+
+  test("non-positive neighborhood mass yields null margin, ranked last") {
+    // orthogonal-ish junk: one left vec whose only neighbors have cos <= 0
+    val l = Seq((0L, Seq(1.0f, 0.0f))).toDF("id", "vec")
+    val r = Seq((1L, Seq(-1.0f, 0.0f)), (3L, Seq(0.0f, -1.0f))).toDF("id", "vec")
+    val pairs = Mining.mineAlignedPairs(
+      l, col("id"), col("vec"), r, col("id"), col("vec"), k = 2, minMargin = 0.0)
+    // margin is null for every candidate -> >= threshold never holds
+    assert(pairs.count() == 0)
+  }
 }
