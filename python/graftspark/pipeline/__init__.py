@@ -2342,6 +2342,44 @@ def mine_hard_negatives(corpus: DataFrame, doc_id: ColumnOrName,
     return DataFrame(jdf, corpus.sparkSession)
 
 
+def scrub_parquet_by_id(spark, dir: str, id_column: str, doomed: DataFrame,
+                        doomed_id: ColumnOrName,
+                        max_touched_files: int = 100000) -> DataFrame:
+    """Deletion propagation primitive: remove every row of the flat parquet
+    dir whose id_column appears in `doomed`, rewriting ONLY the files that
+    contain such a row (untouched files keep bytes, names and mtimes).
+    Returns a one-row stats frame (files_total, files_rewritten,
+    rows_deleted, rows_rewritten, new_files)."""
+    jdf = _bridge(doomed).scrubParquetById(
+        spark._jsparkSession, str(dir), str(id_column), doomed._jdf,
+        _jcol(doomed_id), int(max_touched_files))
+    return DataFrame(jdf, spark)
+
+
+def scrub_dedup_index(spark, path: str, doomed: DataFrame,
+                      doomed_id: ColumnOrName,
+                      max_touched_files: int = 100000) -> DataFrame:
+    """Propagate deletions into a persisted MinHash dedup index (shingles/
+    + buckets/; params untouched) — queries then equal an index built on
+    the filtered reference."""
+    jdf = _bridge(doomed).scrubDedupIndex(
+        spark._jsparkSession, str(path), doomed._jdf, _jcol(doomed_id),
+        int(max_touched_files))
+    return DataFrame(jdf, spark)
+
+
+def scrub_ann_index(spark, path: str, doomed: DataFrame,
+                    doomed_id: ColumnOrName,
+                    max_touched_files: int = 100000) -> DataFrame:
+    """Propagate deletions into a persisted ANN serving index (enc/ +
+    vectors/; quantizers untouched) — queries then equal an index saved on
+    the filtered corpus with the same quantizers."""
+    jdf = _bridge(doomed).scrubAnnIndex(
+        spark._jsparkSession, str(path), doomed._jdf, _jcol(doomed_id),
+        int(max_touched_files))
+    return DataFrame(jdf, spark)
+
+
 def mine_aligned_pairs(left: DataFrame, left_id: ColumnOrName,
                        left_vec: ColumnOrName, right: DataFrame,
                        right_id: ColumnOrName, right_vec: ColumnOrName,

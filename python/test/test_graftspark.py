@@ -1526,6 +1526,20 @@ class GraftsparkTest(unittest.TestCase):
                       for r in P.history_snapshot_at(h, 2, "v").collect())
         self.assertEqual(back, [(1, 2, "a"), (2, 2, "B")])
 
+    def test_pipeline_scrub_parquet(self):
+        from graftspark import pipeline as P
+        import tempfile
+        d = tempfile.mkdtemp() + "/corpus"
+        self.spark.range(50).withColumn(
+            "payload", col("id") * 2).repartition(5).write.parquet(d)
+        doomed = self.spark.createDataFrame([(7,), (33,)], ["bad"])
+        st = P.scrub_parquet_by_id(self.spark, d, "id", doomed, "bad").head()
+        self.assertEqual(st["rows_deleted"], 2)
+        self.assertEqual(st["files_total"], 5)
+        back = self.spark.read.parquet(d)
+        self.assertEqual(back.count(), 48)
+        self.assertEqual(back.filter(col("id").isin(7, 33)).count(), 0)
+
     def test_pipeline_mine_aligned_pairs(self):
         from graftspark import pipeline as P
         from pyspark.sql.types import (ArrayType, FloatType, LongType,

@@ -2325,6 +2325,31 @@ object SparkEntry {
       out
     }),
 
+    // P112 deletion propagation into the persisted dedup index: the same
+    // reference index as dedup_against_index, then doc_id % 7 == 3 rows are
+    // scrubbed (file-surgical rewrite of only the files that carry them),
+    // then the same increment dedup. Oracle: the direct replay with the
+    // reference filtered — a scrubbed index must answer exactly like one
+    // built on the filtered reference.
+    "dedup_scrub" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isNew = expr("CAST(substring(source, 4) AS INT) >= 10")
+      val idx = graft.createTemporaryDir("dedup-scrub-index")
+      graft.dedup.DedupIndex.saveDedupIndex(
+        docs.filter(!isNew), col("doc_id"), col("text"), idx)
+      graft.privacy.Deletion.scrubDedupIndex(s, idx,
+        docs.filter(!isNew && col("doc_id") % 7 === 3).select(col("doc_id")),
+        col("doc_id"))
+      val ch = UnpersistHandle()
+      val out = graft.dedup.DedupIndex.deduplicateAgainstIndex(
+        docs.filter(isNew), col("doc_id"), col("text"), idx,
+        threshold = 0.8, corpusHandle = ch)
+        .select("doc_id")
+        .localCheckpoint(true)
+      ch.unpersist()
+      out
+    }),
+
     // KMV corpus-overlap estimate: two corpora with a planted ~1/5 overlap
     // (doc_id % 5 == 2 in both) reduce to bottom-64 md5 sketches; the
     // Jaccard estimate is a deterministic function of the hashes, replayed
@@ -2742,6 +2767,30 @@ object SparkEntry {
         col("vec_id"), col("embedding"), ivf, pqi, idx)
       graft.ann.Pq.appendToAnnIndex(emb.filter(col("vec_id") % 2 === 1),
         col("vec_id"), col("embedding"), idx)
+      graft.ann.Pq.ivfPqTopKIndexed(
+        emb.filter(col("vec_id") < 20), col("vec_id"), col("embedding"),
+        idx, k = 3, nprobe = 3, refine = 8)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
+    // P112 deletion propagation into the persisted ANN serving index: the
+    // ann_indexed_topk index, then vec_id % 5 == 0 vectors are scrubbed
+    // from enc/ + vectors/ (quantizers untouched — a deletion must not
+    // re-quantize the survivors), then the same IVFADC query. Oracle: the
+    // golden fixture independently replicates train + encode + query over
+    // exactly the surviving corpus under the FULL-corpus quantizers — a
+    // leftover doomed code, a lost survivor row, or a retrained quantizer
+    // all change the shortlist and hash-fail.
+    "ann_scrub_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ivf = graft.ann.Ann.trainIvf(emb, col("vec_id"), col("embedding"),
+        k = 16, iterations = 3)
+      val pqi = graft.ann.Pq.trainPq(emb, col("vec_id"), col("embedding"),
+        dim = 64, m = 8, ksub = 16, iterations = 3)
+      val idx = graft.createTemporaryDir("ann-scrub-index")
+      graft.ann.Pq.saveAnnIndex(emb, col("vec_id"), col("embedding"), ivf, pqi, idx)
+      graft.privacy.Deletion.scrubAnnIndex(s, idx,
+        emb.filter(col("vec_id") % 5 === 0).select(col("vec_id")), col("vec_id"))
       graft.ann.Pq.ivfPqTopKIndexed(
         emb.filter(col("vec_id") < 20), col("vec_id"), col("embedding"),
         idx, k = 3, nprobe = 3, refine = 8)
@@ -4812,6 +4861,19 @@ object SparkEntry {
           "CAST(len(list_distinct(list_concat(cp.s, rf.s))) AS DOUBLE) >= 0.8) " +
           "SELECT doc_id FROM d WHERE sn >= 10 AND doc_id NOT IN (SELECT doc_id FROM m)"),
 
+      // P112: the same replay with the reference FILTERED — the scrubbed
+      // index must answer exactly like one built without the doomed ids
+      "dedup_scrub" ->
+        (s"WITH $docTokCte, $docShCte, " +
+          "d AS (SELECT doc_id, CAST(substring(source, 4) AS INT) AS sn FROM documents), " +
+          "cp AS (SELECT sh.doc_id, sh.s FROM sh JOIN d USING (doc_id) WHERE d.sn >= 10), " +
+          "rf AS (SELECT sh.doc_id, sh.s FROM sh JOIN d USING (doc_id) " +
+          "WHERE d.sn < 10 AND sh.doc_id % 7 <> 3), " +
+          "m AS (SELECT DISTINCT cp.doc_id FROM cp JOIN rf ON " +
+          "CAST(len(list_intersect(cp.s, rf.s)) AS DOUBLE) / " +
+          "CAST(len(list_distinct(list_concat(cp.s, rf.s))) AS DOUBLE) >= 0.8) " +
+          "SELECT doc_id FROM d WHERE sn >= 10 AND doc_id NOT IN (SELECT doc_id FROM m)"),
+
       // KMV overlap: bottom-64 distinct md5 per corpus, X = bottom-64 of
       // their union, J = |X ∩ A ∩ B| / |X| — pure hash arithmetic, so the
       // oracle recomputes the estimate exactly
@@ -5046,6 +5108,13 @@ object SparkEntry {
       "ann_indexed_topk" ->
         ("SELECT query_id, rank, neighbor_id " +
           s"FROM read_parquet('$goldenDir/ann_ivfpq_topk_sf001.parquet')"),
+
+      // P112: independent python replication of query-after-scrub — the
+      // FULL-corpus quantizers over exactly the surviving (vec_id % 5 != 0)
+      // corpus (tools/make_golden.py, ann scrub block)
+      "ann_scrub_topk" ->
+        ("SELECT query_id, rank, neighbor_id " +
+          s"FROM read_parquet('$goldenDir/ann_scrub_topk_sf001.parquet')"),
 
       // append == save-over-union under fixed quantizers (sbt-pinned), so
       // the half-A-save + half-B-append query reproduces the same fixture

@@ -1,0 +1,145 @@
+package graft.privacy
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/**
+ * Deletion propagation — the "right to be forgotten" pass of a production
+ * corpus platform: a takedown/GDPR list of row ids must vanish not only
+ * from the corpus but from every PERSISTED derived artifact — the MinHash
+ * dedup index ([[graft.dedup.DedupIndex]]) and the IVFADC ANN serving
+ * index ([[graft.ann.Pq.saveAnnIndex]]) — without the 100 TB rebuild that
+ * re-shingling / re-encoding the whole corpus would cost.
+ *
+ * The primitive is FILE-SURGICAL: one column-pruned provenance scan finds
+ * the parquet files that contain any doomed id (`_metadata.file_path`,
+ * zero extra IO beyond the id column), ONLY those files are rewritten
+ * (survivor rows land in fresh files, doomed files are deleted), and
+ * every untouched file keeps its bytes, name and mtime. Deleting 100 doc
+ * ids from a million-file index rewrites the handful of files they live
+ * in — work scales with |doomed ids| × rows-per-file, not corpus size.
+ *
+ * Quantizers are deliberately NOT retrained ([[scrubAnnIndex]] keeps
+ * `ivf/`/`pq/`, [[scrubDedupIndex]] keeps `params/`): a deletion must not
+ * silently re-quantize the surviving corpus. The result is row-for-row
+ * identical to an index built over the filtered corpus with the same
+ * quantizers (sbt-pinned both ways, driver-gated end to end).
+ *
+ * Crash semantics (same discipline as the append paths): survivor files
+ * land and are renamed into place BEFORE doomed files are deleted, so no
+ * interleaving loses a survivor row. A crash inside the window leaves
+ * doomed files in place next to the fresh survivor copies — the scrub has
+ * simply not completed (the doomed ids are still present; re-run after
+ * removing the fresh `scrub-*` files, which the returned stats name).
+ * Both consumers tolerate duplicate SURVIVOR rows regardless (the ANN
+ * re-rank collapses per-(query, neighbor) by max-cosine; dedup candidate
+ * pairs deduplicate before the Jaccard verify).
+ */
+object Deletion {
+
+  /** What a scrub did: file counts, row counts, and the fresh file names
+    * (for crash-recovery bookkeeping). */
+  case class ScrubStats(filesTotal: Long, filesRewritten: Long,
+                        rowsDeleted: Long, rowsRewritten: Long,
+                        newFiles: Seq[String])
+
+  /**
+   * Remove every row of the flat parquet directory `dir` whose `idColumn`
+   * appears in `doomed` (a one-column DataFrame or any DataFrame + column
+   * selector), rewriting only the files that contain such a row.
+   * `maxTouchedFiles` bounds the driver-side file list (a takedown list
+   * touching more files than that should be a rebuild, not a scrub).
+   */
+  def scrubParquetById(spark: SparkSession, dir: String, idColumn: String,
+                       doomed: DataFrame, doomedId: Column,
+                       maxTouchedFiles: Int = 100000): ScrubStats = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    val filesTotal = fs.listStatus(dirPath)
+      .count(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith(".")).toLong
+
+    // the ONE corpus-sized pass: a column-pruned scan of the id column with
+    // file provenance, semi-joined against the broadcast deletion list
+    val ids = broadcast(doomed.select(doomedId.as("__doomed_id")).distinct())
+    val files = spark.read.parquet(dir)
+      .select(col(idColumn).as("__id"), col("_metadata.file_path").as("__file"))
+      .join(ids, col("__id") === col("__doomed_id"), "left_semi")
+      .select("__file").distinct()
+      .collect().map(_.getString(0)).sorted
+    require(files.length <= maxTouchedFiles,
+      s"${files.length} files contain doomed ids (cap $maxTouchedFiles) — " +
+        "this deletion is a rebuild, not a scrub")
+    if (files.isEmpty)
+      return ScrubStats(filesTotal, 0L, 0L, 0L, Seq.empty)
+
+    // all counting happens BEFORE any file is deleted
+    val victims = spark.read.parquet(files: _*)
+    val survivors = victims
+      .join(ids, col(idColumn) === col("__doomed_id"), "left_anti")
+    val victimRows = victims.count()
+    val tmp = new Path(dirPath, s"_scrub_tmp_${java.util.UUID.randomUUID()}")
+    val (kept, keptRows) =
+      try {
+        survivors.write.parquet(tmp.toString)
+        val keptRows = spark.read.parquet(tmp.toString).count()
+        val parts = fs.listStatus(tmp)
+          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        val renamed = parts.map { s =>
+          val dest = new Path(dirPath, s"scrub-${s.getPath.getName}")
+          require(fs.rename(s.getPath, dest),
+            s"rename ${s.getPath} -> $dest failed")
+          dest.toString
+        }
+        // survivors are durably in place; only now drop the doomed files
+        files.foreach(f => fs.delete(new Path(f), false))
+        (renamed.toSeq, keptRows)
+      } finally fs.delete(tmp, true)
+
+    ScrubStats(filesTotal, files.length, victimRows - keptRows, keptRows, kept)
+  }
+
+  /**
+   * Propagate deletions into a persisted MinHash dedup index
+   * ([[graft.dedup.DedupIndex.saveDedupIndex]] layout): doomed ids leave
+   * both `shingles/` and `buckets/`; `params/` (the quantization config)
+   * is untouched. Queries against the scrubbed index equal queries
+   * against an index built over the filtered reference (sbt-pinned,
+   * driver-gated).
+   */
+  def scrubDedupIndex(spark: SparkSession, path: String,
+                      doomed: DataFrame, doomedId: Column,
+                      maxTouchedFiles: Int = 100000): ScrubStats = {
+    val a = scrubParquetById(spark, s"$path/shingles", "id",
+      doomed, doomedId, maxTouchedFiles)
+    val b = scrubParquetById(spark, s"$path/buckets", "id",
+      doomed, doomedId, maxTouchedFiles)
+    ScrubStats(a.filesTotal + b.filesTotal, a.filesRewritten + b.filesRewritten,
+      a.rowsDeleted + b.rowsDeleted, a.rowsRewritten + b.rowsRewritten,
+      a.newFiles ++ b.newFiles)
+  }
+
+  /**
+   * Propagate deletions into a persisted ANN serving index
+   * ([[graft.ann.Pq.saveAnnIndex]] layout): doomed ids leave the encoded
+   * corpus (`enc/`) and the exact-re-rank vectors (`vectors/`); the
+   * quantizers (`ivf/`, `pq/`, `params/`) are untouched — deletions must
+   * not re-quantize the survivors. Queries after the scrub are
+   * row-for-row identical to an index saved over the filtered corpus
+   * with the same quantizers (sbt-pinned, driver-gated against the
+   * golden fixture).
+   */
+  def scrubAnnIndex(spark: SparkSession, path: String,
+                    doomed: DataFrame, doomedId: Column,
+                    maxTouchedFiles: Int = 100000): ScrubStats = {
+    val a = scrubParquetById(spark, s"$path/enc", "neighbor_id",
+      doomed, doomedId, maxTouchedFiles)
+    val b = scrubParquetById(spark, s"$path/vectors", "neighbor_id",
+      doomed, doomedId, maxTouchedFiles)
+    ScrubStats(a.filesTotal + b.filesTotal, a.filesRewritten + b.filesRewritten,
+      a.rowsDeleted + b.rowsDeleted, a.rowsRewritten + b.rowsRewritten,
+      a.newFiles ++ b.newFiles)
+  }
+}

@@ -1272,6 +1272,33 @@ object PyBridge {
       queries, queryId, queryTerms, positives, posQueryId, posDocId,
       k, candidateFactor)
 
+  private def scrubStatsDf(spark: SparkSession,
+                           st: graft.privacy.Deletion.ScrubStats): DataFrame = {
+    import spark.implicits._
+    Seq((st.filesTotal, st.filesRewritten, st.rowsDeleted, st.rowsRewritten,
+      st.newFiles))
+      .toDF("files_total", "files_rewritten", "rows_deleted", "rows_rewritten",
+        "new_files")
+  }
+
+  def scrubParquetById(spark: SparkSession, dir: String, idColumn: String,
+                       doomed: DataFrame, doomedId: Column,
+                       maxTouchedFiles: Int): DataFrame =
+    scrubStatsDf(spark, graft.privacy.Deletion.scrubParquetById(
+      spark, dir, idColumn, doomed, doomedId, maxTouchedFiles))
+
+  def scrubDedupIndex(spark: SparkSession, path: String,
+                      doomed: DataFrame, doomedId: Column,
+                      maxTouchedFiles: Int): DataFrame =
+    scrubStatsDf(spark, graft.privacy.Deletion.scrubDedupIndex(
+      spark, path, doomed, doomedId, maxTouchedFiles))
+
+  def scrubAnnIndex(spark: SparkSession, path: String,
+                    doomed: DataFrame, doomedId: Column,
+                    maxTouchedFiles: Int): DataFrame =
+    scrubStatsDf(spark, graft.privacy.Deletion.scrubAnnIndex(
+      spark, path, doomed, doomedId, maxTouchedFiles))
+
   def mineAlignedPairs(left: DataFrame, leftId: Column, leftVec: Column,
                        right: DataFrame, rightId: Column, rightVec: Column,
                        k: Int, minMargin: Double): DataFrame =

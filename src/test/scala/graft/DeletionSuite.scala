@@ -1,0 +1,113 @@
+package graft
+
+import graft.privacy.Deletion
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DeletionSuite extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def writeCorpus(dir: String, nFiles: Int): Unit =
+    spark.range(100).select(col("id"), (col("id") * 10).as("payload"))
+      .repartition(nFiles).write.parquet(dir)
+
+  private def listDataFiles(dir: String) = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map(s => (s.getPath.getName, s.getModificationTime)).toMap
+  }
+
+  test("scrub deletes exactly the doomed rows and touches only their files") {
+    val dir = java.nio.file.Files.createTempDirectory("scrub-basic").toString + "/d"
+    writeCorpus(dir, 10)
+    val before = listDataFiles(dir)
+    val doomed = Seq(3L, 57L, 99L).toDF("bad")
+    val stats = Deletion.scrubParquetById(
+      spark, dir, "id", doomed, col("bad"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 97)
+    assert(back.filter(col("id").isin(3L, 57L, 99L)).count() == 0)
+    // survivors of the victim files kept their payloads
+    assert(back.filter(col("payload") =!= col("id") * 10).count() == 0)
+    assert(stats.rowsDeleted == 3 && stats.filesTotal == 10)
+    // untouched files: same names, same mtimes
+    val after = listDataFiles(dir)
+    val untouched = before.keys.toSet
+      .intersect(after.keys.toSet)
+    assert(untouched.forall(f => before(f) == after(f)))
+    assert(before.size - untouched.size == stats.filesRewritten)
+    assert(stats.newFiles.forall(f => new Path(f).getName.startsWith("scrub-")))
+  }
+
+  test("ids absent from the corpus are a no-op: zero rewrites") {
+    val dir = java.nio.file.Files.createTempDirectory("scrub-noop").toString + "/d"
+    writeCorpus(dir, 4)
+    val before = listDataFiles(dir)
+    val stats = Deletion.scrubParquetById(
+      spark, dir, "id", Seq(12345L).toDF("bad"), col("bad"))
+    assert(stats.filesRewritten == 0 && stats.rowsDeleted == 0)
+    assert(listDataFiles(dir) == before)
+  }
+
+  test("touched-file cap fails fast instead of a silent full rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("scrub-cap").toString + "/d"
+    writeCorpus(dir, 10)
+    val e = intercept[IllegalArgumentException] {
+      Deletion.scrubParquetById(spark, dir, "id",
+        spark.range(100).toDF("bad"), col("bad"), maxTouchedFiles = 3)
+    }
+    assert(e.getMessage.contains("rebuild"))
+  }
+
+  test("scrubbed dedup index answers exactly like one built on the filtered reference") {
+    val docs = (0L until 40L).map(i =>
+      (i, s"alpha beta gamma delta epsilon zeta eta theta row ${i % 8} tail"))
+      .toDF("doc_id", "text")
+    val ref = docs.filter(col("doc_id") < 30)
+    val inc = docs.filter(col("doc_id") >= 30)
+    val doomed = Seq(2L, 10L, 18L, 26L).toDF("bad") // same residue mod 8 as 34
+    val full = graft.createTemporaryDir("scrub-dedup-full")
+    val clean = graft.createTemporaryDir("scrub-dedup-clean")
+    graft.dedup.DedupIndex.saveDedupIndex(ref, col("doc_id"), col("text"), full)
+    graft.dedup.DedupIndex.saveDedupIndex(
+      ref.join(doomed, col("doc_id") === col("bad"), "left_anti"),
+      col("doc_id"), col("text"), clean)
+    val stats = Deletion.scrubDedupIndex(spark, full, doomed, col("bad"))
+    assert(stats.rowsDeleted > 0)
+    def pairs(path: String) = graft.dedup.DedupIndex.nearDupPairsAgainstIndex(
+      inc, col("doc_id"), col("text"), path, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(full) === pairs(clean))
+    assert(!pairs(full).exists { case (_, b) => Set(2L, 10L, 18L, 26L)(b) })
+  }
+
+  test("scrubbed ANN index answers exactly like one saved on the filtered corpus") {
+    val rng = new scala.util.Random(7)
+    val vecs = (0L until 64L).map { i =>
+      (i, Array.fill(16)(rng.nextFloat() * 2 - 1).toSeq)
+    }.toDF("id", "vec")
+    val ivf = graft.ann.Ann.trainIvf(vecs, col("id"), col("vec"), k = 4, iterations = 2)
+    val pqi = graft.ann.Pq.trainPq(vecs, col("id"), col("vec"),
+      dim = 16, m = 4, ksub = 8, iterations = 2)
+    val doomed = Seq(1L, 5L, 9L, 13L).toDF("bad")
+    val full = graft.createTemporaryDir("scrub-ann-full")
+    val clean = graft.createTemporaryDir("scrub-ann-clean")
+    graft.ann.Pq.saveAnnIndex(vecs, col("id"), col("vec"), ivf, pqi, full)
+    graft.ann.Pq.saveAnnIndex(
+      vecs.join(doomed, col("id") === col("bad"), "left_anti"),
+      col("id"), col("vec"), ivf, pqi, clean)
+    val stats = Deletion.scrubAnnIndex(spark, full, doomed, col("bad"))
+    assert(stats.rowsDeleted == 8) // 4 ids x (enc + vectors)
+    val queries = vecs.filter(col("id") < 6)
+    def topk(path: String) = graft.ann.Pq.ivfPqTopKIndexed(
+      queries, col("id"), col("vec"), path, k = 3, nprobe = 2, refine = 4)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val scrubbed = topk(full)
+    assert(scrubbed === topk(clean))
+    assert(!scrubbed.exists { case (_, _, n) => Set(1L, 5L, 9L, 13L)(n) })
+  }
+}

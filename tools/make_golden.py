@@ -966,6 +966,35 @@ def make_ann_goldens():
             rows.append((q, rank, shortlist[i]))
     write_topk(rows, "ann_ivfpq_topk_sf001")
 
+    # --- IVF x PQ after DELETION SCRUB (ann_scrub_topk): the same full-
+    # corpus quantizers, but the corpus restricted to vec_id % 5 != 0 —
+    # replicates query-after-scrubAnnIndex, where enc/ and vectors/ lose
+    # the doomed rows while ivf/ and pq/ stay fixed. Queries keep the full
+    # vec_id < 20 set (a scrubbed id may still query; it can never be a
+    # neighbor).
+    rows = []
+    for q in query_ids:
+        qi = idx[q]
+        sims = cos_c[qi]
+        probe = sorted(range(16), key=lambda c: (-sims[c], c))[:3]
+        cand_idx = [i for i in range(len(ids))
+                    if corpus_cid[i] in probe and ids[i] != q
+                    and ids[i] % 5 != 0]
+        lut = np.einsum("scd,sd->sc", cb64,
+                        np.stack([vecs[qi, s * subdim:(s + 1) * subdim] for s in range(m)]))
+        adc = lut[np.arange(m)[None, :], codes].sum(axis=1)
+        denom = qnorm[qi] * cnorm
+        with np.errstate(divide="ignore", invalid="ignore"):
+            approx = np.where((qnorm[qi] == 0) | (cnorm == 0), 0.0, adc / denom)
+        cand_order = sorted(cand_idx, key=lambda i: (-approx[i], ids[i]))
+        shortlist = [int(ids[i]) for i in cand_order[:topk * refine]]
+        nm = vecs[[idx[n] for n in shortlist]]
+        cos = cosine_matrix(vecs[qi][None, :], nm)[0]
+        rerank = sorted(range(len(shortlist)), key=lambda i: (-cos[i], shortlist[i]))
+        for rank, i in enumerate(rerank[:topk], start=1):
+            rows.append((q, rank, shortlist[i]))
+    write_topk(rows, "ann_scrub_topk_sf001")
+
     # recall@3 vs brute for the composed path (diagnostic print; the gate
     # hash-compares the fixture itself)
     ivfpq_sets = {}
