@@ -1073,6 +1073,18 @@ def epoch_shards(df: DataFrame, id: ColumnOrName, seed: int, epoch: int,
     return DataFrame(jdf, df.sparkSession)
 
 
+def length_bucket_batches(df: DataFrame, id: ColumnOrName,
+                          n_tokens: ColumnOrName, batch_size: int,
+                          seed: int = 0) -> DataFrame:
+    """Padding-efficient batch assembly: power-of-two length buckets
+    (integer bit-length boundary), seeded per-bucket shuffle, then
+    (batch_id, pos_in_batch) by position -> (id, n_tokens, bucket,
+    padded_to, batch_id, pos_in_batch); per-row padding waste < 50%."""
+    jdf = _bridge(df).lengthBucketBatches(
+        df._jdf, _jcol(id), _jcol(n_tokens), int(batch_size), int(seed))
+    return DataFrame(jdf, df.sparkSession)
+
+
 def stratified_hash_sample(df: DataFrame, strata: ColumnOrName,
                            key: ColumnOrName, rates: dict,
                            default_rate: float, salt: str = "graft") -> DataFrame:

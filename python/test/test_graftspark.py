@@ -1526,6 +1526,18 @@ class GraftsparkTest(unittest.TestCase):
                       for r in P.history_snapshot_at(h, 2, "v").collect())
         self.assertEqual(back, [(1, 2, "a"), (2, 2, "B")])
 
+    def test_pipeline_length_bucket_batches(self):
+        from graftspark import pipeline as P
+        df = self.spark.createDataFrame(
+            [(i, 10 + i % 5) for i in range(40)], ["id", "nt"])
+        got = P.length_bucket_batches(df, "id", "nt", batch_size=4).collect()
+        self.assertEqual(len(got), 40)
+        for r in got:
+            self.assertEqual(r["padded_to"], 16)  # 10..14 -> bucket 4
+            self.assertTrue(0 <= r["pos_in_batch"] < 4)
+        self.assertEqual(
+            sorted(r["batch_id"] for r in got), sorted(i // 4 for i in range(40)))
+
     def test_pipeline_scrub_parquet(self):
         from graftspark import pipeline as P
         import tempfile

@@ -1620,6 +1620,19 @@ object SparkEntry {
         seed = 7, epoch = 2, numShards = 4)
         .select(col("doc_id"), col("shard"), col("shard_pos"))),
 
+    // P113 padding-efficient length bucketing: power-of-two buckets from
+    // INTEGER bit length (never float log2), seeded per-bucket shuffle,
+    // (batch_id, pos_in_batch) by position — DuckDB replays bucket, md5
+    // order and the partitioned row number bit-for-bit
+    "length_bucket_batches" -> ((s, dir) =>
+      graft.sample.Sampling.lengthBucketBatches(
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(graft.text.TextFunctions.tokenize(col("text"))).as("nt")),
+        col("doc_id"), col("nt"), batchSize = 32, seed = 1)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("bucket"),
+          col("padded_to"), col("batch_id"), col("pos_in_batch"))),
+
     // deterministic weighted (importance) sampling: keep probability
     // min(1, n_chars/2000) per doc — every arithmetic step bit-identical
     // across engines (IEEE multiply, floor, fixed-width hex render)
@@ -4319,6 +4332,20 @@ object SparkEntry {
         ("SELECT doc_id, " +
           "row_number() OVER (ORDER BY md5('7:2:' || CAST(doc_id AS VARCHAR)), doc_id) AS shuffle_pos " +
           "FROM documents"),
+
+      // P113: bucket = integer bit length of (n_tokens - 1); per-bucket
+      // seeded-md5 order; (batch_id, pos) from the partitioned row number
+      "length_bucket_batches" ->
+        (s"WITH $docTokCte, " +
+          "b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+          "CAST(CASE WHEN len(toks) <= 1 THEN 0 " +
+          "ELSE length(format('{:b}', len(toks) - 1)) END AS INT) AS bucket, " +
+          "md5('1:' || CAST(doc_id AS VARCHAR)) AS h FROM tok), " +
+          "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h, doc_id) - 1 AS rk FROM b) " +
+          "SELECT doc_id, n_tokens, bucket, " +
+          "CAST(CAST(1 AS BIGINT) << bucket AS BIGINT) AS padded_to, " +
+          "CAST(rk // 32 AS BIGINT) AS batch_id, " +
+          "CAST(rk % 32 AS BIGINT) AS pos_in_batch FROM r"),
 
       // the hex-prefix shard replay: 15 hex chars = 60 bits fit BIGINT in
       // both engines (Spark conv(...,16,10) / DuckDB CAST('0x...' AS BIGINT))

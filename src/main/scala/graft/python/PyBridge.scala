@@ -750,6 +750,10 @@ object PyBridge {
     graft.sample.Sampling.epochShards(df, id, seed, epoch, numShards,
       shardColumn, posColumn)
 
+  def lengthBucketBatches(df: DataFrame, id: Column, nTokens: Column,
+                          batchSize: Int, seed: Long): DataFrame =
+    graft.sample.Sampling.lengthBucketBatches(df, id, nTokens, batchSize, seed)
+
   def stratifiedHashSample(df: DataFrame, strata: Column, key: Column,
                            rates: java.util.Map[String, java.lang.Double],
                            defaultRate: Double, salt: String): DataFrame =

@@ -529,4 +529,55 @@ object Sampling {
       .withColumn("epoch", explode(sequence(lit(1), col(ncol))))
       .drop(dcol, ecol, rcol, hcol, ncol)
   }
+
+  /**
+   * Padding-efficient batch assembly — the inference/training-throughput
+   * twin of [[graft.agg.PrefixSum]]'s sequence packing (packing
+   * CONCATENATES short sequences to a budget; this GROUPS similar-length
+   * sequences so per-batch padding is bounded): every sequence lands in
+   * the power-of-two bucket `padded_to = 2^ceil(log2(n_tokens))`, is
+   * deterministically shuffled WITHIN its bucket by the seeded md5 of its
+   * id (decorrelates batches from ingest order; same seed ⇒ same batches
+   * on any run/cluster/engine — no rand(), so task retries cannot corrupt
+   * an assembled batch), and takes `(batch_id, pos_in_batch)` by position.
+   * Padding waste per row is `padded_to - n_tokens` < 50% by construction.
+   *
+   * The bucket boundary is computed in INTEGER arithmetic (the bit length
+   * of `n_tokens - 1`, never a float log2 whose exact-power behavior is
+   * platform-lore), so every engine buckets identically.
+   *
+   * Scale shape: bucket counts are tiny (~log2 max-length), so a
+   * per-bucket window would funnel the corpus through ~20 tasks. Instead
+   * the global order (bucket, h, id) goes through the 3-phase row-number
+   * plan (one range exchange, no single-partition window) and the
+   * per-bucket rank is recovered by subtracting each bucket's minimum
+   * global number — a #buckets-row aggregate broadcast back.
+   *
+   * Output: input id column as `id`, `n_tokens`, `bucket`, `padded_to`,
+   * `batch_id` (per bucket, 0-based), `pos_in_batch` (0-based; the final
+   * batch of a bucket may be partial).
+   */
+  def lengthBucketBatches(df: DataFrame, id: Column, nTokens: Column,
+                          batchSize: Int, seed: Long = 0L,
+                          unpersistHandle: graft.UnpersistHandle = graft.UnpersistHandle.Noop): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1: $batchSize")
+    val base = df.select(id.as("id"),
+        coalesce(nTokens.cast("long"), lit(0L)).as("n_tokens"))
+      .withColumn("bucket",
+        when(col("n_tokens") <= 1, 0)
+          .otherwise(length(bin(col("n_tokens") - 1))).cast("int"))
+      .withColumn("padded_to", expr("shiftleft(CAST(1 AS BIGINT), bucket)"))
+      .withColumn("__h", md5(concat(lit(s"$seed:"), col("id").cast("string"))))
+    val numbered = graft.RowNumbers.withRowNumbers(base, "__rn",
+      order = Seq(col("bucket").asc, col("__h").asc, col("id").asc),
+      unpersistHandle = unpersistHandle)
+    val bucketBase = numbered.groupBy(col("bucket"))
+      .agg(min(col("__rn")).as("__rn0"))
+    numbered
+      .join(broadcast(bucketBase), Seq("bucket"))
+      .withColumn("__rank", col("__rn") - col("__rn0"))
+      .select(col("id"), col("n_tokens"), col("bucket"), col("padded_to"),
+        expr(s"__rank div $batchSize").as("batch_id"),
+        (col("__rank") % batchSize).as("pos_in_batch"))
+  }
 }

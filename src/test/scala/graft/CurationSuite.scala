@@ -270,6 +270,46 @@ class CurationSuite extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("lengthBucketBatches: power-of-two buckets, bounded padding, full batches") {
+    val rows = Seq(1L, 2L, 3L, 4L, 5L, 9L, 16L, 17L, 100L, 1000L, 0L)
+      .zipWithIndex.map { case (n, i) => (i.toLong, n) }
+    val df = rows.toDF("id", "nt")
+    val got = Sampling.lengthBucketBatches(df, col("id"), col("nt"), batchSize = 2)
+      .select("id", "n_tokens", "bucket", "padded_to", "batch_id", "pos_in_batch")
+      .as[(Long, Long, Int, Long, Long, Long)].collect().sortBy(_._1)
+    // integer bucket boundary: exact powers stay in their own bucket
+    val byN = got.map(r => r._2 -> (r._3, r._4)).toMap
+    assert(byN(1L) == (0, 1L) && byN(2L) == (1, 2L) && byN(3L) == (2, 4L))
+    assert(byN(4L) == (2, 4L) && byN(5L) == (3, 8L) && byN(16L) == (4, 16L))
+    assert(byN(17L) == (5, 32L) && byN(0L) == (0, 1L))
+    // padding bound: padded_to < 2 * n_tokens for n >= 2
+    assert(got.filter(_._2 >= 2).forall(r => r._4 < 2 * r._2))
+    // positions dense within (bucket, batch): batchSize 2 => pos in {0, 1}
+    got.groupBy(r => (r._3, r._5)).foreach { case (_, b) =>
+      assert(b.map(_._6).sorted.toSeq == (0L until b.length))
+      assert(b.length <= 2)
+    }
+    // deterministic and partitioning-independent
+    val again = Sampling.lengthBucketBatches(
+      df.repartition(7), col("id"), col("nt"), batchSize = 2)
+      .select("id", "n_tokens", "bucket", "padded_to", "batch_id", "pos_in_batch")
+      .as[(Long, Long, Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(again.toSeq == got.toSeq)
+    // seed changes batch composition on a bigger corpus
+    val big = (0L until 500L).map(i => (i, 10L + i % 7)).toDF("id", "nt")
+    def order(seed: Long) = Sampling.lengthBucketBatches(
+      big, col("id"), col("nt"), batchSize = 8, seed = seed)
+      .select("id", "batch_id", "pos_in_batch")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(order(1) != order(2))
+    // scale shape: the 3-phase row-number plan, never a single-partition
+    // window funneling the corpus through ~log2(maxlen) bucket tasks
+    val plan = Sampling.lengthBucketBatches(big, col("id"), col("nt"), 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [row_number() windowspecdefinition(bucket"),
+      s"per-bucket row_number window leaked into the plan:\n$plan")
+  }
+
   test("epochShards: deterministic (shard, pos), per-shard contiguous, no global exchange") {
     val keys = (0L until 2000L).toDF("k")
     def run(epoch: Long) = Sampling.epochShards(keys, col("k"), seed = 7,
