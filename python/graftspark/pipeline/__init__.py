@@ -1073,6 +1073,29 @@ def epoch_shards(df: DataFrame, id: ColumnOrName, seed: int, epoch: int,
     return DataFrame(jdf, df.sparkSession)
 
 
+def with_lateness(df: DataFrame, arrival: ColumnOrName,
+                  event_time: ColumnOrName,
+                  output_column: str = "lateness_us") -> DataFrame:
+    """Per-event lateness in integer microseconds against the streaming
+    watermark recurrence: an exclusive running max of event time over
+    arrival order (three-phase plan, no single-partition window)."""
+    jdf = _bridge(df).withLateness(df._jdf, _jcol(arrival),
+                                   _jcol(event_time), str(output_column))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def watermark_plan(df: DataFrame, arrival: ColumnOrName,
+                   event_time: ColumnOrName, delays_seconds) -> DataFrame:
+    """Watermark planning report: per candidate delay, how many events a
+    delay-d watermark would silently drop -> (delay_s, events, dropped,
+    max_lateness_us). Pick the smallest acceptable delay from measured
+    disorder instead of folklore."""
+    jdf = _bridge(df).watermarkPlan(df._jdf, _jcol(arrival),
+                                    _jcol(event_time),
+                                    [int(d) for d in delays_seconds])
+    return DataFrame(jdf, df.sparkSession)
+
+
 def length_bucket_batches(df: DataFrame, id: ColumnOrName,
                           n_tokens: ColumnOrName, batch_size: int,
                           seed: int = 0) -> DataFrame:

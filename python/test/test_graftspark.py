@@ -1526,6 +1526,20 @@ class GraftsparkTest(unittest.TestCase):
                       for r in P.history_snapshot_at(h, 2, "v").collect())
         self.assertEqual(back, [(1, 2, "a"), (2, 2, "B")])
 
+    def test_pipeline_watermark_plan(self):
+        from graftspark import pipeline as P
+        from pyspark.sql.functions import timestamp_micros
+        ev = self.spark.createDataFrame(
+            [(0, 100), (1, 400), (2, 200), (3, 700), (4, 100)],
+            ["arr", "sec"]).select(
+            col("arr"), timestamp_micros(col("sec") * 1000000).alias("ts"))
+        got = {r["delay_s"]: (r["events"], r["dropped"])
+               for r in P.watermark_plan(ev, "arr", "ts", [0, 300]).collect()}
+        self.assertEqual(got, {0: (5, 2), 300: (5, 1)})
+        late = {r["arr"]: r["lateness_us"]
+                for r in P.with_lateness(ev, "arr", "ts").collect()}
+        self.assertEqual(late, {0: 0, 1: 0, 2: 200000000, 3: 0, 4: 600000000})
+
     def test_pipeline_length_bucket_batches(self):
         from graftspark import pipeline as P
         df = self.spark.createDataFrame(

@@ -488,6 +488,21 @@ object SparkEntry {
         views, col("user_id"), col("ts_us"), lit(1800000000L)) // 30 min in us
     }),
 
+    // P115 watermark planning: deterministic disorder planted (event id%10
+    // == k arrives k*3 minutes "early" in event time, i.e. up to 27 min
+    // late vs the watermark its successors advance); lateness = exclusive
+    // arrival-order running max minus event time in exact integer micros,
+    // report = drops per candidate delay. DuckDB replays the watermark
+    // recurrence with the framed window MAX.
+    "watermark_plan" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val ev2 = ev.select(col("event_id"),
+        timestamp_micros(eventTsUs(ev) -
+          (col("event_id") % 10) * 180000000L).as("ts2"))
+      graft.events.Lateness.watermarkPlan(ev2, col("event_id"), col("ts2"),
+        Seq(0L, 60L, 300L, 900L, 1800L))
+    }),
+
     // F2 count_null aggregate (nulls synthesized: no raw nulls in testdata)
     "count_null_events" -> ((s, dir) => {
       t(s, dir, "events").agg(
@@ -3377,6 +3392,21 @@ object SparkEntry {
       "count_null_events" ->
         ("SELECT COUNT(*) FILTER (WHERE event_type = 'error' OR value IS NULL) AS value_nulls, " +
           "COUNT(*) AS n FROM events"),
+
+      // P115: the watermark recurrence replayed — exclusive running max of
+      // event time over arrival order, integer-microsecond drop decisions
+      "watermark_plan" ->
+        ("WITH e AS (SELECT event_id, " +
+          "epoch_us(ts) - (event_id % 10) * 180000000 AS tus FROM events), " +
+          "m AS (SELECT event_id, tus, MAX(tus) OVER (ORDER BY event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm FROM e), " +
+          "l AS (SELECT CASE WHEN wm IS NULL OR wm <= tus THEN 0 ELSE wm - tus END AS late FROM m), " +
+          "d AS (SELECT * FROM UNNEST([0, 60, 300, 900, 1800]) AS t(delay_s)) " +
+          "SELECT CAST(delay_s AS BIGINT) AS delay_s, " +
+          "CAST(COUNT(*) AS BIGINT) AS events, " +
+          "CAST(SUM(CASE WHEN late > delay_s * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS dropped, " +
+          "CAST(MAX(late) AS BIGINT) AS max_lateness_us " +
+          "FROM l, d GROUP BY delay_s"),
 
       "ticks_roundtrip" ->
         ("SELECT o_orderkey, " +

@@ -87,4 +87,64 @@ object PrefixSum {
       .withColumn(outputColumn, col(localCol) + coalesce(col(offsetCol), lit(0)))
       .drop(valCol, pidCol, localCol, offsetCol)
   }
+
+  /**
+   * Global running MAXIMUM over `order` — the same three-phase plan as
+   * [[withRunningTotal]] with max in place of sum (max is equally
+   * decomposable: partition-local running max, then the cumulative max of
+   * whole previous partitions, combined with `greatest`). `exclusive`
+   * (default) takes the max over rows STRICTLY BEFORE the current row —
+   * the first row gets null (there is no previous value; a sentinel would
+   * corrupt comparisons against genuinely small values). The streaming
+   * watermark recurrence is exactly an exclusive running max of event
+   * time over arrival order, which is what [[graft.events.Lateness]]
+   * builds on.
+   */
+  def withRunningMax(
+      df: DataFrame,
+      valueCol: Column,
+      order: Seq[Column],
+      outputColumn: String = "running_max",
+      exclusive: Boolean = true,
+      storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      unpersistHandle: UnpersistHandle = UnpersistHandle.Noop): DataFrame = {
+    require(order.nonEmpty, "withRunningMax needs at least one order column")
+    require(storageLevel != StorageLevel.NONE,
+      "storageLevel must not be NONE: the persist pins partition ids between phases")
+
+    val prefix = distinctPrefixFor(df.columns.toSeq :+ outputColumn)
+    val valCol = prefix + "value"
+    val pidCol = prefix + "partition_id"
+    val localCol = prefix + "local_max"
+    val totalCol = prefix + "partition_max"
+    val offsetCol = prefix + "offset"
+
+    val withPid = df
+      .withColumn(valCol, valueCol)
+      .orderBy(order: _*)
+      .withColumn(pidCol, spark_partition_id())
+      .persist(storageLevel)
+    unpersistHandle.setDataFrame(withPid)
+
+    val bounds =
+      if (exclusive) (Window.unboundedPreceding, -1L)
+      else (Window.unboundedPreceding, Window.currentRow)
+    val localWindow = Window.partitionBy(col(pidCol)).orderBy(order: _*)
+      .rowsBetween(bounds._1, bounds._2)
+    val withLocal = withPid.withColumn(localCol, max(col(valCol)).over(localWindow))
+
+    val cumWindow = Window.partitionBy(lit(0)).orderBy(col(pidCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = withPid
+      .groupBy(col(pidCol))
+      .agg(max(col(valCol)).as(totalCol))
+      .withColumn(offsetCol, max(col(totalCol)).over(cumWindow))
+      .select((col(pidCol) + 1).as(pidCol), col(offsetCol))
+
+    withLocal
+      .join(broadcast(offsets), Seq(pidCol), "left")
+      // greatest ignores nulls; both-null (first row, first partition) stays null
+      .withColumn(outputColumn, greatest(col(localCol), col(offsetCol)))
+      .drop(valCol, pidCol, localCol, offsetCol)
+  }
 }

@@ -754,6 +754,15 @@ object PyBridge {
                           batchSize: Int, seed: Long): DataFrame =
     graft.sample.Sampling.lengthBucketBatches(df, id, nTokens, batchSize, seed)
 
+  def withLateness(df: DataFrame, arrival: Column, eventTime: Column,
+                   outputColumn: String): DataFrame =
+    graft.events.Lateness.withLateness(df, arrival, eventTime, outputColumn)
+
+  def watermarkPlan(df: DataFrame, arrival: Column, eventTime: Column,
+                    delaysSeconds: java.util.List[java.lang.Number]): DataFrame =
+    graft.events.Lateness.watermarkPlan(df, arrival, eventTime,
+      delaysSeconds.asScala.map(_.longValue()).toSeq)
+
   def stratifiedHashSample(df: DataFrame, strata: Column, key: Column,
                            rates: java.util.Map[String, java.lang.Double],
                            defaultRate: Double, salt: String): DataFrame =
