@@ -56,7 +56,7 @@ __all__ = [
     "repeated_span_stats", "remove_repeated_spans", "classifier_score",
     "dsir_weight_table", "dsir_fit_weights", "dsir_score", "dsir_select_top",
     "vocab_top_tokens", "vocab_coverage_report", "vocab_self_coverage_report",
-    "train_ivf", "ivf_assign", "semantic_dup_pairs", "deduplicate_semantic",
+    "train_ivf", "ivf_assign", "embedding_outliers", "semantic_dup_pairs", "deduplicate_semantic",
     "save_ivf", "load_ivf", "save_pq", "load_pq",
     "rrf_fuse", "canonicalize_text", "fix_mojibake", "corpus_drift", "contamination_report",
     "deduplicate_semantic_keep_diverse", "compact_parquet",
@@ -1992,6 +1992,18 @@ def train_ivf(corpus: DataFrame, id: ColumnOrName, vec: ColumnOrName,
     opaque index handle for ivf_assign / semantic_dup_pairs."""
     return _bridge(corpus).trainIvf(corpus._jdf, _jcol(id), _jcol(vec),
                                     int(k), int(iterations))
+
+
+def embedding_outliers(corpus: DataFrame, id: ColumnOrName,
+                       vec: ColumnOrName, ivf, quantile: float) -> DataFrame:
+    """Embedding outlier filter (the SemDeDup complement: too FAR from its
+    cluster instead of too close): flags the bottom `quantile` of each
+    trained cluster by cosine-to-centroid -> (id, cid, cos_fp,
+    cluster_rank, is_outlier); fixed-point key + integer cutoff make the
+    flags engine-exact."""
+    jdf = _bridge(corpus).embeddingOutliers(
+        corpus._jdf, _jcol(id), _jcol(vec), ivf, float(quantile))
+    return DataFrame(jdf, corpus.sparkSession)
 
 
 def save_ivf(spark, index, path: str) -> None:

@@ -1526,6 +1526,23 @@ class GraftsparkTest(unittest.TestCase):
                       for r in P.history_snapshot_at(h, 2, "v").collect())
         self.assertEqual(back, [(1, 2, "a"), (2, 2, "B")])
 
+    def test_pipeline_embedding_outliers(self):
+        from graftspark import pipeline as P
+        from pyspark.sql.types import (ArrayType, FloatType, LongType,
+                                       StructField, StructType)
+        schema = StructType([
+            StructField("id", LongType()),
+            StructField("vec", ArrayType(FloatType()))])
+        rows = [(i, [1.0 if d == i % 2 else 0.01 * (i % 5) for d in range(8)])
+                for i in range(40)]
+        rows.append((99, [-1.0] * 8))  # planted junk
+        df = self.spark.createDataFrame(rows, schema)
+        ivf = P.train_ivf(df, "id", "vec", k=2, iterations=3)
+        out = P.embedding_outliers(df, "id", "vec", ivf, 0.1).collect()
+        flagged = {r["id"] for r in out if r["is_outlier"]}
+        self.assertIn(99, flagged)
+        self.assertEqual(len(out), 41)
+
     def test_pipeline_watermark_plan(self):
         from graftspark import pipeline as P
         from pyspark.sql.functions import timestamp_micros

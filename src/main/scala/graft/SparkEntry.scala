@@ -2677,6 +2677,21 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cid"))
     }),
 
+    // P116 embedding outlier filter: bottom 10% of each cluster by cosine
+    // to its trained centroid (the SemDeDup complement — too FAR instead
+    // of too close). Fixed-point ranking key + integer-count cutoff make
+    // the flags engine-exact; oracle = golden fixture replicating assign,
+    // fixed-point cosine, per-cluster rank and cutoff independently.
+    "embedding_outliers" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val index = graft.ann.Ann.trainIvf(emb, col("vec_id"), col("embedding"),
+        k = 16, iterations = 3)
+      graft.ann.Ann.embeddingOutliers(emb, col("vec_id"), col("embedding"),
+        index, quantile = 0.1)
+        .select(col("id").as("vec_id"), col("cid"), col("cos_fp"),
+          col("cluster_rank"), col("is_outlier"))
+    }),
+
     // SemDeDup-style semantic dedup: within-cluster pairs against the SAME
     // trained quantizer as kmeans_assign, so the DuckDB oracle replays the
     // pairing from the golden assignment fixture + exact cosine. The 0.35
@@ -5195,6 +5210,12 @@ object SparkEntry {
       "kmeans_assign" ->
         ("SELECT vec_id, cid " +
           s"FROM read_parquet('$goldenDir/kmeans_assign_sf001.parquet')"),
+
+      // P116: independent replication of assign → fixed-point cosine →
+      // per-cluster ascending rank → floor(n * q) cutoff
+      "embedding_outliers" ->
+        ("SELECT vec_id, cid, cos_fp, cluster_rank, is_outlier " +
+          s"FROM read_parquet('$goldenDir/embedding_outliers_sf001.parquet')"),
 
       "cluster_sample" ->
         ("SELECT cid, vec_id, CAST(rk AS INT) AS sample_rank FROM " +

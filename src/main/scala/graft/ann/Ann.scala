@@ -333,4 +333,60 @@ object Ann {
       .distinct()
       .count()
   }
+
+  /**
+   * Embedding outlier filter — the garbage/off-distribution detector of
+   * embedding-curated corpora (the SemDeDup complement: [[graft.dedup
+   * .SemanticDedup]] drops what is TOO CLOSE to its cluster neighbors,
+   * this flags what is TOO FAR from every cluster): each vector is scored
+   * by cosine to its nearest trained centroid, and the bottom `quantile`
+   * of each cluster — the rows the corpus map explains worst — is flagged.
+   * Per-cluster (not global) cutoffs matter: a tight cluster's mild
+   * stragglers and a diffuse cluster's core can share one cosine value.
+   *
+   * Determinism: the ranking key is fixed-point `floor(cos * 2^20)` (ties
+   * then by id), and the cutoff `floor(n_cluster * quantile)` is one IEEE
+   * multiply of exact integers — every engine flags identical rows.
+   *
+   * Scale shape: centroids broadcast (k rows); ONE range exchange for the
+   * global (cid, cos_fp, id) order through the 3-phase row-number plan —
+   * cluster counts are k ~ sqrt(corpus), so a per-cluster window would
+   * funnel the corpus through k tasks; per-cluster ranks are recovered
+   * from a k-row min/count aggregate broadcast back.
+   *
+   * Output: `(id, cid, cos_fp, cluster_rank, is_outlier)` — `cos_fp` the
+   * fixed-point cosine to the assigned centroid, `cluster_rank` 0-based
+   * ascending (0 = farthest from its centroid).
+   */
+  def embeddingOutliers(corpus: DataFrame, id: Column, vec: Column,
+                        index: IvfIndex, quantile: Double,
+                        unpersistHandle: graft.UnpersistHandle = graft.UnpersistHandle.Noop): DataFrame = {
+    require(quantile >= 0.0 && quantile <= 1.0, s"quantile in [0,1]: $quantile")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cens = index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "__cen")
+    val scored = corpus
+      .select(id.as("id"), vec.as("__vec"))
+      .withColumn("cid",
+        get(vectors.nearest_centroids(col("__vec"), index.centroids, 1), lit(0)))
+      .join(broadcast(cens), Seq("cid"))
+      .withColumn("cos_fp",
+        floor(vectors.cosine_similarity(col("__vec"), col("__cen"))
+          * (1L << 20)).cast("long"))
+      .select(col("id"), col("cid"), col("cos_fp"))
+    val numbered = graft.RowNumbers.withRowNumbers(scored, "__rn",
+      order = Seq(col("cid").asc, col("cos_fp").asc, col("id").asc),
+      unpersistHandle = unpersistHandle)
+    val perCluster = numbered.groupBy(col("cid"))
+      .agg(min(col("__rn")).as("__rn0"), count(lit(1)).as("__n"))
+    numbered
+      .join(broadcast(perCluster), Seq("cid"))
+      .withColumn("cluster_rank", col("__rn") - col("__rn0"))
+      .withColumn("is_outlier",
+        col("cluster_rank") < floor(col("__n") * quantile))
+      .select(col("id"), col("cid"), col("cos_fp"),
+        col("cluster_rank"), col("is_outlier"))
+  }
 }

@@ -754,6 +754,10 @@ object PyBridge {
                           batchSize: Int, seed: Long): DataFrame =
     graft.sample.Sampling.lengthBucketBatches(df, id, nTokens, batchSize, seed)
 
+  def embeddingOutliers(corpus: DataFrame, id: Column, vec: Column,
+                        ivf: graft.ann.Ann.IvfIndex, quantile: Double): DataFrame =
+    graft.ann.Ann.embeddingOutliers(corpus, id, vec, ivf, quantile)
+
   def withLateness(df: DataFrame, arrival: Column, eventTime: Column,
                    outputColumn: String): DataFrame =
     graft.events.Lateness.withLateness(df, arrival, eventTime, outputColumn)

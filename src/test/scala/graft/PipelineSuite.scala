@@ -824,6 +824,38 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("embeddingOutliers flags the per-cluster bottom quantile, planted junk first") {
+    // 3 tight clusters + 3 planted junk vectors far off every cluster axis
+    val data = clusteredVectors(3, 20, 16, 0.02f)
+    val junk = Seq(
+      (1000L, Seq.tabulate(16)(i => if (i % 2 == 0) 0.7f else -0.7f)),
+      (1001L, Seq.tabulate(16)(i => if (i % 3 == 0) -0.9f else 0.4f)),
+      (1002L, Seq.tabulate(16)(i => if (i < 8) 0.1f else -0.8f)))
+    val df = (data ++ junk).toDF("id", "vec")
+    val index = Ann.trainIvf(df, col("id"), col("vec"), k = 3, iterations = 4)
+    val out = Ann.embeddingOutliers(df, col("id"), col("vec"), index, quantile = 0.1)
+      .select("id", "cid", "cluster_rank", "is_outlier")
+      .as[(Long, Int, Long, Boolean)].collect()
+    // every planted junk vector is flagged
+    val flagged = out.filter(_._4).map(_._1).toSet
+    assert(Set(1000L, 1001L, 1002L).subsetOf(flagged), s"flagged=$flagged")
+    // per-cluster flag count is exactly floor(n * 0.1)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.count(_._4) == (rows.length * 0.1).floor.toInt)
+    }
+    // rank 0 = farthest; flags form a prefix of the rank order
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val k = rows.count(_._4)
+      assert(rows.filter(_._3 < k).forall(_._4))
+    }
+    // quantile 0 flags nothing; quantile bounds enforced
+    assert(Ann.embeddingOutliers(df, col("id"), col("vec"), index, 0.0)
+      .filter(col("is_outlier")).count() == 0)
+    intercept[IllegalArgumentException] {
+      Ann.embeddingOutliers(df, col("id"), col("vec"), index, 1.5)
+    }
+  }
+
   test("ivfAssign maps every vector to its search-path centroid, exchange-free") {
     val data = clusteredVectors(4, 8, 16, 0.05f)
     val df = data.toDF("id", "vec")

@@ -872,6 +872,48 @@ def make_ann_goldens():
     pq.write_table(table, f"{OUT}/kmeans_assign_sf001.parquet")
     print(f"kmeans_assign_sf001.parquet: {len(ids)} rows")
 
+    # embedding-outlier golden (embedding_outliers, quantile 0.1): cosine to
+    # the ASSIGNED centroid in fixed point, per-cluster ascending rank
+    # (ties by vec_id), cutoff = floor(n_cluster * 0.1). The FLOOR makes the
+    # raw value load-bearing (not just its order), so the cosine replicates
+    # the Scala kernel EXACTLY: sequential accumulation in dimension order,
+    # float32 elements widened per element, final dot / sqrt(na * nb) —
+    # cosine_matrix (BLAS pairwise dot, sqrt(na)*sqrt(nb)) differs in the
+    # last ulp and would flip boundary floors.
+    import math as _math
+
+    def kernel_cos(a32, b32):
+        dot = na = nb = 0.0
+        for k in range(len(a32)):
+            x = float(a32[k]); y = float(b32[k])
+            dot += x * y; na += x * x; nb += y * y
+        return 0.0 if na == 0.0 or nb == 0.0 else dot / _math.sqrt(na * nb)
+
+    fp = np.array([
+        int(np.floor(kernel_cos(vecs32[i], centroids[int(corpus_cid[i])])
+                     * (1 << 20)))
+        for i in range(len(ids))], dtype=np.int64)
+    order_o = sorted(range(len(ids)), key=lambda i: (corpus_cid[i], fp[i], ids[i]))
+    rank = np.empty(len(ids), dtype=np.int64)
+    seen = {}
+    for i in order_o:
+        c = int(corpus_cid[i])
+        rank[i] = seen.get(c, 0)
+        seen[c] = rank[i] + 1
+    nclu = {c: int((corpus_cid == c).sum()) for c in set(corpus_cid.tolist())}
+    cut = {c: int(np.floor(n * 0.1)) for c, n in nclu.items()}
+    table = pa.table({
+        "vec_id": pa.array([int(v) for v in ids], pa.int64()),
+        "cid": pa.array([int(c) for c in corpus_cid], pa.int32()),
+        "cos_fp": pa.array([int(x) for x in fp], pa.int64()),
+        "cluster_rank": pa.array([int(r) for r in rank], pa.int64()),
+        "is_outlier": pa.array(
+            [bool(rank[i] < cut[int(corpus_cid[i])]) for i in range(len(ids))]),
+    })
+    pq.write_table(table, f"{OUT}/embedding_outliers_sf001.parquet")
+    n_out = sum(1 for i in range(len(ids)) if rank[i] < cut[int(corpus_cid[i])])
+    print(f"embedding_outliers_sf001.parquet: {len(ids)} rows, {n_out} flagged")
+
     # --- PQ (dim=64, m=8, ksub=16, iterations=3, k=3, refine=8) ---
     # replicate Pq.trainPq + pqTopK: deterministic init from the ksub
     # smallest-id vectors, Lloyd's with L2 sub-assignment (ties -> lower
