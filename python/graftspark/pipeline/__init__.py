@@ -1096,6 +1096,22 @@ def watermark_plan(df: DataFrame, arrival: ColumnOrName,
     return DataFrame(jdf, df.sparkSession)
 
 
+def streaming_lateness_by_window(stream: DataFrame, event_time_column: str,
+                                 ingest_time: ColumnOrName,
+                                 window_duration: str, watermark_delay: str,
+                                 delays_seconds) -> DataFrame:
+    """Live lateness monitor (the streaming twin of watermark_plan):
+    lateness = ingest minus event time per row (stateless, exact integer
+    micros), aggregated per event-time window and candidate delay ->
+    (window, delay_s, events, dropped, max_lateness_us). Append-legal;
+    state bounded at |open windows| x |delays| rows."""
+    jdf = _bridge(stream).streamingLatenessByWindow(
+        stream._jdf, str(event_time_column), _jcol(ingest_time),
+        str(window_duration), str(watermark_delay),
+        [int(d) for d in delays_seconds])
+    return DataFrame(jdf, stream.sparkSession)
+
+
 def length_bucket_batches(df: DataFrame, id: ColumnOrName,
                           n_tokens: ColumnOrName, batch_size: int,
                           seed: int = 0) -> DataFrame:

@@ -1526,6 +1526,36 @@ class GraftsparkTest(unittest.TestCase):
                       for r in P.history_snapshot_at(h, 2, "v").collect())
         self.assertEqual(back, [(1, 2, "a"), (2, 2, "B")])
 
+    def test_pipeline_streaming_lateness(self):
+        from graftspark import pipeline as P
+        from pyspark.sql.functions import timestamp_micros
+        import tempfile
+        base = 1_000_000_000_000_000
+        rows = [(base + i * 60_000_000,
+                 base + i * 60_000_000 + (i % 3) * 120_000_000)
+                for i in range(10)]
+        d = tempfile.mkdtemp()
+        self.spark.createDataFrame(rows, ["e", "i"]).select(
+            timestamp_micros(col("e")).alias("ets"),
+            timestamp_micros(col("i")).alias("its")).write.parquet(d + "/in")
+        stream = self.spark.readStream.schema(
+            self.spark.read.parquet(d + "/in").schema).parquet(d + "/in")
+        out = P.streaming_lateness_by_window(
+            stream, "ets", "its", "10 minutes", "0 seconds", [0, 150])
+        q = (out.writeStream.format("memory").queryName("pylate")
+             .outputMode("complete").start())
+        try:
+            q.processAllAvailable()
+            from collections import defaultdict
+            got = defaultdict(lambda: [0, 0])
+            for r in self.spark.table("pylate").collect():
+                got[r["delay_s"]][0] += r["events"]
+                got[r["delay_s"]][1] += r["dropped"]
+        finally:
+            q.stop()
+        self.assertEqual(tuple(got[0]), (10, 6))    # i%3 in {1,2} are late
+        self.assertEqual(tuple(got[150]), (10, 3))  # only the 240s-late ones
+
     def test_pipeline_embedding_outliers(self):
         from graftspark import pipeline as P
         from pyspark.sql.types import (ArrayType, FloatType, LongType,

@@ -1114,6 +1114,34 @@ object SparkEntry {
         counts, Seq("window_start"), ref)
     }),
 
+    // P117 streaming lateness monitor: the live twin of watermark_plan —
+    // lateness = ingest minus event time (stateless, exact integer micros)
+    // aggregated per event-time window and candidate delay. Same planted
+    // disorder as watermark_plan (id%10=k events shifted k*3 min early);
+    // the 30-min watermark exceeds the max 27-min shift, so the engine
+    // itself drops nothing and the report is exactly the static replay.
+    "streaming_lateness" -> ((s, dir) => {
+      val evRaw = t(s, dir, "events")
+      val ev = evRaw.select(col("event_id"),
+        timestamp_micros(eventTsUs(evRaw) -
+          (col("event_id") % 10) * 180000000L).as("ets"),
+        timestamp_micros(eventTsUs(evRaw)).as("its"))
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val flush = s.range(1).select(lit(-1L).as("event_id"),
+        timestamp_micros(lit(1900000000000000L)).as("ets"),
+        timestamp_micros(lit(1900000000000000L)).as("its"))
+      val staged = ev.unionAll(flush)
+      val batchC = when(col("event_id") < 0, lit(2))
+        .otherwise(least(floor(col("event_id") * 2 / (maxId + 1)), lit(1))).cast("int")
+      streamReplay(s, staged, batchC, 3, awaitNoDataBatch = true)(st =>
+        graft.streaming.StreamingLateness.latenessByWindow(
+          st, "ets", col("its"), "1 hour", "1800 seconds",
+          Seq(0L, 300L, 900L)))
+        .select(unix_timestamp(col("window.start")).as("window_start"),
+          col("delay_s"), col("events"), col("dropped"), col("max_lateness_us"))
+        .filter(col("window_start") < 1800000000L) // drop the flush window
+    }),
+
     // P98: streaming windowed heavy hitters — bounded Misra-Gries state
     // per window, emitted on watermark close. The gate runs the EXACT
     // degenerate config (capacity >= the window's distinct keys, where the
@@ -4131,6 +4159,21 @@ object SparkEntry {
           "SELECT CAST(window_start AS BIGINT) AS window_start, CAST(rn AS INT) AS rank, " +
           "key, est_count FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start " +
           "ORDER BY est_count DESC, key) AS rn FROM c) x WHERE rn <= 5"),
+
+      // P117: lateness is stateless per row, so the streaming report is
+      // exactly the static replay — hour windows, drop counts per delay
+      "streaming_lateness" ->
+        ("WITH e AS (SELECT event_id, " +
+          "epoch_us(ts) - (event_id % 10) * 180000000 AS eus, " +
+          "epoch_us(ts) AS ius FROM events), " +
+          "l AS (SELECT eus, CASE WHEN ius - eus < 0 THEN 0 ELSE ius - eus END AS late FROM e), " +
+          "w AS (SELECT CAST((eus // 3600000000) * 3600 AS BIGINT) AS window_start, late FROM l), " +
+          "d AS (SELECT * FROM UNNEST([0, 300, 900]) AS t(delay_s)) " +
+          "SELECT window_start, CAST(delay_s AS BIGINT) AS delay_s, " +
+          "CAST(COUNT(*) AS BIGINT) AS events, " +
+          "CAST(SUM(CASE WHEN late > delay_s * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS dropped, " +
+          "CAST(MAX(late) AS BIGINT) AS max_lateness_us " +
+          "FROM w, d GROUP BY window_start, delay_s"),
 
       // ordered replay + exact integer TV: windowed bucketed counts, then
       // tv_scaled = SUM |c*M - r*N| (exact), tv = one final division

@@ -762,6 +762,14 @@ object PyBridge {
                    outputColumn: String): DataFrame =
     graft.events.Lateness.withLateness(df, arrival, eventTime, outputColumn)
 
+  def streamingLatenessByWindow(stream: DataFrame, eventTimeColumn: String,
+                                ingestTime: Column, windowDuration: String,
+                                watermarkDelay: String,
+                                delaysSeconds: java.util.List[java.lang.Number]): DataFrame =
+    graft.streaming.StreamingLateness.latenessByWindow(
+      stream, eventTimeColumn, ingestTime, windowDuration, watermarkDelay,
+      delaysSeconds.asScala.map(_.longValue()).toSeq)
+
   def watermarkPlan(df: DataFrame, arrival: Column, eventTime: Column,
                     delaysSeconds: java.util.List[java.lang.Number]): DataFrame =
     graft.events.Lateness.watermarkPlan(df, arrival, eventTime,
