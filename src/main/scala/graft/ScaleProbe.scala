@@ -72,7 +72,8 @@ object ScaleProbe {
       "dedup_index", "multimatch", "quality_cut", "bloom_index", "cms_sketch",
       "link_rank", "snapshot_diff", "wordpiece_encode", "streaming_topk_state",
       "curriculum", "anonymity", "streaming_drift_state", "unigram_encode",
-      "warc_ingest")
+      "warc_ingest", "scd2_history", "deletion_scrub", "length_buckets",
+      "watermark_plan")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -1248,6 +1249,73 @@ object ScaleProbe {
       require(capped > 0 && capped < recs,
         s"warc_ingest cap: expected 0 < capped < $recs, got $capped")
       report("warc_ingest", recs, tWarc)
+    }
+
+    // --- SCD2 history build: n x the id universe, 4 vintages each ---------
+    if (enabled("scd2_history")) {
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val snaps = amplify(orders, n)
+        .select((col("o_orderkey") + col("__rep") * 100000000L).as("k"),
+          col("o_totalprice").as("price"))
+        .withColumn("vn", explode(sequence(lit(1), lit(4))))
+        .where(!(col("vn").isin(2, 3) && col("k") % 7 === 0))
+        .select(col("k"),
+          when(col("vn") >= 3 && col("k") % 3 === 0, col("price") + 1.0)
+            .otherwise(col("price")).as("price"),
+          col("vn"))
+      val (runs, tH) = time {
+        graft.diff.History.fromSnapshots(snaps, "vn", Seq("k")).count()
+      }
+      report("scd2_history", runs, tH)
+    }
+
+    // --- deletion scrub: files touched scale with the doom list, not n ----
+    if (enabled("deletion_scrub")) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_scrubprobe").toString + "/corpus"
+      val rows = spark.range(100000L * n)
+        .select(col("id"), (col("id") % 997).as("payload"))
+      rows.repartition(32 * math.max(1, n / 2)).write.parquet(dir)
+      // 50 doomed ids spread across the id space
+      val doomed = spark.range(50).select((col("id") * (100000L * n / 50)).as("bad"))
+      val (st, tS) = time {
+        graft.privacy.Deletion.scrubParquetById(spark, dir, "id", doomed, col("bad"))
+      }
+      require(st.rowsDeleted == 50, s"scrub probe: deleted ${st.rowsDeleted}")
+      // the point: rewritten files bounded by the doom list, not file count
+      require(st.filesRewritten <= 50 && st.filesRewritten < st.filesTotal,
+        s"scrub probe: ${st.filesRewritten}/${st.filesTotal} files rewritten")
+      report("deletion_scrub", st.filesRewritten, tS)
+    }
+
+    // --- length bucketing: 3-phase plan over n x documents ----------------
+    if (enabled("length_buckets")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"))
+      val big = amplify(docs, n)
+        .select((col("doc_id") + col("__rep") * 10000000L).as("doc_id"),
+          col("n_chars"))
+      val (cnt, tB) = time {
+        graft.sample.Sampling.lengthBucketBatches(
+          big, col("doc_id"), col("n_chars"), batchSize = 64).count()
+      }
+      report("length_buckets", cnt, tB)
+    }
+
+    // --- watermark plan: prefix-max over n x events ------------------------
+    if (enabled("watermark_plan")) {
+      val evRaw = spark.read.parquet(s"$sfDir/events.parquet")
+      val tus = SparkEntry.eventTsUs(evRaw)
+      val ev = amplify(evRaw.select(col("event_id"), tus.as("tus")), n)
+        .select((col("event_id") + col("__rep") * 100000000L).as("event_id"),
+          timestamp_micros(col("tus") - (col("event_id") % 10) * 180000000L).as("ts2"))
+      val (cnt, tW) = time {
+        graft.events.Lateness.watermarkPlan(ev, col("event_id"), col("ts2"),
+          Seq(0L, 300L, 900L))
+          .agg(sum(col("events"))).head().getLong(0)
+      }
+      report("watermark_plan", cnt, tW)
     }
 
     spark.stop()
