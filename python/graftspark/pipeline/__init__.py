@@ -2405,6 +2405,37 @@ def mine_hard_negatives(corpus: DataFrame, doc_id: ColumnOrName,
     return DataFrame(jdf, corpus.sparkSession)
 
 
+def compact_in_place(spark, dir: str, target_file_bytes: int = 134217728,
+                     cluster_cols=None) -> DataFrame:
+    """In-place small-file compaction of a flat parquet dir preserving an
+    optional clustering; fresh files land before old ones are deleted (no
+    crash interleaving loses a row). Returns (part, files_before,
+    files_after)."""
+    jdf = _bridge(spark.range(1)).compactInPlace(
+        spark._jsparkSession, str(dir), int(target_file_bytes),
+        _jstrlist(spark, cluster_cols if cluster_cols is not None else []))
+    return DataFrame(jdf, spark)
+
+
+def compact_ann_index(spark, path: str,
+                      target_file_bytes: int = 134217728) -> DataFrame:
+    """Compact a persisted ANN index after many appends: enc/ re-clusters
+    on cid, vectors/ round-robin, quantizers untouched — queries identical
+    before and after."""
+    jdf = _bridge(spark.range(1)).compactAnnIndex(
+        spark._jsparkSession, str(path), int(target_file_bytes))
+    return DataFrame(jdf, spark)
+
+
+def compact_dedup_index(spark, path: str,
+                        target_file_bytes: int = 134217728) -> DataFrame:
+    """Compact a persisted MinHash dedup index after many appends:
+    buckets/ re-clusters on (band, bucket), shingles/ round-robin."""
+    jdf = _bridge(spark.range(1)).compactDedupIndex(
+        spark._jsparkSession, str(path), int(target_file_bytes))
+    return DataFrame(jdf, spark)
+
+
 def scrub_parquet_by_id(spark, dir: str, id_column: str, doomed: DataFrame,
                         doomed_id: ColumnOrName,
                         max_touched_files: int = 100000) -> DataFrame:

@@ -1599,6 +1599,17 @@ class GraftsparkTest(unittest.TestCase):
         self.assertEqual(
             sorted(r["batch_id"] for r in got), sorted(i // 4 for i in range(40)))
 
+    def test_pipeline_compact_in_place(self):
+        from graftspark import pipeline as P
+        import tempfile
+        d = tempfile.mkdtemp() + "/corpus"
+        self.spark.range(5000).withColumn(
+            "k", (col("id") % 4).cast("int")).repartition(16).write.parquet(d)
+        st = P.compact_in_place(self.spark, d, 1 << 60, ["k"]).head()
+        self.assertEqual(st["files_before"], 16)
+        self.assertLess(st["files_after"], 16)
+        self.assertEqual(self.spark.read.parquet(d).count(), 5000)
+
     def test_pipeline_scrub_parquet(self):
         from graftspark import pipeline as P
         import tempfile

@@ -2844,6 +2844,32 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"))
     }),
 
+    // P118 index maintenance: save over half, append the other half (each
+    // append lands its own small files), COMPACT in place (enc/ re-clusters
+    // on cid, vectors/ round-robin, quantizers untouched), then the same
+    // IVFADC query — rows move, never change, so the result must still be
+    // the ann_ivfpq golden fixture. A lost/duplicated row in the rewrite
+    // changes the shortlist or re-rank and hash-fails.
+    "ann_compact_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ivf = graft.ann.Ann.trainIvf(emb, col("vec_id"), col("embedding"),
+        k = 16, iterations = 3)
+      val pqi = graft.ann.Pq.trainPq(emb, col("vec_id"), col("embedding"),
+        dim = 64, m = 8, ksub = 16, iterations = 3)
+      val idx = graft.createTemporaryDir("ann-compact-index")
+      graft.ann.Pq.saveAnnIndex(emb.filter(col("vec_id") % 2 === 0),
+        col("vec_id"), col("embedding"), ivf, pqi, idx)
+      graft.ann.Pq.appendToAnnIndex(emb.filter(col("vec_id") % 2 === 1),
+        col("vec_id"), col("embedding"), idx)
+      val stats = graft.write.Compaction.compactAnnIndex(s, idx)
+      require(stats("enc")._2 <= stats("enc")._1,
+        s"enc file count grew: $stats")
+      graft.ann.Pq.ivfPqTopKIndexed(
+        emb.filter(col("vec_id") < 20), col("vec_id"), col("embedding"),
+        idx, k = 3, nprobe = 3, refine = 8)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }),
+
     // P112 deletion propagation into the persisted ANN serving index: the
     // ann_indexed_topk index, then vec_id % 5 == 0 vectors are scrubbed
     // from enc/ + vectors/ (quantizers untouched — a deletion must not
@@ -5234,6 +5260,11 @@ object SparkEntry {
       // append == save-over-union under fixed quantizers (sbt-pinned), so
       // the half-A-save + half-B-append query reproduces the same fixture
       "ann_append_topk" ->
+        ("SELECT query_id, rank, neighbor_id " +
+          s"FROM read_parquet('$goldenDir/ann_ivfpq_topk_sf001.parquet')"),
+
+      // P118: compaction moves rows, never changes them — same fixture
+      "ann_compact_topk" ->
         ("SELECT query_id, rank, neighbor_id " +
           s"FROM read_parquet('$goldenDir/ann_ivfpq_topk_sf001.parquet')"),
 

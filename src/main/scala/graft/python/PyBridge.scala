@@ -1324,6 +1324,30 @@ object PyBridge {
     scrubStatsDf(spark, graft.privacy.Deletion.scrubAnnIndex(
       spark, path, doomed, doomedId, maxTouchedFiles))
 
+  private def compactStatsDf(spark: SparkSession,
+                             st: Map[String, (Int, Int)]): DataFrame = {
+    import spark.implicits._
+    st.toSeq.map { case (part, (b, a)) => (part, b, a) }
+      .toDF("part", "files_before", "files_after")
+  }
+
+  def compactInPlace(spark: SparkSession, dir: String, targetFileBytes: Long,
+                     clusterCols: java.util.List[String]): DataFrame = {
+    val (b, a) = graft.write.Compaction.compactInPlace(
+      spark, dir, targetFileBytes, clusterCols.asScala.toSeq)
+    compactStatsDf(spark, Map("data" -> ((b, a))))
+  }
+
+  def compactAnnIndex(spark: SparkSession, path: String,
+                      targetFileBytes: Long): DataFrame =
+    compactStatsDf(spark,
+      graft.write.Compaction.compactAnnIndex(spark, path, targetFileBytes))
+
+  def compactDedupIndex(spark: SparkSession, path: String,
+                        targetFileBytes: Long): DataFrame =
+    compactStatsDf(spark,
+      graft.write.Compaction.compactDedupIndex(spark, path, targetFileBytes))
+
   def mineAlignedPairs(left: DataFrame, leftId: Column, leftVec: Column,
                        right: DataFrame, rightId: Column, rightVec: Column,
                        k: Int, minMargin: Double): DataFrame =

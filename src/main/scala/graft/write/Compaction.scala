@@ -52,4 +52,74 @@ object Compaction {
     sized.write.mode("overwrite").parquet(outputDir)
     n
   }
+
+  /**
+   * IN-PLACE compaction of a flat parquet directory, preserving an
+   * optional clustering: rows land in `target-file-count` fresh files
+   * (repartitioned on `clusterCols` when given, so co-location survives —
+   * round-robin otherwise), the fresh files rename into the directory
+   * FIRST, and only then are the old files deleted (the
+   * [[graft.privacy.Deletion]] no-loss ordering: a crash inside the
+   * window leaves duplicate rows, never missing ones — rerun to finish).
+   * A maintenance pass, not a concurrent-writer protocol: run it when no
+   * writer appends to `dir`. Returns (files before, files after).
+   */
+  def compactInPlace(spark: SparkSession, dir: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024,
+                     clusterCols: Seq[String] = Seq.empty): (Int, Int) = {
+    val n = targetFileCount(spark, dir, targetFileBytes)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles = fs.listStatus(dirPath).filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    val old = dataFiles.map(_.getPath)
+    val df = spark.read.parquet(dir)
+    val sized =
+      if (clusterCols.nonEmpty) df.repartition(n, clusterCols.map(col): _*)
+      else df.repartition(n)
+    val tmp = new org.apache.hadoop.fs.Path(
+      dirPath, s"_compact_tmp_${java.util.UUID.randomUUID()}")
+    try {
+      sized.write.parquet(tmp.toString)
+      fs.listStatus(tmp)
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .foreach { s =>
+          val dest = new org.apache.hadoop.fs.Path(
+            dirPath, s"compact-${s.getPath.getName}")
+          require(fs.rename(s.getPath, dest), s"rename ${s.getPath} -> $dest failed")
+        }
+      old.foreach(p => fs.delete(p, false))
+    } finally fs.delete(tmp, true)
+    (old.length, dataFiles.length)
+  }
+
+  /**
+   * Compact a persisted ANN serving index after many
+   * [[graft.ann.Pq.appendToAnnIndex]] batches (each append lands its own
+   * small files; after a year of daily ingest `enc/` is thousands of tiny
+   * files and every probe pays the open-file cost): `enc/` re-clusters on
+   * `cid` so a probe still scans coherent files, `vectors/` compacts
+   * round-robin. Quantizers (`ivf/`, `pq/`, `params/`) untouched — like
+   * deletion, maintenance must never silently re-quantize. Queries are
+   * row-for-row identical before and after (rows move, never change) —
+   * driver-gated against the same golden fixture as save/append.
+   */
+  def compactAnnIndex(spark: SparkSession, path: String,
+                      targetFileBytes: Long = 128L * 1024 * 1024): Map[String, (Int, Int)] =
+    Map(
+      "enc" -> compactInPlace(spark, s"$path/enc", targetFileBytes, Seq("cid")),
+      "vectors" -> compactInPlace(spark, s"$path/vectors", targetFileBytes))
+
+  /**
+   * Compact a persisted MinHash dedup index after many
+   * [[graft.dedup.DedupIndex.appendToDedupIndex]] batches: `buckets/`
+   * re-clusters on (band, bucket) — the equi-join key every increment
+   * probes — and `shingles/` compacts round-robin; `params/` untouched.
+   */
+  def compactDedupIndex(spark: SparkSession, path: String,
+                        targetFileBytes: Long = 128L * 1024 * 1024): Map[String, (Int, Int)] =
+    Map(
+      "buckets" -> compactInPlace(spark, s"$path/buckets", targetFileBytes,
+        Seq("band", "bucket")),
+      "shingles" -> compactInPlace(spark, s"$path/shingles", targetFileBytes))
 }

@@ -221,6 +221,51 @@ class OperatorsSuite extends AnyFunSuite with SparkTest {
     assert(spark.read.parquet(out1).count() == 20000L)
   }
 
+  test("compactInPlace shrinks file count, keeps rows, preserves clustering") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cip").toString + "/d"
+    spark.range(0, 10000).select((col("id") % 8).cast("int").as("cid"), col("id"))
+      .repartition(24).write.parquet(dir)
+    val (before, after) = graft.write.Compaction.compactInPlace(
+      spark, dir, targetFileBytes = Long.MaxValue / 2, clusterCols = Seq("cid"))
+    assert(before == 24 && after < before)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 10000L)
+    assert(back.as[(Int, Long)].collect().toSet ==
+      (0L until 10000L).map(i => ((i % 8).toInt, i)).toSet)
+    // clustering preserved: each cid lives in exactly one file
+    val spread = back
+      .select(col("cid"), input_file_name().as("f")).distinct()
+      .groupBy("cid").count().agg(max("count")).head().getLong(0)
+    assert(spread == 1L, s"cid spread across $spread files")
+    // second pass is a no-op-shaped rewrite (already compact), rows intact
+    val (b2, a2) = graft.write.Compaction.compactInPlace(
+      spark, dir, targetFileBytes = Long.MaxValue / 2, clusterCols = Seq("cid"))
+    assert(b2 == after && a2 <= b2)
+    assert(spark.read.parquet(dir).count() == 10000L)
+  }
+
+  test("compactDedupIndex keeps index answers identical") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(i =>
+      (i, s"alpha beta gamma delta epsilon zeta eta theta row ${i % 6} tail"))
+      .toDF("doc_id", "text")
+    val inc = (30L until 40L).map(i =>
+      (i, s"alpha beta gamma delta epsilon zeta eta theta row ${i % 6} tail"))
+      .toDF("doc_id", "text")
+    val idx = graft.createTemporaryDir("cip-dedup")
+    graft.dedup.DedupIndex.saveDedupIndex(docs, col("doc_id"), col("text"), idx)
+    // a second batch makes small appended files worth compacting
+    graft.dedup.DedupIndex.appendToDedupIndex(inc.limit(5), col("doc_id"), col("text"), idx)
+    def pairs() = graft.dedup.DedupIndex.nearDupPairsAgainstIndex(
+      inc, col("doc_id"), col("text"), idx, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val beforeAnswers = pairs()
+    val stats = graft.write.Compaction.compactDedupIndex(spark, idx)
+    assert(stats("buckets")._2 <= stats("buckets")._1)
+    assert(pairs() == beforeAnswers)
+  }
+
   test("writeBucketedBy co-buckets tables so their join plans with no shuffle") {
     import graft.write.BucketedWrite
     val facts = spark.range(1000).select($"id".as("k"), ($"id" * 2).as("v"))
