@@ -69,6 +69,55 @@ class HistorySuite extends AnyFunSuite with SparkTest {
     assert(e.getMessage.contains("valid_from"))
   }
 
+  test("model check: random stacks match an in-memory SCD2 model; snapshotAt inverts") {
+    val rng = new scala.util.Random(20260816L)
+    for (trial <- 1 to 8) {
+      val nIds = 1 + rng.nextInt(12)
+      val versions = (1 to (2 + rng.nextInt(4))).toList
+      // presence + attr value as pure random functions of (id, version)
+      val rows = for {
+        id <- 0 until nIds
+        v <- versions
+        if rng.nextInt(10) < 7 // ~70% presence, gaps guaranteed over trials
+      } yield (id, v, s"a${rng.nextInt(3)}")
+      if (rows.nonEmpty) {
+        val df = rows.toDF("id", "v", "attr")
+        val got = History.fromSnapshots(df, "v", Seq("id"))
+          .select($"id", $"attr", $"valid_from", $"valid_to")
+          .as[(Int, String, Int, Option[Int])].collect().toSet
+
+        // in-memory model: walk each id's present versions in order
+        val presentVs = rows.map(r => (r._1, r._2) -> r._3).toMap
+        val vsAll = rows.map(_._2).distinct.sorted
+        val model = scala.collection.mutable.Set[(Int, String, Int, Option[Int])]()
+        for (id <- rows.map(_._1).distinct) {
+          var runStart = -1
+          var runAttr = ""
+          def close(at: Option[Int]): Unit =
+            if (runStart >= 0) { model += ((id, runAttr, runStart, at)); runStart = -1 }
+          for (v <- vsAll) presentVs.get((id, v)) match {
+            case Some(a) =>
+              if (runStart < 0) { runStart = v; runAttr = a }
+              else if (a != runAttr) { close(Some(v)); runStart = v; runAttr = a }
+            case None =>
+              close(Some(v)) // absence closes; a later reappearance is a new run
+          }
+          close(None)
+        }
+        assert(got === model.toSet, s"trial $trial rows=$rows")
+
+        // snapshotAt inverts every vintage
+        val hist = History.fromSnapshots(df, "v", Seq("id"))
+        for (v <- vsAll) {
+          val back = History.snapshotAt(hist, v, "v")
+            .select($"id", $"v", $"attr").as[(Int, Int, String)].collect().toSet
+          val want = rows.filter(_._2 == v).toSet
+          assert(back === want, s"trial $trial vintage $v")
+        }
+      }
+    }
+  }
+
   test("plan: one corpus hash exchange, version dimension broadcast back") {
     val plan = hist.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastExchange"), plan)
