@@ -2405,6 +2405,20 @@ def mine_hard_negatives(corpus: DataFrame, doc_id: ColumnOrName,
     return DataFrame(jdf, corpus.sparkSession)
 
 
+def explain_near_dup_pairs(docs: DataFrame, id: ColumnOrName,
+                           text: ColumnOrName, pairs: DataFrame,
+                           pair_id_a: ColumnOrName, pair_id_b: ColumnOrName,
+                           k: int = 3) -> DataFrame:
+    """Matched-span evidence behind flagged near-dup pairs: k-token window
+    hash matches merged along diagonals into maximal runs -> (id_a, id_b,
+    a_start, a_end, b_start, b_end, match_tokens). Only reviewed docs are
+    scanned (semi-join before the shingle kernel)."""
+    jdf = _bridge(docs).explainPairs(
+        docs._jdf, _jcol(id), _jcol(text), pairs._jdf,
+        _jcol(pair_id_a), _jcol(pair_id_b), int(k))
+    return DataFrame(jdf, docs.sparkSession)
+
+
 def compact_in_place(spark, dir: str, target_file_bytes: int = 134217728,
                      cluster_cols=None) -> DataFrame:
     """In-place small-file compaction of a flat parquet dir preserving an

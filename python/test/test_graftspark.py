@@ -1599,6 +1599,19 @@ class GraftsparkTest(unittest.TestCase):
         self.assertEqual(
             sorted(r["batch_id"] for r in got), sorted(i // 4 for i in range(40)))
 
+    def test_pipeline_explain_near_dup(self):
+        from graftspark import pipeline as P
+        docs = self.spark.createDataFrame(
+            [(1, "x1 x2 common run of five tokens tail"),
+             (2, "common run of five tokens other end")],
+            ["doc_id", "text"])
+        pairs = self.spark.createDataFrame([(1, 2)], ["ia", "ib"])
+        got = [(r["a_start"], r["a_end"], r["b_start"], r["b_end"],
+                r["match_tokens"])
+               for r in P.explain_near_dup_pairs(
+                   docs, "doc_id", "text", pairs, "ia", "ib").collect()]
+        self.assertEqual(got, [(2, 6, 0, 4, 5)])
+
     def test_pipeline_compact_in_place(self):
         from graftspark import pipeline as P
         import tempfile

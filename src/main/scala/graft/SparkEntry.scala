@@ -2306,6 +2306,22 @@ object SparkEntry {
     // MinHash-LSH near-dup pairs verified by exact shingle Jaccard
     // pair list is tiny: materialize it (localCheckpoint), then release the
     // shingle cache via the handle — the recommended library usage pattern
+    // P119 near-dup explanation: the matched token runs behind each
+    // verified MinHash pair — k-window hash matches merged along diagonals
+    // into maximal spans (the evidence a reviewer/takedown queue needs).
+    // Oracle replays pair generation, windows, diagonal islands exactly.
+    "neardup_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val handle = UnpersistHandle()
+      val pairs = graft.dedup.Dedup.nearDupPairsMinHash(
+        docs, col("doc_id"), col("text"), threshold = 0.8,
+        unpersistHandle = handle)
+        .localCheckpoint(true)
+      handle.unpersist()
+      graft.dedup.Explain.explainPairs(docs, col("doc_id"), col("text"),
+        pairs, col("idA"), col("idB"), k = 3)
+    }),
+
     "dedup_minhash_pairs" -> ((s, dir) => {
       val handle = UnpersistHandle()
       val out = graft.dedup.Dedup.nearDupPairsMinHash(
@@ -4908,6 +4924,28 @@ object SparkEntry {
           "SELECT doc_id FROM fp QUALIFY ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) = 1"),
 
       "dedup_minhash_pairs" -> docPairsSql,
+
+      // P119: verified pairs -> window-hash matches -> diagonal islands
+      "neardup_spans" ->
+        (s"WITH $docTokCte, $docShCte, $docPairCte, " +
+          "pp AS (SELECT ia, ib FROM p WHERE j >= 0.8), " +
+          "w AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, " +
+          "substring(md5(array_to_string(toks[i:i+2], ' ')), 1, 16) AS h " +
+          "FROM tok, unnest(range(1, len(toks) - 1)) AS r(i) " +
+          "WHERE doc_id IN (SELECT ia FROM pp UNION SELECT ib FROM pp)), " +
+          "m AS (SELECT pp.ia AS id_a, pp.ib AS id_b, wa.pos AS pos_a, wb.pos AS pos_b, " +
+          "wa.pos - wb.pos AS diag FROM pp " +
+          "JOIN w wa ON wa.doc_id = pp.ia JOIN w wb ON wb.doc_id = pp.ib AND wb.h = wa.h), " +
+          "i0 AS (SELECT *, CASE WHEN LAG(pos_a) OVER dw IS NULL " +
+          "OR pos_a != LAG(pos_a) OVER dw + 1 THEN 1 ELSE 0 END AS ni FROM m " +
+          "WINDOW dw AS (PARTITION BY id_a, id_b, diag ORDER BY pos_a)), " +
+          "i1 AS (SELECT *, SUM(ni) OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS isl FROM i0) " +
+          "SELECT id_a, id_b, CAST(MIN(pos_a) AS BIGINT) AS a_start, " +
+          "CAST(MAX(pos_a + 2) AS BIGINT) AS a_end, " +
+          "CAST(MIN(pos_b) AS BIGINT) AS b_start, " +
+          "CAST(MAX(pos_b + 2) AS BIGINT) AS b_end, " +
+          "CAST(MAX(pos_a + 2) - MIN(pos_a) + 1 AS BIGINT) AS match_tokens " +
+          "FROM i1 GROUP BY id_a, id_b, diag, isl"),
       // the prefix-filter join must equal the exact all-pairs oracle BY
       // CONSTRUCTION (no LSH luck involved) — same SQL, stronger claim
       "dedup_jaccard_prefix" -> docPairsSql,

@@ -1297,6 +1297,11 @@ object PyBridge {
       queries, queryId, queryTerms, positives, posQueryId, posDocId,
       k, candidateFactor)
 
+  def explainPairs(docs: DataFrame, id: Column, text: Column,
+                   pairs: DataFrame, pairIdA: Column, pairIdB: Column,
+                   k: Int): DataFrame =
+    graft.dedup.Explain.explainPairs(docs, id, text, pairs, pairIdA, pairIdB, k)
+
   private def scrubStatsDf(spark: SparkSession,
                            st: graft.privacy.Deletion.ScrubStats): DataFrame = {
     import spark.implicits._

@@ -221,6 +221,34 @@ class OperatorsSuite extends AnyFunSuite with SparkTest {
     assert(spark.read.parquet(out1).count() == 20000L)
   }
 
+  test("explainPairs emits exact matched runs along diagonals") {
+    import spark.implicits._
+    // shared run of 5 tokens at a=2..6, b=0..4; b repeats it again at 7..11
+    val docs = Seq(
+      (1L, "x1 x2 common run of five tokens tail1 tail2"),
+      (2L, "common run of five tokens mid common run of five tokens")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("ida", "idb")
+    val got = graft.dedup.Explain.explainPairs(
+      docs, col("doc_id"), col("text"), pairs, col("ida"), col("idb"), k = 3)
+      .select("a_start", "a_end", "b_start", "b_end", "match_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (2L, 6L, 0L, 4L, 5L),  // first occurrence in b
+      (2L, 6L, 6L, 10L, 5L)  // second occurrence, different diagonal
+    ), s"got $got")
+    // only reviewed docs reach the shingle kernel: semi-join in the plan
+    val plan = graft.dedup.Explain.explainPairs(
+      docs, col("doc_id"), col("text"), pairs, col("ida"), col("idb"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    // disjoint docs explain to zero rows
+    val none = graft.dedup.Explain.explainPairs(
+      Seq((1L, "aa bb cc dd"), (2L, "ee ff gg hh")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), pairs, col("ida"), col("idb"))
+    assert(none.count() == 0)
+  }
+
   test("compactInPlace shrinks file count, keeps rows, preserves clustering") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-cip").toString + "/d"
