@@ -2405,6 +2405,18 @@ def mine_hard_negatives(corpus: DataFrame, doc_id: ColumnOrName,
     return DataFrame(jdf, corpus.sparkSession)
 
 
+def overlap_matrix(df: DataFrame, group: ColumnOrName, value: ColumnOrName,
+                   k: int, max_groups: int = 10000) -> DataFrame:
+    """Pairwise KMV overlap matrix across the groups of one corpus (which
+    sources feed me the same documents?): one grouped bottom-k pass, then
+    coordinated-sample Jaccard estimates for every group pair ->
+    (group_a, group_b, k_used, n_both, j_estimate); exact when a pair's
+    union fits in k."""
+    jdf = _bridge(df).overlapMatrix(df._jdf, _jcol(group), _jcol(value),
+                                    int(k), int(max_groups))
+    return DataFrame(jdf, df.sparkSession)
+
+
 def explain_near_dup_pairs(docs: DataFrame, id: ColumnOrName,
                            text: ColumnOrName, pairs: DataFrame,
                            pair_id_a: ColumnOrName, pair_id_b: ColumnOrName,

@@ -1599,6 +1599,17 @@ class GraftsparkTest(unittest.TestCase):
         self.assertEqual(
             sorted(r["batch_id"] for r in got), sorted(i // 4 for i in range(40)))
 
+    def test_pipeline_overlap_matrix(self):
+        from graftspark import pipeline as P
+        rows = ([("g0", i) for i in range(60)] +
+                [("g1", i) for i in range(40, 100)] +
+                [("g2", i) for i in range(90, 150)])
+        df = self.spark.createDataFrame(rows, ["g", "v"])
+        got = {(r["group_a"], r["group_b"]): (r["k_used"], r["n_both"])
+               for r in P.overlap_matrix(df, "g", "v", 256).collect()}
+        self.assertEqual(got[("g0", "g1")], (100, 20))
+        self.assertEqual(got[("g0", "g2")], (120, 0))
+
     def test_pipeline_explain_near_dup(self):
         from graftspark import pipeline as P
         docs = self.spark.createDataFrame(

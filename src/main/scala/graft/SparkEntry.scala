@@ -2422,6 +2422,18 @@ object SparkEntry {
       out
     }),
 
+    // P120 per-source overlap matrix: ONE grouped KMV pass, then pairwise
+    // coordinated-sample estimates over the bounded sketch table — planted
+    // shared values (even ids share 'sh'||id div 6 across all 3 groups)
+    // give a nonzero, fully determined matrix the oracle replays exactly.
+    "source_overlap_matrix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        concat(lit("s"), col("doc_id") % 3).as("g"),
+        when(col("doc_id") % 2 === 0, concat(lit("sh"), expr("doc_id div 6")))
+          .otherwise(concat(lit("own"), col("doc_id"))).as("v"))
+      graft.dedup.CorpusOverlap.overlapMatrix(docs, col("g"), col("v"), k = 64)
+    }),
+
     // KMV corpus-overlap estimate: two corpora with a planted ~1/5 overlap
     // (doc_id % 5 == 2 in both) reduce to bottom-64 md5 sketches; the
     // Jaccard estimate is a deterministic function of the hashes, replayed
@@ -5066,6 +5078,24 @@ object SparkEntry {
           "CAST(sum(CASE WHEN h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb) THEN 1 ELSE 0 END) AS INTEGER) AS n_both, " +
           "CAST(sum(CASE WHEN h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb) THEN 1 ELSE 0 END) AS DOUBLE) / " +
           "CAST(count(*) AS DOUBLE) AS j_estimate FROM x"),
+
+      // P120: grouped bottom-64 sketches, pairwise coordinated estimates
+      "source_overlap_matrix" ->
+        ("WITH v AS (SELECT 's' || (doc_id % 3) AS g, " +
+          "md5(CASE WHEN doc_id % 2 = 0 THEN 'sh' || (doc_id // 6) " +
+          "ELSE 'own' || doc_id END) AS h FROM documents), " +
+          "s AS (SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rk " +
+          "FROM (SELECT DISTINCT g, h FROM v)), " +
+          "sk AS (SELECT g, list(h ORDER BY h) AS kmv FROM s WHERE rk <= 64 GROUP BY g), " +
+          "pr AS (SELECT a.g AS group_a, b.g AS group_b, a.kmv AS ka, b.kmv AS kb " +
+          "FROM sk a JOIN sk b ON a.g < b.g), " +
+          "e AS (SELECT group_a, group_b, " +
+          "list_sort(list_distinct(list_concat(ka, kb)))[1:64] AS x, ka, kb FROM pr) " +
+          "SELECT group_a, group_b, CAST(len(x) AS INTEGER) AS k_used, " +
+          "CAST(len(list_intersect(list_intersect(x, ka), kb)) AS INTEGER) AS n_both, " +
+          "CASE WHEN len(x) > 0 THEN " +
+          "CAST(len(list_intersect(list_intersect(x, ka), kb)) AS DOUBLE) / CAST(len(x) AS DOUBLE) " +
+          "ELSE 0.0 END AS j_estimate FROM e"),
 
       // join-size estimate: exact top-64 heavy keys per side + KMV-sampled
       // tail (X = bottom-256 of the key-space union); u_k parsed from 8

@@ -85,6 +85,43 @@ object CorpusOverlap {
   }
 
   /**
+   * Pairwise overlap MATRIX across the groups of one corpus — "which
+   * sources feed me the same documents?" answered for ALL source pairs at
+   * once (the per-pair [[overlapEstimate]] re-scans both corpora per
+   * question; at S sources that is S² scans): ONE grouped KMV aggregation
+   * produces a bounded (group, sketch) table — at most `k` 32-hex strings
+   * per group, communication corpus-size-independent — and every pair
+   * estimate is array algebra on that tiny table self-joined (S²/2 rows
+   * of 2k-element arrays; with S in the hundreds this is driver-scale
+   * work on executor rows, no corpus data involved). Same coordinated-
+   * sample estimator as [[overlapEstimate]], so the DuckDB replay is
+   * exact. Output: `(group_a, group_b, k_used, n_both, j_estimate)` for
+   * group_a < group_b.
+   */
+  def overlapMatrix(df: DataFrame, group: Column, value: Column,
+                    k: Int, maxGroups: Int = 10000): DataFrame = {
+    val sk = df
+      .select(group.cast("string").as("g"), md5(value.cast("string")).as("h"))
+      .where(col("h").isNotNull)
+      .groupBy(col("g"))
+      .agg(kmvBottomK(col("h"), k).as("kmv"))
+    val nGroups = sk.limit(maxGroups + 1).count()
+    require(nGroups <= maxGroups,
+      s"more than $maxGroups groups — the S^2 pair matrix stops being a report")
+    val a = sk.select(col("g").as("group_a"), col("kmv").as("ka"))
+    val b = sk.select(col("g").as("group_b"), col("kmv").as("kb"))
+    val x = slice(array_sort(array_distinct(concat(col("ka"), col("kb")))), 1, k)
+    a.join(broadcast(b), col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        size(x).as("k_used"),
+        size(array_intersect(array_intersect(x, col("ka")), col("kb"))).as("n_both"))
+      .select(col("group_a"), col("group_b"), col("k_used"), col("n_both"),
+        when(col("k_used") > 0,
+          col("n_both").cast("double") / col("k_used").cast("double"))
+          .otherwise(lit(0.0)).as("j_estimate"))
+  }
+
+  /**
    * Join-size pre-flight estimate: how many rows would `a JOIN b` on the
    * given keys produce? The answer a planner wants BEFORE paying for the
    * join — whether a fact-to-fact join at 100 TB will emit 10^9 or 10^13

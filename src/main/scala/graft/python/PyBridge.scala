@@ -1297,6 +1297,10 @@ object PyBridge {
       queries, queryId, queryTerms, positives, posQueryId, posDocId,
       k, candidateFactor)
 
+  def overlapMatrix(df: DataFrame, group: Column, value: Column,
+                    k: Int, maxGroups: Int): DataFrame =
+    graft.dedup.CorpusOverlap.overlapMatrix(df, group, value, k, maxGroups)
+
   def explainPairs(docs: DataFrame, id: Column, text: Column,
                    pairs: DataFrame, pairIdA: Column, pairIdB: Column,
                    k: Int): DataFrame =

@@ -604,6 +604,35 @@ class AggOpsSuite extends AnyFunSuite with SparkTest {
     assert(ex.getInt(0) == 50 && ex.getInt(1) == 10 && ex.getDouble(2) == 10.0 / 50)
   }
 
+  test("overlapMatrix equals per-pair overlapEstimate on every group pair") {
+    import graft.dedup.CorpusOverlap
+    // 3 groups: g0 = 0..59, g1 = 40..99, g2 = 90..149
+    val rows = (0L until 60L).map(("g0", _)) ++
+      (40L until 100L).map(("g1", _)) ++ (90L until 150L).map(("g2", _))
+    val df = rows.toDF("g", "v")
+    val got = CorpusOverlap.overlapMatrix(df, col("g"), col("v"), k = 256)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getDouble(4)))).toMap
+    assert(got.keySet === Set(("g0", "g1"), ("g0", "g2"), ("g1", "g2")))
+    // union fits in k -> every entry exact: J(g0,g1)=20/100, J(g1,g2)=10/110, J(g0,g2)=0
+    assert(got(("g0", "g1")) == ((100, 20, 0.2)))
+    assert(got(("g1", "g2")) == ((110, 10, 10.0 / 110)))
+    assert(got(("g0", "g2")) == ((120, 0, 0.0)))
+    // matrix entries equal the dedicated two-corpus estimator
+    for ((ga, gb) <- got.keySet) {
+      val e = CorpusOverlap.overlapEstimate(
+        df.where(col("g") === ga), col("v"),
+        df.where(col("g") === gb), col("v"), 256).head()
+      assert(got((ga, gb)) == ((e.getInt(0), e.getInt(1), e.getDouble(2))),
+        s"pair ($ga,$gb)")
+    }
+    // group cap fails fast
+    intercept[IllegalArgumentException] {
+      CorpusOverlap.overlapMatrix(df, col("g"), col("v"), k = 8, maxGroups = 2)
+    }
+  }
+
   test("joinSizeEstimate is exact under k and skew-robust sampled") {
     import graft.dedup.CorpusOverlap
     // exact path: 40 distinct keys, all captured by the heavy top-N — the
