@@ -2406,7 +2406,7 @@ def mine_hard_negatives(corpus: DataFrame, doc_id: ColumnOrName,
 
 
 def overlap_matrix(df: DataFrame, group: ColumnOrName, value: ColumnOrName,
-                   k: int, max_groups: int = 10000) -> DataFrame:
+                   k: int, max_groups: int = 1024) -> DataFrame:
     """Pairwise KMV overlap matrix across the groups of one corpus (which
     sources feed me the same documents?): one grouped bottom-k pass, then
     coordinated-sample Jaccard estimates for every group pair ->

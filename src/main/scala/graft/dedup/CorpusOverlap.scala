@@ -93,21 +93,32 @@ object CorpusOverlap {
    * per group, communication corpus-size-independent — and every pair
    * estimate is array algebra on that tiny table self-joined (S²/2 rows
    * of 2k-element arrays; with S in the hundreds this is driver-scale
-   * work on executor rows, no corpus data involved). Same coordinated-
+   * work on executor rows, no corpus data involved; the S² pair
+   * comparison is why `maxGroups` defaults to 1024 — raise it knowingly,
+   * each pair costs O(k) array algebra). Same coordinated-
    * sample estimator as [[overlapEstimate]], so the DuckDB replay is
    * exact. Output: `(group_a, group_b, k_used, n_both, j_estimate)` for
    * group_a < group_b.
    */
   def overlapMatrix(df: DataFrame, group: Column, value: Column,
-                    k: Int, maxGroups: Int = 10000): DataFrame = {
-    val sk = df
+                    k: Int, maxGroups: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    // ONE corpus pass: the grouped sketch table is bounded (≤ maxGroups
+    // rows × k hashes), so it collects and becomes a local table — the
+    // pair join must not re-run the corpus aggregation per branch
+    val skRows = df
       .select(group.cast("string").as("g"), md5(value.cast("string")).as("h"))
       .where(col("h").isNotNull)
       .groupBy(col("g"))
       .agg(kmvBottomK(col("h"), k).as("kmv"))
-    val nGroups = sk.limit(maxGroups + 1).count()
-    require(nGroups <= maxGroups,
+      .limit(maxGroups + 1)
+      .collect()
+    require(skRows.length <= maxGroups,
       s"more than $maxGroups groups — the S^2 pair matrix stops being a report")
+    import spark.implicits._
+    val sk = skRows.toSeq
+      .map(r => (r.getString(0), r.getSeq[String](1)))
+      .toDF("g", "kmv")
     val a = sk.select(col("g").as("group_a"), col("kmv").as("ka"))
     val b = sk.select(col("g").as("group_b"), col("kmv").as("kb"))
     val x = slice(array_sort(array_distinct(concat(col("ka"), col("kb")))), 1, k)
