@@ -2383,9 +2383,11 @@ def history_from_snapshots(snapshots: DataFrame, version_col: str,
 def history_snapshot_at(history: DataFrame, version, version_col: str) -> DataFrame:
     """Reconstruct the snapshot at `version` from a history table (rows
     with valid_from <= version < valid_to), restoring `version_col` —
-    the exact inverse of history_from_snapshots for any input version."""
+    the exact inverse of history_from_snapshots for any input version.
+    Accepts int/str/date/datetime versions (routed through lit())."""
+    from pyspark.sql.functions import lit as _lit
     jdf = _bridge(history).historySnapshotAt(
-        history._jdf, version, str(version_col))
+        history._jdf, _jcol(_lit(version)), str(version_col))
     return DataFrame(jdf, history.sparkSession)
 
 

@@ -3963,19 +3963,21 @@ object SparkEntry {
           "nnrl AS (SELECT * FROM (SELECT lid, rid, cos, " +
           "  ROW_NUMBER() OVER (PARTITION BY rid ORDER BY cos DESC, lid) AS rk " +
           "  FROM sc) WHERE rk <= 4), " +
-          "a AS (SELECT lid, CAST(SUM(CAST(FLOOR(cos * 1048576) AS BIGINT)) AS BIGINT) AS afp " +
-          "  FROM nnlr GROUP BY lid), " +
-          "b AS (SELECT rid, CAST(SUM(CAST(FLOOR(cos * 1048576) AS BIGINT)) AS BIGINT) AS bfp " +
-          "  FROM nnrl GROUP BY rid), " +
+          "a AS (SELECT lid, CAST(SUM(CAST(FLOOR(cos * 1048576) AS BIGINT)) AS BIGINT) AS afp, " +
+          "  CAST(COUNT(*) AS BIGINT) AS na FROM nnlr GROUP BY lid), " +
+          "b AS (SELECT rid, CAST(SUM(CAST(FLOOR(cos * 1048576) AS BIGINT)) AS BIGINT) AS bfp, " +
+          "  CAST(COUNT(*) AS BIGINT) AS nb FROM nnrl GROUP BY rid), " +
           "fwm AS (SELECT nnlr.lid, nnlr.rid, cos, " +
-          "  CASE WHEN a.afp + b.bfp > 0 THEN " +
-          "    CAST(CAST(FLOOR(cos * 1048576) AS BIGINT) * 8 AS DOUBLE) / CAST(a.afp + b.bfp AS DOUBLE) " +
+          "  CASE WHEN a.afp * b.nb + b.bfp * a.na > 0 THEN " +
+          "    CAST(CAST(FLOOR(cos * 1048576) AS BIGINT) * 2 * a.na * b.nb AS DOUBLE) / " +
+          "    CAST(a.afp * b.nb + b.bfp * a.na AS DOUBLE) " +
           "  END AS margin FROM nnlr JOIN a USING (lid) JOIN b USING (rid)), " +
           "fw AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lid " +
           "  ORDER BY margin DESC NULLS LAST, rid) AS fr FROM fwm) WHERE fr = 1), " +
           "bwm AS (SELECT nnrl.lid, nnrl.rid, " +
-          "  CASE WHEN a.afp + b.bfp > 0 THEN " +
-          "    CAST(CAST(FLOOR(cos * 1048576) AS BIGINT) * 8 AS DOUBLE) / CAST(a.afp + b.bfp AS DOUBLE) " +
+          "  CASE WHEN a.afp * b.nb + b.bfp * a.na > 0 THEN " +
+          "    CAST(CAST(FLOOR(cos * 1048576) AS BIGINT) * 2 * a.na * b.nb AS DOUBLE) / " +
+          "    CAST(a.afp * b.nb + b.bfp * a.na AS DOUBLE) " +
           "  END AS margin FROM nnrl JOIN a USING (lid) JOIN b USING (rid)), " +
           "bw AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY rid " +
           "  ORDER BY margin DESC NULLS LAST, lid) AS br FROM bwm) WHERE br = 1) " +

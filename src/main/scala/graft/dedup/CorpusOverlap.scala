@@ -103,6 +103,10 @@ object CorpusOverlap {
   def overlapMatrix(df: DataFrame, group: Column, value: Column,
                     k: Int, maxGroups: Int = 1024): DataFrame = {
     val spark = df.sparkSession
+    // the collected sketch table is maxGroups x k 32-hex strings — bound
+    // the driver footprint explicitly (2^24 hashes ~ 1 GiB of strings)
+    require(maxGroups.toLong * k <= (1L << 24),
+      s"maxGroups * k = ${maxGroups.toLong * k} sketch hashes would not fit the driver — lower k or maxGroups")
     // ONE corpus pass: the grouped sketch table is bounded (≤ maxGroups
     // rows × k hashes), so it collects and becomes a local table — the
     // pair join must not re-run the corpus aggregation per branch
@@ -115,6 +119,10 @@ object CorpusOverlap {
       .collect()
     require(skRows.length <= maxGroups,
       s"more than $maxGroups groups — the S^2 pair matrix stops being a report")
+    // a null group would build a sketch but silently drop out of every
+    // pair (null < x filters it) — the matrix would be missing a source
+    require(skRows.forall(!_.isNullAt(0)),
+      "null group key — fill or filter null groups before the matrix")
     import spark.implicits._
     val sk = skRows.toSeq
       .map(r => (r.getString(0), r.getSeq[String](1)))

@@ -40,7 +40,9 @@ object Explain {
                    pairs: DataFrame, pairIdA: Column, pairIdB: Column,
                    k: Int = 3): DataFrame = {
     require(k >= 1, s"window size must be >= 1: $k")
-    val p = pairs.select(pairIdA.as("id_a"), pairIdB.as("id_b"))
+    // duplicate pair rows (concatenated review feeds) would double every
+    // matched point and fragment the islands — dedup the pair list first
+    val p = pairs.select(pairIdA.as("id_a"), pairIdB.as("id_b")).distinct()
     val reviewed = p.select(col("id_a").as("did"))
       .unionAll(p.select(col("id_b").as("did"))).distinct()
     val w = docs

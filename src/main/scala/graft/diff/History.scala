@@ -2,7 +2,7 @@ package graft.diff
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /**
  * Snapshot history build — the type-2 slowly-changing-dimension merge: a
@@ -58,6 +58,10 @@ object History {
       .orderBy(col(versionCol)).collect()
     require(versions.length <= (1 << 20),
       s"${versions.length} distinct versions — not a snapshot stack")
+    // a null version would silently vanish in the equi-join back (its rows
+    // dropped from the history with no error) — fail fast instead
+    require(versions.forall(!_.isNullAt(0)),
+      s"null $versionCol value — every snapshot row needs a version")
     val field = snapshots.schema(versionCol)
     val rows = versions.zipWithIndex.map { case (r, i) =>
       org.apache.spark.sql.Row(r.get(0), i.toLong)
@@ -126,7 +130,12 @@ object History {
    * validity, no shuffle.
    */
   def snapshotAt[T](history: DataFrame, version: T, versionCol: String): DataFrame = {
-    val v = lit(version)
+    // a Column passes through (the py4j bridge routes date/timestamp
+    // versions as lit() Columns — raw java.time values have no Literal)
+    val v: Column = version match {
+      case c: Column => c
+      case other => lit(other)
+    }
     history
       .where(col("valid_from") <= v &&
         (col("valid_to").isNull || col("valid_to") > v))

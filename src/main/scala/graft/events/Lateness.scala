@@ -34,14 +34,20 @@ object Lateness {
    */
   def withLateness(df: DataFrame, arrival: Column, eventTime: Column,
                    outputColumn: String = "lateness_us",
-                   unpersistHandle: UnpersistHandle = UnpersistHandle.Noop): DataFrame =
+                   unpersistHandle: UnpersistHandle = UnpersistHandle.Noop): DataFrame = {
+    // collision-safe temp names (a same-named input column must not be
+    // silently overwritten and dropped) — the RowNumbers discipline
+    val prefix = graft.functions.distinctPrefixFor(df.columns.toSeq :+ outputColumn)
+    val tusCol = prefix + "tus"
+    val wmCol = prefix + "wm"
     PrefixSum.withRunningMax(
-      df.withColumn("__graft_tus", unix_micros(eventTime)),
-      col("__graft_tus"), Seq(arrival), "__graft_wm",
+      df.withColumn(tusCol, unix_micros(eventTime)),
+      col(tusCol), Seq(arrival), wmCol,
       unpersistHandle = unpersistHandle)
       .withColumn(outputColumn,
-        greatest(coalesce(col("__graft_wm") - col("__graft_tus"), lit(0L)), lit(0L)))
-      .drop("__graft_tus", "__graft_wm")
+        greatest(coalesce(col(wmCol) - col(tusCol), lit(0L)), lit(0L)))
+      .drop(tusCol, wmCol)
+  }
 
   /**
    * Watermark planning report: one row per candidate delay —
@@ -55,15 +61,15 @@ object Lateness {
                     unpersistHandle: UnpersistHandle = UnpersistHandle.Noop): DataFrame = {
     require(delaysSeconds.nonEmpty, "need at least one candidate delay")
     require(delaysSeconds.forall(_ >= 0), s"delays must be >= 0: $delaysSeconds")
-    withLateness(df, arrival, eventTime, "__graft_late",
+    val lateCol = graft.functions.distinctPrefixFor(df.columns.toSeq) + "late"
+    withLateness(df, arrival, eventTime, lateCol,
       unpersistHandle = unpersistHandle)
-      .select(col("__graft_late"),
-        explode(lit(delaysSeconds.toArray)).as("delay_s"))
+      .select(col(lateCol), explode(lit(delaysSeconds.toArray)).as("delay_s"))
       .groupBy(col("delay_s"))
       .agg(
         count(lit(1)).as("events"),
-        sum(when(col("__graft_late") > col("delay_s") * 1000000L, 1L)
+        sum(when(col(lateCol) > col("delay_s") * 1000000L, 1L)
           .otherwise(0L)).as("dropped"),
-        max(col("__graft_late")).as("max_lateness_us"))
+        max(col(lateCol)).as("max_lateness_us"))
   }
 }

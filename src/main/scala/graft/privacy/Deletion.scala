@@ -26,20 +26,20 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
  * identical to an index built over the filtered corpus with the same
  * quantizers (sbt-pinned both ways, driver-gated end to end).
  *
- * Crash semantics (same discipline as the append paths): survivor files
- * land and are renamed into place BEFORE doomed files are deleted, so no
- * interleaving loses a survivor row. A crash inside the window leaves
- * doomed files in place next to the fresh survivor copies — the scrub has
- * simply not completed (the doomed ids are still present; re-run after
- * removing the fresh `scrub-*` files, which the returned stats name).
- * Both consumers tolerate duplicate SURVIVOR rows regardless (the ANN
- * re-rank collapses per-(query, neighbor) by max-cosine; dedup candidate
- * pairs deduplicate before the Jaccard verify).
+ * Crash semantics: the swap runs the [[graft.write.SwapFiles]] protocol —
+ * survivor files rename into place, a pending-deletes marker makes the
+ * fresh files authoritative, doomed files delete with EVERY delete
+ * checked (a false `fs.delete` on HDFS/S3A aborts loudly instead of
+ * reporting a scrub that left doomed rows behind), and the NEXT run
+ * repairs any interruption automatically: marker present → roll forward
+ * (finish the deletes); crash before the marker → roll back (drop the
+ * partial survivor copies, whose rows still live in the old files). No
+ * interleaving loses or permanently duplicates a row.
  */
 object Deletion {
 
   /** What a scrub did: file counts, row counts, and the fresh file names
-    * (for crash-recovery bookkeeping). */
+    * (crash recovery is automatic — see [[graft.write.SwapFiles]]). */
   case class ScrubStats(filesTotal: Long, filesRewritten: Long,
                         rowsDeleted: Long, rowsRewritten: Long,
                         newFiles: Seq[String])
@@ -57,6 +57,7 @@ object Deletion {
     val conf = spark.sessionState.newHadoopConf()
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(conf)
+    graft.write.SwapFiles.recover(fs, dirPath)
     val filesTotal = fs.listStatus(dirPath)
       .count(s => s.isFile && !s.getPath.getName.startsWith("_")
         && !s.getPath.getName.startsWith(".")).toLong
@@ -80,24 +81,12 @@ object Deletion {
     val survivors = victims
       .join(ids, col(idColumn) === col("__doomed_id"), "left_anti")
     val victimRows = victims.count()
-    val tmp = new Path(dirPath, s"_scrub_tmp_${java.util.UUID.randomUUID()}")
-    val (kept, keptRows) =
-      try {
-        survivors.write.parquet(tmp.toString)
-        val keptRows = spark.read.parquet(tmp.toString).count()
-        val parts = fs.listStatus(tmp)
-          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-        val renamed = parts.map { s =>
-          val dest = new Path(dirPath, s"scrub-${s.getPath.getName}")
-          require(fs.rename(s.getPath, dest),
-            s"rename ${s.getPath} -> $dest failed")
-          dest.toString
-        }
-        // survivors are durably in place; only now drop the doomed files
-        files.foreach(f => fs.delete(new Path(f), false))
-        (renamed.toSeq, keptRows)
-      } finally fs.delete(tmp, true)
-
+    val uuid = java.util.UUID.randomUUID().toString
+    val tmp = new Path(dirPath, s"_scrub_tmp_$uuid")
+    survivors.write.parquet(tmp.toString)
+    val keptRows = spark.read.parquet(tmp.toString).count()
+    val kept = graft.write.SwapFiles.publishAndDelete(
+      fs, dirPath, tmp, "scrub", uuid, files.map(new Path(_)).toSeq)
     ScrubStats(filesTotal, files.length, victimRows - keptRows, keptRows, kept)
   }
 

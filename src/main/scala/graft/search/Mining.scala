@@ -67,20 +67,39 @@ object Mining {
     def fp(c: Column): Column = floor(c * Scale).cast("long")
 
     // exact per-endpoint neighborhood mass (sum of fixed-point cosines)
+    // WITH the actual neighbor count — a query with fewer than k neighbors
+    // must not have its average inflated by a fixed k divisor
     val massL = forward.groupBy(col("query_id").as("lid"))
-      .agg(sum(fp(col("cosine"))).as("afp"))
+      .agg(sum(fp(col("cosine"))).as("afp"), count(lit(1)).as("na"))
     val massR = backward.groupBy(col("query_id").as("rid"))
-      .agg(sum(fp(col("cosine"))).as("bfp"))
+      .agg(sum(fp(col("cosine"))).as("bfp"), count(lit(1)).as("nb"))
 
+    // coverage contract, checked eagerly: every candidate endpoint must
+    // have a neighborhood in the OTHER direction's table — an inner join
+    // would otherwise silently drop the candidate and promote a lower-
+    // cosine neighbor to "mutual best" (build both directions over the
+    // same two corpora; the check is two bounded anti-join counts over
+    // the k x |queries| neighbor tables)
+    val missR = forward.select(col("neighbor_id").as("rid")).distinct()
+      .join(massR, Seq("rid"), "left_anti").count()
+    require(missR == 0,
+      s"$missR forward neighbors have no backward neighborhood — margins would silently mis-rank")
+    val missL = backward.select(col("neighbor_id").as("lid")).distinct()
+      .join(massL, Seq("lid"), "left_anti").count()
+    require(missL == 0,
+      s"$missL backward neighbors have no forward neighborhood — margins would silently mis-rank")
+
+    // margin = cos / ((avgL + avgR) / 2) in exact integer form:
+    // cfp·2·na·nb / (afp·nb + bfp·na) — one IEEE division of exact longs
     def margined(nn: DataFrame, qAs: String, nAs: String): DataFrame =
       nn.select(col("query_id").as(qAs), col("neighbor_id").as(nAs),
           col("cosine"), fp(col("cosine")).as("cfp"))
         .join(massL, Seq("lid"))
         .join(massR, Seq("rid"))
         .withColumn("margin",
-          when(col("afp") + col("bfp") > 0,
-            (col("cfp") * (2L * k)).cast("double") /
-              (col("afp") + col("bfp")).cast("double")))
+          when(col("afp") * col("nb") + col("bfp") * col("na") > 0,
+            (col("cfp") * 2L * col("na") * col("nb")).cast("double") /
+              (col("afp") * col("nb") + col("bfp") * col("na")).cast("double")))
 
     val fw = margined(forward, "lid", "rid")
       .withColumn("fr", row_number().over(Window.partitionBy(col("lid"))

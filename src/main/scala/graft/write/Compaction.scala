@@ -57,19 +57,22 @@ object Compaction {
    * IN-PLACE compaction of a flat parquet directory, preserving an
    * optional clustering: rows land in `target-file-count` fresh files
    * (repartitioned on `clusterCols` when given, so co-location survives —
-   * round-robin otherwise), the fresh files rename into the directory
-   * FIRST, and only then are the old files deleted (the
-   * [[graft.privacy.Deletion]] no-loss ordering: a crash inside the
-   * window leaves duplicate rows, never missing ones — rerun to finish).
-   * A maintenance pass, not a concurrent-writer protocol: run it when no
-   * writer appends to `dir`. Returns (files before, files after).
+   * round-robin otherwise), swapped in under the [[SwapFiles]] protocol:
+   * fresh files rename in, a pending-deletes marker makes them
+   * authoritative, old files delete with every delete CHECKED, and an
+   * interrupted run is repaired automatically by the next one (roll
+   * forward past the marker, roll back before it) — a crash can never
+   * lose or permanently duplicate a row. A maintenance pass, not a
+   * concurrent-writer protocol: run it when no writer appends to `dir`.
+   * Returns (files before, files after).
    */
   def compactInPlace(spark: SparkSession, dir: String,
                      targetFileBytes: Long = 128L * 1024 * 1024,
                      clusterCols: Seq[String] = Seq.empty): (Int, Int) = {
-    val n = targetFileCount(spark, dir, targetFileBytes)
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    SwapFiles.recover(fs, dirPath)
+    val n = targetFileCount(spark, dir, targetFileBytes)
     def dataFiles = fs.listStatus(dirPath).filter(s => s.isFile &&
       !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
     val old = dataFiles.map(_.getPath)
@@ -77,19 +80,10 @@ object Compaction {
     val sized =
       if (clusterCols.nonEmpty) df.repartition(n, clusterCols.map(col): _*)
       else df.repartition(n)
-    val tmp = new org.apache.hadoop.fs.Path(
-      dirPath, s"_compact_tmp_${java.util.UUID.randomUUID()}")
-    try {
-      sized.write.parquet(tmp.toString)
-      fs.listStatus(tmp)
-        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-        .foreach { s =>
-          val dest = new org.apache.hadoop.fs.Path(
-            dirPath, s"compact-${s.getPath.getName}")
-          require(fs.rename(s.getPath, dest), s"rename ${s.getPath} -> $dest failed")
-        }
-      old.foreach(p => fs.delete(p, false))
-    } finally fs.delete(tmp, true)
+    val uuid = java.util.UUID.randomUUID().toString
+    val tmp = new org.apache.hadoop.fs.Path(dirPath, s"_compact_tmp_$uuid")
+    sized.write.parquet(tmp.toString)
+    SwapFiles.publishAndDelete(fs, dirPath, tmp, "compact", uuid, old.toSeq)
     (old.length, dataFiles.length)
   }
 

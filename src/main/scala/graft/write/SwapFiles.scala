@@ -1,0 +1,129 @@
+package graft.write
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import java.nio.charset.StandardCharsets
+
+/**
+ * Crash-safe file swap for in-place rewrites (deletion scrub, compaction):
+ * publish a temp directory's part files into a data directory and delete a
+ * recorded list of old files, such that a crash at ANY point is repaired
+ * by the next run with no row ever lost or duplicated.
+ *
+ * Protocol (single maintainer per directory — these are maintenance ops,
+ * not a concurrent-writer format):
+ *
+ *  1. fresh parts land in `_<op>_tmp_<uuid>/` (underscore dirs are
+ *     invisible to parquet readers);
+ *  2. each part renames to `<prefix>-<uuid>-<part>` in the data dir;
+ *  3. a `_graft_pending_deletes` marker is written listing the old files
+ *     — ONLY from this point are the fresh files authoritative;
+ *  4. old files delete (each checked), the marker is removed, the tmp dir
+ *     is removed LAST.
+ *
+ * Recovery on the next run ([[recover]], called by every swap first):
+ *  - marker present → the fresh files are authoritative: ROLL FORWARD
+ *    (finish the recorded deletes, drop marker, drop tmp dirs);
+ *  - no marker but `_<op>_tmp_*` dirs exist → a crash during write or
+ *    rename: the old files are untouched and authoritative, so ROLL BACK
+ *    (delete the partially renamed `<prefix>-<uuid>-*` files and the tmp
+ *    dirs — their rows still live in the old files).
+ *
+ * Readers between steps 2 and 4 can transiently see duplicate rows of the
+ * rewritten files; both index consumers tolerate that (the ANN re-rank
+ * collapses per-(query, neighbor); dedup candidates deduplicate before
+ * the Jaccard verify), and the window closes with the deletes.
+ */
+private[graft] object SwapFiles {
+
+  private val Marker = "_graft_pending_deletes"
+
+  private def markerPath(dir: Path) = new Path(dir, Marker)
+
+  /** Repair an interrupted swap; returns true if anything was repaired. */
+  def recover(fs: FileSystem, dir: Path): Boolean = {
+    val mp = markerPath(dir)
+    var repaired = false
+    var forwardedUuid: Option[String] = None
+    if (fs.exists(mp)) {
+      // roll forward: fresh files are authoritative, finish the deletes.
+      // Line 1 records the publishing run's uuid so its tmp leftovers are
+      // NOT mistaken for a pre-publish crash and rolled back below.
+      val in = fs.open(mp)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      require(lines.headOption.exists(_.startsWith("uuid:")),
+        s"corrupt marker $mp: ${lines.headOption}")
+      forwardedUuid = Some(lines.head.stripPrefix("uuid:"))
+      lines.tail.filter(_.nonEmpty).foreach { f =>
+        val p = new Path(f)
+        require(!fs.exists(p) || fs.delete(p, false),
+          s"recovery could not delete $p")
+      }
+      require(fs.delete(mp, false), s"could not remove marker $mp")
+      repaired = true
+    }
+    // a leftover tmp NOT covered by the marker means a crash before
+    // publish: roll back that run's partial renames (its rows still live
+    // in the old files). The forwarded run's tmp just gets cleaned up.
+    fs.listStatus(dir)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("_tmp_"))
+      .foreach { t =>
+        val uuid = t.getPath.getName.split("_tmp_").last
+        if (!forwardedUuid.contains(uuid)) {
+          fs.listStatus(dir)
+            .filter(s => s.isFile && s.getPath.getName.contains(s"-$uuid-"))
+            .foreach { s =>
+              require(fs.delete(s.getPath, false),
+                s"rollback could not delete ${s.getPath}")
+            }
+        }
+        require(fs.delete(t.getPath, true), s"could not remove tmp ${t.getPath}")
+        repaired = true
+      }
+    repaired
+  }
+
+  /**
+   * Publish `tmp`'s part files into `dir` as `<prefix>-<uuid>-<part>` and
+   * delete `oldFiles`. Every delete is CHECKED — a false return (the
+   * HDFS/S3A "did not happen" signal) aborts loudly rather than reporting
+   * a rewrite that left old rows in place. Returns the published paths.
+   */
+  def publishAndDelete(fs: FileSystem, dir: Path, tmp: Path, prefix: String,
+                       uuid: String, oldFiles: Seq[Path]): Seq[String] = {
+    val renamed =
+      try {
+        fs.listStatus(tmp)
+          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+          .map { s =>
+            val dest = new Path(dir, s"$prefix-$uuid-${s.getPath.getName}")
+            require(fs.rename(s.getPath, dest),
+              s"rename ${s.getPath} -> $dest failed")
+            dest.toString
+          }.toSeq
+      } catch {
+        case e: Throwable =>
+          // rename-phase failure: old files are still authoritative — roll
+          // back the partial publish so the directory is exactly as before
+          fs.listStatus(dir)
+            .filter(s => s.isFile && s.getPath.getName.startsWith(s"$prefix-$uuid-"))
+            .foreach(s => fs.delete(s.getPath, false))
+          fs.delete(tmp, true)
+          throw e
+      }
+    val mp = markerPath(dir)
+    val out = fs.create(mp, false)
+    try out.write((s"uuid:$uuid" +: oldFiles.map(_.toString))
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    oldFiles.foreach { p =>
+      require(!fs.exists(p) || fs.delete(p, false),
+        s"could not delete $p — rerun to recover (marker $mp records it)")
+    }
+    require(fs.delete(mp, false), s"could not remove marker $mp")
+    fs.delete(tmp, true)
+    renamed
+  }
+}

@@ -62,6 +62,46 @@ class DeletionSuite extends AnyFunSuite with SparkTest {
     assert(e.getMessage.contains("rebuild"))
   }
 
+  test("crash recovery: roll forward past the marker, roll back before it") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("scrub-crash").toString + "/d"
+    writeCorpus(dir, 4)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+
+    // simulate a crash AFTER the marker: fresh scrub file present, one old
+    // file recorded for deletion but still on disk
+    val victim = fs.listStatus(p).filter(_.getPath.getName.startsWith("part-")).head.getPath
+    val survivors = spark.read.parquet(victim.toString).filter(col("id") =!= -1L)
+    val tmpDir = new Path(p, "_scrub_tmp_deadbeef")
+    survivors.write.parquet(tmpDir.toString)
+    val part = fs.listStatus(tmpDir).filter(_.getPath.getName.startsWith("part-")).head.getPath
+    require(fs.rename(part, new Path(p, s"scrub-deadbeef-${part.getName}")))
+    val out = fs.create(new Path(p, "_graft_pending_deletes"), false)
+    out.write(s"uuid:deadbeef\n$victim".getBytes("UTF-8")); out.close()
+    // next scrub call repairs first: victim deleted, marker gone, rows intact
+    val st = Deletion.scrubParquetById(spark, dir, "id",
+      Seq(-77L).toDF("bad"), col("bad"))
+    assert(!fs.exists(victim) && !fs.exists(new Path(p, "_graft_pending_deletes")))
+    assert(spark.read.parquet(dir).count() == 100)
+    assert(st.rowsDeleted == 0)
+
+    // simulate a crash BEFORE the marker: partial renamed copy + tmp left
+    val dir2 = java.nio.file.Files.createTempDirectory("scrub-crash2").toString + "/d"
+    writeCorpus(dir2, 4)
+    val p2 = new Path(dir2)
+    val victim2 = fs.listStatus(p2).filter(_.getPath.getName.startsWith("part-")).head.getPath
+    val tmp2 = new Path(p2, "_scrub_tmp_cafebabe")
+    spark.read.parquet(victim2.toString).write.parquet(tmp2.toString)
+    val part2 = fs.listStatus(tmp2).filter(_.getPath.getName.startsWith("part-")).head.getPath
+    require(fs.rename(part2, new Path(p2, s"scrub-cafebabe-${part2.getName}")))
+    // rollback: duplicate copy dropped, old files intact, count unchanged
+    Deletion.scrubParquetById(spark, dir2, "id", Seq(-77L).toDF("bad"), col("bad"))
+    assert(!fs.exists(tmp2))
+    assert(fs.listStatus(p2).count(_.getPath.getName.startsWith("scrub-")) == 0)
+    assert(spark.read.parquet(dir2).count() == 100)
+  }
+
   test("scrubbed dedup index answers exactly like one built on the filtered reference") {
     val docs = (0L until 40L).map(i =>
       (i, s"alpha beta gamma delta epsilon zeta eta theta row ${i % 8} tail"))

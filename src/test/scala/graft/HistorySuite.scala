@@ -61,6 +61,21 @@ class HistorySuite extends AnyFunSuite with SparkTest {
     assert(got === Set((1, "a")))
   }
 
+  test("null version values fail fast instead of silently dropping rows") {
+    val s = Seq((1, Some(1), "a"), (1, Option.empty[Int], "b"))
+      .toDF("id", "v", "attr")
+    val e = intercept[IllegalArgumentException] {
+      History.fromSnapshots(s, "v", Seq("id"))
+    }
+    assert(e.getMessage.contains("null"))
+  }
+
+  test("snapshotAt accepts a Column version (the py4j date/timestamp route)") {
+    val got = History.snapshotAt(hist, lit(2), "v")
+      .select($"id", $"attr").as[(Int, String)].collect().toSet
+    assert(got === Set((1, "a"), (2, "B")))
+  }
+
   test("output-column collisions fail fast") {
     val s = Seq((1, 1, "a")).toDF("id", "v", "valid_from")
     val e = intercept[IllegalArgumentException] {

@@ -114,6 +114,27 @@ class MiningSuite extends AnyFunSuite with SparkTest {
     assert(viaInt8 === viaFloat)
   }
 
+  test("coverage contract: a neighbor without its own neighborhood fails fast") {
+    val fwd = Seq((1L, 1, 10L, 0.9), (1L, 2, 11L, 0.8))
+      .toDF("query_id", "rank", "neighbor_id", "cosine")
+    val bwd = Seq((10L, 1, 1L, 0.9)) // 11 never appears as a backward query
+      .toDF("query_id", "rank", "neighbor_id", "cosine")
+    val e = intercept[IllegalArgumentException] {
+      Mining.alignedPairsFromNeighbors(fwd, bwd, k = 2).collect()
+    }
+    assert(e.getMessage.contains("no backward neighborhood"))
+  }
+
+  test("queries with fewer than k neighbors use their true count, not k") {
+    // one-neighbor-each corpora: margin must be cos/((cos+cos)/2) = 1.0
+    // exactly; a fixed 2k divisor at k=4 would deflate it to 0.25
+    val fwd = Seq((1L, 1, 10L, 0.5)).toDF("query_id", "rank", "neighbor_id", "cosine")
+    val bwd = Seq((10L, 1, 1L, 0.5)).toDF("query_id", "rank", "neighbor_id", "cosine")
+    val m = Mining.alignedPairsFromNeighbors(fwd, bwd, k = 4, minMargin = 0.0)
+      .select("margin").as[Double].head()
+    assert(m == 1.0, s"margin $m")
+  }
+
   test("non-positive neighborhood mass yields null margin, ranked last") {
     // orthogonal-ish junk: one left vec whose only neighbors have cos <= 0
     val l = Seq((0L, Seq(1.0f, 0.0f))).toDF("id", "vec")

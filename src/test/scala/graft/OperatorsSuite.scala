@@ -247,6 +247,14 @@ class OperatorsSuite extends AnyFunSuite with SparkTest {
       Seq((1L, "aa bb cc dd"), (2L, "ee ff gg hh")).toDF("doc_id", "text"),
       col("doc_id"), col("text"), pairs, col("ida"), col("idb"))
     assert(none.count() == 0)
+    // duplicate pair rows (concatenated review feeds) must not fragment
+    // the islands: same spans as the deduped list
+    val dup = pairs.unionAll(pairs)
+    val got2 = graft.dedup.Explain.explainPairs(
+      docs, col("doc_id"), col("text"), dup, col("ida"), col("idb"), k = 3)
+      .select("a_start", "a_end", "b_start", "b_end", "match_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got2 === got, s"duplicated pair list changed spans: $got2")
   }
 
   test("compactInPlace shrinks file count, keeps rows, preserves clustering") {
