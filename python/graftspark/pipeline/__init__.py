@@ -99,6 +99,8 @@ __all__ = [
     "total_variation_by_window", "train_unigram", "unigram_encode",
     "unigram_token_count", "save_unigram", "load_unigram",
     "warc_records", "read_warc",
+
+    "history_from_snapshots", "history_snapshot_at", "mine_aligned_pairs", "aligned_pairs_from_neighbors", "scrub_parquet_by_id", "scrub_dedup_index", "scrub_ann_index", "compact_in_place", "compact_ann_index", "compact_dedup_index", "with_lateness", "watermark_plan", "streaming_lateness_by_window", "length_bucket_batches", "overlap_matrix", "explain_near_dup_pairs",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
