@@ -64,9 +64,14 @@ object RowNumbers {
     // "No Partition Defined" warning on every run
     val cumWindow = Window.partitionBy(lit(0)).orderBy(col(pidCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = withLocalRn
-      .groupBy(col(pidCol))
-      .agg(max(col(localRnCol)).as(maxRnCol))
+    // dense pid frame: per-partition maxima exist only for NON-EMPTY
+    // partitions, and the pid+1 join after an empty partition (possible
+    // under heavy range-sort skew) would otherwise find no offset row and
+    // restart numbering; null maxima are skipped by the window sum, so
+    // the cumulative offset carries across gaps
+    val offsets = graft.agg.PrefixSum.densePids(withPid, pidCol)
+      .join(withLocalRn.groupBy(col(pidCol)).agg(max(col(localRnCol)).as(maxRnCol)),
+        Seq(pidCol), "left")
       .withColumn(offsetCol, sum(col(maxRnCol)).over(cumWindow))
       .select((col(pidCol) + 1).as(pidCol), col(offsetCol))
 

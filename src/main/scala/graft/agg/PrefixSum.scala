@@ -27,6 +27,20 @@ import org.apache.spark.storage.StorageLevel
 object PrefixSum {
 
   /**
+   * Dense partition-id frame `0..numPartitions-1` for the offsets side of
+   * the three-phase plan. Per-partition totals come from a groupBy, so an
+   * EMPTY partition produces no row — keying the join on pid+1 would then
+   * find nothing for the partition after a gap and silently drop every
+   * earlier partition's contribution. Left-joining the totals onto this
+   * dense frame closes the gap: null totals are skipped by the sum/max
+   * window aggregate, carrying the cumulative value forward across empty
+   * partitions. `getNumPartitions` is metadata-only (no job).
+   */
+  private[graft] def densePids(withPid: DataFrame, pidCol: String): DataFrame =
+    withPid.sparkSession.range(withPid.rdd.getNumPartitions.toLong)
+      .select(col("id").cast("int").as(pidCol))
+
+  /**
    * Add `outputColumn` = running total of `valueCol` over the global order
    * `order` (ties broken by the trailing order columns you pass — make the
    * order total for deterministic output). `exclusive` (default) sums rows
@@ -76,9 +90,9 @@ object PrefixSum {
     // shifted one partition forward, broadcast back
     val cumWindow = Window.partitionBy(lit(0)).orderBy(col(pidCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = withPid
-      .groupBy(col(pidCol))
-      .agg(sum(col(valCol)).as(totalCol))
+    val offsets = densePids(withPid, pidCol)
+      .join(withPid.groupBy(col(pidCol)).agg(sum(col(valCol)).as(totalCol)),
+        Seq(pidCol), "left")
       .withColumn(offsetCol, sum(col(totalCol)).over(cumWindow))
       .select((col(pidCol) + 1).as(pidCol), col(offsetCol))
 
@@ -135,9 +149,13 @@ object PrefixSum {
 
     val cumWindow = Window.partitionBy(lit(0)).orderBy(col(pidCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = withPid
-      .groupBy(col(pidCol))
-      .agg(max(col(valCol)).as(totalCol))
+    // dense pids: with only non-empty partitions in the frame, a gap
+    // partition would leave the NEXT partition offset-less — and unlike
+    // the sum twin, greatest(local, null) cannot distinguish
+    // null-because-first-partition from null-because-gap
+    val offsets = densePids(withPid, pidCol)
+      .join(withPid.groupBy(col(pidCol)).agg(max(col(valCol)).as(totalCol)),
+        Seq(pidCol), "left")
       .withColumn(offsetCol, max(col(totalCol)).over(cumWindow))
       .select((col(pidCol) + 1).as(pidCol), col(offsetCol))
 

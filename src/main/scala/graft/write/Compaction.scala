@@ -72,6 +72,18 @@ object Compaction {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
     SwapFiles.recover(fs, dirPath)
+    // flat-directory contract, ENFORCED: spark.read.parquet recurses into
+    // partition subdirectories, so compacting a hive-partitioned layout
+    // here would rewrite nested rows into flat top-level files while
+    // leaving the originals — every nested row silently duplicated.
+    val nested = fs.listStatus(dirPath).filter(s =>
+      s.isDirectory && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+    require(nested.isEmpty,
+      s"compactInPlace requires a FLAT parquet directory; $dir contains " +
+        s"subdirectories (${nested.take(3).map(_.getPath.getName).mkString(", ")}" +
+        s"${if (nested.length > 3) ", …" else ""}) — compact each partition " +
+        "directory individually, or re-layout with PartitionedWrite")
     val n = targetFileCount(spark, dir, targetFileBytes)
     def dataFiles = fs.listStatus(dirPath).filter(s => s.isFile &&
       !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))

@@ -18,8 +18,10 @@ import java.nio.charset.StandardCharsets
  *  2. each part renames to `<prefix>-<uuid>-<part>` in the data dir;
  *  3. a `_graft_pending_deletes` marker is written listing the old files
  *     — ONLY from this point are the fresh files authoritative;
- *  4. old files delete (each checked), the marker is removed, the tmp dir
- *     is removed LAST.
+ *  4. old files delete (each checked), the tmp dir is removed, the
+ *     marker is removed LAST — so any crash after step 3 leaves the
+ *     marker in place and is repaired by idempotent roll-forward,
+ *     never mistaken for a pre-publish crash.
  *
  * Recovery on the next run ([[recover]], called by every swap first):
  *  - marker present → the fresh files are authoritative: ROLL FORWARD
@@ -61,6 +63,17 @@ private[graft] object SwapFiles {
         require(!fs.exists(p) || fs.delete(p, false),
           s"recovery could not delete $p")
       }
+      // the forwarded run's tmp leftovers must go BEFORE the marker: a
+      // crash after the marker is gone but with its tmp still present
+      // would look like a pre-publish crash and roll back the published
+      // files whose old rows were already deleted. Roll-forward is
+      // idempotent, so crashing anywhere before the marker delete just
+      // re-runs this branch.
+      fs.listStatus(dir)
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.endsWith(s"_tmp_${forwardedUuid.get}"))
+        .foreach(t => require(fs.delete(t.getPath, true),
+          s"could not remove forwarded tmp ${t.getPath}"))
       require(fs.delete(mp, false), s"could not remove marker $mp")
       repaired = true
     }
@@ -122,8 +135,12 @@ private[graft] object SwapFiles {
       require(!fs.exists(p) || fs.delete(p, false),
         s"could not delete $p — rerun to recover (marker $mp records it)")
     }
-    require(fs.delete(mp, false), s"could not remove marker $mp")
+    // tmp dir BEFORE marker: a crash between the two must leave the
+    // marker (→ idempotent roll-forward), never an uncovered tmp dir
+    // (→ rollback would delete the published files after the old rows
+    // are already gone).
     fs.delete(tmp, true)
+    require(fs.delete(mp, false), s"could not remove marker $mp")
     renamed
   }
 }

@@ -102,6 +102,35 @@ class DeletionSuite extends AnyFunSuite with SparkTest {
     assert(spark.read.parquet(dir2).count() == 100)
   }
 
+  test("crash after old-file deletes: forwarded tmp + marker roll FORWARD, no row lost") {
+    // the late-crash window: old files already deleted, fresh files
+    // published, the publishing run's tmp dir still present, marker still
+    // present (the marker is removed LAST by protocol). Recovery must
+    // treat the fresh files as authoritative — a rollback here would
+    // delete them after the old rows are already gone.
+    val dir = java.nio.file.Files.createTempDirectory("scrub-crash3").toString + "/d"
+    writeCorpus(dir, 4)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val victim = fs.listStatus(p).filter(_.getPath.getName.startsWith("part-")).head.getPath
+    val tmpDir = new Path(p, "_scrub_tmp_feedface")
+    spark.read.parquet(victim.toString).write.parquet(tmpDir.toString)
+    val part = fs.listStatus(tmpDir).filter(_.getPath.getName.startsWith("part-")).head.getPath
+    val published = new Path(p, s"scrub-feedface-${part.getName}")
+    // publish = COPY here (not rename) so the tmp dir keeps its part file,
+    // exactly as after step 2 of the protocol
+    org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, published, false,
+      spark.sessionState.newHadoopConf())
+    val out = fs.create(new Path(p, "_graft_pending_deletes"), false)
+    out.write(s"uuid:feedface\n$victim".getBytes("UTF-8")); out.close()
+    require(fs.delete(victim, false)) // step 4 already ran for the old file
+    assert(graft.write.SwapFiles.recover(fs, p))
+    assert(fs.exists(published), "roll-forward must keep the published file")
+    assert(!fs.exists(tmpDir) && !fs.exists(new Path(p, "_graft_pending_deletes")))
+    assert(spark.read.parquet(dir).count() == 100)
+    assert(spark.read.parquet(dir).filter(col("payload") =!= col("id") * 10).count() == 0)
+  }
+
   test("scrubbed dedup index answers exactly like one built on the filtered reference") {
     val docs = (0L until 40L).map(i =>
       (i, s"alpha beta gamma delta epsilon zeta eta theta row ${i % 8} tail"))

@@ -127,6 +127,26 @@ class OperatorsSuite extends AnyFunSuite with SparkTest {
     assert(rns.toSeq === (1L to 100L))
   }
 
+  test("withRowNumbers survives EMPTY partitions between non-empty ones") {
+    // input partitions 0,3,6 carry data; 1,2,4,5,7 are empty. The no-order
+    // path pins these pids directly, so the offsets join must carry the
+    // cumulative count across the gaps (a pid+1 equi-join over only
+    // non-empty partitions restarts numbering after each gap).
+    val pairs = spark.sparkContext.parallelize(0L until 100L).map(i => (i, i))
+    val spread = pairs.partitionBy(new org.apache.spark.Partitioner {
+      def numPartitions = 8
+      def getPartition(key: Any) = (key.asInstanceOf[Long] % 3).toInt * 3
+    }).values
+    val df = spark.createDataset(spread).toDF("id")
+    assert(df.rdd.getNumPartitions == 8)
+    val rns = df.withRowNumbers().select($"row_number").as[Long].collect().sorted
+    assert(rns.toSeq === (1L to 100L))
+    // the dense offsets frame covers every pid, including the empty ones
+    val pids = graft.agg.PrefixSum.densePids(df, "pid")
+      .select($"pid").as[Int].collect().sorted
+    assert(pids.toSeq === (0 until 8))
+  }
+
   test("withRowNumbers custom column name and unpersist handle") {
     val handle = UnpersistHandle()
     val df = spark.range(0, 10).toDF("id")
@@ -279,6 +299,18 @@ class OperatorsSuite extends AnyFunSuite with SparkTest {
       spark, dir, targetFileBytes = Long.MaxValue / 2, clusterCols = Seq("cid"))
     assert(b2 == after && a2 <= b2)
     assert(spark.read.parquet(dir).count() == 10000L)
+  }
+
+  test("compactInPlace fails fast on a hive-partitioned directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cip-part").toString + "/d"
+    spark.range(0, 100).select((col("id") % 4).cast("int").as("p"), col("id"))
+      .write.partitionBy("p").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      graft.write.Compaction.compactInPlace(spark, dir)
+    }
+    assert(e.getMessage.contains("FLAT") && e.getMessage.contains("p="))
+    // nothing touched: the partitioned data reads back unchanged
+    assert(spark.read.parquet(dir).count() == 100L)
   }
 
   test("compactDedupIndex keeps index answers identical") {
