@@ -72,8 +72,8 @@ object ScaleProbe {
       "dedup_index", "multimatch", "quality_cut", "bloom_index", "cms_sketch",
       "link_rank", "snapshot_diff", "wordpiece_encode", "streaming_topk_state",
       "curriculum", "anonymity", "streaming_drift_state", "unigram_encode",
-      "warc_ingest", "scd2_history", "deletion_scrub", "length_buckets",
-      "watermark_plan")
+      "warc_ingest", "scd2_history", "scd2_versions", "deletion_scrub",
+      "length_buckets", "watermark_plan")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -1268,6 +1268,29 @@ object ScaleProbe {
         graft.diff.History.fromSnapshots(snaps, "vn", Seq("k")).count()
       }
       report("scd2_history", runs, tH)
+    }
+
+    // --- SCD2 history, VERSIONS axis: fixed id universe, 4*n vintages per
+    // id — deepens the per-id window the run grouping sorts over (the other
+    // scale dimension from scd2_history's 25x ids x 4 vintages) -----------
+    if (enabled("scd2_versions")) {
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      val ids = orders.count()
+      val snaps = orders
+        .withColumn("vn", explode(sequence(lit(1), lit(4 * n))))
+        // the attribute steps every 5 vintages, so runs grow with depth and
+        // the run-grouping window does real merging work per id
+        .select(col("k"),
+          (col("price") + floor(col("vn") / 5) * 0.5).as("price"), col("vn"))
+      val (runs, tV) = time {
+        graft.diff.History.fromSnapshots(snaps, "vn", Seq("k")).count()
+      }
+      // exactness pin: contiguous vn 1..4n stepping every 5 vintages yields
+      // floor(4n/5)+1 runs per id — any drop/dup in the deep stack breaks it
+      require(runs == ids * (4L * n / 5 + 1),
+        s"scd2_versions: expected ${ids * (4L * n / 5 + 1)} runs, got $runs")
+      report("scd2_versions", runs, tV)
     }
 
     // --- deletion scrub: files touched scale with the doom list, not n ----

@@ -54,10 +54,14 @@ object History {
     * (version value, 0-based index). One column-pruned distinct scan. */
   private def versionIndex(snapshots: DataFrame, versionCol: String): DataFrame = {
     val spark = snapshots.sparkSession
+    // limit BEFORE the collect: the cap must fire without materializing an
+    // unbounded version dimension on the driver (a mis-pointed version
+    // column — say a timestamp with per-row precision — would otherwise
+    // pull the whole column back before the require can reject it)
     val versions = snapshots.select(col(versionCol)).distinct()
-      .orderBy(col(versionCol)).collect()
+      .orderBy(col(versionCol)).limit((1 << 20) + 1).collect()
     require(versions.length <= (1 << 20),
-      s"${versions.length} distinct versions — not a snapshot stack")
+      s"more than ${1 << 20} distinct versions — not a snapshot stack")
     // a null version would silently vanish in the equi-join back (its rows
     // dropped from the history with no error) — fail fast instead
     require(versions.forall(!_.isNullAt(0)),

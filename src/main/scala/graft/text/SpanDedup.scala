@@ -41,7 +41,9 @@ object SpanDedup {
     * (doc_id, pos) — is exempted, so one copy of every duplicated span
     * survives removal (the keep-one rule of suffix-array training-data
     * dedup, Lee et al. 2021); without it every occurrence is marked. Both
-    * paths are one hash exchange on the 16-hex window hash. */
+    * paths exchange on the 16-hex window hash with partial (map-side)
+    * aggregation — no per-key Window, so hot window strings never
+    * concentrate into one task. */
   private def duplicatedWindows(w: DataFrame, minCount: Int,
                                 keepFirst: Boolean = false): DataFrame = {
     if (!keepFirst) {
@@ -50,11 +52,19 @@ object SpanDedup {
         .select(col("h"))
       w.join(dup, Seq("h"), "left_semi").select(col("doc_id"), col("pos"))
     } else {
-      val byHash = Window.partitionBy(col("h"))
-      val ranked = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
-      w.withColumn("cnt", count(lit(1)).over(byHash))
-        .withColumn("rk", row_number().over(ranked))
-        .filter(col("cnt") >= minCount && col("rk") > 1)
+      // skew-safe winner selection: a Window.partitionBy(h) would gather
+      // every occurrence of a hot window (think boilerplate headers
+      // repeated billions of times) into one task; min(struct) + count is
+      // map-side combined, so the exchange carries one row per (h,
+      // partition) and the canonical pick never concentrates a key.
+      val canon = w.groupBy(col("h"))
+        .agg(count(lit(1)).as("cnt"),
+          min(struct(col("doc_id"), col("pos"))).as("first"))
+        .filter(col("cnt") >= minCount)
+        .select(col("h"), col("first"))
+      w.join(canon, Seq("h"))
+        .filter(col("doc_id") =!= col("first.doc_id") ||
+          col("pos") =!= col("first.pos"))
         .select(col("doc_id"), col("pos"))
     }
   }

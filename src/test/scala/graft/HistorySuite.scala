@@ -70,6 +70,19 @@ class HistorySuite extends AnyFunSuite with SparkTest {
     assert(e.getMessage.contains("null"))
   }
 
+  test("a high-cardinality version column fails the cap without a driver collect") {
+    // 2^20 + 1 distinct versions (a per-row timestamp mis-pointed as the
+    // version column): the require must fire, and the limit ahead of the
+    // collect means only cap+1 rows ever reach the driver
+    val n = (1 << 20) + 1
+    val s = spark.range(n.toLong).select(
+      lit(1).as("id"), col("id").as("v"), lit("a").as("attr"))
+    val e = intercept[IllegalArgumentException] {
+      History.fromSnapshots(s, "v", Seq("id"))
+    }
+    assert(e.getMessage.contains("not a snapshot stack"), e.getMessage)
+  }
+
   test("snapshotAt accepts a Column version (the py4j date/timestamp route)") {
     val got = History.snapshotAt(hist, lit(2), "v")
       .select($"id", $"attr").as[(Int, String)].collect().toSet

@@ -993,6 +993,21 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(corpus.contains("a b c") && corpus.contains("x"))
   }
 
+  test("repeated spans keepFirst: canonical pick is a partial aggregate, not a Window") {
+    // skew pin: winner selection must be map-side combined (a hot window
+    // string reduces per input partition) — no Window over the hash key,
+    // which would gather every occurrence of one h into a single task
+    val docs = Seq((1L, "a b c d e"), (2L, "z a b c y")).toDF("doc_id", "text")
+    val plan = graft.text.SpanDedup.removeRepeatedSpans(
+        docs, col("doc_id"), col("text"), k = 3, keepFirst = true)
+      .queryExecution.executedPlan.toString
+    // the only Windows left are the per-document interval union — none may
+    // partition on the window hash h
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.forall(l => !l.matches(".*\\[h#\\d+.*")), windowLines)
+    assert(plan.contains("partial_min") && plan.contains("partial_count"), plan)
+  }
+
   test("repeated spans: removal never explodes the token stream") {
     // the only Generate in the removal plan is the window explode feeding
     // the duplicate count — the rebuild works on in-row token arrays via an
