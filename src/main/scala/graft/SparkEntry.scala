@@ -53,8 +53,17 @@ object SparkEntry {
     val schema = graft.streaming.StreamHarness.writeOrderedBatches(
       staged, batchCol, numBatches, s"$root/in")
     val stream = graft.streaming.StreamHarness.readOrderedBatches(s, s"$root/in", schema)
-    graft.streaming.StreamHarness.drainToParquet(
+    // gate-scale state partitioning: the state-store instance count is
+    // pinned per checkpoint at query start from shuffle.partitions; 32
+    // instances x batches x stateful operators of delta-file IO is pure
+    // harness floor at gate volume, so the replay runs its (fresh)
+    // checkpoint at 8. Results are key-hashed identically either way; a
+    // production run keeps the session's own setting.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try graft.streaming.StreamHarness.drainToParquet(
       op(stream), s"$root/sink", s"$root/ck", awaitNoDataBatch)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /**

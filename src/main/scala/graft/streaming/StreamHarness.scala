@@ -29,28 +29,37 @@ object StreamHarness {
     * batch, each a single task. */
   def writeOrderedBatches(df: DataFrame, batchCol: Column, numBatches: Int,
                           dir: String): StructType = {
-    val base = df.withColumn("__batch", batchCol)
     require(numBatches >= 1, s"numBatches must be >= 1: $numBatches")
-    def parquetFiles: Array[java.io.File] = new java.io.File(dir).listFiles() match {
-      case null => Array.empty
-      case fs => fs.filter(_.getName.endsWith(".parquet"))
-    }
-    var seen = Set.empty[String]
+    // ONE pass over the staged data: a partitionBy("__batch") write splits
+    // the batches in a single job (the per-batch loop this replaces
+    // re-computed the whole staged plan once per batch — for an
+    // expensively-derived stage that tripled the setup cost). repartition
+    // keeps the staged computation parallel and hands ONE task the write,
+    // so each batch directory holds exactly one part file.
+    val staging = dir + "__staging"
+    df.withColumn("__batch", batchCol)
+      .filter(org.apache.spark.sql.functions.col("__batch")
+        .between(0, numBatches - 1))
+      .repartition(1)
+      .write.partitionBy("__batch").parquet(staging)
+    // promote each batch's part file to dir/batch-<b>-<name> with strictly
+    // increasing modification times (the file source orders by mtime), in
+    // batch order, robust to a coarse-granularity filesystem clock
+    val root = new java.io.File(dir)
+    root.mkdirs()
     var lastMod = 0L
     (0 until numBatches).foreach { b =>
-      base.filter(org.apache.spark.sql.functions.col("__batch") === b)
-        .drop("__batch")
-        .coalesce(1)
-        .write.mode("append").parquet(dir)
-      // the file source orders files by modification time: make sure batch
-      // b's file timestamps strictly follow batch b-1's even on a
-      // coarse-granularity filesystem clock (only this batch's fresh files
-      // are touched — rewriting older batches' times would reorder them)
-      val fresh = parquetFiles.filterNot(f => seen.contains(f.getName))
-      fresh.filter(_.lastModified() <= lastMod).foreach(_.setLastModified(lastMod + 1))
-      lastMod = math.max(lastMod, fresh.map(_.lastModified()).max)
-      seen ++= fresh.map(_.getName)
+      val sub = new java.io.File(staging, s"__batch=$b")
+      val parts = Option(sub.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet"))
+      parts.foreach { f =>
+        val dest = new java.io.File(root, s"batch-$b-${f.getName}")
+        require(f.renameTo(dest), s"could not stage $f -> $dest")
+        if (dest.lastModified() <= lastMod) dest.setLastModified(lastMod + 1)
+        lastMod = math.max(lastMod, dest.lastModified())
+      }
     }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
     df.schema
   }
 
