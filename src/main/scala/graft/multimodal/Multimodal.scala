@@ -327,57 +327,54 @@ object Multimodal {
   }
 
   /**
-   * Batched media feature extraction: iterates binary payloads partition by
-   * partition (the `mapInPandas`-equivalent batch shape in Scala), parsing
-   * each payload's container header ([[ImageHeaders.imageDimensions]] —
-   * PNG/JPEG/GIF/BMP format + pixel dimensions, no pixel decode) alongside
-   * byte-level features. Partitioning is preserved; no driver round-trip; at
-   * scale each executor decodes its own split. Unrecognized payloads keep
-   * their byte features with null format/width/height.
+   * Media feature extraction as a relational plan: each payload's container
+   * header parses inside the codegen'd [[ImageDimsExpr]] kernel
+   * (PNG/JPEG/GIF/BMP format + pixel dimensions, no pixel decode) alongside
+   * the byte-entropy kernel — one narrow projection next to the scan, no
+   * object deserialization, no shuffle; at scale each executor decodes its
+   * own split. Unrecognized payloads keep their byte features with null
+   * format/width/height. The typed Dataset view costs nothing until a
+   * typed action consumes it.
    */
   def extractMediaFeatures(df: DataFrame, id: Column, bin: Column): Dataset[MediaFeatures] = {
     implicit val enc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
-    df.select(id.cast("long").as("id"), bin.as("payload"))
-      .mapPartitions { rows: Iterator[Row] =>
-        rows.map { r =>
-          val bytes = r.getAs[Array[Byte]]("payload")
-          val dims = ImageHeaders.imageDimensions(bytes)
-          MediaFeatures(r.getLong(0), bytes.length.toLong,
-            MultimodalKernels.entropy(bytes),
-            dims.map(_.format), dims.map(_.width), dims.map(_.height))
-        }
-      }
+    // pure Column plan over the codegen'd header kernels — no
+    // DeserializeToObject, the whole extraction stays inside one
+    // WholeStageCodegen span next to the scan (sbt plan-pinned)
+    df.select(id.cast("long").as("id"), bin.as("__p"))
+      .select(col("id"), length(col("__p")).cast("long").as("n_bytes"),
+        byte_entropy(col("__p")).as("entropy"), image_dims(col("__p")).as("__d"))
+      .select(col("id"), col("n_bytes"), col("entropy"),
+        col("__d.format").as("format"), col("__d.width").as("width"),
+        col("__d.height").as("height"))
+      .as[MediaFeatures]
   }
 
-  /** Audio twin of [[extractMediaFeatures]]: RIFF/WAVE header facts
-    * ([[AudioHeaders.wavInfo]]) per payload, batched per partition. */
+  /** Audio twin of [[extractMediaFeatures]]: RIFF/WAVE header facts via the
+    * codegen'd [[WavInfoExpr]] kernel — same relational, object-free plan. */
   def extractAudioFeatures(df: DataFrame, id: Column, bin: Column): Dataset[AudioFeatures] = {
     implicit val enc: Encoder[AudioFeatures] = Encoders.product[AudioFeatures]
-    df.select(id.cast("long").as("id"), bin.as("payload"))
-      .mapPartitions { rows: Iterator[Row] =>
-        rows.map { r =>
-          val bytes = r.getAs[Array[Byte]]("payload")
-          val info = AudioHeaders.wavInfo(bytes)
-          AudioFeatures(r.getLong(0), bytes.length.toLong,
-            info.map(_.channels), info.map(_.sampleRate), info.map(_.bitsPerSample),
-            info.map(_.nFrames).filter(_ >= 0))
-        }
-      }
+    df.select(id.cast("long").as("id"), bin.as("__p"))
+      .select(col("id"), length(col("__p")).cast("long").as("n_bytes"),
+        wav_info(col("__p")).as("__w"))
+      .select(col("id"), col("n_bytes"), col("__w.channels").as("channels"),
+        col("__w.sample_rate").as("sample_rate"),
+        col("__w.bits_per_sample").as("bits_per_sample"),
+        col("__w.n_frames").as("n_frames"))
+      .as[AudioFeatures]
   }
 
-  /** Video twin of [[extractMediaFeatures]]: MP4/AVI container facts
-    * ([[VideoHeaders.videoInfo]]) per payload, batched per partition. */
+  /** Video twin of [[extractMediaFeatures]]: MP4/AVI container facts via the
+    * codegen'd [[VideoInfoExpr]] kernel — same relational, object-free plan. */
   def extractVideoFeatures(df: DataFrame, id: Column, bin: Column): Dataset[VideoFeatures] = {
     implicit val enc: Encoder[VideoFeatures] = Encoders.product[VideoFeatures]
-    df.select(id.cast("long").as("id"), bin.as("payload"))
-      .mapPartitions { rows: Iterator[Row] =>
-        rows.map { r =>
-          val bytes = r.getAs[Array[Byte]]("payload")
-          val info = VideoHeaders.videoInfo(bytes)
-          VideoFeatures(r.getLong(0), bytes.length.toLong,
-            info.map(_.format), info.map(_.width), info.map(_.height),
-            info.map(_.durationMs), info.map(_.nFrames).filter(_ >= 0))
-        }
-      }
+    df.select(id.cast("long").as("id"), bin.as("__p"))
+      .select(col("id"), length(col("__p")).cast("long").as("n_bytes"),
+        video_info(col("__p")).as("__v"))
+      .select(col("id"), col("n_bytes"), col("__v.format").as("format"),
+        col("__v.width").as("width"), col("__v.height").as("height"),
+        col("__v.duration_ms").as("duration_ms"),
+        col("__v.n_frames").as("n_frames"))
+      .as[VideoFeatures]
   }
 }

@@ -2210,6 +2210,27 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("feature extraction plans are object-free (no DeserializeToObject)") {
+    // the three extractors must stay relational: header kernels inside
+    // codegen next to the scan, never an object-iterator boundary
+    // a Range source (not a local Seq, which constant-folds the whole plan
+    // into a LocalTableScan) so the codegen span is visible
+    val df = spark.range(3).select(col("id"),
+      encode(concat(lit("payload "), col("id").cast("string")), "utf-8").as("bin"))
+    Seq(
+      Multimodal.extractMediaFeatures(df, col("id"), col("bin")).toDF(),
+      Multimodal.extractAudioFeatures(df, col("id"), col("bin")).toDF(),
+      Multimodal.extractVideoFeatures(df, col("id"), col("bin")).toDF()
+    ).foreach { ds =>
+      val plan = ds.queryExecution.executedPlan.toString
+      assert(!plan.contains("DeserializeToObject") && !plan.contains("MapPartitions"),
+        plan)
+      // "*(1)" = every operator fused into whole-stage-codegen span 1
+      assert(plan.linesIterator.forall(l => l.trim.isEmpty || l.contains("*(1)")),
+        plan)
+    }
+  }
+
   test("ImageHeaders parses real PNG/JPEG files and synthetic GIF/BMP headers") {
     import graft.multimodal.ImageHeaders
     def read(p: String): Array[Byte] = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
