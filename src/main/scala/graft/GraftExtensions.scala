@@ -8,8 +8,8 @@ import org.apache.spark.sql.types.{BinaryType, StringType}
 
 import graft.functions.{CanonicalizeText, ChunkTokens, CosineSimilarity, DeflateLength, Dehyphenate, FoldAccents,
   DeletionVariants, DotProduct, HashedWordShingles, MinHashBandHashes, MinHashSignature,
-  MaskPatterns, MatchedPatterns, ScriptProfile, SimHash64, TokenStats, TokenizeAscii, TopNgramStats,
-  WinnowedShingles, WordShingles, WordShinglesAll}
+  MaskPatterns, MatchedPatterns, RedactValidCards, ScriptProfile, SimHash64, TokenStats,
+  TokenizeAscii, TopNgramStats, ValidCardCount, WinnowedShingles, WordShingles, WordShinglesAll}
 import graft.multimodal.{ByteEntropy, ByteNibbleHistogram, ImageDimsExpr, VideoInfoExpr, WavInfoExpr}
 import graft.sample.Sampling
 import graft.text.Redact
@@ -158,6 +158,20 @@ object GraftExtensions {
     fn("fold_accents",
       "fold_accents(text) - NFD, drop combining marks, NFC recompose") { es =>
       arity("fold_accents", es, 1); FoldAccents(es.head)
+    },
+    fn("redact_valid_cards",
+      "redact_valid_cards(text[, token]) - replace Luhn-valid 13..19-digit " +
+        "card runs (single space/dash group separators) with token; " +
+        "checksum-failing runs pass through") { es =>
+      arity("redact_valid_cards", es, 1, 2)
+      val token =
+        if (es.length == 2) stringLit(es(1), "redact_valid_cards", "token")
+        else "[CARD]"
+      RedactValidCards(es.head, token)
+    },
+    fn("valid_card_count",
+      "valid_card_count(text) - number of Luhn-valid card runs") { es =>
+      arity("valid_card_count", es, 1); ValidCardCount(es.head)
     },
     fn("canonicalize_text",
       "canonicalize_text(text) - NFC + control strip + whitespace collapse + trim") { es =>

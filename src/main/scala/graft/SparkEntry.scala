@@ -1810,6 +1810,17 @@ object SparkEntry {
       s.read.parquet(s"$goldenDir/dehyphenate_sf001.parquet").select(col("hy_id"),
         graft.functions.vectors.dehyphenate(col("broken")).as("fixed_text"))),
 
+    // P121 Luhn-validated card redaction: maximal digit runs with single
+    // space/dash group separators redact ONLY when 13..19 digits pass the
+    // ISO/IEC 7812 mod-10 checksum — the precision upgrade over the bare
+    // digit-run regex (order ids / timestamps survive). Fixture expected
+    // values come from the independent byte-level python replication
+    // (tools/make_golden.py make_luhn_fixture).
+    "redact_cards" -> ((s, dir) =>
+      s.read.parquet(s"$goldenDir/luhn_sf001.parquet").select(col("card_id"),
+        graft.functions.vectors.redact_valid_cards(col("raw")).as("redacted"),
+        graft.functions.vectors.valid_card_count(col("raw")).as("n_cards"))),
+
     // content-defined chunking (P78): splitmix64 Gear rolling hash cuts,
     // FNV-1a 64 chunk ids — every step exact 64-bit integer arithmetic the
     // python fixture replication mirrors literally. Arrays ship as
@@ -4658,6 +4669,10 @@ object SparkEntry {
       "text_dehyphenate" ->
         ("SELECT hy_id, fixed_text " +
           s"FROM read_parquet('$goldenDir/dehyphenate_sf001.parquet')"),
+
+      "redact_cards" ->
+        ("SELECT card_id, redacted, n_cards " +
+          s"FROM read_parquet('$goldenDir/luhn_sf001.parquet')"),
 
       // identical letter/punctuation/vowel-run regex rules + the fixed IEEE
       // Flesch expression, replayed on the same planted suffix

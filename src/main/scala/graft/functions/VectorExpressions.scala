@@ -891,6 +891,97 @@ object VectorKernels extends Serializable {
   private def isAsciiLetterByte(c: Byte): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
 
+  private def isDigitByte(c: Byte): Boolean = c >= '0' && c <= '9'
+
+  /** Luhn mod-10 checksum (ISO/IEC 7812) over `d(0 until n)`, most
+    * significant digit first: double every second digit from the RIGHT,
+    * subtract 9 above 9, sum divisible by 10. */
+  private def luhnOk(d: Array[Int], n: Int): Boolean = {
+    var sum = 0
+    var i = n - 1
+    var second = false
+    while (i >= 0) {
+      var v = d(i)
+      if (second) { v *= 2; if (v > 9) v -= 9 }
+      sum += v
+      second = !second
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+
+  /** Card-candidate scan step for the Luhn kernels: starting at the digit
+    * `i0`, consume the maximal run of digit groups separated by SINGLE
+    * `' '` or `'-'` bytes; returns `(runEnd << 1) | luhnValid` where valid
+    * additionally requires 13..19 digits. Shared by redact and count so
+    * the two kernels cannot disagree on run boundaries. */
+  private def cardRun(b: Array[Byte], i0: Int): Long = {
+    val digits = new Array[Int](20)
+    var k = i0
+    var nd = 0
+    while (k < b.length && isDigitByte(b(k))) {
+      if (nd < 20) digits(nd) = b(k) - '0'
+      nd += 1; k += 1
+    }
+    while (k + 1 < b.length && (b(k) == ' ' || b(k) == '-') && isDigitByte(b(k + 1))) {
+      k += 1
+      while (k < b.length && isDigitByte(b(k))) {
+        if (nd < 20) digits(nd) = b(k) - '0'
+        nd += 1; k += 1
+      }
+    }
+    val valid = nd >= 13 && nd <= 19 && luhnOk(digits, nd)
+    (k.toLong << 1) | (if (valid) 1L else 0L)
+  }
+
+  /**
+   * Luhn-validated payment-card redaction — the precision upgrade over a
+   * bare digit-run regex ([[graft.text.Redact.LongDigitPattern]] also
+   * kills order ids, timestamps, ISBNs): a candidate is a maximal run of
+   * ASCII digit groups separated by single spaces or dashes
+   * (`4111 1111 1111 1111`, `4111-1111-1111-1111`, or unbroken), and it
+   * redacts ONLY when its 13..19 digits pass the Luhn mod-10 checksum —
+   * a random digit run passes one time in ten, so ~90% of non-card runs
+   * survive intact while every real PAN (the checksum is part of the
+   * numbering standard) is caught. Byte-level single pass; only ASCII
+   * bytes are examined, UTF-8 passes through; fully specified so the
+   * python fixture replication is bit-for-bit.
+   */
+  def redactValidCards(text: UTF8String, token: UTF8String): UTF8String = {
+    val b = text.getBytes
+    val tok = token.getBytes
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    var i = 0
+    var changed = false
+    while (i < b.length) {
+      val c = b(i)
+      if (isDigitByte(c)) {
+        val packed = cardRun(b, i)
+        val k = (packed >>> 1).toInt
+        if ((packed & 1L) == 1L) { out.write(tok, 0, tok.length); changed = true }
+        else out.write(b, i, k - i)
+        i = k
+      } else { out.write(c); i += 1 }
+    }
+    if (!changed) text else UTF8String.fromBytes(out.toByteArray)
+  }
+
+  /** Count of Luhn-valid card runs in `text` (same scan as
+    * [[redactValidCards]]). */
+  def validCardCount(text: UTF8String): Long = {
+    val b = text.getBytes
+    var i = 0
+    var count = 0L
+    while (i < b.length) {
+      if (isDigitByte(b(i))) {
+        val packed = cardRun(b, i)
+        if ((packed & 1L) == 1L) count += 1
+        i = (packed >>> 1).toInt
+      } else i += 1
+    }
+    count
+  }
+
   /**
    * Single-pass ASCII tokenizer: lowercased maximal [a-z0-9] runs, matching
    * `split(lower(text), '[^a-z0-9]+')` token identity for all inputs —
@@ -2245,6 +2336,54 @@ case class Dehyphenate(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** redact_valid_cards(text) -> text with Luhn-valid 13..19-digit card
+  * runs (groups joined by single spaces/dashes) replaced by `token`;
+  * checksum-failing digit runs pass through untouched. */
+case class RedactValidCards(child: Expression, token: String) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"redact_valid_cards expects string, got ${t.sql}")
+  }
+
+  @transient private lazy val tokenU = UTF8String.fromString(token)
+
+  override def nullSafeEval(text: Any): Any =
+    VectorKernels.redactValidCards(text.asInstanceOf[UTF8String], tokenU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cardToken", tokenU)
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorKernels.redactValidCards($a, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** valid_card_count(text) -> number of Luhn-valid card runs. */
+case class ValidCardCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"valid_card_count expects string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    VectorKernels.validCardCount(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorKernels.validCardCount($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class FoldAccents(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = child.nullable
@@ -2965,6 +3104,12 @@ object vectors {
   def fold_accents(text: Column): Column = FoldAccents(text.asExpression).asColumn
 
   def dehyphenate(text: Column): Column = Dehyphenate(text.asExpression).asColumn
+
+  def redact_valid_cards(text: Column, token: String = "[CARD]"): Column =
+    RedactValidCards(text.asExpression, token).asColumn
+
+  def valid_card_count(text: Column): Column =
+    ValidCardCount(text.asExpression).asColumn
 
   def md5_bucket_counts(text: Column, bigrams: Boolean = true): Column =
     Md5BucketCounts(text.asExpression, bigrams).asColumn

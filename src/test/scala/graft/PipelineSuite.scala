@@ -1406,6 +1406,37 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(spark.sql("SELECT dehyphenate('exam-\nple') AS c").as[String].head() == "example")
   }
 
+  test("redact_valid_cards: Luhn gate, group separators, run boundaries") {
+    def rc(s: String): (String, Long) = Seq(s).toDF("t")
+      .select(graft.functions.vectors.redact_valid_cards(col("t")).as("r"),
+        graft.functions.vectors.valid_card_count(col("t")).as("n"))
+      .as[(String, Long)].head()
+    // 4111111111111111 is Luhn-valid; ...1112 is not
+    assert(rc("pay 4111111111111111 now") == (("pay [CARD] now", 1L)))
+    assert(rc("pay 4111111111111112 now") == (("pay 4111111111111112 now", 0L)))
+    assert(rc("4111 1111 1111 1111") == (("[CARD]", 1L)))
+    assert(rc("4111-1111-1111-1111") == (("[CARD]", 1L)))
+    assert(rc("4111 1111-1111 1111") == (("[CARD]", 1L)))    // mixed single seps
+    assert(rc("4111  1111 1111 1111")._2 == 0L)              // double space splits
+    assert(rc("123456789012") == (("123456789012", 0L)))     // 12 digits: short
+    assert(rc("41111111111111110000")._2 == 0L)               // 20 digits: long
+    assert(rc("order 987654321 ts 20260816053000")._2 == 0L) // non-cards survive
+    assert(rc("a4111111111111111b") == (("a[CARD]b", 1L)))   // letter-adjacent
+    assert(rc("4111111111111111-") == (("[CARD]-", 1L)))     // trailing sep kept
+    assert(rc("x 4111111111111111 y 4111-1111-1111-1111 z")._2 == 2L)
+    assert(rc("") == (("", 0L)))
+    // custom token
+    assert(Seq("n 4111111111111111").toDF("t")
+      .select(graft.functions.vectors.redact_valid_cards(col("t"), "#").as("r"))
+      .as[String].head() == "n #")
+    // SQL registration round-trip
+    graft.GraftExtensions.registerAll(spark)
+    assert(spark.sql("SELECT redact_valid_cards('c 4111111111111111', 'X') AS r")
+      .as[String].head() == "c X")
+    assert(spark.sql("SELECT valid_card_count('4111 1111 1111 1111') AS n")
+      .as[Long].head() == 1L)
+  }
+
   test("fixMojibake: inverts cp1252 mis-decode to a fixpoint, never touches non-round-tripping text") {
     def fx(s: String): String = Seq(s).toDF("t")
       .select(graft.functions.vectors.fix_mojibake(col("t")).as("c"))

@@ -1682,6 +1682,109 @@ def make_unigram_fixture():
           f"vocab {len(final_scores)}")
 
 
+# ---------------------------------------------------------------------------
+# Luhn-validated card redaction: an independent byte-level replication of
+# VectorKernels.redactValidCards / validCardCount — maximal digit runs with
+# single ' '/'-' group separators, redacted only when 13..19 digits pass the
+# ISO/IEC 7812 mod-10 checksum.
+# ---------------------------------------------------------------------------
+def make_luhn_fixture():
+    def luhn_ok(d):
+        s, second = 0, False
+        for v in reversed(d):
+            if second:
+                v *= 2
+                if v > 9:
+                    v -= 9
+            s += v
+            second = not second
+        return s % 10 == 0
+
+    def redact_count(text, token="[CARD]"):
+        b = text.encode("utf-8")
+        tok = token.encode("utf-8")
+        out = bytearray()
+        i, cnt = 0, 0
+
+        def is_d(c):
+            return 0x30 <= c <= 0x39
+
+        while i < len(b):
+            if is_d(b[i]):
+                digits, k = [], i
+                while k < len(b) and is_d(b[k]):
+                    digits.append(b[k] - 0x30)
+                    k += 1
+                while k + 1 < len(b) and b[k] in (0x20, 0x2D) and is_d(b[k + 1]):
+                    k += 1
+                    while k < len(b) and is_d(b[k]):
+                        digits.append(b[k] - 0x30)
+                        k += 1
+                if 13 <= len(digits) <= 19 and luhn_ok(digits):
+                    out += tok
+                    cnt += 1
+                else:
+                    out += b[i:k]
+                i = k
+            else:
+                out.append(b[i])
+                i += 1
+        return bytes(out).decode("utf-8"), cnt
+
+    def with_check(body):  # append the Luhn check digit to a digit string
+        d = [int(c) for c in body]
+        for c in range(10):
+            if luhn_ok(d + [c]):
+                return body + str(c)
+        raise AssertionError("unreachable")
+
+    v16 = with_check("411111111111111")         # classic Visa test PAN
+    v13 = with_check("401288888888")            # 13-digit legacy Visa length
+    v19 = with_check("621483012345678901")      # 19-digit UnionPay length
+    bad16 = v16[:-1] + str((int(v16[-1]) + 1) % 10)  # checksum off by one
+    grp = " ".join([v16[j:j + 4] for j in range(0, 16, 4)])
+    dashed = "-".join([v16[j:j + 4] for j in range(0, 16, 4)])
+    planted = [
+        "no digits here",
+        f"pay with {v16} today",                  # unbroken valid
+        f"grouped {grp} form",                     # single-space groups
+        f"dashed {dashed} form",                   # single-dash groups
+        f"mixed {v16[:4]} {v16[4:8]}-{v16[8:12]} {v16[12:]} separators",
+        f"bad checksum {bad16} stays",
+        f"short 123456789012 stays",               # 12 digits: too short
+        f"long {v16}0000 stays",                   # 20 digits: too long
+        f"thirteen {v13} and nineteen {v19}",      # both lengths valid
+        f"double  gap {v16[:8]}  {v16[8:]} splits the run",
+        f"letter-adjacent {v16}x still a full run",
+        "timestamp 20260816053000 is not a card",
+        f"two cards {v16} and {dashed} count twice",
+        f"trailing sep {v16}- keeps the dash",
+    ]
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    ids, raw, red, ncards = [], [], [], []
+    for i, p in enumerate(planted):
+        ids.append(int(-(i + 1)))
+        r, c = redact_count(p)
+        raw.append(p); red.append(r); ncards.append(c)
+    suffix = (f"\ncard {grp} order 987654321 ref {bad16} "
+              f"acct {v13} ts 20260816053000")
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        t = (text or "") + suffix
+        r, c = redact_count(t)
+        ids.append(int(doc_id))
+        raw.append(t); red.append(r); ncards.append(c)
+    table = pa.table({
+        "card_id": pa.array(ids, pa.int64()),
+        "raw": pa.array(raw, pa.string()),
+        "redacted": pa.array(red, pa.string()),
+        "n_cards": pa.array(ncards, pa.int64()),
+    })
+    pq.write_table(table, f"{OUT}/luhn_sf001.parquet")
+    print(f"luhn_sf001.parquet: {len(ids)} rows, "
+          f"{sum(1 for c in ncards if c)} rows with cards")
+
+
 if __name__ == "__main__":
     make_images_fixture()
     make_audio_fixture()
@@ -1698,4 +1801,5 @@ if __name__ == "__main__":
     make_url_fixture()
     make_deflate_fixture()
     make_mask_fixture()
+    make_luhn_fixture()
     make_ann_goldens()
