@@ -8,8 +8,9 @@ import org.apache.spark.sql.types.{BinaryType, StringType}
 
 import graft.functions.{CanonicalizeText, ChunkTokens, CosineSimilarity, DeflateLength, Dehyphenate, FoldAccents,
   DeletionVariants, DotProduct, HashedWordShingles, MinHashBandHashes, MinHashSignature,
-  MaskPatterns, MatchedPatterns, RedactValidCards, ScriptProfile, SimHash64, TokenStats,
-  TokenizeAscii, TopNgramStats, ValidCardCount, WinnowedShingles, WordShingles, WordShinglesAll}
+  JaroWinklerFp, MaskPatterns, MatchedPatterns, RedactValidCards, ScriptProfile, SimHash64,
+  Soundex4, TokenStats, TokenizeAscii, TopNgramStats, ValidCardCount, WinnowedShingles,
+  WordShingles, WordShinglesAll}
 import graft.multimodal.{ByteEntropy, ByteNibbleHistogram, ImageDimsExpr, VideoInfoExpr, WavInfoExpr}
 import graft.sample.Sampling
 import graft.text.Redact
@@ -172,6 +173,16 @@ object GraftExtensions {
     fn("valid_card_count",
       "valid_card_count(text) - number of Luhn-valid card runs") { es =>
       arity("valid_card_count", es, 1); ValidCardCount(es.head)
+    },
+    fn("soundex4",
+      "soundex4(text) - 4-char American Soundex phonetic code " +
+        "('0000' when no ASCII letter)") { es =>
+      arity("soundex4", es, 1); Soundex4(es.head)
+    },
+    fn("jaro_winkler_fp",
+      "jaro_winkler_fp(a, b) - floor(jaro_winkler(a, b) * 2^20), exact " +
+        "integer arithmetic (engine-portable accept/reject)") { es =>
+      arity("jaro_winkler_fp", es, 2); JaroWinklerFp(es.head, es(1))
     },
     fn("canonicalize_text",
       "canonicalize_text(text) - NFC + control strip + whitespace collapse + trim") { es =>

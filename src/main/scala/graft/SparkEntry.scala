@@ -1578,6 +1578,18 @@ object SparkEntry {
       graft.join.FuzzyJoin.editDistance1Pairs(
         t(s, dir, "customer"), col("c_custkey"), col("c_name"))),
 
+    // P122 record linkage: soundex-blocked candidates verified with exact
+    // fixed-point Jaro-Winkler (floor(jw * 2^20), pure integer algebra).
+    // The fixture carries the input names AND the expected pairs, both
+    // produced by the independent python replication of the full
+    // block-join + greedy-Jaro spec (tools/make_golden.py).
+    "record_linkage" -> ((s, dir) => {
+      val inp = s.read.parquet(s"$goldenDir/linkage_input_sf001.parquet")
+      graft.join.Linkage.linkRecords(
+        inp.filter(col("side") === "L"), inp.filter(col("side") === "R"),
+        col("rec_id"), col("name"), col("rec_id"), col("name"))
+    }),
+
     // sequence packing: where each doc lands in the fixed-capacity token
     // stream — global prefix sum via the three-phase plan (no
     // single-partition window), seq id/offset by integer division
@@ -4673,6 +4685,10 @@ object SparkEntry {
       "redact_cards" ->
         ("SELECT card_id, redacted, n_cards " +
           s"FROM read_parquet('$goldenDir/luhn_sf001.parquet')"),
+
+      "record_linkage" ->
+        ("SELECT id_a, id_b, score_fp " +
+          s"FROM read_parquet('$goldenDir/linkage_pairs_sf001.parquet')"),
 
       // identical letter/punctuation/vowel-run regex rules + the fixed IEEE
       // Flesch expression, replayed on the same planted suffix

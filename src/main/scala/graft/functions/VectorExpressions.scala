@@ -966,6 +966,110 @@ object VectorKernels extends Serializable {
     if (!changed) text else UTF8String.fromBytes(out.toByteArray)
   }
 
+  /**
+   * American Soundex, 4 characters, fully specified for cross-engine
+   * replay: only ASCII letters participate (every other byte is skipped and
+   * does NOT reset the run state); lead letter uppercased; codes BFPV→1
+   * CGJKQSXZ→2 DT→3 L→4 MN→5 R→6; vowels AEIOUY separate equal codes; H/W
+   * are transparent (equal codes across them collapse); zero-padded. No
+   * ASCII letter at all → "0000".
+   */
+  def soundex4(text: UTF8String): UTF8String = {
+    val b = text.getBytes
+    var i = 0
+    while (i < b.length && !isAsciiLetterByte(b(i))) i += 1
+    if (i == b.length) return UTF8String.fromString("0000")
+    val out = new Array[Byte](4)
+    val lead = (if (b(i) >= 'a') b(i) - 32 else b(i).toInt).toByte
+    out(0) = lead
+    var n = 1
+    var lastCode = sdxCode(lead)
+    i += 1
+    while (i < b.length && n < 4) {
+      val c = b(i)
+      if (isAsciiLetterByte(c)) {
+        val code = sdxCode((if (c >= 'a') c - 32 else c.toInt).toByte)
+        if (code == 0) lastCode = 0            // vowel: separator
+        else if (code != 7) {                   // 7 = H/W: transparent
+          if (code != lastCode) { out(n) = ('0' + code).toByte; n += 1 }
+          lastCode = code
+        }
+      }
+      i += 1
+    }
+    while (n < 4) { out(n) = '0'; n += 1 }
+    UTF8String.fromBytes(out)
+  }
+
+  private def sdxCode(u: Byte): Int = (u: @annotation.switch) match {
+    case 'B' | 'F' | 'P' | 'V' => 1
+    case 'C' | 'G' | 'J' | 'K' | 'Q' | 'S' | 'X' | 'Z' => 2
+    case 'D' | 'T' => 3
+    case 'L' => 4
+    case 'M' | 'N' => 5
+    case 'R' => 6
+    case 'H' | 'W' => 7
+    case _ => 0 // A E I O U Y
+  }
+
+  /**
+   * Jaro-Winkler similarity as EXACT fixed point `floor(jw · 2^20)` — every
+   * intermediate is integer arithmetic (the [[graft.search.Mining]]
+   * fixed-point discipline), so two engines replaying the fully specified
+   * algorithm agree bit for bit where an IEEE formulation differs in the
+   * last ulp across libm/summation orders.
+   *
+   * Spec (unicode CODE POINTS, first 512 each): match window
+   * `max(l1,l2)/2 − 1` (floor, min 0); greedy left-to-right first-unused
+   * matching; t2 = mismatched positions between the matched sequences
+   * (twice the classic transposition count); `jaro = (m/l1 + m/l2 +
+   * (m − t2/2)/m)/3` cross-multiplied to integers; Winkler prefix boost
+   * `p = 1/10`, prefix capped at 4, no boost threshold:
+   * `jw = ((10−ℓ)·jaro + ℓ)/10`. Both empty → 2^20; one empty or no
+   * match → 0.
+   */
+  def jaroWinklerFp(a: UTF8String, b: UTF8String): Long = {
+    val s1raw = a.toString.codePoints().toArray
+    val s2raw = b.toString.codePoints().toArray
+    val s1 = if (s1raw.length > 512) java.util.Arrays.copyOf(s1raw, 512) else s1raw
+    val s2 = if (s2raw.length > 512) java.util.Arrays.copyOf(s2raw, 512) else s2raw
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 && l2 == 0) return 1L << 20
+    if (l1 == 0 || l2 == 0) return 0L
+    val w = math.max(0, math.max(l1, l2) / 2 - 1)
+    val used = new Array[Boolean](l2)
+    val m1 = new Array[Int](math.min(l1, l2))
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      var j = math.max(0, i - w)
+      val hi = math.min(l2 - 1, i + w)
+      var found = false
+      while (!found && j <= hi) {
+        if (!used(j) && s2(j) == s1(i)) {
+          used(j) = true; m1(m) = s1(i); m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0L
+    var t2 = 0
+    var k = 0
+    var j = 0
+    while (j < l2) {
+      if (used(j)) { if (s2(j) != m1(k)) t2 += 1; k += 1 }
+      j += 1
+    }
+    val jaroNum = 2L * m * m * l2 + 2L * m * m * l1 + (2L * m - t2) * l1 * l2
+    val jaroDen = 6L * l1 * l2 * m
+    var ell = 0
+    while (ell < 4 && ell < l1 && ell < l2 && s1(ell) == s2(ell)) ell += 1
+    val jwNum = (10L - ell) * jaroNum + ell * jaroDen
+    (jwNum << 20) / (10L * jaroDen)
+  }
+
   /** Count of Luhn-valid card runs in `text` (same scan as
     * [[redactValidCards]]). */
   def validCardCount(text: UTF8String): Long = {
@@ -2363,6 +2467,51 @@ case class RedactValidCards(child: Expression, token: String) extends UnaryExpre
     copy(child = newChild)
 }
 
+/** soundex4(text) -> 4-char American Soundex code ("0000" when no ASCII
+  * letter) — the classic phonetic blocking key for record linkage. */
+case class Soundex4(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"soundex4 expects string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    VectorKernels.soundex4(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorKernels.soundex4($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** jaro_winkler_fp(a, b) -> floor(jaro_winkler(a, b) * 2^20) in exact
+  * integer arithmetic (engine-portable; see VectorKernels.jaroWinklerFp). */
+case class JaroWinklerFp(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"jaro_winkler_fp expects string inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.jaroWinklerFp(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorKernels.jaroWinklerFp($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** valid_card_count(text) -> number of Luhn-valid card runs. */
 case class ValidCardCount(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -3110,6 +3259,11 @@ object vectors {
 
   def valid_card_count(text: Column): Column =
     ValidCardCount(text.asExpression).asColumn
+
+  def soundex4(text: Column): Column = Soundex4(text.asExpression).asColumn
+
+  def jaro_winkler_fp(a: Column, b: Column): Column =
+    JaroWinklerFp(a.asExpression, b.asExpression).asColumn
 
   def md5_bucket_counts(text: Column, bigrams: Boolean = true): Column =
     Md5BucketCounts(text.asExpression, bigrams).asColumn

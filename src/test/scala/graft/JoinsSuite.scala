@@ -299,4 +299,64 @@ class JoinsSuite extends AnyFunSuite with SparkTest {
         s"signature shuffle must be built once and reused:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("soundex4 matches the classic reference codes") {
+    def sx(s: String): String = Seq(s).toDF("t")
+      .select(graft.functions.vectors.soundex4(col("t")).as("c")).as[String].head()
+    // canonical examples from the Soundex literature
+    assert(sx("Robert") == "R163" && sx("Rupert") == "R163")
+    assert(sx("Ashcraft") == "A261")        // H transparent: S-C collapse
+    assert(sx("Tymczak") == "T522")         // vowel separates equal codes
+    assert(sx("Pfister") == "P236")         // adjacent same-code collapse
+    assert(sx("Honeyman") == "H555")
+    assert(sx("jon") == "J500" && sx("John") == "J500")
+    assert(sx("  42! ") == "0000")          // no ASCII letter
+    assert(sx("Smith 99 Jones") == "S532")  // digits skipped, no state reset
+  }
+
+  test("jaro_winkler_fp: exact fixed-point values for hand-checked cases") {
+    def jw(a: String, b: String): Long = Seq((a, b)).toDF("a", "b")
+      .select(graft.functions.vectors.jaro_winkler_fp(col("a"), col("b")).as("v"))
+      .as[Long].head()
+    assert(jw("abc", "abc") == (1L << 20))
+    assert(jw("", "") == (1L << 20))
+    assert(jw("abc", "") == 0L && jw("", "abc") == 0L)
+    assert(jw("abc", "xyz") == 0L)
+    // MARTHA/MARHTA: m=6, t2=2, jaro=(1+1+5/6)/3=17/18; l=3, p=.1
+    // jw = 17/18 + 3/10 * 1/18 = 173/180 (the textbook 0.961)
+    assert(jw("MARTHA", "MARHTA") == 173L * (1L << 20) / 180L)
+    // DWAYNE/DUANE: m=4, t2=0, jaro=(4/6+4/5+1)/3=37/45; l=1
+    // jw = (9*37/45 + 1)/10 = 0.84
+    assert(jw("DWAYNE", "DUANE") == (9L * 37 * (1L << 20) / 45 + (1L << 20)) / 10)
+    assert(jw("jon", "john") > graft.join.Linkage.DefaultMinScoreFp)
+    assert(jw("robert", "rupert") < graft.join.Linkage.DefaultMinScoreFp)
+    // SQL registration round-trip
+    graft.GraftExtensions.registerAll(spark)
+    assert(spark.sql("SELECT soundex4('Robert') AS c").as[String].head() == "R163")
+    assert(spark.sql("SELECT jaro_winkler_fp('abc','abc') AS v").as[Long].head() == (1L << 20))
+  }
+
+  test("linkRecords blocks phonetically and fails fast on a degenerate block") {
+    val left = Seq((1L, "Jonathan Smith"), (2L, "Margaret Chen"), (3L, "Zz Top"))
+      .toDF("id", "name")
+    val right = Seq((10L, "Jonathon Smith"), (11L, "Margaret Che"), (12L, "Aa Bottom"))
+      .toDF("id", "name")
+    val got = graft.join.Linkage.linkRecords(left, right,
+        col("id"), col("name"), col("id"), col("name"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 11L)))
+    // a pair above threshold but in DIFFERENT blocks is (by design) not found
+    val far = graft.join.Linkage.linkRecords(
+      Seq((1L, "aeiou")).toDF("id", "name"), Seq((2L, "xeiou")).toDF("id", "name"),
+      col("id"), col("name"), col("id"), col("name"), minScoreFp = 0L)
+    assert(far.count() == 0)
+    // degenerate block: identical synthetic names blow the pair cap
+    val e = intercept[IllegalArgumentException] {
+      graft.join.Linkage.linkRecords(
+        spark.range(100).select(col("id"), lit("Customer#000").as("name")),
+        spark.range(100).select(col("id"), lit("Customer#001").as("name")),
+        col("id"), col("name"), col("id"), col("name"), maxBlockPairs = 1000L)
+    }
+    assert(e.getMessage.contains("phonetic key"), e.getMessage)
+  }
 }

@@ -1785,6 +1785,120 @@ def make_luhn_fixture():
           f"{sum(1 for c in ncards if c)} rows with cards")
 
 
+# ---------------------------------------------------------------------------
+# Record linkage: an independent python replication of VectorKernels.soundex4
+# (blocking) + jaroWinklerFp (exact fixed-point verify) + the Linkage block
+# join — input names AND expected matched pairs both live in the fixtures.
+# ---------------------------------------------------------------------------
+def make_linkage_fixture():
+    SDX = {**{c: 1 for c in "BFPV"}, **{c: 2 for c in "CGJKQSXZ"},
+           **{c: 3 for c in "DT"}, "L": 4, "M": 5, "N": 5, "R": 6,
+           "H": 7, "W": 7}
+
+    def soundex4(s):
+        letters = [c.upper() for c in s if c.isascii() and c.isalpha()]
+        if not letters:
+            return "0000"
+        out = [letters[0]]
+        last = SDX.get(letters[0], 0)
+        for c in letters[1:]:
+            if len(out) >= 4:
+                break
+            code = SDX.get(c, 0)
+            if code == 0:
+                last = 0
+            elif code != 7:
+                if code != last:
+                    out.append(str(code))
+                last = code
+        return "".join(out).ljust(4, "0")
+
+    def jw_fp(a, b):
+        s1, s2 = [ord(c) for c in a][:512], [ord(c) for c in b][:512]
+        l1, l2 = len(s1), len(s2)
+        if l1 == 0 and l2 == 0:
+            return 1 << 20
+        if l1 == 0 or l2 == 0:
+            return 0
+        w = max(0, max(l1, l2) // 2 - 1)
+        used = [False] * l2
+        m1 = []
+        for i, c in enumerate(s1):
+            for j in range(max(0, i - w), min(l2 - 1, i + w) + 1):
+                if not used[j] and s2[j] == c:
+                    used[j] = True
+                    m1.append(c)
+                    break
+        m = len(m1)
+        if m == 0:
+            return 0
+        m2 = [s2[j] for j in range(l2) if used[j]]
+        t2 = sum(1 for x, y in zip(m1, m2) if x != y)
+        jaro_num = 2 * m * m * l2 + 2 * m * m * l1 + (2 * m - t2) * l1 * l2
+        jaro_den = 6 * l1 * l2 * m
+        ell = 0
+        while ell < 4 and ell < l1 and ell < l2 and s1[ell] == s2[ell]:
+            ell += 1
+        jw_num = (10 - ell) * jaro_num + ell * jaro_den
+        return (jw_num << 20) // (10 * jaro_den)
+
+    hand = ["Jonathan Smith", "Katherine Bailey", "Gregory Watson",
+            "Robert Miller", "Margaret Chen", "William Harper",
+            "Elizabeth Turner", "Christopher Lane", "Veronica Steele",
+            "Frederick Moss", "Dolores Winter", "Maximilian Frost",
+            "Jon Smith", "Rupert Miller", "Benedict Clarke",
+            "Anastasia Volkov", "Theodore Grant", "Penelope Marsh"]
+    left, right = [], []          # (rec_id, name)
+    for i, name in enumerate(hand):
+        left.append((i, name))
+        if i % 2 == 0:            # drop one interior char: near-dup variant
+            pos = 1 + (i % (len(name) - 2))
+            right.append((10000 + i, name[:pos] + name[pos + 1:]))
+        if i % 3 == 0:            # swap two interior chars
+            p = 2 + (i % (len(name) - 3))
+            right.append((20000 + i,
+                          name[:p] + name[p + 1] + name[p] + name[p + 2:]))
+    right += [(30000, "Quincy Abernathy"), (30001, "Xiomara Quintero"),
+              (30002, "Jhon Smith"), (30003, "Katherin Baily")]
+    # volume: two-token names from the documents table; every third doc
+    # contributes a one-char-dropped variant on the right
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        toks = [t for t in (text or "").split() if t][:2]
+        if len(toks) < 2:
+            continue
+        name = " ".join(t.capitalize() for t in toks)
+        left.append((100000 + int(doc_id), name))
+        if doc_id % 3 == 0 and len(name) > 4:
+            pos = 1 + (int(doc_id) % (len(name) - 2))
+            right.append((200000 + int(doc_id), name[:pos] + name[pos + 1:]))
+    # expected pairs: replicate the block join + threshold exactly
+    min_fp = int(0.92 * (1 << 20))
+    by_blk = {}
+    for rid, name in right:
+        by_blk.setdefault(soundex4(name), []).append((rid, name))
+    pairs = []
+    for lid, lname in left:
+        for rid, rname in by_blk.get(soundex4(lname), []):
+            fp = jw_fp(lname, rname)
+            if fp >= min_fp:
+                pairs.append((lid, rid, fp))
+    rows = ([("L", rid, name) for rid, name in left] +
+            [("R", rid, name) for rid, name in right])
+    pq.write_table(pa.table({
+        "side": pa.array([r[0] for r in rows], pa.string()),
+        "rec_id": pa.array([r[1] for r in rows], pa.int64()),
+        "name": pa.array([r[2] for r in rows], pa.string()),
+    }), f"{OUT}/linkage_input_sf001.parquet")
+    pq.write_table(pa.table({
+        "id_a": pa.array([p[0] for p in pairs], pa.int64()),
+        "id_b": pa.array([p[1] for p in pairs], pa.int64()),
+        "score_fp": pa.array([p[2] for p in pairs], pa.int64()),
+    }), f"{OUT}/linkage_pairs_sf001.parquet")
+    print(f"linkage fixtures: {len(rows)} records, {len(pairs)} expected pairs")
+
+
 if __name__ == "__main__":
     make_images_fixture()
     make_audio_fixture()
@@ -1802,4 +1916,5 @@ if __name__ == "__main__":
     make_deflate_fixture()
     make_mask_fixture()
     make_luhn_fixture()
+    make_linkage_fixture()
     make_ann_goldens()
