@@ -1537,6 +1537,19 @@ object SparkEntry {
         MinRows(100)))
     }),
 
+    // P123 referential-integrity audit: orphan fact rows against each
+    // dimension via one column-pruned anti join per rule (the reference is
+    // never collected). Third rule plants violations: odd orderkeys
+    // vanish from the parent, so their lineitems orphan.
+    "integrity_checks" -> ((s, dir) => {
+      import graft.agg.Checks.Check._
+      graft.agg.Checks.run(t(s, dir, "lineitem"), Seq(
+        ForeignKey("l_orderkey", t(s, dir, "orders"), "o_orderkey"),
+        ForeignKey("l_suppkey", t(s, dir, "supplier"), "s_suppkey"),
+        ForeignKey("l_orderkey",
+          t(s, dir, "orders").filter(col("o_orderkey") % 2 === 0), "o_orderkey")))
+    }),
+
     // key-skew pre-flight: the heaviest join/agg keys with their share of
     // the table — the report you run before committing a 100 TB shuffle key
     "skew_report" -> ((s, dir) =>
@@ -4095,6 +4108,25 @@ object SparkEntry {
           "COUNT(CASE WHEN o_orderstatus IS NOT NULL THEN 1 END) >= 1.0 FROM orders " +
           "UNION ALL SELECT 'min_rows', '', CAST(COUNT(*) AS DOUBLE), 100.0, " +
           "COUNT(*) >= 100 FROM orders)"),
+
+      "integrity_checks" ->
+        ("SELECT * FROM (" +
+          "SELECT 'foreign_key' AS rule, 'l_orderkey' AS \"column\", " +
+          "CAST((SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL " +
+          "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS DOUBLE) AS metric, " +
+          "0.0 AS threshold, " +
+          "(SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL " +
+          "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0 AS pass " +
+          "UNION ALL SELECT 'foreign_key', 'l_suppkey', " +
+          "CAST((SELECT COUNT(*) FROM lineitem l WHERE l.l_suppkey IS NOT NULL " +
+          "AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) AS DOUBLE), 0.0, " +
+          "(SELECT COUNT(*) FROM lineitem l WHERE l.l_suppkey IS NOT NULL " +
+          "AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) = 0 " +
+          "UNION ALL SELECT 'foreign_key', 'l_orderkey', " +
+          "CAST((SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL " +
+          "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey % 2 = 0 AND o.o_orderkey = l.l_orderkey)) AS DOUBLE), 0.0, " +
+          "(SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL " +
+          "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey % 2 = 0 AND o.o_orderkey = l.l_orderkey)) = 0)"),
 
       "skew_report" ->
         ("SELECT user_id AS key, cnt, CAST(cnt AS DOUBLE) / total AS share, " +

@@ -35,6 +35,12 @@ object Checks {
     /** No duplicate non-null values; metric = duplicate count (rows minus
       * distinct). */
     case class Unique(column: String) extends Check
+    /** Referential integrity: every non-null `column` value must exist in
+      * `ref`'s `refColumn` (the dimension/parent table); metric = orphan
+      * ROW count. One column-pruned anti join per rule — the reference is
+      * never collected, so a corpus-sized parent table is fine; Spark
+      * broadcasts it only when its own stats say so. */
+    case class ForeignKey(column: String, ref: DataFrame, refColumn: String) extends Check
   }
 
   /** Resolve a rule column's type through analysis, not StructType.apply —
@@ -86,6 +92,8 @@ object Checks {
     import Check._
     require(!checks.exists(_.isInstanceOf[Unique]),
       "Unique needs cross-batch distinctness - not expressible as a per-batch observe metric")
+    require(!checks.exists(_.isInstanceOf[ForeignKey]),
+      "ForeignKey needs a join against the reference - not expressible as an observe metric")
     val n = count(lit(1))
     val cols = checks.zipWithIndex.flatMap { case (c, i) =>
       val (metric, pass) = c match {
@@ -104,6 +112,7 @@ object Checks {
           (frac, frac >= minFrac)
         case MinRows(minRows) => (n.cast("double"), n >= minRows)
         case u: Unique => throw new IllegalStateException(s"unreachable: $u")
+        case f: ForeignKey => throw new IllegalStateException(s"unreachable: $f")
       }
       Seq(metric.as(s"rule_${i}_metric"), pass.as(s"rule_${i}_pass"))
     }
@@ -128,6 +137,7 @@ object Checks {
           count(when(col(c).isNotNull && col(c).rlike(p), lit(1))).as(s"__a$i"))
       case (_: MinRows, _) => Seq.empty
       case (_: Unique, _) => Seq.empty
+      case (_: ForeignKey, _) => Seq.empty
     }
     val head = df.agg(scalarAggs.head, scalarAggs.tail: _*).head()
     val n = head.getAs[Long]("__n")
@@ -139,6 +149,17 @@ object Checks {
           count(col(c)).as("__cnt"),
           count_distinct(col(c)).as("__dist")).head()
         i -> ((r.getAs[Long]("__cnt"), r.getAs[Long]("__dist")))
+    }.toMap
+
+    // one column-pruned anti join per ForeignKey rule: rows of df whose key
+    // has no partner in the reference. Null keys are NOT orphans (SQL FK
+    // semantics); the reference is filtered the same way so a null there
+    // never "matches" anything either.
+    val fkOrphans: Map[Int, Long] = checks.zipWithIndex.collect {
+      case (ForeignKey(c, ref, rc), i) =>
+        i -> df.select(col(c)).filter(col(c).isNotNull)
+          .join(ref.select(col(rc).as(c)).filter(col(c).isNotNull), Seq(c), "left_anti")
+          .count()
     }.toMap
 
     val rows = checks.zipWithIndex.map {
@@ -159,6 +180,9 @@ object Checks {
       case (Unique(c), i) =>
         val (cnt, dist) = uniqueCounts(i)
         ("unique", c, (cnt - dist).toDouble, 0.0, cnt == dist)
+      case (ForeignKey(c, _, _), i) =>
+        val orphans = fkOrphans(i)
+        ("foreign_key", c, orphans.toDouble, 0.0, orphans == 0L)
     }
     import spark.implicits._
     rows.toDF("rule", "column", "metric", "threshold", "pass")

@@ -128,6 +128,33 @@ class AggOpsSuite extends AnyFunSuite with SparkTest {
     assert(scalarOnly.count() == 3)
   }
 
+  test("Checks ForeignKey: orphan rows counted, nulls exempt, observe rejects") {
+    import graft.agg.Checks
+    import graft.agg.Checks.Check._
+    val fact = Seq(
+      (1, Some(10)), (2, Some(10)), (3, Some(20)),
+      (4, Some(99)), (5, Some(99)), (6, Option.empty[Int])
+    ).toDF("id", "fk")
+    val dim = Seq(10, 20, 30).toDF("k")
+    val got = Checks.run(fact, Seq(ForeignKey("fk", dim, "k")))
+      .as[(String, String, Double, Double, Boolean)].collect().toSeq
+    // two rows point at 99 (absent), the null row is NOT an orphan
+    assert(got == Seq(("foreign_key", "fk", 2.0, 0.0, false)))
+    val clean = Checks.run(fact.filter($"fk" =!= 99 || $"fk".isNull),
+      Seq(ForeignKey("fk", dim, "k")))
+      .select("pass").as[Boolean].head()
+    assert(clean)
+    // a null in the REFERENCE never matches anything
+    val nullRef = Seq(Option.empty[Int], Some(10)).toDF("k")
+    val viaNullRef = Checks.run(Seq((1, Some(42))).toDF("id", "fk"),
+      Seq(ForeignKey("fk", nullRef, "k")))
+      .select("metric").as[Double].head()
+    assert(viaNullRef == 1.0)
+    intercept[IllegalArgumentException] {
+      Checks.observeChecks(fact, "obs", Seq(ForeignKey("fk", dim, "k")))
+    }
+  }
+
   test("Checks edge cases: all-null regex column, empty table, null-only range") {
     import graft.agg.Checks
     import graft.agg.Checks.Check._
