@@ -85,6 +85,39 @@ object SparkEntry {
         throw new IllegalStateException(s"unsupported events.ts type: $other")
     }
 
+  /** Deterministic chat-transcript fixture over a document row — the SAME
+    * expression the DuckDB chat oracles rebuild: a system turn plus two
+    * turns from text slices, then a planted violation (doc_id %13 a
+    * double-user break, %17 a role-less line) or a clean closing pair. */
+  private def chatTranscript(docId: Column, text: Column): Column = {
+    val t0 = concat(lit("system: be concise\nuser: "), substring(text, 1, 40),
+      lit("\nassistant: "), substring(text, 41, 40))
+    when(docId % 13 === 0, concat(t0, lit("\nuser: one more\nuser: double user")))
+      .when(docId % 17 === 0, concat(t0, lit("\nbad line no colon")))
+      .otherwise(concat(t0, lit("\nuser: follow up\nassistant: done")))
+  }
+
+  /** Shared CTE chain for the chat oracles: transcript -> lines -> parsed
+    * turns with whitespace token counts (the exact [[graft.text.Chat]]
+    * parse, re-expressed in DuckDB SQL). */
+  private val chatTurnsCte: String =
+    "t AS (SELECT doc_id, 'system: be concise' || chr(10) || 'user: ' || " +
+      "substr(text, 1, 40) || chr(10) || 'assistant: ' || substr(text, 41, 40) || " +
+      "CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'user: one more' || chr(10) || 'user: double user' " +
+      "WHEN doc_id % 17 = 0 THEN chr(10) || 'bad line no colon' " +
+      "ELSE chr(10) || 'user: follow up' || chr(10) || 'assistant: done' END AS tr " +
+      "FROM documents), " +
+      "pp AS (SELECT doc_id, string_split(tr, chr(10)) AS parts FROM t), " +
+      "lines AS (SELECT doc_id, CAST(r.i - 1 AS BIGINT) AS turn_idx, parts[r.i] AS l " +
+      "FROM pp, unnest(range(1, len(parts) + 1)) AS r(i)), " +
+      "turns AS (SELECT doc_id, turn_idx, " +
+      "regexp_extract(l, '^(system|user|assistant|tool): ', 1) AS role, " +
+      "CASE WHEN regexp_extract(l, '^(system|user|assistant|tool): ', 1) <> '' " +
+      "THEN substr(l, length(regexp_extract(l, '^(system|user|assistant|tool): ', 1)) + 3) " +
+      "ELSE l END AS content FROM lines), " +
+      "tt AS (SELECT doc_id, turn_idx, role, content, " +
+      "CAST(len(regexp_extract_all(content, '\\S+')) AS BIGINT) AS n_tokens FROM turns)"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("diff_orders")(spark, "/root/testdata/sf0.001")
@@ -1535,6 +1568,27 @@ object SparkEntry {
         InRange("o_custkey", 1, 1e9),
         MatchesRegex("o_orderstatus", "^[FOP]$"),
         MinRows(100)))
+    }),
+
+    // P124 chat-transcript audit: per-conversation turn parse + the strict
+    // SFT alternation contract (leading system only, user/assistant
+    // alternation, no invalid lines). Transcripts built deterministically
+    // from documents with planted violations: %13 double-user, %17 a line
+    // with no role prefix.
+    "chat_turns" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Chat.chatStats(
+        docs, col("doc_id"), chatTranscript(col("doc_id"), col("text")))
+    }),
+
+    // P124b context-window trimming: keep the LAST turns fitting a token
+    // budget, never splitting a turn, leading system turn always pinned
+    // (its tokens charge the budget first). One framed window per
+    // conversation; kept = suffix_sum <= remaining budget.
+    "chat_truncate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Chat.truncateToBudget(
+        docs, col("doc_id"), chatTranscript(col("doc_id"), col("text")), budget = 16L)
     }),
 
     // P123 referential-integrity audit: orphan fact rows against each
@@ -4108,6 +4162,33 @@ object SparkEntry {
           "COUNT(CASE WHEN o_orderstatus IS NOT NULL THEN 1 END) >= 1.0 FROM orders " +
           "UNION ALL SELECT 'min_rows', '', CAST(COUNT(*) AS DOUBLE), 100.0, " +
           "COUNT(*) >= 100 FROM orders)"),
+
+      "chat_turns" ->
+        (s"WITH $chatTurnsCte " +
+          "SELECT doc_id AS id, COUNT(*) AS n_turns, " +
+          "COUNT(CASE WHEN role = 'user' THEN 1 END) AS n_user, " +
+          "COUNT(CASE WHEN role = 'assistant' THEN 1 END) AS n_assistant, " +
+          "COUNT(CASE WHEN role = '' THEN 1 END) AS n_invalid, " +
+          "(COUNT(CASE WHEN role = '' THEN 1 END) = 0 AND " +
+          "COUNT(CASE WHEN role = 'tool' THEN 1 END) = 0 AND " +
+          "COUNT(CASE WHEN role = 'system' AND turn_idx > 0 THEN 1 END) = 0 AND " +
+          "COUNT(CASE WHEN role IN ('user', 'assistant') AND " +
+          "(((turn_idx - has_sys) % 2 = 0 AND role <> 'user') OR " +
+          "((turn_idx - has_sys) % 2 = 1 AND role <> 'assistant')) THEN 1 END) = 0" +
+          ") AS alternation_ok " +
+          "FROM (SELECT *, MAX(CASE WHEN turn_idx = 0 AND role = 'system' " +
+          "THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id) AS has_sys FROM tt) " +
+          "GROUP BY doc_id"),
+
+      "chat_truncate" ->
+        (s"WITH $chatTurnsCte " +
+          "SELECT doc_id AS id, turn_idx, role, n_tokens, " +
+          "CASE WHEN turn_idx = 0 AND role = 'system' THEN TRUE " +
+          "ELSE suffix <= 16 - COALESCE(sys_tokens, 0) END AS kept " +
+          "FROM (SELECT *, SUM(n_tokens) OVER (PARTITION BY doc_id " +
+          "ORDER BY turn_idx DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS suffix, " +
+          "MAX(CASE WHEN turn_idx = 0 AND role = 'system' THEN n_tokens END) " +
+          "OVER (PARTITION BY doc_id) AS sys_tokens FROM tt)"),
 
       "integrity_checks" ->
         ("SELECT * FROM (" +

@@ -1,5 +1,56 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, lit}
+
+class ChatSuite extends org.scalatest.funsuite.AnyFunSuite with SparkTest {
+  import spark.implicits._
+  import graft.text.Chat
+
+  test("parseTurns: roles, offsets, invalid marker, empty content") {
+    val turns = Seq("system: be brief\nuser: hi there\nassistant: \nnope\ntool: x: y")
+      .toDF("t").select(Chat.parseTurns(col("t")).as("turns"))
+      .selectExpr("inline(turns)")
+      .as[(String, String)].collect().toSeq
+    assert(turns == Seq(
+      ("system", "be brief"), ("user", "hi there"), ("assistant", ""),
+      ("", "nope"), ("tool", "x: y")))
+  }
+
+  test("chatStats: the strict alternation contract, violation by violation") {
+    def stats(t: String) = Seq((1L, t)).toDF("id", "t")
+      .transform(df => Chat.chatStats(df, col("id"), col("t")))
+      .as[(Long, Long, Long, Long, Long, Boolean)].head()
+    assert(stats("system: s\nuser: a\nassistant: b\nuser: c\nassistant: d") ==
+      ((1L, 5L, 2L, 2L, 0L, true)))
+    assert(stats("user: a\nassistant: b") == ((1L, 2L, 1L, 1L, 0L, true)))
+    assert(!stats("user: a\nuser: b")._6)                  // double user
+    assert(!stats("assistant: b")._6)                      // starts with assistant
+    assert(!stats("user: a\nsystem: late")._6)             // system not leading
+    assert(!stats("user: a\nbad line")._6)                 // invalid line
+    assert(!stats("user: a\ntool: t")._6)                  // tool breaks strict SFT
+    assert(stats("user: a\nbad line")._5 == 1L)            // n_invalid
+  }
+
+  test("truncateToBudget: suffix fit, system pin charges the budget first") {
+    val t = "system: one two three\nuser: a b c d\nassistant: e f\nuser: g\nassistant: h i j"
+    def kept(budget: Long) = Seq((1L, t)).toDF("id", "t")
+      .transform(df => Chat.truncateToBudget(df, col("id"), col("t"), budget))
+      .orderBy(col("turn_idx"))
+      .select(col("kept")).as[Boolean].collect().toSeq
+    // tokens: sys=3, 4, 2, 1, 3; system always kept, charges budget first
+    assert(kept(100L) == Seq(true, true, true, true, true))
+    assert(kept(9L) == Seq(true, false, true, true, true))   // 3+2+1+3 = 9 fits
+    assert(kept(7L) == Seq(true, false, false, true, true))  // 3+1+3
+    assert(kept(3L) == Seq(true, false, false, false, false)) // only the pin
+    assert(kept(0L) == Seq(true, false, false, false, false))
+    // no system turn: plain suffix fit
+    val noSys = Seq((1L, "user: a b\nassistant: c")).toDF("id", "t")
+      .transform(df => Chat.truncateToBudget(df, col("id"), col("t"), 1L))
+      .orderBy(col("turn_idx")).select(col("kept")).as[Boolean].collect().toSeq
+    assert(noSys == Seq(false, true))
+  }
+}
+
 import graft.text.Sentences
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
