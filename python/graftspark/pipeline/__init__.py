@@ -101,6 +101,10 @@ __all__ = [
     "warc_records", "read_warc",
 
     "history_from_snapshots", "history_snapshot_at", "mine_aligned_pairs", "aligned_pairs_from_neighbors", "scrub_parquet_by_id", "scrub_dedup_index", "scrub_ann_index", "compact_in_place", "compact_ann_index", "compact_dedup_index", "with_lateness", "watermark_plan", "streaming_lateness_by_window", "length_bucket_batches", "overlap_matrix", "explain_near_dup_pairs",
+
+    "redact_valid_cards", "valid_card_count", "soundex4", "jaro_winkler_fp",
+    "link_records", "foreign_key_check", "chat_parse_turns", "chat_stats",
+    "chat_explode_turns", "chat_truncate_to_budget",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -2661,3 +2665,92 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     binaryFile source; the driver only lists files."""
     jdf = _bridge(spark.range(1)).readWarc(spark._jsparkSession, str(path))
     return DataFrame(jdf, spark)
+
+
+def redact_valid_cards(text: ColumnOrName, token: str = "[CARD]") -> Column:
+    """Replace Luhn-valid 13..19-digit card runs (digit groups joined by
+    single spaces or dashes) with token; checksum-failing digit runs —
+    order ids, timestamps, ISBNs — pass through untouched. One codegen'd
+    byte-level pass."""
+    return _col_fn("redactValidCards", _jcol(text), str(token))
+
+
+def valid_card_count(text: ColumnOrName) -> Column:
+    """Number of Luhn-valid card runs in text (same scan as
+    redact_valid_cards) -> long."""
+    return _col_fn("validCardCount", _jcol(text))
+
+
+def soundex4(text: ColumnOrName) -> Column:
+    """4-char American Soundex phonetic code ('0000' when the text has no
+    ASCII letter) — the classic record-linkage blocking key."""
+    return _col_fn("soundex4", _jcol(text))
+
+
+def jaro_winkler_fp(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """floor(jaro_winkler(a, b) * 2**20) computed in exact integer
+    arithmetic (greedy Jaro matching over code points, Winkler prefix
+    boost p=0.1 capped at 4) — the accept/reject threshold replays
+    bit-for-bit on any engine."""
+    return _col_fn("jaroWinklerFp", _jcol(a), _jcol(b))
+
+
+def link_records(left: DataFrame, right: DataFrame,
+                 id_left: ColumnOrName, name_left: ColumnOrName,
+                 id_right: ColumnOrName, name_right: ColumnOrName,
+                 min_score_fp: int = int(0.92 * (1 << 20)),
+                 max_block_pairs: int = 10_000_000) -> DataFrame:
+    """Record linkage: soundex-blocked candidates verified with exact
+    fixed-point Jaro-Winkler -> (id_a, id_b, score_fp). Fails fast when
+    the largest phonetic block would yield more than max_block_pairs
+    candidate pairs (an inadequate blocking key, not a compute problem)."""
+    b = _bridge(left)
+    jdf = b.linkRecords(left._jdf, right._jdf, _jcol(id_left), _jcol(name_left),
+                        _jcol(id_right), _jcol(name_right),
+                        int(min_score_fp), int(max_block_pairs))
+    return DataFrame(jdf, left.sparkSession)
+
+
+def foreign_key_check(df: DataFrame, column: str,
+                      ref: DataFrame, ref_column: str) -> DataFrame:
+    """Referential-integrity audit: one (rule, column, metric, threshold,
+    pass) row where metric = count of df rows whose non-null column value
+    has no partner in ref.ref_column (one column-pruned anti join; the
+    reference is never collected)."""
+    jdf = _bridge(df).foreignKeyCheck(df._jdf, str(column), ref._jdf, str(ref_column))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def chat_parse_turns(text: ColumnOrName) -> Column:
+    """Parse a one-turn-per-line 'role: content' transcript (role in
+    system/user/assistant/tool) -> array<struct<role, content>>; a line
+    with no role prefix keeps role '' (the invalid marker)."""
+    return _col_fn("chatParseTurns", _jcol(text))
+
+
+def chat_stats(df: DataFrame, id: ColumnOrName, text: ColumnOrName) -> DataFrame:
+    """Per-conversation format audit -> (id, n_turns, n_user, n_assistant,
+    n_invalid, alternation_ok); alternation_ok is the strict SFT contract
+    (leading system only, strict user/assistant alternation, no tool or
+    malformed lines)."""
+    jdf = _bridge(df).chatStats(df._jdf, _jcol(id), _jcol(text))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def chat_explode_turns(df: DataFrame, id: ColumnOrName,
+                       text: ColumnOrName) -> DataFrame:
+    """One row per (conversation, turn): (id, turn_idx, role, content,
+    n_tokens) with n_tokens = whitespace-separated pieces."""
+    jdf = _bridge(df).chatExplodeTurns(df._jdf, _jcol(id), _jcol(text))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def chat_truncate_to_budget(df: DataFrame, id: ColumnOrName,
+                            text: ColumnOrName, budget: int) -> DataFrame:
+    """Context-window trimming: keep the LAST turns whose token total fits
+    budget, never splitting a turn, leading system turn always pinned
+    (charged first) -> one row per turn (id, turn_idx, role, n_tokens,
+    kept)."""
+    jdf = _bridge(df).chatTruncateToBudget(df._jdf, _jcol(id), _jcol(text),
+                                           int(budget))
+    return DataFrame(jdf, df.sparkSession)

@@ -23,7 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 REPO_ROOT = Path(__file__).resolve().parent.parent.parent
 
 from pyspark.sql import Row, SparkSession
-from pyspark.sql.functions import col, date_format, expr
+from pyspark.sql.functions import col, date_format, expr, lit
 
 
 def _graft_jar() -> str:
@@ -350,6 +350,45 @@ class GraftsparkTest(unittest.TestCase):
             [("exam-\nple",), ("stay-- \nput",), ("New-\nYork",)], ["t"])
         fixed = [r["c"] for r in t.select(P.dehyphenate(col("t")).alias("c")).collect()]
         self.assertEqual(fixed, ["example", "stay-- \nput", "New-\nYork"])
+
+    def test_pipeline_linkage_cards_chat(self):
+        from graftspark import pipeline as P
+        # Luhn-gated card redaction: valid PAN redacts, bad checksum survives
+        t = self.spark.createDataFrame(
+            [("pay 4111111111111111 now",), ("ref 4111111111111112 ok",)], ["t"])
+        got = t.select(P.redact_valid_cards("t").alias("r"),
+                       P.valid_card_count("t").alias("n")).collect()
+        self.assertEqual([(r["r"], r["n"]) for r in got],
+                         [("pay [CARD] now", 1), ("ref 4111111111111112 ok", 0)])
+        # soundex + fixed-point Jaro-Winkler kernels
+        sx = t.select(P.soundex4(lit("Robert")).alias("s")).first()["s"]
+        self.assertEqual(sx, "R163")
+        jw = t.select(P.jaro_winkler_fp(lit("abc"), lit("abc")).alias("v")).first()["v"]
+        self.assertEqual(jw, 1 << 20)
+        # blocked linkage end to end
+        left = self.spark.createDataFrame(
+            [(1, "Jonathan Smith"), (2, "Margaret Chen")], ["id", "name"])
+        right = self.spark.createDataFrame(
+            [(10, "Jonathon Smith"), (11, "Zz Top")], ["id", "name"])
+        pairs = P.link_records(left, right, "id", "name", "id", "name").collect()
+        self.assertEqual([(r["id_a"], r["id_b"]) for r in pairs], [(1, 10)])
+        # referential integrity: one orphan, nulls exempt
+        fact = self.spark.createDataFrame([(1, 10), (2, 99), (3, None)], ["id", "fk"])
+        dim = self.spark.createDataFrame([(10,), (20,)], ["k"])
+        fk = P.foreign_key_check(fact, "fk", dim, "k").first()
+        self.assertEqual((fk["rule"], fk["metric"], fk["pass"]),
+                         ("foreign_key", 1.0, False))
+        # chat audit + budget trim
+        conv = self.spark.createDataFrame(
+            [(1, "system: s t\nuser: a b c\nassistant: d")], ["id", "t"])
+        st = P.chat_stats(conv, "id", "t").first()
+        self.assertEqual((st["n_turns"], st["n_user"], st["alternation_ok"]),
+                         (3, 1, True))
+        trim = {r["turn_idx"]: r["kept"]
+                for r in P.chat_truncate_to_budget(conv, "id", "t", 3).collect()}
+        # system (2 tokens) pins and charges first; remaining budget 1 fits
+        # the assistant turn (1 token) but not the user turn (3 tokens)
+        self.assertEqual(trim, {0: True, 1: False, 2: True})
 
     def test_pipeline_mixture_interleave(self):
         from graftspark import pipeline as P

@@ -828,6 +828,44 @@ object PyBridge {
   def dehyphenate(c: Column): Column =
     graft.functions.vectors.dehyphenate(c)
 
+  def redactValidCards(c: Column, token: String): Column =
+    graft.functions.vectors.redact_valid_cards(c, token)
+
+  def validCardCount(c: Column): Column =
+    graft.functions.vectors.valid_card_count(c)
+
+  def soundex4(c: Column): Column =
+    graft.functions.vectors.soundex4(c)
+
+  def jaroWinklerFp(a: Column, b: Column): Column =
+    graft.functions.vectors.jaro_winkler_fp(a, b)
+
+  def linkRecords(left: DataFrame, right: DataFrame,
+                  idLeft: Column, nameLeft: Column,
+                  idRight: Column, nameRight: Column,
+                  minScoreFp: java.lang.Number,
+                  maxBlockPairs: java.lang.Number): DataFrame =
+    graft.join.Linkage.linkRecords(left, right, idLeft, nameLeft,
+      idRight, nameRight, minScoreFp.longValue(), maxBlockPairs.longValue())
+
+  def foreignKeyCheck(df: DataFrame, column: String,
+                      ref: DataFrame, refColumn: String): DataFrame =
+    graft.agg.Checks.run(df,
+      Seq(graft.agg.Checks.Check.ForeignKey(column, ref, refColumn)))
+
+  def chatParseTurns(c: Column): Column =
+    graft.text.Chat.parseTurns(c)
+
+  def chatStats(df: DataFrame, id: Column, text: Column): DataFrame =
+    graft.text.Chat.chatStats(df, id, text)
+
+  def chatExplodeTurns(df: DataFrame, id: Column, text: Column): DataFrame =
+    graft.text.Chat.explodeTurns(df, id, text)
+
+  def chatTruncateToBudget(df: DataFrame, id: Column, text: Column,
+                           budget: java.lang.Number): DataFrame =
+    graft.text.Chat.truncateToBudget(df, id, text, budget.longValue())
+
   def cdcChunks(c: Column, avgBits: Int, minSize: Int, maxSize: Int): Column =
     graft.multimodal.Cdc.cdcChunks(c, avgBits, minSize, maxSize)
 
