@@ -73,7 +73,7 @@ object ScaleProbe {
       "link_rank", "snapshot_diff", "wordpiece_encode", "streaming_topk_state",
       "curriculum", "anonymity", "streaming_drift_state", "unigram_encode",
       "warc_ingest", "scd2_history", "scd2_versions", "deletion_scrub",
-      "length_buckets", "watermark_plan")
+      "length_buckets", "watermark_plan", "linkage")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -1291,6 +1291,32 @@ object ScaleProbe {
       require(runs == ids * (4L * n / 5 + 1),
         s"scd2_versions: expected ${ids * (4L * n / 5 + 1)} runs, got $runs")
       report("scd2_versions", runs, tV)
+    }
+
+    // --- record linkage: candidate volume bounded by the block structure --
+    // a replica-distinct LEAD LETTER keeps soundex blocks within a replica
+    // (cross-replica names never collide), so candidate pairs — and cost —
+    // scale linearly in n instead of quadratically
+    if (enabled("linkage")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      def names(df: org.apache.spark.sql.DataFrame) = df.select(
+        (col("doc_id") + col("__rep") * 1000000L).as("id"),
+        concat(expr("substr('abcdefghijklmnopqrstuvwxyz', CAST(__rep % 26 AS INT) + 1, 1)"),
+          lit(" "), substring(col("text"), 1, 24)).as("name"))
+      val base = amplify(docs, n)
+      val left = names(base)
+      val right = names(base.filter(col("doc_id") % 3 === 0))
+        .select(col("id") + 500000000L as "id",
+          concat(substring(col("name"), 1, 10),
+            substring(col("name"), 12, 1000)).as("name")) // drop char 11
+      val (pairs, tL) = time {
+        graft.join.Linkage.linkRecords(left, right,
+          col("id"), col("name"), col("id"), col("name"),
+          minScoreFp = (0.90 * (1 << 20)).toLong,
+          maxBlockPairs = 500L * 1000 * 1000).count()
+      }
+      require(pairs > 0, "linkage probe found no pairs — perturbation too strong")
+      report("linkage", pairs, tL)
     }
 
     // --- deletion scrub: files touched scale with the doom list, not n ----
