@@ -105,6 +105,7 @@ __all__ = [
     "redact_valid_cards", "valid_card_count", "soundex4", "jaro_winkler_fp",
     "link_records", "foreign_key_check", "chat_parse_turns", "chat_stats",
     "chat_explode_turns", "chat_truncate_to_budget",
+    "funnel_times", "funnel_report", "retention_cohorts",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -2754,3 +2755,36 @@ def chat_truncate_to_budget(df: DataFrame, id: ColumnOrName,
     jdf = _bridge(df).chatTruncateToBudget(df._jdf, _jcol(id), _jcol(text),
                                            int(budget))
     return DataFrame(jdf, df.sparkSession)
+
+
+def funnel_times(events: DataFrame, user: ColumnOrName, ts_us: ColumnOrName,
+                 event_type: ColumnOrName, steps: List[str],
+                 window_us: int = (1 << 62)) -> DataFrame:
+    """Per-user funnel reach -> (user_id, depth, first_step_us,
+    last_step_us): step i+1 needs an event strictly after step i within
+    window_us of the FIRST step (exact integer micros)."""
+    jdf = _bridge(events).funnelTimes(events._jdf, _jcol(user), _jcol(ts_us),
+                                      _jcol(event_type), list(map(str, steps)),
+                                      int(window_us))
+    return DataFrame(jdf, events.sparkSession)
+
+
+def funnel_report(events: DataFrame, user: ColumnOrName, ts_us: ColumnOrName,
+                  event_type: ColumnOrName, steps: List[str],
+                  window_us: int = (1 << 62)) -> DataFrame:
+    """Step-level conversion table -> (step_idx, step, users) with exact
+    BIGINT user counts per reached step (zeros included)."""
+    jdf = _bridge(events).funnelReport(events._jdf, _jcol(user), _jcol(ts_us),
+                                       _jcol(event_type), list(map(str, steps)),
+                                       int(window_us))
+    return DataFrame(jdf, events.sparkSession)
+
+
+def retention_cohorts(events: DataFrame, user: ColumnOrName,
+                      ts_us: ColumnOrName, period_us: int) -> DataFrame:
+    """Retention triangle -> (cohort_period, period_offset, users): cohort
+    = integer-DIV period of each user's first event; cells count distinct
+    users active offset periods later."""
+    jdf = _bridge(events).retentionCohorts(events._jdf, _jcol(user),
+                                           _jcol(ts_us), int(period_us))
+    return DataFrame(jdf, events.sparkSession)

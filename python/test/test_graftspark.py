@@ -390,6 +390,23 @@ class GraftsparkTest(unittest.TestCase):
         # the assistant turn (1 token) but not the user turn (3 tokens)
         self.assertEqual(trim, {0: True, 1: False, 2: True})
 
+    def test_pipeline_funnel_retention(self):
+        from graftspark import pipeline as P
+        ev = self.spark.createDataFrame(
+            [(1, 0, "a"), (1, 5, "b"), (1, 9, "c"), (2, 0, "a"), (2, 200, "b")],
+            ["u", "t", "ty"])
+        ft = {r["user_id"]: r["depth"]
+              for r in P.funnel_times(ev, "u", "t", "ty", ["a", "b", "c"],
+                                      window_us=100).collect()}
+        self.assertEqual(ft, {1: 3, 2: 1})  # user 2's b falls outside the window
+        rep = {r["step"]: r["users"]
+               for r in P.funnel_report(ev, "u", "t", "ty", ["a", "b", "c"],
+                                        window_us=100).collect()}
+        self.assertEqual(rep, {"a": 2, "b": 1, "c": 1})
+        rc = {(r["cohort_period"], r["period_offset"]): r["users"]
+              for r in P.retention_cohorts(ev, "u", "t", period_us=100).collect()}
+        self.assertEqual(rc, {(0, 0): 2, (0, 2): 1})
+
     def test_pipeline_mixture_interleave(self):
         from graftspark import pipeline as P
         docs = self.spark.createDataFrame(

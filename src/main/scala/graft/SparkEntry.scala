@@ -118,6 +118,23 @@ object SparkEntry {
       "tt AS (SELECT doc_id, turn_idx, role, content, " +
       "CAST(len(regexp_extract_all(content, '\\S+')) AS BIGINT) AS n_tokens FROM turns)"
 
+  /** Shared CTE chain for the funnel oracles: the sequential-min algebra of
+    * [[graft.events.Funnel.funnelTimes]] over signup → view → click →
+    * purchase with the 30-day window anchored at the first step. */
+  private val funnelChainCte: String =
+    "e AS (SELECT user_id, epoch_us(ts) AS t, event_type AS ty FROM events " +
+      "WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+      "s1 AS (SELECT user_id, MIN(t) AS t1 FROM e WHERE ty = 'signup' GROUP BY 1), " +
+      "s2 AS (SELECT e.user_id, MIN(e.t) AS t2, ANY_VALUE(s1.t1) AS t1 FROM e " +
+      "JOIN s1 USING (user_id) WHERE e.ty = 'view' AND e.t > s1.t1 AND " +
+      "e.t - s1.t1 <= 2592000000000 GROUP BY 1), " +
+      "s3 AS (SELECT e.user_id, MIN(e.t) AS t3, ANY_VALUE(s2.t1) AS t1 FROM e " +
+      "JOIN s2 USING (user_id) WHERE e.ty = 'click' AND e.t > s2.t2 AND " +
+      "e.t - s2.t1 <= 2592000000000 GROUP BY 1), " +
+      "s4 AS (SELECT e.user_id, MIN(e.t) AS t4 FROM e " +
+      "JOIN s3 USING (user_id) WHERE e.ty = 'purchase' AND e.t > s3.t3 AND " +
+      "e.t - s3.t1 <= 2592000000000 GROUP BY 1)"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("diff_orders")(spark, "/root/testdata/sf0.001")
@@ -528,6 +545,33 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), eventTsUs(ev).as("ts_us"))
       graft.events.Sessionize.withSessionIndex(
         views, col("user_id"), col("ts_us"), lit(1800000000L)) // 30 min in us
+    }),
+
+    // P125 funnel analysis: per-user ordered step progression under a
+    // 30-day conversion window anchored at the first step — sequential
+    // min-aggregate algebra, every exchange keyed on user_id, exact
+    // integer micros throughout.
+    "funnel_users" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.events.Funnel.funnelTimes(ev, col("user_id"), eventTsUs(ev),
+        col("event_type"), Seq("signup", "view", "click", "purchase"),
+        windowUs = 2592000000000L)
+    }),
+
+    "funnel_report" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.events.Funnel.funnelReport(ev, col("user_id"), eventTsUs(ev),
+        col("event_type"), Seq("signup", "view", "click", "purchase"),
+        windowUs = 2592000000000L)
+    }),
+
+    // P126 retention cohorts: cohort = integer-DIV week of a user's first
+    // event; each (cohort, offset) cell counts distinct users active that
+    // many weeks later.
+    "retention_cohorts" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.events.Funnel.retentionCohorts(ev, col("user_id"), eventTsUs(ev),
+        periodUs = 604800000000L)
     }),
 
     // P115 watermark planning: deterministic disorder planted (event id%10
@@ -3575,6 +3619,35 @@ object SparkEntry {
       "salted_join" ->
         ("SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, s.s_name " +
           "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey"),
+
+      "funnel_users" ->
+        (s"WITH $funnelChainCte " +
+          "SELECT s1.user_id, " +
+          "CASE WHEN s4.user_id IS NOT NULL THEN 4 WHEN s3.user_id IS NOT NULL THEN 3 " +
+          "WHEN s2.user_id IS NOT NULL THEN 2 ELSE 1 END AS depth, " +
+          "s1.t1 AS first_step_us, " +
+          "COALESCE(s4.t4, s3.t3, s2.t2, s1.t1) AS last_step_us " +
+          "FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id) " +
+          "LEFT JOIN s4 USING (user_id)"),
+
+      "funnel_report" ->
+        (s"WITH $funnelChainCte, " +
+          "d AS (SELECT s1.user_id, CASE WHEN s4.user_id IS NOT NULL THEN 4 " +
+          "WHEN s3.user_id IS NOT NULL THEN 3 WHEN s2.user_id IS NOT NULL THEN 2 " +
+          "ELSE 1 END AS depth FROM s1 LEFT JOIN s2 USING (user_id) " +
+          "LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)), " +
+          "steps(step_idx, step) AS (VALUES (1, 'signup'), (2, 'view'), " +
+          "(3, 'click'), (4, 'purchase')) " +
+          "SELECT step_idx, step, " +
+          "(SELECT COUNT(*) FROM d WHERE d.depth >= steps.step_idx) AS users FROM steps"),
+
+      "retention_cohorts" ->
+        ("WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS p " +
+          "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+          "f AS (SELECT user_id, MIN(p) AS cohort_period FROM e GROUP BY 1) " +
+          "SELECT cohort_period, p - cohort_period AS period_offset, " +
+          "COUNT(DISTINCT user_id) AS users " +
+          "FROM e JOIN f USING (user_id) GROUP BY 1, 2"),
 
       "sessionize" ->
         ("WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'view'), " +

@@ -1,0 +1,113 @@
+package graft.events
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Funnel analysis — ordered step progression per user ("of everyone who
+ * signed up, who then viewed, then clicked, then purchased?"), the
+ * conversion question behind every product/ads event pipeline.
+ *
+ * Semantics, fully specified so any engine replays the same depths:
+ * with steps `S1..Sk` over integer-microsecond event times,
+ *
+ *  - `t1(u)` = min ts of u's `S1` events;
+ *  - `t_{i+1}(u)` = min ts of u's `S_{i+1}` events with `ts > t_i(u)`
+ *    (STRICT — a same-microsecond event does not chain) and
+ *    `ts − t1(u) <= windowUs` (the conversion window anchors at the
+ *    FIRST step; the subtraction form cannot overflow);
+ *  - `depth(u)` = the largest i with `t_i` defined; users with no `S1`
+ *    event are absent.
+ *
+ * Scale shape: one filtered map-side-combined min-aggregate per step plus
+ * one hash equi-join on the user id per step — k is the (small) funnel
+ * length, every exchange is keyed on `user_id`, and consecutive
+ * groupBy/join on the same key reuse the partitioning. No windows, no
+ * per-user sort, exact integer arithmetic throughout.
+ */
+object Funnel {
+
+  /** Per-user funnel reach: `(user_id, depth, first_step_us,
+    * last_step_us)` — `last_step_us` is the time the DEEPEST step was
+    * reached. */
+  def funnelTimes(events: DataFrame, user: Column, tsUs: Column, etype: Column,
+                  steps: Seq[String], windowUs: Long = Long.MaxValue): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"repeated step types are ambiguous: ${steps.mkString(", ")}")
+    require(windowUs >= 0, s"windowUs must be >= 0: $windowUs")
+    val e = events
+      .select(user.cast("long").as("user_id"), tsUs.cast("long").as("__t"),
+        etype.as("__ty"))
+      .filter(col("__t").isNotNull && col("user_id").isNotNull)
+    val s0 = e.filter(col("__ty") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("__t")).as("t1"))
+    var reached = s0.withColumn("__tp", col("t1"))
+    var depths = Seq(reached.select(col("user_id"),
+      lit(1).as("depth"), col("__tp").as("__last")))
+    steps.zipWithIndex.drop(1).foreach { case (s, i) =>
+      val si = e.filter(col("__ty") === s)
+        .select(col("user_id"), col("__t").as("__tn"))
+      reached = reached.join(si, "user_id")
+        .filter(col("__tn") > col("__tp") &&
+          col("__tn") - col("t1") <= windowUs)
+        .groupBy(col("user_id"), col("t1"))
+        .agg(min(col("__tn")).as("__tp"))
+      depths :+= reached.select(col("user_id"),
+        lit(i + 1).as("depth"), col("__tp").as("__last"))
+    }
+    depths.reduce(_ unionAll _)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("depth"), col("__last"))).as("__m"))
+      .join(s0, "user_id")
+      .select(col("user_id"), col("__m.depth").as("depth"),
+        col("t1").as("first_step_us"), col("__m.__last").as("last_step_us"))
+  }
+
+  /** Step-level conversion table: `(step_idx, step, users)` with `users` =
+    * count of users whose depth reaches that step (exact BIGINT — rates
+    * are a trivial downstream division, kept out so the table replays
+    * bit-for-bit). */
+  def funnelReport(events: DataFrame, user: Column, tsUs: Column, etype: Column,
+                   steps: Seq[String], windowUs: Long = Long.MaxValue): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val counts = funnelTimes(events, user, tsUs, etype, steps, windowUs)
+      .select(explode(sequence(lit(1), col("depth"))).as("step_idx"))
+      .groupBy(col("step_idx")).agg(count(lit(1)).as("users"))
+    steps.zipWithIndex.map { case (s, i) => (i + 1, s) }
+      .toDF("step_idx", "step")
+      .join(counts, Seq("step_idx"), "left_outer")
+      .select(col("step_idx"), col("step"),
+        coalesce(col("users"), lit(0L)).as("users"))
+  }
+
+  /**
+   * Retention cohorts — the activity triangle behind "do users who
+   * arrived in week W still show up k weeks later?": cohort = the period
+   * of a user's FIRST event (`period = tsUs DIV periodUs`, integer floor
+   * division over non-negative micros), and each (cohort, offset) cell
+   * counts DISTINCT users of that cohort active `offset` periods later.
+   * Output: `(cohort_period, period_offset, users)`.
+   *
+   * One map-side-combined min per user + one hash join back on user_id +
+   * one distinct-count aggregate — exact integers end to end.
+   */
+  def retentionCohorts(events: DataFrame, user: Column, tsUs: Column,
+                       periodUs: Long): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive: $periodUs")
+    val e = events
+      .select(user.cast("long").as("user_id"), tsUs.cast("long").as("__t"))
+      .filter(col("__t").isNotNull && col("user_id").isNotNull)
+      // integer DIV, not IEEE '/': double division then truncation can be
+      // an ulp off at period boundaries; DuckDB replays the same integer op
+      .select(col("user_id"), expr(s"__t DIV $periodUs").as("__p"))
+    val first = e.groupBy(col("user_id"))
+      .agg(min(col("__p")).as("cohort_period"))
+    e.join(first, "user_id")
+      .groupBy(col("cohort_period"),
+        (col("__p") - col("cohort_period")).as("period_offset"))
+      .agg(count_distinct(col("user_id")).as("users"))
+      .select(col("cohort_period"), col("period_offset"), col("users"))
+  }
+}

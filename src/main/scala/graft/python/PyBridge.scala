@@ -866,6 +866,20 @@ object PyBridge {
                            budget: java.lang.Number): DataFrame =
     graft.text.Chat.truncateToBudget(df, id, text, budget.longValue())
 
+  def funnelTimes(events: DataFrame, user: Column, tsUs: Column, etype: Column,
+                  steps: JList[String], windowUs: java.lang.Number): DataFrame =
+    graft.events.Funnel.funnelTimes(events, user, tsUs, etype,
+      steps.asScala.toSeq, windowUs.longValue())
+
+  def funnelReport(events: DataFrame, user: Column, tsUs: Column, etype: Column,
+                   steps: JList[String], windowUs: java.lang.Number): DataFrame =
+    graft.events.Funnel.funnelReport(events, user, tsUs, etype,
+      steps.asScala.toSeq, windowUs.longValue())
+
+  def retentionCohorts(events: DataFrame, user: Column, tsUs: Column,
+                       periodUs: java.lang.Number): DataFrame =
+    graft.events.Funnel.retentionCohorts(events, user, tsUs, periodUs.longValue())
+
   def cdcChunks(c: Column, avgBits: Int, minSize: Int, maxSize: Int): Column =
     graft.multimodal.Cdc.cdcChunks(c, avgBits, minSize, maxSize)
 

@@ -4,6 +4,72 @@ import graft.events.Sessionize
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+class FunnelSuite extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+  import graft.events.Funnel
+
+  private def ev(rows: (Long, Long, String)*) =
+    rows.toDF("u", "t", "ty")
+
+  private def times(df: org.apache.spark.sql.DataFrame, w: Long = Long.MaxValue) =
+    Funnel.funnelTimes(df, col("u"), col("t"), col("ty"),
+      Seq("a", "b", "c"), windowUs = w)
+      .as[(Long, Int, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("funnel: ordered chaining, strict >, min-first semantics") {
+    val df = ev(
+      (1L, 10L, "a"), (1L, 5L, "b"), (1L, 20L, "b"), (1L, 30L, "c"), // b@5 is BEFORE a
+      (2L, 10L, "a"), (2L, 10L, "b"),                               // same micro: no chain
+      (3L, 10L, "b"), (3L, 20L, "c"),                               // never enters (no a)
+      (4L, 10L, "a"))
+    val got = times(df)
+    assert(got(1L) == ((3, 10L, 30L)))
+    assert(got(2L) == ((1, 10L, 10L)))
+    assert(got(4L) == ((1, 10L, 10L)))
+    assert(!got.contains(3L))
+  }
+
+  test("funnel: the conversion window anchors at the FIRST step") {
+    val df = ev((1L, 0L, "a"), (1L, 50L, "b"), (1L, 120L, "c"),
+      (2L, 0L, "a"), (2L, 90L, "b"), (2L, 100L, "c"))
+    val got = times(df, w = 100L)
+    assert(got(1L)._1 == 2)   // c at 120 falls outside t1+100
+    assert(got(2L)._1 == 3)   // c exactly AT t1+100 converts (<=)
+  }
+
+  test("funnelReport counts depth-reaching users per step, zeros included") {
+    val df = ev((1L, 0L, "a"), (1L, 1L, "b"), (2L, 0L, "a"))
+    val rep = Funnel.funnelReport(df, col("u"), col("t"), col("ty"), Seq("a", "b", "c"))
+      .orderBy(col("step_idx"))
+      .as[(Int, String, Long)].collect().toSeq
+    assert(rep == Seq((1, "a", 2L), (2, "b", 1L), (3, "c", 0L)))
+  }
+
+  test("funnel plan: user-keyed hash exchanges only — no window, no cartesian") {
+    val df = spark.range(1000).select((col("id") % 50).as("u"),
+      col("id").as("t"),
+      element_at(array(lit("a"), lit("b"), lit("c")),
+        (col("id") % 3 + 1).cast("int")).as("ty"))
+    val plan = Funnel.funnelTimes(df, col("u"), col("t"), col("ty"), Seq("a", "b", "c"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("Window"), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+    // partial aggregation on every min (map-side combine before the exchange)
+    assert(plan.contains("partial_min"), plan)
+  }
+
+  test("retentionCohorts: integer periods, distinct users per cell") {
+    val df = Seq(
+      (1L, 0L), (1L, 5L), (1L, 25L),    // cohort 0, offsets 0 and 2
+      (2L, 12L), (2L, 19L),             // cohort 1, offsets 0 and 0
+      (3L, 21L)                          // cohort 2, offset 0
+    ).toDF("u", "t")
+    val got = Funnel.retentionCohorts(df, col("u"), col("t"), periodUs = 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 0L, 1L), (0L, 2L, 1L), (1L, 0L, 1L), (2L, 0L, 1L)))
+  }
+}
+
 class SessionizeSuite extends AnyFunSuite with SparkTest {
 
   import spark.implicits._
