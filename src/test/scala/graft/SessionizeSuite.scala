@@ -45,6 +45,37 @@ class FunnelSuite extends AnyFunSuite with SparkTest {
     assert(rep == Seq((1, "a", 2L), (2, "b", 1L), (3, "c", 0L)))
   }
 
+  test("model check: random event streams match an in-memory funnel fold") {
+    val rng = new scala.util.Random(421)
+    val types = Seq("a", "b", "c", "x")
+    val steps = Seq("a", "b", "c")
+    val rows = Seq.fill(600)((rng.nextInt(40).toLong,
+      rng.nextInt(200).toLong, types(rng.nextInt(types.size))))
+    val w = 60L
+    // in-memory reference: literal sequential-min semantics
+    def model(evs: Seq[(Long, Long, String)]): Map[Long, (Int, Long, Long)] =
+      evs.groupBy(_._1).flatMap { case (u, es) =>
+        val byType = es.groupBy(_._3).map { case (k, v) => k -> v.map(_._2).sorted }
+        byType.get("a").map(_.head).map { t1 =>
+          var depth = 1
+          var last = t1
+          var cont = true
+          steps.tail.foreach { s =>
+            if (cont) {
+              byType.getOrElse(s, Seq.empty)
+                .find(t => t > last && t - t1 <= w) match {
+                case Some(t) => depth += 1; last = t
+                case None => cont = false
+              }
+            }
+          }
+          u -> ((depth, t1, last))
+        }
+      }
+    val got = times(rows.toDF("u", "t", "ty").repartition(7), w)
+    assert(got == model(rows), s"mismatch: got $got")
+  }
+
   test("funnel plan: user-keyed hash exchanges only — no window, no cartesian") {
     val df = spark.range(1000).select((col("id") % 50).as("u"),
       col("id").as("t"),
