@@ -105,7 +105,7 @@ __all__ = [
     "redact_valid_cards", "valid_card_count", "soundex4", "jaro_winkler_fp",
     "link_records", "foreign_key_check", "chat_parse_turns", "chat_stats",
     "chat_explode_turns", "chat_truncate_to_budget",
-    "funnel_times", "funnel_report", "retention_cohorts",
+    "funnel_times", "funnel_report", "retention_cohorts", "transition_matrix",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -2787,4 +2787,16 @@ def retention_cohorts(events: DataFrame, user: ColumnOrName,
     users active offset periods later."""
     jdf = _bridge(events).retentionCohorts(events._jdf, _jcol(user),
                                            _jcol(ts_us), int(period_us))
+    return DataFrame(jdf, events.sparkSession)
+
+
+def transition_matrix(events: DataFrame, user: ColumnOrName,
+                      ts_us: ColumnOrName, event_id: ColumnOrName,
+                      event_type: ColumnOrName) -> DataFrame:
+    """Markov transition counts over per-user event sequences ordered by
+    (ts_us, event_id) -> (from_type, to_type, transitions); a user's last
+    event contributes no pair."""
+    jdf = _bridge(events).transitionMatrix(events._jdf, _jcol(user),
+                                           _jcol(ts_us), _jcol(event_id),
+                                           _jcol(event_type))
     return DataFrame(jdf, events.sparkSession)

@@ -406,6 +406,12 @@ class GraftsparkTest(unittest.TestCase):
         rc = {(r["cohort_period"], r["period_offset"]): r["users"]
               for r in P.retention_cohorts(ev, "u", "t", period_us=100).collect()}
         self.assertEqual(rc, {(0, 0): 2, (0, 2): 1})
+        ev2 = self.spark.createDataFrame(
+            [(1, 0, 10, "a"), (1, 1, 11, "b"), (2, 5, 20, "a"), (2, 5, 21, "b")],
+            ["u", "t", "eid", "ty"])
+        tm = {(r["from_type"], r["to_type"]): r["transitions"]
+              for r in P.transition_matrix(ev2, "u", "t", "eid", "ty").collect()}
+        self.assertEqual(tm, {("a", "b"): 2})
 
     def test_pipeline_mixture_interleave(self):
         from graftspark import pipeline as P

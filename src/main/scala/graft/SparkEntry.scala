@@ -565,6 +565,14 @@ object SparkEntry {
         windowUs = 2592000000000L)
     }),
 
+    // P127 event transition matrix: Markov estimation table — per-user
+    // lead over the total (ts, event_id) order, corpus-wide pair counts.
+    "event_transitions" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.events.Funnel.transitionMatrix(ev, col("user_id"), eventTsUs(ev),
+        col("event_id"), col("event_type"))
+    }),
+
     // P126 retention cohorts: cohort = integer-DIV week of a user's first
     // event; each (cohort, offset) cell counts distinct users active that
     // many weeks later.
@@ -3640,6 +3648,15 @@ object SparkEntry {
           "(3, 'click'), (4, 'purchase')) " +
           "SELECT step_idx, step, " +
           "(SELECT COUNT(*) FROM d WHERE d.depth >= steps.step_idx) AS users FROM steps"),
+
+      "event_transitions" ->
+        ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, event_type " +
+          "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+          "p AS (SELECT event_type AS from_type, " +
+          "LEAD(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS to_type " +
+          "FROM e) " +
+          "SELECT from_type, to_type, COUNT(*) AS transitions FROM p " +
+          "WHERE to_type IS NOT NULL GROUP BY 1, 2"),
 
       "retention_cohorts" ->
         ("WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS p " +

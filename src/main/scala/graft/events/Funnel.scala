@@ -1,5 +1,6 @@
 package graft.events
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -109,5 +110,32 @@ object Funnel {
         (col("__p") - col("cohort_period")).as("period_offset"))
       .agg(count_distinct(col("user_id")).as("users"))
       .select(col("cohort_period"), col("period_offset"), col("users"))
+  }
+
+  /**
+   * Event transition matrix — the Markov-chain estimation table over
+   * per-user event sequences: order each user's events by `(tsUs,
+   * eventId)` (the id tiebreak makes the order TOTAL, so the counts are
+   * run-invariant even with same-microsecond events), pair each event
+   * with its successor via `lead`, count `(from_type, to_type)` pairs
+   * corpus-wide. A user's last event has no successor and contributes no
+   * pair. Output: `(from_type, to_type, transitions)`.
+   *
+   * Scale shape: one user-keyed window (bounded per user — the sessionize
+   * discipline) feeding a map-side-combined count over the
+   * |types|²-bounded pair space.
+   */
+  def transitionMatrix(events: DataFrame, user: Column, tsUs: Column,
+                       eventId: Column, etype: Column): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("__t"), col("__eid"))
+    events
+      .select(user.cast("long").as("user_id"), tsUs.cast("long").as("__t"),
+        eventId.cast("long").as("__eid"), etype.as("from_type"))
+      .filter(col("__t").isNotNull && col("user_id").isNotNull)
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("transitions"))
   }
 }

@@ -880,6 +880,10 @@ object PyBridge {
                        periodUs: java.lang.Number): DataFrame =
     graft.events.Funnel.retentionCohorts(events, user, tsUs, periodUs.longValue())
 
+  def transitionMatrix(events: DataFrame, user: Column, tsUs: Column,
+                       eventId: Column, etype: Column): DataFrame =
+    graft.events.Funnel.transitionMatrix(events, user, tsUs, eventId, etype)
+
   def cdcChunks(c: Column, avgBits: Int, minSize: Int, maxSize: Int): Column =
     graft.multimodal.Cdc.cdcChunks(c, avgBits, minSize, maxSize)
 

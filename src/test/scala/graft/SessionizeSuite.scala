@@ -89,6 +89,17 @@ class FunnelSuite extends AnyFunSuite with SparkTest {
     assert(plan.contains("partial_min"), plan)
   }
 
+  test("transitionMatrix: total order, per-user chains, last event contributes nothing") {
+    val df = Seq(
+      (1L, 0L, 10L, "a"), (1L, 1L, 11L, "b"), (1L, 2L, 12L, "a"),
+      (2L, 5L, 20L, "a"), (2L, 5L, 21L, "b"), // same micro: id tiebreak orders a->b
+      (3L, 9L, 30L, "c")                       // singleton: no pair
+    ).toDF("u", "t", "eid", "ty")
+    val got = Funnel.transitionMatrix(df, col("u"), col("t"), col("eid"), col("ty"))
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "b", 2L), ("b", "a", 1L)))
+  }
+
   test("retentionCohorts: integer periods, distinct users per cell") {
     val df = Seq(
       (1L, 0L), (1L, 5L), (1L, 25L),    // cohort 0, offsets 0 and 2
