@@ -1309,12 +1309,16 @@ object ScaleProbe {
         .select(col("id") + 500000000L as "id",
           concat(substring(col("name"), 1, 10),
             substring(col("name"), 12, 1000)).as("name")) // drop char 11
+      val lh = UnpersistHandle()
+      val rh = UnpersistHandle()
       val (pairs, tL) = time {
         graft.join.Linkage.linkRecords(left, right,
           col("id"), col("name"), col("id"), col("name"),
           minScoreFp = (0.90 * (1 << 20)).toLong,
-          maxBlockPairs = 500L * 1000 * 1000).count()
+          maxBlockPairs = 500L * 1000 * 1000,
+          leftHandle = lh, rightHandle = rh).count()
       }
+      lh.unpersist(); rh.unpersist()
       require(pairs > 0, "linkage probe found no pairs — perturbation too strong")
       report("linkage", pairs, tL)
     }

@@ -57,7 +57,7 @@ object SparkEntry {
     // pinned per checkpoint at query start from shuffle.partitions; 32
     // instances x batches x stateful operators of delta-file IO is pure
     // harness floor at gate volume, so the replay runs its (fresh)
-    // checkpoint at 8. Results are key-hashed identically either way; a
+    // checkpoint at 4. Results are key-hashed identically either way; a
     // production run keeps the session's own setting.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
@@ -1704,9 +1704,15 @@ object SparkEntry {
     // block-join + greedy-Jaro spec (tools/make_golden.py).
     "record_linkage" -> ((s, dir) => {
       val inp = s.read.parquet(s"$goldenDir/linkage_input_sf001.parquet")
-      graft.join.Linkage.linkRecords(
+      val lh = UnpersistHandle()
+      val rh = UnpersistHandle()
+      val out = graft.join.Linkage.linkRecords(
         inp.filter(col("side") === "L"), inp.filter(col("side") === "R"),
-        col("rec_id"), col("name"), col("rec_id"), col("name"))
+        col("rec_id"), col("name"), col("rec_id"), col("name"),
+        leftHandle = lh, rightHandle = rh)
+        .localCheckpoint(true)
+      lh.unpersist(); rh.unpersist()
+      out
     }),
 
     // sequence packing: where each doc lands in the fixed-capacity token
@@ -3651,7 +3657,8 @@ object SparkEntry {
 
       "event_transitions" ->
         ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, event_type " +
-          "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+          "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL " +
+          "AND event_id IS NOT NULL), " +
           "p AS (SELECT event_type AS from_type, " +
           "LEAD(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS to_type " +
           "FROM e) " +

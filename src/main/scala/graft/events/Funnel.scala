@@ -100,9 +100,13 @@ object Funnel {
     val e = events
       .select(user.cast("long").as("user_id"), tsUs.cast("long").as("__t"))
       .filter(col("__t").isNotNull && col("user_id").isNotNull)
-      // integer DIV, not IEEE '/': double division then truncation can be
-      // an ulp off at period boundaries; DuckDB replays the same integer op
-      .select(col("user_id"), expr(s"__t DIV $periodUs").as("__p"))
+      // exact FLOOR division in integer algebra (pmod is non-negative for
+      // any sign), never IEEE '/': a double quotient truncated toward zero
+      // is an ulp off at period boundaries AND rounds pre-epoch (negative)
+      // micros toward zero where DuckDB's `//` floors them
+      .select(col("user_id"),
+        ((col("__t") - pmod(col("__t"), lit(periodUs))) / periodUs)
+          .cast("long").as("__p"))
     val first = e.groupBy(col("user_id"))
       .agg(min(col("__p")).as("cohort_period"))
     e.join(first, "user_id")
@@ -132,7 +136,11 @@ object Funnel {
     events
       .select(user.cast("long").as("user_id"), tsUs.cast("long").as("__t"),
         eventId.cast("long").as("__eid"), etype.as("from_type"))
-      .filter(col("__t").isNotNull && col("user_id").isNotNull)
+      // a null tiebreak id would break the TOTAL order (and Spark orders
+      // nulls first where other engines order them last) — such rows are
+      // excluded rather than counted nondeterministically
+      .filter(col("__t").isNotNull && col("user_id").isNotNull &&
+        col("__eid").isNotNull)
       .withColumn("to_type", lead(col("from_type"), 1).over(w))
       .filter(col("to_type").isNotNull)
       .groupBy(col("from_type"), col("to_type"))

@@ -41,15 +41,25 @@ object Linkage {
                   idLeft: Column, nameLeft: Column,
                   idRight: Column, nameRight: Column,
                   minScoreFp: Long = DefaultMinScoreFp,
-                  maxBlockPairs: Long = 10L * 1000 * 1000): DataFrame = {
+                  maxBlockPairs: Long = 10L * 1000 * 1000,
+                  leftHandle: graft.UnpersistHandle = graft.UnpersistHandle.Noop,
+                  rightHandle: graft.UnpersistHandle = graft.UnpersistHandle.Noop): DataFrame = {
+    // persisted: the keyed projections (and their per-row soundex pass)
+    // feed BOTH the block-size probe and the candidate join — without the
+    // persist each side would be scanned and coded twice. Handles follow
+    // the Dedup two-handle convention for caller-controlled release.
     val l = left
       .select(idLeft.cast("long").as("id_a"), nameLeft.as("__name_a"))
       .filter(col("__name_a").isNotNull)
       .withColumn("__blk", vectors.soundex4(col("__name_a")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    leftHandle.setDataFrame(l)
     val r = right
       .select(idRight.cast("long").as("id_b"), nameRight.as("__name_b"))
       .filter(col("__name_b").isNotNull)
       .withColumn("__blk", vectors.soundex4(col("__name_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rightHandle.setDataFrame(r)
     val worst = l.groupBy(col("__blk")).count().withColumnRenamed("count", "nl")
       .join(r.groupBy(col("__blk")).count().withColumnRenamed("count", "nr"), "__blk")
       .select(max(col("nl") * col("nr")).as("pairs"))

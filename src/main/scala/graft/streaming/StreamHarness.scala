@@ -52,6 +52,11 @@ object StreamHarness {
       val sub = new java.io.File(staging, s"__batch=$b")
       val parts = Option(sub.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(_.getName.endsWith(".parquet"))
+      // the contract is one file per DENSE batch value: a batch with no
+      // rows writes no partition directory, and silently skipping it would
+      // merge the replay's micro-batch boundaries — fail loudly instead
+      require(parts.nonEmpty,
+        s"batch $b of $numBatches has no rows — ordered replay batches must be dense")
       parts.foreach { f =>
         val dest = new java.io.File(root, s"batch-$b-${f.getName}")
         require(f.renameTo(dest), s"could not stage $f -> $dest")

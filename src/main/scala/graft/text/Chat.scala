@@ -43,7 +43,11 @@ object Chat {
   /** One row per (conversation, turn): `(id, turn_idx, role, content,
     * n_tokens)`; `n_tokens` = whitespace-separated pieces of content. */
   def explodeTurns(df: DataFrame, id: Column, text: Column): DataFrame =
-    df.select(id.as("id"), posexplode(split(text, "\n")).as(Seq("turn_idx", "__l")))
+    // a NULL transcript must not vanish from the audit (posexplode of a
+    // null array emits nothing): it reads as one empty line — role '',
+    // content '' — so chatStats reports it as one invalid turn
+    df.select(id.as("id"),
+        posexplode(split(coalesce(text, lit("")), "\n")).as(Seq("turn_idx", "__l")))
       .withColumn("role", regexp_extract(col("__l"), RolePattern, 1))
       .withColumn("content",
         when(col("role") =!= "",
