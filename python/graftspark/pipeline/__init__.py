@@ -106,6 +106,7 @@ __all__ = [
     "link_records", "foreign_key_check", "chat_parse_turns", "chat_stats",
     "chat_explode_turns", "chat_truncate_to_budget",
     "funnel_times", "funnel_report", "retention_cohorts", "transition_matrix",
+    "history_apply_snapshot",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -2800,3 +2801,20 @@ def transition_matrix(events: DataFrame, user: ColumnOrName,
                                            _jcol(ts_us), _jcol(event_id),
                                            _jcol(event_type))
     return DataFrame(jdf, events.sparkSession)
+
+
+def history_apply_snapshot(history: DataFrame, snapshot: DataFrame, version,
+                           version_col: str, id_cols,
+                           attr_cols=None) -> DataFrame:
+    """Incremental SCD2 maintenance: extend an existing history with one
+    new snapshot at `version` (strictly after every version already in
+    the history) WITHOUT rebuilding from the full stack — exactly
+    equivalent to history_from_snapshots over the extended stack.
+    Accepts int/str/date/datetime versions (routed through lit())."""
+    from pyspark.sql.functions import lit as _lit
+    spark = history.sparkSession
+    jdf = _bridge(history).historyApplySnapshot(
+        history._jdf, snapshot._jdf, _jcol(_lit(version)), str(version_col),
+        _jstrlist(spark, id_cols),
+        _jstrlist(spark, attr_cols if attr_cols is not None else []))
+    return DataFrame(jdf, spark)

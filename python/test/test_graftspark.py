@@ -412,6 +412,16 @@ class GraftsparkTest(unittest.TestCase):
         tm = {(r["from_type"], r["to_type"]): r["transitions"]
               for r in P.transition_matrix(ev2, "u", "t", "eid", "ty").collect()}
         self.assertEqual(tm, {("a", "b"): 2})
+        # incremental SCD2 apply == full rebuild
+        snaps = self.spark.createDataFrame(
+            [(1, 1, "a"), (2, 1, "a"), (1, 2, "a"), (2, 2, "B"), (3, 2, "x")],
+            ["id", "v", "attr"])
+        full = P.history_from_snapshots(snaps, "v", ["id"])
+        inc = P.history_apply_snapshot(
+            P.history_from_snapshots(snaps.filter("v = 1"), "v", ["id"]),
+            snaps.filter("v = 2").select("id", "attr"), 2, "v", ["id"])
+        self.assertEqual(sorted(map(tuple, full.collect())),
+                         sorted(map(tuple, inc.collect())))
 
     def test_pipeline_mixture_interleave(self):
         from graftspark import pipeline as P

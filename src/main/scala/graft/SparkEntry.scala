@@ -317,6 +317,20 @@ object SparkEntry {
           col("valid_from"), col("valid_to"), col("is_current"))
     }),
 
+    // P128 incremental SCD2 apply: history of vintages 1..3, then the
+    // 2024-04 snapshot applied WITHOUT a rebuild — the oracle replays the
+    // full four-vintage build, so incremental == rebuild is the gate.
+    "scd2_apply" -> ((s, dir) => {
+      val snaps = scd2Snapshots(s, dir)
+      val hist = graft.diff.History.fromSnapshots(
+        snaps.filter(col("v") < "2024-04"), "v", Seq("o_orderkey"))
+      graft.diff.History.applySnapshot(hist,
+        snaps.filter(col("v") === "2024-04").drop("v"),
+        "2024-04", "v", Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("prio"), col("price"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+    }),
+
     // P110 round-trip: snapshotAt reconstructs the 2024-03 vintage exactly
     // from the history table — the oracle recomputes that vintage DIRECTLY
     // from orders, never touching the history.
@@ -3341,6 +3355,26 @@ object SparkEntry {
         "WHERE o_orderkey % 50 = 0 " +
         "AND NOT (vn IN (2, 3) AND o_orderkey % 7 = 0) " +
         "AND NOT (vn >= 3 AND o_orderkey % 11 = 0)"
+    // full SCD2 rebuild replay — shared by scd2_history AND scd2_apply
+    // (the incremental apply's contract is equality with this rebuild)
+    val scd2HistoryOracleSql =
+      s"WITH snaps AS ($scd2SnapsSql), " +
+        "vs AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS vi " +
+        "       FROM (SELECT DISTINCT v FROM snaps)), " +
+        "b AS (SELECT s.*, vs.vi FROM snaps s JOIN vs ON s.v = vs.v), " +
+        "m AS (SELECT *, CASE WHEN LAG(vi) OVER w IS NULL " +
+        "                       OR LAG(vi) OVER w != vi - 1 " +
+        "                       OR prio IS DISTINCT FROM LAG(prio) OVER w " +
+        "                       OR price IS DISTINCT FROM LAG(price) OVER w " +
+        "                THEN 1 ELSE 0 END AS chg " +
+        "      FROM b WINDOW w AS (PARTITION BY o_orderkey ORDER BY vi)), " +
+        "r AS (SELECT *, SUM(chg) OVER (PARTITION BY o_orderkey ORDER BY vi) AS run FROM m), " +
+        "g AS (SELECT o_orderkey, run, MIN(vi) AS fvi, MAX(vi) AS tvi, " +
+        "             MIN(prio) AS prio, MIN(price) AS price " +
+        "      FROM r GROUP BY o_orderkey, run) " +
+        "SELECT g.o_orderkey AS o_orderkey, g.prio AS prio, g.price AS price, " +
+        "v1.v AS valid_from, v2.v AS valid_to, v2.v IS NULL AS is_current " +
+        "FROM g JOIN vs v1 ON v1.vi = g.fvi LEFT JOIN vs v2 ON v2.vi = g.tvi + 1"
     def diffCte = s"WITH l AS ($diffLeftSql), r AS ($diffRightSql)"
     val changed =
       "l.o_custkey IS DISTINCT FROM r.o_custkey OR " +
@@ -3411,24 +3445,11 @@ object SparkEntry {
       // P110: full window-algebra replay of the SCD2 build — version index,
       // lag-based run breaks (null-safe attr compare + the gap rule), run
       // grouping, exclusive valid_to via the vi+1 lookup.
-      "scd2_history" ->
-        (s"WITH snaps AS ($scd2SnapsSql), " +
-          "vs AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS vi " +
-          "       FROM (SELECT DISTINCT v FROM snaps)), " +
-          "b AS (SELECT s.*, vs.vi FROM snaps s JOIN vs ON s.v = vs.v), " +
-          "m AS (SELECT *, CASE WHEN LAG(vi) OVER w IS NULL " +
-          "                       OR LAG(vi) OVER w != vi - 1 " +
-          "                       OR prio IS DISTINCT FROM LAG(prio) OVER w " +
-          "                       OR price IS DISTINCT FROM LAG(price) OVER w " +
-          "                THEN 1 ELSE 0 END AS chg " +
-          "      FROM b WINDOW w AS (PARTITION BY o_orderkey ORDER BY vi)), " +
-          "r AS (SELECT *, SUM(chg) OVER (PARTITION BY o_orderkey ORDER BY vi) AS run FROM m), " +
-          "g AS (SELECT o_orderkey, run, MIN(vi) AS fvi, MAX(vi) AS tvi, " +
-          "             MIN(prio) AS prio, MIN(price) AS price " +
-          "      FROM r GROUP BY o_orderkey, run) " +
-          "SELECT g.o_orderkey AS o_orderkey, g.prio AS prio, g.price AS price, " +
-          "v1.v AS valid_from, v2.v AS valid_to, v2.v IS NULL AS is_current " +
-          "FROM g JOIN vs v1 ON v1.vi = g.fvi LEFT JOIN vs v2 ON v2.vi = g.tvi + 1"),
+      "scd2_history" -> scd2HistoryOracleSql,
+
+      // P128: the incremental apply must equal the FULL four-vintage
+      // rebuild row for row — the oracle IS the scd2_history replay.
+      "scd2_apply" -> scd2HistoryOracleSql,
 
       // P110 round-trip: the 2024-03 vintage recomputed directly, never
       // touching the history table.

@@ -125,6 +125,79 @@ object History {
   }
 
   /**
+   * INCREMENTAL history maintenance: extend an existing history with one
+   * new snapshot WITHOUT rebuilding from the full stack — at 100 TB × 365
+   * vintages the daily update must touch one snapshot plus the current
+   * rows, not every snapshot ever taken. The contract is exact
+   * equivalence: `applySnapshot(fromSnapshots(stack), s, v) ==
+   * fromSnapshots(stack + s@v)` row for row (sbt randomized model pin;
+   * the driver gate replays the full rebuild as the oracle).
+   *
+   * Rules (the fromSnapshots run semantics, restated incrementally):
+   * a current row whose id holds identical attrs in the snapshot stays
+   * current; different attrs close it at `version` (exclusive) and open a
+   * fresh current run; an id absent from the snapshot closes; a snapshot
+   * id that is not current opens a new run (delete + re-insert = two
+   * runs); non-current rows pass through untouched. `version` must be
+   * strictly after every version in the history (checked with one
+   * column-pruned scan — applying an old vintage would corrupt validity).
+   *
+   * Scale shape: ONE hash exchange on the id columns (the full-outer join
+   * of the history's CURRENT slice with the snapshot); the closed-history
+   * slice passes through with no shuffle.
+   */
+  def applySnapshot(history: DataFrame, snapshot: DataFrame, version: Any,
+                    versionCol: String, idCols: Seq[String],
+                    attrCols: Seq[String] = Seq.empty): DataFrame = {
+    require(idCols.nonEmpty, "need at least one id column")
+    val v: Column = version match {
+      case c: Column => c
+      case other => lit(other)
+    }
+    val attrs =
+      if (attrCols.nonEmpty) attrCols
+      else snapshot.columns.toSeq.filterNot(c =>
+        c == versionCol || idCols.contains(c))
+    val histCols = (idCols ++ attrs) ++ Seq("valid_from", "valid_to", "is_current")
+    require(histCols.forall(history.columns.contains),
+      s"history is missing ${histCols.filterNot(history.columns.contains).mkString(", ")}")
+    val stale = history
+      .where(col("valid_from") >= v ||
+        (col("valid_to").isNotNull && col("valid_to") >= v))
+      .select(idCols.head).limit(1).count()
+    require(stale == 0,
+      s"version $version is not strictly after every version already in the history")
+
+    val toType = history.schema("valid_to").dataType
+    val cur = history.where(col("is_current"))
+      .select((idCols ++ attrs).map(col) :+ col("valid_from") :+
+        lit(true).as("__in_h"): _*)
+    val snap = snapshot.select(idCols.map(col) ++
+      attrs.map(a => col(a).as(s"__n_$a")) :+ lit(true).as("__in_s"): _*)
+    val j = cur.join(snap, idCols, "full_outer")
+    val same = attrs.map(a => col(a) <=> col(s"__n_$a"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+
+    val stillCurrent = j.where(col("__in_h") && col("__in_s") && same)
+      .select((idCols ++ attrs).map(col) ++ Seq(col("valid_from"),
+        lit(null).cast(toType).as("valid_to"), lit(true).as("is_current")): _*)
+    val closed = j.where(col("__in_h") && (col("__in_s").isNull || !same))
+      .select((idCols ++ attrs).map(col) ++ Seq(col("valid_from"),
+        v.cast(toType).as("valid_to"), lit(false).as("is_current")): _*)
+    val opened = j.where(col("__in_s") && (col("__in_h").isNull || !same))
+      .select(idCols.map(col) ++ attrs.map(a => col(s"__n_$a").as(a)) ++ Seq(
+        v.cast(toType).as("valid_from"),
+        lit(null).cast(toType).as("valid_to"), lit(true).as("is_current")): _*)
+    val untouched = history.where(!col("is_current"))
+      .select(histCols.map(col): _*)
+
+    untouched
+      .unionByName(stillCurrent)
+      .unionByName(closed)
+      .unionByName(opened)
+  }
+
+  /**
    * Reconstruct the snapshot at `version` from a history table: the rows
    * with `valid_from <= version < valid_to` (valid_to null = +inf),
    * restoring `versionCol`. Exact inverse of [[fromSnapshots]] for any

@@ -1345,6 +1345,13 @@ object PyBridge {
                         versionCol: String): DataFrame =
     graft.diff.History.snapshotAt(history, version, versionCol)
 
+  def historyApplySnapshot(history: DataFrame, snapshot: DataFrame,
+                           version: Object, versionCol: String,
+                           idCols: java.util.List[String],
+                           attrCols: java.util.List[String]): DataFrame =
+    graft.diff.History.applySnapshot(history, snapshot, version, versionCol,
+      idCols.asScala.toSeq, attrCols.asScala.toSeq)
+
   def mineHardNegatives(corpus: DataFrame, docId: Column, text: Column,
                         queries: DataFrame, queryId: Column, queryTerms: Column,
                         positives: DataFrame, posQueryId: Column, posDocId: Column,

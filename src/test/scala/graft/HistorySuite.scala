@@ -142,8 +142,32 @@ class HistorySuite extends AnyFunSuite with SparkTest {
           val want = rows.filter(_._2 == v).toSet
           assert(back === want, s"trial $trial vintage $v")
         }
+
+        // incremental apply == full rebuild, whenever a prefix stack exists
+        val lastV = vsAll.last
+        val prefix = rows.filter(_._2 != lastV)
+        if (vsAll.size >= 2 && prefix.nonEmpty) {
+          val prefixHist = History.fromSnapshots(
+            prefix.toDF("id", "v", "attr"), "v", Seq("id"))
+          val lastSnap = rows.filter(_._2 == lastV)
+            .map(r => (r._1, r._3)).toDF("id", "attr")
+          val inc = History.applySnapshot(
+            prefixHist, lastSnap, lastV, "v", Seq("id"))
+            .as[(Int, String, Int, Option[Int], Boolean)].collect().toSet
+          val full = hist
+            .as[(Int, String, Int, Option[Int], Boolean)].collect().toSet
+          assert(inc === full, s"trial $trial incremental != rebuild")
+        }
       }
     }
+  }
+
+  test("applySnapshot rejects a version not after the history's horizon") {
+    val e = intercept[IllegalArgumentException] {
+      History.applySnapshot(hist, Seq((1, "z")).toDF("id", "attr"),
+        2, "v", Seq("id"))
+    }
+    assert(e.getMessage.contains("strictly after"), e.getMessage)
   }
 
   test("plan: one corpus hash exchange, version dimension broadcast back") {
