@@ -106,7 +106,7 @@ __all__ = [
     "link_records", "foreign_key_check", "chat_parse_turns", "chat_stats",
     "chat_explode_turns", "chat_truncate_to_budget",
     "funnel_times", "funnel_report", "retention_cohorts", "transition_matrix",
-    "history_apply_snapshot",
+    "history_apply_snapshot", "with_temporal_split", "layout_report",
 ]
 
 # English stopwords used by the Scala token_stats default (kept in sync with
@@ -2817,4 +2817,31 @@ def history_apply_snapshot(history: DataFrame, snapshot: DataFrame, version,
         history._jdf, snapshot._jdf, _jcol(_lit(version)), str(version_col),
         _jstrlist(spark, id_cols),
         _jstrlist(spark, attr_cols if attr_cols is not None else []))
+    return DataFrame(jdf, spark)
+
+
+def with_temporal_split(df: DataFrame, ts_us: ColumnOrName, bounds: List[int],
+                        names: List[str], embargo_us: int = 0,
+                        output_column: str = "split") -> DataFrame:
+    """Purged temporal split: label rows by event-time cutoffs; rows
+    within embargo_us AFTER each cutoff get the reserved 'embargo' label
+    (dropped from both sides of the boundary — the time-series leakage
+    guard). Pure per-row algebra, streaming-legal."""
+    spark = df.sparkSession
+    jb = spark._jvm.java.util.ArrayList()
+    for x in bounds:
+        jb.add(int(x))
+    jdf = _bridge(df).withTemporalSplit(df._jdf, _jcol(ts_us), jb,
+                                        _jstrlist(spark, names),
+                                        int(embargo_us), str(output_column))
+    return DataFrame(jdf, spark)
+
+
+def layout_report(spark: SparkSession, dirs: List[str],
+                  target_file_bytes: int = 128 * 1024 * 1024) -> DataFrame:
+    """Footer-only layout health report per directory: (dir, files,
+    blocks, rows, compressed_bytes, small_files, target_files,
+    compaction_recommended) — never reads data pages."""
+    jdf = _bridge(spark.range(1)).layoutReport(
+        spark._jsparkSession, _jstrlist(spark, dirs), int(target_file_bytes))
     return DataFrame(jdf, spark)

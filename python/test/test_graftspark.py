@@ -422,6 +422,20 @@ class GraftsparkTest(unittest.TestCase):
             snaps.filter("v = 2").select("id", "attr"), 2, "v", ["id"])
         self.assertEqual(sorted(map(tuple, full.collect())),
                          sorted(map(tuple, inc.collect())))
+        # purged temporal split: boundary rows embargo out of both sides
+        ts = self.spark.createDataFrame([(i,) for i in [0, 9, 10, 14, 15]], ["t"])
+        lab = {r["t"]: r["split"]
+               for r in P.with_temporal_split(ts, "t", [10], ["train", "test"],
+                                              embargo_us=5).collect()}
+        self.assertEqual(lab, {0: "train", 9: "train", 10: "embargo",
+                               14: "embargo", 15: "test"})
+        # layout report over a freshly fragmented directory
+        import tempfile
+        d = tempfile.mkdtemp(prefix="graft-layout-py") + "/frag"
+        self.spark.range(2000).repartition(8).write.parquet(d)
+        rep = P.layout_report(self.spark, [d], target_file_bytes=1 << 30).first()
+        self.assertEqual((rep["files"], rep["rows"], rep["target_files"],
+                          rep["compaction_recommended"]), (8, 2000, 1, True))
 
     def test_pipeline_mixture_interleave(self):
         from graftspark import pipeline as P

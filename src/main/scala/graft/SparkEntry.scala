@@ -579,6 +579,17 @@ object SparkEntry {
         windowUs = 2592000000000L)
     }),
 
+    // P129 purged temporal split: time-axis leakage guard — rows within
+    // 12h after each cutoff are embargoed out of both sides.
+    "temporal_split" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.sample.Sampling.withTemporalSplit(
+        ev.select(col("event_id"), eventTsUs(ev).as("ts_us")), col("ts_us"),
+        bounds = Seq(1704326400000000L, 1704585600000000L),
+        names = Seq("train", "val", "test"), embargoUs = 43200000000L)
+        .select(col("event_id"), col("split"))
+    }),
+
     // P127 event transition matrix: Markov estimation table — per-user
     // lead over the total (ts, event_id) order, corpus-wide pair counts.
     "event_transitions" -> ((s, dir) => {
@@ -3301,6 +3312,21 @@ object SparkEntry {
         .select(col("blocks").cast("long").as("blocks"), col("rows"),
           col("createdBy"), col("encryption"))),
 
+    // P130 layout health report: footer-only small-files audit over one
+    // deliberately fragmented directory (24 tiny files) and one compact
+    // directory, both written fresh at a fixed path the DuckDB oracle
+    // reads back directly — the report and the oracle see the exact same
+    // physical files, so every byte count is self-consistent.
+    "layout_report" -> ((s, dir) => {
+      val root = "/tmp/graft_layout_gate_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      t(s, dir, "documents").repartition(24)
+        .write.mode("overwrite").parquet(s"$root/frag")
+      t(s, dir, "nation").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/one")
+      graft.write.Compaction.layoutReport(
+        s, Seq(s"$root/frag", s"$root/one"), targetFileBytes = 262144)
+    }),
+
     // O26 parquet schema scan (oracle: DuckDB parquet_schema() leaf rows)
     "parquet_schema_scan" -> ((s, dir) =>
       graft.parquet.ParquetMeta.parquetSchema(s, None, Seq(s"$dir/lineitem.parquet"))
@@ -3675,6 +3701,13 @@ object SparkEntry {
           "(3, 'click'), (4, 'purchase')) " +
           "SELECT step_idx, step, " +
           "(SELECT COUNT(*) FROM d WHERE d.depth >= steps.step_idx) AS users FROM steps"),
+
+      "temporal_split" ->
+        ("SELECT event_id, CASE WHEN epoch_us(ts) < 1704326400000000 THEN 'train' " +
+          "WHEN epoch_us(ts) < 1704369600000000 THEN 'embargo' " +
+          "WHEN epoch_us(ts) < 1704585600000000 THEN 'val' " +
+          "WHEN epoch_us(ts) < 1704628800000000 THEN 'embargo' " +
+          "ELSE 'test' END AS split FROM events"),
 
       "event_transitions" ->
         ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, event_type " +
@@ -5721,6 +5754,28 @@ object SparkEntry {
           "CAST(SUM(stats_null_count) AS BIGINT) AS nulls " +
           "FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet') " +
           "GROUP BY row_group_id, row_group_num_rows, row_group_num_columns"),
+
+      "layout_report" -> {
+        val root = "/tmp/graft_layout_gate__root_testdata_sf0_01"
+        s"WITH pf AS (" +
+          s"SELECT '$root/frag' AS dir, file_name, num_rows, num_row_groups " +
+          s"FROM parquet_file_metadata('$root/frag/*.parquet') " +
+          s"UNION ALL SELECT '$root/one', file_name, num_rows, num_row_groups " +
+          s"FROM parquet_file_metadata('$root/one/*.parquet')), " +
+          "pc AS (SELECT file_name, SUM(total_compressed_size) AS cb FROM (" +
+          s"SELECT file_name, total_compressed_size FROM parquet_metadata('$root/frag/*.parquet') " +
+          s"UNION ALL SELECT file_name, total_compressed_size FROM parquet_metadata('$root/one/*.parquet')" +
+          ") GROUP BY 1), " +
+          "j AS (SELECT dir, pf.file_name, num_rows, num_row_groups, cb " +
+          "FROM pf JOIN pc USING (file_name)) " +
+          "SELECT dir, COUNT(*) AS files, CAST(SUM(num_row_groups) AS BIGINT) AS blocks, " +
+          "CAST(SUM(num_rows) AS BIGINT) AS rows, CAST(SUM(cb) AS BIGINT) AS compressed_bytes, " +
+          "COUNT(CASE WHEN cb < 131072 THEN 1 END) AS small_files, " +
+          "CAST(GREATEST(1, (SUM(cb) + 262143) // 262144) AS BIGINT) AS target_files, " +
+          "(COUNT(*) > GREATEST(1, (SUM(cb) + 262143) // 262144) AND " +
+          "2 * COUNT(CASE WHEN cb < 131072 THEN 1 END) > COUNT(*)) AS compaction_recommended " +
+          "FROM j GROUP BY dir"
+      },
 
       "parquet_metadata_scan" ->
         ("SELECT CAST(num_row_groups AS BIGINT) AS blocks, num_rows AS rows, " +

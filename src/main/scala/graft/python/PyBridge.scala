@@ -884,6 +884,18 @@ object PyBridge {
                        eventId: Column, etype: Column): DataFrame =
     graft.events.Funnel.transitionMatrix(events, user, tsUs, eventId, etype)
 
+  def withTemporalSplit(df: DataFrame, tsUs: Column,
+                        bounds: JList[java.lang.Number], names: JList[String],
+                        embargoUs: java.lang.Number, outputColumn: String): DataFrame =
+    graft.sample.Sampling.withTemporalSplit(df, tsUs,
+      bounds.asScala.map(_.longValue()).toSeq, names.asScala.toSeq,
+      embargoUs.longValue(), outputColumn)
+
+  def layoutReport(spark: org.apache.spark.sql.SparkSession,
+                   dirs: JList[String], targetFileBytes: java.lang.Number): DataFrame =
+    graft.write.Compaction.layoutReport(spark, dirs.asScala.toSeq,
+      targetFileBytes.longValue())
+
   def cdcChunks(c: Column, avgBits: Int, minSize: Int, maxSize: Int): Column =
     graft.multimodal.Cdc.cdcChunks(c, avgBits, minSize, maxSize)
 

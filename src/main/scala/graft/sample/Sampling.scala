@@ -69,6 +69,47 @@ object Sampling {
   }
 
   /**
+   * PURGED temporal split — the time-series leakage guard ([[splitByHash]]
+   * splits by identity, [[graft.dedup]] leakage-safe splits by near-dup
+   * cluster; this splits by TIME, the axis that leaks through
+   * autocorrelation): rows label by event-time cutoffs, and every row
+   * inside `embargoUs` AFTER a cutoff is labeled `embargo` — dropped from
+   * training AND evaluation, so a model scored on the eval segment never
+   * saw rows temporally adjacent to its training horizon (the purged /
+   * embargoed walk-forward split of financial ML).
+   *
+   * Semantics, fully specified over integer micros: with ascending bounds
+   * `b1 < b2 < …` and names `n0, n1, …` (one more name than bounds),
+   * `ts < b1 → n0`; `b_i <= ts < b_i + embargo → "embargo"`;
+   * `b_i + embargo <= ts < b_{i+1} → n_i`; past the last bound the last
+   * name (after its embargo). Bounds must be strictly ascending with gaps
+   * wider than the embargo — a swallowed segment is a configuration
+   * error, not a degenerate split. Pure per-row Column algebra: no
+   * shuffle, streaming-legal, identical CASE logic on any engine.
+   */
+  def withTemporalSplit(df: DataFrame, tsUs: Column, bounds: Seq[Long],
+                        names: Seq[String], embargoUs: Long = 0L,
+                        outputColumn: String = "split"): DataFrame = {
+    require(bounds.nonEmpty, "withTemporalSplit needs at least one bound")
+    require(names.size == bounds.size + 1,
+      s"need ${bounds.size + 1} names for ${bounds.size} bounds, got ${names.size}")
+    require(embargoUs >= 0, s"embargoUs must be >= 0: $embargoUs")
+    require(!names.contains("embargo"), "'embargo' is the reserved gap label")
+    bounds.sliding(2).foreach {
+      case Seq(a, b) => require(b > a + embargoUs,
+        s"bound $b is not past $a + embargo $embargoUs — the segment between them is empty")
+      case _ =>
+    }
+    val t = tsUs.cast("long")
+    var e: Column = when(t < bounds.head, names.head)
+    bounds.zipWithIndex.foreach { case (b, i) =>
+      if (embargoUs > 0) e = e.when(t < b + embargoUs, "embargo")
+      if (i + 1 < bounds.size) e = e.when(t < bounds(i + 1), names(i + 1))
+    }
+    df.withColumn(outputColumn, e.otherwise(names.last))
+  }
+
+  /**
    * Deterministic WEIGHTED sampling: keep probability `min(1, rate * w)`
    * per row — importance sampling by a quality/length weight, reproducible
    * like [[hashSample]] (the decision is a pure function of the key).

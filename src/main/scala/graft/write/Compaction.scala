@@ -100,6 +100,44 @@ object Compaction {
   }
 
   /**
+   * Layout health report — "which directories need maintenance?" answered
+   * from footer metadata alone (a driver file listing + a distributed
+   * footer read, never a data read — the only sane cost model for
+   * auditing thousands of directories at 100 TB): one row per directory
+   * with `(dir, files, blocks, rows, compressed_bytes, small_files,
+   * target_files, compaction_recommended)`. A file is SMALL below half
+   * `targetFileBytes`; `target_files = max(1, ceil(bytes / target))` in
+   * exact integer arithmetic; compaction is recommended when the
+   * directory has more files than its target AND a majority of them are
+   * small — the "thousands of per-batch files" signature, not a directory
+   * that is merely one file over.
+   */
+  def layoutReport(spark: SparkSession, dirs: Seq[String],
+                   targetFileBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    require(dirs.nonEmpty, "layoutReport needs at least one directory")
+    require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
+    val half = targetFileBytes / 2
+    dirs.map { d =>
+      ParquetMeta.parquetMetadata(spark, None, Seq(d))
+        .agg(
+          count(lit(1)).as("files"),
+          sum(col("blocks").cast("long")).as("blocks"),
+          sum(col("rows")).as("rows"),
+          sum(col("compressedBytes")).as("compressed_bytes"),
+          count(when(col("compressedBytes") < half, 1)).as("small_files"))
+        .select(
+          lit(d).as("dir"), col("files"), col("blocks"), col("rows"),
+          col("compressed_bytes"), col("small_files"),
+          greatest(lit(1L),
+            expr(s"(compressed_bytes + ${targetFileBytes - 1}) DIV $targetFileBytes"))
+            .as("target_files"))
+        .withColumn("compaction_recommended",
+          col("files") > col("target_files") &&
+            col("small_files") * 2 > col("files"))
+    }.reduce(_ unionByName _)
+  }
+
+  /**
    * Compact a persisted ANN serving index after many
    * [[graft.ann.Pq.appendToAnnIndex]] batches (each append lands its own
    * small files; after a year of daily ingest `enc/` is thousands of tiny

@@ -104,6 +104,32 @@ class CurationSuite extends AnyFunSuite with SparkTest {
     assert(strat == flat)
   }
 
+  test("withTemporalSplit: boundaries, embargo gaps, reserved label, guards") {
+    val df = Seq(0L, 9L, 10L, 14L, 15L, 29L, 30L, 34L, 35L, 99L).toDF("t")
+    val got = Sampling.withTemporalSplit(df, col("t"),
+        bounds = Seq(10L, 30L), names = Seq("train", "val", "test"), embargoUs = 5L)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(0L -> "train", 9L -> "train",
+      10L -> "embargo", 14L -> "embargo",            // [b1, b1+5)
+      15L -> "val", 29L -> "val",
+      30L -> "embargo", 34L -> "embargo",            // [b2, b2+5)
+      35L -> "test", 99L -> "test"))
+    // zero embargo: plain cutoffs, boundary belongs to the RIGHT segment
+    val plain = Sampling.withTemporalSplit(df, col("t"),
+        Seq(10L, 30L), Seq("a", "b", "c"))
+      .as[(Long, String)].collect().toMap
+    assert(plain(9L) == "a" && plain(10L) == "b" && plain(30L) == "c")
+    intercept[IllegalArgumentException] { // segment swallowed by embargo
+      Sampling.withTemporalSplit(df, col("t"), Seq(10L, 14L), Seq("a", "b", "c"), 5L)
+    }
+    intercept[IllegalArgumentException] { // reserved label
+      Sampling.withTemporalSplit(df, col("t"), Seq(10L), Seq("embargo", "x"), 1L)
+    }
+    intercept[IllegalArgumentException] { // name arity
+      Sampling.withTemporalSplit(df, col("t"), Seq(10L), Seq("a"))
+    }
+  }
+
   test("splitByHash labels every row, partitions agree with hashSample") {
     val keys = (0L until 4000L).toDF("k")
     val out = Sampling.splitByHash(keys, col("k"),
