@@ -73,7 +73,7 @@ object ScaleProbe {
       "link_rank", "snapshot_diff", "wordpiece_encode", "streaming_topk_state",
       "curriculum", "anonymity", "streaming_drift_state", "unigram_encode",
       "warc_ingest", "scd2_history", "scd2_versions", "deletion_scrub",
-      "length_buckets", "watermark_plan", "linkage")
+      "length_buckets", "watermark_plan", "linkage", "funnel", "chat_trim")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -1321,6 +1321,40 @@ object ScaleProbe {
       lh.unpersist(); rh.unpersist()
       require(pairs > 0, "linkage probe found no pairs — perturbation too strong")
       report("linkage", pairs, tL)
+    }
+
+    // --- funnel: n x events, users shifted per replica EXCEPT a hot slice
+    // funneled onto user 0 — the min-aggregates must stay map-side combined
+    // so the hot user reduces per partition instead of flooding one task --
+    if (enabled("funnel")) {
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val big = amplify(ev, n).select(
+        when(col("event_id") % 20 === 0, lit(0L))
+          .otherwise(col("user_id") + col("__rep") * 1000000L).as("u"),
+        (graft.SparkEntry.eventTsUs(ev) + col("__rep")).as("t"),
+        col("event_type").as("ty"))
+      val (reached, tF) = time {
+        graft.events.Funnel.funnelTimes(big, col("u"), col("t"), col("ty"),
+          Seq("signup", "view", "click", "purchase"),
+          windowUs = 2592000000000L).count()
+      }
+      require(reached > 0, "funnel probe reached no users")
+      report("funnel", reached, tF)
+    }
+
+    // --- chat trim: n x conversations; windows partition per conversation,
+    // so depth stays flat and cost scales with the corpus ------------------
+    if (enabled("chat_trim")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val convs = amplify(docs, n).select(
+        (col("doc_id") + col("__rep") * 1000000L).as("id"),
+        concat(lit("system: be concise\nuser: "), substring(col("text"), 1, 60),
+          lit("\nassistant: "), substring(col("text"), 61, 60),
+          lit("\nuser: follow up\nassistant: done")).as("t"))
+      val (turns, tC) = time {
+        graft.text.Chat.truncateToBudget(convs, col("id"), col("t"), 24L).count()
+      }
+      report("chat_trim", turns, tC)
     }
 
     // --- deletion scrub: files touched scale with the doom list, not n ----
