@@ -170,7 +170,12 @@ object Warc {
     out.toSeq
   }
 
-  private[graft] def parseToArrayData(raw: Array[Byte], maxBytes: Long): GenericArrayData =
+  // PUBLIC on purpose: codegen'd expressions call this through the class's
+  // STATIC FORWARDER, which scalac does not emit for private[graft] members
+  // — a restricted modifier made every generated call site fail to compile
+  // and silently fall back to interpreted eval (found via the probe log's
+  // CompileException; WarcSuite now pins CODEGEN_ONLY evaluation).
+  def parseToArrayData(raw: Array[Byte], maxBytes: Long): GenericArrayData =
     new GenericArrayData(parseRecords(raw, maxBytes).map { case (t, u, d, l, p) =>
       InternalRow(
         if (t == null) null else UTF8String.fromString(t),

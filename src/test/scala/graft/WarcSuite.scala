@@ -37,6 +37,27 @@ class WarcSuite extends AnyFunSuite with SparkTest {
     assert(got(2)._5 == "second doc text")
   }
 
+  test("warc_records COMPILES under codegen (no interpreted fallback)") {
+    // parseToArrayData is called through the Warc class's static forwarder
+    // in generated Java; a restricted modifier drops the forwarder and the
+    // expression silently falls back to interpreted eval. CODEGEN_ONLY
+    // turns that silent regression into a hard failure.
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val bytes = shard(rec("conversion", "http://ex.com/a", "hello world"))
+      val n = Seq(Tuple1(bytes)).toDF("b")
+        .select(explode(graft.sources.Warc.warcRecords(col("b"))).as("r"))
+        .count()
+      assert(n == 1L)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("Content-Length counts OCTETS: multibyte payloads round-trip") {
     val payload = "café 中文 text" // 2-byte and 3-byte chars
     val bytes = shard(rec("conversion", "http://ex.com/u", payload))
