@@ -370,8 +370,22 @@ class GraftsparkTest(unittest.TestCase):
             [(1, "Jonathan Smith"), (2, "Margaret Chen")], ["id", "name"])
         right = self.spark.createDataFrame(
             [(10, "Jonathon Smith"), (11, "Zz Top")], ["id", "name"])
+        n_cached = self.spark.sparkContext._jsc.getPersistentRDDs().size()
         pairs = P.link_records(left, right, "id", "name", "id", "name").collect()
         self.assertEqual([(r["id_a"], r["id_b"]) for r in pairs], [(1, 10)])
+        # the python default takes no cache (no handles to release one)
+        self.assertEqual(
+            self.spark.sparkContext._jsc.getPersistentRDDs().size(), n_cached)
+        # composite blocking: a second key splits the (equal-soundex) block
+        lb = self.spark.createDataFrame(
+            [(1, "Jonathan Smith", "nyc"), (2, "Jonathan Smith", "sfo")],
+            ["id", "name", "city"])
+        rb = self.spark.createDataFrame(
+            [(10, "Jonathon Smith", "nyc")], ["id", "name", "city"])
+        pb = P.link_records(lb, rb, "id", "name", "id", "name",
+                            extra_block_left=["city"],
+                            extra_block_right=["city"]).collect()
+        self.assertEqual([(r["id_a"], r["id_b"]) for r in pb], [(1, 10)])
         # referential integrity: one orphan, nulls exempt
         fact = self.spark.createDataFrame([(1, 10), (2, 99), (3, None)], ["id", "fk"])
         dim = self.spark.createDataFrame([(10,), (20,)], ["k"])

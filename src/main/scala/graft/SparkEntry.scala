@@ -135,6 +135,23 @@ object SparkEntry {
       "JOIN s3 USING (user_id) WHERE e.ty = 'purchase' AND e.t > s3.t3 AND " +
       "e.t - s3.t1 <= 2592000000000 GROUP BY 1)"
 
+  /** The per-step-anchored twin ("within W of the PREVIOUS step",
+    * [[graft.events.Funnel.AnchorPreviousStep]]) with a 3-day window —
+    * each chain condition subtracts the previous step's time, not t1. */
+  private val funnelStepCte: String =
+    "e AS (SELECT user_id, epoch_us(ts) AS t, event_type AS ty FROM events " +
+      "WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+      "s1 AS (SELECT user_id, MIN(t) AS t1 FROM e WHERE ty = 'signup' GROUP BY 1), " +
+      "s2 AS (SELECT e.user_id, MIN(e.t) AS t2 FROM e " +
+      "JOIN s1 USING (user_id) WHERE e.ty = 'view' AND e.t > s1.t1 AND " +
+      "e.t - s1.t1 <= 259200000000 GROUP BY 1), " +
+      "s3 AS (SELECT e.user_id, MIN(e.t) AS t3 FROM e " +
+      "JOIN s2 USING (user_id) WHERE e.ty = 'click' AND e.t > s2.t2 AND " +
+      "e.t - s2.t2 <= 259200000000 GROUP BY 1), " +
+      "s4 AS (SELECT e.user_id, MIN(e.t) AS t4 FROM e " +
+      "JOIN s3 USING (user_id) WHERE e.ty = 'purchase' AND e.t > s3.t3 AND " +
+      "e.t - s3.t3 <= 259200000000 GROUP BY 1)"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("diff_orders")(spark, "/root/testdata/sf0.001")
@@ -577,6 +594,17 @@ object SparkEntry {
       graft.events.Funnel.funnelReport(ev, col("user_id"), eventTsUs(ev),
         col("event_type"), Seq("signup", "view", "click", "purchase"),
         windowUs = 2592000000000L)
+    }),
+
+    // P125b the per-step-anchored funnel ("within 3 days of the PREVIOUS
+    // step", the product-analytics default) — same sequential-min plan,
+    // only the window subtraction re-anchors.
+    "funnel_users_stepwin" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.events.Funnel.funnelTimes(ev, col("user_id"), eventTsUs(ev),
+        col("event_type"), Seq("signup", "view", "click", "purchase"),
+        windowUs = 259200000000L,
+        anchor = graft.events.Funnel.AnchorPreviousStep)
     }),
 
     // P129 purged temporal split: time-axis leakage guard — rows within
@@ -3683,6 +3711,16 @@ object SparkEntry {
 
       "funnel_users" ->
         (s"WITH $funnelChainCte " +
+          "SELECT s1.user_id, " +
+          "CASE WHEN s4.user_id IS NOT NULL THEN 4 WHEN s3.user_id IS NOT NULL THEN 3 " +
+          "WHEN s2.user_id IS NOT NULL THEN 2 ELSE 1 END AS depth, " +
+          "s1.t1 AS first_step_us, " +
+          "COALESCE(s4.t4, s3.t3, s2.t2, s1.t1) AS last_step_us " +
+          "FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id) " +
+          "LEFT JOIN s4 USING (user_id)"),
+
+      "funnel_users_stepwin" ->
+        (s"WITH $funnelStepCte " +
           "SELECT s1.user_id, " +
           "CASE WHEN s4.user_id IS NOT NULL THEN 4 WHEN s3.user_id IS NOT NULL THEN 3 " +
           "WHEN s2.user_id IS NOT NULL THEN 2 ELSE 1 END AS depth, " +

@@ -15,24 +15,39 @@ import org.apache.spark.sql.{Column, DataFrame}
  *  - `t1(u)` = min ts of u's `S1` events;
  *  - `t_{i+1}(u)` = min ts of u's `S_{i+1}` events with `ts > t_i(u)`
  *    (STRICT — a same-microsecond event does not chain) and
- *    `ts − t1(u) <= windowUs` (the conversion window anchors at the
- *    FIRST step; the subtraction form cannot overflow);
+ *    `ts − anchor(u, i) <= windowUs`, where `anchor` is `t1(u)` under
+ *    [[Funnel.AnchorFirstStep]] (the whole funnel must fit the window —
+ *    the classic cohort-conversion definition) or `t_i(u)` under
+ *    [[Funnel.AnchorPreviousStep]] ("within W of the PREVIOUS step" —
+ *    what most product-analytics tools compute). The subtraction form
+ *    cannot overflow: the anchor never exceeds the candidate ts.
  *  - `depth(u)` = the largest i with `t_i` defined; users with no `S1`
  *    event are absent.
  *
- * Scale shape: one filtered map-side-combined min-aggregate per step plus
- * one hash equi-join on the user id per step — k is the (small) funnel
- * length, every exchange is keyed on `user_id`, and consecutive
- * groupBy/join on the same key reuse the partitioning. No windows, no
- * per-user sort, exact integer arithmetic throughout.
+ * Scale shape: ONE pass per step — a filtered map-side-combined
+ * min-aggregate plus one hash equi-join on the user id, carrying the
+ * whole `t_1..t_i` prefix as columns, so depth falls out of the final
+ * row with no union and no recompute (an earlier shape unioned k
+ * depth-prefixes, re-executing step i's join chain k−i more times).
+ * k is the (small) funnel length, every exchange is keyed on `user_id`,
+ * and consecutive groupBy/join on the same key reuse the partitioning.
+ * No windows, no per-user sort, exact integer arithmetic throughout.
  */
 object Funnel {
+
+  /** Where the conversion window `windowUs` anchors. */
+  sealed trait WindowAnchor
+  /** `ts − t1 <= windowUs`: the whole funnel fits one window. */
+  case object AnchorFirstStep extends WindowAnchor
+  /** `ts − t_prev <= windowUs`: each step within W of the previous one. */
+  case object AnchorPreviousStep extends WindowAnchor
 
   /** Per-user funnel reach: `(user_id, depth, first_step_us,
     * last_step_us)` — `last_step_us` is the time the DEEPEST step was
     * reached. */
   def funnelTimes(events: DataFrame, user: Column, tsUs: Column, etype: Column,
-                  steps: Seq[String], windowUs: Long = Long.MaxValue): DataFrame = {
+                  steps: Seq[String], windowUs: Long = Long.MaxValue,
+                  anchor: WindowAnchor = AnchorFirstStep): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size,
       s"repeated step types are ambiguous: ${steps.mkString(", ")}")
@@ -41,28 +56,33 @@ object Funnel {
       .select(user.cast("long").as("user_id"), tsUs.cast("long").as("__t"),
         etype.as("__ty"))
       .filter(col("__t").isNotNull && col("user_id").isNotNull)
-    val s0 = e.filter(col("__ty") === steps.head)
-      .groupBy(col("user_id")).agg(min(col("__t")).as("t1"))
-    var reached = s0.withColumn("__tp", col("t1"))
-    var depths = Seq(reached.select(col("user_id"),
-      lit(1).as("depth"), col("__tp").as("__last")))
+    val k = steps.size
+    // single pass: step i joins its events once and extends the carried
+    // (t_1..t_{i-1}) row with t_i = min over candidates chaining off
+    // t_{i-1}; a user who fell out earlier carries NULLs forward (the
+    // chain condition is null, so min() stays null — no refilter needed)
+    var cur = e.filter(col("__ty") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("__t")).as("t_1"))
     steps.zipWithIndex.drop(1).foreach { case (s, i) =>
+      val prev = col(s"t_$i")
+      val anchorT = anchor match {
+        case AnchorFirstStep    => col("t_1")
+        case AnchorPreviousStep => prev
+      }
       val si = e.filter(col("__ty") === s)
         .select(col("user_id"), col("__t").as("__tn"))
-      reached = reached.join(si, "user_id")
-        .filter(col("__tn") > col("__tp") &&
-          col("__tn") - col("t1") <= windowUs)
-        .groupBy(col("user_id"), col("t1"))
-        .agg(min(col("__tn")).as("__tp"))
-      depths :+= reached.select(col("user_id"),
-        lit(i + 1).as("depth"), col("__tp").as("__last"))
+      val carried = (1 to i).map(j => min(col(s"t_$j")).as(s"t_$j"))
+      val next = min(when(col("__tn") > prev &&
+        col("__tn") - anchorT <= windowUs, col("__tn"))).as(s"t_${i + 1}")
+      cur = cur.join(si, Seq("user_id"), "left_outer")
+        .groupBy(col("user_id"))
+        .agg(carried.head, (carried.tail :+ next): _*)
     }
-    depths.reduce(_ unionAll _)
-      .groupBy(col("user_id"))
-      .agg(max(struct(col("depth"), col("__last"))).as("__m"))
-      .join(s0, "user_id")
-      .select(col("user_id"), col("__m.depth").as("depth"),
-        col("t1").as("first_step_us"), col("__m.__last").as("last_step_us"))
+    val depth = (1 to k).map(j =>
+      when(col(s"t_$j").isNotNull, 1).otherwise(0)).reduce(_ + _)
+    val last = coalesce((k to 1 by -1).map(j => col(s"t_$j")): _*)
+    cur.select(col("user_id"), depth.as("depth"),
+      col("t_1").as("first_step_us"), last.as("last_step_us"))
   }
 
   /** Step-level conversion table: `(step_idx, step, users)` with `users` =
@@ -70,10 +90,11 @@ object Funnel {
     * are a trivial downstream division, kept out so the table replays
     * bit-for-bit). */
   def funnelReport(events: DataFrame, user: Column, tsUs: Column, etype: Column,
-                   steps: Seq[String], windowUs: Long = Long.MaxValue): DataFrame = {
+                   steps: Seq[String], windowUs: Long = Long.MaxValue,
+                   anchor: WindowAnchor = AnchorFirstStep): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val counts = funnelTimes(events, user, tsUs, etype, steps, windowUs)
+    val counts = funnelTimes(events, user, tsUs, etype, steps, windowUs, anchor)
       .select(explode(sequence(lit(1), col("depth"))).as("step_idx"))
       .groupBy(col("step_idx")).agg(count(lit(1)).as("users"))
     steps.zipWithIndex.map { case (s, i) => (i + 1, s) }
@@ -101,12 +122,12 @@ object Funnel {
       .select(user.cast("long").as("user_id"), tsUs.cast("long").as("__t"))
       .filter(col("__t").isNotNull && col("user_id").isNotNull)
       // exact FLOOR division in integer algebra (pmod is non-negative for
-      // any sign), never IEEE '/': a double quotient truncated toward zero
-      // is an ulp off at period boundaries AND rounds pre-epoch (negative)
-      // micros toward zero where DuckDB's `//` floors them
+      // any sign, and the pre-subtracted numerator divides exactly under
+      // integer DIV), never IEEE '/': a double quotient loses exactness
+      // past 2^53 us and rounds pre-epoch (negative) micros toward zero
+      // where DuckDB's `//` floors them
       .select(col("user_id"),
-        ((col("__t") - pmod(col("__t"), lit(periodUs))) / periodUs)
-          .cast("long").as("__p"))
+        expr(s"(__t - pmod(__t, ${periodUs}L)) DIV ${periodUs}L").as("__p"))
     val first = e.groupBy(col("user_id"))
       .agg(min(col("__p")).as("cohort_period"))
     e.join(first, "user_id")

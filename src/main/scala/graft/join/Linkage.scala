@@ -13,20 +13,24 @@ import org.apache.spark.sql.{Column, DataFrame}
  *  1. BLOCK: each side keys by the 4-char American Soundex of the name
  *     ([[graft.functions.vectors.soundex4]] — phonetically equal names
  *     collide, so "Jon"/"John" and "Smith"/"Smyth" meet without a cross
- *     join); candidates come from a plain hash equi-join on the code.
+ *     join), optionally COMPOSED with extra blocking columns (soundex ⊕
+ *     keys — standard ER practice when the phonetic key alone doesn't
+ *     discriminate, e.g. city or zip alongside the name); candidates come
+ *     from a plain hash equi-join on the composite code.
  *  2. VERIFY: every candidate scores with exact fixed-point Jaro-Winkler
  *     ([[graft.functions.vectors.jaro_winkler_fp]] — `floor(jw · 2^20)`
  *     in pure integer arithmetic, so the accept/reject decision replays
  *     bit-for-bit on any engine) and survives at `score_fp >= minScoreFp`.
  *
  * Scale shape: the only corpus-sized exchange is the equi-join on the
- * 4-char block code; both kernels are codegen'd per-row projections. A
+ * block code; both kernels are codegen'd per-row projections. A
  * degenerate block (every record coded the same — e.g. synthetic
  * "Customer#NNN" names) would turn the join quadratic, so the candidate
  * volume per block is counted first (two tiny per-code aggregates) and the
  * call FAILS FAST above `maxBlockPairs` — an oversized block means the
- * blocking key is inadequate for this data, not that more compute is
- * needed.
+ * blocking key is inadequate for this data: compose a second blocking
+ * column via `extraBlockLeft`/`extraBlockRight` rather than raising the
+ * cap.
  */
 object Linkage {
 
@@ -36,6 +40,17 @@ object Linkage {
   /**
    * Soundex-blocked Jaro-Winkler linkage between `left` and `right`.
    * Output: `(id_a, id_b, score_fp)`, one row per accepted candidate.
+   *
+   * `extraBlockLeft`/`extraBlockRight` (positionally paired, rendered as
+   * strings with NULL → '') compose into the block key: two records meet
+   * only when the soundex AND every extra key agree.
+   *
+   * `persist = true` caches both keyed projections so the block-size probe
+   * and the candidate join share one scan + soundex pass per side (release
+   * via the two handles — the Dedup convention). At very large inputs the
+   * cache is a real memory reservation sized at two corpora's name
+   * columns: pass `persist = false` to trade one extra scan+code pass per
+   * side for zero cache footprint (the handles then stay unbound no-ops).
    */
   def linkRecords(left: DataFrame, right: DataFrame,
                   idLeft: Column, nameLeft: Column,
@@ -43,33 +58,45 @@ object Linkage {
                   minScoreFp: Long = DefaultMinScoreFp,
                   maxBlockPairs: Long = 10L * 1000 * 1000,
                   leftHandle: graft.UnpersistHandle = graft.UnpersistHandle.Noop,
-                  rightHandle: graft.UnpersistHandle = graft.UnpersistHandle.Noop): DataFrame = {
-    // persisted: the keyed projections (and their per-row soundex pass)
-    // feed BOTH the block-size probe and the candidate join — without the
-    // persist each side would be scanned and coded twice. Handles follow
-    // the Dedup two-handle convention for caller-controlled release.
-    val l = left
-      .select(idLeft.cast("long").as("id_a"), nameLeft.as("__name_a"))
-      .filter(col("__name_a").isNotNull)
-      .withColumn("__blk", vectors.soundex4(col("__name_a")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    leftHandle.setDataFrame(l)
-    val r = right
-      .select(idRight.cast("long").as("id_b"), nameRight.as("__name_b"))
-      .filter(col("__name_b").isNotNull)
-      .withColumn("__blk", vectors.soundex4(col("__name_b")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rightHandle.setDataFrame(r)
+                  rightHandle: graft.UnpersistHandle = graft.UnpersistHandle.Noop,
+                  extraBlockLeft: Seq[Column] = Nil,
+                  extraBlockRight: Seq[Column] = Nil,
+                  persist: Boolean = true): DataFrame = {
+    require(extraBlockLeft.size == extraBlockRight.size,
+      s"extra blocking columns must pair up: ${extraBlockLeft.size} left " +
+        s"vs ${extraBlockRight.size} right")
+    def blockKey(base: Column, extras: Seq[Column]): Column =
+      if (extras.isEmpty) base
+      else concat_ws("\u0001", base +: extras.map(c => coalesce(c.cast("string"), lit(""))): _*)
+    def side(df: DataFrame, idc: Column, namec: Column, idName: String,
+             nameName: String, extras: Seq[Column],
+             handle: graft.UnpersistHandle): DataFrame = {
+      val keyed = df
+        .select((idc.cast("long").as(idName) +: namec.as(nameName) +:
+          extras.zipWithIndex.map { case (c, i) => c.as(s"__xb$i") }): _*)
+        .filter(col(nameName).isNotNull)
+        .withColumn("__blk", blockKey(vectors.soundex4(col(nameName)),
+          extras.indices.map(i => col(s"__xb$i"))))
+        .select(col(idName), col(nameName), col("__blk"))
+      if (!persist) keyed
+      else {
+        val p = keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        handle.setDataFrame(p)
+        p
+      }
+    }
+    val l = side(left, idLeft, nameLeft, "id_a", "__name_a", extraBlockLeft, leftHandle)
+    val r = side(right, idRight, nameRight, "id_b", "__name_b", extraBlockRight, rightHandle)
     val worst = l.groupBy(col("__blk")).count().withColumnRenamed("count", "nl")
       .join(r.groupBy(col("__blk")).count().withColumnRenamed("count", "nr"), "__blk")
       .select(max(col("nl") * col("nr")).as("pairs"))
       .head()
     val worstPairs = if (worst.isNullAt(0)) 0L else worst.getLong(0)
     require(worstPairs <= maxBlockPairs,
-      s"largest soundex block yields $worstPairs candidate pairs " +
-        s"(> maxBlockPairs=$maxBlockPairs) — the phonetic key does not " +
-        "discriminate this data; pre-split the block (e.g. add a second " +
-        "blocking column) or raise the cap deliberately")
+      s"largest block yields $worstPairs candidate pairs " +
+        s"(> maxBlockPairs=$maxBlockPairs) — the blocking key does not " +
+        "discriminate this data; compose a second blocking column " +
+        "(extraBlockLeft/extraBlockRight) or raise the cap deliberately")
     l.join(r, "__blk")
       .withColumn("score_fp", vectors.jaro_winkler_fp(col("__name_a"), col("__name_b")))
       .filter(col("score_fp") >= minScoreFp)

@@ -844,9 +844,17 @@ object PyBridge {
                   idLeft: Column, nameLeft: Column,
                   idRight: Column, nameRight: Column,
                   minScoreFp: java.lang.Number,
-                  maxBlockPairs: java.lang.Number): DataFrame =
+                  maxBlockPairs: java.lang.Number,
+                  extraBlockLeft: java.util.List[Column],
+                  extraBlockRight: java.util.List[Column],
+                  persist: java.lang.Boolean): DataFrame = {
+    import scala.jdk.CollectionConverters._
     graft.join.Linkage.linkRecords(left, right, idLeft, nameLeft,
-      idRight, nameRight, minScoreFp.longValue(), maxBlockPairs.longValue())
+      idRight, nameRight, minScoreFp.longValue(), maxBlockPairs.longValue(),
+      extraBlockLeft = extraBlockLeft.asScala.toSeq,
+      extraBlockRight = extraBlockRight.asScala.toSeq,
+      persist = persist.booleanValue())
+  }
 
   def foreignKeyCheck(df: DataFrame, column: String,
                       ref: DataFrame, refColumn: String): DataFrame =

@@ -25,22 +25,26 @@ object StreamHarness {
   /** Write `df` as one parquet file per `batchCol` value (0-based, dense)
     * into `dir`, in ascending batch order with strictly increasing file
     * modification times. Returns the written schema (minus `batchCol`) for
-    * `readStream.schema(...)`. Gate/replay scale: one sequential write per
-    * batch, each a single task. */
+    * `readStream.schema(...)`. Gate/replay scale: one parallel write job,
+    * one task (and one part file) per batch. Contract note: every batch
+    * value in `[0, numBatches)` must be non-empty (dense) — an empty batch
+    * fails loudly rather than silently merging micro-batch boundaries. */
   def writeOrderedBatches(df: DataFrame, batchCol: Column, numBatches: Int,
                           dir: String): StructType = {
     require(numBatches >= 1, s"numBatches must be >= 1: $numBatches")
     // ONE pass over the staged data: a partitionBy("__batch") write splits
     // the batches in a single job (the per-batch loop this replaces
     // re-computed the whole staged plan once per batch — for an
-    // expensively-derived stage that tripled the setup cost). repartition
-    // keeps the staged computation parallel and hands ONE task the write,
-    // so each batch directory holds exactly one part file.
+    // expensively-derived stage that tripled the setup cost). Hash-
+    // repartitioning ON the batch value keeps the write parallel (one task
+    // per batch, not one global task) while still guaranteeing each batch
+    // directory holds exactly one part file: all rows of a batch land in
+    // one task, and a task writes one file per directory it touches.
     val staging = dir + "__staging"
     df.withColumn("__batch", batchCol)
       .filter(org.apache.spark.sql.functions.col("__batch")
         .between(0, numBatches - 1))
-      .repartition(1)
+      .repartition(numBatches, org.apache.spark.sql.functions.col("__batch"))
       .write.partitionBy("__batch").parquet(staging)
     // promote each batch's part file to dir/batch-<b>-<name> with strictly
     // increasing modification times (the file source orders by mtime), in

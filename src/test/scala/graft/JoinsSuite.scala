@@ -357,6 +357,42 @@ class JoinsSuite extends AnyFunSuite with SparkTest {
         spark.range(100).select(col("id"), lit("Customer#001").as("name")),
         col("id"), col("name"), col("id"), col("name"), maxBlockPairs = 1000L)
     }
-    assert(e.getMessage.contains("phonetic key"), e.getMessage)
+    assert(e.getMessage.contains("blocking key"), e.getMessage)
+  }
+
+  test("linkRecords composite blocking splits a degenerate soundex block") {
+    // the SAME degenerate fixture that fail-fasts above passes once a
+    // second blocking column (id % 10) splits the block under the cap —
+    // and only same-bucket candidates meet
+    val left = spark.range(100).select(col("id"),
+      lit("Customer#000").as("name"), (col("id") % 10).as("bucket"))
+    val right = spark.range(100).select(col("id"),
+      lit("Customer#001").as("name"), (col("id") % 10).as("bucket"))
+    val got = graft.join.Linkage.linkRecords(left, right,
+      col("id"), col("name"), col("id"), col("name"),
+      minScoreFp = 0L, maxBlockPairs = 1000L,
+      extraBlockLeft = Seq(col("bucket")), extraBlockRight = Seq(col("bucket")))
+    assert(got.count() == 100L * 100 / 10)
+    assert(got.filter(col("id_a") % 10 =!= col("id_b") % 10).count() == 0)
+    // mismatched extra-key arity fails fast
+    val bad = intercept[IllegalArgumentException] {
+      graft.join.Linkage.linkRecords(left, right,
+        col("id"), col("name"), col("id"), col("name"),
+        extraBlockLeft = Seq(col("bucket")))
+    }
+    assert(bad.getMessage.contains("pair up"), bad.getMessage)
+  }
+
+  test("linkRecords persist=false matches persist=true and pins no cache") {
+    val left = Seq((1L, "Jonathan Smith"), (2L, "Margaret Chen")).toDF("id", "name")
+    val right = Seq((10L, "Jonathon Smith"), (11L, "Margaret Che")).toDF("id", "name")
+    def run(p: Boolean) = graft.join.Linkage.linkRecords(left, right,
+      col("id"), col("name"), col("id"), col("name"), persist = p)
+      .as[(Long, Long, Long)].collect().toSet
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val unpersisted = run(p = false)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "persist=false must not register any cached RDD")
+    assert(unpersisted == run(p = true))
   }
 }

@@ -37,6 +37,71 @@ class FunnelSuite extends AnyFunSuite with SparkTest {
     assert(got(2L)._1 == 3)   // c exactly AT t1+100 converts (<=)
   }
 
+  test("funnel: AnchorPreviousStep re-anchors the window at each step") {
+    val df = ev(
+      (1L, 0L, "a"), (1L, 90L, "b"), (1L, 150L, "c"),  // c-b=60 <= 100, c-a=150 > 100
+      (2L, 0L, "a"), (2L, 90L, "b"), (2L, 250L, "c"))  // c-b=160 > 100
+    val first = times(df, w = 100L)
+    assert(first(1L)._1 == 2) // first-anchor: c at 150 outside t1+100
+    val got = Funnel.funnelTimes(df, col("u"), col("t"), col("ty"),
+      Seq("a", "b", "c"), windowUs = 100L, anchor = Funnel.AnchorPreviousStep)
+      .as[(Long, Int, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(got(1L) == 3) // per-step: c within 100 of b
+    assert(got(2L) == 2) // per-step: c 160 after b — out
+  }
+
+  test("model check: AnchorPreviousStep matches an in-memory per-step fold") {
+    val rng = new scala.util.Random(1337)
+    val types = Seq("a", "b", "c", "x")
+    val steps = Seq("a", "b", "c")
+    val rows = Seq.fill(600)((rng.nextInt(40).toLong,
+      rng.nextInt(200).toLong, types(rng.nextInt(types.size))))
+    val w = 30L
+    def model(evs: Seq[(Long, Long, String)]): Map[Long, Int] =
+      evs.groupBy(_._1).flatMap { case (u, es) =>
+        val byType = es.groupBy(_._3).map { case (k, v) => k -> v.map(_._2).sorted }
+        byType.get("a").map(_.head).map { t1 =>
+          var depth = 1
+          var last = t1
+          var cont = true
+          steps.tail.foreach { s =>
+            if (cont) {
+              byType.getOrElse(s, Seq.empty)
+                .find(t => t > last && t - last <= w) match {
+                case Some(t) => depth += 1; last = t
+                case None => cont = false
+              }
+            }
+          }
+          u -> depth
+        }
+      }
+    val got = Funnel.funnelTimes(rows.toDF("u", "t", "ty").repartition(7),
+      col("u"), col("t"), col("ty"), steps, windowUs = w,
+      anchor = Funnel.AnchorPreviousStep)
+      .as[(Long, Int, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(got == model(rows), s"mismatch: got $got")
+  }
+
+  test("funnel plan: each step's events are scanned exactly once — no union recompute") {
+    // parquet-backed source so the step literals can only appear in FILTER
+    // conditions (a literal-bearing projection would muddy the count); the
+    // union-of-depth-prefixes shape this pins against showed step i's
+    // filter k-i+1 times
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_plan").toString
+    spark.range(1000).select((col("id") % 50).as("u"), col("id").as("t"),
+      concat(lit("step"), (col("id") % 3).cast("string")).as("ty"))
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val plan = Funnel.funnelTimes(df, col("u"), col("t"), col("ty"),
+      Seq("step0", "step1", "step2")).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Union"), plan)
+    Seq("step0", "step1", "step2").foreach { s =>
+      val n = plan.sliding(s.length).count(_ == s)
+      assert(n == 1, s"step $s appears $n times in the plan (want 1):\n$plan")
+    }
+  }
+
   test("funnelReport counts depth-reaching users per step, zeros included") {
     val df = ev((1L, 0L, "a"), (1L, 1L, "b"), (2L, 0L, "a"))
     val rep = Funnel.funnelReport(df, col("u"), col("t"), col("ty"), Seq("a", "b", "c"))
@@ -104,11 +169,14 @@ class FunnelSuite extends AnyFunSuite with SparkTest {
     val df = Seq(
       (1L, 0L), (1L, 5L), (1L, 25L),    // cohort 0, offsets 0 and 2
       (2L, 12L), (2L, 19L),             // cohort 1, offsets 0 and 0
-      (3L, 21L)                          // cohort 2, offset 0
+      (3L, 21L),                         // cohort 2, offset 0
+      (4L, -5L),                         // pre-epoch: FLOOR to cohort -1
+      (5L, 9007199254740997L)            // past 2^53: exact under integer DIV
     ).toDF("u", "t")
     val got = Funnel.retentionCohorts(df, col("u"), col("t"), periodUs = 10L)
       .as[(Long, Long, Long)].collect().toSet
-    assert(got == Set((0L, 0L, 1L), (0L, 2L, 1L), (1L, 0L, 1L), (2L, 0L, 1L)))
+    assert(got == Set((0L, 0L, 1L), (0L, 2L, 1L), (1L, 0L, 1L), (2L, 0L, 1L),
+      (-1L, 0L, 1L), (900719925474099L, 0L, 1L)))
   }
 }
 
