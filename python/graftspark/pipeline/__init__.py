@@ -70,6 +70,10 @@ __all__ = [
     "corpus_bucket_first", "near_dup_candidates_seeded_stream",
     "cap_per_domain_stream",
     "bpe_train", "bpe_encode", "bpe_token_count", "save_bpe", "load_bpe",
+    "byte_bpe_train", "byte_bpe_encode", "byte_bpe_token_count",
+    "save_byte_bpe", "load_byte_bpe",
+    "chat_truncate_to_budget_byte_bpe",
+    "chat_truncate_messages_to_budget_byte_bpe",
     "wordpiece_train", "wordpiece_encode", "wordpiece_token_count",
     "save_wordpiece", "load_wordpiece",
     "canonicalize_url", "url_host", "registrable_domain",
@@ -105,6 +109,8 @@ __all__ = [
     "redact_valid_cards", "valid_card_count", "soundex4", "jaro_winkler_fp",
     "link_records", "foreign_key_check", "chat_parse_turns", "chat_stats",
     "chat_explode_turns", "chat_truncate_to_budget",
+    "chat_parse_messages", "chat_stats_messages", "chat_explode_messages",
+    "chat_truncate_messages_to_budget",
     "funnel_times", "funnel_report", "retention_cohorts", "transition_matrix",
     "history_apply_snapshot", "with_temporal_split", "layout_report",
 ]
@@ -619,6 +625,60 @@ def save_bpe(spark: SparkSession, model, path: str) -> None:
 def load_bpe(spark: SparkSession, path: str):
     """Load a model persisted by save_bpe (opaque model handle)."""
     return _bridge(spark.range(1)).loadBpe(spark._jsparkSession, str(path))
+
+
+def byte_bpe_train(corpus: DataFrame, text: ColumnOrName, num_merges: int,
+                   max_words: int = 1 << 20, min_freq: int = 1):
+    """Learn a BYTE-level BPE merge list (GPT-2/tiktoken lineage): UTF-8
+    byte alphabet under a fully-specified byte-class pre-token scanner —
+    case/punctuation-faithful, zero OOV, the unit real context windows
+    charge. Deterministic; returns an opaque model handle."""
+    return _bridge(corpus).byteBpeTrain(corpus._jdf, _jcol(text),
+                                        int(num_merges), int(max_words),
+                                        int(min_freq))
+
+
+def byte_bpe_encode(text: ColumnOrName, model) -> Column:
+    """Byte-level BPE token stream (array<string> in the GPT-2 display
+    alphabet, 0x20 -> 'Ġ') — one narrow kernel pass, no shuffle."""
+    return _col_fn("byteBpeEncode", _jcol(text), model)
+
+
+def byte_bpe_token_count(text: ColumnOrName, model) -> Column:
+    """Byte-level token count per row — the budget/packing input."""
+    return _col_fn("byteBpeTokenCount", _jcol(text), model)
+
+
+def save_byte_bpe(spark: SparkSession, model, path: str) -> None:
+    """Persist the byte-BPE merge list as a (rank, left, right) parquet
+    table in the display alphabet (reads like a GPT-2 vocab file)."""
+    _bridge(spark.range(1)).saveByteBpe(spark._jsparkSession, model, str(path))
+
+
+def load_byte_bpe(spark: SparkSession, path: str):
+    """Load a model persisted by save_byte_bpe (opaque model handle)."""
+    return _bridge(spark.range(1)).loadByteBpe(spark._jsparkSession, str(path))
+
+
+def chat_truncate_to_budget_byte_bpe(df: DataFrame, id: ColumnOrName,
+                                     text: ColumnOrName, budget: int,
+                                     model) -> DataFrame:
+    """chat_truncate_to_budget with n_tokens counted by a trained
+    byte-level BPE model — the kept set is exact in the units the model
+    actually charges, not whitespace pieces."""
+    jdf = _bridge(df).chatTruncateToBudgetByteBpe(
+        df._jdf, _jcol(id), _jcol(text), int(budget), model)
+    return DataFrame(jdf, df.sparkSession)
+
+
+def chat_truncate_messages_to_budget_byte_bpe(df: DataFrame,
+                                              id: ColumnOrName,
+                                              json: ColumnOrName,
+                                              budget: int, model) -> DataFrame:
+    """The MESSAGES-format twin of chat_truncate_to_budget_byte_bpe."""
+    jdf = _bridge(df).chatTruncateMessagesToBudgetByteBpe(
+        df._jdf, _jcol(id), _jcol(json), int(budget), model)
+    return DataFrame(jdf, df.sparkSession)
 
 
 def wordpiece_train(corpus: DataFrame, text: ColumnOrName, vocab_size: int,
@@ -2776,26 +2836,65 @@ def chat_truncate_to_budget(df: DataFrame, id: ColumnOrName,
     return DataFrame(jdf, df.sparkSession)
 
 
+def chat_parse_messages(json: ColumnOrName) -> Column:
+    """Parse a JSON '{"messages": [{"role": ..., "content": ...}]}'
+    document (the real SFT/RLHF wire format -- content may embed
+    newlines) -> array<struct<role, content>>. Malformed JSON, a
+    missing/empty messages array, an unknown role, or a null content all
+    surface as role-'' invalid turns; nothing is silently dropped."""
+    return _col_fn("chatParseMessages", _jcol(json))
+
+
+def chat_stats_messages(df: DataFrame, id: ColumnOrName,
+                        json: ColumnOrName) -> DataFrame:
+    """chat_stats over the MESSAGES format -- same audit columns; a
+    malformed document reads as one invalid turn."""
+    jdf = _bridge(df).chatStatsMessages(df._jdf, _jcol(id), _jcol(json))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def chat_explode_messages(df: DataFrame, id: ColumnOrName,
+                          json: ColumnOrName) -> DataFrame:
+    """chat_explode_turns over the MESSAGES format: one row per message
+    with the same (id, turn_idx, role, content, n_tokens) schema."""
+    jdf = _bridge(df).chatExplodeMessages(df._jdf, _jcol(id), _jcol(json))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def chat_truncate_messages_to_budget(df: DataFrame, id: ColumnOrName,
+                                     json: ColumnOrName,
+                                     budget: int) -> DataFrame:
+    """chat_truncate_to_budget over the MESSAGES format -- same
+    keep-last suffix algebra, same system-turn pin."""
+    jdf = _bridge(df).chatTruncateMessagesToBudget(df._jdf, _jcol(id),
+                                                   _jcol(json), int(budget))
+    return DataFrame(jdf, df.sparkSession)
+
+
 def funnel_times(events: DataFrame, user: ColumnOrName, ts_us: ColumnOrName,
                  event_type: ColumnOrName, steps: List[str],
-                 window_us: int = (1 << 62)) -> DataFrame:
+                 window_us: int = (1 << 62),
+                 per_step_window: bool = False) -> DataFrame:
     """Per-user funnel reach -> (user_id, depth, first_step_us,
     last_step_us): step i+1 needs an event strictly after step i within
-    window_us of the FIRST step (exact integer micros)."""
+    window_us of the FIRST step (exact integer micros). Pass
+    per_step_window=True to anchor the window at the PREVIOUS step
+    instead (the product-analytics default)."""
     jdf = _bridge(events).funnelTimes(events._jdf, _jcol(user), _jcol(ts_us),
                                       _jcol(event_type), list(map(str, steps)),
-                                      int(window_us))
+                                      int(window_us), bool(per_step_window))
     return DataFrame(jdf, events.sparkSession)
 
 
 def funnel_report(events: DataFrame, user: ColumnOrName, ts_us: ColumnOrName,
                   event_type: ColumnOrName, steps: List[str],
-                  window_us: int = (1 << 62)) -> DataFrame:
+                  window_us: int = (1 << 62),
+                  per_step_window: bool = False) -> DataFrame:
     """Step-level conversion table -> (step_idx, step, users) with exact
     BIGINT user counts per reached step (zeros included)."""
     jdf = _bridge(events).funnelReport(events._jdf, _jcol(user), _jcol(ts_us),
                                        _jcol(event_type), list(map(str, steps)),
-                                       int(window_us))
+                                       int(window_us), bool(per_step_window))
     return DataFrame(jdf, events.sparkSession)
 
 

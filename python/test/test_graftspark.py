@@ -403,6 +403,23 @@ class GraftsparkTest(unittest.TestCase):
         # system (2 tokens) pins and charges first; remaining budget 1 fits
         # the assistant turn (1 token) but not the user turn (3 tokens)
         self.assertEqual(trim, {0: True, 1: False, 2: True})
+        # MESSAGES format: embedded-newline content parses as ONE turn;
+        # a malformed row quarantines as one invalid turn
+        mconv = self.spark.createDataFrame(
+            [(1, '{"messages": [{"role": "system", "content": "s t"}, '
+                 '{"role": "user", "content": "a b\\nc"}, '
+                 '{"role": "assistant", "content": "d"}]}'),
+             (2, "{nope")], ["id", "j"])
+        ms = {r["id"]: (r["n_turns"], r["n_invalid"], r["alternation_ok"])
+              for r in P.chat_stats_messages(mconv, "id", "j").collect()}
+        self.assertEqual(ms, {1: (3, 0, True), 2: (1, 1, False)})
+        mtrim = {(r["id"], r["turn_idx"]): r["kept"]
+                 for r in P.chat_truncate_messages_to_budget(
+                     mconv, "id", "j", 3).collect()}
+        # sys=2 pins; remaining 1 fits assistant (1) but not user (3)
+        self.assertEqual(mtrim[(1, 0)], True)
+        self.assertEqual(mtrim[(1, 1)], False)
+        self.assertEqual(mtrim[(1, 2)], True)
 
     def test_pipeline_funnel_retention(self):
         from graftspark import pipeline as P
@@ -417,6 +434,13 @@ class GraftsparkTest(unittest.TestCase):
                for r in P.funnel_report(ev, "u", "t", "ty", ["a", "b", "c"],
                                         window_us=100).collect()}
         self.assertEqual(rep, {"a": 2, "b": 1, "c": 1})
+        # per-step anchoring: each step re-anchors the window at the
+        # previous one (user 1: c at 9 is within 5 of b at 5)
+        fs = {r["user_id"]: r["depth"]
+              for r in P.funnel_times(ev, "u", "t", "ty", ["a", "b", "c"],
+                                      window_us=5,
+                                      per_step_window=True).collect()}
+        self.assertEqual(fs, {1: 3, 2: 1})
         rc = {(r["cohort_period"], r["period_offset"]): r["users"]
               for r in P.retention_cohorts(ev, "u", "t", period_us=100).collect()}
         self.assertEqual(rc, {(0, 0): 2, (0, 2): 1})
@@ -1834,6 +1858,39 @@ class GraftsparkTest(unittest.TestCase):
         model2 = P.load_bpe(self.spark, d + "/bpe")
         enc2 = df.select(P.bpe_encode(col("t"), model2).alias("e")).collect()
         self.assertEqual([r["e"] for r in enc], [r["e"] for r in enc2])
+
+    def test_pipeline_byte_bpe(self):
+        from graftspark import pipeline as P
+        df = self.spark.createDataFrame(
+            [("low low lower",), ("Low it's 2.0",)], ["t"])
+        model = P.byte_bpe_train(df, col("t"), num_merges=5)
+        enc = df.select(P.byte_bpe_encode(col("t"), model).alias("e"),
+                        P.byte_bpe_token_count(col("t"), model).alias("n")).collect()
+        # byte level is case-faithful: "Low" != "low"; tokens use the
+        # display alphabet (0x20 -> 'Ġ')
+        toks0, toks1 = enc[0]["e"], enc[1]["e"]
+        self.assertEqual(enc[0]["n"], len(toks0))
+        self.assertIn("low", toks0)
+        self.assertTrue(any(t.startswith("Ġ") for t in toks0))
+        self.assertTrue(any("L" in t for t in toks1))   # case survives
+        self.assertIn("'s", "".join(toks1))             # contraction split
+        # save/load round-trip encodes identically
+        d = tempfile.mkdtemp()
+        P.save_byte_bpe(self.spark, model, d + "/bb")
+        model2 = P.load_byte_bpe(self.spark, d + "/bb")
+        enc2 = df.select(P.byte_bpe_encode(col("t"), model2).alias("e")).collect()
+        self.assertEqual([r["e"] for r in enc], [r["e"] for r in enc2])
+        # token-accurate chat trim: counts come from the model
+        conv = self.spark.createDataFrame(
+            [(1, "system: low\nuser: low low\nassistant: low")], ["id", "t"])
+        trim = {r["turn_idx"]: (r["n_tokens"], r["kept"])
+                for r in P.chat_truncate_to_budget_byte_bpe(
+                    conv, "id", "t", 2, model).collect()}
+        # sys=1 token pins; remaining 1 fits assistant (1) not user (2)
+        self.assertEqual(trim[0], (1, True))
+        self.assertEqual(trim[1][0], 2)
+        self.assertEqual(trim[1][1], False)
+        self.assertEqual(trim[2], (1, True))
 
     def test_pipeline_urls_and_weighted_topk(self):
         from graftspark import pipeline as P

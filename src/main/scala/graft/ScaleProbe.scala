@@ -72,8 +72,9 @@ object ScaleProbe {
       "dedup_index", "multimatch", "quality_cut", "bloom_index", "cms_sketch",
       "link_rank", "snapshot_diff", "wordpiece_encode", "streaming_topk_state",
       "curriculum", "anonymity", "streaming_drift_state", "unigram_encode",
-      "warc_ingest", "scd2_history", "scd2_versions", "deletion_scrub",
-      "length_buckets", "watermark_plan", "linkage", "funnel", "chat_trim")
+      "warc_ingest", "warc_curation", "scd2_history", "scd2_versions",
+      "deletion_scrub", "length_buckets", "watermark_plan", "linkage",
+      "funnel", "chat_trim")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -1249,6 +1250,57 @@ object ScaleProbe {
       require(capped > 0 && capped < recs,
         s"warc_ingest cap: expected 0 < capped < $recs, got $capped")
       report("warc_ingest", recs, tWarc)
+    }
+
+    // --- warc_curation: the P131 composition at n x shards — ingest ->
+    // repair -> canonicalize -> curate. Each shard carries its own id
+    // range and a per-shard text perturbation, so the exact-dedup stage
+    // cannot collapse the replicas and the near-dup stage verifies real
+    // n x candidate volume. The claim: the chain scales with shard count;
+    // the narrow stages fuse with the scan, the two dedups stay keyed. ---
+    if (enabled("warc_curation")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text")).limit(500).collect()
+      val dir = java.nio.file.Files.createTempDirectory("graft_warccur")
+      (0 until n).foreach { i =>
+        val gzBos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(gzBos)
+        docs.foreach { r =>
+          val body = (r.getString(1) + s" rep$i marker")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          gz.write((s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+            s"WARC-Target-URI: http://ex.com/${r.getLong(0) + i * 1000000L}\r\n" +
+            s"Content-Length: ${body.length}\r\n\r\n")
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          gz.write(body)
+          gz.write("\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        }
+        gz.close()
+        java.nio.file.Files.write(dir.resolve(s"s$i.warc.wet.gz"),
+          gzBos.toByteArray)
+      }
+      val (kept, tCur) = time {
+        val repaired = graft.sources.Warc.readWarc(spark, dir.toString)
+          .where(col("warc_type") === "conversion")
+          .select(
+            regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+            graft.text.TextFunctions.canonicalizeText(
+              graft.functions.vectors.fix_mojibake(col("payload"))).as("text"))
+        val h = UnpersistHandle()
+        val (_, rep) = graft.pipeline.Curation.curate(
+          repaired, col("doc_id"), col("text"),
+          keepLangs = Set("en"), minTokens = 30, maxTokens = 110,
+          minAvgTokenLen = 3.0, maxAvgTokenLen = 6.0,
+          minStopwordRatio = 0.02, maxTopBigramFraction = 0.2,
+          sampleRate = 1.0, unpersistHandle = h)
+        val rows = rep.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        h.unpersist()
+        require(rows("0_input") == docs.length.toLong * n,
+          s"warc_curation probe: input ${rows("0_input")}")
+        rows("4_neardup")
+      }
+      require(kept > 0, "warc_curation probe kept no rows")
+      report("warc_curation", kept, tCur)
     }
 
     // --- SCD2 history build: n x the id universe, 4 vintages each ---------

@@ -118,6 +118,125 @@ object SparkEntry {
       "tt AS (SELECT doc_id, turn_idx, role, content, " +
       "CAST(len(regexp_extract_all(content, '\\S+')) AS BIGINT) AS n_tokens FROM turns)"
 
+  /** Deterministic MESSAGES-format chat fixture — a JSON `{"messages":
+    * [...]}` document per row with the hazards real SFT corpora carry:
+    * content embedding a newline (the line format cannot represent it),
+    * an unknown role (%13), a truncated/malformed JSON payload (%19), an
+    * EMPTY messages array (%23), and a missing `messages` key (%29).
+    * Built with to_json so escaping is canonical; the DuckDB oracle
+    * builds its own JSON with its own to_json and parses it back — both
+    * sides replay the identical parsed turns. */
+  private def chatMessagesJson(docId: Column, text: Column): Column =
+    when(docId % 19 === 0, lit("{\"messages\": [{\"role\": \"user\""))
+      .when(docId % 23 === 0, lit("{\"messages\": []}"))
+      .when(docId % 29 === 0, lit("{\"other\": 1}"))
+      .otherwise(to_json(struct(array(
+        struct(lit("system").as("role"), lit("be concise").as("content")),
+        struct(lit("user").as("role"),
+          concat(substring(text, 1, 20), lit("\n"), substring(text, 21, 20))
+            .as("content")),
+        struct(when(docId % 13 === 0, lit("narrator")).otherwise(lit("assistant"))
+          .as("role"), substring(text, 41, 30).as("content")),
+        struct(lit("user").as("role"), lit("thanks").as("content")),
+        struct(lit("assistant").as("role"), lit("done").as("content"))
+      ).as("messages"))))
+
+  /** Shared CTE chain for the MESSAGES-format chat oracles: the same
+    * fixture JSON built with DuckDB's to_json, then genuinely parsed back
+    * through json_extract — malformed/empty/missing-messages rows become
+    * the single role-'' invalid turn carrying the raw payload, exactly
+    * the [[graft.text.Chat.parseMessages]] contract. */
+  private val chatMessagesCte: String =
+    "mj AS (SELECT doc_id, CASE " +
+      "WHEN doc_id % 19 = 0 THEN '{\"messages\": [{\"role\": \"user\"' " +
+      "WHEN doc_id % 23 = 0 THEN '{\"messages\": []}' " +
+      "WHEN doc_id % 29 = 0 THEN '{\"other\": 1}' " +
+      "ELSE CAST(to_json(struct_pack(messages := [" +
+      "struct_pack(role := 'system', content := 'be concise'), " +
+      "struct_pack(role := 'user', content := substr(text, 1, 20) || chr(10) || substr(text, 21, 20)), " +
+      "struct_pack(role := CASE WHEN doc_id % 13 = 0 THEN 'narrator' ELSE 'assistant' END, content := substr(text, 41, 30)), " +
+      "struct_pack(role := 'user', content := 'thanks'), " +
+      "struct_pack(role := 'assistant', content := 'done')])) AS VARCHAR) END AS j " +
+      "FROM documents), " +
+      "pm AS (SELECT doc_id, j, json_extract(TRY_CAST(j AS JSON), '$.messages') AS msgs FROM mj), " +
+      "base AS (SELECT doc_id, j, CASE WHEN msgs IS NULL OR json_type(msgs) <> 'ARRAY' " +
+      "OR json_array_length(msgs) = 0 THEN NULL ELSE msgs END AS msgs FROM pm), " +
+      // json_array_length is UBIGINT; range() needs BIGINT
+      "" +
+      "inv AS (SELECT doc_id, CAST(0 AS BIGINT) AS turn_idx, '' AS role, " +
+      "COALESCE(j, '') AS content FROM base WHERE msgs IS NULL), " +
+      "tm AS (SELECT doc_id, CAST(r.i AS BIGINT) AS turn_idx, " +
+      "json_extract_string(msgs, '$[' || r.i || '].role') AS role0, " +
+      "json_extract_string(msgs, '$[' || r.i || '].content') AS content0 " +
+      "FROM base, unnest(range(0, CAST(json_array_length(msgs) AS BIGINT))) AS r(i) WHERE msgs IS NOT NULL), " +
+      "turns AS (SELECT doc_id, turn_idx, role, content FROM inv " +
+      "UNION ALL SELECT doc_id, turn_idx, " +
+      "CASE WHEN role0 IN ('system','user','assistant','tool') AND content0 IS NOT NULL " +
+      "THEN role0 ELSE '' END AS role, " +
+      "CASE WHEN role0 IN ('system','user','assistant','tool') AND content0 IS NOT NULL " +
+      "THEN content0 ELSE COALESCE(content0, '') END AS content FROM tm), " +
+      "tt AS (SELECT doc_id, turn_idx, role, content, " +
+      "CAST(len(regexp_extract_all(content, '\\S+')) AS BIGINT) AS n_tokens FROM turns)"
+
+  /** Build 4 gzip WET shards from (doc_id, payload) rows — byte-for-byte
+    * headers + octet Content-Length, doc d on shard d%4 — shared by the
+    * warc_ingest and warc_curation gates. Returns the shard directory. */
+  private def writeWetShards(rows: Array[(Long, String)],
+                             prefix: String): String = {
+    val root = java.nio.file.Files.createTempDirectory(prefix).toString
+    val crlf = "\r\n"
+    (0 until 4).foreach { shardIdx =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write((s"WARC/1.0${crlf}WARC-Type: warcinfo$crlf" +
+        s"Content-Length: 0$crlf$crlf$crlf$crlf")
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      rows.filter(_._1 % 4 == shardIdx).foreach { case (docId, text) =>
+        val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        gz.write((s"WARC/1.0${crlf}WARC-Type: conversion$crlf" +
+          s"WARC-Target-URI: http://ex.test/$docId$crlf" +
+          s"WARC-Date: 2026-08-15T00:00:00Z$crlf" +
+          s"Content-Length: ${body.length}$crlf$crlf")
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        gz.write(body)
+        gz.write(s"$crlf$crlf".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      }
+      gz.close()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/shard$shardIdx.warc.wet.gz"),
+        bos.toByteArray)
+    }
+    root
+  }
+
+  /** The stats/trim selects shared by BOTH chat wire formats' oracles —
+    * each consumes the `tt(doc_id, turn_idx, role, content, n_tokens)`
+    * CTE its format-specific parse chain ends with. */
+  private val chatStatsSelect: String =
+    "SELECT doc_id AS id, COUNT(*) AS n_turns, " +
+      "COUNT(CASE WHEN role = 'user' THEN 1 END) AS n_user, " +
+      "COUNT(CASE WHEN role = 'assistant' THEN 1 END) AS n_assistant, " +
+      "COUNT(CASE WHEN role = '' THEN 1 END) AS n_invalid, " +
+      "(COUNT(CASE WHEN role = '' THEN 1 END) = 0 AND " +
+      "COUNT(CASE WHEN role = 'tool' THEN 1 END) = 0 AND " +
+      "COUNT(CASE WHEN role = 'system' AND turn_idx > 0 THEN 1 END) = 0 AND " +
+      "COUNT(CASE WHEN role IN ('user', 'assistant') AND " +
+      "(((turn_idx - has_sys) % 2 = 0 AND role <> 'user') OR " +
+      "((turn_idx - has_sys) % 2 = 1 AND role <> 'assistant')) THEN 1 END) = 0" +
+      ") AS alternation_ok " +
+      "FROM (SELECT *, MAX(CASE WHEN turn_idx = 0 AND role = 'system' " +
+      "THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id) AS has_sys FROM tt) " +
+      "GROUP BY doc_id"
+
+  private def chatTrimSelect(budget: Long = 16L): String =
+    "SELECT doc_id AS id, turn_idx, role, n_tokens, " +
+      "CASE WHEN turn_idx = 0 AND role = 'system' THEN TRUE " +
+      s"ELSE suffix <= $budget - COALESCE(sys_tokens, 0) END AS kept " +
+      "FROM (SELECT *, SUM(n_tokens) OVER (PARTITION BY doc_id " +
+      "ORDER BY turn_idx DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS suffix, " +
+      "MAX(CASE WHEN turn_idx = 0 AND role = 'system' THEN n_tokens END) " +
+      "OVER (PARTITION BY doc_id) AS sys_tokens FROM tt)"
+
   /** Shared CTE chain for the funnel oracles: the sequential-min algebra of
     * [[graft.events.Funnel.funnelTimes]] over signup → view → click →
     * purchase with the 30-day window anchored at the first step. */
@@ -1696,6 +1815,41 @@ object SparkEntry {
         docs, col("doc_id"), chatTranscript(col("doc_id"), col("text")), budget = 16L)
     }),
 
+    // P124c MESSAGES-format chat audit: real SFT corpora ship JSON
+    // {"messages": [...]} documents whose content embeds newlines — the
+    // permissive from_json parse feeds the SAME stats algebra, with
+    // malformed/empty/missing-messages rows quarantined as one invalid
+    // turn each (never dropped). Oracle: DuckDB builds the same fixture
+    // with ITS to_json and genuinely re-parses via json_extract.
+    "chat_messages" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Chat.chatStatsMessages(
+        docs, col("doc_id"), chatMessagesJson(col("doc_id"), col("text")))
+    }),
+
+    // P124d the trim twin over the MESSAGES format — same framed-window
+    // keep-last algebra, newline-bearing contents counted correctly.
+    "chat_messages_truncate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Chat.truncateMessagesToBudget(
+        docs, col("doc_id"), chatMessagesJson(col("doc_id"), col("text")),
+        budget = 16L)
+    }),
+
+    // P124e token-accurate context trimming: the same keep-last algebra,
+    // but n_tokens comes from a TRAINED byte-level BPE model (P63b) over
+    // each turn's content — the kept set is exact in the units a real
+    // model charges, not whitespace pieces. Oracle: golden per-turn
+    // counts from the independent python replication of transcript
+    // build + parse + byte-BPE, with the trim window replayed in SQL.
+    "chat_truncate_bpe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.text.ByteBpe.train(docs, col("text"), numMerges = 80)
+      graft.text.Chat.truncateToBudgetCounted(
+        docs, col("doc_id"), chatTranscript(col("doc_id"), col("text")),
+        budget = 24L, graft.text.ByteBpe.tokenCount(_, model))
+    }),
+
     // P123 referential-integrity audit: orphan fact rows against each
     // dimension via one column-pruned anti join per rule (the reference is
     // never collected). Third rule plants violations: odd orderkeys
@@ -2058,6 +2212,39 @@ object SparkEntry {
         concat_ws(" ", graft.text.Bpe.encode(col("text"), model)).as("bpe_text"))
     }),
 
+    // P63b byte-level BPE (GPT-2/tiktoken lineage): merges learned over
+    // UTF-8 bytes under the fully-specified byte-class pre-token scanner —
+    // case/punctuation-faithful, zero OOV, the unit real context windows
+    // charge. Oracle: golden fixture from an independent python
+    // replication of the ENTIRE algorithm (scanner -> capped frequency
+    // table -> merge loop -> greedy encode, tools/make_golden.py).
+    "bpe_bytes" -> ((s, dir) => {
+      import s.implicits._
+      // planted hazards (ids -1..-8) exercise contractions, case,
+      // whitespace runs, digits/punctuation, multi-byte UTF-8, trailing/
+      // leading space and the empty string — the synthetic corpus is
+      // lowercase space-separated words and would leave those scanner
+      // paths untested. 80 merges keeps the tiny vocabulary UNsaturated.
+      val planted = Seq(
+        "it's the'll 've 'd mix",
+        "Hello World HELLO hello",
+        "a  b   c\td\ne f  ",
+        "version 2.0 has 123 bugs, v2>v1!",
+        "café naïve €9",
+        "",
+        "'s start and end'",
+        "  leading spaces").zipWithIndex
+        .map { case (p, i) => (-(i + 1).toLong, p) }
+        .toDF("doc_id", "text")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionAll(planted)
+      val model = graft.text.ByteBpe.train(docs, col("text"), numMerges = 80)
+      val enc = graft.text.ByteBpe.encode(coalesce(col("text"), lit("")), model)
+      docs.select(col("doc_id"),
+        size(enc).cast("long").as("n_byte_tokens"),
+        concat_ws(" ", enc).as("byte_bpe_text"))
+    }),
+
     // P91b transparent Bloom-sidecar data skipping (the Rule[LogicalPlan]
     // tier): a PLAIN equality/IN filter against an indexed directory scans
     // only surviving files — the pruning is require-asserted in-plan, the
@@ -2391,32 +2578,44 @@ object SparkEntry {
         .filter(col("doc_id") < 200)
         .orderBy("doc_id")
         .collect()
-      val root = java.nio.file.Files.createTempDirectory("graft_wet").toString
-      val crlf = "\r\n"
-      (0 until 4).foreach { shardIdx =>
-        val bos = new java.io.ByteArrayOutputStream()
-        val gz = new java.util.zip.GZIPOutputStream(bos)
-        gz.write((s"WARC/1.0${crlf}WARC-Type: warcinfo$crlf" +
-          s"Content-Length: 0$crlf$crlf$crlf$crlf")
-          .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-        docs.filter(_.getLong(0) % 4 == shardIdx).foreach { r =>
-          val body = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          gz.write((s"WARC/1.0${crlf}WARC-Type: conversion$crlf" +
-            s"WARC-Target-URI: http://ex.test/${r.getLong(0)}$crlf" +
-            s"WARC-Date: 2026-08-15T00:00:00Z$crlf" +
-            s"Content-Length: ${body.length}$crlf$crlf")
-            .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-          gz.write(body)
-          gz.write(s"$crlf$crlf".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-        }
-        gz.close()
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"$root/shard$shardIdx.warc.wet.gz"),
-          bos.toByteArray)
-      }
+        .map(r => (r.getLong(0), r.getString(1)))
+      val root = writeWetShards(docs, "graft_wet")
       graft.sources.Warc.readWarc(s, root)
         .where(col("warc_type") === "conversion")
         .select(col("target_uri"), col("content_length"), col("payload"))
+    }),
+
+    // P131 end-to-end crawl composition: the front door chained into the
+    // curation pipeline — gzip WET shards whose payloads carry REAL
+    // mojibake corruption (the golden fixture's corrupted texts), read
+    // back through the warc_records kernel, repaired (P76), canonicalized
+    // (P54), then the P47 curation chain (langid -> quality -> exact ->
+    // near-dup). The DuckDB oracle replays the whole chain from the
+    // fixture's repaired texts; each attrition count certifies the
+    // inter-stage dataflow starting from raw gzip bytes.
+    "warc_curation" -> ((s, dir) => {
+      val moji = s.read.parquet(s"$goldenDir/mojibake_sf001.parquet")
+        .filter(col("moji_id") >= 0 && col("moji_id") < 200)
+        .orderBy("moji_id")
+        .select(col("moji_id"), col("corrupted"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val root = writeWetShards(moji, "graft_wet_cur")
+      val repaired = graft.sources.Warc.readWarc(s, root)
+        .where(col("warc_type") === "conversion")
+        .select(
+          regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+          graft.text.TextFunctions.canonicalizeText(
+            graft.functions.vectors.fix_mojibake(col("payload"))).as("text"))
+      val handle = UnpersistHandle()
+      val (_, report) = graft.pipeline.Curation.curate(
+        repaired, col("doc_id"), col("text"),
+        keepLangs = Set("en"), minTokens = 30, maxTokens = 96,
+        minAvgTokenLen = 3.0, maxAvgTokenLen = 6.0,
+        minStopwordRatio = 0.02, maxTopBigramFraction = 0.2,
+        sampleRate = 1.0, unpersistHandle = handle)
+      handle.unpersist()
+      report
     }),
 
     // P103 k-anonymity: combo census over (lang, source, length-bucket)
@@ -4352,32 +4551,20 @@ object SparkEntry {
           "UNION ALL SELECT 'min_rows', '', CAST(COUNT(*) AS DOUBLE), 100.0, " +
           "COUNT(*) >= 100 FROM orders)"),
 
-      "chat_turns" ->
-        (s"WITH $chatTurnsCte " +
-          "SELECT doc_id AS id, COUNT(*) AS n_turns, " +
-          "COUNT(CASE WHEN role = 'user' THEN 1 END) AS n_user, " +
-          "COUNT(CASE WHEN role = 'assistant' THEN 1 END) AS n_assistant, " +
-          "COUNT(CASE WHEN role = '' THEN 1 END) AS n_invalid, " +
-          "(COUNT(CASE WHEN role = '' THEN 1 END) = 0 AND " +
-          "COUNT(CASE WHEN role = 'tool' THEN 1 END) = 0 AND " +
-          "COUNT(CASE WHEN role = 'system' AND turn_idx > 0 THEN 1 END) = 0 AND " +
-          "COUNT(CASE WHEN role IN ('user', 'assistant') AND " +
-          "(((turn_idx - has_sys) % 2 = 0 AND role <> 'user') OR " +
-          "((turn_idx - has_sys) % 2 = 1 AND role <> 'assistant')) THEN 1 END) = 0" +
-          ") AS alternation_ok " +
-          "FROM (SELECT *, MAX(CASE WHEN turn_idx = 0 AND role = 'system' " +
-          "THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id) AS has_sys FROM tt) " +
-          "GROUP BY doc_id"),
+      "chat_turns" -> s"WITH $chatTurnsCte $chatStatsSelect",
 
-      "chat_truncate" ->
-        (s"WITH $chatTurnsCte " +
-          "SELECT doc_id AS id, turn_idx, role, n_tokens, " +
-          "CASE WHEN turn_idx = 0 AND role = 'system' THEN TRUE " +
-          "ELSE suffix <= 16 - COALESCE(sys_tokens, 0) END AS kept " +
-          "FROM (SELECT *, SUM(n_tokens) OVER (PARTITION BY doc_id " +
-          "ORDER BY turn_idx DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS suffix, " +
-          "MAX(CASE WHEN turn_idx = 0 AND role = 'system' THEN n_tokens END) " +
-          "OVER (PARTITION BY doc_id) AS sys_tokens FROM tt)"),
+      "chat_truncate" -> s"WITH $chatTurnsCte ${chatTrimSelect()}",
+
+      "chat_messages" -> s"WITH $chatMessagesCte $chatStatsSelect",
+
+      "chat_messages_truncate" -> s"WITH $chatMessagesCte ${chatTrimSelect()}",
+
+      // per-turn byte-BPE counts come from the golden replication; the
+      // trim window itself replays in SQL at budget 24
+      "chat_truncate_bpe" ->
+        (s"WITH tt AS (SELECT doc_id, turn_idx, role, n_tokens " +
+          s"FROM read_parquet('$goldenDir/chat_bpe_turns_sf001.parquet')) " +
+          chatTrimSelect(24L)),
 
       "integrity_checks" ->
         ("SELECT * FROM (" +
@@ -5057,6 +5244,10 @@ object SparkEntry {
         ("SELECT doc_id, n_bpe_tokens, bpe_text " +
           s"FROM read_parquet('$goldenDir/bpe_tokens_sf001.parquet')"),
 
+      "bpe_bytes" ->
+        ("SELECT doc_id, n_byte_tokens, byte_bpe_text " +
+          s"FROM read_parquet('$goldenDir/byte_bpe_sf001.parquet')"),
+
       "wordpiece_tokens" ->
         ("SELECT doc_id, n_wp_tokens, wp_text " +
           s"FROM read_parquet('$goldenDir/wordpiece_tokens_sf001.parquet')"),
@@ -5194,6 +5385,48 @@ object SparkEntry {
         ("SELECT 'http://ex.test/' || CAST(doc_id AS VARCHAR) AS target_uri, " +
           "CAST(strlen(COALESCE(text, '')) AS BIGINT) AS content_length, " +
           "COALESCE(text, '') AS payload FROM documents WHERE doc_id < 200"),
+
+      // the whole crawl->curation chain replayed: the fixture's REPAIRED
+      // texts (the mojibake inverse is golden-pinned) -> the canonicalize
+      // algebra -> the curation_report stage predicates, each stage
+      // feeding the next
+      "warc_curation" ->
+        (s"WITH fx AS (SELECT moji_id AS doc_id, fixed_text " +
+          s"FROM read_parquet('$goldenDir/mojibake_sf001.parquet') " +
+          "WHERE moji_id >= 0 AND moji_id < 200), " +
+          "cn AS (SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(fixed_text), " +
+          "'[\\x00-\\x08\\x0b\\x0e-\\x1f\\x7f]', '', 'g'), " +
+          "'[\\t\\n\\f\\r ]+', ' ', 'g')) AS text FROM fx), " +
+          "tok AS (SELECT doc_id, [x for x in string_split_regex(lower(text), '[^a-z0-9]+') if x <> ''] AS toks FROM cn), " +
+          "lsc AS (SELECT doc_id, " +
+          "len(list_intersect(list_distinct(toks), ['the','and','of','to','in','is','that','it','for','with'])) AS s_en, " +
+          "len(list_intersect(list_distinct(toks), ['le','la','les','des','et','une','est','que','pour','dans'])) AS s_fr, " +
+          "len(list_intersect(list_distinct(toks), ['der','die','das','und','ist','nicht','ein','mit','von','auf'])) AS s_de, " +
+          "len(list_intersect(list_distinct(toks), ['el','los','las','una','es','que','por','para','como','pero'])) AS s_es FROM tok), " +
+          "l1 AS (SELECT doc_id FROM lsc WHERE NOT (s_en = 0 AND s_fr = 0 AND s_de = 0 AND s_es = 0) " +
+          "AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_es), " +
+          "qg AS (SELECT doc_id, toks, CASE WHEN len(toks) < 2 THEN [] ELSE [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))] END AS g2 " +
+          "FROM tok WHERE doc_id IN (SELECT doc_id FROM l1)), " +
+          "qm AS (SELECT doc_id, len(toks) AS n, " +
+          "CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS avg_len, " +
+          "CAST(len([t for t in toks if list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], t)]) AS DOUBLE) / len(toks) AS stop_ratio, " +
+          "len(g2) AS t2, CASE WHEN len(g2) = 0 THEN 0 ELSE COALESCE(list_max([len([y for y in g2 if y = x]) for x in list_distinct(g2)]), 0) END AS p2 FROM qg), " +
+          "l2 AS (SELECT doc_id FROM qm WHERE n >= 30 AND n <= 96 AND avg_len >= 3.0 AND avg_len <= 6.0 " +
+          "AND stop_ratio >= 0.02 AND (CASE WHEN t2 = 0 THEN 0.0 ELSE CAST(p2 AS DOUBLE) / CAST(t2 AS DOUBLE) END) <= 0.2), " +
+          "cfp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f FROM cn " +
+          "WHERE doc_id IN (SELECT doc_id FROM l2)), " +
+          "l3 AS (SELECT doc_id FROM cfp QUALIFY ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) = 1), " +
+          "csh AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS s " +
+          "FROM tok WHERE len(toks) >= 3 AND doc_id IN (SELECT doc_id FROM l3)), " +
+          "cp AS (SELECT a.doc_id AS ia, b.doc_id AS ib, " +
+          "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS j " +
+          "FROM csh a JOIN csh b ON a.doc_id < b.doc_id), " +
+          "l4 AS (SELECT doc_id FROM l3 WHERE doc_id NOT IN (SELECT ib FROM cp WHERE j >= 0.8)) " +
+          "SELECT '0_input' AS stage, (SELECT COUNT(*) FROM cn) AS n_rows " +
+          "UNION ALL SELECT '1_langid', COUNT(*) FROM l1 " +
+          "UNION ALL SELECT '2_quality', (SELECT COUNT(*) FROM l2) " +
+          "UNION ALL SELECT '3_exact', (SELECT COUNT(*) FROM l3) " +
+          "UNION ALL SELECT '4_neardup', (SELECT COUNT(*) FROM l4)"),
 
       "k_anonymity_report" ->
         ("SELECT lang, source, n_chars % 7 AS len_bucket, " +

@@ -3234,6 +3234,9 @@ object vectors {
   def bpe_encode_tokens(text: Column, merges: IndexedSeq[(String, String)]): Column =
     BpeEncodeTokens(text.asExpression, merges).asColumn
 
+  def byte_bpe_encode(text: Column, merges: IndexedSeq[(String, String)]): Column =
+    ByteBpeEncode(text.asExpression, merges).asColumn
+
   def wordpiece_encode(text: Column, pieces: IndexedSeq[String]): Column =
     WordPieceEncode(text.asExpression, pieces).asColumn
 

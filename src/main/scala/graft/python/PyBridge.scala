@@ -870,19 +870,38 @@ object PyBridge {
   def chatExplodeTurns(df: DataFrame, id: Column, text: Column): DataFrame =
     graft.text.Chat.explodeTurns(df, id, text)
 
+  def chatParseMessages(c: Column): Column =
+    graft.text.Chat.parseMessages(c)
+
+  def chatStatsMessages(df: DataFrame, id: Column, json: Column): DataFrame =
+    graft.text.Chat.chatStatsMessages(df, id, json)
+
+  def chatExplodeMessages(df: DataFrame, id: Column, json: Column): DataFrame =
+    graft.text.Chat.explodeMessages(df, id, json)
+
+  def chatTruncateMessagesToBudget(df: DataFrame, id: Column, json: Column,
+                                   budget: java.lang.Number): DataFrame =
+    graft.text.Chat.truncateMessagesToBudget(df, id, json, budget.longValue())
+
   def chatTruncateToBudget(df: DataFrame, id: Column, text: Column,
                            budget: java.lang.Number): DataFrame =
     graft.text.Chat.truncateToBudget(df, id, text, budget.longValue())
 
+  private def funnelAnchor(perStepWindow: java.lang.Boolean) =
+    if (perStepWindow.booleanValue()) graft.events.Funnel.AnchorPreviousStep
+    else graft.events.Funnel.AnchorFirstStep
+
   def funnelTimes(events: DataFrame, user: Column, tsUs: Column, etype: Column,
-                  steps: JList[String], windowUs: java.lang.Number): DataFrame =
+                  steps: JList[String], windowUs: java.lang.Number,
+                  perStepWindow: java.lang.Boolean): DataFrame =
     graft.events.Funnel.funnelTimes(events, user, tsUs, etype,
-      steps.asScala.toSeq, windowUs.longValue())
+      steps.asScala.toSeq, windowUs.longValue(), funnelAnchor(perStepWindow))
 
   def funnelReport(events: DataFrame, user: Column, tsUs: Column, etype: Column,
-                   steps: JList[String], windowUs: java.lang.Number): DataFrame =
+                   steps: JList[String], windowUs: java.lang.Number,
+                   perStepWindow: java.lang.Boolean): DataFrame =
     graft.events.Funnel.funnelReport(events, user, tsUs, etype,
-      steps.asScala.toSeq, windowUs.longValue())
+      steps.asScala.toSeq, windowUs.longValue(), funnelAnchor(perStepWindow))
 
   def retentionCohorts(events: DataFrame, user: Column, tsUs: Column,
                        periodUs: java.lang.Number): DataFrame =
@@ -1054,6 +1073,35 @@ object PyBridge {
 
   def loadBpe(spark: SparkSession, path: String): graft.text.Bpe.BpeModel =
     graft.text.Bpe.loadBpe(spark, path)
+
+  def byteBpeTrain(corpus: DataFrame, text: Column, numMerges: Int,
+                   maxWords: Int, minFreq: Long): graft.text.ByteBpe.ByteBpeModel =
+    graft.text.ByteBpe.train(corpus, text, numMerges, maxWords, minFreq)
+
+  def byteBpeEncode(c: Column, model: graft.text.ByteBpe.ByteBpeModel): Column =
+    graft.text.ByteBpe.encode(c, model)
+
+  def byteBpeTokenCount(c: Column, model: graft.text.ByteBpe.ByteBpeModel): Column =
+    graft.text.ByteBpe.tokenCount(c, model)
+
+  def saveByteBpe(spark: SparkSession, model: graft.text.ByteBpe.ByteBpeModel,
+                  path: String): Unit =
+    graft.text.ByteBpe.saveByteBpe(spark, model, path)
+
+  def loadByteBpe(spark: SparkSession, path: String): graft.text.ByteBpe.ByteBpeModel =
+    graft.text.ByteBpe.loadByteBpe(spark, path)
+
+  def chatTruncateToBudgetByteBpe(df: DataFrame, id: Column, text: Column,
+                                  budget: java.lang.Number,
+                                  model: graft.text.ByteBpe.ByteBpeModel): DataFrame =
+    graft.text.Chat.truncateToBudgetCounted(df, id, text, budget.longValue(),
+      graft.text.ByteBpe.tokenCount(_, model))
+
+  def chatTruncateMessagesToBudgetByteBpe(
+      df: DataFrame, id: Column, json: Column, budget: java.lang.Number,
+      model: graft.text.ByteBpe.ByteBpeModel): DataFrame =
+    graft.text.Chat.truncateMessagesToBudgetCounted(df, id, json,
+      budget.longValue(), graft.text.ByteBpe.tokenCount(_, model))
 
   def wordPieceTrain(corpus: DataFrame, text: Column, vocabSize: Int,
                      maxPieceLen: Int, maxWords: Int,

@@ -1,0 +1,99 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/**
+ * Byte-level BPE tokenizer (GPT-2/tiktoken lineage) — the unit real
+ * models charge against context windows, upgrading [[Bpe]]'s word-level
+ * trainer for the token-budget consumers (P45/P86/P113): a byte alphabet
+ * plus the fully-specified pre-token scanner in
+ * [[graft.functions.ByteBpeKernels]] means ZERO out-of-vocabulary risk
+ * and case/punctuation-faithful counts.
+ *
+ * Spark-first split of the work, sized for 100 TB (the [[Bpe.train]]
+ * shape):
+ *  - The corpus-sized pass is the PRE-TOKEN COUNT: one map-side-combined
+ *    hash aggregation over the kernel's pre-token stream — the exchange
+ *    carries one row per distinct pre-token per task, never corpus
+ *    tokens.
+ *  - Merge learning runs single-node on the bounded frequency table (top
+ *    `maxWords` by (count desc, token) — deterministic cutoff, the
+ *    require-capped collect every production BPE trainer does).
+ *  - Encoding is one narrow codegen kernel pass
+ *    ([[graft.functions.ByteBpeEncode]]) with a per-thread memo; no
+ *    shuffle, streaming-legal.
+ *
+ * Determinism: no RNG; ties in the merge loop break by the
+ * lexicographically smallest (left, right) BYTE pair — the same corpus
+ * always yields the same merges, and the gate fixture replicates the
+ * whole algorithm independently in python (tools/make_golden.py).
+ *
+ * Symbols travel as latin-1 strings internally; the persisted artifact
+ * and all OUTPUT tokens use the printable byte-display alphabet
+ * (0x20 → 'Ġ'), so vocab files read like GPT-2's.
+ */
+object ByteBpe {
+
+  /** An ordered merge list over latin-1 byte symbols. */
+  case class ByteBpeModel(merges: IndexedSeq[(String, String)]) {
+    require(merges.nonEmpty, "byte-BPE model needs at least one merge")
+  }
+
+  /**
+   * Learn `numMerges` merges from the corpus. `maxWords` caps the driver
+   * collect (top pre-tokens by frequency, ties by display token —
+   * deterministic); `minFreq` drops hapax noise before the cap; 1-byte
+   * pre-tokens carry no pairs and are excluded.
+   */
+  def train(corpus: DataFrame, text: Column, numMerges: Int,
+            maxWords: Int = 1 << 20, minFreq: Long = 1L): ByteBpeModel = {
+    require(numMerges > 0, s"numMerges must be positive: $numMerges")
+    require(maxWords > 0 && maxWords <= (1 << 24),
+      s"maxWords out of range (driver collect cap): $maxWords")
+    val counts = corpus
+      .select(explode(graft.functions.vectors.byte_bpe_encode(
+        coalesce(text, lit("")), IndexedSeq.empty)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minFreq && length(col("w")) >= 2)
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxWords)
+      .collect()
+      .map(r => (graft.functions.ByteBpeKernels.fromDisplay(r.getString(0)),
+        r.getLong(1)))
+    ByteBpeModel(Bpe.trainFromCounts(counts, numMerges).merges)
+  }
+
+  /** Tokenize `text` into the model's byte-level token stream
+    * (`array<string>` in the display alphabet): one codegen kernel pass,
+    * no shuffle. */
+  def encode(text: Column, model: ByteBpeModel): Column =
+    graft.functions.vectors.byte_bpe_encode(text, model.merges)
+
+  /** Byte-level token count per row — the budget/packing input. */
+  def tokenCount(text: Column, model: ByteBpeModel): Column =
+    size(encode(text, model)).cast("long")
+
+  /** Persist the merge list as a tiny `(rank, left, right)` parquet table
+    * in the DISPLAY alphabet (readable like a GPT-2 vocab file). */
+  def saveByteBpe(spark: SparkSession, model: ByteBpeModel, path: String): Unit = {
+    import spark.implicits._
+    model.merges.zipWithIndex
+      .map { case ((l, r), rank) =>
+        (rank, graft.functions.ByteBpeKernels.display(l),
+          graft.functions.ByteBpeKernels.display(r))
+      }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model persisted by [[saveByteBpe]] (bounded numMerges-row
+    * collect). */
+  def loadByteBpe(spark: SparkSession, path: String): ByteBpeModel =
+    ByteBpeModel(spark.read.parquet(path).select("rank", "left", "right")
+      .collect()
+      .map(r => (r.getInt(0),
+        (graft.functions.ByteBpeKernels.fromDisplay(r.getString(1)),
+          graft.functions.ByteBpeKernels.fromDisplay(r.getString(2)))))
+      .sortBy(_._1).map(_._2).toIndexedSeq)
+}

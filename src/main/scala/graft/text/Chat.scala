@@ -9,26 +9,47 @@ import org.apache.spark.sql.{Column, DataFrame}
  * checks and context-window trimming every SFT/RLHF data pipeline runs
  * before an example reaches a trainer.
  *
- * Wire format (fully specified, engine-portable): one turn per line,
- * `role: content` with role ∈ {system, user, assistant, tool} and the
- * single separator `": "`; a line that does not match keeps role `''`
- * (the invalid marker — [[chatStats]] surfaces it, nothing is silently
- * dropped). No continuation lines: the parse is per-line
- * `regexp_extract` + a 1-based offset substring, so DuckDB replays it
- * with the identical pattern and arithmetic.
+ * Two wire formats share one stats/trim algebra:
  *
- * Scale shape: [[parseTurns]] is narrow per-row Column algebra (split +
- * transform — no explode, no shuffle, streaming-legal). [[chatStats]]
- * and [[truncateToBudget]] explode to one row per turn and use windows
- * partitioned BY CONVERSATION — bounded by transcript length, never
- * corpus-sized — and the stats explode feeds a map-side-combined
- * re-aggregation.
+ *  - LINE format (fully specified, engine-portable): one turn per line,
+ *    `role: content` with role ∈ {system, user, assistant, tool} and the
+ *    single separator `": "`; a line that does not match keeps role `''`
+ *    (the invalid marker — [[chatStats]] surfaces it, nothing is silently
+ *    dropped). No continuation lines: the parse is per-line
+ *    `regexp_extract` + a 1-based offset substring, so DuckDB replays it
+ *    with the identical pattern and arithmetic. Cheap, but it CANNOT
+ *    represent a turn whose content embeds a newline.
+ *  - MESSAGES format (what real SFT/RLHF corpora ship): a JSON document
+ *    `{"messages": [{"role": ..., "content": ...}, ...]}` parsed with
+ *    permissive `from_json` — content may embed newlines freely. The
+ *    P97-quarantine discipline for malformed rows: unparseable JSON, a
+ *    missing/empty `messages` array, an unknown role, or a null content
+ *    all surface as role-`''` invalid turns (a malformed document reads
+ *    as ONE invalid turn carrying the raw payload), never a dropped row.
+ *
+ * Scale shape: [[parseTurns]]/[[parseMessages]] are narrow per-row Column
+ * algebra (split/from_json + transform — no explode, no shuffle,
+ * streaming-legal). [[chatStats]] and [[truncateToBudget]] explode to one
+ * row per turn and use windows partitioned BY CONVERSATION — bounded by
+ * transcript length, never corpus-sized — and the stats explode feeds a
+ * map-side-combined re-aggregation.
  */
 object Chat {
 
   val Roles: Seq[String] = Seq("system", "user", "assistant", "tool")
 
   private val RolePattern = "^(system|user|assistant|tool): "
+
+  /** The permissive parse target for the MESSAGES format. */
+  val MessagesSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("messages",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("role",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("content",
+              org.apache.spark.sql.types.StringType)))))))
 
   /** `array<struct<role, content>>` from a transcript; role `''` marks an
     * unparseable line (content = the raw line). Pure per-row algebra. */
@@ -40,23 +61,49 @@ object Chat {
           .otherwise(l).as("content"))
     })
 
+  /**
+   * `array<struct<role, content>>` from a JSON `{"messages": [...]}`
+   * document. A document whose JSON fails to parse, lacks a `messages`
+   * array, or carries an EMPTY one reads as one role-`''` turn whose
+   * content is the raw payload (the audit must not lose the row); a
+   * message with an unknown role or null content keeps role `''` with
+   * content `coalesce(content, '')`. Pure per-row algebra.
+   */
+  def parseMessages(json: Column): Column = {
+    val msgs = from_json(json, MessagesSchema).getField("messages")
+    val norm = transform(msgs, m => {
+      val ok = m.getField("role").isin(Roles: _*) &&
+        m.getField("content").isNotNull
+      struct(
+        when(ok, m.getField("role")).otherwise(lit("")).as("role"),
+        when(ok, m.getField("content"))
+          .otherwise(coalesce(m.getField("content"), lit(""))).as("content"))
+    })
+    when(msgs.isNull || size(msgs) === 0,
+      array(struct(lit("").as("role"), coalesce(json, lit("")).as("content"))))
+      .otherwise(norm)
+  }
+
   /** One row per (conversation, turn): `(id, turn_idx, role, content,
     * n_tokens)`; `n_tokens` = whitespace-separated pieces of content. */
   def explodeTurns(df: DataFrame, id: Column, text: Column): DataFrame =
     // a NULL transcript must not vanish from the audit (posexplode of a
     // null array emits nothing): it reads as one empty line — role '',
     // content '' — so chatStats reports it as one invalid turn
-    df.select(id.as("id"),
-        posexplode(split(coalesce(text, lit("")), "\n")).as(Seq("turn_idx", "__l")))
-      .withColumn("role", regexp_extract(col("__l"), RolePattern, 1))
-      .withColumn("content",
-        when(col("role") =!= "",
-          col("__l").substr(length(col("role")) + lit(3), length(col("__l"))))
-          .otherwise(col("__l")))
+    explodeParsed(df, id, parseTurns(coalesce(text, lit(""))))
+
+  /** [[explodeTurns]] for the MESSAGES format: one row per message with
+    * the same `(id, turn_idx, role, content, n_tokens)` schema. */
+  def explodeMessages(df: DataFrame, id: Column, json: Column): DataFrame =
+    explodeParsed(df, id, parseMessages(json))
+
+  private def explodeParsed(df: DataFrame, id: Column,
+                            turns: Column): DataFrame =
+    df.select(id.as("id"), posexplode(turns).as(Seq("turn_idx", "__m")))
+      .select(col("id"), col("turn_idx").cast("long").as("turn_idx"),
+        col("__m.role").as("role"), col("__m.content").as("content"))
       .withColumn("n_tokens",
         size(expr("regexp_extract_all(content, '\\\\S+', 0)")).cast("long"))
-      .select(col("id"), col("turn_idx").cast("long").as("turn_idx"),
-        col("role"), col("content"), col("n_tokens"))
 
   /**
    * Per-conversation format audit: `(id, n_turns, n_user, n_assistant,
@@ -65,8 +112,16 @@ object Chat {
    * turn and only at index 0, and the remaining roles alternate
    * `user, assistant, user, …` starting with `user`.
    */
-  def chatStats(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val turns = explodeTurns(df, id, text)
+  def chatStats(df: DataFrame, id: Column, text: Column): DataFrame =
+    statsFromTurns(explodeTurns(df, id, text))
+
+  /** [[chatStats]] over the MESSAGES format — same audit columns, same
+    * contract (a malformed document is one invalid turn). */
+  def chatStatsMessages(df: DataFrame, id: Column, json: Column): DataFrame =
+    statsFromTurns(explodeMessages(df, id, json))
+
+  private def statsFromTurns(exploded: DataFrame): DataFrame = {
+    val turns = exploded
       .withColumn("__has_sys",
         max(when(col("turn_idx") === 0 && col("role") === "system", 1)
           .otherwise(0)).over(Window.partitionBy(col("id"))))
@@ -99,9 +154,40 @@ object Chat {
    * fold, and DuckDB replays the same frame.
    */
   def truncateToBudget(df: DataFrame, id: Column, text: Column,
-                       budget: Long): DataFrame = {
+                       budget: Long): DataFrame =
+    truncateTurns(explodeTurns(df, id, text), budget)
+
+  /** [[truncateToBudget]] over the MESSAGES format — same framed-window
+    * keep-last algebra, same system-turn pin. */
+  def truncateMessagesToBudget(df: DataFrame, id: Column, json: Column,
+                               budget: Long): DataFrame =
+    truncateTurns(explodeMessages(df, id, json), budget)
+
+  /**
+   * [[truncateToBudget]] with a caller-supplied token counter over the
+   * turn content — the hook that upgrades trimming from whitespace
+   * counts to REAL tokenizer units (e.g. a persisted byte-level BPE
+   * model: `truncateToBudgetCounted(df, id, text, b,
+   * ByteBpe.tokenCount(_, model))`), so the kept set is exact in the
+   * units the model will actually charge. The counter must be a narrow
+   * per-row Column (the kernel encoders are), keeping the whole parse +
+   * count pass shuffle-free before the per-conversation window.
+   */
+  def truncateToBudgetCounted(df: DataFrame, id: Column, text: Column,
+                              budget: Long,
+                              tokenCount: Column => Column): DataFrame =
+    truncateTurns(explodeTurns(df, id, text)
+      .withColumn("n_tokens", tokenCount(col("content")).cast("long")), budget)
+
+  /** [[truncateToBudgetCounted]] over the MESSAGES format. */
+  def truncateMessagesToBudgetCounted(df: DataFrame, id: Column, json: Column,
+                                      budget: Long,
+                                      tokenCount: Column => Column): DataFrame =
+    truncateTurns(explodeMessages(df, id, json)
+      .withColumn("n_tokens", tokenCount(col("content")).cast("long")), budget)
+
+  private def truncateTurns(turns: DataFrame, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0: $budget")
-    val turns = explodeTurns(df, id, text)
     val byConv = Window.partitionBy(col("id"))
     val suffix = Window.partitionBy(col("id")).orderBy(col("turn_idx").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -1,0 +1,85 @@
+package graft
+
+import graft.functions.ByteBpeKernels
+import graft.text.ByteBpe
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Byte-level BPE: the pre-token scanner's alternation semantics, display
+  * mapping bijection, deterministic training, save/load round-trip, and
+  * the codegen pin. */
+class ByteBpeSuite extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  private def pre(s: String): Seq[String] =
+    ByteBpeKernels.preTokenize(s.getBytes("UTF-8")).toSeq
+      .map(ByteBpeKernels.display)
+
+  test("pre-tokenizer: contractions, space attachment, class runs") {
+    // Ġ is the display form of 0x20
+    assert(pre("it's fine") == Seq("it", "'s", "Ġfine"))
+    assert(pre("they'll we're I'm") ==
+      Seq("they", "'ll", "Ġwe", "'re", "ĠI", "'m"))
+    // apostrophe after a space is an OTHER run, not a contraction
+    assert(pre("it 's") == Seq("it", "Ġ'", "s"))
+    // class splits: letters / digits / punctuation, space attaches once
+    assert(pre("v2.0 x!") == Seq("v", "2", ".", "0", "Ġx", "!"))
+  }
+
+  test("pre-tokenizer: whitespace runs, the (?!\\S) backtrack, edges") {
+    // run of 3 spaces before a word: first two are one token, the last
+    // attaches to the word
+    assert(pre("a   b") == Seq("a", "ĠĠ", "Ġb"))
+    // trailing whitespace run is ONE token
+    assert(pre("a  ") == Seq("a", "ĠĠ"))
+    // a non-space single whitespace stands alone (no ` ?` attachment)
+    assert(pre("a\nb") == Seq("a", "Ċ", "b"))
+    // tab+newline run before a word: run-minus-last, then single newline
+    assert(pre("a\t\nb") == Seq("a", "ĉ", "Ċ", "b"))
+    assert(pre("") == Seq.empty)
+    assert(pre("  lead") == Seq("Ġ", "Ġlead"))
+  }
+
+  test("pre-tokenizer: multi-byte UTF-8 groups with letters") {
+    // é = 0xC3 0xA9, both >= 0x80 -> letter class, joins the run
+    assert(pre("café x") == Seq("cafÃ©".map(c =>
+      ByteBpeKernels.byteToChar(c.toInt)).mkString, "Ġx"))
+  }
+
+  test("display mapping is a bijection over all 256 bytes") {
+    val all = (0 until 256).map(_.toChar).mkString
+    assert(ByteBpeKernels.fromDisplay(ByteBpeKernels.display(all)) == all)
+    assert(ByteBpeKernels.display(all).toSet.size == 256)
+    // 0x20 maps to the GPT-2 'Ġ'
+    assert(ByteBpeKernels.display(" ") == "Ġ")
+  }
+
+  test("training is deterministic and case/punctuation-faithful; save/load round-trips") {
+    val docs = Seq.fill(8)("Low low LOW lower lowest").toDF("text")
+    val m1 = ByteBpe.train(docs, col("text"), numMerges = 10)
+    val m2 = ByteBpe.train(docs, col("text"), numMerges = 10)
+    assert(m1 == m2)
+    val enc = docs.limit(1)
+      .select(concat_ws(" ", ByteBpe.encode(col("text"), m1)).as("s"))
+      .as[String].head()
+    // case survives: "Low" and "low" tokenize differently
+    assert(enc.contains("L"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bbpe").toString
+    ByteBpe.saveByteBpe(spark, m1, dir)
+    assert(ByteBpe.loadByteBpe(spark, dir) == m1)
+    // counts come from the same kernel
+    val n = docs.limit(1)
+      .select(ByteBpe.tokenCount(col("text"), m1)).as[Long].head()
+    assert(n > 0 && n == enc.split(" ").length)
+  }
+
+  test("encode plan stays whole-stage-codegen (no udf, narrow)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m = ByteBpe.train(docs.limit(50), col("text"), numMerges = 20)
+    val plan = docs.select(ByteBpe.encode(col("text"), m))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    assert(!plan.contains("Exchange"))
+  }
+}

@@ -31,6 +31,47 @@ class ChatSuite extends org.scalatest.funsuite.AnyFunSuite with SparkTest {
     assert(stats("user: a\nbad line")._5 == 1L)            // n_invalid
   }
 
+  test("parseMessages: valid turns, quarantine markers, embedded newlines") {
+    def turns(j: String) = Seq(j).toDF("j")
+      .select(Chat.parseMessages(col("j")).as("turns"))
+      .selectExpr("inline(turns)").as[(String, String)].collect().toSeq
+    // the happy path, content embedding a newline the line format can't carry
+    assert(turns("""{"messages": [{"role": "user", "content": "a\nb"},
+                     {"role": "assistant", "content": "ok"}]}""") ==
+      Seq(("user", "a\nb"), ("assistant", "ok")))
+    // malformed JSON -> ONE invalid turn carrying the raw payload
+    assert(turns("""{"messages": [{"role":""") ==
+      Seq(("", """{"messages": [{"role":""")))
+    // missing / empty messages -> one invalid turn
+    assert(turns("""{"other": 1}""") == Seq(("", """{"other": 1}""")))
+    assert(turns("""{"messages": []}""") == Seq(("", """{"messages": []}""")))
+    // unknown role and null content -> per-message invalid markers
+    assert(turns("""{"messages": [{"role": "narrator", "content": "x"},
+                     {"role": "user"}]}""") == Seq(("", "x"), ("", "")))
+  }
+
+  test("messages format: stats and trim share the line-format algebra") {
+    val j =
+      """{"messages": [{"role": "system", "content": "one two three"},
+         {"role": "user", "content": "a b\nc d"},
+         {"role": "assistant", "content": "e f"}]}"""
+    val st = Seq((1L, j)).toDF("id", "j")
+      .transform(df => Chat.chatStatsMessages(df, col("id"), col("j")))
+      .as[(Long, Long, Long, Long, Long, Boolean)].head()
+    assert(st == ((1L, 3L, 1L, 1L, 0L, true)))
+    // trim: sys=3 charges first; budget 5 keeps only the last turn (2) —
+    // the newline-bearing user turn (4 tokens) exceeds the remaining 2
+    val kept = Seq((1L, j)).toDF("id", "j")
+      .transform(df => Chat.truncateMessagesToBudget(df, col("id"), col("j"), 5L))
+      .orderBy(col("turn_idx")).select(col("kept")).as[Boolean].collect().toSeq
+    assert(kept == Seq(true, false, true))
+    // a malformed row still appears in the audit (never dropped)
+    val bad = Seq((2L, "{nope")).toDF("id", "j")
+      .transform(df => Chat.chatStatsMessages(df, col("id"), col("j")))
+      .as[(Long, Long, Long, Long, Long, Boolean)].head()
+    assert(bad == ((2L, 1L, 0L, 0L, 1L, false)))
+  }
+
   test("truncateToBudget: suffix fit, system pin charges the budget first") {
     val t = "system: one two three\nuser: a b c d\nassistant: e f\nuser: g\nassistant: h i j"
     def kept(budget: Long) = Seq((1L, t)).toDF("id", "t")

@@ -748,6 +748,248 @@ def make_bpe_fixture():
 
 
 # ---------------------------------------------------------------------------
+# Byte-level BPE (GPT-2 lineage): independent replication of the WHOLE
+# graft.text.ByteBpe algorithm — the byte-class pre-token scanner, the
+# frequency-table cap ordering (count desc, display-token UTF-8 bytes asc),
+# the merge loop with smallest-(left,right)-byte-pair tie-break, and the
+# greedy lowest-rank encode. Symbols are python bytes; display mapping is
+# the standard printable byte<->unicode table (0x20 -> 'Ġ').
+# ---------------------------------------------------------------------------
+_BB_B2C = {}
+
+
+def _bb_b2c():
+    if not _BB_B2C:
+        printable = set(range(ord("!"), ord("~") + 1)) \
+            | set(range(0xA1, 0xAC + 1)) | set(range(0xAE, 0xFF + 1))
+        n = 0
+        for b in range(256):
+            if b in printable:
+                _BB_B2C[b] = chr(b)
+            else:
+                _BB_B2C[b] = chr(256 + n)
+                n += 1
+    return _BB_B2C
+
+
+def bb_disp(bs):
+    b2c = _bb_b2c()
+    return "".join(b2c[b] for b in bs)
+
+
+def _bb_cls(b):
+    if (0x09 <= b <= 0x0D) or b == 0x20:
+        return 0
+    if (65 <= b <= 90) or (97 <= b <= 122) or b >= 0x80:
+        return 1
+    if 48 <= b <= 57:
+        return 2
+    return 3
+
+
+def _bb_contraction_len(bs, i):
+    if bs[i] != 0x27:
+        return 0
+    m = len(bs)
+    if i + 1 < m:
+        c1 = bs[i + 1]
+        if c1 in (ord("s"), ord("t"), ord("m"), ord("d")):
+            return 2
+        if i + 2 < m and (c1, bs[i + 2]) in (
+                (ord("r"), ord("e")), (ord("v"), ord("e")),
+                (ord("l"), ord("l"))):
+            return 3
+    return 0
+
+
+def bb_pretokenize(bs):
+    out, i, m = [], 0, len(bs)
+    while i < m:
+        b = bs[i]
+        cl = _bb_contraction_len(bs, i)
+        if cl:
+            out.append(bs[i:i + cl])
+            i += cl
+        elif _bb_cls(b) == 0:
+            j = i + 1
+            while j < m and _bb_cls(bs[j]) == 0:
+                j += 1
+            if j == m:
+                out.append(bs[i:j]); i = j
+            elif j - i > 1:
+                # the \s+(?!\S) backtrack: run minus its last byte
+                out.append(bs[i:j - 1]); i = j - 1
+            elif b == 0x20:
+                # single space attaches to the following class run
+                c = _bb_cls(bs[i + 1])
+                k = i + 2
+                while k < m and _bb_cls(bs[k]) == c:
+                    k += 1
+                out.append(bs[i:k]); i = k
+            else:
+                out.append(bs[i:i + 1]); i += 1
+        else:
+            c = _bb_cls(b)
+            k = i + 1
+            while k < m and _bb_cls(bs[k]) == c:
+                k += 1
+            out.append(bs[i:k]); i = k
+    return out
+
+
+def _bb_merge_pair(syms, pair):
+    out, i = [], 0
+    while i < len(syms):
+        if i < len(syms) - 1 and syms[i] == pair[0] and syms[i + 1] == pair[1]:
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def bb_train(texts, num_merges, max_words=1 << 20, min_freq=1):
+    """Replicates graft.text.ByteBpe.train: pre-token frequency table
+    capped by (count desc, display-token UTF-8 bytes asc), merge loop
+    with smallest-(left,right)-byte-pair tie-break. Returns rank dict."""
+    from collections import Counter
+    wc = Counter()
+    for t in texts:
+        wc.update(bb_pretokenize((t or "").encode("utf-8")))
+    items = sorted(((w, c) for w, c in wc.items()
+                    if len(w) >= 2 and c >= min_freq),
+                   key=lambda x: (-x[1], bb_disp(x[0]).encode("utf-8")))[:max_words]
+    from collections import Counter as C2
+    seqs = [([bytes([x]) for x in w], c) for w, c in items]
+    merges = []
+    for _ in range(num_merges):
+        pc = C2()
+        for syms, c in seqs:
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        seqs = [(_bb_merge_pair(syms, best), c) for syms, c in seqs]
+    ranks = {}
+    for i, mg in enumerate(merges):
+        ranks.setdefault(mg, i)
+    return ranks, merges
+
+
+def bb_encoder(ranks):
+    """Greedy lowest-rank encoder over latin-1 pre-tokens (memoized);
+    returns a text -> [display tokens] function."""
+    memo = {}
+
+    def encode_pretoken(w):
+        if w in memo:
+            return memo[w]
+        syms = [bytes([x]) for x in w]
+        while len(syms) > 1:
+            best = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best[0]):
+                    best = (r, syms[i], syms[i + 1])
+            if best is None:
+                break
+            syms = _bb_merge_pair(syms, (best[1], best[2]))
+        memo[w] = syms
+        return syms
+
+    def encode_text(t):
+        return [bb_disp(s) for w in bb_pretokenize((t or "").encode("utf-8"))
+                for s in encode_pretoken(w)]
+
+    return encode_text
+
+
+def make_byte_bpe_fixture():
+    # 80 keeps the tiny synthetic vocabulary UNsaturated (at 200 every
+    # pre-token fully merges to one symbol and the greedy-rank encode path
+    # would go untested)
+    NUM_MERGES = 80
+
+    # planted hazard rows exercise every scanner path the synthetic corpus
+    # lacks (contractions, case, whitespace runs, digits, punctuation,
+    # multi-byte UTF-8, trailing/leading space, empty) — the SAME literals
+    # the gate unions onto documents, ids -1..-8
+    planted = [
+        "it's the'll 've 'd mix",
+        "Hello World HELLO hello",
+        "a  b   c\td\ne f  ",
+        "version 2.0 has 123 bugs, v2>v1!",
+        "café naïve €9",
+        "",
+        "'s start and end'",
+        "  leading spaces",
+    ]
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    corpus = list(zip(docs.doc_id, docs.text)) + \
+        [(-(i + 1), p) for i, p in enumerate(planted)]
+    ranks, merges = bb_train([t for _, t in corpus], NUM_MERGES)
+    encode_text = bb_encoder(ranks)
+    ids, counts, texts = [], [], []
+    for doc_id, t in corpus:
+        toks = encode_text(t)
+        ids.append(int(doc_id))
+        counts.append(len(toks))
+        texts.append(" ".join(toks))
+    table = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_byte_tokens": pa.array(counts, pa.int64()),
+        "byte_bpe_text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(table, f"{OUT}/byte_bpe_sf001.parquet")
+    print(f"byte_bpe_sf001.parquet: {len(ids)} rows, {len(merges)} merges, "
+          f"sample {[tuple(bb_disp(s) for s in m) for m in merges[:5]]}")
+
+
+def make_chat_bpe_fixture():
+    """Per-(doc, turn) byte-BPE token counts for chat_truncate_bpe:
+    replicates the chatTranscript fixture (system + two text-slice turns
+    + the %13/%17 planted violations), the per-line role parse, and the
+    byte-BPE count of each turn's content under a model trained on the
+    raw documents (numMerges=80 — the gate's exact parameterization)."""
+    import re
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    ranks, _ = bb_train(list(docs.text), 80)
+    encode_text = bb_encoder(ranks)
+    role_re = re.compile(r"^(system|user|assistant|tool): ")
+    ids, idxs, roles, counts = [], [], [], []
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        t = text or ""
+        tr = ("system: be concise\nuser: " + t[0:40] +
+              "\nassistant: " + t[40:80])
+        if doc_id % 13 == 0:
+            tr += "\nuser: one more\nuser: double user"
+        elif doc_id % 17 == 0:
+            tr += "\nbad line no colon"
+        else:
+            tr += "\nuser: follow up\nassistant: done"
+        for i, line in enumerate(tr.split("\n")):
+            m = role_re.match(line)
+            role = m.group(1) if m else ""
+            content = line[len(role) + 2:] if m else line
+            ids.append(int(doc_id))
+            idxs.append(i)
+            roles.append(role)
+            counts.append(len(encode_text(content)))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "turn_idx": pa.array(idxs, pa.int64()),
+        "role": pa.array(roles, pa.string()),
+        "n_tokens": pa.array(counts, pa.int64()),
+    }), f"{OUT}/chat_bpe_turns_sf001.parquet")
+    print(f"chat_bpe_turns_sf001.parquet: {len(ids)} rows")
+
+
+# ---------------------------------------------------------------------------
 # DEFLATE lengths for compression_signal (python zlib == JVM Deflater: both
 # wrap the same zlib; raw stream, level 6 — verified byte-identical)
 # ---------------------------------------------------------------------------
@@ -1908,6 +2150,8 @@ if __name__ == "__main__":
     make_dehyphenate_fixture()
     make_cdc_fixture()
     make_bpe_fixture()
+    make_byte_bpe_fixture()
+    make_chat_bpe_fixture()
     make_wordpiece_fixture()
     make_unigram_fixture()
     make_jsonl_fixture()
