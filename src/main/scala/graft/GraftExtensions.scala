@@ -135,6 +135,15 @@ object GraftExtensions {
       val m = loadCachedModel("bpe", path)(sp => graft.text.Bpe.loadBpe(sp, path))
       graft.functions.BpeEncodeTokens(es(1), m.merges)
     },
+    fn("byte_bpe_encode_model",
+      "byte_bpe_encode_model(path, text) - byte-level BPE token stream " +
+        "(GPT-2 display alphabet) under the model saved at path") { es =>
+      arity("byte_bpe_encode_model", es, 2)
+      val path = stringLit(es.head, "byte_bpe_encode_model", "path")
+      val m = loadCachedModel("byte_bpe", path)(sp =>
+        graft.text.ByteBpe.loadByteBpe(sp, path))
+      graft.functions.ByteBpeEncode(es(1), m.merges)
+    },
     fn("wordpiece_encode_model",
       "wordpiece_encode_model(path, text) - greedy longest-match subword stream under the model saved at path") { es =>
       arity("wordpiece_encode_model", es, 2)

@@ -2441,6 +2441,40 @@ object SparkEntry {
     // the save -> SQL round-trip of the same model: train, persist the
     // artifact, then encode PURELY through spark.sql and the registered
     // unigram_encode_model function — must hit the identical fixture
+    // P63b SQL-artifact path: train -> saveByteBpe -> encode from PURE SQL
+    // against the persisted artifact (the P105 pattern) — must hit the
+    // same golden fixture as the in-plan bpe_bytes gate on the shared
+    // document rows (the SQL view carries no planted rows, so the oracle
+    // filters the fixture to doc_id >= 0)
+    "bpe_bytes_sql" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        "it's the'll 've 'd mix",
+        "Hello World HELLO hello",
+        "a  b   c\td\ne f  ",
+        "version 2.0 has 123 bugs, v2>v1!",
+        "café naïve €9",
+        "",
+        "'s start and end'",
+        "  leading spaces").zipWithIndex
+        .map { case (p, i) => (-(i + 1).toLong, p) }
+        .toDF("doc_id", "text")
+      val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionAll(planted)
+      val model = graft.text.ByteBpe.train(corpus, col("text"), numMerges = 80)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_bbsql").toString + "/m"
+      graft.text.ByteBpe.saveByteBpe(s, model, path)
+      graft.GraftExtensions.registerAll(s)
+      t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("tt"))
+        .createOrReplaceTempView("graft_bb_docs")
+      s.sql(s"SELECT doc_id, " +
+        s"CAST(size(byte_bpe_encode_model('$path', tt)) AS BIGINT) AS n_byte_tokens, " +
+        s"concat_ws(' ', byte_bpe_encode_model('$path', tt)) AS byte_bpe_text " +
+        "FROM graft_bb_docs")
+    }),
+
     "unigram_tokens_sql" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"),
         concat(col("text"), lit(" frag"), col("doc_id"),
@@ -5247,6 +5281,11 @@ object SparkEntry {
       "bpe_bytes" ->
         ("SELECT doc_id, n_byte_tokens, byte_bpe_text " +
           s"FROM read_parquet('$goldenDir/byte_bpe_sf001.parquet')"),
+
+      "bpe_bytes_sql" ->
+        ("SELECT doc_id, n_byte_tokens, byte_bpe_text " +
+          s"FROM read_parquet('$goldenDir/byte_bpe_sf001.parquet') " +
+          "WHERE doc_id >= 0"),
 
       "wordpiece_tokens" ->
         ("SELECT doc_id, n_wp_tokens, wp_text " +

@@ -74,6 +74,22 @@ class ByteBpeSuite extends AnyFunSuite with SparkTest {
     assert(n > 0 && n == enc.split(" ").length)
   }
 
+  test("SQL-artifact path: byte_bpe_encode_model == the API encode") {
+    val docs = Seq.fill(6)("pack my box with five dozen jugs").toDF("text")
+    val m = ByteBpe.train(docs, col("text"), numMerges = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bbsqlt").toString + "/m"
+    ByteBpe.saveByteBpe(spark, m, dir)
+    graft.GraftExtensions.registerAll(spark)
+    docs.limit(1).createOrReplaceTempView("bb_docs_t")
+    val viaSql = spark.sql(
+      s"SELECT concat_ws(' ', byte_bpe_encode_model('$dir', text)) AS s FROM bb_docs_t")
+      .as[String].head()
+    val viaApi = docs.limit(1)
+      .select(concat_ws(" ", ByteBpe.encode(col("text"), m)).as("s"))
+      .as[String].head()
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+  }
+
   test("encode plan stays whole-stage-codegen (no udf, narrow)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val m = ByteBpe.train(docs.limit(50), col("text"), numMerges = 20)
