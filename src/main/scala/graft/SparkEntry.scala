@@ -107,7 +107,10 @@ object SparkEntry {
       "WHEN doc_id % 17 = 0 THEN chr(10) || 'bad line no colon' " +
       "ELSE chr(10) || 'user: follow up' || chr(10) || 'assistant: done' END AS tr " +
       "FROM documents), " +
-      "pp AS (SELECT doc_id, string_split(tr, chr(10)) AS parts FROM t), " +
+      // a NULL text nulls the whole transcript (|| propagates) — coalesce
+      // so the doc reads as ONE empty invalid line, matching explodeTurns,
+      // instead of vanishing from the audit
+      "pp AS (SELECT doc_id, string_split(COALESCE(tr, ''), chr(10)) AS parts FROM t), " +
       "lines AS (SELECT doc_id, CAST(r.i - 1 AS BIGINT) AS turn_idx, parts[r.i] AS l " +
       "FROM pp, unnest(range(1, len(parts) + 1)) AS r(i)), " +
       "turns AS (SELECT doc_id, turn_idx, " +
@@ -177,6 +180,23 @@ object SparkEntry {
       "THEN content0 ELSE COALESCE(content0, '') END AS content FROM tm), " +
       "tt AS (SELECT doc_id, turn_idx, role, content, " +
       "CAST(len(regexp_extract_all(content, '\\S+')) AS BIGINT) AS n_tokens FROM turns)"
+
+  /** Planted byte-BPE hazard rows (ids -1..-8): contractions, case,
+    * whitespace runs, digits/punctuation, multi-byte UTF-8,
+    * trailing/leading space, empty — the scanner paths the synthetic
+    * corpus lacks. ONE definition for both the in-plan and SQL-artifact
+    * gates; the third copy in tools/make_golden.py is deliberate
+    * (independent-replication discipline), so edits must land there too. */
+  private val byteBpeHazards: Seq[(Long, String)] = Seq(
+    "it's the'll 've 'd mix",
+    "Hello World HELLO hello",
+    "a  b   c\td\ne f  ",
+    "version 2.0 has 123 bugs, v2>v1!",
+    "café naïve €9",
+    "",
+    "'s start and end'",
+    "  leading spaces").zipWithIndex
+    .map { case (p, i) => (-(i + 1).toLong, p) }
 
   /** Build 4 gzip WET shards from (doc_id, payload) rows — byte-for-byte
     * headers + octet Content-Length, doc d on shard d%4 — shared by the
@@ -2220,24 +2240,10 @@ object SparkEntry {
     // table -> merge loop -> greedy encode, tools/make_golden.py).
     "bpe_bytes" -> ((s, dir) => {
       import s.implicits._
-      // planted hazards (ids -1..-8) exercise contractions, case,
-      // whitespace runs, digits/punctuation, multi-byte UTF-8, trailing/
-      // leading space and the empty string — the synthetic corpus is
-      // lowercase space-separated words and would leave those scanner
-      // paths untested. 80 merges keeps the tiny vocabulary UNsaturated.
-      val planted = Seq(
-        "it's the'll 've 'd mix",
-        "Hello World HELLO hello",
-        "a  b   c\td\ne f  ",
-        "version 2.0 has 123 bugs, v2>v1!",
-        "café naïve €9",
-        "",
-        "'s start and end'",
-        "  leading spaces").zipWithIndex
-        .map { case (p, i) => (-(i + 1).toLong, p) }
-        .toDF("doc_id", "text")
+      // the shared hazard rows exercise every scanner path the synthetic
+      // corpus lacks; 80 merges keeps the tiny vocabulary UNsaturated
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        .unionAll(planted)
+        .unionAll(byteBpeHazards.toDF("doc_id", "text"))
       val model = graft.text.ByteBpe.train(docs, col("text"), numMerges = 80)
       val enc = graft.text.ByteBpe.encode(coalesce(col("text"), lit("")), model)
       docs.select(col("doc_id"),
@@ -2448,19 +2454,8 @@ object SparkEntry {
     // filters the fixture to doc_id >= 0)
     "bpe_bytes_sql" -> ((s, dir) => {
       import s.implicits._
-      val planted = Seq(
-        "it's the'll 've 'd mix",
-        "Hello World HELLO hello",
-        "a  b   c\td\ne f  ",
-        "version 2.0 has 123 bugs, v2>v1!",
-        "café naïve €9",
-        "",
-        "'s start and end'",
-        "  leading spaces").zipWithIndex
-        .map { case (p, i) => (-(i + 1).toLong, p) }
-        .toDF("doc_id", "text")
       val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        .unionAll(planted)
+        .unionAll(byteBpeHazards.toDF("doc_id", "text"))
       val model = graft.text.ByteBpe.train(corpus, col("text"), numMerges = 80)
       val path = java.nio.file.Files
         .createTempDirectory("graft_bbsql").toString + "/m"

@@ -50,7 +50,9 @@ object Linkage {
    * via the two handles — the Dedup convention). At very large inputs the
    * cache is a real memory reservation sized at two corpora's name
    * columns: pass `persist = false` to trade one extra scan+code pass per
-   * side for zero cache footprint (the handles then stay unbound no-ops).
+   * side for zero cache footprint. The handles are bound either way, so a
+   * caller's `handle.unpersist()` stays safe under both settings (on the
+   * non-persisted projection it is a harmless no-op).
    */
   def linkRecords(left: DataFrame, right: DataFrame,
                   idLeft: Column, nameLeft: Column,
@@ -78,12 +80,15 @@ object Linkage {
         .withColumn("__blk", blockKey(vectors.soundex4(col(nameName)),
           extras.indices.map(i => col(s"__xb$i"))))
         .select(col(idName), col(nameName), col("__blk"))
-      if (!persist) keyed
-      else {
-        val p = keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        handle.setDataFrame(p)
-        p
-      }
+      val p =
+        if (persist) keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else keyed
+      // bind regardless of persist: a default UnpersistHandle throws if
+      // released before being set, so callers mixing real handles with
+      // persist=false must not crash at release time (unpersist on a
+      // non-persisted frame is a no-op)
+      handle.setDataFrame(p)
+      p
     }
     val l = side(left, idLeft, nameLeft, "id_a", "__name_a", extraBlockLeft, leftHandle)
     val r = side(right, idRight, nameRight, "id_b", "__name_b", extraBlockRight, rightHandle)

@@ -26,7 +26,9 @@ object StreamHarness {
     * into `dir`, in ascending batch order with strictly increasing file
     * modification times. Returns the written schema (minus `batchCol`) for
     * `readStream.schema(...)`. Gate/replay scale: one parallel write job,
-    * one task (and one part file) per batch. Contract note: every batch
+    * up to one task per batch (hash collisions may co-locate a few batch
+    * values on one task; each batch directory still gets exactly one part
+    * file). Contract note: every batch
     * value in `[0, numBatches)` must be non-empty (dense) — an empty batch
     * fails loudly rather than silently merging micro-batch boundaries. */
   def writeOrderedBatches(df: DataFrame, batchCol: Column, numBatches: Int,
@@ -36,10 +38,11 @@ object StreamHarness {
     // the batches in a single job (the per-batch loop this replaces
     // re-computed the whole staged plan once per batch — for an
     // expensively-derived stage that tripled the setup cost). Hash-
-    // repartitioning ON the batch value keeps the write parallel (one task
-    // per batch, not one global task) while still guaranteeing each batch
-    // directory holds exactly one part file: all rows of a batch land in
-    // one task, and a task writes one file per directory it touches.
+    // repartitioning ON the batch value keeps the write parallel (up to
+    // one task per batch — colliding batch values share a task — instead
+    // of one global task) while still guaranteeing each batch directory
+    // holds exactly one part file: all rows of a batch land in one task,
+    // and a task writes one file per directory it touches.
     val staging = dir + "__staging"
     df.withColumn("__batch", batchCol)
       .filter(org.apache.spark.sql.functions.col("__batch")

@@ -76,8 +76,7 @@ object Chat {
         m.getField("content").isNotNull
       struct(
         when(ok, m.getField("role")).otherwise(lit("")).as("role"),
-        when(ok, m.getField("content"))
-          .otherwise(coalesce(m.getField("content"), lit(""))).as("content"))
+        coalesce(m.getField("content"), lit("")).as("content"))
     })
     when(msgs.isNull || size(msgs) === 0,
       array(struct(lit("").as("role"), coalesce(json, lit("")).as("content"))))

@@ -74,6 +74,59 @@ class ByteBpeSuite extends AnyFunSuite with SparkTest {
     assert(n > 0 && n == enc.split(" ").length)
   }
 
+  test("encode matches a tuple-keyed reference on separator-hostile inputs") {
+    // symbols may contain ANY byte (spaces, NUL) — a separator-joined rank
+    // key would collide distinct pairs with equal concatenation; the
+    // reference below keys ranks by the (left, right) TUPLE, so any
+    // divergence flags a key-ambiguity bug in the kernel
+    import graft.functions.ByteBpeKernels
+    def refEncode(text: String, merges: IndexedSeq[(String, String)]): Seq[String] = {
+      val ranks = merges.zipWithIndex.groupBy(_._1)
+        .map { case (p, xs) => p -> xs.map(_._2).min }
+      ByteBpeKernels.preTokenize(text.getBytes("UTF-8")).toSeq.flatMap { w =>
+        var syms = w.map(_.toString).toVector
+        var done = syms.length < 2
+        while (!done) {
+          val cand = syms.indices.dropRight(1)
+            .flatMap(i => ranks.get((syms(i), syms(i + 1))).map(r => (r, syms(i), syms(i + 1))))
+          if (cand.isEmpty) done = true
+          else {
+            val (_, bl, br) = cand.minBy(_._1)
+            val out = Vector.newBuilder[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == bl && syms(j + 1) == br) {
+                out += bl + br; j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            syms = out.result()
+            done = syms.length < 2
+          }
+        }
+        syms.map(ByteBpeKernels.display)
+      }
+    }
+    val rng = new scala.util.Random(77)
+    val alphabet = " \t\n!a1\u0000\u0001."
+    def randStr(maxLen: Int) =
+      Seq.fill(1 + rng.nextInt(maxLen))(alphabet(rng.nextInt(alphabet.length))).mkString
+    (0 until 40).foreach { trial =>
+      // merges built from random splits of random strings — including
+      // colliding-concatenation pairs by construction
+      val merges = IndexedSeq.fill(6) {
+        val s = randStr(4) + randStr(2)
+        val cut = 1 + rng.nextInt(math.max(1, s.length - 1))
+        (s.substring(0, cut), s.substring(cut))
+      }
+      val text = randStr(12)
+      val got = Seq(text).toDF("t")
+        .select(graft.functions.vectors.byte_bpe_encode(col("t"), merges).as("e"))
+        .head().getSeq[String](0)
+      assert(got == refEncode(text, merges),
+        s"trial $trial: text=${text.map(_.toInt)} merges=$merges got=$got")
+    }
+  }
+
   test("SQL-artifact path: byte_bpe_encode_model == the API encode") {
     val docs = Seq.fill(6)("pack my box with five dozen jugs").toDF("text")
     val m = ByteBpe.train(docs, col("text"), numMerges = 8)

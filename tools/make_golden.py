@@ -963,7 +963,16 @@ def make_chat_bpe_fixture():
     role_re = re.compile(r"^(system|user|assistant|tool): ")
     ids, idxs, roles, counts = [], [], [], []
     for doc_id, text in zip(docs.doc_id, docs.text):
-        t = text or ""
+        if text is None:
+            # chatTranscript propagates NULL through concat -> the whole
+            # transcript is NULL -> explodeTurns coalesces to ONE empty
+            # invalid turn (role '', 0 tokens); replicate, don't invent
+            ids.append(int(doc_id))
+            idxs.append(0)
+            roles.append("")
+            counts.append(0)
+            continue
+        t = text
         tr = ("system: be concise\nuser: " + t[0:40] +
               "\nassistant: " + t[40:80])
         if doc_id % 13 == 0:
