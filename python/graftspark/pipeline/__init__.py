@@ -111,7 +111,8 @@ __all__ = [
     "chat_explode_turns", "chat_truncate_to_budget",
     "chat_parse_messages", "chat_stats_messages", "chat_explode_messages",
     "chat_truncate_messages_to_budget",
-    "funnel_times", "funnel_report", "retention_cohorts", "transition_matrix",
+    "funnel_times", "funnel_report", "funnel_step_times", "funnel_lags",
+    "retention_cohorts", "transition_matrix",
     "history_apply_snapshot", "with_temporal_split", "layout_report",
 ]
 
@@ -2895,6 +2896,36 @@ def funnel_report(events: DataFrame, user: ColumnOrName, ts_us: ColumnOrName,
     jdf = _bridge(events).funnelReport(events._jdf, _jcol(user), _jcol(ts_us),
                                        _jcol(event_type), list(map(str, steps)),
                                        int(window_us), bool(per_step_window))
+    return DataFrame(jdf, events.sparkSession)
+
+
+def funnel_step_times(events: DataFrame, user: ColumnOrName,
+                      ts_us: ColumnOrName, event_type: ColumnOrName,
+                      steps: List[str], window_us: int = (1 << 62),
+                      per_step_window: bool = False) -> DataFrame:
+    """Per-user step times in LONG format -> (user_id, step_idx, step,
+    t_us), one row per reached step — the raw material for
+    time-to-convert analysis."""
+    jdf = _bridge(events).funnelStepTimes(events._jdf, _jcol(user),
+                                          _jcol(ts_us), _jcol(event_type),
+                                          list(map(str, steps)),
+                                          int(window_us),
+                                          bool(per_step_window))
+    return DataFrame(jdf, events.sparkSession)
+
+
+def funnel_lags(events: DataFrame, user: ColumnOrName, ts_us: ColumnOrName,
+                event_type: ColumnOrName, steps: List[str],
+                window_us: int = (1 << 62),
+                per_step_window: bool = False) -> DataFrame:
+    """Time-to-convert report -> (step_idx, step, users, min_lag_us,
+    max_lag_us, sum_lag_us): exact BIGINT lag bounds from the PREVIOUS
+    step per reached step (step 1 lags are 0 by definition; mean is
+    sum/users downstream)."""
+    jdf = _bridge(events).funnelLags(events._jdf, _jcol(user), _jcol(ts_us),
+                                     _jcol(event_type),
+                                     list(map(str, steps)), int(window_us),
+                                     bool(per_step_window))
     return DataFrame(jdf, events.sparkSession)
 
 

@@ -441,6 +441,17 @@ class GraftsparkTest(unittest.TestCase):
                                       window_us=5,
                                       per_step_window=True).collect()}
         self.assertEqual(fs, {1: 3, 2: 1})
+        lg = {r["step_idx"]: (r["users"], r["min_lag_us"], r["sum_lag_us"])
+              for r in P.funnel_lags(ev, "u", "t", "ty", ["a", "b", "c"],
+                                     window_us=100).collect()}
+        # user 1: a@0 b@5 c@9; user 2: a@0 (b@200 outside window)
+        self.assertEqual(lg, {1: (2, 0, 0), 2: (1, 5, 5), 3: (1, 4, 4)})
+        stt = {(r["user_id"], r["step_idx"]): r["t_us"]
+               for r in P.funnel_step_times(ev, "u", "t", "ty",
+                                            ["a", "b", "c"],
+                                            window_us=100).collect()}
+        self.assertEqual(stt, {(1, 1): 0, (1, 2): 5, (1, 3): 9,
+                               (2, 1): 0})
         rc = {(r["cohort_period"], r["period_offset"]): r["users"]
               for r in P.retention_cohorts(ev, "u", "t", period_us=100).collect()}
         self.assertEqual(rc, {(0, 0): 2, (0, 2): 1})

@@ -746,6 +746,25 @@ object SparkEntry {
         anchor = graft.events.Funnel.AnchorPreviousStep)
     }),
 
+    // P125c the long view of the funnel chain: one row per reached step
+    // per user — the raw material for time-to-convert analysis.
+    "funnel_step_times" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.events.Funnel.funnelStepTimes(ev, col("user_id"), eventTsUs(ev),
+        col("event_type"), Seq("signup", "view", "click", "purchase"),
+        windowUs = 2592000000000L)
+    }),
+
+    // P125d time-to-convert report: per step, users reached + exact
+    // BIGINT lag bounds (min/max/sum) from the PREVIOUS step — mean is a
+    // trivial downstream division; step 1 lags are 0 by definition.
+    "funnel_lags" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.events.Funnel.funnelLags(ev, col("user_id"), eventTsUs(ev),
+        col("event_type"), Seq("signup", "view", "click", "purchase"),
+        windowUs = 2592000000000L)
+    }),
+
     // P129 purged temporal split: time-axis leakage guard — rows within
     // 12h after each cutoff are embargoed out of both sides.
     "temporal_split" -> ((s, dir) => {
@@ -3956,6 +3975,31 @@ object SparkEntry {
           "COALESCE(s4.t4, s3.t3, s2.t2, s1.t1) AS last_step_us " +
           "FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id) " +
           "LEFT JOIN s4 USING (user_id)"),
+
+      "funnel_step_times" ->
+        (s"WITH $funnelChainCte " +
+          "SELECT user_id, CAST(1 AS INTEGER) AS step_idx, 'signup' AS step, t1 AS t_us FROM s1 " +
+          "UNION ALL SELECT user_id, CAST(2 AS INTEGER), 'view', t2 FROM s2 " +
+          "UNION ALL SELECT user_id, CAST(3 AS INTEGER), 'click', t3 FROM s3 " +
+          "UNION ALL SELECT user_id, CAST(4 AS INTEGER), 'purchase', t4 FROM s4"),
+
+      "funnel_lags" ->
+        (s"WITH $funnelChainCte, " +
+          "j AS (SELECT s1.user_id, s1.t1, s2.t2, s3.t3, s4.t4 FROM s1 " +
+          "LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id) " +
+          "LEFT JOIN s4 USING (user_id)) " +
+          "SELECT CAST(1 AS INTEGER) AS step_idx, 'signup' AS step, COUNT(t1) AS users, " +
+          "CAST(0 AS BIGINT) AS min_lag_us, CAST(0 AS BIGINT) AS max_lag_us, " +
+          "CAST(0 AS BIGINT) AS sum_lag_us FROM j " +
+          "UNION ALL SELECT CAST(2 AS INTEGER), 'view', COUNT(t2), " +
+          "CAST(COALESCE(MIN(t2 - t1), 0) AS BIGINT), CAST(COALESCE(MAX(t2 - t1), 0) AS BIGINT), " +
+          "CAST(COALESCE(SUM(t2 - t1), 0) AS BIGINT) FROM j " +
+          "UNION ALL SELECT CAST(3 AS INTEGER), 'click', COUNT(t3), " +
+          "CAST(COALESCE(MIN(t3 - t2), 0) AS BIGINT), CAST(COALESCE(MAX(t3 - t2), 0) AS BIGINT), " +
+          "CAST(COALESCE(SUM(t3 - t2), 0) AS BIGINT) FROM j " +
+          "UNION ALL SELECT CAST(4 AS INTEGER), 'purchase', COUNT(t4), " +
+          "CAST(COALESCE(MIN(t4 - t3), 0) AS BIGINT), CAST(COALESCE(MAX(t4 - t3), 0) AS BIGINT), " +
+          "CAST(COALESCE(SUM(t4 - t3), 0) AS BIGINT) FROM j"),
 
       "funnel_report" ->
         (s"WITH $funnelChainCte, " +

@@ -42,12 +42,11 @@ object Funnel {
   /** `ts − t_prev <= windowUs`: each step within W of the previous one. */
   case object AnchorPreviousStep extends WindowAnchor
 
-  /** Per-user funnel reach: `(user_id, depth, first_step_us,
-    * last_step_us)` — `last_step_us` is the time the DEEPEST step was
-    * reached. */
-  def funnelTimes(events: DataFrame, user: Column, tsUs: Column, etype: Column,
-                  steps: Seq[String], windowUs: Long = Long.MaxValue,
-                  anchor: WindowAnchor = AnchorFirstStep): DataFrame = {
+  /** The shared single-pass chain: one row per funnel-entering user with
+    * columns `user_id, t_1..t_k` (NULL past the reached depth). */
+  private def funnelChain(events: DataFrame, user: Column, tsUs: Column,
+                          etype: Column, steps: Seq[String], windowUs: Long,
+                          anchor: WindowAnchor): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size,
       s"repeated step types are ambiguous: ${steps.mkString(", ")}")
@@ -56,7 +55,6 @@ object Funnel {
       .select(user.cast("long").as("user_id"), tsUs.cast("long").as("__t"),
         etype.as("__ty"))
       .filter(col("__t").isNotNull && col("user_id").isNotNull)
-    val k = steps.size
     // single pass: step i joins its events once and extends the carried
     // (t_1..t_{i-1}) row with t_i = min over candidates chaining off
     // t_{i-1}; a user who fell out earlier carries NULLs forward (the
@@ -78,11 +76,71 @@ object Funnel {
         .groupBy(col("user_id"))
         .agg(carried.head, (carried.tail :+ next): _*)
     }
+    cur
+  }
+
+  /** Per-user funnel reach: `(user_id, depth, first_step_us,
+    * last_step_us)` — `last_step_us` is the time the DEEPEST step was
+    * reached. */
+  def funnelTimes(events: DataFrame, user: Column, tsUs: Column, etype: Column,
+                  steps: Seq[String], windowUs: Long = Long.MaxValue,
+                  anchor: WindowAnchor = AnchorFirstStep): DataFrame = {
+    val k = steps.size
+    val cur = funnelChain(events, user, tsUs, etype, steps, windowUs, anchor)
     val depth = (1 to k).map(j =>
       when(col(s"t_$j").isNotNull, 1).otherwise(0)).reduce(_ + _)
     val last = coalesce((k to 1 by -1).map(j => col(s"t_$j")): _*)
     cur.select(col("user_id"), depth.as("depth"),
       col("t_1").as("first_step_us"), last.as("last_step_us"))
+  }
+
+  /** Per-user step times in LONG format: `(user_id, step_idx, step,
+    * t_us)`, one row per REACHED step — the raw material for
+    * time-to-convert analysis (and the long view of the carried-prefix
+    * chain). Same plan as [[funnelTimes]] plus one narrow unpivot. */
+  def funnelStepTimes(events: DataFrame, user: Column, tsUs: Column,
+                      etype: Column, steps: Seq[String],
+                      windowUs: Long = Long.MaxValue,
+                      anchor: WindowAnchor = AnchorFirstStep): DataFrame = {
+    val cur = funnelChain(events, user, tsUs, etype, steps, windowUs, anchor)
+    val stacked = steps.indices.map(i =>
+      s"${i + 1}, '${steps(i).replace("'", "''")}', t_${i + 1}").mkString(", ")
+    cur.select(col("user_id"),
+        expr(s"stack(${steps.size}, $stacked)").as(Seq("step_idx", "step", "t_us")))
+      .select(col("user_id"), col("step_idx"), col("step"), col("t_us"))
+      .filter(col("t_us").isNotNull)
+  }
+
+  /**
+   * Time-to-convert report: per step, how many users reached it and the
+   * exact lag distribution bounds from the PREVIOUS step — `(step_idx,
+   * step, users, min_lag_us, max_lag_us, sum_lag_us)`. The first step has
+   * no previous step: its lag columns are 0 by definition. Exact BIGINT
+   * end to end (mean = sum/users downstream); ONE aggregate pass over the
+   * chain — no extra shuffle beyond [[funnelTimes]]'s.
+   */
+  def funnelLags(events: DataFrame, user: Column, tsUs: Column, etype: Column,
+                 steps: Seq[String], windowUs: Long = Long.MaxValue,
+                 anchor: WindowAnchor = AnchorFirstStep): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val k = steps.size
+    val cur = funnelChain(events, user, tsUs, etype, steps, windowUs, anchor)
+    val aggs = (1 to k).flatMap { i =>
+      val lag = if (i == 1) lit(0L) else col(s"t_$i") - col(s"t_${i - 1}")
+      Seq(count(col(s"t_$i")).as(s"u_$i"),
+        coalesce(min(when(col(s"t_$i").isNotNull, lag)), lit(0L)).as(s"mn_$i"),
+        coalesce(max(when(col(s"t_$i").isNotNull, lag)), lit(0L)).as(s"mx_$i"),
+        coalesce(sum(when(col(s"t_$i").isNotNull, lag)), lit(0L)).as(s"sm_$i"))
+    }
+    val one = cur.agg(aggs.head, aggs.tail: _*)
+    val stacked = (1 to k).map(i =>
+      s"$i, '${steps(i - 1).replace("'", "''")}', u_$i, mn_$i, mx_$i, sm_$i")
+      .mkString(", ")
+    one.select(expr(s"stack($k, $stacked)")
+        .as(Seq("step_idx", "step", "users", "min_lag_us", "max_lag_us", "sum_lag_us")))
+      .select(col("step_idx"), col("step"), col("users"),
+        col("min_lag_us"), col("max_lag_us"), col("sum_lag_us"))
   }
 
   /** Step-level conversion table: `(step_idx, step, users)` with `users` =

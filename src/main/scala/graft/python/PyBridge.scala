@@ -903,6 +903,18 @@ object PyBridge {
     graft.events.Funnel.funnelReport(events, user, tsUs, etype,
       steps.asScala.toSeq, windowUs.longValue(), funnelAnchor(perStepWindow))
 
+  def funnelStepTimes(events: DataFrame, user: Column, tsUs: Column, etype: Column,
+                      steps: JList[String], windowUs: java.lang.Number,
+                      perStepWindow: java.lang.Boolean): DataFrame =
+    graft.events.Funnel.funnelStepTimes(events, user, tsUs, etype,
+      steps.asScala.toSeq, windowUs.longValue(), funnelAnchor(perStepWindow))
+
+  def funnelLags(events: DataFrame, user: Column, tsUs: Column, etype: Column,
+                 steps: JList[String], windowUs: java.lang.Number,
+                 perStepWindow: java.lang.Boolean): DataFrame =
+    graft.events.Funnel.funnelLags(events, user, tsUs, etype,
+      steps.asScala.toSeq, windowUs.longValue(), funnelAnchor(perStepWindow))
+
   def retentionCohorts(events: DataFrame, user: Column, tsUs: Column,
                        periodUs: java.lang.Number): DataFrame =
     graft.events.Funnel.retentionCohorts(events, user, tsUs, periodUs.longValue())

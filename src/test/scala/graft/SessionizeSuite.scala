@@ -154,6 +154,31 @@ class FunnelSuite extends AnyFunSuite with SparkTest {
     assert(plan.contains("partial_min"), plan)
   }
 
+  test("funnelStepTimes / funnelLags: long view and exact lag algebra") {
+    val df = ev(
+      (1L, 0L, "a"), (1L, 10L, "b"), (1L, 25L, "c"),
+      (2L, 5L, "a"), (2L, 9L, "b"),
+      (3L, 7L, "a"))
+    val st = Funnel.funnelStepTimes(df, col("u"), col("t"), col("ty"),
+      Seq("a", "b", "c")).as[(Long, Int, String, Long)].collect().toSet
+    assert(st == Set(
+      (1L, 1, "a", 0L), (1L, 2, "b", 10L), (1L, 3, "c", 25L),
+      (2L, 1, "a", 5L), (2L, 2, "b", 9L),
+      (3L, 1, "a", 7L)))
+    val lags = Funnel.funnelLags(df, col("u"), col("t"), col("ty"),
+      Seq("a", "b", "c"))
+      .as[(Int, String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(lags(1) == ((3L, 0L, 0L, 0L)))        // first step: lag 0 by def
+    assert(lags(2) == ((2L, 4L, 10L, 14L)))      // lags 10 and 4
+    assert(lags(3) == ((1L, 15L, 15L, 15L)))     // 25 - 10
+    // empty funnel: zero users, zeroed lag bounds, all steps present
+    val empty = Funnel.funnelLags(ev((9L, 1L, "x")), col("u"), col("t"),
+      col("ty"), Seq("a", "b"))
+      .as[(Int, String, Long, Long, Long, Long)].collect().toSet
+    assert(empty == Set((1, "a", 0L, 0L, 0L, 0L), (2, "b", 0L, 0L, 0L, 0L)))
+  }
+
   test("transitionMatrix: total order, per-user chains, last event contributes nothing") {
     val df = Seq(
       (1L, 0L, 10L, "a"), (1L, 1L, 11L, "b"), (1L, 2L, 12L, "a"),
