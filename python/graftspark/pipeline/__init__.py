@@ -111,6 +111,7 @@ __all__ = [
     "chat_explode_turns", "chat_truncate_to_budget",
     "chat_parse_messages", "chat_stats_messages", "chat_explode_messages",
     "chat_truncate_messages_to_budget",
+    "chat_rebuild_transcript", "chat_rebuild_messages",
     "funnel_times", "funnel_report", "funnel_step_times", "funnel_lags",
     "retention_cohorts", "transition_matrix",
     "history_apply_snapshot", "with_temporal_split", "layout_report",
@@ -2869,6 +2870,27 @@ def chat_truncate_messages_to_budget(df: DataFrame, id: ColumnOrName,
     keep-last suffix algebra, same system-turn pin."""
     jdf = _bridge(df).chatTruncateMessagesToBudget(df._jdf, _jcol(id),
                                                    _jcol(json), int(budget))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def chat_rebuild_transcript(df: DataFrame, id: ColumnOrName,
+                            text: ColumnOrName, budget: int) -> DataFrame:
+    """Apply the trim and reassemble the surviving conversation in the
+    LINE wire format -> (id, trimmed_text); kept turns re-join as
+    'role: content' in order, invalid lines re-emit raw. A conversation
+    with no kept turn is absent."""
+    jdf = _bridge(df).chatRebuildTranscript(df._jdf, _jcol(id), _jcol(text),
+                                            int(budget))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def chat_rebuild_messages(df: DataFrame, id: ColumnOrName,
+                          json: ColumnOrName, budget: int) -> DataFrame:
+    """chat_rebuild_transcript for the MESSAGES format -> (id,
+    messages_json): kept turns re-serialized as a '{"messages": [...]}'
+    document that chat_parse_messages round-trips, newlines included."""
+    jdf = _bridge(df).chatRebuildMessages(df._jdf, _jcol(id), _jcol(json),
+                                          int(budget))
     return DataFrame(jdf, df.sparkSession)
 
 

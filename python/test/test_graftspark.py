@@ -420,6 +420,15 @@ class GraftsparkTest(unittest.TestCase):
         self.assertEqual(mtrim[(1, 0)], True)
         self.assertEqual(mtrim[(1, 1)], False)
         self.assertEqual(mtrim[(1, 2)], True)
+        # reassembly: the trimmed artifact in both wire formats
+        rl = P.chat_rebuild_transcript(conv, "id", "t", 3).first()
+        self.assertEqual(rl["trimmed_text"], "system: s t\nassistant: d")
+        rm = P.chat_rebuild_messages(mconv, "id", "j", 3)
+        back = {r["id"]: r["role"]
+                for r in P.chat_explode_messages(
+                    rm, "id", "messages_json").collect()
+                if r["turn_idx"] == 1}
+        self.assertEqual(back[1], "assistant")
 
     def test_pipeline_funnel_retention(self):
         from graftspark import pipeline as P

@@ -66,7 +66,7 @@ object ScaleProbe {
       "asof_hotkey_plain", "asof_hotkey_bucketed", "cluster_chain",
       "span_stats", "bm25_topk", "pq_topk", "classifier", "semantic_dedup",
       "dsir", "vocab", "streaming_neardup_state", "streaming_embedding_state",
-      "bpe_encode", "boilerplate", "kmv_sketch", "containment",
+      "bpe_encode", "byte_bpe_encode", "boilerplate", "kmv_sketch", "containment",
       "jaccard_prefix", "streaming_seeded_state", "streaming_domain_cap_state",
       "int8_footprint", "bitsign_footprint", "soft_dedup_split", "novelty",
       "dedup_index", "multimatch", "quality_cut", "bloom_index", "cms_sketch",
@@ -823,6 +823,22 @@ object ScaleProbe {
           .head().getLong(0)
       }
       report("bpe_encode", nTok, tEnc)
+    }
+
+    // --- byte-level BPE encode: the same narrow-kernel claim as
+    // bpe_encode, but over the byte scanner + merge loop (the per-thread
+    // memo must keep per-row cost amortized under replica-perturbed text)
+    if (enabled("byte_bpe_encode")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val model = graft.text.ByteBpe.train(docs, col("text"), numMerges = 200)
+      val big = amplify(docs, n).select(
+        (col("doc_id") + col("__rep") * 1000000L).as("doc_id"),
+        concat(col("text"), lit(" r"), col("__rep").cast("string")).as("text"))
+      val (nTok, tEnc) = time {
+        big.select(sum(size(graft.text.ByteBpe.encode(col("text"), model))).as("n"))
+          .head().getLong(0)
+      }
+      report("byte_bpe_encode", nTok, tEnc)
     }
 
     // --- wordpiece encode: same narrow-kernel linearity claim as bpe ----

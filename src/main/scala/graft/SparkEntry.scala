@@ -257,6 +257,17 @@ object SparkEntry {
       "MAX(CASE WHEN turn_idx = 0 AND role = 'system' THEN n_tokens END) " +
       "OVER (PARTITION BY doc_id) AS sys_tokens FROM tt)"
 
+  /** The trim decision as a CTE over `tt` (all columns retained) — the
+    * reassembly oracles consume the kept rows with their content. */
+  private def chatKeptCte(budget: Long): String =
+    "tr AS (SELECT doc_id, turn_idx, role, content, n_tokens, " +
+      "CASE WHEN turn_idx = 0 AND role = 'system' THEN TRUE " +
+      s"ELSE suffix <= $budget - COALESCE(sys_tokens, 0) END AS kept " +
+      "FROM (SELECT *, SUM(n_tokens) OVER (PARTITION BY doc_id " +
+      "ORDER BY turn_idx DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS suffix, " +
+      "MAX(CASE WHEN turn_idx = 0 AND role = 'system' THEN n_tokens END) " +
+      "OVER (PARTITION BY doc_id) AS sys_tokens FROM tt))"
+
   /** Shared CTE chain for the funnel oracles: the sequential-min algebra of
     * [[graft.events.Funnel.funnelTimes]] over signup → view → click →
     * purchase with the 30-day window anchored at the first step. */
@@ -1873,6 +1884,30 @@ object SparkEntry {
       graft.text.Chat.truncateMessagesToBudget(
         docs, col("doc_id"), chatMessagesJson(col("doc_id"), col("text")),
         budget = 16L)
+    }),
+
+    // P124f trim reassembly, LINE format: the trim APPLIED — kept turns
+    // re-joined `role: content` in order, the artifact a trainer consumes.
+    // Exact string compare against DuckDB's ordered string_agg replay.
+    "chat_rebuilt" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Chat.rebuildTranscript(
+        docs, col("doc_id"), chatTranscript(col("doc_id"), col("text")),
+        budget = 16L)
+    }),
+
+    // P124g trim reassembly, MESSAGES format: kept turns re-serialized as
+    // a {"messages": [...]} document. Cross-engine JSON-string equality
+    // is escaping-fragile, so the gate proves the stronger property
+    // instead: the rebuilt JSON RE-PARSES (round-trip through the same
+    // permissive parse) to exactly the kept turns, newlines included —
+    // compared against the oracle's re-indexed kept-turn table.
+    "chat_messages_rebuilt" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rebuilt = graft.text.Chat.rebuildMessages(
+        docs, col("doc_id"), chatMessagesJson(col("doc_id"), col("text")),
+        budget = 16L)
+      graft.text.Chat.explodeMessages(rebuilt, col("id"), col("messages_json"))
     }),
 
     // P124e token-accurate context trimming: the same keep-last algebra,
@@ -4631,6 +4666,21 @@ object SparkEntry {
       "chat_messages" -> s"WITH $chatMessagesCte $chatStatsSelect",
 
       "chat_messages_truncate" -> s"WITH $chatMessagesCte ${chatTrimSelect()}",
+
+      "chat_rebuilt" ->
+        (s"WITH $chatTurnsCte, ${chatKeptCte(16L)} " +
+          "SELECT doc_id AS id, string_agg(" +
+          "CASE WHEN role <> '' THEN role || ': ' || content ELSE content END, " +
+          "chr(10) ORDER BY turn_idx) AS trimmed_text " +
+          "FROM tr WHERE kept GROUP BY doc_id"),
+
+      "chat_messages_rebuilt" ->
+        (s"WITH $chatMessagesCte, ${chatKeptCte(16L)}, " +
+          "k AS (SELECT doc_id, role, content, " +
+          "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY turn_idx) - 1 AS new_idx " +
+          "FROM tr WHERE kept) " +
+          "SELECT doc_id AS id, CAST(new_idx AS BIGINT) AS turn_idx, role, content, " +
+          "CAST(len(regexp_extract_all(content, '\\S+')) AS BIGINT) AS n_tokens FROM k"),
 
       // per-turn byte-BPE counts come from the golden replication; the
       // trim window itself replays in SQL at budget 24

@@ -1109,6 +1109,14 @@ object PyBridge {
     graft.text.Chat.truncateToBudgetCounted(df, id, text, budget.longValue(),
       graft.text.ByteBpe.tokenCount(_, model))
 
+  def chatRebuildTranscript(df: DataFrame, id: Column, text: Column,
+                            budget: java.lang.Number): DataFrame =
+    graft.text.Chat.rebuildTranscript(df, id, text, budget.longValue())
+
+  def chatRebuildMessages(df: DataFrame, id: Column, json: Column,
+                          budget: java.lang.Number): DataFrame =
+    graft.text.Chat.rebuildMessages(df, id, json, budget.longValue())
+
   def chatTruncateMessagesToBudgetByteBpe(
       df: DataFrame, id: Column, json: Column, budget: java.lang.Number,
       model: graft.text.ByteBpe.ByteBpeModel): DataFrame =

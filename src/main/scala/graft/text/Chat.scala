@@ -185,7 +185,14 @@ object Chat {
     truncateTurns(explodeMessages(df, id, json)
       .withColumn("n_tokens", tokenCount(col("content")).cast("long")), budget)
 
-  private def truncateTurns(turns: DataFrame, budget: Long): DataFrame = {
+  private def truncateTurns(turns: DataFrame, budget: Long): DataFrame =
+    withKept(turns, budget)
+      .select(col("id"), col("turn_idx"), col("role"), col("n_tokens"), col("kept"))
+
+  /** The trim decision with ALL columns retained (content included) —
+    * shared by the flag view ([[truncateToBudget]]) and the reassembly
+    * operators. */
+  private def withKept(turns: DataFrame, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0: $budget")
     val byConv = Window.partitionBy(col("id"))
     val suffix = Window.partitionBy(col("id")).orderBy(col("turn_idx").desc)
@@ -199,6 +206,44 @@ object Chat {
         when(col("turn_idx") === 0 && col("role") === "system", lit(true))
           .otherwise(col("__suffix") <=
             lit(budget) - coalesce(col("__sys_tokens"), lit(0L))))
-      .select(col("id"), col("turn_idx"), col("role"), col("n_tokens"), col("kept"))
+  }
+
+  /**
+   * Apply the trim and REASSEMBLE the surviving conversation in wire
+   * format — the artifact a trainer actually consumes, not just kept
+   * flags. `(id, trimmed_text)` in the LINE format (kept turns re-joined
+   * `role: content`, invalid turns re-emitted as their raw line), turns
+   * in original order. A conversation with NO kept turn is absent (there
+   * is nothing to emit). Per-conversation sorted-collect — bounded by
+   * transcript length, never corpus-sized.
+   */
+  def rebuildTranscript(df: DataFrame, id: Column, text: Column,
+                        budget: Long): DataFrame =
+    assembleKept(withKept(explodeTurns(df, id, text), budget), line = true)
+
+  /** [[rebuildTranscript]] for the MESSAGES format: `(id, messages_json)`
+    * — the kept turns re-serialized as a `{"messages": [...]}` document
+    * ([[parseMessages]] round-trips it, newlines included). */
+  def rebuildMessages(df: DataFrame, id: Column, json: Column,
+                      budget: Long): DataFrame =
+    assembleKept(withKept(explodeMessages(df, id, json), budget), line = false)
+
+  private def assembleKept(kept: DataFrame, line: Boolean): DataFrame = {
+    val ordered = kept.filter(col("kept"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("turn_idx"),
+        struct(col("role"), col("content")).as("m")))).as("__arr"))
+    if (line)
+      ordered.select(col("id"),
+        array_join(transform(col("__arr"), x => {
+          val m = x.getField("m")
+          when(m.getField("role") =!= "",
+            concat(m.getField("role"), lit(": "), m.getField("content")))
+            .otherwise(m.getField("content"))
+        }), "\n").as("trimmed_text"))
+    else
+      ordered.select(col("id"),
+        to_json(struct(transform(col("__arr"), x => x.getField("m"))
+          .as("messages"))).as("messages_json"))
   }
 }

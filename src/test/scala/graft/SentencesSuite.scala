@@ -72,6 +72,40 @@ class ChatSuite extends org.scalatest.funsuite.AnyFunSuite with SparkTest {
     assert(bad == ((2L, 1L, 0L, 0L, 1L, false)))
   }
 
+  test("rebuild: trimmed conversations reassemble to exactly the kept turns") {
+    val t = "system: one two three\nuser: a b c d\nassistant: e f"
+    // budget 5: system (3) pins, remaining 2 fits assistant (2), not user
+    val line = Seq((1L, t)).toDF("id", "t")
+      .transform(df => Chat.rebuildTranscript(df, col("id"), col("t"), 5L))
+      .as[(Long, String)].head()
+    assert(line == ((1L, "system: one two three\nassistant: e f")))
+    // everything kept = identity, invalid lines re-emitted raw
+    val full = Seq((1L, "user: a\nbad line")).toDF("id", "t")
+      .transform(df => Chat.rebuildTranscript(df, col("id"), col("t"), 100L))
+      .as[(Long, String)].head()
+    assert(full == ((1L, "user: a\nbad line")))
+    // nothing kept -> the conversation is absent
+    val none = Seq((1L, "user: a b")).toDF("id", "t")
+      .transform(df => Chat.rebuildTranscript(df, col("id"), col("t"), 1L))
+    assert(none.count() == 0)
+    // MESSAGES: rebuilt JSON round-trips to the kept turns, newline intact
+    val j = """{"messages": [{"role": "system", "content": "one two three"},
+       {"role": "user", "content": "a b\nc d"},
+       {"role": "assistant", "content": "e f"}]}"""
+    val rebuilt = Seq((1L, j)).toDF("id", "j")
+      .transform(df => Chat.rebuildMessages(df, col("id"), col("j"), 5L))
+    val turns = Chat.explodeMessages(rebuilt, col("id"), col("messages_json"))
+      .orderBy("turn_idx")
+      .select("role", "content").as[(String, String)].collect().toSeq
+    assert(turns == Seq(("system", "one two three"), ("assistant", "e f")))
+    // a kept newline-bearing turn survives serialization byte-for-byte
+    val all = Seq((1L, j)).toDF("id", "j")
+      .transform(df => Chat.rebuildMessages(df, col("id"), col("j"), 100L))
+    val roundTrip = Chat.explodeMessages(all, col("id"), col("messages_json"))
+      .orderBy("turn_idx").select("content").as[String].collect().toSeq
+    assert(roundTrip(1) == "a b\nc d")
+  }
+
   test("truncateToBudget: suffix fit, system pin charges the budget first") {
     val t = "system: one two three\nuser: a b c d\nassistant: e f\nuser: g\nassistant: h i j"
     def kept(budget: Long) = Seq((1L, t)).toDF("id", "t")
