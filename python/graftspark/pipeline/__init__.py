@@ -112,6 +112,7 @@ __all__ = [
     "chat_parse_messages", "chat_stats_messages", "chat_explode_messages",
     "chat_truncate_messages_to_budget",
     "chat_rebuild_transcript", "chat_rebuild_messages",
+    "tokenizer_fertility",
     "funnel_times", "funnel_report", "funnel_step_times", "funnel_lags",
     "retention_cohorts", "transition_matrix",
     "history_apply_snapshot", "with_temporal_split", "layout_report",
@@ -2871,6 +2872,23 @@ def chat_truncate_messages_to_budget(df: DataFrame, id: ColumnOrName,
     jdf = _bridge(df).chatTruncateMessagesToBudget(df._jdf, _jcol(id),
                                                    _jcol(json), int(budget))
     return DataFrame(jdf, df.sparkSession)
+
+
+def tokenizer_fertility(docs: DataFrame, group: ColumnOrName,
+                        text: ColumnOrName,
+                        counters: Dict[str, Column]) -> DataFrame:
+    """Per-group tokenizer fertility report -> (group, n_docs, n_chars,
+    <name>_tokens ...): exact BIGINT token sums under each supplied
+    per-row count column (e.g. byte_bpe_token_count(text, model)); one
+    map-side-combined pass. Rates are downstream divisions."""
+    gw = docs.sparkSession._jvm  # type: ignore[union-attr]
+    names, cols = gw.java.util.ArrayList(), gw.java.util.ArrayList()
+    for n, c in counters.items():
+        names.add(str(n))
+        cols.add(_jcol(c))
+    jdf = _bridge(docs).tokenizerFertility(docs._jdf, _jcol(group),
+                                           _jcol(text), names, cols)
+    return DataFrame(jdf, docs.sparkSession)
 
 
 def chat_rebuild_transcript(df: DataFrame, id: ColumnOrName,

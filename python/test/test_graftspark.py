@@ -1894,6 +1894,13 @@ class GraftsparkTest(unittest.TestCase):
         self.assertTrue(any(t.startswith("Ġ") for t in toks0))
         self.assertTrue(any("L" in t for t in toks1))   # case survives
         self.assertIn("'s", "".join(toks1))             # contraction split
+        # fertility report: exact sums under the model's counter
+        fert = P.tokenizer_fertility(
+            df.withColumn("src", lit("s")), "src", "t",
+            {"bb": P.byte_bpe_token_count("t", model)}).first()
+        total = df.select(P.byte_bpe_token_count("t", model).alias("n")) \
+            .groupBy().sum("n").first()[0]
+        self.assertEqual((fert["n_docs"], fert["bb_tokens"]), (2, total))
         # save/load round-trip encodes identically
         d = tempfile.mkdtemp()
         P.save_byte_bpe(self.spark, model, d + "/bb")

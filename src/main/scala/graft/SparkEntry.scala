@@ -2305,6 +2305,27 @@ object SparkEntry {
         concat_ws(" ", enc).as("byte_bpe_text"))
     }),
 
+    // P63c tokenizer fertility report: per-source BIGINT token sums under
+    // whitespace, word-BPE, and byte-BPE counting — the cross-tokenizer
+    // budget comparison, one map-side-combined pass. Counts tie to the
+    // SAME models the bpe_tokens / bpe_bytes gates train, so the oracle
+    // re-aggregates the committed goldens against the documents table.
+    "tokenizer_fertility" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val bpeModel = graft.text.Bpe.train(docs, col("text"), numMerges = 200)
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionAll(byteBpeHazards.toDF("doc_id", "text"))
+      val bbModel = graft.text.ByteBpe.train(corpus, col("text"), numMerges = 80)
+      graft.text.CorpusStats.tokenizerFertility(
+        docs, col("source"), col("text"), Seq(
+          "ws" -> ((t: Column) =>
+            size(regexp_extract_all(t, lit("\\S+"), lit(0)))),
+          "bpe" -> ((t: Column) => size(graft.text.Bpe.encode(t, bpeModel))),
+          "byte_bpe" -> ((t: Column) =>
+            size(graft.text.ByteBpe.encode(t, bbModel)))))
+    }),
+
     // P91b transparent Bloom-sidecar data skipping (the Rule[LogicalPlan]
     // tier): a PLAIN equality/IN filter against an indexed directory scans
     // only surviving files — the pruning is require-asserted in-plan, the
@@ -5375,6 +5396,21 @@ object SparkEntry {
         ("SELECT doc_id, n_byte_tokens, byte_bpe_text " +
           s"FROM read_parquet('$goldenDir/byte_bpe_sf001.parquet') " +
           "WHERE doc_id >= 0"),
+
+      // re-aggregate the committed per-doc goldens against documents —
+      // the group sums must match the in-plan kernels exactly
+      "tokenizer_fertility" ->
+        (s"WITH b AS (SELECT doc_id, n_bpe_tokens " +
+          s"FROM read_parquet('$goldenDir/bpe_tokens_sf001.parquet')), " +
+          s"bb AS (SELECT doc_id, n_byte_tokens " +
+          s"FROM read_parquet('$goldenDir/byte_bpe_sf001.parquet') WHERE doc_id >= 0) " +
+          "SELECT source AS \"group\", COUNT(*) AS n_docs, " +
+          "CAST(SUM(length(text)) AS BIGINT) AS n_chars, " +
+          "CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS ws_tokens, " +
+          "CAST(SUM(n_bpe_tokens) AS BIGINT) AS bpe_tokens, " +
+          "CAST(SUM(n_byte_tokens) AS BIGINT) AS byte_bpe_tokens " +
+          "FROM documents JOIN b USING (doc_id) JOIN bb USING (doc_id) " +
+          "GROUP BY source"),
 
       "wordpiece_tokens" ->
         ("SELECT doc_id, n_wp_tokens, wp_text " +

@@ -1109,6 +1109,14 @@ object PyBridge {
     graft.text.Chat.truncateToBudgetCounted(df, id, text, budget.longValue(),
       graft.text.ByteBpe.tokenCount(_, model))
 
+  def tokenizerFertility(df: DataFrame, group: Column, text: Column,
+                         names: JList[String],
+                         counts: JList[Column]): DataFrame = {
+    val cs = names.asScala.toSeq.zip(counts.asScala.toSeq)
+      .map { case (n, c) => n -> ((_: Column) => c) }
+    graft.text.CorpusStats.tokenizerFertility(df, group, text, cs)
+  }
+
   def chatRebuildTranscript(df: DataFrame, id: Column, text: Column,
                             budget: java.lang.Number): DataFrame =
     graft.text.Chat.rebuildTranscript(df, id, text, budget.longValue())

@@ -171,4 +171,33 @@ object CorpusStats {
       Seq(col("score").desc, col("term").asc),
       k, rankColumn)
   }
+
+  /**
+   * Tokenizer fertility report — "how many tokens does each tokenizer
+   * charge this slice of the corpus?", the comparison every token-budget
+   * decision (P45/P86/P113) and cross-model cost estimate needs: one row
+   * per group with `(group, n_docs, n_chars)` plus a `<name>_tokens`
+   * BIGINT sum per supplied counter (e.g. whitespace pieces, word-BPE,
+   * byte-BPE, WordPiece). Rates (chars/token, tokens/doc) are trivial
+   * downstream divisions, kept out so the table replays exactly.
+   *
+   * Scale shape: the counters are narrow per-row kernels, so the whole
+   * report is ONE map-side-combined aggregate over a single corpus scan —
+   * no shuffle beyond the tiny per-group exchange. NULL texts contribute
+   * to `n_docs` but to no sum (SQL sum semantics on both engines).
+   */
+  def tokenizerFertility(docs: DataFrame, group: Column, text: Column,
+                         counters: Seq[(String, Column => Column)]): DataFrame = {
+    require(counters.nonEmpty, "need at least one token counter")
+    require(counters.map(_._1).distinct.size == counters.size,
+      s"counter names must be unique: ${counters.map(_._1).mkString(", ")}")
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      sum(length(text)).cast("long").as("n_chars")) ++
+      counters.map { case (name, f) =>
+        sum(f(text)).cast("long").as(s"${name}_tokens")
+      }
+    docs.groupBy(group.as("group"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -520,6 +520,28 @@ class PipelineSuite extends AnyFunSuite with SparkTest {
     assert(out == Seq(("the cat", 4L), ("cat sat", 2L), ("a dog", 1L)))
   }
 
+  test("tokenizerFertility: exact per-group sums, null texts count docs only") {
+    val df = Seq(
+      (1L, "a", "x y z"), (2L, "a", "xx"), (3L, "b", "p q"),
+      (4L, "b", null.asInstanceOf[String]))
+      .toDF("id", "src", "text")
+    val out = graft.text.CorpusStats.tokenizerFertility(
+      df, col("src"), col("text"), Seq(
+        "ws" -> ((t: org.apache.spark.sql.Column) =>
+          size(regexp_extract_all(t, lit("\\S+"), lit(0)))),
+        "ch" -> ((t: org.apache.spark.sql.Column) => length(t))))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("a") == ((2L, 7L, 4L, 7L)))  // 5+2 chars, 3+1 ws pieces
+    assert(out("b") == ((2L, 3L, 2L, 3L)))  // the NULL text adds a doc, no sums
+    val dup = intercept[IllegalArgumentException] {
+      graft.text.CorpusStats.tokenizerFertility(df, col("src"), col("text"),
+        Seq("ws" -> ((t: org.apache.spark.sql.Column) => length(t)),
+          "ws" -> ((t: org.apache.spark.sql.Column) => length(t))))
+    }
+    assert(dup.getMessage.contains("unique"))
+  }
+
   test("near-dup dedup handles short and empty documents without pairs or crashes") {
     val df = (Seq((1L, ""), (2L, "a"), (3L, "a b"), (4L, "x y")) ++
       (10L to 20L).map(i => (i, s"long document number $i alpha beta gamma delta epsilon zeta")))
