@@ -248,19 +248,19 @@ object SparkEntry {
       "THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id) AS has_sys FROM tt) " +
       "GROUP BY doc_id"
 
+  // one definition of the trim algebra: the flag-view select routes
+  // through the same kept-CTE the reassembly oracles consume (leading
+  // comma: callers have already opened WITH and defined tt)
   private def chatTrimSelect(budget: Long = 16L): String =
-    "SELECT doc_id AS id, turn_idx, role, n_tokens, " +
-      "CASE WHEN turn_idx = 0 AND role = 'system' THEN TRUE " +
-      s"ELSE suffix <= $budget - COALESCE(sys_tokens, 0) END AS kept " +
-      "FROM (SELECT *, SUM(n_tokens) OVER (PARTITION BY doc_id " +
-      "ORDER BY turn_idx DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS suffix, " +
-      "MAX(CASE WHEN turn_idx = 0 AND role = 'system' THEN n_tokens END) " +
-      "OVER (PARTITION BY doc_id) AS sys_tokens FROM tt)"
+    s", ${chatKeptCte(budget)} " +
+      "SELECT doc_id AS id, turn_idx, role, n_tokens, kept FROM tr"
 
   /** The trim decision as a CTE over `tt` (all columns retained) — the
     * reassembly oracles consume the kept rows with their content. */
   private def chatKeptCte(budget: Long): String =
-    "tr AS (SELECT doc_id, turn_idx, role, content, n_tokens, " +
+    // SELECT * so the same CTE serves both tt shapes (the golden-backed
+    // trim table has no content column; the wire-format parses do)
+    "tr AS (SELECT *, " +
       "CASE WHEN turn_idx = 0 AND role = 'system' THEN TRUE " +
       s"ELSE suffix <= $budget - COALESCE(sys_tokens, 0) END AS kept " +
       "FROM (SELECT *, SUM(n_tokens) OVER (PARTITION BY doc_id " +

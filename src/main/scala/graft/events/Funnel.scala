@@ -98,13 +98,19 @@ object Funnel {
     * t_us)`, one row per REACHED step — the raw material for
     * time-to-convert analysis (and the long view of the carried-prefix
     * chain). Same plan as [[funnelTimes]] plus one narrow unpivot. */
+  /** A step name as a Spark-SQL string literal: backslashes are escape
+    * characters inside SQL literals (not just quotes), so both need
+    * escaping or a name like `nav\home` silently corrupts its label. */
+  private def sqlLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
   def funnelStepTimes(events: DataFrame, user: Column, tsUs: Column,
                       etype: Column, steps: Seq[String],
                       windowUs: Long = Long.MaxValue,
                       anchor: WindowAnchor = AnchorFirstStep): DataFrame = {
     val cur = funnelChain(events, user, tsUs, etype, steps, windowUs, anchor)
     val stacked = steps.indices.map(i =>
-      s"${i + 1}, '${steps(i).replace("'", "''")}', t_${i + 1}").mkString(", ")
+      s"${i + 1}, ${sqlLit(steps(i))}, t_${i + 1}").mkString(", ")
     cur.select(col("user_id"),
         expr(s"stack(${steps.size}, $stacked)").as(Seq("step_idx", "step", "t_us")))
       .select(col("user_id"), col("step_idx"), col("step"), col("t_us"))
@@ -122,8 +128,6 @@ object Funnel {
   def funnelLags(events: DataFrame, user: Column, tsUs: Column, etype: Column,
                  steps: Seq[String], windowUs: Long = Long.MaxValue,
                  anchor: WindowAnchor = AnchorFirstStep): DataFrame = {
-    val spark = events.sparkSession
-    import spark.implicits._
     val k = steps.size
     val cur = funnelChain(events, user, tsUs, etype, steps, windowUs, anchor)
     val aggs = (1 to k).flatMap { i =>
@@ -135,7 +139,7 @@ object Funnel {
     }
     val one = cur.agg(aggs.head, aggs.tail: _*)
     val stacked = (1 to k).map(i =>
-      s"$i, '${steps(i - 1).replace("'", "''")}', u_$i, mn_$i, mx_$i, sm_$i")
+      s"$i, ${sqlLit(steps(i - 1))}, u_$i, mn_$i, mx_$i, sm_$i")
       .mkString(", ")
     one.select(expr(s"stack($k, $stacked)")
         .as(Seq("step_idx", "step", "users", "min_lag_us", "max_lag_us", "sum_lag_us")))

@@ -177,6 +177,16 @@ class FunnelSuite extends AnyFunSuite with SparkTest {
       col("ty"), Seq("a", "b"))
       .as[(Int, String, Long, Long, Long, Long)].collect().toSet
     assert(empty == Set((1, "a", 0L, 0L, 0L, 0L), (2, "b", 0L, 0L, 0L, 0L)))
+    // hostile step names survive the stack-literal round trip byte-for-byte
+    // (backslash is an escape char in SQL literals; quotes double)
+    val hostile = Seq("nav\\home", "it's", "a\nb")
+    val hv = ev((1L, 0L, "nav\\home"), (1L, 5L, "it's"), (1L, 9L, "a\nb"))
+    val names = Funnel.funnelStepTimes(hv, col("u"), col("t"), col("ty"), hostile)
+      .orderBy("step_idx").select("step").as[String].collect().toSeq
+    assert(names == hostile)
+    val lagNames = Funnel.funnelLags(hv, col("u"), col("t"), col("ty"), hostile)
+      .orderBy("step_idx").select("step").as[String].collect().toSeq
+    assert(lagNames == hostile)
   }
 
   test("transitionMatrix: total order, per-user chains, last event contributes nothing") {
