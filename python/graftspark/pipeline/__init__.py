@@ -115,6 +115,10 @@ __all__ = [
     "tokenizer_fertility",
     "funnel_times", "funnel_report", "funnel_step_times", "funnel_lags",
     "retention_cohorts", "transition_matrix",
+    "retention_cohorts_approx", "transition_matrix_excluded",
+    "streaming_funnel_progress",
+    "byte_bpe_decode", "bpe_decode", "wordpiece_decode", "unigram_decode",
+    "conversation_neardup_pairs", "conversation_neardup_pairs_messages",
     "history_apply_snapshot", "with_temporal_split", "layout_report",
 ]
 
@@ -650,6 +654,33 @@ def byte_bpe_encode(text: ColumnOrName, model) -> Column:
 def byte_bpe_token_count(text: ColumnOrName, model) -> Column:
     """Byte-level token count per row — the budget/packing input."""
     return _col_fn("byteBpeTokenCount", _jcol(text), model)
+
+
+def byte_bpe_decode(tokens: ColumnOrName) -> Column:
+    """EXACT-inverse byte-BPE detokenizer (model-free): display tokens ->
+    bytes -> UTF-8 text; byte_bpe_decode(byte_bpe_encode(x, m)) == x for
+    every string and any model."""
+    return _col_fn("byteBpeDecode", _jcol(tokens))
+
+
+def bpe_decode(tokens: ColumnOrName) -> Column:
+    """LOSSY word-BPE detokenizer: the stream carries no word-boundary
+    marker, so decode returns the concatenated lowercased ascii token
+    stream (case/punctuation/whitespace never entered the stream)."""
+    return _col_fn("bpeDecode", _jcol(tokens))
+
+
+def wordpiece_decode(tokens: ColumnOrName) -> Column:
+    """LOSSY WordPiece detokenizer: '##' continuation marks carry word
+    boundaries, so decode rebuilds the space-joined lowercased ascii word
+    stream exactly ([UNK]-free on training-corpus text)."""
+    return _col_fn("wordPieceDecode", _jcol(tokens))
+
+
+def unigram_decode(tokens: ColumnOrName) -> Column:
+    """LOSSY unigram detokenizer: like word-BPE, no boundary marker —
+    decode returns the concatenated lowercased ascii token stream."""
+    return _col_fn("unigramDecode", _jcol(tokens))
 
 
 def save_byte_bpe(spark: SparkSession, model, path: str) -> None:
@@ -2989,6 +3020,77 @@ def transition_matrix(events: DataFrame, user: ColumnOrName,
                                            _jcol(ts_us), _jcol(event_id),
                                            _jcol(event_type))
     return DataFrame(jdf, events.sparkSession)
+
+
+def transition_matrix_excluded(events: DataFrame, user: ColumnOrName,
+                               ts_us: ColumnOrName,
+                               event_id: ColumnOrName) -> DataFrame:
+    """The observability companion of transition_matrix's exclusion rule
+    -> one row (excluded_rows, total_rows): how many event rows carried a
+    null user/timestamp/tiebreak id and so contributed no transition."""
+    jdf = _bridge(events).transitionMatrixExcluded(
+        events._jdf, _jcol(user), _jcol(ts_us), _jcol(event_id))
+    return DataFrame(jdf, events.sparkSession)
+
+
+def retention_cohorts_approx(events: DataFrame, user: ColumnOrName,
+                             ts_us: ColumnOrName, period_us: int,
+                             lg_config_k: int = 12) -> DataFrame:
+    """The 100 TB tier of retention_cohorts -> (cohort_period,
+    period_offset, users_estimate): distinct users per cell estimated with
+    a mergeable HLL sketch aggregate (map-side combined, ~±2%) instead of
+    the exact two-phase distinct shuffle."""
+    jdf = _bridge(events).retentionCohortsApprox(
+        events._jdf, _jcol(user), _jcol(ts_us), int(period_us),
+        int(lg_config_k))
+    return DataFrame(jdf, events.sparkSession)
+
+
+def streaming_funnel_progress(stream: DataFrame, user: ColumnOrName,
+                              event_time_column: str,
+                              event_type: ColumnOrName, steps: List[str],
+                              window_us: int = (1 << 62),
+                              per_step_window: bool = False,
+                              watermark_delay: str = "0 seconds") -> DataFrame:
+    """Streaming funnel -> append-mode (user_id, depth, step, t_us) depth
+    transitions: k longs of state per user, greedy event-time-ordered
+    chain equal to the batch funnel on in-order feeds; completed chains
+    stay in state (one min-anchored chain per user), watermark-evicted
+    past anchor + window."""
+    jdf = _bridge(stream).streamingFunnelProgress(
+        stream._jdf, _jcol(user), str(event_time_column), _jcol(event_type),
+        list(map(str, steps)), int(window_us), bool(per_step_window),
+        str(watermark_delay))
+    return DataFrame(jdf, stream.sparkSession)
+
+
+def conversation_neardup_pairs(df: DataFrame, id: ColumnOrName,
+                               text: ColumnOrName, shingle_size: int = 3,
+                               bands: int = 16, rows_per_band: int = 8,
+                               threshold: float = 0.8,
+                               max_bucket_size: int = 1000) -> DataFrame:
+    """Conversation-level near-dup pairs -> (idA, idB, jaccard): the
+    fingerprint is the content-only canonical form (roles and turn
+    boundaries excluded), fed to the MinHash+LSH machinery — template
+    re-wraps of the same dialogue dedup as one."""
+    jdf = _bridge(df).conversationNearDupPairs(
+        df._jdf, _jcol(id), _jcol(text), int(shingle_size), int(bands),
+        int(rows_per_band), float(threshold), int(max_bucket_size))
+    return DataFrame(jdf, df.sparkSession)
+
+
+def conversation_neardup_pairs_messages(df: DataFrame, id: ColumnOrName,
+                                        json: ColumnOrName,
+                                        shingle_size: int = 3,
+                                        bands: int = 16,
+                                        rows_per_band: int = 8,
+                                        threshold: float = 0.8,
+                                        max_bucket_size: int = 1000) -> DataFrame:
+    """conversation_neardup_pairs over the MESSAGES wire format."""
+    jdf = _bridge(df).conversationNearDupPairsMessages(
+        df._jdf, _jcol(id), _jcol(json), int(shingle_size), int(bands),
+        int(rows_per_band), float(threshold), int(max_bucket_size))
+    return DataFrame(jdf, df.sparkSession)
 
 
 def history_apply_snapshot(history: DataFrame, snapshot: DataFrame, version,

@@ -470,6 +470,18 @@ class GraftsparkTest(unittest.TestCase):
         tm = {(r["from_type"], r["to_type"]): r["transitions"]
               for r in P.transition_matrix(ev2, "u", "t", "eid", "ty").collect()}
         self.assertEqual(tm, {("a", "b"): 2})
+        # HLL tier matches exact at small cardinalities; exclusion counter
+        rca = {(r["cohort_period"], r["period_offset"]):
+               int(r["users_estimate"])
+               for r in P.retention_cohorts_approx(
+                   ev, "u", "t", period_us=100).collect()}
+        self.assertEqual(rca, rc)
+        ev3 = self.spark.createDataFrame(
+            [(1, 0, 10, "a"), (None, 1, 11, "b"), (2, None, 12, "a"),
+             (3, 3, None, "c")],
+            ["u", "t", "eid", "ty"])
+        ex = P.transition_matrix_excluded(ev3, "u", "t", "eid").first()
+        self.assertEqual((ex["excluded_rows"], ex["total_rows"]), (3, 4))
         # incremental SCD2 apply == full rebuild
         snaps = self.spark.createDataFrame(
             [(1, 1, "a"), (2, 1, "a"), (1, 2, "a"), (2, 2, "B"), (3, 2, "x")],
@@ -1918,6 +1930,54 @@ class GraftsparkTest(unittest.TestCase):
         self.assertEqual(trim[1][0], 2)
         self.assertEqual(trim[1][1], False)
         self.assertEqual(trim[2], (1, True))
+
+    def test_pipeline_tokenizer_decode(self):
+        from graftspark import pipeline as P
+        texts = ["it's Mixed CASE, 2.0 tabs\tand  spaces", "café 🙂", ""]
+        df = self.spark.createDataFrame([(t,) for t in texts], ["t"])
+        bb = P.byte_bpe_train(df, col("t"), num_merges=5)
+        # byte-BPE decode is the exact inverse for every row
+        rt = df.select(
+            col("t"),
+            P.byte_bpe_decode(P.byte_bpe_encode(col("t"), bb)).alias("r")
+        ).collect()
+        for r in rt:
+            self.assertEqual(r["r"], r["t"])
+        # lossy contracts: wordpiece -> space-joined ascii words,
+        # bpe/unigram -> their concatenation
+        import re
+        wp = P.wordpiece_train(df, col("t"), vocab_size=40)
+        bpe = P.bpe_train(df, col("t"), num_merges=10)
+        ug = P.train_unigram(df, col("t"), vocab_size=40, seed_size=256)
+        got = df.select(
+            col("t"),
+            P.wordpiece_decode(P.wordpiece_encode(col("t"), wp)).alias("w"),
+            P.bpe_decode(P.bpe_encode(col("t"), bpe)).alias("b"),
+            P.unigram_decode(P.unigram_encode(col("t"), ug)).alias("u")
+        ).collect()
+        for r in got:
+            words = [w for w in re.split(r"[^a-z0-9]+", r["t"].lower()) if w]
+            self.assertEqual(r["w"], " ".join(words))
+            self.assertEqual(r["b"], "".join(words))
+            self.assertEqual(r["u"], "".join(words))
+
+    def test_pipeline_conversation_neardup(self):
+        from graftspark import pipeline as P
+        body = ("the quick brown fox jumps over the lazy dog and keeps "
+                "running far away today")
+        a = "\n".join("user: " + " ".join(ws) if i % 2 == 0
+                      else "assistant: " + " ".join(ws)
+                      for i, ws in enumerate(
+                          [body.split()[j:j + 7]
+                           for j in range(0, len(body.split()), 7)]))
+        b = a.replace("assistant: ", "user: ")  # role-scrambled re-wrap
+        other = ("user: entirely different gardening subject about compost "
+                 "soil tomatoes and the joy of summer watering schedules")
+        df = self.spark.createDataFrame(
+            [(1, a), (2, b), (3, other)], ["id", "t"])
+        pairs = P.conversation_neardup_pairs(df, "id", "t").collect()
+        self.assertEqual([(r["idA"], r["idB"], r["jaccard"])
+                          for r in pairs], [(1, 2, 1.0)])
 
     def test_pipeline_urls_and_weighted_topk(self):
         from graftspark import pipeline as P

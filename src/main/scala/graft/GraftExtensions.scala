@@ -160,6 +160,13 @@ object GraftExtensions {
         graft.text.Unigram.loadUnigram(sp, path))
       graft.functions.UnigramEncode(es(1), m.pieces, m.scores)
     },
+    fn("byte_bpe_decode",
+      "byte_bpe_decode(tokens) - exact-inverse byte-level-BPE detokenizer: " +
+        "display tokens -> bytes -> UTF-8 text (model-free; " +
+        "byte_bpe_decode(byte_bpe_encode_model(p, x)) = x)") { es =>
+      arity("byte_bpe_decode", es, 1)
+      graft.functions.ByteBpeDecode(es.head)
+    },
     fn("dehyphenate",
       "dehyphenate(text) - rejoin words hyphen-split across line breaks " +
         "(lowercase continuation only; dashes/uppercase/digits preserved)") { es =>

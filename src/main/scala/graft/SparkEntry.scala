@@ -757,6 +757,33 @@ object SparkEntry {
         anchor = graft.events.Funnel.AnchorPreviousStep)
     }),
 
+    // P125d streaming funnel: the greedy k-longs-per-user chain over an
+    // ordered replay (batches cut on global event-time rank, the regime
+    // where greedy == batch min-aggregate), depth transitions drained to
+    // the sink and re-aggregated — the oracle is the BATCH funnel chain,
+    // so the gate certifies the streaming/batch equivalence itself.
+    "streaming_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val stepsSeq = Seq("signup", "view", "click", "purchase")
+      val staged = ev
+        .filter(col("event_type").isin(stepsSeq: _*) &&
+          col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          timestamp_micros(eventTsUs(ev)).as("ts"))
+      val n = 6
+      val pr = percent_rank().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id")))
+      val batchC = least(floor(pr * n), lit(n - 1)).cast("int")
+      streamReplay(s, staged, batchC, n)(st =>
+        graft.streaming.StreamingFunnel.funnelProgress(
+          st, col("user_id"), "ts", col("event_type"), stepsSeq,
+          windowUs = 2592000000000L).toDF())
+        .groupBy(col("user_id"))
+        .agg(max(col("depth")).as("depth"),
+          min(col("t_us")).as("first_step_us"),
+          max(col("t_us")).as("last_step_us"))
+    }),
+
     // P125c the long view of the funnel chain: one row per reached step
     // per user — the raw material for time-to-convert analysis.
     "funnel_step_times" -> ((s, dir) => {
@@ -802,6 +829,22 @@ object SparkEntry {
       val ev = t(s, dir, "events")
       graft.events.Funnel.retentionCohorts(ev, col("user_id"), eventTsUs(ev),
         periodUs = 604800000000L)
+    }),
+
+    // P126b approximate retention: the HLL tier (map-side-combined
+    // sketches, no corpus-sized distinct shuffle) gated against the exact
+    // tier with the P34 recall-gate pattern — the oracle predicts the
+    // exact counts AND that every cell's estimate lands within tolerance.
+    "retention_cohorts_approx" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val exact = graft.events.Funnel.retentionCohorts(
+        ev, col("user_id"), eventTsUs(ev), periodUs = 604800000000L)
+      val approx = graft.events.Funnel.retentionCohortsApprox(
+        ev, col("user_id"), eventTsUs(ev), periodUs = 604800000000L)
+      exact.join(approx, Seq("cohort_period", "period_offset"))
+        .select(col("cohort_period"), col("period_offset"), col("users"),
+          (abs(col("users_estimate") - col("users")).cast("double") /
+            col("users").cast("double") <= lit(0.05)).as("hll_ok"))
     }),
 
     // P115 watermark planning: deterministic disorder planted (event id%10
@@ -1910,6 +1953,30 @@ object SparkEntry {
       graft.text.Chat.explodeMessages(rebuilt, col("id"), col("messages_json"))
     }),
 
+    // P124h conversation-level near-dup: the SFT-corpus dedup pass — the
+    // fingerprint is the content-only canonical form (roles and turn
+    // scaffolding excluded), so the planted role-scrambled re-wraps
+    // (doc_id%7, every `assistant:` relabeled `user:`) land at jaccard
+    // 1.0 with their originals. MinHash+LSH candidates + exact verify;
+    // oracle = exact all-pairs Jaccard over the content the parse must
+    // recover.
+    "chat_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(length(coalesce(col("text"), lit(""))) >= 60)
+      val a = docs.select(col("doc_id"),
+        chatTranscript(col("doc_id"), col("text")).as("tr"))
+      val b = a.filter(col("doc_id") % 7 === 0).select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        regexp_replace(col("tr"), "(?m)^assistant: ", "user: ").as("tr"))
+      val handle = UnpersistHandle()
+      val out = graft.text.Chat.conversationNearDupPairs(
+        a.unionAll(b), col("doc_id"), col("tr"), threshold = 0.8,
+        unpersistHandle = handle)
+        .localCheckpoint(true)
+      handle.unpersist()
+      out
+    }),
+
     // P124e token-accurate context trimming: the same keep-last algebra,
     // but n_tokens comes from a TRAINED byte-level BPE model (P63b) over
     // each turn's content — the kept set is exact in the units a real
@@ -2303,6 +2370,43 @@ object SparkEntry {
       docs.select(col("doc_id"),
         size(enc).cast("long").as("n_byte_tokens"),
         concat_ws(" ", enc).as("byte_bpe_text"))
+    }),
+
+    // P63d byte-BPE round-trip: decode is the EXACT inverse of encode by
+    // construction (display map is a byte bijection; merges only
+    // concatenate), so the gate is SELF-VERIFYING — the oracle is the raw
+    // documents table, no fixture, no replication. Hazard rows (every
+    // scanner path) round-trip in sbt; here every corpus row must.
+    "bpe_bytes_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(byteBpeHazards.toDF("doc_id", "text"))
+      val model = graft.text.ByteBpe.train(corpus, col("text"), numMerges = 80)
+      docs.select(col("doc_id"),
+        graft.text.ByteBpe.decode(
+          graft.text.ByteBpe.encode(col("text"), model)).as("decoded"))
+    }),
+
+    // P63e lossy-family detokenizers under their DOCUMENTED whitespace
+    // contracts: word-BPE and unigram streams carry no word-boundary
+    // marker → decode = the concatenated ascii-token stream; WordPiece's
+    // `##` marks carry boundaries → decode = the space-joined word
+    // stream. The oracle derives all three directly from raw text — so
+    // the gate simultaneously proves each encoder loses no within-word
+    // characters AND each decoder honors its contract, with zero
+    // tokenizer replication.
+    "tokenizer_detok" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bpeModel = graft.text.Bpe.train(docs, col("text"), numMerges = 200)
+      val wpModel = graft.text.WordPiece.train(docs, col("text"), vocabSize = 300)
+      val ugModel = graft.text.Unigram.train(docs, col("text"), vocabSize = 300)
+      docs.select(col("doc_id"),
+        graft.text.Bpe.decode(
+          graft.text.Bpe.encode(col("text"), bpeModel)).as("bpe_detok"),
+        graft.text.WordPiece.decode(
+          graft.text.WordPiece.encode(col("text"), wpModel)).as("wordpiece_detok"),
+        graft.text.Unigram.decode(
+          graft.text.Unigram.encode(col("text"), ugModel)).as("unigram_detok"))
     }),
 
     // P63c tokenizer fertility report: per-source BIGINT token sums under
@@ -4022,6 +4126,18 @@ object SparkEntry {
           "FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id) " +
           "LEFT JOIN s4 USING (user_id)"),
 
+      // the streaming twin must equal the BATCH chain on an ordered
+      // replay — the oracle IS the batch funnel prediction
+      "streaming_funnel" ->
+        (s"WITH $funnelChainCte " +
+          "SELECT s1.user_id, " +
+          "CASE WHEN s4.user_id IS NOT NULL THEN 4 WHEN s3.user_id IS NOT NULL THEN 3 " +
+          "WHEN s2.user_id IS NOT NULL THEN 2 ELSE 1 END AS depth, " +
+          "s1.t1 AS first_step_us, " +
+          "COALESCE(s4.t4, s3.t3, s2.t2, s1.t1) AS last_step_us " +
+          "FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id) " +
+          "LEFT JOIN s4 USING (user_id)"),
+
       "funnel_users_stepwin" ->
         (s"WITH $funnelStepCte " +
           "SELECT s1.user_id, " +
@@ -4091,6 +4207,16 @@ object SparkEntry {
           "f AS (SELECT user_id, MIN(p) AS cohort_period FROM e GROUP BY 1) " +
           "SELECT cohort_period, p - cohort_period AS period_offset, " +
           "COUNT(DISTINCT user_id) AS users " +
+          "FROM e JOIN f USING (user_id) GROUP BY 1, 2"),
+
+      // the oracle predicts the exact counts AND that every cell's HLL
+      // estimate lands inside the tolerance (the P34 recall-gate pattern)
+      "retention_cohorts_approx" ->
+        ("WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS p " +
+          "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+          "f AS (SELECT user_id, MIN(p) AS cohort_period FROM e GROUP BY 1) " +
+          "SELECT cohort_period, p - cohort_period AS period_offset, " +
+          "COUNT(DISTINCT user_id) AS users, TRUE AS hll_ok " +
           "FROM e JOIN f USING (user_id) GROUP BY 1, 2"),
 
       "sessionize" ->
@@ -4702,6 +4828,27 @@ object SparkEntry {
           "FROM tr WHERE kept) " +
           "SELECT doc_id AS id, CAST(new_idx AS BIGINT) AS turn_idx, role, content, " +
           "CAST(len(regexp_extract_all(content, '\\S+')) AS BIGINT) AS n_tokens FROM k"),
+
+      // exact all-pairs Jaccard over the CONTENT the parse must recover:
+      // the role-scrambled +100000 re-wraps carry identical content, so
+      // role words leaking into the fingerprint would break the match
+      "chat_neardup" ->
+        ("WITH d AS (SELECT doc_id, text FROM documents " +
+          "WHERE length(COALESCE(text, '')) >= 60), " +
+          "c AS (SELECT doc_id, 'be concise' || chr(10) || substr(text, 1, 40) || " +
+          "chr(10) || substr(text, 41, 40) || " +
+          "CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'one more' || chr(10) || 'double user' " +
+          "WHEN doc_id % 17 = 0 THEN chr(10) || 'bad line no colon' " +
+          "ELSE chr(10) || 'follow up' || chr(10) || 'done' END AS content FROM d), " +
+          "u AS (SELECT doc_id, content FROM c " +
+          "UNION ALL SELECT doc_id + 100000, content FROM c WHERE doc_id % 7 = 0), " +
+          "ctok AS (SELECT doc_id, [x for x in string_split_regex(lower(content), '[^a-z0-9]+') if x <> ''] AS toks FROM u), " +
+          "csh AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS s " +
+          "FROM ctok WHERE len(toks) >= 3), " +
+          "cp AS (SELECT a.doc_id AS ia, b.doc_id AS ib, " +
+          "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS j " +
+          "FROM csh a JOIN csh b ON a.doc_id < b.doc_id) " +
+          "SELECT ia AS \"idA\", ib AS \"idB\", j AS jaccard FROM cp WHERE j >= 0.8"),
 
       // per-turn byte-BPE counts come from the golden replication; the
       // trim window itself replays in SQL at budget 24
@@ -5396,6 +5543,20 @@ object SparkEntry {
         ("SELECT doc_id, n_byte_tokens, byte_bpe_text " +
           s"FROM read_parquet('$goldenDir/byte_bpe_sf001.parquet') " +
           "WHERE doc_id >= 0"),
+
+      // decode(encode(x)) == x by construction: the oracle is the RAW
+      // table — the strongest kind of gate (no fixture, no replication)
+      "bpe_bytes_roundtrip" ->
+        "SELECT doc_id, text AS decoded FROM documents",
+
+      // each lossy family's documented contract derived straight from raw
+      // text: no-marker streams (word-BPE, unigram) concatenate the ascii
+      // token stream; WordPiece's ## marks rebuild space-joined words
+      "tokenizer_detok" ->
+        (s"WITH $docTokCte " +
+          "SELECT doc_id, array_to_string(toks, '') AS bpe_detok, " +
+          "array_to_string(toks, ' ') AS wordpiece_detok, " +
+          "array_to_string(toks, '') AS unigram_detok FROM tok"),
 
       // re-aggregate the committed per-doc goldens against documents —
       // the group sums must match the in-plan kernels exactly

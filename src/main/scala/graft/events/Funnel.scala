@@ -69,6 +69,11 @@ object Funnel {
       }
       val si = e.filter(col("__ty") === s)
         .select(col("user_id"), col("__t").as("__tn"))
+      // the carried prefix re-aggregates min(t_1..t_i) at every step, so
+      // expression count grows O(k²) with funnel length — deliberate:
+      // each min over an already-single-valued column is free at runtime,
+      // real funnels have k <= 10, and the alternative (first() semantics
+      // or an extra join) costs more than it saves
       val carried = (1 to i).map(j => min(col(s"t_$j")).as(s"t_$j"))
       val next = min(when(col("__tn") > prev &&
         col("__tn") - anchorT <= windowUs, col("__tn"))).as(s"t_${i + 1}")
@@ -178,7 +183,37 @@ object Funnel {
    * one distinct-count aggregate — exact integers end to end.
    */
   def retentionCohorts(events: DataFrame, user: Column, tsUs: Column,
-                       periodUs: Long): DataFrame = {
+                       periodUs: Long): DataFrame =
+    cohortCells(events, user, tsUs, periodUs)
+      .agg(count_distinct(col("user_id")).as("users"))
+      .select(col("cohort_period"), col("period_offset"), col("users"))
+
+  /**
+   * Approximate retention — the 100 TB tier of [[retentionCohorts]]:
+   * exact `count_distinct` per (cohort, offset) cell plans a corpus-sized
+   * two-phase distinct shuffle (every (user, cell) pair crosses the wire
+   * twice); the HLL sketch aggregate is map-side combined in ONE pass —
+   * each task ships one small sketch per cell, never user sets — and the
+   * sketches stay mergeable across days/sources (the
+   * [[graft.agg.Profile]] sketch discipline). Output: `(cohort_period,
+   * period_offset, users_estimate)` — a ±~2% distinct count, which is the
+   * answer a retention triangle actually needs. Keep it honest against
+   * the exact tier at test scale with the recall-gate pattern (the
+   * `retention_cohorts_approx` gate's in-plan tolerance boolean).
+   */
+  def retentionCohortsApprox(events: DataFrame, user: Column, tsUs: Column,
+                             periodUs: Long, lgConfigK: Int = 12): DataFrame =
+    cohortCells(events, user, tsUs, periodUs)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(lgConfigK)))
+        .as("users_estimate"))
+      .select(col("cohort_period"), col("period_offset"), col("users_estimate"))
+
+  /** The shared cohort algebra: one map-side-combined min per user + one
+    * hash join back on user_id, grouped by (cohort, offset) — the exact
+    * and sketch tiers differ only in the final distinct aggregate. */
+  private def cohortCells(events: DataFrame, user: Column, tsUs: Column,
+                          periodUs: Long)
+      : org.apache.spark.sql.RelationalGroupedDataset = {
     require(periodUs > 0, s"periodUs must be positive: $periodUs")
     val e = events
       .select(user.cast("long").as("user_id"), tsUs.cast("long").as("__t"))
@@ -195,8 +230,6 @@ object Funnel {
     e.join(first, "user_id")
       .groupBy(col("cohort_period"),
         (col("__p") - col("cohort_period")).as("period_offset"))
-      .agg(count_distinct(col("user_id")).as("users"))
-      .select(col("cohort_period"), col("period_offset"), col("users"))
   }
 
   /**
@@ -229,4 +262,19 @@ object Funnel {
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("transitions"))
   }
+
+  /** The observability companion of [[transitionMatrix]]'s exclusion rule:
+    * how many event rows were dropped for a null user/timestamp/tiebreak
+    * id (and so contributed no transition). One map-side-combined count —
+    * run it alongside the matrix so the exclusion is a number in the
+    * report, not a silent contract. Output: `(excluded_rows, total_rows)`. */
+  def transitionMatrixExcluded(events: DataFrame, user: Column, tsUs: Column,
+                               eventId: Column): DataFrame =
+    events
+      .select(user.cast("long").as("__u"), tsUs.cast("long").as("__t"),
+        eventId.cast("long").as("__eid"))
+      .agg(
+        count(when(col("__t").isNull || col("__u").isNull ||
+          col("__eid").isNull, 1)).as("excluded_rows"),
+        count(lit(1)).as("total_rows"))
 }

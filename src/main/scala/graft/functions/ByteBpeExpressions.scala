@@ -15,10 +15,18 @@ import org.apache.spark.unsafe.types.UTF8String
  * models charge against context windows — the unit the token-budget
  * operators (P45/P86/P113) should really count in.
  *
- * The pre-tokenizer is a fully-specified byte-level scanner with GPT-2's
- * alternation semantics, implemented WITHOUT a regex engine so any
- * runtime replays it byte-for-byte (Java and Python regex classes
- * disagree on `\s`/`\p{L}` subtleties; a hand scanner cannot):
+ * The pre-tokenizer is a fully-specified byte-level scanner modeled on
+ * GPT-2's alternation ORDER (contractions first, the `\s+(?!\S)`
+ * backtrack, single-space attachment), implemented WITHOUT a regex
+ * engine so any runtime replays it byte-for-byte (Java and Python regex
+ * classes disagree on `\s`/`\p{L}` subtleties; a hand scanner cannot).
+ * DOCUMENTED DIVERGENCE from GPT-2/tiktoken: character classes are
+ * byte-level approximations — every byte >= 0x80 classifies as LETTER,
+ * so multi-byte codepoints (non-Latin letters, but also symbols, emoji
+ * and non-ASCII digits/punctuation) merge into letter runs where
+ * `\p{L}`/`\p{N}` would split them. Token COUNTS on heavily non-ASCII
+ * text therefore differ from tiktoken's; zero-OOV byte coverage and
+ * exact replayability are unaffected:
  *
  *  byte classes — WS = {0x09..0x0D, 0x20}; LETTER = ASCII A-Z/a-z or any
  *  byte >= 0x80 (multi-byte UTF-8 sequences group with letters); DIGIT =
@@ -83,6 +91,38 @@ object ByteBpeKernels extends Serializable {
     var b = 0
     while (b < 256) { m.put(byteToChar(b), b.toChar); b += 1 }
     m
+  }
+
+  /**
+   * EXACT-inverse detokenizer: concatenate display-alphabet tokens, map
+   * each display char back to its byte, read the bytes as UTF-8. Merges
+   * only ever concatenate byte symbols and the display map is a bijection
+   * on bytes, so `decode(encode(x)) == x` for EVERY input string — no
+   * model needed (the merge list is irrelevant to the inverse). Null
+   * array elements are skipped (the encode kernel never emits them).
+   * Hand-cut token streams that split a multi-byte codepoint decode to
+   * whatever the raw bytes spell — garbage in, garbage out, by design.
+   */
+  def decode(tokens: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val inv = charToByte
+    val n = tokens.numElements()
+    val bos = new java.io.ByteArrayOutputStream(math.max(16, n * 4))
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val disp = tokens.getUTF8String(i).toString
+        var j = 0
+        while (j < disp.length) {
+          val b = inv.get(disp.charAt(j))
+          require(b != null,
+            s"not a byte-display char: U+${disp.charAt(j).toInt.toHexString}")
+          bos.write(b.charValue().toInt)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(bos.toByteArray)
   }
 
   private def isWs(b: Int): Boolean = (b >= 0x09 && b <= 0x0D) || b == 0x20
@@ -273,6 +313,33 @@ case class ByteBpeEncode(child: Expression, merges: IndexedSeq[(String, String)]
     val ref = ctx.addReferenceObj("byteBpeCoder", coder, "graft.functions.ByteBpeCoder")
     defineCodeGen(ctx, ev, a => s"$ref.encode($a)")
   }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** byte_bpe_decode(tokens): the EXACT inverse of [[ByteBpeEncode]] —
+  * display tokens → bytes → UTF-8 text, model-free (see
+  * [[ByteBpeKernels.decode]]). One narrow codegen'd pass, no shuffle;
+  * `decode(encode(x)) == x` for every string, which makes detok QA on
+  * shipped token streams (P37 packing, P113 batches, P124e trims)
+  * self-verifying. */
+case class ByteBpeDecode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"byte_bpe_decode expects array<string>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(tokens: Any): Any =
+    ByteBpeKernels.decode(
+      tokens.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.ByteBpeKernels.decode($a)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

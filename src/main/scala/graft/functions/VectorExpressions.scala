@@ -3237,6 +3237,9 @@ object vectors {
   def byte_bpe_encode(text: Column, merges: IndexedSeq[(String, String)]): Column =
     ByteBpeEncode(text.asExpression, merges).asColumn
 
+  def byte_bpe_decode(tokens: Column): Column =
+    ByteBpeDecode(tokens.asExpression).asColumn
+
   def wordpiece_encode(text: Column, pieces: IndexedSeq[String]): Column =
     WordPieceEncode(text.asExpression, pieces).asColumn
 

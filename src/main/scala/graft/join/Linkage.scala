@@ -42,8 +42,11 @@ object Linkage {
    * Output: `(id_a, id_b, score_fp)`, one row per accepted candidate.
    *
    * `extraBlockLeft`/`extraBlockRight` (positionally paired, rendered as
-   * strings with NULL → '') compose into the block key: two records meet
-   * only when the soundex AND every extra key agree.
+   * strings) compose injectively into the block key: two records meet
+   * only when the soundex AND every extra key agree under null-safe
+   * equality — a NULL extra key blocks only with other NULLs (a distinct
+   * sentinel, never aliasing ''), and length-prefixed segments make any
+   * in-value bytes harmless.
    *
    * `persist = true` caches both keyed projections so the block-size probe
    * and the candidate join share one scan + soundex pass per side (release
@@ -67,9 +70,21 @@ object Linkage {
     require(extraBlockLeft.size == extraBlockRight.size,
       s"extra blocking columns must pair up: ${extraBlockLeft.size} left " +
         s"vs ${extraBlockRight.size} right")
-    def blockKey(base: Column, extras: Seq[Column]): Column =
-      if (extras.isEmpty) base
-      else concat_ws("\u0001", base +: extras.map(c => coalesce(c.cast("string"), lit(""))): _*)
+    // injective key composition: every component renders length-prefixed
+    // ("<len>:<value>"), so no in-value byte can alias two distinct
+    // composite keys (a separator-joined key could be smuggled); a NULL
+    // component renders as the sentinel "n" — value segments always start
+    // with a digit, so a NULL extra key collides with nothing, not even
+    // '' ("0:") — and nothing is silently dropped the way concat_ws
+    // drops NULLs
+    def blockKey(base: Column, extras: Seq[Column]): Column = {
+      def seg(c: Column): Column = {
+        val v = c.cast("string")
+        when(v.isNull, lit("n"))
+          .otherwise(concat(length(v).cast("string"), lit(":"), v))
+      }
+      if (extras.isEmpty) base else concat((seg(base) +: extras.map(seg)): _*)
+    }
     def side(df: DataFrame, idc: Column, namec: Column, idName: String,
              nameName: String, extras: Seq[Column],
              handle: graft.UnpersistHandle): DataFrame = {

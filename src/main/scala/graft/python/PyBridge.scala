@@ -923,6 +923,40 @@ object PyBridge {
                        eventId: Column, etype: Column): DataFrame =
     graft.events.Funnel.transitionMatrix(events, user, tsUs, eventId, etype)
 
+  def transitionMatrixExcluded(events: DataFrame, user: Column, tsUs: Column,
+                               eventId: Column): DataFrame =
+    graft.events.Funnel.transitionMatrixExcluded(events, user, tsUs, eventId)
+
+  def retentionCohortsApprox(events: DataFrame, user: Column, tsUs: Column,
+                             periodUs: java.lang.Number,
+                             lgConfigK: Int): DataFrame =
+    graft.events.Funnel.retentionCohortsApprox(events, user, tsUs,
+      periodUs.longValue(), lgConfigK)
+
+  def streamingFunnelProgress(df: DataFrame, user: Column,
+                              eventTimeColumn: String, etype: Column,
+                              steps: JList[String], windowUs: java.lang.Number,
+                              perStepWindow: java.lang.Boolean,
+                              watermarkDelay: String): DataFrame =
+    graft.streaming.StreamingFunnel.funnelProgress(df, user, eventTimeColumn,
+      etype, steps.asScala.toSeq, windowUs.longValue(),
+      funnelAnchor(perStepWindow), watermarkDelay).toDF()
+
+  def conversationNearDupPairs(df: DataFrame, id: Column, text: Column,
+                               shingleSize: Int, bands: Int, rowsPerBand: Int,
+                               threshold: java.lang.Number,
+                               maxBucketSize: Int): DataFrame =
+    graft.text.Chat.conversationNearDupPairs(df, id, text, shingleSize,
+      bands, rowsPerBand, threshold.doubleValue(), maxBucketSize)
+
+  def conversationNearDupPairsMessages(df: DataFrame, id: Column, json: Column,
+                                       shingleSize: Int, bands: Int,
+                                       rowsPerBand: Int,
+                                       threshold: java.lang.Number,
+                                       maxBucketSize: Int): DataFrame =
+    graft.text.Chat.conversationNearDupPairsMessages(df, id, json,
+      shingleSize, bands, rowsPerBand, threshold.doubleValue(), maxBucketSize)
+
   def withTemporalSplit(df: DataFrame, tsUs: Column,
                         bounds: JList[java.lang.Number], names: JList[String],
                         embargoUs: java.lang.Number, outputColumn: String): DataFrame =
@@ -1092,6 +1126,15 @@ object PyBridge {
 
   def byteBpeEncode(c: Column, model: graft.text.ByteBpe.ByteBpeModel): Column =
     graft.text.ByteBpe.encode(c, model)
+
+  def byteBpeDecode(tokens: Column): Column = graft.text.ByteBpe.decode(tokens)
+
+  def bpeDecode(tokens: Column): Column = graft.text.Bpe.decode(tokens)
+
+  def wordPieceDecode(tokens: Column): Column =
+    graft.text.WordPiece.decode(tokens)
+
+  def unigramDecode(tokens: Column): Column = graft.text.Unigram.decode(tokens)
 
   def byteBpeTokenCount(c: Column, model: graft.text.ByteBpe.ByteBpeModel): Column =
     graft.text.ByteBpe.tokenCount(c, model)

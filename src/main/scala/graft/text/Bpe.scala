@@ -131,6 +131,21 @@ object Bpe {
   def tokenCount(text: Column, model: BpeModel): Column =
     size(encode(text, model)).cast("long")
 
+  /** LOSSY detokenizer — the documented whitespace contract: word-level
+    * BPE subwords carry no word-boundary marker (no end-of-word symbol,
+    * no continuation prefix), so boundaries are NOT representable in the
+    * token stream and `decode` returns the bare CONCATENATION of the
+    * lowercased alphanumeric stream — exactly
+    * `concat(tokenize_ascii(text))`. Case, punctuation and all
+    * whitespace are gone (they never entered the stream); what IS
+    * guaranteed, and what the round-trip gate checks, is that encoding
+    * loses no characters within words: decode(encode(x)) equals the
+    * concatenated ascii-token stream of x for every input. Pure column
+    * algebra, no shuffle. For exact round-trips use
+    * [[ByteBpe.decode]]; for space-separated words use
+    * [[WordPiece.decode]] (its `##` marks carry boundaries). */
+  def decode(tokens: Column): Column = array_join(tokens, "")
+
   /** Persist the merge list as a tiny `(rank, left, right)` parquet table —
     * a tokenizer is only useful if EVERY pipeline run (and the serving
     * side) encodes against the same merges. */

@@ -74,6 +74,15 @@ object ByteBpe {
   def tokenCount(text: Column, model: ByteBpeModel): Column =
     size(encode(text, model)).cast("long")
 
+  /** EXACT-inverse detokenizer: display tokens → bytes → UTF-8 text.
+    * Model-free (merges only concatenate byte symbols, so the inverse
+    * never consults them): `decode(encode(x, anyModel)) == x` for every
+    * string — the self-verifying round-trip any pipeline that ships
+    * token streams (packing, batching, chat trims) audits with. One
+    * codegen kernel pass, no shuffle. */
+  def decode(tokens: Column): Column =
+    graft.functions.vectors.byte_bpe_decode(tokens)
+
   /** Persist the merge list as a tiny `(rank, left, right)` parquet table
     * in the DISPLAY alphabet (readable like a GPT-2 vocab file). */
   def saveByteBpe(spark: SparkSession, model: ByteBpeModel, path: String): Unit = {

@@ -228,6 +228,55 @@ object Chat {
                       budget: Long): DataFrame =
     assembleKept(withKept(explodeMessages(df, id, json), budget), line = false)
 
+  /** The conversation's content-only canonical form: turn CONTENTS joined
+    * by newlines — role labels and turn boundaries deliberately stay OUT
+    * (SFT corpora are template-heavy: the same dialogue re-wrapped with
+    * different role scaffolding must fingerprint identically). Pure
+    * per-row algebra (no explode), NULL-safe (a NULL transcript reads as
+    * one empty turn, matching [[explodeTurns]]). */
+  def conversationContent(text: Column): Column =
+    array_join(transform(parseTurns(coalesce(text, lit(""))),
+      m => m.getField("content")), "\n")
+
+  /** [[conversationContent]] for the MESSAGES wire format. */
+  def conversationContentMessages(json: Column): Column =
+    array_join(transform(parseMessages(json),
+      m => m.getField("content")), "\n")
+
+  /**
+   * Conversation-level near-dup pairs for SFT/dialog corpora: canonicalize
+   * each transcript to its content-only form ([[conversationContent]] —
+   * roles and turn structure excluded) and run the standard MinHash+LSH
+   * machinery over it ([[graft.dedup.Dedup.nearDupPairsMinHash]]: fused
+   * signature+band kernel → banded equi-join → capped in-bucket candidate
+   * pairs → exact Jaccard verification at `threshold`). Output:
+   * `(idA, idB, jaccard)`, `idA < idB`. Same 100 TB shape as document
+   * near-dup — never an all-pairs join; the only new work is one narrow
+   * parse column.
+   */
+  def conversationNearDupPairs(
+      df: DataFrame, id: Column, text: Column,
+      shingleSize: Int = 3, bands: Int = 16, rowsPerBand: Int = 8,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = graft.dedup.Dedup.DefaultMaxBucketSize,
+      unpersistHandle: graft.UnpersistHandle = graft.UnpersistHandle.Noop): DataFrame =
+    graft.dedup.Dedup.nearDupPairsMinHash(
+      df.select(id.as("id"), conversationContent(text).as("__content")),
+      col("id"), col("__content"), shingleSize, bands, rowsPerBand,
+      threshold, maxBucketSize, unpersistHandle = unpersistHandle)
+
+  /** [[conversationNearDupPairs]] over the MESSAGES wire format. */
+  def conversationNearDupPairsMessages(
+      df: DataFrame, id: Column, json: Column,
+      shingleSize: Int = 3, bands: Int = 16, rowsPerBand: Int = 8,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = graft.dedup.Dedup.DefaultMaxBucketSize,
+      unpersistHandle: graft.UnpersistHandle = graft.UnpersistHandle.Noop): DataFrame =
+    graft.dedup.Dedup.nearDupPairsMinHash(
+      df.select(id.as("id"), conversationContentMessages(json).as("__content")),
+      col("id"), col("__content"), shingleSize, bands, rowsPerBand,
+      threshold, maxBucketSize, unpersistHandle = unpersistHandle)
+
   private def assembleKept(kept: DataFrame, line: Boolean): DataFrame = {
     val ordered = kept.filter(col("kept"))
       .groupBy(col("id"))

@@ -237,6 +237,16 @@ object Unigram {
   def tokenCount(text: Column, model: UnigramModel): Column =
     size(encode(text, model)).cast("long")
 
+  /** LOSSY detokenizer — the documented whitespace contract: unigram
+    * pieces (like word-level BPE's, unlike WordPiece's `##` marks) carry
+    * no word-boundary marker, so `decode` returns the bare CONCATENATION
+    * of the lowercased alphanumeric stream — `concat(tokenize_ascii(
+    * text))`. Viterbi segmentation partitions each word exactly (the
+    * 1-char/UNK fallback covers every position), so within-word content
+    * survives verbatim; case, punctuation and whitespace never entered
+    * the stream. Pure column algebra, no shuffle. */
+  def decode(tokens: Column): Column = array_join(tokens, "")
+
   /** Persist the model as a tiny two-column parquet table. */
   def saveUnigram(spark: SparkSession, model: UnigramModel, path: String): Unit = {
     import spark.implicits._

@@ -108,6 +108,20 @@ object WordPiece {
   def tokenCount(text: Column, model: WordPieceModel): Column =
     size(encode(text, model)).cast("long")
 
+  /** LOSSY detokenizer — the documented whitespace contract: `##`
+    * continuation prefixes ARE word-boundary marks, so decode rebuilds
+    * the word stream exactly — a piece without `##` starts a new word
+    * (single space before it), a `##` piece glues onto the current word
+    * — yielding `tokenize_ascii(text)` joined by single spaces. Case,
+    * punctuation and original whitespace runs are gone (the ascii
+    * pre-tokenizer dropped them before encoding); within-word content is
+    * exact whenever no `[UNK]` was emitted (training-corpus text never
+    * hits one). Pure column algebra, no shuffle. */
+  def decode(tokens: Column): Column =
+    ltrim(array_join(transform(tokens, t =>
+      when(t.startsWith("##"), t.substr(lit(3), length(t)))
+        .otherwise(concat(lit(" "), t))), ""))
+
   /** Persist the vocab as a tiny one-column parquet table. */
   def saveWordPiece(spark: SparkSession, model: WordPieceModel, path: String): Unit = {
     import spark.implicits._
