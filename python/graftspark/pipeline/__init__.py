@@ -118,6 +118,8 @@ __all__ = [
     "retention_cohorts_approx", "transition_matrix_excluded",
     "streaming_funnel_progress",
     "byte_bpe_decode", "bpe_decode", "wordpiece_decode", "unigram_decode",
+    "byte_bpe_encode_ids", "byte_bpe_decode_ids", "byte_bpe_vocab_size",
+    "save_byte_bpe_vocab",
     "conversation_neardup_pairs", "conversation_neardup_pairs_messages",
     "history_apply_snapshot", "with_temporal_split", "layout_report",
 ]
@@ -661,6 +663,32 @@ def byte_bpe_decode(tokens: ColumnOrName) -> Column:
     bytes -> UTF-8 text; byte_bpe_decode(byte_bpe_encode(x, m)) == x for
     every string and any model."""
     return _col_fn("byteBpeDecode", _jcol(tokens))
+
+
+def byte_bpe_encode_ids(text: ColumnOrName, model) -> Column:
+    """Byte-BPE token-ID stream (array<int>) under the GPT-2 vocab
+    construction (ids 0..255 = bytes, 256+i = merge i) — what a pipeline
+    ships to a trainer; zero OOV carried into id space."""
+    return _col_fn("byteBpeEncodeIds", _jcol(text), model)
+
+
+def byte_bpe_decode_ids(ids: ColumnOrName, model) -> Column:
+    """Exact inverse of byte_bpe_encode_ids under the same model: ids ->
+    bytes -> UTF-8 text."""
+    return _col_fn("byteBpeDecodeIds", _jcol(ids), model)
+
+
+def byte_bpe_vocab_size(model) -> int:
+    """The model's vocabulary size: 256 + num_merges."""
+    sc = SparkContext._active_spark_context
+    return int(_bridge(sc).byteBpeVocabSize(model))
+
+
+def save_byte_bpe_vocab(spark: SparkSession, model, path: str) -> None:
+    """Persist the id->token vocabulary as an (id, token) parquet table in
+    the display alphabet (reads like a GPT-2 vocab.json)."""
+    _bridge(spark.range(1)).saveByteBpeVocab(spark._jsparkSession, model,
+                                             str(path))
 
 
 def bpe_decode(tokens: ColumnOrName) -> Column:

@@ -1961,6 +1961,27 @@ class GraftsparkTest(unittest.TestCase):
             self.assertEqual(r["b"], "".join(words))
             self.assertEqual(r["u"], "".join(words))
 
+    def test_pipeline_byte_bpe_ids(self):
+        from graftspark import pipeline as P
+        texts = ["it's Mixed CASE 2.0", "café 🙂", ""]
+        df = self.spark.createDataFrame([(t,) for t in texts], ["t"])
+        model = P.byte_bpe_train(df, col("t"), num_merges=5)
+        self.assertEqual(P.byte_bpe_vocab_size(model), 261)
+        rows = df.select(
+            col("t"),
+            P.byte_bpe_decode_ids(
+                P.byte_bpe_encode_ids(col("t"), model), model).alias("rt"),
+            P.byte_bpe_encode_ids(col("t"), model).alias("ids")).collect()
+        for r in rows:
+            self.assertEqual(r["rt"], r["t"])
+            self.assertTrue(all(0 <= i < 261 for i in r["ids"]))
+        d = tempfile.mkdtemp()
+        P.save_byte_bpe_vocab(self.spark, model, d + "/v")
+        vocab = {r["id"]: r["token"]
+                 for r in self.spark.read.parquet(d + "/v").collect()}
+        self.assertEqual(len(vocab), 261)
+        self.assertEqual(vocab[0x20], "Ġ")
+
     def test_pipeline_conversation_neardup(self):
         from graftspark import pipeline as P
         body = ("the quick brown fox jumps over the lazy dog and keeps "

@@ -160,6 +160,25 @@ object GraftExtensions {
         graft.text.Unigram.loadUnigram(sp, path))
       graft.functions.UnigramEncode(es(1), m.pieces, m.scores)
     },
+    fn("byte_bpe_encode_ids_model",
+      "byte_bpe_encode_ids_model(path, text) - byte-level BPE token-ID " +
+        "stream (array<int>; GPT-2 vocab: ids 0..255 = bytes, 256+i = " +
+        "merge i) under the model saved at path") { es =>
+      arity("byte_bpe_encode_ids_model", es, 2)
+      val path = stringLit(es.head, "byte_bpe_encode_ids_model", "path")
+      val m = loadCachedModel("byte_bpe", path)(sp =>
+        graft.text.ByteBpe.loadByteBpe(sp, path))
+      graft.functions.ByteBpeEncodeIds(es(1), m.merges)
+    },
+    fn("byte_bpe_decode_ids_model",
+      "byte_bpe_decode_ids_model(path, ids) - exact-inverse detokenizer " +
+        "for byte-BPE token-ID streams under the model saved at path") { es =>
+      arity("byte_bpe_decode_ids_model", es, 2)
+      val path = stringLit(es.head, "byte_bpe_decode_ids_model", "path")
+      val m = loadCachedModel("byte_bpe", path)(sp =>
+        graft.text.ByteBpe.loadByteBpe(sp, path))
+      graft.functions.ByteBpeDecodeIds(es(1), m.merges)
+    },
     fn("byte_bpe_decode",
       "byte_bpe_decode(tokens) - exact-inverse byte-level-BPE detokenizer: " +
         "display tokens -> bytes -> UTF-8 text (model-free; " +

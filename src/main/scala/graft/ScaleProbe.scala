@@ -74,7 +74,8 @@ object ScaleProbe {
       "curriculum", "anonymity", "streaming_drift_state", "unigram_encode",
       "warc_ingest", "warc_curation", "scd2_history", "scd2_versions",
       "deletion_scrub", "length_buckets", "watermark_plan", "linkage",
-      "funnel", "chat_trim")
+      "funnel", "chat_trim", "chat_neardup", "byte_bpe_decode",
+      "retention_hll")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -1456,6 +1457,76 @@ object ScaleProbe {
           big, col("doc_id"), col("n_chars"), batchSize = 64).count()
       }
       report("length_buckets", cnt, tB)
+    }
+
+    // --- conversation near-dup: n x transcripts built from the interleaved
+    // documents (same replica-token trick as minhash_pairs, so duplicate
+    // structure scales linearly); the content-only parse is one narrow
+    // column, the rest is the audited banded-join machinery --------------
+    if (enabled("chat_neardup")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val convs = amplify(docs, n)
+        .select((col("doc_id") + col("__rep") * 1000000L).as("id"),
+          concat(lit("system: be concise\nuser: "),
+            regexp_replace(substring(col("text"), 1, 200),
+              lit("(\\w+ \\w+ \\w+)"),
+              concat(lit("$1 r"), col("__rep").cast("string"))),
+            lit("\nassistant: "),
+            regexp_replace(substring(col("text"), 201, 200),
+              lit("(\\w+ \\w+ \\w+)"),
+              concat(lit("$1 r"), col("__rep").cast("string")))).as("t"))
+      val handle = UnpersistHandle()
+      val (cnt, tC) = time {
+        val p = graft.text.Chat.conversationNearDupPairs(
+          convs, col("id"), col("t"), threshold = 0.8,
+          unpersistHandle = handle).count()
+        handle.unpersist()
+        p
+      }
+      report("chat_neardup", cnt, tC)
+    }
+
+    // --- byte-BPE decode: the exact-inverse detok over n x the corpus —
+    // one narrow kernel pass each way, and the round-trip equality is
+    // require-asserted in-plan (count of mismatches must be zero) ---------
+    if (enabled("byte_bpe_decode")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val big = amplify(docs, n)
+        .select(concat(col("text"), lit(" r"),
+          col("__rep").cast("string")).as("text"))
+      val model = graft.text.ByteBpe.train(
+        spark.read.parquet(s"$sfDir/documents.parquet"), col("text"),
+        numMerges = 200)
+      val (bad, tD) = time {
+        big.select(col("text"),
+          graft.text.ByteBpe.decode(
+            graft.text.ByteBpe.encode(col("text"), model)).as("rt"))
+          .filter(!(col("rt") <=> col("text"))).count()
+      }
+      require(bad == 0, s"byte-BPE round-trip broke on $bad rows at n=$n")
+      report("byte_bpe_decode", bad, tD)
+    }
+
+    // --- retention tiers: n x events with shifted users (distinct users
+    // scale with n) — the HLL tier's one-pass sketch aggregate vs the exact
+    // two-phase distinct; both lines print so SCALE.md can quote the gap --
+    if (enabled("retention_hll")) {
+      val evRaw = spark.read.parquet(s"$sfDir/events.parquet")
+      val tus = SparkEntry.eventTsUs(evRaw)
+      val big = amplify(evRaw.select(col("user_id"), tus.as("t")), n)
+        .select((col("user_id") + col("__rep") * 1000000L).as("u"), col("t"))
+      val (exactCells, tExact) = time {
+        graft.events.Funnel.retentionCohorts(big, col("u"), col("t"),
+          periodUs = 604800000000L).count()
+      }
+      val (approxCells, tApprox) = time {
+        graft.events.Funnel.retentionCohortsApprox(big, col("u"), col("t"),
+          periodUs = 604800000000L).count()
+      }
+      require(exactCells == approxCells,
+        s"retention tiers disagree on cell count: $exactCells vs $approxCells")
+      reportAlways("retention_exact", exactCells, tExact)
+      reportAlways("retention_hll", approxCells, tApprox)
     }
 
     // --- watermark plan: prefix-max over n x events ------------------------

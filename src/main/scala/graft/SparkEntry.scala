@@ -2387,6 +2387,25 @@ object SparkEntry {
           graft.text.ByteBpe.encode(col("text"), model)).as("decoded"))
     }),
 
+    // P63f byte-BPE token-ID codec: the artifact a trainer consumes —
+    // array<int> ids under the GPT-2 vocab construction (0..255 = bytes,
+    // 256+i = merge i) + the persisted (id, token) vocab. Doubly gated:
+    // decodeIds(encodeIds(x)) == x against the RAW table (exact inverse),
+    // and n_ids must equal the independently-replicated golden's
+    // n_byte_tokens (same model, same segmentation — the id stream is the
+    // token stream, just re-labeled).
+    "bpe_bytes_ids_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(byteBpeHazards.toDF("doc_id", "text"))
+      val model = graft.text.ByteBpe.train(corpus, col("text"), numMerges = 80)
+      val ids = graft.text.ByteBpe.encodeIds(
+        coalesce(col("text"), lit("")), model)
+      docs.select(col("doc_id"),
+        graft.text.ByteBpe.decodeIds(ids, model).as("decoded"),
+        size(ids).cast("long").as("n_ids"))
+    }),
+
     // P63e lossy-family detokenizers under their DOCUMENTED whitespace
     // contracts: word-BPE and unigram streams carry no word-boundary
     // marker → decode = the concatenated ascii-token stream; WordPiece's
@@ -5548,6 +5567,14 @@ object SparkEntry {
       // table — the strongest kind of gate (no fixture, no replication)
       "bpe_bytes_roundtrip" ->
         "SELECT doc_id, text AS decoded FROM documents",
+
+      // ids round-trip to the raw text AND the id-stream length ties to
+      // the independently-replicated golden token counts (same model)
+      "bpe_bytes_ids_roundtrip" ->
+        ("SELECT d.doc_id, COALESCE(d.text, '') AS decoded, " +
+          "g.n_byte_tokens AS n_ids FROM documents d " +
+          s"JOIN read_parquet('$goldenDir/byte_bpe_sf001.parquet') g " +
+          "USING (doc_id)"),
 
       // each lossy family's documented contract derived straight from raw
       // text: no-marker streams (word-BPE, unigram) concatenate the ascii

@@ -318,6 +318,146 @@ case class ByteBpeEncode(child: Expression, merges: IndexedSeq[(String, String)]
     copy(child = newChild)
 }
 
+/**
+ * Token-ID vocabulary for a byte-BPE merge list — GPT-2's exact
+ * construction: ids 0..255 are the 256 single-byte tokens (in byte order),
+ * id 256+i is the result of merge i. A merge result that duplicates an
+ * earlier token (possible when two merge paths build the same string)
+ * keeps its FIRST id; encode emits that id, decode accepts both. Symbols
+ * here are LATIN-1 (the coder's internal alphabet); display mapping is a
+ * separate concern.
+ */
+class ByteBpeVocab(merges: Array[Array[String]]) extends Serializable {
+  /** id -> latin-1 symbol. */
+  val symbols: Array[String] = {
+    val out = new Array[String](256 + merges.length)
+    var b = 0
+    while (b < 256) { out(b) = String.valueOf(b.toChar); b += 1 }
+    var i = 0
+    while (i < merges.length) {
+      out(256 + i) = merges(i)(0) + merges(i)(1)
+      i += 1
+    }
+    out
+  }
+
+  /** latin-1 symbol -> first id. */
+  @transient lazy val ids: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](symbols.length * 2)
+    var i = 0
+    while (i < symbols.length) { m.putIfAbsent(symbols(i), Int.box(i)); i += 1 }
+    m
+  }
+
+  def size: Int = symbols.length
+}
+
+/** byte-BPE token-ID codec: the coder's subword stream mapped through a
+  * [[ByteBpeVocab]] — what a pipeline actually ships to a trainer
+  * (`array<int>` ids + a persisted vocab), not display strings. */
+class ByteBpeIdCoder(merges: Array[Array[String]]) extends Serializable {
+  private val coder = new ByteBpeCoder(merges)
+  private val vocab = new ByteBpeVocab(merges)
+
+  /** text -> ids. Every subword the coder emits is a single byte or a
+    * merge result, so the vocab lookup cannot miss (zero OOV — the
+    * byte-level guarantee carried into id space). */
+  def encodeIds(text: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val toks = coder.encode(text)
+    val n = toks.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val sym = ByteBpeKernels.fromDisplay(toks.getUTF8String(i).toString)
+      val id = vocab.ids.get(sym)
+      if (id == null) throw new IllegalStateException(
+        s"byte-BPE subword missing from its own vocab (bug): $sym")
+      out(i) = id.intValue()
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** ids -> text (exact inverse of [[encodeIds]] composed with encode:
+    * symbols concatenate to the original bytes). Null elements are
+    * skipped; an out-of-range id fails loudly. */
+  def decodeIds(ids: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val n = ids.numElements()
+    val bos = new java.io.ByteArrayOutputStream(math.max(16, n * 4))
+    var i = 0
+    while (i < n) {
+      if (!ids.isNullAt(i)) {
+        val id = ids.getInt(i)
+        require(id >= 0 && id < vocab.symbols.length,
+          s"token id out of range [0, ${vocab.symbols.length}): $id")
+        val sym = vocab.symbols(id)
+        var j = 0
+        while (j < sym.length) { bos.write(sym.charAt(j).toInt); j += 1 }
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(bos.toByteArray)
+  }
+}
+
+/** byte_bpe_encode_ids(text): the token-ID stream (`array<int>`) under the
+  * GPT-2 vocab construction — one narrow codegen'd pass, zero OOV. */
+case class ByteBpeEncodeIds(child: Expression, merges: IndexedSeq[(String, String)])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"byte_bpe_encode_ids expects string, got ${t.sql}")
+  }
+
+  @transient private lazy val coder =
+    new ByteBpeIdCoder(merges.map(p => Array(p._1, p._2)).toArray)
+
+  override def nullSafeEval(text: Any): Any =
+    coder.encodeIds(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("byteBpeIdCoder", coder,
+      "graft.functions.ByteBpeIdCoder")
+    defineCodeGen(ctx, ev, a => s"$ref.encodeIds($a)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** byte_bpe_decode_ids(ids): ids -> bytes -> UTF-8 text — the exact
+  * inverse of [[ByteBpeEncodeIds]] under the same merge list. */
+case class ByteBpeDecodeIds(child: Expression, merges: IndexedSeq[(String, String)])
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"byte_bpe_decode_ids expects array<int>, got ${t.sql}")
+  }
+
+  @transient private lazy val coder =
+    new ByteBpeIdCoder(merges.map(p => Array(p._1, p._2)).toArray)
+
+  override def nullSafeEval(ids: Any): Any =
+    coder.decodeIds(ids.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("byteBpeIdCoder", coder,
+      "graft.functions.ByteBpeIdCoder")
+    defineCodeGen(ctx, ev, a => s"$ref.decodeIds($a)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** byte_bpe_decode(tokens): the EXACT inverse of [[ByteBpeEncode]] —
   * display tokens → bytes → UTF-8 text, model-free (see
   * [[ByteBpeKernels.decode]]). One narrow codegen'd pass, no shuffle;

@@ -3240,6 +3240,12 @@ object vectors {
   def byte_bpe_decode(tokens: Column): Column =
     ByteBpeDecode(tokens.asExpression).asColumn
 
+  def byte_bpe_encode_ids(text: Column, merges: IndexedSeq[(String, String)]): Column =
+    ByteBpeEncodeIds(text.asExpression, merges).asColumn
+
+  def byte_bpe_decode_ids(ids: Column, merges: IndexedSeq[(String, String)]): Column =
+    ByteBpeDecodeIds(ids.asExpression, merges).asColumn
+
   def wordpiece_encode(text: Column, pieces: IndexedSeq[String]): Column =
     WordPieceEncode(text.asExpression, pieces).asColumn
 

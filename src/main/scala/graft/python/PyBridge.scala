@@ -1129,6 +1129,20 @@ object PyBridge {
 
   def byteBpeDecode(tokens: Column): Column = graft.text.ByteBpe.decode(tokens)
 
+  def byteBpeEncodeIds(c: Column, model: graft.text.ByteBpe.ByteBpeModel): Column =
+    graft.text.ByteBpe.encodeIds(c, model)
+
+  def byteBpeDecodeIds(ids: Column, model: graft.text.ByteBpe.ByteBpeModel): Column =
+    graft.text.ByteBpe.decodeIds(ids, model)
+
+  def byteBpeVocabSize(model: graft.text.ByteBpe.ByteBpeModel): Int =
+    graft.text.ByteBpe.vocabSize(model)
+
+  def saveByteBpeVocab(spark: SparkSession,
+                       model: graft.text.ByteBpe.ByteBpeModel,
+                       path: String): Unit =
+    graft.text.ByteBpe.saveVocab(spark, model, path)
+
   def bpeDecode(tokens: Column): Column = graft.text.Bpe.decode(tokens)
 
   def wordPieceDecode(tokens: Column): Column =

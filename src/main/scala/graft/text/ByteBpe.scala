@@ -83,6 +83,34 @@ object ByteBpe {
   def decode(tokens: Column): Column =
     graft.functions.vectors.byte_bpe_decode(tokens)
 
+  /** Token-ID stream (`array<int>`) under the GPT-2 vocab construction
+    * (ids 0..255 = bytes in byte order, 256+i = merge i) — what a pipeline
+    * ships to a trainer; zero OOV carried into id space. One codegen
+    * kernel pass, no shuffle. */
+  def encodeIds(text: Column, model: ByteBpeModel): Column =
+    graft.functions.vectors.byte_bpe_encode_ids(text, model.merges)
+
+  /** ids → bytes → UTF-8 text: the exact inverse of [[encodeIds]] under
+    * the same model. */
+  def decodeIds(ids: Column, model: ByteBpeModel): Column =
+    graft.functions.vectors.byte_bpe_decode_ids(ids, model.merges)
+
+  /** The model's vocabulary size: 256 + numMerges (GPT-2 construction). */
+  def vocabSize(model: ByteBpeModel): Int = 256 + model.merges.length
+
+  /** Persist the id→token vocabulary as an `(id, token)` parquet table in
+    * the display alphabet — the artifact a serving/training stack reads
+    * alongside the id streams (reads like a GPT-2 vocab.json). */
+  def saveVocab(spark: SparkSession, model: ByteBpeModel, path: String): Unit = {
+    import spark.implicits._
+    val vocab = new graft.functions.ByteBpeVocab(
+      model.merges.map(p => Array(p._1, p._2)).toArray)
+    vocab.symbols.zipWithIndex
+      .map { case (sym, id) => (id, graft.functions.ByteBpeKernels.display(sym)) }
+      .toSeq.toDF("id", "token")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
   /** Persist the merge list as a tiny `(rank, left, right)` parquet table
     * in the DISPLAY alphabet (readable like a GPT-2 vocab file). */
   def saveByteBpe(spark: SparkSession, model: ByteBpeModel, path: String): Unit = {

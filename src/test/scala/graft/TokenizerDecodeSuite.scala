@@ -83,6 +83,55 @@ class TokenizerDecodeSuite extends AnyFunSuite with SparkTest {
     assert(bad == 0L)
   }
 
+  test("byte-BPE token-ID codec: ids round-trip, GPT-2 vocab construction") {
+    val docs = hazards.toDF("text")
+    val model = ByteBpe.train(
+      docs.filter(length(col("text")) > 0), col("text"), numMerges = 30)
+    assert(ByteBpe.vocabSize(model) == 256 + model.merges.length)
+    // ids are the token stream re-labeled: same count, exact round-trip
+    val got = docs.select(col("text"),
+      ByteBpe.decodeIds(ByteBpe.encodeIds(col("text"), model), model).as("rt"),
+      size(ByteBpe.encodeIds(col("text"), model)).as("nIds"),
+      size(ByteBpe.encode(col("text"), model)).as("nToks"),
+      ByteBpe.encodeIds(col("text"), model).as("ids")).collect()
+    got.foreach { r =>
+      assert(r.getString(1) == r.getString(0), s"on: ${r.getString(0)}")
+      assert(r.getInt(2) == r.getInt(3))
+      r.getSeq[Int](4).foreach(id =>
+        assert(id >= 0 && id < ByteBpe.vocabSize(model)))
+    }
+    // vocab artifact: (id, token) covers 0..vocabSize-1, single bytes first
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_vocab").toString + "/v"
+    ByteBpe.saveVocab(spark, model, dir)
+    val vocab = spark.read.parquet(dir).collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(vocab.length == ByteBpe.vocabSize(model))
+    assert(vocab.map(_._1).toSeq == (0 until vocab.length))
+    assert(vocab(0x20.toInt)._2 == "Ġ") // byte 0x20 at id 0x20, displayed
+    // out-of-range id fails loudly
+    val bad = Seq(Tuple1(Seq(99999))).toDF("ids")
+    intercept[Exception] {
+      bad.select(ByteBpe.decodeIds(col("ids"), model)).collect()
+    }
+  }
+
+  test("byte_bpe_*_ids_model are SQL-registered and invert each other") {
+    GraftExtensions.registerAll(spark)
+    val docs = hazards.toDF("t")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sqlids").toString
+    val model = ByteBpe.train(
+      docs.filter(length(col("t")) > 0), col("t"), numMerges = 20)
+    ByteBpe.saveByteBpe(spark, model, s"$root/bb")
+    docs.createOrReplaceTempView("sql_ids_docs")
+    val bad = spark.sql(
+      s"SELECT t, byte_bpe_decode_ids_model('$root/bb', " +
+        s"byte_bpe_encode_ids_model('$root/bb', t)) AS rt " +
+        "FROM sql_ids_docs").filter(col("rt") =!= col("t")).count()
+    assert(bad == 0L)
+  }
+
   test("WordPiece decode rebuilds the space-joined ascii word stream") {
     val texts = Seq(
       "Alpha beta GAMMA delta99 x",
