@@ -349,6 +349,19 @@ class ByteBpeVocab(merges: Array[Array[String]]) extends Serializable {
     m
   }
 
+  /** DISPLAY-alphabet token -> first id — keyed the way the encode kernel
+    * emits tokens, so the id lookup needs no display→latin-1 inversion in
+    * the per-row hot path. */
+  @transient lazy val displayIds: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](symbols.length * 2)
+    var i = 0
+    while (i < symbols.length) {
+      m.putIfAbsent(ByteBpeKernels.display(symbols(i)), Int.box(i))
+      i += 1
+    }
+    m
+  }
+
   def size: Int = symbols.length
 }
 
@@ -368,10 +381,10 @@ class ByteBpeIdCoder(merges: Array[Array[String]]) extends Serializable {
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      val sym = ByteBpeKernels.fromDisplay(toks.getUTF8String(i).toString)
-      val id = vocab.ids.get(sym)
+      val disp = toks.getUTF8String(i).toString
+      val id = vocab.displayIds.get(disp)
       if (id == null) throw new IllegalStateException(
-        s"byte-BPE subword missing from its own vocab (bug): $sym")
+        s"byte-BPE subword missing from its own vocab (bug): $disp")
       out(i) = id.intValue()
       i += 1
     }
