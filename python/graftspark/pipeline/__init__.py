@@ -119,7 +119,7 @@ __all__ = [
     "streaming_funnel_progress",
     "byte_bpe_decode", "bpe_decode", "wordpiece_decode", "unigram_decode",
     "byte_bpe_encode_ids", "byte_bpe_decode_ids", "byte_bpe_vocab_size",
-    "save_byte_bpe_vocab",
+    "save_byte_bpe_vocab", "pack_token_ids", "unpack_token_ids",
     "conversation_neardup_pairs", "conversation_neardup_pairs_messages",
     "history_apply_snapshot", "with_temporal_split", "layout_report",
 ]
@@ -689,6 +689,32 @@ def save_byte_bpe_vocab(spark: SparkSession, model, path: str) -> None:
     the display alphabet (reads like a GPT-2 vocab.json)."""
     _bridge(spark.range(1)).saveByteBpeVocab(spark._jsparkSession, model,
                                              str(path))
+
+
+def pack_token_ids(df: DataFrame, ids: ColumnOrName, order, capacity: int,
+                   sep_id: int) -> DataFrame:
+    """Materialize training shards -> (seq_id, ids: array<int>, n_docs):
+    every document's token-ID stream plus one sep_id, concatenated in the
+    total order `order` and cut into capacity-id rows (all full except the
+    last). Rows stay O(docs + sequences) — documents explode only into the
+    sequences they touch, carrying array slices."""
+    spark = df.sparkSession
+    jorder = spark._jvm.java.util.ArrayList()  # type: ignore[union-attr]
+    for c in order:
+        jorder.add(_jcol(c))
+    jdf = _bridge(df).packTokenIds(df._jdf, _jcol(ids), jorder,
+                                   int(capacity), int(sep_id))
+    return DataFrame(jdf, spark)
+
+
+def unpack_token_ids(packed: DataFrame, capacity: int,
+                     sep_id: int) -> DataFrame:
+    """Inverse of pack_token_ids for shard QA -> (doc_idx, ids): re-split
+    the packed stream on sep_id into per-document id arrays (an
+    empty-stream document is absent)."""
+    jdf = _bridge(packed).unpackTokenIds(packed._jdf, int(capacity),
+                                         int(sep_id))
+    return DataFrame(jdf, packed.sparkSession)
 
 
 def bpe_decode(tokens: ColumnOrName) -> Column:

@@ -1981,6 +1981,21 @@ class GraftsparkTest(unittest.TestCase):
                  for r in self.spark.read.parquet(d + "/v").collect()}
         self.assertEqual(len(vocab), 261)
         self.assertEqual(vocab[0x20], "Ġ")
+        # shard writer round-trip: pack -> unpack -> decode
+        docs = self.spark.createDataFrame(
+            [(1, "one two three"), (2, "four"), (3, "five six")],
+            ["doc_id", "t"])
+        packed = P.pack_token_ids(
+            docs, P.byte_bpe_encode_ids(col("t"), model), [col("doc_id")],
+            capacity=7, sep_id=261)
+        lens = [len(r["ids"])
+                for r in packed.orderBy("seq_id").collect()]
+        self.assertTrue(all(n == 7 for n in lens[:-1]) and 1 <= lens[-1] <= 7)
+        back = {r["doc_idx"]: r["t"] for r in P.unpack_token_ids(
+            packed, 7, 261).select(
+                "doc_idx",
+                P.byte_bpe_decode_ids(col("ids"), model).alias("t")).collect()}
+        self.assertEqual(back, {0: "one two three", 1: "four", 2: "five six"})
 
     def test_pipeline_conversation_neardup(self):
         from graftspark import pipeline as P

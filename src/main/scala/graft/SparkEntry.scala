@@ -2074,6 +2074,52 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("seq_id"), col("seq_offset"))
     }),
 
+    // P37b the shard writer: concatenated token-ID streams + separators cut
+    // into capacity-id training rows. Oracle: the whole boundary algebra
+    // (per-seq id count, docs touching, docs ENDING = separators) derived
+    // in SQL from the independently-replicated golden token counts — any
+    // off-by-one in start/slice arithmetic breaks a cell.
+    "pack_token_ids" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(byteBpeHazards.toDF("doc_id", "text"))
+      val model = graft.text.ByteBpe.train(corpus, col("text"), numMerges = 80)
+      val sep = graft.text.ByteBpe.vocabSize(model)
+      graft.text.Packing.packTokenIds(docs,
+          graft.text.ByteBpe.encodeIds(coalesce(col("text"), lit("")), model),
+          Seq(col("doc_id")), capacity = 512, sepId = sep)
+        .select(col("seq_id"), size(col("ids")).cast("long").as("n_ids"),
+          col("n_docs"),
+          size(filter(col("ids"), i => i === sep)).cast("long").as("n_seps"))
+    }),
+
+    // P37c the full content round-trip — pack → unpack → decode must give
+    // every document back byte-for-byte (the strongest possible shard-QA
+    // gate: zero fixtures, zero replication; doc_idx joins back to doc_id
+    // through the repo's own three-phase global row number)
+    "pack_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(byteBpeHazards.toDF("doc_id", "text"))
+      val model = graft.text.ByteBpe.train(corpus, col("text"), numMerges = 80)
+      val sep = graft.text.ByteBpe.vocabSize(model)
+      val packed = graft.text.Packing.packTokenIds(docs,
+        graft.text.ByteBpe.encodeIds(coalesce(col("text"), lit("")), model),
+        Seq(col("doc_id")), capacity = 512, sepId = sep)
+      val unpacked = graft.text.Packing.unpackTokenIds(packed, 512, sep)
+      val mapping = graft.RowNumbers.withRowNumbers(
+        docs.select(col("doc_id")), rowNumberColumnName = "__rn",
+        order = Seq(col("doc_id")))
+        .select(col("doc_id"), (col("__rn") - 1).as("doc_idx"))
+      // empty documents pack as a bare separator and unpack to nothing —
+      // they must still round-trip to '' (left join + typed empty array)
+      mapping.join(unpacked, Seq("doc_idx"), "left_outer")
+        .select(col("doc_id"),
+          graft.text.ByteBpe.decodeIds(
+            coalesce(col("ids"), array().cast("array<int>")), model)
+            .as("decoded"))
+    }),
+
     // benchmark decontamination: drop documents sharing any 5-word shingle
     // with the synthetic blocklist (doc_id % 97 == 0); the blocklist shingle
     // set is broadcast, so the corpus side stays narrow.
@@ -5567,6 +5613,30 @@ object SparkEntry {
       // table — the strongest kind of gate (no fixture, no replication)
       "bpe_bytes_roundtrip" ->
         "SELECT doc_id, text AS decoded FROM documents",
+
+      // the packing boundary algebra derived entirely from the golden
+      // token counts: doc n = n_byte_tokens + 1 (the separator), exclusive
+      // running start over doc_id order, spans = the sequences a doc
+      // touches; per seq — ids covered, docs touching, docs ending
+      "pack_token_ids" ->
+        ("WITH g AS (SELECT doc_id, n_byte_tokens + 1 AS n " +
+          s"FROM read_parquet('$goldenDir/byte_bpe_sf001.parquet') " +
+          "WHERE doc_id >= 0), " +
+          "c AS (SELECT doc_id, n, COALESCE(SUM(n) OVER (ORDER BY doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s FROM g), " +
+          "sp AS (SELECT doc_id, n, s, CAST(s // 512 AS BIGINT) AS fs, " +
+          "CAST((s + n - 1) // 512 AS BIGINT) AS ls FROM c), " +
+          "x AS (SELECT doc_id, u.sq AS seq_id, s, n " +
+          "FROM sp, unnest(range(sp.fs, sp.ls + 1)) AS u(sq)) " +
+          "SELECT seq_id, " +
+          "CAST(SUM(LEAST((seq_id + 1) * 512, s + n) - GREATEST(seq_id * 512, s)) AS BIGINT) AS n_ids, " +
+          "CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+          "CAST(SUM(CASE WHEN (s + n - 1) // 512 = seq_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seps " +
+          "FROM x GROUP BY 1"),
+
+      // pack -> unpack -> decode == the raw table, byte for byte
+      "pack_roundtrip" ->
+        "SELECT doc_id, COALESCE(text, '') AS decoded FROM documents",
 
       // ids round-trip to the raw text AND the id-stream length ties to
       // the independently-replicated golden token counts (same model)

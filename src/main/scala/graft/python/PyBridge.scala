@@ -1138,6 +1138,14 @@ object PyBridge {
   def byteBpeVocabSize(model: graft.text.ByteBpe.ByteBpeModel): Int =
     graft.text.ByteBpe.vocabSize(model)
 
+  def packTokenIds(df: DataFrame, ids: Column, order: JList[Column],
+                   capacity: Int, sepId: Int): DataFrame =
+    graft.text.Packing.packTokenIds(df, ids, order.asScala.toSeq,
+      capacity, sepId)
+
+  def unpackTokenIds(packed: DataFrame, capacity: Int, sepId: Int): DataFrame =
+    graft.text.Packing.unpackTokenIds(packed, capacity, sepId)
+
   def saveByteBpeVocab(spark: SparkSession,
                        model: graft.text.ByteBpe.ByteBpeModel,
                        path: String): Unit =

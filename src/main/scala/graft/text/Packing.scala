@@ -44,4 +44,109 @@ object Packing {
       .withColumn("seq_offset", (col(cum) % capacity).cast("long"))
       .drop(cum)
   }
+
+  /**
+   * Materialize the training shards themselves — the FINAL artifact of the
+   * whole pipeline: concatenate every document's token-ID stream (each
+   * followed by one `sepId` — the `<|endoftext|>` discipline) in the total
+   * order `order` and cut the stream into `capacity`-id rows. Output:
+   * `(seq_id, ids: array<int>, n_docs)` where every sequence holds exactly
+   * `capacity` ids except the last (trainers usually drop or pad it) and
+   * `n_docs` counts the documents TOUCHING the sequence.
+   *
+   * Scale shape — rows stay O(docs + sequences), never one row per token:
+   *  1. [[graft.agg.PrefixSum.withRunningTotal]] assigns each document its
+   *     exclusive absolute start (the only full-data exchange is that
+   *     plan's range sort);
+   *  2. each document explodes into only the sequences it TOUCHES
+   *     (`ceil(n/capacity)+1` spans at most) carrying an array SLICE — the
+   *     payload is O(total tokens) bytes either way, but the row count is
+   *     documents + boundary crossings;
+   *  3. one hash aggregation on `seq_id` re-assembles pieces in offset
+   *     order (bounded: a sequence's pieces sum to `capacity` ids).
+   * Sequence arithmetic is exact integer DIV — a double quotient misfloors
+   * within half an ulp of a boundary once absolute positions pass ~2^44,
+   * which a 100 TB token stream actually reaches.
+   */
+  def packTokenIds(
+      df: DataFrame,
+      idsCol: Column,
+      order: Seq[Column],
+      capacity: Int,
+      sepId: Int,
+      storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      unpersistHandle: UnpersistHandle = UnpersistHandle.Noop): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    require(sepId >= 0, s"sepId must be >= 0: $sepId")
+    val prep = df.select(
+      (concat(coalesce(idsCol, array().cast("array<int>")),
+        array(lit(sepId))).as("__ids") +:
+        order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }): _*)
+      .withColumn("__n", size(col("__ids")).cast("long"))
+    val started = PrefixSum.withRunningTotal(prep, col("__n"),
+      order.indices.map(i => col(s"__o$i")), "__start",
+      exclusive = true, storageLevel, unpersistHandle)
+    started
+      .select(col("__ids"), col("__start"), col("__n"),
+        explode(sequence(
+          expr(s"__start DIV ${capacity}L"),
+          expr(s"(__start + __n - 1) DIV ${capacity}L"))).as("seq_id"))
+      .select(col("seq_id"), col("__ids"), col("__start"),
+        greatest(col("seq_id") * capacity, col("__start")).as("__absFrom"),
+        least((col("seq_id") + 1) * capacity, col("__start") + col("__n"))
+          .as("__absUntil"))
+      .select(col("seq_id"),
+        (col("__absFrom") - col("seq_id") * capacity).as("__offset"),
+        slice(col("__ids"), (col("__absFrom") - col("__start") + 1).cast("int"),
+          (col("__absUntil") - col("__absFrom")).cast("int")).as("__piece"))
+      .groupBy(col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("__offset"), col("__piece")))),
+          x => x.getField("__piece"))).as("ids"))
+      .select(col("seq_id"), col("ids"), col("n_docs"))
+  }
+
+  /**
+   * Inverse of [[packTokenIds]] for shard QA: re-split the packed stream
+   * on `sepId` back into per-document id arrays. Output: `(doc_idx, ids)`
+   * — `doc_idx` is the document's 0-based position in the pack order;
+   * a document with an EMPTY id stream is absent (nothing to emit).
+   *
+   * Scale shape: token-level rows exist only inside this operator's one
+   * explode; the separator census is per-sequence (O(sequences) rows into
+   * one prefix sum), the within-sequence running count is a window bounded
+   * by `capacity` rows per key, and the final per-document aggregation is
+   * bounded by document length — no single-partition stage.
+   */
+  def unpackTokenIds(
+      packed: DataFrame,
+      capacity: Int,
+      sepId: Int,
+      storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      unpersistHandle: UnpersistHandle = UnpersistHandle.Noop): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    val perSeq = packed.select(col("seq_id"),
+      size(filter(col("ids"), i => i === sepId)).cast("long").as("__nsep"))
+    val offsets = PrefixSum.withRunningTotal(perSeq, col("__nsep"),
+      Seq(col("seq_id")), "__sepsBefore",
+      exclusive = true, storageLevel, unpersistHandle)
+      .select(col("seq_id"), col("__sepsBefore"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seq_id")).orderBy(col("__pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    packed
+      .select(col("seq_id"), posexplode(col("ids")).as(Seq("__pos", "__id")))
+      .join(offsets, "seq_id")
+      .withColumn("__docIdx", col("__sepsBefore") +
+        coalesce(sum(when(col("__id") === sepId, 1L)).over(w), lit(0L)))
+      .filter(col("__id") =!= sepId)
+      .withColumn("__gpos", col("seq_id") * capacity + col("__pos"))
+      .groupBy(col("__docIdx").as("doc_idx"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__gpos"), col("__id")))),
+        x => x.getField("__id")).as("ids"))
+      .select(col("doc_idx"), col("ids"))
+  }
 }

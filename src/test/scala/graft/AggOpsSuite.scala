@@ -456,6 +456,47 @@ class AggOpsSuite extends AnyFunSuite with SparkTest {
       4L -> ((1L, 44L)), 5L -> ((1L, 74L)), 6L -> ((2L, 118L))))
   }
 
+  test("packTokenIds cuts exact-capacity shards; unpack+decode round-trips") {
+    // docs sized to hit every boundary case at capacity 7: exact fit,
+    // straddle, empty (bare separator), multi-sequence span
+    val texts = Seq(
+      (1L, "aa bb cc"), // 3 ids + sep
+      (2L, ""), // 0 ids + sep
+      (3L, "dd ee ff gg hh ii jj kk ll"), // 9 ids + sep: straddles
+      (4L, "mm"), (5L, "nn oo pp qq rr ss tt uu vv ww xx yy zz"))
+    val docs = texts.toDF("doc_id", "text")
+    val model = graft.text.ByteBpe.train(
+      docs.filter(length($"text") > 0), $"text", numMerges = 5)
+    val sep = graft.text.ByteBpe.vocabSize(model)
+    val packed = graft.text.Packing.packTokenIds(docs,
+      graft.text.ByteBpe.encodeIds($"text", model), Seq($"doc_id"),
+      capacity = 7, sepId = sep)
+    val rows = packed.orderBy($"seq_id")
+      .select($"seq_id", $"ids", $"n_docs").collect()
+    val lens = rows.map(_.getSeq[Int](1).length)
+    // every sequence full except the last
+    assert(lens.init.forall(_ == 7) && lens.last <= 7 && lens.last >= 1)
+    // the flattened stream is the concatenated per-doc streams + separators
+    val stream = rows.flatMap(_.getSeq[Int](1)).toSeq
+    val expected = docs.orderBy($"doc_id")
+      .select(graft.text.ByteBpe.encodeIds($"text", model)).collect()
+      .flatMap(_.getSeq[Int](0) :+ sep).toSeq
+    assert(stream == expected)
+    assert(stream.count(_ == sep) == texts.size)
+    // unpack + decode gives every non-empty doc back byte-for-byte
+    val unpacked = graft.text.Packing.unpackTokenIds(packed, 7, sep)
+    val decoded = unpacked
+      .select($"doc_idx",
+        graft.text.ByteBpe.decodeIds($"ids", model).as("t"))
+      .as[(Long, String)].collect().toMap
+    val byIdx = texts.sortBy(_._1).map(_._2).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toMap
+    byIdx.foreach { case (i, t) =>
+      if (t.nonEmpty) assert(decoded(i) == t, s"doc_idx $i")
+      else assert(!decoded.contains(i)) // empty doc unpacks to nothing
+    }
+  }
+
   // --- deflate_length -------------------------------------------------------
 
   test("deflate_length is deterministic and orders repetitive below natural below random") {
