@@ -116,7 +116,7 @@ __all__ = [
     "funnel_times", "funnel_report", "funnel_step_times", "funnel_lags",
     "retention_cohorts", "transition_matrix",
     "retention_cohorts_approx", "transition_matrix_excluded",
-    "streaming_funnel_progress",
+    "streaming_funnel_progress", "streaming_retention_hits",
     "byte_bpe_decode", "bpe_decode", "wordpiece_decode", "unigram_decode",
     "byte_bpe_encode_ids", "byte_bpe_decode_ids", "byte_bpe_vocab_size",
     "save_byte_bpe_vocab", "pack_token_ids", "unpack_token_ids",
@@ -3115,6 +3115,21 @@ def streaming_funnel_progress(stream: DataFrame, user: ColumnOrName,
         stream._jdf, _jcol(user), str(event_time_column), _jcol(event_type),
         list(map(str, steps)), int(window_us), bool(per_step_window),
         str(watermark_delay))
+    return DataFrame(jdf, stream.sparkSession)
+
+
+def streaming_retention_hits(stream: DataFrame, user: ColumnOrName,
+                             event_time_column: str, period_us: int,
+                             horizon: int = 64,
+                             watermark_delay: str = "0 seconds") -> DataFrame:
+    """Streaming retention -> append-mode (user_id, cohort_period,
+    period_offset) first-activity-per-cell hits: cohort + offset-bitmask
+    state per user (ceil(horizon/64)+1 longs), watermark-evicted past the
+    horizon end; a live triangle is one downstream
+    groupBy(cohort_period, period_offset).count()."""
+    jdf = _bridge(stream).streamingRetentionHits(
+        stream._jdf, _jcol(user), str(event_time_column), int(period_us),
+        int(horizon), str(watermark_delay))
     return DataFrame(jdf, stream.sparkSession)
 
 

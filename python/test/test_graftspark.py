@@ -2284,6 +2284,45 @@ class GraftsparkTest(unittest.TestCase):
                      for r in out.where(col("key") != "zz").collect())
         self.assertEqual(got, [(1, "a", 3), (2, "b", 1)])
 
+    def test_pipeline_streaming_retention_and_funnel(self):
+        from datetime import datetime, timezone
+        from graftspark import pipeline as P
+        from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                       StructField, StructType, TimestampType)
+        base = datetime(2021, 1, 1, tzinfo=timezone.utc).timestamp()
+
+        def ts(s):
+            return datetime.fromtimestamp(base + s, tz=timezone.utc)
+
+        # periods of 100s: user 1 active in periods 0,1,3; user 2 in 1,2
+        rows = [(1, ts(10), "s1", 0), (1, ts(110), "s2", 0),
+                (2, ts(150), "s1", 1), (1, ts(310), "s3", 1),
+                (2, ts(250), "s2", 1)]
+        schema = StructType([
+            StructField("u", LongType()), StructField("ts", TimestampType()),
+            StructField("ty", StringType()), StructField("b", IntegerType())])
+        df = self.spark.createDataFrame(rows, schema)
+        d = tempfile.mkdtemp()
+        schema_json = P.write_ordered_batches(df, col("b"), 2, d + "/in")
+        stream = P.read_ordered_batches(self.spark, d + "/in", schema_json)
+        hits = P.streaming_retention_hits(stream, col("u"), "ts",
+                                          period_us=100_000_000, horizon=16)
+        out = P.drain_to_parquet(hits, d + "/out", d + "/cp")
+        got = sorted((r["user_id"], r["cohort_period"], r["period_offset"])
+                     for r in out.collect())
+        c0 = int(base) // 100  # cohort period of t=0 in 100s units
+        self.assertEqual(got, [(1, c0, 0), (1, c0, 1), (1, c0, 3),
+                               (2, c0 + 1, 0), (2, c0 + 1, 1)])
+        # streaming funnel over the same replay
+        stream2 = P.read_ordered_batches(self.spark, d + "/in", schema_json)
+        prog = P.streaming_funnel_progress(stream2, col("u"), "ts", col("ty"),
+                                           ["s1", "s2", "s3"])
+        out2 = P.drain_to_parquet(prog, d + "/out2", d + "/cp2")
+        depth = {r["user_id"]: r["d"] for r in out2.groupBy("user_id")
+                 .agg({"depth": "max"}).withColumnRenamed("max(depth)", "d")
+                 .collect()}
+        self.assertEqual(depth, {1: 3, 2: 2})
+
     def test_pipeline_jaccard_prefix(self):
         from graftspark import pipeline as P
         base = ("doc words alpha beta gamma delta epsilon zeta eta theta "

@@ -784,6 +784,29 @@ object SparkEntry {
           max(col("t_us")).as("last_step_us"))
     }),
 
+    // P126c streaming retention: the live activity triangle — cohort +
+    // offset-bitmask state per user, first-hit-per-cell emission; the
+    // ordered replay must reproduce the BATCH retention triangle exactly
+    // (the streaming_funnel discipline; horizon 256 comfortably covers
+    // the testdata's week span).
+    "streaming_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val staged = ev
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          timestamp_micros(eventTsUs(ev)).as("ts"))
+      val n = 6
+      val pr = percent_rank().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id")))
+      val batchC = least(floor(pr * n), lit(n - 1)).cast("int")
+      streamReplay(s, staged, batchC, n)(st =>
+        graft.streaming.StreamingRetention.retentionHits(
+          st, col("user_id"), "ts", periodUs = 604800000000L,
+          horizon = 256).toDF())
+        .groupBy(col("cohort_period"), col("period_offset"))
+        .agg(count(lit(1)).as("users"))
+    }),
+
     // P125c the long view of the funnel chain: one row per reached step
     // per user — the raw material for time-to-convert analysis.
     "funnel_step_times" -> ((s, dir) => {
@@ -4267,6 +4290,15 @@ object SparkEntry {
           "WHERE to_type IS NOT NULL GROUP BY 1, 2"),
 
       "retention_cohorts" ->
+        ("WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS p " +
+          "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+          "f AS (SELECT user_id, MIN(p) AS cohort_period FROM e GROUP BY 1) " +
+          "SELECT cohort_period, p - cohort_period AS period_offset, " +
+          "COUNT(DISTINCT user_id) AS users " +
+          "FROM e JOIN f USING (user_id) GROUP BY 1, 2"),
+
+      // the streaming twin on an ordered replay equals the batch triangle
+      "streaming_retention" ->
         ("WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS p " +
           "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
           "f AS (SELECT user_id, MIN(p) AS cohort_period FROM e GROUP BY 1) " +

@@ -942,6 +942,13 @@ object PyBridge {
       etype, steps.asScala.toSeq, windowUs.longValue(),
       funnelAnchor(perStepWindow), watermarkDelay).toDF()
 
+  def streamingRetentionHits(df: DataFrame, user: Column,
+                             eventTimeColumn: String,
+                             periodUs: java.lang.Number, horizon: Int,
+                             watermarkDelay: String): DataFrame =
+    graft.streaming.StreamingRetention.retentionHits(df, user,
+      eventTimeColumn, periodUs.longValue(), horizon, watermarkDelay).toDF()
+
   def conversationNearDupPairs(df: DataFrame, id: Column, text: Column,
                                shingleSize: Int, bands: Int, rowsPerBand: Int,
                                threshold: java.lang.Number,

@@ -95,6 +95,39 @@ class StreamingFunnelSuite extends AnyFunSuite with SparkTest {
     assert(prevDepths == Map(1L -> 3, 2L -> 2))
   }
 
+  test("streaming retention equals the batch triangle on an in-order feed") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    val out = graft.streaming.StreamingRetention.retentionHits(
+      input.toDF().toDF("u", "ts"), col("u"), "ts",
+      periodUs = 100000L, horizon = 16)
+    val name = s"sr_out_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    def t(us: Long) = new java.sql.Timestamp(us / 1000L)
+    try {
+      // user 1: periods 0, 1, 1 (dup), 3; user 2: periods 1, 2
+      input.addData((1L, t(10000L)), (1L, t(110000L)), (2L, t(150000L)))
+      q.processAllAvailable()
+      input.addData((1L, t(120000L)), (2L, t(250000L)), (1L, t(310000L)))
+      q.processAllAvailable()
+      val hits = spark.table(name)
+        .select(col("user_id"), col("cohort_period"), col("period_offset"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(hits == Set((1L, 0L, 0L), (1L, 0L, 1L), (1L, 0L, 3L),
+        (2L, 1L, 0L), (2L, 1L, 1L)))
+      // aggregated hits == the batch triangle
+      val ev = Seq((1L, 10000L), (1L, 110000L), (1L, 120000L), (1L, 310000L),
+        (2L, 150000L), (2L, 250000L)).toDF("u", "tu")
+      val batch = Funnel.retentionCohorts(ev, col("u"), col("tu"), 100000L)
+        .as[(Long, Long, Long)].collect().toSet
+      val streamed = hits.groupBy(h => (h._2, h._3))
+        .map { case (k, v) => (k._1, k._2, v.size.toLong) }.toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("retentionCohortsApprox matches exact on small cardinalities") {
     val ev = Seq(
       (1L, 0L), (1L, 100L), (2L, 0L), (2L, 200L),
