@@ -120,6 +120,7 @@ __all__ = [
     "byte_bpe_decode", "bpe_decode", "wordpiece_decode", "unigram_decode",
     "byte_bpe_encode_ids", "byte_bpe_decode_ids", "byte_bpe_vocab_size",
     "save_byte_bpe_vocab", "pack_token_ids", "unpack_token_ids",
+    "byte_bpe_encode_ids_special", "byte_bpe_decode_ids_special",
     "conversation_neardup_pairs", "conversation_neardup_pairs_messages",
     "history_apply_snapshot", "with_temporal_split", "layout_report",
 ]
@@ -689,6 +690,31 @@ def save_byte_bpe_vocab(spark: SparkSession, model, path: str) -> None:
     the display alphabet (reads like a GPT-2 vocab.json)."""
     _bridge(spark.range(1)).saveByteBpeVocab(spark._jsparkSession, model,
                                              str(path))
+
+
+def byte_bpe_encode_ids_special(text: ColumnOrName, model,
+                                specials) -> Column:
+    """byte_bpe_encode_ids with SPECIAL tokens (tiktoken allowed_special):
+    each special literal matches leftmost-longest first and becomes its
+    reserved id vocab_size + i; text between specials encodes normally."""
+    return _col_fn("byteBpeEncodeIdsSpecial", _jcol(text), model,
+                   _speclist(specials))
+
+
+def byte_bpe_decode_ids_special(ids: ColumnOrName, model,
+                                specials) -> Column:
+    """Exact inverse of byte_bpe_encode_ids_special: reserved ids decode
+    to the special's literal bytes."""
+    return _col_fn("byteBpeDecodeIdsSpecial", _jcol(ids), model,
+                   _speclist(specials))
+
+
+def _speclist(specials):
+    sc = SparkContext._active_spark_context
+    jlist = sc._jvm.java.util.ArrayList()
+    for s in specials:
+        jlist.add(str(s))
+    return jlist
 
 
 def pack_token_ids(df: DataFrame, ids: ColumnOrName, order, capacity: int,

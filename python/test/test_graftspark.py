@@ -1981,6 +1981,16 @@ class GraftsparkTest(unittest.TestCase):
                  for r in self.spark.read.parquet(d + "/v").collect()}
         self.assertEqual(len(vocab), 261)
         self.assertEqual(vocab[0x20], "Ġ")
+        # special tokens: reserved ids + exact round-trip
+        sdf = self.spark.createDataFrame(
+            [("lead <|endoftext|> tail",)], ["t"])
+        sids = sdf.select(P.byte_bpe_encode_ids_special(
+            col("t"), model, ["<|endoftext|>"]).alias("ids")).first()["ids"]
+        self.assertEqual(sids.count(261), 1)
+        srt = sdf.select(P.byte_bpe_decode_ids_special(
+            P.byte_bpe_encode_ids_special(col("t"), model, ["<|endoftext|>"]),
+            model, ["<|endoftext|>"]).alias("rt")).first()["rt"]
+        self.assertEqual(srt, "lead <|endoftext|> tail")
         # shard writer round-trip: pack -> unpack -> decode
         docs = self.spark.createDataFrame(
             [(1, "one two three"), (2, "four"), (3, "five six")],

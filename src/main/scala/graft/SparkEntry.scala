@@ -2475,6 +2475,29 @@ object SparkEntry {
         size(ids).cast("long").as("n_ids"))
     }),
 
+    // P63g special-token-aware id codec (tiktoken allowed_special): a
+    // planted mid-document `<|endoftext|>` must surface as EXACTLY its
+    // reserved id (never split into byte tokens) and the round-trip must
+    // reproduce the planted text byte-for-byte. Oracle: the planted
+    // rebuild + a replace-arithmetic occurrence count.
+    "bpe_bytes_special_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(byteBpeHazards.toDF("doc_id", "text"))
+      val model = graft.text.ByteBpe.train(corpus, col("text"), numMerges = 80)
+      val sp = Seq("<|endoftext|>", "<|pad|>")
+      val base = graft.text.ByteBpe.vocabSize(model)
+      val planted = docs.select(col("doc_id"),
+        concat(substring(coalesce(col("text"), lit("")), 1, 30),
+          lit("<|endoftext|>"),
+          substring(coalesce(col("text"), lit("")), 31, 1000000),
+          lit("<|pad|>")).as("t2"))
+      val ids = graft.text.ByteBpe.encodeIds(col("t2"), model, sp)
+      planted.select(col("doc_id"),
+        graft.text.ByteBpe.decodeIds(ids, model, sp).as("decoded"),
+        size(filter(ids, i => i >= base)).cast("long").as("n_special"))
+    }),
+
     // P63e lossy-family detokenizers under their DOCUMENTED whitespace
     // contracts: word-BPE and unigram streams carry no word-boundary
     // marker → decode = the concatenated ascii-token stream; WordPiece's
@@ -5669,6 +5692,18 @@ object SparkEntry {
       // pack -> unpack -> decode == the raw table, byte for byte
       "pack_roundtrip" ->
         "SELECT doc_id, COALESCE(text, '') AS decoded FROM documents",
+
+      // the planted rebuild round-trips, and the reserved-id count equals
+      // the literal occurrence count (replace arithmetic — robust even if
+      // a special ever appeared naturally)
+      "bpe_bytes_special_roundtrip" ->
+        ("WITH p AS (SELECT doc_id, " +
+          "substring(COALESCE(text, ''), 1, 30) || '<|endoftext|>' || " +
+          "substring(COALESCE(text, ''), 31) || '<|pad|>' AS t2 FROM documents) " +
+          "SELECT doc_id, t2 AS decoded, " +
+          "CAST((length(t2) - length(replace(t2, '<|endoftext|>', ''))) / 13 " +
+          "+ (length(t2) - length(replace(t2, '<|pad|>', ''))) / 7 AS BIGINT) " +
+          "AS n_special FROM p"),
 
       // ids round-trip to the raw text AND the id-stream length ties to
       // the independently-replicated golden token counts (same model)

@@ -413,6 +413,78 @@ class ByteBpeIdCoder(merges: Array[Array[String]]) extends Serializable {
   }
 }
 
+/**
+ * Special-token-aware byte-BPE id codec — the tiktoken `allowed_special`
+ * discipline: special literals (e.g. `<|endoftext|>`) are found FIRST
+ * (Aho–Corasick leftmost-longest non-overlapping — [[AcAutomaton
+ * .selectedSpans]]), each becomes its reserved id `vocabSize + i`, and the
+ * text BETWEEN specials encodes normally (pre-token context never crosses
+ * a special boundary, exactly as tiktoken splits before encoding). Decode
+ * maps reserved ids back to the special's literal bytes, so the id
+ * round-trip stays exact even with specials embedded mid-document.
+ */
+class ByteBpeSpecialCoder(merges: Array[Array[String]],
+                          specials: Array[String]) extends Serializable {
+  require(specials.forall(_.nonEmpty), "empty special token")
+  require(specials.distinct.length == specials.length,
+    s"duplicate special tokens: ${specials.mkString(", ")}")
+  private val idCoder = new ByteBpeIdCoder(merges)
+  private val vocab = new ByteBpeVocab(merges)
+  private val base = 256 + merges.length
+  private val specialBytes =
+    specials.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  @transient private lazy val ac =
+    if (specials.isEmpty) null else new AcAutomaton(specials.toSeq)
+
+  def encodeIds(text: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    if (specials.isEmpty) return idCoder.encodeIds(text)
+    val bytes = text.getBytes
+    val spans = ac.selectedSpans(bytes)
+    if (spans.length == 0) return idCoder.encodeIds(text)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def encodeSegment(from: Int, until: Int): Unit =
+      if (until > from) {
+        val seg = idCoder.encodeIds(UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(bytes, from, until)))
+        var i = 0
+        while (i < seg.numElements()) { out += seg.getInt(i); i += 1 }
+      }
+    var cur = 0
+    var s = 0
+    while (s < spans.length) {
+      encodeSegment(cur, spans(s))
+      out += base + spans(s + 2)
+      cur = spans(s + 1)
+      s += 3
+    }
+    encodeSegment(cur, bytes.length)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  def decodeIds(ids: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val n = ids.numElements()
+    val bos = new java.io.ByteArrayOutputStream(math.max(16, n * 4))
+    var i = 0
+    while (i < n) {
+      if (!ids.isNullAt(i)) {
+        val id = ids.getInt(i)
+        if (id >= base) {
+          require(id - base < specialBytes.length,
+            s"token id out of range [0, ${base + specialBytes.length}): $id")
+          bos.write(specialBytes(id - base), 0, specialBytes(id - base).length)
+        } else {
+          require(id >= 0, s"token id out of range: $id")
+          val sym = vocab.symbols(id)
+          var j = 0
+          while (j < sym.length) { bos.write(sym.charAt(j).toInt); j += 1 }
+        }
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(bos.toByteArray)
+  }
+}
+
 /** byte_bpe_encode_ids(text): the token-ID stream (`array<int>`) under the
   * GPT-2 vocab construction — one narrow codegen'd pass, zero OOV. */
 case class ByteBpeEncodeIds(child: Expression, merges: IndexedSeq[(String, String)])
@@ -464,6 +536,70 @@ case class ByteBpeDecodeIds(child: Expression, merges: IndexedSeq[(String, Strin
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("byteBpeIdCoder", coder,
       "graft.functions.ByteBpeIdCoder")
+    defineCodeGen(ctx, ev, a => s"$ref.decodeIds($a)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** byte_bpe_encode_ids with special tokens: specials (ids vocabSize+i)
+  * are matched leftmost-longest FIRST; segments between them encode
+  * normally (the tiktoken allowed_special discipline). */
+case class ByteBpeEncodeIdsSpecial(child: Expression,
+                                   merges: IndexedSeq[(String, String)],
+                                   specials: IndexedSeq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"byte_bpe_encode_ids_special expects string, got ${t.sql}")
+  }
+
+  @transient private lazy val coder = new ByteBpeSpecialCoder(
+    merges.map(p => Array(p._1, p._2)).toArray, specials.toArray)
+
+  override def nullSafeEval(text: Any): Any =
+    coder.encodeIds(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("byteBpeSpecialCoder", coder,
+      "graft.functions.ByteBpeSpecialCoder")
+    defineCodeGen(ctx, ev, a => s"$ref.encodeIds($a)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** byte_bpe_decode_ids with special tokens: reserved ids decode to the
+  * special's literal bytes — the exact inverse of
+  * [[ByteBpeEncodeIdsSpecial]]. */
+case class ByteBpeDecodeIdsSpecial(child: Expression,
+                                   merges: IndexedSeq[(String, String)],
+                                   specials: IndexedSeq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"byte_bpe_decode_ids_special expects array<int>, got ${t.sql}")
+  }
+
+  @transient private lazy val coder = new ByteBpeSpecialCoder(
+    merges.map(p => Array(p._1, p._2)).toArray, specials.toArray)
+
+  override def nullSafeEval(ids: Any): Any =
+    coder.decodeIds(ids.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("byteBpeSpecialCoder", coder,
+      "graft.functions.ByteBpeSpecialCoder")
     defineCodeGen(ctx, ev, a => s"$ref.decodeIds($a)")
   }
 

@@ -152,6 +152,63 @@ final class AcAutomaton(patterns: Seq[String]) extends Serializable {
     UTF8String.fromBytes(outBuf.toByteArray)
   }
 
+  /**
+   * LEFTMOST-LONGEST non-overlapping occurrences WITH pattern identity:
+   * flattened `(start, end, patternId)` triples in start order — the exact
+   * selection rule of [[maskAll]] (start asc, length desc, greedy
+   * non-overlap). Distinct patterns are distinct byte strings, so a
+   * selected `(start, len)` span determines its pattern uniquely; ids ride
+   * in the packed sort key (16 bits each for length and id — enforced).
+   * This is the splitter the special-token tokenizer path needs: segments
+   * between spans encode normally, spans become reserved ids.
+   */
+  def selectedSpans(bytes: Array[Byte]): Array[Int] = {
+    require(size <= 0xFFFF, s"selectedSpans supports <= 65535 patterns: $size")
+    var occ = new Array[Long](8)
+    var nOcc = 0
+    var node = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      var n = node
+      var c = children.get(Integer.valueOf((n << 8) | b))
+      while (n != 0 && c == null) { n = fail(n); c = children.get(Integer.valueOf((n << 8) | b)) }
+      node = if (c == null) 0 else c.intValue()
+      val out = outputs(node)
+      var j = 0
+      while (j < out.length) {
+        val p = out(j)
+        require(patLen(p) <= 0xFFFF,
+          s"selectedSpans supports patterns <= 65535 bytes: ${patLen(p)}")
+        val start = i - patLen(p) + 1
+        if (nOcc == occ.length) occ = java.util.Arrays.copyOf(occ, occ.length * 2)
+        occ(nOcc) = (start.toLong << 32) |
+          (((0xFFFF - patLen(p)).toLong & 0xFFFFL) << 16) | (p.toLong & 0xFFFFL)
+        nOcc += 1
+        j += 1
+      }
+      i += 1
+    }
+    if (nOcc == 0) return Array.emptyIntArray
+    java.util.Arrays.sort(occ, 0, nOcc)
+    val outBuf = new scala.collection.mutable.ArrayBuilder.ofInt
+    var cur = 0
+    var k = 0
+    while (k < nOcc) {
+      val start = (occ(k) >>> 32).toInt
+      val len = 0xFFFF - ((occ(k) >>> 16) & 0xFFFFL).toInt
+      val pid = (occ(k) & 0xFFFFL).toInt
+      if (start >= cur) {
+        outBuf += start
+        outBuf += start + len
+        outBuf += pid
+        cur = start + len
+      }
+      k += 1
+    }
+    outBuf.result()
+  }
+
   /** Distinct matched pattern ids, ascending. */
   def matches(text: UTF8String): Array[Int] = {
     val bytes = text.getBytes

@@ -3246,6 +3246,14 @@ object vectors {
   def byte_bpe_decode_ids(ids: Column, merges: IndexedSeq[(String, String)]): Column =
     ByteBpeDecodeIds(ids.asExpression, merges).asColumn
 
+  def byte_bpe_encode_ids_special(text: Column, merges: IndexedSeq[(String, String)],
+                                  specials: IndexedSeq[String]): Column =
+    ByteBpeEncodeIdsSpecial(text.asExpression, merges, specials).asColumn
+
+  def byte_bpe_decode_ids_special(ids: Column, merges: IndexedSeq[(String, String)],
+                                  specials: IndexedSeq[String]): Column =
+    ByteBpeDecodeIdsSpecial(ids.asExpression, merges, specials).asColumn
+
   def wordpiece_encode(text: Column, pieces: IndexedSeq[String]): Column =
     WordPieceEncode(text.asExpression, pieces).asColumn
 

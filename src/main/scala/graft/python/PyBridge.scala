@@ -1145,6 +1145,14 @@ object PyBridge {
   def byteBpeVocabSize(model: graft.text.ByteBpe.ByteBpeModel): Int =
     graft.text.ByteBpe.vocabSize(model)
 
+  def byteBpeEncodeIdsSpecial(c: Column, model: graft.text.ByteBpe.ByteBpeModel,
+                              specials: JList[String]): Column =
+    graft.text.ByteBpe.encodeIds(c, model, specials.asScala.toSeq)
+
+  def byteBpeDecodeIdsSpecial(ids: Column, model: graft.text.ByteBpe.ByteBpeModel,
+                              specials: JList[String]): Column =
+    graft.text.ByteBpe.decodeIds(ids, model, specials.asScala.toSeq)
+
   def packTokenIds(df: DataFrame, ids: Column, order: JList[Column],
                    capacity: Int, sepId: Int): DataFrame =
     graft.text.Packing.packTokenIds(df, ids, order.asScala.toSeq,

@@ -98,6 +98,23 @@ object ByteBpe {
   /** The model's vocabulary size: 256 + numMerges (GPT-2 construction). */
   def vocabSize(model: ByteBpeModel): Int = 256 + model.merges.length
 
+  /** [[encodeIds]] with SPECIAL tokens — the tiktoken `allowed_special`
+    * discipline: each special literal (e.g. `<|endoftext|>`) matches
+    * leftmost-longest FIRST and becomes its reserved id
+    * `vocabSize + i`; the text between specials encodes normally
+    * (pre-token context never crosses a special boundary). */
+  def encodeIds(text: Column, model: ByteBpeModel,
+                specials: Seq[String]): Column =
+    graft.functions.vectors.byte_bpe_encode_ids_special(
+      text, model.merges, specials.toIndexedSeq)
+
+  /** Exact inverse of the special-aware [[encodeIds]]: reserved ids
+    * decode to the special's literal bytes. */
+  def decodeIds(ids: Column, model: ByteBpeModel,
+                specials: Seq[String]): Column =
+    graft.functions.vectors.byte_bpe_decode_ids_special(
+      ids, model.merges, specials.toIndexedSeq)
+
   /** Persist the id→token vocabulary as an `(id, token)` parquet table in
     * the display alphabet — the artifact a serving/training stack reads
     * alongside the id streams (reads like a GPT-2 vocab.json). */

@@ -116,6 +116,39 @@ class TokenizerDecodeSuite extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("special tokens: reserved ids, never split, exact round-trip") {
+    val sp = Seq("<|endoftext|>", "<|x|>")
+    val docs = Seq(
+      "plain text with no specials",
+      "lead <|endoftext|> mid <|x|> tail",
+      "<|endoftext|><|endoftext|>", // adjacent
+      "<|x|>", // whole text
+      "almost <|endoftex but not quite").toDF("t")
+    val model = ByteBpe.train(docs, col("t"), numMerges = 10)
+    val base = ByteBpe.vocabSize(model)
+    val got = docs.select(col("t"),
+      ByteBpe.encodeIds(col("t"), model, sp).as("ids"),
+      ByteBpe.decodeIds(ByteBpe.encodeIds(col("t"), model, sp), model, sp)
+        .as("rt")).collect()
+    got.foreach { r =>
+      assert(r.getString(2) == r.getString(0), s"on: ${r.getString(0)}")
+      val ids = r.getSeq[Int](1)
+      val wantSpecials =
+        sp.map(s0 => s0 -> {
+          val t = r.getString(0)
+          var c = 0; var i = t.indexOf(s0)
+          while (i >= 0) { c += 1; i = t.indexOf(s0, i + s0.length) }
+          c
+        }).toMap
+      assert(ids.count(_ == base) == wantSpecials("<|endoftext|>"))
+      assert(ids.count(_ == base + 1) == wantSpecials("<|x|>"))
+    }
+    // specials survive byte-identical even when the model would split them
+    val adj = docs.filter(col("t") === "<|endoftext|><|endoftext|>")
+      .select(ByteBpe.encodeIds(col("t"), model, sp)).head().getSeq[Int](0)
+    assert(adj == Seq(base, base))
+  }
+
   test("byte_bpe_*_ids_model are SQL-registered and invert each other") {
     GraftExtensions.registerAll(spark)
     val docs = hazards.toDF("t")
