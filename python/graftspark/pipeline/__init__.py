@@ -121,6 +121,8 @@ __all__ = [
     "byte_bpe_encode_ids", "byte_bpe_decode_ids", "byte_bpe_vocab_size",
     "save_byte_bpe_vocab", "pack_token_ids", "unpack_token_ids",
     "byte_bpe_encode_ids_special", "byte_bpe_decode_ids_special",
+    "chat_render_template", "chat_render_messages_template",
+    "chat_template_specials",
     "conversation_neardup_pairs", "conversation_neardup_pairs_messages",
     "history_apply_snapshot", "with_temporal_split", "layout_report",
 ]
@@ -3142,6 +3144,33 @@ def streaming_funnel_progress(stream: DataFrame, user: ColumnOrName,
         list(map(str, steps)), int(window_us), bool(per_step_window),
         str(watermark_delay))
     return DataFrame(jdf, stream.sparkSession)
+
+
+def chat_render_template(text: ColumnOrName, end_marker: str = "<|end|>",
+                         invalid_marker: str = "<|invalid|>") -> Column:
+    """Render a per-line transcript in the control-token chat template:
+    every turn becomes <|role|>content<|end|> (unparseable turns keep
+    their raw line under <|invalid|>), concatenated in turn order — the
+    SFT step between the wire format and the tokenizer."""
+    return _col_fn("chatRenderTemplate", _jcol(text), str(end_marker),
+                   str(invalid_marker))
+
+
+def chat_render_messages_template(json: ColumnOrName,
+                                  end_marker: str = "<|end|>",
+                                  invalid_marker: str = "<|invalid|>") -> Column:
+    """chat_render_template over the MESSAGES wire format."""
+    return _col_fn("chatRenderMessagesTemplate", _jcol(json),
+                   str(end_marker), str(invalid_marker))
+
+
+def chat_template_specials(end_marker: str = "<|end|>",
+                           invalid_marker: str = "<|invalid|>"):
+    """The template's reserved control tokens, in the order
+    byte_bpe_encode_ids_special expects."""
+    sc = SparkContext._active_spark_context
+    return list(_bridge(sc).chatTemplateSpecials(str(end_marker),
+                                                 str(invalid_marker)))
 
 
 def streaming_retention_hits(stream: DataFrame, user: ColumnOrName,

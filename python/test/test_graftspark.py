@@ -1981,6 +1981,19 @@ class GraftsparkTest(unittest.TestCase):
                  for r in self.spark.read.parquet(d + "/v").collect()}
         self.assertEqual(len(vocab), 261)
         self.assertEqual(vocab[0x20], "Ġ")
+        # chat template render + the specials codec, end to end
+        conv = self.spark.createDataFrame(
+            [("user: hi\nassistant: hello",)], ["t"])
+        sp = P.chat_template_specials()
+        rendered = conv.select(
+            P.chat_render_template(col("t")).alias("r")).first()["r"]
+        self.assertEqual(rendered,
+                         "<|user|>hi<|end|><|assistant|>hello<|end|>")
+        rt = conv.select(P.byte_bpe_decode_ids_special(
+            P.byte_bpe_encode_ids_special(
+                P.chat_render_template(col("t")), model, sp),
+            model, sp).alias("x")).first()["x"]
+        self.assertEqual(rt, rendered)
         # special tokens: reserved ids + exact round-trip
         sdf = self.spark.createDataFrame(
             [("lead <|endoftext|> tail",)], ["t"])

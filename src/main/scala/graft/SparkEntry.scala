@@ -1976,6 +1976,29 @@ object SparkEntry {
       graft.text.Chat.explodeMessages(rebuilt, col("id"), col("messages_json"))
     }),
 
+    // P124i chat template rendering + the P63g codec, end to end: the SFT
+    // prep chain — transcript → `<|role|>content<|end|>` render →
+    // special-aware encode (every control token ONE reserved id) →
+    // decode must reproduce the render byte-for-byte, and the reserved-id
+    // count must be exactly 2 per turn (contents are '<|'-scrubbed in
+    // BOTH engines so no natural text can alias a marker).
+    "chat_sft_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(byteBpeHazards.toDF("doc_id", "text"))
+      val model = graft.text.ByteBpe.train(corpus, col("text"), numMerges = 80)
+      val sp = graft.text.Chat.templateSpecials()
+      val base = graft.text.ByteBpe.vocabSize(model)
+      val scrubbed = regexp_replace(coalesce(col("text"), lit("")),
+        "<\\|", "")
+      val rendered = graft.text.Chat.renderTemplate(
+        chatTranscript(col("doc_id"), scrubbed))
+      val ids = graft.text.ByteBpe.encodeIds(rendered, model, sp)
+      docs.select(col("doc_id"),
+        graft.text.ByteBpe.decodeIds(ids, model, sp).as("decoded"),
+        size(filter(ids, i => i >= base)).cast("long").as("n_special"))
+    }),
+
     // P124h conversation-level near-dup: the SFT-corpus dedup pass — the
     // fingerprint is the content-only canonical form (roles and turn
     // scaffolding excluded), so the planted role-scrambled re-wraps
@@ -5692,6 +5715,29 @@ object SparkEntry {
       // pack -> unpack -> decode == the raw table, byte for byte
       "pack_roundtrip" ->
         "SELECT doc_id, COALESCE(text, '') AS decoded FROM documents",
+
+      // the full SFT render replayed: scrub '<|', rebuild the transcript,
+      // split/parse lines exactly as the chat CTE does, re-render
+      // <|role|>content<|end|> in turn order; n_special = 2 per turn
+      "chat_sft_roundtrip" ->
+        ("WITH d AS (SELECT doc_id, " +
+          "regexp_replace(COALESCE(text, ''), '<\\|', '', 'g') AS tx FROM documents), " +
+          "t AS (SELECT doc_id, 'system: be concise' || chr(10) || 'user: ' || " +
+          "substr(tx, 1, 40) || chr(10) || 'assistant: ' || substr(tx, 41, 40) || " +
+          "CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'user: one more' || chr(10) || 'user: double user' " +
+          "WHEN doc_id % 17 = 0 THEN chr(10) || 'bad line no colon' " +
+          "ELSE chr(10) || 'user: follow up' || chr(10) || 'assistant: done' END AS tr FROM d), " +
+          "pp AS (SELECT doc_id, string_split(tr, chr(10)) AS parts FROM t), " +
+          "lines AS (SELECT doc_id, r.i AS idx, parts[r.i] AS l " +
+          "FROM pp, unnest(range(1, len(parts) + 1)) AS r(i)), " +
+          "turns AS (SELECT doc_id, idx, " +
+          "regexp_extract(l, '^(system|user|assistant|tool): ', 1) AS role, l FROM lines), " +
+          "r AS (SELECT doc_id, string_agg(" +
+          "CASE WHEN role = '' THEN '<|invalid|>' ELSE '<|' || role || '|>' END || " +
+          "CASE WHEN role = '' THEN l ELSE substr(l, length(role) + 3) END || " +
+          "'<|end|>', '' ORDER BY idx) AS decoded, 2 * COUNT(*) AS n_special " +
+          "FROM turns GROUP BY doc_id) " +
+          "SELECT doc_id, decoded, CAST(n_special AS BIGINT) AS n_special FROM r"),
 
       // the planted rebuild round-trips, and the reserved-id count equals
       // the literal occurrence count (replace arithmetic — robust even if

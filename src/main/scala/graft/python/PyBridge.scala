@@ -942,6 +942,20 @@ object PyBridge {
       etype, steps.asScala.toSeq, windowUs.longValue(),
       funnelAnchor(perStepWindow), watermarkDelay).toDF()
 
+  def chatRenderTemplate(text: Column, endMarker: String,
+                         invalidMarker: String): Column =
+    graft.text.Chat.renderTemplate(text, endMarker, invalidMarker)
+
+  def chatRenderMessagesTemplate(json: Column, endMarker: String,
+                                 invalidMarker: String): Column =
+    graft.text.Chat.renderMessagesTemplate(json, endMarker, invalidMarker)
+
+  def chatTemplateSpecials(endMarker: String,
+                           invalidMarker: String): JList[String] = {
+    import scala.jdk.CollectionConverters._
+    graft.text.Chat.templateSpecials(endMarker, invalidMarker).asJava
+  }
+
   def streamingRetentionHits(df: DataFrame, user: Column,
                              eventTimeColumn: String,
                              periodUs: java.lang.Number, horizon: Int,

@@ -244,6 +244,41 @@ object Chat {
       m => m.getField("content")), "\n")
 
   /**
+   * Render a conversation in a control-token chat template — the standard
+   * SFT preprocessing step between the wire format and the tokenizer:
+   * every turn becomes `<|role|>content<|end|>` (an unparseable turn
+   * keeps its raw line under `<|invalid|>` — surfaced, never dropped),
+   * concatenated in turn order. The markers are exactly the special
+   * tokens the P63g codec reserves, so `encodeIds(renderTemplate(t),
+   * model, markers)` yields the id stream a chat trainer consumes, with
+   * every control token a single reserved id. Pure per-row Column
+   * algebra (no explode, streaming-legal).
+   */
+  def renderTemplate(text: Column, endMarker: String = "<|end|>",
+                     invalidMarker: String = "<|invalid|>"): Column =
+    renderParsed(parseTurns(coalesce(text, lit(""))), endMarker, invalidMarker)
+
+  /** [[renderTemplate]] for the MESSAGES wire format. */
+  def renderMessagesTemplate(json: Column, endMarker: String = "<|end|>",
+                             invalidMarker: String = "<|invalid|>"): Column =
+    renderParsed(parseMessages(json), endMarker, invalidMarker)
+
+  /** The template's reserved control tokens, in the P63g specials order. */
+  def templateSpecials(endMarker: String = "<|end|>",
+                       invalidMarker: String = "<|invalid|>"): Seq[String] =
+    Roles.map(r => s"<|$r|>") ++ Seq(invalidMarker, endMarker)
+
+  private def renderParsed(turns: Column, endMarker: String,
+                           invalidMarker: String): Column =
+    array_join(transform(turns, m => {
+      val role = m.getField("role")
+      concat(
+        when(role === "", lit(invalidMarker))
+          .otherwise(concat(lit("<|"), role, lit("|>"))),
+        m.getField("content"), lit(endMarker))
+    }), "")
+
+  /**
    * Conversation-level near-dup pairs for SFT/dialog corpora: canonicalize
    * each transcript to its content-only form ([[conversationContent]] —
    * roles and turn structure excluded) and run the standard MinHash+LSH

@@ -62,6 +62,33 @@ class ChatNearDupSuite extends AnyFunSuite with SparkTest {
     assert(pairs.head._3 >= 0.7)
   }
 
+  test("renderTemplate wraps turns in control tokens; invalid turns surfaced") {
+    val df = Seq(
+      "system: be brief\nuser: hi\nassistant: hello",
+      "user: ok\nno role here",
+      "").toDF("t")
+    val got = df.select(Chat.renderTemplate(col("t"))).collect()
+      .map(_.getString(0))
+    assert(got(0) ==
+      "<|system|>be brief<|end|><|user|>hi<|end|><|assistant|>hello<|end|>")
+    assert(got(1) == "<|user|>ok<|end|><|invalid|>no role here<|end|>")
+    // empty transcript = one empty invalid turn (never dropped)
+    assert(got(2) == "<|invalid|><|end|>")
+    // the render + P63g specials give one reserved id per control token
+    val model = graft.text.ByteBpe.train(
+      df.filter(length(col("t")) > 0), col("t"), numMerges = 5)
+    val sp = Chat.templateSpecials()
+    val base = graft.text.ByteBpe.vocabSize(model)
+    val ids = df.limit(1).select(graft.text.ByteBpe.encodeIds(
+      Chat.renderTemplate(col("t")), model, sp)).head().getSeq[Int](0)
+    assert(ids.count(_ >= base) == 6) // 3 turns x (role + end)
+    // MESSAGES twin renders the same template
+    val m = Seq("""{"messages": [{"role": "user", "content": "a\nb"}]}""")
+      .toDF("j")
+    assert(m.select(Chat.renderMessagesTemplate(col("j"))).head().getString(0)
+      == "<|user|>a\nb<|end|>")
+  }
+
   test("MESSAGES-format twin pairs the same dialogues") {
     def msgs(roles: Seq[String]): String = {
       val parts = dialogue.split(" ").grouped(7).map(_.mkString(" ")).toSeq
