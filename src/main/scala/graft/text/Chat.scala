@@ -253,6 +253,12 @@ object Chat {
    * model, markers)` yields the id stream a chat trainer consumes, with
    * every control token a single reserved id. Pure per-row Column
    * algebra (no explode, streaming-legal).
+   *
+   * Injection note: a turn CONTENT that itself contains a marker literal
+   * renders indistinguishably from a real control token (the classic
+   * special-token injection) — scrub `<|` from contents first (the
+   * `chat_sft_roundtrip` gate does exactly this) or choose markers
+   * outside the corpus alphabet.
    */
   def renderTemplate(text: Column, endMarker: String = "<|end|>",
                      invalidMarker: String = "<|invalid|>"): Column =
