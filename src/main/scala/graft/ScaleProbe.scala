@@ -75,7 +75,7 @@ object ScaleProbe {
       "warc_ingest", "warc_curation", "scd2_history", "scd2_versions",
       "deletion_scrub", "length_buckets", "watermark_plan", "linkage",
       "funnel", "chat_trim", "chat_neardup", "byte_bpe_decode",
-      "retention_hll")
+      "retention_hll", "pack_ids")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -1505,6 +1505,27 @@ object ScaleProbe {
       }
       require(bad == 0, s"byte-BPE round-trip broke on $bad rows at n=$n")
       report("byte_bpe_decode", bad, tD)
+    }
+
+    // --- shard writer: n x the corpus through encode-ids + pack; the
+    // full-sequence invariant is require-asserted (every seq = capacity
+    // ids except the last), so boundary arithmetic is re-proven at n ----
+    if (enabled("pack_ids")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val model = graft.text.ByteBpe.train(docs, col("text"), numMerges = 80)
+      val sep = graft.text.ByteBpe.vocabSize(model)
+      val big = amplify(docs, n)
+        .select((col("doc_id") + col("__rep") * 1000000L).as("doc_id"),
+          concat(col("text"), lit(" r"), col("__rep").cast("string")).as("text"))
+      val (seqs, tP) = time {
+        val packed = graft.text.Packing.packTokenIds(big,
+          graft.text.ByteBpe.encodeIds(coalesce(col("text"), lit("")), model),
+          Seq(col("doc_id")), capacity = 2048, sepId = sep)
+        val bad = packed.filter(size(col("ids")) =!= 2048).count()
+        require(bad <= 1, s"pack probe: $bad non-full sequences (max 1 allowed)")
+        packed.count()
+      }
+      report("pack_ids", seqs, tP)
     }
 
     // --- retention tiers: n x events with shifted users (distinct users
