@@ -1526,6 +1526,27 @@ object ScaleProbe {
         packed.count()
       }
       report("pack_ids", seqs, tP)
+
+      // cross-partitioning shard determinism: the artifact's whole value
+      // is byte-identical shards from ANY input partitioning — pack the
+      // same corpus repartitioned 7 ways vs 64 ways and require the
+      // canonical (seq_id, ids, n_docs) content hash identical
+      // (order-insensitive bit_xor of per-row xxhash64 — the P92
+      // fingerprint construction). require-asserted, not just reported.
+      val (detOk, tDet) = time {
+        def packHash(parts: Int): Long =
+          graft.text.Packing.packTokenIds(docs.repartition(parts),
+            graft.text.ByteBpe.encodeIds(coalesce(col("text"), lit("")), model),
+            Seq(col("doc_id")), capacity = 2048, sepId = sep)
+            .agg(bit_xor(xxhash64(col("seq_id"), col("ids"), col("n_docs"))))
+            .head().getLong(0)
+        val h7 = packHash(7)
+        val h64 = packHash(64)
+        require(h7 == h64,
+          s"pack determinism broke: repartition(7) hash $h7 != repartition(64) hash $h64")
+        1L
+      }
+      report("pack_ids_det", detOk, tDet)
     }
 
     // --- retention tiers: n x events with shifted users (distinct users

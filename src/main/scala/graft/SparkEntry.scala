@@ -1999,6 +1999,30 @@ object SparkEntry {
         size(filter(ids, i => i >= base)).cast("long").as("n_special"))
     }),
 
+    // P124j configurable chat templates: the same render → special-encode
+    // → decode chain under a SECOND per-model spec (ChatML-style
+    // `<|im_start|>role\n` openers, `<|im_end|>\n` closer, `<|endoftext|>`
+    // EOS) with the injection scrub built into the template
+    // (scrubContents strips `<+|+` runs from contents — the safe
+    // composition is one call, no caller discipline). Specials derive
+    // FROM the spec, so renderer and reserved-id space cannot drift.
+    // n_special = 2 per turn + 1 EOS.
+    "chat_sft_roundtrip_chatml" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(byteBpeHazards.toDF("doc_id", "text"))
+      val model = graft.text.ByteBpe.train(corpus, col("text"), numMerges = 80)
+      val tpl = graft.text.Chat.ChatTemplate.ChatMl
+      val sp = tpl.specials
+      val base = graft.text.ByteBpe.vocabSize(model)
+      val rendered = graft.text.Chat.renderTemplate(
+        chatTranscript(col("doc_id"), coalesce(col("text"), lit(""))), tpl)
+      val ids = graft.text.ByteBpe.encodeIds(rendered, model, sp)
+      docs.select(col("doc_id"),
+        graft.text.ByteBpe.decodeIds(ids, model, sp).as("decoded"),
+        size(filter(ids, i => i >= base)).cast("long").as("n_special"))
+    }),
+
     // P124h conversation-level near-dup: the SFT-corpus dedup pass — the
     // fingerprint is the content-only canonical form (roles and turn
     // scaffolding excluded), so the planted role-scrambled re-wraps
@@ -2164,6 +2188,42 @@ object SparkEntry {
           graft.text.ByteBpe.decodeIds(
             coalesce(col("ids"), array().cast("array<int>")), model)
             .as("decoded"))
+    }),
+
+    // P37c persisted training shards — the one-call artifact loop a
+    // trainer consumes: saveShards (pack → sized seq_id-range-clustered
+    // parquet + P92 manifest + bundled tokenizer artifact + params-last)
+    // → verifyShards (manifest + dense/sized structure) must say all_ok
+    // → unpackShards → decode with the tokenizer LOADED FROM THE
+    // DIRECTORY == the raw documents byte-for-byte. sepId is the
+    // tokenizer's own <|endoftext|> reserved id — the composition a real
+    // stack ships. The tiny targetFileBytes deliberately trips the
+    // sizing rewrite so the resize path is gate-covered.
+    "shards_write_readback" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(byteBpeHazards.toDF("doc_id", "text"))
+      val model = graft.text.ByteBpe.train(corpus, col("text"), numMerges = 80)
+      val tok = graft.text.TokenizerArtifact.Tokenizer(
+        model, Seq("<|endoftext|>"))
+      val sep = graft.text.ByteBpe.vocabSize(model) // <|endoftext|>'s reserved id
+      val shardDir = graft.createTemporaryDir("shards")
+      graft.text.Shards.saveShards(docs,
+        graft.text.ByteBpe.encodeIds(coalesce(col("text"), lit("")), model),
+        Seq(col("doc_id")), capacity = 512, sepId = sep, dir = shardDir,
+        tokenizer = Some(tok), targetFileBytes = 64L * 1024)
+      val verify = graft.text.Shards.verifyShards(s, shardDir)
+      val loaded = graft.text.Shards.loadShards(s, shardDir)
+      val unpacked = graft.text.Shards.unpackShards(s, shardDir)
+      val mapping = graft.RowNumbers.withRowNumbers(
+        docs.select(col("doc_id")), rowNumberColumnName = "__rn",
+        order = Seq(col("doc_id")))
+        .select(col("doc_id"), (col("__rn") - 1).as("doc_idx"))
+      mapping.join(unpacked, Seq("doc_idx"), "left_outer")
+        .select(col("doc_id"),
+          loaded.tokenizer.get.decodeIds(
+            coalesce(col("ids"), array().cast("array<int>"))).as("decoded"))
+        .crossJoin(broadcast(verify.select(col("all_ok"))))
     }),
 
     // benchmark decontamination: drop documents sharing any 5-word shingle
@@ -2519,6 +2579,36 @@ object SparkEntry {
       planted.select(col("doc_id"),
         graft.text.ByteBpe.decodeIds(ids, model, sp).as("decoded"),
         size(filter(ids, i => i >= base)).cast("long").as("n_special"))
+    }),
+
+    // P63h unified tokenizer artifact: merges + vocab + specials + params
+    // persisted/loaded as ONE directory (params written last — the
+    // DedupIndex fail-loud discipline), so encode/decode config can never
+    // drift from its artifact. Gate: encode via the LOADED artifact must
+    // equal the in-memory encode id-for-id, planted control tokens
+    // round-trip through their reserved ids from disk, and decode
+    // reproduces the planted text byte-for-byte ('<|'-scrubbed on both
+    // sides so only the plants can alias a special).
+    "tokenizer_artifact_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(byteBpeHazards.toDF("doc_id", "text"))
+      val model = graft.text.ByteBpe.train(corpus, col("text"), numMerges = 80)
+      val tok = graft.text.TokenizerArtifact.Tokenizer(
+        model, graft.text.Chat.templateSpecials())
+      val art = graft.createTemporaryDir("tokenizer-artifact")
+      graft.text.TokenizerArtifact.save(s, tok, art)
+      val loaded = graft.text.TokenizerArtifact.load(s, art)
+      val scrubbed = regexp_replace(coalesce(col("text"), lit("")), "<\\|", "")
+      val planted = docs.select(col("doc_id"),
+        concat(lit("<|system|>"), substring(scrubbed, 1, 30), lit("<|end|>"),
+          substring(scrubbed, 31, 1000000)).as("t2"))
+      val ids = loaded.encodeIds(col("t2"))
+      planted.select(col("doc_id"),
+        loaded.decodeIds(ids).as("decoded"),
+        (ids === tok.encodeIds(col("t2"))).as("ids_equal"),
+        size(filter(ids, i => i >= loaded.baseVocabSize)).cast("long")
+          .as("n_special"))
     }),
 
     // P63e lossy-family detokenizers under their DOCUMENTED whitespace
@@ -5738,6 +5828,49 @@ object SparkEntry {
           "'<|end|>', '' ORDER BY idx) AS decoded, 2 * COUNT(*) AS n_special " +
           "FROM turns GROUP BY doc_id) " +
           "SELECT doc_id, decoded, CAST(n_special AS BIGINT) AS n_special FROM r"),
+
+      // the ChatML-spec render replayed: transcript from RAW text, parse
+      // lines, scrub '<+|+' runs from CONTENTS only (the template's own
+      // scrubContents contract), wrap <|im_start|>role\n … <|im_end|>\n,
+      // append the <|endoftext|> EOS; n_special = 2 per turn + 1
+      "chat_sft_roundtrip_chatml" ->
+        ("WITH t AS (SELECT doc_id, 'system: be concise' || chr(10) || 'user: ' || " +
+          "substr(COALESCE(text, ''), 1, 40) || chr(10) || 'assistant: ' || " +
+          "substr(COALESCE(text, ''), 41, 40) || " +
+          "CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'user: one more' || chr(10) || 'user: double user' " +
+          "WHEN doc_id % 17 = 0 THEN chr(10) || 'bad line no colon' " +
+          "ELSE chr(10) || 'user: follow up' || chr(10) || 'assistant: done' END AS tr FROM documents), " +
+          "pp AS (SELECT doc_id, string_split(tr, chr(10)) AS parts FROM t), " +
+          "lines AS (SELECT doc_id, r.i AS idx, parts[r.i] AS l " +
+          "FROM pp, unnest(range(1, len(parts) + 1)) AS r(i)), " +
+          "turns AS (SELECT doc_id, idx, " +
+          "regexp_extract(l, '^(system|user|assistant|tool): ', 1) AS role, l FROM lines), " +
+          "r AS (SELECT doc_id, string_agg(" +
+          "CASE WHEN role = '' THEN '<|im_start|>invalid' || chr(10) " +
+          "ELSE '<|im_start|>' || role || chr(10) END || " +
+          "regexp_replace(CASE WHEN role = '' THEN l ELSE substr(l, length(role) + 3) END, " +
+          "'<+\\|+', '', 'g') || '<|im_end|>' || chr(10), '' ORDER BY idx) AS body, " +
+          "2 * COUNT(*) + 1 AS n_special FROM turns GROUP BY doc_id) " +
+          "SELECT doc_id, body || '<|endoftext|>' AS decoded, " +
+          "CAST(n_special AS BIGINT) AS n_special FROM r"),
+
+      // the disk-loaded artifact must reproduce the in-memory codec: the
+      // planted markers are the ONLY special-alias candidates ('<|'
+      // scrubbed both sides), so decoded == planted text, ids_equal holds
+      // by construction, and exactly the 2 plants reserve ids
+      "tokenizer_artifact_roundtrip" ->
+        ("WITH p AS (SELECT doc_id, " +
+          "regexp_replace(COALESCE(text, ''), '<\\|', '', 'g') AS tx FROM documents), " +
+          "q AS (SELECT doc_id, '<|system|>' || substring(tx, 1, 30) || '<|end|>' || " +
+          "substring(tx, 31) AS t2 FROM p) " +
+          "SELECT doc_id, t2 AS decoded, true AS ids_equal, " +
+          "CAST(2 AS BIGINT) AS n_special FROM q"),
+
+      // the full artifact loop from disk: save -> verify -> unpack ->
+      // decode with the bundled tokenizer == the raw table, and the
+      // manifest/structure verdict is all_ok on every row
+      "shards_write_readback" ->
+        "SELECT doc_id, COALESCE(text, '') AS decoded, true AS all_ok FROM documents",
 
       // the planted rebuild round-trips, and the reserved-id count equals
       // the literal occurrence count (replace arithmetic — robust even if

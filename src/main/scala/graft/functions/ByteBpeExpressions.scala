@@ -422,12 +422,25 @@ class ByteBpeIdCoder(merges: Array[Array[String]]) extends Serializable {
  * a special boundary, exactly as tiktoken splits before encoding). Decode
  * maps reserved ids back to the special's literal bytes, so the id
  * round-trip stays exact even with specials embedded mid-document.
+ *
+ * Specials must be ASCII-only (require-enforced). The match runs at the
+ * BYTE level; a special carrying multi-byte UTF-8 could match mid-codepoint
+ * and slice the surrounding segments into invalid UTF-8 — still a byte-exact
+ * round-trip, but a segmentation tiktoken (which splits on character
+ * boundaries) would never produce. Every practical control token
+ * (`<|endoftext|>`, `<|im_start|>`, …) is ASCII, and with ASCII specials
+ * a byte match IS a character-boundary match, so the tiktoken-equivalent
+ * split claim holds unconditionally.
  */
 class ByteBpeSpecialCoder(merges: Array[Array[String]],
                           specials: Array[String]) extends Serializable {
   require(specials.forall(_.nonEmpty), "empty special token")
   require(specials.distinct.length == specials.length,
     s"duplicate special tokens: ${specials.mkString(", ")}")
+  require(specials.forall(_.forall(_ < 0x80)),
+    "special tokens must be ASCII-only (byte-level match would otherwise " +
+      "cut multi-byte codepoints): " +
+      specials.filter(!_.forall(_ < 0x80)).mkString(", "))
   private val idCoder = new ByteBpeIdCoder(merges)
   private val vocab = new ByteBpeVocab(merges)
   private val base = 256 + merges.length

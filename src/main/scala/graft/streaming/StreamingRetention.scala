@@ -38,6 +38,19 @@ case class RetentionHit(user_id: Long, cohort_period: Long, period_offset: Long)
  * (52 weekly cells is the classic report), and the horizon is what makes
  * state provably flat.
  *
+ * BEYOND-HORIZON RE-ACQUISITION (documented divergence, the
+ * [[StreamingFunnel]] re-chaining discipline): while a user's state is
+ * LIVE, an event at offset >= horizon is ignored; once the event-time
+ * timeout evicts that state, the user's NEXT event starts a FRESH cohort
+ * and emits new hits. A user re-appearing after its horizon therefore
+ * contributes a second triangle row whose presence depends on whether the
+ * timeout fired before the event arrived — i.e. on micro-batch pacing of
+ * the replay, not on event times alone. The batch operator
+ * ([[graft.events.Funnel.retentionCohorts]]) has no such second life (one
+ * cohort per user, ever); pipelines comparing the two must either bound
+ * activity to one horizon per user or treat post-horizon re-acquisition
+ * as the streaming tier's documented extra.
+ *
  * SCALE SHAPE: one shuffle keyed on `user_id`; state is the cohort long +
  * `ceil(horizon/64)` bitmask longs per user, evicted when the watermark
  * passes the end of the user's horizon (no event inside the horizon can

@@ -244,45 +244,135 @@ object Chat {
       m => m.getField("content")), "\n")
 
   /**
+   * A per-model chat-template spec — what [[renderTemplate]] renders and
+   * what the P63g codec reserves, kept in lockstep BY CONSTRUCTION:
+   * [[ChatTemplate.specials]] is derived from the same fields the
+   * renderer reads, so a template change can never silently desynchronize
+   * the id space (the P81 "banding comes FROM the index" discipline).
+   *
+   *  - `roleMarkers` opens each turn (one full-literal marker per role —
+   *    a ChatML-style `<|im_start|>user\n` opener is ONE reserved token
+   *    here, a documented simplification of stacks that split it);
+   *  - `invalidMarker` wraps unparseable turns (surfaced, never dropped);
+   *  - `endMarker` closes every turn;
+   *  - `bos`/`eos` (optional, empty = absent) bracket the conversation —
+   *    the BOS/EOS placement real SFT stacks pin per model;
+   *  - `scrubContents = true` makes injection-safety the template's own
+   *    contract: every `<+|+` run is stripped from turn CONTENTS before
+   *    wrapping (single regex pass; the run-greedy pattern cannot
+   *    regenerate a `<|` the way a literal `<|`-strip can — `<<||`
+   *    stripped of one `<|` leaves another). Requires every special to
+   *    contain `<|` so scrubbed content provably contains no special;
+   *    templates over a different marker alphabet must pre-scrub
+   *    contents themselves (e.g. a [[graft.functions.MultiMatch]] P83b
+   *    mask pass).
+   */
+  case class ChatTemplate(
+      roleMarkers: Map[String, String] =
+        Chat.Roles.map(r => r -> s"<|$r|>").toMap,
+      invalidMarker: String = "<|invalid|>",
+      endMarker: String = "<|end|>",
+      bos: String = "",
+      eos: String = "",
+      scrubContents: Boolean = false) {
+    require(Chat.Roles.forall(roleMarkers.contains),
+      s"roleMarkers must cover ${Chat.Roles.mkString(", ")}: " +
+        s"missing ${Chat.Roles.filterNot(roleMarkers.contains).mkString(", ")}")
+    require(roleMarkers.values.forall(_.nonEmpty) && invalidMarker.nonEmpty &&
+      endMarker.nonEmpty, "role/invalid/end markers must be non-empty")
+
+    /** The template's reserved control tokens in the P63g specials order:
+      * role markers in [[Chat.Roles]] order, invalid, end, then bos/eos
+      * when present — deduplicated keeping first occurrence, so the
+      * reserved-id assignment is a pure function of the spec. */
+    def specials: Seq[String] =
+      (Chat.Roles.map(roleMarkers) ++ Seq(invalidMarker, endMarker) ++
+        Seq(bos, eos).filter(_.nonEmpty)).distinct
+
+    if (scrubContents) require(specials.forall(_.contains("<|")),
+      "scrubContents strips '<|' runs, which only guards templates whose " +
+        "specials all contain '<|'; pre-scrub contents yourself for: " +
+        specials.filterNot(_.contains("<|")).mkString(", "))
+  }
+
+  object ChatTemplate {
+    /** The repo default: `<|role|>content<|end|>`, no BOS/EOS. */
+    val Default: ChatTemplate = ChatTemplate()
+
+    /** ChatML-flavored spec: `<|im_start|>role\ncontent<|im_end|>\n` per
+      * turn with an `<|endoftext|>` EOS after the conversation (the
+      * document separator a packed trainer expects), contents scrubbed by
+      * default. The opener is one reserved token per role (see
+      * [[ChatTemplate]] note). */
+    val ChatMl: ChatTemplate = ChatTemplate(
+      roleMarkers = Chat.Roles.map(r => r -> s"<|im_start|>$r\n").toMap,
+      invalidMarker = "<|im_start|>invalid\n",
+      endMarker = "<|im_end|>\n",
+      eos = "<|endoftext|>",
+      scrubContents = true)
+  }
+
+  /** The content scrub [[ChatTemplate]] applies when `scrubContents` is
+    * set: strip every maximal `<+|+` run (see the class scaladoc for why
+    * runs, not the literal `<|`). Exposed so oracles/tests replay it. */
+  val ScrubPattern: String = "<+\\|+"
+
+  /**
    * Render a conversation in a control-token chat template — the standard
    * SFT preprocessing step between the wire format and the tokenizer:
-   * every turn becomes `<|role|>content<|end|>` (an unparseable turn
-   * keeps its raw line under `<|invalid|>` — surfaced, never dropped),
-   * concatenated in turn order. The markers are exactly the special
-   * tokens the P63g codec reserves, so `encodeIds(renderTemplate(t),
-   * model, markers)` yields the id stream a chat trainer consumes, with
-   * every control token a single reserved id. Pure per-row Column
-   * algebra (no explode, streaming-legal).
+   * every turn becomes `roleMarker + content + endMarker` (an unparseable
+   * turn keeps its raw line under `invalidMarker` — surfaced, never
+   * dropped), concatenated in turn order and bracketed by the template's
+   * BOS/EOS. The markers are exactly [[ChatTemplate.specials]], so
+   * `encodeIds(renderTemplate(t, tpl), model, tpl.specials)` yields the
+   * id stream a chat trainer consumes, with every control token a single
+   * reserved id. Pure per-row Column algebra (no explode,
+   * streaming-legal).
    *
    * Injection note: a turn CONTENT that itself contains a marker literal
    * renders indistinguishably from a real control token (the classic
-   * special-token injection) — scrub `<|` from contents first (the
-   * `chat_sft_roundtrip` gate does exactly this) or choose markers
-   * outside the corpus alphabet.
+   * special-token injection). `scrubContents = true` on the template
+   * makes the safe composition one call; otherwise scrub `<|` from
+   * contents first (the `chat_sft_roundtrip` gate does exactly this) or
+   * choose markers outside the corpus alphabet.
    */
+  def renderTemplate(text: Column, template: ChatTemplate): Column =
+    renderParsed(parseTurns(coalesce(text, lit(""))), template)
+
+  /** [[renderTemplate]] with the default markers (back-compat surface). */
   def renderTemplate(text: Column, endMarker: String = "<|end|>",
                      invalidMarker: String = "<|invalid|>"): Column =
-    renderParsed(parseTurns(coalesce(text, lit(""))), endMarker, invalidMarker)
+    renderTemplate(text, ChatTemplate(
+      invalidMarker = invalidMarker, endMarker = endMarker))
 
   /** [[renderTemplate]] for the MESSAGES wire format. */
+  def renderMessagesTemplate(json: Column, template: ChatTemplate): Column =
+    renderParsed(parseMessages(json), template)
+
+  /** [[renderMessagesTemplate]] with the default markers. */
   def renderMessagesTemplate(json: Column, endMarker: String = "<|end|>",
                              invalidMarker: String = "<|invalid|>"): Column =
-    renderParsed(parseMessages(json), endMarker, invalidMarker)
+    renderMessagesTemplate(json, ChatTemplate(
+      invalidMarker = invalidMarker, endMarker = endMarker))
 
   /** The template's reserved control tokens, in the P63g specials order. */
   def templateSpecials(endMarker: String = "<|end|>",
                        invalidMarker: String = "<|invalid|>"): Seq[String] =
-    Roles.map(r => s"<|$r|>") ++ Seq(invalidMarker, endMarker)
+    ChatTemplate(invalidMarker = invalidMarker, endMarker = endMarker).specials
 
-  private def renderParsed(turns: Column, endMarker: String,
-                           invalidMarker: String): Column =
-    array_join(transform(turns, m => {
+  private def renderParsed(turns: Column, t: ChatTemplate): Column = {
+    val scrub: Column => Column =
+      if (t.scrubContents) c => regexp_replace(c, ScrubPattern, "")
+      else identity
+    val body = array_join(transform(turns, m => {
       val role = m.getField("role")
-      concat(
-        when(role === "", lit(invalidMarker))
-          .otherwise(concat(lit("<|"), role, lit("|>"))),
-        m.getField("content"), lit(endMarker))
+      val marker = Roles.foldLeft(lit(t.invalidMarker)) { (acc, r) =>
+        when(role === r, lit(t.roleMarkers(r))).otherwise(acc)
+      }
+      concat(marker, scrub(m.getField("content")), lit(t.endMarker))
     }), "")
+    concat(lit(t.bos), body, lit(t.eos))
+  }
 
   /**
    * Conversation-level near-dup pairs for SFT/dialog corpora: canonicalize

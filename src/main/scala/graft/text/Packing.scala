@@ -118,16 +118,30 @@ object Packing {
    * explode; the separator census is per-sequence (O(sequences) rows into
    * one prefix sum), the within-sequence running count is a window bounded
    * by `capacity` rows per key, and the final per-document aggregation is
-   * bounded by document length — no single-partition stage.
+   * bounded by document length — no single-partition stage. Still, this
+   * is the ONE operator with per-token rows: it is shard-QA tooling, not
+   * a corpus operator, and `maxSequences` enforces that. Packed `seq_id`s
+   * are dense from 0, so any row with `seq_id >= maxSequences` proves the
+   * pack exceeds the QA budget — the guard is an in-plan `assert_true`
+   * (fails the job on first violation, costs no extra action; the P112
+   * `maxTouchedFiles` discipline). Default 2^22 sequences ≈ 2^31 tokens
+   * at capacity 512; raise it deliberately, or QA a slice.
    */
   def unpackTokenIds(
       packed: DataFrame,
       capacity: Int,
       sepId: Int,
       storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
-      unpersistHandle: UnpersistHandle = UnpersistHandle.Noop): DataFrame = {
+      unpersistHandle: UnpersistHandle = UnpersistHandle.Noop,
+      maxSequences: Long = 1L << 22): DataFrame = {
     require(capacity > 0, s"capacity must be positive: $capacity")
-    val perSeq = packed.select(col("seq_id"),
+    require(maxSequences > 0, s"maxSequences must be positive: $maxSequences")
+    val guarded = packed.filter(assert_true(col("seq_id") < maxSequences,
+      concat(lit("unpackTokenIds: seq_id "), col("seq_id").cast("string"),
+        lit(s" >= maxSequences=$maxSequences — per-token QA over a pack " +
+          "this large is a deliberate act; raise maxSequences or QA a " +
+          "slice"))).isNull)
+    val perSeq = guarded.select(col("seq_id"),
       size(filter(col("ids"), i => i === sepId)).cast("long").as("__nsep"))
     val offsets = PrefixSum.withRunningTotal(perSeq, col("__nsep"),
       Seq(col("seq_id")), "__sepsBefore",
@@ -136,7 +150,7 @@ object Packing {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("seq_id")).orderBy(col("__pos"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    packed
+    guarded
       .select(col("seq_id"), posexplode(col("ids")).as(Seq("__pos", "__id")))
       .join(offsets, "seq_id")
       .withColumn("__docIdx", col("__sepsBefore") +

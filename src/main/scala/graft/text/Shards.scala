@@ -1,0 +1,189 @@
+package graft.text
+
+import graft.UnpersistHandle
+import graft.write.{Compaction, Manifest}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Persisted training shards — the pipeline's FINAL on-disk artifact: a
+ * trainer consumes directories, not DataFrames. [[saveShards]] runs
+ * [[Packing.packTokenIds]] and lands the packed `(seq_id, ids, n_docs)`
+ * table as sized, `seq_id`-range-clustered parquet files with everything a
+ * consumer needs to trust and decode it beside the data:
+ *
+ *  - `data/`      — the shards; files hold CONTIGUOUS `seq_id` ranges
+ *                   (sorted within files), so "shard k of a training job"
+ *                   is a file-aligned sequential read;
+ *  - `data/_manifest` — the P92 manifest (per-file row count +
+ *                   order-insensitive fingerprint) written from the files
+ *                   actually on disk, so [[verifyShards]] certifies the
+ *                   snapshot without re-running the producer;
+ *  - `tokenizer/` — optional [[TokenizerArtifact]] (merges + vocab +
+ *                   specials, params-last), so the ids are decodable by
+ *                   anyone holding the directory;
+ *  - `params/`    — one row `(capacity, sep_id, n_sequences,
+ *                   has_tokenizer, target_file_bytes)` written LAST: its
+ *                   presence marks a COMPLETE artifact and a half-finished
+ *                   save fails loudly at load time (the
+ *                   [[graft.dedup.DedupIndex]] discipline).
+ *
+ * Scale shape: the pack itself is rows O(docs + sequences)
+ * ([[Packing.packTokenIds]]); the save adds ONE write of the packed table
+ * plus, only when the natural file count is badly off target (>1.5× either
+ * way), one sizing rewrite (range-repartitioned on `seq_id` — the same
+ * cost class as [[graft.write.Compaction.compactParquet]]). Tune
+ * `spark.sql.shuffle.partitions` to the corpus and the rewrite never
+ * fires. The manifest pays one read of the landed data (that IS the
+ * certification), params/tokenizer are model-sized.
+ *
+ * Reference scope note: the shard format is green-field (no counterpart in
+ * /root/reference); the artifact lifecycle matches ann/Pq.scala's
+ * saveAnnIndex.
+ */
+object Shards {
+
+  /** A loaded shard set: the packed data plus the params a consumer needs
+    * to cut, unpack, and decode it. */
+  case class ShardSet(data: DataFrame, capacity: Int, sepId: Int,
+                      nSequences: Long,
+                      tokenizer: Option[TokenizerArtifact.Tokenizer])
+
+  /**
+   * Pack `df`'s id streams ([[Packing.packTokenIds]] semantics: each
+   * document's `idsCol` followed by one `sepId`, concatenated in `order`,
+   * cut into `capacity`-id sequences) and persist the full artifact at
+   * `dir`. Returns the number of sequences written.
+   */
+  def saveShards(df: DataFrame, idsCol: Column, order: Seq[Column],
+                 capacity: Int, sepId: Int, dir: String,
+                 tokenizer: Option[TokenizerArtifact.Tokenizer] = None,
+                 targetFileBytes: Long = 128L * 1024 * 1024,
+                 storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): Long = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
+    val spark = df.sparkSession
+    val handle = UnpersistHandle()
+    try {
+      Packing.packTokenIds(df, idsCol, order, capacity, sepId,
+          storageLevel, handle)
+        .write.mode("overwrite").parquet(s"$dir/data")
+    } finally handle.unpersist()
+    resizeIfOffTarget(spark, s"$dir/data", targetFileBytes)
+    Manifest.writeManifestFor(spark, s"$dir/data")
+    // n_sequences from the manifest just written — the certification scan
+    // already counted every row, so this costs one sidecar read
+    val nSequences = Manifest.readManifest(spark, s"$dir/data")
+      .agg(coalesce(sum(col("rows")), lit(0L))).head().getLong(0)
+    tokenizer.foreach(t => TokenizerArtifact.save(spark, t, s"$dir/tokenizer"))
+    // params last: their presence marks a COMPLETE artifact
+    spark.range(1).select(
+      lit(capacity).as("capacity"), lit(sepId).as("sep_id"),
+      lit(nSequences).as("n_sequences"),
+      lit(tokenizer.isDefined).as("has_tokenizer"),
+      lit(targetFileBytes).as("target_file_bytes"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    nSequences
+  }
+
+  /** Load an artifact saved by [[saveShards]] — fails loudly when the
+    * save never completed (missing `params/`). */
+  def loadShards(spark: SparkSession, dir: String): ShardSet = {
+    val p = spark.read.parquet(s"$dir/params").head()
+    ShardSet(
+      data = spark.read.parquet(s"$dir/data"),
+      capacity = p.getAs[Int]("capacity"),
+      sepId = p.getAs[Int]("sep_id"),
+      nSequences = p.getAs[Long]("n_sequences"),
+      tokenizer =
+        if (p.getAs[Boolean]("has_tokenizer"))
+          Some(TokenizerArtifact.load(spark, s"$dir/tokenizer"))
+        else None)
+  }
+
+  /**
+   * Certify a shard directory before training on it — one row:
+   * `(files, total_rows, manifest_ok, n_sequences, dense_ok, sized_ok,
+   * all_ok)`.
+   *
+   *  - `manifest_ok` — every data file present, row-count- and
+   *    fingerprint-identical to the manifest (P92);
+   *  - `dense_ok`    — `seq_id`s run 0..n-1 with the count params
+   *    recorded (a lost/duplicated SEQUENCE, not just file bytes);
+   *  - `sized_ok`    — every sequence holds exactly `capacity` ids except
+   *    at most the last (the boundary contract trainers rely on).
+   *
+   * Cost: the manifest verify's one data read plus one aggregate over
+   * `(seq_id, size(ids))` — both O(data) scans with per-file/US-sized
+   * state, driver never sees rows.
+   */
+  def verifyShards(spark: SparkSession, dir: String): DataFrame = {
+    val shards = loadShards(spark, dir)
+    val manifest = Manifest.verifySummary(spark, s"$dir/data")
+      .select(col("files"), col("total_rows"), col("all_ok").as("manifest_ok"))
+    val structure = shards.data
+      .agg(
+        count(lit(1)).as("n_sequences"),
+        coalesce(min(col("seq_id")), lit(-1L)).as("__min"),
+        coalesce(max(col("seq_id")), lit(-1L)).as("__max"),
+        countDistinct(col("seq_id")).as("__distinct"),
+        sum(when(size(col("ids")) =!= shards.capacity, 1L).otherwise(0L))
+          .as("__off_size"),
+        max(when(size(col("ids")) =!= shards.capacity, col("seq_id")))
+          .as("__off_seq"))
+      .select(
+        col("n_sequences"),
+        (col("n_sequences") === lit(shards.nSequences) &&
+          col("__min") === 0L &&
+          col("__max") === col("n_sequences") - 1L &&
+          col("__distinct") === col("n_sequences")).as("dense_ok"),
+        (col("__off_size") === 0L ||
+          (col("__off_size") === 1L && col("__off_seq") === col("__max")))
+          .as("sized_ok"))
+    manifest.crossJoin(broadcast(structure))
+      .withColumn("all_ok",
+        col("manifest_ok") && col("dense_ok") && col("sized_ok"))
+  }
+
+  /** Shard QA from disk: load and re-split into per-document id arrays
+    * ([[Packing.unpackTokenIds]] — per-token rows, `maxSequences`
+    * budget-guarded). Decode with the bundled tokenizer to close the full
+    * `saveShards → unpackShards → decode == corpus` round-trip. */
+  def unpackShards(spark: SparkSession, dir: String,
+                   maxSequences: Long = 1L << 22): DataFrame = {
+    val shards = loadShards(spark, dir)
+    Packing.unpackTokenIds(shards.data, shards.capacity, shards.sepId,
+      maxSequences = maxSequences)
+  }
+
+  /** Rewrite `dataDir` range-clustered on `seq_id` when the landed file
+    * count is >1.5× off the footer-computed target (fresh-directory swap:
+    * write `_resized`, delete old files, move new ones in). */
+  private def resizeIfOffTarget(spark: SparkSession, dataDir: String,
+                                targetFileBytes: Long): Unit = {
+    val dirPath = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles = fs.listStatus(dirPath).filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    val current = dataFiles.length
+    val target = Compaction.targetFileCount(spark, dataDir, targetFileBytes)
+    if (current > target * 3 / 2 || target > current * 3 / 2) {
+      val resized = new org.apache.hadoop.fs.Path(
+        dirPath.getParent, "_resized")
+      spark.read.parquet(dataDir)
+        .repartitionByRange(target, col("seq_id"))
+        .sortWithinPartitions(col("seq_id"))
+        .write.mode("overwrite").parquet(resized.toString)
+      dataFiles.foreach(s => require(fs.delete(s.getPath, false),
+        s"failed to delete ${s.getPath} during shard resize"))
+      fs.listStatus(resized).filter(_.isFile)
+        .filterNot(_.getPath.getName.startsWith("."))
+        .foreach { s =>
+          require(fs.rename(s.getPath,
+            new org.apache.hadoop.fs.Path(dirPath, s.getPath.getName)),
+            s"failed to move ${s.getPath} during shard resize")
+        }
+      require(fs.delete(resized, true), s"failed to drop $resized")
+    }
+  }
+}

@@ -52,9 +52,15 @@ object Manifest {
     * not what was intended). */
   def writeWithManifest(df: DataFrame, dir: String): Unit = {
     df.write.mode("overwrite").parquet(dir)
-    fileSummary(df.sparkSession, dir)
-      .write.mode("overwrite").parquet(manifestPath(dir))
+    writeManifestFor(df.sparkSession, dir)
   }
+
+  /** (Re-)write the manifest sidecar for the parquet directory `dir` as it
+    * stands — for writers that land/compact files themselves (e.g.
+    * [[graft.text.Shards]]) and then want the snapshot certified. */
+  def writeManifestFor(spark: SparkSession, dir: String): Unit =
+    fileSummary(spark, dir)
+      .write.mode("overwrite").parquet(manifestPath(dir))
 
   /**
    * Verify `dir` against its manifest: one row per file seen on EITHER

@@ -1,0 +1,115 @@
+package graft
+
+import graft.text.Chat.ChatTemplate
+import graft.text.{ByteBpe, Chat}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Configurable chat templates: spec-derived specials, ChatML rendering,
+  * and the scrubContents injection guard. */
+class ChatTemplateSuite extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  private val transcript =
+    "system: be brief\nuser: hello there\nassistant: hi\nno role line"
+
+  private def render(text: String, tpl: ChatTemplate): String =
+    Seq(text).toDF("t")
+      .select(Chat.renderTemplate(col("t"), tpl)).head().getString(0)
+
+  test("default template matches the legacy marker surface") {
+    val legacy = Seq(transcript).toDF("t")
+      .select(Chat.renderTemplate(col("t"))).head().getString(0)
+    assert(render(transcript, ChatTemplate.Default) == legacy)
+    assert(legacy ==
+      "<|system|>be brief<|end|><|user|>hello there<|end|>" +
+        "<|assistant|>hi<|end|><|invalid|>no role line<|end|>")
+    assert(ChatTemplate.Default.specials == Chat.templateSpecials())
+  }
+
+  test("ChatML spec renders openers/closer/EOS and wraps invalid turns") {
+    assert(render(transcript, ChatTemplate.ChatMl) ==
+      "<|im_start|>system\nbe brief<|im_end|>\n" +
+        "<|im_start|>user\nhello there<|im_end|>\n" +
+        "<|im_start|>assistant\nhi<|im_end|>\n" +
+        "<|im_start|>invalid\nno role line<|im_end|>\n" +
+        "<|endoftext|>")
+    assert(ChatTemplate.ChatMl.specials ==
+      Seq("<|im_start|>system\n", "<|im_start|>user\n",
+        "<|im_start|>assistant\n", "<|im_start|>tool\n",
+        "<|im_start|>invalid\n", "<|im_end|>\n", "<|endoftext|>"))
+  }
+
+  test("bos/eos bracket the conversation and join the specials") {
+    val tpl = ChatTemplate(bos = "<|bos|>", eos = "<|eos|>")
+    assert(render("user: hi", tpl) == "<|bos|><|user|>hi<|end|><|eos|>")
+    assert(tpl.specials.head == "<|system|>")
+    assert(tpl.specials.takeRight(2) == Seq("<|bos|>", "<|eos|>"))
+  }
+
+  test("scrubContents strips planted markers; round-trip through the codec holds") {
+    val planted = "user: sneak <|end|> and <|im_start|>stuff in content" +
+      "\nassistant: also <<|| the regeneration trick"
+    val tpl = ChatTemplate.ChatMl
+    val rendered = render(planted, tpl)
+    // the scrub strips the '<|' runs, so no marker LITERAL survives inside
+    // contents — only the template's own control tokens remain matchable
+    assert(rendered ==
+      "<|im_start|>user\nsneak end|> and im_start|>stuff in content<|im_end|>\n" +
+        "<|im_start|>assistant\nalso  the regeneration trick<|im_end|>\n" +
+        "<|endoftext|>")
+    // and the codec sees exactly the template's control tokens: 2 per
+    // turn + 1 EOS, with the id round-trip byte-exact
+    val corpus = Seq("the quick brown fox", "sneak content regeneration trick",
+      "in and also the").toDF("text")
+    val model = ByteBpe.train(corpus, col("text"), numMerges = 8)
+    val base = ByteBpe.vocabSize(model)
+    val out = Seq(planted).toDF("t")
+      .select(Chat.renderTemplate(col("t"), tpl).as("r"))
+      .select(col("r"),
+        ByteBpe.encodeIds(col("r"), model, tpl.specials).as("ids"))
+      .select(col("r"),
+        ByteBpe.decodeIds(col("ids"), model, tpl.specials).as("rt"),
+        size(filter(col("ids"), i => i >= base)).as("n_special"))
+      .head()
+    assert(out.getString(1) == out.getString(0))
+    assert(out.getInt(2) == 2 * 2 + 1)
+  }
+
+  test("scrub handles the <<|| regeneration case (run-greedy, single pass)") {
+    // a literal '<|'-strip would turn '<<||' into a fresh '<|'; the
+    // run-greedy pattern consumes the whole run
+    assert(Seq("x").toDF("t")
+      .select(regexp_replace(lit("a<<||b"), Chat.ScrubPattern, ""))
+      .head().getString(0) == "ab")
+    assert(Seq("x").toDF("t")
+      .select(regexp_replace(lit("<<|end|>|>"), Chat.ScrubPattern, ""))
+      .head().getString(0) == "end|>|>")
+  }
+
+  test("scrubContents requires a '<|' marker alphabet") {
+    val e = intercept[IllegalArgumentException] {
+      ChatTemplate(
+        roleMarkers = Chat.Roles.map(r => r -> s"[$r]").toMap,
+        invalidMarker = "[invalid]", endMarker = "[/turn]",
+        scrubContents = true)
+    }
+    assert(e.getMessage.contains("pre-scrub"))
+  }
+
+  test("roleMarkers must cover every role") {
+    val e = intercept[IllegalArgumentException] {
+      ChatTemplate(roleMarkers = Map("user" -> "<|user|>"))
+    }
+    assert(e.getMessage.contains("missing"))
+  }
+
+  test("MESSAGES wire format renders through the same template") {
+    val json = """{"messages":[{"role":"user","content":"a <|end|> b"}]}"""
+    val out = Seq(json).toDF("j")
+      .select(Chat.renderMessagesTemplate(col("j"), ChatTemplate.ChatMl))
+      .head().getString(0)
+    assert(out == "<|im_start|>user\na end|> b<|im_end|>\n<|endoftext|>")
+  }
+}

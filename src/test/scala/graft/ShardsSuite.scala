@@ -1,0 +1,137 @@
+package graft
+
+import graft.text.{ByteBpe, Packing, Shards, TokenizerArtifact}
+import graft.write.Manifest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted training shards: the save → verify → unpack → decode loop,
+  * fail-loud incompleteness, corruption detection, the sizing rewrite, and
+  * the unpack QA budget guard. */
+class ShardsSuite extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the cat sat on the mat"),
+    (1L, "the dog ran over the log and kept going for a while"),
+    (2L, ""), // empty doc: packs as a bare separator, must round-trip to ''
+    (3L, "a cat and a dog met the fox"),
+    (4L, "it's the quick brown fox again and again and again"))
+    .toDF("doc_id", "text")
+
+  private lazy val model = ByteBpe.train(docs, col("text"), numMerges = 12)
+  private lazy val sep = ByteBpe.vocabSize(model)
+
+  private def save(dir: String, capacity: Int = 16): Long =
+    Shards.saveShards(docs,
+      ByteBpe.encodeIds(coalesce(col("text"), lit("")), model),
+      Seq(col("doc_id")), capacity = capacity, sepId = sep, dir = dir,
+      tokenizer = Some(TokenizerArtifact.Tokenizer(model, Seq("<|endoftext|>"))))
+
+  private def dataFiles(dir: String): Array[java.io.File] =
+    new java.io.File(s"$dir/data").listFiles().filter(f =>
+      f.isFile && f.getName.endsWith(".parquet"))
+
+  /** Rewrite data/ into `n` round-robin files and re-certify, so tests can
+    * pin a multi-file layout without depending on byte-size heuristics. */
+  private def spreadData(dir: String, n: Int): Unit = {
+    val spread = spark.read.parquet(s"$dir/data").repartition(n).cache()
+    spread.count()
+    spread.write.mode("overwrite").parquet(s"$dir/data2")
+    spread.unpersist()
+    val target = new java.io.File(s"$dir/data")
+    target.listFiles().foreach(f => if (f.isFile) f.delete())
+    new java.io.File(s"$dir/data2").listFiles().foreach { f =>
+      if (f.isFile && !f.getName.startsWith("."))
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(target, f.getName).toPath)
+    }
+    Manifest.writeManifestFor(spark, s"$dir/data")
+  }
+
+  private def roundTrip(dir: String): Map[Long, String] = {
+    val loaded = Shards.loadShards(spark, dir)
+    val ordered = docs.select(col("doc_id")).as[Long].collect().sorted
+    Shards.unpackShards(spark, dir)
+      .select(col("doc_idx"),
+        loaded.tokenizer.get.decodeIds(col("ids")).as("decoded"))
+      .as[(Long, String)].collect()
+      .map { case (idx, s) => ordered(idx.toInt) -> s }.toMap
+  }
+
+  test("save → load → verify → unpack → decode round-trips the corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString + "/s"
+    val n = save(dir)
+    val loaded = Shards.loadShards(spark, dir)
+    assert(loaded.capacity == 16 && loaded.sepId == sep)
+    assert(loaded.nSequences == n && n > 1)
+    // the tiny corpus is far under targetFileBytes, so the sizing rewrite
+    // fires and lands everything in ONE range-clustered file
+    assert(dataFiles(dir).length == 1)
+    val v = Shards.verifyShards(spark, dir).head()
+    assert(v.getAs[Boolean]("all_ok") && v.getAs[Boolean]("manifest_ok") &&
+      v.getAs[Boolean]("dense_ok") && v.getAs[Boolean]("sized_ok"))
+    val back = roundTrip(dir)
+    val expected = docs.as[(Long, String)].collect().toMap
+    // empty doc emits nothing from unpack — every non-empty one must match
+    assert(back == expected.filter(_._2.nonEmpty))
+  }
+
+  test("a half-finished save fails loudly at load (params last)") {
+    val dir = java.nio.file.Files.createTempDirectory("shards-half").toString + "/s"
+    Packing.packTokenIds(docs,
+      ByteBpe.encodeIds(coalesce(col("text"), lit("")), model),
+      Seq(col("doc_id")), capacity = 16, sepId = sep)
+      .write.parquet(s"$dir/data") // data landed, params never written
+    intercept[Exception] { Shards.loadShards(spark, dir) }
+  }
+
+  test("a vanished data file flips manifest_ok and all_ok") {
+    val dir = java.nio.file.Files.createTempDirectory("shards-corrupt").toString + "/s"
+    save(dir, capacity = 4)
+    spreadData(dir, 3)
+    assert(Shards.verifyShards(spark, dir).head().getAs[Boolean]("all_ok"))
+    assert(dataFiles(dir).length == 3)
+    assert(dataFiles(dir).head.delete())
+    val v = Shards.verifyShards(spark, dir).head()
+    assert(!v.getAs[Boolean]("manifest_ok") && !v.getAs[Boolean]("all_ok"))
+  }
+
+  test("a lost sequence flips dense_ok even with a consistent manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("shards-lost").toString + "/s"
+    save(dir, capacity = 4)
+    val trimmed = spark.read.parquet(s"$dir/data")
+      .filter(col("seq_id") =!= 0).cache()
+    trimmed.count()
+    trimmed.write.mode("overwrite").parquet(s"$dir/data2")
+    trimmed.unpersist()
+    val target = new java.io.File(s"$dir/data")
+    target.listFiles().foreach(f => if (f.isFile) f.delete())
+    new java.io.File(s"$dir/data2").listFiles().foreach { f =>
+      if (f.isFile && !f.getName.startsWith("."))
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(target, f.getName).toPath)
+    }
+    // re-certify the (wrong) contents, so only the structure check can
+    // catch the lost sequence
+    Manifest.writeManifestFor(spark, s"$dir/data")
+    val v = Shards.verifyShards(spark, dir).head()
+    assert(v.getAs[Boolean]("manifest_ok"))
+    assert(!v.getAs[Boolean]("dense_ok") && !v.getAs[Boolean]("all_ok"))
+  }
+
+  test("unpack QA budget guard fails fast past maxSequences") {
+    val packed = Packing.packTokenIds(docs,
+      ByteBpe.encodeIds(coalesce(col("text"), lit("")), model),
+      Seq(col("doc_id")), capacity = 16, sepId = sep)
+    assert(packed.count() > 1)
+    val e = intercept[Exception] {
+      Packing.unpackTokenIds(packed, 16, sep, maxSequences = 1).count()
+    }
+    assert(e.getMessage.contains("maxSequences") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxSequences")))
+    // and the default budget leaves the operator untouched
+    assert(Packing.unpackTokenIds(packed, 16, sep).count() == 4)
+  }
+}
