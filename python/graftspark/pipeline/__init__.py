@@ -122,6 +122,12 @@ __all__ = [
     "save_byte_bpe_vocab", "pack_token_ids", "unpack_token_ids",
     "byte_bpe_encode_ids_special", "byte_bpe_decode_ids_special",
     "chat_render_template", "chat_render_messages_template",
+    "chat_template", "chat_template_chatml", "template_specials_of",
+    "chat_render_template_spec", "chat_render_messages_template_spec",
+    "tokenizer", "save_tokenizer", "load_tokenizer",
+    "tokenizer_encode_ids", "tokenizer_decode_ids", "tokenizer_token_count",
+    "tokenizer_vocab_size", "tokenizer_specials",
+    "save_shards", "load_shards", "verify_shards", "unpack_shards", "ShardSet",
     "chat_template_specials",
     "conversation_neardup_pairs", "conversation_neardup_pairs_messages",
     "history_apply_snapshot", "with_temporal_split", "layout_report",
@@ -3171,6 +3177,157 @@ def chat_template_specials(end_marker: str = "<|end|>",
     sc = SparkContext._active_spark_context
     return list(_bridge(sc).chatTemplateSpecials(str(end_marker),
                                                  str(invalid_marker)))
+
+
+def chat_template(role_markers: Optional[Dict[str, str]] = None,
+                  invalid_marker: str = "<|invalid|>",
+                  end_marker: str = "<|end|>", bos: str = "", eos: str = "",
+                  scrub_contents: bool = False):
+    """Build a per-model chat-template spec (opaque handle): role-marker
+    map (defaults to <|role|>), end/invalid markers, optional BOS/EOS
+    bracketing. Its reserved specials derive FROM the spec (see
+    template_specials_of), so renderer and id space cannot drift.
+    scrub_contents=True strips '<+|+' runs from turn CONTENTS inside the
+    renderer — the one-call injection guard (requires a '<|' marker
+    alphabet)."""
+    sc = SparkContext._active_spark_context
+    if role_markers is None:
+        role_markers = {r: f"<|{r}|>"
+                        for r in ("system", "user", "assistant", "tool")}
+    jmap = sc._jvm.java.util.HashMap()  # type: ignore[union-attr]
+    for k, v in role_markers.items():
+        jmap.put(str(k), str(v))
+    return _bridge(sc).chatTemplate(jmap, str(invalid_marker),
+                                    str(end_marker), str(bos), str(eos),
+                                    bool(scrub_contents))
+
+
+def chat_template_chatml():
+    """The ChatML-style preset: <|im_start|>role\\n ... <|im_end|>\\n per
+    turn, <|endoftext|> EOS, contents scrubbed by default."""
+    sc = SparkContext._active_spark_context
+    return _bridge(sc).chatTemplateChatMl()
+
+
+def template_specials_of(template):
+    """The reserved control tokens a template spec implies, in the order
+    byte_bpe_encode_ids_special expects."""
+    sc = SparkContext._active_spark_context
+    return list(_bridge(sc).chatTemplateSpecialsOf(template))
+
+
+def chat_render_template_spec(text: ColumnOrName, template) -> Column:
+    """Render a per-line transcript under a chat_template spec."""
+    return _col_fn("chatRenderTemplateSpec", _jcol(text), template)
+
+
+def chat_render_messages_template_spec(json: ColumnOrName,
+                                       template) -> Column:
+    """chat_render_template_spec over the MESSAGES wire format."""
+    return _col_fn("chatRenderMessagesTemplateSpec", _jcol(json), template)
+
+
+def tokenizer(model, specials) -> object:
+    """Bundle a byte-BPE model with its reserved specials (opaque handle):
+    the full id space is 0..255 bytes, 256..255+num_merges merges, then
+    one reserved id per special."""
+    sc = SparkContext._active_spark_context
+    return _bridge(sc).tokenizer(model, _speclist(specials))
+
+
+def save_tokenizer(spark: SparkSession, tok, path: str) -> None:
+    """Persist merges + complete-id-space vocab + specials + params as ONE
+    directory (params last — a half-finished save fails loudly at load)."""
+    _bridge(spark.range(1)).saveTokenizer(spark._jsparkSession, tok,
+                                          str(path))
+
+
+def load_tokenizer(spark: SparkSession, path: str):
+    """Load a tokenizer artifact saved by save_tokenizer; load cross-checks
+    every piece count against the params row."""
+    return _bridge(spark.range(1)).loadTokenizer(spark._jsparkSession,
+                                                 str(path))
+
+
+def tokenizer_encode_ids(tok, text: ColumnOrName) -> Column:
+    """text -> ids in the tokenizer's specials-aware id space."""
+    return _col_fn("tokenizerEncodeIds", tok, _jcol(text))
+
+
+def tokenizer_decode_ids(tok, ids: ColumnOrName) -> Column:
+    """Exact inverse of tokenizer_encode_ids."""
+    return _col_fn("tokenizerDecodeIds", tok, _jcol(ids))
+
+
+def tokenizer_token_count(tok, text: ColumnOrName) -> Column:
+    """Token count in the tokenizer's units — the budget/packing input."""
+    return _col_fn("tokenizerTokenCount", tok, _jcol(text))
+
+
+def tokenizer_vocab_size(tok) -> int:
+    """The FULL id space including reserved specials."""
+    sc = SparkContext._active_spark_context
+    return int(_bridge(sc).tokenizerVocabSize(tok))
+
+
+def tokenizer_specials(tok):
+    """The tokenizer's reserved specials in id order."""
+    sc = SparkContext._active_spark_context
+    return list(_bridge(sc).tokenizerSpecials(tok))
+
+
+def save_shards(df: DataFrame, ids: ColumnOrName, order, capacity: int,
+                sep_id: int, path: str, tokenizer=None,
+                target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Pack token-ID streams and persist the full training-shard artifact:
+    sized seq_id-range-clustered parquet + manifest + optional bundled
+    tokenizer + params (written last). Returns the number of sequences."""
+    spark = df.sparkSession
+    jorder = spark._jvm.java.util.ArrayList()  # type: ignore[union-attr]
+    for c in order:
+        jorder.add(_jcol(c))
+    return int(_bridge(df).saveShards(df._jdf, _jcol(ids), jorder,
+                                      int(capacity), int(sep_id), str(path),
+                                      tokenizer, int(target_file_bytes)))
+
+
+class ShardSet:
+    """A loaded shard artifact: .data (DataFrame), .capacity, .sep_id,
+    .n_sequences, .tokenizer (opaque handle or None)."""
+
+    def __init__(self, spark: SparkSession, jshards):
+        bridge = _bridge(spark.range(1))
+        self.data = DataFrame(bridge.shardSetData(jshards), spark)
+        self.capacity = int(bridge.shardSetCapacity(jshards))
+        self.sep_id = int(bridge.shardSetSepId(jshards))
+        self.n_sequences = int(bridge.shardSetNSequences(jshards))
+        self.tokenizer = bridge.shardSetTokenizer(jshards)
+
+
+def load_shards(spark: SparkSession, path: str) -> ShardSet:
+    """Load an artifact saved by save_shards (fails loudly when the save
+    never completed)."""
+    return ShardSet(spark,
+                    _bridge(spark.range(1)).loadShards(spark._jsparkSession,
+                                                       str(path)))
+
+
+def verify_shards(spark: SparkSession, path: str) -> DataFrame:
+    """One-row certification: (files, total_rows, manifest_ok,
+    n_sequences, dense_ok, sized_ok, all_ok)."""
+    jdf = _bridge(spark.range(1)).verifyShards(spark._jsparkSession,
+                                               str(path))
+    return DataFrame(jdf, spark)
+
+
+def unpack_shards(spark: SparkSession, path: str,
+                  max_sequences: int = 1 << 22) -> DataFrame:
+    """Shard QA from disk: load and re-split into (doc_idx, ids) under the
+    max_sequences budget guard."""
+    jdf = _bridge(spark.range(1)).unpackShards(spark._jsparkSession,
+                                               str(path),
+                                               int(max_sequences))
+    return DataFrame(jdf, spark)
 
 
 def streaming_retention_hits(stream: DataFrame, user: ColumnOrName,

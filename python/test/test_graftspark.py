@@ -2020,6 +2020,59 @@ class GraftsparkTest(unittest.TestCase):
                 P.byte_bpe_decode_ids(col("ids"), model).alias("t")).collect()}
         self.assertEqual(back, {0: "one two three", 1: "four", 2: "five six"})
 
+    def test_pipeline_shards_and_templates(self):
+        from graftspark import pipeline as P
+        texts = ["one two three", "four", "five six", ""]
+        docs = self.spark.createDataFrame(
+            list(enumerate(texts)), ["doc_id", "t"])
+        model = P.byte_bpe_train(docs, col("t"), num_merges=5)
+        # unified tokenizer artifact: save -> load -> encode == in-memory
+        tok = P.tokenizer(model, ["<|endoftext|>"])
+        self.assertEqual(P.tokenizer_vocab_size(tok), 262)
+        self.assertEqual(P.tokenizer_specials(tok), ["<|endoftext|>"])
+        d = tempfile.mkdtemp()
+        P.save_tokenizer(self.spark, tok, d + "/tok")
+        loaded = P.load_tokenizer(self.spark, d + "/tok")
+        for r in docs.select(
+                col("t"),
+                P.tokenizer_decode_ids(loaded, P.tokenizer_encode_ids(
+                    loaded, col("t"))).alias("rt")).collect():
+            self.assertEqual(r["rt"], r["t"])
+        # shard artifact: save -> load -> verify -> unpack -> decode with
+        # the BUNDLED tokenizer (sep_id = its <|endoftext|> reserved id)
+        n = P.save_shards(docs, P.byte_bpe_encode_ids(col("t"), model),
+                          [col("doc_id")], capacity=7, sep_id=261,
+                          path=d + "/shards", tokenizer=tok)
+        s = P.load_shards(self.spark, d + "/shards")
+        self.assertEqual((s.capacity, s.sep_id, s.n_sequences), (7, 261, n))
+        self.assertIsNotNone(s.tokenizer)
+        v = P.verify_shards(self.spark, d + "/shards").first()
+        self.assertTrue(v["all_ok"] and v["dense_ok"] and v["sized_ok"])
+        back = {r["doc_idx"]: r["x"]
+                for r in P.unpack_shards(self.spark, d + "/shards").select(
+                    "doc_idx",
+                    P.tokenizer_decode_ids(s.tokenizer,
+                                           col("ids")).alias("x")).collect()}
+        self.assertEqual(back, {0: "one two three", 1: "four", 2: "five six"})
+        # configurable chat templates: the ChatML preset scrubs '<|' runs
+        # from contents and brackets with EOS
+        conv = self.spark.createDataFrame(
+            [("user: hi <|end|>\nassistant: hello",)], ["t"])
+        tpl = P.chat_template_chatml()
+        self.assertEqual(P.template_specials_of(tpl)[-1], "<|endoftext|>")
+        r = conv.select(
+            P.chat_render_template_spec(col("t"), tpl).alias("r")).first()["r"]
+        self.assertEqual(
+            r, "<|im_start|>user\nhi end|><|im_end|>\n"
+               "<|im_start|>assistant\nhello<|im_end|>\n<|endoftext|>")
+        # a default-spec render equals the legacy surface
+        dflt = P.chat_template()
+        a = conv.select(
+            P.chat_render_template_spec(col("t"), dflt).alias("r")).first()["r"]
+        b = conv.select(
+            P.chat_render_template(col("t")).alias("r")).first()["r"]
+        self.assertEqual(a, b)
+
     def test_pipeline_conversation_neardup(self):
         from graftspark import pipeline as P
         body = ("the quick brown fox jumps over the lazy dog and keeps "

@@ -1546,7 +1546,7 @@ object ScaleProbe {
           s"pack determinism broke: repartition(7) hash $h7 != repartition(64) hash $h64")
         1L
       }
-      report("pack_ids_det", detOk, tDet)
+      reportAlways("pack_ids_det", detOk, tDet)
     }
 
     // --- retention tiers: n x events with shifted users (distinct users

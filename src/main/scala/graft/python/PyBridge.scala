@@ -1699,4 +1699,99 @@ object PyBridge {
     sc.setJobDescription(Option(previous).map(_ + separator + extra).getOrElse(extra))
     previous
   }
+
+  // --------------------------------------------------------------------------
+  // chat templates / tokenizer artifact / training shards (round 15)
+  // --------------------------------------------------------------------------
+
+  def chatTemplate(roleMarkers: java.util.Map[String, String],
+                   invalidMarker: String, endMarker: String,
+                   bos: String, eos: String,
+                   scrubContents: Boolean): graft.text.Chat.ChatTemplate =
+    graft.text.Chat.ChatTemplate(roleMarkers.asScala.toMap, invalidMarker,
+      endMarker, bos, eos, scrubContents)
+
+  def chatTemplateDefault(): graft.text.Chat.ChatTemplate =
+    graft.text.Chat.ChatTemplate.Default
+
+  def chatTemplateChatMl(): graft.text.Chat.ChatTemplate =
+    graft.text.Chat.ChatTemplate.ChatMl
+
+  def chatTemplateSpecialsOf(t: graft.text.Chat.ChatTemplate): JList[String] =
+    t.specials.asJava
+
+  def chatRenderTemplateSpec(text: Column,
+                             t: graft.text.Chat.ChatTemplate): Column =
+    graft.text.Chat.renderTemplate(text, t)
+
+  def chatRenderMessagesTemplateSpec(json: Column,
+                                     t: graft.text.Chat.ChatTemplate): Column =
+    graft.text.Chat.renderMessagesTemplate(json, t)
+
+  def tokenizer(model: graft.text.ByteBpe.ByteBpeModel,
+                specials: JList[String]): graft.text.TokenizerArtifact.Tokenizer =
+    graft.text.TokenizerArtifact.Tokenizer(model, specials.asScala.toSeq)
+
+  def saveTokenizer(spark: SparkSession,
+                    tok: graft.text.TokenizerArtifact.Tokenizer,
+                    dir: String): Unit =
+    graft.text.TokenizerArtifact.save(spark, tok, dir)
+
+  def loadTokenizer(spark: SparkSession,
+                    dir: String): graft.text.TokenizerArtifact.Tokenizer =
+    graft.text.TokenizerArtifact.load(spark, dir)
+
+  def tokenizerEncodeIds(tok: graft.text.TokenizerArtifact.Tokenizer,
+                         text: Column): Column = tok.encodeIds(text)
+
+  def tokenizerDecodeIds(tok: graft.text.TokenizerArtifact.Tokenizer,
+                         ids: Column): Column = tok.decodeIds(ids)
+
+  def tokenizerTokenCount(tok: graft.text.TokenizerArtifact.Tokenizer,
+                          text: Column): Column = tok.tokenCount(text)
+
+  def tokenizerVocabSize(tok: graft.text.TokenizerArtifact.Tokenizer): Int =
+    tok.vocabSize
+
+  def tokenizerBaseVocabSize(tok: graft.text.TokenizerArtifact.Tokenizer): Int =
+    tok.baseVocabSize
+
+  def tokenizerSpecials(tok: graft.text.TokenizerArtifact.Tokenizer): JList[String] =
+    tok.specials.asJava
+
+  def tokenizerModel(tok: graft.text.TokenizerArtifact.Tokenizer): graft.text.ByteBpe.ByteBpeModel =
+    tok.model
+
+  /** `tokenizer` may be null (shards without a bundled tokenizer). */
+  def saveShards(df: DataFrame, ids: Column, order: JList[Column],
+                 capacity: Int, sepId: Int, dir: String,
+                 tokenizer: graft.text.TokenizerArtifact.Tokenizer,
+                 targetFileBytes: java.lang.Number): Long =
+    graft.text.Shards.saveShards(df, ids, order.asScala.toSeq, capacity,
+      sepId, dir, Option(tokenizer), targetFileBytes.longValue())
+
+  def loadShards(spark: SparkSession,
+                 dir: String): graft.text.Shards.ShardSet =
+    graft.text.Shards.loadShards(spark, dir)
+
+  def shardSetData(s: graft.text.Shards.ShardSet): DataFrame = s.data
+  def shardSetCapacity(s: graft.text.Shards.ShardSet): Int = s.capacity
+  def shardSetSepId(s: graft.text.Shards.ShardSet): Int = s.sepId
+  def shardSetNSequences(s: graft.text.Shards.ShardSet): Long = s.nSequences
+
+  /** null when the artifact carries no tokenizer. */
+  def shardSetTokenizer(s: graft.text.Shards.ShardSet): graft.text.TokenizerArtifact.Tokenizer =
+    s.tokenizer.orNull
+
+  def verifyShards(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Shards.verifyShards(spark, dir)
+
+  def unpackShards(spark: SparkSession, dir: String,
+                   maxSequences: java.lang.Number): DataFrame =
+    graft.text.Shards.unpackShards(spark, dir, maxSequences.longValue())
+
+  def unpackTokenIdsGuarded(packed: DataFrame, capacity: Int, sepId: Int,
+                            maxSequences: java.lang.Number): DataFrame =
+    graft.text.Packing.unpackTokenIds(packed, capacity, sepId,
+      maxSequences = maxSequences.longValue())
 }
