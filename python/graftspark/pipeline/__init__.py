@@ -127,7 +127,8 @@ __all__ = [
     "tokenizer", "save_tokenizer", "load_tokenizer",
     "tokenizer_encode_ids", "tokenizer_decode_ids", "tokenizer_token_count",
     "tokenizer_vocab_size", "tokenizer_specials",
-    "save_shards", "load_shards", "verify_shards", "unpack_shards", "ShardSet",
+    "save_shards", "load_shards", "verify_shards", "unpack_shards",
+    "append_shards", "ShardSet",
     "chat_template_specials",
     "conversation_neardup_pairs", "conversation_neardup_pairs_messages",
     "history_apply_snapshot", "with_temporal_split", "layout_report",
@@ -3293,7 +3294,7 @@ def save_shards(df: DataFrame, ids: ColumnOrName, order, capacity: int,
 
 class ShardSet:
     """A loaded shard artifact: .data (DataFrame), .capacity, .sep_id,
-    .n_sequences, .tokenizer (opaque handle or None)."""
+    .n_sequences, .total_ids, .tokenizer (opaque handle or None)."""
 
     def __init__(self, spark: SparkSession, jshards):
         bridge = _bridge(spark.range(1))
@@ -3301,7 +3302,23 @@ class ShardSet:
         self.capacity = int(bridge.shardSetCapacity(jshards))
         self.sep_id = int(bridge.shardSetSepId(jshards))
         self.n_sequences = int(bridge.shardSetNSequences(jshards))
+        self.total_ids = int(bridge.shardSetTotalIds(jshards))
         self.tokenizer = bridge.shardSetTokenizer(jshards)
+
+
+def append_shards(df: DataFrame, ids: ColumnOrName, order,
+                  path: str) -> int:
+    """Append a new batch to a saved shard artifact — byte-identical to a
+    one-shot save over old ++ new when `order` sorts the batch after every
+    already-packed document. The old partial last sequence fills first
+    (its file rewrites under a crash-safe swap). Returns the new sequence
+    count."""
+    spark = df.sparkSession
+    jorder = spark._jvm.java.util.ArrayList()  # type: ignore[union-attr]
+    for c in order:
+        jorder.add(_jcol(c))
+    return int(_bridge(df).appendShards(df._jdf, _jcol(ids), jorder,
+                                        str(path)))
 
 
 def load_shards(spark: SparkSession, path: str) -> ShardSet:

@@ -2054,6 +2054,22 @@ class GraftsparkTest(unittest.TestCase):
                     P.tokenizer_decode_ids(s.tokenizer,
                                            col("ids")).alias("x")).collect()}
         self.assertEqual(back, {0: "one two three", 1: "four", 2: "five six"})
+        # incremental append == a one-shot save over the union
+        half = docs.filter(col("doc_id") < 2)
+        rest = docs.filter(col("doc_id") >= 2)
+        P.save_shards(half, P.byte_bpe_encode_ids(col("t"), model),
+                      [col("doc_id")], capacity=7, sep_id=261,
+                      path=d + "/inc", tokenizer=tok)
+        n2 = P.append_shards(rest, P.byte_bpe_encode_ids(col("t"), model),
+                             [col("doc_id")], d + "/inc")
+        self.assertEqual(n2, n)
+        one = sorted((r["seq_id"], list(r["ids"]), r["n_docs"])
+                     for r in s.data.collect())
+        inc = sorted((r["seq_id"], list(r["ids"]), r["n_docs"])
+                     for r in P.load_shards(self.spark, d + "/inc").data.collect())
+        self.assertEqual(inc, one)
+        self.assertTrue(P.verify_shards(self.spark, d + "/inc")
+                        .first()["all_ok"])
         # configurable chat templates: the ChatML preset scrubs '<|' runs
         # from contents and brackets with EOS
         conv = self.spark.createDataFrame(

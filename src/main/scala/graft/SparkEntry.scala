@@ -2226,6 +2226,51 @@ object SparkEntry {
         .crossJoin(broadcast(verify.select(col("all_ok"))))
     }),
 
+    // P37d incremental shard append — the daily-ingest loop: save the
+    // first half, append the second at startOffset = total_ids, and the
+    // artifact must be CONTENT-IDENTICAL to a one-shot pack over the
+    // whole corpus (order-insensitive bit_xor content hash, asserted
+    // in-plan as append_equals_oneshot), with the old partial tail
+    // sequence rewritten under the crash-safe swap and verifyShards
+    // still all_ok. Round-trip: unpack + decode == the raw table.
+    "shards_append_readback" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(byteBpeHazards.toDF("doc_id", "text"))
+      val model = graft.text.ByteBpe.train(corpus, col("text"), numMerges = 80)
+      val tok = graft.text.TokenizerArtifact.Tokenizer(
+        model, Seq("<|endoftext|>"))
+      val sep = graft.text.ByteBpe.vocabSize(model)
+      val ids = graft.text.ByteBpe.encodeIds(coalesce(col("text"), lit("")), model)
+      val shardDir = graft.createTemporaryDir("shards-append")
+      graft.text.Shards.saveShards(docs.filter(col("doc_id") < 250), ids,
+        Seq(col("doc_id")), capacity = 512, sepId = sep, dir = shardDir,
+        tokenizer = Some(tok))
+      graft.text.Shards.appendShards(docs.filter(col("doc_id") >= 250), ids,
+        Seq(col("doc_id")), shardDir)
+      val verify = graft.text.Shards.verifyShards(s, shardDir)
+      val loaded = graft.text.Shards.loadShards(s, shardDir)
+      def contentHash(df: org.apache.spark.sql.DataFrame) =
+        df.agg(bit_xor(xxhash64(col("seq_id"), col("ids"), col("n_docs")))
+          .as("h"))
+      val oneShot = graft.text.Packing.packTokenIds(docs, ids,
+        Seq(col("doc_id")), capacity = 512, sepId = sep)
+      val hEq = contentHash(loaded.data)
+        .crossJoin(contentHash(oneShot).withColumnRenamed("h", "h2"))
+        .select((col("h") <=> col("h2")).as("append_equals_oneshot"))
+      val unpacked = graft.text.Shards.unpackShards(s, shardDir)
+      val mapping = graft.RowNumbers.withRowNumbers(
+        docs.select(col("doc_id")), rowNumberColumnName = "__rn",
+        order = Seq(col("doc_id")))
+        .select(col("doc_id"), (col("__rn") - 1).as("doc_idx"))
+      mapping.join(unpacked, Seq("doc_idx"), "left_outer")
+        .select(col("doc_id"),
+          loaded.tokenizer.get.decodeIds(
+            coalesce(col("ids"), array().cast("array<int>"))).as("decoded"))
+        .crossJoin(broadcast(verify.select(col("all_ok"))))
+        .crossJoin(broadcast(hEq))
+    }),
+
     // benchmark decontamination: drop documents sharing any 5-word shingle
     // with the synthetic blocklist (doc_id % 97 == 0); the blocklist shingle
     // set is broadcast, so the corpus side stays narrow.
@@ -5871,6 +5916,13 @@ object SparkEntry {
       // manifest/structure verdict is all_ok on every row
       "shards_write_readback" ->
         "SELECT doc_id, COALESCE(text, '') AS decoded, true AS all_ok FROM documents",
+
+      // append == one-shot (content hash equal, in-plan), the swapped
+      // artifact verifies, and the disk round-trip still returns the
+      // raw corpus byte-for-byte
+      "shards_append_readback" ->
+        ("SELECT doc_id, COALESCE(text, '') AS decoded, true AS all_ok, " +
+          "true AS append_equals_oneshot FROM documents"),
 
       // the planted rebuild round-trips, and the reserved-id count equals
       // the literal occurrence count (replace arithmetic — robust even if

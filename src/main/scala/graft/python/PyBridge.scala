@@ -1778,6 +1778,11 @@ object PyBridge {
   def shardSetCapacity(s: graft.text.Shards.ShardSet): Int = s.capacity
   def shardSetSepId(s: graft.text.Shards.ShardSet): Int = s.sepId
   def shardSetNSequences(s: graft.text.Shards.ShardSet): Long = s.nSequences
+  def shardSetTotalIds(s: graft.text.Shards.ShardSet): Long = s.totalIds
+
+  def appendShards(df: DataFrame, ids: Column, order: JList[Column],
+                   dir: String): Long =
+    graft.text.Shards.appendShards(df, ids, order.asScala.toSeq, dir)
 
   /** null when the artifact carries no tokenizer. */
   def shardSetTokenizer(s: graft.text.Shards.ShardSet): graft.text.TokenizerArtifact.Tokenizer =

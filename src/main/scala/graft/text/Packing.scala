@@ -75,17 +75,25 @@ object Packing {
       capacity: Int,
       sepId: Int,
       storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
-      unpersistHandle: UnpersistHandle = UnpersistHandle.Noop): DataFrame = {
+      unpersistHandle: UnpersistHandle = UnpersistHandle.Noop,
+      startOffset: Long = 0L): DataFrame = {
     require(capacity > 0, s"capacity must be positive: $capacity")
     require(sepId >= 0, s"sepId must be >= 0: $sepId")
+    require(startOffset >= 0, s"startOffset must be >= 0: $startOffset")
     val prep = df.select(
       (concat(coalesce(idsCol, array().cast("array<int>")),
         array(lit(sepId))).as("__ids") +:
         order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }): _*)
       .withColumn("__n", size(col("__ids")).cast("long"))
+    // startOffset shifts every absolute position: the incremental-append
+    // hook (graft.text.Shards.appendShards) — packing batch B at offset
+    // total_ids(A) yields exactly the one-shot pack of A ++ B restricted
+    // to B's pieces, because positions are a pure function of the global
+    // running total
     val started = PrefixSum.withRunningTotal(prep, col("__n"),
       order.indices.map(i => col(s"__o$i")), "__start",
       exclusive = true, storageLevel, unpersistHandle)
+      .withColumn("__start", col("__start") + lit(startOffset))
     started
       .select(col("__ids"), col("__start"), col("__n"),
         explode(sequence(

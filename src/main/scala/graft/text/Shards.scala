@@ -1,7 +1,8 @@
 package graft.text
 
 import graft.UnpersistHandle
-import graft.write.{Compaction, Manifest}
+import graft.write.{Compaction, Manifest, SwapFiles}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
@@ -45,9 +46,10 @@ import org.apache.spark.storage.StorageLevel
 object Shards {
 
   /** A loaded shard set: the packed data plus the params a consumer needs
-    * to cut, unpack, and decode it. */
+    * to cut, unpack, and decode it. `totalIds` is the pack's absolute id
+    * count (documents + separators) — the append offset. */
   case class ShardSet(data: DataFrame, capacity: Int, sepId: Int,
-                      nSequences: Long,
+                      nSequences: Long, totalIds: Long,
                       tokenizer: Option[TokenizerArtifact.Tokenizer])
 
   /**
@@ -72,19 +74,116 @@ object Shards {
     resizeIfOffTarget(spark, s"$dir/data", targetFileBytes)
     Manifest.writeManifestFor(spark, s"$dir/data")
     // n_sequences from the manifest just written — the certification scan
-    // already counted every row, so this costs one sidecar read
+    // already counted every row, so this costs one sidecar read; total_ids
+    // (the future append offset) is one ids-column aggregate
     val nSequences = Manifest.readManifest(spark, s"$dir/data")
       .agg(coalesce(sum(col("rows")), lit(0L))).head().getLong(0)
+    val totalIds = spark.read.parquet(s"$dir/data")
+      .agg(coalesce(sum(size(col("ids")).cast("long")), lit(0L)))
+      .head().getLong(0)
     tokenizer.foreach(t => TokenizerArtifact.save(spark, t, s"$dir/tokenizer"))
+    writeParams(spark, dir, capacity, sepId, nSequences, totalIds,
+      tokenizer.isDefined, targetFileBytes)
+    nSequences
+  }
+
+  /**
+   * Append a new document batch to an artifact saved by [[saveShards]] —
+   * the daily-ingest loop (the P81/P84b append discipline): the batch
+   * packs at `startOffset = total_ids(existing)`, so the result is
+   * BYTE-IDENTICAL to a one-shot save over old ++ new documents (provided
+   * `order` sorts the new batch after every already-packed document — the
+   * natural monotonic-id / ingest-date layout). The existing partial last
+   * sequence fills first: its file is rewritten under the
+   * [[graft.write.SwapFiles]] crash-safe swap (fresh files publish, the
+   * one old file deletes checked; an interrupted run is repaired by the
+   * next one); every other existing file is untouched. Manifest and
+   * params re-certify after the swap — a crash between swap and params
+   * leaves [[verifyShards]] failing loudly (never silent corruption).
+   * Returns the new sequence count.
+   */
+  def appendShards(df: DataFrame, idsCol: Column, order: Seq[Column],
+                   dir: String,
+                   storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): Long = {
+    val spark = df.sparkSession
+    val dataDir = s"$dir/data"
+    val dirPath = new Path(dataDir)
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    SwapFiles.recover(fs, dirPath)
+    val existing = loadShards(spark, dir)
+    val handle = UnpersistHandle()
+    val newPacked = Packing.packTokenIds(df, idsCol, order,
+        existing.capacity, existing.sepId, storageLevel, handle,
+        startOffset = existing.totalIds)
+      .persist(storageLevel)
+    try {
+      val stats = newPacked.agg(
+        count(lit(1)), coalesce(sum(size(col("ids")).cast("long")), lit(0L)),
+        coalesce(max(col("seq_id")), lit(-1L))).head()
+      if (stats.getLong(0) == 0L) return existing.nSequences
+      val appendedIds = stats.getLong(1)
+      val maxSeq = stats.getLong(2)
+      val lastSeqId = existing.nSequences - 1
+      val tailPartial = existing.nSequences > 0 &&
+        existing.totalIds < existing.nSequences * existing.capacity
+      val (tmpRows, oldFiles) = if (tailPartial) {
+        // the first new id lands INSIDE the old last sequence — merge it
+        // and rewrite (only) the file that holds it
+        val data = spark.read.parquet(dataDir)
+        val tailFiles = data.filter(col("seq_id") === lastSeqId)
+          .select(input_file_name()).distinct().collect().map(_.getString(0))
+        require(tailFiles.length == 1,
+          s"expected the tail sequence in exactly one file, found " +
+            s"${tailFiles.length}: ${tailFiles.mkString(", ")}")
+        val keptFromFile = data
+          .filter(input_file_name() === tailFiles.head &&
+            col("seq_id") =!= lastSeqId)
+          .select(col("seq_id"), col("ids"), col("n_docs"))
+        val oldTail = data.filter(col("seq_id") === lastSeqId)
+          .select(col("seq_id"), col("ids").as("__old_ids"),
+            col("n_docs").as("__old_docs"))
+        val merged = newPacked
+          .join(broadcast(oldTail), Seq("seq_id"), "left_outer")
+          .select(col("seq_id"),
+            when(col("__old_ids").isNotNull,
+              concat(col("__old_ids"), col("ids"))).otherwise(col("ids"))
+              .as("ids"),
+            (col("n_docs") + coalesce(col("__old_docs"), lit(0L)))
+              .as("n_docs"))
+        (keptFromFile.unionAll(merged), Seq(new Path(tailFiles.head)))
+      } else
+        (newPacked.select(col("seq_id"), col("ids"), col("n_docs")),
+          Seq.empty[Path])
+      val uuid = java.util.UUID.randomUUID().toString
+      val tmp = new Path(dirPath, s"_append_tmp_$uuid")
+      tmpRows.write.parquet(tmp.toString)
+      SwapFiles.publishAndDelete(fs, dirPath, tmp, "append", uuid, oldFiles)
+      Manifest.writeManifestFor(spark, dataDir)
+      writeParams(spark, dir, existing.capacity, existing.sepId,
+        maxSeq + 1, existing.totalIds + appendedIds,
+        existing.tokenizer.isDefined, targetFileBytesOf(spark, dir))
+      maxSeq + 1
+    } finally {
+      newPacked.unpersist()
+      handle.unpersist()
+    }
+  }
+
+  private def writeParams(spark: SparkSession, dir: String, capacity: Int,
+                          sepId: Int, nSequences: Long, totalIds: Long,
+                          hasTokenizer: Boolean,
+                          targetFileBytes: Long): Unit =
     // params last: their presence marks a COMPLETE artifact
     spark.range(1).select(
       lit(capacity).as("capacity"), lit(sepId).as("sep_id"),
-      lit(nSequences).as("n_sequences"),
-      lit(tokenizer.isDefined).as("has_tokenizer"),
+      lit(nSequences).as("n_sequences"), lit(totalIds).as("total_ids"),
+      lit(hasTokenizer).as("has_tokenizer"),
       lit(targetFileBytes).as("target_file_bytes"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
-    nSequences
-  }
+
+  private def targetFileBytesOf(spark: SparkSession, dir: String): Long =
+    spark.read.parquet(s"$dir/params").head()
+      .getAs[Long]("target_file_bytes")
 
   /** Load an artifact saved by [[saveShards]] — fails loudly when the
     * save never completed (missing `params/`). */
@@ -95,6 +194,7 @@ object Shards {
       capacity = p.getAs[Int]("capacity"),
       sepId = p.getAs[Int]("sep_id"),
       nSequences = p.getAs[Long]("n_sequences"),
+      totalIds = p.getAs[Long]("total_ids"),
       tokenizer =
         if (p.getAs[Boolean]("has_tokenizer"))
           Some(TokenizerArtifact.load(spark, s"$dir/tokenizer"))

@@ -23,11 +23,21 @@ class ShardsSuite extends AnyFunSuite with SparkTest {
   private lazy val model = ByteBpe.train(docs, col("text"), numMerges = 12)
   private lazy val sep = ByteBpe.vocabSize(model)
 
-  private def save(dir: String, capacity: Int = 16): Long =
-    Shards.saveShards(docs,
-      ByteBpe.encodeIds(coalesce(col("text"), lit("")), model),
+  private def enc = ByteBpe.encodeIds(coalesce(col("text"), lit("")), model)
+
+  private def saveDf(df: org.apache.spark.sql.DataFrame, dir: String,
+                     capacity: Int): Long =
+    Shards.saveShards(df, enc,
       Seq(col("doc_id")), capacity = capacity, sepId = sep, dir = dir,
       tokenizer = Some(TokenizerArtifact.Tokenizer(model, Seq("<|endoftext|>"))))
+
+  private def save(dir: String, capacity: Int = 16): Long =
+    saveDf(docs, dir, capacity)
+
+  private def packedRows(dir: String): Seq[(Long, Seq[Int], Long)] =
+    Shards.loadShards(spark, dir).data
+      .select(col("seq_id"), col("ids"), col("n_docs"))
+      .as[(Long, Seq[Int], Long)].collect().toSeq.sortBy(_._1)
 
   private def dataFiles(dir: String): Array[java.io.File] =
     new java.io.File(s"$dir/data").listFiles().filter(f =>
@@ -119,6 +129,51 @@ class ShardsSuite extends AnyFunSuite with SparkTest {
     val v = Shards.verifyShards(spark, dir).head()
     assert(v.getAs[Boolean]("manifest_ok"))
     assert(!v.getAs[Boolean]("dense_ok") && !v.getAs[Boolean]("all_ok"))
+  }
+
+  test("appendShards equals a one-shot save over the union corpus (partial-tail merge)") {
+    val dirA = java.nio.file.Files.createTempDirectory("shards-app").toString + "/s"
+    val dirB = java.nio.file.Files.createTempDirectory("shards-one").toString + "/s"
+    // capacity 16 leaves the first batch's last sequence partial, so the
+    // append must fill it in place (the SwapFiles rewrite path)
+    saveDf(docs.filter(col("doc_id") < 2), dirA, capacity = 16)
+    val before = Shards.loadShards(spark, dirA)
+    assert(before.totalIds < before.nSequences * 16) // partial tail
+    val n = Shards.appendShards(docs.filter(col("doc_id") >= 2), enc,
+      Seq(col("doc_id")), dirA)
+    saveDf(docs, dirB, capacity = 16)
+    assert(n == Shards.loadShards(spark, dirB).nSequences)
+    assert(packedRows(dirA) == packedRows(dirB))
+    val after = Shards.loadShards(spark, dirA)
+    assert(after.totalIds == Shards.loadShards(spark, dirB).totalIds)
+    assert(Shards.verifyShards(spark, dirA).head().getAs[Boolean]("all_ok"))
+    assert(roundTrip(dirA) ==
+      docs.as[(Long, String)].collect().toMap.filter(_._2.nonEmpty))
+  }
+
+  test("appendShards with an exactly-full tail takes the no-rewrite path") {
+    val dirA = java.nio.file.Files.createTempDirectory("shards-app1").toString + "/s"
+    val dirB = java.nio.file.Files.createTempDirectory("shards-one1").toString + "/s"
+    // capacity 1: every sequence is exactly full, so the append never
+    // rewrites an existing file — pure new-file publish
+    saveDf(docs.filter(col("doc_id") < 2), dirA, capacity = 1)
+    val before = Shards.loadShards(spark, dirA)
+    assert(before.totalIds == before.nSequences * 1)
+    Shards.appendShards(docs.filter(col("doc_id") >= 2), enc,
+      Seq(col("doc_id")), dirA)
+    saveDf(docs, dirB, capacity = 1)
+    assert(packedRows(dirA) == packedRows(dirB))
+    assert(Shards.verifyShards(spark, dirA).head().getAs[Boolean]("all_ok"))
+  }
+
+  test("appendShards of an empty batch is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("shards-app0").toString + "/s"
+    val n = save(dir)
+    val rows = packedRows(dir)
+    assert(Shards.appendShards(docs.filter(col("doc_id") < -1), enc,
+      Seq(col("doc_id")), dir) == n)
+    assert(packedRows(dir) == rows)
+    assert(Shards.verifyShards(spark, dir).head().getAs[Boolean]("all_ok"))
   }
 
   test("unpack QA budget guard fails fast past maxSequences") {
