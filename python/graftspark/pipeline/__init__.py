@@ -120,6 +120,7 @@ __all__ = [
     "byte_bpe_decode", "bpe_decode", "wordpiece_decode", "unigram_decode",
     "byte_bpe_encode_ids", "byte_bpe_decode_ids", "byte_bpe_vocab_size",
     "save_byte_bpe_vocab", "pack_token_ids", "unpack_token_ids",
+    "unpack_token_ids_range",
     "byte_bpe_encode_ids_special", "byte_bpe_decode_ids_special",
     "chat_render_template", "chat_render_messages_template",
     "chat_template", "chat_template_chatml", "template_specials_of",
@@ -749,6 +750,18 @@ def unpack_token_ids(packed: DataFrame, capacity: int,
     empty-stream document is absent)."""
     jdf = _bridge(packed).unpackTokenIds(packed._jdf, int(capacity),
                                          int(sep_id))
+    return DataFrame(jdf, packed.sparkSession)
+
+
+def unpack_token_ids_range(packed: DataFrame, capacity: int, sep_id: int,
+                           from_seq: int, until_seq: int) -> DataFrame:
+    """Range-restricted unpack_token_ids — the sampled-QA mode: re-split
+    ONLY sequences [from_seq, until_seq) and emit exactly the documents
+    COMPLETE inside the range with their ABSOLUTE doc_idx (separator
+    census stays O(sequences); only the range explodes to tokens)."""
+    jdf = _bridge(packed).unpackTokenIdsRange(
+        packed._jdf, int(capacity), int(sep_id), int(from_seq),
+        int(until_seq))
     return DataFrame(jdf, packed.sparkSession)
 
 

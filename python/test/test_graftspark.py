@@ -2019,6 +2019,12 @@ class GraftsparkTest(unittest.TestCase):
                 "doc_idx",
                 P.byte_bpe_decode_ids(col("ids"), model).alias("t")).collect()}
         self.assertEqual(back, {0: "one two three", 1: "four", 2: "five six"})
+        # range-restricted unpack: the whole range equals the full unpack
+        whole = {r["doc_idx"]: r["t"] for r in P.unpack_token_ids_range(
+            packed, 7, 261, 0, packed.count()).select(
+                "doc_idx",
+                P.byte_bpe_decode_ids(col("ids"), model).alias("t")).collect()}
+        self.assertEqual(whole, back)
 
     def test_pipeline_shards_and_templates(self):
         from graftspark import pipeline as P

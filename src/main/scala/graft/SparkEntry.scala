@@ -2271,6 +2271,27 @@ object SparkEntry {
         .crossJoin(broadcast(hEq))
     }),
 
+    // P37e range-restricted unpack — the sampled-QA mode for packs where
+    // full per-token unpacking is out of budget: decode ONLY sequences
+    // [2, 5) and the COMPLETE documents inside (left edge exact via the
+    // previous sequence's last-id peek, right edge via the separator
+    // census) must equal exactly the corpus rows whose absolute positions
+    // the oracle derives from the golden token counts.
+    "unpack_range" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(byteBpeHazards.toDF("doc_id", "text"))
+      val model = graft.text.ByteBpe.train(corpus, col("text"), numMerges = 80)
+      val sep = graft.text.ByteBpe.vocabSize(model)
+      val packed = graft.text.Packing.packTokenIds(docs,
+        graft.text.ByteBpe.encodeIds(coalesce(col("text"), lit("")), model),
+        Seq(col("doc_id")), capacity = 512, sepId = sep)
+      graft.text.Packing.unpackTokenIdsRange(packed, 512, sep,
+          fromSeq = 2, untilSeq = 5)
+        .select(col("doc_idx"),
+          graft.text.ByteBpe.decodeIds(col("ids"), model).as("decoded"))
+    }),
+
     // benchmark decontamination: drop documents sharing any 5-word shingle
     // with the synthetic blocklist (doc_id % 97 == 0); the blocklist shingle
     // set is broadcast, so the corpus side stays narrow.
@@ -5850,6 +5871,22 @@ object SparkEntry {
       // pack -> unpack -> decode == the raw table, byte for byte
       "pack_roundtrip" ->
         "SELECT doc_id, COALESCE(text, '') AS decoded FROM documents",
+
+      // the complete-docs-in-range rule derived from first principles:
+      // doc positions from the golden counts' running sum; complete in
+      // [2*512, 5*512) iff it starts at/after the left edge and its
+      // separator (start + n - 1) lands before the right edge; empty
+      // docs (n = 1, bare separator) emit nothing
+      "unpack_range" ->
+        ("WITH g AS (SELECT doc_id, n_byte_tokens + 1 AS n " +
+          s"FROM read_parquet('$goldenDir/byte_bpe_sf001.parquet') " +
+          "WHERE doc_id >= 0), " +
+          "c AS (SELECT doc_id, n, COALESCE(SUM(n) OVER (ORDER BY doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s, " +
+          "CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS doc_idx FROM g) " +
+          "SELECT c.doc_idx, COALESCE(d.text, '') AS decoded " +
+          "FROM c JOIN documents d USING (doc_id) " +
+          "WHERE c.s >= 2 * 512 AND c.s + c.n - 1 < 5 * 512 AND c.n > 1"),
 
       // the full SFT render replayed: scrub '<|', rebuild the transcript,
       // split/parse lines exactly as the chat CTE does, re-render

@@ -1799,4 +1799,10 @@ object PyBridge {
                             maxSequences: java.lang.Number): DataFrame =
     graft.text.Packing.unpackTokenIds(packed, capacity, sepId,
       maxSequences = maxSequences.longValue())
+
+  def unpackTokenIdsRange(packed: DataFrame, capacity: Int, sepId: Int,
+                          fromSeq: java.lang.Number,
+                          untilSeq: java.lang.Number): DataFrame =
+    graft.text.Packing.unpackTokenIdsRange(packed, capacity, sepId,
+      fromSeq.longValue(), untilSeq.longValue())
 }

@@ -171,4 +171,83 @@ object Packing {
         x => x.getField("__id")).as("ids"))
       .select(col("doc_idx"), col("ids"))
   }
+
+  /**
+   * Range-restricted [[unpackTokenIds]] — the sampled-QA mode for packs
+   * where full per-token unpacking is out of budget: re-split ONLY the
+   * sequences `[fromSeq, untilSeq)` and emit exactly the documents that
+   * are COMPLETE inside the range (first id at or after the range start,
+   * separator before the range end), with their ABSOLUTE `doc_idx` — so
+   * a QA pass can decode any slice of a 100 TB pack and byte-compare it
+   * against the corresponding corpus rows, never touching the rest.
+   *
+   * Exactness at the edges costs two cheap lookups, both O(sequences) or
+   * O(1), never per-token outside the range:
+   *  - the separator census + global prefix sum still run over ALL
+   *    sequences (one narrow `size(filter(...))` per row — no explode),
+   *    so `doc_idx` is absolute;
+   *  - whether the range STARTS on a document boundary is read off the
+   *    last id of sequence `fromSeq - 1` (one row): if it is the
+   *    separator, the in-progress-doc at the boundary actually starts
+   *    fresh and is kept; otherwise that first document straddles in and
+   *    is dropped. Documents straddling out are dropped by the
+   *    right-edge census bound (their separator lies beyond the range).
+   */
+  def unpackTokenIdsRange(
+      packed: DataFrame,
+      capacity: Int,
+      sepId: Int,
+      fromSeq: Long,
+      untilSeq: Long,
+      storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      unpersistHandle: UnpersistHandle = UnpersistHandle.Noop): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    require(fromSeq >= 0 && fromSeq < untilSeq,
+      s"bad sequence range: [$fromSeq, $untilSeq)")
+    val perSeq = packed.select(col("seq_id"),
+      size(filter(col("ids"), i => i === sepId)).cast("long").as("__nsep"))
+    val offsets = PrefixSum.withRunningTotal(perSeq, col("__nsep"),
+      Seq(col("seq_id")), "__sepsBefore",
+      exclusive = true, storageLevel, unpersistHandle)
+      .select(col("seq_id"), col("__sepsBefore"))
+    // left-edge alignment + census bounds: three driver-sized scalars
+    val bounds = perSeq.agg(
+      coalesce(sum(when(col("seq_id") < fromSeq, col("__nsep"))), lit(0L)),
+      coalesce(sum(when(col("seq_id") < untilSeq, col("__nsep"))), lit(0L)))
+      .head()
+    val sepsBeforeFrom = bounds.getLong(0)
+    val sepsBeforeUntil = bounds.getLong(1)
+    val aligned = fromSeq == 0 || {
+      // `get` (0-based, null out-of-bounds) instead of element_at(-1):
+      // ANSI mode errors on out-of-bounds, and a defensive null beats a
+      // crash if a corrupt pack carries an empty sequence
+      val prev = packed.filter(col("seq_id") === fromSeq - 1)
+        .select(get(col("ids"), size(col("ids")) - 1).as("__last")).collect()
+      require(prev.length == 1,
+        s"sequence ${fromSeq - 1} not found (dense seq_ids expected)")
+      !prev.head.isNullAt(0) && prev.head.getInt(0) == sepId
+    }
+    val minDocIdx = if (aligned) sepsBeforeFrom else sepsBeforeFrom + 1
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seq_id")).orderBy(col("__pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    packed
+      .filter(col("seq_id") >= fromSeq && col("seq_id") < untilSeq)
+      .select(col("seq_id"), posexplode(col("ids")).as(Seq("__pos", "__id")))
+      .join(offsets, "seq_id")
+      .withColumn("__docIdx", col("__sepsBefore") +
+        coalesce(sum(when(col("__id") === sepId, 1L)).over(w), lit(0L)))
+      .filter(col("__id") =!= sepId)
+      // complete docs only: started inside the range (left edge exact via
+      // the alignment peek), separator inside the range (right edge via
+      // the census bound)
+      .filter(col("__docIdx") >= minDocIdx &&
+        col("__docIdx") < sepsBeforeUntil)
+      .withColumn("__gpos", col("seq_id") * capacity + col("__pos"))
+      .groupBy(col("__docIdx").as("doc_idx"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__gpos"), col("__id")))),
+        x => x.getField("__id")).as("ids"))
+      .select(col("doc_idx"), col("ids"))
+  }
 }

@@ -176,6 +176,36 @@ class ShardsSuite extends AnyFunSuite with SparkTest {
     assert(Shards.verifyShards(spark, dir).head().getAs[Boolean]("all_ok"))
   }
 
+  test("unpackTokenIdsRange keeps exactly the complete docs of the range") {
+    // capacity 1: one id per sequence, so doc k occupies sequences
+    // [start_k, start_k + n_k - 1] and every boundary case is explicit
+    val packed = Packing.packTokenIds(docs, enc,
+      Seq(col("doc_id")), capacity = 1, sepId = sep).cache()
+    val nSeq = packed.count()
+    val full = Packing.unpackTokenIds(packed, 1, sep)
+      .as[(Long, Seq[Int])].collect().toMap
+    // the whole range equals the full unpack
+    val whole = Packing.unpackTokenIdsRange(packed, 1, sep, 0, nSeq)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(whole == full)
+    // doc starts (ids + 1 separator each) in pack order
+    val lens = docs.orderBy("doc_id")
+      .select(size(enc) + 1).as[Int].collect().map(_.toLong)
+    val starts = lens.scanLeft(0L)(_ + _).init
+    // a range beginning exactly at doc 1's start keeps doc 1 (aligned
+    // left edge) and every doc that also ENDS inside
+    val from = starts(1)
+    val until = starts(3) // docs 1 and 2 complete, doc 3 straddles out
+    val mid = Packing.unpackTokenIdsRange(packed, 1, sep, from, until)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(mid == full.view.filterKeys(k => k == 1L).toMap) // doc 2 is empty
+    // a range beginning MID-document drops the straddler
+    val inner = Packing.unpackTokenIdsRange(packed, 1, sep, from + 1, until)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(inner.isEmpty)
+    packed.unpersist()
+  }
+
   test("unpack QA budget guard fails fast past maxSequences") {
     val packed = Packing.packTokenIds(docs,
       ByteBpe.encodeIds(coalesce(col("text"), lit("")), model),
