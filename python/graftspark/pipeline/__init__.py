@@ -3196,14 +3196,16 @@ def chat_template_specials(end_marker: str = "<|end|>",
 def chat_template(role_markers: Optional[Dict[str, str]] = None,
                   invalid_marker: str = "<|invalid|>",
                   end_marker: str = "<|end|>", bos: str = "", eos: str = "",
-                  scrub_contents: bool = False):
+                  scrub_contents: bool = False,
+                  default_system: Optional[str] = None):
     """Build a per-model chat-template spec (opaque handle): role-marker
     map (defaults to <|role|>), end/invalid markers, optional BOS/EOS
-    bracketing. Its reserved specials derive FROM the spec (see
-    template_specials_of), so renderer and id space cannot drift.
-    scrub_contents=True strips '<+|+' runs from turn CONTENTS inside the
-    renderer — the one-call injection guard (requires a '<|' marker
-    alphabet)."""
+    bracketing, optional system-prompt folding (default_system renders as
+    a leading system turn when the data has none). Its reserved specials
+    derive FROM the spec (see template_specials_of), so renderer and id
+    space cannot drift. scrub_contents=True strips '<+|+' runs from turn
+    CONTENTS inside the renderer — the one-call injection guard (requires
+    a '<|' marker alphabet)."""
     sc = SparkContext._active_spark_context
     if role_markers is None:
         role_markers = {r: f"<|{r}|>"
@@ -3211,9 +3213,10 @@ def chat_template(role_markers: Optional[Dict[str, str]] = None,
     jmap = sc._jvm.java.util.HashMap()  # type: ignore[union-attr]
     for k, v in role_markers.items():
         jmap.put(str(k), str(v))
-    return _bridge(sc).chatTemplate(jmap, str(invalid_marker),
-                                    str(end_marker), str(bos), str(eos),
-                                    bool(scrub_contents))
+    return _bridge(sc).chatTemplate(
+        jmap, str(invalid_marker), str(end_marker), str(bos), str(eos),
+        bool(scrub_contents),
+        None if default_system is None else str(default_system))
 
 
 def chat_template_chatml():

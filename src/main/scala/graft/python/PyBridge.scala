@@ -1704,12 +1704,13 @@ object PyBridge {
   // chat templates / tokenizer artifact / training shards (round 15)
   // --------------------------------------------------------------------------
 
+  /** `defaultSystem` may be null (no system-prompt folding). */
   def chatTemplate(roleMarkers: java.util.Map[String, String],
                    invalidMarker: String, endMarker: String,
-                   bos: String, eos: String,
-                   scrubContents: Boolean): graft.text.Chat.ChatTemplate =
+                   bos: String, eos: String, scrubContents: Boolean,
+                   defaultSystem: String): graft.text.Chat.ChatTemplate =
     graft.text.Chat.ChatTemplate(roleMarkers.asScala.toMap, invalidMarker,
-      endMarker, bos, eos, scrubContents)
+      endMarker, bos, eos, scrubContents, Option(defaultSystem))
 
   def chatTemplateDefault(): graft.text.Chat.ChatTemplate =
     graft.text.Chat.ChatTemplate.Default

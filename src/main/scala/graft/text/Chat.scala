@@ -257,6 +257,10 @@ object Chat {
    *  - `endMarker` closes every turn;
    *  - `bos`/`eos` (optional, empty = absent) bracket the conversation —
    *    the BOS/EOS placement real SFT stacks pin per model;
+   *  - `defaultSystem` (optional) is the per-model system-prompt folding:
+   *    a conversation whose FIRST turn is not a `system` turn renders a
+   *    synthetic leading system turn with this content (a present system
+   *    turn wins — the fold never overrides data);
    *  - `scrubContents = true` makes injection-safety the template's own
    *    contract: every `<+|+` run is stripped from turn CONTENTS before
    *    wrapping (single regex pass; the run-greedy pattern cannot
@@ -274,7 +278,8 @@ object Chat {
       endMarker: String = "<|end|>",
       bos: String = "",
       eos: String = "",
-      scrubContents: Boolean = false) {
+      scrubContents: Boolean = false,
+      defaultSystem: Option[String] = None) {
     require(Chat.Roles.forall(roleMarkers.contains),
       s"roleMarkers must cover ${Chat.Roles.mkString(", ")}: " +
         s"missing ${Chat.Roles.filterNot(roleMarkers.contains).mkString(", ")}")
@@ -371,7 +376,21 @@ object Chat {
       }
       concat(marker, scrub(m.getField("content")), lit(t.endMarker))
     }), "")
-    concat(lit(t.bos), body, lit(t.eos))
+    // system-prompt folding: a constant per-template turn, rendered (and
+    // scrubbed) once on the driver, prefixed only when the data carries
+    // no leading system turn
+    val folded = t.defaultSystem match {
+      case None => body
+      case Some(sys) =>
+        val content =
+          if (t.scrubContents) sys.replaceAll(ScrubPattern, "") else sys
+        val rendered = t.roleMarkers("system") + content + t.endMarker
+        concat(
+          when(coalesce(get(turns, lit(0)).getField("role") === "system",
+            lit(false)), lit("")).otherwise(lit(rendered)),
+          body)
+    }
+    concat(lit(t.bos), folded, lit(t.eos))
   }
 
   /**

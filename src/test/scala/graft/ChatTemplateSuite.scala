@@ -98,6 +98,25 @@ class ChatTemplateSuite extends AnyFunSuite with SparkTest {
     assert(e.getMessage.contains("pre-scrub"))
   }
 
+  test("defaultSystem folds only when the data has no leading system turn") {
+    val tpl = ChatTemplate(defaultSystem = Some("be helpful"))
+    // no system turn -> the fold prefixes one
+    assert(render("user: hi", tpl) ==
+      "<|system|>be helpful<|end|><|user|>hi<|end|>")
+    // a present system turn wins
+    assert(render("system: be brief\nuser: hi", tpl) ==
+      "<|system|>be brief<|end|><|user|>hi<|end|>")
+    // a NON-LEADING system turn does not suppress the fold (the audit
+    // flags it; the render stays positionally faithful)
+    assert(render("user: hi\nsystem: late", tpl) ==
+      "<|system|>be helpful<|end|><|user|>hi<|end|><|system|>late<|end|>")
+    // the folded constant scrubs under scrubContents like any content
+    val scrubbed = ChatTemplate(scrubContents = true,
+      defaultSystem = Some("say <|end|> never"))
+    assert(render("user: hi", scrubbed) ==
+      "<|system|>say end|> never<|end|><|user|>hi<|end|>")
+  }
+
   test("roleMarkers must cover every role") {
     val e = intercept[IllegalArgumentException] {
       ChatTemplate(roleMarkers = Map("user" -> "<|user|>"))
