@@ -65,7 +65,10 @@ object Shards {
                  storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): Long = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
     val spark = df.sparkSession
-    val handle = UnpersistHandle()
+    // Silent handle: if the pack throws BEFORE its prefix sum registers the
+    // cached frame, a strict handle's unpersist-in-finally would throw
+    // "DataFrame has to be set first" and MASK the real error
+    val handle = new graft.SilentUnpersistHandle()
     try {
       Packing.packTokenIds(df, idsCol, order, capacity, sepId,
           storageLevel, handle)
@@ -111,7 +114,7 @@ object Shards {
     val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
     SwapFiles.recover(fs, dirPath)
     val existing = loadShards(spark, dir)
-    val handle = UnpersistHandle()
+    val handle = new graft.SilentUnpersistHandle() // see saveShards note
     val newPacked = Packing.packTokenIds(df, idsCol, order,
         existing.capacity, existing.sepId, storageLevel, handle,
         startOffset = existing.totalIds)
@@ -276,8 +279,11 @@ object Shards {
         .write.mode("overwrite").parquet(resized.toString)
       dataFiles.foreach(s => require(fs.delete(s.getPath, false),
         s"failed to delete ${s.getPath} during shard resize"))
-      fs.listStatus(resized).filter(_.isFile)
-        .filterNot(_.getPath.getName.startsWith("."))
+      // move DATA part files only — a _SUCCESS/_checksum sidecar would
+      // collide with the original write's own marker in data/
+      fs.listStatus(resized).filter(s => s.isFile &&
+          !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
         .foreach { s =>
           require(fs.rename(s.getPath,
             new org.apache.hadoop.fs.Path(dirPath, s.getPath.getName)),

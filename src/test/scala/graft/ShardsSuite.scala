@@ -76,8 +76,8 @@ class ShardsSuite extends AnyFunSuite with SparkTest {
     val loaded = Shards.loadShards(spark, dir)
     assert(loaded.capacity == 16 && loaded.sepId == sep)
     assert(loaded.nSequences == n && n > 1)
-    // the tiny corpus is far under targetFileBytes, so the sizing rewrite
-    // fires and lands everything in ONE range-clustered file
+    // the tiny corpus lands in one file (AQE coalesces the agg output;
+    // the 128 MB target agrees, so no rewrite fires here)
     assert(dataFiles(dir).length == 1)
     val v = Shards.verifyShards(spark, dir).head()
     assert(v.getAs[Boolean]("all_ok") && v.getAs[Boolean]("manifest_ok") &&
@@ -86,6 +86,21 @@ class ShardsSuite extends AnyFunSuite with SparkTest {
     val expected = docs.as[(Long, String)].collect().toMap
     // empty doc emits nothing from unpack — every non-empty one must match
     assert(back == expected.filter(_._2.nonEmpty))
+  }
+
+  test("the sizing rewrite fires when files are off target and still verifies") {
+    val dir = java.nio.file.Files.createTempDirectory("shards-resize").toString + "/s"
+    // a 64-byte target forces the upward rewrite even on this tiny pack
+    // (the bench at sf0.1 caught a _SUCCESS move collision on exactly
+    // this path — keep it genuinely exercised)
+    Shards.saveShards(docs, enc, Seq(col("doc_id")),
+      capacity = 4, sepId = sep, dir = dir,
+      tokenizer = Some(TokenizerArtifact.Tokenizer(model, Seq("<|endoftext|>"))),
+      targetFileBytes = 64L)
+    assert(dataFiles(dir).length > 1) // the rewrite actually ran
+    assert(Shards.verifyShards(spark, dir).head().getAs[Boolean]("all_ok"))
+    assert(roundTrip(dir) ==
+      docs.as[(Long, String)].collect().toMap.filter(_._2.nonEmpty))
   }
 
   test("a half-finished save fails loudly at load (params last)") {
