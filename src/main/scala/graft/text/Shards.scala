@@ -207,23 +207,36 @@ object Shards {
   /**
    * Certify a shard directory before training on it — one row:
    * `(files, total_rows, manifest_ok, n_sequences, dense_ok, sized_ok,
-   * all_ok)`.
+   * ids_ok, all_ok)`.
    *
    *  - `manifest_ok` — every data file present, row-count- and
    *    fingerprint-identical to the manifest (P92);
    *  - `dense_ok`    — `seq_id`s run 0..n-1 with the count params
    *    recorded (a lost/duplicated SEQUENCE, not just file bytes);
    *  - `sized_ok`    — every sequence holds exactly `capacity` ids except
-   *    at most the last (the boundary contract trainers rely on).
+   *    at most the last (the boundary contract trainers rely on);
+   *  - `ids_ok`      — with a bundled tokenizer: every id (separators
+   *    included) lies in `[0, vocabSize)` — the embedding-lookup bound a
+   *    trainer would otherwise discover by crashing mid-epoch. Packs
+   *    whose `sepId` is NOT one of the tokenizer's reserved ids fail
+   *    this check by design (ship the separator as a reserved special,
+   *    the composition the gates use). `true` when no tokenizer is
+   *    bundled (no bound to check against).
    *
    * Cost: the manifest verify's one data read plus one aggregate over
-   * `(seq_id, size(ids))` — both O(data) scans with per-file/US-sized
-   * state, driver never sees rows.
+   * `(seq_id, size(ids), min/max id)` — both O(data) scans with
+   * per-file-sized state, driver never sees rows.
    */
   def verifyShards(spark: SparkSession, dir: String): DataFrame = {
     val shards = loadShards(spark, dir)
     val manifest = Manifest.verifySummary(spark, s"$dir/data")
       .select(col("files"), col("total_rows"), col("all_ok").as("manifest_ok"))
+    val idsOk = shards.tokenizer match {
+      case Some(tok) =>
+        coalesce(min(array_min(col("ids"))), lit(0)) >= 0 &&
+          coalesce(max(array_max(col("ids"))), lit(-1)) < tok.vocabSize
+      case None => lit(true)
+    }
     val structure = shards.data
       .agg(
         count(lit(1)).as("n_sequences"),
@@ -233,7 +246,8 @@ object Shards {
         sum(when(size(col("ids")) =!= shards.capacity, 1L).otherwise(0L))
           .as("__off_size"),
         max(when(size(col("ids")) =!= shards.capacity, col("seq_id")))
-          .as("__off_seq"))
+          .as("__off_seq"),
+        idsOk.as("ids_ok"))
       .select(
         col("n_sequences"),
         (col("n_sequences") === lit(shards.nSequences) &&
@@ -242,10 +256,12 @@ object Shards {
           col("__distinct") === col("n_sequences")).as("dense_ok"),
         (col("__off_size") === 0L ||
           (col("__off_size") === 1L && col("__off_seq") === col("__max")))
-          .as("sized_ok"))
+          .as("sized_ok"),
+        col("ids_ok"))
     manifest.crossJoin(broadcast(structure))
       .withColumn("all_ok",
-        col("manifest_ok") && col("dense_ok") && col("sized_ok"))
+        col("manifest_ok") && col("dense_ok") && col("sized_ok") &&
+          col("ids_ok"))
   }
 
   /** Shard QA from disk: load and re-split into per-document id arrays

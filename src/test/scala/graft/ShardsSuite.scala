@@ -123,6 +123,31 @@ class ShardsSuite extends AnyFunSuite with SparkTest {
     assert(!v.getAs[Boolean]("manifest_ok") && !v.getAs[Boolean]("all_ok"))
   }
 
+  test("an out-of-vocab id flips ids_ok even with a consistent manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("shards-oov").toString + "/s"
+    save(dir)
+    val vocabBound = 256 + 12 + 1 // merges + the <|endoftext|> special
+    val poisoned = spark.read.parquet(s"$dir/data")
+      .withColumn("ids", transform(col("ids"),
+        (x, i) => when(col("seq_id") === 0 && i === 0, lit(vocabBound))
+          .otherwise(x)))
+      .cache()
+    poisoned.count()
+    poisoned.write.mode("overwrite").parquet(s"$dir/data2")
+    poisoned.unpersist()
+    val target = new java.io.File(s"$dir/data")
+    target.listFiles().foreach(f => if (f.isFile) f.delete())
+    new java.io.File(s"$dir/data2").listFiles().foreach { f =>
+      if (f.isFile && !f.getName.startsWith("."))
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(target, f.getName).toPath)
+    }
+    Manifest.writeManifestFor(spark, s"$dir/data")
+    val v = Shards.verifyShards(spark, dir).head()
+    assert(v.getAs[Boolean]("manifest_ok") && v.getAs[Boolean]("dense_ok"))
+    assert(!v.getAs[Boolean]("ids_ok") && !v.getAs[Boolean]("all_ok"))
+  }
+
   test("a lost sequence flips dense_ok even with a consistent manifest") {
     val dir = java.nio.file.Files.createTempDirectory("shards-lost").toString + "/s"
     save(dir, capacity = 4)
