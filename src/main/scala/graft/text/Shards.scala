@@ -129,7 +129,7 @@ object Shards {
       val lastSeqId = existing.nSequences - 1
       val tailPartial = existing.nSequences > 0 &&
         existing.totalIds < existing.nSequences * existing.capacity
-      val (tmpRows, oldFiles) = if (tailPartial) {
+      val (tmpRows, oldFiles, oldFileNames) = if (tailPartial) {
         // the first new id lands INSIDE the old last sequence — merge it
         // and rewrite (only) the file that holds it
         val data = spark.read.parquet(dataDir)
@@ -153,15 +153,20 @@ object Shards {
               .as("ids"),
             (col("n_docs") + coalesce(col("__old_docs"), lit(0L)))
               .as("n_docs"))
-        (keptFromFile.unionAll(merged), Seq(new Path(tailFiles.head)))
+        (keptFromFile.unionAll(merged), Seq(new Path(tailFiles.head)),
+          Seq(tailFiles.head))
       } else
         (newPacked.select(col("seq_id"), col("ids"), col("n_docs")),
-          Seq.empty[Path])
+          Seq.empty[Path], Seq.empty[String])
       val uuid = java.util.UUID.randomUUID().toString
       val tmp = new Path(dirPath, s"_append_tmp_$uuid")
       tmpRows.write.parquet(tmp.toString)
-      SwapFiles.publishAndDelete(fs, dirPath, tmp, "append", uuid, oldFiles)
-      Manifest.writeManifestFor(spark, dataDir)
+      val published =
+        SwapFiles.publishAndDelete(fs, dirPath, tmp, "append", uuid, oldFiles)
+      // incremental certification: fingerprint ONLY the published files —
+      // the untouched artifact's manifest rows stand, keeping the append
+      // O(batch + tail) instead of O(artifact)
+      Manifest.updateManifestFor(spark, dataDir, published, oldFileNames)
       writeParams(spark, dir, existing.capacity, existing.sepId,
         maxSeq + 1, existing.totalIds + appendedIds,
         existing.tokenizer.isDefined, targetFileBytesOf(spark, dir))

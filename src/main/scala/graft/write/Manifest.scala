@@ -63,6 +63,37 @@ object Manifest {
       .write.mode("overwrite").parquet(manifestPath(dir))
 
   /**
+   * INCREMENTAL manifest update after an in-place append/swap: drop the
+   * rows of `removedFiles`, fingerprint ONLY `addedFiles` (one scan of the
+   * new bytes — never the untouched artifact), keep every other row
+   * verbatim. This is what keeps a daily append O(batch): a 100 TB
+   * artifact's certification cost must not be paid again for a 100 GB
+   * increment. The merged sidecar is byte-equivalent to a full
+   * [[writeManifestFor]] because the per-file summaries are independent —
+   * [[verifyManifest]] recomputes from the actual files and would expose
+   * any drift.
+   */
+  def updateManifestFor(spark: SparkSession, dir: String,
+                        addedFiles: Seq[String],
+                        removedFiles: Seq[String]): Unit = {
+    val removed = removedFiles.toSet
+    val kept = readManifest(spark, dir)
+      .filter(!col("file").isin(removed.toSeq: _*))
+      .select(col("file"), col("rows"), col("fingerprint"))
+    val added =
+      if (addedFiles.isEmpty) None
+      else Some(spark.read.parquet(addedFiles: _*)
+        .select(input_file_name().as("file"),
+          xxhash64(to_json(struct(col("*")))).as("h"))
+        .groupBy("file")
+        .agg(count(lit(1)).as("rows"), bit_xor(col("h")).as("fingerprint")))
+    val merged = added.map(kept.unionAll).getOrElse(kept)
+    // the old sidecar feeds the new one: break lineage before overwrite
+    val rows = merged.localCheckpoint(true)
+    rows.write.mode("overwrite").parquet(manifestPath(dir))
+  }
+
+  /**
    * Verify `dir` against its manifest: one row per file seen on EITHER
    * side with `(file, rows_expected, rows_actual, fp_expected, fp_actual,
    * ok)` — a missing file, an extra file, a row-count drift, or a content
