@@ -75,7 +75,7 @@ object ScaleProbe {
       "warc_ingest", "warc_curation", "scd2_history", "scd2_versions",
       "deletion_scrub", "length_buckets", "watermark_plan", "linkage",
       "funnel", "chat_trim", "chat_neardup", "byte_bpe_decode",
-      "retention_hll", "pack_ids")
+      "retention_hll", "pack_ids", "pack_append")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -1510,10 +1510,11 @@ object ScaleProbe {
     // --- shard writer: n x the corpus through encode-ids + pack; the
     // full-sequence invariant is require-asserted (every seq = capacity
     // ids except the last), so boundary arithmetic is re-proven at n ----
-    if (enabled("pack_ids")) {
+    if (enabled("pack_ids") || enabled("pack_append")) {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val model = graft.text.ByteBpe.train(docs, col("text"), numMerges = 80)
       val sep = graft.text.ByteBpe.vocabSize(model)
+      if (enabled("pack_ids")) {
       val big = amplify(docs, n)
         .select((col("doc_id") + col("__rep") * 1000000L).as("doc_id"),
           concat(col("text"), lit(" r"), col("__rep").cast("string")).as("text"))
@@ -1526,6 +1527,44 @@ object ScaleProbe {
         packed.count()
       }
       report("pack_ids", seqs, tP)
+      }
+
+      // append cost must track the BATCH, not the artifact: save a 1x and
+      // an n-times artifact (many files via a small target so the tail
+      // file stays one sized file, as at real scale), then append the
+      // SAME fixed batch to each — the incremental manifest + tail-only
+      // rewrite keep the two times comparable; a full-artifact re-read
+      // anywhere would make the n-times append ~n-times slower
+      if (enabled("pack_append")) {
+        val batch = docs
+          .select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
+          .filter(col("doc_id") % 50 === 0)
+        val batchRows = batch.count()
+        def appendCost(mult: Int): Double = {
+          val dir = java.nio.file.Files
+            .createTempDirectory("probe-shards").toString + "/s"
+          val base =
+            if (mult == 1) docs
+            else amplify(docs, mult)
+              .select((col("doc_id") + col("__rep") * 1000000L).as("doc_id"),
+                concat(col("text"), lit(" r"), col("__rep").cast("string"))
+                  .as("text"))
+          graft.text.Shards.saveShards(base,
+            graft.text.ByteBpe.encodeIds(coalesce(col("text"), lit("")), model),
+            Seq(col("doc_id")), capacity = 2048, sepId = sep, dir = dir,
+            targetFileBytes = 1L * 1024 * 1024)
+          val (_, t) = time {
+            graft.text.Shards.appendShards(batch,
+              graft.text.ByteBpe.encodeIds(coalesce(col("text"), lit("")), model),
+              Seq(col("doc_id")), dir)
+          }
+          t
+        }
+        val t1 = appendCost(1)
+        val tn = appendCost(n)
+        reportAlways("pack_append_1x", batchRows, t1)
+        reportAlways("pack_append_nx", batchRows, tn)
+      }
 
       // cross-partitioning shard determinism: the artifact's whole value
       // is byte-identical shards from ANY input partitioning — pack the
@@ -1533,6 +1572,7 @@ object ScaleProbe {
       // canonical (seq_id, ids, n_docs) content hash identical
       // (order-insensitive bit_xor of per-row xxhash64 — the P92
       // fingerprint construction). require-asserted, not just reported.
+      if (enabled("pack_ids")) {
       val (detOk, tDet) = time {
         def packHash(parts: Int): Long =
           graft.text.Packing.packTokenIds(docs.repartition(parts),
@@ -1547,6 +1587,7 @@ object ScaleProbe {
         1L
       }
       reportAlways("pack_ids_det", detOk, tDet)
+      }
     }
 
     // --- retention tiers: n x events with shifted users (distinct users
