@@ -131,18 +131,23 @@ object Shards {
         existing.totalIds < existing.nSequences * existing.capacity
       val (tmpRows, oldFiles, oldFileNames) = if (tailPartial) {
         // the first new id lands INSIDE the old last sequence — merge it
-        // and rewrite (only) the file that holds it
-        val data = spark.read.parquet(dataDir)
-        val tailFiles = data.filter(col("seq_id") === lastSeqId)
+        // and rewrite (only) the file that holds it. Locating that file
+        // pushes `seq_id = last` into the scan (row groups prune on the
+        // range-clustered stats — footer-bound); every subsequent read
+        // targets THE ONE FILE directly, never the artifact (an
+        // input_file_name row-filter over the whole directory would be an
+        // O(artifact) scan at 100 TB)
+        val tailFiles = spark.read.parquet(dataDir)
+          .filter(col("seq_id") === lastSeqId)
           .select(input_file_name()).distinct().collect().map(_.getString(0))
         require(tailFiles.length == 1,
           s"expected the tail sequence in exactly one file, found " +
             s"${tailFiles.length}: ${tailFiles.mkString(", ")}")
-        val keptFromFile = data
-          .filter(input_file_name() === tailFiles.head &&
-            col("seq_id") =!= lastSeqId)
+        val tailFileDf = spark.read.parquet(tailFiles.head)
+        val keptFromFile = tailFileDf
+          .filter(col("seq_id") =!= lastSeqId)
           .select(col("seq_id"), col("ids"), col("n_docs"))
-        val oldTail = data.filter(col("seq_id") === lastSeqId)
+        val oldTail = tailFileDf.filter(col("seq_id") === lastSeqId)
           .select(col("seq_id"), col("ids").as("__old_ids"),
             col("n_docs").as("__old_docs"))
         val merged = newPacked
