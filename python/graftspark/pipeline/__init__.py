@@ -126,6 +126,7 @@ __all__ = [
     "chat_template", "chat_template_chatml", "template_specials_of",
     "chat_render_template_spec", "chat_render_messages_template_spec",
     "tokenizer", "save_tokenizer", "load_tokenizer",
+    "save_tokenizer_with_fertility", "load_tokenizer_fertility",
     "tokenizer_encode_ids", "tokenizer_decode_ids", "tokenizer_token_count",
     "tokenizer_vocab_size", "tokenizer_specials",
     "save_shards", "load_shards", "verify_shards", "unpack_shards",
@@ -3264,6 +3265,22 @@ def load_tokenizer(spark: SparkSession, path: str):
     every piece count against the params row."""
     return _bridge(spark.range(1)).loadTokenizer(spark._jsparkSession,
                                                  str(path))
+
+
+def save_tokenizer_with_fertility(spark: SparkSession, tok, path: str,
+                                  fertility: DataFrame) -> None:
+    """save_tokenizer bundling the training-corpus fertility report as
+    provenance (loaded back with load_tokenizer_fertility)."""
+    _bridge(spark.range(1)).saveTokenizerWithFertility(
+        spark._jsparkSession, tok, str(path), fertility._jdf)
+
+
+def load_tokenizer_fertility(spark: SparkSession,
+                             path: str) -> Optional[DataFrame]:
+    """The bundled fertility report, or None when the artifact has none."""
+    jdf = _bridge(spark.range(1)).loadTokenizerFertility(
+        spark._jsparkSession, str(path))
+    return None if jdf is None else DataFrame(jdf, spark)
 
 
 def tokenizer_encode_ids(tok, text: ColumnOrName) -> Column:

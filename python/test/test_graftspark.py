@@ -2037,8 +2037,11 @@ class GraftsparkTest(unittest.TestCase):
         self.assertEqual(P.tokenizer_vocab_size(tok), 262)
         self.assertEqual(P.tokenizer_specials(tok), ["<|endoftext|>"])
         d = tempfile.mkdtemp()
-        P.save_tokenizer(self.spark, tok, d + "/tok")
+        fert = self.spark.createDataFrame([("all", 3)], ["grp", "n_docs"])
+        P.save_tokenizer_with_fertility(self.spark, tok, d + "/tok", fert)
         loaded = P.load_tokenizer(self.spark, d + "/tok")
+        got = P.load_tokenizer_fertility(self.spark, d + "/tok")
+        self.assertEqual(got.collect(), fert.collect())
         for r in docs.select(
                 col("t"),
                 P.tokenizer_decode_ids(loaded, P.tokenizer_encode_ids(

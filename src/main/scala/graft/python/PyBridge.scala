@@ -1742,6 +1742,15 @@ object PyBridge {
                     dir: String): graft.text.TokenizerArtifact.Tokenizer =
     graft.text.TokenizerArtifact.load(spark, dir)
 
+  def saveTokenizerWithFertility(spark: SparkSession,
+                                 tok: graft.text.TokenizerArtifact.Tokenizer,
+                                 dir: String, fertility: DataFrame): Unit =
+    graft.text.TokenizerArtifact.save(spark, tok, dir, Some(fertility))
+
+  /** null when the artifact carries no fertility report. */
+  def loadTokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TokenizerArtifact.loadFertility(spark, dir).orNull
+
   def tokenizerEncodeIds(tok: graft.text.TokenizerArtifact.Tokenizer,
                          text: Column): Column = tok.encodeIds(text)
 

@@ -20,7 +20,14 @@ import org.apache.spark.sql.{Column, SparkSession}
  *                  complete id space a consumer reads like a GPT-2
  *                  vocab.json;
  *  - `specials/` — `(idx, token)`, idx = the reserved-id offset;
- *  - `params/`   — one row `(num_merges, num_specials, vocab_size)`
+ *  - `fertility/` (optional) — the training-corpus fertility report
+ *                  ([[CorpusStats.tokenizerFertility]]) as provenance:
+ *                  which corpus shaped these merges and at what
+ *                  tokens-per-char cost — riding along so the one
+ *                  directory answers "should I reuse this tokenizer for
+ *                  that corpus?" without a side channel;
+ *  - `params/`   — one row `(num_merges, num_specials, vocab_size,
+ *                  has_fertility)`
  *                  written LAST: its presence marks a complete artifact,
  *                  so a half-finished save fails loudly at load time (the
  *                  [[graft.dedup.DedupIndex]] discipline), and load
@@ -61,8 +68,11 @@ object TokenizerArtifact {
       size(encodeIds(text)).cast("long")
   }
 
-  /** Persist `tokenizer` under `dir`; `params/` lands last. */
-  def save(spark: SparkSession, tokenizer: Tokenizer, dir: String): Unit = {
+  /** Persist `tokenizer` under `dir`; `params/` lands last. `fertility`
+    * optionally bundles the training-corpus fertility report (a small
+    * per-group table — written as-is). */
+  def save(spark: SparkSession, tokenizer: Tokenizer, dir: String,
+           fertility: Option[org.apache.spark.sql.DataFrame] = None): Unit = {
     import spark.implicits._
     ByteBpe.saveByteBpe(spark, tokenizer.model, s"$dir/merges")
     val vocab = new graft.functions.ByteBpeVocab(
@@ -76,12 +86,24 @@ object TokenizerArtifact {
     tokenizer.specials.zipWithIndex.map { case (sp, i) => (i, sp) }
       .toDF("idx", "token")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/specials")
+    fertility.foreach(
+      _.coalesce(1).write.mode("overwrite").parquet(s"$dir/fertility"))
     // params last: their presence marks a COMPLETE artifact
     spark.range(1).select(
       lit(tokenizer.model.merges.length).as("num_merges"),
       lit(tokenizer.specials.length).as("num_specials"),
-      lit(tokenizer.vocabSize).as("vocab_size"))
+      lit(tokenizer.vocabSize).as("vocab_size"),
+      lit(fertility.isDefined).as("has_fertility"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  /** The bundled fertility report, when the artifact carries one. */
+  def loadFertility(spark: SparkSession,
+                    dir: String): Option[org.apache.spark.sql.DataFrame] = {
+    val p = spark.read.parquet(s"$dir/params").head()
+    if (p.getAs[Boolean]("has_fertility"))
+      Some(spark.read.parquet(s"$dir/fertility"))
+    else None
   }
 
   /** Load an artifact saved by [[save]] (bounded model-sized collects).

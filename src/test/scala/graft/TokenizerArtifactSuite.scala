@@ -52,6 +52,21 @@ class TokenizerArtifactSuite extends AnyFunSuite with SparkTest {
     assert((0 until tok.vocabSize).forall(vocab.contains))
   }
 
+  test("a bundled fertility report rides along as provenance") {
+    val dir = java.nio.file.Files.createTempDirectory("tok-art-fert").toString
+    val report = corpus.selectExpr("'all' AS grp", "length(text) AS n_chars")
+      .groupBy("grp").agg(org.apache.spark.sql.functions.sum("n_chars").as("n_chars"))
+    val tok = TokenizerArtifact.Tokenizer(model, Seq("<|endoftext|>"))
+    TokenizerArtifact.save(spark, tok, dir, fertility = Some(report))
+    val back = TokenizerArtifact.loadFertility(spark, dir)
+    assert(back.isDefined)
+    assert(back.get.collect().toSeq == report.collect().toSeq)
+    // and an artifact without one says so
+    val dir2 = java.nio.file.Files.createTempDirectory("tok-art-nofert").toString
+    TokenizerArtifact.save(spark, tok, dir2)
+    assert(TokenizerArtifact.loadFertility(spark, dir2).isEmpty)
+  }
+
   test("a half-finished save fails loudly at load (params last)") {
     val dir = java.nio.file.Files.createTempDirectory("tok-art-half").toString
     ByteBpe.saveByteBpe(spark, model, s"$dir/merges") // no params/
