@@ -2271,6 +2271,63 @@ object SparkEntry {
         .crossJoin(broadcast(hEq))
     }),
 
+    // P37f streaming shard append — the live-ingest twin of the artifact
+    // loop: replay the corpus as THREE ordered micro-batches (doc_id
+    // ranges, so each batch's order sorts after every earlier one)
+    // through the foreachBatch sink (first batch bootstraps, later ones
+    // append under the recorded-batch-id idempotence), then the streamed
+    // artifact must verify all_ok, content-hash-equal the one-shot pack,
+    // and round-trip every document byte-for-byte from disk.
+    "streaming_shard_append" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(byteBpeHazards.toDF("doc_id", "text"))
+      val model = graft.text.ByteBpe.train(corpus, col("text"), numMerges = 80)
+      val tok = graft.text.TokenizerArtifact.Tokenizer(
+        model, Seq("<|endoftext|>"))
+      val sep = graft.text.ByteBpe.vocabSize(model)
+      val ids = graft.text.ByteBpe.encodeIds(coalesce(col("text"), lit("")), model)
+      val shardDir = graft.createTemporaryDir("stream-shards")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_stream_shards").toString
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val span = maxId / 3 + 1
+      val schema = graft.streaming.StreamHarness.writeOrderedBatches(
+        docs, least(expr(s"doc_id DIV ${span}L"), lit(2L)).cast("int"),
+        numBatches = 3, s"$root/in")
+      val stream = graft.streaming.StreamHarness.readOrderedBatches(
+        s, s"$root/in", schema)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.StreamingShards.appendStream(
+          stream, ids, Seq(col("doc_id")), capacity = 512, sepId = sep,
+          dir = shardDir, tokenizer = Some(tok), checkpointDir = s"$root/ck")
+        try { q.processAllAvailable() } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val verify = graft.text.Shards.verifyShards(s, shardDir)
+      val loaded = graft.text.Shards.loadShards(s, shardDir)
+      def contentHash(df: org.apache.spark.sql.DataFrame) =
+        df.agg(bit_xor(xxhash64(col("seq_id"), col("ids"), col("n_docs")))
+          .as("h"))
+      val oneShot = graft.text.Packing.packTokenIds(docs, ids,
+        Seq(col("doc_id")), capacity = 512, sepId = sep)
+      val hEq = contentHash(loaded.data)
+        .crossJoin(contentHash(oneShot).withColumnRenamed("h", "h2"))
+        .select((col("h") <=> col("h2")).as("stream_equals_oneshot"))
+      val unpacked = graft.text.Shards.unpackShards(s, shardDir)
+      val mapping = graft.RowNumbers.withRowNumbers(
+        docs.select(col("doc_id")), rowNumberColumnName = "__rn",
+        order = Seq(col("doc_id")))
+        .select(col("doc_id"), (col("__rn") - 1).as("doc_idx"))
+      mapping.join(unpacked, Seq("doc_idx"), "left_outer")
+        .select(col("doc_id"),
+          loaded.tokenizer.get.decodeIds(
+            coalesce(col("ids"), array().cast("array<int>"))).as("decoded"))
+        .crossJoin(broadcast(verify.select(col("all_ok"))))
+        .crossJoin(broadcast(hEq))
+    }),
+
     // P37e range-restricted unpack — the sampled-QA mode for packs where
     // full per-token unpacking is out of budget: decode ONLY sequences
     // [2, 5) and the COMPLETE documents inside (left edge exact via the
@@ -5960,6 +6017,13 @@ object SparkEntry {
       "shards_append_readback" ->
         ("SELECT doc_id, COALESCE(text, '') AS decoded, true AS all_ok, " +
           "true AS append_equals_oneshot FROM documents"),
+
+      // the STREAMED artifact (3 ordered micro-batches through the
+      // foreachBatch sink) == the one-shot pack, verified and
+      // round-tripped from disk
+      "streaming_shard_append" ->
+        ("SELECT doc_id, COALESCE(text, '') AS decoded, true AS all_ok, " +
+          "true AS stream_equals_oneshot FROM documents"),
 
       // the planted rebuild round-trips, and the reserved-id count equals
       // the literal occurrence count (replace arithmetic — robust even if

@@ -62,7 +62,8 @@ object Shards {
                  capacity: Int, sepId: Int, dir: String,
                  tokenizer: Option[TokenizerArtifact.Tokenizer] = None,
                  targetFileBytes: Long = 128L * 1024 * 1024,
-                 storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): Long = {
+                 storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+                 batchId: Option[Long] = None): Long = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
     val spark = df.sparkSession
     // Silent handle: if the pack throws BEFORE its prefix sum registers the
@@ -86,7 +87,7 @@ object Shards {
       .head().getLong(0)
     tokenizer.foreach(t => TokenizerArtifact.save(spark, t, s"$dir/tokenizer"))
     writeParams(spark, dir, capacity, sepId, nSequences, totalIds,
-      tokenizer.isDefined, targetFileBytes)
+      tokenizer.isDefined, targetFileBytes, batchId.getOrElse(-1L))
     nSequences
   }
 
@@ -107,7 +108,8 @@ object Shards {
    */
   def appendShards(df: DataFrame, idsCol: Column, order: Seq[Column],
                    dir: String,
-                   storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): Long = {
+                   storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+                   batchId: Option[Long] = None): Long = {
     val spark = df.sparkSession
     val dataDir = s"$dir/data"
     val dirPath = new Path(dataDir)
@@ -172,9 +174,12 @@ object Shards {
       // the untouched artifact's manifest rows stand, keeping the append
       // O(batch + tail) instead of O(artifact)
       Manifest.updateManifestFor(spark, dataDir, published, oldFileNames)
+      val prev = paramsRow(spark, dir)
       writeParams(spark, dir, existing.capacity, existing.sepId,
         maxSeq + 1, existing.totalIds + appendedIds,
-        existing.tokenizer.isDefined, targetFileBytesOf(spark, dir))
+        existing.tokenizer.isDefined,
+        prev.getAs[Long]("target_file_bytes"),
+        batchId.getOrElse(prev.getAs[Long]("last_batch_id")))
       maxSeq + 1
     } finally {
       newPacked.unpersist()
@@ -184,19 +189,28 @@ object Shards {
 
   private def writeParams(spark: SparkSession, dir: String, capacity: Int,
                           sepId: Int, nSequences: Long, totalIds: Long,
-                          hasTokenizer: Boolean,
-                          targetFileBytes: Long): Unit =
-    // params last: their presence marks a COMPLETE artifact
+                          hasTokenizer: Boolean, targetFileBytes: Long,
+                          lastBatchId: Long = -1L): Unit =
+    // params last: their presence marks a COMPLETE artifact. last_batch_id
+    // rides in the SAME atomic params write so the streaming sink's
+    // idempotence marker commits together with the artifact state.
     spark.range(1).select(
       lit(capacity).as("capacity"), lit(sepId).as("sep_id"),
       lit(nSequences).as("n_sequences"), lit(totalIds).as("total_ids"),
       lit(hasTokenizer).as("has_tokenizer"),
-      lit(targetFileBytes).as("target_file_bytes"))
+      lit(targetFileBytes).as("target_file_bytes"),
+      lit(lastBatchId).as("last_batch_id"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
 
-  private def targetFileBytesOf(spark: SparkSession, dir: String): Long =
+  private def paramsRow(spark: SparkSession,
+                        dir: String): org.apache.spark.sql.Row =
     spark.read.parquet(s"$dir/params").head()
-      .getAs[Long]("target_file_bytes")
+
+  /** The id of the last streaming micro-batch applied to this artifact
+    * (-1 when none) — the [[graft.streaming.StreamingShards]] idempotence
+    * marker, committed atomically with the params row. */
+  def lastBatchId(spark: SparkSession, dir: String): Long =
+    paramsRow(spark, dir).getAs[Long]("last_batch_id")
 
   /** Load an artifact saved by [[saveShards]] — fails loudly when the
     * save never completed (missing `params/`). */
