@@ -130,7 +130,8 @@ __all__ = [
     "tokenizer_encode_ids", "tokenizer_decode_ids", "tokenizer_token_count",
     "tokenizer_vocab_size", "tokenizer_specials",
     "save_shards", "load_shards", "verify_shards", "unpack_shards",
-    "append_shards", "ShardSet",
+    "append_shards", "ShardSet", "doc_boundaries", "sft_loss_mask",
+    "shard_batch", "shards_last_batch_id",
     "chat_template_specials",
     "conversation_neardup_pairs", "conversation_neardup_pairs_messages",
     "history_apply_snapshot", "with_temporal_split", "layout_report",
@@ -3378,6 +3379,61 @@ def unpack_shards(spark: SparkSession, path: str,
                                                str(path),
                                                int(max_sequences))
     return DataFrame(jdf, spark)
+
+
+def doc_boundaries(packed: DataFrame, sep_id: int) -> DataFrame:
+    """Per-sequence document-boundary metadata -> (seq_id, doc_starts:
+    array<int>): the sorted offsets where a document BEGINS inside each
+    sequence (the varlen-attention cu_seqlens side table — position-id
+    resets / block-diagonal masks without scanning ids at step time).
+    Derived from the packed ids alone, so it works on shards loaded back
+    from disk."""
+    jdf = _bridge(packed).docBoundaries(packed._jdf, int(sep_id))
+    return DataFrame(jdf, packed.sparkSession)
+
+
+def sft_loss_mask(ids: ColumnOrName, vocab_size: int, template=None,
+                  train_roles=("assistant",),
+                  train_end_marker: bool = True) -> Column:
+    """Per-token SFT loss mask (0/1, same length as ids) over the rendered
+    + special-encoded id stream: 1 exactly on trainable-turn CONTENT
+    tokens plus (by default) the end marker CLOSING such a turn; role
+    markers, BOS/EOS and non-trainable turns mask 0. vocab_size is the
+    tokenizer's base size, the same arithmetic the special codec uses."""
+    sc = SparkContext._active_spark_context
+    if template is None:
+        template = _bridge(sc).chatTemplateDefault()
+    jroles = sc._jvm.java.util.ArrayList()  # type: ignore[union-attr]
+    for r in train_roles:
+        jroles.add(str(r))
+    return _col_fn("sftLossMask", _jcol(ids), int(vocab_size), template,
+                   jroles, bool(train_end_marker))
+
+
+def shard_batch(batch: DataFrame, batch_id: int, ids: ColumnOrName, order,
+                capacity: int, sep_id: int, path: str, tokenizer=None,
+                target_file_bytes: int = 128 * 1024 * 1024) -> None:
+    """One micro-batch of the streaming shard sink — compose with
+    pyspark's foreachBatch: the first non-empty batch bootstraps a fresh
+    artifact, later batches append at start_offset = total_ids, and each
+    applied batch_id commits inside the artifact's own atomic params
+    write, so a redelivered batch (batch_id <= shards_last_batch_id)
+    skips instead of silently double-appending. Batches must arrive
+    order-monotone for stream == one-shot content equality."""
+    spark = batch.sparkSession
+    jorder = spark._jvm.java.util.ArrayList()  # type: ignore[union-attr]
+    for c in order:
+        jorder.add(_jcol(c))
+    _bridge(batch).shardBatch(batch._jdf, int(batch_id), _jcol(ids), jorder,
+                              int(capacity), int(sep_id), str(path),
+                              tokenizer, int(target_file_bytes))
+
+
+def shards_last_batch_id(spark: SparkSession, path: str) -> int:
+    """The last streaming micro-batch id applied to the artifact (-1 when
+    none) — the shard_batch idempotence marker."""
+    return int(_bridge(spark.range(1)).shardsLastBatchId(
+        spark._jsparkSession, str(path)))
 
 
 def streaming_retention_hits(stream: DataFrame, user: ColumnOrName,

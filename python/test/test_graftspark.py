@@ -2098,6 +2098,64 @@ class GraftsparkTest(unittest.TestCase):
             P.chat_render_template(col("t")).alias("r")).first()["r"]
         self.assertEqual(a, b)
 
+    def test_pipeline_mask_boundaries_shard_batch(self):
+        from graftspark import pipeline as P
+        docs = self.spark.createDataFrame(
+            [(0, "one two three"), (1, "four"), (2, "five six"), (3, "")],
+            ["doc_id", "t"])
+        model = P.byte_bpe_train(docs, col("t"), num_merges=5)
+        # sft_loss_mask: trainable subset decodes to assistant content +
+        # the closing end marker, nothing else
+        conv = self.spark.createDataFrame(
+            [("user: one two\nassistant: three four",)], ["t"])
+        sp = P.chat_template_specials()
+        ids_col = P.byte_bpe_encode_ids_special(
+            P.chat_render_template(col("t")), model, sp)
+        row = conv.select(
+            ids_col.alias("ids"),
+            P.sft_loss_mask(ids_col, 261).alias("m")).first()
+        self.assertEqual(len(row["m"]), len(row["ids"]))
+        trained = [i for i, m in zip(row["ids"], row["m"]) if m == 1]
+        dec = self.spark.createDataFrame([(trained,)], "ids: array<int>") \
+            .select(P.byte_bpe_decode_ids_special(
+                col("ids"), model, sp).alias("x")).first()["x"]
+        self.assertEqual(dec, "three four<|end|>")
+        # doc_boundaries: every doc's start offset, empty doc = its bare
+        # separator; derived equals the running-sum prediction
+        packed = P.pack_token_ids(
+            docs, P.byte_bpe_encode_ids(col("t"), model), [col("doc_id")],
+            capacity=7, sep_id=261)
+        lens = [len(r["n"]) + 1 for r in docs.orderBy("doc_id").select(
+            P.byte_bpe_encode_ids(col("t"), model).alias("n")).collect()]
+        starts, acc = [], 0
+        for n in lens:
+            starts.append(acc)
+            acc += n
+        got = sorted(r["seq_id"] * 7 + p
+                     for r in P.doc_boundaries(packed, 261).collect()
+                     for p in r["doc_starts"])
+        self.assertEqual(got, starts)
+        # shard_batch: bootstrap + append + idempotent redelivery ==
+        # one-shot artifact
+        d = tempfile.mkdtemp()
+        enc = P.byte_bpe_encode_ids(col("t"), model)
+        P.shard_batch(docs.filter(col("doc_id") < 2), 0, enc,
+                      [col("doc_id")], 7, 261, d + "/s")
+        P.shard_batch(docs.filter(col("doc_id") < 2), 0, enc,
+                      [col("doc_id")], 7, 261, d + "/s")  # redelivery
+        P.shard_batch(docs.filter(col("doc_id") >= 2), 1, enc,
+                      [col("doc_id")], 7, 261, d + "/s")
+        self.assertEqual(P.shards_last_batch_id(self.spark, d + "/s"), 1)
+        P.save_shards(docs, enc, [col("doc_id")], capacity=7, sep_id=261,
+                      path=d + "/one")
+        streamed = sorted((r["seq_id"], list(r["ids"]))
+                          for r in P.load_shards(
+                              self.spark, d + "/s").data.collect())
+        oneshot = sorted((r["seq_id"], list(r["ids"]))
+                         for r in P.load_shards(
+                             self.spark, d + "/one").data.collect())
+        self.assertEqual(streamed, oneshot)
+
     def test_pipeline_conversation_neardup(self):
         from graftspark import pipeline as P
         body = ("the quick brown fox jumps over the lazy dog and keeps "

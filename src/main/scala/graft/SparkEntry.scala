@@ -2023,6 +2023,36 @@ object SparkEntry {
         size(filter(ids, i => i >= base)).cast("long").as("n_special"))
     }),
 
+    // P124k SFT loss mask: the per-token trainability column between the
+    // render→encode chain and the trainer — mask 1 exactly on assistant
+    // CONTENT tokens + the end marker closing an assistant turn.
+    // The gate proves the strongest property: the trainable subset of
+    // ids DECODES to exactly the assistant turns' contents + '<|end|>'
+    // closers in turn order (segments between specials encode
+    // independently, so the mask cutting at markers is byte-exact), and
+    // the only reserved ids inside the mask are the assistant-turn end
+    // markers (n_train_special == assistant turn count, SQL-replayable).
+    "chat_loss_mask" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(byteBpeHazards.toDF("doc_id", "text"))
+      val model = graft.text.ByteBpe.train(corpus, col("text"), numMerges = 80)
+      val sp = graft.text.Chat.templateSpecials()
+      val base = graft.text.ByteBpe.vocabSize(model)
+      val scrubbed = regexp_replace(coalesce(col("text"), lit("")),
+        "<\\|", "")
+      val rendered = graft.text.Chat.renderTemplate(
+        chatTranscript(col("doc_id"), scrubbed))
+      val ids = graft.text.ByteBpe.encodeIds(rendered, model, sp)
+      val mask = graft.text.Chat.sftLossMask(ids, base)
+      val trained = filter(
+        zip_with(ids, mask, (i, m) => when(m === 1, i)), x => x.isNotNull)
+      docs.select(col("doc_id"),
+        graft.text.ByteBpe.decodeIds(trained, model, sp).as("trained_text"),
+        size(filter(trained, i => i >= base)).cast("long").as("n_train_special"),
+        (size(mask) === size(ids)).as("mask_aligned"))
+    }),
+
     // P124h conversation-level near-dup: the SFT-corpus dedup pass — the
     // fingerprint is the content-only canonical form (roles and turn
     // scaffolding excluded), so the planted role-scrambled re-wraps
@@ -2161,6 +2191,27 @@ object SparkEntry {
         .select(col("seq_id"), size(col("ids")).cast("long").as("n_ids"),
           col("n_docs"),
           size(filter(col("ids"), i => i === sep)).cast("long").as("n_seps"))
+    }),
+
+    // P37g per-sequence document-boundary metadata — the varlen-attention
+    // side table (cu_seqlens lineage): offsets where a document BEGINS in
+    // each sequence, derived from the packed ids alone (position after
+    // each separator; position 0 via the previous sequence's last id).
+    // Oracle: every document's start is its golden-counts running sum —
+    // seq s DIV 512, offset s % 512 — so any drift in the derivation
+    // (trailing separator, empty docs, boundary-straddle) breaks rows.
+    "pack_doc_starts" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(byteBpeHazards.toDF("doc_id", "text"))
+      val model = graft.text.ByteBpe.train(corpus, col("text"), numMerges = 80)
+      val sep = graft.text.ByteBpe.vocabSize(model)
+      val packed = graft.text.Packing.packTokenIds(docs,
+        graft.text.ByteBpe.encodeIds(coalesce(col("text"), lit("")), model),
+        Seq(col("doc_id")), capacity = 512, sepId = sep)
+      graft.text.Packing.docBoundaries(packed, sep)
+        .select(col("seq_id"), explode(col("doc_starts")).as("start_pos"))
+        .select(col("seq_id"), col("start_pos").cast("long").as("start_pos"))
     }),
 
     // P37c the full content round-trip — pack → unpack → decode must give
@@ -5925,6 +5976,18 @@ object SparkEntry {
           "CAST(SUM(CASE WHEN (s + n - 1) // 512 = seq_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seps " +
           "FROM x GROUP BY 1"),
 
+      // every document's start position from the golden counts' running
+      // sum: sequence = s DIV 512, offset = s % 512 (empty docs start at
+      // their bare separator; nothing starts after the final separator)
+      "pack_doc_starts" ->
+        ("WITH g AS (SELECT doc_id, n_byte_tokens + 1 AS n " +
+          s"FROM read_parquet('$goldenDir/byte_bpe_sf001.parquet') " +
+          "WHERE doc_id >= 0), " +
+          "c AS (SELECT doc_id, COALESCE(SUM(n) OVER (ORDER BY doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s FROM g) " +
+          "SELECT CAST(s // 512 AS BIGINT) AS seq_id, " +
+          "CAST(s % 512 AS BIGINT) AS start_pos FROM c"),
+
       // pack -> unpack -> decode == the raw table, byte for byte
       "pack_roundtrip" ->
         "SELECT doc_id, COALESCE(text, '') AS decoded FROM documents",
@@ -5967,6 +6030,31 @@ object SparkEntry {
           "'<|end|>', '' ORDER BY idx) AS decoded, 2 * COUNT(*) AS n_special " +
           "FROM turns GROUP BY doc_id) " +
           "SELECT doc_id, decoded, CAST(n_special AS BIGINT) AS n_special FROM r"),
+
+      // the loss mask replayed at the TEXT level: the trainable subset
+      // must decode to the assistant turns' contents + '<|end|>' closers
+      // in turn order, and the masked reserved ids are exactly one end
+      // marker per assistant turn
+      "chat_loss_mask" ->
+        ("WITH d AS (SELECT doc_id, " +
+          "regexp_replace(COALESCE(text, ''), '<\\|', '', 'g') AS tx FROM documents), " +
+          "t AS (SELECT doc_id, 'system: be concise' || chr(10) || 'user: ' || " +
+          "substr(tx, 1, 40) || chr(10) || 'assistant: ' || substr(tx, 41, 40) || " +
+          "CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'user: one more' || chr(10) || 'user: double user' " +
+          "WHEN doc_id % 17 = 0 THEN chr(10) || 'bad line no colon' " +
+          "ELSE chr(10) || 'user: follow up' || chr(10) || 'assistant: done' END AS tr FROM d), " +
+          "pp AS (SELECT doc_id, string_split(tr, chr(10)) AS parts FROM t), " +
+          "lines AS (SELECT doc_id, r.i AS idx, parts[r.i] AS l " +
+          "FROM pp, unnest(range(1, len(parts) + 1)) AS r(i)), " +
+          "turns AS (SELECT doc_id, idx, " +
+          "regexp_extract(l, '^(system|user|assistant|tool): ', 1) AS role, l FROM lines), " +
+          "r AS (SELECT doc_id, COALESCE(string_agg(" +
+          "CASE WHEN role = 'assistant' THEN substr(l, length(role) + 3) || '<|end|>' END, " +
+          "'' ORDER BY idx), '') AS trained_text, " +
+          "COUNT(*) FILTER (WHERE role = 'assistant') AS n_train_special " +
+          "FROM turns GROUP BY doc_id) " +
+          "SELECT doc_id, trained_text, CAST(n_train_special AS BIGINT) AS n_train_special, " +
+          "true AS mask_aligned FROM r"),
 
       // the ChatML-spec render replayed: transcript from RAW text, parse
       // lines, scrub '<+|+' runs from CONTENTS only (the template's own

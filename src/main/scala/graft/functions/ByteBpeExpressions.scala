@@ -620,6 +620,94 @@ case class ByteBpeDecodeIdsSpecial(child: Expression,
     copy(child = newChild)
 }
 
+/**
+ * Single-pass SFT loss-mask kernel over a special-token-aware id stream
+ * (the [[ByteBpeSpecialCoder]] output a chat trainer consumes): walk the
+ * ids once, tracking whether the cursor is inside a TRAINABLE turn.
+ *
+ *  - a turn-opening reserved id (any role/invalid marker) masks 0 itself
+ *    and switches the state: trainable iff it is one of `trainOpenIds`;
+ *  - the end-marker reserved id masks 1 exactly when it CLOSES a
+ *    trainable turn and `trainEnd` is set (the standard discipline —
+ *    the model must learn to EMIT the stop token), then closes the turn;
+ *  - any other reserved id (BOS/EOS, foreign specials) masks 0 and
+ *    closes the turn — control scaffolding is never trainable and never
+ *    leaks trainability past itself;
+ *  - a normal content id (< `base`) masks the current state.
+ *
+ * State starts OUTSIDE a trainable turn, so prompt prefixes (BOS, system
+ * and user turns) mask 0 without any special-casing.
+ */
+class SftMaskKernel(base: Int, turnOpenIds: Array[Int],
+                    trainOpenIds: Array[Int], endId: Int,
+                    trainEnd: Boolean) extends Serializable {
+  require(base >= 0, s"base must be >= 0: $base")
+  require(trainOpenIds.forall(turnOpenIds.contains),
+    "every trainable opener must be a turn opener: " +
+      trainOpenIds.filterNot(turnOpenIds.contains).mkString(", "))
+  require((turnOpenIds :+ endId).forall(_ >= base),
+    "turn markers must be reserved ids (>= base)")
+  require(!turnOpenIds.contains(endId),
+    s"end marker id $endId cannot also open a turn")
+  private val opens = turnOpenIds.toSet
+  private val trains = trainOpenIds.toSet
+
+  def mask(ids: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = ids.numElements()
+    val out = new Array[Any](n)
+    var inTrain = false
+    var i = 0
+    while (i < n) {
+      var m = 0
+      if (!ids.isNullAt(i)) {
+        val id = ids.getInt(i)
+        if (id >= base) {
+          if (opens.contains(id)) { inTrain = trains.contains(id) }
+          else if (id == endId) { if (inTrain && trainEnd) m = 1; inTrain = false }
+          else inTrain = false
+        } else if (inTrain) m = 1
+      }
+      out(i) = m
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** sft_loss_mask(ids): 0/1 per token — 1 exactly on the positions a chat
+  * trainer computes loss over (trainable-turn contents + their closing
+  * end marker when `trainEnd`). Same length as the input by construction;
+  * one narrow codegen'd pass, no shuffle, streaming-legal. */
+case class SftLossMask(child: Expression, base: Int,
+                       turnOpenIds: IndexedSeq[Int],
+                       trainOpenIds: IndexedSeq[Int],
+                       endId: Int, trainEnd: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sft_loss_mask expects array<int>, got ${t.sql}")
+  }
+
+  @transient private lazy val kernel = new SftMaskKernel(
+    base, turnOpenIds.toArray, trainOpenIds.toArray, endId, trainEnd)
+
+  override def nullSafeEval(ids: Any): Any =
+    kernel.mask(ids.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sftMaskKernel", kernel,
+      "graft.functions.SftMaskKernel")
+    defineCodeGen(ctx, ev, a => s"$ref.mask($a)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** byte_bpe_decode(tokens): the EXACT inverse of [[ByteBpeEncode]] —
   * display tokens → bytes → UTF-8 text, model-free (see
   * [[ByteBpeKernels.decode]]). One narrow codegen'd pass, no shuffle;

@@ -1815,4 +1815,27 @@ object PyBridge {
                           untilSeq: java.lang.Number): DataFrame =
     graft.text.Packing.unpackTokenIdsRange(packed, capacity, sepId,
       fromSeq.longValue(), untilSeq.longValue())
+
+  def docBoundaries(packed: DataFrame, sepId: Int): DataFrame =
+    graft.text.Packing.docBoundaries(packed, sepId)
+
+  def sftLossMask(ids: Column, vocabSize: Int,
+                  t: graft.text.Chat.ChatTemplate,
+                  trainRoles: JList[String], trainEnd: Boolean): Column =
+    graft.text.Chat.sftLossMask(ids, vocabSize, t,
+      trainRoles.asScala.toSeq, trainEnd)
+
+  /** One micro-batch of the streaming shard sink (compose with pyspark's
+    * foreachBatch). `tokenizer` may be null. */
+  def shardBatch(batch: DataFrame, batchId: java.lang.Number, ids: Column,
+                 order: JList[Column], capacity: Int, sepId: Int,
+                 dir: String, tokenizer: graft.text.TokenizerArtifact.Tokenizer,
+                 targetFileBytes: java.lang.Number): Unit =
+    graft.streaming.StreamingShards.processBatch(batch, batchId.longValue(),
+      ids, order.asScala.toSeq, capacity, sepId, dir, Option(tokenizer),
+      targetFileBytes.longValue(),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  def shardsLastBatchId(spark: SparkSession, dir: String): Long =
+    graft.text.Shards.lastBatchId(spark, dir)
 }

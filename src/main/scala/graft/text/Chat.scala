@@ -365,6 +365,53 @@ object Chat {
                        invalidMarker: String = "<|invalid|>"): Seq[String] =
     ChatTemplate(invalidMarker = invalidMarker, endMarker = endMarker).specials
 
+  /**
+   * Per-token SFT loss mask over the rendered-and-encoded id stream — the
+   * last metadata column between [[renderTemplate]] +
+   * `ByteBpe.encodeIds(_, model, template.specials)` and the trainer:
+   * `mask[i] = 1` exactly where a chat trainer computes loss — content
+   * tokens of `trainRoles` turns (default: `assistant`) plus, when
+   * `trainEndMarker` (default), the end marker CLOSING such a turn (the
+   * model must learn to emit its stop token); everything else — BOS/EOS,
+   * role markers themselves, system/user/tool/invalid turns — masks 0.
+   *
+   * `vocabSize` is the tokenizer's base vocab size, so reserved id
+   * `vocabSize + i` is `template.specials(i)` — the same arithmetic the
+   * P63g codec uses, which keeps mask and id space in lockstep BY
+   * CONSTRUCTION (a template change re-derives both from one spec).
+   * Output has the input's length (one narrow codegen kernel pass,
+   * no shuffle, streaming-legal); the trainable subset decodes to exactly
+   * the trainable turns' contents (+ end markers) because segments
+   * between specials encode independently — the `chat_loss_mask` gate
+   * asserts that equality byte-for-byte.
+   *
+   * Ambiguity guard: a marker literal shared between a trainable role
+   * and any non-trainable opener (another role or the invalid marker)
+   * would make trainability undecidable at the token level — rejected.
+   */
+  def sftLossMask(ids: Column, vocabSize: Int,
+                  template: ChatTemplate = ChatTemplate.Default,
+                  trainRoles: Seq[String] = Seq("assistant"),
+                  trainEndMarker: Boolean = true): Column = {
+    require(trainRoles.nonEmpty, "trainRoles must be non-empty")
+    require(trainRoles.forall(Roles.contains),
+      s"unknown trainRoles: ${trainRoles.filterNot(Roles.contains).mkString(", ")}")
+    val sp = template.specials
+    def idOf(marker: String): Int = vocabSize + sp.indexOf(marker)
+    val trainMarkers = trainRoles.map(template.roleMarkers).distinct
+    val otherOpeners = (Roles.filterNot(trainRoles.contains)
+      .map(template.roleMarkers) :+ template.invalidMarker).distinct
+    val clash = trainMarkers.intersect(otherOpeners)
+    require(clash.isEmpty,
+      s"marker(s) ${clash.mkString(", ")} open both a trainable and a " +
+        "non-trainable turn — trainability would be undecidable")
+    val openers = (trainMarkers ++ otherOpeners).map(idOf).toIndexedSeq
+    org.apache.spark.sql.graftext.toColumn(graft.functions.SftLossMask(
+      org.apache.spark.sql.graftext.toExpression(ids), vocabSize,
+      openers, trainMarkers.map(idOf).toIndexedSeq,
+      idOf(template.endMarker), trainEndMarker))
+  }
+
   private def renderParsed(turns: Column, t: ChatTemplate): Column = {
     val scrub: Column => Column =
       if (t.scrubContents) c => regexp_replace(c, ScrubPattern, "")

@@ -117,6 +117,43 @@ object Packing {
   }
 
   /**
+   * Per-sequence document-boundary metadata for a pack — the varlen-
+   * attention side table (flash-attention `cu_seqlens` lineage): for each
+   * sequence, the sorted offsets where a DOCUMENT BEGINS inside it, so a
+   * trainer can reset position ids / build block-diagonal attention masks
+   * without scanning the ids for separators at step time. An empty
+   * document's "first token" is its bare separator; a sequence entirely
+   * inside one long document has no boundary (`doc_starts` empty).
+   *
+   * Derived from the packed ids themselves, so it works on shards loaded
+   * back from disk ([[graft.text.Shards.loadShards]]) with no extra state:
+   * a document begins at `p > 0` iff `ids[p-1]` is the separator (and p is
+   * not past the end — the stream's final separator opens nothing), and at
+   * `p = 0` iff the PREVIOUS sequence ends with the separator (one
+   * narrow self-equi-join on `seq_id - 1`; sequence 0 always starts
+   * document 0). Everything else is per-row Column algebra — O(capacity)
+   * work per sequence, no explode, no corpus-sized shuffle. Assumes a
+   * complete pack (dense seq_ids from 0, position 0 = a document start),
+   * which [[packTokenIds]] and the shard artifact guarantee.
+   */
+  def docBoundaries(packed: DataFrame, sepId: Int): DataFrame = {
+    val prevEnd = packed.select((col("seq_id") + 1).as("seq_id"),
+      // get() is 0-based and null-safe on empty arrays (a corrupt pack
+      // should fail verify, not crash the metadata scan)
+      (get(col("ids"), size(col("ids")) - 1) === lit(sepId)).as("__prevEnds"))
+    packed.join(prevEnd, Seq("seq_id"), "left_outer")
+      .select(col("seq_id"),
+        concat(
+          when(col("seq_id") === 0 || coalesce(col("__prevEnds"), lit(false)),
+            array(lit(0))).otherwise(array().cast("array<int>")),
+          filter(
+            transform(col("ids"),
+              (id, i) => when(id === lit(sepId), i + 1).otherwise(lit(-1))),
+            p => p > 0 && p < size(col("ids"))))
+          .as("doc_starts"))
+  }
+
+  /**
    * Inverse of [[packTokenIds]] for shard QA: re-split the packed stream
    * on `sepId` back into per-document id arrays. Output: `(doc_idx, ids)`
    * — `doc_idx` is the document's 0-based position in the pack order;

@@ -497,6 +497,35 @@ class AggOpsSuite extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("docBoundaries marks exactly where documents begin, across sequences") {
+    val texts = Seq(
+      (1L, "aa bb cc"), (2L, ""), (3L, "dd ee ff gg hh ii jj kk ll"),
+      (4L, "mm"), (5L, "nn oo pp qq rr ss tt uu vv ww xx yy zz"))
+    val docs = texts.toDF("doc_id", "text")
+    val model = graft.text.ByteBpe.train(
+      docs.filter(length($"text") > 0), $"text", numMerges = 5)
+    val sep = graft.text.ByteBpe.vocabSize(model)
+    val packed = graft.text.Packing.packTokenIds(docs,
+      graft.text.ByteBpe.encodeIds($"text", model), Seq($"doc_id"),
+      capacity = 7, sepId = sep)
+    val bySeq = graft.text.Packing.docBoundaries(packed, sep)
+      .select($"seq_id", $"doc_starts").as[(Long, Seq[Int])].collect().toMap
+    // independent derivation: each doc begins at the running sum of
+    // (token count + 1) — sequence s DIV 7, offset s % 7
+    val lens = docs.orderBy($"doc_id")
+      .select(graft.text.ByteBpe.encodeIds($"text", model)).collect()
+      .map(_.getSeq[Int](0).length + 1L)
+    val expected = lens.scanLeft(0L)(_ + _).init
+      .groupBy(_ / 7).map { case (s, ps) => s -> ps.map(p => (p % 7).toInt).sorted.toSeq }
+    assert(bySeq.filter(_._2.nonEmpty) == expected)
+    // the 13-id doc 5 spans >1 sequence: some sequence is wholly inside
+    // it and must carry NO boundary
+    assert(bySeq.values.exists(_.isEmpty),
+      s"expected a boundary-free mid-document sequence in $bySeq")
+    // every sequence of the pack appears exactly once
+    assert(bySeq.keySet == packed.select($"seq_id").as[Long].collect().toSet)
+  }
+
   // --- deflate_length -------------------------------------------------------
 
   test("deflate_length is deterministic and orders repetitive below natural below random") {

@@ -131,4 +131,72 @@ class ChatTemplateSuite extends AnyFunSuite with SparkTest {
       .head().getString(0)
     assert(out == "<|im_start|>user\na end|> b<|im_end|>\n<|endoftext|>")
   }
+
+  // --- sftLossMask ----------------------------------------------------------
+
+  private lazy val maskModel = ByteBpe.train(
+    Seq("the quick brown fox", "be brief hello there hi again",
+      "no role line and more words").toDF("text"),
+    col("text"), numMerges = 8)
+  private lazy val maskBase = ByteBpe.vocabSize(maskModel)
+
+  private def maskedOut(text: String, tpl: ChatTemplate,
+                        trainRoles: Seq[String] = Seq("assistant"),
+                        trainEnd: Boolean = true): (Seq[Int], Seq[Int], String) = {
+    val row = Seq(text).toDF("t")
+      .select(ByteBpe.encodeIds(
+        Chat.renderTemplate(col("t"), tpl), maskModel, tpl.specials).as("ids"))
+      .select(col("ids"),
+        Chat.sftLossMask(col("ids"), maskBase, tpl, trainRoles, trainEnd).as("m"))
+      .select(col("ids"), col("m"),
+        ByteBpe.decodeIds(
+          filter(zip_with(col("ids"), col("m"), (i, m) => when(m === 1, i)),
+            x => x.isNotNull), maskModel, tpl.specials).as("trained"))
+      .head()
+    (row.getSeq[Int](0), row.getSeq[Int](1), row.getString(2))
+  }
+
+  test("sftLossMask trains exactly assistant contents + the closing end marker") {
+    val (ids, m, trained) = maskedOut(transcript, ChatTemplate.Default)
+    assert(m.length == ids.length && m.forall(v => v == 0 || v == 1))
+    assert(trained == "hi<|end|>")
+    // every marker that OPENS a turn masks 0, including the assistant's
+    val sp = ChatTemplate.Default.specials
+    val assistantId = maskBase + sp.indexOf("<|assistant|>")
+    ids.zip(m).foreach { case (id, mv) =>
+      if (id >= maskBase && id != maskBase + sp.indexOf("<|end|>"))
+        assert(mv == 0, s"opener id $id masked $mv")
+      if (id == assistantId) assert(mv == 0)
+    }
+  }
+
+  test("sftLossMask honors trainEndMarker=false and extra trainRoles") {
+    val (_, _, noEnd) =
+      maskedOut(transcript, ChatTemplate.Default, trainEnd = false)
+    assert(noEnd == "hi")
+    val (_, _, both) = maskedOut(transcript, ChatTemplate.Default,
+      trainRoles = Seq("assistant", "user"))
+    assert(both == "hello there<|end|>hi<|end|>")
+  }
+
+  test("sftLossMask under ChatML: EOS masks 0, invalid turns mask 0") {
+    val tpl = ChatTemplate.ChatMl
+    val (ids, m, trained) = maskedOut(transcript, tpl)
+    assert(trained == "hi<|im_end|>\n")
+    // the trailing <|endoftext|> EOS is reserved but NOT trainable
+    val eosId = maskBase + tpl.specials.indexOf("<|endoftext|>")
+    assert(ids.last == eosId && m.last == 0)
+  }
+
+  test("sftLossMask rejects a trainable/non-trainable marker clash") {
+    val tpl = ChatTemplate(invalidMarker = "<|assistant|>")
+    val e = intercept[IllegalArgumentException] {
+      Seq(transcript).toDF("t")
+        .select(Chat.sftLossMask(
+          ByteBpe.encodeIds(Chat.renderTemplate(col("t"), tpl),
+            maskModel, tpl.specials), maskBase, tpl))
+        .head()
+    }
+    assert(e.getMessage.contains("undecidable"))
+  }
 }
