@@ -131,7 +131,7 @@ __all__ = [
     "tokenizer_vocab_size", "tokenizer_specials",
     "save_shards", "load_shards", "verify_shards", "unpack_shards",
     "append_shards", "ShardSet", "doc_boundaries", "sft_loss_mask",
-    "shard_batch", "shards_last_batch_id",
+    "shard_batch", "shards_last_batch_id", "pack_bins", "bin_pack_report",
     "chat_template_specials",
     "conversation_neardup_pairs", "conversation_neardup_pairs_messages",
     "history_apply_snapshot", "with_temporal_split", "layout_report",
@@ -3434,6 +3434,30 @@ def shards_last_batch_id(spark: SparkSession, path: str) -> int:
     none) — the shard_batch idempotence marker."""
     return int(_bridge(spark.range(1)).shardsLastBatchId(
         spark._jsparkSession, str(path)))
+
+
+def pack_bins(df: DataFrame, tokens: ColumnOrName, order,
+              capacity: int) -> DataFrame:
+    """No-split sequence packing (histogram best-fit, SPFHP lineage):
+    every document lands WHOLE in one fixed-capacity bin — padding-free
+    batches without cross-document attention. Adds n_tokens, bin_id
+    (dense from 0), slot (0-based within bin, lengths descending).
+    Zero-token docs drop; docs longer than capacity fail loudly. The
+    histogram solve is <= capacity driver rows regardless of corpus
+    size; assignment is one broadcast interval join."""
+    spark = df.sparkSession
+    jorder = spark._jvm.java.util.ArrayList()  # type: ignore[union-attr]
+    for c in order:
+        jorder.add(_jcol(c))
+    jdf = _bridge(df).packBins(df._jdf, _jcol(tokens), jorder, int(capacity))
+    return DataFrame(jdf, spark)
+
+
+def bin_pack_report(assigned: DataFrame, capacity: int) -> DataFrame:
+    """One-row exact-integer layout report for a pack_bins assignment:
+    (n_bins, n_docs, total_tokens, slot_capacity, min_bins)."""
+    jdf = _bridge(assigned).binPackReport(assigned._jdf, int(capacity))
+    return DataFrame(jdf, assigned.sparkSession)
 
 
 def streaming_retention_hits(stream: DataFrame, user: ColumnOrName,

@@ -2156,6 +2156,23 @@ class GraftsparkTest(unittest.TestCase):
                              self.spark, d + "/one").data.collect())
         self.assertEqual(streamed, oneshot)
 
+    def test_pipeline_bin_pack(self):
+        from graftspark import pipeline as P
+        docs = self.spark.createDataFrame(
+            [(1, 5), (2, 5), (3, 3), (4, 3), (5, 3), (6, 2), (7, 0)],
+            ["id", "n"])
+        got = {r["id"]: (r["bin_id"], r["slot"])
+               for r in P.pack_bins(docs, col("n"), [col("id")], 8).collect()}
+        # hand-traced spec (see BinPackSuite): two [5]-bins, both take a 3,
+        # the third 3 opens bin 2, the 2 joins it; zero-token doc drops
+        self.assertEqual(got, {1: (0, 0), 2: (1, 0), 3: (0, 1),
+                               4: (1, 1), 5: (2, 0), 6: (2, 1)})
+        r = P.bin_pack_report(
+            P.pack_bins(docs, col("n"), [col("id")], 8), 8).first()
+        self.assertEqual((r["n_bins"], r["n_docs"], r["total_tokens"],
+                          r["slot_capacity"], r["min_bins"]),
+                         (3, 6, 21, 24, 3))
+
     def test_pipeline_conversation_neardup(self):
         from graftspark import pipeline as P
         body = ("the quick brown fox jumps over the lazy dog and keeps "

@@ -2214,6 +2214,42 @@ object SparkEntry {
         .select(col("seq_id"), col("start_pos").cast("long").as("start_pos"))
     }),
 
+    // P37h no-split bin packing (histogram best-fit, SPFHP lineage): every
+    // document lands WHOLE in one fixed-capacity bin — padding-free
+    // batches withOUT cross-document attention (contrast P37b's stream
+    // cut). The ≤capacity-row histogram solve runs on the driver; the
+    // oracle is a committed fixture from the independent python
+    // replication of the exact deterministic spec (tools/make_golden.py
+    // make_binpack_fixture) over the same golden token counts — any
+    // divergence in fit/tie/open/split rules breaks rows.
+    "bin_pack_assign" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(byteBpeHazards.toDF("doc_id", "text"))
+      val model = graft.text.ByteBpe.train(corpus, col("text"), numMerges = 80)
+      graft.text.BinPack.packBins(docs,
+          graft.text.ByteBpe.tokenCount(coalesce(col("text"), lit("")), model),
+          Seq(col("doc_id")), capacity = 512)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("bin_id").cast("long").as("bin_id"),
+          col("slot").cast("long").as("slot"))
+    }),
+
+    // P37h the layout report: exact-integer bins/docs/tokens/capacity and
+    // the ceil(total/capacity) lower bound — the oracle re-derives all
+    // five from the fixture, so bins-used must match the replication's
+    // count exactly (102 bins over 500 docs at 99.2% fill at sf0.01)
+    "bin_pack_report" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(byteBpeHazards.toDF("doc_id", "text"))
+      val model = graft.text.ByteBpe.train(corpus, col("text"), numMerges = 80)
+      val assigned = graft.text.BinPack.packBins(docs,
+        graft.text.ByteBpe.tokenCount(coalesce(col("text"), lit("")), model),
+        Seq(col("doc_id")), capacity = 512)
+      graft.text.BinPack.binPackReport(assigned, 512)
+    }),
+
     // P37c the full content round-trip — pack → unpack → decode must give
     // every document back byte-for-byte (the strongest possible shard-QA
     // gate: zero fixtures, zero replication; doc_idx joins back to doc_id
@@ -5987,6 +6023,22 @@ object SparkEntry {
           "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s FROM g) " +
           "SELECT CAST(s // 512 AS BIGINT) AS seq_id, " +
           "CAST(s % 512 AS BIGINT) AS start_pos FROM c"),
+
+      // the committed replication of the bin-packing spec over the same
+      // golden token counts
+      "bin_pack_assign" ->
+        ("SELECT doc_id, n_tokens, bin_id, slot " +
+          s"FROM read_parquet('$goldenDir/binpack_sf001.parquet')"),
+
+      // all five report fields re-derived from the fixture (bins used
+      // must equal the replication's solve exactly)
+      "bin_pack_report" ->
+        ("SELECT CAST(COUNT(DISTINCT bin_id) AS BIGINT) AS n_bins, " +
+          "CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+          "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, " +
+          "CAST(COUNT(DISTINCT bin_id) * 512 AS BIGINT) AS slot_capacity, " +
+          "CAST((SUM(n_tokens) + 511) // 512 AS BIGINT) AS min_bins " +
+          s"FROM read_parquet('$goldenDir/binpack_sf001.parquet')"),
 
       // pack -> unpack -> decode == the raw table, byte for byte
       "pack_roundtrip" ->

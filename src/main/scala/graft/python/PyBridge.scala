@@ -1838,4 +1838,11 @@ object PyBridge {
 
   def shardsLastBatchId(spark: SparkSession, dir: String): Long =
     graft.text.Shards.lastBatchId(spark, dir)
+
+  def packBins(df: DataFrame, tokens: Column, order: JList[Column],
+               capacity: Int): DataFrame =
+    graft.text.BinPack.packBins(df, tokens, order.asScala.toSeq, capacity)
+
+  def binPackReport(assigned: DataFrame, capacity: Int): DataFrame =
+    graft.text.BinPack.binPackReport(assigned, capacity)
 }

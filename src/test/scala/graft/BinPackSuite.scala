@@ -1,0 +1,79 @@
+package graft
+
+import graft.text.BinPack
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** No-split bin packing: solve validity, assignment determinism under
+  * re-partitioning, and the fail-loud/drop edge rules. */
+class BinPackSuite extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  private def assignments(df: org.apache.spark.sql.DataFrame, cap: Int) =
+    BinPack.packBins(df, col("n"), Seq(col("id")), cap)
+      .select($"id", $"n_tokens", $"bin_id", $"slot")
+      .as[(Long, Int, Long, Int)].collect().toSeq.sortBy(_._1)
+
+  test("every doc placed once, bins dense, sums within capacity, slots ordered") {
+    val docs = Seq(
+      (1L, 300), (2L, 300), (3L, 212), (4L, 212), (5L, 100), (6L, 100),
+      (7L, 100), (8L, 100), (9L, 100), (10L, 100), (11L, 100), (12L, 12),
+      (13L, 1), (14L, 512), (15L, 0), (16L, 0)).toDF("id", "n")
+    val got = assignments(docs, 512)
+    // zero-token docs dropped, everything else placed exactly once
+    assert(got.map(_._1) == (1L to 14L))
+    val byBin = got.groupBy(_._3)
+    // dense bin ids from 0
+    assert(byBin.keySet == (0L until byBin.size).toSet)
+    byBin.values.foreach { bin =>
+      assert(bin.map(_._2).sum <= 512)
+      val bySlot = bin.sortBy(_._4)
+      // slots contiguous from 0, lengths non-increasing by slot
+      assert(bySlot.map(_._4) == bin.indices)
+      assert(bySlot.map(_._2) == bySlot.map(_._2).sorted.reverse)
+    }
+    // best-fit actually packs: 14 docs in far fewer bins than one-per-doc
+    assert(byBin.size <= 6, s"expected tight packing, got ${byBin.size} bins")
+  }
+
+  test("assignment is a pure function of (lengths, order) — partitioning-free") {
+    val docs = (1L to 300L).map(i => (i, 1 + (i * 37 % 97).toInt)).toDF("id", "n")
+    val a = assignments(docs.repartition(2), 100)
+    val b = assignments(docs.repartition(13), 100)
+    assert(a == b)
+  }
+
+  test("oversized documents fail loudly; zero capacity rejected") {
+    val docs = Seq((1L, 600), (2L, 10)).toDF("id", "n")
+    val e = intercept[IllegalArgumentException](assignments(docs, 512))
+    assert(e.getMessage.contains("chunk oversized"))
+    intercept[IllegalArgumentException](
+      BinPack.packBins(docs, col("n"), Seq(col("id")), 0))
+  }
+
+  test("report fields are exact integers incl. the ceil-div lower bound") {
+    val docs = Seq((1L, 5), (2L, 5), (3L, 3), (4L, 2)).toDF("id", "n")
+    val assigned = BinPack.packBins(docs, col("n"), Seq(col("id")), 8)
+    val r = BinPack.binPackReport(assigned, 8).head()
+    assert(r.getAs[Long]("n_docs") == 4 && r.getAs[Long]("total_tokens") == 15)
+    assert(r.getAs[Long]("min_bins") == 2) // ceil(15/8)
+    assert(r.getAs[Long]("n_bins") >= 2 &&
+      r.getAs[Long]("slot_capacity") == r.getAs[Long]("n_bins") * 8)
+  }
+
+  test("solve matches a hand-traced case (fit, split, bulk open, tie rules)") {
+    // cap 8; lengths desc: 5 (x2), 3 (x3), 2 (x1)
+    // open 5s: per-bin 1 -> 2 bins [5], rem 3 each (bins 0,1)
+    // 3s: best fit rem 3 (both; earliest group) -> both bins take a 3
+    //     (t = min(3,2) = 2); remaining one 3: no rem >= 3 -> open bin 2
+    // 2: best fit rem 5 (bin 2) -> slot 1
+    val docs = Seq((1L, 5), (2L, 5), (3L, 3), (4L, 3), (5L, 3), (6L, 2))
+      .toDF("id", "n")
+    val got = assignments(docs, 8).map(t => t._1 -> ((t._3, t._4))).toMap
+    assert(got == Map(
+      1L -> ((0L, 0)), 2L -> ((1L, 0)),
+      3L -> ((0L, 1)), 4L -> ((1L, 1)), 5L -> ((2L, 0)),
+      6L -> ((2L, 1))))
+  }
+}

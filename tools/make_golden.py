@@ -2150,6 +2150,75 @@ def make_linkage_fixture():
     print(f"linkage fixtures: {len(rows)} records, {len(pairs)} expected pairs")
 
 
+def make_binpack_fixture():
+    """Independent replication of graft.text.BinPack.packBins' deterministic
+    spec (histogram best-fit bin packing, SPFHP lineage) over the golden
+    byte-BPE token counts at capacity 512 -> (doc_id, n_tokens, bin_id,
+    slot). Groups of identical bins occupy contiguous id ranges; fills take
+    the prefix; lengths iterate descending; best fit = smallest remaining
+    >= L, ties earliest-created; no fit opens ceil(c / (cap // L)) bins."""
+    CAP = 512
+    t = pq.read_table(f"{OUT}/byte_bpe_sf001.parquet").to_pandas()
+    rows = [(int(d), int(n)) for d, n in zip(t.doc_id, t.n_byte_tokens)
+            if d >= 0 and n > 0]
+    assert all(n <= CAP for _, n in rows), "chunk oversized docs first"
+    classes = {}
+    for d, n in rows:
+        classes.setdefault(n, []).append(d)
+    for n in classes:
+        classes[n].sort()
+    groups = []  # [slots, rem, bin_start, count] — all bins in a group identical
+    assign = {}
+    next_bin = 0
+    for L in sorted(classes, reverse=True):
+        docs = classes[L]
+        rank = 0
+        while rank < len(docs):
+            c = len(docs) - rank
+            best = -1
+            for i, g in enumerate(groups):
+                if g[1] >= L and (best < 0 or g[1] < groups[best][1]):
+                    best = i
+            if best >= 0:
+                g = groups[best]
+                tt = min(c, g[3])
+                for k in range(tt):
+                    assign[docs[rank + k]] = (g[2] + k, g[0], L)
+                if tt == g[3]:
+                    g[0] += 1
+                    g[1] -= L
+                else:
+                    groups.append([g[0] + 1, g[1] - L, g[2], tt])
+                    g[2] += tt
+                    g[3] -= tt
+                rank += tt
+            else:
+                per = CAP // L
+                tt = min(c, -(-c // per))
+                for k in range(tt):
+                    assign[docs[rank + k]] = (next_bin + k, 0, L)
+                groups.append([1, CAP - L, next_bin, tt])
+                next_bin += tt
+                rank += tt
+    # validity: per-bin sums within capacity, every doc placed once
+    fill = {}
+    for d, (b, s, L) in assign.items():
+        fill[b] = fill.get(b, 0) + L
+    assert len(assign) == len(rows) and all(v <= CAP for v in fill.values())
+    assert set(fill) == set(range(next_bin))
+    ids = sorted(assign)
+    table = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_tokens": pa.array([assign[d][2] for d in ids], pa.int64()),
+        "bin_id": pa.array([assign[d][0] for d in ids], pa.int64()),
+        "slot": pa.array([assign[d][1] for d in ids], pa.int64()),
+    })
+    pq.write_table(table, f"{OUT}/binpack_sf001.parquet")
+    tot = sum(n for _, n in rows)
+    print(f"binpack_sf001.parquet: {len(ids)} docs, {next_bin} bins, "
+          f"fill {tot}/{next_bin * CAP} = {tot / (next_bin * CAP):.3f}")
+
+
 if __name__ == "__main__":
     make_images_fixture()
     make_audio_fixture()
@@ -2171,3 +2240,4 @@ if __name__ == "__main__":
     make_luhn_fixture()
     make_linkage_fixture()
     make_ann_goldens()
+    make_binpack_fixture()
