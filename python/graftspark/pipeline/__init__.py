@@ -132,6 +132,7 @@ __all__ = [
     "save_shards", "load_shards", "verify_shards", "unpack_shards",
     "append_shards", "ShardSet", "doc_boundaries", "sft_loss_mask",
     "shard_batch", "shards_last_batch_id", "pack_bins", "bin_pack_report",
+    "pack_token_ids_with_mask", "unpack_token_ids_with_mask",
     "chat_template_specials",
     "conversation_neardup_pairs", "conversation_neardup_pairs_messages",
     "history_apply_snapshot", "with_temporal_split", "layout_report",
@@ -3434,6 +3435,32 @@ def shards_last_batch_id(spark: SparkSession, path: str) -> int:
     none) — the shard_batch idempotence marker."""
     return int(_bridge(spark.range(1)).shardsLastBatchId(
         spark._jsparkSession, str(path)))
+
+
+def pack_token_ids_with_mask(df: DataFrame, ids: ColumnOrName,
+                             mask: ColumnOrName, order, capacity: int,
+                             sep_id: int) -> DataFrame:
+    """pack_token_ids with an ALIGNED per-token loss mask -> (seq_id, ids,
+    mask, n_docs): each (id, mask) pair travels as one fused int id*2+mask
+    through the standard pack, so drift is structurally impossible; the
+    separator masks 0. The SFT-shard shape a chat trainer consumes."""
+    spark = df.sparkSession
+    jorder = spark._jvm.java.util.ArrayList()  # type: ignore[union-attr]
+    for c in order:
+        jorder.add(_jcol(c))
+    jdf = _bridge(df).packTokenIdsWithMask(df._jdf, _jcol(ids), _jcol(mask),
+                                           jorder, int(capacity),
+                                           int(sep_id))
+    return DataFrame(jdf, spark)
+
+
+def unpack_token_ids_with_mask(packed: DataFrame, capacity: int,
+                               sep_id: int) -> DataFrame:
+    """Inverse of pack_token_ids_with_mask for shard QA -> (doc_idx, ids,
+    mask)."""
+    jdf = _bridge(packed).unpackTokenIdsWithMask(packed._jdf, int(capacity),
+                                                 int(sep_id))
+    return DataFrame(jdf, packed.sparkSession)
 
 
 def pack_bins(df: DataFrame, tokens: ColumnOrName, order,

@@ -2135,6 +2135,19 @@ class GraftsparkTest(unittest.TestCase):
                      for r in P.doc_boundaries(packed, 261).collect()
                      for p in r["doc_starts"])
         self.assertEqual(got, starts)
+        # aligned mask pack: both streams survive the trip per doc
+        from pyspark.sql import functions as F
+        enc_ids = P.byte_bpe_encode_ids(col("t"), model)
+        m = F.transform(enc_ids, lambda x, i: (i % 2 == 0).cast("int"))
+        mp = P.pack_token_ids_with_mask(
+            docs, enc_ids, m, [col("doc_id")], 7, 300)
+        per_doc = {r["doc_idx"]: (list(r["ids"]), list(r["mask"]))
+                   for r in P.unpack_token_ids_with_mask(mp, 7, 300).collect()}
+        exp = [(list(r["i"]), list(r["m"])) for r in docs.orderBy("doc_id")
+               .select(enc_ids.alias("i"), m.alias("m")).collect()]
+        for i, e in enumerate(exp):
+            if e[0]:
+                self.assertEqual(per_doc[i], e)
         # shard_batch: bootstrap + append + idempotent redelivery ==
         # one-shot artifact
         d = tempfile.mkdtemp()

@@ -2053,6 +2053,50 @@ object SparkEntry {
         (size(mask) === size(ids)).as("mask_aligned"))
     }),
 
+    // P124l the SFT shard shape, end to end: render → special-encode →
+    // loss mask → ALIGNED pack (ids and mask fused as one int stream, so
+    // drift is structurally impossible) → unpack → BOTH decodes must
+    // survive the trip: the full id stream reproduces the render, and
+    // the masked subset reproduces exactly the assistant contents +
+    // closers. This is the artifact a chat trainer actually consumes —
+    // sequences with their trainability bits.
+    "chat_mask_pack" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(byteBpeHazards.toDF("doc_id", "text"))
+      val model = graft.text.ByteBpe.train(corpus, col("text"), numMerges = 80)
+      val sp = graft.text.Chat.templateSpecials()
+      val base = graft.text.ByteBpe.vocabSize(model)
+      val scrubbed = regexp_replace(coalesce(col("text"), lit("")),
+        "<\\|", "")
+      val rendered = graft.text.Chat.renderTemplate(
+        chatTranscript(col("doc_id"), scrubbed))
+      val ids = graft.text.ByteBpe.encodeIds(rendered, model, sp)
+      val mask = graft.text.Chat.sftLossMask(ids, base)
+      val sep = base + sp.size // one past the last reserved id
+      val packed = graft.text.Packing.packTokenIdsWithMask(
+        docs, ids, mask, Seq(col("doc_id")), capacity = 512, sepId = sep)
+      val unpacked = graft.text.Packing.unpackTokenIdsWithMask(
+        packed, 512, sep)
+      val mapping = graft.RowNumbers.withRowNumbers(
+        docs.select(col("doc_id")), rowNumberColumnName = "__rn",
+        order = Seq(col("doc_id")))
+        .select(col("doc_id"), (col("__rn") - 1).as("doc_idx"))
+      val trained = filter(
+        zip_with(col("ids"), col("mask"), (i, m) => when(m === 1, i)),
+        x => x.isNotNull)
+      mapping.join(unpacked, Seq("doc_idx"), "left_outer")
+        .select(col("doc_id"),
+          graft.text.ByteBpe.decodeIds(
+            coalesce(col("ids"), array().cast("array<int>")), model, sp)
+            .as("decoded"),
+          graft.text.ByteBpe.decodeIds(
+            coalesce(trained, array().cast("array<int>")), model, sp)
+            .as("trained_text"),
+          size(filter(coalesce(trained, array().cast("array<int>")),
+            i => i >= base)).cast("long").as("n_train_special"))
+    }),
+
     // P124h conversation-level near-dup: the SFT-corpus dedup pass — the
     // fingerprint is the content-only canonical form (roles and turn
     // scaffolding excluded), so the planted role-scrambled re-wraps
@@ -6107,6 +6151,33 @@ object SparkEntry {
           "FROM turns GROUP BY doc_id) " +
           "SELECT doc_id, trained_text, CAST(n_train_special AS BIGINT) AS n_train_special, " +
           "true AS mask_aligned FROM r"),
+
+      // the SFT shard shape: the full stream re-renders, the masked
+      // subset is the assistant contents + closers — both after the
+      // aligned pack/unpack trip
+      "chat_mask_pack" ->
+        ("WITH d AS (SELECT doc_id, " +
+          "regexp_replace(COALESCE(text, ''), '<\\|', '', 'g') AS tx FROM documents), " +
+          "t AS (SELECT doc_id, 'system: be concise' || chr(10) || 'user: ' || " +
+          "substr(tx, 1, 40) || chr(10) || 'assistant: ' || substr(tx, 41, 40) || " +
+          "CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'user: one more' || chr(10) || 'user: double user' " +
+          "WHEN doc_id % 17 = 0 THEN chr(10) || 'bad line no colon' " +
+          "ELSE chr(10) || 'user: follow up' || chr(10) || 'assistant: done' END AS tr FROM d), " +
+          "pp AS (SELECT doc_id, string_split(tr, chr(10)) AS parts FROM t), " +
+          "lines AS (SELECT doc_id, r.i AS idx, parts[r.i] AS l " +
+          "FROM pp, unnest(range(1, len(parts) + 1)) AS r(i)), " +
+          "turns AS (SELECT doc_id, idx, " +
+          "regexp_extract(l, '^(system|user|assistant|tool): ', 1) AS role, l FROM lines), " +
+          "r AS (SELECT doc_id, string_agg(" +
+          "CASE WHEN role = '' THEN '<|invalid|>' ELSE '<|' || role || '|>' END || " +
+          "CASE WHEN role = '' THEN l ELSE substr(l, length(role) + 3) END || " +
+          "'<|end|>', '' ORDER BY idx) AS decoded, " +
+          "COALESCE(string_agg(CASE WHEN role = 'assistant' " +
+          "THEN substr(l, length(role) + 3) || '<|end|>' END, '' ORDER BY idx), '') AS trained_text, " +
+          "COUNT(*) FILTER (WHERE role = 'assistant') AS n_train_special " +
+          "FROM turns GROUP BY doc_id) " +
+          "SELECT doc_id, decoded, trained_text, " +
+          "CAST(n_train_special AS BIGINT) AS n_train_special FROM r"),
 
       // the ChatML-spec render replayed: transcript from RAW text, parse
       // lines, scrub '<+|+' runs from CONTENTS only (the template's own

@@ -1839,6 +1839,16 @@ object PyBridge {
   def shardsLastBatchId(spark: SparkSession, dir: String): Long =
     graft.text.Shards.lastBatchId(spark, dir)
 
+  def packTokenIdsWithMask(df: DataFrame, ids: Column, mask: Column,
+                           order: JList[Column], capacity: Int,
+                           sepId: Int): DataFrame =
+    graft.text.Packing.packTokenIdsWithMask(df, ids, mask,
+      order.asScala.toSeq, capacity, sepId)
+
+  def unpackTokenIdsWithMask(packed: DataFrame, capacity: Int,
+                             sepId: Int): DataFrame =
+    graft.text.Packing.unpackTokenIdsWithMask(packed, capacity, sepId)
+
   def packBins(df: DataFrame, tokens: Column, order: JList[Column],
                capacity: Int): DataFrame =
     graft.text.BinPack.packBins(df, tokens, order.asScala.toSeq, capacity)

@@ -117,6 +117,61 @@ object Packing {
   }
 
   /**
+   * [[packTokenIds]] with an ALIGNED per-token loss mask — the SFT-shard
+   * shape: `(seq_id, ids, mask, n_docs)` where `mask[i]` is the
+   * trainability bit for `ids[i]` ([[Chat.sftLossMask]] upstream), and
+   * alignment is guaranteed BY CONSTRUCTION, not by parallel plumbing:
+   * each (id, mask) pair travels as ONE fused int `id * 2 + mask` through
+   * the standard pack (the separator fuses to `sepId * 2` — mask 0, a
+   * packing artifact is never trainable), then one narrow transform
+   * splits the streams back. Any drift between ids and mask is therefore
+   * structurally impossible; same rows-O(docs+sequences) scale shape as
+   * the plain pack. Requires ids in [0, 2^30) (any real vocab) and
+   * normalizes mask to 0/1 via `!= 0`.
+   */
+  def packTokenIdsWithMask(
+      df: DataFrame,
+      idsCol: Column,
+      maskCol: Column,
+      order: Seq[Column],
+      capacity: Int,
+      sepId: Int,
+      storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      unpersistHandle: UnpersistHandle = UnpersistHandle.Noop,
+      startOffset: Long = 0L): DataFrame = {
+    require(sepId >= 0 && sepId < (1 << 30),
+      s"sepId must be in [0, 2^30): $sepId")
+    val fused = zip_with(idsCol, maskCol,
+      (i, m) => i * 2 + (m =!= 0).cast("int"))
+    packTokenIds(df, fused, order, capacity, sepId * 2,
+        storageLevel, unpersistHandle, startOffset)
+      .select(col("seq_id"),
+        transform(col("ids"), v => shiftright(v, 1)).as("ids"),
+        transform(col("ids"), v => v.bitwiseAND(1)).as("mask"),
+        col("n_docs"))
+  }
+
+  /** Inverse of [[packTokenIdsWithMask]] for shard QA: re-fuse the two
+    * streams, run the standard [[unpackTokenIds]] split, and un-fuse —
+    * output `(doc_idx, ids, mask)` with the same budget guard. */
+  def unpackTokenIdsWithMask(
+      packed: DataFrame,
+      capacity: Int,
+      sepId: Int,
+      storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      unpersistHandle: UnpersistHandle = UnpersistHandle.Noop,
+      maxSequences: Long = 1L << 22): DataFrame = {
+    val fused = packed.select(col("seq_id"),
+      zip_with(col("ids"), col("mask"),
+        (i, m) => i * 2 + (m =!= 0).cast("int")).as("ids"))
+    unpackTokenIds(fused, capacity, sepId * 2, storageLevel,
+        unpersistHandle, maxSequences)
+      .select(col("doc_idx"),
+        transform(col("ids"), v => shiftright(v, 1)).as("ids"),
+        transform(col("ids"), v => v.bitwiseAND(1)).as("mask"))
+  }
+
+  /**
    * Per-sequence document-boundary metadata for a pack — the varlen-
    * attention side table (flash-attention `cu_seqlens` lineage): for each
    * sequence, the sorted offsets where a DOCUMENT BEGINS inside it, so a

@@ -497,6 +497,42 @@ class AggOpsSuite extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("packTokenIdsWithMask keeps ids and mask aligned through the trip") {
+    val texts = Seq(
+      (1L, "aa bb cc"), (2L, ""), (3L, "dd ee ff gg hh ii jj kk ll"),
+      (4L, "mm"))
+    val docs = texts.toDF("doc_id", "text")
+    val model = graft.text.ByteBpe.train(
+      docs.filter(length($"text") > 0), $"text", numMerges = 5)
+    val sep = graft.text.ByteBpe.vocabSize(model)
+    val enc = graft.text.ByteBpe.encodeIds($"text", model)
+    // synthetic mask: every 3rd token trainable (position-dependent, so
+    // any misalignment through the pack flips bits)
+    val mask = transform(enc, (x, i) => (i % 3 === 0).cast("int"))
+    val packed = graft.text.Packing.packTokenIdsWithMask(
+      docs, enc, mask, Seq($"doc_id"), capacity = 7, sepId = sep)
+    // sequence streams: ids carry the separator with mask 0
+    val rows = packed.orderBy($"seq_id")
+      .select($"ids", $"mask").as[(Seq[Int], Seq[Int])].collect()
+    rows.foreach { case (ids, m) =>
+      assert(ids.length == m.length)
+      ids.zip(m).foreach { case (id, mv) =>
+        if (id == sep) assert(mv == 0, "separator must mask 0")
+      }
+    }
+    // per-doc round trip: both streams re-split to the original per-doc
+    // arrays (empty doc absent, like the plain unpack)
+    val back = graft.text.Packing.unpackTokenIdsWithMask(packed, 7, sep)
+      .select($"doc_idx", $"ids", $"mask")
+      .as[(Long, Seq[Int], Seq[Int])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val expected = docs.orderBy($"doc_id")
+      .select(enc.as("ids"), mask.as("m"))
+      .as[(Seq[Int], Seq[Int])].collect().zipWithIndex
+      .collect { case ((ids, m), i) if ids.nonEmpty => i.toLong -> ((ids, m)) }
+      .toMap
+    assert(back == expected)
+  }
+
   test("docBoundaries marks exactly where documents begin, across sequences") {
     val texts = Seq(
       (1L, "aa bb cc"), (2L, ""), (3L, "dd ee ff gg hh ii jj kk ll"),
