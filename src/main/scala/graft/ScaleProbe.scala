@@ -75,7 +75,7 @@ object ScaleProbe {
       "warc_ingest", "warc_curation", "scd2_history", "scd2_versions",
       "deletion_scrub", "length_buckets", "watermark_plan", "linkage",
       "funnel", "chat_trim", "chat_neardup", "byte_bpe_decode",
-      "retention_hll", "pack_ids", "pack_append")
+      "retention_hll", "pack_ids", "pack_append", "bin_pack")
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     require(onlyProbes.subsetOf(allProbes),
@@ -1510,10 +1510,46 @@ object ScaleProbe {
     // --- shard writer: n x the corpus through encode-ids + pack; the
     // full-sequence invariant is require-asserted (every seq = capacity
     // ids except the last), so boundary arithmetic is re-proven at n ----
-    if (enabled("pack_ids") || enabled("pack_append")) {
+    if (enabled("pack_ids") || enabled("pack_append") || enabled("bin_pack")) {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val model = graft.text.ByteBpe.train(docs, col("text"), numMerges = 80)
       val sep = graft.text.ByteBpe.vocabSize(model)
+
+      // --- no-split bin packing: n x docs through tokenCount + the
+      // histogram solve + interval-join assignment; validity (per-bin sum
+      // <= capacity) and cross-partitioning determinism require-asserted.
+      // The histogram stays <= capacity rows at ANY n — the probe's time
+      // growth is the count pass + row number only --------------------
+      if (enabled("bin_pack")) {
+        val big = amplify(docs, n)
+          .select((col("doc_id") + col("__rep") * 1000000L).as("doc_id"),
+            concat(col("text"), lit(" r"), col("__rep").cast("string")).as("text"))
+        val nTok = graft.text.ByteBpe.tokenCount(
+          coalesce(col("text"), lit("")), model)
+        val (bins, tB) = time {
+          val assigned = graft.text.BinPack.packBins(big, nTok,
+            Seq(col("doc_id")), capacity = 2048)
+          val over = assigned.groupBy(col("bin_id"))
+            .agg(sum(col("n_tokens")).as("s"))
+            .filter(col("s") > 2048).count()
+          require(over == 0, s"bin_pack probe: $over bins over capacity")
+          assigned.agg(countDistinct(col("bin_id"))).head().getLong(0)
+        }
+        report("bin_pack", bins, tB)
+        val (detOk, tDet) = time {
+          def assignHash(parts: Int): Long =
+            graft.text.BinPack.packBins(docs.repartition(parts), nTok,
+              Seq(col("doc_id")), capacity = 2048)
+              .agg(bit_xor(xxhash64(col("doc_id"), col("bin_id"), col("slot"))))
+              .head().getLong(0)
+          val h7 = assignHash(7)
+          val h64 = assignHash(64)
+          require(h7 == h64,
+            s"bin_pack determinism broke: $h7 != $h64 across partitionings")
+          1L
+        }
+        reportAlways("bin_pack_det", detOk, tDet)
+      }
       if (enabled("pack_ids")) {
       val big = amplify(docs, n)
         .select((col("doc_id") + col("__rep") * 1000000L).as("doc_id"),
