@@ -133,6 +133,7 @@ __all__ = [
     "append_shards", "ShardSet", "doc_boundaries", "sft_loss_mask",
     "shard_batch", "shards_last_batch_id", "pack_bins", "bin_pack_report",
     "pack_token_ids_with_mask", "unpack_token_ids_with_mask",
+    "unpack_shards_range",
     "chat_template_specials",
     "conversation_neardup_pairs", "conversation_neardup_pairs_messages",
     "history_apply_snapshot", "with_temporal_split", "layout_report",
@@ -3379,6 +3380,17 @@ def unpack_shards(spark: SparkSession, path: str,
     jdf = _bridge(spark.range(1)).unpackShards(spark._jsparkSession,
                                                str(path),
                                                int(max_sequences))
+    return DataFrame(jdf, spark)
+
+
+def unpack_shards_range(spark: SparkSession, path: str, from_seq: int,
+                        until_seq: int) -> DataFrame:
+    """Sampled shard QA from disk: decode only sequences [from_seq,
+    until_seq) of a saved artifact -> (doc_idx, ids) of the documents
+    COMPLETE inside. The seq_id range predicate prunes at the parquet scan
+    (files are range-clustered on seq_id), so shard k reads k's files."""
+    jdf = _bridge(spark.range(1)).unpackShardsRange(
+        spark._jsparkSession, str(path), int(from_seq), int(until_seq))
     return DataFrame(jdf, spark)
 
 

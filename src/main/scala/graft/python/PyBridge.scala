@@ -1816,6 +1816,12 @@ object PyBridge {
     graft.text.Packing.unpackTokenIdsRange(packed, capacity, sepId,
       fromSeq.longValue(), untilSeq.longValue())
 
+  def unpackShardsRange(spark: SparkSession, dir: String,
+                        fromSeq: java.lang.Number,
+                        untilSeq: java.lang.Number): DataFrame =
+    graft.text.Shards.unpackShardsRange(spark, dir,
+      fromSeq.longValue(), untilSeq.longValue())
+
   def docBoundaries(packed: DataFrame, sepId: Int): DataFrame =
     graft.text.Packing.docBoundaries(packed, sepId)
 

@@ -299,6 +299,22 @@ object Shards {
       maxSequences = maxSequences)
   }
 
+  /**
+   * Sampled shard QA from disk: re-split ONLY sequences `[fromSeq,
+   * untilSeq)` ([[Packing.unpackTokenIdsRange]] — the separator census
+   * stays O(sequences) over the whole pack; only the selected range
+   * explodes to tokens). Because `saveShards` lands the pack
+   * range-clustered on `seq_id`, the `seq_id` range predicate prunes at
+   * the parquet scan (pushed min/max per file — shard k of a training
+   * job reads k's files, not the artifact; pinned in ShardsSuite).
+   */
+  def unpackShardsRange(spark: SparkSession, dir: String,
+                        fromSeq: Long, untilSeq: Long): DataFrame = {
+    val shards = loadShards(spark, dir)
+    Packing.unpackTokenIdsRange(shards.data, shards.capacity, shards.sepId,
+      fromSeq, untilSeq)
+  }
+
   /** Rewrite `dataDir` range-clustered on `seq_id` when the landed file
     * count is >1.5× off the footer-computed target (fresh-directory swap:
     * write `_resized`, delete old files, move new ones in). */

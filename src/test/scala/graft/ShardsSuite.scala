@@ -246,6 +246,46 @@ class ShardsSuite extends AnyFunSuite with SparkTest {
     packed.unpersist()
   }
 
+  test("range-clustered files prune a seq_id range read; unpackShardsRange composes") {
+    val dir = java.nio.file.Files.createTempDirectory("shards-range").toString + "/s"
+    // enough data for several sized files (the resize path range-clusters)
+    val many = (0 until 40).map(r =>
+      docs.select((col("doc_id") + r * 100L).as("doc_id"),
+        concat(col("text"), lit(s" v$r")).as("text"))).reduce(_ unionAll _)
+    Shards.saveShards(many, enc, Seq(col("doc_id")), capacity = 16,
+      sepId = sep, dir = dir, targetFileBytes = 1024)
+    // (a) per-file seq_id ranges are DISJOINT and sorted — the layout
+    // claim behind "shard k is a file-aligned sequential read"
+    val ranges = graft.parquet.ParquetMeta
+      .parquetBlockColumns(spark, None, Seq(s"$dir/data"))
+      .filter(col("column") === "seq_id")
+      .select(col("filename"), col("minValue").cast("long"),
+        col("maxValue").cast("long"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (_, rs) =>
+        (rs.map(_._2).min, rs.map(_._3).max)
+      }.toSeq.sortBy(_._1)
+    assert(ranges.length >= 2, s"expected a multi-file layout, got $ranges")
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+    // (b) the range predicate reaches the scan (pushed min/max per file)
+    val q = spark.read.parquet(s"$dir/data")
+      .filter(col("seq_id") >= 3 && col("seq_id") < 6)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("seq_id"),
+      s"expected seq_id pushdown in:\n$plan")
+    // (c) the compose equals the raw range unpack
+    val viaShards = Shards.unpackShardsRange(spark, dir, 2, 5)
+      .as[(Long, Seq[Int])].collect().toMap
+    val raw = Packing.unpackTokenIdsRange(
+      Shards.loadShards(spark, dir).data, 16, sep, 2, 5)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(viaShards == raw && viaShards.nonEmpty)
+  }
+
   test("unpack QA budget guard fails fast past maxSequences") {
     val packed = Packing.packTokenIds(docs,
       ByteBpe.encodeIds(coalesce(col("text"), lit("")), model),
