@@ -133,7 +133,7 @@ __all__ = [
     "append_shards", "ShardSet", "doc_boundaries", "sft_loss_mask",
     "shard_batch", "shards_last_batch_id", "pack_bins", "bin_pack_report",
     "pack_token_ids_with_mask", "unpack_token_ids_with_mask",
-    "unpack_shards_range",
+    "unpack_shards_range", "fim_transform", "fim_applied", "fim_specials",
     "chat_template_specials",
     "conversation_neardup_pairs", "conversation_neardup_pairs_messages",
     "history_apply_snapshot", "with_temporal_split", "layout_report",
@@ -3473,6 +3473,30 @@ def unpack_token_ids_with_mask(packed: DataFrame, capacity: int,
     jdf = _bridge(packed).unpackTokenIdsWithMask(packed._jdf, int(capacity),
                                                  int(sep_id))
     return DataFrame(jdf, packed.sparkSession)
+
+
+def fim_transform(text: ColumnOrName, id: ColumnOrName, rate: float,
+                  salt: str = "graft") -> Column:
+    """Fill-in-the-middle pretraining transform: a deterministic
+    md5-threshold fraction of documents re-renders in PSM order
+    <|fim_pre|>prefix<|fim_suf|>suffix<|fim_mid|>middle (md5-mod cut
+    points in character units; no RNG — retries and engines agree); the
+    rest pass through. Markers are fim_specials() for the id codec."""
+    return _col_fn("fimTransform", _jcol(text), _jcol(id), float(rate),
+                   str(salt))
+
+
+def fim_applied(id: ColumnOrName, rate: float,
+                salt: str = "graft") -> Column:
+    """The transform's deterministic apply decision as a column."""
+    return _col_fn("fimApplied", _jcol(id), float(rate), str(salt))
+
+
+def fim_specials():
+    """The three FIM markers in the order byte_bpe_encode_ids_special
+    reserves ids for."""
+    sc = SparkContext._active_spark_context
+    return list(_bridge(sc).fimSpecials())
 
 
 def pack_bins(df: DataFrame, tokens: ColumnOrName, order,

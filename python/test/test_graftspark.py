@@ -2169,6 +2169,30 @@ class GraftsparkTest(unittest.TestCase):
                              self.spark, d + "/one").data.collect())
         self.assertEqual(streamed, oneshot)
 
+    def test_pipeline_fim(self):
+        from graftspark import pipeline as P
+        import re
+        docs = self.spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "short"), (3, "")],
+            ["id", "t"])
+        rows = docs.select(
+            "id", "t", P.fim_transform(col("t"), col("id"), 1.0).alias("f"),
+            P.fim_applied(col("id"), 1.0).alias("ap")).collect()
+        pat = re.compile(
+            r"^<\|fim_pre\|>(.*)<\|fim_suf\|>(.*)<\|fim_mid\|>(.*)$", re.S)
+        for r in rows:
+            self.assertTrue(r["ap"])
+            m = pat.match(r["f"])
+            self.assertIsNotNone(m)
+            self.assertEqual(m.group(1) + m.group(3) + m.group(2), r["t"])
+        self.assertEqual(P.fim_specials(),
+                         ["<|fim_pre|>", "<|fim_suf|>", "<|fim_mid|>"])
+        # rate 0: identity
+        same = docs.select(
+            "t", P.fim_transform(col("t"), col("id"), 0.0).alias("f")).collect()
+        for r in same:
+            self.assertEqual(r["f"], r["t"])
+
     def test_pipeline_bin_pack(self):
         from graftspark import pipeline as P
         docs = self.spark.createDataFrame(

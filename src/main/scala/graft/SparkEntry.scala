@@ -2023,6 +2023,20 @@ object SparkEntry {
         size(filter(ids, i => i >= base)).cast("long").as("n_special"))
     }),
 
+    // P132 fill-in-the-middle: the infilling pretraining transform — a
+    // deterministic md5-threshold fraction of docs re-renders in PSM
+    // order <|fim_pre|>P<|fim_suf|>S<|fim_mid|>M with md5-mod cut points
+    // in character units; no RNG anywhere, so the oracle replays the
+    // WHOLE transform verbatim (same hashes, same mod, same substr
+    // algebra) and compares the output string exactly.
+    "fim_transform" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      docs.select(col("doc_id"),
+        graft.text.Fim.fimTransform(col("text"), col("doc_id"), 0.5)
+          .as("fim_text"),
+        graft.text.Fim.applied(col("doc_id"), 0.5).as("applied"))
+    }),
+
     // P124k SFT loss mask: the per-token trainability column between the
     // render→encode chain and the trainer — mask 1 exactly on assistant
     // CONTENT tokens + the end marker closing an assistant turn.
@@ -6126,6 +6140,22 @@ object SparkEntry {
           "'<|end|>', '' ORDER BY idx) AS decoded, 2 * COUNT(*) AS n_special " +
           "FROM turns GROUP BY doc_id) " +
           "SELECT doc_id, decoded, CAST(n_special AS BIGINT) AS n_special FROM r"),
+
+      // the FIM transform replayed verbatim: same md5 apply threshold
+      // (0.5 -> '80000000'), same tagged md5-mod cuts in char units,
+      // same substr algebra
+      "fim_transform" ->
+        ("WITH d AS (SELECT doc_id, COALESCE(text, '') AS t, " +
+          "length(COALESCE(text, '')) AS L FROM documents), " +
+          "c AS (SELECT doc_id, t, L, " +
+          "CAST(('0x' || substring(md5('graft:fim1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % (L + 1) AS a, " +
+          "CAST(('0x' || substring(md5('graft:fim2:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % (L + 1) AS b, " +
+          "substring(md5('graft:fim' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000' AS applied FROM d), " +
+          "k AS (SELECT doc_id, t, L, applied, LEAST(a, b) AS c1, GREATEST(a, b) AS c2 FROM c) " +
+          "SELECT doc_id, CASE WHEN applied THEN " +
+          "'<|fim_pre|>' || substr(t, 1, c1) || '<|fim_suf|>' || " +
+          "substr(t, c2 + 1, L - c2) || '<|fim_mid|>' || " +
+          "substr(t, c1 + 1, c2 - c1) ELSE t END AS fim_text, applied FROM k"),
 
       // the loss mask replayed at the TEXT level: the trainable subset
       // must decode to the assistant turns' contents + '<|end|>' closers

@@ -1855,6 +1855,15 @@ object PyBridge {
                              sepId: Int): DataFrame =
     graft.text.Packing.unpackTokenIdsWithMask(packed, capacity, sepId)
 
+  def fimTransform(text: Column, id: Column, rate: Double,
+                   salt: String): Column =
+    graft.text.Fim.fimTransform(text, id, rate, salt)
+
+  def fimApplied(id: Column, rate: Double, salt: String): Column =
+    graft.text.Fim.applied(id, rate, salt)
+
+  def fimSpecials(): JList[String] = graft.text.Fim.Specials.asJava
+
   def packBins(df: DataFrame, tokens: Column, order: JList[Column],
                capacity: Int): DataFrame =
     graft.text.BinPack.packBins(df, tokens, order.asScala.toSeq, capacity)
