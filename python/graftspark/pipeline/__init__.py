@@ -134,6 +134,7 @@ __all__ = [
     "shard_batch", "shards_last_batch_id", "pack_bins", "bin_pack_report",
     "pack_token_ids_with_mask", "unpack_token_ids_with_mask",
     "unpack_shards_range", "fim_transform", "fim_applied", "fim_specials",
+    "token_provenance",
     "chat_template_specials",
     "conversation_neardup_pairs", "conversation_neardup_pairs_messages",
     "history_apply_snapshot", "with_temporal_split", "layout_report",
@@ -3473,6 +3474,22 @@ def unpack_token_ids_with_mask(packed: DataFrame, capacity: int,
     jdf = _bridge(packed).unpackTokenIdsWithMask(packed._jdf, int(capacity),
                                                  int(sep_id))
     return DataFrame(jdf, packed.sparkSession)
+
+
+def token_provenance(df: DataFrame, tokens: ColumnOrName, order,
+                     capacity: int, source: ColumnOrName) -> DataFrame:
+    """Per-sequence token provenance -> (seq_id, source, n_ids): how many
+    of each sequence's ids come from documents of each source (separators
+    charge to their document) — the per-shard mixture accounting, computed
+    from COUNTS alone (no ids materialize; rows O(docs + crossings)). Run
+    with the same order/capacity as the pack it describes."""
+    spark = df.sparkSession
+    jorder = spark._jvm.java.util.ArrayList()  # type: ignore[union-attr]
+    for c in order:
+        jorder.add(_jcol(c))
+    jdf = _bridge(df).tokenProvenance(df._jdf, _jcol(tokens), jorder,
+                                      int(capacity), _jcol(source))
+    return DataFrame(jdf, spark)
 
 
 def fim_transform(text: ColumnOrName, id: ColumnOrName, rate: float,

@@ -2169,6 +2169,24 @@ class GraftsparkTest(unittest.TestCase):
                              self.spark, d + "/one").data.collect())
         self.assertEqual(streamed, oneshot)
 
+    def test_pipeline_token_provenance(self):
+        from graftspark import pipeline as P
+        docs = self.spark.createDataFrame(
+            [(0, 3, "a"), (1, 4, "b"), (2, 6, "a"), (3, 2, "b")],
+            ["id", "n", "src"])
+        prov = P.token_provenance(docs, col("n"), [col("id")], 5,
+                                  col("src")).collect()
+        # per-source totals == sum of (n + 1) per source
+        by_src = {}
+        for r in prov:
+            by_src[r["source"]] = by_src.get(r["source"], 0) + r["n_ids"]
+        self.assertEqual(by_src, {"a": 3 + 1 + 6 + 1, "b": 4 + 1 + 2 + 1})
+        # per-seq totals == full sequences of 5 (stream = 19 ids)
+        by_seq = {}
+        for r in prov:
+            by_seq[r["seq_id"]] = by_seq.get(r["seq_id"], 0) + r["n_ids"]
+        self.assertEqual(by_seq, {0: 5, 1: 5, 2: 5, 3: 4})
+
     def test_pipeline_fim(self):
         from graftspark import pipeline as P
         import re

@@ -2272,6 +2272,23 @@ object SparkEntry {
         .select(col("seq_id"), col("start_pos").cast("long").as("start_pos"))
     }),
 
+    // P37i per-sequence token provenance: the mixture accounting per
+    // shard ("how many ids of sequence s come from source x"), computed
+    // from counts alone — no ids materialize. Oracle: the same span
+    // algebra as pack_token_ids derived from the golden token counts,
+    // grouped by (seq, doc_id % 3); the per-seq provenance must also sum
+    // back to pack_token_ids' n_ids, so the two gates cross-check.
+    "pack_provenance" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(byteBpeHazards.toDF("doc_id", "text"))
+      val model = graft.text.ByteBpe.train(corpus, col("text"), numMerges = 80)
+      graft.text.Packing.tokenProvenance(docs,
+        graft.text.ByteBpe.tokenCount(coalesce(col("text"), lit("")), model),
+        Seq(col("doc_id")), capacity = 512,
+        source = (col("doc_id") % 3).cast("long"))
+    }),
+
     // P37h no-split bin packing (histogram best-fit, SPFHP lineage): every
     // document lands WHOLE in one fixed-capacity bin — padding-free
     // batches withOUT cross-document attention (contrast P37b's stream
@@ -6081,6 +6098,22 @@ object SparkEntry {
           "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s FROM g) " +
           "SELECT CAST(s // 512 AS BIGINT) AS seq_id, " +
           "CAST(s % 512 AS BIGINT) AS start_pos FROM c"),
+
+      // the provenance spans from the golden counts: per (seq, doc_id%3)
+      // sum of covered ids, separator charged to its document
+      "pack_provenance" ->
+        ("WITH g AS (SELECT doc_id, n_byte_tokens + 1 AS n " +
+          s"FROM read_parquet('$goldenDir/byte_bpe_sf001.parquet') " +
+          "WHERE doc_id >= 0), " +
+          "c AS (SELECT doc_id, n, COALESCE(SUM(n) OVER (ORDER BY doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s FROM g), " +
+          "sp AS (SELECT doc_id, n, s, CAST(s // 512 AS BIGINT) AS fs, " +
+          "CAST((s + n - 1) // 512 AS BIGINT) AS ls FROM c), " +
+          "x AS (SELECT doc_id, u.sq AS seq_id, s, n " +
+          "FROM sp, unnest(range(sp.fs, sp.ls + 1)) AS u(sq)) " +
+          "SELECT seq_id, CAST(doc_id % 3 AS BIGINT) AS source, " +
+          "CAST(SUM(LEAST((seq_id + 1) * 512, s + n) - GREATEST(seq_id * 512, s)) AS BIGINT) AS n_ids " +
+          "FROM x GROUP BY 1, 2"),
 
       // the committed replication of the bin-packing spec over the same
       // golden token counts

@@ -1855,6 +1855,11 @@ object PyBridge {
                              sepId: Int): DataFrame =
     graft.text.Packing.unpackTokenIdsWithMask(packed, capacity, sepId)
 
+  def tokenProvenance(df: DataFrame, tokens: Column, order: JList[Column],
+                      capacity: Int, source: Column): DataFrame =
+    graft.text.Packing.tokenProvenance(df, tokens, order.asScala.toSeq,
+      capacity, source)
+
   def fimTransform(text: Column, id: Column, rate: Double,
                    salt: String): Column =
     graft.text.Fim.fimTransform(text, id, rate, salt)

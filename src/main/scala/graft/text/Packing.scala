@@ -117,6 +117,53 @@ object Packing {
   }
 
   /**
+   * Per-sequence token provenance — "what is shard k made of": for every
+   * (sequence, source) pair, how many of the sequence's ids come from
+   * documents of that source (each document's separator charges to its
+   * own source). This is the mixture accounting a trainer needs per
+   * shard — domain shares, contamination audits, curriculum checks —
+   * WITHOUT materializing any ids: the same exclusive-prefix-sum +
+   * touched-sequence span arithmetic as [[packTokenIds]] (exact integer
+   * DIV), but the explode carries only counts, so rows stay
+   * O(docs + boundary crossings) and the result is one map-side-combined
+   * aggregation, O(sequences × sources) rows out.
+   *
+   * `tokensCol` is the per-document TOKEN count (the separator is added
+   * here, mirroring the pack); run it with the same `order`, `capacity`
+   * and `startOffset` as the pack it describes and the seq_ids line up
+   * by construction.
+   */
+  def tokenProvenance(
+      df: DataFrame,
+      tokensCol: Column,
+      order: Seq[Column],
+      capacity: Int,
+      source: Column,
+      storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      unpersistHandle: UnpersistHandle = UnpersistHandle.Noop,
+      startOffset: Long = 0L): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    require(startOffset >= 0, s"startOffset must be >= 0: $startOffset")
+    val prep = df.select(
+      (source.as("source") +: (tokensCol + 1).cast("long").as("__n") +:
+        order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }): _*)
+    val started = PrefixSum.withRunningTotal(prep, col("__n"),
+      order.indices.map(i => col(s"__o$i")), "__start",
+      exclusive = true, storageLevel, unpersistHandle)
+      .withColumn("__start", col("__start") + lit(startOffset))
+    started
+      .select(col("source"), col("__start"), col("__n"),
+        explode(sequence(
+          expr(s"__start DIV ${capacity}L"),
+          expr(s"(__start + __n - 1) DIV ${capacity}L"))).as("seq_id"))
+      .select(col("seq_id"), col("source"),
+        (least((col("seq_id") + 1) * capacity, col("__start") + col("__n")) -
+          greatest(col("seq_id") * capacity, col("__start"))).as("__cnt"))
+      .groupBy(col("seq_id"), col("source"))
+      .agg(sum(col("__cnt")).as("n_ids"))
+  }
+
+  /**
    * [[packTokenIds]] with an ALIGNED per-token loss mask — the SFT-shard
    * shape: `(seq_id, ids, mask, n_docs)` where `mask[i]` is the
    * trainability bit for `ids[i]` ([[Chat.sftLossMask]] upstream), and

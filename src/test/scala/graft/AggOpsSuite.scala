@@ -533,6 +533,37 @@ class AggOpsSuite extends AnyFunSuite with SparkTest {
     assert(back == expected)
   }
 
+  test("tokenProvenance counts agree with the materialized pack per sequence") {
+    val texts = Seq(
+      (1L, "aa bb cc"), (2L, ""), (3L, "dd ee ff gg hh ii jj kk ll"),
+      (4L, "mm"), (5L, "nn oo pp qq rr ss tt uu vv ww xx yy zz"))
+    val docs = texts.toDF("doc_id", "text")
+    val model = graft.text.ByteBpe.train(
+      docs.filter(length($"text") > 0), $"text", numMerges = 5)
+    val sep = graft.text.ByteBpe.vocabSize(model)
+    val packed = graft.text.Packing.packTokenIds(docs,
+      graft.text.ByteBpe.encodeIds($"text", model), Seq($"doc_id"),
+      capacity = 7, sepId = sep)
+    val prov = graft.text.Packing.tokenProvenance(docs,
+      graft.text.ByteBpe.tokenCount(coalesce($"text", lit("")), model),
+      Seq($"doc_id"), capacity = 7, source = ($"doc_id" % 2))
+    // (a) per-seq provenance sums == the sequence's actual id count
+    val bySeq = prov.groupBy($"seq_id").agg(sum($"n_ids").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val actual = packed.select($"seq_id", size($"ids").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(bySeq == actual)
+    // (b) per-source totals == per-doc (tokens + separator) sums
+    val bySrc = prov.groupBy($"source").agg(sum($"n_ids").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val expSrc = docs
+      .select(($"doc_id" % 2).as[Long],
+        (graft.text.ByteBpe.tokenCount(coalesce($"text", lit("")), model) + 1)
+          .cast("long").as[Long])
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(bySrc == expSrc)
+  }
+
   test("docBoundaries marks exactly where documents begin, across sequences") {
     val texts = Seq(
       (1L, "aa bb cc"), (2L, ""), (3L, "dd ee ff gg hh ii jj kk ll"),
