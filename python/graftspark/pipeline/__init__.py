@@ -134,7 +134,7 @@ __all__ = [
     "shard_batch", "shards_last_batch_id", "pack_bins", "bin_pack_report",
     "pack_token_ids_with_mask", "unpack_token_ids_with_mask",
     "unpack_shards_range", "fim_transform", "fim_applied", "fim_specials",
-    "token_provenance",
+    "token_provenance", "top_paths",
     "chat_template_specials",
     "conversation_neardup_pairs", "conversation_neardup_pairs_messages",
     "history_apply_snapshot", "with_temporal_split", "layout_report",
@@ -3474,6 +3474,19 @@ def unpack_token_ids_with_mask(packed: DataFrame, capacity: int,
     jdf = _bridge(packed).unpackTokenIdsWithMask(packed._jdf, int(capacity),
                                                  int(sep_id))
     return DataFrame(jdf, packed.sparkSession)
+
+
+def top_paths(events: DataFrame, user: ColumnOrName, ts_us: ColumnOrName,
+              event_id: ColumnOrName, etype: ColumnOrName,
+              max_steps: int = 5, k: int = 20) -> DataFrame:
+    """Top user paths -> (path, users): each user's first max_steps events
+    in (ts, event_id) total order join into one 'a > b > c' journey; the
+    k most common paths, ties by path ascending (deterministic). The
+    sankey/path-analysis view generalizing transition_matrix."""
+    jdf = _bridge(events).topPaths(events._jdf, _jcol(user), _jcol(ts_us),
+                                   _jcol(event_id), _jcol(etype),
+                                   int(max_steps), int(k))
+    return DataFrame(jdf, events.sparkSession)
 
 
 def token_provenance(df: DataFrame, tokens: ColumnOrName, order,

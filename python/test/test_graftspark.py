@@ -2169,6 +2169,18 @@ class GraftsparkTest(unittest.TestCase):
                              self.spark, d + "/one").data.collect())
         self.assertEqual(streamed, oneshot)
 
+    def test_pipeline_top_paths(self):
+        from graftspark import pipeline as P
+        ev = self.spark.createDataFrame(
+            [(1, 0, 10, "a"), (1, 1, 11, "b"),
+             (2, 0, 20, "a"), (2, 1, 21, "b"),
+             (3, 0, 30, "x")],
+            ["u", "t", "eid", "ty"])
+        got = [(r["path"], r["users"]) for r in P.top_paths(
+            ev, col("u"), col("t"), col("eid"), col("ty"),
+            max_steps=2, k=5).collect()]
+        self.assertEqual(got, [("a > b", 2), ("x", 1)])
+
     def test_pipeline_token_provenance(self):
         from graftspark import pipeline as P
         docs = self.spark.createDataFrame(

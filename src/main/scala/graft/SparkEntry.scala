@@ -845,6 +845,16 @@ object SparkEntry {
         col("event_id"), col("event_type"))
     }),
 
+    // P127b top user paths: the matrix generalized to whole journeys —
+    // each user's first 5 events in (ts, event_id) total order join into
+    // one path string; the 20 most-travelled paths (deterministic ties)
+    // are the sankey behind every product-analytics dashboard.
+    "event_paths" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.events.Funnel.topPaths(ev, col("user_id"), eventTsUs(ev),
+        col("event_id"), col("event_type"), maxSteps = 5, k = 20)
+    }),
+
     // P126 retention cohorts: cohort = integer-DIV week of a user's first
     // event; each (cohort, offset) cell counts distinct users active that
     // many weeks later.
@@ -4709,6 +4719,19 @@ object SparkEntry {
           "FROM e) " +
           "SELECT from_type, to_type, COUNT(*) AS transitions FROM p " +
           "WHERE to_type IS NOT NULL GROUP BY 1, 2"),
+
+      // same total order + null exclusion as the matrix; paths of the
+      // first 5 events, top 20 with the path-asc tie rule
+      "event_paths" ->
+        ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, " +
+          "COALESCE(event_type, '(null)') AS et FROM events " +
+          "WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL), " +
+          "r AS (SELECT user_id, et, row_number() OVER " +
+          "(PARTITION BY user_id ORDER BY t, event_id) AS rn FROM e), " +
+          "p AS (SELECT user_id, string_agg(et, ' > ' ORDER BY rn) AS path " +
+          "FROM r WHERE rn <= 5 GROUP BY user_id), " +
+          "c AS (SELECT path, COUNT(*) AS users FROM p GROUP BY 1) " +
+          "SELECT path, users FROM c ORDER BY users DESC, path ASC LIMIT 20"),
 
       "retention_cohorts" ->
         ("WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS p " +

@@ -263,6 +263,47 @@ object Funnel {
       .agg(count(lit(1)).as("transitions"))
   }
 
+  /**
+   * Top user paths — the "what journeys actually happen" view behind
+   * sankey/path-analysis dashboards, generalizing [[transitionMatrix]]'s
+   * one-step pairs to whole ordered journeys: each user's first
+   * `maxSteps` events (event-time order, eventId tiebreak — the same
+   * total-order + null-exclusion contract as the matrix; a null event
+   * type renders as `(null)` rather than silently shortening the path)
+   * join into one `a > b > c` string; output counts users per path and
+   * keeps the `k` most common (ties: path ascending — deterministic, so
+   * the result set is engine-replayable).
+   *
+   * Scale shape: the per-user rank window is the one full-data exchange
+   * (same as the matrix); everything after the `rank <= maxSteps` filter
+   * carries at most `maxSteps` rows per user, the per-path count is
+   * map-side combined, and the final top-k plans as
+   * TakeOrderedAndProject — per-partition heaps, never a global sort.
+   */
+  def topPaths(events: DataFrame, user: Column, tsUs: Column,
+               eventId: Column, etype: Column,
+               maxSteps: Int = 5, k: Int = 20): DataFrame = {
+    require(maxSteps > 0, s"maxSteps must be positive: $maxSteps")
+    require(k > 0, s"k must be positive: $k")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("__t"), col("__eid"))
+    events
+      .select(user.cast("long").as("user_id"), tsUs.cast("long").as("__t"),
+        eventId.cast("long").as("__eid"),
+        coalesce(etype.cast("string"), lit("(null)")).as("__e"))
+      .filter(col("__t").isNotNull && col("user_id").isNotNull &&
+        col("__eid").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxSteps)
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__rn"), col("__e")))),
+        x => x.getField("__e")), " > ").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("users"))
+      .orderBy(col("users").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** The observability companion of [[transitionMatrix]]'s exclusion rule:
     * how many event rows were dropped for a null user/timestamp/tiebreak
     * id (and so contributed no transition). One map-side-combined count —

@@ -1855,6 +1855,12 @@ object PyBridge {
                              sepId: Int): DataFrame =
     graft.text.Packing.unpackTokenIdsWithMask(packed, capacity, sepId)
 
+  def topPaths(events: DataFrame, user: Column, tsUs: Column,
+               eventId: Column, etype: Column, maxSteps: Int,
+               k: Int): DataFrame =
+    graft.events.Funnel.topPaths(events, user, tsUs, eventId, etype,
+      maxSteps, k)
+
   def tokenProvenance(df: DataFrame, tokens: Column, order: JList[Column],
                       capacity: Int, source: Column): DataFrame =
     graft.text.Packing.tokenProvenance(df, tokens, order.asScala.toSeq,

@@ -175,6 +175,15 @@ object Packing {
    * structurally impossible; same rows-O(docs+sequences) scale shape as
    * the plain pack. Requires ids in [0, 2^30) (any real vocab) and
    * normalizes mask to 0/1 via `!= 0`.
+   *
+   * Persisting: the fused stream IS a plain token stream, so the full
+   * artifact lifecycle comes for free — `Shards.saveShards(df,
+   * zip_with(ids, mask, (i, m) => i*2 + (m =!= 0).cast("int")), order,
+   * capacity, sepId * 2, dir)` lands it (bundle no tokenizer: the
+   * fused ids exceed the base vocab, so verifyShards' ids_ok bound does
+   * not apply), append/verify/range-read work unchanged, and loading
+   * back through the two splitting transforms reproduces this
+   * function's output exactly (pinned in ShardsSuite).
    */
   def packTokenIdsWithMask(
       df: DataFrame,

@@ -200,6 +200,27 @@ class FunnelSuite extends AnyFunSuite with SparkTest {
     assert(got == Set(("a", "b", 2L), ("b", "a", 1L)))
   }
 
+  test("topPaths: ordered journeys, maxSteps cut, null type surfaced, tie rule") {
+    val df = Seq(
+      (1L, 0L, 10L, "a"), (1L, 1L, 11L, "b"), (1L, 2L, 12L, "c"),
+      (2L, 5L, 20L, "a"), (2L, 6L, 21L, "b"), (2L, 7L, 22L, "c"),
+      (3L, 1L, 30L, "a"), (3L, 1L, 31L, null.asInstanceOf[String]), // id tiebreak; null renders
+      (4L, 0L, 40L, "x"), (4L, 1L, 41L, "y"), (4L, 2L, 42L, "z"),
+      (4L, 3L, 43L, "w") // 4th event beyond maxSteps=3: cut
+    ).toDF("u", "t", "eid", "ty")
+    val got = Funnel.topPaths(df, col("u"), col("t"), col("eid"), col("ty"),
+      maxSteps = 3, k = 10).as[(String, Long)].collect().toSeq
+    assert(got.toSet == Set(("a > b > c", 2L), ("a > (null)", 1L),
+      ("x > y > z", 1L)))
+    // top-k ordering: count desc, then path asc — fully deterministic
+    assert(got == Seq(("a > b > c", 2L), ("a > (null)", 1L),
+      ("x > y > z", 1L)))
+    // k cuts after ordering
+    val top1 = Funnel.topPaths(df, col("u"), col("t"), col("eid"), col("ty"),
+      maxSteps = 3, k = 1).as[(String, Long)].collect().toSeq
+    assert(top1 == Seq(("a > b > c", 2L)))
+  }
+
   test("retentionCohorts: integer periods, distinct users per cell") {
     val df = Seq(
       (1L, 0L), (1L, 5L), (1L, 25L),    // cohort 0, offsets 0 and 2

@@ -286,6 +286,25 @@ class ShardsSuite extends AnyFunSuite with SparkTest {
     assert(viaShards == raw && viaShards.nonEmpty)
   }
 
+  test("the fused mask stream persists through the plain artifact lifecycle") {
+    val dir = java.nio.file.Files.createTempDirectory("shards-mask").toString + "/s"
+    val mask = transform(enc, (x, i) => (i % 3 === 0).cast("int"))
+    val fused = zip_with(enc, mask, (i, m) => i * 2 + (m =!= 0).cast("int"))
+    Shards.saveShards(docs, fused, Seq(col("doc_id")), capacity = 16,
+      sepId = sep * 2, dir = dir)
+    assert(Shards.verifyShards(spark, dir).head().getAs[Boolean]("all_ok"))
+    val loaded = Shards.loadShards(spark, dir).data
+      .select(col("seq_id"),
+        transform(col("ids"), v => shiftright(v, 1)).as("ids"),
+        transform(col("ids"), v => v.bitwiseAND(1)).as("mask"))
+      .as[(Long, Seq[Int], Seq[Int])].collect().toSeq.sortBy(_._1)
+    val direct = Packing.packTokenIdsWithMask(docs, enc, mask,
+      Seq(col("doc_id")), capacity = 16, sepId = sep)
+      .select(col("seq_id"), col("ids"), col("mask"))
+      .as[(Long, Seq[Int], Seq[Int])].collect().toSeq.sortBy(_._1)
+    assert(loaded == direct)
+  }
+
   test("unpack QA budget guard fails fast past maxSequences") {
     val packed = Packing.packTokenIds(docs,
       ByteBpe.encodeIds(coalesce(col("text"), lit("")), model),
