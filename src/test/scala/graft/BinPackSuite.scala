@@ -44,6 +44,15 @@ class BinPackSuite extends AnyFunSuite with SparkTest {
     assert(a == b)
   }
 
+  test("assignment joins broadcast the bounded event table — never a cartesian") {
+    val docs = (1L to 500L).map(i => (i, 1 + (i % 60).toInt)).toDF("id", "n")
+    val plan = BinPack.packBins(docs, col("n"), Seq(col("id")), 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"expected a broadcast join in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in the assignment plan:\n$plan")
+  }
+
   test("oversized documents fail loudly; zero capacity rejected") {
     val docs = Seq((1L, 600), (2L, 10)).toDF("id", "n")
     val e = intercept[IllegalArgumentException](assignments(docs, 512))

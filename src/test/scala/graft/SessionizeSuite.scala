@@ -221,6 +221,19 @@ class FunnelSuite extends AnyFunSuite with SparkTest {
     assert(top1 == Seq(("a > b > c", 2L)))
   }
 
+  test("topPaths top-k plans as TakeOrderedAndProject, not a global sort") {
+    // a local 1-row Seq constant-folds the whole top-k away (maxRows <= k
+    // eliminates the limit, then the sort) — use a range source whose
+    // row count exceeds k so the plan shape is the production one
+    val df = spark.range(100).select((col("id") % 25).as("u"),
+      (col("id") / 25).as("t"), col("id").as("eid"),
+      concat(lit("e"), col("id") % 3).as("ty"))
+    val plan = Funnel.topPaths(df, col("u"), col("t"), col("eid"), col("ty"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected a per-partition top-k in:\n$plan")
+  }
+
   test("retentionCohorts: integer periods, distinct users per cell") {
     val df = Seq(
       (1L, 0L), (1L, 5L), (1L, 25L),    // cohort 0, offsets 0 and 2
