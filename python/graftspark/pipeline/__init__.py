@@ -134,7 +134,7 @@ __all__ = [
     "shard_batch", "shards_last_batch_id", "pack_bins", "bin_pack_report",
     "pack_token_ids_with_mask", "unpack_token_ids_with_mask",
     "unpack_shards_range", "fim_transform", "fim_applied", "fim_specials",
-    "token_provenance", "top_paths",
+    "token_provenance", "top_paths", "pack_bin_sequences",
     "chat_template_specials",
     "conversation_neardup_pairs", "conversation_neardup_pairs_messages",
     "history_apply_snapshot", "with_temporal_split", "layout_report",
@@ -3551,6 +3551,21 @@ def bin_pack_report(assigned: DataFrame, capacity: int) -> DataFrame:
     (n_bins, n_docs, total_tokens, slot_capacity, min_bins)."""
     jdf = _bridge(assigned).binPackReport(assigned._jdf, int(capacity))
     return DataFrame(jdf, assigned.sparkSession)
+
+
+def pack_bin_sequences(df: DataFrame, ids: ColumnOrName, order,
+                       capacity: int) -> DataFrame:
+    """The materialized no-split artifact -> (bin_id, ids, doc_starts,
+    n_pad): each bin's documents concatenated WHOLE in slot order (no
+    separators — doc_starts is the block-diagonal attention metadata) plus
+    the padding needed to reach capacity."""
+    spark = df.sparkSession
+    jorder = spark._jvm.java.util.ArrayList()  # type: ignore[union-attr]
+    for c in order:
+        jorder.add(_jcol(c))
+    jdf = _bridge(df).packBinSequences(df._jdf, _jcol(ids), jorder,
+                                       int(capacity))
+    return DataFrame(jdf, spark)
 
 
 def streaming_retention_hits(stream: DataFrame, user: ColumnOrName,

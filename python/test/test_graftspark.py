@@ -2239,6 +2239,15 @@ class GraftsparkTest(unittest.TestCase):
         self.assertEqual((r["n_bins"], r["n_docs"], r["total_tokens"],
                           r["slot_capacity"], r["min_bins"]),
                          (3, 6, 21, 24, 3))
+        # materialized no-split artifact: padded to capacity, doc_starts
+        # cut the bins back into whole-document blocks
+        ids_docs = self.spark.createDataFrame(
+            [(1, [10, 11]), (2, [20]), (3, [30, 31, 32])],
+            "id: long, ids: array<int>")
+        seqs = P.pack_bin_sequences(ids_docs, col("ids"), [col("id")], 4)
+        for row in seqs.collect():
+            self.assertEqual(len(row["ids"]) + row["n_pad"], 4)
+            self.assertEqual(row["doc_starts"][0], 0)
 
     def test_pipeline_conversation_neardup(self):
         from graftspark import pipeline as P

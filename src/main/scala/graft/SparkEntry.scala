@@ -2320,6 +2320,37 @@ object SparkEntry {
           col("slot").cast("long").as("slot"))
     }),
 
+    // P37h the materialized no-split artifact round-trip — fixture-free:
+    // re-split every bin at its doc_starts, decode each block, and every
+    // document must come back byte-for-byte (doc identity recovered by
+    // joining the deterministic assignment on (bin, slot)). Any error in
+    // slot ordering, doc_starts arithmetic, or concatenation breaks rows.
+    "bin_pack_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(byteBpeHazards.toDF("doc_id", "text"))
+      val model = graft.text.ByteBpe.train(corpus, col("text"), numMerges = 80)
+      val enc = graft.text.ByteBpe.encodeIds(coalesce(col("text"), lit("")), model)
+      val assigned = graft.text.BinPack.packBins(docs,
+        graft.text.ByteBpe.tokenCount(coalesce(col("text"), lit("")), model),
+        Seq(col("doc_id")), capacity = 512)
+      val seqs = graft.text.BinPack.packBinSequences(docs, enc,
+        Seq(col("doc_id")), capacity = 512)
+      val perDoc = seqs
+        .select(col("bin_id"), col("ids"), col("doc_starts"),
+          posexplode(col("doc_starts")).as(Seq("slot", "start")))
+        .select(col("bin_id"), col("slot"),
+          slice(col("ids"), col("start") + 1,
+            coalesce(get(col("doc_starts"), col("slot") + 1), size(col("ids")))
+              - col("start")).as("doc_ids"))
+      docs.join(
+          assigned.join(perDoc, Seq("bin_id", "slot"))
+            .select(col("doc_id"),
+              graft.text.ByteBpe.decodeIds(col("doc_ids"), model).as("dec")),
+          Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("dec"), lit("")).as("decoded"))
+    }),
+
     // P37h the layout report: exact-integer bins/docs/tokens/capacity and
     // the ceil(total/capacity) lower bound — the oracle re-derives all
     // five from the fixture, so bins-used must match the replication's
@@ -6143,6 +6174,11 @@ object SparkEntry {
       "bin_pack_assign" ->
         ("SELECT doc_id, n_tokens, bin_id, slot " +
           s"FROM read_parquet('$goldenDir/binpack_sf001.parquet')"),
+
+      // the no-split artifact decodes every document back byte-for-byte
+      // (empty/null docs drop from bins and re-join as '')
+      "bin_pack_roundtrip" ->
+        "SELECT doc_id, COALESCE(text, '') AS decoded FROM documents",
 
       // all five report fields re-derived from the fixture (bins used
       // must equal the replication's solve exactly)

@@ -1881,4 +1881,9 @@ object PyBridge {
 
   def binPackReport(assigned: DataFrame, capacity: Int): DataFrame =
     graft.text.BinPack.binPackReport(assigned, capacity)
+
+  def packBinSequences(df: DataFrame, ids: Column, order: JList[Column],
+                       capacity: Int): DataFrame =
+    graft.text.BinPack.packBinSequences(df, ids, order.asScala.toSeq,
+      capacity)
 }

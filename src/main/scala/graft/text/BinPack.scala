@@ -157,6 +157,44 @@ object BinPack {
     } finally handle.unpersist()
   }
 
+  /**
+   * Materialize the binned sequences themselves — the no-split trainer
+   * artifact: `(bin_id, ids, doc_starts, n_pad)` where `ids` is the
+   * concatenation of the bin's documents in slot order (each document
+   * WHOLE, no separators — `doc_starts` is the block-diagonal attention
+   * metadata, the [[Packing.docBoundaries]] shape), and `n_pad` is the
+   * padding the trainer must add to reach `capacity`. Token counts are
+   * taken from the id arrays themselves, so assignment and payload can
+   * never disagree; zero-token documents drop ([[packBins]] contract).
+   *
+   * Scale shape: [[packBins]]' shape plus one hash aggregation on
+   * `bin_id` (bounded: a bin's documents sum to ≤ capacity ids). The
+   * per-bin `doc_starts` prefix sum runs as nested array algebra —
+   * O(docs-per-bin²) integer adds per bin, bounded by capacity, narrow.
+   */
+  def packBinSequences(df: DataFrame, idsCol: Column, order: Seq[Column],
+                       capacity: Int,
+                       storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val withIds = df.select(
+      (coalesce(idsCol, array().cast("array<int>")).as("__bp_ids") +:
+        order.zipWithIndex.map { case (c, i) => c.as(s"__bo$i") }): _*)
+    val assigned = packBins(withIds, size(col("__bp_ids")),
+      order.indices.map(i => col(s"__bo$i")), capacity, storageLevel)
+    assigned.groupBy(col("bin_id"))
+      .agg(array_sort(collect_list(struct(col("slot"), col("__bp_ids"))))
+        .as("__sorted"))
+      .select(col("bin_id"),
+        flatten(transform(col("__sorted"), x => x.getField("__bp_ids")))
+          .as("ids"),
+        transform(sequence(lit(0), size(col("__sorted")) - 1),
+          i => aggregate(
+            slice(transform(col("__sorted"),
+              x => size(x.getField("__bp_ids"))), lit(1), i),
+            lit(0), (a, b) => a + b)).as("doc_starts"))
+      .select(col("bin_id"), col("ids"), col("doc_starts"),
+        (lit(capacity) - size(col("ids"))).as("n_pad"))
+  }
+
   /** One-row exact-integer layout report for a [[packBins]] assignment:
     * bins used, documents placed, tokens placed, slot capacity
     * (`n_bins * capacity`) and the `ceil(total/capacity)` lower bound —

@@ -71,6 +71,33 @@ class BinPackSuite extends AnyFunSuite with SparkTest {
       r.getAs[Long]("slot_capacity") == r.getAs[Long]("n_bins") * 8)
   }
 
+  test("packBinSequences materializes whole docs with exact doc_starts and padding") {
+    val texts = Seq((1L, "aa bb cc"), (2L, ""), (3L, "dd ee ff gg"),
+      (4L, "mm"), (5L, "nn oo pp"))
+    val docs = texts.toDF("doc_id", "text")
+    val model = graft.text.ByteBpe.train(
+      docs.filter(length($"text") > 0), $"text", numMerges = 5)
+    val enc = graft.text.ByteBpe.encodeIds($"text", model)
+    val seqs = BinPack.packBinSequences(docs, enc, Seq($"doc_id"), capacity = 12)
+      .select($"bin_id", $"ids", $"doc_starts", $"n_pad")
+      .as[(Long, Seq[Int], Seq[Int], Int)].collect().toSeq
+    seqs.foreach { case (_, ids, starts, pad) =>
+      assert(ids.length + pad == 12 && pad >= 0)
+      // starts: 0-led, strictly increasing, within the ids
+      assert(starts.head == 0 && starts == starts.sorted && starts.distinct == starts)
+      assert(starts.forall(s => s >= 0 && s < ids.length))
+    }
+    // every non-empty doc's id stream appears exactly once as a block
+    val blocks = seqs.flatMap { case (_, ids, starts, _) =>
+      (starts :+ ids.length).sliding(2).map {
+        case Seq(a, b) => ids.slice(a, b) }.toSeq
+    }
+    val expected = docs.filter(length($"text") > 0).orderBy($"doc_id")
+      .select(enc).collect().map(_.getSeq[Int](0)).toSeq
+    assert(blocks.sortBy(_.mkString(",")) ==
+      expected.sortBy(_.mkString(",")))
+  }
+
   test("solve matches a hand-traced case (fit, split, bulk open, tie rules)") {
     // cap 8; lengths desc: 5 (x2), 3 (x3), 2 (x1)
     // open 5s: per-bin 1 -> 2 bins [5], rem 3 each (bins 0,1)
