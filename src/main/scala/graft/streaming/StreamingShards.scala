@@ -29,6 +29,12 @@ import org.apache.spark.storage.StorageLevel
  * Scale shape per micro-batch: pack the batch (rows O(batch docs +
  * sequences)), rewrite only the tail file, fingerprint only the published
  * files — O(batch), flat in artifact size (SCALE.md `pack_append` probe).
+ *
+ * SFT twin: `idsCol` is any token stream, so passing the FUSED mask
+ * stream (`zip_with(ids, mask, (i, m) => i*2 + (m =!= 0).cast("int"))`
+ * with `sepId * 2` — see [[graft.text.Packing.packTokenIdsWithMask]])
+ * keeps a mask-aligned STREAMING artifact current with zero extra sink
+ * machinery; split the two streams back at read time.
  */
 object StreamingShards {
 

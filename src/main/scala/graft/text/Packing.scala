@@ -54,6 +54,14 @@ object Packing {
    * `capacity` ids except the last (trainers usually drop or pad it) and
    * `n_docs` counts the documents TOUCHING the sequence.
    *
+   * `order` is the caller's lever over WHAT shares a context window:
+   * `(doc_id)` gives corpus order; `(cluster_id, doc_id)` with the P12d
+   * k-means (or P19 near-dup) assignment places RELATED documents
+   * adjacent, so cut sequences carry semantically coherent context (the
+   * in-context-pretraining ordering); `(split, doc_id)` keeps held-out
+   * shards contiguous. Positions are a pure function of the order, so
+   * each choice is reproducible at any parallelism.
+   *
    * Scale shape — rows stay O(docs + sequences), never one row per token:
    *  1. [[graft.agg.PrefixSum.withRunningTotal]] assigns each document its
    *     exclusive absolute start (the only full-data exchange is that
