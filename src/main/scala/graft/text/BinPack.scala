@@ -119,6 +119,9 @@ object BinPack {
                storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(capacity > 0, s"capacity must be positive: $capacity")
     require(order.nonEmpty, "order columns required (they fix the assignment)")
+    Seq("n_tokens", "bin_id", "slot").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column — rename it before packBins"))
     val spark = df.sparkSession
     val nCol = "__graft_bp_n"
     val rnCol = "__graft_bp_rn"

@@ -59,6 +59,11 @@ class BinPackSuite extends AnyFunSuite with SparkTest {
     assert(e.getMessage.contains("chunk oversized"))
     intercept[IllegalArgumentException](
       BinPack.packBins(docs, col("n"), Seq(col("id")), 0))
+    // output-name collisions fail fast instead of silently duplicating
+    val clash = Seq((1L, 5, 0L)).toDF("id", "n", "bin_id")
+    val c = intercept[IllegalArgumentException](
+      BinPack.packBins(clash, col("n"), Seq(col("id")), 8))
+    assert(c.getMessage.contains("bin_id"))
   }
 
   test("report fields are exact integers incl. the ceil-div lower bound") {
