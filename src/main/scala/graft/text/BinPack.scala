@@ -54,14 +54,14 @@ object BinPack {
 
   /** One assignment interval: class ranks [rankStart, rankStart+n) of
     * length `len` map to bins [binStart, binStart+n) at `slot`. */
-  private[text] case class Event(len: Int, rankStart: Long, n: Long,
-                                 binStart: Long, slot: Int)
+  private[graft] case class Event(len: Int, rankStart: Long, n: Long,
+                                  binStart: Long, slot: Int)
 
   /** The driver-side histogram solve. Exposed for tests; inputs are
     * (length, count) with 1 <= length <= capacity. Returns (events,
     * nBins). */
-  private[text] def solve(hist: Seq[(Int, Long)],
-                          capacity: Int): (Seq[Event], Long) = {
+  private[graft] def solve(hist: Seq[(Int, Long)],
+                           capacity: Int): (Seq[Event], Long) = {
     // a group of n IDENTICAL bins occupying the contiguous id range
     // [binStart, binStart + n): slots = how many lengths each bin holds,
     // rem = capacity - their sum

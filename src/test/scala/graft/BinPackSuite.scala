@@ -103,6 +103,31 @@ class BinPackSuite extends AnyFunSuite with SparkTest {
       expected.sortBy(_.mkString(",")))
   }
 
+  test("model check: random histograms always solve to a valid dense layout") {
+    val rnd = new scala.util.Random(7)
+    (1 to 100).foreach { trial =>
+      val cap = 16 + rnd.nextInt(500)
+      val hist = (1 to (1 + rnd.nextInt(30)))
+        .map(_ => (1 + rnd.nextInt(cap), (1 + rnd.nextInt(40)).toLong))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      val (events, nBins) = BinPack.solve(hist, cap)
+      // every doc assigned exactly once per length class
+      hist.foreach { case (len, count) =>
+        val covered = events.filter(_.len == len).map(_.n).sum
+        assert(covered == count, s"trial $trial len $len")
+      }
+      // per-bin loads within capacity; bins dense from 0
+      val load = scala.collection.mutable.Map.empty[Long, Long]
+      events.foreach { e =>
+        (0L until e.n).foreach { i =>
+          load(e.binStart + i) = load.getOrElse(e.binStart + i, 0L) + e.len
+        }
+      }
+      assert(load.keySet == (0L until nBins).toSet, s"trial $trial density")
+      assert(load.values.forall(_ <= cap), s"trial $trial overflow")
+    }
+  }
+
   test("solve matches a hand-traced case (fit, split, bulk open, tie rules)") {
     // cap 8; lengths desc: 5 (x2), 3 (x3), 2 (x1)
     // open 5s: per-bin 1 -> 2 bins [5], rem 3 each (bins 0,1)

@@ -188,6 +188,31 @@ class ChatTemplateSuite extends AnyFunSuite with SparkTest {
     assert(ids.last == eosId && m.last == 0)
   }
 
+  test("model check: random id streams match a naive in-memory mask fold") {
+    val base = 300
+    val openers = Array(300, 301, 302, 303, 304) // roles + invalid
+    val trains = Array(302)
+    val endId = 305
+    val kernel = new graft.functions.SftMaskKernel(
+      base, openers, trains, endId, trainEnd = true)
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val ids = Array.fill(rnd.nextInt(60))(rnd.nextInt(310)) // incl. 306..309 foreign
+      val got = kernel.mask(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(ids))
+        .toIntArray().toSeq
+      // reference fold, written independently of the kernel's branching
+      var in = false
+      val exp = ids.toSeq.map { id =>
+        if (openers.contains(id)) { in = trains.contains(id); 0 }
+        else if (id == endId) { val m = if (in) 1 else 0; in = false; m }
+        else if (id >= base) { in = false; 0 }
+        else if (in) 1 else 0
+      }
+      assert(got == exp, s"stream ${ids.mkString(",")}")
+    }
+  }
+
   test("sftLossMask rejects a trainable/non-trainable marker clash") {
     val tpl = ChatTemplate(invalidMarker = "<|assistant|>")
     val e = intercept[IllegalArgumentException] {
