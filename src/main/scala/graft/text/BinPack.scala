@@ -174,6 +174,14 @@ object BinPack {
    * `bin_id` (bounded: a bin's documents sum to ≤ capacity ids). The
    * per-bin `doc_starts` prefix sum runs as nested array algebra —
    * O(docs-per-bin²) integer adds per bin, bounded by capacity, narrow.
+   *
+   * Compositions: `idsCol` is any int stream, so the FUSED mask stream
+   * ([[Packing.packTokenIdsWithMask]]'s `id*2 + mask` encoding) yields
+   * mask-aligned no-split SFT bins — split the streams back with the
+   * same two transforms. Persist with the generic export discipline
+   * (`write.parquet` + [[graft.write.Manifest.writeManifestFor]]);
+   * [[graft.text.Shards]] is deliberately NOT reused here — its
+   * verifier certifies exactly-capacity dense packs, which bins are not.
    */
   def packBinSequences(df: DataFrame, idsCol: Column, order: Seq[Column],
                        capacity: Int,
