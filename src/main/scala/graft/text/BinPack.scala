@@ -118,6 +118,11 @@ object BinPack {
                capacity: Int,
                storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(capacity > 0, s"capacity must be positive: $capacity")
+    // the histogram collect is bounded by the number of distinct lengths
+    // <= capacity; cap it so the driver bound is a hard contract (2^22
+    // covers 4M-token contexts at ~tens of MB worst case)
+    require(capacity <= (1 << 22),
+      s"capacity $capacity exceeds 2^22 — the driver-side histogram bound")
     require(order.nonEmpty, "order columns required (they fix the assignment)")
     Seq("n_tokens", "bin_id", "slot").foreach(c =>
       require(!df.columns.contains(c),
