@@ -135,6 +135,7 @@ __all__ = [
     "pack_token_ids_with_mask", "unpack_token_ids_with_mask",
     "unpack_shards_range", "fim_transform", "fim_applied", "fim_specials",
     "token_provenance", "top_paths", "pack_bin_sequences",
+    "k_center_select",
     "chat_template_specials",
     "conversation_neardup_pairs", "conversation_neardup_pairs_messages",
     "history_apply_snapshot", "with_temporal_split", "layout_report",
@@ -3474,6 +3475,17 @@ def unpack_token_ids_with_mask(packed: DataFrame, capacity: int,
     jdf = _bridge(packed).unpackTokenIdsWithMask(packed._jdf, int(capacity),
                                                  int(sep_id))
     return DataFrame(jdf, packed.sparkSession)
+
+
+def k_center_select(df: DataFrame, id: ColumnOrName, vec: ColumnOrName,
+                    k: int) -> DataFrame:
+    """Diversity coreset: k-center greedy (farthest-first) over the
+    int8-quantized embedding space -> (rank, id, d2) with the exact
+    integer radius curve. Distances are integer squared-L2 on codes
+    (angular spread — magnitude-free), so the selection is
+    bit-reproducible. O(k) narrow passes; k <= 4096."""
+    jdf = _bridge(df).kCenterSelect(df._jdf, _jcol(id), _jcol(vec), int(k))
+    return DataFrame(jdf, df.sparkSession)
 
 
 def top_paths(events: DataFrame, user: ColumnOrName, ts_us: ColumnOrName,

@@ -2169,6 +2169,18 @@ class GraftsparkTest(unittest.TestCase):
                              self.spark, d + "/one").data.collect())
         self.assertEqual(streamed, oneshot)
 
+    def test_pipeline_k_center(self):
+        from graftspark import pipeline as P
+        vecs = self.spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0]),
+             (4, [-1.0, 0.0])],
+            "vec_id: long, embedding: array<float>")
+        got = [(r["rank"], r["id"], r["d2"]) for r in P.k_center_select(
+            vecs, col("vec_id"), col("embedding"), 3).collect()]
+        # hand-traced: seed 1, then the antipode 4, then the orthogonal 2
+        self.assertEqual(sorted(got),
+                         [(1, 1, 0), (2, 4, 64516), (3, 2, 32258)])
+
     def test_pipeline_top_paths(self):
         from graftspark import pipeline as P
         ev = self.spark.createDataFrame(

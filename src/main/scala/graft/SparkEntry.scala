@@ -855,6 +855,16 @@ object SparkEntry {
         col("event_id"), col("event_type"), maxSteps = 5, k = 20)
     }),
 
+    // P133 k-center diversity coreset: greedy farthest-first over the
+    // int8 code space — selections and the exact integer radius curve
+    // must equal the independent python replication of the spec (any
+    // drift in encode, distance identity, seed or tie rules breaks rows).
+    "kcenter_select" -> ((s, dir) =>
+      graft.sample.Coreset.kCenterSelect(t(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), k = 16)
+        .select(col("rank").cast("long").as("rank"),
+          col("id").as("vec_id"), col("d2"))),
+
     // P126 retention cohorts: cohort = integer-DIV week of a user's first
     // event; each (cohort, offset) cell counts distinct users active that
     // many weeks later.
@@ -4763,6 +4773,11 @@ object SparkEntry {
           "FROM r WHERE rn <= 5 GROUP BY user_id), " +
           "c AS (SELECT path, COUNT(*) AS users FROM p GROUP BY 1) " +
           "SELECT path, users FROM c ORDER BY users DESC, path ASC LIMIT 20"),
+
+      // the committed integer replication of farthest-first on int8 codes
+      "kcenter_select" ->
+        ("SELECT rank, vec_id, d2 " +
+          s"FROM read_parquet('$goldenDir/kcenter_sf001.parquet')"),
 
       "retention_cohorts" ->
         ("WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS p " +

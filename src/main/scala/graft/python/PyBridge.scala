@@ -1855,6 +1855,10 @@ object PyBridge {
                              sepId: Int): DataFrame =
     graft.text.Packing.unpackTokenIdsWithMask(packed, capacity, sepId)
 
+  def kCenterSelect(df: DataFrame, id: Column, vec: Column,
+                    k: Int): DataFrame =
+    graft.sample.Coreset.kCenterSelect(df, id, vec, k)
+
   def topPaths(events: DataFrame, user: Column, tsUs: Column,
                eventId: Column, etype: Column, maxSteps: Int,
                k: Int): DataFrame =

@@ -2219,6 +2219,57 @@ def make_binpack_fixture():
           f"fill {tot}/{next_bin * CAP} = {tot / (next_bin * CAP):.3f}")
 
 
+def make_kcenter_fixture():
+    """Integer replication of graft.sample.Coreset.kCenterSelect: int8
+    per-vector quantization (the embedding_int8_codes spec), exact integer
+    squared-L2 on codes, greedy farthest-first from the smallest vec_id,
+    ties to the smallest id. Everything integer after the encode, so the
+    selection is bit-reproducible."""
+    import math
+    K = 16
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).to_pandas()
+
+    def enc(v):
+        xs = [float(x) for x in v]
+        m = max((abs(x) for x in xs), default=0.0)
+        if m == 0.0:
+            return [0] * len(xs)
+        return [int(max(-127.0, min(127.0, math.floor(x * 127.0 / m + 0.5))))
+                for x in xs]
+
+    codes = {int(i): enc(v) for i, v in zip(t.vec_id, t.embedding)}
+    nn = {i: sum(c * c for c in cs) for i, cs in codes.items()}
+
+    def d2(a, b):
+        return nn[a] + nn[b] - 2 * sum(x * y
+                                       for x, y in zip(codes[a], codes[b]))
+
+    sid = min(codes)
+    picks = [(1, sid, 0)]
+    remaining = set(codes) - {sid}
+    mind = {i: d2(i, sid) for i in remaining}
+    for r in range(2, K + 1):
+        if not remaining:
+            break
+        best = max(remaining, key=lambda i: (mind[i], -i))
+        picks.append((r, best, mind[best]))
+        remaining.discard(best)
+        del mind[best]
+        for i in remaining:
+            di = d2(i, best)
+            if di < mind[i]:
+                mind[i] = di
+    table = pa.table({
+        "rank": pa.array([p[0] for p in picks], pa.int64()),
+        "vec_id": pa.array([p[1] for p in picks], pa.int64()),
+        "d2": pa.array([p[2] for p in picks], pa.int64()),
+    })
+    pq.write_table(table, f"{OUT}/kcenter_sf001.parquet")
+    print(f"kcenter_sf001.parquet: {len(picks)} centers, "
+          f"radius curve {[p[2] for p in picks[:5]]}...")
+
+
 if __name__ == "__main__":
     make_images_fixture()
     make_audio_fixture()
@@ -2241,3 +2292,4 @@ if __name__ == "__main__":
     make_linkage_fixture()
     make_ann_goldens()
     make_binpack_fixture()
+    make_kcenter_fixture()
