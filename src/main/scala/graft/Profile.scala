@@ -104,6 +104,48 @@ object Profile {
       }
     }
 
+    // --- unpack A/B: old per-token plan vs new per-segment plan ---
+    {
+      val model = graft.text.ByteBpe.train(docs, col("text"), numMerges = 80)
+      val sep = graft.text.ByteBpe.vocabSize(model)
+      val packed = graft.text.Packing.packTokenIds(docs,
+        graft.text.ByteBpe.encodeIds(coalesce(col("text"), lit("")), model),
+        Seq(col("doc_id")), capacity = 512, sepId = sep)
+        .localCheckpoint(true)
+      println("packed seqs: " + packed.count())
+
+      def oldUnpack(): Unit = {
+        val perSeq = packed.select(col("seq_id"),
+          size(filter(col("ids"), i => i === sep)).cast("long").as("__nsep"))
+        val offsets = graft.agg.PrefixSum.withRunningTotal(perSeq, col("__nsep"),
+          Seq(col("seq_id")), "__sepsBefore", exclusive = true)
+          .select(col("seq_id"), col("__sepsBefore"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("seq_id")).orderBy(col("__pos"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        packed
+          .select(col("seq_id"), posexplode(col("ids")).as(Seq("__pos", "__id")))
+          .join(offsets, "seq_id")
+          .withColumn("__docIdx", col("__sepsBefore") +
+            coalesce(sum(when(col("__id") === sep, 1L)).over(w), lit(0L)))
+          .filter(col("__id") =!= sep)
+          .withColumn("__gpos", col("seq_id") * 512 + col("__pos"))
+          .groupBy(col("__docIdx").as("doc_idx"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("__gpos"), col("__id")))),
+            x => x.getField("__id")).as("ids"))
+          .select(col("doc_idx"), col("ids"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      def newUnpack(): Unit =
+        graft.text.Packing.unpackTokenIds(packed, 512, sep)
+          .write.format("noop").mode("overwrite").save()
+      for (i <- 1 to 3) {
+        time(s"unpack OLD per-token #$i") { oldUnpack() }
+        time(s"unpack NEW per-segment #$i") { newUnpack() }
+      }
+    }
+
     // --- ANN training substrate ---
     {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

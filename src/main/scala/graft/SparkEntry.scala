@@ -2425,9 +2425,9 @@ object SparkEntry {
         graft.text.ByteBpe.encodeIds(coalesce(col("text"), lit("")), model),
         Seq(col("doc_id")), capacity = 512, sepId = sep, dir = shardDir,
         tokenizer = Some(tok), targetFileBytes = 64L * 1024)
-      val verify = graft.text.Shards.verifyShards(s, shardDir)
       val loaded = graft.text.Shards.loadShards(s, shardDir)
-      val unpacked = graft.text.Shards.unpackShards(s, shardDir)
+      val verify = graft.text.Shards.verifyShards(s, shardDir, loaded)
+      val unpacked = graft.text.Shards.unpackShards(loaded, 1L << 22)
       val mapping = graft.RowNumbers.withRowNumbers(
         docs.select(col("doc_id")), rowNumberColumnName = "__rn",
         order = Seq(col("doc_id")))
@@ -2461,8 +2461,8 @@ object SparkEntry {
         tokenizer = Some(tok))
       graft.text.Shards.appendShards(docs.filter(col("doc_id") >= 250), ids,
         Seq(col("doc_id")), shardDir)
-      val verify = graft.text.Shards.verifyShards(s, shardDir)
       val loaded = graft.text.Shards.loadShards(s, shardDir)
+      val verify = graft.text.Shards.verifyShards(s, shardDir, loaded)
       def contentHash(df: org.apache.spark.sql.DataFrame) =
         df.agg(bit_xor(xxhash64(col("seq_id"), col("ids"), col("n_docs")))
           .as("h"))
@@ -2471,7 +2471,7 @@ object SparkEntry {
       val hEq = contentHash(loaded.data)
         .crossJoin(contentHash(oneShot).withColumnRenamed("h", "h2"))
         .select((col("h") <=> col("h2")).as("append_equals_oneshot"))
-      val unpacked = graft.text.Shards.unpackShards(s, shardDir)
+      val unpacked = graft.text.Shards.unpackShards(loaded, 1L << 22)
       val mapping = graft.RowNumbers.withRowNumbers(
         docs.select(col("doc_id")), rowNumberColumnName = "__rn",
         order = Seq(col("doc_id")))
@@ -2518,8 +2518,8 @@ object SparkEntry {
           dir = shardDir, tokenizer = Some(tok), checkpointDir = s"$root/ck")
         try { q.processAllAvailable() } finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      val verify = graft.text.Shards.verifyShards(s, shardDir)
       val loaded = graft.text.Shards.loadShards(s, shardDir)
+      val verify = graft.text.Shards.verifyShards(s, shardDir, loaded)
       def contentHash(df: org.apache.spark.sql.DataFrame) =
         df.agg(bit_xor(xxhash64(col("seq_id"), col("ids"), col("n_docs")))
           .as("h"))
@@ -2528,7 +2528,7 @@ object SparkEntry {
       val hEq = contentHash(loaded.data)
         .crossJoin(contentHash(oneShot).withColumnRenamed("h", "h2"))
         .select((col("h") <=> col("h2")).as("stream_equals_oneshot"))
-      val unpacked = graft.text.Shards.unpackShards(s, shardDir)
+      val unpacked = graft.text.Shards.unpackShards(loaded, 1L << 22)
       val mapping = graft.RowNumbers.withRowNumbers(
         docs.select(col("doc_id")), rowNumberColumnName = "__rn",
         order = Seq(col("doc_id")))

@@ -278,18 +278,23 @@ object Packing {
    * — `doc_idx` is the document's 0-based position in the pack order;
    * a document with an EMPTY id stream is absent (nothing to emit).
    *
-   * Scale shape: token-level rows exist only inside this operator's one
-   * explode; the separator census is per-sequence (O(sequences) rows into
-   * one prefix sum), the within-sequence running count is a window bounded
-   * by `capacity` rows per key, and the final per-document aggregation is
-   * bounded by document length — no single-partition stage. Still, this
-   * is the ONE operator with per-token rows: it is shard-QA tooling, not
-   * a corpus operator, and `maxSequences` enforces that. Packed `seq_id`s
-   * are dense from 0, so any row with `seq_id >= maxSequences` proves the
-   * pack exceeds the QA budget — the guard is an in-plan `assert_true`
-   * (fails the job on first violation, costs no extra action; the P112
-   * `maxTouchedFiles` discipline). Default 2^22 sequences ≈ 2^31 tokens
-   * at capacity 512; raise it deliberately, or QA a slice.
+   * Scale shape — rows stay O(docs + sequences), mirroring the pack
+   * itself: a sequence's ids split on `sepId` into at most
+   * `n_docs_touching + 1` contiguous SEGMENTS, so the explode emits one
+   * row per non-empty segment carrying an array SLICE (the payload is
+   * O(total tokens) bytes either way, but never one row per token). The
+   * segment's document index is pure arithmetic — the sequence's global
+   * separator census (one O(sequences) prefix sum, no explode) plus the
+   * segment's ordinal — which eliminates the per-token window and the
+   * per-token join the first implementation paid. The final per-document
+   * aggregation reassembles slices in global-position order (bounded by
+   * document length). `maxSequences` still bounds the QA: packed
+   * `seq_id`s are dense from 0, so any row with `seq_id >= maxSequences`
+   * proves the pack exceeds the budget — the guard is an in-plan
+   * `assert_true` (fails the job on first violation, costs no extra
+   * action; the P112 `maxTouchedFiles` discipline). Default 2^22
+   * sequences ≈ 2^31 tokens at capacity 512; raise it deliberately, or
+   * QA a slice ([[unpackTokenIdsRange]]).
    */
   def unpackTokenIds(
       packed: DataFrame,
@@ -311,21 +316,44 @@ object Packing {
       Seq(col("seq_id")), "__sepsBefore",
       exclusive = true, storageLevel, unpersistHandle)
       .select(col("seq_id"), col("__sepsBefore"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("seq_id")).orderBy(col("__pos"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    guarded
-      .select(col("seq_id"), posexplode(col("ids")).as(Seq("__pos", "__id")))
-      .join(offsets, "seq_id")
-      .withColumn("__docIdx", col("__sepsBefore") +
-        coalesce(sum(when(col("__id") === sepId, 1L)).over(w), lit(0L)))
-      .filter(col("__id") =!= sepId)
-      .withColumn("__gpos", col("seq_id") * capacity + col("__pos"))
+    segmentsToDocs(guarded.join(offsets, "seq_id"), capacity, sepId)
       .groupBy(col("__docIdx").as("doc_idx"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("__gpos"), col("__id")))),
-        x => x.getField("__id")).as("ids"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__gpos"), col("__piece")))),
+        x => x.getField("__piece"))).as("ids"))
       .select(col("doc_idx"), col("ids"))
+  }
+
+  /** Shared segment explode of the unpack family: from `(seq_id, ids,
+    * __sepsBefore)` rows, emit one row per NON-EMPTY separator-delimited
+    * segment — `(__docIdx, __gpos, __piece)` where `__docIdx` is the
+    * absolute document ordinal (census + segment ordinal), `__gpos` the
+    * segment's absolute start position (unique, so slices reassemble in
+    * order), `__piece` the id slice. Pure per-row array algebra — no
+    * per-token rows, no window. */
+  private def segmentsToDocs(withCensus: DataFrame, capacity: Int,
+                             sepId: Int): DataFrame = {
+    val sepPos = filter(
+      transform(col("ids"), (x, i) => when(x === sepId, i).otherwise(lit(-1))),
+      p => p >= 0)
+    val segs = withCensus
+      .withColumn("__sepPos", sepPos)
+      .select(col("seq_id"), col("ids"), col("__sepsBefore"),
+        explode(sequence(lit(0), size(col("__sepPos")))).as("__j"),
+        col("__sepPos"))
+      .select(col("__sepsBefore"), col("seq_id"), col("ids"), col("__j"),
+        when(col("__j") === 0, lit(0))
+          .otherwise(element_at(col("__sepPos"), col("__j")) + 1).as("__from"),
+        when(col("__j") < size(col("__sepPos")),
+            element_at(col("__sepPos"), col("__j") + 1))
+          .otherwise(size(col("ids"))).as("__until"))
+    segs
+      .filter(col("__until") > col("__from"))
+      .select(
+        (col("__sepsBefore") + col("__j")).as("__docIdx"),
+        (col("seq_id") * capacity + col("__from")).as("__gpos"),
+        slice(col("ids"), col("__from") + 1, col("__until") - col("__from"))
+          .as("__piece"))
   }
 
   /**
@@ -384,26 +412,21 @@ object Packing {
       !prev.head.isNullAt(0) && prev.head.getInt(0) == sepId
     }
     val minDocIdx = if (aligned) sepsBeforeFrom else sepsBeforeFrom + 1
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("seq_id")).orderBy(col("__pos"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    packed
-      .filter(col("seq_id") >= fromSeq && col("seq_id") < untilSeq)
-      .select(col("seq_id"), posexplode(col("ids")).as(Seq("__pos", "__id")))
-      .join(offsets, "seq_id")
-      .withColumn("__docIdx", col("__sepsBefore") +
-        coalesce(sum(when(col("__id") === sepId, 1L)).over(w), lit(0L)))
-      .filter(col("__id") =!= sepId)
+    // same per-SEGMENT explode as unpackTokenIds (one row per non-empty
+    // separator-delimited slice, never per token), restricted to the range
+    segmentsToDocs(
+      packed.filter(col("seq_id") >= fromSeq && col("seq_id") < untilSeq)
+        .join(offsets, "seq_id"),
+      capacity, sepId)
       // complete docs only: started inside the range (left edge exact via
       // the alignment peek), separator inside the range (right edge via
       // the census bound)
       .filter(col("__docIdx") >= minDocIdx &&
         col("__docIdx") < sepsBeforeUntil)
-      .withColumn("__gpos", col("seq_id") * capacity + col("__pos"))
       .groupBy(col("__docIdx").as("doc_idx"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("__gpos"), col("__id")))),
-        x => x.getField("__id")).as("ids"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__gpos"), col("__piece")))),
+        x => x.getField("__piece"))).as("ids"))
       .select(col("doc_idx"), col("ids"))
   }
 }

@@ -76,15 +76,30 @@ object Shards {
         .write.mode("overwrite").parquet(s"$dir/data")
     } finally handle.unpersist()
     resizeIfOffTarget(spark, s"$dir/data", targetFileBytes)
-    Manifest.writeManifestFor(spark, s"$dir/data")
-    // n_sequences from the manifest just written — the certification scan
-    // already counted every row, so this costs one sidecar read; total_ids
-    // (the future append offset) is one ids-column aggregate
-    val nSequences = Manifest.readManifest(spark, s"$dir/data")
-      .agg(coalesce(sum(col("rows")), lit(0L))).head().getLong(0)
-    val totalIds = spark.read.parquet(s"$dir/data")
-      .agg(coalesce(sum(size(col("ids")).cast("long")), lit(0L)))
-      .head().getLong(0)
+    // ONE certification scan of the landed data: the manifest's per-file
+    // summary (identical fingerprint expression to Manifest.fileSummary —
+    // struct(*) sees only the scan's columns) extended with a per-file id
+    // count, collected (file-count-bounded rows, never data) so
+    // n_sequences and total_ids (the future append offset) are driver sums
+    // over the same pass instead of two more full reads of data/
+    val summary = spark.read.parquet(s"$dir/data")
+      .select(input_file_name().as("file"),
+        xxhash64(to_json(struct(col("*")))).as("h"),
+        size(col("ids")).cast("long").as("__n"))
+      .groupBy("file")
+      .agg(count(lit(1)).as("rows"), bit_xor(col("h")).as("fingerprint"),
+        sum(col("__n")).as("__ids"))
+      .collect()
+    val manifestRows: Seq[(String, Long, Long)] =
+      summary.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    locally {
+      import spark.implicits._
+      manifestRows.toDF("file", "rows", "fingerprint")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(Manifest.manifestPath(s"$dir/data"))
+    }
+    val nSequences = summary.map(_.getLong(1)).sum
+    val totalIds = summary.map(_.getLong(3)).sum
     tokenizer.foreach(t => TokenizerArtifact.save(spark, t, s"$dir/tokenizer"))
     writeParams(spark, dir, capacity, sepId, nSequences, totalIds,
       tokenizer.isDefined, targetFileBytes, batchId.getOrElse(-1L))
@@ -115,22 +130,30 @@ object Shards {
     val dirPath = new Path(dataDir)
     val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
     SwapFiles.recover(fs, dirPath)
-    val existing = loadShards(spark, dir)
+    // params row only: the append needs capacity/sep_id/n_sequences/
+    // total_ids/has_tokenizer — loading the bundled tokenizer artifact
+    // (three model-sized reads) for a flag it never uses was pure
+    // per-append overhead
+    val prev = paramsRow(spark, dir)
+    val exCapacity = prev.getAs[Int]("capacity")
+    val exSepId = prev.getAs[Int]("sep_id")
+    val exNSequences = prev.getAs[Long]("n_sequences")
+    val exTotalIds = prev.getAs[Long]("total_ids")
     val handle = new graft.SilentUnpersistHandle() // see saveShards note
     val newPacked = Packing.packTokenIds(df, idsCol, order,
-        existing.capacity, existing.sepId, storageLevel, handle,
-        startOffset = existing.totalIds)
+        exCapacity, exSepId, storageLevel, handle,
+        startOffset = exTotalIds)
       .persist(storageLevel)
     try {
       val stats = newPacked.agg(
         count(lit(1)), coalesce(sum(size(col("ids")).cast("long")), lit(0L)),
         coalesce(max(col("seq_id")), lit(-1L))).head()
-      if (stats.getLong(0) == 0L) return existing.nSequences
+      if (stats.getLong(0) == 0L) return exNSequences
       val appendedIds = stats.getLong(1)
       val maxSeq = stats.getLong(2)
-      val lastSeqId = existing.nSequences - 1
-      val tailPartial = existing.nSequences > 0 &&
-        existing.totalIds < existing.nSequences * existing.capacity
+      val lastSeqId = exNSequences - 1
+      val tailPartial = exNSequences > 0 &&
+        exTotalIds < exNSequences * exCapacity
       val (tmpRows, oldFiles, oldFileNames) = if (tailPartial) {
         // the first new id lands INSIDE the old last sequence — merge it
         // and rewrite (only) the file that holds it. Locating that file
@@ -174,10 +197,9 @@ object Shards {
       // the untouched artifact's manifest rows stand, keeping the append
       // O(batch + tail) instead of O(artifact)
       Manifest.updateManifestFor(spark, dataDir, published, oldFileNames)
-      val prev = paramsRow(spark, dir)
-      writeParams(spark, dir, existing.capacity, existing.sepId,
-        maxSeq + 1, existing.totalIds + appendedIds,
-        existing.tokenizer.isDefined,
+      writeParams(spark, dir, exCapacity, exSepId,
+        maxSeq + 1, exTotalIds + appendedIds,
+        prev.getAs[Boolean]("has_tokenizer"),
         prev.getAs[Long]("target_file_bytes"),
         batchId.getOrElse(prev.getAs[Long]("last_batch_id")))
       maxSeq + 1
@@ -251,8 +273,14 @@ object Shards {
    * `(seq_id, size(ids), min/max id)` — both O(data) scans with
    * per-file-sized state, driver never sees rows.
    */
-  def verifyShards(spark: SparkSession, dir: String): DataFrame = {
-    val shards = loadShards(spark, dir)
+  def verifyShards(spark: SparkSession, dir: String): DataFrame =
+    verifyShards(spark, dir, loadShards(spark, dir))
+
+  /** [[verifyShards]] against an ALREADY-LOADED shard set — consumers that
+    * verify + read + unpack in one session load the artifact once and pass
+    * it around instead of re-reading params + tokenizer per call. */
+  def verifyShards(spark: SparkSession, dir: String,
+                   shards: ShardSet): DataFrame = {
     val manifest = Manifest.verifySummary(spark, s"$dir/data")
       .select(col("files"), col("total_rows"), col("all_ok").as("manifest_ok"))
     val idsOk = shards.tokenizer match {
@@ -293,11 +321,14 @@ object Shards {
     * budget-guarded). Decode with the bundled tokenizer to close the full
     * `saveShards → unpackShards → decode == corpus` round-trip. */
   def unpackShards(spark: SparkSession, dir: String,
-                   maxSequences: Long = 1L << 22): DataFrame = {
-    val shards = loadShards(spark, dir)
+                   maxSequences: Long = 1L << 22): DataFrame =
+    unpackShards(loadShards(spark, dir), maxSequences)
+
+  /** [[unpackShards]] from an ALREADY-LOADED shard set (load once, verify +
+    * unpack + decode without re-reading params + tokenizer per call). */
+  def unpackShards(shards: ShardSet, maxSequences: Long): DataFrame =
     Packing.unpackTokenIds(shards.data, shards.capacity, shards.sepId,
       maxSequences = maxSequences)
-  }
 
   /**
    * Sampled shard QA from disk: re-split ONLY sequences `[fromSeq,
