@@ -160,6 +160,40 @@ object Profile {
             dim = 64, m = 8, ksub = 16, iterations = 3)
         }
       }
+      // trainPq sub-step timing (replicated internals)
+      {
+        val subdim = 8; val m = 8; val ksub = 16
+        val base = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val seeds = time("  pq seeds collect") {
+          base.orderBy(col("id")).limit(ksub)
+            .select("v").collect().map(_.getSeq[Float](0).toArray)
+        }
+        var codebooks: Array[Array[Array[Float]]] =
+          Array.tabulate(m, ksub) { (s, c) =>
+            java.util.Arrays.copyOfRange(seeds(c), s * subdim, (s + 1) * subdim)
+          }
+        for (it <- 1 to 3) {
+          val means = time(s"  pq iteration $it") {
+            base
+              .select(graft.functions.vectors.pq_encode_ints(col("v"), codebooks).as("codes"),
+                posexplode(col("v")).as(Seq("i", "x")))
+              .select((col("i") / subdim).cast("int").as("sub"),
+                (col("i") % subdim).as("within"),
+                get(col("codes"), (col("i") / subdim).cast("int")).as("code"),
+                col("x"))
+              .groupBy(col("sub"), col("code"), col("within"))
+              .agg(avg(col("x")).as("mean"))
+              .collect()
+          }
+          val next = codebooks.map(_.map(_.clone()))
+          means.foreach { r =>
+            next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3).toFloat
+          }
+          codebooks = next
+        }
+        base.unpersist(blocking = false)
+      }
       val ivf = graft.ann.Ann.trainIvf(emb, col("vec_id"), col("embedding"),
         k = 16, iterations = 3)
       val pqi = graft.ann.Pq.trainPq(emb, col("vec_id"), col("embedding"),

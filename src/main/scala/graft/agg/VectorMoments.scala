@@ -115,11 +115,106 @@ case class VecMomentsAgg(
     copy(child = newChildren.head)
 }
 
+/**
+ * One-pass per-dimension sum/count of an embedding column — the k-means /
+ * PQ "M step" in ONE bounded mergeable buffer (`2 * dim` doubles) instead
+ * of a per-dimension explode: each task folds its vectors into
+ * `[count_0..count_{dim-1}, sum_0..sum_{dim-1}]`, partials combine
+ * map-side, exactly one buffer per (group, task) crosses the exchange.
+ * Accumulation is `sum += (double) x_i` in row order — the same
+ * double-precision contract as Spark's Average over the exploded
+ * per-dimension values, so `sum_i / count_i` reproduces `avg(x_i)`
+ * bit-for-bit under the same partitioning. Vectors shorter than `dim`
+ * contribute only their present dimensions (per-dimension counts, exactly
+ * like the absent explode rows); dimensions beyond `dim` are ignored.
+ */
+case class VecSumAgg(
+    child: Expression,
+    dim: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] {
+
+  require(dim > 0 && dim <= 65536, s"vec_sum needs dim in 1..65536: $dim")
+
+  private val bufLen = 2 * dim
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vec_sum"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_sum expects array<float>, got ${t.sql}")
+    }
+
+  override def createAggregationBuffer(): Array[Double] = new Array[Double](bufLen)
+
+  override def update(buffer: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = math.min(arr.numElements(), dim)
+      var i = 0
+      while (i < n) {
+        buffer(i) += 1.0
+        buffer(dim + i) += arr.getFloat(i).toDouble
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Double], other: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < bufLen) { buffer(i) += other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Double]): Any = {
+    val out = new Array[Any](bufLen)
+    var i = 0
+    while (i < bufLen) { out(i) = buffer(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buffer: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buffer.length * 8)
+    bb.asDoubleBuffer().put(buffer)
+    bb.array()
+  }
+
+  override def deserialize(storageFormat: Array[Byte]): Array[Double] = {
+    val out = new Array[Double](storageFormat.length / 8)
+    ByteBuffer.wrap(storageFormat).asDoubleBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecSumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecSumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 object VectorMoments {
 
   /** Aggregate column: the flattened moments sketch (see [[VecMomentsAgg]]). */
   def vecMoments(vec: Column, dim: Int): Column =
     VecMomentsAgg(vec.asExpression, dim).toAggregateExpression().asColumn
+
+  /** Aggregate column: per-dimension counts + sums (see [[VecSumAgg]]) —
+    * layout `[c_0..c_{dim-1}, s_0..s_{dim-1}]`; mean_i = s_i / c_i. */
+  def vecSum(vec: Column, dim: Int): Column =
+    VecSumAgg(vec.asExpression, dim).toAggregateExpression().asColumn
 
   /** Unpack the sketch into (n, mean, M) where M is the full symmetric
     * second-moment matrix E[x xT] (uncentered). */

@@ -241,18 +241,33 @@ object Ann {
     try {
       var centroids: Array[Array[Float]] = base.orderBy(col("id")).limit(k)
         .select("v").collect().map(_.getSeq[Float](0).toArray)
+      // per-iteration assign pass WITHOUT the per-dimension explode the
+      // first implementation paid (k*dim avg groups over |corpus|*dim
+      // generated rows): one [[graft.agg.VectorMoments.vecSum]] aggregate
+      // keyed on cid alone — |corpus| rows in, k rows out, one bounded
+      // 2*dim-double buffer per (group, task). Accumulation is
+      // `sum += (double) x_i` in row order, the same double-precision
+      // contract as the exploded Average, so the learned centroids are
+      // identical (mean_i = s_i / c_i; dimensions with no values keep the
+      // previous value, exactly like the absent avg groups)
+      val dim = if (centroids.nonEmpty) centroids(0).length else 0
       for (_ <- 0 until iterations) {
-        val assigned = base.select(
-          get(vectors.nearest_centroids(col("v"), centroids, 1), lit(0)).as("cid"),
-          col("v"))
-        val means = assigned
-          .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-          .groupBy(col("cid"), col("dim"))
-          .agg(avg(col("x")).as("m"))
+        val sums = base.select(
+            get(vectors.nearest_centroids(col("v"), centroids, 1), lit(0)).as("cid"),
+            col("v"))
+          .groupBy(col("cid"))
+          .agg(graft.agg.VectorMoments.vecSum(col("v"), dim).as("cs"))
           .collect()
         val next = centroids.map(_.clone())
-        means.foreach { r =>
-          next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+        sums.foreach { r =>
+          val cid = r.getInt(0)
+          val cs = r.getSeq[Double](1)
+          var i = 0
+          while (i < dim) {
+            val c = cs(i)
+            if (c > 0.0) next(cid)(i) = (cs(dim + i) / c).toFloat
+            i += 1
+          }
         }
         centroids = next // clusters with no members keep their previous centroid
       }

@@ -70,20 +70,35 @@ object Pq {
         Array.tabulate(m, ksub) { (s, c) =>
           java.util.Arrays.copyOfRange(seeds(c), s * subdim, (s + 1) * subdim)
         }
+      // per-iteration assign pass at m rows per vector (one per subspace)
+      // instead of dim rows (one per dimension): the subspace's code is the
+      // group key and the subdim means come from one
+      // [[graft.agg.VectorMoments.vecSum]] aggregate over the subvector
+      // slice — m*ksub rows out, one bounded 2*subdim-double buffer per
+      // (group, task), `sum += (double) x_i` in row order (the exploded
+      // Average's contract), so the learned codebooks are identical
+      // (mean_i = s_i / c_i; dims with no values keep the previous value,
+      // exactly like the absent avg groups)
       for (_ <- 0 until iterations) {
-        val means = base
-          .select(vectors.pq_encode_ints(col("v"), codebooks).as("codes"),
-            posexplode(col("v")).as(Seq("i", "x")))
-          .select((col("i") / subdim).cast("int").as("sub"),
-            (col("i") % subdim).as("within"),
-            get(col("codes"), (col("i") / subdim).cast("int")).as("code"),
-            col("x"))
-          .groupBy(col("sub"), col("code"), col("within"))
-          .agg(avg(col("x")).as("mean"))
+        val sums = base
+          .select(posexplode(vectors.pq_encode_ints(col("v"), codebooks))
+            .as(Seq("sub", "code")), col("v"))
+          .groupBy(col("sub"), col("code"))
+          .agg(graft.agg.VectorMoments.vecSum(
+            slice(col("v"), col("sub") * subdim + 1, lit(subdim)), subdim)
+            .as("cs"))
           .collect()
         val next = codebooks.map(_.map(_.clone()))
-        means.foreach { r =>
-          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3).toFloat
+        sums.foreach { r =>
+          val sub = r.getInt(0)
+          val code = r.getInt(1)
+          val cs = r.getSeq[Double](2)
+          var i = 0
+          while (i < subdim) {
+            val c = cs(i)
+            if (c > 0.0) next(sub)(code)(i) = (cs(subdim + i) / c).toFloat
+            i += 1
+          }
         }
         codebooks = next
       }
