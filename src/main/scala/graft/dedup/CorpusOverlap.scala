@@ -168,30 +168,45 @@ object CorpusOverlap {
    * exact probe multiplicities are ALL derived from that same grouped
    * frame (KMV over the grouped distinct keys equals KMV over the raw
    * stream — bottom-k-distinct ignores multiplicity; the probe counts ARE
-   * the grouped counts), so the physical plan carries one scan + one
-   * exchange per table, which Spark's ReuseExchange shares across the
-   * branches. The join key itself is NEVER shuffled between the tables.
-   * Every step is deterministic hash/integer/IEEE arithmetic, so the
-   * DuckDB oracle replays the estimate bit-for-bit (the u_k hex parse is
-   * 8 manual digits, the classifier-gate trick).
+   * the grouped counts). The grouped frames are PERSISTED for the
+   * estimator's lifetime: the ~10 downstream branches re-reference them,
+   * and relying on exchange reuse left the initial plan carrying one
+   * scan+shuffle subtree PER REFERENCE (measured: 68 parquet scans / 240
+   * HashAggregates in the pre-AQE plan) — with the cache the plan carries
+   * one scan + one exchange per table, period. The caches are one row per
+   * distinct key (the estimator's own working set; release them via
+   * `unpersistHandle`). The join key itself is NEVER shuffled between the
+   * tables. Every step is deterministic hash/integer/IEEE arithmetic, so
+   * the DuckDB oracle replays the estimate bit-for-bit (the u_k hex parse
+   * is 8 manual digits, the classifier-gate trick).
    *
    * Output, one row: `(k_used, n_heavy, heavy_mass, k_rest,
    * sum_products_rest, d_union, join_estimate)`.
    */
   def joinSizeEstimate(
       a: DataFrame, aKey: Column, b: DataFrame, bKey: Column,
-      k: Int, exactTopN: Int = 64): DataFrame = {
+      k: Int, exactTopN: Int = 64,
+      storageLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+      aHandle: graft.UnpersistHandle = graft.UnpersistHandle.Noop,
+      bHandle: graft.UnpersistHandle = graft.UnpersistHandle.Noop): DataFrame = {
     val ha = a.select(md5(aKey.cast("string")).as("h")).where(col("h").isNotNull)
     val hb = b.select(md5(bKey.cast("string")).as("h")).where(col("h").isNotNull)
 
     // the one corpus-sized pass per side: exact per-key multiplicities
-    // (map-side combined). Everything below reuses this grouped frame, so
-    // the repeated references canonicalize to the SAME exchange and the
-    // shuffle runs once per side (ReuseExchange — plan-pinned in sbt).
+    // (map-side combined), cached for the estimator's lifetime (see scale
+    // shape above)
     def grouped(hashes: DataFrame, as: String): DataFrame = hashes
       .groupBy(col("h")).agg(count(lit(1)).as(as))
-    val ga = grouped(ha, "ca")
-    val gb = grouped(hb, "cb")
+    val ga = aHandle.setDataFrame(grouped(ha, "ca").persist(storageLevel))
+    val gb = bHandle.setDataFrame(grouped(hb, "cb").persist(storageLevel))
+    // materialize each cache ONCE before the ~10 downstream branches fan
+    // out: submitted concurrently inside one action, the branches would
+    // otherwise race the un-materialized cache and recompute the corpus
+    // scan+shuffle per branch (the persist-then-count stage discipline of
+    // pipeline/Curation.curate)
+    ga.count()
+    gb.count()
 
     // heavy set H: union of the two sides' top-N keys by exact count
     // (TakeOrderedAndProject over the grouped frame)

@@ -825,18 +825,25 @@ class AggOpsSuite extends AnyFunSuite with SparkTest {
     assert(rel > 0.95 && rel < 1.05, s"estimate ${est.getDouble(6)} vs $hTrue")
   }
 
-  test("joinSizeEstimate runs ONE count shuffle per side (ReuseExchange)") {
+  test("joinSizeEstimate runs ONE count shuffle per side (cached grouped frame)") {
     import graft.dedup.CorpusOverlap
     val a = (0L until 3000L).toDF("k")
     val b = (0L until 3000L).map(i => i % 700).toDF("k")
-    val est = CorpusOverlap.joinSizeEstimate(a, col("k"), b, col("k"), 256)
+    val ha = graft.UnpersistHandle()
+    val hb = graft.UnpersistHandle()
+    val est = CorpusOverlap.joinSizeEstimate(a, col("k"), b, col("k"), 256,
+      aHandle = ha, bHandle = hb)
     est.collect() // materialize so AQE finalizes the physical plan
     val plan = est.queryExecution.executedPlan.toString
     // the grouped frame is referenced by the top-N, KMV, and probe branches;
-    // structural sharing must collapse those to reused exchanges rather
-    // than re-scanning and re-shuffling the corpus per branch
-    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
-      s"expected exchange reuse in:\n$plan")
+    // it is PERSISTED, so every branch must read the cache instead of
+    // re-scanning and re-shuffling the corpus per reference (relying on
+    // ReuseExchange left one scan+shuffle subtree per branch in the
+    // initial plan)
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"expected the grouped frames to be cache-backed in:\n$plan")
+    ha.unpersist()
+    hb.unpersist()
   }
 
   test("mergeKmvSketches equals the sketch of the concatenated corpus") {
