@@ -104,6 +104,29 @@ object Profile {
       }
     }
 
+    // --- streaming harness floor: phases of one simple gate-shaped replay ---
+    for (i <- 1 to 2) {
+      val root = java.nio.file.Files.createTempDirectory("prof_stream").toString
+      val staged = docs.select(col("doc_id"), col("text"),
+        (col("doc_id") % 5).cast("int").as("__b"))
+      val schema = time(s"stream: writeOrderedBatches #$i") {
+        graft.streaming.StreamHarness.writeOrderedBatches(
+          staged.drop("__b"), (col("doc_id") % 5).cast("int"), 5, s"$root/in")
+      }
+      val stream = graft.streaming.StreamHarness.readOrderedBatches(
+        spark, s"$root/in", schema)
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val sink = try {
+        time(s"stream: drainToParquet (dedup op) #$i") {
+          graft.streaming.StreamHarness.drainToParquet(
+            graft.streaming.StreamingDedup.dropDuplicateTexts(stream, col("text")),
+            s"$root/sink", s"$root/ck")
+        }
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      time(s"stream: sink readback count #$i") { sink.count() }
+    }
+
     // --- unpack A/B: old per-token plan vs new per-segment plan ---
     {
       val model = graft.text.ByteBpe.train(docs, col("text"), numMerges = 80)

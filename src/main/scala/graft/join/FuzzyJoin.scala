@@ -39,9 +39,17 @@ object FuzzyJoin {
     // the shuffle carries 8 bytes per key instead of the variant text, and
     // a 2^-64 hash collision only adds a candidate the levenshtein verify
     // removes — exactness is unaffected
+    // array_distinct BEFORE the explode: a string with repeated characters
+    // (zero-padded ids, doubled letters) emits the SAME variant once per
+    // repeat position — each duplicate signature multiplies the self-join's
+    // candidate pairs QUADRATICALLY within its bucket, and the trailing
+    // distinct() was re-verifying and then discarding every copy. The
+    // candidate SET is unchanged (pairs join on shared signature values),
+    // so the output is identical.
     val sigs = base
       .select(col("__fj_id"), col("__fj_s"),
-        explode(vectors.deletion_variants(col("__fj_s"))).as("__fj_sigtext"))
+        explode(array_distinct(vectors.deletion_variants(col("__fj_s"))))
+          .as("__fj_sigtext"))
       .select(col("__fj_id"), col("__fj_s"), xxhash64(col("__fj_sigtext")).as("__fj_sig"))
     // self-join via ALIASES of the one signature plan (not two re-projected
     // copies): both join children then canonicalize to the same subtree, so
@@ -54,13 +62,19 @@ object FuzzyJoin {
     // of paying the distinct shuffle; a true pair seen via several shared
     // signatures re-evaluates the (codegen'd) levenshtein and dedups after,
     // so the distinct shuffles only verified pairs.
+    // threshold-banded verify: levenshtein(l, r, 1) computes the O(len)
+    // band and returns -1 the moment the distance exceeds 1, instead of
+    // filling the full O(len^2) matrix per candidate — the verify is the
+    // per-pair hot loop, and candidates are quadratic in bucket size.
+    // Surviving pairs have distinct strings, so the thresholded value IS
+    // the exact distance (always 1) — output unchanged.
     sigs.as("__fjA").join(sigs.as("__fjB"),
         col("__fjA.__fj_sig") === col("__fjB.__fj_sig"))
       .filter(col("__fjA.__fj_id") < col("__fjB.__fj_id") &&
         col("__fjA.__fj_s") =!= col("__fjB.__fj_s") &&
-        levenshtein(col("__fjA.__fj_s"), col("__fjB.__fj_s")) <= 1)
+        levenshtein(col("__fjA.__fj_s"), col("__fjB.__fj_s"), 1) >= 0)
       .select(col("__fjA.__fj_id").as("idA"), col("__fjB.__fj_id").as("idB"),
-        levenshtein(col("__fjA.__fj_s"), col("__fjB.__fj_s")).as("dist"))
+        levenshtein(col("__fjA.__fj_s"), col("__fjB.__fj_s"), 1).as("dist"))
       .distinct()
   }
 }

@@ -150,10 +150,14 @@ object Curation {
    * persist+count pairs give every stage boundary a cache AND an action;
    * here the only caches are the ones consumed twice structurally (the
    * MinHash stage's shingle frame and its input, which feeds both the
-   * candidate side and the keep-first anti-join), and there is exactly ONE
-   * action. For the narrow-dominated pipeline shape this is a strict win
-   * (4 actions -> 1); for callers who want stage-boundary checkpoint
-   * semantics, [[curate]] stands.
+   * candidate side and the keep-first anti-join), and there are exactly
+   * TWO actions: one that materializes the double-consumed mid-pipeline
+   * cache (so the final action's concurrent stages read it instead of
+   * racing its first computation), and the final count that warms the
+   * survivor cache and flows the remaining counters. For the
+   * narrow-dominated pipeline shape this is a strict win (4+ actions ->
+   * 2); for callers who want stage-boundary checkpoint semantics,
+   * [[curate]] stands.
    */
   def curateObserved(
       docs: DataFrame, id: Column, text: Column,
@@ -204,9 +208,14 @@ object Curation {
     // side feeding candidate pairs AND the keep-first anti-join's left
     // side); without a stage-boundary persist the second consumer would
     // recompute the whole upstream chain — cache it for the one action and
-    // release right after. Still one ACTION; this is an internal cache, the
-    // same discipline as the near-dup stage's own shingle cache.
+    // release right after. Materialize it HERE, before the final action's
+    // stages fan out: two not-yet-materialized consumers submitted
+    // concurrently inside one job race the cache and each recompute the
+    // upstream chain (cache blocks are computed twice, stored once), which
+    // measured ~1 s slower than curate() despite fewer actions. The count
+    // flows the leading observe counters, so obsIn completes here too.
     val preNearDup = cur.persist(storageLevel)
+    preNearDup.count()
     val mhHandle = graft.UnpersistHandle()
     cur = observed("4_neardup", graft.dedup.Dedup.deduplicateMinHash(
       preNearDup, id, text, shingleSize, bands, rowsPerBand, minHashThreshold,
