@@ -2341,11 +2341,15 @@ object SparkEntry {
       val corpus = docs.unionAll(byteBpeHazards.toDF("doc_id", "text"))
       val model = graft.text.ByteBpe.train(corpus, col("text"), numMerges = 80)
       val enc = graft.text.ByteBpe.encodeIds(coalesce(col("text"), lit("")), model)
-      val assigned = graft.text.BinPack.packBins(docs,
-        graft.text.ByteBpe.tokenCount(coalesce(col("text"), lit("")), model),
+      // ONE histogram solve: assign over the id arrays themselves
+      // (tokenCount == size(encodeIds) by definition, so the assignment is
+      // identical), then assemble the sequences from that same assignment
+      // instead of re-running packBins inside packBinSequences
+      val assigned = graft.text.BinPack.packBins(
+        docs.withColumn("__ids", enc), size(col("__ids")),
         Seq(col("doc_id")), capacity = 512)
-      val seqs = graft.text.BinPack.packBinSequences(docs, enc,
-        Seq(col("doc_id")), capacity = 512)
+      val seqs = graft.text.BinPack.binSequencesFromAssigned(
+        assigned, col("__ids"), capacity = 512)
       val perDoc = seqs
         .select(col("bin_id"), col("ids"), col("doc_starts"),
           posexplode(col("doc_starts")).as(Seq("slot", "start")))

@@ -60,9 +60,16 @@ object Mining {
    * bounded hash joins back onto the k·|queries|-row candidate tables,
    * and per-query WindowGroupLimit-shaped rank-1 selection.
    */
-  def alignedPairsFromNeighbors(forward: DataFrame, backward: DataFrame,
+  def alignedPairsFromNeighbors(forwardIn: DataFrame, backwardIn: DataFrame,
                                 k: Int, minMargin: Double = 1.0): DataFrame = {
     require(k >= 1, s"need k >= 1: $k")
+    // materialize both neighbor tables ONCE (k * |queries| rows by
+    // construction — the mining working set): each is consumed by its mass
+    // aggregate, the eager coverage checks below, and the margin join, and
+    // an un-cached table re-runs its PRODUCER (the ANN search / brute-force
+    // referee, the expensive part) once per consumer
+    val forward = forwardIn.localCheckpoint(true)
+    val backward = backwardIn.localCheckpoint(true)
     val Scale = 1L << 20
     def fp(c: Column): Column = floor(c * Scale).cast("long")
 

@@ -196,8 +196,17 @@ object BinPack {
         order.zipWithIndex.map { case (c, i) => c.as(s"__bo$i") }): _*)
     val assigned = packBins(withIds, size(col("__bp_ids")),
       order.indices.map(i => col(s"__bo$i")), capacity, storageLevel)
+    binSequencesFromAssigned(assigned, col("__bp_ids"), capacity)
+  }
+
+  /** The bin-assembly half of [[packBinSequences]], for callers that
+    * already hold a [[packBins]] assignment carrying the id arrays —
+    * computing both the assignment AND the sequences then costs ONE
+    * histogram solve instead of two (the bin_pack_roundtrip shape). */
+  def binSequencesFromAssigned(assigned: DataFrame, idsCol: Column,
+                               capacity: Int): DataFrame =
     assigned.groupBy(col("bin_id"))
-      .agg(array_sort(collect_list(struct(col("slot"), col("__bp_ids"))))
+      .agg(array_sort(collect_list(struct(col("slot"), idsCol.as("__bp_ids"))))
         .as("__sorted"))
       .select(col("bin_id"),
         flatten(transform(col("__sorted"), x => x.getField("__bp_ids")))
@@ -209,7 +218,6 @@ object BinPack {
             lit(0), (a, b) => a + b)).as("doc_starts"))
       .select(col("bin_id"), col("ids"), col("doc_starts"),
         (lit(capacity) - size(col("ids"))).as("n_pad"))
-  }
 
   /** One-row exact-integer layout report for a [[packBins]] assignment:
     * bins used, documents placed, tokens placed, slot capacity
