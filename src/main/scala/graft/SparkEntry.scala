@@ -2108,8 +2108,12 @@ object SparkEntry {
       val ids = graft.text.ByteBpe.encodeIds(rendered, model, sp)
       val mask = graft.text.Chat.sftLossMask(ids, base)
       val sep = base + sp.size // one past the last reserved id
+      // the unpack consumes the pack twice (census + segments); the pack
+      // here re-renders + re-encodes the whole chat corpus per consumer —
+      // materialize it once (the disk-artifact shape)
       val packed = graft.text.Packing.packTokenIdsWithMask(
         docs, ids, mask, Seq(col("doc_id")), capacity = 512, sepId = sep)
+        .localCheckpoint(true)
       val unpacked = graft.text.Packing.unpackTokenIdsWithMask(
         packed, 512, sep)
       val mapping = graft.RowNumbers.withRowNumbers(
@@ -2390,9 +2394,13 @@ object SparkEntry {
       val corpus = docs.unionAll(byteBpeHazards.toDF("doc_id", "text"))
       val model = graft.text.ByteBpe.train(corpus, col("text"), numMerges = 80)
       val sep = graft.text.ByteBpe.vocabSize(model)
+      // the unpack consumes the pack twice (separator census + segment
+      // explode) — materialize the packed table once, as a disk-backed
+      // artifact would be, instead of re-running the pack per consumer
       val packed = graft.text.Packing.packTokenIds(docs,
         graft.text.ByteBpe.encodeIds(coalesce(col("text"), lit("")), model),
         Seq(col("doc_id")), capacity = 512, sepId = sep)
+        .localCheckpoint(true)
       val unpacked = graft.text.Packing.unpackTokenIds(packed, 512, sep)
       val mapping = graft.RowNumbers.withRowNumbers(
         docs.select(col("doc_id")), rowNumberColumnName = "__rn",
@@ -2557,9 +2565,12 @@ object SparkEntry {
       val corpus = docs.unionAll(byteBpeHazards.toDF("doc_id", "text"))
       val model = graft.text.ByteBpe.train(corpus, col("text"), numMerges = 80)
       val sep = graft.text.ByteBpe.vocabSize(model)
+      // census + range explode + left-edge peek all re-read the pack:
+      // materialize it once (the disk-artifact shape)
       val packed = graft.text.Packing.packTokenIds(docs,
         graft.text.ByteBpe.encodeIds(coalesce(col("text"), lit("")), model),
         Seq(col("doc_id")), capacity = 512, sepId = sep)
+        .localCheckpoint(true)
       graft.text.Packing.unpackTokenIdsRange(packed, 512, sep,
           fromSeq = 2, untilSeq = 5)
         .select(col("doc_idx"),
