@@ -191,6 +191,14 @@ object Shards {
       val uuid = java.util.UUID.randomUUID().toString
       val tmp = new Path(dirPath, s"_append_tmp_$uuid")
       tmpRows.write.parquet(tmp.toString)
+      // size the batch's files BEFORE publishing: the pack's natural
+      // partitioning lands one tiny file per shuffle partition, and every
+      // later scan of the artifact (verify, unpack, load, the next append's
+      // tail probe) pays the per-file open cost — the §6 small-files
+      // problem applied to the append path. Same footer-computed target as
+      // saveShards; fires only when >1.5x off.
+      resizeIfOffTarget(spark, tmp.toString,
+        prev.getAs[Long]("target_file_bytes"))
       val published =
         SwapFiles.publishAndDelete(fs, dirPath, tmp, "append", uuid, oldFiles)
       // incremental certification: fingerprint ONLY the published files —
