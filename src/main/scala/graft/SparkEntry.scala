@@ -2105,14 +2105,20 @@ object SparkEntry {
         "<\\|", "")
       val rendered = graft.text.Chat.renderTemplate(
         chatTranscript(col("doc_id"), scrubbed))
-      val ids = graft.text.ByteBpe.encodeIds(rendered, model, sp)
-      val mask = graft.text.Chat.sftLossMask(ids, base)
+      // render + encode ONCE into a materialized column: the mask is a
+      // function of the SAME id stream (inline, the kernel would run once
+      // for ids and again inside the mask expression), and the pack's
+      // range-sort sampler re-evaluates its input
+      val encDocs = docs.select(col("doc_id"),
+        graft.text.ByteBpe.encodeIds(rendered, model, sp).as("__ids"))
+        .localCheckpoint(true)
+      val mask = graft.text.Chat.sftLossMask(col("__ids"), base)
       val sep = base + sp.size // one past the last reserved id
-      // the unpack consumes the pack twice (census + segments); the pack
-      // here re-renders + re-encodes the whole chat corpus per consumer —
+      // the unpack consumes the pack twice (census + segments) —
       // materialize it once (the disk-artifact shape)
       val packed = graft.text.Packing.packTokenIdsWithMask(
-        docs, ids, mask, Seq(col("doc_id")), capacity = 512, sepId = sep)
+        encDocs, col("__ids"), mask, Seq(col("doc_id")), capacity = 512,
+        sepId = sep)
         .localCheckpoint(true)
       val unpacked = graft.text.Packing.unpackTokenIdsWithMask(
         packed, 512, sep)
@@ -2267,8 +2273,13 @@ object SparkEntry {
       val corpus = docs.unionAll(byteBpeHazards.toDF("doc_id", "text"))
       val model = graft.text.ByteBpe.train(corpus, col("text"), numMerges = 80)
       val sep = graft.text.ByteBpe.vocabSize(model)
-      graft.text.Packing.packTokenIds(docs,
-          graft.text.ByteBpe.encodeIds(coalesce(col("text"), lit("")), model),
+      // encode ONCE into a materialized column: the pack's range sort
+      // samples its input before shuffling it, so an inline encode
+      // expression runs the BPE kernel over the corpus twice
+      val encDocs = docs.select(col("doc_id"),
+        graft.text.ByteBpe.encodeIds(coalesce(col("text"), lit("")), model)
+          .as("__ids")).localCheckpoint(true)
+      graft.text.Packing.packTokenIds(encDocs, col("__ids"),
           Seq(col("doc_id")), capacity = 512, sepId = sep)
         .select(col("seq_id"), size(col("ids")).cast("long").as("n_ids"),
           col("n_docs"),
@@ -2288,9 +2299,14 @@ object SparkEntry {
       val corpus = docs.unionAll(byteBpeHazards.toDF("doc_id", "text"))
       val model = graft.text.ByteBpe.train(corpus, col("text"), numMerges = 80)
       val sep = graft.text.ByteBpe.vocabSize(model)
-      val packed = graft.text.Packing.packTokenIds(docs,
-        graft.text.ByteBpe.encodeIds(coalesce(col("text"), lit("")), model),
+      // encode once (the sort sampler re-evaluates inline expressions) and
+      // materialize the pack once (docBoundaries self-joins it on seq_id-1)
+      val encDocs = docs.select(col("doc_id"),
+        graft.text.ByteBpe.encodeIds(coalesce(col("text"), lit("")), model)
+          .as("__ids")).localCheckpoint(true)
+      val packed = graft.text.Packing.packTokenIds(encDocs, col("__ids"),
         Seq(col("doc_id")), capacity = 512, sepId = sep)
+        .localCheckpoint(true)
       graft.text.Packing.docBoundaries(packed, sep)
         .select(col("seq_id"), explode(col("doc_starts")).as("start_pos"))
         .select(col("seq_id"), col("start_pos").cast("long").as("start_pos"))
@@ -2397,8 +2413,10 @@ object SparkEntry {
       // the unpack consumes the pack twice (separator census + segment
       // explode) — materialize the packed table once, as a disk-backed
       // artifact would be, instead of re-running the pack per consumer
-      val packed = graft.text.Packing.packTokenIds(docs,
-        graft.text.ByteBpe.encodeIds(coalesce(col("text"), lit("")), model),
+      val encDocs = docs.select(col("doc_id"),
+        graft.text.ByteBpe.encodeIds(coalesce(col("text"), lit("")), model)
+          .as("__ids")).localCheckpoint(true)
+      val packed = graft.text.Packing.packTokenIds(encDocs, col("__ids"),
         Seq(col("doc_id")), capacity = 512, sepId = sep)
         .localCheckpoint(true)
       val unpacked = graft.text.Packing.unpackTokenIds(packed, 512, sep)
@@ -2433,8 +2451,10 @@ object SparkEntry {
         model, Seq("<|endoftext|>"))
       val sep = graft.text.ByteBpe.vocabSize(model) // <|endoftext|>'s reserved id
       val shardDir = graft.createTemporaryDir("shards")
-      graft.text.Shards.saveShards(docs,
-        graft.text.ByteBpe.encodeIds(coalesce(col("text"), lit("")), model),
+      val encDocs = docs.select(col("doc_id"),
+        graft.text.ByteBpe.encodeIds(coalesce(col("text"), lit("")), model)
+          .as("__ids")).localCheckpoint(true)
+      graft.text.Shards.saveShards(encDocs, col("__ids"),
         Seq(col("doc_id")), capacity = 512, sepId = sep, dir = shardDir,
         tokenizer = Some(tok), targetFileBytes = 64L * 1024)
       val loaded = graft.text.Shards.loadShards(s, shardDir)
@@ -2466,19 +2486,24 @@ object SparkEntry {
       val tok = graft.text.TokenizerArtifact.Tokenizer(
         model, Seq("<|endoftext|>"))
       val sep = graft.text.ByteBpe.vocabSize(model)
-      val ids = graft.text.ByteBpe.encodeIds(coalesce(col("text"), lit("")), model)
+      // encode the corpus ONCE: the ids feed the save, the append, and the
+      // one-shot comparison pack — six kernel passes as an inline expression
+      val encDocs = docs.select(col("doc_id"),
+        graft.text.ByteBpe.encodeIds(coalesce(col("text"), lit("")), model)
+          .as("__ids")).localCheckpoint(true)
+      val ids = col("__ids")
       val shardDir = graft.createTemporaryDir("shards-append")
-      graft.text.Shards.saveShards(docs.filter(col("doc_id") < 250), ids,
+      graft.text.Shards.saveShards(encDocs.filter(col("doc_id") < 250), ids,
         Seq(col("doc_id")), capacity = 512, sepId = sep, dir = shardDir,
         tokenizer = Some(tok))
-      graft.text.Shards.appendShards(docs.filter(col("doc_id") >= 250), ids,
+      graft.text.Shards.appendShards(encDocs.filter(col("doc_id") >= 250), ids,
         Seq(col("doc_id")), shardDir)
       val loaded = graft.text.Shards.loadShards(s, shardDir)
       val verify = graft.text.Shards.verifyShards(s, shardDir, loaded)
       def contentHash(df: org.apache.spark.sql.DataFrame) =
         df.agg(bit_xor(xxhash64(col("seq_id"), col("ids"), col("n_docs")))
           .as("h"))
-      val oneShot = graft.text.Packing.packTokenIds(docs, ids,
+      val oneShot = graft.text.Packing.packTokenIds(encDocs, ids,
         Seq(col("doc_id")), capacity = 512, sepId = sep)
       val hEq = contentHash(loaded.data)
         .crossJoin(contentHash(oneShot).withColumnRenamed("h", "h2"))
@@ -2567,8 +2592,10 @@ object SparkEntry {
       val sep = graft.text.ByteBpe.vocabSize(model)
       // census + range explode + left-edge peek all re-read the pack:
       // materialize it once (the disk-artifact shape)
-      val packed = graft.text.Packing.packTokenIds(docs,
-        graft.text.ByteBpe.encodeIds(coalesce(col("text"), lit("")), model),
+      val encDocs = docs.select(col("doc_id"),
+        graft.text.ByteBpe.encodeIds(coalesce(col("text"), lit("")), model)
+          .as("__ids")).localCheckpoint(true)
+      val packed = graft.text.Packing.packTokenIds(encDocs, col("__ids"),
         Seq(col("doc_id")), capacity = 512, sepId = sep)
         .localCheckpoint(true)
       graft.text.Packing.unpackTokenIdsRange(packed, 512, sep,
