@@ -825,25 +825,23 @@ class AggOpsSuite extends AnyFunSuite with SparkTest {
     assert(rel > 0.95 && rel < 1.05, s"estimate ${est.getDouble(6)} vs $hTrue")
   }
 
-  test("joinSizeEstimate runs ONE count shuffle per side (cached grouped frame)") {
+  test("joinSizeEstimate materializes eagerly and releases both caches") {
     import graft.dedup.CorpusOverlap
     val a = (0L until 3000L).toDF("k")
     val b = (0L until 3000L).map(i => i % 700).toDF("k")
-    val ha = graft.UnpersistHandle()
-    val hb = graft.UnpersistHandle()
-    val est = CorpusOverlap.joinSizeEstimate(a, col("k"), b, col("k"), 256,
-      aHandle = ha, bHandle = hb)
-    est.collect() // materialize so AQE finalizes the physical plan
-    val plan = est.queryExecution.executedPlan.toString
-    // the grouped frame is referenced by the top-N, KMV, and probe branches;
-    // it is PERSISTED, so every branch must read the cache instead of
-    // re-scanning and re-shuffling the corpus per reference (relying on
-    // ReuseExchange left one scan+shuffle subtree per branch in the
-    // initial plan)
-    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
-      s"expected the grouped frames to be cache-backed in:\n$plan")
-    ha.unpersist()
-    hb.unpersist()
+    spark.catalog.clearCache()
+    val est = CorpusOverlap.joinSizeEstimate(a, col("k"), b, col("k"), 256)
+    // the grouped frames are persisted so the ~10 estimator branches read
+    // the cache instead of re-scanning per reference — but the one-row
+    // answer is collected INSIDE the call and both caches released before
+    // returning, so callers can never leak CacheManager entries
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "expected both internal caches to be unpersisted before returning")
+    // the returned frame is a local literal row: no live scan subtree left
+    assert(est.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      s"expected a LocalRelation result, got:\n${est.queryExecution.optimizedPlan}")
+    assert(est.count() == 1L)
   }
 
   test("mergeKmvSketches equals the sketch of the concatenated corpus") {
