@@ -250,6 +250,10 @@ object Ann {
       // contract as the exploded Average, so the learned centroids are
       // identical (mean_i = s_i / c_i; dimensions with no values keep the
       // previous value, exactly like the absent avg groups)
+      // empty corpus: no centroids to refine, and VecSumAgg requires a
+      // positive dim at plan construction — return the empty index the
+      // way the pre-aggregate explode/avg path did
+      if (centroids.isEmpty) return IvfIndex(centroids)
       val dim = if (centroids.nonEmpty) centroids(0).length else 0
       for (_ <- 0 until iterations) {
         val sums = base.select(
@@ -321,17 +325,20 @@ object Ann {
    */
   def saveIvf(spark: org.apache.spark.sql.SparkSession, index: IvfIndex,
               path: String): Unit = {
-    import spark.implicits._
-    index.centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cid", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(path)
+    import org.apache.spark.sql.types._
+    graft.parquet.LocalParquet.write(spark, path,
+      StructType(Seq(StructField("cid", IntegerType),
+        StructField("centroid", ArrayType(FloatType, containsNull = false)))),
+      index.centroids.zipWithIndex.toSeq
+        .map { case (c, i) => org.apache.spark.sql.Row(i, c.toSeq) })
   }
 
-  /** Load a quantizer persisted by [[saveIvf]] (bounded k-row collect). */
+  /** Load a quantizer persisted by [[saveIvf]] (bounded k-row driver-side
+    * read — no Spark job). */
   def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
-    IvfIndex(spark.read.parquet(path).select("cid", "centroid").collect()
-      .sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray))
+    IvfIndex(graft.parquet.LocalParquet.read(spark, path)
+      .sortBy(_.getAs[Int]("cid"))
+      .map(_.getAs[Seq[Float]]("centroid").toArray).toArray)
 
   /** Candidate-pair count for an LSH configuration (diagnostics: candidates
     * should be orders of magnitude below |queries| * |corpus|). */

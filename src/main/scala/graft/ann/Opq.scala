@@ -202,15 +202,17 @@ object Opq {
   /** Persist a rotation as parquet rows `(r, row)` — same artifact
     * discipline as [[Pq.savePq]]. */
   def saveRotation(spark: SparkSession, rotation: Rotation, path: String): Unit = {
-    import spark.implicits._
-    rotation.matrix.zipWithIndex
-      .map { case (row, r) => (r, row.toSeq) }.toSeq
-      .toDF("r", "row").coalesce(1).write.mode("overwrite").parquet(path)
+    import org.apache.spark.sql.types._
+    graft.parquet.LocalParquet.write(spark, path,
+      StructType(Seq(StructField("r", IntegerType),
+        StructField("row", ArrayType(FloatType, containsNull = false)))),
+      rotation.matrix.zipWithIndex.toSeq
+        .map { case (row, r) => org.apache.spark.sql.Row(r, row.toSeq) })
   }
 
   def loadRotation(spark: SparkSession, path: String): Rotation = {
-    val rows = spark.read.parquet(path).orderBy("r")
-      .collect().map(_.getSeq[Float](1).toArray)
+    val rows = graft.parquet.LocalParquet.read(spark, path)
+      .sortBy(_.getAs[Int]("r")).map(_.getAs[Seq[Float]]("row").toArray).toArray
     require(rows.nonEmpty, s"no rotation rows at $path")
     Rotation(rows)
   }

@@ -317,20 +317,23 @@ object Pq {
    */
   def savePq(spark: org.apache.spark.sql.SparkSession, index: PqIndex,
              path: String): Unit = {
-    import spark.implicits._
-    (for {
-      (cb, sub) <- index.codebooks.zipWithIndex
-      (cen, code) <- cb.zipWithIndex
-    } yield (sub, code, cen.toSeq)).toSeq
-      .toDF("subspace", "code", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(path)
+    import org.apache.spark.sql.types._
+    graft.parquet.LocalParquet.write(spark, path,
+      StructType(Seq(StructField("subspace", IntegerType),
+        StructField("code", IntegerType),
+        StructField("centroid", ArrayType(FloatType, containsNull = false)))),
+      (for {
+        (cb, sub) <- index.codebooks.zipWithIndex
+        (cen, code) <- cb.zipWithIndex
+      } yield org.apache.spark.sql.Row(sub, code, cen.toSeq)).toSeq)
   }
 
-  /** Load codebooks persisted by [[savePq]] (bounded m×ksub-row collect). */
+  /** Load codebooks persisted by [[savePq]] (bounded m×ksub-row
+    * driver-side read — no Spark job). */
   def loadPq(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex = {
-    val rows = spark.read.parquet(path).select("subspace", "code", "centroid")
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val rows = graft.parquet.LocalParquet.read(spark, path)
+      .map(r => (r.getAs[Int]("subspace"), r.getAs[Int]("code"),
+        r.getAs[Seq[Float]]("centroid").toArray))
     PqIndex(rows.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (_, g) => g.sortBy(_._2).map(_._3) }.map(_.toArray).toArray)
   }
@@ -361,8 +364,11 @@ object Pq {
         else encodeIvf(base, col("neighbor_id"), col("cvec"), ivf, index)
       enc.repartition(col("cid")).write.mode("overwrite").parquet(s"$path/enc")
     } finally base.unpersist()
-    spark.range(1).select(lit(residual).as("residual"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    graft.parquet.LocalParquet.write(spark, s"$path/params",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("residual",
+          org.apache.spark.sql.types.BooleanType))),
+      Seq(org.apache.spark.sql.Row(residual)))
   }
 
   /**
@@ -389,7 +395,8 @@ object Pq {
   def appendToAnnIndex(batch: DataFrame, id: Column, vec: Column,
                        path: String): Unit = {
     val spark = batch.sparkSession
-    val residual = spark.read.parquet(s"$path/params").head().getAs[Boolean]("residual")
+    val residual = graft.parquet.LocalParquet.readRow(spark, s"$path/params")
+      .getAs[Boolean]("residual")
     val ivf = Ann.loadIvf(spark, s"$path/ivf")
     val index = loadPq(spark, s"$path/pq")
     val base = batch.select(id.as("neighbor_id"), vec.as("cvec"))
@@ -414,7 +421,8 @@ object Pq {
                        path: String, k: Int,
                        nprobe: Int = 2, refine: Int = 8): DataFrame = {
     val spark = queries.sparkSession
-    val residual = spark.read.parquet(s"$path/params").head().getAs[Boolean]("residual")
+    val residual = graft.parquet.LocalParquet.readRow(spark, s"$path/params")
+      .getAs[Boolean]("residual")
     val ivf = Ann.loadIvf(spark, s"$path/ivf")
     val index = loadPq(spark, s"$path/pq")
     ivfPqTopKFromEnc(queries, queryId, queryVec,

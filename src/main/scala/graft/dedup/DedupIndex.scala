@@ -60,11 +60,20 @@ object DedupIndex {
         // coherent row groups (plain parquet: no metastore bucketing needed)
         .repartition(col("band"), col("bucket"))
         .write.mode("overwrite").parquet(s"$path/buckets")
-      // params last: their presence marks a COMPLETE index
-      df.sparkSession.range(1).select(
-        lit(shingleSize).as("shingle_size"), lit(bands).as("bands"),
-        lit(rowsPerBand).as("rows_per_band"), lit(maxBucketSize).as("max_bucket_size"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+      // params last: their presence marks a COMPLETE index (one
+      // driver-resident row — no Spark job)
+      graft.parquet.LocalParquet.write(df.sparkSession, s"$path/params",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("shingle_size",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("bands",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("rows_per_band",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("max_bucket_size",
+            org.apache.spark.sql.types.IntegerType))),
+        Seq(org.apache.spark.sql.Row(shingleSize, bands, rowsPerBand,
+          maxBucketSize)))
     } finally shingled.unpersist()
   }
 
@@ -99,9 +108,10 @@ object DedupIndex {
     } finally shingled.unpersist()
   }
 
-  /** Read the saved index parameters (fails if the save never completed). */
+  /** Read the saved index parameters (fails if the save never completed).
+    * Driver-side read — no Spark job. */
   def readIndexParams(spark: SparkSession, path: String): IndexParams = {
-    val row = spark.read.parquet(s"$path/params").head()
+    val row = graft.parquet.LocalParquet.readRow(spark, s"$path/params")
     IndexParams(row.getAs[Int]("shingle_size"), row.getAs[Int]("bands"),
       row.getAs[Int]("rows_per_band"), row.getAs[Int]("max_bucket_size"))
   }

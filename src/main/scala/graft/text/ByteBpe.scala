@@ -1,7 +1,9 @@
 package graft.text
 
+import graft.parquet.LocalParquet
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 
 /**
  * Byte-level BPE tokenizer (GPT-2/tiktoken lineage) — the unit real
@@ -119,35 +121,36 @@ object ByteBpe {
     * the display alphabet — the artifact a serving/training stack reads
     * alongside the id streams (reads like a GPT-2 vocab.json). */
   def saveVocab(spark: SparkSession, model: ByteBpeModel, path: String): Unit = {
-    import spark.implicits._
     val vocab = new graft.functions.ByteBpeVocab(
       model.merges.map(p => Array(p._1, p._2)).toArray)
-    vocab.symbols.zipWithIndex
-      .map { case (sym, id) => (id, graft.functions.ByteBpeKernels.display(sym)) }
-      .toSeq.toDF("id", "token")
-      .coalesce(1).write.mode("overwrite").parquet(path)
+    LocalParquet.write(spark, path,
+      StructType(Seq(StructField("id", IntegerType),
+        StructField("token", StringType))),
+      vocab.symbols.zipWithIndex.toSeq.map { case (sym, id) =>
+        Row(id, graft.functions.ByteBpeKernels.display(sym))
+      })
   }
 
   /** Persist the merge list as a tiny `(rank, left, right)` parquet table
-    * in the DISPLAY alphabet (readable like a GPT-2 vocab file). */
-  def saveByteBpe(spark: SparkSession, model: ByteBpeModel, path: String): Unit = {
-    import spark.implicits._
-    model.merges.zipWithIndex
-      .map { case ((l, r), rank) =>
-        (rank, graft.functions.ByteBpeKernels.display(l),
+    * in the DISPLAY alphabet (readable like a GPT-2 vocab file). Model-sized
+    * and driver-resident, so it lands via [[graft.parquet.LocalParquet]]
+    * (zero Spark jobs) instead of a coalesce(1) write. */
+  def saveByteBpe(spark: SparkSession, model: ByteBpeModel, path: String): Unit =
+    LocalParquet.write(spark, path,
+      StructType(Seq(StructField("rank", IntegerType),
+        StructField("left", StringType), StructField("right", StringType))),
+      model.merges.zipWithIndex.toSeq.map { case ((l, r), rank) =>
+        Row(rank,
+          graft.functions.ByteBpeKernels.display(l),
           graft.functions.ByteBpeKernels.display(r))
-      }
-      .toDF("rank", "left", "right")
-      .coalesce(1).write.mode("overwrite").parquet(path)
-  }
+      })
 
   /** Load a model persisted by [[saveByteBpe]] (bounded numMerges-row
-    * collect). */
+    * driver-side read — no Spark job). */
   def loadByteBpe(spark: SparkSession, path: String): ByteBpeModel =
-    ByteBpeModel(spark.read.parquet(path).select("rank", "left", "right")
-      .collect()
-      .map(r => (r.getInt(0),
-        (graft.functions.ByteBpeKernels.fromDisplay(r.getString(1)),
-          graft.functions.ByteBpeKernels.fromDisplay(r.getString(2)))))
+    ByteBpeModel(LocalParquet.read(spark, path)
+      .map(r => (r.getAs[Int]("rank"),
+        (graft.functions.ByteBpeKernels.fromDisplay(r.getAs[String]("left")),
+          graft.functions.ByteBpeKernels.fromDisplay(r.getAs[String]("right")))))
       .sortBy(_._1).map(_._2).toIndexedSeq)
 }

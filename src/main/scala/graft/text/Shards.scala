@@ -76,28 +76,19 @@ object Shards {
         .write.mode("overwrite").parquet(s"$dir/data")
     } finally handle.unpersist()
     resizeIfOffTarget(spark, s"$dir/data", targetFileBytes)
-    // ONE certification scan of the landed data: the manifest's per-file
-    // summary (identical fingerprint expression to Manifest.fileSummary —
-    // struct(*) sees only the scan's columns) extended with a per-file id
-    // count, collected (file-count-bounded rows, never data) so
-    // n_sequences and total_ids (the future append offset) are driver sums
-    // over the same pass instead of two more full reads of data/
-    val summary = spark.read.parquet(s"$dir/data")
-      .select(input_file_name().as("file"),
-        xxhash64(to_json(struct(col("*")))).as("h"),
-        size(col("ids")).cast("long").as("__n"))
-      .groupBy("file")
-      .agg(count(lit(1)).as("rows"), bit_xor(col("h")).as("fingerprint"),
-        sum(col("__n")).as("__ids"))
+    // ONE certification scan of the landed data: Manifest's own per-file
+    // summary pass (the single place the fingerprint is defined) extended
+    // with a per-file id count, collected (file-count-bounded rows, never
+    // data) so n_sequences and total_ids (the future append offset) are
+    // driver sums over the same pass instead of two more full reads of data/
+    val summary = Manifest.fileSummaryWith(spark, s"$dir/data",
+        sum(size(col("ids")).cast("long")).as("__ids"))
       .collect()
-    val manifestRows: Seq[(String, Long, Long)] =
-      summary.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    locally {
-      import spark.implicits._
-      manifestRows.toDF("file", "rows", "fingerprint")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(Manifest.manifestPath(s"$dir/data"))
-    }
+    // the summary is already driver-resident (file-count rows): land the
+    // manifest sidecar driver-side instead of submitting a write job
+    Manifest.writeManifestRows(spark, s"$dir/data",
+      summary.toSeq.map(r =>
+        org.apache.spark.sql.Row(r.getString(0), r.getLong(1), r.getLong(2))))
     val nSequences = summary.map(_.getLong(1)).sum
     val totalIds = summary.map(_.getLong(3)).sum
     tokenizer.foreach(t => TokenizerArtifact.save(spark, t, s"$dir/tokenizer"))
@@ -156,18 +147,28 @@ object Shards {
         exTotalIds < exNSequences * exCapacity
       val (tmpRows, oldFiles, oldFileNames) = if (tailPartial) {
         // the first new id lands INSIDE the old last sequence — merge it
-        // and rewrite (only) the file that holds it. Locating that file
-        // pushes `seq_id = last` into the scan (row groups prune on the
-        // range-clustered stats — footer-bound); every subsequent read
-        // targets THE ONE FILE directly, never the artifact (an
-        // input_file_name row-filter over the whole directory would be an
-        // O(artifact) scan at 100 TB)
-        val tailFiles = spark.read.parquet(dataDir)
-          .filter(col("seq_id") === lastSeqId)
-          .select(input_file_name()).distinct().collect().map(_.getString(0))
+        // and rewrite (only) the file that holds it. That file is found
+        // from parquet FOOTER stats alone (driver-side, no Spark job): the
+        // tail sequence is the artifact's global max seq_id, so the file
+        // whose footer max equals it IS the tail file — the same min/max
+        // metadata the old probe scan's row-group pruning consulted, read
+        // directly. Every subsequent read targets THE ONE FILE, never the
+        // artifact (an input_file_name row-filter over the whole directory
+        // would be an O(artifact) scan at 100 TB).
+        val hadoopConf = spark.sessionState.newHadoopConf()
+        val ranges = fs.listStatus(dirPath)
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          .flatMap { s =>
+            graft.parquet.FooterStats
+              .longColumnRange(hadoopConf, s.getPath, "seq_id")
+              .map(r => (s.getPath.toString, r._1, r._2))
+          }
+        val tailFiles = ranges.filter(_._3 == lastSeqId).map(_._1)
         require(tailFiles.length == 1,
           s"expected the tail sequence in exactly one file, found " +
-            s"${tailFiles.length}: ${tailFiles.mkString(", ")}")
+            s"${tailFiles.length}: ${tailFiles.mkString(", ")} " +
+            s"(footer seq_id ranges: ${ranges.map(r => s"[${r._2},${r._3}]").mkString(", ")})")
         val tailFileDf = spark.read.parquet(tailFiles.head)
         val keptFromFile = tailFileDf
           .filter(col("seq_id") =!= lastSeqId)
@@ -220,21 +221,27 @@ object Shards {
   private def writeParams(spark: SparkSession, dir: String, capacity: Int,
                           sepId: Int, nSequences: Long, totalIds: Long,
                           hasTokenizer: Boolean, targetFileBytes: Long,
-                          lastBatchId: Long = -1L): Unit =
+                          lastBatchId: Long = -1L): Unit = {
     // params last: their presence marks a COMPLETE artifact. last_batch_id
     // rides in the SAME atomic params write so the streaming sink's
     // idempotence marker commits together with the artifact state.
-    spark.range(1).select(
-      lit(capacity).as("capacity"), lit(sepId).as("sep_id"),
-      lit(nSequences).as("n_sequences"), lit(totalIds).as("total_ids"),
-      lit(hasTokenizer).as("has_tokenizer"),
-      lit(targetFileBytes).as("target_file_bytes"),
-      lit(lastBatchId).as("last_batch_id"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    // One driver-resident row — lands via LocalParquet, no Spark job.
+    import org.apache.spark.sql.types._
+    graft.parquet.LocalParquet.write(spark, s"$dir/params",
+      StructType(Seq(StructField("capacity", IntegerType),
+        StructField("sep_id", IntegerType),
+        StructField("n_sequences", LongType),
+        StructField("total_ids", LongType),
+        StructField("has_tokenizer", BooleanType),
+        StructField("target_file_bytes", LongType),
+        StructField("last_batch_id", LongType))),
+      Seq(org.apache.spark.sql.Row(capacity, sepId, nSequences, totalIds,
+        hasTokenizer, targetFileBytes, lastBatchId)))
+  }
 
   private def paramsRow(spark: SparkSession,
                         dir: String): org.apache.spark.sql.Row =
-    spark.read.parquet(s"$dir/params").head()
+    graft.parquet.LocalParquet.readRow(spark, s"$dir/params")
 
   /** The id of the last streaming micro-batch applied to this artifact
     * (-1 when none) — the [[graft.streaming.StreamingShards]] idempotence
@@ -245,7 +252,7 @@ object Shards {
   /** Load an artifact saved by [[saveShards]] — fails loudly when the
     * save never completed (missing `params/`). */
   def loadShards(spark: SparkSession, dir: String): ShardSet = {
-    val p = spark.read.parquet(s"$dir/params").head()
+    val p = paramsRow(spark, dir)
     ShardSet(
       data = spark.read.parquet(s"$dir/data"),
       capacity = p.getAs[Int]("capacity"),

@@ -70,10 +70,16 @@ object TokenizerArtifact {
 
   /** Persist `tokenizer` under `dir`; `params/` lands last. `fertility`
     * optionally bundles the training-corpus fertility report (a small
-    * per-group table — written as-is). */
+    * per-group table — written as-is). Every piece except the
+    * caller-supplied fertility frame is model-sized and driver-resident,
+    * so the four side tables land via [[graft.parquet.LocalParquet]]
+    * (driver-side parquet, zero Spark jobs) instead of four sequential
+    * coalesce(1) write jobs. */
   def save(spark: SparkSession, tokenizer: Tokenizer, dir: String,
            fertility: Option[org.apache.spark.sql.DataFrame] = None): Unit = {
-    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.parquet.LocalParquet
     ByteBpe.saveByteBpe(spark, tokenizer.model, s"$dir/merges")
     val vocab = new graft.functions.ByteBpeVocab(
       tokenizer.model.merges.map(p => Array(p._1, p._2)).toArray)
@@ -81,46 +87,50 @@ object TokenizerArtifact {
       .map { case (sym, id) => (id, graft.functions.ByteBpeKernels.display(sym)) }
     val specialRows = tokenizer.specials.zipWithIndex
       .map { case (sp, i) => (tokenizer.baseVocabSize + i, sp) }
-    (byteAndMergeRows ++ specialRows).toSeq.toDF("id", "token")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
-    tokenizer.specials.zipWithIndex.map { case (sp, i) => (i, sp) }
-      .toDF("idx", "token")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/specials")
+    val idToken = StructType(Seq(StructField("id", IntegerType),
+      StructField("token", StringType)))
+    LocalParquet.write(spark, s"$dir/vocab", idToken,
+      (byteAndMergeRows ++ specialRows).toSeq.map { case (id, t) => Row(id, t) })
+    LocalParquet.write(spark, s"$dir/specials",
+      StructType(Seq(StructField("idx", IntegerType),
+        StructField("token", StringType))),
+      tokenizer.specials.zipWithIndex.toSeq.map { case (sp, i) => Row(i, sp) })
     fertility.foreach(
       _.coalesce(1).write.mode("overwrite").parquet(s"$dir/fertility"))
     // params last: their presence marks a COMPLETE artifact
-    spark.range(1).select(
-      lit(tokenizer.model.merges.length).as("num_merges"),
-      lit(tokenizer.specials.length).as("num_specials"),
-      lit(tokenizer.vocabSize).as("vocab_size"),
-      lit(fertility.isDefined).as("has_fertility"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params")
+    LocalParquet.write(spark, s"$dir/params",
+      StructType(Seq(StructField("num_merges", IntegerType),
+        StructField("num_specials", IntegerType),
+        StructField("vocab_size", IntegerType),
+        StructField("has_fertility", BooleanType))),
+      Seq(Row(tokenizer.model.merges.length, tokenizer.specials.length,
+        tokenizer.vocabSize, fertility.isDefined)))
   }
 
   /** The bundled fertility report, when the artifact carries one. */
   def loadFertility(spark: SparkSession,
                     dir: String): Option[org.apache.spark.sql.DataFrame] = {
-    val p = spark.read.parquet(s"$dir/params").head()
+    val p = graft.parquet.LocalParquet.readRow(spark, s"$dir/params")
     if (p.getAs[Boolean]("has_fertility"))
       Some(spark.read.parquet(s"$dir/fertility"))
     else None
   }
 
-  /** Load an artifact saved by [[save]] (bounded model-sized collects).
+  /** Load an artifact saved by [[save]] (bounded model-sized DRIVER-side
+    * reads — zero Spark jobs, the load-side twin of [[save]]'s layout).
     * Fails loudly on an incomplete save (missing `params/`) or on a piece
     * count that disagrees with the params row (a partially overwritten
     * artifact must never half-load). */
   def load(spark: SparkSession, dir: String): Tokenizer = {
-    val p = spark.read.parquet(s"$dir/params").head()
+    val p = graft.parquet.LocalParquet.readRow(spark, s"$dir/params")
     val numMerges = p.getAs[Int]("num_merges")
     val numSpecials = p.getAs[Int]("num_specials")
     val model = ByteBpe.loadByteBpe(spark, s"$dir/merges")
     require(model.merges.length == numMerges,
       s"tokenizer artifact at $dir is inconsistent: params say " +
         s"$numMerges merges, merges/ holds ${model.merges.length}")
-    val specials = spark.read.parquet(s"$dir/specials")
-      .select("idx", "token").collect()
-      .map(r => (r.getInt(0), r.getString(1)))
+    val specials = graft.parquet.LocalParquet.read(spark, s"$dir/specials")
+      .map(r => (r.getAs[Int]("idx"), r.getAs[String]("token")))
       .sortBy(_._1).map(_._2).toIndexedSeq
     require(specials.length == numSpecials,
       s"tokenizer artifact at $dir is inconsistent: params say " +

@@ -33,19 +33,69 @@ object Manifest {
 
   def manifestPath(dir: String): String = s"$dir/_manifest"
 
-  /** Read the manifest sidecar via concrete file paths
-    * ([[graft.parquet.SidecarFiles]] — underscore dirs and globs both trip
-    * noisy reader checks; explicit existing files take the quiet path). */
-  def readManifest(spark: SparkSession, dir: String): DataFrame =
-    graft.parquet.SidecarFiles.read(spark, manifestPath(dir))
+  private val manifestSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("file",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("rows",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("fingerprint",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Land already-driver-resident `(file, rows, fingerprint)` rows as the
+    * manifest sidecar — zero Spark jobs (the manifest is file-count-bounded
+    * by construction). Producers that just collected their certification
+    * summary write it through here instead of a coalesce(1) job. */
+  def writeManifestRows(spark: SparkSession, dir: String,
+                        rows: Seq[org.apache.spark.sql.Row]): Unit =
+    graft.parquet.LocalParquet.write(spark, manifestPath(dir),
+      manifestSchema, rows)
+
+  /** The manifest rows, read driver-side (file-count-bounded, no job). */
+  def readManifestRows(spark: SparkSession,
+                       dir: String): Seq[org.apache.spark.sql.Row] =
+    graft.parquet.LocalParquet.read(spark, manifestPath(dir))
+
+  /** Read the manifest sidecar as a DataFrame. The rows are read
+    * DRIVER-side (file-count-bounded — KB-scale by design) and handed to
+    * Spark as a local relation: consumers joining against the manifest
+    * (e.g. [[verifyManifest]]) get a broadcast-able literal side instead
+    * of paying a scan job for a tiny sidecar. */
+  def readManifest(spark: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      readManifestRows(spark, dir)
+        .map(r => org.apache.spark.sql.Row(
+          r.getAs[String]("file"), r.getAs[Long]("rows"),
+          r.getAs[Long]("fingerprint"))).asJava,
+      manifestSchema)
+  }
 
   /** Per-file (file, rows, fingerprint) of the CURRENT contents of `dir`. */
   private def fileSummary(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir)
-      .select(input_file_name().as("file"),
-        xxhash64(to_json(struct(col("*")))).as("h"))
-      .groupBy("file")
-      .agg(count(lit(1)).as("rows"), bit_xor(col("h")).as("fingerprint"))
+    fileSummaryWith(spark, dir)
+
+  /**
+   * [[fileSummary]] extended with caller aggregates over the SAME single
+   * certification scan — `(file, rows, fingerprint, <extras>)`. This is
+   * the one place the manifest fingerprint is defined
+   * (`bit_xor(xxhash64(to_json(struct(<data columns>))))` + row count);
+   * producers needing extra per-file facts (e.g.
+   * [[graft.text.Shards.saveShards]]'s id counts) extend THIS pass
+   * instead of inlining a private copy of the expression that could
+   * silently drift from [[verifyManifest]]'s recomputation.
+   */
+  def fileSummaryWith(spark: SparkSession, dir: String,
+                      extraAggs: org.apache.spark.sql.Column*): DataFrame = {
+    val df = spark.read.parquet(dir)
+    // struct() over the NAMED data columns: input_file_name/the hash
+    // column must never fold into the fingerprinted struct
+    val dataCols = df.columns.toSeq.map(col)
+    df.select((input_file_name().as("file") +:
+        xxhash64(to_json(struct(dataCols: _*))).as("__h") +: dataCols): _*)
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("rows"),
+        (bit_xor(col("__h")).as("fingerprint") +: extraAggs.toSeq): _*)
+  }
 
   /** Write `df` to `dir` as parquet, then write the manifest sidecar from
     * the files actually on disk (so the manifest certifies what landed,
@@ -57,10 +107,11 @@ object Manifest {
 
   /** (Re-)write the manifest sidecar for the parquet directory `dir` as it
     * stands — for writers that land/compact files themselves (e.g.
-    * [[graft.text.Shards]]) and then want the snapshot certified. */
+    * [[graft.text.Shards]]) and then want the snapshot certified. ONE
+    * certification scan; the file-count-bounded summary rows come back to
+    * the driver and land sidecar-side without a second job. */
   def writeManifestFor(spark: SparkSession, dir: String): Unit =
-    fileSummary(spark, dir)
-      .write.mode("overwrite").parquet(manifestPath(dir))
+    writeManifestRows(spark, dir, fileSummary(spark, dir).collect().toSeq)
 
   /**
    * INCREMENTAL manifest update after an in-place append/swap: drop the
@@ -76,21 +127,31 @@ object Manifest {
   def updateManifestFor(spark: SparkSession, dir: String,
                         addedFiles: Seq[String],
                         removedFiles: Seq[String]): Unit = {
-    val removed = removedFiles.toSet
-    val kept = readManifest(spark, dir)
-      .filter(!col("file").isin(removed.toSeq: _*))
-      .select(col("file"), col("rows"), col("fingerprint"))
+    // match removals on (scheme, path): manifest rows carry
+    // input_file_name()'s URI form (file:///tmp/x) while callers may pass
+    // Hadoop Path strings (file:/tmp/x) — same file, different spelling
+    def key(f: String) = {
+      val u = new org.apache.hadoop.fs.Path(f).toUri
+      (u.getScheme, u.getPath)
+    }
+    val removed = removedFiles.map(key).toSet
+    // the kept rows are already on disk and file-count-bounded: merge them
+    // DRIVER-side with the one scan of the new bytes, then land the sidecar
+    // driver-side — one Spark job total (the added-file fingerprint scan),
+    // where read-plan + localCheckpoint + write used to cost three more
+    val kept = readManifestRows(spark, dir)
+      .filter(r => !removed.contains(key(r.getAs[String]("file"))))
+      .map(r => org.apache.spark.sql.Row(r.getAs[String]("file"),
+        r.getAs[Long]("rows"), r.getAs[Long]("fingerprint")))
     val added =
-      if (addedFiles.isEmpty) None
-      else Some(spark.read.parquet(addedFiles: _*)
+      if (addedFiles.isEmpty) Seq.empty[org.apache.spark.sql.Row]
+      else spark.read.parquet(addedFiles: _*)
         .select(input_file_name().as("file"),
           xxhash64(to_json(struct(col("*")))).as("h"))
         .groupBy("file")
-        .agg(count(lit(1)).as("rows"), bit_xor(col("h")).as("fingerprint")))
-    val merged = added.map(kept.unionAll).getOrElse(kept)
-    // the old sidecar feeds the new one: break lineage before overwrite
-    val rows = merged.localCheckpoint(true)
-    rows.write.mode("overwrite").parquet(manifestPath(dir))
+        .agg(count(lit(1)).as("rows"), bit_xor(col("h")).as("fingerprint"))
+        .collect().toSeq
+    writeManifestRows(spark, dir, kept ++ added)
   }
 
   /**
