@@ -37,8 +37,18 @@ object PrefixSum {
    * partitions. `getNumPartitions` is metadata-only (no job).
    */
   private[graft] def densePids(withPid: DataFrame, pidCol: String): DataFrame =
-    withPid.sparkSession.range(withPid.rdd.getNumPartitions.toLong)
-      .select(col("id").cast("int").as(pidCol))
+    // dense 0..max(observed pid) DERIVED inside the plan — never
+    // `withPid.rdd.getNumPartitions`: under AQE, `.rdd` finalizes the
+    // adaptive plan, which MATERIALIZES the sort's shuffle stages as real
+    // jobs before the caller's own action runs the same work again (a
+    // measured double-job on every prefix-sum consumer, §1.2). Trailing
+    // empty partitions beyond the max observed pid carry no rows, so
+    // nothing needs an offset there; gap partitions in the middle stay
+    // covered, which is all the pid+1-shifted join needs. The extra
+    // subplan is one cache-backed max over #partition rows.
+    withPid.agg(max(col(pidCol)).as("__mx"))
+      .select(explode(when(col("__mx").isNull, array().cast("array<int>"))
+        .otherwise(sequence(lit(0), col("__mx")))).as(pidCol))
 
   /**
    * Add `outputColumn` = running total of `valueCol` over the global order

@@ -141,10 +141,13 @@ class OperatorsSuite extends AnyFunSuite with SparkTest {
     assert(df.rdd.getNumPartitions == 8)
     val rns = df.withRowNumbers().select($"row_number").as[Long].collect().sorted
     assert(rns.toSeq === (1L to 100L))
-    // the dense offsets frame covers every pid, including the empty ones
-    val pids = graft.agg.PrefixSum.densePids(df, "pid")
+    // the dense offsets frame covers every pid up to the max OBSERVED one,
+    // including empty gap partitions (trailing empties carry no rows, so
+    // nothing there needs an offset); derived in-plan, no .rdd job
+    val pids = graft.agg.PrefixSum.densePids(df.withColumn("pid",
+        org.apache.spark.sql.functions.spark_partition_id()), "pid")
       .select($"pid").as[Int].collect().sorted
-    assert(pids.toSeq === (0 until 8))
+    assert(pids.toSeq === (0 to 6))
   }
 
   test("withRowNumbers custom column name and unpersist handle") {
