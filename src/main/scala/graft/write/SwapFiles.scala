@@ -95,6 +95,17 @@ private[graft] object SwapFiles {
         require(fs.delete(t.getPath, true), s"could not remove tmp ${t.getPath}")
         repaired = true
       }
+    // a stale `_resized` (the sizing rewrite's scratch dir, e.g.
+    // graft.text.Shards.resizeIfOffTarget) is ALWAYS disposable: a
+    // completed rewrite removes it last, so its presence means the crash
+    // hit mid-rewrite and the source files remain authoritative.
+    // Underscore-prefixed dirs are invisible to readers, but repeated
+    // crashes would otherwise accumulate garbage with no recovery owner.
+    val resized = new Path(dir, "_resized")
+    if (fs.exists(resized)) {
+      require(fs.delete(resized, true), s"could not remove stale $resized")
+      repaired = true
+    }
     repaired
   }
 

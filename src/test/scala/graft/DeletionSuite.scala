@@ -131,6 +131,25 @@ class DeletionSuite extends AnyFunSuite with SparkTest {
     assert(spark.read.parquet(dir).filter(col("payload") =!= col("id") * 10).count() == 0)
   }
 
+  test("recover removes a stale _resized sizing-rewrite scratch dir") {
+    // crash window: Shards' append-path resizeIfOffTarget wrote (part of)
+    // dataDir/_resized and died before its own cleanup — the scratch is
+    // invisible to readers but must not accumulate across crashed runs
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("resized-crash").toString + "/d"
+    writeCorpus(dir, 2)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val resized = new Path(p, "_resized")
+    fs.mkdirs(resized)
+    val out = fs.create(new Path(resized, "part-00000-dead.parquet"), false)
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    assert(graft.write.SwapFiles.recover(fs, p))
+    assert(!fs.exists(resized), "stale _resized must be removed by recover")
+    assert(spark.read.parquet(dir).count() == 100) // data untouched
+    assert(!graft.write.SwapFiles.recover(fs, p))  // second run: nothing left
+  }
+
   test("scrubbed dedup index answers exactly like one built on the filtered reference") {
     val docs = (0L until 40L).map(i =>
       (i, s"alpha beta gamma delta epsilon zeta eta theta row ${i % 8} tail"))
