@@ -187,7 +187,7 @@ object SparkEntry {
     * corpus lacks. ONE definition for both the in-plan and SQL-artifact
     * gates; the third copy in tools/make_golden.py is deliberate
     * (independent-replication discipline), so edits must land there too. */
-  private val byteBpeHazards: Seq[(Long, String)] = Seq(
+  private[graft] val byteBpeHazards: Seq[(Long, String)] = Seq(
     "it's the'll 've 'd mix",
     "Hello World HELLO hello",
     "a  b   c\td\ne f  ",

@@ -358,11 +358,18 @@ object Pq {
     val base = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cvec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      base.write.mode("overwrite").parquet(s"$path/vectors")
-      val enc =
-        if (residual) encodeResidual(base, col("neighbor_id"), col("cvec"), ivf, index)
-        else encodeIvf(base, col("neighbor_id"), col("cvec"), ivf, index)
-      enc.repartition(col("cid")).write.mode("overwrite").parquet(s"$path/enc")
+      // materialize the cache once, then OVERLAP the two independent
+      // output writes: the plain vectors dump rides inside the shuffling
+      // enc job's wall time, and neither write races the cache
+      base.count()
+      graft.parallelJobs(
+        () => base.write.mode("overwrite").parquet(s"$path/vectors"),
+        () => {
+          val enc =
+            if (residual) encodeResidual(base, col("neighbor_id"), col("cvec"), ivf, index)
+            else encodeIvf(base, col("neighbor_id"), col("cvec"), ivf, index)
+          enc.repartition(col("cid")).write.mode("overwrite").parquet(s"$path/enc")
+        })
     } finally base.unpersist()
     graft.parquet.LocalParquet.write(spark, s"$path/params",
       org.apache.spark.sql.types.StructType(Seq(

@@ -51,15 +51,24 @@ object DedupIndex {
       .select(id.as("id"), TextFunctions.hashedTextShingles(text, shingleSize).as("shingles"))
       .persist(StorageLevel.MEMORY_AND_DISK) // two outputs read it once each
     try {
-      shingled.write.mode("overwrite").parquet(s"$path/shingles")
-      val exploded = shingled.select(col("id"),
-        posexplode(vectors.minhash_band_hashes(col("shingles"), bands, rowsPerBand))
-          .as(Seq("band", "bucket")))
-      Dedup.pruneHotBuckets(exploded, maxBucketSize)
-        // cluster files by the join key so an increment's bucket join scans
-        // coherent row groups (plain parquet: no metastore bucketing needed)
-        .repartition(col("band"), col("bucket"))
-        .write.mode("overwrite").parquet(s"$path/buckets")
+      // materialize the cache with one narrow pass, then OVERLAP the two
+      // independent output writes: the plain shingles dump rides inside the
+      // shuffling buckets job's wall time (scheduler back-fill), and neither
+      // write races the cache computation
+      shingled.count()
+      parallelJobs(
+        () => shingled.write.mode("overwrite").parquet(s"$path/shingles"),
+        () => {
+          val exploded = shingled.select(col("id"),
+            posexplode(vectors.minhash_band_hashes(col("shingles"), bands, rowsPerBand))
+              .as(Seq("band", "bucket")))
+          Dedup.pruneHotBuckets(exploded, maxBucketSize)
+            // cluster files by the join key so an increment's bucket join
+            // scans coherent row groups (plain parquet: no metastore
+            // bucketing needed)
+            .repartition(col("band"), col("bucket"))
+            .write.mode("overwrite").parquet(s"$path/buckets")
+        })
       // params last: their presence marks a COMPLETE index (one
       // driver-resident row — no Spark job)
       graft.parquet.LocalParquet.write(df.sparkSession, s"$path/params",
@@ -98,6 +107,13 @@ object DedupIndex {
       .select(id.as("id"), TextFunctions.hashedTextShingles(text, p.shingleSize).as("shingles"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // the append has NO completeness marker (unlike the save's
+      // params-last), so write ORDER is the crash contract: shingles land
+      // first — a crash before the buckets append leaves rows that can
+      // never become candidates (safe, like an un-appended batch), while
+      // the reverse order would leave bucket rows whose exact-verify
+      // shingles are missing (candidate pairs silently vanish). Do NOT
+      // overlap these two writes.
       shingled.write.mode("append").parquet(s"$path/shingles")
       val exploded = shingled.select(col("id"),
         posexplode(vectors.minhash_band_hashes(col("shingles"), p.bands, p.rowsPerBand))
@@ -107,6 +123,9 @@ object DedupIndex {
         .write.mode("append").parquet(s"$path/buckets")
     } finally shingled.unpersist()
   }
+
+  private def parallelJobs(a: () => Unit, b: () => Unit): Unit =
+    graft.parallelJobs(a, b)
 
   /** Read the saved index parameters (fails if the save never completed).
     * Driver-side read — no Spark job. */

@@ -92,6 +92,24 @@ package object graft {
     try func finally sc.setJobDescription(previous)
   }
 
+  /** Run two independent Spark actions concurrently and return both
+    * results, propagating the first failure. FIFO scheduling back-fills
+    * the second job's tasks into the first job's stragglers (§2.6), so
+    * wall time tracks the slower job, not the sum. Both closures must
+    * consume already-materialized inputs (a not-yet-materialized shared
+    * cache would be raced and computed twice) or fully disjoint inputs. */
+  private[graft] def parallelJobs[A, B](a: () => A, b: () => B): (A, B) = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val fa = scala.concurrent.Future(a())
+      val fb = scala.concurrent.Future(b())
+      (scala.concurrent.Await.result(fa, scala.concurrent.duration.Duration.Inf),
+        scala.concurrent.Await.result(fb, scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
+  }
+
   /** Temp dir under Spark's files root (removed at application shutdown). */
   def createTemporaryDir(prefix: String): String =
     java.nio.file.Files

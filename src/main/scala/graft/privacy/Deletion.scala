@@ -123,10 +123,16 @@ object Deletion {
   def scrubAnnIndex(spark: SparkSession, path: String,
                     doomed: DataFrame, doomedId: Column,
                     maxTouchedFiles: Int = 100000): ScrubStats = {
-    val a = scrubParquetById(spark, s"$path/enc", "neighbor_id",
-      doomed, doomedId, maxTouchedFiles)
-    val b = scrubParquetById(spark, s"$path/vectors", "neighbor_id",
-      doomed, doomedId, maxTouchedFiles)
+    // disjoint directories, per-file swap protection, and either partial
+    // order is query-safe (enc-only scrub: doomed rows never shortlist;
+    // vectors-only: shortlisted doomed codes drop at the re-rank join) —
+    // so the two rewrites overlap (§2.6). A crash still means re-run, as
+    // with the sequential order.
+    val (a, b) = graft.parallelJobs(
+      () => scrubParquetById(spark, s"$path/enc", "neighbor_id",
+        doomed, doomedId, maxTouchedFiles),
+      () => scrubParquetById(spark, s"$path/vectors", "neighbor_id",
+        doomed, doomedId, maxTouchedFiles))
     ScrubStats(a.filesTotal + b.filesTotal, a.filesRewritten + b.filesRewritten,
       a.rowsDeleted + b.rowsDeleted, a.rowsRewritten + b.rowsRewritten,
       a.newFiles ++ b.newFiles)

@@ -131,17 +131,22 @@ object Shards {
     val exNSequences = prev.getAs[Long]("n_sequences")
     val exTotalIds = prev.getAs[Long]("total_ids")
     val handle = new graft.SilentUnpersistHandle() // see saveShards note
+    // the batch stats (row count, appended ids, max seq_id) ride the tmp
+    // batch write as observe metrics — the write is the pack's ONLY
+    // consumer, so the dedicated stats action AND the outer persist that
+    // backed its double consumption both go away (one pass, no cache
+    // store+read of the packed rows). The metrics are O(1)-per-row
+    // (count / array-header size / max), so the CollectMetrics node costs
+    // nothing next to the pack itself.
+    val obs = new org.apache.spark.sql.Observation()
     val newPacked = Packing.packTokenIds(df, idsCol, order,
         exCapacity, exSepId, storageLevel, handle,
         startOffset = exTotalIds)
-      .persist(storageLevel)
+      .observe(obs,
+        count(lit(1)).as("n"),
+        coalesce(sum(size(col("ids")).cast("long")), lit(0L)).as("ids"),
+        coalesce(max(col("seq_id")), lit(-1L)).as("max_seq"))
     try {
-      val stats = newPacked.agg(
-        count(lit(1)), coalesce(sum(size(col("ids")).cast("long")), lit(0L)),
-        coalesce(max(col("seq_id")), lit(-1L))).head()
-      if (stats.getLong(0) == 0L) return exNSequences
-      val appendedIds = stats.getLong(1)
-      val maxSeq = stats.getLong(2)
       val lastSeqId = exNSequences - 1
       val tailPartial = exNSequences > 0 &&
         exTotalIds < exNSequences * exCapacity
@@ -192,6 +197,20 @@ object Shards {
       val uuid = java.util.UUID.randomUUID().toString
       val tmp = new Path(dirPath, s"_append_tmp_$uuid")
       tmpRows.write.parquet(tmp.toString)
+      // stats arrive with the write; an EMPTY observation means AQE
+      // replaced the (empty) pack subtree with EmptyRelation and pruned
+      // the CollectMetrics node — which can only happen when the batch
+      // contributed zero rows, so both paths agree: drop the unpublished
+      // tmp and leave the artifact untouched (the pre-observe code
+      // early-returned before writing anything).
+      val m = obs.get
+      val nRows = m.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (nRows == 0L) {
+        fs.delete(tmp, true)
+        return exNSequences
+      }
+      val appendedIds = m("ids").asInstanceOf[Long]
+      val maxSeq = m("max_seq").asInstanceOf[Long]
       // size the batch's files BEFORE publishing: the pack's natural
       // partitioning lands one tiny file per shuffle partition, and every
       // later scan of the artifact (verify, unpack, load, the next append's
@@ -212,10 +231,7 @@ object Shards {
         prev.getAs[Long]("target_file_bytes"),
         batchId.getOrElse(prev.getAs[Long]("last_batch_id")))
       maxSeq + 1
-    } finally {
-      newPacked.unpersist()
-      handle.unpersist()
-    }
+    } finally handle.unpersist()
   }
 
   private def writeParams(spark: SparkSession, dir: String, capacity: Int,

@@ -149,10 +149,14 @@ object Compaction {
    * driver-gated against the same golden fixture as save/append.
    */
   def compactAnnIndex(spark: SparkSession, path: String,
-                      targetFileBytes: Long = 128L * 1024 * 1024): Map[String, (Int, Int)] =
-    Map(
-      "enc" -> compactInPlace(spark, s"$path/enc", targetFileBytes, Seq("cid")),
-      "vectors" -> compactInPlace(spark, s"$path/vectors", targetFileBytes))
+                      targetFileBytes: Long = 128L * 1024 * 1024): Map[String, (Int, Int)] = {
+    // the two sides live in disjoint directories and each rewrite is
+    // independently crash-safe (SwapFiles), so the jobs overlap (§2.6)
+    val (enc, vecs) = graft.parallelJobs(
+      () => compactInPlace(spark, s"$path/enc", targetFileBytes, Seq("cid")),
+      () => compactInPlace(spark, s"$path/vectors", targetFileBytes))
+    Map("enc" -> enc, "vectors" -> vecs)
+  }
 
   /**
    * Compact a persisted MinHash dedup index after many
@@ -161,9 +165,11 @@ object Compaction {
    * probes — and `shingles/` compacts round-robin; `params/` untouched.
    */
   def compactDedupIndex(spark: SparkSession, path: String,
-                        targetFileBytes: Long = 128L * 1024 * 1024): Map[String, (Int, Int)] =
-    Map(
-      "buckets" -> compactInPlace(spark, s"$path/buckets", targetFileBytes,
+                        targetFileBytes: Long = 128L * 1024 * 1024): Map[String, (Int, Int)] = {
+    val (buckets, shingles) = graft.parallelJobs(
+      () => compactInPlace(spark, s"$path/buckets", targetFileBytes,
         Seq("band", "bucket")),
-      "shingles" -> compactInPlace(spark, s"$path/shingles", targetFileBytes))
+      () => compactInPlace(spark, s"$path/shingles", targetFileBytes))
+    Map("buckets" -> buckets, "shingles" -> shingles)
+  }
 }
