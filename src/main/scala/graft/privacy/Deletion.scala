@@ -101,10 +101,16 @@ object Deletion {
   def scrubDedupIndex(spark: SparkSession, path: String,
                       doomed: DataFrame, doomedId: Column,
                       maxTouchedFiles: Int = 100000): ScrubStats = {
-    val a = scrubParquetById(spark, s"$path/shingles", "id",
-      doomed, doomedId, maxTouchedFiles)
-    val b = scrubParquetById(spark, s"$path/buckets", "id",
-      doomed, doomedId, maxTouchedFiles)
+    // either partial order is query-safe for a DOOMED id (shingles-only
+    // scrubbed: its bucket rows drop at the exact-verify join; buckets-only:
+    // it never becomes a candidate — both equal the fully-scrubbed answer),
+    // and the directories are disjoint with per-file swap protection, so
+    // the two rewrites overlap (§2.6); a crash means re-run either way
+    val (a, b) = graft.parallelJobs(
+      () => scrubParquetById(spark, s"$path/shingles", "id",
+        doomed, doomedId, maxTouchedFiles),
+      () => scrubParquetById(spark, s"$path/buckets", "id",
+        doomed, doomedId, maxTouchedFiles))
     ScrubStats(a.filesTotal + b.filesTotal, a.filesRewritten + b.filesRewritten,
       a.rowsDeleted + b.rowsDeleted, a.rowsRewritten + b.rowsRewritten,
       a.newFiles ++ b.newFiles)
