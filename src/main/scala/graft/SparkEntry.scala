@@ -2364,10 +2364,19 @@ object SparkEntry {
       // ONE histogram solve: assign over the id arrays themselves
       // (tokenCount == size(encodeIds) by definition, so the assignment is
       // identical), then assemble the sequences from that same assignment
-      // instead of re-running packBins inside packBinSequences
+      // instead of re-running packBins inside packBinSequences.
+      // Encode-once discipline: the BPE encode is checkpointed before the
+      // solve, and the assignment itself is checkpointed because TWO
+      // consumers read it (the sequence assembly and the (bin, slot)
+      // identity join) — packBins releases its internal row-number cache
+      // on return, so an unpinned assignment would re-run the sort per
+      // consumer
+      val encDocs = docs.select(col("doc_id"), enc.as("__ids"))
+        .localCheckpoint(true)
       val assigned = graft.text.BinPack.packBins(
-        docs.withColumn("__ids", enc), size(col("__ids")),
+        encDocs, size(col("__ids")),
         Seq(col("doc_id")), capacity = 512)
+        .localCheckpoint(true)
       val seqs = graft.text.BinPack.binSequencesFromAssigned(
         assigned, col("__ids"), capacity = 512)
       val perDoc = seqs
