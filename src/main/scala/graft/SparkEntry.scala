@@ -3696,8 +3696,13 @@ object SparkEntry {
         .filter(col("doc_id") % 5 === 1)
         .select((col("doc_id") + 100000L).as("doc_id"),
           concat_ws(" ", slice(toks, 3, 30)).as("text"))
-      graft.dedup.Containment.containmentPairs(
-        docs.unionAll(excerpts), col("doc_id"), col("text"))
+      val handle = UnpersistHandle()
+      val out = graft.dedup.Containment.containmentPairs(
+          docs.unionAll(excerpts), col("doc_id"), col("text"),
+          unpersistHandle = handle)
+        .localCheckpoint(true)
+      handle.unpersist()
+      out
     }),
 
     // transitive near-dup clustering: alternating large-star/small-star
